@@ -1,0 +1,79 @@
+package graft.cdc
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-file CSV export sink with a stable, caller-chosen filename.
+  *
+  * The reference writes one CSV per job with an exact header order and a
+  * deterministic name like `full_consumer-1_20260226T043000Z.csv`
+  * (`/root/reference/app/services/exports.py:20-67`, `app/main.py:31-34`).
+  * Spark's `df.write.csv` emits `part-*` files with no stable name, so we
+  * write to a temp dir, then move the single part-file to the target name.
+  *
+  * Timestamps are rendered ISO-8601 (`timestampFormat`) and booleans as
+  * Python-style `True`/`False` to match the reference byte-for-byte
+  * (`app/services/exports.py:52-54,61-63`).
+  *
+  * Scale note: `coalesce(1)` is correct here because the reference's
+  * contract IS one file per export — the single-writer tail is inherent
+  * to that contract, not an engine limitation. For cluster-scale exports
+  * `write(df, dir, singleFile = false)` keeps one file per partition
+  * (each writer streams independently; no driver materialization).
+  */
+object CsvSink {
+
+  /** Python `datetime.isoformat()` shape for tz-aware UTC values. */
+  val IsoTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"
+
+  /** Write `df` (already projected + ordered) as CSV under `outPath`.
+    * Returns the number of rows written. If `singleFile`, `outPath` is a
+    * single CSV file; otherwise it is a directory of part-files.
+    */
+  def write(df: DataFrame, outPath: String, singleFile: Boolean = true): Long = {
+    // Render booleans as True/False (reference stringifies Python bools,
+    // exports.py:54,63). Spark csv writes true/false, so pre-render.
+    val rendered = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.BooleanType =>
+          acc.withColumn(f.name, when(col(f.name), "True").otherwise("False"))
+        case _ => acc
+      }
+    }
+    val writer = (if (singleFile) rendered.coalesce(1) else rendered).write
+      .option("header", "true")
+      .option("timestampFormat", IsoTimestampFormat)
+      .mode("overwrite")
+
+    if (!singleFile) {
+      writer.csv(outPath)
+      return df.sparkSession.read.option("header", "true").csv(outPath).count()
+    }
+
+    val tmp = outPath + ".tmpdir-" + java.util.UUID.randomUUID()
+    writer.csv(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+    // Count data rows without re-running the job: lines minus header.
+    val rows = countLines(part) - 1
+    Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)
+    Files.move(part, Paths.get(outPath), StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(Paths.get(tmp))
+    rows
+  }
+
+  private def countLines(p: Path): Long = {
+    val in = Files.newBufferedReader(p)
+    try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
+    finally in.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}
