@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline: tokenizing,
+  * quality signals, n-gram language scoring, normalization, binary
+  * payload plumbing. Pure `Column` expressions throughout — codegen'd,
+  * no UDFs — so they vectorize inside whole-stage codegen and scale
+  * linearly with document partitions.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (single-space corpus; a BPE-ish regex variant
+    * is `bpeTokenCount`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** BPE-ish sub-word token estimate: word-pieces + digit runs +
+    * punctuation, via regex count (upper bound on merge-table tokens).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** English-ish function words used for quality's stopword ratio AND
+    * the 'en' score of the language-ID heuristic. Order matters only
+    * for documentation; matching is set membership.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords.map(lit(_)): _*)))
+
+  /** Normalization applied before fingerprinting/dedup. */
+  def normalize(text: Column): Column = lower(trim(text))
+
+  /** Opaque binary payload (multimodal column plumbing): text encoded
+    * as UTF-8 bytes stands in for an image/audio blob.
+    */
+  def asBinaryPayload(text: Column): Column = encode(text, "UTF-8")
+
+  // ---- language-ID: marker-token scoring with deterministic argmax ----
+
+  /** Marker token sets per language. The corpus is synthetic English-ish
+    * vocabulary, so these act as a deterministic scoring heuristic (the
+    * shape of a real char-n-gram language model) rather than a trained
+    * classifier.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "small", "data"),
+    "en" -> Seq("the", "a", "of", "and", "is", "column", "sort"),
+    "es" -> Seq("el", "la", "de", "que", "es", "line", "hash"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "order", "query"),
+    "zh" -> Seq("de5", "shi4", "le5", "group", "vector"),
+  )
+
+  private def score(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Adds s_de/s_en/s_es/s_fr/s_zh score columns and `predicted_lang` =
+    * argmax with alphabetical tiebreak (de ≻ en ≻ es ≻ fr ≻ zh on ties).
+    */
+  def withLangScores(docs: DataFrame): DataFrame = {
+    val scored = LangMarkers.toSeq.sortBy(_._1).foldLeft(docs) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"s_$lang", score(col("text"), markers))
+    }
+    scored.withColumn("predicted_lang",
+      when(col("s_de") >= greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_zh")), "de")
+        .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "en")
+        .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh"))
+  }
+
+  /** Word set for Jaccard similarity. */
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
+
+  private def markerListSql(lang: String): String =
+    LangMarkers(lang).map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB oracle replicating withLangScores exactly. */
+  val langIdOracleSql: String = {
+    def s(lang: String) =
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${markerListSql(lang)})))"
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    ${s("de")} AS s_de, ${s("en")} AS s_en, ${s("es")} AS s_es,
+       |    ${s("fr")} AS s_fr, ${s("zh")} AS s_zh
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+       |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS predicted_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+}

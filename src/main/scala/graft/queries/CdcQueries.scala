@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2 CDC operator inventory expressed over the testdata
+  * `events` table (the CDC-source analog: `ts` plays `updated_at`,
+  * `event_type='error'` plays `is_deleted`), each with a DuckDB oracle.
+  *
+  * Precision rules (see SURVEY.md §4 + TESTDATA):
+  *  - `events.ts` is nanosecond parquet; Spark truncates to µs — raw `ts`
+  *    is never output, only second-level formatted strings (identical
+  *    truncation both engines).
+  *  - Synthetic `created_at`/`updated_at` pairs are derived with
+  *    integer-second arithmetic so both engines agree bit-for-bit.
+  *  - Every query ends with a deterministic ORDER BY incl. a unique
+  *    tiebreaker so the driver's hash compare is order-stable.
+  */
+object CdcQueries {
+
+  private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Synthetic CDC columns over events, integer-second arithmetic only. */
+  private def withCdcColumns(ev: DataFrame): DataFrame = {
+    val base = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    ev.withColumn("created_at",
+        timestamp_add("SECOND", pmod(col("event_id"), lit(1000000L)), base))
+      .withColumn("updated_at",
+        timestamp_add("SECOND",
+          when(col("event_type").isin("view", "click"), lit(0L))
+            .otherwise(pmod(col("event_id") * 7, lit(10000L))),
+          timestamp_add("SECOND", pmod(col("event_id"), lit(1000000L)), base)))
+      .withColumn("is_deleted", col("event_type") === "error")
+  }
+
+  private val cdcColumnsSql =
+    """SELECT *,
+      |  TIMESTAMP '2024-01-01 00:00:00' + ((event_id % 1000000) * INTERVAL 1 SECOND) AS created_at,
+      |  TIMESTAMP '2024-01-01 00:00:00' + ((event_id % 1000000) * INTERVAL 1 SECOND)
+      |    + ((CASE WHEN event_type IN ('view','click') THEN 0 ELSE (event_id*7) % 10000 END) * INTERVAL 1 SECOND) AS updated_at,
+      |  (event_type = 'error') AS is_deleted
+      |FROM events""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 row 1+7+10+18a: full-export shape — scan, boolean filter,
+    // static projection, global ascending sort
+    "cdc_full_export" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), fmt(col("ts")).as("ts_s"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2 rows 2+8+9: strict > watermark range predicate AND active filter
+    "cdc_incremental" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+          && col("event_type") =!= "error")
+        .select(col("event_id"), col("user_id"), fmt(col("ts")).as("ts_s"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2 row 11: 3-way operation classifier (DELETE ≻ INSERT ≻ UPDATE)
+    // over synthetic created/updated/is_deleted; also §2 row 27
+    // timestamp arithmetic
+    "cdc_delta_ops" -> ((s, dir) => {
+      withCdcColumns(Tables.events(s, dir))
+        .withColumn("operation",
+          when(col("is_deleted"), "DELETE")
+            .when(col("created_at") === col("updated_at"), "INSERT")
+            .otherwise("UPDATE"))
+        .select(col("event_id"), col("operation"),
+          fmt(col("created_at")).as("created_s"),
+          fmt(col("updated_at")).as("updated_s"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2 row 13: semi-join (IN-subquery)
+    "cdc_semi_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signedUp = ev.filter(col("event_type") === "signup")
+        .select(col("user_id")).distinct()
+      ev.join(signedUp, Seq("user_id"), "left_semi")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // §2 row 3: point lookup by key
+    "cdc_point_lookup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("user_id") === 7L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2 rows 15+17: global MAX/MIN over the CDC cursor column
+    "cdc_minmax_ts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .agg(fmt(min(col("ts"))).as("min_ts_s"), fmt(max(col("ts"))).as("max_ts_s"),
+          count(lit(1)).as("n"))
+    }),
+
+    // §2 row 16: COUNT(*) global + filtered counts
+    "cdc_counts" -> ((s, dir) => {
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("event_type") === "error", 1)).as("n_deleted"),
+        count(when(col("event_type") =!= "error", 1)).as("n_active"))
+    }),
+
+    // §2 row 20: dedup on a natural key — first event per user
+    // (min_by = single hash-agg with map-side partial; no window sort)
+    "cdc_dedup_first" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(col("event_id")).as("first_event_id"),
+          min_by(col("event_type"), col("event_id")).as("first_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // §2 row 18b: order + limit (TakeOrderedAndProject top-k)
+    "cdc_topk_value" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(10)
+    }),
+
+    // §2 rows 21+24: ISO-8601 formatting + string replace
+    "cdc_iso_format" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_id") < 100)
+        .select(col("event_id"),
+          concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("+00:00"))
+            .as("iso_ts"),
+          regexp_replace(col("event_type"), "e", "_").as("sanitized"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2 row 14: watermark-lookup join shape — per-consumer watermark
+    // table joined against the source with a strict > theta predicate
+    // (broadcast: the state side is tiny by construction)
+    "cdc_watermark_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // derive a 3-consumer watermark "table" deterministically
+      val wm = ev.groupBy((pmod(col("user_id"), lit(3L))).as("consumer"))
+        .agg(fmt(min(col("ts"))).as("wm_s"))
+      ev.withColumn("consumer", pmod(col("user_id"), lit(3L)))
+        .join(broadcast(wm), Seq("consumer"))
+        .filter(fmt(col("ts")) > col("wm_s"))
+        .groupBy(col("consumer"))
+        .agg(count(lit(1)).as("n_changed"))
+        .orderBy(col("consumer"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cdc_full_export" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+
+    "cdc_incremental" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_delta_ops" ->
+      s"""WITH cdc AS ($cdcColumnsSql)
+         |SELECT event_id,
+         |  CASE WHEN is_deleted THEN 'DELETE'
+         |       WHEN created_at = updated_at THEN 'INSERT'
+         |       ELSE 'UPDATE' END AS operation,
+         |  strftime(created_at, '%Y-%m-%d %H:%M:%S') AS created_s,
+         |  strftime(updated_at, '%Y-%m-%d %H:%M:%S') AS updated_s
+         |FROM cdc ORDER BY event_id""".stripMargin,
+
+    "cdc_semi_join" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "cdc_point_lookup" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id = 7 ORDER BY event_id""".stripMargin,
+
+    "cdc_minmax_ts" ->
+      """SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts_s,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s,
+        |  count(*) AS n FROM events""".stripMargin,
+
+    "cdc_counts" ->
+      """SELECT count(*) AS n_total,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_deleted,
+        |  count(CASE WHEN event_type <> 'error' THEN 1 END) AS n_active
+        |FROM events""".stripMargin,
+
+    "cdc_dedup_first" ->
+      """SELECT user_id, min(event_id) AS first_event_id,
+        |  min_by(event_type, event_id) AS first_type
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "cdc_topk_value" ->
+      """SELECT event_id, user_id, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 10""".stripMargin,
+
+    "cdc_iso_format" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS iso_ts,
+        |  regexp_replace(event_type, 'e', '_', 'g') AS sanitized
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+
+    "cdc_watermark_join" ->
+      """WITH wm AS (
+        |  SELECT user_id % 3 AS consumer,
+        |    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS wm_s
+        |  FROM events GROUP BY user_id % 3)
+        |SELECT e.user_id % 3 AS consumer, count(*) AS n_changed
+        |FROM events e JOIN wm ON e.user_id % 3 = wm.consumer
+        |WHERE strftime(e.ts, '%Y-%m-%d %H:%M:%S') > wm.wm_s
+        |GROUP BY e.user_id % 3 ORDER BY consumer""".stripMargin,
+  )
+}

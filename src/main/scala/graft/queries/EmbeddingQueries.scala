@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity-search operators over the `embeddings` table
+  * (`Array[Float]`, dim 64). The brute-force variants here are the
+  * oracle-checkable baselines; the LSH-bucketed scale path lives in
+  * `graft.operators.Similarity` (not SQL-expressible → rows-only check).
+  *
+  * Scale design: brute-force top-k is a broadcast of the (small) query
+  * set against a partitioned corpus — no shuffle of the corpus; the
+  * per-query top-k is a TakeOrdered inside each partition followed by a
+  * k-sized merge, which Catalyst derives from window rank + filter
+  * under AQE.
+  */
+object EmbeddingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-label stats on exact (order-insensitive) reductions
+    "embed_label_stats" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(element_at(col("embedding"), 1)).as("min_x0"),
+          max(element_at(col("embedding"), 1)).as("max_x0"))
+        .orderBy(col("label"))
+    }),
+
+    // brute-force cosine top-5 neighbors for query vectors vec_id < 5
+    // (ids + rank only: scores are engine-precision-identical by
+    // construction but kept out of the hash for robustness)
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queriesDf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val corpus = emb
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      broadcast(queriesDf).crossJoin(corpus)
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // embedding-cosine near-dup: bounded candidate window, threshold
+    "embed_neardup_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+  )
+
+  // DuckDB list_cosine_similarity computes the same sequential fold in
+  // double precision; outputs are id-only so a last-ulp divergence can
+  // only matter on exact rank ties, which the vec_id tiebreak resolves.
+  val oracle: Map[String, String] = Map(
+    "embed_label_stats" ->
+      """SELECT label, count(*) AS n,
+        |  min(embedding[1]) AS min_x0, max(embedding[1]) AS max_x0
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "embed_neardup_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b
+        |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

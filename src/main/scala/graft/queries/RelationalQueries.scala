@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational engine surface over the TPC-H-ish testdata: aggregation,
+  * joins of every shape, windows, set ops, rollup, string/date functions.
+  * These are the headline bench queries; each has a DuckDB oracle.
+  *
+  * Numeric determinism: money columns are stored as DOUBLE with 2-decimal
+  * values. Double SUM is reassociation-sensitive (Spark's partial aggs vs
+  * DuckDB's sequential scan), so every SUM first casts to DECIMAL — exact,
+  * associative — and the final result casts back to DOUBLE, which is
+  * bit-identical in both engines. AVG = decimal SUM / COUNT in double.
+  *
+  * Scale notes (100 TB design):
+  *  - dimension joins (region/nation/supplier/part/customer) are
+  *    explicitly `broadcast()` — no shuffle of the fact table;
+  *  - fact-fact joins (orders⨝lineitem) shuffle on the join key once,
+  *    with AQE free to pick SMJ vs shuffled-hash at runtime;
+  *  - all aggregates are partial+final (map-side combine) by
+  *    construction since they're plain `groupBy().agg()`.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact decimal sum rendered as double (bit-identical across engines). */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-heavy grouped aggregation with derived exprs
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q3 shape: 3-way join, filter on dimension, grouped revenue, top-k
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 5-way join through the dimension chain
+    "q5_nation_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val supp = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // broadcast dimension join + grouped count
+    "join_broadcast_part" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // anti join: customers with no recent orders (NOT EXISTS)
+    "join_anti_customers" -> ((s, dir) => {
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      Tables.customer(s, dir)
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // window: running revenue per customer over order dates
+    "window_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_spend",
+          sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // window: top-3 orders per customer by totalprice (rank + filter)
+    "window_top3_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // distinct aggregation
+    "agg_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // set ops: union / intersect / except over key domains
+    "set_ops_keys" -> ((s, dir) => {
+      val custNations = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("int").as("nkey")).distinct()
+      val suppNations = Tables.supplier(s, dir)
+        .select(col("s_nationkey").cast("int").as("nkey")).distinct()
+      val both = custNations.intersect(suppNations)
+        .withColumn("src", lit("both"))
+      val custOnly = custNations.except(suppNations)
+        .withColumn("src", lit("cust_only"))
+      both.union(custOnly).orderBy(col("nkey"), col("src"))
+    }),
+
+    // rollup: hierarchical aggregate with subtotals
+    "rollup_flag_status" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
+    // CASE bucketing + conditional (pivot-style) aggregation
+    "agg_pivot_priority" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(when(col("o_orderpriority").startsWith("1"), 1)).as("n_urgent"),
+          count(when(col("o_orderpriority").startsWith("2"), 1)).as("n_high"),
+          count(when(!col("o_orderpriority").startsWith("1") &&
+            !col("o_orderpriority").startsWith("2"), 1)).as("n_rest"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // string functions: upper / substr / length / concat / regexp_replace
+    "string_funcs" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 12).as("name12"),
+          length(col("p_name")).as("name_len"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // date parts: extraction + truncation + grouped counts
+    "date_parts" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("y"), col("m"))
+    }),
+
+    // correlated-scalar shape: orders above their customer's average
+    // (decorrelated to a join in both engines)
+    "scalar_subquery_avg" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val custAvg = ord.groupBy(col("o_custkey").as("ck"))
+        .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+      ord.join(custAvg, col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_above_avg"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // sessionization: gap>30min starts a new session (lag + cumulative sum)
+    "events_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+      ev.withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+  )
+
+  private val disc = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
+  private val revenueSql =
+    s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, o_orderdate, $revenueSql
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, $revenueSql
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_broadcast_part" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "join_anti_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(SUM(o_totalprice::DECIMAL(18,2)) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |QUALIFY o_custkey < 50
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_top3_per_cust" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "set_ops_keys" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey::INT AS nkey FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey::INT AS nkey FROM supplier)
+        |SELECT nkey, 'both' AS src FROM (SELECT nkey FROM cn INTERSECT SELECT nkey FROM sn)
+        |UNION ALL
+        |SELECT nkey, 'cust_only' AS src FROM (SELECT nkey FROM cn EXCEPT SELECT nkey FROM sn)
+        |ORDER BY nkey, src""".stripMargin,
+
+    "rollup_flag_status" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n,
+        |  CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "agg_pivot_priority" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END) AS n_urgent,
+        |  count(CASE WHEN o_orderpriority LIKE '2%' THEN 1 END) AS n_high,
+        |  count(CASE WHEN o_orderpriority NOT LIKE '1%'
+        |    AND o_orderpriority NOT LIKE '2%' THEN 1 END) AS n_rest,
+        |  CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substr(p_name, 1, 12) AS name12,
+        |  length(p_name) AS name_len,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "date_parts" ->
+      """SELECT EXTRACT(year FROM o_orderdate)::INT AS y,
+        |  EXTRACT(month FROM o_orderdate)::INT AS m,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+
+    "scalar_subquery_avg" ->
+      """WITH ca AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_orderstatus, count(*) AS n_above_avg
+        |FROM orders JOIN ca ON o_custkey = ck
+        |WHERE o_totalprice > avg_price
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, ts_sec,
+        |    lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |      AS prev_sec
+        |  FROM t)
+        |SELECT user_id,
+        |  SUM(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+        |    THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

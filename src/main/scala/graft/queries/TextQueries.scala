@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for the training-data pipeline (builder
+  * brief: language-ID, quality scoring, token counting, fingerprinting,
+  * exact + n-gram dedup) over the `documents` table, each with a DuckDB
+  * oracle where SQL-expressible.
+  *
+  * All ops are pure Column expressions — codegen'd, no UDFs — so at
+  * 100 TB they run embarrassingly parallel over document partitions with
+  * zero shuffle except the final aggregates.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting + basic stats (whitespace tokenizer)
+    "text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("len_chars"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.distinctTokenCount(col("text")).as("n_distinct_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring: punctuation ratio, stopword ratio, mean word len
+    "text_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.punctCount(col("text")).as("n_punct"),
+          TextFunctions.stopwordCount(col("text")).as("n_stop"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // n-gram language-ID heuristic: score = count of language-marker
+    // tokens; predicted language = argmax with deterministic tiebreak
+    "text_langid" -> ((s, dir) => {
+      TextFunctions.withLangScores(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact-dup fingerprint: md5 of normalized text (identical digest
+    // algorithm in both engines)
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(TextFunctions.normalize(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact dedup via content hash: survivor = min doc_id per digest
+    "dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(TextFunctions.normalize(col("text"))).as("fp"))
+        .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("survivor_id"))
+    }),
+
+    // word-set Jaccard similarity over a bounded candidate window
+    // (|id diff| <= 3) — the verifiable slice of near-dedup; the
+    // LSH-banded variant for unbounded pairs is graft.operators.Dedup
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.wordSet(col("text")).as("words"))
+      val a = docs.select(col("doc_id").as("id_a"), col("words").as("wa"))
+      val b = docs.select(col("doc_id").as("id_b"), col("words").as("wb"))
+      a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 3)
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("wa"), col("wb"))).cast("double") /
+            size(array_union(col("wa"), col("wb")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // multimodal plumbing: opaque binary payload column + typed metadata
+    // (byte length computed on the binary, not the string)
+    "multimodal_binary" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.asBinaryPayload(col("text")).as("payload"))
+        .select(col("doc_id"), col("source"),
+          length(col("payload")).as("payload_bytes"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("payload_bytes")).as("total_bytes"))
+        .orderBy(col("source"))
+    }),
+  )
+
+  private val stopListSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id, lang,
+        |  length(text) AS len_chars,
+        |  length(string_split(text, ' ')) AS n_tokens,
+        |  length(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |  len(list_filter(string_split(text, ' '), t -> t IN ($stopListSql))) AS n_stop,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopListSql))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> TextFunctions.langIdOracleSql,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fp,
+        |  min(doc_id) AS survivor_id, count(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY survivor_id""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.words, b.words))) AS jaccard
+        |FROM ws a JOIN ws b
+        |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+        |WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "multimodal_binary" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(octet_length(encode(text))) AS total_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
+}
