@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection at training-data scale: MinHash+LSH and
+  * SimHash. Both are pure Column expressions (codegen'd, no UDFs) and
+  * both follow the classic band-bucket shape:
+  *
+  *   signature per doc (narrow, embarrassingly parallel)
+  *     → explode to (band, bucket-key) rows
+  *     → self-join on the bucket key (the ONLY shuffle, on a
+  *       high-cardinality key; AQE handles residual skew)
+  *     → exact verification on the candidate pairs only.
+  *
+  * At 100 TB the candidate set is orders of magnitude smaller than the
+  * all-pairs cross join (O(n·bands) shuffle rows vs O(n²) pairs), which
+  * is the entire point: the expensive exact Jaccard runs only on
+  * bucket-collision pairs.
+  *
+  * Shapes follow the MinHash/LSH construction of Broder (1997) and the
+  * SimHash construction of Charikar (2002) as popularized for web-scale
+  * dedup (Manku et al., WWW'07).
+  */
+object Dedup {
+
+  /** 3-token shingles of the whitespace tokenization. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** 64-bit stable hashes of each shingle. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k), s => xxhash64(s))
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  private val MaxHash = 2147483647L
+
+  /** Deterministic (a, b) parameters for the permutation family
+    * h_i(x) = (a_i·x + b_i) mod p — seeded, not Math.random.
+    */
+  private def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature: array of `numHashes` minima over the shingle
+    * hash set. All arithmetic in Long (a·x fits: a,x < 2^31).
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64,
+      seed: Long = 42L): Column = {
+    val hs = shingleHashes(text)
+    val xs = transform(hs, h => pmod(h, lit(MersennePrime)))
+    array(perms(numHashes, seed).map { case (a, b) =>
+      array_min(transform(xs, x => pmod(x * a + b, lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** Explode a signature into (band_id, band_key) rows: `bands` groups
+    * of `rowsPerBand` signature slots, each band keyed by the hash of
+    * its slice. Docs sharing any band key are candidate pairs.
+    */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val withSig = docs.withColumn("sig",
+      minhashSignature(col(textCol), numHashes, seed))
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(concat_ws("_",
+          (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("band_key"))
+    }: _*)
+    withSig
+      .withColumn("band", explode(bandStructs))
+      .select(col(idCol), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs (id_a < id_b), deduplicated
+    * across bands. The self-join shuffles on (band_id, band_key) only.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val banded = bandedSignatures(docs, idCol, textCol, numHashes, bands, seed)
+    val a = banded.select(col(idCol).as("id_a"),
+      col("band_id"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"),
+      col("band_id"), col("band_key"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dedup: candidates verified with exact
+    * word-set Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard).
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val cands = lshCandidatePairs(docs, idCol, textCol, numHashes, bands, seed)
+    val words = docs.select(col(idCol),
+      TextFunctions.wordSet(col(textCol)).as("words"))
+    cands
+      .join(words.select(col(idCol).as("id_a"), col("words").as("wa")), "id_a")
+      .join(words.select(col(idCol).as("id_b"), col("words").as("wb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Dedup survivors: drop every doc that near-dups an earlier (lower
+    * id) doc. One pass: candidates → verified pairs → distinct id_b →
+    * anti-join.
+    */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val losers = minhashNearDups(docs, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash of the token multiset: per bit, sum ±1 weighted by
+    * each token-hash's bit; sign of the sum is the fingerprint bit.
+    * Sequential fold with an int-array accumulator — one pass over
+    * tokens per doc.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(i =>
+          shiftright(h, i).bitwiseAND(lit(1L)).cast("int")): _*),
+        (a, bit) => a + bit * 2 - 1))
+    (0 until 64).map { i =>
+      when(element_at(counts, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two SimHash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ `maxBits`, found via the
+    * pigeonhole band trick (Manku et al.): split the 64-bit fingerprint
+    * into `maxBits + 1` chunks — any pair within `maxBits` shares at
+    * least one exact chunk — and join on (chunk_id, chunk_value).
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxBits: Int = 3): DataFrame = {
+    val chunks = maxBits + 1
+    val width = 64 / chunks
+    val withFp = docs.withColumn("fp", simhash(col(textCol)))
+    val banded = withFp.withColumn("chunk", explode(array(
+      (0 until chunks).map { c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col("fp"), c * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
+      }: _*)))
+      .select(col(idCol), col("fp"), col("chunk.chunk_id"), col("chunk.chunk_val"))
+    val a = banded.select(col(idCol).as("id_a"), col("fp").as("fp_a"),
+      col("chunk_id"), col("chunk_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("fp").as("fp_b"),
+      col("chunk_id"), col("chunk_val"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("fp_a"), col("fp_b")).as("hamming_bits"))
+      .distinct()
+      .filter(col("hamming_bits") <= maxBits)
+  }
+}

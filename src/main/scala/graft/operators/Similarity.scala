@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query
+  *    set against the partitioned corpus; per-partition TakeOrdered then
+  *    k-merge. Correctness baseline, and the right plan whenever
+  *    |queries| is broadcast-sized.
+  *  - `lshTopK`: random-hyperplane LSH (Charikar 2002 SimHash for
+  *    angular distance) — corpus bucketed once by a `numPlanes`-bit
+  *    signature; queries probe their own bucket plus all 1-bit-flip
+  *    neighbors (multi-probe). Exact cosine is computed only on probed
+  *    buckets (~ (numPlanes+1)/2^numPlanes of the corpus), which is the
+  *    100 TB path: the bucketed corpus is write-once, probes shuffle
+  *    only candidate rows.
+  *
+  * Hyperplanes are seeded pseudo-random literals compiled into the
+  * plan — identical across runs and executors, no driver state.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes: `numPlanes` × `dim` gaussians. */
+  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH signature: bit i = (emb · plane_i) > 0, packed into an int. */
+  def signature(emb: Column, numPlanes: Int = 12, dim: Int = 64,
+      seed: Long = 42L): Column = {
+    val ps = planes(numPlanes, dim, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(emb, planeCol) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Exact brute-force cosine top-k per query vector. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "vec_id", qEmb: String = "embedding",
+      cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col(qEmb).as("q_emb"))
+    val c = corpus.select(col(cId).as("n_id"), col(cEmb).as("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+
+  /** Multi-probe LSH top-k: probe the query's bucket and every 1-bit
+    * flip of it; exact cosine over candidates only. Approximate —
+    * recall rises with fewer planes / more probes.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numPlanes: Int = 12, dim: Int = 64, seed: Long = 42L,
+      qId: String = "vec_id", qEmb: String = "embedding",
+      cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
+    val bucketed = corpus.select(col(cId).as("n_id"), col(cEmb).as("n_emb"),
+      signature(col(cEmb), numPlanes, dim, seed).as("bucket"))
+    val probeOffsets = lit(0) +: (0 until numPlanes).map(i => lit(1 << i))
+    val probed = queries
+      .select(col(qId).as("q_id"), col(qEmb).as("q_emb"),
+        signature(col(qEmb), numPlanes, dim, seed).as("sig"))
+      .withColumn("flip", explode(array(probeOffsets: _*)))
+      .withColumn("bucket", col("sig").bitwiseXOR(col("flip")))
+      .select(col("q_id"), col("q_emb"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(probed).join(bucketed, Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Multimodal
+
+/** Training-data-pipeline operators that are NOT expressible in ANSI SQL
+  * (probabilistic LSH banding, seeded generators, typed mapPartitions) —
+  * registered without oracles, so the driver records the weaker
+  * rows-only check. Exactness is covered by ScalaTest specs with
+  * planted duplicates/neighbors instead (DedupSpec, SimilaritySpec,
+  * MultimodalSpec).
+  *
+  * The synthetic documents corpus is mutually similar by construction
+  * (shared vocabulary), which is the LSH worst case — so the LSH
+  * queries run on a bounded id-slice to keep candidate sets sane in
+  * bench; the operators themselves are corpus-size-agnostic.
+  */
+object ExtensionQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash+LSH near-dedup: banded signatures → bucket join →
+    // exact-Jaccard verification
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup via pigeonhole chunk banding
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxBits = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // multi-probe random-hyperplane LSH ANN
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // deterministic distributed seeder (SURVEY §2 rows 5, 26-28)
+    "cdc_seeder" -> ((s, _) => {
+      graft.cdc.Seeder
+        .users(s, 1000, java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+        .groupBy(col("is_deleted"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("email")).as("n_emails"))
+        .orderBy(col("is_deleted"))
+    }),
+
+    // multimodal decode plumbing: binary payloads → mapPartitions
+    // feature extraction (stubbed codec, real batching/schema)
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, s"$dir/documents.parquet")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+        .orderBy(col("media_id"))
+    }),
+  )
+}

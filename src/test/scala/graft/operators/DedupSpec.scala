@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // corpus with two planted near-dup clusters and unrelated docs
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // ~dup of 1
+    (3L, "spark executes distributed dataframes with catalyst optimizing every logical plan"),
+    (4L, "spark executes distributed dataframes with catalyst optimizing every physical plan"), // ~dup of 3
+    (5L, "completely unrelated text about cooking pasta with tomato sauce and basil leaves"),
+    (6L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds planted near-dup pairs and no unrelated ones") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(pairs.contains((1L, 6L)))
+    assert(pairs.contains((2L, 6L)))
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("minhash dedup keeps lowest-id survivor per cluster") {
+    val survivors = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 5L))
+  }
+
+  test("identical texts have identical minhash signatures") {
+    val sigs = docs.filter(col("doc_id").isin(1L, 6L))
+      .select(Dedup.minhashSignature(col("text")).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhash: identical fp for exact dups, close for near-dups, far for unrelated") {
+    val fps = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(6L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) <= 8)
+    assert(ham(fps(3L), fps(4L)) <= 8)
+    assert(ham(fps(1L), fps(5L)) > 8)
+  }
+
+  test("simhash banding finds pairs within maxBits hamming") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 6L))) // hamming 0 — always found
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+}
