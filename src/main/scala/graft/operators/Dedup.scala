@@ -51,17 +51,29 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signature: array of `numHashes` minima over the shingle
-    * hash set. All arithmetic in Long (a·x fits: a,x < 2^31).
+  /** MinHash signature from a pre-materialized (mod p) shingle-hash
+    * array column. All arithmetic in Long (a·x fits: a,x < 2^31).
+    * Taking the materialized column rather than the text avoids
+    * recomputing the shingle set once per permutation — the input
+    * attribute is evaluated once in the child project, then referenced
+    * by all `numHashes` minima.
     */
-  def minhashSignature(text: Column, numHashes: Int = 64,
-      seed: Long = 42L): Column = {
-    val hs = shingleHashes(text)
-    val xs = transform(hs, h => pmod(h, lit(MersennePrime)))
+  def minhashFromHashes(xs: Column, numHashes: Int = 64,
+      seed: Long = 42L): Column =
     array(perms(numHashes, seed).map { case (a, b) =>
       array_min(transform(xs, x => pmod(x * a + b, lit(MersennePrime))))
     }: _*)
-  }
+
+  /** Shingle hashes reduced mod p, ready for `minhashFromHashes`. */
+  def shingleHashesModP(text: Column, k: Int = 3): Column =
+    transform(shingleHashes(text, k), h => pmod(h, lit(MersennePrime)))
+
+  /** Convenience single-expression signature (tests / small inputs);
+    * prefer the two-step materialized form in pipelines.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64,
+      seed: Long = 42L): Column =
+    minhashFromHashes(shingleHashesModP(text), numHashes, seed)
 
   /** Explode a signature into (band_id, band_key) rows: `bands` groups
     * of `rowsPerBand` signature slots, each band keyed by the hash of
@@ -71,8 +83,12 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSig = docs.withColumn("sig",
-      minhashSignature(col(textCol), numHashes, seed))
+    // repartition by id before the (CPU-heavy) signature compute: the
+    // corpus often arrives as few large files, and signature cost must
+    // spread across all cores/executors, not file-granularity tasks
+    val withSig = docs.repartition(col(idCol))
+      .withColumn("xs", shingleHashesModP(col(textCol)))
+      .withColumn("sig", minhashFromHashes(col("xs"), numHashes, seed))
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         xxhash64(concat_ws("_",
@@ -137,19 +153,27 @@ object Dedup {
     * Sequential fold with an int-array accumulator — one pass over
     * tokens per doc.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val counts = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(i =>
-          shiftright(h, i).bitwiseAND(lit(1L)).cast("int")): _*),
-        (a, bit) => a + bit * 2 - 1))
+  /** 64-bit stable hashes of each token, ready for `simhashFromHashes`. */
+  def tokenHashes(text: Column): Column =
+    transform(TextFunctions.tokens(text), t => xxhash64(t))
+
+  /** SimHash from a pre-materialized token-hash array column: one
+    * allocation-free integer fold per bit (64 folds over the same
+    * attribute — evaluated once in the child project). Each fold sums
+    * ±1 by the token-hash's bit; the sign becomes the fingerprint bit.
+    */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { i =>
-      when(element_at(counts, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc +
+          shiftright(h, i).bitwiseAND(lit(1L)).cast("int") * 2 - 1)
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-  }
+
+  /** Convenience single-expression SimHash (tests / small inputs);
+    * prefer the two-step materialized form in pipelines.
+    */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -163,7 +187,9 @@ object Dedup {
       maxBits: Int = 3): DataFrame = {
     val chunks = maxBits + 1
     val width = 64 / chunks
-    val withFp = docs.withColumn("fp", simhash(col(textCol)))
+    val withFp = docs.repartition(col(idCol))
+      .withColumn("th", tokenHashes(col(textCol)))
+      .withColumn("fp", simhashFromHashes(col("th")))
     val banded = withFp.withColumn("chunk", explode(array(
       (0 until chunks).map { c =>
         struct(lit(c).as("chunk_id"),

@@ -54,11 +54,13 @@ object CdcQueries {
         .orderBy(col("event_id"))
     }),
 
-    // §2 rows 2+8+9: strict > watermark range predicate AND active filter
+    // §2 rows 2+8+9: strict > watermark range predicate AND active
+    // filter — range predicate applied on the raw int64 so it pushes
+    // down to the parquet scan (row-group pruning = the CDC index)
     "cdc_incremental" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
-          && col("event_type") =!= "error")
+      Tables.eventsSince(s, dir,
+          Some(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+        .filter(col("event_type") =!= "error")
         .select(col("event_id"), col("user_id"), fmt(col("ts")).as("ts_s"))
         .orderBy(col("event_id"))
     }),

@@ -54,9 +54,12 @@ object EmbeddingQueries {
     // embedding-cosine near-dup: bounded candidate window, threshold
     "embed_neardup_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // window offsets exploded -> equi-join (hash), not an O(n²)
+      // nested-loop range join
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        .withColumn("id_b", explode(array((1 to 5).map(d => col("id_a") + d): _*)))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+      a.join(b, Seq("id_b"))
         .withColumn("cos", cosine(col("ea"), col("eb")))
         .filter(col("cos") >= 0.3)
         .select(col("id_a"), col("id_b"))

@@ -30,7 +30,9 @@ object TextQueries {
 
     // quality scoring: punctuation ratio, stopword ratio, mean word len
     "text_quality" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      // repartition: spread regexp+tokenize cost across cores (the
+      // table arrives as one small file = one task otherwise)
+      Tables.documents(s, dir).repartition(col("doc_id"))
         .select(col("doc_id"),
           TextFunctions.punctCount(col("text")).as("n_punct"),
           TextFunctions.stopwordCount(col("text")).as("n_stop"),
@@ -71,9 +73,13 @@ object TextQueries {
     "dedup_jaccard_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.wordSet(col("text")).as("words"))
+      // the bounded id-window is a SMALL-RANGE join: explode the window
+      // offsets so it becomes an equi-join (hash/SMJ, shuffle on the
+      // key) instead of a O(n²) broadcast nested-loop range join
       val a = docs.select(col("doc_id").as("id_a"), col("words").as("wa"))
+        .withColumn("id_b", explode(array((1 to 3).map(d => col("id_a") + d): _*)))
       val b = docs.select(col("doc_id").as("id_b"), col("words").as("wb"))
-      a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 3)
+      a.join(b, Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           (size(array_intersect(col("wa"), col("wb"))).cast("double") /
             size(array_union(col("wa"), col("wb")))).as("jaccard"))
