@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions.dot
+import graft.functions.CosineSimilarityExpr.cosineSim
 
 /** Approximate-nearest-neighbor search over embedding columns.
   *
@@ -51,7 +52,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(q).crossJoin(c)
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cos", cosineSim(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
@@ -77,7 +78,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     broadcast(probed).join(bucketed, Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("cos", cosineSim(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))

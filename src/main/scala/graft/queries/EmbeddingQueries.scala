@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions.dot
+import graft.functions.CosineSimilarityExpr.cosineSim
 
 /** Similarity-search operators over the `embeddings` table
   * (`Array[Float]`, dim 64). The brute-force variants here are the
@@ -44,7 +45,7 @@ object EmbeddingQueries {
         .orderBy(col("cos").desc, col("n_id"))
       broadcast(queriesDf).crossJoin(corpus)
         .filter(col("n_id") =!= col("q_id"))
-        .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("cos", cosineSim(col("q_emb"), col("n_emb")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("n_id"))
@@ -60,7 +61,7 @@ object EmbeddingQueries {
         .withColumn("id_b", explode(array((1 to 5).map(d => col("id_a") + d): _*)))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
       a.join(b, Seq("id_b"))
-        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .withColumn("cos", cosineSim(col("ea"), col("eb")))
         .filter(col("cos") >= 0.3)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
