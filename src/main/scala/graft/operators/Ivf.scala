@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarityExpr.cosineSim
+
+/** IVF (inverted-file) approximate nearest neighbor: a k-means coarse
+  * quantizer partitions the corpus into `nlist` inverted lists; queries
+  * probe only the `nprobe` nearest lists. The classic FAISS-style
+  * recall/throughput dial, built entirely from DataFrame ops:
+  *
+  *  - train: Lloyd iterations as grouped per-dimension averages
+  *    (posexplode → groupBy(list, dim) → avg → collect the tiny
+  *    nlist×dim table to the driver for the next literal plan);
+  *  - index: argmin-of-distances assignment, one narrow pass over the
+  *    corpus (centroids are plan literals — broadcast-free);
+  *  - search: probe lists pre-partitioned by `list_id`, exact cosine
+  *    only within probed lists, k-bounded TopK aggregate.
+  *
+  * At 100 TB: the index write partitions the corpus BY list_id
+  * (`indexed.write.partitionBy("list_id")`), so each probe reads only
+  * its lists' files — partition pruning does the candidate selection
+  * before a single byte of embedding data is scanned.
+  */
+object Ivf {
+
+  /** Squared L2 distance from an embedding column to a literal centroid. */
+  private def l2ToCentroid(emb: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, array(centroid.map(lit): _*), (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Distances to every centroid, as an array column. */
+  private def distances(emb: Column, cents: Seq[Array[Double]]): Column =
+    array(cents.map(c => l2ToCentroid(emb, c)): _*)
+
+  /** Nearest-centroid id (0-based, deterministic: first minimum). */
+  def assignment(emb: Column, cents: Seq[Array[Double]]): Column = {
+    val ds = distances(emb, cents)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  /** Lloyd k-means with deterministic init (lowest-id vectors). Returns
+    * nlist × dim centroids. Each iteration: one assignment pass + one
+    * per-dimension average; empty lists keep their previous centroid.
+    */
+  def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : Seq[Array[Double]] = {
+    var cents: Seq[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(
+        assignment(col(embCol), cents).as("list_id"), col(embCol).as("e"))
+      val means = assigned
+        .select(col("list_id"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy(col("list_id"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone()).toArray
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next.toSeq
+    }
+    cents
+  }
+
+  /** Corpus with its inverted-list assignment. Persist with
+    * `.write.partitionBy("list_id")` for pruned probes at scale.
+    */
+  def index(corpus: DataFrame, cents: Seq[Array[Double]],
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"),
+      assignment(col(embCol), cents).as("list_id"))
+
+  /** IVF top-k search: probe the `nprobe` nearest lists per query,
+    * exact cosine within them, k-bounded TopK aggregate (map-side
+    * partial — only k rows per query per partition shuffle).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      qId: String = "vec_id", qEmb: String = "embedding",
+      cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
+    val cents = train(corpus, nlist, iters, cId, cEmb)
+    val indexed = index(corpus, cents, cId, cEmb)
+
+    // nprobe nearest lists per query: explode centroid distances, rank
+    val q = queries.select(col(qId).as("q_id"), col(qEmb).as("q_emb"))
+      .withColumn("dists", distances(col("q_emb"), cents))
+      .withColumn("probe", explode(
+        array((0 until nlist).map(i =>
+          struct(lit(i).as("list_id"),
+            element_at(col("dists"), i + 1).as("d"))): _*)))
+      .withColumn("probe_rank",
+        row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("probe.d"), col("probe.list_id"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("probe.list_id").as("list_id"))
+
+    broadcast(q).join(indexed, Seq("list_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosineSim(col("q_emb"), col("n_emb")))
+      .groupBy(col("q_id"))
+      .agg(TopK.topKUdaf(k)(col("cos"), col("n_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "entry")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("entry._2").as("n_id"), col("entry._1").as("cos"))
+  }
+}

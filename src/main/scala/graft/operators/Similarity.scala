@@ -58,6 +58,27 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
   }
 
+  /** Brute-force top-k via the k-bounded TopK aggregate instead of a
+    * window rank: map-side partial keeps k rows per query per
+    * partition, so the shuffle carries |Q|·k·partitions rows instead
+    * of the full |Q|·|corpus| scored set. Identical output contract
+    * to `bruteForceTopK` (same (score desc, id asc) order).
+    */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "vec_id", qEmb: String = "embedding",
+      cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), col(qEmb).as("q_emb"))
+    val c = corpus.select(col(cId).as("n_id"), col(cEmb).as("n_emb"))
+    broadcast(q).crossJoin(c)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosineSim(col("q_emb"), col("n_emb")))
+      .groupBy(col("q_id"))
+      .agg(TopK.topKUdaf(k)(col("cos"), col("n_id")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "entry")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("entry._2").as("n_id"), col("entry._1").as("cos"))
+  }
+
   /** Multi-probe LSH top-k: probe the query's bucket and every 1-bit
     * flip of it; exact cosine over candidates only. Approximate —
     * recall rises with fewer planes / more probes.

@@ -52,6 +52,17 @@ object EmbeddingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // same contract as ann_cosine_topk but via the k-bounded TopK
+    // aggregate (map-side partial) instead of a window rank — checked
+    // against the identical oracle
+    "ann_topk_agg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity
+        .bruteForceTopKAgg(emb.filter(col("vec_id") < 5), emb, k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // embedding-cosine near-dup: bounded candidate window, threshold
     "embed_neardup_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -78,6 +89,20 @@ object EmbeddingQueries {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "ann_topk_agg" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 5),
         |scored AS (

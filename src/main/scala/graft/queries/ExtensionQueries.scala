@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ivf, Similarity}
 import graft.sources.Multimodal
 
 /** Training-data-pipeline operators that are NOT expressible in ANSI SQL
@@ -41,6 +41,14 @@ object ExtensionQueries {
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF ANN: k-means inverted lists, nprobe-bounded exact search
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ivf.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
         .select(col("q_id"), col("rank"), col("n_id"))
         .orderBy(col("q_id"), col("rank"))
     }),

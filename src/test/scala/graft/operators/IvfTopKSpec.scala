@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfTopKSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("topk aggregate matches window-rank formulation exactly") {
+    val q = emb.filter($"vec_id" < 5)
+    val viaWindow = Similarity.bruteForceTopK(q, emb, k = 7)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val viaAgg = Similarity.bruteForceTopKAgg(q, emb, k = 7)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(viaWindow == viaAgg)
+  }
+
+  test("ivf: training converges to nlist centroids, assignment is total") {
+    val cents = Ivf.train(emb, nlist = 8, iters = 2)
+    assert(cents.length == 8)
+    assert(cents.forall(_.length == 64))
+    val assigned = Ivf.index(emb, cents)
+    assert(assigned.count() == emb.count())
+    val lists = assigned.select("list_id").distinct().as[Int].collect()
+    assert(lists.forall(l => l >= 0 && l < 8))
+  }
+
+  test("ivf topk: high recall vs exact brute force") {
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Ivf.ivfTopK(q, emb, k = 5, nlist = 8, nprobe = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+    // probing all lists must be exhaustive = exact
+    val full = Ivf.ivfTopK(q, emb, k = 5, nlist = 8, nprobe = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+}
