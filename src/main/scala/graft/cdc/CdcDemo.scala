@@ -74,6 +74,28 @@ object CdcDemo {
         .getLines().take(8).foreach(l => println(s"  $l"))
     }
 
+    // streaming formulation: the users changelog dir as a file stream;
+    // checkpoint offsets play the consumer watermark. First drain
+    // exports everything; a resumed drain after appending one file
+    // exports only that file's rows.
+    val stream = new graft.streaming.CdcStream(
+      spark, s"$root/chlog", s"$root/ckpt", s"$root/stream-out")
+    Seq(UserRow(1L, "S One", "s1@example.com", touchAt, touchAt, false),
+      UserRow(2L, "S Two", "s2@example.com", touchAt, touchAt, true))
+      .toDF().coalesce(1).write.mode("append").parquet(s"$root/chlog")
+    stream.deltaExport("stream-consumer").awaitTermination()
+    Seq(UserRow(3L, "S Three", "s3@example.com", touchAt,
+      Timestamp.valueOf("2026-02-03 00:00:00"), false))
+      .toDF().coalesce(1).write.mode("append").parquet(s"$root/chlog")
+    stream.deltaExport("stream-consumer").awaitTermination()
+    println(s"streaming artifacts in $root/stream-out:")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/stream-out"))
+      .forEach { p =>
+        println(s"  $p")
+        scala.io.Source.fromFile(p.toFile).getLines()
+          .foreach(l => println(s"    $l"))
+      }
+
     println(s"artifacts in $root/out:")
     java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/out"))
       .forEach(p => println(s"  $p"))

@@ -53,6 +53,19 @@ object ExtensionQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // sketch aggregates: HLL distinct + approximate quantiles (engine
+    // sketches are implementation-specific -> rows-only check; exact
+    // counterparts are oracle-checked in agg_distinct)
+    "agg_sketches" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+          .as("p99_price"))
+    }),
+
     // deterministic distributed seeder (SURVEY §2 rows 5, 26-28)
     "cdc_seeder" -> ((s, _) => {
       graft.cdc.Seeder

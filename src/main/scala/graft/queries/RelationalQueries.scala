@@ -209,6 +209,39 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // cube: all grouping-set combinations with subtotals
+    "cube_flag_status" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
+    // snapshot ⊎ changelog reconciliation: latest state per key from a
+    // unioned snapshot + change stream (the CDC compaction shape)
+    "cdc_compaction" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), lit(0L).as("version"))
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          (dec(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("o_totalprice"),
+          lit(1L).as("version"))
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("version").desc)
+      snapshot.union(changes)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
     // sessionization: gap>30min starts a new session (lag + cumulative sum)
     "events_sessionize" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -350,6 +383,31 @@ object RelationalQueries {
         |FROM orders JOIN ca ON o_custkey = ck
         |WHERE o_totalprice > avg_price
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "cube_flag_status" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "cdc_compaction" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey, o_totalprice, 0 AS version
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1""".stripMargin,
 
     "events_sessionize" ->
       """WITH t AS (
