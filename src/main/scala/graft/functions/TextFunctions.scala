@@ -94,7 +94,7 @@ object TextFunctions {
        |  SELECT doc_id, lang,
        |    ${s("de")} AS s_de, ${s("en")} AS s_en, ${s("es")} AS s_es,
        |    ${s("fr")} AS s_fr, ${s("zh")} AS s_zh
-       |  FROM documents)
+       |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
        |SELECT doc_id, lang,
        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'

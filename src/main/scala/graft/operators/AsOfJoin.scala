@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the single latest
+  * right row with `rightTime <= leftTime`, per key — the temporal
+  * lookup CDC/attribution pipelines need (latest dimension version,
+  * last event before).
+  *
+  * Spark has no native as-of join; the preference-order choice here is
+  * (a) compose built-ins: tag both sides, union, and take a running
+  * `last(ignoreNulls)` over a (key, time, side) window. Cost = ONE
+  * shuffle on the key + a per-partition sort — same as a sort-merge
+  * join, with none of the O(n·m) range-join blowup of the naive
+  * `leftTime >= rightTime` theta join. At 100 TB both sides
+  * shuffle-partition by key and stream through the window operator.
+  *
+  * Right rows tie-break by `rightTime` then right row order: sides sort
+  * (side=0 right before side=1 left) so a right row exactly at
+  * `leftTime` IS eligible (inclusive semantics, matching DuckDB
+  * `ASOF JOIN ... ON l.t >= r.t`).
+  */
+object AsOfJoin {
+
+  /** @param left       left (probe) side
+    * @param right      right (reference) side
+    * @param by         equi-key column names present on both sides
+    * @param leftTime   left event-time column name
+    * @param rightTime  right event-time column name
+    * @param rightCols  right columns to carry (renamed as-is on output,
+    *                   null when no right row precedes the left row)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      by.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
+        struct(leftCols.map(col): _*).as("__l") :+
+        lit(null).cast(right.select(rightCols.map(col): _*).schema
+          .fields.foldLeft(new org.apache.spark.sql.types.StructType())(
+            (st, f) => st.add(f))).as("__r"): _*)
+    val r = right.select(
+      by.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
+        lit(null).cast(l.schema("__l").dataType).as("__l") :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
+
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c")) ++
+        rightCols.map(c => col(s"__match.$c")): _*)
+  }
+}

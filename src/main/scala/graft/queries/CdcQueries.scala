@@ -157,9 +157,29 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_changed"))
         .orderBy(col("consumer"))
     }),
+    // as-of (point-in-time) join: for each purchase, the latest view by
+    // the same user at-or-before it — composed as union+window (one
+    // shuffle), oracle = DuckDB's native ASOF JOIN
+    "asof_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin
+        .asofJoin(purchases, views, Seq("user_id"), "ts", "ts", Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("view_id"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "asof_attribution" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
     "cdc_full_export" ->
       """SELECT event_id, user_id, event_type, value,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s

@@ -86,15 +86,15 @@ object EmbeddingQueries {
     "embed_label_stats" ->
       """SELECT label, count(*) AS n,
         |  min(embedding[1]) AS min_x0, max(embedding[1]) AS max_x0
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+        |FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') GROUP BY label ORDER BY label""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-        |           FROM embeddings WHERE vec_id < 5),
+        |           FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id < 5),
         |scored AS (
         |  SELECT q.q_id, e.vec_id AS n_id,
         |    list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos
-        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        |  FROM q CROSS JOIN read_parquet('/root/testdata/sf0.01/embeddings.parquet') e WHERE e.vec_id <> q.q_id),
         |ranked AS (
         |  SELECT q_id, n_id,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
@@ -104,11 +104,11 @@ object EmbeddingQueries {
 
     "ann_topk_agg" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-        |           FROM embeddings WHERE vec_id < 5),
+        |           FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id < 5),
         |scored AS (
         |  SELECT q.q_id, e.vec_id AS n_id,
         |    list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos
-        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        |  FROM q CROSS JOIN read_parquet('/root/testdata/sf0.01/embeddings.parquet') e WHERE e.vec_id <> q.q_id),
         |ranked AS (
         |  SELECT q_id, n_id,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
@@ -118,7 +118,7 @@ object EmbeddingQueries {
 
     "embed_neardup_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a JOIN embeddings b
+        |FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') a JOIN read_parquet('/root/testdata/sf0.01/embeddings.parquet') b
         |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,

@@ -109,7 +109,7 @@ object TextQueries {
         |  length(text) AS len_chars,
         |  length(string_split(text, ' ')) AS n_tokens,
         |  length(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,
@@ -118,23 +118,23 @@ object TextQueries {
          |  len(string_split(text, ' ')) AS n_tokens,
          |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopListSql))) AS DOUBLE)
          |    / len(string_split(text, ' ')) AS stop_ratio
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> TextFunctions.langIdOracleSql,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp,
         |  min(doc_id) AS survivor_id, count(*) AS n_copies
-        |FROM documents GROUP BY fp ORDER BY survivor_id""".stripMargin,
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY fp ORDER BY survivor_id""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH ws AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
-        |  FROM documents)
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.words, b.words))) AS jaccard
@@ -147,6 +147,6 @@ object TextQueries {
     "multimodal_binary" ->
       """SELECT source, count(*) AS n_docs,
         |  sum(octet_length(encode(text))) AS total_bytes
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join picks latest right row at-or-before each left row, per key") {
+    val trades = Seq(
+      (1L, "A", ts("2026-01-01 10:00:05")),
+      (2L, "A", ts("2026-01-01 10:00:30")),
+      (3L, "B", ts("2026-01-01 10:00:10")),
+      (4L, "B", ts("2026-01-01 09:59:00")), // before any quote -> null
+    ).toDF("trade_id", "sym", "t")
+    val quotesDf = Seq(
+      (101L, "A", ts("2026-01-01 10:00:00"), 10.0),
+      (102L, "A", ts("2026-01-01 10:00:05"), 11.0), // exactly at trade 1 -> eligible
+      (103L, "A", ts("2026-01-01 10:00:20"), 12.0),
+      (104L, "B", ts("2026-01-01 10:00:01"), 20.0),
+    ).toDF("quote_id", "sym", "qt", "px")
+
+    val res = AsOfJoin.asofJoin(trades, quotesDf, Seq("sym"), "t", "qt",
+      Seq("quote_id", "px"))
+      .select("trade_id", "quote_id", "px")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+
+    assert(res == Set(
+      (1L, Some(102L), Some(11.0)), // inclusive: quote at same instant
+      (2L, Some(103L), Some(12.0)), // latest preceding
+      (3L, Some(104L), Some(20.0)),
+      (4L, None, None),             // nothing precedes
+    ))
+  }
+}
