@@ -7,6 +7,25 @@ import java.time.{Instant, ZoneOffset}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.slf4j.LoggerFactory
 
+/** Factory entry points for the supported `users` sources. */
+object CdcEngine {
+
+  /** Live-database source via JDBC — the direct analog of the
+    * reference reading Postgres (`/root/reference/app/database.py`).
+    * The watermark predicate composed on top of this DataFrame pushes
+    * down into the remote SQL (Catalyst JDBC filter pushdown), so an
+    * incremental export ships `WHERE updated_at > ?` to the database
+    * exactly as the reference does — served there by the
+    * `idx_users_updated_at` index.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      connectionProperties: java.util.Properties, watermarkDir: String,
+      outputDir: String): CdcEngine =
+    new CdcEngine(spark,
+      () => spark.read.jdbc(url, table, connectionProperties),
+      watermarkDir, outputDir)
+}
+
 /** The engine's public API surface, mirroring the reference's five
   * endpoints (`/root/reference/app/main.py:17-107`, SURVEY.md §2.11):
   * full / incremental / delta export + watermark lookup, each returning
@@ -25,22 +44,31 @@ import org.slf4j.LoggerFactory
   *    after the CSV write succeeds (transactional ordering of
   *    `app/services/jobs.py:31-60`)
   *
-  * @param usersPath   parquet directory/file of the `users` table
+  * @param usersSource supplier of the `users` table (parquet snapshot
+  *                     dir, JDBC to a live Postgres, or any DataFrame —
+  *                     re-evaluated per export so each job sees the
+  *                     current table state)
   * @param watermarkDir parquet state dir for the `watermarks` table
   * @param outputDir   directory for CSV export artifacts
   */
 final class CdcEngine(
     spark: SparkSession,
-    usersPath: String,
+    usersSource: () => DataFrame,
     watermarkDir: String,
     outputDir: String,
 ) {
 
+  /** Parquet-snapshot source (testdata / lakehouse layout). */
+  def this(spark: SparkSession, usersPath: String, watermarkDir: String,
+      outputDir: String) =
+    this(spark,
+      () => spark.read.schema(Schemas.users).parquet(usersPath),
+      watermarkDir, outputDir)
+
   private val log = LoggerFactory.getLogger(classOf[CdcEngine])
   private val wmStore = new WatermarkStore(spark, watermarkDir)
 
-  private def users: DataFrame =
-    spark.read.schema(Schemas.users).parquet(usersPath)
+  private def users: DataFrame = usersSource()
 
   /** `GET /exports/watermark` (`app/main.py:94-107`). */
   def watermark(consumerId: String): Option[Timestamp] =

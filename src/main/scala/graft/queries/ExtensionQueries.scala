@@ -48,7 +48,7 @@ object ExtensionQueries {
     // IVF ANN: k-means inverted lists, nprobe-bounded exact search
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ivf.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
+      Ivf.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 5, iters = 2)
         .select(col("q_id"), col("rank"), col("n_id"))
         .orderBy(col("q_id"), col("rank"))
     }),
