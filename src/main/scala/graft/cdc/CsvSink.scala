@@ -46,6 +46,10 @@ object CsvSink {
     val writer = (if (singleFile) rendered.coalesce(1) else rendered).write
       .option("header", "true")
       .option("timestampFormat", IsoTimestampFormat)
+      // RFC-4180 quote doubling ("" inside quoted fields), matching the
+      // reference's Python csv.writer — Spark's default is backslash
+      // escaping, which csv-standard readers would misparse
+      .option("escape", "\"")
       .mode("overwrite")
 
     if (!singleFile) {

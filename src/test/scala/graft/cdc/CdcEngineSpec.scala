@@ -136,6 +136,25 @@ class CdcEngineSpec extends SparkSpec {
     assert(ops == Map("2" -> "UPDATE", "4" -> "DELETE", "6" -> "INSERT"))
   }
 
+  test("CSV quoting: names with commas/quotes round-trip (csv.writer parity)") {
+    val root = tmpDir("csvq")
+    val usersDir = s"$root/users"
+    writeUsers(Seq(
+      UserRow(1, """Smith, "Ace" Jr""", "s@x.com",
+        ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:00"), false),
+    ), usersDir)
+    val engine = new CdcEngine(spark, usersDir, s"$root/wm", s"$root/out")
+    val job = engine.fullExport("q")
+    val lines = readCsv(s"$root/out/${job.outputFilename}")
+    // minimal quoting, embedded quotes doubled — same as Python csv.writer
+    assert(lines(1).startsWith("1,\"Smith, \"\"Ace\"\" Jr\",s@x.com,"))
+    // and it parses back to the original value
+    val back = spark.read.option("header", "true").option("escape", "\"")
+      .csv(s"$root/out/${job.outputFilename}")
+      .select("name").head().getString(0)
+    assert(back == """Smith, "Ace" Jr""")
+  }
+
   test("watermark upsert: insert path then update path") {
     val root = tmpDir("wm")
     val store = new WatermarkStore(spark, s"$root/wm")
