@@ -83,6 +83,28 @@ object TextFunctions {
   /** Word set for Jaccard similarity. */
   def wordSet(text: Column): Column = array_distinct(tokens(text))
 
+  /** Karp-Rabin rolling-hash document fingerprint: polynomial hashes of
+    * every `k`-char window (h = Σ c_i·B^(k-1-i) mod M), then the
+    * winnowing-lite signature = the `keep` smallest window hashes,
+    * sorted. Robust to document reordering at block granularity, cheap
+    * to compare (array intersection), pure expressions.
+    */
+  def rollingHashFingerprint(text: Column, k: Int = 8,
+      keep: Int = 16): Column = {
+    val B = 257L
+    val M = 1000000007L
+    val n = length(text)
+    // per-window hash: fold the k characters of substr(text, start, k)
+    val winHash = (start: Column) =>
+      aggregate(
+        transform(sequence(lit(0), lit(k - 1)),
+          j => ascii(substr(text, start + j, lit(1)))),
+        lit(0L),
+        (acc, c) => pmod(acc * B + c, lit(M)))
+    slice(array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))), winHash))), 1, keep)
+  }
+
   private def markerListSql(lang: String): String =
     LangMarkers(lang).map(w => s"'$w'").mkString(", ")
 

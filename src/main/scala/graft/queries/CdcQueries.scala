@@ -157,6 +157,17 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_changed"))
         .orderBy(col("consumer"))
     }),
+    // semi-structured JSON column: extract a typed field from the
+    // props payload and aggregate on it (get_json_object pushout)
+    "json_extract_props" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // as-of (point-in-time) join: for each purchase, the latest view by
     // the same user at-or-before it — composed as union+window (one
     // shuffle), oracle = DuckDB's native ASOF JOIN
@@ -174,6 +185,13 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "json_extract_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+        |  min(json_extract(props, '$.k')::INT) AS min_k,
+        |  max(json_extract(props, '$.k')::INT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "asof_attribution" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

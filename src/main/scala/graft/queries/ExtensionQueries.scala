@@ -66,6 +66,18 @@ object ExtensionQueries {
           .as("p99_price"))
     }),
 
+    // Karp-Rabin rolling-hash winnowing fingerprints (spec-checked;
+    // per-char folds aren't ANSI-SQL-expressible -> rows-only)
+    "text_rolling_fp" -> ((s, dir) => {
+      Tables.documents(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions
+            .rollingHashFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_hashes"),
+          element_at(col("fp"), 1).as("min_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic distributed seeder (SURVEY §2 rows 5, 26-28)
     "cdc_seeder" -> ((s, _) => {
       graft.cdc.Seeder
