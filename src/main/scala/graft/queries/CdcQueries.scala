@@ -157,6 +157,18 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_changed"))
         .orderBy(col("consumer"))
     }),
+    // event-time tumbling window aggregate (batch form of the
+    // streaming windowed op-rate monitor, §2.9)
+    "events_hourly_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(fmt(col("w.start")).as("hour_s"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour_s"), col("event_type"))
+    }),
+
     // semi-structured JSON column: extract a typed field from the
     // props payload and aggregate on it (get_json_object pushout)
     "json_extract_props" -> ((s, dir) => {
@@ -185,6 +197,13 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY hour_s, event_type
+        |ORDER BY hour_s, event_type""".stripMargin,
+
     "json_extract_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,

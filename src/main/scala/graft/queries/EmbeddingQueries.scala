@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions.dot
 import graft.functions.CosineSimilarityExpr.cosineSim
 
 /** Similarity-search operators over the `embeddings` table
