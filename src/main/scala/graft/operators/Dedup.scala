@@ -146,6 +146,59 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every node adopts the smallest label in its
+    * neighborhood until fixpoint. Converges in O(component diameter)
+    * rounds — near-dup clusters are small and dense, so a handful; the
+    * per-round cost is one equi-join + one min-aggregate (both
+    * shuffle-on-key, AQE-managed). Returns (id, cluster_id) where
+    * cluster_id = min id of the component.
+    *
+    * This is the min-label half of the large-star/small-star
+    * alternation of Kiveris et al. (CC in MapReduce); full alternation
+    * only pays off on high-diameter graphs, which dedup graphs aren't.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(pairs.select(col("id_a").as("src"), col("id_a").as("dst")))
+      .union(pairs.select(col("id_b").as("src"), col("id_b").as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val next = sym
+        .join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("cluster_id")).as("next_cluster"))
+      val joined = labels.join(next, labels("id") === next("nid"))
+        .select(col("id"), col("cluster_id"), col("next_cluster"))
+        .persist()
+      changed = joined.filter(col("next_cluster") < col("cluster_id")).count()
+      val newLabels = joined
+        .select(col("id"), least(col("cluster_id"), col("next_cluster"))
+          .as("cluster_id"))
+      labels = newLabels
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster-level near-dedup: LSH pairs → connected components → keep
+    * the min-id doc per cluster. Docs in no cluster survive untouched.
+    */
+  def minhashDedupClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold)
+      .select("id_a", "id_b")
+    val cc = connectedComponents(pairs)
+    val losers = cc.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash of the token multiset: per bit, sum ±1 weighted by

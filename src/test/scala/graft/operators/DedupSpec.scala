@@ -41,6 +41,22 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
   }
 
+  test("connected components: transitive chains collapse to one cluster") {
+    // chain 1-2, 2-3 (transitive), separate pair 10-11, isolated via self
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+  }
+
+  test("cluster dedup keeps one survivor per transitive component") {
+    // 1~2, 2~6 similar; 1 vs 6 identical (transitive closure via 2)
+    val survivors = Dedup.minhashDedupClusters(docs, "doc_id", "text",
+      threshold = 0.7).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 5L))
+  }
+
   test("simhash: identical fp for exact dups, close for near-dups, far for unrelated") {
     val fps = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap
