@@ -52,6 +52,14 @@ object Ivf {
   def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
       idCol: String = "vec_id", embCol: String = "embedding")
       : Seq[Array[Double]] = {
+    // each Lloyd iteration scans the corpus; cache it for the loop
+    val cached = corpus.select(col(idCol), col(embCol)).persist()
+    try trainImpl(cached, nlist, iters, idCol, embCol)
+    finally cached.unpersist()
+  }
+
+  private def trainImpl(corpus: DataFrame, nlist: Int, iters: Int,
+      idCol: String, embCol: String): Seq[Array[Double]] = {
     var cents: Seq[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(nlist)
       .select(col(embCol)).collect()
