@@ -45,6 +45,27 @@ object ExtensionQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // embedding near-dup over the UNBOUNDED pair space via hyperplane
+    // bucketing: only same-bucket pairs get an exact cosine (the
+    // window-bounded oracle-checked variant is embed_neardup_pairs)
+    "embed_neardup_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.signature(col("embedding"), numPlanes = 10).as("bucket"))
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("bucket"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", graft.functions.CosineSimilarityExpr
+          .cosineSim(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.25)
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // IVF ANN: k-means inverted lists, nprobe-bounded exact search
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)

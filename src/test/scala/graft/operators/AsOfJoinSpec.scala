@@ -10,6 +10,35 @@ class AsOfJoinSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("asof join matches brute-force reference on random data") {
+    val rnd = new scala.util.Random(11)
+    def randTs() = new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L)
+    val left = (1L to 200L).map(i => (i, s"k${rnd.nextInt(5)}", randTs()))
+    val right = (1000L to 1100L).map(i => (i, s"k${rnd.nextInt(5)}", randTs(), rnd.nextDouble()))
+    val lDf = left.toDF("lid", "k", "t")
+    val rDf = right.toDF("rid", "k", "rt", "v")
+
+    val got = AsOfJoin.asofJoin(lDf, rDf, Seq("k"), "t", "rt", Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+
+    // brute force: latest right at-or-before, max rid as tiebreak is not
+    // needed (timestamps unique w.h.p.; assert on ts equality instead)
+    val rByKey = right.groupBy(_._2)
+    left.foreach { case (lid, k, t) =>
+      val cands = rByKey.getOrElse(k, Seq.empty)
+        .filter(!_._3.after(t))
+      if (cands.isEmpty) assert(got(lid) == -1L, s"lid $lid expected null")
+      else {
+        val bestTs = cands.map(_._3.getTime).max
+        val bestIds = cands.filter(_._3.getTime == bestTs).map(_._1).toSet
+        assert(bestIds.contains(got(lid)),
+          s"lid $lid got ${got(lid)} expected one of $bestIds")
+      }
+    }
+  }
+
   test("asof join picks latest right row at-or-before each left row, per key") {
     val trades = Seq(
       (1L, "A", ts("2026-01-01 10:00:05")),
