@@ -157,6 +157,35 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_changed"))
         .orderBy(col("consumer"))
     }),
+    // interval join (|Δt| ≤ 5 min, same user) via time-cell bucketing —
+    // an equi-join, not the O(n·m) nested-loop range join
+    "interval_join_5min" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("ts").as("v_ts"))
+      graft.operators.IntervalJoin
+        .timeBucketed(purchases, views, Seq("user_id"), "p_ts", "v_ts", 300L)
+        .select(col("p_id"), col("v_id"))
+        .orderBy(col("p_id"), col("v_id"))
+    }),
+
+    // scalar math functions over computed columns
+    "math_funcs" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          round(col("value") / 7, 2).as("div_r"),
+          floor(col("value")).cast("long").as("flr"),
+          ceil(col("value")).cast("long").as("cl"),
+          abs(col("value") - 100).as("dist100"),
+          pow(lit(2), pmod(col("event_id"), lit(10))).as("pow2"),
+          greatest(col("value"), lit(50.0)).as("g50"),
+          least(col("value"), lit(50.0)).as("l50"))
+        .orderBy(col("event_id"))
+    }),
+
     // event-time tumbling window aggregate (batch form of the
     // streaming windowed op-rate monitor, §2.9)
     "events_hourly_window" -> ((s, dir) => {
@@ -197,6 +226,26 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "interval_join_5min" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id AS p_id, v.event_id AS v_id
+        |FROM p JOIN v ON p.user_id = v.user_id AND abs(p.sec - v.sec) <= 300
+        |ORDER BY p_id, v_id""".stripMargin,
+
+    "math_funcs" ->
+      """SELECT event_id,
+        |  round(value / 7, 2) AS div_r,
+        |  CAST(floor(value) AS BIGINT) AS flr,
+        |  CAST(ceil(value) AS BIGINT) AS cl,
+        |  abs(value - 100) AS dist100,
+        |  pow(2, event_id % 10) AS pow2,
+        |  greatest(value, 50.0) AS g50,
+        |  least(value, 50.0) AS l50
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+
     "events_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
         |  event_type, count(*) AS n,
