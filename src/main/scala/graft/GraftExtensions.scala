@@ -17,8 +17,10 @@ import graft.functions.CosineSimilarityExpr
   * After registration: `SELECT cosine_sim(a.embedding, b.embedding) ...`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinToEquiJoin)
+  }
 }
 
 object GraftExtensions {
