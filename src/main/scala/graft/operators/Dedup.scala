@@ -164,23 +164,29 @@ object Dedup {
       .union(pairs.select(col("id_a").as("src"), col("id_a").as("dst")))
       .union(pairs.select(col("id_b").as("src"), col("id_b").as("dst")))
       .distinct()
-    var labels = sym.select(col("src").as("id")).distinct()
+    // materialize labels each round: without the persist+unpersist
+    // hand-off, lineage compounds per iteration (each round re-derives
+    // every prior join) — the classic iterative-algorithm trap; at real
+    // scale this would be a checkpoint to storage instead
+    var cached = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+      .persist()
+    var labels = cached
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
       val next = sym
-        .join(labels, sym("src") === labels("id"))
+        .join(labels, labels("id") === sym("src"))
         .groupBy(col("dst").as("nid"))
         .agg(min(col("cluster_id")).as("next_cluster"))
-      val joined = labels.join(next, labels("id") === next("nid"))
+      val merged = labels.join(next, labels("id") === next("nid"))
         .select(col("id"), col("cluster_id"), col("next_cluster"))
         .persist()
-      changed = joined.filter(col("next_cluster") < col("cluster_id")).count()
-      val newLabels = joined
-        .select(col("id"), least(col("cluster_id"), col("next_cluster"))
-          .as("cluster_id"))
-      labels = newLabels
+      changed = merged.filter(col("next_cluster") < col("cluster_id")).count()
+      cached.unpersist()
+      cached = merged
+      labels = merged.select(col("id"),
+        least(col("cluster_id"), col("next_cluster")).as("cluster_id"))
       iter += 1
     }
     labels

@@ -47,7 +47,7 @@ object RangeJoinToEquiJoin extends Rule[LogicalPlan] {
           Add(lExpr, lit)
         }
         val probe = AttributeReference("__window_probe", lExpr.dataType,
-          nullable = false)()
+          nullable = lExpr.nullable)()
         val gen = Generate(
           Explode(CreateArray(windowVals)),
           unrequiredChildIndex = Nil,
