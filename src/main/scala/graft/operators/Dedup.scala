@@ -26,13 +26,17 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** 3-token shingles of the whitespace tokenization. */
+  /** 3-token shingles of the whitespace tokenization. Texts shorter
+    * than `k` tokens contribute the whole text as their single shingle
+    * (ANSI `element_at` would throw on out-of-range windows).
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextFunctions.tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+    val full = array_distinct(
+      transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ",
           (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+    when(size(toks) >= k, full).otherwise(array(text))
   }
 
   /** 64-bit stable hashes of each shingle. */

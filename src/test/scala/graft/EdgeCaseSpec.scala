@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{CsvSink, Ops, UserRow}
+import graft.operators.{Dedup, Similarity}
+
+/** Degenerate-input behavior: empty tables, single rows, empty text —
+  * the shapes that show up at partition boundaries of a 100 TB run.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val emptyUsers = spark.emptyDataset[UserRow].toDF()
+
+  test("ops on empty input: empty results, no crashes, None watermark") {
+    assert(Ops.activeOnly(emptyUsers).count() == 0)
+    assert(Ops.withOperation(emptyUsers).count() == 0)
+    assert(Ops.maxUpdatedAt(emptyUsers).isEmpty)
+    assert(Ops.dedupByEmail(emptyUsers).count() == 0)
+  }
+
+  test("csv sink on empty frame writes header-only file") {
+    val out = tmpDir("empty-csv") + "/empty.csv"
+    val rows = CsvSink.write(Ops.exportProjection(emptyUsers), out)
+    assert(rows == 0)
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out))
+    assert(lines.size == 1 && lines.get(0).startsWith("id,name,email"))
+  }
+
+  test("dedup operators on empty and single-doc corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashNearDups(empty, "doc_id", "text").count() == 0)
+    val single = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(single, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashDedup(single, "doc_id", "text").count() == 1)
+  }
+
+  test("dedup on empty-string text does not crash") {
+    val docs = Seq((1L, ""), (2L, ""), (3L, "real text with actual words in it"))
+      .toDF("doc_id", "text")
+    // empty texts are trivially identical: signature of the empty
+    // shingle set is the empty-fold value on both
+    val survivors = Dedup.minhashDedup(docs, "doc_id", "text", 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.contains(3L))
+    assert(survivors.contains(1L)) // lowest-id empty survives
+  }
+
+  test("ann with empty query set returns empty") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val none = emb.filter($"vec_id" < 0)
+    assert(Similarity.bruteForceTopK(none, emb, 5).count() == 0)
+    assert(Similarity.bruteForceTopKAgg(none, emb, 5).count() == 0)
+  }
+
+  test("connected components of empty pair set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+}
