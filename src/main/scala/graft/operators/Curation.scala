@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** End-to-end training-data curation: the composed pipeline a 100 TB
+  * corpus actually runs, built from this engine's operators:
+  *
+  *   1. language filter        (lang-ID heuristic, narrow)
+  *   2. quality gate           (length / stopword-ratio bounds, narrow)
+  *   3. exact dedup            (md5 hash-groupBy — one shuffle)
+  *   4. near dedup             (MinHash LSH + component clustering)
+  *   5. stats                  (token counts per surviving doc)
+  *
+  * Stage order is the cost order: cheap narrow filters first shrink
+  * the corpus before any shuffle; exact dedup (cheap, one shuffle)
+  * runs before LSH (signature compute + band join); clustering runs
+  * only on the LSH survivors' pair graph.
+  */
+object Curation {
+
+  final case class Config(
+      keepLangs: Set[String] = Set("en"),
+      minTokens: Int = 8,
+      maxTokens: Int = 100000,
+      minStopRatio: Double = 0.0,
+      nearDupThreshold: Double = 0.8)
+
+  /** Quality gate predicate over a text column. */
+  def qualityGate(text: Column, cfg: Config): Column = {
+    val nTokens = TextFunctions.tokenCount(text)
+    val stopRatio = TextFunctions.stopwordCount(text).cast("double") / nTokens
+    nTokens.between(cfg.minTokens, cfg.maxTokens) &&
+      stopRatio >= cfg.minStopRatio
+  }
+
+  /** Run the full pipeline over a (doc_id, text, ...) corpus; returns
+    * surviving docs with curation stats columns appended.
+    */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // 1-2: narrow filters — no shuffle, codegen'd, run at scan speed
+    val langFiltered =
+      if (cfg.keepLangs.isEmpty) docs
+      else TextFunctions.withLangScores(docs)
+        .filter(col("predicted_lang").isin(cfg.keepLangs.toSeq.map(lit(_)): _*))
+        .select(docs.columns.map(col): _*)
+    val gated = langFiltered.filter(qualityGate(col("text"), cfg))
+
+    // 3: exact dedup — keep lowest doc_id per content hash (min_by:
+    // single hash-agg, map-side partial collapses dups early)
+    val hashed = gated.withColumn("__fp", md5(TextFunctions.normalize(col("text"))))
+    val exactSurvivors = hashed
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(gated.columns.map(col): _*), col("doc_id")).as("r"))
+      .select(gated.columns.map(c => col(s"r.$c")): _*)
+
+    // 4: near dedup — LSH candidates -> exact-Jaccard pairs ->
+    // connected components -> keep cluster minimum
+    val survivors = Dedup.minhashDedupClusters(
+      exactSurvivors, "doc_id", "text", cfg.nearDupThreshold)
+
+    // 5: per-doc stats for downstream sampling/packing
+    survivors
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("n_chars", length(col("text")))
+  }
+}

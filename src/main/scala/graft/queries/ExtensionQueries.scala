@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Ivf, Similarity}
+import graft.operators.{Curation, Dedup, Ivf, Similarity}
 import graft.sources.Multimodal
 
 /** Training-data-pipeline operators that are NOT expressible in ANSI SQL
@@ -72,6 +72,17 @@ object ExtensionQueries {
       Ivf.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 5, iters = 2)
         .select(col("q_id"), col("rank"), col("n_id"))
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // the composed curation pipeline (lang filter -> quality gate ->
+    // exact dedup -> LSH near-dedup clustering -> stats)
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      Curation.curate(docs, Curation.Config(
+          keepLangs = Set("en"), minTokens = 5, nearDupThreshold = 0.85))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // sketch aggregates: HLL distinct + approximate quantiles (engine
