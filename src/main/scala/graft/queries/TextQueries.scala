@@ -87,6 +87,18 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // sequence packing: shard-parallel concat-and-chunk assignment of
+    // docs to fixed token-budget training sequences (integer math)
+    "pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing
+        .packSequences(docs, "n_tokens", "doc_id", budget = 512, shards = 8)
+        .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // multimodal plumbing: opaque binary payload column + typed metadata
     // (byte length computed on the binary, not the string)
     "multimodal_binary" -> ((s, dir) => {
@@ -143,6 +155,21 @@ object TextQueries {
         |WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    doc_id % 8 AS shard
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS seq_offset
+        |  FROM toks)
+        |SELECT doc_id, shard,
+        |  shard * 1000000 + seq_offset // 512 AS seq_id, seq_offset
+        |FROM packed ORDER BY doc_id""".stripMargin,
 
     "multimodal_binary" ->
       """SELECT source, count(*) AS n_docs,
