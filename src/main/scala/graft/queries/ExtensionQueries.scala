@@ -77,10 +77,14 @@ object ExtensionQueries {
     // the composed curation pipeline (lang filter -> quality gate ->
     // exact dedup -> LSH near-dedup clustering -> stats)
     "curation_pipeline" -> ((s, dir) => {
+      // bounded id-slice: the synthetic corpus is mutually similar, so
+      // cluster-dedup over all of it is the LSH worst case (see object
+      // scaladoc); the pipeline itself is corpus-size-agnostic
       val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"), col("lang"))
       Curation.curate(docs, Curation.Config(
-          keepLangs = Set("en"), minTokens = 5, nearDupThreshold = 0.85))
+          keepLangs = Set("en"), minTokens = 5, nearDupThreshold = 0.9))
         .select(col("doc_id"), col("n_tokens"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
