@@ -157,6 +157,27 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_changed"))
         .orderBy(col("consumer"))
     }),
+    // pivot: per-user event-type counts as columns
+    "pivot_event_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
+    // sorted collect aggregate: distinct event types per user as a
+    // canonical comma-joined string (deterministic across engines)
+    "agg_collect_types" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("types"))
+        .orderBy(col("user_id"))
+    }),
+
     // interval join (|Δt| ≤ 5 min, same user) via time-cell bucketing —
     // an equi-join, not the O(n·m) nested-loop range join
     "interval_join_5min" -> ((s, dir) => {
@@ -226,6 +247,20 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "pivot_event_counts" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_collect_types" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "interval_join_5min" ->
       """WITH p AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
         |           FROM events WHERE event_type = 'purchase'),

@@ -87,6 +87,16 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // generator coverage: explode tokens -> corpus term frequencies
+    "text_token_freq" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(20)
+    }),
+
     // sequence packing: shard-parallel concat-and-chunk assignment of
     // docs to fixed token-budget training sequences (integer math)
     "pack_sequences" -> ((s, dir) => {
@@ -155,6 +165,12 @@ object TextQueries {
         |WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.words, b.words))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_token_freq" ->
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
 
     "pack_sequences" ->
       """WITH toks AS (
