@@ -4,6 +4,8 @@ import java.sql.Timestamp
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 
+import scala.concurrent.{ExecutionContext, Future}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.slf4j.LoggerFactory
 
@@ -24,6 +26,20 @@ object CdcEngine {
     new CdcEngine(spark,
       () => spark.read.jdbc(url, table, connectionProperties),
       watermarkDir, outputDir)
+
+  /** Background-task executor mirroring the reference's FastAPI
+    * `BackgroundTasks` (`/root/reference/app/main.py:46,68,86`): the 202
+    * response returns immediately; the export runs afterwards. Single
+    * thread on purpose — the watermark store is read-modify-write, so
+    * background jobs serialize instead of racing.
+    */
+  private lazy val backgroundEc: ExecutionContext =
+    ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, "cdc-export-background")
+        t.setDaemon(true)
+        t
+      })
 }
 
 /** The engine's public API surface, mirroring the reference's five
@@ -32,6 +48,9 @@ object CdcEngine {
   * job metadata (`ExportJobResponse`, `app/schemas.py:11-15`).
   *
   * Semantics preserved exactly (SURVEY.md §3):
+  *  - every export and the watermark lookup REQUIRE a non-empty consumer
+  *    id — blank/null raises, the analog of the reference's 400 on a
+  *    missing `X-Consumer-ID` header (`app/main.py:25-28`)
   *  - full: WHERE NOT is_deleted ORDER BY updated_at
   *  - incremental: AND updated_at > watermark (strict); missing
   *    watermark ⇒ export nothing, write no file, create no watermark
@@ -43,6 +62,12 @@ object CdcEngine {
   *  - watermark advances to max(updated_at) of the exported batch, only
   *    after the CSV write succeeds (transactional ordering of
   *    `app/services/jobs.py:31-60`)
+  *  - `submit*Export` reproduces the async 202 shape: jobId and filename
+  *    minted up front, `status="started"` / `rowsExported = -1` returned
+  *    immediately, the export itself run as a background task
+  *    (`app/main.py:37-53`); the synchronous `*Export` variants run the
+  *    job inline and return the completed metadata — the library-friendly
+  *    path
   *
   * @param usersSource supplier of the `users` table (parquet snapshot
   *                     dir, JDBC to a live Postgres, or any DataFrame —
@@ -70,48 +95,85 @@ final class CdcEngine(
 
   private def users: DataFrame = usersSource()
 
-  /** `GET /exports/watermark` (`app/main.py:94-107`). */
-  def watermark(consumerId: String): Option[Timestamp] =
+  /** 400 analog (`app/main.py:25-28`): blank consumer ids never reach a
+    * job — the reference would otherwise mint files like `full__….csv`.
+    */
+  private def requireConsumerId(consumerId: String): Unit =
+    require(consumerId != null && consumerId.nonEmpty,
+      "X-Consumer-ID header is required")
+
+  /** `GET /exports/watermark` (`app/main.py:94-107`). Raw driver value;
+    * see [[watermarkResponse]] for the endpoint's rendered shape.
+    */
+  def watermark(consumerId: String): Option[Timestamp] = {
+    requireConsumerId(consumerId)
     wmStore.get(consumerId)
+  }
+
+  /** `GET /exports/watermark` response shape (`app/main.py:104-107`):
+    * `{consumerId, lastExportedAt: isoformat}`. `None` is the caller's
+    * 404 analog (`app/main.py:102-103`). The ISO rendering is the same
+    * shape `Ops.isoFormat` gives exported columns.
+    */
+  def watermarkResponse(consumerId: String): Option[WatermarkResponse] =
+    watermark(consumerId).map(wm =>
+      WatermarkResponse(consumerId, Ops.isoFormatValue(wm)))
 
   /** `POST /exports/full` (`app/main.py:37-53`,
-    * `app/services/exports.py:70-95`).
+    * `app/services/exports.py:70-95`), run inline.
     */
-  def fullExport(consumerId: String): ExportJob =
-    runJob("full", consumerId) {
-      Ops.exportOrder(Ops.exportProjection(Ops.activeOnly(users)))
-    }
+  def fullExport(consumerId: String): ExportJob = {
+    requireConsumerId(consumerId)
+    execute(mintJobId(), "full", consumerId, mintFilename("full", consumerId))
+  }
 
   /** `POST /exports/incremental` (`app/main.py:56-72`,
-    * `app/services/exports.py:98-135`). Missing watermark ⇒ 0 rows, no
-    * file, no watermark created.
+    * `app/services/exports.py:98-135`), run inline. Missing watermark ⇒
+    * 0 rows, no file, no watermark created.
     */
-  def incrementalExport(consumerId: String): ExportJob =
-    wmStore.get(consumerId) match {
-      case None =>
-        log.info(s"""export_skipped consumer=$consumerId reason=no_watermark""")
-        emptyJob("incremental", consumerId)
-      case Some(wm) =>
-        runJob("incremental", consumerId) {
-          Ops.exportOrder(
-            Ops.exportProjection(Ops.incrementalChanges(users, wm)))
-        }
-    }
+  def incrementalExport(consumerId: String): ExportJob = {
+    requireConsumerId(consumerId)
+    execute(mintJobId(), "incremental", consumerId,
+      mintFilename("incremental", consumerId))
+  }
 
   /** `POST /exports/delta` (`app/main.py:75-91`,
-    * `app/services/exports.py:138-171`). Soft-deletes included; rows
-    * tagged DELETE / INSERT / UPDATE.
+    * `app/services/exports.py:138-171`), run inline. Soft-deletes
+    * included; rows tagged DELETE / INSERT / UPDATE.
     */
-  def deltaExport(consumerId: String): ExportJob =
-    wmStore.get(consumerId) match {
-      case None =>
-        log.info(s"""export_skipped consumer=$consumerId reason=no_watermark""")
-        emptyJob("delta", consumerId)
-      case Some(wm) =>
-        runJob("delta", consumerId) {
-          Ops.exportOrder(Ops.withOperation(Ops.deltaChanges(users, wm)))
-        }
-    }
+  def deltaExport(consumerId: String): ExportJob = {
+    requireConsumerId(consumerId)
+    execute(mintJobId(), "delta", consumerId, mintFilename("delta", consumerId))
+  }
+
+  /** Async `POST /exports/full`: the reference's actual 202 contract —
+    * returns `status="started"` / `rowsExported = -1` immediately with
+    * the pre-minted jobId and filename, and runs the export as a
+    * background task (`app/main.py:37-53`). The Future resolves to the
+    * completed job metadata (the reference exposes no status endpoint;
+    * the Future is the library's richer analog).
+    */
+  def submitFullExport(consumerId: String): (ExportJob, Future[ExportJob]) =
+    submit("full", consumerId)
+
+  /** Async `POST /exports/incremental` (`app/main.py:56-72`). */
+  def submitIncrementalExport(consumerId: String): (ExportJob, Future[ExportJob]) =
+    submit("incremental", consumerId)
+
+  /** Async `POST /exports/delta` (`app/main.py:75-91`). */
+  def submitDeltaExport(consumerId: String): (ExportJob, Future[ExportJob]) =
+    submit("delta", consumerId)
+
+  private def submit(exportType: String,
+      consumerId: String): (ExportJob, Future[ExportJob]) = {
+    requireConsumerId(consumerId)
+    val jobId = mintJobId()
+    val filename = mintFilename(exportType, consumerId)
+    val started = ExportJob(jobId, "started", exportType, filename, -1L)
+    val done = Future(execute(jobId, exportType, consumerId, filename))(
+      CdcEngine.backgroundEc)
+    (started, done)
+  }
 
   /** `GET /health` analog (`app/main.py:17-22`). */
   def health(): (String, String) =
@@ -122,25 +184,49 @@ final class CdcEngine(
   private val stampFmt =
     DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
 
+  private def mintJobId(): String = java.util.UUID.randomUUID().toString
+
   /** `{type}_{consumer}_{utcstamp}.csv` with spaces sanitized
     * (`app/main.py:31-34`).
     */
   private[cdc] def mintFilename(exportType: String, consumerId: String): String =
     s"${exportType}_${consumerId.replace(" ", "_")}_${stampFmt.format(Instant.now())}.csv"
 
-  private def emptyJob(exportType: String, consumerId: String): ExportJob =
-    ExportJob(
-      jobId = java.util.UUID.randomUUID().toString,
-      status = "completed",
-      exportType = exportType,
-      outputFilename = "",
-      rowsExported = 0L,
-    )
+  /** Dispatch one export job: the body of the reference's
+    * `run_export_job` (`app/services/jobs.py:31-60`), shared by the
+    * inline and background paths so both agree on semantics.
+    */
+  private def execute(jobId: String, exportType: String, consumerId: String,
+      filename: String): ExportJob = exportType match {
+    case "full" =>
+      runJob(jobId, "full", consumerId, filename) {
+        Ops.exportOrder(Ops.exportProjection(Ops.activeOnly(users)))
+      }
+    case "incremental" =>
+      wmStore.get(consumerId) match {
+        case None =>
+          log.info(s"""export_skipped consumer=$consumerId reason=no_watermark""")
+          ExportJob(jobId, "completed", "incremental", "", 0L)
+        case Some(wm) =>
+          runJob(jobId, "incremental", consumerId, filename) {
+            Ops.exportOrder(
+              Ops.exportProjection(Ops.incrementalChanges(users, wm)))
+          }
+      }
+    case "delta" =>
+      wmStore.get(consumerId) match {
+        case None =>
+          log.info(s"""export_skipped consumer=$consumerId reason=no_watermark""")
+          ExportJob(jobId, "completed", "delta", "", 0L)
+        case Some(wm) =>
+          runJob(jobId, "delta", consumerId, filename) {
+            Ops.exportOrder(Ops.withOperation(Ops.deltaChanges(users, wm)))
+          }
+      }
+  }
 
-  private def runJob(exportType: String, consumerId: String)(
-      plan: => DataFrame): ExportJob = {
-    val jobId = java.util.UUID.randomUUID().toString
-    val filename = mintFilename(exportType, consumerId)
+  private def runJob(jobId: String, exportType: String, consumerId: String,
+      filename: String)(plan: => DataFrame): ExportJob = {
     val t0 = System.nanoTime()
     log.info(s"export_started job=$jobId type=$exportType consumer=$consumerId")
     try {

@@ -116,4 +116,14 @@ object Ops {
     */
   def isoFormat(c: Column): Column =
     date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx")
+
+  private val isoValueFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** Driver-side rendering of the same ISO-8601 shape as [[isoFormat]],
+    * for scalar responses (the watermark endpoint's `lastExportedAt`,
+    * `/root/reference/app/main.py:104-107`).
+    */
+  def isoFormatValue(ts: Timestamp): String = isoValueFmt.format(ts.toInstant)
 }

@@ -67,7 +67,9 @@ final case class WatermarkRow(
 
 /** Job metadata returned by the export API, mirroring the reference's
   * `ExportJobResponse` (`/root/reference/app/schemas.py:11-15`).
-  * `rowsExported` is -1 while the job is queued/running.
+  * `rowsExported` is -1 while the job is queued/running — the shape
+  * `CdcEngine.submit*Export` returns with `status="started"`; completed
+  * jobs carry the real count.
   */
 final case class ExportJob(
     jobId: String,
@@ -75,4 +77,14 @@ final case class ExportJob(
     exportType: String,
     outputFilename: String,
     rowsExported: Long,
+)
+
+/** `GET /exports/watermark` 200 body, mirroring the reference's
+  * `WatermarkResponse` (`/root/reference/app/schemas.py`,
+  * `app/main.py:104-107`): the consumer id and the ISO-8601 rendering of
+  * its last-exported watermark.
+  */
+final case class WatermarkResponse(
+    consumerId: String,
+    lastExportedAt: String,
 )

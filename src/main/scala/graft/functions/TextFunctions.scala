@@ -83,27 +83,49 @@ object TextFunctions {
   /** Word set for Jaccard similarity. */
   def wordSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Karp-Rabin rolling-hash document fingerprint: polynomial hashes of
-    * every `k`-char window (h = Σ c_i·B^(k-1-i) mod M), then the
-    * winnowing-lite signature = the `keep` smallest window hashes,
-    * sorted. Robust to document reordering at block granularity, cheap
-    * to compare (array intersection), pure expressions.
+  /** Char codes of the text as an array column, materialized once per
+    * row for [[rollingHashFromCodes]]. Char-at-position via `substr` is
+    * O(position) on UTF-8 strings, so folding windows directly over the
+    * text is O(k·n²) per document; folding over this array is O(k·n).
     */
-  def rollingHashFingerprint(text: Column, k: Int = 8,
+  def charCodes(text: Column): Column =
+    transform(filter(split(text, ""), c => c =!= ""), c => ascii(c))
+
+  /** Karp-Rabin rolling-hash document fingerprint from a pre-materialized
+    * [[charCodes]] column: polynomial hashes of every `k`-char window
+    * (h = Σ c_i·B^(k-1-i) mod M), then the winnowing-lite signature =
+    * the `keep` smallest window hashes, sorted. Robust to document
+    * reordering at block granularity, cheap to compare (array
+    * intersection), pure expressions. Take the two-step form in
+    * pipelines (same rule as `Dedup.minhashFromHashes`): the codes
+    * attribute is evaluated once in the child project, then referenced
+    * by every window.
+    */
+  def rollingHashFromCodes(codes: Column, k: Int = 8,
       keep: Int = 16): Column = {
     val B = 257L
     val M = 1000000007L
-    val n = length(text)
-    // per-window hash: fold the k characters of substr(text, start, k)
+    val n = size(codes)
+    // per-window hash: fold k O(1) array accesses; positions past the
+    // end contribute 0 (same as ascii('') under the old substr form)
     val winHash = (start: Column) =>
       aggregate(
-        transform(sequence(lit(0), lit(k - 1)),
-          j => ascii(substr(text, start + j, lit(1)))),
+        sequence(lit(0), lit(k - 1)),
         lit(0L),
-        (acc, c) => pmod(acc * B + c, lit(M)))
+        (acc, j) => pmod(acc * B +
+          when(start + j <= n, element_at(codes, start + j)).otherwise(0),
+          lit(M)))
     slice(array_sort(array_distinct(transform(
       sequence(lit(1), greatest(n - (k - 1), lit(1))), winHash))), 1, keep)
   }
+
+  /** Convenience single-expression fingerprint (tests / small inputs);
+    * prefer `charCodes` + [[rollingHashFromCodes]] in pipelines — the
+    * inline codes array would be re-evaluated per window here.
+    */
+  def rollingHashFingerprint(text: Column, k: Int = 8,
+      keep: Int = 16): Column =
+    rollingHashFromCodes(charCodes(text), k, keep)
 
   private def markerListSql(lang: String): String =
     LangMarkers(lang).map(w => s"'$w'").mkString(", ")

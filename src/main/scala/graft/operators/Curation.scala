@@ -49,12 +49,15 @@ object Curation {
     val gated = langFiltered.filter(qualityGate(col("text"), cfg))
 
     // 3: exact dedup — keep lowest doc_id per content hash (min_by:
-    // single hash-agg, map-side partial collapses dups early)
+    // single hash-agg, map-side partial collapses dups early). Persisted:
+    // stage 4 scans the survivors three times (LSH signatures, Jaccard
+    // word sets, final anti-join) and each rescan would re-run stages 1-3
     val hashed = gated.withColumn("__fp", md5(TextFunctions.normalize(col("text"))))
     val exactSurvivors = hashed
       .groupBy(col("__fp"))
       .agg(min_by(struct(gated.columns.map(col): _*), col("doc_id")).as("r"))
       .select(gated.columns.map(c => col(s"r.$c")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4: near dedup — LSH candidates -> exact-Jaccard pairs ->
     // connected components -> keep cluster minimum

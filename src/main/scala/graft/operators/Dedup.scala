@@ -109,7 +109,10 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    // both sides of the self-join reference the banded signatures; without
+    // the persist the (CPU-heavy) signature compute runs twice
     val banded = bandedSignatures(docs, idCol, textCol, numHashes, bands, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"),
       col("band_id"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"),
@@ -162,37 +165,58 @@ object Dedup {
     * alternation of Kiveris et al. (CC in MapReduce); full alternation
     * only pays off on high-diameter graphs, which dedup graphs aren't.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 12,
+      checkEvery: Int = 3): DataFrame = {
+    // the edge list is scanned every round — persist it once (pairs
+    // itself is referenced four times building it, so callers should
+    // hand in a cached `pairs` when it was expensive to compute)
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(pairs.select(col("id_a").as("src"), col("id_a").as("dst")))
       .union(pairs.select(col("id_b").as("src"), col("id_b").as("dst")))
       .distinct()
-    // materialize labels each round: without the persist+unpersist
-    // hand-off, lineage compounds per iteration (each round re-derives
-    // every prior join) — the classic iterative-algorithm trap; at real
-    // scale this would be a checkpoint to storage instead
-    var cached = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .persist()
-    var labels = cached
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
-      val next = sym
-        .join(labels, labels("id") === sym("src"))
-        .groupBy(col("dst").as("nid"))
-        .agg(min(col("cluster_id")).as("next_cluster"))
-      val merged = labels.join(next, labels("id") === next("nid"))
-        .select(col("id"), col("cluster_id"), col("next_cluster"))
-        .persist()
-      changed = merged.filter(col("next_cluster") < col("cluster_id")).count()
-      cached.unpersist()
-      cached = merged
-      labels = merged.select(col("id"),
-        least(col("cluster_id"), col("next_cluster")).as("cluster_id"))
-      iter += 1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // convergence probe: self-loops in `sym` make each round's label the
+    // min over the neighborhood INCLUDING self, so labels are monotone
+    // non-increasing and sum(cluster_id) strictly decreases until
+    // fixpoint — one cheap aggregate detects convergence, replacing the
+    // per-round join-and-count that serialized the old loop
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
+
+    var persisted = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = persisted
+    var prevSum = labelSum(labels) // also materializes sym + init labels
+    var iter = 0
+    var converged = false
+    // propagate `checkEvery` rounds per driver action: dedup components
+    // are shallow (diameter ~2-4), so lineage within a block stays a few
+    // joins deep while the number of blocking jobs drops ~checkEvery-fold;
+    // at real scale the block boundary would be a checkpoint to storage
+    while (!converged && iter < maxIters) {
+      var next = labels
+      val blockEnd = math.min(iter + checkEvery, maxIters)
+      while (iter < blockEnd) {
+        next = sym.join(next.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("cluster_id")).as("cluster_id"))
+        iter += 1
+      }
+      val nextPersisted = next
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(nextPersisted)
+      persisted.unpersist()
+      persisted = nextPersisted
+      labels = nextPersisted
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+    }
+    sym.unpersist() // labels are cached + materialized; edges no longer needed
     labels
   }
 
@@ -201,8 +225,11 @@ object Dedup {
     */
   def minhashDedupClusters(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
+    // the verified pair graph feeds four union branches inside
+    // connectedComponents — cache it so LSH + Jaccard run exactly once
     val pairs = minhashNearDups(docs, idCol, textCol, threshold)
       .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cc = connectedComponents(pairs)
     val losers = cc.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))

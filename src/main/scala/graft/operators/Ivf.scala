@@ -26,18 +26,20 @@ import graft.functions.CosineSimilarityExpr.cosineSim
   */
 object Ivf {
 
-  /** Squared L2 distance from an embedding column to a literal centroid. */
-  private def l2ToCentroid(emb: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(emb, array(centroid.map(lit): _*), (x, y) => {
-        val d = x.cast("double") - y
-        d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Distances to every centroid, as an array column. */
+  /** Squared L2 distances to every centroid, as an array column. The
+    * centroid table is ONE nested-array literal looped over by
+    * `transform`, not `nlist` unrolled per-centroid expressions — the
+    * unrolled form generates O(nlist·dim) code and its JIT/codegen
+    * compile time dominated the whole query at small scale.
+    */
   private def distances(emb: Column, cents: Seq[Array[Double]]): Column =
-    array(cents.map(c => l2ToCentroid(emb, c)): _*)
+    transform(typedlit(cents.map(_.toSeq)), c =>
+      aggregate(
+        zip_with(emb, c, (x, y) => {
+          val d = x.cast("double") - y
+          d * d
+        }),
+        lit(0.0), (acc, v) => acc + v))
 
   /** Nearest-centroid id (0-based, deterministic: first minimum). */
   def assignment(emb: Column, cents: Seq[Array[Double]]): Column = {
@@ -101,18 +103,16 @@ object Ivf {
     val cents = train(corpus, nlist, iters, cId, cEmb)
     val indexed = index(corpus, cents, cId, cEmb)
 
-    // nprobe nearest lists per query: explode centroid distances, rank
+    // nprobe nearest lists per query: posexplode centroid distances
+    // (pos IS the 0-based list id), rank
     val q = queries.select(col(qId).as("q_id"), col(qEmb).as("q_emb"))
-      .withColumn("dists", distances(col("q_emb"), cents))
-      .withColumn("probe", explode(
-        array((0 until nlist).map(i =>
-          struct(lit(i).as("list_id"),
-            element_at(col("dists"), i + 1).as("d"))): _*)))
+      .select(col("q_id"), col("q_emb"),
+        posexplode(distances(col("q_emb"), cents)).as(Seq("list_id", "d")))
       .withColumn("probe_rank",
         row_number().over(Window.partitionBy(col("q_id"))
-          .orderBy(col("probe.d"), col("probe.list_id"))))
+          .orderBy(col("d"), col("list_id"))))
       .filter(col("probe_rank") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("probe.list_id").as("list_id"))
+      .select(col("q_id"), col("q_emb"), col("list_id"))
 
     broadcast(q).join(indexed, Seq("list_id"))
       .filter(col("n_id") =!= col("q_id"))

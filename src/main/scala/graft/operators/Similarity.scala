@@ -33,14 +33,19 @@ object Similarity {
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH signature: bit i = (emb · plane_i) > 0, packed into an int. */
+  /** LSH signature: bit i = (emb · plane_i) > 0, packed into an int.
+    * The plane table is ONE nested-array literal folded by `aggregate`,
+    * not `numPlanes` unrolled dot products — the unrolled form generates
+    * O(numPlanes·dim) code whose compile time dominates at small scale.
+    */
   def signature(emb: Column, numPlanes: Int = 12, dim: Int = 64,
       seed: Long = 42L): Column = {
-    val ps = planes(numPlanes, dim, seed)
-    ps.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(emb, planeCol) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    val ps = typedlit(planes(numPlanes, dim, seed).map(_.toSeq))
+    aggregate(
+      zip_with(ps, sequence(lit(0), lit(numPlanes - 1)),
+        (p, i) => when(dot(emb, p) > 0,
+          pow(lit(2.0), i).cast("int")).otherwise(lit(0))),
+      lit(0), (acc, b) => acc + b)
   }
 
   /** Exact brute-force cosine top-k per query vector. */
@@ -79,26 +84,41 @@ object Similarity {
         col("entry._2").as("n_id"), col("entry._1").as("cos"))
   }
 
-  /** Multi-probe LSH top-k: probe the query's bucket and every 1-bit
-    * flip of it; exact cosine over candidates only. Approximate —
-    * recall rises with fewer planes / more probes.
+  /** Multi-probe, multi-table LSH top-k: `numTables` independent
+    * hyperplane tables (classic OR-amplification — a true neighbor is
+    * missed only if it separates from the query in EVERY table), each
+    * probed at the query's bucket and every 1-bit flip of it; exact
+    * cosine over the unioned candidate set only. Approximate — recall
+    * rises with more tables, fewer planes, or more probes.
+    *
+    * At 100 TB the bucketed corpus is `numTables` write-once sorted
+    * copies (or one table with a `table` partition column); probes
+    * shuffle candidate rows only.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = 12, dim: Int = 64, seed: Long = 42L,
+      numTables: Int = 4,
       qId: String = "vec_id", qEmb: String = "embedding",
       cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
+    def sigs(emb: Column): Column = array((0 until numTables).map(t =>
+      signature(emb, numPlanes, dim, seed + 131L * t)): _*)
     val bucketed = corpus.select(col(cId).as("n_id"), col(cEmb).as("n_emb"),
-      signature(col(cEmb), numPlanes, dim, seed).as("bucket"))
+      posexplode(sigs(col(cEmb))).as(Seq("table", "bucket")))
     val probeOffsets = lit(0) +: (0 until numPlanes).map(i => lit(1 << i))
     val probed = queries
       .select(col(qId).as("q_id"), col(qEmb).as("q_emb"),
-        signature(col(qEmb), numPlanes, dim, seed).as("sig"))
+        posexplode(sigs(col(qEmb))).as(Seq("table", "sig")))
       .withColumn("flip", explode(array(probeOffsets: _*)))
       .withColumn("bucket", col("sig").bitwiseXOR(col("flip")))
-      .select(col("q_id"), col("q_emb"), col("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    broadcast(probed).join(bucketed, Seq("bucket"))
+      .select(col("q_id"), col("q_emb"), col("table"), col("bucket"))
+    // a pair can collide in several tables/probes — dedup before scoring
+    // so the rank sees each candidate once
+    val cands = broadcast(probed).join(bucketed, Seq("table", "bucket"))
       .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(first(col("q_emb")).as("q_emb"), first(col("n_emb")).as("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cands
       .withColumn("cos", cosineSim(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -411,7 +411,7 @@ object RelationalQueries {
 
     "events_sessionize" ->
       """WITH t AS (
-        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec
         |  FROM events),
         |lagged AS (
         |  SELECT user_id, ts_sec,
@@ -419,8 +419,8 @@ object RelationalQueries {
         |      AS prev_sec
         |  FROM t)
         |SELECT user_id,
-        |  SUM(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
-        |    THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(SUM(CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 1800
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin,
   )

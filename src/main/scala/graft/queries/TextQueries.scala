@@ -184,12 +184,34 @@ object TextQueries {
         |      AS seq_offset
         |  FROM toks)
         |SELECT doc_id, shard,
-        |  shard * 1000000 + seq_offset // 512 AS seq_id, seq_offset
+        |  CAST(shard * 1000000 + seq_offset // 512 AS BIGINT) AS seq_id,
+        |  CAST(seq_offset AS BIGINT) AS seq_offset
         |FROM packed ORDER BY doc_id""".stripMargin,
 
     "multimodal_binary" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(octet_length(encode(text))) AS total_bytes
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY source ORDER BY source""".stripMargin,
+
+    // mirrors Multimodal.decodeStub byte-for-byte: rolling checksum
+    // c = c*31 + byte with 64-bit wraparound, folded in HUGEINT then
+    // re-signed. ord(text[i]) == the UTF-8 byte because the corpus is
+    // ASCII (verified: length == octet_length for every doc at sf0.01).
+    "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT,
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> ord(text[i])::HUGEINT)),
+        |      (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS c
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT media_id, kind, n_bytes,
+        |  CAST(CASE WHEN c >= 9223372036854775808::HUGEINT
+        |    THEN c - 18446744073709551616::HUGEINT ELSE c END AS BIGINT)
+        |    AS checksum
+        |FROM m ORDER BY media_id""".stripMargin,
   )
 }

@@ -155,6 +155,43 @@ class CdcEngineSpec extends SparkSpec {
     assert(back == """Smith, "Ace" Jr""")
   }
 
+  test("blank consumer id is rejected on every endpoint (400 analog)") {
+    val (engine, _, _) = mkEngine()
+    for (call <- Seq[String => Any](
+        engine.fullExport, engine.incrementalExport, engine.deltaExport,
+        engine.watermark, engine.watermarkResponse,
+        engine.submitFullExport)) {
+      intercept[IllegalArgumentException](call(""))
+      intercept[IllegalArgumentException](call(null))
+    }
+  }
+
+  test("submit*Export: 202 shape (started, rowsExported=-1), then completes in background") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val (engine, _, outDir) = mkEngine()
+    val (started, done) = engine.submitFullExport("bg-1")
+    assert(started.status == "started")
+    assert(started.rowsExported == -1L)
+    assert(started.outputFilename.startsWith("full_bg-1_"))
+    val job = Await.result(done, 60.seconds)
+    assert(job.status == "completed")
+    assert(job.rowsExported == 3)
+    // background job writes under the filename minted at submit time
+    assert(job.jobId == started.jobId)
+    assert(job.outputFilename == started.outputFilename)
+    assert(Files.exists(Paths.get(s"$outDir/${job.outputFilename}")))
+    assert(engine.watermark("bg-1").contains(ts("2026-01-07 08:00:00")))
+  }
+
+  test("watermarkResponse: ISO-rendered body, None for unknown consumer (404 analog)") {
+    val (engine, _, _) = mkEngine()
+    assert(engine.watermarkResponse("ghost").isEmpty)
+    engine.fullExport("c6")
+    assert(engine.watermarkResponse("c6").contains(
+      WatermarkResponse("c6", "2026-01-07T08:00:00.000000+00:00")))
+  }
+
   test("watermark upsert: insert path then update path") {
     val root = tmpDir("wm")
     val store = new WatermarkStore(spark, s"$root/wm")
