@@ -105,18 +105,21 @@ object TextFunctions {
       keep: Int = 16): Column = {
     val B = 257L
     val M = 1000000007L
-    val n = size(codes)
-    // per-window hash: fold k O(1) array accesses; positions past the
-    // end contribute 0 (same as ascii('') under the old substr form)
-    val winHash = (start: Column) =>
-      aggregate(
-        sequence(lit(0), lit(k - 1)),
-        lit(0L),
-        (acc, j) => pmod(acc * B +
-          when(start + j <= n, element_at(codes, start + j)).otherwise(0),
-          lit(M)))
-    slice(array_sort(array_distinct(transform(
-      sequence(lit(1), greatest(n - (k - 1), lit(1))), winHash))), 1, keep)
+    // all W = n-k+1 window hashes at once: step j folds the j-th char of
+    // every window via one flat zip_with over slice(codes, j+1, W) — k-1
+    // elementwise passes, no per-window sequence allocation (higher-order
+    // lambdas are interpreted, so per-element constant factors dominate).
+    // Chars past the end (short docs) contribute 0, same as ascii('')
+    // under the original substr formulation.
+    val w = greatest(size(codes) - (k - 1), lit(1))
+    val first = transform(slice(codes, lit(1), w), c => c.cast("long"))
+    val hashes = (1 until k).foldLeft(first) { (acc, j) =>
+      zip_with(acc, slice(codes, lit(j + 1), w),
+        (h, c) => pmod(h * B + coalesce(c, lit(0)), lit(M)))
+    }
+    val fp = slice(array_sort(array_distinct(hashes)), 1, keep)
+    // empty text: one all-padding window, hash 0 (original semantics)
+    when(size(codes) === 0, array(lit(0L))).otherwise(fp)
   }
 
   /** Convenience single-expression fingerprint (tests / small inputs);

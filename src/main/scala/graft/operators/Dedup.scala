@@ -192,6 +192,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels: DataFrame = persisted
     var prevSum = labelSum(labels) // also materializes sym + init labels
+    if (labels.isEmpty) { // empty graph: nothing to propagate
+      sym.unpersist()
+      return labels
+    }
     var iter = 0
     var converged = false
     // propagate `checkEvery` rounds per driver action: dedup components
@@ -230,10 +234,16 @@ object Dedup {
     val pairs = minhashNearDups(docs, idCol, textCol, threshold)
       .select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cc = connectedComponents(pairs)
-    val losers = cc.filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
+    if (pairs.isEmpty) {
+      // no verified near-dups: skip clustering AND the anti-join — at
+      // scale this avoids ~10 scheduled-but-empty shuffle stages
+      docs
+    } else {
+      val cc = connectedComponents(pairs)
+      val losers = cc.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as(idCol))
+      docs.join(losers, Seq(idCol), "left_anti")
+    }
   }
 
   // ---- SimHash ----

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Dedup}
+
+/** Ad-hoc stage profiler for the heavy bench queries: times each phase
+  * of the curation pipeline separately so optimization effort goes where
+  * the seconds are. Not part of the driver contract.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get("graft-profile")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
+    val cfg = Curation.Config(keepLangs = Set("en"), minTokens = 5,
+      nearDupThreshold = 0.9)
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"), col("lang"))
+
+    time("warm (count docs)")(docs.count())
+
+    val langFiltered = TextFunctions.withLangScores(docs)
+      .filter(col("predicted_lang").isin("en"))
+      .select(docs.columns.map(col): _*)
+    val gated = langFiltered.filter(Curation.qualityGate(col("text"), cfg))
+    time("lang+gate")(gated.count())
+
+    val hashed = gated.withColumn("__fp", md5(TextFunctions.normalize(col("text"))))
+    val exact = hashed.groupBy(col("__fp"))
+      .agg(min_by(struct(gated.columns.map(col): _*), col("doc_id")).as("r"))
+      .select(gated.columns.map(c => col(s"r.$c")): _*)
+      .persist()
+    time("exact dedup")(exact.count())
+
+    val cands = time("lsh candidates (build)")(
+      Dedup.lshCandidatePairs(exact, "doc_id", "text"))
+    time("lsh candidates (run)")(cands.count())
+
+    val pairs = Dedup.minhashNearDups(exact, "doc_id", "text", cfg.nearDupThreshold)
+      .select("id_a", "id_b").persist()
+    time("verified pairs")(pairs.count())
+
+    val cc = time("connected components (run)")(
+      Dedup.connectedComponents(pairs).count())
+    println(s"[profile] cc labels: $cc")
+
+    val full = time("curate end-to-end")(
+      Curation.curate(docs, cfg).count())
+    println(s"[profile] survivors: $full")
+    spark.stop()
+  }
+}
