@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcQueries, EmbeddingQueries, ExtensionQueries, RelationalQueries, TextQueries}
+import graft.queries.{CdcQueries, EmbeddingQueries, ExtensionQueries, PipelineQueries, RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ EmbeddingQueries.queries ++
-      ExtensionQueries.queries
+      ExtensionQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     CdcQueries.oracle ++ RelationalQueries.oracle ++
-      TextQueries.oracle ++ EmbeddingQueries.oracle
+      TextQueries.oracle ++ EmbeddingQueries.oracle ++
+      PipelineQueries.oracle
 }

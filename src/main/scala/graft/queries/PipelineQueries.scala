@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Round-2 training-data-pipeline additions: PII scrubbing, Gopher-style
+  * repetition quality, TF-IDF term weighting, deterministic stratified
+  * sampling, and int8 embedding quantization — the curation ops a
+  * 100 TB corpus pipeline runs between dedup and packing. Each is a
+  * pure-DataFrame design with a DuckDB oracle.
+  *
+  * Cross-engine determinism rules (same as the round-1 set): counts
+  * stay integer (DuckDB SUM/LEN results cast to the Spark-side type),
+  * ranking transforms avoid transcendentals (integer-scaled idf instead
+  * of log), hashes are md5 (identical hex in both engines), and double
+  * math is restricted to IEEE-exact ops on identical operands.
+  */
+object PipelineQueries {
+
+  /** Conservative PII patterns that parse identically under Java regex
+    * (Spark) and RE2 (DuckDB): email, NANP-style 555 phone, IPv4.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Scrub emails, phones, and IPv4s to redaction tokens. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Trigram shingles of the whitespace tokens (empty below 3 tokens). */
+  def trigrams(text: Column): Column = {
+    val t = TextFunctions.tokens(text)
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII scrubbing over text with deterministically planted PII (the
+    // synthetic corpus has none): plant -> detect counts -> redact.
+    // Narrow per-doc regex work, embarrassingly parallel at scale.
+    "text_pii_scrub" -> ((s, dir) => {
+      Tables.documents(s, dir).repartition(col("doc_id"))
+        .withColumn("synth", concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(255)).cast("string"),
+          lit(".7")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("synth"), lit(EmailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("synth"), lit(PhoneRe), lit(0)))
+            .as("n_phones"),
+          size(regexp_extract_all(col("synth"), lit(IpRe), lit(0)))
+            .as("n_ips"),
+          scrubPii(col("synth")).as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition quality: distinct-token ratio + duplicate
+    // trigram fraction, with the repetition filter flag
+    "text_repetition" -> ((s, dir) => {
+      val t = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir).repartition(col("doc_id"))
+        .withColumn("tg", trigrams(col("text")))
+        .select(col("doc_id"),
+          size(t).as("n_tokens"),
+          (size(array_distinct(t)).cast("double") / size(t))
+            .as("distinct_token_ratio"),
+          when(size(col("tg")) > 0,
+            lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
+              size(col("tg")))
+            .otherwise(lit(0.0)).as("dup_trigram_ratio"))
+        .withColumn("is_repetitive", col("dup_trigram_ratio") > 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // TF-IDF term weighting: tf per (doc, term), df per term, idf as an
+    // INTEGER-scaled ratio (1000·N div df — rank-monotone in N/df; log
+    // damping is applied downstream, kept out of the oracle because
+    // ln() differs across engines in the last ulp). Two shuffles (term,
+    // (doc,term)) + a broadcast scalar N — the plan you'd run at scale.
+    "text_tfidf_top" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        // SQL `div`: truncating integer division, = DuckDB's `//`
+        .withColumn("tfidf_scaled", expr("tf * ((1000 * n_docs) div df)"))
+        .select(col("term"), col("doc_id"), col("tf"), col("df"),
+          col("tfidf_scaled"))
+        .orderBy(col("tfidf_scaled").desc, col("term"), col("doc_id"))
+        .limit(20)
+    }),
+
+    // deterministic stratified sampling: md5-hex bucket of the doc id —
+    // reproducible across engines, runs, and partitionings (no rand()),
+    // the property a training-mix sampler actually needs. Keep-rate
+    // 40/256 ≈ 15.6%, reported per language stratum.
+    "sample_stratified" -> ((s, dir) => {
+      val bucket = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      Tables.documents(s, dir)
+        .withColumn("sampled", bucket < "28")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          min(when(col("sampled"), col("doc_id"))).as("first_sampled_id"))
+        .orderBy(col("lang"))
+    }),
+
+    // int8 symmetric embedding quantization: per-vector scale =
+    // 127/max|x|, quantized values, reconstruction error. Narrow
+    // per-row array math — no shuffle; the compression pass before
+    // ANN indexing at scale.
+    "embed_quantize" -> ((s, dir) => {
+      val e = col("embedding")
+      val absmax = array_max(transform(e, x => abs(x.cast("double"))))
+      Tables.embeddings(s, dir)
+        .withColumn("scale",
+          when(absmax > 0, lit(127.0) / absmax).otherwise(lit(0.0)))
+        .withColumn("q", transform(e, x =>
+          round(x.cast("double") * col("scale")).cast("int")))
+        .select(col("vec_id"),
+          size(e).as("n_dims"),
+          col("scale"),
+          size(filter(col("q"), v => v === 0)).as("n_zero"),
+          when(col("scale") > 0,
+            array_max(zip_with(e, col("q"), (x, v) =>
+              abs(x.cast("double") - v.cast("double") / col("scale")))))
+            .otherwise(lit(0.0)).as("max_abs_err"))
+        .orderBy(col("vec_id"))
+    }),
+  )
+
+  private val docsParquet =
+    "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+  private val embParquet =
+    "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+
+  val oracle: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      s"""WITH synth AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com or call 555-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+        |    ' from 10.0.' || (doc_id % 255)::VARCHAR || '.7' AS s
+        |  FROM $docsParquet)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s, '$EmailRe')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(s, '$PhoneRe')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(s, '$IpRe')) AS INT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '$EmailRe', '<EMAIL>', 'g'),
+        |    '$IpRe', '<IP>', 'g'),
+        |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+        |FROM synth ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM $docsParquet),
+        |tg AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1), i ->
+        |        toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |    ELSE []::VARCHAR[] END AS tgs
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |    AS distinct_token_ratio,
+        |  CASE WHEN len(tgs) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs)
+        |    ELSE 0.0 END AS dup_trigram_ratio,
+        |  (CASE WHEN len(tgs) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs)
+        |    ELSE 0.0 END) > 0.1 AS is_repetitive
+        |FROM tg ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_top" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM $docsParquet),
+        |tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+        |dfc AS (
+        |  SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM $docsParquet)
+        |SELECT tfc.term, tfc.doc_id, tf, df,
+        |  CAST(tf * ((1000 * n_docs) // df) AS BIGINT) AS tfidf_scaled
+        |FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
+        |ORDER BY tfidf_scaled DESC, tfc.term, tfc.doc_id LIMIT 20""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '28'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  min(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '28'
+        |    THEN doc_id END) AS first_sampled_id
+        |FROM $docsParquet GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "embed_quantize" ->
+      s"""WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+        |      AS absmax
+        |  FROM $embParquet),
+        |sc AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 0.0 END AS scale
+        |  FROM s),
+        |q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x ->
+        |      CAST(round(x::DOUBLE * scale) AS INT)) AS qv
+        |  FROM sc)
+        |SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS n_dims,
+        |  scale,
+        |  CAST(len(list_filter(qv, v -> v = 0)) AS INT) AS n_zero,
+        |  CASE WHEN scale > 0 THEN
+        |    list_max(list_transform(range(1, len(embedding) + 1), i ->
+        |      abs(embedding[i]::DOUBLE - qv[i]::DOUBLE / scale)))
+        |  ELSE 0.0 END AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+  )
+}

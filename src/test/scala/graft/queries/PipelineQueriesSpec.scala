@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PipelineQueriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pii scrub redacts emails, phones, and ipv4s; clean text untouched") {
+    val r = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.org today"),
+      (2L, "call 555-0142 or visit 192.168.1.20 now"),
+      (3L, "nothing sensitive here"),
+    ).toDF("id", "text")
+      .select($"id", PipelineQueries.scrubPii($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "mail me at <EMAIL> today")
+    assert(r(2L) == "call <PHONE> or visit <IP> now")
+    assert(r(3L) == "nothing sensitive here")
+  }
+
+  test("trigram repetition: repeated text scores high, varied text zero") {
+    val r = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "eight distinct words never repeating at all here"),
+      (3L, "ab cd"), // below trigram length -> empty, ratio 0
+    ).toDF("doc_id", "text")
+      .select($"doc_id", PipelineQueries.trigrams($"text").as("tg"))
+      .withColumn("dup_ratio",
+        when(size($"tg") > 0,
+          lit(1.0) - size(array_distinct($"tg")).cast("double") / size($"tg"))
+          .otherwise(lit(0.0)))
+      .select($"doc_id", $"dup_ratio")
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) > 0.8) // 6 windows, 1 distinct
+    assert(r(2L) == 0.0)
+    assert(r(3L) == 0.0)
+  }
+
+  test("md5 stratified sample is deterministic and ~40/256 of the corpus") {
+    val docs = (0L until 2000L).map(i => (i, s"lang${i % 3}"))
+      .toDF("doc_id", "lang")
+    def sampledIds = docs
+      .filter(substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+        < "28")
+      .select("doc_id").as[Long].collect().toSet
+    val once = sampledIds
+    assert(sampledIds == once) // reproducible, no rand()
+    val rate = once.size.toDouble / 2000
+    assert(rate > 0.10 && rate < 0.22, s"rate $rate far from 40/256")
+  }
+
+  test("int8 quantization: reconstruction error bounded by half a step") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bad = PipelineQueries.queries("embed_quantize")(spark,
+      "/root/testdata/sf0.001")
+      // half a quantization step is 0.5/scale; allow float->double slack
+      .filter($"scale" > 0 && $"max_abs_err" > lit(0.5000001) / $"scale")
+      .count()
+    assert(bad == 0)
+    assert(emb.count() > 0)
+  }
+
+  test("tfidf: rare term in one doc outranks ubiquitous term") {
+    val dir = tmpDir("tfidf")
+    Seq(
+      (1L, "common words and unique zyzzyva here"),
+      (2L, "common words and more common words"),
+      (3L, "common words and anything else common"),
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = PipelineQueries.queries("text_tfidf_top")(spark, dir)
+      .select("term", "tfidf_scaled").as[(String, Long)].collect()
+    val score = top.toMap
+    assert(score("zyzzyva") > score.getOrElse("common", 0L))
+  }
+}
