@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, RollingHashExpr}
 
 /** Session extensions exposing the engine's native expressions to SQL
   * users. Two registration paths:
@@ -33,6 +33,21 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
         CosineSimilarityExpr(exprs.head, exprs(1))
+      }),
+    (new FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_fp"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 3,
+          "rolling_fp takes (text[, k[, keep]])")
+        def intArg(i: Int, default: Int): Int =
+          if (exprs.length > i) exprs(i) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.toString.toInt
+            case other =>
+              throw new IllegalArgumentException(
+                s"rolling_fp arg ${i + 1} must be a literal int, got $other")
+          } else default
+        RollingHashExpr(exprs.head, intArg(1, 8), intArg(2, 16))
       }),
   )
 

@@ -108,14 +108,12 @@ object ExtensionQueries {
     // Karp-Rabin rolling-hash winnowing fingerprints (spec-checked;
     // per-char folds aren't ANSI-SQL-expressible -> rows-only)
     "text_rolling_fp" -> ((s, dir) => {
-      // two-step form: codes materialized in the child project, windows
-      // fold over O(1) array accesses (inline substr-per-char is O(n²))
+      // native codegen'd expression (RollingHashExpr): one primitive
+      // loop per row; bit-identical to the declarative charCodes +
+      // rollingHashFromCodes form (RollingHashExprSpec)
       Tables.documents(s, dir).repartition(col("doc_id"))
-        .withColumn("__codes",
-          graft.functions.TextFunctions.charCodes(col("text")))
         .select(col("doc_id"),
-          graft.functions.TextFunctions
-            .rollingHashFromCodes(col("__codes")).as("fp"))
+          graft.functions.RollingHashExpr.rollingFp(col("text")).as("fp"))
         .select(col("doc_id"), size(col("fp")).as("n_hashes"),
           element_at(col("fp"), 1).as("min_hash"))
         .orderBy(col("doc_id"))

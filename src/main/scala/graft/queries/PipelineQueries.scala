@@ -35,15 +35,25 @@ object PipelineQueries {
         IpRe, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Trigram shingles of the whitespace tokens (empty below 3 tokens). */
-  def trigrams(text: Column): Column = {
-    val t = TextFunctions.tokens(text)
+  /** Trigram shingles from a pre-materialized token array (empty below
+    * 3 tokens). Takes the materialized column, not the text: an inline
+    * `split` here would re-tokenize once per window (the same
+    * O(n²)-via-recomputation trap as `Dedup.minhashFromHashes`
+    * documents).
+    */
+  def trigramsFromTokens(t: Column): Column =
     when(size(t) >= 3,
       transform(sequence(lit(1), size(t) - 2), i =>
         concat_ws(" ", element_at(t, i), element_at(t, i + 1),
           element_at(t, i + 2))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience single-expression form (tests / small inputs); prefer
+    * `TextFunctions.tokens` materialized + [[trigramsFromTokens]] in
+    * pipelines.
+    */
+  def trigrams(text: Column): Column =
+    trigramsFromTokens(TextFunctions.tokens(text))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII scrubbing over text with deterministically planted PII (the
@@ -71,13 +81,13 @@ object PipelineQueries {
     // Gopher-style repetition quality: distinct-token ratio + duplicate
     // trigram fraction, with the repetition filter flag
     "text_repetition" -> ((s, dir) => {
-      val t = TextFunctions.tokens(col("text"))
       Tables.documents(s, dir).repartition(col("doc_id"))
-        .withColumn("tg", trigrams(col("text")))
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("tg", trigramsFromTokens(col("toks")))
         .select(col("doc_id"),
-          size(t).as("n_tokens"),
-          (size(array_distinct(t)).cast("double") / size(t))
-            .as("distinct_token_ratio"),
+          size(col("toks")).as("n_tokens"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))).as("distinct_token_ratio"),
           when(size(col("tg")) > 0,
             lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
               size(col("tg")))
