@@ -5,13 +5,42 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Scale-layout proofs on real plans: salting preserves join results
-  * while flattening hot keys, and bucketed tables co-locate joins with
-  * ZERO shuffle exchanges — the two levers that keep fact-fact joins
-  * alive at 100 TB.
+  * while flattening hot keys, bucketed tables co-locate joins with
+  * ZERO shuffle exchanges, and partitionBy layouts prune whole
+  * partitions at the source — the levers that keep fact-fact joins and
+  * selective scans alive at 100 TB.
   */
 class ScaleLayoutSpec extends SparkSpec {
 
   import spark.implicits._
+
+  test("partitionBy layout: a partition-key predicate prunes the scan") {
+    val dir = tmpDir("prune")
+    // events laid out by day — the IVF list_id / date-partition pattern
+    spark.range(0, 10000)
+      .select($"id", ($"id" % 20).as("day"),
+        ($"id" * 7 % 100).as("v"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+
+    val q = spark.read.parquet(dir).filter($"day" === 3)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // the predicate must appear as a PartitionFilters entry on the scan,
+    // not a post-scan Filter over all partitions
+    assert(scan.contains("PartitionFilters") && scan.contains("day"),
+      s"partition filter not pushed:\n$scan")
+
+    // and the scan actually reads only the matching partition's files
+    val allFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("day="))
+    assert(allFiles == 20)
+    val readFiles = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(readFiles.contains(1), s"expected 1 partition read, got $readFiles")
+    assert(q.count() == 500)
+  }
 
   test("salted join: identical result to plain join, salt spreads hot key") {
     // hot key: 10k rows of key=1, plus a uniform tail
