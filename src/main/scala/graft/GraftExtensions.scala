@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSimilarityExpr, RollingHashExpr}
+import graft.functions.{CosineSimilarityExpr, RollingHashExpr, SimHashExpr}
 
 /** Session extensions exposing the engine's native expressions to SQL
   * users. Two registration paths:
@@ -48,6 +48,12 @@ object GraftExtensions {
                 s"rolling_fp arg ${i + 1} must be a literal int, got $other")
           } else default
         RollingHashExpr(exprs.head, intArg(1, 8), intArg(2, 16))
+      }),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash64 takes exactly 1 argument")
+        SimHashExpr(exprs.head)
       }),
   )
 

@@ -289,7 +289,9 @@ object Dedup {
     val width = 64 / chunks
     val withFp = docs.repartition(col(idCol))
       .withColumn("th", tokenHashes(col(textCol)))
-      .withColumn("fp", simhashFromHashes(col("th")))
+      // native codegen'd kernel; bit-identical to simhashFromHashes
+      // (DedupSpec pins the equivalence)
+      .withColumn("fp", graft.functions.SimHashExpr.simhash64(col("th")))
     val banded = withFp.withColumn("chunk", explode(array(
       (0 until chunks).map { c =>
         struct(lit(c).as("chunk_id"),

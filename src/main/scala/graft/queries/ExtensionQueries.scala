@@ -69,10 +69,11 @@ object ExtensionQueries {
     // IVF ANN: k-means inverted lists, nprobe-bounded exact search
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      // iters = 1: recall-vs-exact is spec-asserted (IvfTopKSpec); extra
-      // Lloyd rounds buy no measurable recall on this corpus but add a
-      // full assignment+average scan each
-      Ivf.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 5, iters = 1)
+      // nlist=8 / nprobe=4 — the configuration IvfTopKSpec recall-tests;
+      // iters = 1: extra Lloyd rounds buy no measurable recall on this
+      // corpus but add a full assignment+average scan each
+      Ivf.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 5,
+        nlist = 8, nprobe = 4, iters = 1)
         .select(col("q_id"), col("rank"), col("n_id"))
         .orderBy(col("q_id"), col("rank"))
     }),

@@ -67,6 +67,19 @@ class DedupSpec extends SparkSpec {
     assert(ham(fps(1L), fps(5L)) > 8)
   }
 
+  test("native simhash64 expression matches the declarative fold exactly") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = corpus
+      .withColumn("th", Dedup.tokenHashes(col("text")))
+      .select(
+        graft.functions.SimHashExpr.simhash64(col("th")).as("native"),
+        Dedup.simhashFromHashes(col("th")).as("declarative"))
+      .filter(col("native") =!= col("declarative"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("simhash banding finds pairs within maxBits hamming") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxBits = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
