@@ -26,7 +26,10 @@ object Curation {
       minTokens: Int = 8,
       maxTokens: Int = 100000,
       minStopRatio: Double = 0.0,
-      nearDupThreshold: Double = 0.8)
+      nearDupThreshold: Double = 0.8,
+      // MinHash feature space: 1 = bag-of-words, n>=2 = n-token
+      // shingles (see Dedup.features)
+      nearDupNgram: Int = 3)
 
   /** Quality gate predicate over a text column. */
   def qualityGate(text: Column, cfg: Config): Column = {
@@ -62,7 +65,8 @@ object Curation {
     // 4: near dedup — LSH candidates -> exact-Jaccard pairs ->
     // connected components -> keep cluster minimum
     val survivors = Dedup.minhashDedupClusters(
-      exactSurvivors, "doc_id", "text", cfg.nearDupThreshold)
+      exactSurvivors, "doc_id", "text", cfg.nearDupThreshold,
+      cfg.nearDupNgram)
 
     // 5: per-doc stats for downstream sampling/packing
     survivors

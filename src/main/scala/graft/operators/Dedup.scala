@@ -43,6 +43,19 @@ object Dedup {
   def shingleHashes(text: Column, k: Int = 3): Column =
     transform(shingles(text, k), s => xxhash64(s))
 
+  /** The MinHash feature set: `ngram = 1` → distinct tokens
+    * (bag-of-words similarity, order-insensitive); `ngram >= 2` →
+    * n-token shingles (order-sensitive, the canonical near-dup space).
+    *
+    * Signatures and exact verification MUST share this space:
+    * candidates generated in one space and verified in another can have
+    * ~zero recall against the verification metric — e.g. word-shuffled
+    * docs share every token (word-Jaccard 1.0) but no 3-shingle, so
+    * shingle-banded LSH never surfaces them to a word-set verifier.
+    */
+  def features(text: Column, ngram: Int): Column =
+    if (ngram <= 1) TextFunctions.wordSet(text) else shingles(text, ngram)
+
   private val MersennePrime = 2147483647L // 2^31 - 1
   private val MaxHash = 2147483647L
 
@@ -72,6 +85,11 @@ object Dedup {
   def shingleHashesModP(text: Column, k: Int = 3): Column =
     transform(shingleHashes(text, k), h => pmod(h, lit(MersennePrime)))
 
+  /** Feature hashes (see [[features]]) reduced mod p. */
+  def featureHashesModP(text: Column, ngram: Int): Column =
+    transform(transform(features(text, ngram), s => xxhash64(s)),
+      h => pmod(h, lit(MersennePrime)))
+
   /** Convenience single-expression signature (tests / small inputs);
     * prefer the two-step materialized form in pipelines.
     */
@@ -84,14 +102,15 @@ object Dedup {
     * its slice. Docs sharing any band key are candidate pairs.
     */
   def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+      ngram: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // repartition by id before the (CPU-heavy) signature compute: the
     // corpus often arrives as few large files, and signature cost must
     // spread across all cores/executors, not file-granularity tasks
     val withSig = docs.repartition(col(idCol))
-      .withColumn("xs", shingleHashesModP(col(textCol)))
+      .withColumn("xs", featureHashesModP(col(textCol), ngram))
       .withColumn("sig", minhashFromHashes(col("xs"), numHashes, seed))
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band_id"),
@@ -108,10 +127,12 @@ object Dedup {
     * across bands. The self-join shuffles on (band_id, band_key) only.
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+      ngram: Int = 3): DataFrame = {
     // both sides of the self-join reference the banded signatures; without
     // the persist the (CPU-heavy) signature compute runs twice
-    val banded = bandedSignatures(docs, idCol, textCol, numHashes, bands, seed)
+    val banded = bandedSignatures(docs, idCol, textCol, numHashes, bands,
+        seed, ngram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"),
       col("band_id"), col("band_key"))
@@ -124,20 +145,23 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dedup: candidates verified with exact
-    * word-set Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard).
+    * Jaccard ≥ `threshold` over the SAME feature space the signatures
+    * were built from (see [[features]] — mixing spaces silently zeroes
+    * recall). Returns (id_a, id_b, jaccard).
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
-    val cands = lshCandidatePairs(docs, idCol, textCol, numHashes, bands, seed)
-    val words = docs.select(col(idCol),
-      TextFunctions.wordSet(col(textCol)).as("words"))
+      seed: Long = 42L, ngram: Int = 3): DataFrame = {
+    val cands = lshCandidatePairs(docs, idCol, textCol, numHashes, bands,
+      seed, ngram)
+    val feats = docs.select(col(idCol),
+      array_distinct(features(col(textCol), ngram)).as("feats"))
     cands
-      .join(words.select(col(idCol).as("id_a"), col("words").as("wa")), "id_a")
-      .join(words.select(col(idCol).as("id_b"), col("words").as("wb")), "id_b")
+      .join(feats.select(col(idCol).as("id_a"), col("feats").as("fa")), "id_a")
+      .join(feats.select(col(idCol).as("id_b"), col("feats").as("fb")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("wa"), col("wb"))).cast("double") /
-          size(array_union(col("wa"), col("wb"))))
+        size(array_intersect(col("fa"), col("fb"))).cast("double") /
+          size(array_union(col("fa"), col("fb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -147,8 +171,8 @@ object Dedup {
     * anti-join.
     */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7): DataFrame = {
-    val losers = minhashNearDups(docs, idCol, textCol, threshold)
+      threshold: Double = 0.7, ngram: Int = 3): DataFrame = {
+    val losers = minhashNearDups(docs, idCol, textCol, threshold, ngram = ngram)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
   }
@@ -165,8 +189,56 @@ object Dedup {
     * alternation of Kiveris et al. (CC in MapReduce); full alternation
     * only pays off on high-diameter graphs, which dedup graphs aren't.
     */
+  /** Size-adaptive strategy, same logic as broadcast-join selection: a
+    * pair graph under `driverEdgeLimit` edges (default 500k ≈ 8 MB) is
+    * solved by driver union-find in milliseconds — distributed
+    * propagation on a tiny graph pays seconds of pure stage-scheduling
+    * overhead per round. Larger graphs take the distributed path below.
+    * Labels are identical either way: cluster_id = min id of the
+    * component.
+    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 12,
-      checkEvery: Int = 3): DataFrame = {
+      checkEvery: Int = 3, driverEdgeLimit: Long = 500000L): DataFrame = {
+    val nEdges = pairs.count()
+    if (nEdges <= driverEdgeLimit) return driverConnectedComponents(pairs)
+    distributedConnectedComponents(pairs, maxIters, checkEvery)
+  }
+
+  /** Driver union-find with path compression; attach-larger-root-under-
+    * smaller so the root IS the minimum id — the same fixpoint the
+    * distributed loop reaches.
+    */
+  private def driverConnectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) {
+        val next = parent.getOrElse(c, c)
+        parent(c) = r
+        c = next
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    spark.createDataFrame(labels).toDF("id", "cluster_id")
+  }
+
+  private def distributedConnectedComponents(pairs: DataFrame,
+      maxIters: Int, checkEvery: Int): DataFrame = {
     // the edge list is scanned every round — persist it once (pairs
     // itself is referenced four times building it, so callers should
     // hand in a cached `pairs` when it was expensive to compute)
@@ -228,10 +300,10 @@ object Dedup {
     * the min-id doc per cluster. Docs in no cluster survive untouched.
     */
   def minhashDedupClusters(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, ngram: Int = 3): DataFrame = {
     // the verified pair graph feeds four union branches inside
     // connectedComponents — cache it so LSH + Jaccard run exactly once
-    val pairs = minhashNearDups(docs, idCol, textCol, threshold)
+    val pairs = minhashNearDups(docs, idCol, textCol, threshold, ngram = ngram)
       .select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (pairs.isEmpty) {

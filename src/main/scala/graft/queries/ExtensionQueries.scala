@@ -26,7 +26,11 @@ object ExtensionQueries {
     // exact-Jaccard verification
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      // ngram = 1 (bag-of-words space): the synthetic corpus's
+      // duplicates share vocabulary, not phrase order, so unigram
+      // MinHash is the space where its near-dups actually live
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8,
+          ngram = 1)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -83,12 +87,18 @@ object ExtensionQueries {
     "curation_pipeline" -> ((s, dir) => {
       // bounded id-slice: the synthetic corpus is mutually similar, so
       // cluster-dedup over all of it is the LSH worst case (see object
-      // scaladoc); the pipeline itself is corpus-size-agnostic
+      // scaladoc); the pipeline itself is corpus-size-agnostic.
+      // unigram space at threshold 0.9: the corpus's near-dups are
+      // vocabulary-level (word-shuffles), so bag-of-words MinHash is
+      // the space where they live — and the verified pair graph is
+      // nonempty, so the clustering stage runs real work in the timed
+      // path
       val docs = Tables.documents(s, dir)
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"), col("lang"))
       Curation.curate(docs, Curation.Config(
-          keepLangs = Set("en"), minTokens = 5, nearDupThreshold = 0.9))
+          keepLangs = Set("en"), minTokens = 5, nearDupThreshold = 0.9,
+          nearDupNgram = 1))
         .select(col("doc_id"), col("n_tokens"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),

@@ -23,7 +23,7 @@ object Profile {
     }
 
     val cfg = Curation.Config(keepLangs = Set("en"), minTokens = 5,
-      nearDupThreshold = 0.9)
+      nearDupThreshold = 0.9, nearDupNgram = 1)
     val docs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), col("text"), col("lang"))
@@ -44,12 +44,26 @@ object Profile {
     time("exact dedup")(exact.count())
 
     val cands = time("lsh candidates (build)")(
-      Dedup.lshCandidatePairs(exact, "doc_id", "text"))
-    time("lsh candidates (run)")(cands.count())
+      Dedup.lshCandidatePairs(exact, "doc_id", "text", ngram = cfg.nearDupNgram))
+    val nCands = time("lsh candidates (run)")(cands.count())
+    println(s"[profile] lsh candidates: $nCands")
 
-    val pairs = Dedup.minhashNearDups(exact, "doc_id", "text", cfg.nearDupThreshold)
+    // ground truth: all-pairs word-set jaccard on the survivor slice
+    val ws = exact.select(col("doc_id"),
+      array_distinct(Dedup.features(col("text"), cfg.nearDupNgram)).as("w"))
+    val truth = ws.as("a").join(ws.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.w"), col("b.w"))).cast("double") /
+          size(array_union(col("a.w"), col("b.w"))))
+      .filter(col("j") >= cfg.nearDupThreshold)
+      .count()
+    println(s"[profile] true pairs >= ${cfg.nearDupThreshold}: $truth")
+
+    val pairs = Dedup.minhashNearDups(exact, "doc_id", "text", cfg.nearDupThreshold, ngram = cfg.nearDupNgram)
       .select("id_a", "id_b").persist()
-    time("verified pairs")(pairs.count())
+    val nPairs = time("verified pairs")(pairs.count())
+    println(s"[profile] verified pairs: $nPairs")
 
     val cc = time("connected components (run)")(
       Dedup.connectedComponents(pairs).count())

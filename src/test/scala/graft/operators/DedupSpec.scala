@@ -18,8 +18,11 @@ class DedupSpec extends SparkSpec {
     (6L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
   ).toDF("doc_id", "text")
 
-  test("minhash LSH finds planted near-dup pairs and no unrelated ones") {
-    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+  test("minhash LSH (unigram space) finds planted near-dup pairs and no unrelated ones") {
+    // token-edit near-dups live in bag-of-words space: one changed
+    // token barely moves word-Jaccard
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.7, ngram = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((3L, 4L)))
@@ -28,8 +31,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("minhash LSH (shingle space) scores order-sensitively: edge edit high, middle edit low") {
+    // trailing-token edit (1,2) keeps most 3-shingles; a mid-document
+    // edit (3,4) destroys 3 of 8 — the order-sensitivity that separates
+    // shingle space from bag-of-words
+    val j = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.0, ngram = 3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 6L)) == 1.0) // exact dup
+    assert(j((1L, 2L)) > 0.7)
+    // the mid-document edit destroys strictly more shingles than the
+    // trailing edit — and lands well under its unigram score (9/11)
+    assert(j.getOrElse((3L, 4L), 0.0) < j((1L, 2L)))
+    assert(j.getOrElse((3L, 4L), 0.0) <= 0.6)
+  }
+
   test("minhash dedup keeps lowest-id survivor per cluster") {
-    val survivors = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.7)
+    val survivors = Dedup.minhashDedup(docs, "doc_id", "text",
+        threshold = 0.7, ngram = 1)
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(1L, 3L, 5L))
   }
@@ -44,16 +65,21 @@ class DedupSpec extends SparkSpec {
   test("connected components: transitive chains collapse to one cluster") {
     // chain 1-2, 2-3 (transitive), separate pair 10-11, isolated via self
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // driver union-find path (small graph)...
     val cc = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
     assert(cc(10L) == 10L && cc(11L) == 10L)
+    // ...and the distributed propagation path must agree exactly
+    val dist = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == cc)
   }
 
   test("cluster dedup keeps one survivor per transitive component") {
     // 1~2, 2~6 similar; 1 vs 6 identical (transitive closure via 2)
     val survivors = Dedup.minhashDedupClusters(docs, "doc_id", "text",
-      threshold = 0.7).select("doc_id").as[Long].collect().toSet
+      threshold = 0.7, ngram = 1).select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(1L, 3L, 5L))
   }
 
