@@ -136,6 +136,49 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // long-document chunking: overlapping token windows (window 128,
+    // stride 96) for context-length packing — narrow explode, integer
+    // math only, no shuffle
+    "chunk_documents" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(sequence(lit(0),
+            greatest((col("n_tokens") - 1).cast("long"), lit(0L)),
+            lit(96L))).as(Seq("chunk_idx", "chunk_start")))
+        .withColumn("chunk_len",
+          least(lit(128L), col("n_tokens") - col("chunk_start")))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // training-mix assembly: per source, admit docs in deterministic
+    // md5 order until a token budget is hit (running-total window) —
+    // the "data mixing" op that balances corpus composition. One
+    // shuffle on source; md5 order is reproducible across engines,
+    // runs, and partitionings.
+    "mix_by_source" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          TextFunctions.tokenCount(col("text")).cast("long"))
+        .withColumn("cum_tokens",
+          sum(col("n_tokens")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("selected", col("cum_tokens") <= 4000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("selected"), col("n_tokens")).otherwise(0L))
+            .as("selected_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // int8 symmetric embedding quantization: per-vector scale =
     // 127/max|x|, quantized values, reconstruction error. Narrow
     // per-row array math — no shuffle; the compression pass before
@@ -228,6 +271,42 @@ object PipelineQueries {
         |  min(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '28'
         |    THEN doc_id END) AS first_sampled_id
         |FROM $docsParquet GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "chunk_documents" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM $docsParquet),
+        |st AS (
+        |  SELECT doc_id, n_tokens,
+        |    unnest(range(0, greatest(n_tokens::BIGINT, 1), 96))
+        |      AS chunk_start
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(chunk_start // 96 AS INT) AS chunk_idx,
+        |  CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(least(128, n_tokens - chunk_start) AS BIGINT) AS chunk_len
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "mix_by_source" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM $docsParquet),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN cum_tokens <= 4000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_selected,
+        |  CAST(sum(CASE WHEN cum_tokens <= 4000 THEN n_tokens ELSE 0 END)
+        |    AS BIGINT) AS selected_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "embed_quantize" ->
       s"""WITH s AS (

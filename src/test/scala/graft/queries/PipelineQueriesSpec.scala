@@ -63,6 +63,38 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(emb.count() > 0)
   }
 
+  test("chunking: windows cover every token, strides overlap, lengths bounded") {
+    val chunks = PipelineQueries.queries("chunk_documents")(spark,
+      "/root/testdata/sf0.001")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(chunks.nonEmpty)
+    // every chunk is 1..128 tokens and starts on a stride boundary
+    assert(chunks.forall { case (_, i, start, len) =>
+      len >= 1 && len <= 128 && start == i * 96L })
+    // per doc: chunks tile the doc — last chunk reaches the final token
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.values.forall { cs =>
+      val sorted = cs.sortBy(_._2)
+      sorted.head._3 == 0L &&
+        sorted.zipWithIndex.forall { case ((_, i, _, _), j) => i == j }
+    })
+  }
+
+  test("mix by source: budget respected, selection deterministic") {
+    val r = PipelineQueries.queries("mix_by_source")(spark,
+      "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    // selected token mass never exceeds the 4000 budget, and something
+    // is selected for every source with any tokens
+    assert(r.forall { case (_, _, total, nSel, selTok) =>
+      selTok <= 4000L && (total == 0 || nSel >= 1) })
+    val again = PipelineQueries.queries("mix_by_source")(spark,
+      "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.toSeq == again.toSeq)
+  }
+
   test("tfidf: rare term in one doc outranks ubiquitous term") {
     val dir = tmpDir("tfidf")
     Seq(
