@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Curation
+import graft.streaming.StreamingCuration.{CuratedDoc, DocRow}
+
+/** Streaming ingest curation: quality gate drops bad docs in-flight,
+  * exact dedup suppresses content re-ingested in later micro-batches
+  * (checkpointed state), stats columns appended — the batch pipeline's
+  * semantics over an unbounded source.
+  */
+class StreamingCurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("gates, fingerprints, and dedups across micro-batches") {
+    val root = tmpDir("scur")
+    val srcDir = s"$root/src"
+    val collected = new scala.collection.mutable.ArrayBuffer[CuratedDoc]()
+    val cfg = Curation.Config(keepLangs = Set.empty, minTokens = 5)
+
+    def drain(): Unit = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[DocRow]].schema)
+        .parquet(srcDir).as[DocRow]
+      val q = StreamingCuration.curateStream(src, cfg).writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[CuratedDoc], _: Long) =>
+            collected.synchronized { collected ++= b.collect() }
+            ()
+        }
+        .start()
+      q.awaitTermination()
+      assert(q.exception.isEmpty, q.exception.toString)
+    }
+
+    // batch 1: a good doc, a too-short doc (gated), an exact dup
+    Seq(
+      DocRow(1L, "the quick brown fox jumps over the lazy dog", "en"),
+      DocRow(2L, "too short", "en"),
+      DocRow(3L, "The Quick Brown Fox jumps over the lazy dog", "en"), // same after normalize
+    ).toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    assert(collected.map(_.doc_id).toSet == Set(1L))
+    assert(collected.head.n_tokens == 9)
+
+    // batch 2: re-ingest of doc 1's content (suppressed via state) +
+    // a genuinely new doc (kept)
+    Seq(
+      DocRow(4L, "the quick brown fox jumps over the lazy dog", "en"),
+      DocRow(5L, "completely fresh content about spark streaming state stores", "en"),
+    ).toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    assert(collected.map(_.doc_id).toSet == Set(1L, 5L))
+  }
+}
