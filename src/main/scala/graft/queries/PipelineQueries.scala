@@ -108,9 +108,14 @@ object PipelineQueries {
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // df as a window count over the tf rows: one shuffle on term and
+      // NO second scan+explode of the corpus (the groupBy-then-join
+      // formulation re-derived tf from scratch for the df side —
+      // .explain showed two full Generate+aggregate paths)
+      val wTerm = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.join(df, Seq("term"))
+      tf.withColumn("df", count(lit(1)).over(wTerm))
         .crossJoin(broadcast(n))
         // SQL `div`: truncating integer division, = DuckDB's `//`
         .withColumn("tfidf_scaled", expr("tf * ((1000 * n_docs) div df)"))
