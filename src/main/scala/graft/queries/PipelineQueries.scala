@@ -184,6 +184,28 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // packed-sequence assembly: the text a trainer actually consumes —
+    // docs of each packed sequence concatenated in stable doc_id order
+    // with an end-of-doc separator (compared by md5 to keep rows
+    // narrow). Sorted-collect makes the aggregation order-deterministic
+    // under any partitioning.
+    "pack_assemble" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing
+        .packSequences(docs, "n_tokens", "doc_id", budget = 512, shards = 8)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("seq_tokens"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")),
+            "<|eod|>")).as("packed_md5"))
+        .orderBy(col("seq_id"))
+    }),
+
     // int8 symmetric embedding quantization: per-vector scale =
     // 127/max|x|, quantized values, reconstruction error. Narrow
     // per-row array math — no shuffle; the compression pass before
@@ -312,6 +334,24 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN cum_tokens <= 4000 THEN n_tokens ELSE 0 END)
         |    AS BIGINT) AS selected_tokens
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "pack_assemble" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    doc_id % 8 AS shard
+        |  FROM $docsParquet),
+        |packed AS (
+        |  SELECT doc_id, text, n_tokens, shard,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS seq_offset
+        |  FROM toks)
+        |SELECT CAST(shard * 1000000 + seq_offset // 512 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  md5(string_agg(text, '<|eod|>' ORDER BY doc_id)) AS packed_md5
+        |FROM packed GROUP BY seq_id ORDER BY seq_id""".stripMargin,
 
     "embed_quantize" ->
       s"""WITH s AS (
