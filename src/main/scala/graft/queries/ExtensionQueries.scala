@@ -116,8 +116,9 @@ object ExtensionQueries {
           .as("p99_price"))
     }),
 
-    // Karp-Rabin rolling-hash winnowing fingerprints (spec-checked;
-    // per-char folds aren't ANSI-SQL-expressible -> rows-only)
+    // Karp-Rabin rolling-hash winnowing fingerprints. Oracled: the
+    // native kernel's window hashes are reproduced in DuckDB with
+    // nested list lambdas (TextQueries.oracle)
     "text_rolling_fp" -> ((s, dir) => {
       // native codegen'd expression (RollingHashExpr): one primitive
       // loop per row; bit-identical to the declarative charCodes +

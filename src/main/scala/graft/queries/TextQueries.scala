@@ -193,6 +193,27 @@ object TextQueries {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY source ORDER BY source""".stripMargin,
 
+    // mirrors the RollingHashExpr kernel exactly: per-window polynomial
+    // hash folded via nested list lambdas (ord(text[i]) == the code
+    // point; ASCII corpus), distinct minima sorted, first 16 kept
+    "text_rolling_fp" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, greatest(length(text) - 7, 1) AS w
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, w + 1), s ->
+        |      list_reduce(
+        |        list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+        |          CASE WHEN s + j <= length(text)
+        |            THEN ord(text[CAST(s + j AS INT)])::BIGINT ELSE 0 END)),
+        |        (acc, c) -> (acc * 257 + c) % 1000000007)) AS hs
+        |  FROM t),
+        |fp AS (
+        |  SELECT doc_id, (list_sort(list_distinct(hs)))[1:16] AS f FROM h)
+        |SELECT doc_id, CAST(len(f) AS INT) AS n_hashes, f[1] AS min_hash
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
     // mirrors Multimodal.decodeStub byte-for-byte: rolling checksum
     // c = c*31 + byte with 64-bit wraparound, folded in HUGEINT then
     // re-signed. ord(text[i]) == the UTF-8 byte because the corpus is
