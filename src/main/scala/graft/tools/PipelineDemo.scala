@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Packing}
+import graft.queries.PipelineQueries
+
+/** Example CLI driving the training-data pipeline end-to-end: raw
+  * documents → curation (lang filter, quality gate, exact + near
+  * dedup) → PII scrub → chunking → sequence packing → assembled
+  * sequences, written as parquet artifacts. Usage:
+  *
+  *   sbt "runMain graft.tools.PipelineDemo /tmp/pipe-demo [sfDir]"
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("pipe-demo").toString)
+    val sfDir =
+      if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pipeline-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    println(s"[demo] raw docs: ${raw.count()}")
+
+    // 1. curate: lang filter -> quality gate -> exact dedup -> LSH
+    //    near-dedup clustering -> stats (unigram space: this corpus's
+    //    near-dups are vocabulary-level)
+    val curated = Curation.curate(raw, Curation.Config(
+      keepLangs = Set("en"), minTokens = 5,
+      nearDupThreshold = 0.9, nearDupNgram = 1))
+    val curatedDir = s"$root/curated"
+    curated.write.mode("overwrite").parquet(curatedDir)
+    val nCurated = spark.read.parquet(curatedDir).count()
+    println(s"[demo] curated survivors: $nCurated")
+
+    // 2. PII scrub (narrow, in place)
+    val scrubbed = spark.read.parquet(curatedDir)
+      .withColumn("text", PipelineQueries.scrubPii(col("text")))
+
+    // 3. pack into 512-token training sequences, 8 parallel shards
+    val packed = Packing.packSequences(
+      scrubbed.select(col("doc_id"), col("text"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens")),
+      "n_tokens", "doc_id", budget = 512, shards = 8)
+    val assembled = packed
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "<|eod|>").as("packed_text"))
+    val seqDir = s"$root/sequences"
+    assembled.write.mode("overwrite").parquet(seqDir)
+
+    val stats = spark.read.parquet(seqDir)
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("seq_tokens")).as("total_tokens"),
+        max(col("seq_tokens")).as("max_seq_tokens"))
+      .head()
+    println(s"[demo] packed sequences: ${stats.getLong(0)} " +
+      s"totalTokens=${stats.getLong(1)} maxSeqTokens=${stats.getLong(2)}")
+    println(s"[demo] artifacts: $curatedDir  $seqDir")
+    spark.stop()
+  }
+}
