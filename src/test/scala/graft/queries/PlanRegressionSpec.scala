@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+import graft.SparkSpec
+
+/** Physical-plan regressions are silent — the query stays correct and
+  * slowly gets 100× slower at scale. This spec pins the load-bearing
+  * plan properties of headline queries: predicate pushdown to the
+  * scan, broadcast dimension joins, no accidental nested-loop joins,
+  * single-pass aggregation shapes.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectAll) ++
+      p.subqueries.flatMap(collectAll)
+  }
+
+  private def planString(name: String): String =
+    plan(name).toString
+
+  test("cdc_incremental: watermark predicate reaches the parquet scan") {
+    val s = planString("cdc_incremental")
+    assert(s.contains("PushedFilters") &&
+      s.contains("GreaterThan(ts"), s)
+  }
+
+  test("q5_nation_revenue: dimensions broadcast, no nested-loop joins") {
+    val all = collectAll(plan("q5_nation_revenue"))
+    val bhj = all.count(_.isInstanceOf[BroadcastHashJoinExec])
+    val bnlj = all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+    assert(bhj >= 2, s"expected broadcast dimension joins, got $bhj")
+    assert(bnlj == 0, "nested-loop join crept into the 5-way join")
+  }
+
+  test("dedup_jaccard_pairs: bounded range join planned as equi-join, not BNLJ") {
+    val all = collectAll(plan("dedup_jaccard_pairs"))
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the id-window pair join degenerated to a nested loop")
+  }
+
+  test("text_tfidf_top: exactly one token explosion over the corpus") {
+    val s = planString("text_tfidf_top")
+    val generates = "\\bGenerate\\b".r.findAllIn(s).length
+    assert(generates == 1, s"expected 1 Generate, got $generates:\n$s")
+  }
+
+  test("q1_pricing_summary: scan prunes to needed columns only") {
+    val s = planString("q1_pricing_summary")
+    assert(s.contains("PushedFilters"), s)
+    // the 16-column lineitem scan must not read more than the 7 used
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    val nCols = readSchema.split(",").length
+    assert(nCols <= 7, s"scan reads $nCols columns: $readSchema")
+  }
+}
