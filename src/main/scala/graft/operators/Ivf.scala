@@ -92,20 +92,12 @@ object Ivf {
     corpus.select(col(idCol).as("n_id"), col(embCol).as("n_emb"),
       assignment(col(embCol), cents).as("list_id"))
 
-  /** IVF top-k search: probe the `nprobe` nearest lists per query,
-    * exact cosine within them, k-bounded TopK aggregate (map-side
-    * partial — only k rows per query per partition shuffle).
+  /** `nprobe` nearest lists per query as (q_id, q_emb, list_id) rows:
+    * posexplode centroid distances (pos IS the 0-based list id), rank.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-      qId: String = "vec_id", qEmb: String = "embedding",
-      cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
-    val cents = train(corpus, nlist, iters, cId, cEmb)
-    val indexed = index(corpus, cents, cId, cEmb)
-
-    // nprobe nearest lists per query: posexplode centroid distances
-    // (pos IS the 0-based list id), rank
-    val q = queries.select(col(qId).as("q_id"), col(qEmb).as("q_emb"))
+  private def probeAssignments(queries: DataFrame, cents: Seq[Array[Double]],
+      nprobe: Int, qId: String, qEmb: String): DataFrame =
+    queries.select(col(qId).as("q_id"), col(qEmb).as("q_emb"))
       .select(col("q_id"), col("q_emb"),
         posexplode(distances(col("q_emb"), cents)).as(Seq("list_id", "d")))
       .withColumn("probe_rank",
@@ -114,7 +106,12 @@ object Ivf {
       .filter(col("probe_rank") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("list_id"))
 
-    broadcast(q).join(indexed, Seq("list_id"))
+  /** Exact cosine within the probed lists, k-bounded TopK aggregate
+    * (map-side partial — only k rows per query per partition shuffle).
+    */
+  private def scoreProbes(probes: DataFrame, indexed: DataFrame,
+      k: Int): DataFrame =
+    broadcast(probes).join(indexed, Seq("list_id"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", cosineSim(col("q_emb"), col("n_emb")))
       .groupBy(col("q_id"))
@@ -122,5 +119,45 @@ object Ivf {
       .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "entry")))
       .select(col("q_id"), (col("pos") + 1).as("rank"),
         col("entry._2").as("n_id"), col("entry._1").as("cos"))
+
+  /** IVF top-k search over an in-memory corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      qId: String = "vec_id", qEmb: String = "embedding",
+      cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
+    val cents = train(corpus, nlist, iters, cId, cEmb)
+    val indexed = index(corpus, cents, cId, cEmb)
+    scoreProbes(probeAssignments(queries, cents, nprobe, qId, qEmb),
+      indexed, k)
+  }
+
+  /** Materialize the inverted-file index partitioned BY list: each
+    * probed list is its own directory, so searches prune whole
+    * partitions at the source. This is the 100 TB layout — candidate
+    * selection happens before a byte of embedding data is scanned.
+    */
+  def writeIndex(corpus: DataFrame, cents: Seq[Array[Double]], dir: String,
+      cId: String = "vec_id", cEmb: String = "embedding"): Unit =
+    index(corpus, cents, cId, cEmb)
+      .write.partitionBy("list_id").mode("overwrite").parquet(dir)
+
+  /** IVF top-k over a disk index written by [[writeIndex]]: the union
+    * of the queries' probed lists becomes an `isin` over the partition
+    * column — partition pruning reads only those lists' files. The
+    * probed-list set is nlist-bounded (driver-tiny, like the centroid
+    * table itself).
+    */
+  def searchIndex(indexDir: String, queries: DataFrame,
+      cents: Seq[Array[Double]], k: Int, nprobe: Int = 4,
+      qId: String = "vec_id", qEmb: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = probeAssignments(queries, cents, nprobe, qId, qEmb)
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val indexed = spark.read.parquet(indexDir)
+      .filter(col("list_id").isin(probedLists.map(Int.box): _*))
+      .select(col("n_id"), col("n_emb"),
+        col("list_id").cast("int").as("list_id"))
+    scoreProbes(probes, indexed, k)
   }
 }

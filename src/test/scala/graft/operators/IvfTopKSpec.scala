@@ -30,6 +30,47 @@ class IvfTopKSpec extends SparkSpec {
     assert(lists.forall(l => l >= 0 && l < 8))
   }
 
+  test("disk index: partition-pruned probes, same results as in-memory") {
+    val dir = tmpDir("ivfidx")
+    val cents = Ivf.train(emb, nlist = 8, iters = 2)
+    Ivf.writeIndex(emb, cents, dir)
+    // one partition directory per list
+    val listDirs = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("list_id="))
+    assert(listDirs == 8)
+
+    val q = emb.filter($"vec_id" < 5)
+    val viaDisk = Ivf.searchIndex(dir, q, cents, k = 5, nprobe = 2)
+    // the scan must read only the probed lists' partitions (descend
+    // through the AQE wrapper to reach the real scan node)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case other => Seq(other)
+      }
+      self ++ p.children.flatMap(allNodes) ++ p.subqueries.flatMap(allNodes)
+    }
+    val scans = allNodes(viaDisk.queryExecution.executedPlan)
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scans.exists(n => n > 0 && n < 8),
+      s"expected pruned partition read, got $scans")
+
+    // and results match scoring the same probes against the in-memory
+    // index (searchIndex must not change semantics, only I/O) — train
+    // is deterministic, so ivfTopK re-derives the identical centroids
+    val viaMem = Ivf.ivfTopK(q, emb, k = 5, nlist = 8, nprobe = 2, iters = 2)
+    val a = viaDisk.select("q_id", "rank", "n_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val b = viaMem.select("q_id", "rank", "n_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("ivf topk: high recall vs exact brute force") {
     val q = emb.filter($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(q, emb, k = 5)
