@@ -127,6 +127,54 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("rk"))
     }),
 
+    // window frame functions: lead-with-default, first/last/nth value
+    // over the full partition frame, quartile ntile — one shuffle on
+    // the partition key, deterministic via the unique orderkey
+    "window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 50)
+        .withColumn("next_price", lead(col("o_totalprice"), 1, 0.0).over(w))
+        .withColumn("first_price", first(col("o_totalprice")).over(full))
+        .withColumn("last_price", last(col("o_totalprice")).over(full))
+        .withColumn("second_price",
+          nth_value(col("o_totalprice"), 2).over(full))
+        .withColumn("quartile", ntile(4).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("next_price"),
+          col("first_price"), col("last_price"), col("second_price"),
+          col("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // exact interpolated percentiles (not the sketch variant in
+    // agg_sketches): both engines interpolate on the sorted values, and
+    // quartile fractions are exact binary so results hash-match
+    "agg_percentiles_exact" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+    }),
+
+    // explicit GROUPING SETS with grouping() markers (finer than the
+    // rollup/cube pair): per-status, per-priority, and grand total in
+    // one pass over the fact
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          count(*) AS n,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority,
+          o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+
     // distinct aggregation
     "agg_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
@@ -262,6 +310,36 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_totalprice, 1, 0.0) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_percentiles_exact" ->
+      """SELECT quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
