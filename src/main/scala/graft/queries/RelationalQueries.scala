@@ -175,6 +175,47 @@ object RelationalQueries {
           o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),
 
+    // correlated LATERAL subquery (top-2 orders per customer): Catalyst
+    // decorrelates the per-row dependent subquery into a join + window
+    "lateral_top2_orders" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+      s.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey < 100
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    }),
+
+    // correlated EXISTS with an inequality predicate — decorrelated
+    // into a semi-join on the fly
+    "exists_correlated" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_ex")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_ex")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+        ORDER BY c_custkey""")
+    }),
+
+    // bag-semantics set ops: EXCEPT ALL keeps multiplicity (a customer
+    // nation appearing 5x with 2 supplier matches survives 3x)
+    "set_ops_all" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("int").as("nkey"))
+      val supp = Tables.supplier(s, dir)
+        .select(col("s_nationkey").cast("int").as("nkey"))
+      cust.exceptAll(supp)
+        .groupBy(col("nkey"))
+        .agg(count(lit(1)).as("n_surviving"))
+        .orderBy(col("nkey"))
+    }),
+
     // distinct aggregation
     "agg_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
@@ -339,6 +380,30 @@ object RelationalQueries {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_priority,
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "lateral_top2_orders" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "exists_correlated" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_ops_all" ->
+      """WITH e AS (
+        |  SELECT c_nationkey::INT AS nkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey::INT AS nkey FROM supplier)
+        |SELECT nkey, count(*) AS n_surviving
+        |FROM e GROUP BY nkey ORDER BY nkey""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
