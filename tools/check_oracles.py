@@ -34,6 +34,16 @@ def rows_equal(a, b) -> tuple[bool, str]:
         return False, f"shape {a.shape} vs {b.shape}"
     if list(a.columns) != list(b.columns):
         return False, f"cols {list(a.columns)} vs {list(b.columns)}"
+    # the driver's hash tolerates integer-width differences (int32 rank
+    # vs BIGINT row_number passed round 1) but NOT kind differences —
+    # DuckDB HUGEINT arrives as float64 and hash-mismatches integer
+    # results even when values agree. Flag kind mismatches.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb:
+            return False, (f"dtype kind col {c}: spark={a[c].dtype} "
+                           f"oracle={b[c].dtype} (HUGEINT leak? cast the "
+                           f"oracle aggregate)")
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
