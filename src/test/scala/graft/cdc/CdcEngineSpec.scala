@@ -192,6 +192,32 @@ class CdcEngineSpec extends SparkSpec {
       WatermarkResponse("c6", "2026-01-07T08:00:00.000000+00:00")))
   }
 
+  test("failed export: exception propagates, watermark untouched, no file") {
+    val root = tmpDir("cdcfail")
+    val engine = new CdcEngine(spark, s"$root/users-does-not-exist",
+      s"$root/wm", s"$root/out")
+    intercept[Throwable](engine.fullExport("doomed"))
+    assert(engine.watermark("doomed").isEmpty)
+    assert(!Files.exists(Paths.get(s"$root/out")) ||
+      Files.list(Paths.get(s"$root/out")).count() == 0)
+  }
+
+  test("concurrent submits serialize on the background thread") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val (engine, _, outDir) = mkEngine()
+    val (s1, d1) = engine.submitFullExport("cc-a")
+    val (s2, d2) = engine.submitFullExport("cc-b")
+    val j1 = Await.result(d1, 120.seconds)
+    val j2 = Await.result(d2, 120.seconds)
+    assert(j1.status == "completed" && j2.status == "completed")
+    assert(j1.rowsExported == 3 && j2.rowsExported == 3)
+    // both consumers advanced independently to the same max(updated_at)
+    assert(engine.watermark("cc-a") == engine.watermark("cc-b"))
+    assert(Files.exists(Paths.get(s"$outDir/${j1.outputFilename}")))
+    assert(Files.exists(Paths.get(s"$outDir/${j2.outputFilename}")))
+  }
+
   test("watermark upsert: insert path then update path") {
     val root = tmpDir("wm")
     val store = new WatermarkStore(spark, s"$root/wm")
