@@ -102,4 +102,35 @@ object Multimodal {
       .withColumn("sampled_frames",
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
       .withColumn("n_sampled", size(col("sampled_frames")))
+
+  /** STUB resize: a real implementation decodes, scales, and re-encodes
+    * the payload (libjpeg/swscale via FFI). The fake keeps the plumbing
+    * honest — output metadata reflects the target box with aspect ratio
+    * preserved, and the payload is truncated proportionally to the
+    * pixel reduction so byte-accounting stays deterministic.
+    */
+  private[sources] def resizeStub(payload: Array[Byte], w: Int, h: Int,
+      maxSide: Int): (Array[Byte], Int, Int) = {
+    val scale = math.min(1.0, maxSide.toDouble / math.max(math.max(w, h), 1))
+    val nw = math.max((w * scale).toInt, 1)
+    val nh = math.max((h * scale).toInt, 1)
+    val keep = math.max(
+      (payload.length * (nw.toLong * nh) / math.max(w.toLong * h, 1L)).toInt, 1)
+    (java.util.Arrays.copyOf(payload, math.min(keep, payload.length)), nw, nh)
+  }
+
+  /** Batched resize for image rows: one `mapPartitions` pass, payloads
+    * never shuffle; non-image rows pass through untouched.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map {
+        case r if r.kind == "image" =>
+          val (p, w, h) = resizeStub(r.payload, r.width, r.height, maxSide)
+          r.copy(payload = p, width = w, height = h)
+        case r => r
+      }
+    }
+  }
 }

@@ -30,6 +30,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!feats.schema.fieldNames.contains("payload"))
   }
 
+  test("resize: images bounded by maxSide with aspect preserved, others untouched") {
+    val resized = Multimodal.resizeImages(media, maxSide = 64)
+    val images = resized.filter($"kind" === "image").collect()
+    assert(images.nonEmpty)
+    assert(images.forall(r => r.width <= 64 && r.height <= 64))
+    // aspect preserved within integer truncation
+    val orig = media.filter($"kind" === "image").collect()
+      .map(r => r.media_id -> r).toMap
+    images.foreach { r =>
+      val o = orig(r.media_id)
+      if (math.max(o.width, o.height) > 64) {
+        val expected = math.min(1.0, 64.0 / math.max(o.width, o.height))
+        assert(math.abs(r.width - o.width * expected) <= 1)
+        assert(r.payload.length <= o.payload.length)
+      } else {
+        assert(r.width == o.width && r.height == o.height)
+      }
+    }
+    // non-image rows pass through byte-identical
+    val audio = resized.filter($"kind" === "audio").head()
+    val audioOrig = media.filter($"media_id" === lit(audio.media_id)).head()
+    assert(audio.payload.sameElements(audioOrig.payload))
+  }
+
   test("frame sampling: every stride-th frame, declarative") {
     val sampled = Multimodal.sampleFrames(media.toDF(), stride = 10)
     val row = sampled.select($"media_id", $"n_frames", $"n_sampled")
