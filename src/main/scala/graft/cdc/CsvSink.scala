@@ -70,6 +70,30 @@ object CsvSink {
     rows
   }
 
+  /** Consumer-side reader for this sink's dialect: the round-trip
+    * contract a downstream of the reference relies on. Parses the
+    * ISO-8601 timestamps and Python-style `True`/`False` booleans back
+    * into the typed `users` schema (or, for delta exports, the same
+    * plus the leading `operation` column — pass `delta = true`).
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: Boolean = false): DataFrame = {
+    val cols =
+      if (delta) Schemas.deltaExportColumns else Schemas.exportColumns
+    val raw = spark.read
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(path)
+      .select(cols.map(col): _*)
+    raw
+      .withColumn("id", col("id").cast("long"))
+      .withColumn("created_at",
+        to_timestamp(col("created_at"), IsoTimestampFormat))
+      .withColumn("updated_at",
+        to_timestamp(col("updated_at"), IsoTimestampFormat))
+      .withColumn("is_deleted", col("is_deleted") === "True")
+  }
+
   private def countLines(p: Path): Long = {
     val in = Files.newBufferedReader(p)
     try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong

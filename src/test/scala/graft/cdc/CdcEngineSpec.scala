@@ -192,6 +192,33 @@ class CdcEngineSpec extends SparkSpec {
       WatermarkResponse("c6", "2026-01-07T08:00:00.000000+00:00")))
   }
 
+  test("csv round trip: full export reads back typed and value-identical") {
+    val (engine, _, outDir) = mkEngine()
+    val job = engine.fullExport("rt")
+    val back = CsvSink.read(spark, s"$outDir/${job.outputFilename}")
+      .as[UserRow].collect().toSet
+    val expected = baseUsers.filterNot(_.is_deleted).toSet
+    assert(back == expected)
+  }
+
+  test("csv round trip: delta export keeps the operation column typed") {
+    val (engine, usersDir, outDir) = mkEngine()
+    engine.fullExport("rtd")
+    writeUsers(baseUsers.map {
+      case u if u.id == 2 => u.copy(updated_at = ts("2026-01-09 10:00:00"))
+      case u => u
+    }, usersDir)
+    val job = engine.deltaExport("rtd")
+    val back = CsvSink.read(spark, s"$outDir/${job.outputFilename}",
+      delta = true)
+    assert(back.columns.head == "operation")
+    val row = back.head()
+    assert(row.getAs[String]("operation") == "UPDATE")
+    assert(row.getAs[Long]("id") == 2L)
+    assert(row.getAs[java.sql.Timestamp]("updated_at") ==
+      ts("2026-01-09 10:00:00"))
+  }
+
   test("failed export: exception propagates, watermark untouched, no file") {
     val root = tmpDir("cdcfail")
     val engine = new CdcEngine(spark, s"$root/users-does-not-exist",
