@@ -92,7 +92,8 @@ object ExtensionQueries {
       // vocabulary-level (word-shuffles), so bag-of-words MinHash is
       // the space where they live — and the verified pair graph is
       // nonempty, so the clustering stage runs real work in the timed
-      // path
+      // path. Oracled: TextQueries.curationOracle reproduces every
+      // stage with brute-force pairs + recursive-CTE clustering
       val docs = Tables.documents(s, dir)
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("text"), col("lang"))

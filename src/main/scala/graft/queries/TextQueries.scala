@@ -125,7 +125,67 @@ object TextQueries {
 
   private val stopListSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  private def markers(lang: String): String =
+    TextFunctions.LangMarkers(lang).map(w => s"'$w'").mkString(", ")
+
+  /** Ground-truth oracle for the composed curation pipeline: lang-ID +
+    * quality gate + exact dedup exactly as the engine computes them,
+    * then BRUTE-FORCE all-pairs Jaccard for near-dup edges and
+    * connected components via a recursive reachability CTE. The engine
+    * side goes through LSH banding — equality holds because banding at
+    * 64 perms / 16 bands misses a >=0.9 pair with probability ~4e-8,
+    * and both sides are fully deterministic (seeded permutations), so
+    * the comparison is a fixture, not a coin flip.
+    */
+  private val curationOracle: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, text, lang
+      |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+      |  WHERE doc_id < 500),
+      |scored AS (
+      |  SELECT doc_id, text,
+      |    len(list_filter(string_split(text,' '), t -> t IN (${markers("de")}))) AS s_de,
+      |    len(list_filter(string_split(text,' '), t -> t IN (${markers("en")}))) AS s_en,
+      |    len(list_filter(string_split(text,' '), t -> t IN (${markers("es")}))) AS s_es,
+      |    len(list_filter(string_split(text,' '), t -> t IN (${markers("fr")}))) AS s_fr,
+      |    len(list_filter(string_split(text,' '), t -> t IN (${markers("zh")}))) AS s_zh
+      |  FROM docs),
+      |en AS (
+      |  SELECT doc_id, text FROM scored
+      |  WHERE CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+      |             WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+      |             WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+      |             WHEN s_fr >= s_zh THEN 'fr'
+      |             ELSE 'zh' END = 'en'),
+      |gated AS (
+      |  SELECT doc_id, text FROM en
+      |  WHERE len(string_split(text,' ')) BETWEEN 5 AND 100000),
+      |exact AS (
+      |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      |  FROM gated GROUP BY md5(lower(trim(text)))),
+      |ws AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS w FROM exact),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM ws a JOIN ws b ON a.doc_id <> b.doc_id
+      |  WHERE CAST(len(list_intersect(a.w,b.w)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.w,b.w))) >= 0.9),
+      |reach AS (
+      |  WITH RECURSIVE r(id, seen) AS (
+      |    SELECT doc_id, doc_id FROM exact
+      |    UNION
+      |    SELECT e.src, r.seen FROM edges e JOIN r ON r.id = e.dst)
+      |  SELECT id, min(seen) AS cluster_id FROM r GROUP BY id),
+      |survivors AS (
+      |  SELECT e.doc_id, e.text FROM exact e JOIN reach ON reach.id = e.doc_id
+      |  WHERE reach.cluster_id = e.doc_id)
+      |SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+      |  CAST(length(text) AS INT) AS n_chars
+      |FROM survivors ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "curation_pipeline" -> curationOracle,
+
     "text_stats" ->
       """SELECT doc_id, lang,
         |  length(text) AS len_chars,
