@@ -28,9 +28,13 @@ object ExtensionQueries {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       // ngram = 1 (bag-of-words space): the synthetic corpus's
       // duplicates share vocabulary, not phrase order, so unigram
-      // MinHash is the space where its near-dups actually live
+      // MinHash is the space where its near-dups actually live.
+      // 32 bands × 2 rows is the aggressive-recall dial for t≈0.8
+      // (banding threshold (1/b)^(1/r) ≈ 0.18): a ≥0.8 pair is missed
+      // with probability ~6e-15, so the result equals brute force and
+      // is oracled against it (TextQueries.oracle)
       Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8,
-          ngram = 1)
+          bands = 32, ngram = 1)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

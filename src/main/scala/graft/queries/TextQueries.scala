@@ -186,6 +186,22 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "curation_pipeline" -> curationOracle,
 
+    // ground truth for the 32-band unigram LSH query: brute-force
+    // all-pairs word-set Jaccard (recall is ~1 - 6e-15 per pair at
+    // this banding, and both sides are deterministic — see the query)
+    "dedup_minhash_lsh" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |  WHERE doc_id < 500)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+        |FROM ws a JOIN ws b ON b.doc_id > a.doc_id
+        |WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.w, b.w))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "text_stats" ->
       """SELECT doc_id, lang,
         |  length(text) AS len_chars,
