@@ -52,7 +52,13 @@ final class WatermarkStore(spark: SparkSession, dir: String) {
     * with the current time (the reference uses `datetime.now(utc)`,
     * `watermark.py:13`).
     */
-  def upsert(consumerId: String, lastExportedAt: Timestamp): Unit = {
+  def upsert(consumerId: String, lastExportedAt: Timestamp): Unit = synchronized {
+    // synchronized: the upsert is read-modify-write over the whole tiny
+    // state dir, so two concurrent upserts (e.g. direct API users on
+    // different threads) would otherwise lose one consumer's row. The
+    // reference gets this from Postgres row locking; an ACID table
+    // format provides it at cluster scale. Guards this JVM's engine
+    // instance — the documented deployment (one writer per state dir).
     val now = new Timestamp(System.currentTimeMillis())
     val newRow = Seq(WatermarkRow(consumerId, lastExportedAt, now)).toDF()
     // Materialize survivors on the driver BEFORE overwriting the dir —

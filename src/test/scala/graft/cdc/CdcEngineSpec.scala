@@ -245,6 +245,20 @@ class CdcEngineSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$outDir/${j2.outputFilename}")))
   }
 
+  test("watermark upserts from concurrent threads lose no consumer") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpDir("wmrace")
+    val store = new WatermarkStore(spark, s"$root/wm")
+    val fs = (1 to 8).map { i =>
+      Future(store.upsert(s"consumer-$i", ts(f"2026-01-0${i % 9 + 1} 00:00:00")))
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(store.all().count() == 8)
+    (1 to 8).foreach(i => assert(store.get(s"consumer-$i").nonEmpty))
+  }
+
   test("watermark upsert: insert path then update path") {
     val root = tmpDir("wm")
     val store = new WatermarkStore(spark, s"$root/wm")
