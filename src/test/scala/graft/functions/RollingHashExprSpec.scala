@@ -46,7 +46,7 @@ class RollingHashExprSpec extends SparkSpec {
     assert(r(1L).get == r(1L).get.sorted)
   }
 
-  test("SQL registration: rolling_fp callable after GraftExtensions.register") {
+  test("SQL registration: all native functions callable after GraftExtensions.register") {
     graft.GraftExtensions.register(spark)
     Seq(("a b c d e f g h i j")).toDF("text").createOrReplaceTempView("rfp_t")
     val viaSql = spark.sql(
@@ -54,5 +54,15 @@ class RollingHashExprSpec extends SparkSpec {
       .as[(Seq[Long], Seq[Long])].head()
     assert(viaSql._1.nonEmpty)
     assert(viaSql._2.length == 2)
+    val sh = spark.sql(
+      "SELECT simhash64(array(CAST(5 AS BIGINT), CAST(-7 AS BIGINT)))")
+      .head().getLong(0)
+    assert(sh != 0L)
+    val cos = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))"""
+        .stripMargin)
+      .head().getDouble(0)
+    assert(cos == 1.0)
   }
 }
