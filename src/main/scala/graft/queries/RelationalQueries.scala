@@ -216,6 +216,21 @@ object RelationalQueries {
         .orderBy(col("nkey"))
     }),
 
+    // one-pass table profile: the data-quality summary a pipeline runs
+    // before training — row/null/distinct counts and value ranges in a
+    // single aggregation over the fact table
+    "profile_lineitem" -> ((s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
+          .as("null_flags"),
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+    }),
+
     // distinct aggregation
     "agg_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
@@ -380,6 +395,17 @@ object RelationalQueries {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_priority,
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "profile_lineitem" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_flags,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  min(l_shipdate) AS min_ship,
+        |  max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
 
     "lateral_top2_orders" ->
       """SELECT c_custkey, t.o_orderkey, t.o_totalprice
