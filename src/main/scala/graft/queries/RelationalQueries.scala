@@ -231,6 +231,27 @@ object RelationalQueries {
         max(col("l_shipdate")).as("max_ship"))
     }),
 
+    // IQR (boxplot-rule) outlier detection per group: bounds from exact
+    // quartiles — integer-valued quantities keep the interpolation
+    // arithmetic exact in both engines, so the flag counts hash-match
+    "outlier_iqr" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val q = li.groupBy(col("l_returnflag")).agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+        .withColumn("lo", col("p25") - (col("p75") - col("p25")) * 1.5)
+        .withColumn("hi", col("p75") + (col("p75") - col("p25")) * 1.5)
+      li.join(broadcast(q), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n")).as("n"),
+          first(col("p25")).as("p25"), first(col("p75")).as("p75"),
+          sum(when(col("l_quantity") < col("lo") ||
+            col("l_quantity") > col("hi"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // distinct aggregation
     "agg_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
@@ -395,6 +416,21 @@ object RelationalQueries {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_priority,
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "outlier_iqr" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.25) AS p25,
+        |    quantile_cont(l_quantity, 0.75) AS p75,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT li.l_returnflag, min(q.n) AS n,
+        |  min(q.p25) AS p25, min(q.p75) AS p75,
+        |  CAST(sum(CASE WHEN li.l_quantity < q.p25 - (q.p75 - q.p25) * 1.5
+        |      OR li.l_quantity > q.p75 + (q.p75 - q.p25) * 1.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM lineitem li JOIN q ON li.l_returnflag = q.l_returnflag
+        |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin,
 
     "profile_lineitem" ->
       """SELECT count(*) AS n_rows,
