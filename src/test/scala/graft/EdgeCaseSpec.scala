@@ -59,5 +59,43 @@ class EdgeCaseSpec extends SparkSpec {
   test("connected components of empty pair set is empty") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
+    // the distributed path agrees on empty input
+    assert(Dedup.connectedComponents(empty, driverEdgeLimit = -1L).count() == 0)
+  }
+
+  test("curation pipeline on empty and all-filtered corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Curation.curate(empty,
+      graft.operators.Curation.Config(keepLangs = Set.empty)).count() == 0)
+    // every doc fails the gate -> empty through all later stages
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(graft.operators.Curation.curate(tiny,
+      graft.operators.Curation.Config(keepLangs = Set.empty,
+        minTokens = 5)).count() == 0)
+  }
+
+  test("chunking and packing on degenerate token counts") {
+    // single-token and exactly-at-stride docs produce one valid chunk
+    val docs = Seq((1L, "one"), (2L, ("w " * 96).trim))
+      .toDF("doc_id", "text")
+      .withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount($"text"))
+    val chunks = docs.select($"doc_id",
+        posexplode(sequence(lit(0),
+          greatest(($"n_tokens" - 1).cast("long"), lit(0L)), lit(96L)))
+          .as(Seq("chunk_idx", "chunk_start")))
+    assert(chunks.filter($"doc_id" === 1L).count() == 1)
+    assert(chunks.filter($"doc_id" === 2L).count() == 1)
+    // a doc longer than the packing budget still gets a contiguous
+    // offset range (spans multiple sequence ids by construction)
+    val big = Seq((1L, 600L), (2L, 100L)).toDF("doc_id", "n_tokens")
+    val packed = graft.operators.Packing
+      .packSequences(big, "n_tokens", "doc_id", budget = 512, shards = 1)
+      .select("doc_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect()
+    assert(packed.map(_._1).toSet == Set(1L, 2L))
+    // doc 2 starts at offset 600 -> lands in the second sequence
+    val byDoc = packed.map(r => r._1 -> r._2).toMap
+    assert(byDoc(2L) == byDoc(1L) + 1)
   }
 }
