@@ -7,12 +7,17 @@ import graft.Tables
 import graft.operators.{Curation, Dedup, Ivf, Similarity}
 import graft.sources.Multimodal
 
-/** Training-data-pipeline operators that are NOT expressible in ANSI SQL
-  * (probabilistic LSH banding, seeded generators, typed mapPartitions) —
-  * registered without oracles, so the driver records the weaker
-  * rows-only check. Exactness is covered by ScalaTest specs with
-  * planted duplicates/neighbors instead (DedupSpec, SimilaritySpec,
-  * MultimodalSpec).
+/** Training-data-pipeline operator queries. Several started rows-only
+  * and were later oracled as the cross-engine technique emerged
+  * (curation_pipeline via recursive-CTE clustering, dedup_minhash_lsh
+  * via the aggressive-recall banding dial, multimodal_features and
+  * text_rolling_fp via DuckDB list-lambda folds — oracles live in
+  * TextQueries). The still-rows-only entries are genuinely
+  * un-oracleable: engine-specific hash families (xxhash64 SimHash),
+  * Scala-RNG hyperplane literals, approximate-by-design probes
+  * (nprobe < nlist IVF), engine sketches, and the seeded generator —
+  * each exactness-covered by ScalaTest specs instead (DedupSpec,
+  * SimilaritySpec, IvfTopKSpec recall bounds, SeederSpec).
   *
   * The synthetic documents corpus is mutually similar by construction
   * (shared vocabulary), which is the LSH worst case — so the LSH
