@@ -177,25 +177,15 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Connected components over a near-dup pair graph by iterative
-    * min-label propagation: every node adopts the smallest label in its
-    * neighborhood until fixpoint. Converges in O(component diameter)
-    * rounds — near-dup clusters are small and dense, so a handful; the
-    * per-round cost is one equi-join + one min-aggregate (both
-    * shuffle-on-key, AQE-managed). Returns (id, cluster_id) where
-    * cluster_id = min id of the component.
+  /** Connected components over a near-dup pair graph. Returns
+    * (id, cluster_id) where cluster_id = min id of the component.
     *
-    * This is the min-label half of the large-star/small-star
-    * alternation of Kiveris et al. (CC in MapReduce); full alternation
-    * only pays off on high-diameter graphs, which dedup graphs aren't.
-    */
-  /** Size-adaptive strategy, same logic as broadcast-join selection: a
+    * Size-adaptive strategy, same logic as broadcast-join selection: a
     * pair graph under `driverEdgeLimit` edges (default 500k ≈ 8 MB) is
     * solved by driver union-find in milliseconds — distributed
     * propagation on a tiny graph pays seconds of pure stage-scheduling
-    * overhead per round. Larger graphs take the distributed path below.
-    * Labels are identical either way: cluster_id = min id of the
-    * component.
+    * overhead per round. Larger graphs take the distributed min-label
+    * propagation. Labels are identical either way.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 12,
       checkEvery: Int = 3, driverEdgeLimit: Long = 500000L): DataFrame = {
@@ -237,6 +227,13 @@ object Dedup {
     spark.createDataFrame(labels).toDF("id", "cluster_id")
   }
 
+  /** Iterative min-label propagation: every node adopts the smallest
+    * label in its neighborhood until fixpoint, converging in
+    * O(component diameter) rounds — the min-label half of the
+    * large-star/small-star alternation of Kiveris et al. (CC in
+    * MapReduce); full alternation only pays off on high-diameter
+    * graphs, which dedup graphs aren't.
+    */
   private def distributedConnectedComponents(pairs: DataFrame,
       maxIters: Int, checkEvery: Int): DataFrame = {
     // the edge list is scanned every round — persist it once (pairs
