@@ -159,21 +159,39 @@ object PipelineQueries {
     }),
 
     // training-mix assembly: per source, admit docs in deterministic
-    // md5 order until a token budget is hit (running-total window) —
-    // the "data mixing" op that balances corpus composition. One
-    // shuffle on source; md5 order is reproducible across engines,
-    // runs, and partitionings.
+    // md5 order until a token budget is hit — the "data mixing" op that
+    // balances corpus composition. The running total is a DISTRIBUTED
+    // prefix sum: a single per-source window would serialize a hot
+    // source into one partition's sort at scale, so docs shard by the
+    // FIRST md5 hex digit (a prefix of the order key, so shard order
+    // aligns with global order), each shard windows locally in
+    // parallel, and tiny per-shard totals chain into cross-shard
+    // offsets. Result is identical to the naive single window — which
+    // is exactly what the oracle runs.
     "mix_by_source" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
-          col("doc_id"))
-      Tables.documents(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val bucket = md5(col("doc_id").cast("string").cast("binary"))
+      val docs = Tables.documents(s, dir)
         .withColumn("n_tokens",
           TextFunctions.tokenCount(col("text")).cast("long"))
-        .withColumn("cum_tokens",
-          sum(col("n_tokens")).over(w.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("b", bucket)
+        .withColumn("shard", substring(col("b"), 1, 1))
+      val localW = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("b"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val local = docs.withColumn("local_cum",
+        sum(col("n_tokens")).over(localW))
+      // per-(source, shard) totals -> running offset of PRIOR shards;
+      // 16 rows per source, broadcast back
+      val offsetW = Window.partitionBy(col("source")).orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy(col("source"), col("shard"))
+        .agg(sum(col("n_tokens")).as("shard_tokens"))
+        .withColumn("shard_offset",
+          coalesce(sum(col("shard_tokens")).over(offsetW), lit(0L)))
+        .select(col("source"), col("shard"), col("shard_offset"))
+      local.join(broadcast(offsets), Seq("source", "shard"))
+        .withColumn("cum_tokens", col("shard_offset") + col("local_cum"))
         .withColumn("selected", col("cum_tokens") <= 4000L)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
