@@ -103,19 +103,22 @@ object PipelineQueries {
     // (doc,term)) + a broadcast scalar N — the plan you'd run at scale.
     "text_tfidf_top" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // tf persisted: both df and the final join consume it, and
+      // without the cache Catalyst re-derives the whole scan+explode
+      // subtree for each consumer (.explain showed two Generate paths)
       val tf = docs
         .select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      // df as a window count over the tf rows: one shuffle on term and
-      // NO second scan+explode of the corpus (the groupBy-then-join
-      // formulation re-derived tf from scratch for the df side —
-      // .explain showed two full Generate+aggregate paths)
-      val wTerm = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // df via aggregation + join, NOT a window over term: map-side
+      // partials collapse hot terms before the shuffle, and AQE can
+      // split a skewed JOIN on stopword terms — it cannot split a
+      // window partition holding every "the"-containing doc
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      tf.withColumn("df", count(lit(1)).over(wTerm))
+      tf.join(df, Seq("term"))
         .crossJoin(broadcast(n))
         // SQL `div`: truncating integer division, = DuckDB's `//`
         .withColumn("tfidf_scaled", expr("tf * ((1000 * n_docs) div df)"))
