@@ -148,9 +148,12 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
-    // exact interpolated percentiles (not the sketch variant in
-    // agg_sketches): both engines interpolate on the sorted values, and
-    // quartile fractions are exact binary so results hash-match
+    // exact interpolated percentiles: both engines interpolate on the
+    // sorted values, and quartile fractions are exact binary so results
+    // hash-match. Scale note: exact percentile gathers every value of a
+    // group at the final aggregate — it is the CORRECTNESS fixture; the
+    // production path at 100 TB is the mergeable sketch (agg_sketches,
+    // percentile_approx), which this query cross-checks
     "agg_percentiles_exact" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
         percentile(col("l_quantity"), lit(0.25)).as("p25"),
