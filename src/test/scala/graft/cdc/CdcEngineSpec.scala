@@ -219,6 +219,33 @@ class CdcEngineSpec extends SparkSpec {
       ts("2026-01-09 10:00:00"))
   }
 
+  test("schema evolution: extra source columns are ignored, export shape fixed") {
+    val root = tmpDir("cdcevo")
+    val usersDir = s"$root/users"
+    import org.apache.spark.sql.functions.lit
+    baseUsers.toDF()
+      .withColumn("new_upstream_col", lit("surprise"))
+      .write.mode("overwrite").parquet(usersDir)
+    val engine = new CdcEngine(spark, usersDir, s"$root/wm", s"$root/out")
+    val job = engine.fullExport("evo")
+    assert(job.rowsExported == 3)
+    val lines = readCsv(s"$root/out/${job.outputFilename}")
+    // the canonical 6-column contract regardless of upstream additions
+    assert(lines.head == "id,name,email,created_at,updated_at,is_deleted")
+  }
+
+  test("re-running a full export is idempotent in content and watermark") {
+    val (engine, _, outDir) = mkEngine()
+    val j1 = engine.fullExport("idem")
+    val wm1 = engine.watermark("idem")
+    val j2 = engine.fullExport("idem")
+    assert(engine.watermark("idem") == wm1) // same max(updated_at)
+    assert(j2.rowsExported == j1.rowsExported)
+    val body1 = readCsv(s"$outDir/${j1.outputFilename}")
+    val body2 = readCsv(s"$outDir/${j2.outputFilename}")
+    assert(body1 == body2) // distinct filenames, identical content
+  }
+
   test("failed export: exception propagates, watermark untouched, no file") {
     val root = tmpDir("cdcfail")
     val engine = new CdcEngine(spark, s"$root/users-does-not-exist",
