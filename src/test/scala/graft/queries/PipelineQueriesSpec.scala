@@ -95,6 +95,27 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.toSeq == again.toSeq)
   }
 
+  test("int8 quantization preserves ANN ranking: dequantized top-k ≈ exact") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = col("embedding")
+    val absmax = array_max(transform(e, x => abs(x.cast("double"))))
+    val deq = emb.withColumn("scale",
+        when(absmax > 0, lit(127.0) / absmax).otherwise(lit(0.0)))
+      .withColumn("embedding",
+        transform(e, x =>
+          (round(x.cast("double") * col("scale")) / col("scale"))
+            .cast("float")))
+      .select("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val viaQuant = Similarity.bruteForceTopK(q, deq, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = viaQuant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall too low")
+  }
+
   test("tfidf: rare term in one doc outranks ubiquitous term") {
     val dir = tmpDir("tfidf")
     Seq(
