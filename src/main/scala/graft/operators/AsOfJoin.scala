@@ -31,10 +31,16 @@ object AsOfJoin {
     * @param rightTime  right event-time column name
     * @param rightCols  right columns to carry (renamed as-is on output,
     *                   null when no right row precedes the left row)
+    * @param maxGap     optional lookback bound (pandas merge_asof
+    *                   `tolerance`): matches older than this are
+    *                   nulled. A Column so it works for any time type —
+    *                   `expr("INTERVAL '30' MINUTE")` for timestamps,
+    *                   a numeric literal for long/epoch columns
     */
   def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
       leftTime: String, rightTime: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String],
+      maxGap: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left.select(
       by.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
@@ -51,8 +57,21 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    val bounded = maxGap match {
+      case None => matched
+      case Some(g) =>
+        // matched right time rides the same running-last; matches
+        // farther back than the gap are nulled (null gap stays null)
+        matched
+          .withColumn("__match_t",
+            last(when(col("__side") === 0, col("__t")),
+              ignoreNulls = true).over(w))
+          .withColumn("__match",
+            when(col("__t") - col("__match_t") <= g, col("__match")))
+    }
+    bounded
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c")) ++
         rightCols.map(c => col(s"__match.$c")): _*)

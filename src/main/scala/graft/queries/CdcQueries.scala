@@ -244,6 +244,21 @@ object CdcQueries {
         .select(col("event_id"), col("user_id"), col("view_id"))
         .orderBy(col("event_id"))
     }),
+
+    // as-of join with a lookback tolerance (pandas merge_asof
+    // `tolerance`): attributions older than 30 minutes are nulled
+    "asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin
+        .asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_id"), maxGap = Some(expr("INTERVAL '30' MINUTE")))
+        .select(col("event_id"), col("user_id"), col("view_id"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,6 +312,15 @@ object CdcQueries {
 
     "asof_attribution" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        |  CASE WHEN p.ts - v.ts <= INTERVAL '30 minutes'
+        |    THEN v.event_id END AS view_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts

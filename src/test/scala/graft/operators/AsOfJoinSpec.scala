@@ -39,6 +39,24 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("maxGap tolerance: stale matches are nulled, fresh ones kept") {
+    import org.apache.spark.sql.functions.expr
+    val trades = Seq(
+      (1L, "A", ts("2026-01-01 10:00:05")), // 5s after quote -> kept
+      (2L, "A", ts("2026-01-01 11:30:00")), // 90min after quote -> nulled
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (101L, "A", ts("2026-01-01 10:00:00"), 10.0),
+    ).toDF("quote_id", "sym", "qt", "px")
+    val res = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+      Seq("quote_id"), maxGap = Some(expr("INTERVAL '30' MINUTE")))
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(res(1L).contains(101L))
+    assert(res(2L).isEmpty)
+  }
+
   test("asof join picks latest right row at-or-before each left row, per key") {
     val trades = Seq(
       (1L, "A", ts("2026-01-01 10:00:05")),
