@@ -31,16 +31,22 @@ object AsOfJoin {
     * @param rightTime  right event-time column name
     * @param rightCols  right columns to carry (renamed as-is on output,
     *                   null when no right row precedes the left row)
-    * @param maxGap     optional lookback bound (pandas merge_asof
-    *                   `tolerance`): matches older than this are
-    *                   nulled. A Column so it works for any time type —
-    *                   `expr("INTERVAL '30' MINUTE")` for timestamps,
-    *                   a numeric literal for long/epoch columns
+    * @param maxGap     optional lookback/lookahead bound (pandas
+    *                   merge_asof `tolerance`): matches farther than
+    *                   this are nulled. A Column so it works for any
+    *                   time type — `expr("INTERVAL '30' MINUTE")` for
+    *                   timestamps, a numeric literal for long/epoch
+    *                   columns
+    * @param forward    false (default): latest right at-or-BEFORE each
+    *                   left row; true: earliest right at-or-AFTER it
+    *                   (merge_asof direction='forward') — the same
+    *                   one-shuffle window scanned in reverse time order
     */
   def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
       leftTime: String, rightTime: String,
       rightCols: Seq[String],
-      maxGap: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      maxGap: Option[org.apache.spark.sql.Column] = None,
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left.select(
       by.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
@@ -53,8 +59,13 @@ object AsOfJoin {
         lit(null).cast(l.schema("__l").dataType).as("__l") :+
         struct(rightCols.map(col): _*).as("__r"): _*)
 
+    // backward: ascending time scan, "last right seen so far" = latest
+    // at-or-before. forward: the SAME running-last over a descending
+    // scan = earliest at-or-after. Side order (right before left at
+    // equal times) keeps the bound inclusive in both directions.
+    val timeOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(timeOrd, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = l.unionByName(r)
@@ -63,13 +74,15 @@ object AsOfJoin {
       case None => matched
       case Some(g) =>
         // matched right time rides the same running-last; matches
-        // farther back than the gap are nulled (null gap stays null)
+        // farther than the gap are nulled (null gap stays null)
+        val gap =
+          if (forward) col("__match_t") - col("__t")
+          else col("__t") - col("__match_t")
         matched
           .withColumn("__match_t",
             last(when(col("__side") === 0, col("__t")),
               ignoreNulls = true).over(w))
-          .withColumn("__match",
-            when(col("__t") - col("__match_t") <= g, col("__match")))
+          .withColumn("__match", when(gap <= g, col("__match")))
     }
     bounded
       .filter(col("__side") === 1)

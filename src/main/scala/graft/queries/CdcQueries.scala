@@ -259,6 +259,21 @@ object CdcQueries {
         .select(col("event_id"), col("user_id"), col("view_id"))
         .orderBy(col("event_id"))
     }),
+
+    // forward as-of: for each purchase, the EARLIEST view at-or-after
+    // it by the same user (merge_asof direction='forward')
+    "asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin
+        .asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_id"), forward = true)
+        .select(col("event_id"), col("user_id"), col("view_id"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -315,6 +330,13 @@ object CdcQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "asof_forward" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts <= v.ts
         |ORDER BY p.event_id""".stripMargin,
 
     "asof_tolerance" ->

@@ -39,6 +39,26 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward direction picks earliest right at-or-after, inclusive") {
+    val trades = Seq(
+      (1L, "A", ts("2026-01-01 10:00:05")), // next quote at 10:00:20
+      (2L, "A", ts("2026-01-01 10:00:20")), // exactly at a quote -> it
+      (3L, "A", ts("2026-01-01 10:00:30")), // nothing after -> null
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (101L, "A", ts("2026-01-01 10:00:00"), 10.0),
+      (103L, "A", ts("2026-01-01 10:00:20"), 12.0),
+    ).toDF("quote_id", "sym", "qt", "px")
+    val res = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+      Seq("quote_id"), forward = true)
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(res(1L).contains(103L))
+    assert(res(2L).contains(103L))
+    assert(res(3L).isEmpty)
+  }
+
   test("maxGap tolerance: stale matches are nulled, fresh ones kept") {
     import org.apache.spark.sql.functions.expr
     val trades = Seq(
