@@ -89,4 +89,50 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"__l.$c")) ++
         rightCols.map(c => col(s"__match.$c")): _*)
   }
+
+  /** merge_asof direction='nearest': the right row with the smallest
+    * absolute time distance (ties to the earlier row, matching pandas).
+    * Both directional running-lasts share the one shuffle on the key —
+    * two window sorts over the same partitioning, no extra exchange.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      by.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
+        struct(leftCols.map(col): _*).as("__l") :+
+        lit(null).cast(right.select(rightCols.map(col): _*).schema
+          .fields.foldLeft(new org.apache.spark.sql.types.StructType())(
+            (st, f) => st.add(f))).as("__r"): _*)
+    val r = right.select(
+      by.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
+        lit(null).cast(l.schema("__l").dataType).as("__l") :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
+
+    val back = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").asc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val rightT = when(col("__side") === 0, col("__t"))
+    l.unionByName(r)
+      .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(back))
+      .withColumn("__mbt", last(rightT, ignoreNulls = true).over(back))
+      .withColumn("__mf", last(col("__r"), ignoreNulls = true).over(fwd))
+      .withColumn("__mft", last(rightT, ignoreNulls = true).over(fwd))
+      .filter(col("__side") === 1)
+      // nearest with earlier-on-tie: backward wins when its gap is <=
+      // the forward gap; a missing side loses automatically via null
+      .withColumn("__match",
+        when(col("__mf").isNull, col("__mb"))
+          .when(col("__mb").isNull, col("__mf"))
+          .when(col("__t") - col("__mbt") <= col("__mft") - col("__t"),
+            col("__mb"))
+          .otherwise(col("__mf")))
+      .select(leftCols.map(c => col(s"__l.$c")) ++
+        rightCols.map(c => col(s"__match.$c")): _*)
+  }
 }

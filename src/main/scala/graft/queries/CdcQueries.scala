@@ -260,6 +260,21 @@ object CdcQueries {
         .orderBy(col("event_id"))
     }),
 
+    // nearest as-of: the view closest in time to each purchase on
+    // either side, earlier on ties (merge_asof direction='nearest')
+    "asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin
+        .asofJoinNearest(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("view_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // forward as-of: for each purchase, the EARLIEST view at-or-after
     // it by the same user (merge_asof direction='forward')
     "asof_forward" -> ((s, dir) => {
@@ -330,6 +345,19 @@ object CdcQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "asof_nearest" ->
+      """SELECT p.event_id, p.user_id,
+        |  CASE WHEN f.event_id IS NULL THEN b.event_id
+        |       WHEN b.event_id IS NULL THEN f.event_id
+        |       WHEN p.ts - b.ts <= f.ts - p.ts THEN b.event_id
+        |       ELSE f.event_id END AS view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON p.user_id = b.user_id AND p.ts >= b.ts
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') f
+        |  ON p.user_id = f.user_id AND p.ts <= f.ts
         |ORDER BY p.event_id""".stripMargin,
 
     "asof_forward" ->

@@ -59,6 +59,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(res(3L).isEmpty)
   }
 
+  test("nearest direction picks the closer side, earlier on ties") {
+    val trades = Seq(
+      (1L, "A", ts("2026-01-01 10:00:06")), // 6s after q101, 14s before q103
+      (2L, "A", ts("2026-01-01 10:00:15")), // 15s after q101, 5s before q103
+      (3L, "A", ts("2026-01-01 10:00:10")), // equidistant -> earlier (q101)
+      (4L, "B", ts("2026-01-01 10:00:00")), // only a later quote exists
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (101L, "A", ts("2026-01-01 10:00:00"), 10.0),
+      (103L, "A", ts("2026-01-01 10:00:20"), 12.0),
+      (104L, "B", ts("2026-01-01 10:05:00"), 20.0),
+    ).toDF("quote_id", "sym", "qt", "px")
+    val res = AsOfJoin.asofJoinNearest(trades, quotes, Seq("sym"), "t", "qt",
+      Seq("quote_id"))
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(res(1L).contains(101L))
+    assert(res(2L).contains(103L))
+    assert(res(3L).contains(101L)) // tie -> earlier
+    assert(res(4L).contains(104L)) // forward-only match
+  }
+
   test("maxGap tolerance: stale matches are nulled, fresh ones kept") {
     import org.apache.spark.sql.functions.expr
     val trades = Seq(
