@@ -255,6 +255,21 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // per-session stats from the reusable sessionizer: event counts and
+    // wall-clock durations per (user, session) — the user-journey
+    // segmentation downstream of raw sessionization
+    "events_session_stats" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .filter(col("user_id") < 50)
+      graft.operators.Sessionize
+        .assign(ev, "user_id", "ts_sec", "event_id", gapSec = 1800L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_sec")) - min(col("ts_sec"))).as("duration_sec"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // distinct aggregation
     "agg_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
@@ -616,6 +631,27 @@ object RelationalQueries {
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM latest WHERE rn = 1""".stripMargin,
+
+    "events_session_stats" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec
+        |  FROM events WHERE user_id < 50),
+        |lagged AS (
+        |  SELECT user_id, event_id, ts_sec,
+        |    CASE WHEN lag(ts_sec) OVER w IS NULL
+        |           OR ts_sec - lag(ts_sec) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |assigned AS (
+        |  SELECT user_id, ts_sec,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM lagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  CAST(max(ts_sec) - min(ts_sec) AS BIGINT) AS duration_sec
+        |FROM assigned GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "events_sessionize" ->
       """WITH t AS (
