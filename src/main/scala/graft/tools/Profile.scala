@@ -72,6 +72,24 @@ object Profile {
     val full = time("curate end-to-end")(
       Curation.curate(docs, cfg).count())
     println(s"[profile] survivors: $full")
+
+    // native-vs-declarative kernel micro-bench over the full SF corpus
+    val corpus = Tables.documents(spark, sfDir).repartition(col("doc_id"))
+      .select(col("doc_id"), col("text")).persist()
+    corpus.count() // materialize outside the timers
+    def evalAll(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+    time("rolling_fp native")(evalAll(corpus.select(
+      graft.functions.RollingHashExpr.rollingFp(col("text")))))
+    time("rolling_fp declarative")(evalAll(corpus.select(
+      TextFunctions.rollingHashFromCodes(
+        TextFunctions.charCodes(col("text"))))))
+    val th = corpus.withColumn("th", Dedup.tokenHashes(col("text"))).persist()
+    th.count()
+    time("simhash native")(evalAll(th.select(
+      graft.functions.SimHashExpr.simhash64(col("th")))))
+    time("simhash declarative")(evalAll(th.select(
+      Dedup.simhashFromHashes(col("th")))))
     spark.stop()
   }
 }
