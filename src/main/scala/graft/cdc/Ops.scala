@@ -99,8 +99,8 @@ object Ops {
     // formulation: map-side partial min_by collapses duplicates early.
     val firstPerEmail = df
       .groupBy(col("email"))
-      .agg(min_by(struct(df.columns.map(col): _*), col("id")).as("r"))
-    firstPerEmail.select(df.columns.map(c => col(s"r.$c")): _*)
+      .agg(min_by(struct(df.columns.toSeq.map(col): _*), col("id")).as("r"))
+    firstPerEmail.select(df.columns.toSeq.map(c => col(s"r.$c")): _*)
   }
 
   /** Semi-join on id (the test harness's `WHERE id IN (SELECT ...)`,

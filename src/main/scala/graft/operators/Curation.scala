@@ -48,7 +48,7 @@ object Curation {
       if (cfg.keepLangs.isEmpty) docs
       else TextFunctions.withLangScores(docs)
         .filter(col("predicted_lang").isin(cfg.keepLangs.toSeq.map(lit(_)): _*))
-        .select(docs.columns.map(col): _*)
+        .select(docs.columns.toSeq.map(col): _*)
     val gated = langFiltered.filter(qualityGate(col("text"), cfg))
 
     // 3: exact dedup — keep lowest doc_id per content hash (min_by:
@@ -58,8 +58,8 @@ object Curation {
     val hashed = gated.withColumn("__fp", md5(TextFunctions.normalize(col("text"))))
     val exactSurvivors = hashed
       .groupBy(col("__fp"))
-      .agg(min_by(struct(gated.columns.map(col): _*), col("doc_id")).as("r"))
-      .select(gated.columns.map(c => col(s"r.$c")): _*)
+      .agg(min_by(struct(gated.columns.toSeq.map(col): _*), col("doc_id")).as("r"))
+      .select(gated.columns.toSeq.map(c => col(s"r.$c")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4: near dedup — LSH candidates -> exact-Jaccard pairs ->

@@ -155,7 +155,7 @@ object Ivf {
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).sorted
     val indexed = spark.read.parquet(indexDir)
-      .filter(col("list_id").isin(probedLists.map(Int.box): _*))
+      .filter(col("list_id").isin(probedLists.toSeq.map(Int.box): _*))
       .select(col("n_id"), col("n_emb"),
         col("list_id").cast("int").as("list_id"))
     scoreProbes(probes, indexed, k)

@@ -43,7 +43,7 @@ object StreamingCuration {
       else TextFunctions.withLangScores(docs.toDF())
         .filter(col("predicted_lang")
           .isin(cfg.keepLangs.toSeq.map(lit(_)): _*))
-        .select(docs.columns.map(col): _*)
+        .select(docs.columns.toSeq.map(col): _*)
     val gated = langFiltered
       .filter(Curation.qualityGate(col("text"), cfg))
       .withColumn("fp", md5(TextFunctions.normalize(col("text"))))

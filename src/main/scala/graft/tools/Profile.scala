@@ -32,14 +32,14 @@ object Profile {
 
     val langFiltered = TextFunctions.withLangScores(docs)
       .filter(col("predicted_lang").isin("en"))
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.toSeq.map(col): _*)
     val gated = langFiltered.filter(Curation.qualityGate(col("text"), cfg))
     time("lang+gate")(gated.count())
 
     val hashed = gated.withColumn("__fp", md5(TextFunctions.normalize(col("text"))))
     val exact = hashed.groupBy(col("__fp"))
-      .agg(min_by(struct(gated.columns.map(col): _*), col("doc_id")).as("r"))
-      .select(gated.columns.map(c => col(s"r.$c")): _*)
+      .agg(min_by(struct(gated.columns.toSeq.map(col): _*), col("doc_id")).as("r"))
+      .select(gated.columns.toSeq.map(c => col(s"r.$c")): _*)
       .persist()
     time("exact dedup")(exact.count())
 
