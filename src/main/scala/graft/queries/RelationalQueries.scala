@@ -387,15 +387,15 @@ object RelationalQueries {
 
     // sessionization: gap>30min starts a new session (lag + cumulative sum)
     "events_sessionize" -> ((s, dir) => {
+      // per-user session counts via the reusable sessionizer:
+      // n_sessions = the highest session index assigned
       val ev = Tables.events(s, dir)
         .withColumn("ts_sec", unix_timestamp(col("ts")))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
-      ev.withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
-        .withColumn("new_session",
-          when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
-            .otherwise(0))
+      graft.operators.Sessionize
+        .assign(ev, "user_id", "ts_sec", "event_id", gapSec = 1800L)
         .groupBy(col("user_id"))
-        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .agg(max(col("session_idx")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
     }),
   )
