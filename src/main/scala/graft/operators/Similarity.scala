@@ -27,8 +27,12 @@ import graft.functions.CosineSimilarityExpr.cosineSim
   */
 object Similarity {
 
-  /** Deterministic random hyperplanes: `numPlanes` × `dim` gaussians. */
-  private def planes(numPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+  /** Deterministic random hyperplanes: `numPlanes` × `dim` gaussians.
+    * Package-visible so oracle SQL can embed the exact plane values as
+    * literals (the planes are seeded constants, not data).
+    */
+  private[graft] def planes(numPlanes: Int, dim: Int,
+      seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }

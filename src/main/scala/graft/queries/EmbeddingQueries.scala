@@ -78,10 +78,35 @@ object EmbeddingQueries {
     }),
   )
 
+  // The hyperplane-LSH oracle embeds the EXACT plane values as SQL
+  // literals (they are seeded constants, generated here from the same
+  // Similarity.planes call the operator uses — Double.toString
+  // round-trips, so the parsed literals are bit-identical), and mirrors
+  // the signature's sequential dot-product fold with list_reduce.
+  private def planeDotSql(p: Array[Double]): String = {
+    val lit = p.map(_.toString).mkString("[", ", ", "]")
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+      s"j -> embedding[j]::DOUBLE * ($lit::DOUBLE[])[j])), (a, b) -> a + b)"
+  }
+
+  private val lshBucketSql: String =
+    graft.operators.Similarity.planes(10, 64, 42L).zipWithIndex.map {
+      case (p, i) => s"CASE WHEN ${planeDotSql(p)} > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+
   // DuckDB list_cosine_similarity computes the same sequential fold in
   // double precision; outputs are id-only so a last-ulp divergence can
   // only matter on exact rank ties, which the vec_id tiebreak resolves.
   val oracle: Map[String, String] = Map(
+    "embed_neardup_lsh" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, ($lshBucketSql) AS bucket
+        |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet'))
+        |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]) >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
     "embed_label_stats" ->
       """SELECT label, count(*) AS n,
         |  min(embedding[1]) AS min_x0, max(embedding[1]) AS max_x0
