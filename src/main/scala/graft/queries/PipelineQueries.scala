@@ -96,6 +96,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // composite quality ruleset: the Gopher-style gate bundle as one
+    // per-doc verdict — each signal a boolean flag, keep = none firing.
+    // Narrow expressions over materialized token/trigram arrays.
+    "text_quality_flags" -> ((s, dir) => {
+      Tables.documents(s, dir).repartition(col("doc_id"))
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("tg", trigramsFromTokens(col("toks")))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          (TextFunctions.stopwordCount(col("text")).cast("double") /
+            size(col("toks"))).as("stop_ratio"),
+          when(size(col("tg")) > 0,
+            lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
+              size(col("tg")))
+            .otherwise(lit(0.0)).as("dup_trigram_ratio"))
+        .withColumn("flag_short", col("n_tokens") < 16)
+        .withColumn("flag_repetitive", col("dup_trigram_ratio") > 0.1)
+        .withColumn("flag_lowstop", col("stop_ratio") < 0.01)
+        .withColumn("keep",
+          !col("flag_short") && !col("flag_repetitive") &&
+            !col("flag_lowstop"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF term weighting: tf per (doc, term), df per term, idf as an
     // INTEGER-scaled ratio (1000·N div df — rank-monotone in N/df; log
     // damping is applied downstream, kept out of the oracle because
@@ -251,6 +275,9 @@ object PipelineQueries {
     }),
   )
 
+  private val stopListSql =
+    TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+
   private val docsParquet =
     "read_parquet('/root/testdata/sf0.01/documents.parquet')"
   private val embParquet =
@@ -297,6 +324,34 @@ object PipelineQueries {
         |    THEN 1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs)
         |    ELSE 0.0 END) > 0.1 AS is_repetitive
         |FROM tg ORDER BY doc_id""".stripMargin,
+
+    "text_quality_flags" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM $docsParquet),
+        |tg AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1), i ->
+        |        toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |    ELSE []::VARCHAR[] END AS tgs
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(toks, w -> w IN ($stopListSql)))
+        |      AS DOUBLE) / len(toks) AS stop_ratio,
+        |    CASE WHEN len(tgs) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs)
+        |      ELSE 0.0 END AS dup_trigram_ratio
+        |  FROM tg)
+        |SELECT doc_id, n_tokens, stop_ratio, dup_trigram_ratio,
+        |  n_tokens < 16 AS flag_short,
+        |  dup_trigram_ratio > 0.1 AS flag_repetitive,
+        |  stop_ratio < 0.01 AS flag_lowstop,
+        |  NOT (n_tokens < 16) AND NOT (dup_trigram_ratio > 0.1)
+        |    AND NOT (stop_ratio < 0.01) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_tfidf_top" ->
       s"""WITH tf AS (
