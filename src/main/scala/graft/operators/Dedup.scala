@@ -61,8 +61,10 @@ object Dedup {
 
   /** Deterministic (a, b) parameters for the permutation family
     * h_i(x) = (a_i·x + b_i) mod p — seeded, not Math.random.
+    * Package-visible: the native MinHash kernel uses the SAME sequence
+    * so both forms are bit-identical.
     */
-  private def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  private[graft] def perms(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
       rnd.nextInt(Int.MaxValue).toLong))
@@ -111,7 +113,9 @@ object Dedup {
     // spread across all cores/executors, not file-granularity tasks
     val withSig = docs.repartition(col(idCol))
       .withColumn("xs", featureHashesModP(col(textCol), ngram))
-      .withColumn("sig", minhashFromHashes(col("xs"), numHashes, seed))
+      // native kernel; bit-identical to minhashFromHashes (DedupSpec)
+      .withColumn("sig",
+        graft.functions.MinHashExpr.minhash(col("xs"), numHashes, seed))
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         xxhash64(concat_ws("_",

@@ -93,6 +93,21 @@ class DedupSpec extends SparkSpec {
     assert(ham(fps(1L), fps(5L)) > 8)
   }
 
+  test("native minhash expression matches the declarative form exactly") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    for (ngram <- Seq(1, 3)) {
+      val diff = corpus
+        .withColumn("xs", Dedup.featureHashesModP(col("text"), ngram))
+        .select(
+          graft.functions.MinHashExpr.minhash(col("xs")).as("native"),
+          Dedup.minhashFromHashes(col("xs")).as("declarative"))
+        .filter(!(col("native") <=> col("declarative")))
+        .count()
+      assert(diff == 0, s"ngram=$ngram signatures diverge")
+    }
+  }
+
   test("native simhash64 expression matches the declarative fold exactly") {
     val corpus = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
