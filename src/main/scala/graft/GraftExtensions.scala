@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSimilarityExpr, RollingHashExpr, SimHashExpr}
+import graft.functions.{CosineSimilarityExpr, MinHashExpr, RollingHashExpr, SimHashExpr}
 
 /** Session extensions exposing the engine's native expressions to SQL
   * users. Two registration paths:
@@ -54,6 +54,21 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash64 takes exactly 1 argument")
         SimHashExpr(exprs.head)
+      }),
+    (new FunctionIdentifier("minhash64"),
+      new ExpressionInfo(classOf[MinHashExpr].getName, "minhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 3,
+          "minhash64 takes (hashes[, numHashes[, seed]])")
+        def longArg(i: Int, default: Long): Long =
+          if (exprs.length > i) exprs(i) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.toString.toLong
+            case other =>
+              throw new IllegalArgumentException(
+                s"minhash64 arg ${i + 1} must be a literal, got $other")
+          } else default
+        MinHashExpr(exprs.head, longArg(1, 64L).toInt, longArg(2, 42L))
       }),
   )
 

@@ -64,5 +64,9 @@ class RollingHashExprSpec extends SparkSpec {
         .stripMargin)
       .head().getDouble(0)
     assert(cos == 1.0)
+    val mh = spark.sql(
+      "SELECT minhash64(array(CAST(5 AS BIGINT), CAST(7 AS BIGINT)), 8, 42)")
+      .head().getSeq[Long](0)
+    assert(mh.length == 8)
   }
 }
