@@ -90,6 +90,13 @@ object Profile {
       graft.functions.SimHashExpr.simhash64(col("th")))))
     time("simhash declarative")(evalAll(th.select(
       Dedup.simhashFromHashes(col("th")))))
+    val xs = corpus.withColumn("xs",
+      Dedup.featureHashesModP(col("text"), ngram = 1)).persist()
+    xs.count()
+    time("minhash native")(evalAll(xs.select(
+      graft.functions.MinHashExpr.minhash(col("xs")))))
+    time("minhash declarative")(evalAll(xs.select(
+      Dedup.minhashFromHashes(col("xs")))))
     spark.stop()
   }
 }
