@@ -23,6 +23,13 @@ object StreamingDedup {
   /** Deduplicate a (possibly streaming) Dataset by `key`, keeping the
     * first row per key; state entries expire `stateTtlMs` after last
     * touch (0 = never).
+    *
+    * TTL caveat: processing-time timeouts fire when a subsequent
+    * micro-batch executes — the natural fit is a continuously-running
+    * query (the deployment where state GC matters). Under one-shot
+    * `Trigger.AvailableNow` drains, pending timeouts can hold the query
+    * past its drained data; use `stateTtlMs = 0` for drain-style jobs
+    * and let the checkpoint scope the state lifetime instead.
     */
   def firstPerKey[T](ds: Dataset[T], key: T => String,
       stateTtlMs: Long = 0L): Dataset[T] = {
