@@ -24,6 +24,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // 128 MiB scan splits: big enough to amortize task overhead,
+      // small enough that a task's working set fits executor memory at
+      // the 100 TB target — stated explicitly so the sizing intent
+      // survives default changes
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
