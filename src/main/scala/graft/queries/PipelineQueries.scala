@@ -251,6 +251,19 @@ object PipelineQueries {
         .orderBy(col("seq_id"))
     }),
 
+    // benchmark decontamination: flag training docs sharing 8-gram
+    // spans with a held-out eval split (doc_id % 20 = 0). Eval n-gram
+    // set is tiny -> broadcast semi-join; the corpus side never
+    // shuffles. See operators.Decontaminate for the scale story.
+    "decontaminate_ngram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontaminate.report(
+        train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        eval = docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        idCol = "doc_id", textCol = "text", n = 8, threshold = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     // int8 symmetric embedding quantization: per-vector scale =
     // 127/max|x|, quantized values, reconstruction error. Narrow
     // per-row array math — no shuffle; the compression pass before
@@ -428,6 +441,39 @@ object PipelineQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |  md5(string_agg(text, '<|eod|>' ORDER BY doc_id)) AS packed_md5
         |FROM packed GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    "decontaminate_ngram" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM $docsParquet),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 6), i ->
+        |        array_to_string(toks[i:i+7], ' ')))
+        |    ELSE []::VARCHAR[] END AS grams
+        |  FROM d),
+        |eg AS (
+        |  SELECT DISTINCT unnest(grams) AS ngram
+        |  FROM g WHERE doc_id % 20 = 0),
+        |t AS (
+        |  SELECT doc_id, grams, CAST(len(grams) AS INT) AS n_ngrams
+        |  FROM g WHERE doc_id % 20 <> 0),
+        |m AS (
+        |  SELECT tt.doc_id, count(*) AS n_matched
+        |  FROM (SELECT doc_id, unnest(grams) AS ngram FROM t) tt
+        |  JOIN eg USING (ngram)
+        |  GROUP BY tt.doc_id)
+        |SELECT t.doc_id, n_ngrams,
+        |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+        |  CASE WHEN n_ngrams > 0
+        |    THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / n_ngrams
+        |    ELSE 0.0 END AS contamination_ratio,
+        |  (CASE WHEN n_ngrams > 0
+        |    THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / n_ngrams
+        |    ELSE 0.0 END) >= 0.2 AS contaminated
+        |FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "embed_quantize" ->
       s"""WITH s AS (
