@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarityExpr.cosineSim
+
+/** Semantic deduplication over an embedding column (SemDeDup, Abbas et
+  * al. 2023, arXiv:2303.09540): assign every vector to its nearest
+  * centroid, then search for high-cosine duplicate pairs only WITHIN a
+  * cluster — reducing the candidate space from O(n²) to O(Σ cᵢ²) — and
+  * greedily keep the lowest-id member of each duplicate pair.
+  *
+  * Scale shape: the centroid table is k×dim (tiny) and broadcasts;
+  * assignment is one narrow pass over the corpus (O(n·k) dot products
+  * inside whole-stage codegen via the native [[cosineSim]] kernel); the
+  * within-cluster self-join is an equi-join on `cluster_id`, so AQE can
+  * split a skewed cluster the way it splits any hot join key. Nothing
+  * about the plan changes when the corpus is 100 TB — only k must grow
+  * (SemDeDup uses k ≈ √n) to keep clusters bounded.
+  *
+  * Centroid choice is pluggable: [[assign]] takes any (cent_id,
+  * cent_emb) frame. [[firstK]] (k smallest ids) is the deterministic
+  * variant the DuckDB oracle can reproduce; at scale you'd feed
+  * `Ivf.kmeans` centroids instead — the dedup semantics don't care how
+  * the space was partitioned, only that it is.
+  */
+object SemDedup {
+
+  /** Deterministic centroids: the k smallest-id vectors. */
+  def firstK(vectors: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame =
+    vectors.filter(col(idCol) < k)
+      .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
+
+  /** Nearest-centroid assignment: argmax cosine, ties to the smallest
+    * centroid id. Adds `cluster_id` to `vectors`.
+    */
+  def assign(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("cent_id"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("cos", cosineSim(col(embCol), col("cent_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("cos", "rn", "cent_emb")
+      .withColumnRenamed("cent_id", "cluster_id")
+  }
+
+  /** Per-vector dedup report: cluster assignment, cluster size, and the
+    * greedy lowest-id-survives verdict — `is_dup` marks a vector that
+    * has a lower-id cluster-mate at cosine ≥ `threshold`.
+    */
+  def report(vectors: DataFrame, idCol: String, embCol: String,
+      k: Int = 8, threshold: Double = 0.4): DataFrame = {
+    val asg = assign(vectors, firstK(vectors, idCol, embCol, k),
+      idCol, embCol)
+
+    val a = asg.select(col("cluster_id"), col(idCol).as("id_a"),
+      col(embCol).as("emb_a"))
+    val b = asg.select(col("cluster_id"), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"))
+    // dup verdicts: bounded by contamination volume, broadcast back
+    val dups = a.join(b, Seq("cluster_id"))
+      .filter(col("id_b") > col("id_a"))
+      .filter(cosineSim(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("is_dup", lit(true))
+
+    val sizeW = Window.partitionBy(col("cluster_id"))
+    asg.withColumn("n_cluster", count(lit(1)).over(sizeW))
+      .join(broadcast(dups), Seq(idCol), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      .withColumn("kept", !col("is_dup"))
+      .select(col(idCol), col("cluster_id"), col("n_cluster"),
+        col("is_dup"), col("kept"))
+  }
+}

@@ -62,6 +62,15 @@ object EmbeddingQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // SemDeDup: nearest-centroid clustering (k=8, deterministic firstK
+    // centroids) then within-cluster cosine pairs only — the semantic
+    // dedup pass a curation pipeline runs after exact/minhash dedup.
+    "semdedup_embed" -> ((s, dir) => {
+      graft.operators.SemDedup.report(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, threshold = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     // embedding-cosine near-dup: bounded candidate window, threshold
     "embed_neardup_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -139,6 +148,46 @@ object EmbeddingQueries {
         |  FROM scored)
         |SELECT q_id, rank, n_id FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // assignment + pair verdicts mirror the Spark plan exactly; cosine
+    // values are bit-identical (sequential fold both sides) so the
+    // DESC/cent_id ranking and the >= threshold cut agree
+    "semdedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding
+        |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |c AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_emb
+        |  FROM e WHERE vec_id < 8),
+        |s AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[],
+        |      c.cent_emb::DOUBLE[]) AS cos
+        |  FROM e CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cent_id) AS rn
+        |  FROM s),
+        |asg AS (
+        |  SELECT r.vec_id, r.cent_id AS cluster_id, e.embedding
+        |  FROM r JOIN e ON r.vec_id = e.vec_id WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b
+        |    ON a.cluster_id = b.cluster_id AND b.vec_id > a.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]) >= 0.4),
+        |sized AS (
+        |  SELECT vec_id, cluster_id,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_cluster
+        |  FROM asg)
+        |SELECT s.vec_id, s.cluster_id,
+        |  CAST(s.n_cluster AS BIGINT) AS n_cluster,
+        |  d.vec_id IS NOT NULL AS is_dup,
+        |  d.vec_id IS NULL AS kept
+        |FROM sized s LEFT JOIN dups d ON s.vec_id = d.vec_id
+        |ORDER BY s.vec_id""".stripMargin,
 
     "embed_neardup_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
