@@ -264,6 +264,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic global corpus shuffle: training-data ordering as
+    // rank over a seeded md5 key — reproducible across engines, runs,
+    // and partitionings (no rand()). The rank is a DISTRIBUTED prefix
+    // count, not one global window: docs shard by the first hex digit
+    // of the key (a prefix of the order key, so shard order aligns
+    // with global order), each shard ranks locally in parallel, and
+    // the 16 per-shard counts broadcast back as offsets. A single
+    // Window.orderBy would funnel the whole corpus through one
+    // partition's sort — the classic global-row_number scale trap.
+    "shuffle_deterministic" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = md5(concat(lit("epoch1:"), col("doc_id").cast("string"))
+        .cast("binary"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), key.as("k"))
+        .withColumn("shard", substring(col("k"), 1, 1))
+      val localW = Window.partitionBy(col("shard"))
+        .orderBy(col("k"), col("doc_id"))
+      val local = docs.withColumn("local_rn",
+        row_number().over(localW).cast("long"))
+      val offsetW = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(sum(col("n")).over(offsetW), lit(0L)))
+        .select(col("shard"), col("offset"))
+      local.join(broadcast(offsets), Seq("shard"))
+        .select(col("doc_id"),
+          (col("offset") + col("local_rn")).as("shuffle_pos"))
+        .orderBy(col("shuffle_pos"))
+    }),
+
     // int8 symmetric embedding quantization: per-vector scale =
     // 127/max|x|, quantized values, reconstruction error. Narrow
     // per-row array math — no shuffle; the compression pass before
@@ -379,6 +411,13 @@ object PipelineQueries {
         |  CAST(tf * ((1000 * n_docs) // df) AS BIGINT) AS tfidf_scaled
         |FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
         |ORDER BY tfidf_scaled DESC, tfc.term, tfc.doc_id LIMIT 20""".stripMargin,
+
+    "shuffle_deterministic" ->
+      s"""SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5('epoch1:' || doc_id::VARCHAR), doc_id)
+        |    AS shuffle_pos
+        |FROM $docsParquet ORDER BY shuffle_pos""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT lang, count(*) AS n_docs,

@@ -101,6 +101,21 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // full outer join: daily order volume vs daily ship volume — days
+    // that appear on only one side survive with the other count null.
+    // Both sides pre-aggregate before the join (map-side combine), so
+    // the shuffle carries one row per day, not one per order/lineitem.
+    "join_full_outer" -> ((s, dir) => {
+      val od = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val sd = Tables.lineitem(s, dir)
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(count(lit(1)).as("n_ships"))
+      od.join(sd, Seq("day"), "full_outer")
+        .orderBy(col("day"))
+    }),
+
     // window: running revenue per customer over order dates
     "window_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -405,6 +420,17 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "join_full_outer" ->
+      """WITH od AS (
+        |  SELECT o_orderdate AS day, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |sd AS (
+        |  SELECT l_shipdate AS day, count(*) AS n_ships
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, n_orders, n_ships
+        |FROM od FULL JOIN sd USING (day)
+        |ORDER BY day""".stripMargin,
+
     "window_frames" ->
       """SELECT o_custkey, o_orderkey,
         |  lead(o_totalprice, 1, 0.0) OVER w AS next_price,

@@ -87,6 +87,31 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // fuzzy dedup via edit distance on BLOCKED candidates: block on
+    // (lang, n_chars) — near-identical docs keep their exact length —
+    // so candidate generation is one equi-self-join, never an O(n²)
+    // cross product. Verification is Levenshtein over a bounded
+    // 256-char prefix (O(prefix²) per pair regardless of doc size);
+    // report the 25 closest pairs. At 100 TB, widen recall by also
+    // joining adjacent length buckets, or swap the blocker for the
+    // MinHash bander in graft.operators.Dedup — verification stays
+    // the same.
+    "dedup_edit_distance" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          substring(col("text"), 1, 256).as("prefix"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"),
+        col("n_chars"), col("prefix").as("pa"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"),
+        col("n_chars"), col("prefix").as("pb"))
+      a.join(b, Seq("lang", "n_chars"))
+        .filter(col("id_b") > col("id_a"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pa"), col("pb")).as("edit_dist"))
+        .orderBy(col("edit_dist"), col("id_a"), col("id_b"))
+        .limit(25)
+    }),
+
     // generator coverage: explode tokens -> corpus term frequencies
     "text_token_freq" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -228,6 +253,17 @@ object TextQueries {
       """SELECT md5(lower(trim(text))) AS fp,
         |  min(doc_id) AS survivor_id, count(*) AS n_copies
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY fp ORDER BY survivor_id""".stripMargin,
+
+    "dedup_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars, substr(text, 1, 256) AS p
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.n_chars = b.n_chars
+        |  AND b.doc_id > a.doc_id
+        |ORDER BY edit_dist, id_a, id_b LIMIT 25""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       """WITH ws AS (
