@@ -32,6 +32,16 @@ object Decontaminate {
         concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Strided variant: n-grams at every `stride`-th position — the
+    * window shape for repeated-span detection, where stride > 1 bounds
+    * span volume to size/stride per doc instead of one per token.
+    */
+  def stridedNgramsFromTokens(toks: Column, n: Int, stride: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1), lit(stride)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Per-training-doc contamination report against `eval`.
     *
     * Both inputs need (`idCol`, `textCol`). Output: one row per

@@ -264,6 +264,57 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // repeated-span detection (corpus-INTERNAL exact-substring dedup,
+    // vs decontaminate_ngram's train-vs-eval overlap): strided
+    // 16-token windows, one shuffle to count each span's docs via a
+    // window over the span key, one per-doc re-group. The span lambda
+    // is evaluated ONCE — a spans-count self-join would recompute it
+    // per branch. At 100 TB, hash the spans (the strings only exist
+    // here for oracle exactness) and pre-filter boilerplate hot spans
+    // before the window to cap key skew.
+    "dedup_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).repartition(col("doc_id"))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("spans", array_distinct(
+          graft.operators.Decontaminate
+            .stridedNgramsFromTokens(col("toks"), n = 16, stride = 8)))
+      val exploded = docs.select(col("doc_id"),
+        size(col("spans")).as("n_spans"),
+        explode_outer(col("spans")).as("span"))
+      exploded
+        .withColumn("span_docs",
+          count(lit(1)).over(Window.partitionBy(col("span"))))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_spans")).as("n_spans"),
+          sum(when(col("span").isNotNull && col("span_docs") >= 2, 1L)
+            .otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_ratio",
+          when(col("n_spans") > 0,
+            col("n_dup_spans").cast("double") / col("n_spans"))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic per-group sampling: keep the k=5 docs per language
+    // whose seeded md5 key ranks lowest — reproducible group-balanced
+    // subsetting (vs sample_stratified's global keep-rate). Per-group
+    // sort is bounded by group size; at billions of docs per language,
+    // cut first by an md5-prefix pre-filter (sample_stratified's
+    // trick) so the window only ranks survivors.
+    "sample_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val key = md5(concat(lit("s7:"), col("doc_id").cast("string"))
+        .cast("binary"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("k"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), key.as("k"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // deterministic global corpus shuffle: training-data ordering as
     // rank over a seeded md5 key — reproducible across engines, runs,
     // and partitionings (no rand()). The rank is a DISTRIBUTED prefix
@@ -411,6 +462,39 @@ object PipelineQueries {
         |  CAST(tf * ((1000 * n_docs) // df) AS BIGINT) AS tfidf_scaled
         |FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
         |ORDER BY tfidf_scaled DESC, tfc.term, tfc.doc_id LIMIT 20""".stripMargin,
+
+    "dedup_spans" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM $docsParquet),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 16 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 14, 8),
+        |        i -> array_to_string(toks[i:i+15], ' ')))
+        |    ELSE []::VARCHAR[] END AS spans
+        |  FROM d),
+        |e AS (SELECT doc_id, unnest(spans) AS span FROM g),
+        |c AS (SELECT span, count(*) AS n_docs FROM e GROUP BY span),
+        |m AS (
+        |  SELECT e.doc_id, count(*) AS n_dup
+        |  FROM e JOIN c USING (span) WHERE c.n_docs >= 2
+        |  GROUP BY e.doc_id)
+        |SELECT g.doc_id, CAST(len(spans) AS INT) AS n_spans,
+        |  CAST(coalesce(m.n_dup, 0) AS BIGINT) AS n_dup_spans,
+        |  CASE WHEN len(spans) > 0
+        |    THEN CAST(coalesce(m.n_dup, 0) AS DOUBLE) / len(spans)
+        |    ELSE 0.0 END AS dup_ratio
+        |FROM g LEFT JOIN m USING (doc_id) ORDER BY g.doc_id""".stripMargin,
+
+    "sample_per_group" ->
+      s"""SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('s7:' || doc_id::VARCHAR), doc_id) AS INT)
+        |      AS rk
+        |  FROM $docsParquet)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     "shuffle_deterministic" ->
       s"""SELECT doc_id,
