@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Corpus interchange sinks/sources: JSONL (the training-data lingua
+  * franca) and layout-controlled parquet. The format work is Spark's
+  * native json/parquet datasources — what this module adds is the
+  * LAYOUT contract that matters at 100 TB:
+  *
+  *  - bounded file sizes via `maxRecordsPerFile` (readers and object
+  *    stores both hate 100 GB single files and million-file dirs);
+  *  - directory partitioning on a low-cardinality column so downstream
+  *    scans prune whole subtrees (`lang=en/` never read for a `fr` job);
+  *  - intra-file ordering via `sortWithinPartitions` — parquet min/max
+  *    page stats become selective, and same-key rows co-locate for
+  *    downstream merge-friendly reads. Sorting within partitions is a
+  *    local sort, NOT a global shuffle.
+  */
+object CorpusSink {
+
+  /** Write `df` as JSONL under `path/col=value/part-*.json[.gz]`. */
+  def writeJsonl(df: DataFrame, path: String, partitionCol: Option[String],
+      sortCol: String, maxRecordsPerFile: Long,
+      compression: String = "none"): Unit = {
+    val sorted = partitionCol match {
+      case Some(p) => df.repartition(col(p)).sortWithinPartitions(col(p), col(sortCol))
+      case None => df.sortWithinPartitions(col(sortCol))
+    }
+    val w = sorted.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", compression)
+    partitionCol.fold(w)(p => w.partitionBy(p)).json(path)
+  }
+
+  /** Read JSONL with an explicit schema — never schema-inference, which
+    * costs a full extra pass over the corpus and types sampled nulls
+    * wrong. Partition-column predicates prune directories.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Layout-controlled parquet: directory-partitioned, bounded files,
+    * locally sorted rows (min/max stats selective on `sortCol`).
+    */
+  def writeParquet(df: DataFrame, path: String, partitionCol: String,
+      sortCol: String, maxRecordsPerFile: Long): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions(col(partitionCol), col(sortCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
+}

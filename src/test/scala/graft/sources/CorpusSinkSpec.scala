@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType, LongType}
+
+import graft.SparkSpec
+
+/** JSONL + layout-parquet sinks: round-trip fidelity, bounded file
+  * sizes, directory partitioning with scan pruning, intra-file order.
+  */
+class CorpusSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  private def corpus = (1L to 100L).map(i =>
+    (i, if (i % 3 == 0) "fr" else "en", s"doc number $i words"))
+    .toDF("doc_id", "lang", "text")
+
+  test("jsonl round-trips and bounds records per file") {
+    val dir = tmpDir("jsonl")
+    CorpusSink.writeJsonl(corpus, s"$dir/out", partitionCol = Some("lang"),
+      sortCol = "doc_id", maxRecordsPerFile = 10)
+
+    val back = CorpusSink.readJsonl(spark, s"$dir/out", schema)
+    assert(back.count() == 100)
+    // full-fidelity round trip, including the partition column
+    val a = corpus.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = back.select("doc_id", "lang", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+
+    // bounded shards: no json file holds more than maxRecordsPerFile
+    val files = new File(s"$dir/out/lang=en").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty)
+    val counts = files.map(f =>
+      scala.io.Source.fromFile(f).getLines().size)
+    assert(counts.forall(_ <= 10), counts.toSeq.toString)
+    assert(counts.sum == 67) // 100 - 33 multiples of 3
+  }
+
+  test("partition-column predicate prunes jsonl directories") {
+    val dir = tmpDir("jsonlprune")
+    CorpusSink.writeJsonl(corpus, s"$dir/out", partitionCol = Some("lang"),
+      sortCol = "doc_id", maxRecordsPerFile = 1000)
+    val fr = CorpusSink.readJsonl(spark, s"$dir/out", schema)
+      .filter(col("lang") === "fr")
+    // pruned scan: the lang predicate must be a PartitionFilters entry
+    // on the scan (subtree pruning), not a post-scan Filter over all rows
+    val scan = fr.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      scan.take(400))
+    assert(fr.count() == 33)
+  }
+
+  test("layout parquet sorts within files so min/max stats are selective") {
+    val dir = tmpDir("layoutpq")
+    CorpusSink.writeParquet(corpus, s"$dir/out", partitionCol = "lang",
+      sortCol = "doc_id", maxRecordsPerFile = 25)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 100)
+
+    // each file's rows arrive sorted by doc_id (local order preserved)
+    val files = new File(s"$dir/out/lang=en").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"unsorted rows in $f")
+    }
+  }
+}
