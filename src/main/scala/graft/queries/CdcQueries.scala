@@ -219,6 +219,22 @@ object CdcQueries {
         .orderBy(col("hour_s"), col("event_type"))
     }),
 
+    // trending: top-2 event types per hour — tumbling-window aggregate
+    // composed with a per-window rank. The rank partitions by hour, so
+    // its sort is bounded by types-per-hour, never corpus-sized.
+    "events_trending" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(fmt(col("w.start")).as("hour_s"), col("event_type"), col("n"))
+      val rkW = Window.partitionBy(col("hour_s"))
+        .orderBy(col("n").desc, col("event_type"))
+      hourly.withColumn("rk", row_number().over(rkW))
+        .filter(col("rk") <= 2)
+        .orderBy(col("hour_s"), col("rk"))
+    }),
+
     // semi-structured JSON column: extract a typed field from the
     // props payload and aggregate on it (get_json_object pushout)
     "json_extract_props" -> ((s, dir) => {
@@ -332,6 +348,18 @@ object CdcQueries {
         |  CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY hour_s, event_type
         |ORDER BY hour_s, event_type""".stripMargin,
+
+    "events_trending" ->
+      """WITH h AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_s, event_type, count(*) AS n
+        |  FROM events GROUP BY hour_s, event_type)
+        |SELECT hour_s, event_type, n, rk FROM (
+        |  SELECT hour_s, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY hour_s
+        |      ORDER BY n DESC, event_type) AS INT) AS rk
+        |  FROM h)
+        |WHERE rk <= 2 ORDER BY hour_s, rk""".stripMargin,
 
     "json_extract_props" ->
       """SELECT event_type, count(*) AS n,

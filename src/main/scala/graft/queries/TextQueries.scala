@@ -87,6 +87,22 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // corpus length histogram: 16-token buckets with per-bucket doc
+    // and token totals — the length-distribution profile a packing or
+    // filtering stage consults. One map-side-combined aggregate over
+    // however many buckets exist (dozens), regardless of corpus size.
+    "text_length_histogram" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          TextFunctions.tokenCount(col("text")).cast("long"))
+        .groupBy(floor(col("n_tokens") / 16).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("bucket"))
+    }),
+
     // fuzzy dedup via edit distance on BLOCKED candidates: block on
     // (lang, n_chars) — near-identical docs keep their exact length —
     // so candidate generation is one equi-self-join, never an O(n²)
@@ -253,6 +269,15 @@ object TextQueries {
       """SELECT md5(lower(trim(text))) AS fp,
         |  min(doc_id) AS survivor_id, count(*) AS n_copies
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY fp ORDER BY survivor_id""".stripMargin,
+
+    "text_length_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT n_tokens // 16 AS bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "dedup_edit_distance" ->
       """WITH d AS (
