@@ -219,6 +219,20 @@ object CdcQueries {
         .orderBy(col("hour_s"), col("event_type"))
     }),
 
+    // sliding (hopping) windows: 1-hour windows every 15 minutes —
+    // each event lands in 4 overlapping windows. Spark's window()
+    // generator replicates rows per covering window BEFORE the
+    // aggregate, so the shuffle carries (4 × events) pre-combined
+    // partials; restrict to one event type to keep the oracle tight.
+    "events_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(fmt(col("w.start")).as("win_s"), col("n"))
+        .orderBy(col("win_s"))
+    }),
+
     // trending: top-2 event types per hour — tumbling-window aggregate
     // composed with a per-window rank. The rank partitions by hour, so
     // its sort is bounded by types-per-hour, never corpus-sized.
@@ -348,6 +362,17 @@ object CdcQueries {
         |  CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY hour_s, event_type
         |ORDER BY hour_s, event_type""".stripMargin,
+
+    "events_sliding_window" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT b - (k * INTERVAL '15 minutes') AS win
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+        |SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_s,
+        |  count(*) AS n
+        |FROM w GROUP BY win_s ORDER BY win_s""".stripMargin,
 
     "events_trending" ->
       """WITH h AS (

@@ -264,6 +264,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental stats maintenance: per-lang char-length statistics
+    // assembled by MERGING per-batch algebraic partials (three ingest
+    // batches by id range) — never rescanning history. The oracle is a
+    // full one-shot recompute, so the hash-match proves merge ≡
+    // recompute; mean/variance derive from identical integer partials
+    // in both engines (IEEE-exact same ops, same order).
+    "incremental_stats" -> ((s, dir) => {
+      import graft.operators.IncrementalStats
+      val docs = Tables.documents(s, dir)
+      def batch(lo: Long, hi: Long) =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      IncrementalStats.finalize(IncrementalStats.merge(
+        IncrementalStats.partials(batch(0, 200), "lang", "n_chars"),
+        IncrementalStats.partials(batch(200, 400), "lang", "n_chars"),
+        IncrementalStats.partials(batch(400, Long.MaxValue), "lang", "n_chars")))
+        .orderBy(col("lang"))
+    }),
+
     // repeated-span detection (corpus-INTERNAL exact-substring dedup,
     // vs decontaminate_ngram's train-vs-eval overlap): strided
     // 16-token windows, one shuffle to count each span's docs via a
@@ -462,6 +480,21 @@ object PipelineQueries {
         |  CAST(tf * ((1000 * n_docs) // df) AS BIGINT) AS tfidf_scaled
         |FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
         |ORDER BY tfidf_scaled DESC, tfc.term, tfc.doc_id LIMIT 20""".stripMargin,
+
+    "incremental_stats" ->
+      s"""WITH t AS (
+        |  SELECT lang, n_chars::BIGINT AS v FROM $docsParquet),
+        |s AS (
+        |  SELECT lang, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum,
+        |    min(v) AS min, max(v) AS max,
+        |    CAST(sum(v * v) AS BIGINT) AS sumsq
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n, sum, min, max, sumsq,
+        |  CAST(sum AS DOUBLE) / n AS mean,
+        |  CAST(sumsq AS DOUBLE) / n
+        |    - (CAST(sum AS DOUBLE) / n) * (CAST(sum AS DOUBLE) / n)
+        |    AS variance
+        |FROM s ORDER BY lang""".stripMargin,
 
     "dedup_spans" ->
       s"""WITH d AS (

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Corpus interchange sinks/sources: JSONL (the training-data lingua
   * franca) and layout-controlled parquet. The format work is Spark's
@@ -40,6 +40,32 @@ object CorpusSink {
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** JSONL read that QUARANTINES malformed lines instead of nulling or
+    * dropping them: returns (good rows, corrupt raw lines). Ingest at
+    * scale always meets broken shards; silently dropping them skews
+    * the corpus and silently nulling them poisons downstream filters.
+    * PERMISSIVE capture keeps the scan single-pass — no second read to
+    * find the bad lines.
+    */
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    val withCorrupt = spark.read
+      .schema(schema.add(corruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      // corrupt-record capture requires materializing beyond the
+      // corrupt column alone (Spark refuses corrupt-only queries),
+      // so split from one cached projection
+      .cache()
+    val good = withCorrupt.filter(col(corruptCol).isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val bad = withCorrupt.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (good, bad)
+  }
 
   /** Layout-controlled parquet: directory-partitioned, bounded files,
     * locally sorted rows (min/max stats selective on `sortCol`).

@@ -60,6 +60,23 @@ class CorpusSinkSpec extends SparkSpec {
     assert(fr.count() == 33)
   }
 
+  test("quarantine read splits malformed lines from good rows") {
+    val dir = tmpDir("jsonlq")
+    val f = new java.io.PrintWriter(s"$dir/shard.json")
+    f.println("""{"doc_id": 1, "lang": "en", "text": "ok one"}""")
+    f.println("""{"doc_id": 2, "lang": "en", "text": "ok two"}""")
+    f.println("""{"doc_id": 3, "lang": BROKEN""")
+    f.println("""not json at all""")
+    f.close()
+
+    val (good, bad) = CorpusSink.readJsonlQuarantine(spark, dir, schema)
+    assert(good.orderBy("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(good.columns.toSeq == schema.fieldNames.toSeq) // corrupt col not leaked
+    val rawBad = bad.collect().map(_.getString(0)).toSeq.sorted
+    assert(rawBad.size == 2 && rawBad.exists(_.contains("BROKEN"))
+      && rawBad.contains("not json at all"))
+  }
+
   test("layout parquet sorts within files so min/max stats are selective") {
     val dir = tmpDir("layoutpq")
     CorpusSink.writeParquet(corpus, s"$dir/out", partitionCol = "lang",
