@@ -116,6 +116,24 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
+    // dense reporting grid: every (orderstatus × orderpriority) cell,
+    // zero-filled where no orders exist — an intentional CROSS JOIN of
+    // two tiny distinct domains (broadcast NL join over dozens of
+    // rows), then a left join of the real counts onto the grid.
+    "cross_join_grid" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val statuses = ord.select(col("o_orderstatus").as("status")).distinct()
+      val prios = ord.select(col("o_orderpriority").as("priority")).distinct()
+      val counts = ord.groupBy(
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+      statuses.crossJoin(prios)
+        .join(counts, Seq("status", "priority"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .orderBy(col("status"), col("priority"))
+    }),
+
     // window: running revenue per customer over order dates
     "window_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -420,6 +438,18 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "cross_join_grid" ->
+      """WITH s AS (SELECT DISTINCT o_orderstatus AS status FROM orders),
+        |p AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+        |c AS (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT s.status, p.priority, coalesce(c.n, 0) AS n
+        |FROM s CROSS JOIN p
+        |LEFT JOIN c ON c.status = s.status AND c.priority = p.priority
+        |ORDER BY s.status, p.priority""".stripMargin,
+
     "join_full_outer" ->
       """WITH od AS (
         |  SELECT o_orderdate AS day, count(*) AS n_orders

@@ -87,6 +87,25 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // corpus-relative gate: drop docs whose token count falls below
+    // the corpus 25th percentile — a DYNAMIC threshold (scalar
+    // subquery, broadcast as a literal at runtime) instead of a fixed
+    // constant, the way production length filters track corpus drift.
+    "filter_relative_length" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens",
+          TextFunctions.tokenCount(col("text")).cast("long"))
+      // exact interpolated percentile — bit-identical to DuckDB
+      // quantile_cont on integer inputs (see agg_percentiles_exact)
+      val p25 = docs.agg(percentile(col("n_tokens"), lit(0.25)).as("p"))
+      docs.crossJoin(broadcast(p25))
+        .filter(col("n_tokens") >= col("p"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("n_tokens")).as("min_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // corpus length histogram: 16-token buckets with per-bucket doc
     // and token totals — the length-distribution profile a packing or
     // filtering stage consults. One map-side-combined aggregate over
@@ -269,6 +288,16 @@ object TextQueries {
       """SELECT md5(lower(trim(text))) AS fp,
         |  min(doc_id) AS survivor_id, count(*) AS n_copies
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY fp ORDER BY survivor_id""".stripMargin,
+
+    "filter_relative_length" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |p AS (SELECT quantile_cont(n_tokens, 0.25) AS p FROM t)
+        |SELECT lang, count(*) AS n_kept, min(n_tokens) AS min_tokens
+        |FROM t CROSS JOIN p WHERE n_tokens >= p.p
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_length_histogram" ->
       """WITH t AS (
