@@ -116,6 +116,22 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
+    // top-3 orders per customer through the CUSTOM physical operator
+    // (graft.plans.TopKPerGroup: LogicalPlan + Strategy + SparkPlan,
+    // k-bounded heap instead of a per-group sort — no Sort in the
+    // plan). Score salts the orderkey into sub-cent bits so it is
+    // unique: the heap's tie behavior never decides the result, which
+    // is what lets a window-rank oracle hash-match it exactly.
+    "topk_per_group" -> ((s, dir) => {
+      val scored = Tables.orders(s, dir)
+        .filter(col("o_custkey") < 200)
+        .withColumn("score",
+          col("o_totalprice") + col("o_orderkey").cast("double") * 1e-9)
+      graft.plans.TopKPerGroup.topK(scored, Seq("o_custkey"), "score", k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("score"))
+        .orderBy(col("o_custkey"), col("score").desc)
+    }),
+
     // dense reporting grid: every (orderstatus × orderpriority) cell,
     // zero-filled where no orders exist — an intentional CROSS JOIN of
     // two tiny distinct domains (broadcast NL join over dozens of
@@ -438,6 +454,18 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "topk_per_group" ->
+      """WITH scored AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    o_totalprice + o_orderkey::DOUBLE * 0.000000001 AS score
+        |  FROM orders WHERE o_custkey < 200)
+        |SELECT o_custkey, o_orderkey, score FROM (
+        |  SELECT o_custkey, o_orderkey, score,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY score DESC) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY o_custkey, score DESC""".stripMargin,
+
     "cross_join_grid" ->
       """WITH s AS (SELECT DISTINCT o_orderstatus AS status FROM orders),
         |p AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
