@@ -380,6 +380,28 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // null semantics: inject nulls, then exercise null-safe equality
+    // (<=>), NULLIF, two-valued coalesce chains, and null-aware
+    // grouped counts — the ANSI-null corner cases an engine must get
+    // right before any three-valued filter logic can be trusted.
+    "null_semantics" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_custkey") < 100)
+        .withColumn("clerk_n",
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("prio_n", nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+      ord.groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("clerk_n")).as("n_clerk"), // COUNT skips nulls
+          sum(when(col("clerk_n") <=> lit(null).cast("string"), 1L)
+            .otherwise(0L)).as("n_null_safe"),
+          sum(when(col("prio_n").isNull, 1L).otherwise(0L)).as("n_medium"),
+          min(coalesce(col("prio_n"), lit("(none)"))).as("min_prio"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // date parts: extraction + truncation + grouped counts
     "date_parts" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -454,6 +476,22 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "null_semantics" ->
+      """WITH t AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END
+        |      AS clerk_n,
+        |    nullif(o_orderpriority, '3-MEDIUM') AS prio_n
+        |  FROM orders WHERE o_custkey < 100)
+        |SELECT o_custkey, count(*) AS n_rows,
+        |  count(clerk_n) AS n_clerk,
+        |  CAST(sum(CASE WHEN clerk_n IS NOT DISTINCT FROM NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe,
+        |  CAST(sum(CASE WHEN prio_n IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_medium,
+        |  min(coalesce(prio_n, '(none)')) AS min_prio
+        |FROM t GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "topk_per_group" ->
       """WITH scored AS (
         |  SELECT o_custkey, o_orderkey,
