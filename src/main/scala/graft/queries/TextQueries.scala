@@ -135,8 +135,13 @@ object TextQueries {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           substring(col("text"), 1, 256).as("prefix"))
-      val a = d.select(col("doc_id").as("id_a"), col("lang"),
-        col("n_chars"), col("prefix").as("pa"))
+      // spread the probe side: the single-file scan is one task, and
+      // the broadcast join (small dim side) keeps the DP verification
+      // in that one task without this — at real scale, file splits
+      // provide the parallelism and this repartition is a no-op cost
+      val a = d.repartition(col("doc_id"))
+        .select(col("doc_id").as("id_a"), col("lang"),
+          col("n_chars"), col("prefix").as("pa"))
       val b = d.select(col("doc_id").as("id_b"), col("lang"),
         col("n_chars"), col("prefix").as("pb"))
       a.join(b, Seq("lang", "n_chars"))
