@@ -314,6 +314,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic WEIGHTED sampling: per-doc keep probability
+    // n_tokens/256 (capped at 1), decided by comparing the doc's
+    // md5-fraction against a per-doc hex threshold — importance
+    // sampling with zero rand() and zero coordination, the upweighting
+    // move for long documents in a training mix. Fixed-width lowercase
+    // hex strings compare exactly like the 32-bit integers they encode
+    // in both engines.
+    "sample_weighted" -> ((s, dir) => {
+      val nTokens = TextFunctions.tokenCount(col("text")).cast("long")
+      val u = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8)
+      val threshold = lpad(lower(hex(
+        least(nTokens * lit(16777216L), lit(4294967295L)))), 8, "0")
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", nTokens)
+        .withColumn("kept", u < threshold)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // deterministic per-group sampling: keep the k=5 docs per language
     // whose seeded md5 key ranks lowest — reproducible group-balanced
     // subsetting (vs sample_stratified's global keep-rate). Per-group
@@ -519,6 +543,22 @@ object PipelineQueries {
         |    THEN CAST(coalesce(m.n_dup, 0) AS DOUBLE) / len(spans)
         |    ELSE 0.0 END AS dup_ratio
         |FROM g LEFT JOIN m USING (doc_id) ORDER BY g.doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    substr(md5(doc_id::VARCHAR), 1, 8) AS u,
+        |    lpad(lower(to_hex(least(
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) * 16777216,
+        |      4294967295))), 8, '0') AS threshold
+        |  FROM $docsParquet)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN u < threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN u < threshold THEN n_tokens ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "sample_per_group" ->
       s"""SELECT lang, doc_id, rk FROM (

@@ -98,4 +98,43 @@ class EdgeCaseSpec extends SparkSpec {
     val byDoc = packed.map(r => r._1 -> r._2).toMap
     assert(byDoc(2L) == byDoc(1L) + 1)
   }
+
+  test("decontaminate with empty eval set reports zero contamination") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = graft.operators.Decontaminate
+      .report(docs, empty, "doc_id", "text", n = 8)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_matched") == 0L)
+    assert(!out.head.getAs[Boolean]("contaminated"))
+  }
+
+  test("top-k custom operator on empty input returns empty") {
+    val empty = Seq.empty[(Long, Double)].toDF("g", "score")
+    assert(graft.plans.TopKPerGroup
+      .topK(empty, Seq("g"), "score", k = 3).count() == 0)
+  }
+
+  test("incremental stats over disjoint keys unions the key space") {
+    import graft.operators.IncrementalStats
+    val a = IncrementalStats.partials(
+      Seq(("x", 1), ("x", 3)).toDF("k", "v"), "k", "v")
+    val b = IncrementalStats.partials(
+      Seq(("y", 10)).toDF("k", "v"), "k", "v")
+    val m = IncrementalStats.merge(a, b).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(m.toSeq == Seq(("x", 2L, 4L), ("y", 1L, 10L)))
+  }
+
+  test("z-order of a single row and of equal coordinates") {
+    val one = Seq((5L, 9L)).toDF("x", "y")
+      .select(graft.sources.ZOrder.mortonCode($"x", $"y").as("z"))
+      .collect().head.getLong(0)
+    assert(one == ((0x11L /*spread 5*/) | (0x41L /*spread 9*/ << 1)))
+    val eq = Seq((7L, 7L)).toDF("x", "y")
+      .select(graft.sources.ZOrder.mortonCode($"x", $"y").as("z"))
+      .collect().head.getLong(0)
+    assert(eq == 0x3fL) // interleave of equal bits -> doubled bits
+  }
 }
