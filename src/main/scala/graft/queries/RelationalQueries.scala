@@ -380,6 +380,20 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // boolean aggregates: universally/existentially quantified
+    // predicates per group (bool_and/bool_or) — the assertion-style
+    // aggregate a data-quality gate runs per partition key.
+    "agg_boolean" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+          bool_or(col("o_orderstatus") === "F").as("any_final"),
+          bool_and(col("o_custkey").isNotNull).as("keys_complete"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // null semantics: inject nulls, then exercise null-safe equality
     // (<=>), NULLIF, two-valued coalesce chains, and null-aware
     // grouped counts — the ANSI-null corner cases an engine must get
@@ -476,6 +490,14 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "agg_boolean" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'F') AS any_final,
+        |  bool_and(o_custkey IS NOT NULL) AS keys_complete
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "null_semantics" ->
       """WITH t AS (
         |  SELECT o_custkey,

@@ -87,6 +87,24 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // array-function surface over the token arrays: sort, slice,
+    // membership, set-overlap — narrow per-row collection algebra,
+    // reduced to scalars so the cross-engine compare is exact.
+    "array_funcs" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("toks", toks)
+        .select(col("doc_id"),
+          size(col("toks")).as("n"),
+          element_at(sort_array(col("toks")), 1).as("first_sorted"),
+          concat_ws("-", slice(col("toks"), 1, 3)).as("head3"),
+          array_contains(col("toks"), "data").as("has_data"),
+          arrays_overlap(col("toks"),
+            array(lit("table"), lit("stream"))).as("has_table_or_stream"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-relative gate: drop docs whose token count falls below
     // the corpus 25th percentile — a DYNAMIC threshold (scalar
     // subquery, broadcast as a literal at runtime) instead of a fixed
@@ -293,6 +311,19 @@ object TextQueries {
       """SELECT md5(lower(trim(text))) AS fp,
         |  min(doc_id) AS survivor_id, count(*) AS n_copies
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY fp ORDER BY survivor_id""".stripMargin,
+
+    "array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n,
+        |  list_sort(toks)[1] AS first_sorted,
+        |  array_to_string(toks[1:3], '-') AS head3,
+        |  list_contains(toks, 'data') AS has_data,
+        |  len(list_intersect(toks, ['table', 'stream'])) > 0
+        |    AS has_table_or_stream,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "filter_relative_length" ->
       """WITH t AS (
