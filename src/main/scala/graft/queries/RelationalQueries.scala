@@ -380,6 +380,46 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // unpivot (melt): wide per-status aggregate -> long (status,
+    // metric, value) rows — the inverse of pivot, narrow per-row
+    // generate after one aggregation shuffle.
+    "unpivot_metrics" -> ((s, dir) => {
+      val wide = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"),
+          count(lit(1)).cast("double").as("n_orders"),
+          countDistinct(col("o_custkey")).cast("double").as("n_customers"))
+      wide.unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("total_price"), col("n_orders"), col("n_customers")),
+        "metric", "value")
+        .orderBy(col("o_orderstatus"), col("metric"))
+    }),
+
+    // sequence-gap detection: which ids are missing from a dense key
+    // space — expected range anti-joined against actuals. The bounds
+    // are two scalars (legitimately driver-sized, like the IVF
+    // centroid table); spark.range then generates the expected keys
+    // DISTRIBUTED across tasks — an explode(sequence(lo, hi)) would
+    // build the whole range as one row's array in one task.
+    "id_gap_detection" -> ((s, dir) => {
+      // the synthetic keyspace is dense, so drop every 97th key to
+      // give the detector real gaps to find
+      val all = Tables.orders(s, dir).select(col("o_orderkey"))
+      val ord = all.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      // bounds from the UNFILTERED key space: the dropped keys are the
+      // gaps we're hunting, so they must stay inside the range
+      val Array(b) = all.agg(min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi")).collect()
+      val expected = s.range(b.getLong(0), b.getLong(1) + 1)
+        .select(col("id").as("expected_key"))
+      expected.join(ord, expected("expected_key") === ord("o_orderkey"),
+        "left_anti")
+        .orderBy(col("expected_key"))
+        .limit(100)
+    }),
+
     // boolean aggregates: universally/existentially quantified
     // predicates per group (bool_and/bool_or) — the assertion-style
     // aggregate a data-quality gate runs per partition key.
@@ -490,6 +530,28 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "unpivot_metrics" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus,
+        |    CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE)
+        |      AS total_price,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, metric, value FROM wide
+        |UNPIVOT (value FOR metric IN (total_price, n_orders, n_customers))
+        |ORDER BY o_orderstatus, metric""".stripMargin,
+
+    "id_gap_detection" ->
+      """WITH b AS (
+        |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |  FROM orders),
+        |e AS (SELECT unnest(range(lo, hi + 1)) AS expected_key FROM b)
+        |SELECT expected_key FROM e
+        |WHERE expected_key NOT IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)
+        |ORDER BY expected_key LIMIT 100""".stripMargin,
+
     "agg_boolean" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
