@@ -170,6 +170,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Persist the LSH index of a corpus: banded signatures partitioned
+    * by band_id, plus the verification feature arrays — the durable
+    * artifact incremental dedup probes. At 100 TB this is what makes
+    * dedup-of-new-data O(new): the old corpus's signatures and
+    * features are computed exactly once, here.
+    */
+  def writeLshIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L, ngram: Int = 3): Unit = {
+    bandedSignatures(docs, idCol, textCol, numHashes, bands, seed, ngram)
+      .write.partitionBy("band_id").mode("overwrite").parquet(s"$dir/bands")
+    docs.select(col(idCol),
+      array_distinct(features(col(textCol), ngram)).as("feats"))
+      .write.mode("overwrite").parquet(s"$dir/feats")
+  }
+
+  /** Incremental near-dedup: near-dups of `newDocs` against a corpus
+    * indexed by [[writeLshIndex]] (cross pairs: id_a = indexed doc,
+    * id_b = new doc) PLUS within the new batch itself (id_a < id_b).
+    * Only the new batch's signatures are computed; the old corpus
+    * contributes its stored bands and feature arrays. Id spaces must
+    * be disjoint (caller contract — ingest batches have fresh ids).
+    * Same banding/threshold semantics as [[minhashNearDups]], so
+    * incrementally-found pairs match a from-scratch run on the union.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, indexDir: String, threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
+      ngram: Int = 3): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newBanded = bandedSignatures(newDocs, idCol, textCol, numHashes,
+        bands, seed, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldBanded = spark.read.parquet(s"$indexDir/bands")
+      .select(col(idCol), col("band_id").cast("int").as("band_id"),
+        col("band_key"))
+    val cross = oldBanded
+      .select(col(idCol).as("id_a"), col("band_id"), col("band_key"))
+      .join(newBanded.select(col(idCol).as("id_b"), col("band_id"),
+        col("band_key")), Seq("band_id", "band_key"))
+      .select("id_a", "id_b")
+    val withinNew = {
+      val a = newBanded.select(col(idCol).as("id_a"), col("band_id"),
+        col("band_key"))
+      val b = newBanded.select(col(idCol).as("id_b"), col("band_id"),
+        col("band_key"))
+      a.join(b, Seq("band_id", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    val cands = cross.union(withinNew).distinct()
+    val feats = spark.read.parquet(s"$indexDir/feats").unionByName(
+      newDocs.select(col(idCol),
+        array_distinct(features(col(textCol), ngram)).as("feats")))
+    cands
+      .join(feats.select(col(idCol).as("id_a"), col("feats").as("fa")), "id_a")
+      .join(feats.select(col(idCol).as("id_b"), col("feats").as("fb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("fa"), col("fb"))).cast("double") /
+          size(array_union(col("fa"), col("fb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Dedup survivors: drop every doc that near-dups an earlier (lower
     * id) doc. One pass: candidates → verified pairs → distinct id_b →
     * anti-join.
