@@ -141,6 +141,18 @@ object Ivf {
     index(corpus, cents, cId, cEmb)
       .write.partitionBy("list_id").mode("overwrite").parquet(dir)
 
+  /** Append a new vector batch to a disk index written by
+    * [[writeIndex]]: assign against the SAME centroids (the quantizer
+    * is frozen — retrain is a periodic offline job, as in any IVF
+    * deployment) and append to the per-list partitions. Indexing new
+    * data is O(new batch); existing lists are untouched on disk.
+    */
+  def appendToIndex(newVecs: DataFrame, cents: Seq[Array[Double]],
+      dir: String, cId: String = "vec_id",
+      cEmb: String = "embedding"): Unit =
+    index(newVecs, cents, cId, cEmb)
+      .write.partitionBy("list_id").mode("append").parquet(dir)
+
   /** IVF top-k over a disk index written by [[writeIndex]]: the union
     * of the queries' probed lists becomes an `isin` over the partition
     * column — partition pruning reads only those lists' files. The

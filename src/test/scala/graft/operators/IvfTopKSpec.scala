@@ -71,6 +71,23 @@ class IvfTopKSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("append to disk index: new vectors searchable, old lists untouched") {
+    val dir = tmpDir("ivfappend")
+    val cents = Ivf.train(emb, nlist = 8, iters = 2)
+    Ivf.writeIndex(emb, cents, dir)
+
+    // append an exact copy of query vector 3 under a fresh id — after
+    // the append it must surface as that query's top neighbor (cos=1)
+    val clone = emb.filter($"vec_id" === 3)
+      .select(lit(900001L).as("vec_id"), $"embedding", $"label")
+    Ivf.appendToIndex(clone, cents, dir)
+
+    val q = emb.filter($"vec_id" === 3)
+    val hits = Ivf.searchIndex(dir, q, cents, k = 3, nprobe = 2)
+      .select("rank", "n_id").as[(Int, Long)].collect().toMap
+    assert(hits(1) == 900001L, hits.toString)
+  }
+
   test("ivf topk: high recall vs exact brute force") {
     val q = emb.filter($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(q, emb, k = 5)
