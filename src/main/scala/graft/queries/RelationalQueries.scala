@@ -380,6 +380,20 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // argmax/argmin aggregates: the value of one column at another's
+    // extremum per group — single hash-agg, no self-join or window.
+    "agg_minmax_by" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("priciest_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("cheapest_order"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // unpivot (melt): wide per-status aggregate -> long (status,
     // metric, value) rows — the inverse of pivot, narrow per-row
     // generate after one aggregation shuffle.
@@ -530,6 +544,21 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "agg_minmax_by" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
+        |  max(o_totalprice) AS max_price
+        |FROM r GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "unpivot_metrics" ->
       """WITH wide AS (
         |  SELECT o_orderstatus,
