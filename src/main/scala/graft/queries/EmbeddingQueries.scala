@@ -103,10 +103,53 @@ object EmbeddingQueries {
       case (p, i) => s"CASE WHEN ${planeDotSql(p)} > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
 
+  /** Signature SQL for one hyperplane table (mirrors
+    * `Similarity.signature` at the given seed).
+    */
+  private def sigSql(numPlanes: Int, seed: Long): String =
+    graft.operators.Similarity.planes(numPlanes, 64, seed).zipWithIndex.map {
+      case (p, i) => s"CASE WHEN ${planeDotSql(p)} > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** ann_lsh_topk ground truth: the operator probes each query's
+    * bucket and every 1-bit flip in each of 4 tables, so a corpus
+    * vector is a candidate iff hamming(sig_q, sig_n) <= 1 in ANY
+    * table — expressed directly with bit_count(xor(...)), no probe
+    * enumeration. Seeds 42 + 131t match `Similarity.lshTopK`.
+    */
+  private val annLshOracle: String = {
+    val sigs = (0 until 4).map(t => sigSql(12, 42L + 131L * t))
+    val sigCols = sigs.zipWithIndex
+      .map { case (s, t) => s"($s) AS s$t" }.mkString(",\n    ")
+    val hamming = (0 until 4)
+      .map(t => s"bit_count(xor(q.qs$t, e.s$t)) <= 1").mkString(" OR ")
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    $sigCols
+      |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb,
+      |    s0 AS qs0, s1 AS qs1, s2 AS qs2, s3 AS qs3
+      |  FROM e WHERE vec_id < 5),
+      |cand AS (
+      |  SELECT q.q_id, e.vec_id AS n_id, q.q_emb, e.embedding AS n_emb
+      |  FROM q JOIN e ON e.vec_id <> q.q_id AND ($hamming)),
+      |ranked AS (
+      |  SELECT q_id, n_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY
+      |      list_cosine_similarity(q_emb::DOUBLE[], n_emb::DOUBLE[])
+      |        DESC, n_id) AS rank
+      |  FROM cand)
+      |SELECT q_id, rank, n_id FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   // DuckDB list_cosine_similarity computes the same sequential fold in
   // double precision; outputs are id-only so a last-ulp divergence can
   // only matter on exact rank ties, which the vec_id tiebreak resolves.
   val oracle: Map[String, String] = Map(
+    "ann_lsh_topk" -> annLshOracle,
+
     "embed_neardup_lsh" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding, ($lshBucketSql) AS bucket
