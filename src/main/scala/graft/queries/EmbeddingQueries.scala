@@ -147,8 +147,85 @@ object EmbeddingQueries {
   // DuckDB list_cosine_similarity computes the same sequential fold in
   // double precision; outputs are id-only so a last-ulp divergence can
   // only matter on exact rank ties, which the vec_id tiebreak resolves.
+  /** Squared-L2 SQL between a vector and a DOUBLE[] centroid column,
+    * mirroring `Ivf.distances`' sequential fold.
+    */
+  private def l2Sql(centCol: String): String =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+      s"j -> (e.embedding[j]::DOUBLE - $centCol[j]) " +
+      s"* (e.embedding[j]::DOUBLE - $centCol[j]))), (a, b) -> a + b)"
+
+  /** ann_ivf_topk ground truth: the coarse quantizer is DETERMINISTIC
+    * (init = 8 lowest-id vectors, one Lloyd round of per-dimension
+    * means, first-minimum assignment), so the oracle replays training
+    * in SQL — init, assign, per-(list,dim) means rebuilt into centroid
+    * arrays, re-assign, probe the 4 nearest lists per query, exact
+    * cosine rank within probed lists. Float ulp divergence between the
+    * engines' mean/summation orders could only flip exact rank ties,
+    * which the list_id / n_id tiebreaks resolve.
+    */
+  private val annIvfOracle: String =
+    """WITH e AS (SELECT vec_id, embedding
+      |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+      |         embedding
+      |       FROM e ORDER BY vec_id LIMIT 8),
+      |d1 AS (
+      |  SELECT e.vec_id, c0.list_id,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |      j -> (e.embedding[j]::DOUBLE - c0.embedding[j]::DOUBLE)
+      |         * (e.embedding[j]::DOUBLE - c0.embedding[j]::DOUBLE))),
+      |      (a, b) -> a + b) AS d
+      |  FROM e CROSS JOIN c0),
+      |a1 AS (
+      |  SELECT vec_id, list_id FROM (
+      |    SELECT vec_id, list_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id)
+      |        AS r
+      |    FROM d1) WHERE r = 1),
+      |m AS (
+      |  SELECT a1.list_id, j, avg(e.embedding[j]::DOUBLE) AS v
+      |  FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(j)
+      |  GROUP BY a1.list_id, j),
+      |c1 AS (SELECT list_id, list(v ORDER BY j) AS cent
+      |       FROM m GROUP BY list_id),
+      |cents AS (
+      |  SELECT c0.list_id,
+      |    coalesce(c1.cent,
+      |      list_transform(range(1, 65), j -> c0.embedding[j]::DOUBLE))
+      |      AS cent
+      |  FROM c0 LEFT JOIN c1 USING (list_id)),
+      |idx AS (
+      |  SELECT vec_id AS n_id, list_id FROM (
+      |    SELECT e.vec_id, cents.list_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        __L2__, cents.list_id) AS r
+      |    FROM e CROSS JOIN cents) WHERE r = 1),
+      |probes AS (
+      |  SELECT q_id, list_id FROM (
+      |    SELECT e.vec_id AS q_id, cents.list_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        __L2__, cents.list_id) AS r
+      |    FROM e CROSS JOIN cents WHERE e.vec_id < 5) WHERE r <= 4),
+      |cand AS (
+      |  SELECT p.q_id, i.n_id
+      |  FROM probes p JOIN idx i USING (list_id)
+      |  WHERE i.n_id <> p.q_id),
+      |ranked AS (
+      |  SELECT c.q_id, c.n_id,
+      |    row_number() OVER (PARTITION BY c.q_id ORDER BY
+      |      list_cosine_similarity(qe.embedding::DOUBLE[],
+      |        ne.embedding::DOUBLE[]) DESC, c.n_id) AS rank
+      |  FROM cand c
+      |  JOIN e qe ON qe.vec_id = c.q_id
+      |  JOIN e ne ON ne.vec_id = c.n_id)
+      |SELECT q_id, rank, n_id FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+      .replace("__L2__", l2Sql("cents.cent"))
+
   val oracle: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshOracle,
+    "ann_ivf_topk" -> annIvfOracle,
 
     "embed_neardup_lsh" ->
       s"""WITH e AS (
