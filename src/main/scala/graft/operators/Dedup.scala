@@ -421,14 +421,26 @@ object Dedup {
     * least one exact chunk — and join on (chunk_id, chunk_value).
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxBits: Int = 3): DataFrame = {
+      maxBits: Int = 3): DataFrame =
+    simhashNearDupsFromHashes(
+      docs.repartition(col(idCol))
+        .withColumn("__th", tokenHashes(col(textCol))),
+      idCol, "__th", maxBits)
+
+  /** SimHash near-dedup over a CALLER-SUPPLIED token-hash column — the
+    * kernel and banding are hash-agnostic, so any stable 64-bit token
+    * hash works (xxhash64 by default via [[simhashNearDups]]; an
+    * md5-derived hash when cross-engine reproducibility matters).
+    */
+  def simhashNearDupsFromHashes(docs: DataFrame, idCol: String,
+      hashesCol: String, maxBits: Int = 3): DataFrame = {
     val chunks = maxBits + 1
     val width = 64 / chunks
-    val withFp = docs.repartition(col(idCol))
-      .withColumn("th", tokenHashes(col(textCol)))
+    val withFp = docs
       // native codegen'd kernel; bit-identical to simhashFromHashes
       // (DedupSpec pins the equivalence)
-      .withColumn("fp", graft.functions.SimHashExpr.simhash64(col("th")))
+      .withColumn("fp",
+        graft.functions.SimHashExpr.simhash64(col(hashesCol)))
     val banded = withFp.withColumn("chunk", explode(array(
       (0 until chunks).map { c =>
         struct(lit(c).as("chunk_id"),

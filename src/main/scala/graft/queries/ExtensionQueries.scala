@@ -44,9 +44,20 @@ object ExtensionQueries {
     }),
 
     // SimHash near-dup via pigeonhole chunk banding
+    // SimHash near-dedup over md5-derived 60-bit token hashes: the
+    // kernel/banding are hash-agnostic, and md5 is computable in both
+    // engines, which makes this query oracle-exact (pigeonhole
+    // banding at maxBits=3 has recall 1, so the banded result IS the
+    // brute-force ground truth). The xxhash64 default stays the
+    // production path (`Dedup.simhashNearDups`, spec-covered).
     "dedup_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-      Dedup.simhashNearDups(docs, "doc_id", "text", maxBits = 3)
+        .repartition(col("doc_id"))
+        .withColumn("th",
+          transform(graft.functions.TextFunctions.tokens(col("text")),
+            t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10)
+              .cast("long")))
+      Dedup.simhashNearDupsFromHashes(docs, "doc_id", "th", maxBits = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

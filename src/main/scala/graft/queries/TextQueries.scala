@@ -344,6 +344,33 @@ object TextQueries {
         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // SimHash ground truth: rebuild the fingerprint from the same
+    // md5-60-bit token hashes (sign-of-sum per bit, strict > 0), then
+    // brute-force all pairs at hamming <= 3 — pigeonhole banding in
+    // the engine has recall 1 at this threshold, so the sets match.
+    "dedup_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '),
+        |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |  WHERE doc_id < 500),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(0, 64), i ->
+        |        CASE WHEN list_reduce(list_prepend(0,
+        |            list_transform(th, h -> (((h >> i) & 1) * 2 - 1)::INT)),
+        |            (a, b) -> a + b) > 0
+        |        THEN (1::BIGINT << i) ELSE 0::BIGINT END)),
+        |      (a, b) -> a + b) AS fp
+        |  FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming_bits
+        |FROM f a JOIN f b ON b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_edit_distance" ->
       """WITH d AS (
         |  SELECT doc_id, lang, n_chars, substr(text, 1, 256) AS p
