@@ -73,4 +73,30 @@ object Curation {
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
       .withColumn("n_chars", length(col("text")))
   }
+
+  /** Incremental curation: gate a NEW ingest batch, then drop every
+    * row that near-dups the corpus behind `indexDir` (written by
+    * `Dedup.writeLshIndex`) or an earlier row of the same batch —
+    * the steady-state shape once a corpus exists: per-batch cost is
+    * O(batch), the indexed history is never re-read as text. Returns
+    * surviving batch rows with stats, ready to append to the corpus
+    * (and to [[graft.operators.Dedup.writeLshIndex]]'s next refresh).
+    */
+  def curateIncremental(newDocs: DataFrame, indexDir: String,
+      cfg: Config = Config()): DataFrame = {
+    val langFiltered =
+      if (cfg.keepLangs.isEmpty) newDocs
+      else TextFunctions.withLangScores(newDocs)
+        .filter(col("predicted_lang").isin(cfg.keepLangs.toSeq.map(lit(_)): _*))
+        .select(newDocs.columns.toSeq.map(col): _*)
+    val gated = langFiltered.filter(qualityGate(col("text"), cfg))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every batch row that near-dups the index or an earlier batch row
+    val losers = Dedup.dedupAgainstIndex(gated, "doc_id", "text",
+      indexDir, cfg.nearDupThreshold, ngram = cfg.nearDupNgram)
+      .select(col("id_b").as("doc_id")).distinct()
+    gated.join(losers, Seq("doc_id"), "left_anti")
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .withColumn("n_chars", length(col("text")))
+  }
 }

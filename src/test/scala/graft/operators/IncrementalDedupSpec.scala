@@ -53,4 +53,16 @@ class IncrementalDedupSpec extends SparkSpec {
     // the incremental view IS the full pair set
     assert(incremental == scratch)
   }
+
+  test("curateIncremental drops index-dups and batch-dups, keeps novel") {
+    val dir = tmpDir("lshidx3")
+    Dedup.writeLshIndex(oldCorpus, "doc_id", "text", dir, ngram = 1)
+    val out = Curation.curateIncremental(newBatch, dir,
+      Curation.Config(keepLangs = Set.empty, minTokens = 1,
+        nearDupThreshold = 0.7, nearDupNgram = 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 101 dups the indexed doc 1; 103 dups earlier batch row 102;
+    // 102 survives as its pair's first row; 104 is novel
+    assert(out == Set(102L, 104L))
+  }
 }
