@@ -91,9 +91,11 @@ object Curation {
         .select(newDocs.columns.toSeq.map(col): _*)
     val gated = langFiltered.filter(qualityGate(col("text"), cfg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // every batch row that near-dups the index or an earlier batch row
+    // every batch row that near-dups the index or an earlier batch
+    // row (the index's own metadata fixes the feature space — the
+    // write-time ngram wins over cfg.nearDupNgram by construction)
     val losers = Dedup.dedupAgainstIndex(gated, "doc_id", "text",
-      indexDir, cfg.nearDupThreshold, ngram = cfg.nearDupNgram)
+      indexDir, cfg.nearDupThreshold)
       .select(col("id_b").as("doc_id")).distinct()
     gated.join(losers, Seq("doc_id"), "left_anti")
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))

@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the benchmark side is tiny relative to the corpus
   * (thousands of eval docs vs billions of training docs), so the
-  * distinct eval n-gram set builds once and BROADCASTS; the training
-  * side streams through a map-side semi-join — no shuffle touches the
-  * 100 TB side. Per-doc totals are computed from the materialized
-  * n-gram array BEFORE the explode, so unmatched docs never enter the
-  * join at all and short docs (< n tokens) are preserved with zero
-  * grams rather than dropped by the explode.
+  * distinct eval n-gram set builds once and BROADCASTS, and the
+  * corpus side tags hits in a map-side broadcast join. The only
+  * corpus-side shuffle is the per-doc re-group, whose partial
+  * aggregation collapses each doc to ONE tiny count row before the
+  * exchange — document text never shuffles (unless the caller opts
+  * into `spreadSmallInput`, a test-scale convenience). Short docs
+  * (< n tokens) are preserved as zero-gram rows via explode_outer.
   */
 object Decontaminate {
 
@@ -27,14 +28,11 @@ object Decontaminate {
     * `Dedup.minhashFromHashes` documents).
     */
   def wordNgramsFromTokens(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    stridedNgramsFromTokens(toks, n, stride = 1)
 
-  /** Strided variant: n-grams at every `stride`-th position — the
-    * window shape for repeated-span detection, where stride > 1 bounds
-    * span volume to size/stride per doc instead of one per token.
+  /** N-grams at every `stride`-th position — stride 1 is the dense
+    * n-gram window; stride > 1 bounds span volume to size/stride per
+    * doc (the repeated-span detection shape).
     */
   def stridedNgramsFromTokens(toks: Column, n: Int, stride: Int): Column =
     when(size(toks) >= n,
@@ -51,7 +49,8 @@ object Decontaminate {
     * any eval doc).
     */
   def report(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 8, threshold: Double = 0.2): DataFrame = {
+      textCol: String, n: Int = 8, threshold: Double = 0.2,
+      spreadSmallInput: Boolean = false): DataFrame = {
     def withGrams(df: DataFrame): DataFrame = df
       .withColumn("toks", split(col(textCol), " "))
       .withColumn("grams",
@@ -67,10 +66,14 @@ object Decontaminate {
     // interpreted n-gram lambda twice over the whole corpus — measured
     // 2× the runtime of this single-pass shape.) explode_outer keeps
     // zero-gram short docs as a null-gram row that matches nothing.
-    // The repartition spreads gram-building across cores when the
-    // input arrives as one small file; at real scale file splits
-    // already provide this parallelism.
-    val exploded = withGrams(train.repartition(col(idCol)))
+    // `spreadSmallInput` shuffles the corpus ONCE to spread
+    // gram-building across cores when the input arrives as one small
+    // file (bench/test scale); leave it off at real scale, where file
+    // splits already provide the parallelism and shuffling document
+    // text would be pure waste.
+    val spread =
+      if (spreadSmallInput) train.repartition(col(idCol)) else train
+    val exploded = withGrams(spread)
       .select(col(idCol), size(col("grams")).as("n_ngrams"),
         explode_outer(col("grams")).as("ngram"))
     exploded

@@ -179,27 +179,48 @@ object Dedup {
   def writeLshIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, numHashes: Int = 64, bands: Int = 16,
       seed: Long = 42L, ngram: Int = 3): Unit = {
+    val spark = docs.sparkSession
     bandedSignatures(docs, idCol, textCol, numHashes, bands, seed, ngram)
       .write.partitionBy("band_id").mode("overwrite").parquet(s"$dir/bands")
     docs.select(col(idCol),
       array_distinct(features(col(textCol), ngram)).as("feats"))
       .write.mode("overwrite").parquet(s"$dir/feats")
+    // the index is SELF-DESCRIBING: probes must reuse the exact
+    // signature parameters or band keys silently never match (the
+    // zero-recall hazard `features` documents) — so persist them
+    import spark.implicits._
+    Seq((numHashes, bands, seed, ngram))
+      .toDF("num_hashes", "bands", "seed", "ngram")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The signature parameters an index at `dir` was built with. */
+  def readLshIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Long, Int) = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    (r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
+      r.getAs[Long]("seed"), r.getAs[Int]("ngram"))
   }
 
   /** Incremental near-dedup: near-dups of `newDocs` against a corpus
     * indexed by [[writeLshIndex]] (cross pairs: id_a = indexed doc,
     * id_b = new doc) PLUS within the new batch itself (id_a < id_b).
     * Only the new batch's signatures are computed; the old corpus
-    * contributes its stored bands and feature arrays. Id spaces must
-    * be disjoint (caller contract — ingest batches have fresh ids).
-    * Same banding/threshold semantics as [[minhashNearDups]], so
-    * incrementally-found pairs match a from-scratch run on the union.
+    * contributes its stored bands and feature arrays, and the
+    * signature parameters (numHashes/bands/seed/ngram) come from the
+    * index's own metadata — probing with different parameters would
+    * silently produce zero recall, so there is no way to pass them.
+    * Id spaces must be disjoint (caller contract — ingest batches
+    * have fresh ids). Same banding/threshold semantics as
+    * [[minhashNearDups]], so incrementally-found pairs match a
+    * from-scratch run on the union.
     */
   def dedupAgainstIndex(newDocs: DataFrame, idCol: String,
-      textCol: String, indexDir: String, threshold: Double = 0.7,
-      numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
-      ngram: Int = 3): DataFrame = {
+      textCol: String, indexDir: String,
+      threshold: Double = 0.7): DataFrame = {
     val spark = newDocs.sparkSession
+    val (numHashes, bands, seed, ngram) =
+      readLshIndexMeta(spark, indexDir)
     val newBanded = bandedSignatures(newDocs, idCol, textCol, numHashes,
         bands, seed, ngram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -69,17 +69,29 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
     child.execute().mapPartitions { (iter: Iterator[InternalRow]) =>
       val keyProj = UnsafeProjection.create(groupExprs, child.output)
       val score = BindReferences.bindReference(scoreExpr, child.output)
-      // min-heap per group: head = smallest kept score, evicted first
-      val ord: Ordering[(Double, InternalRow)] = Ordering.by(t => -t._1)
+      // min-heap per group (head = smallest kept score, evicted first),
+      // ordered by Double.compare — the TOTAL order Spark's sort uses,
+      // so NaN ranks above every finite score exactly like the
+      // window-rank formulation (IEEE `>` would silently drop NaNs
+      // arriving after the heap fills, making results arrival-order-
+      // dependent)
+      val ord: Ordering[(Double, InternalRow)] =
+        (a, b) => java.lang.Double.compare(b._1, a._1)
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, InternalRow)]]
       iter.foreach { row =>
         val s = score.eval(row)
         if (s != null) {
           val sc = s.asInstanceOf[Double]
-          val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-            mutable.PriorityQueue.empty(ord))
+          // probe with the projection's reused buffer; copy the key
+          // only when this group is first seen
+          val probe = keyProj(row)
+          val heap = heaps.getOrElse(probe, {
+            val h = mutable.PriorityQueue.empty[(Double, InternalRow)](ord)
+            heaps.put(probe.copy(), h)
+            h
+          })
           if (heap.size < k) heap.enqueue((sc, row.copy()))
-          else if (sc > heap.head._1) {
+          else if (java.lang.Double.compare(sc, heap.head._1) > 0) {
             heap.dequeue()
             heap.enqueue((sc, row.copy()))
           }

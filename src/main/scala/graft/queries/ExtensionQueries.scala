@@ -7,17 +7,18 @@ import graft.Tables
 import graft.operators.{Curation, Dedup, Ivf, Similarity}
 import graft.sources.Multimodal
 
-/** Training-data-pipeline operator queries. Several started rows-only
-  * and were later oracled as the cross-engine technique emerged
-  * (curation_pipeline via recursive-CTE clustering, dedup_minhash_lsh
+/** Training-data-pipeline operator queries. Most started rows-only
+  * and were later oracled as the cross-engine technique emerged:
+  * curation_pipeline via recursive-CTE clustering, dedup_minhash_lsh
   * via the aggressive-recall banding dial, multimodal_features and
-  * text_rolling_fp via DuckDB list-lambda folds — oracles live in
-  * TextQueries). The still-rows-only entries are genuinely
-  * un-oracleable: engine-specific hash families (xxhash64 SimHash),
-  * Scala-RNG hyperplane literals, approximate-by-design probes
-  * (nprobe < nlist IVF), engine sketches, and the seeded generator —
-  * each exactness-covered by ScalaTest specs instead (DedupSpec,
-  * SimilaritySpec, IvfTopKSpec recall bounds, SeederSpec).
+  * text_rolling_fp via DuckDB list-lambda folds, dedup_simhash via an
+  * md5-derived token-hash basis, ann_lsh_topk via plane-literal SQL
+  * (multi-probe ≡ hamming ≤ 1), and ann_ivf_topk by replaying the
+  * deterministic Lloyd training in SQL (oracles live in TextQueries /
+  * EmbeddingQueries). Only TWO entries remain rows-only — engine
+  * sketches (agg_sketches) and the rand()-seeded generator
+  * (cdc_seeder) — each exactness-covered by ScalaTest specs instead
+  * (SeederSpec determinism/shape; sketch bounds in suite).
   *
   * The synthetic documents corpus is mutually similar by construction
   * (shared vocabulary), which is the LSH worst case — so the LSH

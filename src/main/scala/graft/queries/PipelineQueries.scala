@@ -260,7 +260,8 @@ object PipelineQueries {
       graft.operators.Decontaminate.report(
         train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
         eval = docs.filter(pmod(col("doc_id"), lit(20)) === 0),
-        idCol = "doc_id", textCol = "text", n = 8, threshold = 0.2)
+        idCol = "doc_id", textCol = "text", n = 8, threshold = 0.2,
+        spreadSmallInput = true) // single-file testdata → spread cores
         .orderBy(col("doc_id"))
     }),
 

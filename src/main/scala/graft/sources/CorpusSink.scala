@@ -20,12 +20,22 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 object CorpusSink {
 
-  /** Write `df` as JSONL under `path/col=value/part-*.json[.gz]`. */
+  /** Write `df` as JSONL under `path/col=value/part-*.json[.gz]`.
+    *
+    * Layout shuffle is `repartitionByRange(partitionCol, sortCol)` —
+    * NOT `repartition(partitionCol)`, which would collapse the write
+    * to one task per distinct partition value and serialize the whole
+    * corpus through a handful of writers. Range partitioning keeps
+    * every core writing while each task still covers a contiguous
+    * (partition, sort) slice, so dynamic-partition writes stay tidy
+    * (a task touches few partition dirs) and rows arrive sorted.
+    */
   def writeJsonl(df: DataFrame, path: String, partitionCol: Option[String],
       sortCol: String, maxRecordsPerFile: Long,
       compression: String = "none"): Unit = {
     val sorted = partitionCol match {
-      case Some(p) => df.repartition(col(p)).sortWithinPartitions(col(p), col(sortCol))
+      case Some(p) => df.repartitionByRange(col(p), col(sortCol))
+        .sortWithinPartitions(col(p), col(sortCol))
       case None => df.sortWithinPartitions(col(sortCol))
     }
     val w = sorted.write.mode("overwrite")
@@ -41,15 +51,23 @@ object CorpusSink {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** A quarantined read: `good` rows, `bad` raw lines, and `release()`
+    * to drop the shared cache once both sides are consumed.
+    */
+  final case class QuarantinedRead(good: DataFrame, bad: DataFrame,
+      release: () => Unit)
+
   /** JSONL read that QUARANTINES malformed lines instead of nulling or
-    * dropping them: returns (good rows, corrupt raw lines). Ingest at
-    * scale always meets broken shards; silently dropping them skews
-    * the corpus and silently nulling them poisons downstream filters.
-    * PERMISSIVE capture keeps the scan single-pass — no second read to
-    * find the bad lines.
+    * dropping them. Ingest at scale always meets broken shards;
+    * silently dropping them skews the corpus and silently nulling
+    * them poisons downstream filters. PERMISSIVE capture keeps the
+    * scan single-pass — no second read to find the bad lines. The
+    * parsed scan is cached so good/bad don't re-read; call
+    * `release()` when done or the cache pins corpus-sized storage for
+    * the session.
     */
   def readJsonlQuarantine(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): QuarantinedRead = {
     val corruptCol = "_corrupt_record"
     val withCorrupt = spark.read
       .schema(schema.add(corruptCol, StringType))
@@ -64,15 +82,17 @@ object CorpusSink {
       .select(schema.fieldNames.map(col).toSeq: _*)
     val bad = withCorrupt.filter(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw_line"))
-    (good, bad)
+    QuarantinedRead(good, bad, () => { withCorrupt.unpersist(); () })
   }
 
   /** Layout-controlled parquet: directory-partitioned, bounded files,
-    * locally sorted rows (min/max stats selective on `sortCol`).
+    * locally sorted rows (min/max stats selective on `sortCol`). Same
+    * range-shuffle rationale as [[writeJsonl]]: parallelism survives a
+    * low-cardinality partition column.
     */
   def writeParquet(df: DataFrame, path: String, partitionCol: String,
       sortCol: String, maxRecordsPerFile: Long): Unit =
-    df.repartition(col(partitionCol))
+    df.repartitionByRange(col(partitionCol), col(sortCol))
       .sortWithinPartitions(col(partitionCol), col(sortCol))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)

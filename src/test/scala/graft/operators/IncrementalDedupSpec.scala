@@ -29,8 +29,9 @@ class IncrementalDedupSpec extends SparkSpec {
   test("finds cross-index and within-batch pairs without old recompute") {
     val dir = tmpDir("lshidx")
     Dedup.writeLshIndex(oldCorpus, "doc_id", "text", dir, ngram = 1)
+    // signature params come from the index's own metadata
     val pairs = Dedup.dedupAgainstIndex(newBatch, "doc_id", "text", dir,
-      threshold = 0.7, ngram = 1)
+      threshold = 0.7)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 101L), (102L, 103L)))
@@ -41,7 +42,7 @@ class IncrementalDedupSpec extends SparkSpec {
     Dedup.writeLshIndex(oldCorpus, "doc_id", "text", dir, ngram = 1)
     val incremental = Dedup
       .dedupAgainstIndex(newBatch, "doc_id", "text", dir,
-        threshold = 0.7, ngram = 1)
+        threshold = 0.7)
       .select("id_a", "id_b").collect()
       .map(r => Set(r.getLong(0), r.getLong(1))).toSet
     val scratch = Dedup

@@ -39,6 +39,22 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!plan.contains("Sort "), "unexpected sort in:\n" + plan.take(800))
   }
 
+  test("NaN scores rank above finite ones, like the window formulation") {
+    // NaN arrives AFTER the heap fills — the arrival order that an
+    // IEEE `>` eviction test would silently drop
+    val data = Seq((1, 10L, 3.0), (1, 11L, 4.0),
+      (1, 12L, Double.NaN), (1, 13L, 5.0))
+      .toDF("g", "row_id", "score")
+    val custom = TopKPerGroup.topK(data, Seq("g"), "score", k = 2)
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    val w = Window.partitionBy($"g").orderBy($"score".desc)
+    val expected = data.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 2).select("row_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(expected == Set(12L, 13L)) // Spark sorts NaN largest
+    assert(custom == expected)
+  }
+
   test("k >= group size returns whole groups; null scores drop") {
     val small = Seq((1, 10L, Some(5.0)), (1, 11L, Some(7.0)),
       (2, 20L, None), (2, 21L, Some(1.0)))

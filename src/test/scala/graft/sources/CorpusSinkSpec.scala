@@ -69,12 +69,13 @@ class CorpusSinkSpec extends SparkSpec {
     f.println("""not json at all""")
     f.close()
 
-    val (good, bad) = CorpusSink.readJsonlQuarantine(spark, dir, schema)
-    assert(good.orderBy("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
-    assert(good.columns.toSeq == schema.fieldNames.toSeq) // corrupt col not leaked
-    val rawBad = bad.collect().map(_.getString(0)).toSeq.sorted
+    val q = CorpusSink.readJsonlQuarantine(spark, dir, schema)
+    assert(q.good.orderBy("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(q.good.columns.toSeq == schema.fieldNames.toSeq) // corrupt col not leaked
+    val rawBad = q.bad.collect().map(_.getString(0)).toSeq.sorted
     assert(rawBad.size == 2 && rawBad.exists(_.contains("BROKEN"))
       && rawBad.contains("not json at all"))
+    q.release() // drops the shared scan cache
   }
 
   test("layout parquet sorts within files so min/max stats are selective") {
