@@ -380,6 +380,22 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // rank statistics: rank / dense_rank / percent_rank / cume_dist —
+    // all tie-stable (equal inputs get equal outputs), so the result
+    // is deterministic even over tied prices; the doubles derive from
+    // integer ranks, hence exact cross-engine.
+    "window_rank_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .orderBy(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+    }),
+
     // argmax/argmin aggregates: the value of one column at another's
     // extremum per group — single hash-agg, no self-join or window.
     "agg_minmax_by" -> ((s, dir) => {
@@ -544,6 +560,16 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "window_rank_stats" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+        |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin,
+
     "agg_minmax_by" ->
       """WITH r AS (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,

@@ -73,7 +73,29 @@ object PipelineDemo {
       .head()
     println(s"[demo] packed sequences: ${stats.getLong(0)} " +
       s"totalTokens=${stats.getLong(1)} maxSeqTokens=${stats.getLong(2)}")
-    println(s"[demo] artifacts: $curatedDir  $seqDir")
+
+    // 4. steady state: index the curated corpus once, then curate a
+    //    NEW ingest batch incrementally — near-dups against the index
+    //    (and within the batch) drop at O(batch) cost
+    val idxDir = s"$root/lsh-index"
+    graft.operators.Dedup.writeLshIndex(
+      spark.read.parquet(curatedDir), "doc_id", "text", idxDir, ngram = 1)
+    val newBatch = spark.read.parquet(curatedDir)
+      .limit(20) // replay some curated docs as a "new" crawl drop...
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang")) // ...under fresh ids: all should dedup away
+      .unionByName(spark.range(1).select(
+        lit(2000000L).as("doc_id"),
+        lit("a genuinely novel document about nothing seen before today")
+          .as("text"),
+        lit("en").as("lang")))
+    val incremental = Curation.curateIncremental(newBatch, idxDir,
+      Curation.Config(keepLangs = Set("en"), minTokens = 5,
+        nearDupThreshold = 0.9, nearDupNgram = 1))
+    println(s"[demo] incremental batch: ${newBatch.count()} in -> " +
+      s"${incremental.count()} survivors (replayed dups dropped)")
+
+    println(s"[demo] artifacts: $curatedDir  $seqDir  $idxDir")
     spark.stop()
   }
 }
