@@ -486,6 +486,37 @@ object RelationalQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // string shaping: pad / trim / translate / repeat / reverse —
+    // narrow per-row, the formatting layer of any export surface
+    "string_shaping" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          rpad(col("p_type").substr(1, 6), 10, ".").as("type_pad"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("name_caps_vowels"),
+          trim(lit(" x "), lit(" ")).as("trimmed"),
+          reverse(col("p_brand")).as("brand_rev"),
+          repeat(lit("-"), 5).as("rule"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // date arithmetic: day diffs, offsets, month boundaries — the
+    // retention/cohort math layer
+    "date_arith" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 30)
+        .select(col("o_orderkey"),
+          datediff(lit(java.sql.Date.valueOf("1998-12-31")),
+            col("o_orderdate").cast("date")).as("days_to_eoy"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30),
+            "yyyy-MM-dd").as("due_date"),
+          date_format(last_day(col("o_orderdate").cast("date")),
+            "yyyy-MM-dd").as("month_end"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // date parts: extraction + truncation + grouped counts
     "date_parts" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -560,6 +591,28 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "string_shaping" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  rpad(substr(p_type, 1, 6), 10, '.') AS type_pad,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_caps_vowels,
+        |  trim(' x ', ' ') AS trimmed,
+        |  reverse(p_brand) AS brand_rev,
+        |  repeat('-', 5) AS rule
+        |FROM part WHERE p_partkey <= 100
+        |ORDER BY p_partkey""".stripMargin,
+
+    "date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', o_orderdate::DATE, DATE '1998-12-31')
+        |    AS INT) AS days_to_eoy,
+        |  strftime(o_orderdate::DATE + 30, '%Y-%m-%d') AS due_date,
+        |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d')
+        |    AS month_end,
+        |  strftime(o_orderdate, '%Y-%m') AS order_month
+        |FROM orders WHERE o_custkey < 30
+        |ORDER BY o_orderkey""".stripMargin,
+
     "window_rank_stats" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(rank() OVER w AS INT) AS rnk,
