@@ -53,4 +53,32 @@ object StreamingCuration {
       .as[CuratedDoc]
     StreamingDedup.firstPerKey[CuratedDoc](gated, _.fp, stateTtlMs)
   }
+
+  /** Streaming NEAR-dedup against a persisted LSH index
+    * (`Dedup.writeLshIndex`): each micro-batch runs the batch
+    * `Curation.curateIncremental` via foreachBatch — gates, then
+    * drops rows near-dupping the index or earlier rows of the SAME
+    * batch — and hands survivors to `sink`. Cross-BATCH near-dup
+    * state lives in the index, refreshed on the caller's cadence
+    * (append survivors + periodic `writeLshIndex` rebuild); between
+    * refreshes, near-dups of not-yet-indexed survivors are the
+    * accepted staleness — the unbounded-band-state problem the
+    * streaming self-join would otherwise have.
+    *
+    * Returns a started query; trigger/checkpoint come pre-configured
+    * by the caller on `writer` semantics via the returned builder —
+    * call `.start()` after setting them.
+    */
+  def nearDedupStream(docs: Dataset[DocRow], indexDir: String,
+      cfg: Curation.Config)(
+      sink: org.apache.spark.sql.DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[DocRow] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[DocRow], _: Long) =>
+        val survivors =
+          Curation.curateIncremental(batch.toDF(), indexDir, cfg)
+        sink(survivors)
+        ()
+      }
 }

@@ -58,4 +58,48 @@ class StreamingCurationSpec extends SparkSpec {
     drain()
     assert(collected.map(_.doc_id).toSet == Set(1L, 5L))
   }
+
+  test("near-dedup stream drops index-dups per micro-batch") {
+    val root = tmpDir("snear")
+    val srcDir = s"$root/src"
+    val idxDir = s"$root/idx"
+    val collected = new scala.collection.mutable.ArrayBuffer[Long]()
+
+    // index an existing corpus once (bag-of-words feature space)
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+      .pipe(d => graft.operators.Dedup
+        .writeLshIndex(d, "doc_id", "text", idxDir, ngram = 1))
+
+    // stream batch: a word-shuffled near-copy of the indexed doc, an
+    // in-batch near-dup pair, and a novel doc
+    Seq(
+      DocRow(101L, "lazy dog tonight the quick brown fox jumps over the", "en"),
+      DocRow(102L, "fresh ingest rows arriving with almost identical payloads here", "en"),
+      DocRow(103L, "fresh ingest rows arriving with almost identical payloads there", "en"),
+      DocRow(104L, "and one genuinely novel document matching nothing else", "en"),
+    ).toDF().coalesce(1).write.mode("append").parquet(srcDir)
+
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[DocRow]].schema)
+      .parquet(srcDir).as[DocRow]
+    val cfg = Curation.Config(keepLangs = Set.empty, minTokens = 1,
+      nearDupThreshold = 0.7, nearDupNgram = 1)
+    val q = StreamingCuration.nearDedupStream(src, idxDir, cfg) { b =>
+      collected.synchronized {
+        collected ++= b.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, q.exception.toString)
+    // 101 dups the index; 103 dups 102 within the batch
+    assert(collected.toSet == Set(102L, 104L))
+  }
+
+  private implicit class Pipe[A](a: A) {
+    def pipe[B](f: A => B): B = f(a)
+  }
 }
