@@ -16,10 +16,20 @@ object Bench {
     try run(SparkEntry.queries("cdc_counts")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    // min-of-3 per query: single-shot timing on a shared host is
+    // noise-fragile (observed 3-13x contention spikes on sub-second
+    // queries between identical-code runs). The minimum of three
+    // back-to-back runs is the best estimate of the plan's actual
+    // cost; the total is the sum of minima.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(r =>
+      scala.util.Try(r.toInt).toOption).getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -50,11 +50,23 @@ object Decontaminate {
     */
   def report(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 8, threshold: Double = 0.2,
-      spreadSmallInput: Boolean = false): DataFrame = {
+      spreadSmallInput: Boolean = false,
+      hashGrams: Boolean = false): DataFrame = {
+    // `hashGrams` replaces each n-gram string with its xxhash64 before
+    // the distinct/broadcast/join — the broadcast eval set carries 8
+    // bytes per gram instead of ~8 words of text, which is what keeps
+    // a realistically-sized eval suite (10^7-10^8 grams) inside
+    // executor memory at 100 TB. A hash collision can only ADD a
+    // false hit (P ~ n_corpus_grams * n_eval_grams / 2^64 — negligible)
+    // and the verdict is a ratio over >= threshold, so hashed and
+    // string modes agree in practice; the string path stays the
+    // default because it is what the exact oracle checks.
+    def gramKey(grams: Column): Column =
+      if (hashGrams) transform(grams, g => xxhash64(g)) else grams
     def withGrams(df: DataFrame): DataFrame = df
       .withColumn("toks", split(col(textCol), " "))
       .withColumn("grams",
-        array_distinct(wordNgramsFromTokens(col("toks"), n)))
+        gramKey(array_distinct(wordNgramsFromTokens(col("toks"), n))))
 
     // small side: global distinct eval n-grams, broadcast below
     val evalGrams = withGrams(eval)

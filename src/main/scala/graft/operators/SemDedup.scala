@@ -54,9 +54,17 @@ object SemDedup {
     * has a lower-id cluster-mate at cosine ≥ `threshold`.
     */
   def report(vectors: DataFrame, idCol: String, embCol: String,
-      k: Int = 8, threshold: Double = 0.4): DataFrame = {
-    val asg = assign(vectors, firstK(vectors, idCol, embCol, k),
-      idCol, embCol)
+      k: Int = 8, threshold: Double = 0.4): DataFrame =
+    reportWith(vectors, firstK(vectors, idCol, embCol, k),
+      idCol, embCol, threshold)
+
+  /** [[report]] against caller-supplied centroids — feed `Ivf.train`
+    * output (via [[centroidFrame]]) for real k-means space
+    * partitioning; the dedup semantics are identical.
+    */
+  def reportWith(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      embCol: String, threshold: Double = 0.4): DataFrame = {
+    val asg = assign(vectors, centroids, idCol, embCol)
 
     val a = asg.select(col("cluster_id"), col(idCol).as("id_a"),
       col(embCol).as("emb_a"))
@@ -69,12 +77,30 @@ object SemDedup {
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("is_dup", lit(true))
 
-    val sizeW = Window.partitionBy(col("cluster_id"))
-    asg.withColumn("n_cluster", count(lit(1)).over(sizeW))
+    // cluster sizes via groupBy (map-side partial collapses each hot
+    // cluster to one row per task) + broadcast of the k-row result —
+    // a window over cluster_id would funnel every row of a cluster
+    // through one reducer with only k distinct keys to spread over
+    val sizes = asg.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cluster"))
+    asg.join(broadcast(sizes), Seq("cluster_id"))
       .join(broadcast(dups), Seq(idCol), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
       .withColumn("kept", !col("is_dup"))
       .select(col(idCol), col("cluster_id"), col("n_cluster"),
         col("is_dup"), col("kept"))
+  }
+
+  /** `Ivf.train` centroids as the (cent_id, cent_emb) frame [[assign]]
+    * expects. Values are rounded to FLOAT so assignment compares the
+    * same dtype as the corpus embeddings (and so an oracle can
+    * reproduce the rounding with a FLOAT cast).
+    */
+  def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }
+      .toDF("cent_id", "cent_emb")
   }
 }

@@ -71,6 +71,20 @@ object EmbeddingQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup against REAL k-means centroids (Ivf.train, nlist=8,
+    // one Lloyd round — same quantizer ann_ivf_topk uses): the
+    // production flavor, where the space partitioning comes from the
+    // data rather than the first k ids. Oracled by replaying the
+    // deterministic Lloyd training in SQL, as ann_ivf_topk proved out.
+    "semdedup_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.operators.Ivf.train(emb, nlist = 8, iters = 1)
+      graft.operators.SemDedup.reportWith(emb,
+          graft.operators.SemDedup.centroidFrame(s, cents),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     // embedding-cosine near-dup: bounded candidate window, threshold
     "embed_neardup_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -164,8 +178,13 @@ object EmbeddingQueries {
     * engines' mean/summation orders could only flip exact rank ties,
     * which the list_id / n_id tiebreaks resolve.
     */
-  private val annIvfOracle: String =
-    """WITH e AS (SELECT vec_id, embedding
+  /** Shared Lloyd-replay CTEs (init from the 8 lowest-id vectors, one
+    * round of per-dimension means, empty lists keep their init
+    * centroid) — the deterministic `Ivf.train(nlist=8, iters=1)`
+    * quantizer that both ann_ivf_topk and semdedup_kmeans consume.
+    */
+  private val lloydCents: String =
+    """e AS (SELECT vec_id, embedding
       |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
       |         embedding
@@ -194,7 +213,10 @@ object EmbeddingQueries {
       |    coalesce(c1.cent,
       |      list_transform(range(1, 65), j -> c0.embedding[j]::DOUBLE))
       |      AS cent
-      |  FROM c0 LEFT JOIN c1 USING (list_id)),
+      |  FROM c0 LEFT JOIN c1 USING (list_id))""".stripMargin
+
+  private val annIvfOracle: String =
+    """WITH __LLOYD__,
       |idx AS (
       |  SELECT vec_id AS n_id, list_id FROM (
       |    SELECT e.vec_id, cents.list_id,
@@ -221,11 +243,55 @@ object EmbeddingQueries {
       |  JOIN e ne ON ne.vec_id = c.n_id)
       |SELECT q_id, rank, n_id FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
+      .replace("__LLOYD__", lloydCents)
       .replace("__L2__", l2Sql("cents.cent"))
+
+  /** semdedup_kmeans ground truth: same Lloyd replay, centroids rounded
+    * to FLOAT (mirroring `SemDedup.centroidFrame` — both engines round
+    * to the nearest float32, then widen exactly back to double inside
+    * the cosine), then the semdedup_embed assignment/pair/size plan
+    * against those centroids.
+    */
+  private val semdedupKmeansOracle: String =
+    """WITH __LLOYD__,
+      |cf AS (
+      |  SELECT list_id AS cent_id,
+      |    list_transform(cent, v -> v::FLOAT::DOUBLE) AS cent_emb
+      |  FROM cents),
+      |s AS (
+      |  SELECT e.vec_id, cf.cent_id,
+      |    list_cosine_similarity(e.embedding::DOUBLE[], cf.cent_emb) AS cos
+      |  FROM e CROSS JOIN cf),
+      |r AS (
+      |  SELECT vec_id, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cent_id) AS rn
+      |  FROM s),
+      |asg AS (
+      |  SELECT r.vec_id, r.cent_id AS cluster_id, e.embedding
+      |  FROM r JOIN e ON r.vec_id = e.vec_id WHERE rn = 1),
+      |dups AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM asg a JOIN asg b
+      |    ON a.cluster_id = b.cluster_id AND b.vec_id > a.vec_id
+      |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+      |      b.embedding::DOUBLE[]) >= 0.4),
+      |sized AS (
+      |  SELECT vec_id, cluster_id,
+      |    count(*) OVER (PARTITION BY cluster_id) AS n_cluster
+      |  FROM asg)
+      |SELECT s.vec_id, s.cluster_id,
+      |  CAST(s.n_cluster AS BIGINT) AS n_cluster,
+      |  d.vec_id IS NOT NULL AS is_dup,
+      |  d.vec_id IS NULL AS kept
+      |FROM sized s LEFT JOIN dups d ON s.vec_id = d.vec_id
+      |ORDER BY s.vec_id""".stripMargin
+      .replace("__LLOYD__", lloydCents)
 
   val oracle: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
+    "semdedup_kmeans" -> semdedupKmeansOracle,
 
     "embed_neardup_lsh" ->
       s"""WITH e AS (

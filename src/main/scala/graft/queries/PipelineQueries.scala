@@ -285,14 +285,17 @@ object PipelineQueries {
 
     // repeated-span detection (corpus-INTERNAL exact-substring dedup,
     // vs decontaminate_ngram's train-vs-eval overlap): strided
-    // 16-token windows, one shuffle to count each span's docs via a
-    // window over the span key, one per-doc re-group. The span lambda
-    // is evaluated ONCE — a spans-count self-join would recompute it
-    // per branch. At 100 TB, hash the spans (the strings only exist
-    // here for oracle exactness) and pre-filter boilerplate hot spans
-    // before the window to cap key skew.
+    // 16-token windows. Span multiplicity comes from groupBy(span)
+    // .count(), NOT a window over the span key: the groupBy plans a
+    // partial HashAggregate before its exchange, so a hot boilerplate
+    // span collapses to one row per map task instead of funneling
+    // every occurrence through a single reducer — the window form
+    // cannot partial-aggregate and dies on skew at 100x. Only spans
+    // seen in >=2 docs survive the filter, so the join-back side is
+    // the (small) duplicate-span set — AQE broadcasts it when it fits
+    // and skew-splits the probe when it doesn't. At 100 TB, hash the
+    // spans (the strings only exist here for oracle exactness).
     "dedup_spans" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir).repartition(col("doc_id"))
         .withColumn("toks", split(col("text"), " "))
         .withColumn("spans", array_distinct(
@@ -301,13 +304,15 @@ object PipelineQueries {
       val exploded = docs.select(col("doc_id"),
         size(col("spans")).as("n_spans"),
         explode_outer(col("spans")).as("span"))
+      val dupSpans = exploded
+        .groupBy(col("span")).agg(count(lit(1)).as("span_docs"))
+        .filter(col("span").isNotNull && col("span_docs") >= 2)
+        .select(col("span"), lit(1L).as("is_dup"))
       exploded
-        .withColumn("span_docs",
-          count(lit(1)).over(Window.partitionBy(col("span"))))
+        .join(dupSpans, Seq("span"), "left")
         .groupBy(col("doc_id"))
         .agg(max(col("n_spans")).as("n_spans"),
-          sum(when(col("span").isNotNull && col("span_docs") >= 2, 1L)
-            .otherwise(0L)).as("n_dup_spans"))
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
         .withColumn("dup_ratio",
           when(col("n_spans") > 0,
             col("n_dup_spans").cast("double") / col("n_spans"))

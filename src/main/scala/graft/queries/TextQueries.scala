@@ -141,17 +141,22 @@ object TextQueries {
     }),
 
     // fuzzy dedup via edit distance on BLOCKED candidates: block on
-    // (lang, n_chars) — near-identical docs keep their exact length —
-    // so candidate generation is one equi-self-join, never an O(n²)
-    // cross product. Verification is Levenshtein over a bounded
-    // 256-char prefix (O(prefix²) per pair regardless of doc size);
-    // report the 25 closest pairs. At 100 TB, widen recall by also
-    // joining adjacent length buckets, or swap the blocker for the
-    // MinHash bander in graft.operators.Dedup — verification stays
-    // the same.
+    // (lang, n_chars div 16) with each probe row exploded into its own
+    // bucket AND both neighbors. Width-16 buckets make length-changing
+    // edits reachable (an exact-length block misses any near-dup whose
+    // edit inserts or deletes a character — a recall hole) and cap
+    // per-cell candidate growth: cell population tracks the length
+    // DISTRIBUTION density, not the raw corpus count the way one row
+    // per exact length does. Each unordered pair still joins at most
+    // once because the right side sits only in its home bucket.
+    // Verification is Levenshtein over a bounded 256-char prefix
+    // (O(prefix²) per pair regardless of doc size); report the 25
+    // closest pairs. At 100 TB, swap the blocker for the MinHash
+    // bander in graft.operators.Dedup — verification stays the same.
     "dedup_edit_distance" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
+        .select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 16).cast("long").as("bucket"),
           substring(col("text"), 1, 256).as("prefix"))
       // spread the probe side: the single-file scan is one task, and
       // the broadcast join (small dim side) keeps the DP verification
@@ -159,10 +164,12 @@ object TextQueries {
       // provide the parallelism and this repartition is a no-op cost
       val a = d.repartition(col("doc_id"))
         .select(col("doc_id").as("id_a"), col("lang"),
-          col("n_chars"), col("prefix").as("pa"))
+          explode(array(col("bucket") - 1, col("bucket"),
+            col("bucket") + 1)).as("bucket"),
+          col("prefix").as("pa"))
       val b = d.select(col("doc_id").as("id_b"), col("lang"),
-        col("n_chars"), col("prefix").as("pb"))
-      a.join(b, Seq("lang", "n_chars"))
+        col("bucket"), col("prefix").as("pb"))
+      a.join(b, Seq("lang", "bucket"))
         .filter(col("id_b") > col("id_a"))
         .select(col("id_a"), col("id_b"),
           levenshtein(col("pa"), col("pb")).as("edit_dist"))
@@ -373,12 +380,14 @@ object TextQueries {
 
     "dedup_edit_distance" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, n_chars, substr(text, 1, 256) AS p
+        |  SELECT doc_id, lang, n_chars // 16 AS bucket,
+        |    substr(text, 1, 256) AS p
         |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
         |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.n_chars = b.n_chars
+        |  ON a.lang = b.lang
+        |  AND b.bucket BETWEEN a.bucket - 1 AND a.bucket + 1
         |  AND b.doc_id > a.doc_id
         |ORDER BY edit_dist, id_a, id_b LIMIT 25""".stripMargin,
 
