@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSimilarityExpr, MinHashExpr, RollingHashExpr, SimHashExpr}
+import graft.functions.{CosineSimilarityExpr, MinHashExpr, QuantizeExpr, RollingHashExpr, SimHashExpr}
 
 /** Session extensions exposing the engine's native expressions to SQL
   * users. Two registration paths:
@@ -55,6 +55,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash64 takes exactly 1 argument")
         SimHashExpr(exprs.head)
+      }),
+    (new FunctionIdentifier("quantize_stats"),
+      new ExpressionInfo(classOf[QuantizeExpr].getName, "quantize_stats"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "quantize_stats takes exactly 1 argument")
+        QuantizeExpr(exprs.head)
       }),
     (new FunctionIdentifier("minhash64"),
       new ExpressionInfo(classOf[MinHashExpr].getName, "minhash64"),

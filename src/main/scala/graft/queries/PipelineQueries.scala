@@ -398,23 +398,20 @@ object PipelineQueries {
     // int8 symmetric embedding quantization: per-vector scale =
     // 127/max|x|, quantized values, reconstruction error. Narrow
     // per-row array math — no shuffle; the compression pass before
-    // ANN indexing at scale.
+    // ANN indexing at scale. Computed by the native QuantizeExpr
+    // kernel (one fused primitive loop in codegen) — the equivalent
+    // transform/zip_with/filter form evaluates its lambdas
+    // interpreted and re-walks the array once per output column;
+    // QuantizeExprSpec pins the two bit-identical.
     "embed_quantize" -> ((s, dir) => {
-      val e = col("embedding")
-      val absmax = array_max(transform(e, x => abs(x.cast("double"))))
       Tables.embeddings(s, dir)
-        .withColumn("scale",
-          when(absmax > 0, lit(127.0) / absmax).otherwise(lit(0.0)))
-        .withColumn("q", transform(e, x =>
-          round(x.cast("double") * col("scale")).cast("int")))
+        .withColumn("qs",
+          graft.functions.QuantizeExpr.quantizeStats(col("embedding")))
         .select(col("vec_id"),
-          size(e).as("n_dims"),
-          col("scale"),
-          size(filter(col("q"), v => v === 0)).as("n_zero"),
-          when(col("scale") > 0,
-            array_max(zip_with(e, col("q"), (x, v) =>
-              abs(x.cast("double") - v.cast("double") / col("scale")))))
-            .otherwise(lit(0.0)).as("max_abs_err"))
+          col("qs.n_dims").as("n_dims"),
+          col("qs.scale").as("scale"),
+          col("qs.n_zero").as("n_zero"),
+          col("qs.max_abs_err").as("max_abs_err"))
         .orderBy(col("vec_id"))
     }),
   )

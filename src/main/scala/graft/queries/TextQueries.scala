@@ -153,29 +153,10 @@ object TextQueries {
     // (O(prefix²) per pair regardless of doc size); report the 25
     // closest pairs. At 100 TB, swap the blocker for the MinHash
     // bander in graft.operators.Dedup — verification stays the same.
-    "dedup_edit_distance" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 16).cast("long").as("bucket"),
-          substring(col("text"), 1, 256).as("prefix"))
-      // spread the probe side: the single-file scan is one task, and
-      // the broadcast join (small dim side) keeps the DP verification
-      // in that one task without this — at real scale, file splits
-      // provide the parallelism and this repartition is a no-op cost
-      val a = d.repartition(col("doc_id"))
-        .select(col("doc_id").as("id_a"), col("lang"),
-          explode(array(col("bucket") - 1, col("bucket"),
-            col("bucket") + 1)).as("bucket"),
-          col("prefix").as("pa"))
-      val b = d.select(col("doc_id").as("id_b"), col("lang"),
-        col("bucket"), col("prefix").as("pb"))
-      a.join(b, Seq("lang", "bucket"))
-        .filter(col("id_b") > col("id_a"))
-        .select(col("id_a"), col("id_b"),
-          levenshtein(col("pa"), col("pb")).as("edit_dist"))
+    "dedup_edit_distance" -> ((s, dir) =>
+      editDistancePairs(Tables.documents(s, dir))
         .orderBy(col("edit_dist"), col("id_a"), col("id_b"))
-        .limit(25)
-    }),
+        .limit(25)),
 
     // generator coverage: explode tokens -> corpus term frequencies
     "text_token_freq" -> ((s, dir) => {
@@ -212,6 +193,34 @@ object TextQueries {
         .orderBy(col("source"))
     }),
   )
+
+  /** Blocked edit-distance candidate pairs (the dedup_edit_distance
+    * engine): every same-lang pair whose length buckets are equal or
+    * adjacent, with the Levenshtein distance of their 256-char
+    * prefixes. Needs (doc_id, lang, n_chars, text).
+    */
+  def editDistancePairs(docs: DataFrame,
+      bucketWidth: Int = 16): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / bucketWidth).cast("long").as("bucket"),
+        substring(col("text"), 1, 256).as("prefix"))
+    // spread the probe side: the single-file scan is one task, and
+    // the broadcast join (small dim side) keeps the DP verification
+    // in that one task without this — at real scale, file splits
+    // provide the parallelism and this repartition is a no-op cost
+    val a = d.repartition(col("doc_id"))
+      .select(col("doc_id").as("id_a"), col("lang"),
+        explode(array(col("bucket") - 1, col("bucket"),
+          col("bucket") + 1)).as("bucket"),
+        col("prefix").as("pa"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang"),
+      col("bucket"), col("prefix").as("pb"))
+    a.join(b, Seq("lang", "bucket"))
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).as("edit_dist"))
+  }
 
   private val stopListSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
 

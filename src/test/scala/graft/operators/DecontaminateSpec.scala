@@ -47,6 +47,16 @@ class DecontaminateSpec extends SparkSpec {
     assert(!r(11L))    // 3/9 < 0.5
   }
 
+  test("hashed-grams mode reproduces the string-mode report exactly") {
+    def collect(hashed: Boolean) =
+      Decontaminate.report(train, eval, "doc_id", "text",
+          n = 4, threshold = 0.2, hashGrams = hashed)
+        .select("doc_id", "n_ngrams", "n_matched",
+          "contamination_ratio", "contaminated")
+        .as[(Long, Int, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(collect(hashed = true) == collect(hashed = false))
+  }
+
   test("eval n-gram set deduplicates across eval docs (no double count)") {
     val dupEval = eval.union(eval) // same grams twice
     val r = Decontaminate.report(train, dupEval, "doc_id", "text", n = 4)

@@ -65,6 +65,28 @@ class PlanRegressionSpec extends SparkSpec {
     assert(cacheReads >= 2, s"expected both consumers on the cache, got $cacheReads")
   }
 
+  test("dedup_spans: span counts partial-aggregate before the exchange") {
+    // the skew guard: a hot boilerplate span must collapse map-side.
+    // Window-over-span-key cannot do that; groupBy(span).count() plans
+    // a partial HashAggregate under the span exchange — assert it, and
+    // that no Window over the span key survives anywhere in the plan.
+    val all = collectAll(plan("dedup_spans"))
+    val partialOnSpan = all.exists {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        h.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial) &&
+          h.groupingExpressions.exists(_.toString.contains("span"))
+      case _ => false
+    }
+    assert(partialOnSpan, "no partial HashAggregate on span before the shuffle")
+    val windowOnSpan = all.exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.exists(_.toString.contains("span"))
+      case _ => false
+    }
+    assert(!windowOnSpan, "window over the span key crept back in")
+  }
+
   test("q1_pricing_summary: scan prunes to needed columns only") {
     val s = planString("q1_pricing_summary")
     assert(s.contains("PushedFilters"), s)
