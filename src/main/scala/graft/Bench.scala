@@ -20,21 +20,43 @@ object Bench {
     // noise-fragile (observed 3-13x contention spikes on sub-second
     // queries between identical-code runs). The minimum of three
     // back-to-back runs is the best estimate of the plan's actual
-    // cost; the total is the sum of minima.
+    // cost; the total is the sum of minima. A rep whose query throws
+    // records +Infinity (NOT its fast fail time — a transient failure
+    // must never make a query look faster than its slowest success);
+    // a query with zero successful reps is reported in "failed".
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(r =>
       scala.util.Try(r.toInt).toOption).getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { run(fn(spark, sfDir)); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (n, t) if t.isInfinity => n }
+    val good = results.filterNot(_._2.isInfinity)
+    val total = good.map(_._2).sum
+
+    def fmt(v: Double) = f"$v%.3f"
+    def qjson(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // Full per-query detail: one line for humans/logs plus a file, because
+    // the driver persists only the LAST ~2000 chars of output. The final
+    // printed line is therefore a compact, complete JSON object (top-40
+    // slowest queries) guaranteed to fit inside that tail window.
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${qjson(results)},"sf":"$sfDir"}"""
+    println(fullLine)
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    val top = good.sortBy(-_._2).take(40).sortBy(_._1)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${qjson(top)},"queries_note":"top40_by_time_full_set_in_BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   *    add rounds up to 1.0 where the decimal path yields 0;
   *  - n_zero  = count(q_i == 0);
   *  - max_abs_err = array_max(|x_i − q_i/scale|) when scale > 0 else 0.
+  *
+  * NaN inputs: comparisons follow Spark's double ordering (NaN ranks
+  * greatest), so a NaN component gives absmax = NaN, scale = NaN and
+  * max_abs_err = NaN, while each q_i = (NaN).toInt = 0 (Java d2i).
+  * The declarative form is NOT total here — under ANSI mode (the
+  * Spark 4 default and this engine's config) its `round(x*scale)
+  * .cast("int")` throws CAST_OVERFLOW on NaN — so the kernel extends
+  * it with the natural NaN-propagating semantics instead of matching
+  * an error (pinned in QuantizeExprSpec).
   */
 object Quantize {
 
@@ -41,7 +50,14 @@ object Quantize {
       if (java.lang.Double.compare(a, absmax) > 0) absmax = a
       i += 1
     }
-    val scale = if (absmax > 0.0) 127.0 / absmax else 0.0
+    // Double.compare, not `>`: Spark's binary comparison ranks NaN
+    // greater than every double, so a NaN absmax must take the
+    // 127/absmax branch (scale = NaN) exactly as `when(absmax > 0, …)`
+    // does — Java's `NaN > 0.0` is false and would silently yield
+    // scale = 0. Same for the max_abs_err guard below.
+    val scale =
+      if (java.lang.Double.compare(absmax, 0.0) > 0) 127.0 / absmax else 0.0
+    val scalePos = java.lang.Double.compare(scale, 0.0) > 0
     var nZero = 0
     var maxErr = java.lang.Double.NEGATIVE_INFINITY
     i = 0
@@ -49,14 +65,14 @@ object Quantize {
       val x = arr.getFloat(i).toDouble
       val q = roundHalfUp(x * scale).toInt
       if (q == 0) nZero += 1
-      if (scale > 0.0) {
+      if (scalePos) {
         val e = math.abs(x - q.toDouble / scale)
         if (java.lang.Double.compare(e, maxErr) > 0) maxErr = e
       }
       i += 1
     }
     new GenericInternalRow(Array[Any](
-      n, scale, nZero, if (scale > 0.0) maxErr else 0.0))
+      n, scale, nZero, if (scalePos) maxErr else 0.0))
   }
 }
 

@@ -57,14 +57,58 @@ class QuantizeExprSpec extends SparkSpec {
   }
 
   test("kernel == declarative on crafted edge vectors") {
+    // x * (127/absmax) in double is EXACTLY 0.49999999999999994 (the
+    // largest double < 0.5): Spark's Round (shortest-decimal HALF_UP)
+    // gives 0 where a naive floor(v + 0.5) gives 1. Guard below keeps
+    // the pair honest — a float literal like 0.49999999999999994f
+    // silently rounds to 0.5f and never exercises the edge.
+    val edgeX = 0.8174819946289062f
+    val edgeMax = 207.6404266357422f
+    assert(edgeX.toDouble * (127.0 / edgeMax.toDouble)
+      == 0.49999999999999994)
+    assert(math.floor(edgeX.toDouble * (127.0 / edgeMax.toDouble) + 0.5)
+      == 1.0)
     assertIdentical(Seq(
       Array(0f, 0f, 0f),                       // zero vector: scale 0
       Array(1f),                                // absmax element: err 0
       Array(-2.5f, 2.5f, 0.5f, -0.5f),          // exact .5 products
-      Array(0.49999999999999994f, 127f),        // shortest-decimal round
+      Array(edgeX, edgeMax),                    // shortest-decimal round
       Array(1e-30f, 1f),                        // q rounds to 0
       Array(-1f, -127f, 63.5f),                 // negative absmax path
       Array(Float.MinPositiveValue, Float.MaxValue)))
+  }
+
+  test("NaN propagates with Spark comparison semantics") {
+    // Spark ranks NaN greater than any double, so absmax = NaN takes
+    // the 127/absmax branch: scale = NaN, max_abs_err = NaN, and each
+    // q_i = (NaN).toInt = 0. The declarative form cannot express this:
+    // under ANSI (this engine's config) its round(..).cast("int")
+    // throws on NaN — pinned here so the kernel's extension of the
+    // declarative semantics stays deliberate.
+    val df = Seq((1L, Array(Float.NaN, 1f))).toDF("id", "embedding")
+    val r = native(df).head()
+    assert(r.getAs[Int]("n_dims") == 2)
+    assert(r.getAs[Double]("scale").isNaN)
+    assert(r.getAs[Int]("n_zero") == 2)
+    assert(r.getAs[Double]("max_abs_err").isNaN)
+    val thrown = intercept[Exception] { declarative(df).collect() }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(thrown).exists(_.getMessage != null)
+      && chain(thrown).map(t => Option(t.getMessage).getOrElse(""))
+        .exists(_.contains("CAST_OVERFLOW")))
+  }
+
+  test("infinite component: scale collapses to 0 like declarative") {
+    // absmax = +Inf gives scale = 127/Inf = 0.0 on both paths; the
+    // kernel additionally stays total on the Inf*0 = NaN product
+    // (q = 0) where the declarative cast would throw under ANSI.
+    val df = Seq((1L, Array(Float.PositiveInfinity, 1f)))
+      .toDF("id", "embedding")
+    val r = native(df).head()
+    assert(r.getAs[Double]("scale") == 0.0)
+    assert(r.getAs[Int]("n_zero") == 2)
+    assert(r.getAs[Double]("max_abs_err") == 0.0)
   }
 
   test("kernel == declarative for arbitrary float vectors") {
