@@ -1,0 +1,175 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed keyed MERGE: maintains a compacted latest-state table
+  * across change batches — the cluster-scale analog of the reference's
+  * row-level upsert paths (`ON CONFLICT` inserts,
+  * `/root/reference/app/seed_users.py:39-43`, and the read-modify-write
+  * watermark upsert, `/root/reference/app/services/watermark.py:11-27`).
+  * Where [[WatermarkStore]] rewrites its bytes-sized state wholesale,
+  * this operator maintains a DATA-PLANE table (the 100 TB users/
+  * documents corpus itself) and must therefore never rewrite more than
+  * it touches.
+  *
+  * Layout: `<dir>/data/bucket=N/…` — the table is hash-bucketed on the
+  * merge key (`pmod(xxhash64(key), nBuckets)`) and stored as one
+  * partition directory per bucket, plus `<dir>/meta` pinning
+  * (key, versionCol, deleteCol, nBuckets) so every later merge derives
+  * the exact same bucketing (a mismatched bucket function would
+  * silently split keys across partitions — same self-describing-index
+  * rule as Dedup.writeLshIndex).
+  *
+  * A merge batch:
+  *  1. buckets the changelog with the stored hash;
+  *  2. collects the DISTINCT touched bucket ids (bounded by nBuckets —
+  *     a driver-sized list by construction, never O(rows));
+  *  3. reads ONLY those partitions of the snapshot (partition-pruned
+  *     scan: the filter is on the partition column);
+  *  4. reconciles latest-state per key — max version wins, changelog
+  *     beats snapshot at equal version (the upsert), winners flagged
+  *     deleted are dropped (the DELETE);
+  *  5. overwrites ONLY the touched `bucket=N` directories (dynamic
+  *     partition overwrite), removing any touched bucket whose keys
+  *     were all deleted — dynamic overwrite alone would silently leave
+  *     the stale directory behind and resurrect the rows.
+  *
+  * Cost per batch is O(|changes| + |snapshot rows sharing a bucket
+  * with a change|): at 100 TB with 4096 buckets, a batch touching 1%
+  * of keys reads/writes ~1% of partitions, and an untouched partition
+  * is never opened (asserted byte-for-byte in CompactionSpec). On a
+  * real cluster the same semantics would ride an ACID table format's
+  * MERGE; this is the plain-parquet expression of that plan.
+  */
+object Compaction {
+
+  /** Outcome of one merge batch, for observability and specs. */
+  final case class MergeStats(
+      touchedBuckets: Seq[Int],
+      emptiedBuckets: Seq[Int],
+      rowsWritten: Long)
+
+  private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+
+  /** Create (or replace) the compacted table from an initial snapshot.
+    * `df` must carry `key` and `versionCol`; `deleteCol` is a boolean
+    * tombstone column (rows arriving with it true delete the key).
+    */
+  def init(df: DataFrame, dir: String, key: String,
+      versionCol: String, deleteCol: String,
+      nBuckets: Int = 256): Unit = {
+    val spark = df.sparkSession
+    require(nBuckets > 0, "nBuckets must be positive")
+    df.filter(!col(deleteCol))
+      .withColumn("bucket", bucketOf(col(key), nBuckets))
+      // range-partition on (bucket, key): one writer task per bucket
+      // range keeps output files per partition dir bounded without
+      // collapsing write parallelism onto a low-cardinality column
+      .repartitionByRange(col("bucket"), col(key))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data")
+    import spark.implicits._
+    // the data schema rides in the meta too: a table whose every key
+    // was deleted has no parquet footers left to infer from, and reads
+    // with an explicit schema stay well-defined on an empty dir
+    val schemaJson = df.schema
+      .add("bucket", org.apache.spark.sql.types.IntegerType).json
+    Seq((key, versionCol, deleteCol, nBuckets, schemaJson))
+      .toDF("key", "version_col", "delete_col", "n_buckets", "schema_json")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The (key, versionCol, deleteCol, nBuckets) a table was built with. */
+  def readMeta(spark: SparkSession, dir: String): (String, String, String, Int) = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    (r.getAs[String]("key"), r.getAs[String]("version_col"),
+      r.getAs[String]("delete_col"), r.getAs[Int]("n_buckets"))
+  }
+
+  private def storedData(spark: SparkSession, dir: String): DataFrame = {
+    val json = spark.read.parquet(s"$dir/meta").head()
+      .getAs[String]("schema_json")
+    val dataSchema = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.read.schema(dataSchema).parquet(s"$dir/data")
+  }
+
+  /** The live table, without the internal bucket column. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    storedData(spark, dir).drop("bucket")
+
+  /** The partition-pruned slice of the snapshot a merge of `touched`
+    * buckets reads — factored out so CompactionSpec can assert the
+    * scan's selected-partition count equals |touched|.
+    */
+  private[cdc] def prunedSnapshot(spark: SparkSession, dir: String,
+      touched: Seq[Int]): DataFrame =
+    storedData(spark, dir)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+
+  /** Apply one change batch to the table at `dir` (see object doc).
+    * Changelog rows must carry the table's key/version/delete columns
+    * and the same data schema; the highest version per key wins, a
+    * change beats the stored row at equal version, and a winning
+    * tombstone removes the key.
+    */
+  def merge(spark: SparkSession, dir: String, changelog: DataFrame): MergeStats = {
+    val (key, versionCol, deleteCol, nBuckets) = readMeta(spark, dir)
+    val dataCols = changelog.columns.filterNot(_ == "bucket")
+
+    val changes = changelog
+      .withColumn("bucket", bucketOf(col(key), nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct over the partition-id domain: ≤ nBuckets values, a
+    // metadata-sized collect regardless of batch row count
+    val touched = changes.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) { changes.unpersist(); return MergeStats(Nil, Nil, 0L) }
+
+    // stored rows never carry tombstones (init/merge drop them), so
+    // rank snapshot rows as source=0 vs changelog source=1: on a
+    // version tie the change wins — INSERT .. ON CONFLICT DO UPDATE
+    val snapshot = prunedSnapshot(spark, dir, touched)
+      .select(col("bucket") +: dataCols.map(col): _*)
+      .withColumn("_src", lit(0))
+    val unioned = snapshot.unionByName(
+      changes.select(col("bucket") +: dataCols.map(col): _*)
+        .withColumn("_src", lit(1)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    val winners = unioned
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col(deleteCol))
+      .drop("_rn", "_src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // dynamic overwrite: only `bucket=N` dirs present in the output are
+    // replaced; untouched partitions are not read, written, or listed
+    val rows = winners.count()
+    winners
+      .repartitionByRange(col("bucket"), col(key))
+      .write.partitionBy("bucket").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$dir/data")
+
+    // a touched bucket with zero surviving keys produced no output
+    // partition, so dynamic overwrite left its old directory intact —
+    // drop it explicitly or the deleted rows come back on read
+    val stillPresent = winners.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = touched.filterNot(stillPresent)
+    if (emptied.nonEmpty) {
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      emptied.foreach { b =>
+        fs.delete(new Path(s"$dir/data/bucket=$b"), true)
+      }
+    }
+    winners.unpersist()
+    changes.unpersist()
+    MergeStats(touched, emptied, rows)
+  }
+}

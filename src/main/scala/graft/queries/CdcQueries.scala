@@ -319,9 +319,59 @@ object CdcQueries {
         .select(col("event_id"), col("user_id"), col("view_id"))
         .orderBy(col("event_id"))
     }),
+
+    // distributed keyed MERGE (graft.cdc.Compaction): init a bucketed
+    // snapshot, apply an upsert+delete changelog through the
+    // partition-pruned merge, read the maintained table back and
+    // summarize — the materialized twin of cdc_compaction's query-form
+    // reconciliation (reference ON CONFLICT upsert at scale,
+    // /root/reference/app/seed_users.py:39-43)
+    "cdc_merge_upsert" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-merge-upsert-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 64)
+      graft.cdc.Compaction.merge(s, tableDir, changes)
+      graft.cdc.Compaction.read(s, tableDir)
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(dec18(col("price"))).cast("double").as("total"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "cdc_merge_upsert" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, price, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
     "pivot_event_counts" ->
       """SELECT user_id,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

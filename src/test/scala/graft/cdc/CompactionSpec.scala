@@ -1,0 +1,165 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The distributed keyed MERGE (graft.cdc.Compaction): upsert/delete
+  * semantics match a from-scratch latest-state recompute (the
+  * cdc_compaction query shape and the reference's ON CONFLICT upsert),
+  * while the write path provably rewrites ONLY partitions containing
+  * changed keys — the property that makes the operator viable against
+  * a 100 TB table.
+  */
+class CompactionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val N_BUCKETS = 8
+
+  private def snapshot(n: Int): DataFrame =
+    spark.range(1, n + 1)
+      .select(col("id"),
+        concat(lit("v0-"), col("id")).as("payload"),
+        lit(0L).as("version"),
+        lit(false).as("deleted"))
+
+  private def freshTable(n: Int = 100): String = {
+    val dir = tmpDir("compaction")
+    Compaction.init(snapshot(n), dir, key = "id",
+      versionCol = "version", deleteCol = "deleted", nBuckets = N_BUCKETS)
+    dir
+  }
+
+  /** (path, length, mtime) of every data file under a bucket dir. */
+  private def fileState(dir: String): Map[String, Seq[(String, Long, Long)]] = {
+    val root = Paths.get(s"$dir/data")
+    import scala.jdk.CollectionConverters._
+    Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .map { b =>
+        val files = Files.list(b).iterator().asScala
+          .filter(f => !f.getFileName.toString.startsWith("."))
+          .map(f => (f.toString, Files.size(f),
+            Files.getLastModifiedTime(f).toMillis)).toSeq.sortBy(_._1)
+        b.getFileName.toString -> files
+      }.toMap
+  }
+
+  /** From-scratch reconciliation the merge must agree with. */
+  private def recompute(snap: DataFrame, changes: DataFrame): Set[(Long, String, Long)] = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("version").desc, col("_src").desc)
+    snap.withColumn("_src", lit(0))
+      .unionByName(changes.withColumn("_src", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col("deleted"))
+      .select("id", "payload", "version")
+      .as[(Long, String, Long)].collect().toSet
+  }
+
+  private def readState(dir: String): Set[(Long, String, Long)] =
+    Compaction.read(spark, dir).select("id", "payload", "version")
+      .as[(Long, String, Long)].collect().toSet
+
+  test("merge == from-scratch recompute (update + insert + delete)") {
+    val dir = freshTable(100)
+    val changes = Seq(
+      (7L, "v1-7", 1L, false),     // update existing key
+      (101L, "v1-101", 1L, false), // insert brand-new key
+      (13L, "", 1L, true),         // delete existing key
+      (999L, "", 1L, true))        // delete of absent key: no-op
+      .toDF("id", "payload", "version", "deleted")
+    val stats = Compaction.merge(spark, dir, changes)
+    assert(readState(dir) == recompute(snapshot(100), changes))
+    assert(stats.rowsWritten > 0)
+    // upsert visible: new payload for 7, key 13 gone, 101 present
+    val m = readState(dir).map(r => r._1 -> r._2).toMap
+    assert(m(7L) == "v1-7" && m(101L) == "v1-101" && !m.contains(13L))
+  }
+
+  test("changelog beats snapshot at equal version (ON CONFLICT DO UPDATE)") {
+    val dir = freshTable(20)
+    val changes = Seq((5L, "conflict-wins", 0L, false))
+      .toDF("id", "payload", "version", "deleted")
+    Compaction.merge(spark, dir, changes)
+    assert(readState(dir).map(r => r._1 -> r._2).toMap.apply(5L)
+      == "conflict-wins")
+  }
+
+  test("untouched partitions are byte-identical after a merge") {
+    val dir = freshTable(200)
+    val before = fileState(dir)
+    assert(before.size == N_BUCKETS, s"expected all buckets populated: $before")
+    val changes = Seq((42L, "v1-42", 1L, false))
+      .toDF("id", "payload", "version", "deleted")
+    val stats = Compaction.merge(spark, dir, changes)
+    assert(stats.touchedBuckets.size == 1)
+    val touched = stats.touchedBuckets.map(b => s"bucket=$b").toSet
+    val after = fileState(dir)
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty)
+    untouched.foreach { b =>
+      assert(after(b) == before(b),
+        s"untouched $b was rewritten: ${before(b)} -> ${after(b)}")
+    }
+    touched.foreach(b => assert(after(b) != before(b)))
+  }
+
+  test("merge reads only touched partitions (pruned scan)") {
+    val dir = freshTable(200)
+    val touched = Seq(3)
+    val plan = Compaction.prunedSnapshot(spark, dir, touched)
+    val scans = plan.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scans == Seq(1),
+      s"expected exactly the 1 touched partition selected, got $scans")
+  }
+
+  test("a fully-deleted bucket's directory is removed, not left stale") {
+    // one lonely key: find a bucket holding exactly one id, delete it
+    val dir = tmpDir("compaction")
+    Compaction.init(
+      Seq((1L, "only", 0L, false)).toDF("id", "payload", "version", "deleted"),
+      dir, "id", "version", "deleted", nBuckets = N_BUCKETS)
+    val bucketDirs0 = fileState(dir).keySet
+    assert(bucketDirs0.size == 1)
+    val stats = Compaction.merge(spark, dir,
+      Seq((1L, "", 1L, true)).toDF("id", "payload", "version", "deleted"))
+    assert(stats.emptiedBuckets.nonEmpty)
+    assert(fileState(dir).keySet.isEmpty, "stale bucket dir survived")
+    assert(Compaction.read(spark, dir).count() == 0L)
+  }
+
+  test("sequential batches == one batch of the union") {
+    val b1 = Seq((3L, "v1-3", 1L, false), (50L, "", 1L, true))
+      .toDF("id", "payload", "version", "deleted")
+    val b2 = Seq((3L, "v2-3", 2L, false), (51L, "v2-51", 2L, false))
+      .toDF("id", "payload", "version", "deleted")
+
+    val seqDir = freshTable(60)
+    Compaction.merge(spark, seqDir, b1)
+    Compaction.merge(spark, seqDir, b2)
+
+    val oneDir = freshTable(60)
+    Compaction.merge(spark, oneDir, b1.unionByName(b2))
+
+    assert(readState(seqDir) == readState(oneDir))
+    assert(readState(seqDir) == recompute(snapshot(60), b1.unionByName(b2)))
+  }
+
+  test("empty changelog is a no-op") {
+    val dir = freshTable(30)
+    val before = fileState(dir)
+    val stats = Compaction.merge(spark, dir,
+      snapshot(0).filter(lit(false)))
+    assert(stats.touchedBuckets.isEmpty && stats.rowsWritten == 0L)
+    assert(fileState(dir) == before)
+  }
+}
