@@ -99,6 +99,68 @@ class StreamingCurationSpec extends SparkSpec {
     assert(collected.toSet == Set(102L, 104L))
   }
 
+  test("index refresh mid-stream: next batch dedups against refreshed corpus") {
+    val root = tmpDir("srefresh")
+    val srcDir = s"$root/src"
+    val idxDir = s"$root/idx"
+    val collected = new scala.collection.mutable.ArrayBuffer[Long]()
+    val cfg = Curation.Config(keepLangs = Set.empty, minTokens = 1,
+      nearDupThreshold = 0.7, nearDupNgram = 1)
+
+    def drain(): Unit = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[DocRow]].schema)
+        .parquet(srcDir).as[DocRow]
+      val q = StreamingCuration.nearDedupStream(src, idxDir, cfg) { b =>
+        collected.synchronized {
+          collected ++= b.select("doc_id").collect().map(_.getLong(0))
+        }
+      }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      q.awaitTermination()
+      assert(q.exception.isEmpty, q.exception.toString)
+    }
+
+    val indexed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"))
+    indexed.toDF("doc_id", "text")
+      .pipe(d => graft.operators.Dedup
+        .writeLshIndex(d, "doc_id", "text", idxDir, ngram = 1))
+
+    // batch 1: a novel survivor + a near-dup of the indexed corpus
+    Seq(
+      DocRow(201L, "brand new survivor content that matches nothing indexed yet", "en"),
+      DocRow(202L, "tonight the lazy dog quick brown fox jumps over the", "en"),
+    ).toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    assert(collected.toSet == Set(201L))
+
+    // REFRESH on the caller's cadence: rebuild the index over the old
+    // corpus plus batch-1 survivors. nearDedupStream re-reads the
+    // index dir every micro-batch (curateIncremental is index-driven),
+    // so the next drain must suppress near-dups of doc 201 — content
+    // that between refreshes would have been the accepted staleness.
+    (indexed ++ Seq((201L,
+      "brand new survivor content that matches nothing indexed yet")))
+      .toDF("doc_id", "text")
+      .pipe(d => graft.operators.Dedup
+        .writeLshIndex(d, "doc_id", "text", idxDir, ngram = 1))
+
+    // batch 2: near-dup of the batch-1 survivor (now suppressed via the
+    // refreshed index), near-dup of the ORIGINAL corpus (still
+    // suppressed), and a genuinely novel doc (kept)
+    Seq(
+      DocRow(301L, "survivor content brand new that matches nothing yet indexed", "en"),
+      DocRow(302L, "the lazy dog tonight jumps the quick brown fox over", "en"),
+      DocRow(303L, "an entirely different document about distributed stream processing", "en"),
+    ).toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    assert(collected.toSet == Set(201L, 303L),
+      s"cross-refresh suppression failed: got ${collected.toSet}")
+  }
+
   private implicit class Pipe[A](a: A) {
     def pipe[B](f: A => B): B = f(a)
   }
