@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcQueries, EmbeddingQueries, ExtensionQueries, PipelineQueries, RelationalQueries, TextQueries}
+import graft.queries.{CdcQueries, EmbeddingQueries, ExtensionQueries, PipelineQueries, RelationalQueries, TextQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ EmbeddingQueries.queries ++
-      ExtensionQueries.queries ++ PipelineQueries.queries
+      ExtensionQueries.queries ++ PipelineQueries.queries ++
+      TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -29,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CdcQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ EmbeddingQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++ TpchQueries.oracle
 }
