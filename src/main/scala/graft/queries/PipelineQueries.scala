@@ -265,6 +265,58 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // bloom-prefiltered decontamination: same verdicts as
+    // decontaminate_ngram (exact verify behind the filter), but the
+    // eval side folds into one broadcast bloom instead of a broadcast
+    // string set — the memory-bounded form for eval suites too big to
+    // ship to every executor. Oracle = the exact formulation; a hash
+    // match here PROVES the bloom is a pure prefilter.
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontaminate.reportBloom(
+        train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        eval = docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        idCol = "doc_id", textCol = "text", n = 8, threshold = 0.2,
+        spreadSmallInput = true)
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 ranked retrieval for a fixed term query. Same determinism
+    // discipline as text_tfidf_top: idf is the integer-scaled ratio
+    // (1000·N div df), the tf/length normalization is pure double
+    // arithmetic with an IDENTICAL expression tree in both engines,
+    // and each term's contribution integerizes (floor×1e6) BEFORE the
+    // per-doc sum so the aggregate is an associative BIGINT add —
+    // never an order-sensitive double sum. k1=1.2, b=0.75.
+    "text_bm25_topk" -> ((s, dir) => {
+      val qTerms = Seq("spark", "query", "hash")
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val stats = tok.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = tok
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_scaled", expr("(1000 * n_docs) div df"))
+        .withColumn("tf_norm",
+          col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .withColumn("contrib",
+          floor(col("tf_norm") * lit(1000000.0)) * col("idf_scaled"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_matched"),
+          sum(col("contrib")).as("bm25_scaled"))
+        .orderBy(col("bm25_scaled").desc, col("doc_id"))
+        .limit(15)
+    }),
+
     // incremental stats maintenance: per-lang char-length statistics
     // assembled by MERGING per-batch algebraic partials (three ingest
     // batches by id range) — never rescanning history. The oracle is a
@@ -423,6 +475,44 @@ object PipelineQueries {
     "read_parquet('/root/testdata/sf0.01/documents.parquet')"
   private val embParquet =
     "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+
+  /** Exact n-gram contamination reconciliation — shared verbatim by
+    * decontaminate_ngram (broadcast exact set) and decontaminate_bloom
+    * (bloom prefilter + exact verify): both implementations must hash
+    * to this one ground truth.
+    */
+  private lazy val decontaminateExactOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM $docsParquet),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 8 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 6), i ->
+      |        array_to_string(toks[i:i+7], ' ')))
+      |    ELSE []::VARCHAR[] END AS grams
+      |  FROM d),
+      |eg AS (
+      |  SELECT DISTINCT unnest(grams) AS ngram
+      |  FROM g WHERE doc_id % 20 = 0),
+      |t AS (
+      |  SELECT doc_id, grams, CAST(len(grams) AS INT) AS n_ngrams
+      |  FROM g WHERE doc_id % 20 <> 0),
+      |m AS (
+      |  SELECT tt.doc_id, count(*) AS n_matched
+      |  FROM (SELECT doc_id, unnest(grams) AS ngram FROM t) tt
+      |  JOIN eg USING (ngram)
+      |  GROUP BY tt.doc_id)
+      |SELECT t.doc_id, n_ngrams,
+      |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+      |  CASE WHEN n_ngrams > 0
+      |    THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / n_ngrams
+      |    ELSE 0.0 END AS contamination_ratio,
+      |  (CASE WHEN n_ngrams > 0
+      |    THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / n_ngrams
+      |    ELSE 0.0 END) >= 0.2 AS contaminated
+      |FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_pii_scrub" ->
@@ -641,38 +731,7 @@ object PipelineQueries {
         |  md5(string_agg(text, '<|eod|>' ORDER BY doc_id)) AS packed_md5
         |FROM packed GROUP BY seq_id ORDER BY seq_id""".stripMargin,
 
-    "decontaminate_ngram" ->
-      s"""WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM $docsParquet),
-        |g AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 8 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 6), i ->
-        |        array_to_string(toks[i:i+7], ' ')))
-        |    ELSE []::VARCHAR[] END AS grams
-        |  FROM d),
-        |eg AS (
-        |  SELECT DISTINCT unnest(grams) AS ngram
-        |  FROM g WHERE doc_id % 20 = 0),
-        |t AS (
-        |  SELECT doc_id, grams, CAST(len(grams) AS INT) AS n_ngrams
-        |  FROM g WHERE doc_id % 20 <> 0),
-        |m AS (
-        |  SELECT tt.doc_id, count(*) AS n_matched
-        |  FROM (SELECT doc_id, unnest(grams) AS ngram FROM t) tt
-        |  JOIN eg USING (ngram)
-        |  GROUP BY tt.doc_id)
-        |SELECT t.doc_id, n_ngrams,
-        |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
-        |  CASE WHEN n_ngrams > 0
-        |    THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / n_ngrams
-        |    ELSE 0.0 END AS contamination_ratio,
-        |  (CASE WHEN n_ngrams > 0
-        |    THEN CAST(coalesce(m.n_matched, 0) AS DOUBLE) / n_ngrams
-        |    ELSE 0.0 END) >= 0.2 AS contaminated
-        |FROM t LEFT JOIN m ON t.doc_id = m.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
+    "decontaminate_ngram" -> decontaminateExactOracle,
 
     "embed_quantize" ->
       s"""WITH s AS (
@@ -698,5 +757,37 @@ object PipelineQueries {
         |      abs(embedding[i]::DOUBLE - qv[i]::DOUBLE / scale)))
         |  ELSE 0.0 END AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
-  )
+
+    // every literal ::DOUBLE — bare decimal literals are DECIMAL in
+    // DuckDB and would silently switch the arithmetic off the IEEE
+    // path Spark computes
+    "text_bm25_topk" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM $docsParquet),
+        |s AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM d),
+        |t AS (
+        |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM t
+        |  WHERE term IN ('spark','query','hash') GROUP BY 1, 2, 3),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor((tf * 2.2::DOUBLE
+        |        / (tf + 1.2::DOUBLE * (0.25::DOUBLE
+        |          + 0.75::DOUBLE * dl / avgdl)))
+        |      * 1000000.0::DOUBLE) AS BIGINT)
+        |      * ((1000 * n_docs) // df) AS contrib
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN s)
+        |SELECT doc_id, count(*) AS n_terms_matched,
+        |  CAST(SUM(contrib) AS BIGINT) AS bm25_scaled
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25_scaled DESC, doc_id LIMIT 15""".stripMargin,
+  ) ++ Map(
+    // the bloom path must produce the EXACT formulation's rows —
+    // decontaminate_bloom shares decontaminate_ngram's oracle verbatim
+    "decontaminate_bloom" -> decontaminateExactOracle)
 }
