@@ -320,6 +320,41 @@ object CdcQueries {
         .orderBy(col("event_id"))
     }),
 
+    // export-content fingerprint: order-insensitive 60-bit-hash fold
+    // over the canonicalized full-export rows (count + xor + mod-prime
+    // sum) — how source and destination prove an export moved every
+    // row, under any partitioning. See graft.cdc.Checksum.
+    "cdc_table_checksum" -> ((s, dir) => {
+      val export = Tables.events(s, dir)
+        .filter(col("event_type") =!= "error")
+      graft.cdc.Checksum.fingerprint(export, Seq(
+        col("event_id").cast("string"),
+        col("user_id").cast("string"),
+        col("event_type"),
+        col("value").cast("decimal(18,2)").cast("string"),
+        fmt(col("ts"))))
+    }),
+
+    // gap-filled hourly time series: hour×type spine from sequence()
+    // over the observed bounds, left join of real counts, zeros where
+    // nothing happened — the downstream-safe shape for rate metrics
+    // (a missing hour and a zero hour are different facts)
+    "events_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      val counts = ev.groupBy(col("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val spine = bounds.select(explode(
+        sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      spine.crossJoin(broadcast(types))
+        .join(counts, Seq("h", "event_type"), "left")
+        .select(fmt(col("h")).as("hour_s"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hour_s"), col("event_type"))
+    }),
+
     // distributed keyed MERGE (graft.cdc.Compaction): init a bucketed
     // snapshot, apply an upsert+delete changelog through the
     // partition-pruned merge, read the maintained table back and
@@ -354,6 +389,38 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "cdc_table_checksum" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, event_type,
+        |    value::DECIMAL(18,2) AS v,
+        |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |  FROM events WHERE event_type <> 'error'),
+        |h AS (
+        |  SELECT ('0x' || substr(md5(
+        |    event_id::VARCHAR || '|' || user_id::VARCHAR || '|' ||
+        |    event_type || '|' || v::VARCHAR || '|' || ts_s), 1, 15))::BIGINT AS h
+        |  FROM r)
+        |SELECT count(*) AS n_rows, bit_xor(h) AS xor_fp,
+        |  CAST(SUM(h % 1000000007) AS BIGINT) AS sum_fp
+        |FROM h""".stripMargin,
+
+    "events_gapfill" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts::TIMESTAMP) AS h, event_type
+        |  FROM events),
+        |c AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY h, event_type),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |grid AS (
+        |  SELECT h, event_type
+        |  FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM e) t)
+        |SELECT strftime(grid.h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+        |  grid.event_type, coalesce(c.n, 0) AS n
+        |FROM grid LEFT JOIN c
+        |  ON grid.h = c.h AND grid.event_type = c.event_type
+        |ORDER BY hour_s, grid.event_type""".stripMargin,
+
     "cdc_merge_upsert" ->
       """WITH unioned AS (
         |  SELECT o_orderkey AS id, o_totalprice AS price,
