@@ -355,6 +355,29 @@ object CdcQueries {
         .orderBy(col("hour_s"), col("event_type"))
     }),
 
+    // z-order layout round-trip: write events Morton-ordered on
+    // (user_id, event_id), read back through a TWO-dimensional
+    // predicate, aggregate. The oracle runs the same predicate on the
+    // raw table — a hash match proves the curve layout is purely
+    // physical (ZOrderSpec separately proves files prune on either
+    // dimension)
+    "zorder_prune_read" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val path = sys.props("java.io.tmpdir") + "/graft-zorder-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.sources.ZOrder.writeZOrdered(ev, path, "user_id", "event_id",
+        numFiles = 16)
+      s.read.parquet(path)
+        .filter(col("user_id").between(10, 20) &&
+          col("event_id").between(1000, 5000))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // distributed keyed MERGE (graft.cdc.Compaction): init a bucketed
     // snapshot, apply an upsert+delete changelog through the
     // partition-pruned merge, read the maintained table back and
@@ -377,9 +400,14 @@ object CdcQueries {
       val tableDir = sys.props("java.io.tmpdir") +
         "/graft-merge-upsert-" +
         java.lang.Integer.toHexString(dir.hashCode)
+      // 16 buckets at this SF: the %3 changelog touches every bucket
+      // anyway (a full-rewrite worst case for the operator), so more
+      // buckets just means more small files per write here — the
+      // partition-pruning win needs batches narrower than the table,
+      // which CompactionSpec exercises directly
       graft.cdc.Compaction.init(snapshot, tableDir,
         key = "id", versionCol = "version", deleteCol = "deleted",
-        nBuckets = 64)
+        nBuckets = 16)
       graft.cdc.Compaction.merge(s, tableDir, changes)
       graft.cdc.Compaction.read(s, tableDir)
         .groupBy()
@@ -420,6 +448,13 @@ object CdcQueries {
         |FROM grid LEFT JOIN c
         |  ON grid.h = c.h AND grid.event_type = c.event_type
         |ORDER BY hour_s, grid.event_type""".stripMargin,
+
+    "zorder_prune_read" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 20 AND event_id BETWEEN 1000 AND 5000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "cdc_merge_upsert" ->
       """WITH unioned AS (

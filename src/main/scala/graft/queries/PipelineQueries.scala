@@ -317,6 +317,29 @@ object PipelineQueries {
         .limit(15)
     }),
 
+    // rarity quality signal: mean inverse global token frequency,
+    // integer-scaled end to end ((1e6·N_total) div cnt per occurrence,
+    // integer mean per doc) — rank-monotone in the real mean-ICF and
+    // deterministic across engines with zero float ops. Vocabulary
+    // counts stay a plain join (vocab outgrows broadcast at scale;
+    // AQE broadcasts when it fits)
+    "text_rarity_score" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      tok.join(counts, Seq("term"))
+        .crossJoin(broadcast(total))
+        .withColumn("contrib", expr("(1000000 * n_total) div cnt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("contrib")).as("rarity_sum"))
+        .withColumn("rarity_scaled", expr("rarity_sum div n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("rarity_scaled"))
+        .orderBy(col("rarity_scaled").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // incremental stats maintenance: per-lang char-length statistics
     // assembled by MERGING per-batch algebraic partials (three ingest
     // batches by id range) — never rescanning history. The oracle is a
@@ -786,6 +809,19 @@ object PipelineQueries {
         |  CAST(SUM(contrib) AS BIGINT) AS bm25_scaled
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25_scaled DESC, doc_id LIMIT 15""".stripMargin,
+
+    "text_rarity_score" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM $docsParquet),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(SUM((1000000 * n_total) // cnt) AS BIGINT) AS rarity_sum
+        |  FROM t JOIN c USING (term) CROSS JOIN n GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, rarity_sum // n_tokens AS rarity_scaled
+        |FROM s ORDER BY rarity_scaled DESC, doc_id LIMIT 20""".stripMargin,
   ) ++ Map(
     // the bloom path must produce the EXACT formulation's rows —
     // decontaminate_bloom shares decontaminate_ngram's oracle verbatim

@@ -584,6 +584,23 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
     }),
+
+    // cohort retention: customers bucketed by first-order month, then
+    // distinct active customers per (cohort, month offset) — two
+    // keyed aggregations and one fact-fact join on the customer key
+    "cohort_retention" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+      val first = ord.groupBy(col("o_custkey"))
+        .agg(min(col("m")).as("cohort"))
+      ord.join(first, Seq("o_custkey"))
+        .groupBy(date_format(col("cohort"), "yyyy-MM").as("cohort_month"),
+          months_between(col("m"), col("cohort")).cast("int")
+            .as("month_offset"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("cohort_month"), col("month_offset"))
+    }),
   )
 
   private val disc = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -591,6 +608,17 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH o AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate) AS m
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY o_custkey)
+        |SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
+        |  CAST(datediff('month', f.cohort, o.m) AS INT) AS month_offset,
+        |  count(DISTINCT o.o_custkey) AS n_customers
+        |FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1, 2 ORDER BY cohort_month, month_offset""".stripMargin,
+
     "string_shaping" ->
       """SELECT p_partkey,
         |  lpad(p_brand, 12, '*') AS brand_pad,
