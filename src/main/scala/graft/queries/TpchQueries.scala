@@ -16,10 +16,16 @@ import graft.Tables
   * of q21, the scalar-subquery + anti-join of q22. q2/q11/q16/q20 are
   * partsupp-centric and have no faithful analog here.
   *
-  * Scale notes (100 TB design): dimensions (part/supplier/customer/
-  * nation/region and derived scalar aggregates) broadcast; the only
-  * shuffles are fact⨝fact joins on their keys and the final grouped
-  * aggregations, all partial+final. Money sums go through
+  * Scale notes (100 TB design): TRUE dimensions (nation/region/
+  * supplier/filtered part, and derived scalar aggregates like q15's
+  * max-revenue row or q22's threshold) carry explicit broadcast
+  * hints. customer/orders and per-part aggregates scale WITH the
+  * fact tables, so their joins stay plain shuffle joins — AQE still
+  * broadcasts them at small SF where they fit, but nothing in the
+  * plan REQUIRES a table that grows with the data to fit in executor
+  * memory. The only mandatory shuffles are fact⨝fact joins on their
+  * keys and the final grouped aggregations, all partial+final.
+  * Money sums go through
   * DECIMAL(18,2) (exact, associative) and render as DOUBLE —
   * bit-identical between Spark's partial aggs and DuckDB's sequential
   * scan regardless of row order.
@@ -82,7 +88,7 @@ object TpchQueries {
           col("l_shipdate") < ts("1998-01-01"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .filter(
           (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
@@ -112,7 +118,7 @@ object TpchQueries {
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .withColumn("volume",
           dec(col("l_extendedprice")) *
@@ -153,7 +159,7 @@ object TpchQueries {
       val cust = Tables.customer(s, dir)
       val nat = Tables.nation(s, dir)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("n_name"))
@@ -236,14 +242,14 @@ object TpchQueries {
       val brandParts = Tables.part(s, dir)
         .filter(col("p_brand") === "Brand#13")
         .select(col("p_partkey"))
-      val partAvg = li.join(broadcast(brandParts),
+      val partAvg = li.join(brandParts,
           col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"))
         .agg(avg(col("l_quantity")).as("avg_qty"))
         .select(col("l_partkey").as("t_partkey"), col("avg_qty"))
-      li.join(broadcast(brandParts),
+      li.join(brandParts,
           col("l_partkey") === col("p_partkey"), "left_semi")
-        .join(broadcast(partAvg), col("l_partkey") === col("t_partkey"))
+        .join(partAvg, col("l_partkey") === col("t_partkey"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
           count(lit(1)).as("n_lines"))
@@ -260,7 +266,7 @@ object TpchQueries {
       val cust = Tables.customer(s, dir)
       bigOrders
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
           col("o_totalprice"), col("sum_qty"))
