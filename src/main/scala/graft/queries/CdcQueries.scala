@@ -414,9 +414,44 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_keys"),
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
+
+    // SCD type-2 history build: each change record for an entity
+    // (user_id) becomes a versioned row with a validity interval —
+    // valid_from = its ts, valid_to = the NEXT change's ts, open
+    // interval (null valid_to, is_current=true) for the latest. The
+    // standard warehouse materialization of a CDC changelog (the
+    // reference's updated_at stream consumed into history instead of
+    // state). One user-keyed window shuffle; at 100 TB the partition
+    // key is the entity id, so history build parallelizes per entity
+    // and never needs a global sort.
+    "cdc_scd2_history" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          fmt(col("ts")).as("valid_from_s"),
+          fmt(col("valid_to")).as("valid_to_s"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "cdc_scd2_history" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS t,
+        |    lead(ts::TIMESTAMP) OVER (PARTITION BY user_id
+        |      ORDER BY ts::TIMESTAMP, event_id) AS valid_to
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  strftime(t, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+        |  valid_to IS NULL AS is_current
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
+
     "cdc_table_checksum" ->
       """WITH r AS (
         |  SELECT event_id, user_id, event_type,

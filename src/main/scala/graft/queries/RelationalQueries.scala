@@ -601,6 +601,72 @@ object RelationalQueries {
         .agg(countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy(col("cohort_month"), col("month_offset"))
     }),
+
+    // conversion funnel: users reaching view → click-after-view →
+    // purchase-after-click, each stage's entry time = the EARLIEST
+    // qualifying event after the previous stage (classic ordered-funnel
+    // semantics, not mere event presence). Three keyed aggregations and
+    // two joins, all hash-partitioned on user_id — at 100 TB every stage
+    // reuses one user_id partitioning and the per-stage tables shrink
+    // monotonically, so no stage shuffles more than the first.
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage(t1, "1_view")
+        .unionAll(stage(t2, "2_click_after_view"))
+        .unionAll(stage(t3, "3_purchase_after_click"))
+        .orderBy(col("stage"))
+    }),
+
+    // event-type transition matrix (first-order Markov counts): the
+    // previous event per user via lag, then a global (prev, curr)
+    // count — one user-keyed window shuffle feeding one small
+    // aggregation; the matrix is |types|² rows regardless of data size
+    "events_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"))
+        .withColumn("prev_type",
+          coalesce(lag(col("event_type"), 1).over(w), lit("START")))
+        .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("curr_type"))
+    }),
+
+    // salted skew join (graft.operators.SkewJoin): the per-user profile
+    // table joins back to the raw events with the key salted 8 ways —
+    // the hot-key-safe plan shape for a fact⋈dim join whose dim is too
+    // big to broadcast and whose key distribution is skewed. The oracle
+    // is the PLAIN join: salting must be invisible in the result.
+    // Decimal sums keep the aggregate associative (order-free) so the
+    // salted partitioning cannot perturb the hash.
+    "join_skew_salted" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val dim = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_user_events"))
+      graft.operators.SkewJoin.saltedJoin(ev, dim, "user_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") * col("n_user_events")).cast("double")
+            .as("weighted_value"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   private val disc = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -608,6 +674,46 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.ts::TIMESTAMP > t1.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.ts::TIMESTAMP > t2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+        |UNION ALL
+        |SELECT '2_click_after_view', count(*) FROM t2
+        |UNION ALL
+        |SELECT '3_purchase_after_click', count(*) FROM t3
+        |ORDER BY stage""".stripMargin,
+
+    "events_transitions" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    coalesce(lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts::TIMESTAMP, event_id), 'START') AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS curr_type, count(*) AS n
+        |FROM r GROUP BY prev_type, curr_type
+        |ORDER BY prev_type, curr_type""".stripMargin,
+
+    "join_skew_salted" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value::DECIMAL(18,2) AS v
+        |  FROM events),
+        |d AS (SELECT user_id, count(*) AS n_user_events FROM e
+        |  GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(e.v * d.n_user_events) AS DOUBLE) AS weighted_value
+        |FROM e JOIN d ON e.user_id = d.user_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     "cohort_retention" ->
       """WITH o AS (
         |  SELECT o_custkey, date_trunc('month', o_orderdate) AS m
