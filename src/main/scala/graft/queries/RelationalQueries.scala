@@ -647,6 +647,35 @@ object RelationalQueries {
         .orderBy(col("prev_type"), col("curr_type"))
     }),
 
+    // Pearson correlation / dispersion per group from ALGEBRAIC exact
+    // sums: Σx Σy Σxy Σx² Σy² accumulate in DECIMAL (associative,
+    // partitioning-free), and only the final corr formula runs in
+    // double — the same IEEE expression tree the oracle spells out, so
+    // the result is bit-identical instead of drifting with whatever
+    // merge order a builtin corr()'s co-moment accumulator saw. At
+    // 100 TB this is one map-side-combined aggregate, and the same five
+    // sums serve corr, covariance, and stddev without a second pass.
+    "stats_correlation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      val d = (c: Column) => c.cast("double")
+      val agg = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,4)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,4)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,4)")).as("syy"))
+      agg.select(col("l_returnflag"), col("n"),
+          d(col("sx")).as("sum_x"), d(col("sy")).as("sum_y"),
+          floor((
+            (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+             sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+          ) * lit(1000000.0)).cast("bigint").as("corr_ppm"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // salted skew join (graft.operators.SkewJoin): the per-user profile
     // table joins back to the raw events with the key salted 8 ways —
     // the hot-key-safe plan shape for a fact⋈dim join whose dim is too
@@ -674,6 +703,30 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "stats_correlation" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity::DECIMAL(18,2)) AS sx,
+        |    sum(l_extendedprice::DECIMAL(18,2)) AS sy,
+        |    sum(CAST(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)
+        |      AS DECIMAL(38,4))) AS sxy,
+        |    sum(CAST(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)
+        |      AS DECIMAL(38,4))) AS sxx,
+        |    sum(CAST(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)
+        |      AS DECIMAL(38,4))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
+        |  CAST(floor(
+        |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |     (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+        |    * 1000000.0) AS BIGINT) AS corr_ppm
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
     "events_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events

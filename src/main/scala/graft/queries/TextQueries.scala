@@ -87,6 +87,40 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // doc-in-doc containment (asymmetric near-dup): C(A→B) =
+    // |sh(A)∩sh(B)| / |sh(A)| over distinct 5-token shingles — catches
+    // a document embedded inside a longer one, which symmetric Jaccard
+    // dilutes below any threshold. Plan shape is an inverted-index
+    // equi-join on the shingle (O(postings), never O(n²)) with a
+    // stop-shingle guard: shingles present in >100 docs are boilerplate
+    // and would each contribute a quadratic postings-list join at
+    // 100 TB, so they are dropped BEFORE candidate generation (the
+    // df-cap is computed with a map-side-combined groupBy, not a
+    // window). Integer basis-point containment keeps the compare exact.
+    "dedup_containment" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), array_distinct(
+          transform(sequence(lit(1), size(col("toks")) - 4),
+            i => concat_ws(" ", slice(col("toks"), i, lit(5))))).as("sh"))
+      val e0 = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val df = e0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val e = e0.join(df, Seq("g")).filter(col("df") <= 100)
+        .select(col("doc_id"), col("g"))
+      val n = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val p = e.as("a").join(e.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+      p.join(n, col("id_a") === col("doc_id"))
+        .filter(col("shared") * 10 >= col("n_sh") * 6)
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(shared * 10000 AS BIGINT) DIV n_sh")
+            .as("containment_bp"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // array-function surface over the token arrays: sort, slice,
     // membership, set-overlap — narrow per-row collection algebra,
     // reduced to scalars so the cross-engine compare is exact.
@@ -297,6 +331,28 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "curation_pipeline" -> curationOracle,
+
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |    for i in range(1, len(toks) - 3)]) AS sh FROM t),
+        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |df AS (SELECT g, count(*) AS df FROM e0 GROUP BY g),
+        |e AS (SELECT e0.doc_id, e0.g FROM e0 JOIN df ON e0.g = df.g
+        |  WHERE df.df <= 100),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS shared
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  (p.shared * 10000) // n.n_sh AS containment_bp
+        |FROM p JOIN n ON p.id_a = n.doc_id
+        |WHERE p.shared * 10 >= n.n_sh * 6
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
 
     // ground truth for the 32-band unigram LSH query: brute-force
     // all-pairs word-set Jaccard (recall is ~1 - 6e-15 per pair at
