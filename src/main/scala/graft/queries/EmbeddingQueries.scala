@@ -99,6 +99,27 @@ object EmbeddingQueries {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // connected components over the near-dup graph, FORCED onto the
+    // distributed min-label-propagation path (driverEdgeLimit=0) so the
+    // scale code path — not the driver union-find shortcut — is what
+    // the oracle checks: each round joins labels to the symmetric edge
+    // list and takes the neighborhood min, with a label-sum convergence
+    // probe instead of per-round counts. The oracle replays the same
+    // fixpoint as a recursive reachability CTE.
+    "graph_components" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        .withColumn("id_b", explode(array((1 to 5).map(d => col("id_a") + d): _*)))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val pairs = a.join(b, Seq("id_b"))
+        .withColumn("cos", cosineSim(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+        .select(col("id"), col("cluster_id"))
+        .orderBy(col("id"))
+    }),
   )
 
   // The hyperplane-LSH oracle embeds the EXACT plane values as SQL
@@ -381,5 +402,23 @@ object EmbeddingQueries {
         |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "graph_components" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') a
+        |  JOIN read_parquet('/root/testdata/sf0.01/embeddings.parquet') b
+        |    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]) >= 0.3),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |r(id, seen) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.seen FROM e JOIN r ON r.id = e.src)
+        |SELECT id, min(seen) AS cluster_id FROM r GROUP BY id
+        |ORDER BY id""".stripMargin,
   )
 }
