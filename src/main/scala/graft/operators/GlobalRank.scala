@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global row_number: the scale-safe replacement for
+  * `Window.orderBy(...)` with no partition key, which funnels the whole
+  * table through ONE task's sort (the classic global-rank trap — fine at
+  * 60k rows, fatal at 100 TB).
+  *
+  * Strategy: shard by any expression MONOTONE in the global order
+  * (a value-range band, a hex prefix of an ordering hash — anything
+  * where shard(a) <= shard(b) whenever a precedes b globally), rank
+  * each shard locally in parallel, then chain the per-shard counts into
+  * offsets with one window over the tiny shard list. Rank = offset +
+  * local rank. Three jobs, no global sort, and the offsets table is
+  * |shards| rows regardless of data size.
+  *
+  * Shard BALANCE only affects parallelism, never correctness — callers
+  * can derive range boundaries from `approx_percentile` samples and the
+  * ranks stay exact.
+  */
+object GlobalRank {
+
+  /** `df` plus `rankCol` = 1-based global row_number over
+    * (`orderCols`..., tie-broken by the caller including a unique
+    * column last). `shard` must be monotone w.r.t. that order.
+    */
+  def withGlobalRank(df: DataFrame, orderCols: Seq[Column], shard: Column,
+      rankCol: String = "global_rn"): DataFrame = {
+    val sharded = df.withColumn("__shard", shard)
+    val localW = Window.partitionBy(col("__shard")).orderBy(orderCols: _*)
+    val local = sharded.withColumn("__local_rn",
+      row_number().over(localW).cast("long"))
+    // per-shard counts -> exclusive prefix sums; the window here runs
+    // over |shards| rows, not the data
+    val offsetW = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("__shard"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(sum(col("__n")).over(offsetW), lit(0L)))
+      .select(col("__shard"), col("__offset"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn(rankCol, col("__offset") + col("__local_rn"))
+      .drop("__shard", "__local_rn", "__offset")
+  }
+
+  /** A monotone range-band shard expression from explicit boundaries:
+    * shard = number of boundaries strictly below the value. Rows tied
+    * on a boundary land in one shard, preserving monotonicity.
+    */
+  def rangeShard(value: Column, boundaries: Seq[Double]): Column =
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + (value > lit(b)).cast("int")
+    }
+
+  /** SQL ntile(k) from a global rank and total count — the exact
+    * engine formula: the first (n % k) buckets take ⌈n/k⌉ rows, the
+    * rest ⌊n/k⌋. Requires n >= 1; k >= 1.
+    */
+  def ntileOf(rank: Column, n: Column, k: Int): Column = {
+    // `/` is double division; floor+cast is exact here because every
+    // quotient that matters is a ratio of int64s whose target integer
+    // part is <= k+1 — far inside double's correctly-rounded range
+    val q = floor(n / lit(k)).cast("long")
+    val r = (n % lit(k)).cast("long")
+    val cut = r * (q + lit(1L))
+    when(rank <= cut, floor((rank - lit(1L)) / (q + lit(1L))).cast("long"))
+      .otherwise(r +
+        floor((rank - lit(1L) - cut) / greatest(q, lit(1L))).cast("long")) +
+      lit(1L)
+  }
+}

@@ -647,6 +647,68 @@ object RelationalQueries {
         .orderBy(col("prev_type"), col("curr_type"))
     }),
 
+    // equi-depth decile histogram WITHOUT the global-window trap: a
+    // bare ntile(10) OVER (ORDER BY ...) funnels every row through one
+    // task's sort, so the bucket index is instead computed from a
+    // DISTRIBUTED global rank (graft.operators.GlobalRank): range-band
+    // shards from approx-percentile boundaries (balance only — never
+    // correctness), parallel per-shard ranks, per-shard counts chained
+    // into offsets, then the exact SQL ntile formula applied to
+    // rank+total. The oracle is DuckDB's native ntile(10) — the
+    // distributed formula must reproduce the engine builtin row-exactly.
+    "quantile_buckets" -> ((s, dir) => {
+      import graft.operators.GlobalRank
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val bs = ord.agg(percentile_approx(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("b"))
+        .first().getSeq[Double](0)
+      val ranked = GlobalRank.withGlobalRank(ord,
+        Seq(col("o_totalprice"), col("o_orderkey")),
+        GlobalRank.rangeShard(col("o_totalprice"), bs), "rnk")
+      val tot = ord.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("bucket",
+          GlobalRank.ntileOf(col("rnk"), col("n_total"), 10))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy(col("bucket"))
+    }),
+
+    // rolling z-score anomaly flags: each event scored against the
+    // mean/stddev of its user's previous 10 values — sums accumulate
+    // exactly in DECIMAL over the window frame, and mean/σ/z run in
+    // double through the same IEEE tree the oracle spells out. One
+    // user-keyed window shuffle; frame state is 10 rows per partition
+    // cursor regardless of scale.
+    "events_anomaly_zscore" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = (c: Column) => c.cast("double")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-10, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .withColumn("n_prev", count(col("v")).over(w))
+        .withColumn("sx", sum(col("v")).over(w))
+        .withColumn("sxx",
+          sum((col("v") * col("v")).cast("decimal(38,4)")).over(w))
+        .filter(col("n_prev") >= 5)
+        .withColumn("mu", d(col("sx")) / d(col("n_prev")))
+        .withColumn("sg", sqrt(
+          (d(col("sxx")) - d(col("sx")) * col("mu")) /
+            d(col("n_prev") - 1)))
+        .withColumn("z", (d(col("v")) - col("mu")) / col("sg"))
+        .filter(col("sg") > 0 && abs(col("z")) >= 2.5)
+        .select(col("user_id"), col("event_id"), col("n_prev"),
+          floor(col("z") * lit(1000000.0)).cast("bigint").as("z_ppm"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Pearson correlation / dispersion per group from ALGEBRAIC exact
     // sums: Σx Σy Σxy Σx² Σy² accumulate in DECIMAL (associative,
     // partitioning-free), and only the final corr formula runs in
@@ -703,6 +765,43 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "quantile_buckets" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "events_anomaly_zscore" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, value::DECIMAL(18,2) AS v,
+        |    count(value::DECIMAL(18,2)) OVER w AS n_prev,
+        |    sum(value::DECIMAL(18,2)) OVER w AS sx,
+        |    sum(CAST(value::DECIMAL(18,2) * value::DECIMAL(18,2)
+        |      AS DECIMAL(38,4))) OVER w AS sxx
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts::TIMESTAMP, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT * FROM b WHERE n_prev >= 5),
+        |sc AS (
+        |  SELECT user_id, event_id, n_prev,
+        |    CAST(v AS DOUBLE) AS vd,
+        |    CAST(sx AS DOUBLE) / CAST(n_prev AS DOUBLE) AS mu,
+        |    sqrt((CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n_prev AS DOUBLE)))
+        |      / CAST(n_prev - 1 AS DOUBLE)) AS sg
+        |  FROM f)
+        |SELECT user_id, event_id, n_prev,
+        |  CAST(floor(((vd - mu) / sg) * 1000000.0) AS BIGINT) AS z_ppm
+        |FROM sc
+        |WHERE sg > 0 AND abs((vd - mu) / sg) >= 2.5
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "stats_correlation" ->
       """WITH a AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GlobalRank must reproduce the engine's own global window exactly:
+  * the distributed sharded-prefix rank equals row_number over one
+  * partition, and ntileOf equals the ntile builtin — including the
+  * ragged sizes when n % k != 0.
+  */
+class GlobalRankSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("sharded rank == single-partition row_number, any shard split") {
+    val df = (1 to 997).map(i => (i.toLong, (i * 7919 % 1000).toDouble))
+      .toDF("id", "v")
+    val w = Window.orderBy(col("v"), col("id"))
+    val expected = df.withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("id"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (bounds <- Seq(Seq.empty[Double], Seq(500.0), Seq(250.0, 500.0, 750.0))) {
+      val got = GlobalRank.withGlobalRank(df, Seq(col("v"), col("id")),
+          GlobalRank.rangeShard(col("v"), bounds), "rn")
+        .select(col("id"), col("rn")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"bounds=$bounds")
+    }
+  }
+
+  test("ntileOf == engine ntile, ragged and exact sizes") {
+    for (n <- Seq(1, 7, 10, 23, 100, 997); k <- Seq(1, 3, 10)) {
+      val df = (1 to n).map(_.toLong).toDF("id")
+      val w = Window.orderBy(col("id"))
+      val engine = df.withColumn("b", ntile(k).over(w).cast("long"))
+      val ours = df
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
+        .withColumn("b2", GlobalRank.ntileOf(col("rnk"), col("n_total"), k))
+      val joined = engine.join(ours, "id")
+        .filter(col("b") =!= col("b2"))
+      assert(joined.isEmpty, s"n=$n k=$k mismatches")
+    }
+  }
+}
