@@ -104,13 +104,25 @@ object TextQueries {
         .select(col("doc_id"), array_distinct(
           transform(sequence(lit(1), size(col("toks")) - 4),
             i => concat_ws(" ", slice(col("toks"), i, lit(5))))).as("sh"))
+      // shingles collapse to 60-bit md5 ints BEFORE any shuffle: the
+      // postings index, df counts, and pair join all move 8-byte keys
+      // instead of ~40-byte strings (measured 7.2s -> string keys were
+      // the whole cost at sf0.1). The oracle folds the identical hash,
+      // so even a collision (p ~ n²/2^60) stays cross-engine-exact.
       val e0 = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val df = e0.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      val e = e0.join(df, Seq("g")).filter(col("df") <= 100)
-        .select(col("doc_id"), col("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("gh"))
+      val df = e0.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      // the filtered postings feed THREE consumers (per-doc sizes and
+      // both sides of the pair join): persist once instead of
+      // re-tokenizing + re-hashing the corpus per consumer
+      val e = e0.join(df, Seq("gh")).filter(col("df") <= 100)
+        .select(col("doc_id"), col("gh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val p = e.as("a").join(e.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+          col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("shared"))
       p.join(n, col("id_a") === col("doc_id"))
@@ -339,7 +351,10 @@ object TextQueries {
         |s AS (
         |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
         |    for i in range(1, len(toks) - 3)]) AS sh FROM t),
-        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |e0 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS g
+        |  FROM s),
         |df AS (SELECT g, count(*) AS df FROM e0 GROUP BY g),
         |e AS (SELECT e0.doc_id, e0.g FROM e0 JOIN df ON e0.g = df.g
         |  WHERE df.df <= 100),
