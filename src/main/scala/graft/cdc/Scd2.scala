@@ -1,0 +1,168 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Maintained SCD type-2 history: the history-preserving twin of
+  * [[Compaction]]. Where Compaction keeps only each key's LATEST state,
+  * Scd2 keeps every version as a validity interval — `valid_from` (the
+  * row's own version column), `valid_to` (the next change's version,
+  * null while open) and `is_current` — and maintains the table
+  * incrementally with partition-pruned rewrites.
+  *
+  * The scaled analog of consuming the reference's `updated_at`
+  * changelog (/root/reference/app/services/export.py:21-23) into an
+  * auditable history instead of a mutable snapshot.
+  *
+  * Layout (same scheme as Compaction): `dir/data/bucket=N/` parquet
+  * partitions hash-bucketed on the key, `dir/meta` self-describing.
+  *
+  * Merge semantics:
+  *  - a batch touches only the buckets containing its keys; untouched
+  *    bucket directories are never read, listed, or rewritten;
+  *  - within a touched bucket, only CHANGED keys re-window — their full
+  *    history (stored state records ∪ batch changes) is re-derived, so
+  *    a late change that lands between two closed intervals splices in
+  *    EXACTLY (no stale `valid_to` survives); unchanged keys' rows pass
+  *    through untouched;
+  *  - `(key, version)` identifies a change: replaying a batch
+  *    deduplicates against stored rows, so at-least-once delivery
+  *    converges to the same table;
+  *  - tombstones (`deleteCol` true) are kept as history rows — they
+  *    close their predecessor's interval, never become `is_current`,
+  *    and a later non-tombstone version resurrects the key.
+  *
+  * History never shrinks, so merges cannot empty a bucket (no
+  * emptied-directory sweep needed, unlike Compaction).
+  */
+object Scd2 {
+
+  /** Outcome of one merge batch, for observability and specs. */
+  final case class MergeStats(touchedBuckets: Seq[Int], rowsWritten: Long)
+
+  private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+
+  /** History rows from a bag of state records: per-key lead window over
+    * the version order. Tombstone ties are impossible once `(key,
+    * version)` is deduplicated, so the order is total.
+    */
+  private def window(states: DataFrame, key: String, versionCol: String,
+      deleteCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(versionCol))
+    states
+      .dropDuplicates(key, versionCol)
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull && !col(deleteCol))
+  }
+
+  /** Build the history table from a full changelog (any number of
+    * versions per key). `df` must carry `key`, `versionCol` (unique per
+    * key — the change identity) and boolean `deleteCol`.
+    */
+  def init(df: DataFrame, dir: String, key: String,
+      versionCol: String, deleteCol: String,
+      nBuckets: Int = 256): Unit = {
+    val spark = df.sparkSession
+    require(nBuckets > 0, "nBuckets must be positive")
+    window(df, key, versionCol, deleteCol)
+      .withColumn("bucket", bucketOf(col(key), nBuckets))
+      .repartitionByRange(col("bucket"), col(key))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data")
+    import spark.implicits._
+    val schemaJson = window(df.limit(0), key, versionCol, deleteCol).schema
+      .add("bucket", org.apache.spark.sql.types.IntegerType).json
+    Seq((key, versionCol, deleteCol, nBuckets, schemaJson))
+      .toDF("key", "version_col", "delete_col", "n_buckets", "schema_json")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String)
+      : (String, String, String, Int) = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    (r.getAs[String]("key"), r.getAs[String]("version_col"),
+      r.getAs[String]("delete_col"), r.getAs[Int]("n_buckets"))
+  }
+
+  private def storedData(spark: SparkSession, dir: String): DataFrame = {
+    val json = spark.read.parquet(s"$dir/meta").head()
+      .getAs[String]("schema_json")
+    val dataSchema = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.read.schema(dataSchema).parquet(s"$dir/data")
+  }
+
+  /** The pruned slice a merge of `touched` buckets reads — factored out
+    * so Scd2Spec can assert the scan's selected-partition count.
+    */
+  private[cdc] def prunedHistory(spark: SparkSession, dir: String,
+      touched: Seq[Int]): DataFrame =
+    storedData(spark, dir)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+
+  /** Full history with intervals (no internal bucket column). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    storedData(spark, dir).drop("bucket")
+
+  /** Live state: open, non-tombstone versions only. */
+  def current(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, deleteCol, _) = readMeta(spark, dir)
+    read(spark, dir).filter(col("is_current"))
+      .drop("valid_to", "is_current").drop(deleteCol)
+  }
+
+  /** Time travel: the state as of version `v` — rows whose interval
+    * covers `v` (`valid_from <= v < valid_to`, open intervals
+    * unbounded), tombstones excluded.
+    */
+  def asOf(spark: SparkSession, dir: String, v: Any): DataFrame = {
+    val (_, versionCol, deleteCol, _) = readMeta(spark, dir)
+    read(spark, dir)
+      .filter(col(versionCol) <= lit(v) &&
+        (col("valid_to").isNull || col("valid_to") > lit(v)) &&
+        !col(deleteCol))
+      .drop("valid_to", "is_current")
+  }
+
+  /** Apply one change batch (state records carrying the same key /
+    * version / delete columns and payload schema as `init`'s input).
+    */
+  def merge(spark: SparkSession, dir: String, changes0: DataFrame): MergeStats = {
+    val (key, versionCol, deleteCol, nBuckets) = readMeta(spark, dir)
+    val changes = changes0
+      .withColumn("bucket", bucketOf(col(key), nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = changes.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) { changes.unpersist(); return MergeStats(Nil, 0L) }
+
+    val hist = prunedHistory(spark, dir, touched)
+    val changedKeys = changes.select(col(key)).distinct()
+    // unchanged keys: rows pass through byte-equivalent; changed keys:
+    // stored rows collapse back to state records and re-window together
+    // with the batch (exact late-data splicing, see object doc)
+    val untouchedRows = hist.join(changedKeys, Seq(key), "left_anti")
+    val stateCols = hist.columns
+      .filterNot(c => c == "valid_to" || c == "is_current").map(col)
+    val rewound = hist.join(changedKeys, Seq(key), "left_semi")
+      .select(stateCols: _*)
+      .unionByName(changes.select(stateCols: _*))
+    val rebuilt = window(rewound, key, versionCol, deleteCol)
+      .select(hist.columns.map(col): _*)
+    val out = untouchedRows.unionByName(rebuilt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val rows = out.count()
+    out
+      .repartitionByRange(col("bucket"), col(key))
+      .write.partitionBy("bucket").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$dir/data")
+    out.unpersist()
+    changes.unpersist()
+    MergeStats(touched, rows)
+  }
+}

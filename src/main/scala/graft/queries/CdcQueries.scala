@@ -415,6 +415,34 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // maintained SCD2 history (graft.cdc.Scd2): init from 80% of the
+    // changelog, then merge the remainder in two batches whose event
+    // ids INTERLEAVE the stored ones — every merge is a late-data
+    // splice into closed intervals, the hard path. The summary of the
+    // maintained table must equal a one-shot window over the full
+    // changelog (the oracle) — incremental ≡ recompute.
+    "cdc_scd2_merge" -> ((s, dir) => {
+      val st = Tables.events(s, dir).select(
+        col("user_id").as("uid"), col("event_id").as("version"),
+        col("event_type").as("payload"),
+        (col("event_type") === "error").as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-scd2-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Scd2.init(st.filter(col("version") % 5 =!= 0), tableDir,
+        key = "uid", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Scd2.merge(s, tableDir,
+        st.filter(col("version") % 5 === 0 && col("version") % 10 =!= 0))
+      graft.cdc.Scd2.merge(s, tableDir,
+        st.filter(col("version") % 10 === 0))
+      graft.cdc.Scd2.read(s, tableDir)
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+          sum(col("version")).as("sum_version"),
+          sum(col("valid_to")).as("sum_valid_to"))
+    }),
+
     // SCD type-2 history build: each change record for an entity
     // (user_id) becomes a versioned row with a validity interval —
     // valid_from = its ts, valid_to = the NEXT change's ts, open
@@ -440,6 +468,23 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "cdc_scd2_merge" ->
+      """WITH st AS (
+        |  SELECT user_id AS uid, event_id AS version,
+        |    (event_type = 'error') AS deleted
+        |  FROM events),
+        |h AS (
+        |  SELECT uid, version, deleted,
+        |    lead(version) OVER (PARTITION BY uid ORDER BY version)
+        |      AS valid_to
+        |  FROM st)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN valid_to IS NULL AND NOT deleted
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  CAST(sum(valid_to) AS BIGINT) AS sum_valid_to
+        |FROM h""".stripMargin,
+
     "cdc_scd2_history" ->
       """WITH r AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS t,
