@@ -46,6 +46,38 @@ object GlobalRank {
       .drop("__shard", "__local_rn", "__offset")
   }
 
+  /** `df` plus `rankCol` AND `sumCol` = 1-based global row_number and
+    * the inclusive running total of `value` over the same global order
+    * — the distributed cumulative-sum every quota/Pareto/mixing stage
+    * needs, again without a partitionless window: per-shard running
+    * totals in parallel, per-shard value sums chained into offsets.
+    * `value` should be an exact type (DECIMAL/integer) so the running
+    * total is associative across the shard recombination.
+    */
+  def withRunningTotal(df: DataFrame, orderCols: Seq[Column], shard: Column,
+      value: Column, rankCol: String = "global_rn",
+      sumCol: String = "running_total"): DataFrame = {
+    val sharded = df.withColumn("__shard", shard).withColumn("__v", value)
+    val localW = Window.partitionBy(col("__shard")).orderBy(orderCols: _*)
+    val local = sharded
+      .withColumn("__local_rn", row_number().over(localW).cast("long"))
+      .withColumn("__local_sum", sum(col("__v")).over(localW))
+    val offsetW = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("__shard"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+      .withColumn("__offset", coalesce(sum(col("__n")).over(offsetW), lit(0L)))
+      .withColumn("__sum_offset", sum(col("__s")).over(offsetW))
+      .select(col("__shard"), col("__offset"), col("__sum_offset"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn(rankCol, col("__offset") + col("__local_rn"))
+      .withColumn(sumCol,
+        when(col("__sum_offset").isNull, col("__local_sum"))
+          .otherwise(col("__sum_offset") + col("__local_sum")))
+      .drop("__shard", "__v", "__local_rn", "__local_sum",
+        "__offset", "__sum_offset")
+  }
+
   /** A monotone range-band shard expression from explicit boundaries:
     * shard = number of boundaries strictly below the value. Rows tied
     * on a boundary land in one shard, preserving monotonicity.

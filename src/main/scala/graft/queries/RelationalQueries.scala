@@ -709,6 +709,60 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // customer-revenue Pareto curve (who makes up the top of the book):
+    // per-customer spend, ranked DESC with a DISTRIBUTED running total
+    // (GlobalRank.withRunningTotal — per-shard cumsums + per-shard sum
+    // offsets; no partitionless window), cut into spend deciles with
+    // the exact ntile formula, each reporting its cumulative share of
+    // total revenue in basis points. Running totals accumulate in
+    // DECIMAL (associative across the shard recombination); only the
+    // final share division runs in double, mirrored in the oracle.
+    "pareto_customers" -> ((s, dir) => {
+      import graft.operators.GlobalRank
+      val d = (c: Column) => c.cast("double")
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      val bs = spend.agg(percentile_approx(d(col("spend")) * lit(-1.0),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("b"))
+        .first().getSeq[Double](0)
+      val ranked = GlobalRank.withRunningTotal(spend,
+        Seq(col("spend").desc, col("o_custkey")),
+        GlobalRank.rangeShard(d(col("spend")) * lit(-1.0), bs),
+        col("spend"), "rnk", "cum_spend")
+      val tot = spend.agg(sum(col("spend")).as("tot"),
+        count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile",
+          GlobalRank.ntileOf(col("rnk"), col("n_total"), 10))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend")).cast("double").as("decile_spend"),
+          floor((d(max(col("cum_spend"))) * lit(10000.0)) /
+            d(max(col("tot")))).cast("bigint").as("cum_share_bp"))
+        .orderBy(col("decile"))
+    }),
+
+    // market-basket co-occurrence: part pairs bought together within
+    // an order. The self-join fans out O(n·k) where k is basket size
+    // (bounded by order shape, not data volume), pairs map-side-combine
+    // in the count, and a support floor keeps the tail out of the
+    // result. Deterministic top-200 by (support desc, pair).
+    "basket_pairs" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val p = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+      p.orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(200)
+    }),
+
     // Pearson correlation / dispersion per group from ALGEBRAIC exact
     // sums: Σx Σy Σxy Σx² Σy² accumulate in DECIMAL (associative,
     // partitioning-free), and only the final corr formula runs in
@@ -765,6 +819,37 @@ object RelationalQueries {
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE) AS revenue"
 
   val oracle: Map[String, String] = Map(
+    "pareto_customers" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT o_custkey, spend,
+        |    sum(spend) OVER (ORDER BY spend DESC, o_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        |  FROM spend),
+        |t AS (SELECT sum(spend) AS tot FROM spend)
+        |SELECT decile, count(*) AS n_customers,
+        |  CAST(sum(spend) AS DOUBLE) AS decile_spend,
+        |  CAST(floor((CAST(max(cum) AS DOUBLE) * 10000.0)
+        |    / CAST(max(t.tot) AS DOUBLE)) AS BIGINT) AS cum_share_bp
+        |FROM r CROSS JOIN t
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_orders
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_orders FROM p
+        |WHERE n_orders >= 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 200""".stripMargin,
+
     "quantile_buckets" ->
       """WITH r AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -30,6 +30,23 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("sharded running total == single-window cumulative sum") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 7919 % 1000).toDouble))
+      .toDF("id", "v")
+      .withColumn("dec_v", col("v").cast("decimal(18,2)"))
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("ct", sum(col("dec_v")).over(w))
+      .select(col("id"), col("ct").cast("string")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = GlobalRank.withRunningTotal(df, Seq(col("v"), col("id")),
+        GlobalRank.rangeShard(col("v"), Seq(300.0, 600.0)),
+        col("dec_v"), "rn", "ct")
+      .select(col("id"), col("ct").cast("string")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+  }
+
   test("ntileOf == engine ntile, ragged and exact sizes") {
     for (n <- Seq(1, 7, 10, 23, 100, 997); k <- Seq(1, 3, 10)) {
       val df = (1 to n).map(_.toLong).toDF("id")
