@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.cdc.SnapshotDiff
 
 /** SURVEY.md §2 CDC operator inventory expressed over the testdata
   * `events` table (the CDC-source analog: `ts` plays `updated_at`,
@@ -465,9 +466,57 @@ object CdcQueries {
           col("valid_to").isNull.as("is_current"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+
+    // snapshot-to-snapshot CDC derivation (graft.cdc.SnapshotDiff):
+    // reconstruct the changelog between two keyed snapshots when the
+    // source offers no change feed — the inverse of the reference's
+    // operation-tag export. Two deterministic snapshot views of
+    // `orders` differ by presence (%7/%5 carve-outs → INSERT/DELETE)
+    // and by payload (price doubled on %3 — exact in doubles; status
+    // NULLed on %11 — exercises the null-safe UPDATE path). One
+    // full-outer sort-merge join on the key; output is O(changes).
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"),
+        col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      val oldSnap = ord.filter(col("id") % 7 =!= 1)
+      val newSnap = ord.filter(col("id") % 5 =!= 2)
+        .withColumn("price",
+          when(col("id") % 3 === 0, col("price") * 2).otherwise(col("price")))
+        .withColumn("status",
+          when(col("id") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("status")))
+      SnapshotDiff.changelog(oldSnap, newSnap, "id",
+          Seq("price", "status"))
+        .orderBy(col("id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "cdc_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    o_orderstatus AS status FROM orders),
+        |o AS (SELECT id, price AS old_price, status AS old_status
+        |  FROM base WHERE id % 7 <> 1),
+        |n AS (SELECT id,
+        |    CASE WHEN id % 3 = 0 THEN price * 2 ELSE price END AS new_price,
+        |    CASE WHEN id % 11 = 0 THEN NULL ELSE status END AS new_status
+        |  FROM base WHERE id % 5 <> 2),
+        |d AS (
+        |  SELECT coalesce(o.id, n.id) AS id,
+        |    CASE WHEN o.id IS NULL THEN 'INSERT'
+        |         WHEN n.id IS NULL THEN 'DELETE'
+        |         WHEN old_price IS NOT DISTINCT FROM new_price
+        |          AND old_status IS NOT DISTINCT FROM new_status
+        |           THEN 'UNCHANGED'
+        |         ELSE 'UPDATE' END AS op,
+        |    old_price, new_price, old_status, new_status
+        |  FROM o FULL OUTER JOIN n ON o.id = n.id)
+        |SELECT id, op, old_price, new_price, old_status, new_status
+        |FROM d WHERE op <> 'UNCHANGED' ORDER BY id""".stripMargin,
+
     "cdc_scd2_merge" ->
       """WITH st AS (
         |  SELECT user_id AS uid, event_id AS version,

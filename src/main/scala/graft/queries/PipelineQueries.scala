@@ -340,6 +340,103 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // bigram-LM corpus likelihood (the CCNet/KenLM perplexity-filter
+    // shape): train add-one-smoothed bigram counts on the corpus
+    // itself, score each doc by its mean bigram likelihood. Everything
+    // stays integer — per-bigram likelihood is scaled to parts-per-
+    // billion by BIGINT division BEFORE the per-doc sum, so the doc
+    // score is an associative integer sum (order-blind, engine-exact);
+    // the monotone ln() that turns this into a true log-perplexity is
+    // applied downstream of the gate, as with the scaled idf. Plan
+    // shape: tokenize once, reduce to per-(doc,bigram) counts FIRST
+    // (map-side combine collapses repeated bigrams), then re-aggregate
+    // those partials into the model tables — so the expensive shuffles
+    // move counts, never token streams. The model⋈corpus joins are
+    // plain shuffle joins on (w1,w2)/w1: the model tables grow with
+    // vocabulary, not corpus size, and AQE broadcasts them when they
+    // fit. At 100 TB, hash the word pairs to 64-bit keys (strings only
+    // exist here for oracle exactness) and drop the 1e9 scale to 1e6
+    // so cnt*scale stays inside BIGINT.
+    "text_bigram_lm" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val occ = toks.select(col("doc_id"),
+          explode(expr("""zip_with(slice(toks, 1, size(toks)-1),
+                          slice(toks, 2, size(toks)-1),
+                          (a, b) -> named_struct('w1', a, 'w2', b))"""))
+            .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("occ"))
+        // occ feeds the model tables AND the scoring join — persist so
+        // the tokenize+explode+first-shuffle lineage runs once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c12 = occ.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("occ")).as("cnt12"))
+      val c1 = occ.groupBy(col("w1")).agg(sum(col("occ")).as("cnt1"))
+      val vocab = toks.select(explode(col("toks")).as("term"))
+        .agg(countDistinct(col("term")).as("v_size"))
+      occ.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("lik_ppb",
+          expr("(1000000000 * (cnt12 + 1)) div (cnt1 + v_size)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("occ")).as("n_bigrams"),
+          sum(col("occ") * col("lik_ppb")).as("lm_sum"))
+        .withColumn("lm_mean_ppb", expr("lm_sum div n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance weighting (Xie et al. '23 shape): hashed
+    // n-gram features (unigrams + bigrams, md5 → 4096 buckets), a
+    // bucket-level target/source likelihood-ratio model (target = the
+    // src0-src3 slice, source = the whole corpus, add-one smoothing),
+    // each doc scored by its occurrence-weighted mean ratio. Ratios
+    // are scaled to parts-per-million by BIGINT division BEFORE the
+    // per-doc sum (associative integer sum; the DSIR log is applied
+    // downstream of the gate like the scaled idf). Plan: docs reduce
+    // to per-(doc,bucket) counts first (map-side combine), the model
+    // is EXACTLY 4096 rows regardless of corpus size — it re-derives
+    // from those partials and broadcasts back, so scoring adds zero
+    // shuffles beyond the one partial-agg exchange. At 100 TB only
+    // the ppm scale needs care: (1e6·cnt_t·tot_s) must stay inside
+    // BIGINT, so drop the scale or pre-divide totals past ~1e11
+    // feature occurrences.
+    "sample_dsir_weights" -> ((s, dir) => {
+      val nBuckets = 4096
+      val toks = Tables.documents(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks"))
+      val occ = toks.select(col("doc_id"), col("source"),
+          explode(concat(col("toks"),
+            expr("""zip_with(slice(toks, 1, size(toks)-1),
+                    slice(toks, 2, size(toks)-1),
+                    (a, b) -> concat(a, ' ', b))"""))).as("feat"))
+        .withColumn("bucket",
+          conv(substring(md5(col("feat").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % nBuckets)
+        .groupBy(col("doc_id"), col("source"), col("bucket"))
+        .agg(count(lit(1)).as("occ"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = occ.groupBy(col("bucket"))
+        .agg(sum(col("occ")).as("cnt_s"),
+          sum(when(col("source").isin("src0", "src1", "src2", "src3"),
+            col("occ")).otherwise(0L)).as("cnt_t"))
+      val totals = model.agg(sum(col("cnt_s")).as("tot_s"),
+        sum(col("cnt_t")).as("tot_t"))
+      val ratio = model.crossJoin(broadcast(totals))
+        .withColumn("ratio_ppm",
+          expr(s"(1000000 * (cnt_t + 1) * (tot_s + $nBuckets)) div " +
+            s"((cnt_s + 1) * (tot_t + $nBuckets))"))
+        .select(col("bucket"), col("ratio_ppm"))
+      occ.join(broadcast(ratio), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("occ")).as("n_feats"),
+          sum(col("occ") * col("ratio_ppm")).as("dsir_sum"))
+        .withColumn("dsir_mean_ppm", expr("dsir_sum div n_feats"))
+        .orderBy(col("doc_id"))
+    }),
+
     // incremental stats maintenance: per-lang char-length statistics
     // assembled by MERGING per-batch algebraic partials (three ingest
     // batches by id range) — never rescanning history. The oracle is a
@@ -809,6 +906,67 @@ object PipelineQueries {
         |  CAST(SUM(contrib) AS BIGINT) AS bm25_scaled
         |FROM scored GROUP BY doc_id
         |ORDER BY bm25_scaled DESC, doc_id LIMIT 15""".stripMargin,
+
+    "text_bigram_lm" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM $docsParquet),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+        |  FROM t),
+        |occ AS (
+        |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS occ
+        |  FROM b GROUP BY doc_id, bg.w1, bg.w2),
+        |c12 AS (SELECT w1, w2, CAST(SUM(occ) AS BIGINT) AS cnt12
+        |  FROM occ GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(occ) AS BIGINT) AS cnt1
+        |  FROM occ GROUP BY w1),
+        |v AS (SELECT count(DISTINCT term) AS v_size
+        |  FROM (SELECT unnest(toks) AS term FROM t)),
+        |s AS (
+        |  SELECT doc_id, occ,
+        |    (1000000000 * (cnt12 + 1)) // (cnt1 + v_size) AS lik_ppb
+        |  FROM occ JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(occ * lik_ppb) AS BIGINT) AS lm_sum,
+        |  CAST(SUM(occ * lik_ppb) AS BIGINT)
+        |    // CAST(SUM(occ) AS BIGINT) AS lm_mean_ppb
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_dsir_weights" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM $docsParquet),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    unnest(toks || list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS feat
+        |  FROM t),
+        |o AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS bucket,
+        |    count(*) AS occ
+        |  FROM f GROUP BY doc_id, source,
+        |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096),
+        |m AS (
+        |  SELECT bucket, CAST(SUM(occ) AS BIGINT) AS cnt_s,
+        |    CAST(SUM(CASE WHEN source IN ('src0','src1','src2','src3')
+        |      THEN occ ELSE 0 END) AS BIGINT) AS cnt_t
+        |  FROM o GROUP BY bucket),
+        |tt AS (SELECT CAST(SUM(cnt_s) AS BIGINT) AS tot_s,
+        |  CAST(SUM(cnt_t) AS BIGINT) AS tot_t FROM m),
+        |r AS (
+        |  SELECT bucket,
+        |    (1000000 * (cnt_t + 1) * (tot_s + 4096))
+        |      // ((cnt_s + 1) * (tot_t + 4096)) AS ratio_ppm
+        |  FROM m CROSS JOIN tt),
+        |sc AS (SELECT doc_id, occ, ratio_ppm FROM o JOIN r USING (bucket))
+        |SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_feats,
+        |  CAST(SUM(occ * ratio_ppm) AS BIGINT) AS dsir_sum,
+        |  CAST(SUM(occ * ratio_ppm) AS BIGINT)
+        |    // CAST(SUM(occ) AS BIGINT) AS dsir_mean_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_rarity_score" ->
       s"""WITH t AS (
