@@ -120,6 +120,33 @@ object EmbeddingQueries {
         .select(col("id"), col("cluster_id"))
         .orderBy(col("id"))
     }),
+
+    // fixed-iteration PageRank (graft.operators.PageRank) over the
+    // customer↔supplier trade graph (bipartite edges from
+    // lineitem⋈orders, symmetrized so every node has out-degree ≥ 1;
+    // parity-tagged node ids keep the two keyspaces disjoint). Three
+    // integer supersteps — every division is BIGINT `div`, so the
+    // oracle replays the exact iterations as three unrolled CTE
+    // layers. Per-iteration plan: one edges⋈ranks join + one partial-
+    // aggregated groupBy(dst) — the Pregel superstep, AQE-skew-safe.
+    "graph_pagerank" -> ((s, dir) => {
+      val e0 = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val sym = e0.union(e0.select((col("dst")).as("src"), col("src").as("dst")))
+      graft.operators.PageRank.ranks(sym, iterations = 3)
+        .withColumn("kind",
+          when(col("node") % 2 === 0, "customer").otherwise("supplier"))
+        .withColumn("entity_id", expr("node div 2"))
+        .select(col("kind"), col("entity_id"), col("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("kind"), col("entity_id"))
+        .limit(20)
+    }),
   )
 
   // The hyperplane-LSH oracle embeds the EXACT plane values as SQL
@@ -420,5 +447,43 @@ object EmbeddingQueries {
         |  SELECT e.dst, r.seen FROM e JOIN r ON r.id = e.src)
         |SELECT id, min(seen) AS cluster_id FROM r GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    // replays PageRank.ranks verbatim: same integer divisions, three
+    // unrolled superstep layers (r0 → i/r1 → i/r2 → i/r3)
+    "graph_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |d AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+        |n AS (SELECT count(*) AS n_nodes FROM d),
+        |r0 AS (SELECT node, deg, 1000000000000 // n_nodes AS r
+        |  FROM d CROSS JOIN n),
+        |i1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // r0.deg) AS BIGINT)
+        |    AS in_sum
+        |  FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+        |r1 AS (SELECT d.node, d.deg,
+        |    (150000000000 // n_nodes) + (85 * coalesce(in_sum, 0)) // 100 AS r
+        |  FROM d CROSS JOIN n LEFT JOIN i1 ON d.node = i1.node),
+        |i2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // r1.deg) AS BIGINT)
+        |    AS in_sum
+        |  FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+        |r2 AS (SELECT d.node, d.deg,
+        |    (150000000000 // n_nodes) + (85 * coalesce(in_sum, 0)) // 100 AS r
+        |  FROM d CROSS JOIN n LEFT JOIN i2 ON d.node = i2.node),
+        |i3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // r2.deg) AS BIGINT)
+        |    AS in_sum
+        |  FROM e JOIN r2 ON e.src = r2.node GROUP BY e.dst),
+        |r3 AS (SELECT d.node, d.deg,
+        |    (150000000000 // n_nodes) + (85 * coalesce(in_sum, 0)) // 100 AS r
+        |  FROM d CROSS JOIN n LEFT JOIN i3 ON d.node = i3.node),
+        |out AS (
+        |  SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+        |    ELSE 'supplier' END AS kind,
+        |    node // 2 AS entity_id, CAST(r AS BIGINT) AS rank_scaled,
+        |    node
+        |  FROM r3)
+        |SELECT kind, entity_id, rank_scaled FROM out
+        |ORDER BY rank_scaled DESC, kind, entity_id LIMIT 20""".stripMargin,
   )
 }
