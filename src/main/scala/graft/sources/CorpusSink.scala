@@ -98,4 +98,23 @@ object CorpusSink {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** ORC twin of `writeParquet` — identical layout contract through
+    * Spark's native ORC datasource, for lakehouses standardized on
+    * ORC/Hive. Predicate pushdown, column pruning, and directory
+    * pruning all hold; the intra-file sort makes ORC's row-group
+    * min/max indexes selective exactly as with parquet pages.
+    */
+  def writeOrc(df: DataFrame, path: String, partitionCol: String,
+      sortCol: String, maxRecordsPerFile: Long): Unit =
+    df.repartitionByRange(col(partitionCol), col(sortCol))
+      .sortWithinPartitions(col(partitionCol), col(sortCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .orc(path)
+
+  /** Schema-explicit ORC read (same no-inference rule as JSONL). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

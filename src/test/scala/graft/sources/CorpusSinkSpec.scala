@@ -95,4 +95,42 @@ class CorpusSinkSpec extends SparkSpec {
       assert(ids == ids.sorted, s"unsorted rows in $f")
     }
   }
+
+  test("orc layout round-trips, prunes partitions, pushes predicates") {
+    val dir = tmpDir("layoutorc")
+    CorpusSink.writeOrc(corpus, s"$dir/out", partitionCol = "lang",
+      sortCol = "doc_id", maxRecordsPerFile = 25)
+
+    val back = CorpusSink.readOrc(spark, s"$dir/out",
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType))))
+    assert(back.count() == 100)
+    // value fidelity vs the source frame
+    val got = back.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val want = corpus.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.sameElements(want))
+
+    // partition-column predicate prunes to the lang=fr subtree and a
+    // data predicate reaches the ORC scan as a pushed filter
+    val q = back.filter(col("lang") === "fr" && col("doc_id") > 50)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("lang"), plan.take(800))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(doc_id,50)"), plan.take(800))
+    assert(q.count() == corpus
+      .filter(col("lang") === "fr" && col("doc_id") > 50).count())
+
+    // intra-file sort holds in ORC files too
+    val files = new File(s"$dir/out/lang=en").listFiles()
+      .filter(_.getName.endsWith(".orc")).map(_.getPath)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.orc(f).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"unsorted rows in $f")
+    }
+  }
 }
