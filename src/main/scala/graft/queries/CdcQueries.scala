@@ -467,6 +467,31 @@ object CdcQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // SCD2 point-in-time lookup: "which version of each entity was
+    // current at time T?" — the query the SCD2 history exists to
+    // answer. Implemented as a backward as-of join (AsOfJoin: one
+    // union+window pass, no interval blow-up): the last version with
+    // valid_from ≤ probe IS the interval containing the probe, since
+    // versions partition time per entity. Versions are deduped to one
+    // per (entity, ts) with max(event_id) so ties are deterministic in
+    // both engines. Probes: three fixed timestamps per user.
+    "cdc_scd2_lookup" -> ((s, dir) => {
+      val hist = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("version_event_id"))
+      val probes = hist.select(col("user_id")).distinct()
+        .withColumn("probe", explode(array(
+          lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")),
+          lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00")),
+          lit(java.sql.Timestamp.valueOf("2024-09-01 00:00:00")))))
+      graft.operators.AsOfJoin.asofJoin(probes, hist, Seq("user_id"),
+          leftTime = "probe", rightTime = "ts",
+          rightCols = Seq("version_event_id"))
+        .select(col("user_id"), fmt(col("probe")).as("probe_s"),
+          col("version_event_id"))
+        .orderBy(col("user_id"), col("probe_s"))
+    }),
+
     // snapshot-to-snapshot CDC derivation (graft.cdc.SnapshotDiff):
     // reconstruct the changelog between two keyed snapshots when the
     // source offers no change feed — the inverse of the reference's
@@ -494,6 +519,29 @@ object CdcQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "cdc_scd2_lookup" ->
+      """WITH h0 AS (
+        |  SELECT user_id, ts::TIMESTAMP AS t,
+        |    max(event_id) AS version_event_id
+        |  FROM events GROUP BY user_id, ts::TIMESTAMP),
+        |h AS (
+        |  SELECT user_id, t, version_event_id,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t) AS t_next
+        |  FROM h0),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |probes AS (
+        |  SELECT user_id, unnest([TIMESTAMP '2024-03-01 00:00:00',
+        |    TIMESTAMP '2024-06-01 00:00:00',
+        |    TIMESTAMP '2024-09-01 00:00:00']) AS probe
+        |  FROM u)
+        |SELECT p.user_id,
+        |  strftime(p.probe, '%Y-%m-%d %H:%M:%S') AS probe_s,
+        |  h.version_event_id
+        |FROM probes p LEFT JOIN h
+        |  ON p.user_id = h.user_id AND h.t <= p.probe
+        |    AND (h.t_next IS NULL OR p.probe < h.t_next)
+        |ORDER BY p.user_id, probe_s""".stripMargin,
+
     "cdc_snapshot_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey AS id, o_totalprice AS price,

@@ -387,6 +387,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // boilerplate-span REMOVAL (the transform dedup_spans only
+    // reports): cut each doc into non-overlapping 16-token chunks,
+    // drop every chunk that occurs in ≥2 distinct docs (C4-style
+    // cross-document boilerplate), and REASSEMBLE the surviving text
+    // in original order. Duplicate detection is a partial-aggregated
+    // groupBy(chunk) (hot chunks collapse map-side — no window over
+    // the chunk key), removal is a left_anti join against the small
+    // duplicate set (AQE broadcasts it), reassembly is the sorted-
+    // collect concat. At 100 TB the chunk strings become 64-bit
+    // hashes except in the final concat.
+    "curate_span_removal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).repartition(col("doc_id"))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_chunks", expr("(size(toks) - 1) div 16 + 1"))
+      val chunks = docs.select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, (size(toks) - 1) div 16),
+               i -> array_join(slice(toks, i * 16 + 1, 16), ' '))""")))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk")
+      val dup = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("chunk"))
+      val cleaned = chunks.join(dup, Seq("chunk"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept_chunks"),
+          expr("""array_join(transform(
+                  array_sort(collect_list(struct(chunk_idx, chunk))),
+                  x -> x.chunk), ' ')""").as("clean_text"))
+      docs.select(col("doc_id"), col("n_chunks"))
+        .join(cleaned, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept_chunks"), lit(0L)).as("n_kept_chunks"),
+          md5(coalesce(col("clean_text"), lit("")).cast("binary"))
+            .as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR-style importance weighting (Xie et al. '23 shape): hashed
     // n-gram features (unigrams + bigrams, md5 → 4096 buckets), a
     // bucket-level target/source likelihood-ratio model (target = the
@@ -933,6 +972,32 @@ object PipelineQueries {
         |  CAST(SUM(occ * lik_ppb) AS BIGINT)
         |    // CAST(SUM(occ) AS BIGINT) AS lm_mean_ppb
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "curate_span_removal" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM $docsParquet),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, (len(toks) - 1) // 16),
+        |      i -> struct_pack(idx := i,
+        |        chunk := array_to_string(toks[i * 16 + 1 : i * 16 + 16],
+        |          ' ')))) AS ch
+        |  FROM t),
+        |cc AS (SELECT doc_id, ch.idx AS chunk_idx, ch.chunk AS chunk FROM c),
+        |dup AS (SELECT chunk FROM cc GROUP BY chunk
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT * FROM cc
+        |  WHERE chunk NOT IN (SELECT chunk FROM dup)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept_chunks,
+        |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, (len(toks) - 1) // 16 + 1 AS n_chunks FROM t)
+        |SELECT tot.doc_id, tot.n_chunks,
+        |  coalesce(agg.n_kept_chunks, 0) AS n_kept_chunks,
+        |  md5(coalesce(agg.clean_text, '')) AS clean_md5
+        |FROM tot LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_dsir_weights" ->
       s"""WITH t AS (

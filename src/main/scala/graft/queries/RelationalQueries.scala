@@ -709,6 +709,32 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // exponentially-weighted moving average per user, computed as a
+    // per-key ordered integer fold: value → exact cents via
+    // DECIMAL(18,2), then EWMA_t = (cents_t + EWMA_{t-1}) div 2 —
+    // α = 1/2 in pure BIGINT, so the sequential recurrence is
+    // bit-exact and both engines replay it identically (a float EWMA
+    // could not be oracled). Key-parallel, one shuffle: EWMA is
+    // inherently sequential per series, so the scalable shape is
+    // "parallel across keys, fold within key" — collect_list state is
+    // bounded by events-per-key (chunk very long series by time range
+    // and chain the folds if a single key outgrows memory).
+    "events_ewma" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_sort(collect_list(struct(col("event_id"), col("cents"))))
+            .as("seq"))
+        .withColumn("ewma_cents",
+          expr("aggregate(transform(seq, x -> x.cents), 0L, " +
+            "(acc, x) -> (acc + x) div 2)"))
+        .select(col("user_id"), col("n_events"), col("ewma_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     // customer-revenue Pareto curve (who makes up the top of the book):
     // per-customer spend, ranked DESC with a DISTRIBUTED running total
     // (GlobalRank.withRunningTotal — per-shard cumsums + per-shard sum
@@ -860,6 +886,20 @@ object RelationalQueries {
         |  max(o_totalprice) AS max_price,
         |  CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "events_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(value::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    list(cents ORDER BY event_id) AS seq
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), seq),
+        |    (acc, x) -> (acc + x) // 2) AS ewma_cents
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "events_anomaly_zscore" ->
       """WITH b AS (
