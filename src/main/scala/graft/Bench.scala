@@ -26,7 +26,12 @@ object Bench {
     // a query with zero successful reps is reported in "failed".
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(r =>
       scala.util.Try(r.toInt).toOption).getOrElse(3).max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (the driver never sets it → full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true }

@@ -775,17 +775,28 @@ object RelationalQueries {
     // in the count, and a support floor keeps the tail out of the
     // result. Deterministic top-200 by (support desc, pair).
     "basket_pairs" -> ((s, dir) => {
-      val items = Tables.lineitem(s, dir)
+      // basket-local pair generation instead of an items⋈items
+      // self-join: one shuffle to assemble each order's distinct part
+      // set, then the a<b pairs explode LOCALLY from the sorted array
+      // (baskets are small — bounded items per order — so the
+      // quadratic step is per-row constant work, while the self-join
+      // form shuffled the items table twice and joined). Pair counts
+      // are a partial-aggregated groupBy; a pathological giant basket
+      // would need a size cap before the explode at 100 TB.
+      val baskets = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      val p = items.as("a").join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"),
-          col("b.l_partkey").as("part_b"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      baskets.select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                 y -> named_struct('part_a', x, 'part_b', y))))"""))
+          .as("pr"))
+        .groupBy(col("pr.part_a").as("part_a"),
+          col("pr.part_b").as("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
-      p.orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(200)
     }),
 
