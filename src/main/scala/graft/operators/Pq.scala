@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): split each `dim` vector into
+  * `m` contiguous subvectors, learn a tiny k-codeword codebook per
+  * subspace, and store each vector as `m` small codes. Search runs in
+  * ADC (asymmetric distance computation): per query, precompute an
+  * m×k lookup table of exact subspace distances, then a candidate's
+  * approximate distance is just m table lookups summed — no float
+  * vector math per candidate.
+  *
+  * This is the memory-scale path of the ANN suite: IVF prunes WHICH
+  * vectors to score, PQ shrinks WHAT is stored/scored (64 floats →
+  * m bytes per vector, a 32× compression at m=8). At 100 TB the
+  * encoded corpus is the only big table left; codebooks are m·k·subDim
+  * doubles — always a broadcast literal. Composing the two (IVF-PQ) is
+  * `Ivf.index` on the codes frame.
+  *
+  * Determinism: training reuses `Ivf.train` per subspace (lowest-id
+  * init, first-minimum assignment), distances fold sequentially low
+  * dimension → high, and the ADC sum folds subspaces in order 0→m-1 —
+  * so results are bit-identical across engines and partitionings, and
+  * a SQL oracle can replay encode+search exactly.
+  */
+object Pq {
+
+  /** codebooks(j)(c) = centroid c of subspace j, length dim/m. */
+  type Codebooks = Seq[Seq[Array[Double]]]
+
+  private def subDim(dim: Int, m: Int): Int = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    dim / m
+  }
+
+  /** Train one codebook per subspace (Lloyd via `Ivf.train`, which is
+    * deterministic; `iters = 0` keeps the lowest-id init codewords —
+    * the oracle-friendly degenerate quantizer).
+    */
+  def train(corpus: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Codebooks = {
+    val d = subDim(dim, m)
+    (0 until m).map { j =>
+      val sub = corpus.select(col(idCol),
+        slice(col(embCol), j * d + 1, d).as(embCol))
+      Ivf.train(sub, nlist = k, iters = iters, idCol = idCol, embCol = embCol)
+    }
+  }
+
+  /** Encode each vector as its `m` nearest-codeword ids (int array). */
+  def encode(corpus: DataFrame, dim: Int, cbs: Codebooks,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val m = cbs.size
+    val d = subDim(dim, m)
+    corpus.select(col(idCol).as("n_id"),
+      array(cbs.indices.map(j =>
+        Ivf.assignment(slice(col(embCol), j * d + 1, d), cbs(j))): _*)
+        .as("code"))
+  }
+
+  /** Reconstruction of a code array (codeword concatenation) — for
+    * audits of the quantization error the codes carry.
+    */
+  def decode(codeCol: Column, cbs: Codebooks): Column = {
+    val cb = typedlit(cbs.map(_.map(_.toSeq)))
+    flatten(zip_with(cb, codeCol, (cbj, c) => element_at(cbj, c + 1)))
+  }
+
+  /** ADC top-k: exact subspace-distance lookup tables per query, then
+    * each candidate costs m lookups. Queries broadcast (they are the
+    * small side); the encoded corpus never moves except the final
+    * k-rank shuffle on q_id.
+    */
+  def adcTopK(queries: DataFrame, codes: DataFrame, dim: Int,
+      cbs: Codebooks, k: Int,
+      qId: String = "vec_id", qEmb: String = "embedding"): DataFrame = {
+    val m = cbs.size
+    val d = subDim(dim, m)
+    val cb = typedlit(cbs.map(_.map(_.toSeq)))
+    // lut(j)(c) = ‖q_sub_j − codeword_c‖² , folded low→high dim
+    val q = queries.select(col(qId).as("q_id"),
+      transform(cb, (cbj, j) =>
+        transform(cbj, cent =>
+          aggregate(
+            zip_with(slice(col(qEmb), j * lit(d) + 1, lit(d)), cent, (x, y) => {
+              val diff = x.cast("double") - y
+              diff * diff
+            }),
+            lit(0.0), (acc, v) => acc + v))).as("lut"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2"), col("n_id"))
+    broadcast(q).crossJoin(codes)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc_d2",
+        aggregate(zip_with(col("lut"), col("code"),
+          (l, c) => element_at(l, c + 1)), lit(0.0), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc_d2"))
+  }
+
+  /** ADC shortlist + exact re-rank — the production PQ search shape:
+    * the quantized pass prunes the corpus to `shortlist` candidates
+    * per query (cheap, code-only), then ONLY those rows' raw vectors
+    * are fetched (join on n_id) and re-ranked by true L2. Quantization
+    * distortion then costs recall only when a true neighbor misses the
+    * whole shortlist, not whenever codes mis-order two close hits. At
+    * scale the raw-vector fetch touches |Q|·shortlist rows of the
+    * vector store, never the corpus.
+    */
+  def adcRerankTopK(queries: DataFrame, codes: DataFrame,
+      corpus: DataFrame, dim: Int, cbs: Codebooks, k: Int,
+      shortlist: Int = 50,
+      qId: String = "vec_id", qEmb: String = "embedding",
+      cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
+    val cand = adcTopK(queries, codes, dim, cbs, shortlist, qId, qEmb)
+      .select(col("q_id"), col("n_id"))
+    val q = queries.select(col(qId).as("q_id"), col(qEmb).as("q_emb"))
+    val c = corpus.select(col(cId).as("n_id"), col(cEmb).as("n_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2"), col("n_id"))
+    cand.join(broadcast(q), Seq("q_id")).join(c, Seq("n_id"))
+      .withColumn("d2",
+        aggregate(zip_with(col("q_emb"), col("n_emb"), (x, y) => {
+          val diff = x.cast("double") - y.cast("double")
+          diff * diff
+        }), lit(0.0), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("d2"))
+  }
+}

@@ -85,6 +85,23 @@ object EmbeddingQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // product-quantization ADC search (graft.operators.Pq): 64-dim
+    // vectors → 8 subspaces × 16 codewords (init-only codebooks =
+    // the 16 lowest-id vectors' slices — deterministic, so the oracle
+    // replays encode+LUT+rank in SQL; trained-codebook quality is
+    // PqSpec's job). Candidates cost 8 table lookups each instead of
+    // 64 float ops; the encoded corpus is the only large table.
+    "ann_pq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cbs = graft.operators.Pq.train(emb, dim = 64, m = 8, k = 16,
+        iters = 0)
+      val codes = graft.operators.Pq.encode(emb, dim = 64, cbs)
+      graft.operators.Pq.adcTopK(emb.filter(col("vec_id") < 5), codes,
+          dim = 64, cbs, k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // embedding-cosine near-dup: bounded candidate window, threshold
     "embed_neardup_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -447,6 +464,46 @@ object EmbeddingQueries {
         |  SELECT e.dst, r.seen FROM e JOIN r ON r.id = e.src)
         |SELECT id, min(seen) AS cluster_id FROM r GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    // replays Pq (init-only codebooks): encode = per-(vector,subspace)
+    // argmin over the 16 lowest-id vectors' slices, ADC = the query's
+    // LUT entries summed in subspace order (list_reduce mirrors the
+    // sequential fold, so float sums are bit-identical)
+    "ann_pq_adc" ->
+      """WITH e AS (SELECT vec_id, embedding
+        |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id,
+        |    embedding
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |d AS (
+        |  SELECT e.vec_id, js.j, cb.code_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |      t -> (e.embedding[js.j * 8 + t]::DOUBLE
+        |          - cb.embedding[js.j * 8 + t]::DOUBLE)
+        |         * (e.embedding[js.j * 8 + t]::DOUBLE
+        |          - cb.embedding[js.j * 8 + t]::DOUBLE))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM e CROSS JOIN range(0, 8) js(j) CROSS JOIN cb),
+        |asg AS (
+        |  SELECT vec_id, j, code_id FROM (
+        |    SELECT vec_id, j, code_id,
+        |      row_number() OVER (PARTITION BY vec_id, j
+        |        ORDER BY d2, code_id) AS r
+        |    FROM d) WHERE r = 1),
+        |adc AS (
+        |  SELECT dq.vec_id AS q_id, a.vec_id AS n_id,
+        |    list_reduce(list_prepend(0.0, list(dq.d2 ORDER BY dq.j)),
+        |      (x, y) -> x + y) AS adc_d2
+        |  FROM asg a JOIN d dq ON dq.j = a.j AND dq.code_id = a.code_id
+        |  WHERE dq.vec_id < 5 AND a.vec_id <> dq.vec_id
+        |  GROUP BY dq.vec_id, a.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id)
+        |      AS rank
+        |  FROM adc)
+        |SELECT q_id, rank, n_id FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     // replays PageRank.ranks verbatim: same integer divisions, three
     // unrolled superstep layers (r0 → i/r1 → i/r2 → i/r3)
