@@ -18,6 +18,22 @@ import graft.functions.TextFunctions
 object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact heavy-hitter tokens through the Misra-Gries sketch
+    // (operators.HeavyHitters): pass 1 = capacity-255 mergeable MG
+    // udaf (each map task ships 255 entries, never the vocabulary),
+    // whose survivors provably include every token above n/256; pass 2
+    // counts ONLY those candidates exactly (broadcast semi-join). The
+    // n/64 threshold sits inside the guarantee, so the output is
+    // exact — the plain GROUP BY/HAVING oracle checks the sketch's
+    // superset property along with the counts.
+    "text_heavy_hitters" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir).repartition(col("doc_id"))
+        .select(explode(split(col("text"), " ")).as("term"))
+      graft.operators.HeavyHitters
+        .exactHeavyHitters(tok, "term", m = 255, denom = 64)
+        .orderBy(col("cnt").desc, col("term"))
+    }),
+
     // token counting + basic stats (whitespace tokenizer)
     "text_stats" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -343,6 +359,15 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "curation_pipeline" -> curationOracle,
+
+    "text_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM t),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term)
+        |SELECT term, cnt, (10000 * cnt) // n_total AS freq_bp
+        |FROM c CROSS JOIN n WHERE cnt * 64 > n_total
+        |ORDER BY cnt DESC, term""".stripMargin,
 
     "dedup_containment" ->
       """WITH t AS (
