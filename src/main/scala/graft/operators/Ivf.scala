@@ -32,7 +32,7 @@ object Ivf {
     * unrolled form generates O(nlist·dim) code and its JIT/codegen
     * compile time dominated the whole query at small scale.
     */
-  private def distances(emb: Column, cents: Seq[Array[Double]]): Column =
+  private[operators] def distances(emb: Column, cents: Seq[Array[Double]]): Column =
     transform(typedlit(cents.map(_.toSeq)), c =>
       aggregate(
         zip_with(emb, c, (x, y) => {

@@ -132,4 +132,68 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("d2"))
   }
+
+  /** IVF-PQ: the two scale levers composed — the coarse quantizer
+    * prunes WHICH lists are scored (`nprobe` of `nlist`), PQ codes
+    * shrink WHAT each candidate costs (m lookups). The probe is an
+    * equi-join on list_id against the coded corpus (partition the
+    * codes frame by list_id on disk — `Ivf.writeIndex` layout — and
+    * the scan prunes too), then ADC ranks within the probed lists and
+    * the exact re-rank fetches only the shortlist's raw vectors.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+      coarse: Seq[Array[Double]], cbs: Codebooks, k: Int, nprobe: Int,
+      shortlist: Int = 50,
+      qId: String = "vec_id", qEmb: String = "embedding",
+      cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
+    val m = cbs.size
+    val d = subDim(dim, m)
+    val cb = typedlit(cbs.map(_.map(_.toSeq)))
+    val codes = encode(corpus, dim, cbs, cId, cEmb)
+      .join(Ivf.index(corpus, coarse, cId, cEmb)
+        .select(col("n_id"), col("list_id")), Seq("n_id"))
+    // nprobe nearest coarse lists per query (queries are the tiny side)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd"), col("list_id"))
+    val probes = queries
+      .select(col(qId).as("q_id"), col(qEmb).as("q_emb"),
+        posexplode(Ivf.distances(col(qEmb), coarse))
+          .as(Seq("list_id", "cd")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("list_id"))
+    val q = probes.withColumn("lut",
+      transform(cb, (cbj, j) =>
+        transform(cbj, cent =>
+          aggregate(
+            zip_with(slice(col("q_emb"), j * lit(d) + 1, lit(d)), cent,
+              (x, y) => {
+                val diff = x.cast("double") - y
+                diff * diff
+              }),
+            lit(0.0), (acc, v) => acc + v))))
+    val adcW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2"), col("n_id"))
+    val cand = broadcast(q).join(codes, Seq("list_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc_d2",
+        aggregate(zip_with(col("lut"), col("code"),
+          (l, c) => element_at(l, c + 1)), lit(0.0), (acc, v) => acc + v))
+      .withColumn("pr", row_number().over(adcW))
+      .filter(col("pr") <= shortlist)
+      .select(col("q_id"), col("n_id"))
+    // exact re-rank of the shortlist
+    val qv = queries.select(col(qId).as("q_id"), col(qEmb).as("q_emb"))
+    val cv = corpus.select(col(cId).as("n_id"), col(cEmb).as("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
+    cand.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))
+      .withColumn("d2",
+        aggregate(zip_with(col("q_emb"), col("n_emb"), (x, y) => {
+          val diff = x.cast("double") - y.cast("double")
+          diff * diff
+        }), lit(0.0), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("d2"))
+  }
 }

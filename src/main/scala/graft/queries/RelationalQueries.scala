@@ -709,6 +709,29 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // time-RANGE window frame (vs the ROWS frames of window_frames):
+    // trailing 1-hour sums per user — the frame is defined by the
+    // ORDER-BY VALUE (epoch seconds), so peers at the same timestamp
+    // all join the frame regardless of row order, and sparse/bursty
+    // series get correct time semantics where a ROWS frame would not.
+    // Epoch seconds as BIGINT + DECIMAL sums keep both engines exact.
+    // Same scale shape as any keyed window: one shuffle on user_id.
+    "window_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("es")).rangeBetween(-3599L, 0L)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("es"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .withColumn("n_in_hour", count(col("v")).over(w))
+        .withColumn("sum_in_hour",
+          sum(col("v")).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("es"),
+          col("n_in_hour"), col("sum_in_hour"))
+        .orderBy(col("user_id"), col("es"), col("event_id"))
+    }),
+
     // exponentially-weighted moving average per user, computed as a
     // per-key ordered integer fold: value → exact cents via
     // DECIMAL(18,2), then EWMA_t = (cents_t + EWMA_{t-1}) div 2 —
@@ -897,6 +920,20 @@ object RelationalQueries {
         |  max(o_totalprice) AS max_price,
         |  CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "window_range_frame" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(ts::TIMESTAMP) // 1000 AS es,
+        |    value::DECIMAL(18,2) AS v
+        |  FROM events)
+        |SELECT user_id, event_id, es,
+        |  count(v) OVER w AS n_in_hour,
+        |  CAST(sum(v) OVER w AS DOUBLE) AS sum_in_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, es, event_id""".stripMargin,
 
     "events_ewma" ->
       """WITH e AS (

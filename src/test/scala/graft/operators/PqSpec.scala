@@ -84,6 +84,21 @@ class PqSpec extends SparkSpec {
     assert(rrRecall >= 0.8, s"re-rank recall $rrRecall too low")
   }
 
+  test("ivf-pq composition: probed search finds most re-ranked hits") {
+    val coarse = Ivf.train(emb, nlist = 8, iters = 1)
+    val cbs = Pq.train(emb, dim = 64, m = 16, k = 32, iters = 2)
+    val q = emb.filter($"vec_id" < 10)
+    val full = Pq.adcRerankTopK(q, Pq.encode(emb, dim = 64, cbs), emb,
+        dim = 64, cbs, k = 5, shortlist = 50)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Pq.ivfPqTopK(q, emb, dim = 64, coarse, cbs, k = 5,
+        nprobe = 4, shortlist = 50)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // probing 4 of 8 lists keeps most of the unprobed-everything hits
+    val overlap = ivfpq.intersect(full).size.toDouble / full.size
+    assert(overlap >= 0.6, s"ivf-pq overlap $overlap too low")
+  }
+
   test("codes and ADC ranks are partition-invariant") {
     val cbs = Pq.train(emb, dim = 64, m = 8, k = 16, iters = 0)
     def run(parts: Int) = Pq.adcTopK(emb.filter($"vec_id" < 5),
