@@ -164,6 +164,26 @@ object EmbeddingQueries {
         .orderBy(col("rank_scaled").desc, col("kind"), col("entity_id"))
         .limit(20)
     }),
+
+    // triangle counting over the same near-dup graph, by degree-ordered
+    // orientation (Suri-Vassilvitskii WWW'11): every triangle is
+    // generated once from its (degree,id)-smallest corner and oriented
+    // out-degrees are O(√m), so no hub node owns a quadratic wedge set
+    // ("last reducer" curse). The oracle enumerates each triangle once
+    // as a < b < c over the canonical edge list.
+    "graph_triangles" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        .withColumn("id_b", explode(array((1 to 8).map(d => col("id_a") + d): _*)))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val pairs = a.join(b, Seq("id_b"))
+        .withColumn("cos", cosineSim(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.1)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.operators.Triangles.perNode(pairs)
+        .select(col("node"), col("n_triangles"))
+        .orderBy(col("node"))
+    }),
   )
 
   // The hyperplane-LSH oracle embeds the EXACT plane values as SQL
@@ -464,6 +484,24 @@ object EmbeddingQueries {
         |  SELECT e.dst, r.seen FROM e JOIN r ON r.id = e.src)
         |SELECT id, min(seen) AS cluster_id FROM r GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    // each triangle exactly once as x < y < z over canonical (a < b)
+    // edges: (x,y), (y,z), (x,z) are all canonical
+    "graph_triangles" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') a
+        |  JOIN read_parquet('/root/testdata/sf0.01/embeddings.parquet') b
+        |    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 8
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]) >= 0.1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM p e1 JOIN p e2 ON e2.a = e1.b
+        |  JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM nodes GROUP BY node ORDER BY node""".stripMargin,
 
     // replays Pq (init-only codebooks): encode = per-(vector,subspace)
     // argmin over the 16 lowest-id vectors' slices, ADC = the query's

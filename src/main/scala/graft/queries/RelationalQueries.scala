@@ -872,6 +872,42 @@ object RelationalQueries {
             .as("weighted_value"))
         .orderBy(col("event_type"))
     }),
+
+    // interval sweep-line: open orders per day (an order is open from
+    // o_orderdate until its last line ships) WITHOUT exploding one row
+    // per order×day — two ±1 deltas per order into a map-side-combined
+    // groupBy(day), then a year-sharded distributed running total.
+    // The oracle counts containment per change day directly, proving
+    // the prefix-sum identity Σ deltas(<=d) = |{i : s_i <= d <= e_i}|.
+    "orders_open_by_day" -> ((s, dir) => {
+      val lastShip = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+      // ~20% of synthetic orders have last_ship < orderdate; clamp so
+      // every interval is open at least its order day ([s, e] with
+      // e < s would sweep a NEGATIVE delta window [e+1, s-1])
+      val spans = Tables.orders(s, dir)
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .select(to_date(col("o_orderdate")).as("start_day"),
+          greatest(to_date(col("last_ship")), to_date(col("o_orderdate")))
+            .as("end_day"))
+      graft.operators.IntervalSweep
+        .openCounts(spans, "start_day", "end_day", d => year(d))
+        .select(col("day").cast("timestamp").as("day"), col("n_open"))
+        .orderBy(col("day"))
+    }),
+
+    // skyline (Pareto-optimal parts): cheapest-for-the-size frontier —
+    // no other part is both <= price and >= size with one strict.
+    // Grid prune (64²) drops every cell strictly dominated at cell
+    // granularity, exact dominance anti-join runs only on survivors;
+    // the oracle is the definitional NOT EXISTS over all n² pairs.
+    "skyline_parts" -> ((s, dir) => {
+      graft.operators.Skyline.of(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+          Seq(col("p_retailprice"), -col("p_size")))
+        .orderBy(col("p_partkey"))
+    }),
   )
 
   private val disc = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -1440,5 +1476,36 @@ object RelationalQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // containment count per change day — the direct (quadratic) form
+    // of the sweep-line prefix sum
+    "orders_open_by_day" ->
+      """WITH spans AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS start_day,
+        |    GREATEST(CAST(m.last_ship AS DATE),
+        |      CAST(o.o_orderdate AS DATE)) AS end_day
+        |  FROM orders o JOIN (
+        |    SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |    FROM lineitem GROUP BY l_orderkey) m
+        |    ON o.o_orderkey = m.l_orderkey),
+        |days AS (
+        |  SELECT DISTINCT day FROM (
+        |    SELECT start_day AS day FROM spans
+        |    UNION ALL
+        |    SELECT end_day + 1 FROM spans))
+        |SELECT d.day, count(s.start_day) AS n_open
+        |FROM days d LEFT JOIN spans s
+        |  ON s.start_day <= d.day AND d.day <= s.end_day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
+
+    "skyline_parts" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |      OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
   )
 }

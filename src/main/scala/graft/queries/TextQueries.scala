@@ -253,6 +253,20 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("payload_bytes")).as("total_bytes"))
         .orderBy(col("source"))
     }),
+
+    // EXACT all-pairs Jaccard join (recall 1, unlike LSH): prefix
+    // filtering on the global df-ascending token order — two sets with
+    // J >= 9/10 must share a token in their (rarest-first) prefixes, so
+    // the inverted-index join on prefix tokens generates a candidate
+    // superset and the integer inter·denom >= num·union verify keeps
+    // exactly the true pairs. Oracle = brute-force O(n²) Jaccard.
+    "dedup_allpairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.wordSet(col("text")).as("toks"))
+      graft.operators.AllPairs
+        .jaccardJoin(docs, "doc_id", "toks", num = 9, denom = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   /** Blocked edit-distance candidate pairs (the dedup_edit_distance
@@ -591,5 +605,23 @@ object TextQueries {
         |    THEN c - 18446744073709551616::HUGEINT ELSE c END AS BIGINT)
         |    AS checksum
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // ground truth for the prefix-filtered join: every pair, exact
+    // distinct-token Jaccard, same integer threshold and basis points
+    "dedup_allpairs" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |  WHERE len(string_split(text, ' ')) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+        |    len(a.toks)::BIGINT AS n_a, len(b.toks)::BIGINT AS n_b
+        |  FROM ws a JOIN ws b ON b.doc_id > a.doc_id)
+        |SELECT id_a, id_b, inter, n_a, n_b,
+        |  (inter * 10000) // (n_a + n_b - inter) AS jaccard_bp
+        |FROM pairs
+        |WHERE inter * 10 >= (n_a + n_b - inter) * 9
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }
