@@ -35,8 +35,12 @@ object AllPairs {
   def jaccardJoin(docs: DataFrame, idCol: String, tokCol: String,
       num: Int, denom: Int): DataFrame = {
     require(num > 0 && denom > 0 && num <= denom)
+    // the doc/token frame feeds four consumers (df counts, prefix
+    // assembly, both verify sides): persist once instead of replaying
+    // the caller's tokenize/hash lineage per consumer
     val d = docs.select(col(idCol).as("id"), col(tokCol).as("toks"))
       .filter(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val df_ = d.select(col("id"), explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -62,6 +66,11 @@ object AllPairs {
       .join(prefixTok.select(col("token"),
         col("id").as("id_b"), col("n").as("n_b")), Seq("token"))
       .filter(col("id_a") < col("id_b"))
+      // size filter: |A∩B| <= min(n_a,n_b) and J >= num/denom force
+      // min·denom >= max·num — kills size-mismatched candidates before
+      // the distinct and the array-carrying verify join
+      .filter(least(col("n_a"), col("n_b")) * denom >=
+        greatest(col("n_a"), col("n_b")) * num)
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .distinct()
 

@@ -255,16 +255,32 @@ object TextQueries {
     }),
 
     // EXACT all-pairs Jaccard join (recall 1, unlike LSH): prefix
-    // filtering on the global df-ascending token order — two sets with
-    // J >= 9/10 must share a token in their (rarest-first) prefixes, so
-    // the inverted-index join on prefix tokens generates a candidate
-    // superset and the integer inter·denom >= num·union verify keeps
-    // exactly the true pairs. Oracle = brute-force O(n²) Jaccard.
+    // filtering on the global df-ascending order — two sets with
+    // J >= 9/10 must share an element in their (rarest-first) prefixes,
+    // so the inverted-index join on prefix elements generates a
+    // candidate superset and the integer inter·denom >= num·union
+    // verify keeps exactly the true pairs. Feature space is 60-bit-
+    // hashed 5-token shingles, NOT word unigrams: this corpus's
+    // template clusters share nearly all WORDS (word-space J >= 0.9 is
+    // ~1M quasi-clique pairs at sf0.1 — candidate generation degrades
+    // toward O(n²) and the output itself is quadratic), while shingles
+    // break at every varied slot (242 pairs at sf0.1). Prefix filtering
+    // is exact in ANY feature space; pick the one where similarity is
+    // sparse. Hashes are 8-byte join keys (the dedup_containment
+    // lesson) and the oracle folds the identical md5 prefix.
     "dedup_allpairs" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.wordSet(col("text")).as("toks"))
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), array_distinct(
+          transform(sequence(lit(1), size(col("toks")) - 4),
+            i => concat_ws(" ", slice(col("toks"), i, lit(5))))).as("sh"))
+        .select(col("doc_id"),
+          transform(col("sh"), g =>
+            conv(substring(md5(g.cast("binary")), 1, 15), 16, 10)
+              .cast("long")).as("hs"))
       graft.operators.AllPairs
-        .jaccardJoin(docs, "doc_id", "toks", num = 9, denom = 10)
+        .jaccardJoin(sh, "doc_id", "hs", num = 9, denom = 10)
         .orderBy(col("id_a"), col("id_b"))
     }),
   )
@@ -607,17 +623,24 @@ object TextQueries {
         |FROM m ORDER BY media_id""".stripMargin,
 
     // ground truth for the prefix-filtered join: every pair, exact
-    // distinct-token Jaccard, same integer threshold and basis points
+    // hashed-shingle Jaccard (identical md5-60bit fold), same integer
+    // threshold and basis points
     "dedup_allpairs" ->
-      """WITH ws AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-        |  WHERE len(string_split(text, ' ')) > 0),
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |    for i in range(1, len(toks) - 3)]) AS sh FROM t),
+        |d AS (
+        |  SELECT doc_id, list_transform(sh,
+        |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs FROM s),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
-        |    len(a.toks)::BIGINT AS n_a, len(b.toks)::BIGINT AS n_b
-        |  FROM ws a JOIN ws b ON b.doc_id > a.doc_id)
+        |    len(list_intersect(a.hs, b.hs))::BIGINT AS inter,
+        |    len(a.hs)::BIGINT AS n_a, len(b.hs)::BIGINT AS n_b
+        |  FROM d a JOIN d b ON b.doc_id > a.doc_id)
         |SELECT id_a, id_b, inter, n_a, n_b,
         |  (inter * 10000) // (n_a + n_b - inter) AS jaccard_bp
         |FROM pairs

@@ -75,6 +75,17 @@ class AllPairsSpec extends SparkSpec {
     assert(run(docs, 1, 1) == Set((1L, 2L)))
   }
 
+  test("generic over element type: hashed-long features (query space)") {
+    val docs = Seq(
+      (1L, Seq(11L, 22L, 33L, 44L, 55L, 66L, 77L, 88L, 99L, 110L)),
+      (2L, Seq(11L, 22L, 33L, 44L, 55L, 66L, 77L, 88L, 99L, 121L)),
+      (3L, Seq(900L, 901L, 902L))).toDF("id", "toks")
+    val got = AllPairs.jaccardJoin(docs, "id", "toks", 4, 5)
+      .select(col("id_a"), col("id_b"), col("jaccard_bp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 8181L))) // 9/11 = 0.8181...
+  }
+
   test("output carries exact integer sizes and basis points") {
     val docs = Seq(1L -> Set("a", "b", "c", "d"), 2L -> Set("a", "b", "c"))
     val df = docs.map { case (id, ts) => (id, ts.toSeq.sorted) }
