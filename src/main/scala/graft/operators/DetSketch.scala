@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cross-engine-replayable sketches: HyperLogLog
+  * registers (Flajolet et al. '07) and Count-Min counters (Cormode &
+  * Muthukrishnan '05) built from md5-derived hashes instead of an
+  * engine-private hash.
+  *
+  * The point: sketch CONTENTS become oracle-checkable. Spark's
+  * `approx_count_distinct` / datasketches aggregates are correct but
+  * engine-specific — no other system can reproduce their state, so a
+  * correctness harness can only check rows-exist. With a fixed public
+  * hash, every register/counter is an integer any engine derives
+  * independently (DuckDB replays the identical md5 fold), while the
+  * ESTIMATE's error bounds stay a ScalaTest property. At scale both
+  * sketches are one map-side-combined groupBy over constant-size
+  * state: registers/counters are the ONLY shuffled rows — m (resp.
+  * depth×width) rows regardless of input size — and merging shards =
+  * max (resp. sum) per cell, which is exactly the groupBy.
+  */
+object DetSketch {
+
+  /** 60-bit non-negative hash of a column's string form (identical to
+    * DuckDB's ('0x' || substr(md5(v), 1, 15))::BIGINT).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** HLL registers with m=2^p buckets: bucket = h mod m, and the
+    * register is max over rows of rho(h div m) = leading-zero count
+    * (within the remaining 60-p bits) + 1. `length(bin(w))` is the
+    * bit length — exact integer arithmetic in both engines. Only
+    * non-empty buckets are emitted (absent bucket = register 0).
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16)
+    val m = 1 << p
+    val bits = 60 - p
+    val h = df.select(hash60(col(keyCol)).as("h"))
+    h.select((col("h") % m).as("bucket"),
+        when(expr(s"h div $m") === 0, lit(bits + 1))
+          .otherwise(lit(bits + 1) - length(bin(expr(s"h div $m"))))
+          .cast("long").as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("register"))
+  }
+
+  /** Standard HLL estimate from `hllRegisters` output (driver-side,
+    * for specs/consumers): alpha_m * m^2 / sum(2^-M_j), empty buckets
+    * counted at 2^0, with the small-range linear-counting correction.
+    */
+  def hllEstimate(registers: Seq[(Long, Long)], p: Int = 6): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    val present = registers.toMap
+    val zeros = m - present.size
+    val z = (0 until m).map(b =>
+      math.pow(2.0, -present.getOrElse(b.toLong, 0L).toDouble)).sum
+    val e = alpha * m * m / z
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+
+  /** Count-Min counters: depth independent hash rows (md5 of
+    * "d:key"), width buckets each; counter = number of input rows
+    * landing in (d, w). Point estimate = min over depth of the key's
+    * counters — never an underestimate, over by at most n/width w.h.p.
+    */
+  def cmsCounters(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    df.select(posexplode(array((1 to depth).map(d =>
+        hash60(concat(lit(d.toString), lit(":"), col(keyCol).cast("string")))
+          % width): _*)).as(Seq("d0", "w")))
+      .select((col("d0") + 1).cast("long").as("d"), col("w"))
+      .groupBy(col("d"), col("w")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate a key's frequency from `cmsCounters` output
+    * (driver-side, for specs): min over depth rows.
+    */
+  def cmsEstimate(counters: Seq[(Int, Long, Long)], key: String,
+      depth: Int = 4, width: Int = 64): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(d: Int): Long = {
+      val hex = md.digest(s"$d:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % width
+    }
+    (1 to depth).map { d =>
+      val w = h(d)
+      counters.collectFirst { case (`d`, `w`, c) => c }.getOrElse(0L)
+    }.min
+  }
+}

@@ -184,6 +184,28 @@ object EmbeddingQueries {
         .select(col("node"), col("n_triangles"))
         .orderBy(col("node"))
     }),
+
+    // bounded-depth BFS (operators.Bfs) from the first three customers
+    // over the symmetrized trade graph: exact hop distances, one
+    // frontier join + settled anti-join per hop. The oracle unrolls
+    // the three supersteps as frontier/settled CTE layers.
+    "graph_bfs_hops" -> ((s, dir) => {
+      val e0 = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val sources = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 3)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.Bfs.hops(sym, sources, maxHops = 3)
+        .select(col("node"), col("dist"))
+        .orderBy(col("node"))
+    }),
   )
 
   // The hyperplane-LSH oracle embeds the EXACT plane values as SQL
@@ -502,6 +524,33 @@ object EmbeddingQueries {
         |nodes AS (SELECT unnest([x, y, z]) AS node FROM tri)
         |SELECT node, count(*) AS n_triangles
         |FROM nodes GROUP BY node ORDER BY node""".stripMargin,
+
+    // three unrolled BFS supersteps: frontier = neighbors of the
+    // previous layer minus everything already settled
+    "graph_bfs_hops" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |d0 AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+        |  WHERE c_custkey <= 3),
+        |d1 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)),
+        |d2 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN d1 ON e.src = d1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)
+        |    AND e.dst NOT IN (SELECT node FROM d1)),
+        |d3 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN d2 ON e.src = d2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)
+        |    AND e.dst NOT IN (SELECT node FROM d1)
+        |    AND e.dst NOT IN (SELECT node FROM d2))
+        |SELECT node, 0 AS dist FROM d0
+        |UNION ALL SELECT node, 1 FROM d1
+        |UNION ALL SELECT node, 2 FROM d2
+        |UNION ALL SELECT node, 3 FROM d3
+        |ORDER BY node""".stripMargin,
 
     // replays Pq (init-only codebooks): encode = per-(vector,subspace)
     // argmin over the 16 lowest-id vectors' slices, ADC = the query's

@@ -897,6 +897,28 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
+    // deterministic-hash HLL registers (operators.DetSketch): the
+    // sketch CONTENTS are oracle-exact — every register is an integer
+    // DuckDB re-derives from the identical md5 fold — which upgrades
+    // the sketch family from rows-only to hash-checked; estimate
+    // error bounds live in DetSketchSpec. Shuffle = 64 rows.
+    "agg_hll_registers" -> ((s, dir) => {
+      graft.operators.DetSketch.hllRegisters(
+          Tables.lineitem(s, dir).select(col("l_orderkey")),
+          "l_orderkey", p = 6)
+        .orderBy(col("bucket"))
+    }),
+
+    // Count-Min counters, same idea: 4x64 integer cells any engine
+    // replays; point-estimate bounds in DetSketchSpec. Shuffle = 256
+    // rows regardless of input size.
+    "agg_cms_counters" -> ((s, dir) => {
+      graft.operators.DetSketch.cmsCounters(
+          Tables.lineitem(s, dir).select(col("l_partkey")),
+          "l_partkey", depth = 4, width = 64)
+        .orderBy(col("d"), col("w"))
+    }),
+
     // skyline (Pareto-optimal parts): cheapest-for-the-size frontier —
     // no other part is both <= price and >= size with one strict.
     // Grid prune (64²) drops every cell strictly dominated at cell
@@ -1497,6 +1519,27 @@ object RelationalQueries {
         |FROM days d LEFT JOIN spans s
         |  ON s.start_day <= d.day AND d.day <= s.end_day
         |GROUP BY d.day ORDER BY d.day""".stripMargin,
+
+    // identical md5-60bit fold; rho via bit length = length(bin(w)),
+    // exact integers in both engines
+    "agg_hll_registers" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        |  FROM lineitem)
+        |SELECT h % 64 AS bucket,
+        |  CAST(max(CASE WHEN h // 64 = 0 THEN 55
+        |    ELSE 55 - length(bin(h // 64)) END) AS BIGINT) AS register
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "agg_cms_counters" ->
+      """WITH e AS (
+        |  SELECT r.d,
+        |    ('0x' || substr(md5(r.d::VARCHAR || ':' ||
+        |      CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS w
+        |  FROM lineitem CROSS JOIN range(1, 5) r(d))
+        |SELECT d, w, count(*) AS cnt FROM e
+        |GROUP BY d, w ORDER BY d, w""".stripMargin,
 
     "skyline_parts" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part p
