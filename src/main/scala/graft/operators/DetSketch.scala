@@ -67,17 +67,22 @@ object DetSketch {
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
   }
 
-  /** Count-Min counters: depth independent hash rows (md5 of
-    * "d:key"), width buckets each; counter = number of input rows
-    * landing in (d, w). Point estimate = min over depth of the key's
-    * counters — never an underestimate, over by at most n/width w.h.p.
+  /** Count-Min counters: depth hash rows, width buckets each; counter
+    * = number of input rows landing in (d, w). Point estimate = min
+    * over depth of the key's counters — never an underestimate, over
+    * by at most ~n/width w.h.p. The depth hashes are disjoint 8-hex
+    * (32-bit) lanes of ONE md5 digest — one hash per row, not depth
+    * (measured 2.25s -> one md5 per row at sf0.1), and 32 bits is
+    * ample for any practical width.
     */
   def cmsCounters(df: DataFrame, keyCol: String, depth: Int = 4,
       width: Int = 64): DataFrame = {
-    require(depth >= 1 && width >= 2)
-    df.select(posexplode(array((1 to depth).map(d =>
-        hash60(concat(lit(d.toString), lit(":"), col(keyCol).cast("string")))
-          % width): _*)).as(Seq("d0", "w")))
+    require(depth >= 1 && depth <= 4 && width >= 2)
+    val dig = df.select(md5(col(keyCol).cast("string").cast("binary"))
+      .as("dig"))
+    dig.select(posexplode(array((1 to depth).map(d =>
+        conv(substring(col("dig"), (d - 1) * 8 + 1, 8), 16, 10)
+          .cast("long") % width): _*)).as(Seq("d0", "w")))
       .select((col("d0") + 1).cast("long").as("d"), col("w"))
       .groupBy(col("d"), col("w")).agg(count(lit(1)).as("cnt"))
   }
@@ -87,14 +92,11 @@ object DetSketch {
     */
   def cmsEstimate(counters: Seq[(Int, Long, Long)], key: String,
       depth: Int = 4, width: Int = 64): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h(d: Int): Long = {
-      val hex = md.digest(s"$d:$key".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16) % width
-    }
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     (1 to depth).map { d =>
-      val w = h(d)
+      val w = java.lang.Long.parseLong(
+        hex.substring((d - 1) * 8, d * 8), 16) % width
       counters.collectFirst { case (`d`, `w`, c) => c }.getOrElse(0L)
     }.min
   }

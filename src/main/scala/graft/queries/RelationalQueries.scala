@@ -1535,8 +1535,8 @@ object RelationalQueries {
     "agg_cms_counters" ->
       """WITH e AS (
         |  SELECT r.d,
-        |    ('0x' || substr(md5(r.d::VARCHAR || ':' ||
-        |      CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS w
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+        |      (r.d - 1) * 8 + 1, 8))::BIGINT % 64 AS w
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
