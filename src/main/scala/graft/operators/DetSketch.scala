@@ -87,6 +87,34 @@ object DetSketch {
       .groupBy(col("d"), col("w")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** KMV (bottom-k minimum values / theta-sketch ancestor): the k
+    * smallest distinct md5-60bit hashes of the key column. Fully
+    * deterministic and ORDER-FREE — bottom-k of a set is partition-
+    * invariant, and merging shards is bottom-k of the union — so the
+    * sketch state itself is oracle-exact (ORDER BY hash LIMIT k in any
+    * engine). Distinct-count estimate: (k-1) · 2^60 / h_k. Plan shape:
+    * map-side-combined distinct on 8-byte hashes, then
+    * TakeOrderedAndProject (per-partition k-bounded heads + k-way
+    * merge — never a global sort); the rank window runs over k rows.
+    */
+  def kmvBottomK(df: DataFrame, keyCol: String, k: Int = 32): DataFrame = {
+    require(k >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val bottom = df.select(hash60(col(keyCol)).as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+    bottom.withColumn("rank",
+        row_number().over(Window.orderBy(col("h"))).cast("long"))
+      .select(col("rank"), col("h"))
+  }
+
+  /** Distinct-count estimate from `kmvBottomK` output (driver-side,
+    * for specs): (k-1)/U(h_k) with U = h_k / 2^60; if fewer than k
+    * distinct hashes exist the sketch IS the exact distinct set.
+    */
+  def kmvEstimate(bottom: Seq[Long], k: Int = 32): Double =
+    if (bottom.size < k) bottom.size.toDouble
+    else (k - 1).toDouble * math.pow(2.0, 60) / bottom.max.toDouble
+
   /** Point-estimate a key's frequency from `cmsCounters` output
     * (driver-side, for specs): min over depth rows.
     */

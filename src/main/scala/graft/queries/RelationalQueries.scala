@@ -919,6 +919,18 @@ object RelationalQueries {
         .orderBy(col("d"), col("w"))
     }),
 
+    // KMV bottom-k sketch: the k smallest distinct key hashes — the
+    // mergeable distinct-count/set-op sketch whose STATE is exactly
+    // reproducible in any engine (ORDER BY hash LIMIT k). Plan is a
+    // map-side-combined distinct + TakeOrderedAndProject; the only
+    // window runs over the k-row result.
+    "agg_kmv_bottomk" -> ((s, dir) => {
+      graft.operators.DetSketch.kmvBottomK(
+          Tables.lineitem(s, dir).select(col("l_orderkey")),
+          "l_orderkey", k = 32)
+        .orderBy(col("rank"))
+    }),
+
     // skyline (Pareto-optimal parts): cheapest-for-the-size frontier —
     // no other part is both <= price and >= size with one strict.
     // Grid prune (64²) drops every cell strictly dominated at cell
@@ -1540,6 +1552,16 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
+
+    "agg_kmv_bottomk" ->
+      """WITH h AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM lineitem),
+        |b AS (SELECT h FROM h ORDER BY h LIMIT 32)
+        |SELECT row_number() OVER (ORDER BY h) AS rank, h
+        |FROM b ORDER BY rank""".stripMargin,
 
     "skyline_parts" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part p

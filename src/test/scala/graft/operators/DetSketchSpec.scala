@@ -74,6 +74,34 @@ class DetSketchSpec extends SparkSpec {
     assert(DetSketch.cmsEstimate(counters, "absent") <= 3 * n / 64)
   }
 
+  test("KMV: bottom-k matches reference; merge = bottom-k of union") {
+    val a = (1 to 700).map(i => s"a$i")
+    val b = (1 to 700).map(i => s"b$i")
+    val refBottom = (a ++ b).distinct.map(h60).sorted.take(32)
+    val got = DetSketch.kmvBottomK((a ++ b).toDF("k"), "k", 32)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    assert(got == refBottom)
+    // mergeability: bottom-k of (sketch(a) U sketch(b)) == sketch(a U b)
+    val sa = DetSketch.kmvBottomK(a.toDF("k"), "k", 32)
+      .collect().map(_.getLong(1)).toSeq
+    val sb = DetSketch.kmvBottomK(b.toDF("k"), "k", 32)
+      .collect().map(_.getLong(1)).toSeq
+    assert((sa ++ sb).distinct.sorted.take(32) == refBottom)
+  }
+
+  test("KMV estimate within 3 standard errors; small sets exact") {
+    val n = 1400
+    val keys = (1 to n).map(i => s"k$i")
+    val bottom = DetSketch.kmvBottomK(keys.toDF("k"), "k", 32)
+      .collect().map(_.getLong(1)).toSeq
+    val est = DetSketch.kmvEstimate(bottom, 32)
+    val sigma = 1.0 / math.sqrt(30)
+    assert(math.abs(est - n) / n < 3 * sigma, s"estimate $est vs $n")
+    val tiny = DetSketch.kmvBottomK((1 to 7).map(i => s"t$i").toDF("k"), "k", 32)
+      .collect().map(_.getLong(1)).toSeq
+    assert(DetSketch.kmvEstimate(tiny, 32) == 7.0)
+  }
+
   test("counters are partition-invariant (merge = groupBy sum)") {
     val rows = (1 to 500).map(i => (i % 37).toLong)
     val a = DetSketch.cmsCounters(rows.toDF("k").repartition(1), "k")
