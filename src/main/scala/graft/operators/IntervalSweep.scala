@@ -36,10 +36,17 @@ object IntervalSweep {
     */
   def openCounts(intervals: DataFrame, startCol: String, endCol: String,
       shard: Column => Column): DataFrame = {
+    // one narrow explode, NOT a union of two selects: a union runs
+    // the caller's interval-building lineage (often a join+agg) once
+    // per branch — the .explain showed the whole spans subtree
+    // duplicated. Exploding a 2-element struct array emits both
+    // deltas in a single pass.
     val deltas = intervals
-      .select(col(startCol).as("day"), lit(1L).as("delta"))
-      .unionAll(intervals.select(
-        date_add(col(endCol), 1).as("day"), lit(-1L).as("delta")))
+      .select(explode(array(
+        struct(col(startCol).as("day"), lit(1L).as("delta")),
+        struct(date_add(col(endCol), 1).as("day"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("e.day").as("day"), col("e.delta").as("delta"))
       .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
     GlobalRank.withRunningTotal(deltas, Seq(col("day")),
         shard(col("day")), col("delta"), "__rn", "n_open")
