@@ -58,9 +58,12 @@ object AllPairs {
         (col("n") - expr(s"($num * n + ${denom - 1}) div $denom")
           + lit(1)).as("p"))
 
+    // both sides of the candidate self-join read this: persist so the
+    // df join + per-doc sort assembly runs once
     val prefixTok = prefixed
       .select(col("id"), col("n"),
         explode(slice(col("sorted"), lit(1), col("p"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = prefixTok.select(col("token"),
         col("id").as("id_a"), col("n").as("n_a"))
       .join(prefixTok.select(col("token"),

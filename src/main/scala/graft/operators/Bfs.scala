@@ -25,7 +25,9 @@ object Bfs {
     */
   def hops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
+    // probed once per hop: materialize the caller's edge lineage once
     val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var settled = sources.select(col("node")).distinct()
       .withColumn("dist", lit(0))
       .persist(StorageLevel.MEMORY_AND_DISK)

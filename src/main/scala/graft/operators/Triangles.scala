@@ -25,14 +25,19 @@ object Triangles {
     * node that closes >= 1 triangle: (node, n_triangles).
     */
   def perNode(edges: DataFrame): DataFrame = {
+    // canon and oriented each feed multiple joins below; persist so
+    // the caller's edge-building lineage (often an expensive
+    // similarity join) runs once, not once per consumer
     val canon = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // (degree, id)-order: a total order, so orientation is acyclic
-    val deg = canon.select(col("a").as("node"))
-      .unionAll(canon.select(col("b").as("node")))
+    // (degree, id)-order: a total order, so orientation is acyclic;
+    // both endpoints come from one explode (single pass over canon)
+    val deg = canon
+      .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
     val withDeg = canon
@@ -44,6 +49,7 @@ object Triangles {
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // wedges from each smallest corner u: pick the (deg,id)-ordered
     // pair of out-neighbors once, then close with the oriented edge
