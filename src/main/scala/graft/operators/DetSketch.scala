@@ -87,6 +87,26 @@ object DetSketch {
       .groupBy(col("d"), col("w")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-group HLL registers — the production shape (distinct users
+    * per segment/day/type): one map-side-combined groupBy whose state
+    * is m registers per group, shuffling |groups|·m rows however many
+    * input rows exist.
+    */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16)
+    val m = 1 << p
+    val bits = 60 - p
+    val h = df.select((groupCols.map(col) :+
+      hash60(col(keyCol)).as("h")): _*)
+    h.select((groupCols.map(col) :+ (col("h") % m).as("bucket") :+
+        when(expr(s"h div $m") === 0, lit(bits + 1))
+          .otherwise(lit(bits + 1) - length(bin(expr(s"h div $m"))))
+          .cast("long").as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("register"))
+  }
+
   /** KMV (bottom-k minimum values / theta-sketch ancestor): the k
     * smallest distinct md5-60bit hashes of the key column. Fully
     * deterministic and ORDER-FREE — bottom-k of a set is partition-

@@ -919,6 +919,17 @@ object RelationalQueries {
         .orderBy(col("d"), col("w"))
     }),
 
+    // per-group HLL registers: distinct users per event type as
+    // mergeable sketch state — |types|x64 register rows shuffle, not
+    // the users. The estimate-per-group path is DetSketchSpec's job;
+    // the state is hash-exact here.
+    "agg_hll_by_group" -> ((s, dir) => {
+      graft.operators.DetSketch.hllRegistersBy(
+          Tables.events(s, dir).select(col("event_type"), col("user_id")),
+          Seq("event_type"), "user_id", p = 6)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // KMV bottom-k sketch: the k smallest distinct key hashes — the
     // mergeable distinct-count/set-op sketch whose STATE is exactly
     // reproducible in any engine (ORDER BY hash LIMIT k). Plan is a
@@ -1552,6 +1563,18 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
+
+    "agg_hll_by_group" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM events)
+        |SELECT event_type, h % 64 AS bucket,
+        |  CAST(max(CASE WHEN h // 64 = 0 THEN 55
+        |    ELSE 55 - length(bin(h // 64)) END) AS BIGINT) AS register
+        |FROM h GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "agg_kmv_bottomk" ->
       """WITH h AS (

@@ -74,6 +74,18 @@ class DetSketchSpec extends SparkSpec {
     assert(DetSketch.cmsEstimate(counters, "absent") <= 3 * n / 64)
   }
 
+  test("grouped registers: each group's sketch equals its solo sketch") {
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", (i % (100 * (i % 3 + 1))).toLong))
+    val grouped = DetSketch.hllRegistersBy(rows.toDF("g", "k"), Seq("g"), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val solo = Seq("g0", "g1", "g2").flatMap { g =>
+      DetSketch.hllRegisters(
+          rows.filter(_._1 == g).map(_._2).toDF("k"), "k")
+        .collect().map(r => (g, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(grouped == solo)
+  }
+
   test("KMV: bottom-k matches reference; merge = bottom-k of union") {
     val a = (1 to 700).map(i => s"a$i")
     val b = (1 to 700).map(i => s"b$i")
