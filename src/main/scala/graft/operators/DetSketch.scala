@@ -135,6 +135,36 @@ object DetSketch {
     if (bottom.size < k) bottom.size.toDouble
     else (k - 1).toDouble * math.pow(2.0, 60) / bottom.max.toDouble
 
+  /** Maintained HLL register state on disk: `init` writes the
+    * registers of a first batch; `merge` folds a new batch in —
+    * union + groupBy max, the HLL merge rule — and rewrites the
+    * state. The state is <= 2^p rows regardless of how much data has
+    * ever flowed through, which is the point: a streaming
+    * distinct-count whose checkpointable footprint is constant.
+    */
+  def initHllState(df: DataFrame, keyCol: String, dir: String,
+      p: Int = 6): Unit =
+    hllRegisters(df, keyCol, p)
+      .withColumn("p", lit(p))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  def mergeHllState(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, keyCol: String): Unit = {
+    val stored = spark.read.parquet(dir)
+    val p = stored.select(max(col("p"))).head().getInt(0)
+    val merged = stored.select(col("bucket"), col("register"))
+      .unionByName(hllRegisters(batch, keyCol, p))
+      .groupBy(col("bucket")).agg(max(col("register")).as("register"))
+      .withColumn("p", lit(p))
+    // registers are <= 2^p rows: stage through a local array rather
+    // than a self-referential overwrite of the directory being read
+    val rows = merged.collect()
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), p))
+      .toSeq.toDF("bucket", "register", "p")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
   /** Point-estimate a key's frequency from `cmsCounters` output
     * (driver-side, for specs): min over depth rows.
     */
