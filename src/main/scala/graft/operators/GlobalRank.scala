@@ -78,6 +78,49 @@ object GlobalRank {
         "__offset", "__sum_offset")
   }
 
+  /** Multi-value form of [[withRunningTotal]]: N running totals in the
+    * same three jobs (one local window pass, one |shards|-row offsets
+    * table, one broadcast join) instead of N invocations = N shuffles.
+    * `values` maps output column name -> summed expression; sums must
+    * be associative (integers / decimals — not raw doubles).
+    */
+  def withRunningTotals(df: DataFrame, orderCols: Seq[Column], shard: Column,
+      values: Seq[(String, Column)],
+      rankCol: String = "global_rn"): DataFrame = {
+    require(values.nonEmpty)
+    val vcols = values.indices.map(i => s"__v$i")
+    val sharded = values.zipWithIndex.foldLeft(df.withColumn("__shard", shard)) {
+      case (acc, ((_, v), i)) => acc.withColumn(s"__v$i", v)
+    }
+    val localW = Window.partitionBy(col("__shard")).orderBy(orderCols: _*)
+    val local = values.indices.foldLeft(
+      sharded.withColumn("__local_rn", row_number().over(localW).cast("long"))) {
+      case (acc, i) =>
+        acc.withColumn(s"__ls$i", sum(col(s"__v$i")).over(localW))
+    }
+    val offsetW = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aggs = count(lit(1)).as("__n") +:
+      values.indices.map(i => sum(col(s"__v$i")).as(s"__s$i"))
+    val offsets = values.indices.foldLeft(
+      sharded.groupBy(col("__shard")).agg(aggs.head, aggs.tail: _*)
+        .withColumn("__offset",
+          coalesce(sum(col("__n")).over(offsetW), lit(0L)))) {
+      case (acc, i) =>
+        acc.withColumn(s"__so$i", sum(col(s"__s$i")).over(offsetW))
+    }.select((col("__shard") +: col("__offset") +:
+      values.indices.map(i => col(s"__so$i"))): _*)
+    val joined = local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn(rankCol, col("__offset") + col("__local_rn"))
+    values.zipWithIndex.foldLeft(joined) {
+      case (acc, ((name, _), i)) =>
+        acc.withColumn(name,
+          when(col(s"__so$i").isNull, col(s"__ls$i"))
+            .otherwise(col(s"__so$i") + col(s"__ls$i")))
+    }.drop(("__shard" +: "__offset" +: "__local_rn" +:
+      (vcols ++ values.indices.flatMap(i => Seq(s"__ls$i", s"__so$i")))): _*)
+  }
+
   /** A monotone range-band shard expression from explicit boundaries:
     * shard = number of boundaries strictly below the value. Rows tied
     * on a boundary land in one shard, preserving monotonicity.

@@ -34,6 +34,33 @@ object IntervalSweep {
     * (inclusive on both ends). Returns (day, n_open) at each change
     * day, where n_open counts intervals with start <= day <= end.
     */
+  /** Weighted sweep: per change day, the COUNT of open intervals and
+    * the SUM of an associative value over them (time-weighted exposure
+    * — open credit, in-flight order value). Same ±delta trick with a
+    * second ±value payload; both prefix sums ride one
+    * `GlobalRank.withRunningTotals` pass. `value` must sum
+    * associatively (integer/decimal, not raw double).
+    */
+  def openAggregates(intervals: DataFrame, startCol: String, endCol: String,
+      value: Column, shard: Column => Column): DataFrame = {
+    val deltas = intervals
+      .withColumn("__val", value)
+      .select(explode(array(
+        struct(col(startCol).as("day"), lit(1L).as("delta"),
+          col("__val").as("vdelta")),
+        struct(date_add(col(endCol), 1).as("day"), lit(-1L).as("delta"),
+          (-col("__val")).as("vdelta")))).as("e"))
+      .select(col("e.day").as("day"), col("e.delta").as("delta"),
+        col("e.vdelta").as("vdelta"))
+      .groupBy(col("day"))
+      .agg(sum(col("delta")).as("delta"), sum(col("vdelta")).as("vdelta"))
+    GlobalRank.withRunningTotals(deltas, Seq(col("day")),
+        shard(col("day")),
+        Seq("n_open" -> col("delta"), "open_value" -> col("vdelta")),
+        "__rn")
+      .select(col("day"), col("n_open"), col("open_value"))
+  }
+
   def openCounts(intervals: DataFrame, startCol: String, endCol: String,
       shard: Column => Column): DataFrame = {
     // one narrow explode, NOT a union of two selects: a union runs

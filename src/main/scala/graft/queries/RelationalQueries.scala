@@ -919,6 +919,29 @@ object RelationalQueries {
         .orderBy(col("d"), col("w"))
     }),
 
+    // weighted sweep: in-flight order VALUE per change day — the
+    // time-weighted exposure metric (±price deltas ride the same
+    // prefix-sum pass as the ±1 counts via withRunningTotals).
+    // DECIMAL cents keep the running sum associative/exact; the final
+    // cast to double is the only float op, identical in the oracle.
+    "orders_open_value" -> ((s, dir) => {
+      val lastShip = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+      val spans = Tables.orders(s, dir)
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .select(to_date(col("o_orderdate")).as("start_day"),
+          greatest(to_date(col("last_ship")), to_date(col("o_orderdate")))
+            .as("end_day"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.operators.IntervalSweep
+        .openAggregates(spans, "start_day", "end_day", col("price"),
+          d => year(d))
+        .select(col("day").cast("timestamp").as("day"), col("n_open"),
+          col("open_value").cast("double").as("open_value"))
+        .orderBy(col("day"))
+    }),
+
     // per-group HLL registers: distinct users per event type as
     // mergeable sketch state — |types|x64 register rows shuffle, not
     // the users. The estimate-per-group path is DetSketchSpec's job;
@@ -1563,6 +1586,28 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
+
+    "orders_open_value" ->
+      """WITH spans AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS start_day,
+        |    GREATEST(CAST(m.last_ship AS DATE),
+        |      CAST(o.o_orderdate AS DATE)) AS end_day,
+        |    o.o_totalprice::DECIMAL(18,2) AS price
+        |  FROM orders o JOIN (
+        |    SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |    FROM lineitem GROUP BY l_orderkey) m
+        |    ON o.o_orderkey = m.l_orderkey),
+        |days AS (
+        |  SELECT DISTINCT day FROM (
+        |    SELECT start_day AS day FROM spans
+        |    UNION ALL
+        |    SELECT end_day + 1 FROM spans))
+        |SELECT CAST(d.day AS TIMESTAMP) AS day,
+        |  count(s.start_day) AS n_open,
+        |  CAST(COALESCE(sum(s.price), 0) AS DOUBLE) AS open_value
+        |FROM days d LEFT JOIN spans s
+        |  ON s.start_day <= d.day AND d.day <= s.end_day
+        |GROUP BY d.day ORDER BY day""".stripMargin,
 
     "agg_hll_by_group" ->
       """WITH h AS (

@@ -51,6 +51,34 @@ class IntervalSweepSpec extends SparkSpec {
     }
   }
 
+  test("weighted sweep: open sums == containment sums (exact longs)") {
+    val weighted = intervals.withColumn("w",
+      (length(col("start_day").cast("string")) +
+        dayofmonth(col("end_day"))).cast("long"))
+    val expected = {
+      val days = weighted
+        .select(col("start_day").as("day"))
+        .unionAll(weighted.select(date_add(col("end_day"), 1).as("day")))
+        .distinct()
+      days.join(weighted,
+          col("start_day") <= col("day") && col("day") <= col("end_day"),
+          "left")
+        .groupBy(col("day"))
+        .agg(sum(when(col("w").isNotNull, 1L).otherwise(0L)).as("n"),
+          coalesce(sum(col("w")), lit(0L)).as("s"))
+        .collect()
+        .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    }
+    val got = IntervalSweep
+      .openAggregates(weighted, "start_day", "end_day", col("w"),
+        d => year(d))
+      .collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expected)
+  }
+
   test("every change day present; counts return to zero past the end") {
     val rows = IntervalSweep
       .openCounts(intervals, "start_day", "end_day", d => year(d))
