@@ -132,13 +132,18 @@ object Compaction {
 
     // stored rows never carry tombstones (init/merge drop them), so
     // rank snapshot rows as source=0 vs changelog source=1: on a
-    // version tie the change wins — INSERT .. ON CONFLICT DO UPDATE
+    // version tie the change wins — INSERT .. ON CONFLICT DO UPDATE.
+    // allowMissingColumns = schema evolution both ways: a changelog
+    // that ADDS a column null-fills stored rows (and widens the meta
+    // schema below, so untouched buckets' narrower files read back
+    // null-extended); a changelog missing a stored column null-fills
+    // its own rows.
     val snapshot = prunedSnapshot(spark, dir, touched)
-      .select(col("bucket") +: dataCols.map(col): _*)
       .withColumn("_src", lit(0))
     val unioned = snapshot.unionByName(
       changes.select(col("bucket") +: dataCols.map(col): _*)
-        .withColumn("_src", lit(1)))
+        .withColumn("_src", lit(1)),
+      allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc, col("_src").desc)
     val winners = unioned
@@ -167,6 +172,23 @@ object Compaction {
       emptied.foreach { b =>
         fs.delete(new Path(s"$dir/data/bucket=$b"), true)
       }
+    }
+    // widen the meta schema when the changelog introduced columns, so
+    // future reads project them (untouched buckets' narrower files
+    // null-extend under the explicit read schema). Fields are forced
+    // nullable: pre-evolution files genuinely lack the new column.
+    val oldFields = org.apache.spark.sql.types.DataType
+      .fromJson(spark.read.parquet(s"$dir/meta").head()
+        .getAs[String]("schema_json"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq
+    if (winners.schema.fieldNames.toSeq != oldFields) {
+      import spark.implicits._
+      val widened = org.apache.spark.sql.types.StructType(
+        winners.schema.fields.map(_.copy(nullable = true))).json
+      Seq((key, versionCol, deleteCol, nBuckets, widened))
+        .toDF("key", "version_col", "delete_col", "n_buckets", "schema_json")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
     winners.unpersist()
     changes.unpersist()

@@ -143,16 +143,18 @@ object Scd2 {
     val changedKeys = changes.select(col(key)).distinct()
     // unchanged keys: rows pass through byte-equivalent; changed keys:
     // stored rows collapse back to state records and re-window together
-    // with the batch (exact late-data splicing, see object doc)
+    // with the batch (exact late-data splicing, see object doc).
+    // allowMissingColumns = schema evolution: a batch that adds a
+    // column null-extends stored history (meta widens below); a batch
+    // missing a stored column null-fills its own rows.
     val untouchedRows = hist.join(changedKeys, Seq(key), "left_anti")
     val stateCols = hist.columns
       .filterNot(c => c == "valid_to" || c == "is_current").map(col)
     val rewound = hist.join(changedKeys, Seq(key), "left_semi")
       .select(stateCols: _*)
-      .unionByName(changes.select(stateCols: _*))
+      .unionByName(changes, allowMissingColumns = true)
     val rebuilt = window(rewound, key, versionCol, deleteCol)
-      .select(hist.columns.map(col): _*)
-    val out = untouchedRows.unionByName(rebuilt)
+    val out = untouchedRows.unionByName(rebuilt, allowMissingColumns = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val rows = out.count()
@@ -161,6 +163,21 @@ object Scd2 {
       .write.partitionBy("bucket").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$dir/data")
+    // widen the meta schema when the batch introduced columns (fields
+    // forced nullable: pre-evolution files genuinely lack them)
+    val oldFields = org.apache.spark.sql.types.DataType
+      .fromJson(spark.read.parquet(s"$dir/meta").head()
+        .getAs[String]("schema_json"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq
+    if (out.schema.fieldNames.toSeq != oldFields) {
+      import spark.implicits._
+      val widened = org.apache.spark.sql.types.StructType(
+        out.schema.fields.map(_.copy(nullable = true))).json
+      Seq((key, versionCol, deleteCol, nBuckets, widened))
+        .toDF("key", "version_col", "delete_col", "n_buckets", "schema_json")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
     out.unpersist()
     changes.unpersist()
     MergeStats(touched, rows)
