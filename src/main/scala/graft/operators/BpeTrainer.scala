@@ -102,6 +102,39 @@ object BpeTrainer {
     (merges.toSeq, corpus)
   }
 
+  /** Encode a corpus with an already-trained merge list: apply each
+    * merge in training order as one narrow projection — K map-only
+    * passes, zero shuffles, so at scale encode is embarrassingly
+    * parallel (production tokenizers fuse the K merges into a
+    * linear-time matcher; the per-merge fold keeps bit-exact parity
+    * with training and with the sequential reference).
+    */
+  def encode(docs: DataFrame, idCol: String, tokCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      docs.select(col(idCol).as("id"), col(tokCol).as("toks"))) {
+      case (acc, (l, r)) =>
+        acc.select(col("id"), applyMerge(col("toks"), l, r, l + r).as("toks"))
+    }
+
+  /** Reference encode (for specs): the same merges applied with the
+    * reference left-to-right loop.
+    */
+  def referenceEncode(docs: Seq[Seq[String]],
+      merges: Seq[(String, String)]): Seq[Seq[String]] =
+    merges.foldLeft(docs) { case (corpus, (l, r)) =>
+      corpus.map { toks =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < toks.size) {
+          if (i + 1 < toks.size && toks(i) == l && toks(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.toSeq
+      }
+    }
+
   /** Reference single-node BPE (for specs): identical greedy
     * left-to-right merge and (count desc, pair asc) tiebreak.
     */

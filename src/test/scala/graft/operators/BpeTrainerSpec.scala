@@ -45,6 +45,22 @@ class BpeTrainerSpec extends SparkSpec {
     assert(m.head == ("a", "a"))
   }
 
+  test("encode: trained merges tokenize UNSEEN docs like the reference") {
+    val train = Seq("low", "low", "lower", "newest", "newest", "newest",
+      "widest", "widest").map(chars)
+    val df = train.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+    val (merges, _) = BpeTrainer.train(spark, df, "id", "toks", 6)
+    val unseen = Seq("lowest", "newer", "wide", "xyz").map(chars)
+    val udf2 = unseen.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "toks")
+    val got = BpeTrainer.encode(udf2, "id", "toks", merges)
+      .orderBy(col("id")).collect().map(_.getSeq[String](1).toSeq).toSeq
+    assert(got == BpeTrainer.referenceEncode(unseen, merges))
+    // encoding compresses: a doc made of trained subwords shrinks
+    assert(got.head.size < unseen.head.size)
+  }
+
   test("stops when no pair repeats; partition invariance") {
     val docs = Seq("abc", "def").map(chars)
     val (m, c, rm, rc) = runBoth(docs, 5, 2)
