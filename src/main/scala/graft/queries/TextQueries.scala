@@ -254,6 +254,22 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // regexp_extract_all surface: per-doc structured extraction with
+    // RE2/Java-portable patterns (same portability discipline as
+    // text_pii_scrub), reduced to scalars for the exact compare
+    "text_regex_extract" -> ((s, dir) => {
+      val nums = regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))
+      val caps = regexp_extract_all(col("text"),
+        lit("[A-Z][a-z]+"), lit(0))
+      Tables.documents(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"),
+          size(nums).as("n_numbers"),
+          coalesce(try_element_at(nums, lit(1)), lit("")).as("first_number"),
+          size(caps).as("n_capitalized"),
+          coalesce(try_element_at(caps, lit(-1)), lit("")).as("last_capitalized"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACT all-pairs Jaccard join (recall 1, unlike LSH): prefix
     // filtering on the global df-ascending order — two sets with
     // J >= 9/10 must share an element in their (rarest-first) prefixes,
@@ -621,6 +637,19 @@ object TextQueries {
         |    THEN c - 18446744073709551616::HUGEINT ELSE c END AS BIGINT)
         |    AS checksum
         |FROM m ORDER BY media_id""".stripMargin,
+
+    "text_regex_extract" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[0-9]+') AS nums,
+        |    regexp_extract_all(text, '[A-Z][a-z]+') AS caps
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT doc_id,
+        |  len(nums) AS n_numbers,
+        |  COALESCE(nums[1], '') AS first_number,
+        |  len(caps) AS n_capitalized,
+        |  COALESCE(caps[-1], '') AS last_capitalized
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // ground truth for the prefix-filtered join: every pair, exact
     // hashed-shingle Jaccard (identical md5-60bit fold), same integer
