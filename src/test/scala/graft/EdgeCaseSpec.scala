@@ -127,6 +127,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(m.toSeq == Seq(("x", 2L, 4L), ("y", 1L, 10L)))
   }
 
+  test("round-4 operators on empty and single-row inputs") {
+    import graft.operators._
+    val noPairs = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    assert(Triangles.perNode(noPairs).isEmpty)
+    assert(Triangles.perNode(Seq((1L, 2L)).toDF("src", "dst")).isEmpty)
+    assert(Bfs.hops(noPairs, Seq(9L).toDF("node"), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((9L, 0)))
+    val noDocs = spark.emptyDataset[(Long, Seq[String])].toDF("id", "toks")
+    assert(AllPairs.jaccardJoin(noDocs, "id", "toks", 1, 2).isEmpty)
+    assert(AllPairs.jaccardJoin(
+      Seq((1L, Seq("a"))).toDF("id", "toks"), "id", "toks", 1, 2).isEmpty)
+    val noIntervals = spark.emptyDataset[(java.sql.Date, java.sql.Date)]
+      .toDF("s", "e")
+    assert(IntervalSweep.openCounts(noIntervals, "s", "e",
+      d => year(d)).isEmpty)
+    val onePoint = Seq((1L, 2.0, 3.0)).toDF("id", "x", "y")
+    assert(Skyline.of(onePoint, Seq(col("x"), col("y"))).count() == 1)
+    assert(DetSketch.hllRegisters(
+      spark.emptyDataset[Long].toDF("k"), "k").isEmpty)
+    assert(DetSketch.kmvBottomK(
+      Seq(42L).toDF("k"), "k", 32).count() == 1)
+    val (m, c) = BpeTrainer.train(spark,
+      spark.emptyDataset[(Long, Seq[String])].toDF("id", "toks"),
+      "id", "toks", 3)
+    assert(m.isEmpty && c.isEmpty)
+  }
+
   test("z-order of a single row and of equal coordinates") {
     val one = Seq((5L, 9L)).toDF("x", "y")
       .select(graft.sources.ZOrder.mortonCode($"x", $"y").as("z"))
