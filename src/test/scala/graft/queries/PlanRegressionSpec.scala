@@ -96,4 +96,38 @@ class PlanRegressionSpec extends SparkSpec {
     val nCols = readSchema.split(",").length
     assert(nCols <= 7, s"scan reads $nCols columns: $readSchema")
   }
+
+  test("agg_hll_registers: sketch agg is partial before the exchange") {
+    // registers must collapse map-side (the whole point: m rows per
+    // partition shuffle, not one row per input row)
+    val s = planString("agg_hll_registers")
+    assert(s.contains("partial_max"),
+      s"no partial register aggregation before the shuffle:\n$s")
+    // and the scan reads ONLY the key column
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 1, s"scan reads: $readSchema")
+  }
+
+  test("orders_open_by_day: delta aggregation partial before the exchange") {
+    val all = collectAll(plan("orders_open_by_day"))
+    val aggs = all.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.exists(_.toString.contains("partial_sum")),
+      "sweep deltas must map-side combine (calendar-bounded shuffle)")
+  }
+
+  test("dedup_allpairs: candidate join is an equi-join, verify after distinct") {
+    val all = collectAll(plan("dedup_allpairs"))
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "prefix-token candidate join degenerated to a nested loop")
+  }
+
+  test("agg_kmv_bottomk: global order is TakeOrdered, never a full sort") {
+    val all = collectAll(plan("agg_kmv_bottomk"))
+    assert(all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "bottom-k must plan as TakeOrderedAndProject (k-bounded heads)")
+  }
 }
