@@ -80,6 +80,65 @@ object HeavyHitters {
     * candidates, then an exact count of candidates only. Requires
     * m + 1 ≥ denom so the sketch guarantee covers the threshold.
     */
+  /** Maintained MG state on disk: <= m (key, cnt) rows plus the
+    * running total, merged per batch with the PODS'12 rule (pointwise
+    * sum, then subtract the (m+1)-th largest and drop non-positives).
+    * The state stays a SUPERSET of every key with true frequency >
+    * n/(m+1) over everything ever folded in, each count understated
+    * by at most n/(m+1). The merge is monotone but NOT idempotent:
+    * an at-least-once replayed batch inflates counts — the superset
+    * guarantee survives (counts only grow), with bounds relative to
+    * the total actually streamed (replays included).
+    */
+  def initMgState(items: DataFrame, keyCol: String, dir: String,
+      m: Int): Unit = {
+    val spark = items.sparkSession
+    val sk = sketchRows(items, keyCol, m)
+    val n = items.count()
+    writeState(spark, dir, sk, n, m)
+  }
+
+  def mergeMgState(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, keyCol: String): Unit = {
+    val meta = spark.read.parquet(dir)
+    val m = meta.select(max(col("m"))).head().getInt(0)
+    val prevTotal = meta.select(max(col("n_total"))).head().getLong(0)
+    val stored = meta.select(col("key"), col("cnt"))
+      .filter(col("key").isNotNull).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val batchSketch = sketchRows(batch, keyCol, m)
+    val summed = mutable.Map[String, Long](stored: _*)
+    batchSketch.foreach { case (k, c) =>
+      summed(k) = summed.getOrElse(k, 0L) + c
+    }
+    val trimmed: Seq[(String, Long)] =
+      if (summed.size <= m) summed.toSeq
+      else {
+        val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(m)
+        summed.toSeq.map { case (k, c) => k -> (c - cut) }
+          .filter(_._2 > 0)
+      }
+    writeState(spark, dir, trimmed, prevTotal + batch.count(), m)
+  }
+
+  private def sketchRows(items: DataFrame, keyCol: String,
+      m: Int): Seq[(String, Long)] =
+    items.agg(misraGriesUdaf(m)(col(keyCol)).as("mg"))
+      .select(explode(col("mg")).as(Seq("key", "cnt")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  private def writeState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rows: Seq[(String, Long)], nTotal: Long,
+      m: Int): Unit = {
+    import spark.implicits._
+    // a null-key sentinel keeps (n_total, m) readable when the sketch
+    // is empty (empty corpus / all counts cancelled at the cut)
+    val padded = if (rows.nonEmpty) rows else Seq((null: String, 0L))
+    padded.map { case (k, c) => (k, c, nTotal, m) }
+      .toDF("key", "cnt", "n_total", "m")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
   def exactHeavyHitters(items: DataFrame, keyCol: String, m: Int,
       denom: Long): DataFrame = {
     require(m + 1 >= denom, s"capacity $m cannot guarantee 1/$denom hitters")

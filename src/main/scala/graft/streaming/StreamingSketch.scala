@@ -28,4 +28,22 @@ object StreamingSketch {
           batch.toDF(), keyCol)
         ()
       }
+
+  /** Streaming heavy hitters: per-batch Misra-Gries fold into the
+    * maintained <= m-row state ([[graft.operators.HeavyHitters
+    * .mergeMgState]]). The superset guarantee (every key above
+    * n/(m+1) retained) holds over everything ever streamed; unlike
+    * the HLL fold the merge is monotone but NOT idempotent, so an
+    * at-least-once replay inflates counts — never drops a heavy
+    * hitter (see the operator scaladoc for the exact semantics).
+    */
+  def heavyHittersStream(stream: DataFrame, keyCol: String,
+      stateDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.operators.HeavyHitters.mergeMgState(batch.sparkSession,
+          stateDir, batch.toDF(), keyCol)
+        ()
+      }
 }

@@ -62,4 +62,60 @@ class StreamingSketchSpec extends SparkSpec {
       afterB3.toSeq.map { case (b, r) => (b, r) }, p = 6)
     assert(math.abs(est - 1000.0) / 1000.0 < 3 * 1.04 / 8)
   }
+
+  test("streamed Misra-Gries keeps the superset guarantee across drains") {
+    import graft.operators.HeavyHitters
+    val root = tmpDir("smg")
+    val srcDir = s"$root/src"
+    val stateDir = s"$root/state"
+    val m = 4
+
+    // skewed stream: "hot" dominates, "warm" above 1/(m+1), noise below
+    def mkBatch(seed: Int): Seq[String] =
+      Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+        (1 to 15).map(i => s"noise-$seed-$i")
+    val b1 = mkBatch(1)
+    HeavyHitters.initMgState(b1.toDF("k"), "k", stateDir, m)
+
+    def drain(): Unit = {
+      val src = spark.readStream.schema("k STRING").parquet(srcDir)
+      val q = StreamingSketch.heavyHittersStream(src, "k", stateDir)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      q.awaitTermination()
+      assert(q.exception.isEmpty, q.exception.toString)
+    }
+
+    val b2 = mkBatch(2)
+    b2.toDF("k").coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    val b3 = mkBatch(3)
+    b3.toDF("k").coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+
+    val all = b1 ++ b2 ++ b3
+    val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toLong
+    val state = spark.read.parquet(stateDir)
+      .filter(col("key").isNotNull)
+      .select("key", "cnt").as[(String, Long)].collect().toMap
+    assert(spark.read.parquet(stateDir)
+      .select(max(col("n_total"))).head().getLong(0) == n)
+    // superset: every key above n/(m+1) must be retained
+    truth.filter(_._2 > n / (m + 1)).keys.foreach { k =>
+      assert(state.contains(k), s"heavy hitter $k lost")
+    }
+    // counts understate by at most n/(m+1), never overstate
+    state.foreach { case (k, c) =>
+      assert(c <= truth.getOrElse(k, 0L), s"$k overcounted")
+      assert(truth(k) - c <= n / (m + 1), s"$k undercounted past bound")
+    }
+    // replay: counts only grow; heavy hitters still present
+    HeavyHitters.mergeMgState(spark, stateDir, b2.toDF("k"), "k")
+    val replayed = spark.read.parquet(stateDir)
+      .filter(col("key").isNotNull)
+      .select("key", "cnt").as[(String, Long)].collect().toMap
+    assert(replayed.contains("hot") && replayed.contains("warm"))
+  }
 }
