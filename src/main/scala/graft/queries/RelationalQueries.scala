@@ -919,6 +919,72 @@ object RelationalQueries {
         .orderBy(col("d"), col("w"))
     }),
 
+    // DAU / trailing-7-day WAU / stickiness: the exact trailing
+    // distinct count WITHOUT a distinct-over-range window (which
+    // cannot partial-aggregate): each (user, day) activity explodes
+    // to its <=7 cover days — a bounded ×7 map-side expansion — then
+    // one distinct + one count per day. Stickiness in integer bp.
+    "events_dau_wau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day").cast("timestamp").as("day"), col("dau"),
+          col("wau"), expr("(10000 * dau) div wau").as("stickiness_bp"))
+        .orderBy(col("day"))
+    }),
+
+    // RFM segmentation: per-customer recency/frequency/monetary
+    // quintiles — three GlobalRank passes (range-band shards from
+    // sampled percentiles; balance affects parallelism, never the
+    // exact rank) + the exact SQL ntile formula, so DuckDB's native
+    // ntile is the oracle. No partitionless window over customers.
+    "customer_rfm" -> ((s, dir) => {
+      import graft.operators.GlobalRank
+      val d = (c: Column) => c.cast("double")
+      val base = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("recency"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = base.select(count(lit(1)).as("n_total"))
+      def score(df: DataFrame, value: Column, shard: Column,
+          name: String): DataFrame = {
+        val ranked = GlobalRank.withGlobalRank(df,
+          Seq(value, col("o_custkey")), shard, "__rn")
+        ranked.crossJoin(broadcast(n))
+          .withColumn(name, GlobalRank.ntileOf(col("__rn"),
+            col("n_total"), 5).cast("long"))
+          .drop("__rn", "n_total")
+      }
+      val fb = base.agg(percentile_approx(d(col("frequency")),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("b"))
+        .first().getSeq[Double](0)
+      val mb = base.agg(percentile_approx(d(col("monetary")),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("b"))
+        .first().getSeq[Double](0)
+      val scored = score(
+        score(
+          score(base, col("recency"), year(col("recency")), "r_score"),
+          col("frequency"), GlobalRank.rangeShard(d(col("frequency")), fb),
+          "f_score"),
+        col("monetary"), GlobalRank.rangeShard(d(col("monetary")), mb),
+        "m_score")
+      scored.select(col("o_custkey"), col("r_score"), col("f_score"),
+          col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // weighted sweep: in-flight order VALUE per change day — the
     // time-weighted exposure metric (±price deltas ride the same
     // prefix-sum pass as the ±1 counts via withRunningTotals).
@@ -1586,6 +1652,38 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
+
+    "events_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |wau AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS wau
+        |  FROM (SELECT DISTINCT day FROM ud) d
+        |  JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau,
+        |  (10000 * d.dau) // w.wau AS stickiness_bp
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
+
+    "customer_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS recency,
+        |    count(*) AS frequency,
+        |    sum(o_totalprice::DECIMAL(18,2)) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT o_custkey,
+        |    CAST(ntile(5) OVER (ORDER BY recency, o_custkey) AS BIGINT)
+        |      AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+        |      AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT)
+        |      AS m_score
+        |  FROM base)
+        |SELECT o_custkey, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM scored ORDER BY o_custkey""".stripMargin,
 
     "orders_open_value" ->
       """WITH spans AS (
