@@ -965,12 +965,14 @@ object RelationalQueries {
             col("n_total"), 5).cast("long"))
           .drop("__rn", "n_total")
       }
-      val fb = base.agg(percentile_approx(d(col("frequency")),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("b"))
-        .first().getSeq[Double](0)
-      val mb = base.agg(percentile_approx(d(col("monetary")),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("b"))
-        .first().getSeq[Double](0)
+      // one sampling job for both shard-boundary sets
+      val bounds = base.agg(
+        percentile_approx(d(col("frequency")),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("fb"),
+        percentile_approx(d(col("monetary")),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("mb"))
+        .first()
+      val (fb, mb) = (bounds.getSeq[Double](0), bounds.getSeq[Double](1))
       val scored = score(
         score(
           score(base, col("recency"), year(col("recency")), "r_score"),
