@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** Skyline of `df` minimizing every column in `minimize` (negate a
-    * column to maximize it). Values must be non-null numerics; ties
-    * are kept (two identical rows don't dominate each other).
+    * column to maximize it). Values must be non-null, non-NaN
+    * numerics (engines order NaN differently — Spark comparisons
+    * return false, so a NaN row would survive as a spurious skyline
+    * member); ties are kept (identical rows don't dominate each
+    * other).
     */
   def of(df: DataFrame, minimize: Seq[Column], grid: Int = 64): DataFrame = {
     require(minimize.nonEmpty && grid >= 2)
