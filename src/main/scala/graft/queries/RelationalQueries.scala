@@ -919,6 +919,29 @@ object RelationalQueries {
         .orderBy(col("d"), col("w"))
     }),
 
+    // frequent 3-step event paths: sessionize, take consecutive
+    // event-type triples per session (two leads over the session-local
+    // order — the partition key is (user, session), so no global
+    // window), count and rank. The clickstream "top paths" report.
+    "events_top_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+      val sess = graft.operators.Sessionize
+        .assign(ev, "user_id", "ts_sec", "event_id", gapSec = 1800L)
+      val w = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("ts_sec"), col("event_id"))
+      sess
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(concat_ws(" > ", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
     // DAU / trailing-7-day WAU / stickiness: the exact trailing
     // distinct count WITHOUT a distinct-over-range window (which
     // cannot partial-aggregate): each (user, day) activity explodes
@@ -1654,6 +1677,34 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
+
+    "events_top_paths" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_sec
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, event_type, ts_sec,
+        |    CASE WHEN lag(ts_sec) OVER w IS NULL
+        |           OR ts_sec - lag(ts_sec) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+        |assigned AS (
+        |  SELECT user_id, event_id, event_type, ts_sec,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM lagged),
+        |triples AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w2 AS e2,
+        |    lead(event_type, 2) OVER w2 AS e3
+        |  FROM assigned
+        |  WINDOW w2 AS (PARTITION BY user_id, session_idx
+        |    ORDER BY ts_sec, event_id))
+        |SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
+        |FROM triples WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "events_dau_wau" ->
       """WITH ud AS (
