@@ -146,22 +146,66 @@ object Pq {
       shortlist: Int = 50,
       qId: String = "vec_id", qEmb: String = "embedding",
       cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
-    val m = cbs.size
-    val d = subDim(dim, m)
-    val cb = typedlit(cbs.map(_.map(_.toSeq)))
     val codes = encode(corpus, dim, cbs, cId, cEmb)
       .join(Ivf.index(corpus, coarse, cId, cEmb)
         .select(col("n_id"), col("list_id")), Seq("n_id"))
-    // nprobe nearest coarse lists per query (queries are the tiny side)
+    val probes = probeLists(queries, coarse, nprobe, qId, qEmb)
+    ivfPqFromCodes(probes, codes, corpus, dim, cbs, k, shortlist, cId, cEmb)
+  }
+
+  /** Disk IVF-PQ index: (n_id, code) rows partitioned by coarse list —
+    * the PQ-compressed twin of [[Ivf.writeIndex]] (raw vectors stay in
+    * the corpus table; the scanned index is m bytes-ish per vector).
+    */
+  def writePqIndex(corpus: DataFrame, dim: Int,
+      coarse: Seq[Array[Double]], cbs: Codebooks, dir: String,
+      cId: String = "vec_id", cEmb: String = "embedding"): Unit =
+    encode(corpus, dim, cbs, cId, cEmb)
+      .join(Ivf.index(corpus, coarse, cId, cEmb)
+        .select(col("n_id"), col("list_id")), Seq("n_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(dir)
+
+  /** IVF-PQ over a disk index from [[writePqIndex]]: the queries'
+    * probed-list union becomes an `isin` over the partition column —
+    * partition pruning reads only those lists' code files (the
+    * probed set is nlist-bounded, driver-tiny). ADC scores the pruned
+    * codes; the exact re-rank touches raw vectors only for the
+    * shortlist.
+    */
+  def searchPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, corpus: DataFrame, dim: Int,
+      coarse: Seq[Array[Double]], cbs: Codebooks, k: Int, nprobe: Int,
+      shortlist: Int = 50,
+      qId: String = "vec_id", qEmb: String = "embedding",
+      cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
+    val probes = probeLists(queries, coarse, nprobe, qId, qEmb)
+    val probed = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(indexDir)
+      .filter(col("list_id").isin(probed.map(Integer.valueOf): _*))
+    ivfPqFromCodes(probes, codes, corpus, dim, cbs, k, shortlist, cId, cEmb)
+  }
+
+  /** nprobe nearest coarse lists per query (queries are the tiny side). */
+  private def probeLists(queries: DataFrame, coarse: Seq[Array[Double]],
+      nprobe: Int, qId: String, qEmb: String): DataFrame = {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("cd"), col("list_id"))
-    val probes = queries
+    queries
       .select(col(qId).as("q_id"), col(qEmb).as("q_emb"),
         posexplode(Ivf.distances(col(qEmb), coarse))
           .as(Seq("list_id", "cd")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("list_id"))
+  }
+
+  private def ivfPqFromCodes(probes: DataFrame, codes: DataFrame,
+      corpus: DataFrame, dim: Int, cbs: Codebooks, k: Int,
+      shortlist: Int, cId: String, cEmb: String): DataFrame = {
+    val m = cbs.size
+    val d = subDim(dim, m)
+    val cb = typedlit(cbs.map(_.map(_.toSeq)))
     val q = probes.withColumn("lut",
       transform(cb, (cbj, j) =>
         transform(cbj, cent =>
@@ -183,7 +227,7 @@ object Pq {
       .filter(col("pr") <= shortlist)
       .select(col("q_id"), col("n_id"))
     // exact re-rank of the shortlist
-    val qv = queries.select(col(qId).as("q_id"), col(qEmb).as("q_emb"))
+    val qv = probes.select(col("q_id"), col("q_emb")).distinct()
     val cv = corpus.select(col(cId).as("n_id"), col(cEmb).as("n_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
     cand.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))

@@ -99,6 +99,43 @@ class PqSpec extends SparkSpec {
     assert(overlap >= 0.6, s"ivf-pq overlap $overlap too low")
   }
 
+  test("disk ivf-pq index: pruned code scan, identical results") {
+    val dir = tmpDir("pqidx")
+    val coarse = Ivf.train(emb, nlist = 8, iters = 1)
+    val cbs = Pq.train(emb, dim = 64, m = 16, k = 32, iters = 1)
+    Pq.writePqIndex(emb, dim = 64, coarse, cbs, dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("list_id=")) == 8)
+
+    val q = emb.filter($"vec_id" < 5)
+    val viaDisk = Pq.searchPqIndex(spark, dir, q, emb, dim = 64,
+      coarse, cbs, k = 5, nprobe = 2)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case other => Seq(other)
+      }
+      self ++ p.children.flatMap(allNodes) ++ p.subqueries.flatMap(allNodes)
+    }
+    val scans = allNodes(viaDisk.queryExecution.executedPlan)
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scans.exists(n => n > 0 && n < 8),
+      s"expected pruned code-partition read, got $scans")
+
+    val viaMem = Pq.ivfPqTopK(q, emb, dim = 64, coarse, cbs, k = 5,
+      nprobe = 2)
+    val a = viaDisk.select("q_id", "rank", "n_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val b = viaMem.select("q_id", "rank", "n_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("codes and ADC ranks are partition-invariant") {
     val cbs = Pq.train(emb, dim = 64, m = 8, k = 16, iters = 0)
     def run(parts: Int) = Pq.adcTopK(emb.filter($"vec_id" < 5),
