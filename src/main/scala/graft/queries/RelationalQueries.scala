@@ -919,6 +919,24 @@ object RelationalQueries {
         .orderBy(col("d"), col("w"))
     }),
 
+    // declarative data-quality validation (operators.Validate): all
+    // row-local checks fold into ONE conditional-sum scan; uniqueness
+    // is a map-side-combined groupBy; the FK check is a left_anti
+    // against deduplicated dimension keys. Report = |checks| rows.
+    // A planted violation (quantity range tightened to exclude real
+    // rows) keeps the non-zero path honest.
+    "validate_lineitem" -> ((s, dir) => {
+      import graft.operators.Validate._
+      report(Tables.lineitem(s, dir), Seq(
+        notNull("l_shipdate"),
+        inRange("l_quantity", 1, 49),
+        acceptedValues("l_returnflag", Seq("A", "N", "R")),
+        inRange("l_discount", 0.0, 0.1),
+        Unique("unique(order,line)", Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("fk(l_orderkey)", "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")))
+    }),
+
     // frequent 3-step event paths: sessionize, take consecutive
     // event-type triples per session (two leads over the session-local
     // order — the partition key is (user, session), so no global
@@ -1677,6 +1695,37 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
+
+    "validate_lineitem" ->
+      """WITH p AS (
+        |  SELECT
+        |    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS v_nn,
+        |    SUM(CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity >= 1
+        |      AND l_quantity <= 49) THEN 1 ELSE 0 END)::BIGINT AS v_qty,
+        |    SUM(CASE WHEN NOT (l_returnflag IS NOT NULL
+        |      AND l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END)
+        |      ::BIGINT AS v_rf,
+        |    SUM(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0.0
+        |      AND l_discount <= 0.1) THEN 1 ELSE 0 END)::BIGINT AS v_disc
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT COALESCE(SUM(n), 0)::BIGINT AS v FROM (
+        |    SELECT count(*) AS n FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+        |fk AS (
+        |  SELECT count(*)::BIGINT AS v FROM lineitem l
+        |  WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT * FROM (
+        |  SELECT 'accepted_values(l_returnflag)' AS "check",
+        |    v_rf AS n_violations, v_rf = 0 AS pass FROM p
+        |  UNION ALL SELECT 'fk(l_orderkey)', v, v = 0 FROM fk
+        |  UNION ALL SELECT 'in_range(l_discount)', v_disc, v_disc = 0 FROM p
+        |  UNION ALL SELECT 'in_range(l_quantity)', v_qty, v_qty = 0 FROM p
+        |  UNION ALL SELECT 'not_null(l_shipdate)', v_nn, v_nn = 0 FROM p
+        |  UNION ALL SELECT 'unique(order,line)', v, v = 0 FROM u)
+        |ORDER BY "check"""".stripMargin,
 
     "events_top_paths" ->
       """WITH t AS (
