@@ -1,0 +1,103 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate view — the third member of the
+  * maintained-table family (latest state = [[Compaction]], history =
+  * [[Scd2]], aggregates = this): a per-key (count, sum) table that
+  * absorbs delta batches WITHOUT rescanning history, with the same
+  * hash-bucketed layout and partition-pruned rewrites.
+  *
+  * Count and sum are the canonical ALGEBRAIC aggregates: a batch
+  * collapses to per-key partials (map-side combined), and merging is
+  * pointwise addition on the <= one-row-per-key state — avg/rate
+  * derive downstream. Deltas are additive; model an update as a
+  * retraction pair (negative delta) if the source emits them.
+  *
+  * Exactly-once: merges are NOT idempotent (addition), so the meta
+  * records the last applied `batchId` and [[merge]] refuses ids
+  * <= it. foreachBatch replays after a failure re-present the SAME
+  * batch id, so the fence turns at-least-once delivery into
+  * exactly-once table state — the standard transactional-sink
+  * pattern, implemented with metadata only.
+  */
+object AggView {
+
+  final case class MergeStats(applied: Boolean, touchedBuckets: Seq[Int])
+
+  private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+
+  // totals pinned to DECIMAL(28,2): sum() widens decimal precision per
+  // aggregation, and a per-merge widening would drift the stored
+  // schema across buckets
+  private def partials(df: DataFrame, key: String, valueCol: String) =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("total"))
+
+  def init(df: DataFrame, dir: String, key: String, valueCol: String,
+      nBuckets: Int = 256, batchId: Long = -1L): Unit = {
+    val spark = df.sparkSession
+    require(nBuckets > 0)
+    partials(df, key, valueCol)
+      .withColumn("bucket", bucketOf(col(key), nBuckets))
+      .repartitionByRange(col("bucket"), col(key))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data")
+    writeMeta(spark, dir, key, valueCol, nBuckets, batchId)
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, key: String,
+      valueCol: String, nBuckets: Int, lastBatchId: Long): Unit = {
+    import spark.implicits._
+    Seq((key, valueCol, nBuckets, lastBatchId))
+      .toDF("key", "value_col", "n_buckets", "last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readMeta(spark: SparkSession, dir: String): (String, String, Int, Long) = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    (r.getAs[String]("key"), r.getAs[String]("value_col"),
+      r.getAs[Int]("n_buckets"), r.getAs[Long]("last_batch_id"))
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/data").drop("bucket")
+
+  /** Fold one delta batch in. Returns applied=false (and touches
+    * nothing) when `batchId` was already applied — the exactly-once
+    * fence for at-least-once callers. Pass monotonically increasing
+    * ids (foreachBatch's id works as-is).
+    */
+  def merge(spark: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): MergeStats = {
+    val (key, valueCol, nBuckets, lastId) = readMeta(spark, dir)
+    if (batchId <= lastId) return MergeStats(applied = false, Nil)
+
+    val delta = partials(batch, key, valueCol)
+      .withColumn("bucket", bucketOf(col(key), nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = delta.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val stored = spark.read.parquet(s"$dir/data")
+        .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      val merged = stored.unionByName(delta)
+        .groupBy(col("bucket"), col(key))
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("total")).cast("decimal(28,2)").as("total"))
+        .select(col(key), col("cnt"), col("total"), col("bucket"))
+      merged
+        .repartitionByRange(col("bucket"), col(key))
+        .write.partitionBy("bucket").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$dir/data")
+    }
+    delta.unpersist()
+    writeMeta(spark, dir, key, valueCol, nBuckets, batchId)
+    MergeStats(applied = true, touched)
+  }
+}

@@ -422,6 +422,31 @@ object CdcQueries {
     // splice into closed intervals, the hard path. The summary of the
     // maintained table must equal a one-shot window over the full
     // changelog (the oracle) — incremental ≡ recompute.
+    // incremental materialized aggregate view (cdc.AggView): init from
+    // two-thirds of the changelog, fold the rest in as two delta
+    // merges (partition-pruned bucket rewrites, batch-id fence), then
+    // read the maintained state — the oracle recomputes the same
+    // aggregate from scratch, proving increments ≡ recompute.
+    // DECIMAL partials make the cross-batch addition associative.
+    "cdc_agg_view" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id").as("k"),
+        col("value").as("v"), col("event_id"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-aggview-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.AggView.init(
+        ev.filter(col("event_id") % 3 =!= 0).select("k", "v"),
+        tableDir, "k", "v", nBuckets = 16)
+      graft.cdc.AggView.merge(s, tableDir,
+        ev.filter(col("event_id") % 3 === 0 && col("event_id") % 6 =!= 0)
+          .select("k", "v"), batchId = 0L)
+      graft.cdc.AggView.merge(s, tableDir,
+        ev.filter(col("event_id") % 6 === 0).select("k", "v"), batchId = 1L)
+      graft.cdc.AggView.read(s, tableDir)
+        .select(col("k").as("user_id"), col("cnt"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("user_id"))
+    }),
+
     "cdc_scd2_merge" -> ((s, dir) => {
       val st = Tables.events(s, dir).select(
         col("user_id").as("uid"), col("event_id").as("version"),
@@ -564,6 +589,12 @@ object CdcQueries {
         |  FROM o FULL OUTER JOIN n ON o.id = n.id)
         |SELECT id, op, old_price, new_price, old_status, new_status
         |FROM d WHERE op <> 'UNCHANGED' ORDER BY id""".stripMargin,
+
+    // the maintained view must equal the from-scratch aggregate
+    "cdc_agg_view" ->
+      """SELECT user_id, count(*) AS cnt,
+        |  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "cdc_scd2_merge" ->
       """WITH st AS (

@@ -1,0 +1,56 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The maintained aggregate view must equal a full recompute after
+  * any sequence of delta merges, rewrite only touched buckets, and
+  * enforce the batch-id fence (a replayed id is a no-op — the
+  * exactly-once guarantee the streaming wrapper relies on).
+  */
+class AggViewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mk(rows: Seq[(Long, Double)]) = rows.toDF("k", "v")
+
+  private def state(dir: String): Map[Long, (Long, BigDecimal)] =
+    AggView.read(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+
+  private def recompute(rows: Seq[(Long, Double)]): Map[Long, (Long, BigDecimal)] =
+    rows.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong,
+        vs.map(v => BigDecimal(v._2).setScale(2)).sum.setScale(2)))
+    }
+
+  test("merged view == full recompute; only touched buckets rewritten") {
+    val dir = tmpDir("aggview")
+    val b0 = (1L to 40L).map(k => (k, k * 1.5))
+    AggView.init(mk(b0), dir, "k", "v", nBuckets = 8)
+
+    val b1 = Seq((5L, 2.25), (5L, 1.00), (100L, 9.99))
+    val s1 = AggView.merge(spark, dir, mk(b1), batchId = 0L)
+    assert(s1.applied && s1.touchedBuckets.nonEmpty
+      && s1.touchedBuckets.size < 8)
+    assert(state(dir) == recompute(b0 ++ b1))
+
+    val b2 = Seq((5L, 0.50), (40L, -1.00)) // negative delta = retraction
+    assert(AggView.merge(spark, dir, mk(b2), batchId = 1L).applied)
+    assert(state(dir) == recompute(b0 ++ b1 ++ b2))
+  }
+
+  test("batch-id fence: replayed and stale ids are no-ops") {
+    val dir = tmpDir("aggfence")
+    AggView.init(mk(Seq((1L, 1.0))), dir, "k", "v", nBuckets = 4)
+    assert(AggView.merge(spark, dir, mk(Seq((1L, 1.0))), 0L).applied)
+    val before = state(dir)
+    assert(!AggView.merge(spark, dir, mk(Seq((1L, 1.0))), 0L).applied)
+    assert(!AggView.merge(spark, dir, mk(Seq((1L, 99.0))), -5L).applied)
+    assert(state(dir) == before)
+    assert(AggView.merge(spark, dir, mk(Seq((1L, 1.0))), 1L).applied)
+    assert(state(dir)(1L)._1 == 3L)
+  }
+}
