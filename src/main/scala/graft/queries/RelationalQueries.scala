@@ -919,6 +919,23 @@ object RelationalQueries {
         .orderBy(col("d"), col("w"))
     }),
 
+    // null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other — the join semantics ordinary `=` silently
+    // drops. Derived nullable keys on both sides; hash-joinable in
+    // both engines (null-safe equality is still an equi-join key).
+    "join_null_safe" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.groupBy(nullif(col("event_type"), lit("error")).as("k"))
+        .agg(count(lit(1)).as("n_a"))
+      val b = ev.filter(col("value") > 50)
+        .groupBy(nullif(col("event_type"), lit("error")).as("k"))
+        .agg(count(lit(1)).as("n_b"))
+      a.join(b, a("k") <=> b("k"), "left")
+        .select(a("k").as("k"), col("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // declarative data-quality validation (operators.Validate): all
     // row-local checks fold into ONE conditional-sum scan; uniqueness
     // is a map-side-combined groupBy; the FK check is a left_anti
@@ -1695,6 +1712,17 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH a AS (
+        |  SELECT nullif(event_type, 'error') AS k, count(*) AS n_a
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT nullif(event_type, 'error') AS k, count(*) AS n_b
+        |  FROM events WHERE value > 50 GROUP BY 1)
+        |SELECT a.k, a.n_a, COALESCE(b.n_b, 0) AS n_b
+        |FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin,
 
     "validate_lineitem" ->
       """WITH p AS (
