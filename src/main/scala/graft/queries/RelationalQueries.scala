@@ -919,6 +919,30 @@ object RelationalQueries {
         .orderBy(col("d"), col("w"))
     }),
 
+    // clamped running balance: the sequential recurrence
+    // S_i = max(0, S_{i-1} + d_i) looks unparallelizable, but has the
+    // closed form S_n = P_n - min(0, min_{j<=n} P_j) (P = plain prefix
+    // sum): whenever the min-prefix is negative the clamp has absorbed
+    // exactly that much deficit. Two ordinary per-key running windows
+    // replace the fold — key-parallel, associative BIGINT cents. The
+    // oracle replays the RECURRENCE with list_reduce, so a green row
+    // proves the closed form, not just the window arithmetic.
+    "events_clamped_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          (expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            - lit(5000L)).as("delta"))
+        .withColumn("p", sum(col("delta")).over(w))
+        .withColumn("m", min(col("p")).over(w))
+        .select(col("user_id"), col("event_id"),
+          (col("p") - least(lit(0L), col("m"))).as("balance_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
     // match each other — the join semantics ordinary `=` silently
     // drops. Derived nullable keys on both sides; hash-joinable in
@@ -1712,6 +1736,26 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
+
+    // replays the sequential clamp recurrence per prefix (quadratic,
+    // oracle-only) — green ⇒ the closed form used by Spark is right
+    "events_clamped_balance" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(value::DECIMAL(18,2) * 100 AS BIGINT) - 5000 AS delta
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, list(delta ORDER BY event_id) AS ds,
+        |    list(event_id ORDER BY event_id) AS ids
+        |  FROM e GROUP BY user_id),
+        |x AS (
+        |  SELECT user_id, unnest(ids) AS event_id,
+        |    unnest(range(1, len(ds) + 1)) AS i, ds
+        |  FROM s)
+        |SELECT user_id, event_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), ds[1:i]),
+        |    (acc, x) -> GREATEST(0, acc + x)) AS balance_cents
+        |FROM x ORDER BY user_id, event_id""".stripMargin,
 
     "join_null_safe" ->
       """WITH a AS (
