@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   *
   * Exactly-once: merges are NOT idempotent (addition), so the meta
   * records the last applied `batchId` and [[merge]] refuses ids
-  * <= it. foreachBatch replays after a failure re-present the SAME
-  * batch id, so the fence turns at-least-once delivery into
-  * exactly-once table state — the standard transactional-sink
-  * pattern, implemented with metadata only.
+  * <= it. foreachBatch's dominant failure mode — the batch completed
+  * but the checkpoint didn't commit, so the SAME id is re-presented —
+  * becomes a no-op. The remaining window is a crash BETWEEN the data
+  * write and the meta write inside one merge (data applied, fence not
+  * advanced → that one replay double-counts): closing it needs an
+  * atomic data+meta commit (a transaction log à la Delta/Iceberg),
+  * which is out of scope here and stated rather than papered over.
   */
 object AggView {
 
