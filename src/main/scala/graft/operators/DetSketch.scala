@@ -135,6 +135,49 @@ object DetSketch {
     if (bottom.size < k) bottom.size.toDouble
     else (k - 1).toDouble * math.pow(2.0, 60) / bottom.max.toDouble
 
+  /** One-pass grouped HLL as a typed Aggregator: the aggregation
+    * STATE is the m-long register buffer itself, merged pointwise —
+    * so a grouped sketch shuffles ONE 2^p-long array per (partition,
+    * group) instead of 2^p (bucket, rho) rows per group
+    * ([[hllRegistersBy]]'s shape). Same md5 fold, so exploding the
+    * array reproduces `hllRegistersBy` exactly (spec-pinned) and the
+    * same SQL oracle applies. p <= 12 keeps the buffer <= 32 KB.
+    */
+  final class HllAggregator(p: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Array[Long], Seq[Long]] {
+    private val m = 1 << p
+    private val bits = 60 - p
+    override def zero: Array[Long] = new Array[Long](m)
+    override def reduce(b: Array[Long], key: String): Array[Long] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bucket = (h % m).toInt
+      val w = h / m
+      val rho =
+        if (w == 0L) bits + 1
+        else bits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > b(bucket)) b(bucket) = rho.toLong
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def hllUdaf(p: Int = 6): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new HllAggregator(p),
+      org.apache.spark.sql.Encoders.STRING)
+
   /** Maintained HLL register state on disk: `init` writes the
     * registers of a first batch; `merge` folds a new batch in —
     * union + groupBy max, the HLL merge rule — and rewrites the

@@ -1103,6 +1103,24 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // the Aggregator-state form of the grouped sketch: ONE 64-long
+    // register buffer per (partition, group) shuffles — 64x fewer
+    // rows than the (bucket, rho) explode — merged pointwise in the
+    // udaf; exploding the final array reproduces the row form, so the
+    // same oracle applies.
+    "agg_hll_group_state" -> ((s, dir) => {
+      val hll = graft.operators.DetSketch.hllUdaf(6)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(hll(col("user_id").cast("string")).as("regs"))
+        .select(col("event_type"),
+          posexplode(col("regs")).as(Seq("bucket", "register")))
+        .filter(col("register") > 0)
+        .select(col("event_type"), col("bucket").cast("long").as("bucket"),
+          col("register"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // KMV bottom-k sketch: the k smallest distinct key hashes — the
     // mergeable distinct-count/set-op sketch whose STATE is exactly
     // reproducible in any engine (ORDER BY hash LIMIT k). Plan is a
@@ -1882,6 +1900,19 @@ object RelationalQueries {
         |GROUP BY d.day ORDER BY day""".stripMargin,
 
     "agg_hll_by_group" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM events)
+        |SELECT event_type, h % 64 AS bucket,
+        |  CAST(max(CASE WHEN h // 64 = 0 THEN 55
+        |    ELSE 55 - length(bin(h // 64)) END) AS BIGINT) AS register
+        |FROM h GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // identical ground truth as agg_hll_by_group (state form ≡ rows)
+    "agg_hll_group_state" ->
       """WITH h AS (
         |  SELECT event_type,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))

@@ -86,6 +86,21 @@ class DetSketchSpec extends SparkSpec {
     assert(grouped == solo)
   }
 
+  test("HllAggregator state form == hllRegistersBy rows, any partitioning") {
+    val rows = (1 to 2000).map(i => (s"g${i % 3}", (i % 321).toLong))
+    val hll = DetSketch.hllUdaf(6)
+    def viaAgg(parts: Int) = rows.toDF("g", "k").repartition(parts)
+      .groupBy(col("g")).agg(hll(col("k").cast("string")).as("regs"))
+      .select(col("g"), posexplode(col("regs")).as(Seq("bucket", "register")))
+      .filter(col("register") > 0)
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+      .toSet
+    val viaRows = DetSketch.hllRegistersBy(rows.toDF("g", "k"), Seq("g"), "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg(1) == viaRows)
+    assert(viaAgg(13) == viaRows)
+  }
+
   test("KMV: bottom-k matches reference; merge = bottom-k of union") {
     val a = (1 to 700).map(i => s"a$i")
     val b = (1 to 700).map(i => s"b$i")
