@@ -23,6 +23,37 @@ object Bfs {
     * `node` column, dist 0. Returns (node, dist) = minimum hop count,
     * for every node within `maxHops`.
     */
+  /** Bounded Bellman-Ford: exact minimum-WEIGHT distances over paths
+    * of <= `rounds` edges (integer weights — the min-plus semiring
+    * analog of [[hops]]). Each round is one relax join plus a
+    * map-side-combined `min` groupBy: a hub's candidate distances
+    * collapse before the shuffle, and the round budget bounds the job
+    * count exactly like the hop budget. Negative weights are fine
+    * (it's Bellman-Ford); negative CYCLES are the caller's problem,
+    * as everywhere.
+    */
+  def ssspRounds(edges: DataFrame, sources: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the parent lineage
+      dist.unpersist()
+      dist = next
+    }
+    dist
+  }
+
   def hops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     // probed once per hop: materialize the caller's edge lineage once

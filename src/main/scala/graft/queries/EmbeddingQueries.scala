@@ -206,6 +206,29 @@ object EmbeddingQueries {
         .select(col("node"), col("dist"))
         .orderBy(col("node"))
     }),
+
+    // bounded Bellman-Ford over the weighted trade graph: edge weight
+    // = distinct orders linking customer↔supplier, distance = minimum
+    // total weight over <=3-edge paths. Oracle unrolls the three
+    // min-plus relaxation layers; integer weights keep it exact.
+    "graph_sssp" -> ((s, dir) => {
+      val e0 = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(countDistinct(col("l_orderkey")).as("w"))
+      val sym = e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      val sources = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 3)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.Bfs.ssspRounds(sym, sources, rounds = 3)
+        .select(col("node"), col("dist"))
+        .orderBy(col("node"))
+    }),
   )
 
   // The hyperplane-LSH oracle embeds the EXACT plane values as SQL
@@ -551,6 +574,32 @@ object EmbeddingQueries {
         |UNION ALL SELECT node, 2 FROM d2
         |UNION ALL SELECT node, 3 FROM d3
         |ORDER BY node""".stripMargin,
+
+    // three unrolled min-plus relaxation layers (Bellman-Ford rounds)
+    "graph_sssp" ->
+      """WITH e0 AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |    count(DISTINCT l_orderkey) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src, dst, w FROM e0
+        |  UNION ALL SELECT dst, src, w FROM e0),
+        |d0 AS (SELECT DISTINCT c_custkey * 2 AS node,
+        |    CAST(0 AS BIGINT) AS dist
+        |  FROM customer WHERE c_custkey <= 3),
+        |r1 AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d0
+        |    UNION ALL SELECT e.dst, d0.dist + e.w FROM e
+        |    JOIN d0 ON e.src = d0.node) GROUP BY node),
+        |r2 AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM r1
+        |    UNION ALL SELECT e.dst, r1.dist + e.w FROM e
+        |    JOIN r1 ON e.src = r1.node) GROUP BY node),
+        |r3 AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM r2
+        |    UNION ALL SELECT e.dst, r2.dist + e.w FROM e
+        |    JOIN r2 ON e.src = r2.node) GROUP BY node)
+        |SELECT node, dist FROM r3 ORDER BY node""".stripMargin,
 
     // replays Pq (init-only codebooks): encode = per-(vector,subspace)
     // argmin over the 16 lowest-id vectors' slices, ADC = the query's

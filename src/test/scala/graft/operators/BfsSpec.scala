@@ -40,6 +40,32 @@ class BfsSpec extends SparkSpec {
     assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 5L -> 0, 6L -> 1))
   }
 
+  test("ssspRounds: bounded Bellman-Ford == reference relaxation") {
+    // cheap long way round vs expensive direct edge; a 2-edge path
+    // only reachable with enough rounds
+    val edges = Seq(
+      (0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 2L), // 0->1 direct 10, via 2 = 3
+      (1L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    def run(r: Int): Map[Long, Long] =
+      Bfs.ssspRounds(edges, Seq(0L).toDF("node"), r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(1) == Map(0L -> 0L, 1L -> 10L, 2L -> 1L))
+    assert(run(2) == Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 11L))
+    assert(run(4) == Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 4L, 4L -> 5L))
+    // reference Bellman-Ford, same round budget
+    val es = edges.as[(Long, Long, Long)].collect()
+    var ref = Map(0L -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = es.flatMap { case (s0, d0, w0) =>
+        ref.get(s0).map(ds => d0 -> (ds + w0))
+      }
+      ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    assert(run(4) == ref)
+  }
+
   test("partition invariance") {
     val edges = (for (a <- 0L until 25L; b <- 0L until 25L
       if a != b && (a * 31 + b) % 7 == 0) yield (a, b)).toVector
