@@ -156,6 +156,23 @@ object PipelineQueries {
     // reproducible across engines, runs, and partitionings (no rand()),
     // the property a training-mix sampler actually needs. Keep-rate
     // 40/256 ≈ 15.6%, reported per language stratum.
+    // deterministic train/val/test assignment: two md5-hex chars of
+    // the doc id give 256 buckets split 80/10/10 (< cc / < e6 / rest)
+    // — reproducible across engines, runs, and partitionings, with
+    // disjointness by construction (one bucket, one split). Per-split
+    // per-lang counts + an id checksum pin membership, not just sizes.
+    "split_train_val_test" -> ((s, dir) => {
+      val b = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(b < "cc", "train").when(b < "e6", "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       val bucket = substring(
         md5(col("doc_id").cast("string").cast("binary")), 1, 2)
@@ -811,6 +828,18 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN u < threshold THEN n_tokens ELSE 0 END)
         |    AS BIGINT) AS kept_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "split_train_val_test" ->
+      s"""WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'
+        |      THEN 'train'
+        |      WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM $docsParquet)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM t GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
     "sample_per_group" ->
       s"""SELECT lang, doc_id, rk FROM (
