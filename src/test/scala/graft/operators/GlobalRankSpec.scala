@@ -14,6 +14,28 @@ class GlobalRankSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("withRunningTotals: N prefix sums == N single windows, any shards") {
+    val df = (1 to 500).map(i =>
+      (i.toLong, (i * 7919 % 100).toDouble, (i % 7).toLong, (i % 11).toLong))
+      .toDF("id", "v", "a", "b")
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("sa", sum(col("a")).over(w))
+      .withColumn("sb", sum(col("b")).over(w))
+      .select(col("id"), col("sa"), col("sb")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (bounds <- Seq(Seq.empty[Double], Seq(30.0, 60.0))) {
+      val got = GlobalRank.withRunningTotals(df,
+          Seq(col("v"), col("id")),
+          GlobalRank.rangeShard(col("v"), bounds),
+          Seq("sa" -> col("a"), "sb" -> col("b")))
+        .select(col("id"), col("sa"), col("sb")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"bounds=$bounds")
+    }
+  }
+
   test("sharded rank == single-partition row_number, any shard split") {
     val df = (1 to 997).map(i => (i.toLong, (i * 7919 % 1000).toDouble))
       .toDF("id", "v")
