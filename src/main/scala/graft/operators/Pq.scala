@@ -165,6 +165,20 @@ object Pq {
         .select(col("n_id"), col("list_id")), Seq("n_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(dir)
 
+  /** Append a new vector batch to a [[writePqIndex]] disk index with
+    * FROZEN codebooks and coarse centroids (retraining both is a
+    * periodic offline job, as in any deployed IVF-PQ): encode + assign
+    * the batch only, append to the per-list partitions — O(batch),
+    * existing code files untouched.
+    */
+  def appendToPqIndex(newVecs: DataFrame, dim: Int,
+      coarse: Seq[Array[Double]], cbs: Codebooks, dir: String,
+      cId: String = "vec_id", cEmb: String = "embedding"): Unit =
+    encode(newVecs, dim, cbs, cId, cEmb)
+      .join(Ivf.index(newVecs, coarse, cId, cEmb)
+        .select(col("n_id"), col("list_id")), Seq("n_id"))
+      .write.partitionBy("list_id").mode("append").parquet(dir)
+
   /** IVF-PQ over a disk index from [[writePqIndex]]: the queries'
     * probed-list union becomes an `isin` over the partition column —
     * partition pruning reads only those lists' code files (the

@@ -134,6 +134,17 @@ class PqSpec extends SparkSpec {
     val b = viaMem.select("q_id", "rank", "n_id")
       .as[(Long, Int, Long)].collect().toSet
     assert(a == b)
+
+    // append a clone of query 0 under a fresh id: with frozen
+    // codebooks it must surface as that query's top hit
+    val clone = emb.filter($"vec_id" === 0L)
+      .select(lit(90000L).as("vec_id"), $"embedding")
+    Pq.appendToPqIndex(clone, dim = 64, coarse, cbs, dir)
+    val corpus2 = emb.select($"vec_id", $"embedding").unionByName(clone)
+    val after = Pq.searchPqIndex(spark, dir, emb.filter($"vec_id" === 0L),
+        corpus2, dim = 64, coarse, cbs, k = 1, nprobe = 2)
+      .select("n_id").as[Long].head()
+    assert(after == 90000L)
   }
 
   test("codes and ADC ranks are partition-invariant") {
