@@ -229,6 +229,23 @@ object EmbeddingQueries {
         .select(col("node"), col("dist"))
         .orderBy(col("node"))
     }),
+
+    // Johnson-Lindenstrauss random projection 64 → 8: seeded Gaussian
+    // planes (same generator as the LSH tables), each output component
+    // a sequential dot-product fold — narrow, zero-shuffle feature
+    // transform (the dim-reduction pass before cheap ANN). The oracle
+    // embeds the exact plane literals and replays the fold with
+    // list_reduce, so the doubles are bit-identical cross-engine.
+    "embed_random_projection" -> ((s, dir) => {
+      val ps = graft.operators.Similarity.planes(8, 64, 7L)
+      val cols = ps.zipWithIndex.map { case (p, i) =>
+        graft.functions.VectorFunctions.dot(col("embedding"),
+          typedlit(p.toSeq)).as(s"p$i")
+      }
+      Tables.embeddings(s, dir)
+        .select((col("vec_id") +: cols): _*)
+        .orderBy(col("vec_id"))
+    }),
   )
 
   // The hyperplane-LSH oracle embeds the EXACT plane values as SQL
@@ -237,9 +254,16 @@ object EmbeddingQueries {
   // round-trips, so the parsed literals are bit-identical), and mirrors
   // the signature's sequential dot-product fold with list_reduce.
   private def planeDotSql(p: Array[Double]): String = {
-    val lit = p.map(_.toString).mkString("[", ", ", "]")
+    // plane literals ride as VARCHAR and cast per element: DuckDB's
+    // numeric-ARRAY literal parse rounds ~25% of these doubles one ulp
+    // off the scalar/string parse (sign-only LSH uses never noticed;
+    // the projection oracle's raw doubles did), while string→DOUBLE
+    // is correctly rounded and bit-matches Scala's Double.toString
+    // round-trip
+    val lit = p.map(d => s"'${d.toString}'").mkString("[", ", ", "]")
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
-      s"j -> embedding[j]::DOUBLE * ($lit::DOUBLE[])[j])), (a, b) -> a + b)"
+      s"j -> embedding[j]::DOUBLE * " +
+      s"(list_transform($lit, s -> s::DOUBLE))[j])), (a, b) -> a + b)"
   }
 
   private val lshBucketSql: String =
@@ -600,6 +624,16 @@ object EmbeddingQueries {
         |    UNION ALL SELECT e.dst, r2.dist + e.w FROM e
         |    JOIN r2 ON e.src = r2.node) GROUP BY node)
         |SELECT node, dist FROM r3 ORDER BY node""".stripMargin,
+
+    // plane literals + list_reduce fold ≡ VectorFunctions.dot
+    "embed_random_projection" -> {
+      val cols = graft.operators.Similarity.planes(8, 64, 7L)
+        .zipWithIndex.map { case (p, i) => s"${planeDotSql(p)} AS p$i" }
+        .mkString(",\n  ")
+      s"""SELECT vec_id, $cols
+         |FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // replays Pq (init-only codebooks): encode = per-(vector,subspace)
     // argmin over the 16 lowest-id vectors' slices, ADC = the query's
