@@ -47,7 +47,8 @@ object AggView {
     require(nBuckets > 0)
     partials(df, key, valueCol)
       .withColumn("bucket", bucketOf(col(key), nBuckets))
-      .repartitionByRange(col("bucket"), col(key))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data")
     writeMeta(spark, dir, key, valueCol, nBuckets, batchId)
@@ -94,7 +95,8 @@ object AggView {
           sum(col("total")).cast("decimal(28,2)").as("total"))
         .select(col(key), col("cnt"), col("total"), col("bucket"))
       merged
-        .repartitionByRange(col("bucket"), col(key))
+        .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
         .write.partitionBy("bucket").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$dir/data")

@@ -66,10 +66,12 @@ object Compaction {
     require(nBuckets > 0, "nBuckets must be positive")
     df.filter(!col(deleteCol))
       .withColumn("bucket", bucketOf(col(key), nBuckets))
-      // range-partition on (bucket, key): one writer task per bucket
-      // range keeps output files per partition dir bounded without
-      // collapsing write parallelism onto a low-cardinality column
-      .repartitionByRange(col("bucket"), col(key))
+      // hash-partition on bucket + in-partition (bucket, key) sort:
+      // one writer task per bucket, deterministic file content, and
+      // no per-write range-sampling job (measured on the merge-family
+      // bench queries — three writes each paid a sampling pass)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data")
     import spark.implicits._
@@ -156,7 +158,8 @@ object Compaction {
     // replaced; untouched partitions are not read, written, or listed
     val rows = winners.count()
     winners
-      .repartitionByRange(col("bucket"), col(key))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$dir/data")

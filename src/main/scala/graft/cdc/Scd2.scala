@@ -69,7 +69,8 @@ object Scd2 {
     require(nBuckets > 0, "nBuckets must be positive")
     window(df, key, versionCol, deleteCol)
       .withColumn("bucket", bucketOf(col(key), nBuckets))
-      .repartitionByRange(col("bucket"), col(key))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data")
     import spark.implicits._
@@ -159,7 +160,8 @@ object Scd2 {
 
     val rows = out.count()
     out
-      .repartitionByRange(col("bucket"), col(key))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$dir/data")
