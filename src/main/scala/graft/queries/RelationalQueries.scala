@@ -919,6 +919,18 @@ object RelationalQueries {
         .orderBy(col("d"), col("w"))
     }),
 
+    // per-hour unique actives + event volume: the tumbling-window
+    // exact-distinct companion to events_dau_wau's trailing windows —
+    // distinct collapses map-side per (hour, user) before the count
+    "events_hourly_uniques" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+        .groupBy(col("hour"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("hour"))
+    }),
+
     // clamped running balance: the sequential recurrence
     // S_i = max(0, S_{i-1} + d_i) looks unparallelizable, but has the
     // closed form S_n = P_n - min(0, min_{j<=n} P_j) (P = plain prefix
@@ -1754,6 +1766,11 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
+
+    "events_hourly_uniques" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
 
     // replays the sequential clamp recurrence per prefix (quadratic,
     // oracle-only) — green ⇒ the closed form used by Spark is right
