@@ -919,6 +919,22 @@ object RelationalQueries {
         .orderBy(col("d"), col("w"))
     }),
 
+    // order-priority mix by month: counts plus integer-bp share of
+    // the month — the per-month total comes from a window PARTITIONED
+    // BY month (keyed, map-side-combinable input), never a global one
+    "orders_priority_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+      m.withColumn("month_total",
+          sum(col("n")).over(Window.partitionBy(col("month"))))
+        .withColumn("share_bp", expr("(10000 * n) div month_total"))
+        .select(col("month"), col("priority"), col("n"), col("share_bp"))
+        .orderBy(col("month"), col("priority"))
+    }),
+
     // per-hour unique actives + event volume: the tumbling-window
     // exact-distinct companion to events_dau_wau's trailing windows —
     // distinct collapses map-side per (hour, user) before the count
@@ -1766,6 +1782,16 @@ object RelationalQueries {
         |  FROM lineitem CROSS JOIN range(1, 5) r(d))
         |SELECT d, w, count(*) AS cnt FROM e
         |GROUP BY d, w ORDER BY d, w""".stripMargin,
+
+    "orders_priority_mix" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+        |    o_orderpriority AS priority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT month, priority, n,
+        |  CAST((10000 * n) // sum(n) OVER (PARTITION BY month)
+        |    AS BIGINT) AS share_bp
+        |FROM m ORDER BY month, priority""".stripMargin,
 
     "events_hourly_uniques" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
