@@ -1172,6 +1172,70 @@ object RelationalQueries {
           Seq(col("p_retailprice"), -col("p_size")))
         .orderBy(col("p_partkey"))
     }),
+
+    // grouped OLS regression: o_totalprice against the order's line
+    // count, per order priority — a two-level aggregate (per-order line
+    // counts, then per-priority moment sums). All five moments are
+    // exact (BIGINT / DECIMAL partial+final aggs, associative), so the
+    // slope/intercept/r² doubles derive from order-free inputs; floor
+    // at ppm / cent granularity absorbs nothing — both engines run the
+    // identical expression tree on identical exact moments.
+    "stats_regression" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val counts = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("x"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice").cast("decimal(18,2)").as("y"))
+      val agg = ord.join(counts, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum((col("x").cast("decimal(18,2)") * col("y")).cast("decimal(38,4)"))
+            .as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,4)")).as("syy"))
+      val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val dx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val dy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+      val slope = num / dx
+      agg.select(col("o_orderpriority"), col("n"),
+          floor(slope * lit(1000000.0)).cast("bigint").as("slope_ppm"),
+          floor(((d(col("sy")) - slope * d(col("sx"))) / d(col("n")))
+            * lit(100.0)).cast("bigint").as("intercept_cents"),
+          floor((num * num / (dx * dy)) * lit(1000000.0)).cast("bigint")
+            .as("r2_ppm"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // global Spearman rank correlation (quantity vs extendedprice) via
+    // graft.operators.GlobalRank: BOTH rank passes are sharded by a
+    // value band monotone in their sort order — no partitionless
+    // window, no single-task global sort (the trap a naive
+    // row_number() OVER (ORDER BY ...) springs at scale). Ties are
+    // broken by the unique (l_orderkey, l_linenumber), making ranks a
+    // permutation, so rho = 1 - 6·Σd²/(n(n²-1)) holds exactly with
+    // integer d²; Σd² accumulates in DECIMAL(38,0) (≈ n³/6 overflows
+    // BIGINT past ~3.8M rows).
+    "stats_spearman" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      val tie = Seq(col("l_orderkey"), col("l_linenumber"))
+      val rx = graft.operators.GlobalRank.withGlobalRank(li,
+        col("l_quantity") +: tie, floor(col("l_quantity") / lit(4)).cast("int"),
+        "rx")
+      val rxy = graft.operators.GlobalRank.withGlobalRank(rx,
+        col("l_extendedprice") +: tie,
+        floor(col("l_extendedprice") / lit(8192)).cast("int"), "ry")
+      val d = (c: Column) => c.cast("double")
+      val agg = rxy.select(((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .cast("decimal(38,0)").as("d2"))
+        .agg(count(lit(1)).as("n"), sum(col("d2")).as("sd2"))
+      agg.select(col("n"), d(col("sd2")).as("sum_d2"),
+        floor((lit(1.0) - lit(6.0) * d(col("sd2")) /
+          (d(col("n")) * (d(col("n")) * d(col("n")) - lit(1.0))))
+          * lit(1000000.0)).cast("bigint").as("rho_ppm"))
+    }),
   )
 
   private val disc = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -1986,5 +2050,60 @@ object RelationalQueries {
         |    AND (q.p_retailprice < p.p_retailprice
         |      OR q.p_size > p.p_size))
         |ORDER BY p_partkey""".stripMargin,
+
+    "stats_regression" ->
+      """WITH x AS (
+        |  SELECT l_orderkey, count(*) AS x FROM lineitem GROUP BY 1),
+        |a AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    sum(x)::BIGINT AS sx,
+        |    sum(o_totalprice::DECIMAL(18,2)) AS sy,
+        |    sum(CAST(x::DECIMAL(18,2) * o_totalprice::DECIMAL(18,2)
+        |      AS DECIMAL(38,4))) AS sxy,
+        |    sum(x * x)::BIGINT AS sxx,
+        |    sum(CAST(o_totalprice::DECIMAL(18,2) * o_totalprice::DECIMAL(18,2)
+        |      AS DECIMAL(38,4))) AS syy
+        |  FROM orders JOIN x ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS slope_ppm,
+        |  CAST(floor(((CAST(sy AS DOUBLE)
+        |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+        |    * 100.0) AS BIGINT) AS intercept_cents,
+        |  CAST(floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+        |    * 1000000.0) AS BIGINT) AS r2_ppm
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    "stats_spearman" ->
+      """WITH r AS (
+        |  SELECT
+        |    row_number() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |      AS rx,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS ry
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT count(*) AS n, sum((rx - ry) * (rx - ry)) AS sd2 FROM r)
+        |SELECT n, CAST(sd2 AS DOUBLE) AS sum_d2,
+        |  CAST(floor((1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - 1.0)))
+        |    * 1000000.0) AS BIGINT) AS rho_ppm
+        |FROM a""".stripMargin,
   )
 }
