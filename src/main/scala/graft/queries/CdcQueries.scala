@@ -379,6 +379,24 @@ object CdcQueries {
         .orderBy(col("event_type"))
     }),
 
+    // metadata-only aggregate (graft.sources.MetadataScan): count +
+    // min/max + null counts answered from parquet FOOTERS alone — zero
+    // data pages read, O(files) work parallelized over executors. The
+    // oracle recomputes the same aggregates with a full scan; a hash
+    // match proves footer statistics ARE the aggregate for fixed-width
+    // primitives. This is the 100 TB shape of the reference's export
+    // status range probe (min/max watermark, row counts) — at scale it
+    // must come from manifests/footers, never a scan.
+    "meta_stats_scan" -> ((s, dir) => {
+      graft.sources.MetadataScan.stats(s, s"$dir/orders.parquet",
+          Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+        .select(col("n_rows"),
+          col("min_o_orderkey"), col("max_o_orderkey"),
+          col("nulls_o_orderkey"),
+          col("min_o_totalprice"), col("max_o_totalprice"),
+          col("min_o_orderdate"), col("max_o_orderdate"))
+    }),
+
     // distributed keyed MERGE (graft.cdc.Compaction): init a bucketed
     // snapshot, apply an upsert+delete changelog through the
     // partition-pruned merge, read the maintained table back and
@@ -663,6 +681,17 @@ object CdcQueries {
         |FROM events
         |WHERE user_id BETWEEN 10 AND 20 AND event_id BETWEEN 1000 AND 5000
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "meta_stats_scan" ->
+      """SELECT count(*) AS n_rows,
+        |  min(o_orderkey) AS min_o_orderkey,
+        |  max(o_orderkey) AS max_o_orderkey,
+        |  count(*) - count(o_orderkey) AS nulls_o_orderkey,
+        |  min(o_totalprice) AS min_o_totalprice,
+        |  max(o_totalprice) AS max_o_totalprice,
+        |  min(o_orderdate) AS min_o_orderdate,
+        |  max(o_orderdate) AS max_o_orderdate
+        |FROM orders""".stripMargin,
 
     "cdc_merge_upsert" ->
       """WITH unioned AS (

@@ -1,0 +1,204 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Metadata-only MIN / MAX / COUNT over a parquet dataset: the answer
+  * comes entirely from file FOOTERS — row-group row counts and
+  * column-chunk statistics — so the job does O(files) work and reads
+  * zero data pages. At 100 TB with ~100k files this is the difference
+  * between a footer sweep finishing in seconds and a full scan reading
+  * the whole dataset to reproduce numbers the writer already recorded
+  * (the same trick table formats like Iceberg/Delta pull from their
+  * manifests; plain parquet directories carry the identical facts one
+  * level down, in each footer).
+  *
+  * Distribution model: the file listing is parallelized and each task
+  * opens only its own files' footers, so the sweep scales with
+  * executors, not data volume; the driver never holds more than the
+  * final one-row aggregate. This complements `ZOrder`'s row-group
+  * pruning (skip data by predicate) with full-table aggregate
+  * answering (skip data entirely).
+  *
+  * Exactness contract (why the oracle can be `SELECT count(*),
+  * min(c), max(c) FROM t`):
+  *   - `count(*)` = Σ row-group rowCounts — exact by the format spec.
+  *   - numeric / date / timestamp min-max — exact: parquet-mr stores
+  *     untruncated statistics for fixed-width primitives.
+  *   - STRING (BINARY) min-max is intentionally UNSUPPORTED here:
+  *     writers may truncate binary stats (parquet-mr
+  *     `parquet.statistics.truncate.length`), which keeps them valid
+  *     for pruning bounds but not for exact answers.
+  *   - DOUBLE/FLOAT columns containing NaN: the parquet spec tells
+  *     writers to drop NaN from stats, so min/max then reflect only
+  *     non-NaN values — same as SQL aggregate semantics, but Spark's
+  *     `max(double)` propagates NaN; callers with NaN data should not
+  *     use the footer path (the testdata tables carry no NaN).
+  *
+  * Reference behavior mirrored: the export engine's range probe
+  * `SELECT min(updated_at), max(updated_at), count(*)` shape
+  * (/root/reference/README.md export-status reporting) — answered
+  * here without scanning.
+  */
+object MetadataScan {
+
+  private case class ColSpec(name: String, dataType: DataType, kind: String)
+
+  /** One row: `n_rows` plus `min_<col>` / `max_<col>` / `nulls_<col>`
+    * for each requested column, computed from footers only. `path` may
+    * be a single parquet file or a directory of them.
+    */
+  def stats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = listParquetFiles(conf, path)
+    require(files.nonEmpty, s"no parquet files under $path")
+
+    // one driver-side footer read to type the requested columns; the
+    // schema is format metadata, identical across the dataset's files
+    val specs: Seq[ColSpec] = {
+      val in = HadoopInputFile.fromPath(new Path(files.head), new Configuration(conf))
+      val r = ParquetFileReader.open(in)
+      try {
+        val msg = r.getFooter.getFileMetaData.getSchema
+        cols.map { c =>
+          require(msg.containsField(c), s"column $c not in parquet schema")
+          val pt = msg.getType(Seq(c): _*).asPrimitiveType()
+          ColSpec(c, sparkType(pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation), kindOf(pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation))
+        }
+      } finally r.close()
+    }
+
+    val perFileSchema = StructType(
+      StructField("n_rows", LongType, nullable = false) +:
+      specs.flatMap(s => Seq(
+        StructField(s"min_${s.name}", s.dataType),
+        StructField(s"max_${s.name}", s.dataType),
+        StructField(s"nulls_${s.name}", LongType))))
+
+    val specsB = specs.map(s => (s.name, s.kind))
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
+      val c = new Configuration()
+      it.map(f => fileRow(c, f, specsB))
+    }
+    val perFile = spark.createDataFrame(rows, perFileSchema)
+
+    perFile.agg(
+      sum(col("n_rows")).as("n_rows"),
+      specs.flatMap(s => Seq(
+        min(col(s"min_${s.name}")).as(s"min_${s.name}"),
+        max(col(s"max_${s.name}")).as(s"max_${s.name}"),
+        sum(col(s"nulls_${s.name}")).as(s"nulls_${s.name}"))): _*)
+  }
+
+  private def listParquetFiles(conf: Configuration, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Seq(p.toString)
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            n.endsWith(".parquet"))
+          buf += f.getPath.toString
+      }
+      buf.result()
+    }
+  }
+
+  private def sparkType(p: PrimitiveTypeName, l: LogicalTypeAnnotation): DataType =
+    (p, l) match {
+      case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
+        TimestampType
+      case (PrimitiveTypeName.INT64, _) => LongType
+      case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) => DateType
+      case (PrimitiveTypeName.INT32, _) => IntegerType
+      case (PrimitiveTypeName.DOUBLE, _) => DoubleType
+      case (PrimitiveTypeName.FLOAT, _) => FloatType
+      case other => throw new IllegalArgumentException(
+        s"footer stats unsupported for $other (binary stats may be truncated)")
+    }
+
+  private def kindOf(p: PrimitiveTypeName, l: LogicalTypeAnnotation): String =
+    (p, l) match {
+      case (PrimitiveTypeName.INT64, t: TimestampLogicalTypeAnnotation) =>
+        t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => "ts_ms"
+          case LogicalTypeAnnotation.TimeUnit.MICROS => "ts_us"
+          case u => throw new IllegalArgumentException(s"timestamp unit $u")
+        }
+      case (PrimitiveTypeName.INT64, _) => "i64"
+      case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) => "date"
+      case (PrimitiveTypeName.INT32, _) => "i32"
+      case (PrimitiveTypeName.DOUBLE, _) => "f64"
+      case (PrimitiveTypeName.FLOAT, _) => "f32"
+      case other => throw new IllegalArgumentException(s"$other")
+    }
+
+  /** Fold one file's footer into (n_rows, then min/max/nulls per col).
+    * All-null or stats-less chunks contribute SQL nulls, which the
+    * final min/max aggregation ignores — matching aggregate semantics.
+    */
+  private def fileRow(conf: Configuration, file: String,
+      specs: Seq[(String, String)]): Row = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val blocks = r.getFooter.getBlocks
+      var nRows = 0L
+      val mins = Array.fill[Any](specs.size)(null)
+      val maxs = Array.fill[Any](specs.size)(null)
+      val nulls = Array.fill[Long](specs.size)(0L)
+      blocks.forEach { b =>
+        nRows += b.getRowCount
+        b.getColumns.forEach { cc =>
+          val dotted = cc.getPath.toDotString
+          val i = specs.indexWhere(_._1 == dotted)
+          if (i >= 0) {
+            val st = cc.getStatistics
+            require(st != null && st.isNumNullsSet,
+              s"$file: $dotted has no footer statistics — cannot answer " +
+                "from metadata (fall back to a data scan)")
+            nulls(i) += st.getNumNulls
+            if (st.hasNonNullValue) {
+              val kind = specs(i)._2
+              val lo = convert(st.genericGetMin.asInstanceOf[AnyRef], kind)
+              val hi = convert(st.genericGetMax.asInstanceOf[AnyRef], kind)
+              if (mins(i) == null || cmp(lo, mins(i)) < 0) mins(i) = lo
+              if (maxs(i) == null || cmp(hi, maxs(i)) > 0) maxs(i) = hi
+            }
+          }
+        }
+      }
+      Row.fromSeq(nRows +: specs.indices.flatMap(i =>
+        Seq(mins(i), maxs(i), nulls(i))))
+    } finally r.close()
+  }
+
+  private def convert(v: AnyRef, kind: String): Any = kind match {
+    case "i64" | "i32" | "f64" | "f32" => v
+    case "ts_ms" => new java.sql.Timestamp(v.asInstanceOf[java.lang.Long])
+    case "ts_us" =>
+      val us = v.asInstanceOf[java.lang.Long]
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    case "date" => java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].toLong))
+  }
+
+  @SuppressWarnings(Array("unchecked"))
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Footer-only aggregates must equal full-scan aggregates — on a
+  * multi-file dataset (min-of-mins / max-of-maxs across files), with
+  * nulls (null counts summed from chunk stats; min/max ignore
+  * all-null chunks), and across the supported physical types
+  * (INT64, INT32, DOUBLE, TIMESTAMP).
+  */
+class MetadataScanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("multi-file footer stats equal full-scan aggregates") {
+    val dir = Files.createTempDirectory("meta-scan").resolve("t").toFile.getAbsolutePath
+    val df = spark.range(0, 10000)
+      .select(col("id"),
+        (col("id") % 97).cast("int").as("i"),
+        (col("id") * 1.5 - 7000.0).as("d"),
+        // every 7th value null: chunk stats must count them and the
+        // min/max must still match the scan's null-ignoring semantics
+        when(col("id") % 7 =!= 0, col("id") * 2).as("n"),
+        timestamp_millis(col("id") * 1000L + 1700000000000L).as("ts"))
+    // Spark's default parquet timestamp encoding is INT96, whose footer
+    // stats are deprecated/unordered — MetadataScan rejects them. Write
+    // INT64 micros (what pyarrow/modern writers emit).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try df.repartition(5).write.parquet(dir)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+
+    val meta = MetadataScan.stats(spark, dir, Seq("id", "i", "d", "n", "ts"))
+      .collect()(0)
+    val scan = df.agg(
+      count(lit(1)), min("id"), max("id"), min("i"), max("i"),
+      min("d"), max("d"), min("n"), max("n"),
+      sum(when(col("n").isNull, 1L).otherwise(0L)), min("ts"), max("ts"))
+      .collect()(0)
+
+    assert(meta.getAs[Long]("n_rows") === scan.getLong(0))
+    assert(meta.getAs[Long]("min_id") === scan.getLong(1))
+    assert(meta.getAs[Long]("max_id") === scan.getLong(2))
+    assert(meta.getAs[Int]("min_i") === scan.getInt(3))
+    assert(meta.getAs[Int]("max_i") === scan.getInt(4))
+    assert(meta.getAs[Double]("min_d") === scan.getDouble(5))
+    assert(meta.getAs[Double]("max_d") === scan.getDouble(6))
+    assert(meta.getAs[Long]("min_n") === scan.getLong(7))
+    assert(meta.getAs[Long]("max_n") === scan.getLong(8))
+    assert(meta.getAs[Long]("nulls_n") === scan.getLong(9))
+    assert(meta.getAs[Long]("nulls_id") === 0L)
+    assert(meta.getAs[java.sql.Timestamp]("min_ts") === scan.getTimestamp(10))
+    assert(meta.getAs[java.sql.Timestamp]("max_ts") === scan.getTimestamp(11))
+  }
+
+  test("an entirely-null column yields null min/max and a full null count") {
+    val dir = Files.createTempDirectory("meta-scan-null").resolve("t").toFile.getAbsolutePath
+    spark.range(0, 100)
+      .select(col("id"), lit(null).cast("long").as("v"))
+      .coalesce(1).write.parquet(dir)
+    val r = MetadataScan.stats(spark, dir, Seq("v")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("min_v")))
+    assert(r.isNullAt(r.fieldIndex("max_v")))
+    assert(r.getAs[Long]("nulls_v") === 100L)
+    assert(r.getAs[Long]("n_rows") === 100L)
+  }
+
+  test("string columns are rejected (truncation-unsafe stats)") {
+    val dir = Files.createTempDirectory("meta-scan-str").resolve("t").toFile.getAbsolutePath
+    spark.range(0, 10).select(col("id"), col("id").cast("string").as("s"))
+      .coalesce(1).write.parquet(dir)
+    val e = intercept[Exception] {
+      MetadataScan.stats(spark, dir, Seq("s"))
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+}
