@@ -54,49 +54,90 @@ object MetadataScan {
 
   /** One row: `n_rows` plus `min_<col>` / `max_<col>` / `nulls_<col>`
     * for each requested column, computed from footers only. `path` may
-    * be a single parquet file or a directory of them.
+    * be a single parquet file or a directory of them. Any file whose
+    * footer lacks statistics for a requested column fails the job —
+    * an exact aggregate cannot be answered from incomplete metadata.
     */
   def stats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val specs = typedSpecs(spark, path, cols)
+    perFileStats(spark, path, specs, strict = true)
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        specs.flatMap(s => Seq(
+          min(col(s"min_${s.name}")).as(s"min_${s.name}"),
+          max(col(s"max_${s.name}")).as(s"max_${s.name}"),
+          sum(col(s"nulls_${s.name}")).as(s"nulls_${s.name}"))): _*)
+  }
+
+  /** The planning form: one row PER FILE — `file`, `n_rows`, then
+    * `min_/max_/nulls_/stats_<col>` for each requested column
+    * (`stats_` false ⇒ some chunk lacked statistics; min/max/nulls are
+    * then null and any pruning decision must keep the file). Filter
+    * this O(files)-row frame on a column's min/max envelope and the
+    * result is footer-level FILE PRUNING — the scan plan, computed
+    * without opening any data pages.
+    */
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val specs = typedSpecs(spark, path, cols)
+    perFileStats(spark, path, specs, strict = false)
+  }
+
+  /** The incremental-export planner (reference semantics: strict `>`
+    * watermark, /root/reference/app/main.py incremental path): the
+    * files that CAN contain a row with `c` strictly above `bound` —
+    * `max_c > bound`, keeping stats-less files conservatively. At
+    * 100 TB this turns "scan everything since forever" into "open the
+    * footers, read only the files the watermark actually touches";
+    * with time-correlated ingest that is the newest few files.
+    * The returned list is driver-sized (it's a file list, not data):
+    * feed it back to `spark.read.parquet(files: _*)`.
+    */
+  def filesAbove(spark: SparkSession, path: String, c: String,
+      bound: Any): Seq[String] = {
+    fileStats(spark, path, Seq(c))
+      .filter(!col(s"stats_$c") || col(s"max_$c") > lit(bound))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  private def typedSpecs(spark: SparkSession, path: String,
+      cols: Seq[String]): Seq[ColSpec] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = listParquetFiles(conf, path)
     require(files.nonEmpty, s"no parquet files under $path")
-
     // one driver-side footer read to type the requested columns; the
     // schema is format metadata, identical across the dataset's files
-    val specs: Seq[ColSpec] = {
-      val in = HadoopInputFile.fromPath(new Path(files.head), new Configuration(conf))
-      val r = ParquetFileReader.open(in)
-      try {
-        val msg = r.getFooter.getFileMetaData.getSchema
-        cols.map { c =>
-          require(msg.containsField(c), s"column $c not in parquet schema")
-          val pt = msg.getType(Seq(c): _*).asPrimitiveType()
-          ColSpec(c, sparkType(pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation), kindOf(pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation))
-        }
-      } finally r.close()
-    }
+    val in = HadoopInputFile.fromPath(new Path(files.head), new Configuration(conf))
+    val r = ParquetFileReader.open(in)
+    try {
+      val msg = r.getFooter.getFileMetaData.getSchema
+      cols.map { c =>
+        require(msg.containsField(c), s"column $c not in parquet schema")
+        val pt = msg.getType(Seq(c): _*).asPrimitiveType()
+        ColSpec(c, sparkType(pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation), kindOf(pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation))
+      }
+    } finally r.close()
+  }
 
+  private def perFileStats(spark: SparkSession, path: String,
+      specs: Seq[ColSpec], strict: Boolean): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = listParquetFiles(conf, path)
     val perFileSchema = StructType(
+      StructField("file", StringType, nullable = false) +:
       StructField("n_rows", LongType, nullable = false) +:
       specs.flatMap(s => Seq(
         StructField(s"min_${s.name}", s.dataType),
         StructField(s"max_${s.name}", s.dataType),
-        StructField(s"nulls_${s.name}", LongType))))
-
+        StructField(s"nulls_${s.name}", LongType),
+        StructField(s"stats_${s.name}", BooleanType, nullable = false))))
     val specsB = specs.map(s => (s.name, s.kind))
     val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     val rows = spark.sparkContext.parallelize(files, slices).mapPartitions { it =>
       val c = new Configuration()
-      it.map(f => fileRow(c, f, specsB))
+      it.map(f => fileRow(c, f, specsB, strict))
     }
-    val perFile = spark.createDataFrame(rows, perFileSchema)
-
-    perFile.agg(
-      sum(col("n_rows")).as("n_rows"),
-      specs.flatMap(s => Seq(
-        min(col(s"min_${s.name}")).as(s"min_${s.name}"),
-        max(col(s"max_${s.name}")).as(s"max_${s.name}"),
-        sum(col(s"nulls_${s.name}")).as(s"nulls_${s.name}"))): _*)
+    spark.createDataFrame(rows, perFileSchema)
   }
 
   private def listParquetFiles(conf: Configuration, path: String): Seq[String] = {
@@ -147,12 +188,15 @@ object MetadataScan {
       case other => throw new IllegalArgumentException(s"$other")
     }
 
-  /** Fold one file's footer into (n_rows, then min/max/nulls per col).
-    * All-null or stats-less chunks contribute SQL nulls, which the
-    * final min/max aggregation ignores — matching aggregate semantics.
+  /** Fold one file's footer into (file, n_rows, then
+    * min/max/nulls/stats-ok per col). All-null chunks contribute SQL
+    * nulls to min/max, which aggregation ignores — matching aggregate
+    * semantics. A chunk with no statistics fails in `strict` mode
+    * (exact answers need complete metadata) and marks the column's
+    * `stats_` flag false otherwise (pruning must keep the file).
     */
   private def fileRow(conf: Configuration, file: String,
-      specs: Seq[(String, String)]): Row = {
+      specs: Seq[(String, String)], strict: Boolean): Row = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {
       val blocks = r.getFooter.getBlocks
@@ -160,6 +204,7 @@ object MetadataScan {
       val mins = Array.fill[Any](specs.size)(null)
       val maxs = Array.fill[Any](specs.size)(null)
       val nulls = Array.fill[Long](specs.size)(0L)
+      val ok = Array.fill[Boolean](specs.size)(true)
       blocks.forEach { b =>
         nRows += b.getRowCount
         b.getColumns.forEach { cc =>
@@ -167,22 +212,27 @@ object MetadataScan {
           val i = specs.indexWhere(_._1 == dotted)
           if (i >= 0) {
             val st = cc.getStatistics
-            require(st != null && st.isNumNullsSet,
-              s"$file: $dotted has no footer statistics — cannot answer " +
-                "from metadata (fall back to a data scan)")
-            nulls(i) += st.getNumNulls
-            if (st.hasNonNullValue) {
-              val kind = specs(i)._2
-              val lo = convert(st.genericGetMin.asInstanceOf[AnyRef], kind)
-              val hi = convert(st.genericGetMax.asInstanceOf[AnyRef], kind)
-              if (mins(i) == null || cmp(lo, mins(i)) < 0) mins(i) = lo
-              if (maxs(i) == null || cmp(hi, maxs(i)) > 0) maxs(i) = hi
+            if (st == null || !st.isNumNullsSet) {
+              require(!strict,
+                s"$file: $dotted has no footer statistics — cannot answer " +
+                  "from metadata (fall back to a data scan)")
+              ok(i) = false
+            } else {
+              nulls(i) += st.getNumNulls
+              if (st.hasNonNullValue) {
+                val kind = specs(i)._2
+                val lo = convert(st.genericGetMin.asInstanceOf[AnyRef], kind)
+                val hi = convert(st.genericGetMax.asInstanceOf[AnyRef], kind)
+                if (mins(i) == null || cmp(lo, mins(i)) < 0) mins(i) = lo
+                if (maxs(i) == null || cmp(hi, maxs(i)) > 0) maxs(i) = hi
+              }
             }
           }
         }
       }
-      Row.fromSeq(nRows +: specs.indices.flatMap(i =>
-        Seq(mins(i), maxs(i), nulls(i))))
+      Row.fromSeq(file +: (nRows: Any) +: specs.indices.flatMap(i =>
+        if (ok(i)) Seq[Any](mins(i), maxs(i), nulls(i), true)
+        else Seq[Any](null, null, null, false)))
     } finally r.close()
   }
 

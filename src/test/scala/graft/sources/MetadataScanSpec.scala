@@ -68,6 +68,30 @@ class MetadataScanSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") === 100L)
   }
 
+  test("filesAbove prunes to exactly the files the watermark touches") {
+    val dir = Files.createTempDirectory("meta-prune").resolve("t").toFile
+      .getAbsolutePath
+    // three ingest batches with disjoint id ranges -> three files, the
+    // time-correlated layout incremental export sees in practice
+    for ((lo, hi) <- Seq((0, 1000), (1000, 5000), (5000, 10000)))
+      spark.range(lo, hi).coalesce(1).write.mode("append").parquet(dir)
+
+    val newest = MetadataScan.filesAbove(spark, dir, "id", 4999L)
+    assert(newest.size === 1)
+    val lastTwo = MetadataScan.filesAbove(spark, dir, "id", 999L)
+    assert(lastTwo.size === 2)
+    // none above the global max; everything above below-min watermark
+    assert(MetadataScan.filesAbove(spark, dir, "id", 9999L).isEmpty)
+    assert(MetadataScan.filesAbove(spark, dir, "id", -1L).size === 3)
+
+    // the pruned read + the same predicate ≡ the full-scan answer
+    val pruned = spark.read.parquet(lastTwo: _*).filter(col("id") > 999L)
+    val full = spark.read.parquet(dir).filter(col("id") > 999L)
+    assert(pruned.count() === full.count())
+    assert(pruned.agg(sum("id")).collect()(0).getLong(0)
+      === full.agg(sum("id")).collect()(0).getLong(0))
+  }
+
   test("string columns are rejected (truncation-unsafe stats)") {
     val dir = Files.createTempDirectory("meta-scan-str").resolve("t").toFile.getAbsolutePath
     spark.range(0, 10).select(col("id"), col("id").cast("string").as("s"))
