@@ -156,15 +156,23 @@ object Scd2 {
       .unionByName(changes, allowMissingColumns = true)
     val rebuilt = window(rewound, key, versionCol, deleteCol)
     val out = untouchedRows.unionByName(rebuilt, allowMissingColumns = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val rows = out.count()
+    // One pass, no persist: dynamic overwrite stages task output under
+    // the destination and only swaps bucket directories at job commit,
+    // so the pre-image slice this plan reads stays intact for the whole
+    // computation (same read-while-rewriting shape AggView.merge uses).
     out
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$dir/data")
+    // MergeStats.rows = the rewritten slice, counted back from its
+    // footers (partition-pruned, no data pages) — cheaper than caching
+    // the entire output just to count it pre-write. Every touched
+    // bucket exists post-write: a merge only ever ADDS rows to a
+    // bucket's history (deletes are tombstone audit rows).
+    val rows = prunedHistory(spark, dir, touched).count()
     // widen the meta schema when the batch introduced columns (fields
     // forced nullable: pre-evolution files genuinely lack them)
     val oldFields = org.apache.spark.sql.types.DataType
@@ -180,7 +188,6 @@ object Scd2 {
         .toDF("key", "version_col", "delete_col", "n_buckets", "schema_json")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
-    out.unpersist()
     changes.unpersist()
     MergeStats(touched, rows)
   }
