@@ -60,7 +60,7 @@ object MetadataScan {
     */
   def stats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
     val specs = typedSpecs(spark, path, cols)
-    perFileStats(spark, path, specs, strict = true)
+    perFileStats(spark, listParquetFiles(spark.sparkContext.hadoopConfiguration, path), specs, strict = true)
       .agg(
         sum(col("n_rows")).as("n_rows"),
         specs.flatMap(s => Seq(
@@ -79,7 +79,7 @@ object MetadataScan {
     */
   def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
     val specs = typedSpecs(spark, path, cols)
-    perFileStats(spark, path, specs, strict = false)
+    perFileStats(spark, listParquetFiles(spark.sparkContext.hadoopConfiguration, path), specs, strict = false)
   }
 
   /** The incremental-export planner (reference semantics: strict `>`
@@ -100,6 +100,54 @@ object MetadataScan {
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** Persisted manifest: `fileStats` written down, so planning stops
+    * re-opening footers. At 100k files a footer sweep is 100k file
+    * opens PER QUERY; the manifest is one small parquet read — the
+    * same economics that make Delta/Iceberg keep stats in their logs.
+    * Self-describing (the tracked columns are recoverable from the
+    * manifest's own schema), maintained O(new) by [[refreshManifest]].
+    */
+  def writeManifest(spark: SparkSession, dataPath: String,
+      cols: Seq[String], manifestPath: String): Unit =
+    fileStats(spark, dataPath, cols)
+      .coalesce(1).write.mode("overwrite").parquet(manifestPath)
+
+  /** Columns a manifest tracks, recovered from its schema. */
+  private def manifestCols(m: DataFrame): Seq[String] =
+    m.schema.fieldNames.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+
+  /** Absorb files that appeared since the manifest was written: opens
+    * ONLY the unseen files' footers and appends their rows — per-batch
+    * cost is O(new files), never O(dataset). (Immutable-file
+    * assumption, same as every manifest design: a REWRITTEN file keeps
+    * its path and is not re-read; compaction should rebuild.)
+    * Returns how many new files were absorbed.
+    */
+  def refreshManifest(spark: SparkSession, dataPath: String,
+      manifestPath: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val known = spark.read.parquet(manifestPath)
+    val cols = manifestCols(known)
+    val seen = known.select(col("file")).collect().map(_.getString(0)).toSet
+    val fresh = listParquetFiles(conf, dataPath).filterNot(seen)
+    if (fresh.nonEmpty) {
+      val specs = typedSpecs(spark, dataPath, cols)
+      perFileStats(spark, fresh, specs, strict = false)
+        .write.mode("append").parquet(manifestPath)
+    }
+    fresh.size
+  }
+
+  /** [[filesAbove]] answered from the manifest instead of footers —
+    * zero file opens on the data itself.
+    */
+  def filesAboveFromManifest(spark: SparkSession, manifestPath: String,
+      c: String, bound: Any): Seq[String] =
+    spark.read.parquet(manifestPath)
+      .filter(!col(s"stats_$c") || col(s"max_$c") > lit(bound))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+
   private def typedSpecs(spark: SparkSession, path: String,
       cols: Seq[String]): Seq[ColSpec] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -119,10 +167,8 @@ object MetadataScan {
     } finally r.close()
   }
 
-  private def perFileStats(spark: SparkSession, path: String,
+  private def perFileStats(spark: SparkSession, files: Seq[String],
       specs: Seq[ColSpec], strict: Boolean): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val files = listParquetFiles(conf, path)
     val perFileSchema = StructType(
       StructField("file", StringType, nullable = false) +:
       StructField("n_rows", LongType, nullable = false) +:

@@ -92,6 +92,28 @@ class MetadataScanSpec extends SparkSpec {
       === full.agg(sum("id")).collect()(0).getLong(0))
   }
 
+  test("manifest: O(new)-maintained stats answer pruning without footers") {
+    val root = Files.createTempDirectory("meta-manifest")
+    val dir = root.resolve("t").toFile.getAbsolutePath
+    val man = root.resolve("manifest").toFile.getAbsolutePath
+    spark.range(0, 1000).coalesce(1).write.mode("append").parquet(dir)
+    spark.range(1000, 5000).coalesce(1).write.mode("append").parquet(dir)
+    MetadataScan.writeManifest(spark, dir, Seq("id"), man)
+    assert(spark.read.parquet(man).count() === 2)
+
+    // a third ingest batch lands; refresh absorbs ONLY the new file
+    spark.range(5000, 10000).coalesce(1).write.mode("append").parquet(dir)
+    assert(MetadataScan.refreshManifest(spark, dir, man) === 1)
+    assert(MetadataScan.refreshManifest(spark, dir, man) === 0)
+    assert(spark.read.parquet(man).count() === 3)
+
+    // manifest answers ≡ footer answers, for every watermark position
+    for (wm <- Seq(-1L, 999L, 4999L, 9999L))
+      assert(
+        MetadataScan.filesAboveFromManifest(spark, man, "id", wm).sorted
+          === MetadataScan.filesAbove(spark, dir, "id", wm).sorted)
+  }
+
   test("string columns are rejected (truncation-unsafe stats)") {
     val dir = Files.createTempDirectory("meta-scan-str").resolve("t").toFile.getAbsolutePath
     spark.range(0, 10).select(col("id"), col("id").cast("string").as("s"))
