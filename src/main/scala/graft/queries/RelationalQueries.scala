@@ -823,6 +823,40 @@ object RelationalQueries {
         .limit(200)
     }),
 
+    // item-item cosine similarity from co-occurrence counts (the
+    // classic recommender primitive): sim(a,b) = n_ab/√(n_a·n_b),
+    // reported as sim²·1e8 in PURE BIGINT (n_ab²·1e8 div n_a·n_b) —
+    // monotone in sim for non-negative counts, so ranking is exact and
+    // no float ever enters the oracle corridor. Same basket-local pair
+    // explosion as basket_pairs (one shuffle); the per-item frequency
+    // table is |parts|-sized and broadcasts to both sides of the pair.
+    "item_similarity" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val pairs = items.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+               transform(slice(ps, i + 2, size(ps)),
+                 y -> named_struct('part_a', x, 'part_b', y))))"""))
+          .as("pr"))
+        .groupBy(col("pr.part_a").as("part_a"),
+          col("pr.part_b").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(broadcast(freq.select(col("l_partkey").as("part_a"),
+          col("n").as("n_a"))), Seq("part_a"))
+        .join(broadcast(freq.select(col("l_partkey").as("part_b"),
+          col("n").as("n_b"))), Seq("part_b"))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          expr("n_ab * n_ab * 100000000L div (n_a * n_b)").as("sim2_e8"))
+        .orderBy(col("sim2_e8").desc, col("part_a"), col("part_b"))
+        .limit(200)
+    }),
+
     // Pearson correlation / dispersion per group from ALGEBRAIC exact
     // sums: Σx Σy Σxy Σx² Σy² accumulate in DECIMAL (associative,
     // partitioning-free), and only the final corr formula runs in
@@ -1273,6 +1307,25 @@ object RelationalQueries {
         |SELECT part_a, part_b, n_orders FROM p
         |WHERE n_orders >= 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 200""".stripMargin,
+
+    "item_similarity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f AS (
+        |  SELECT l_partkey, count(*) AS n FROM items GROUP BY 1),
+        |p AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab, fa.n AS n_a, fb.n AS n_b,
+        |  (n_ab * n_ab * 100000000) // (fa.n * fb.n) AS sim2_e8
+        |FROM p
+        |JOIN f fa ON part_a = fa.l_partkey
+        |JOIN f fb ON part_b = fb.l_partkey
+        |WHERE n_ab >= 2
+        |ORDER BY sim2_e8 DESC, part_a, part_b LIMIT 200""".stripMargin,
 
     "quantile_buckets" ->
       """WITH r AS (
