@@ -130,4 +130,17 @@ class PlanRegressionSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
       "bottom-k must plan as TakeOrderedAndProject (k-bounded heads)")
   }
+
+  test("item_similarity: frequency table broadcasts to both pair sides") {
+    val all = collectAll(plan("item_similarity"))
+    val bhj = all.count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj >= 2,
+      s"the |parts|-row frequency table must broadcast twice, got $bhj")
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "nested-loop join crept into the similarity join")
+    // and the top-200 must be a k-bounded heap, not a full global sort
+    assert(all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "limit-after-order must plan as TakeOrderedAndProject")
+  }
 }
