@@ -732,6 +732,32 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("es"), col("event_id"))
     }),
 
+    // inter-arrival time profile: per-user consecutive gaps (lag over
+    // the µs-integer event order — key-parallel, one shuffle), then
+    // one global aggregate over the BIGINT second gaps. Exact
+    // percentiles ride the agg_percentiles_exact corridor (identical
+    // linear interpolation on integer inputs in both engines); the
+    // µs→s floor runs per gap, before any aggregation. The arrival-
+    // rate / burstiness profile every event pipeline wants, with no
+    // partitionless window anywhere.
+    "events_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(expr("(us - prev_us) div 1000000L").as("gap_s"))
+        .agg(count(lit(1)).as("n_gaps"),
+          percentile(col("gap_s"), lit(0.5)).as("p50_s"),
+          percentile(col("gap_s"), lit(0.9)).as("p90_s"),
+          max(col("gap_s")).as("max_s"),
+          sum(when(col("gap_s") > 3600, 1L).otherwise(0L))
+            .as("n_over_hour"))
+    }),
+
     // exponentially-weighted moving average per user, computed as a
     // per-key ordered integer fold: value → exact cents via
     // DECIMAL(18,2), then EWMA_t = (cents_t + EWMA_{t-1}) div 2 —
@@ -1351,6 +1377,23 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY es
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, es, event_id""".stripMargin,
+
+    "events_interarrival" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT (us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id)) // 1000000 AS gap_s
+        |  FROM e),
+        |f AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL)
+        |SELECT count(*) AS n_gaps,
+        |  quantile_cont(gap_s, 0.5) AS p50_s,
+        |  quantile_cont(gap_s, 0.9) AS p90_s,
+        |  max(gap_s) AS max_s,
+        |  sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_over_hour
+        |FROM f""".stripMargin,
 
     "events_ewma" ->
       """WITH e AS (
