@@ -732,6 +732,40 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("es"), col("event_id"))
     }),
 
+    // seasonality probe: autocorrelation of the hourly event volume at
+    // lag 1 h and lag 24 h. The hourly series is |hours| rows (grows
+    // with calendar time, not data volume — broadcastable at any SF),
+    // lagged pairs come from an integer hour-index equi-join, and all
+    // five moments are BIGINT sums, so only the final Pearson formula
+    // runs in doubles — the same identical-IEEE-tree corridor as
+    // stats_correlation. A daily usage cycle shows up as r(24h) >>
+    // r(1h)'s decay.
+    "events_autocorr" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      val hourly = Tables.events(s, dir)
+        .select(expr("cast(date_trunc('hour', ts) as long) div 3600L")
+          .as("he"))
+        .groupBy(col("he")).agg(count(lit(1)).as("n"))
+      val lagged = Seq(1L, 24L).map { l =>
+        hourly.select(col("he"), col("n").as("x"))
+          .join(hourly.select((col("he") - l).as("he"), col("n").as("y")),
+            Seq("he"))
+          .select(lit(l).as("lag_h"), col("x"), col("y"))
+      }.reduce(_ unionByName _)
+      val agg = lagged.groupBy(col("lag_h")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val num = d(col("n_pairs")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val den = sqrt(d(col("n_pairs")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+        sqrt(d(col("n_pairs")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+      agg.select(col("lag_h"), col("n_pairs"),
+          floor((num / den) * lit(1000000.0)).cast("bigint").as("r_ppm"))
+        .orderBy(col("lag_h"))
+    }),
+
     // inter-arrival time profile: per-user consecutive gaps (lag over
     // the µs-integer event order — key-parallel, one shuffle), then
     // one global aggregate over the BIGINT second gaps. Exact
@@ -1377,6 +1411,33 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY es
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, es, event_id""".stripMargin,
+
+    "events_autocorr" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts::TIMESTAMP)) // 3600000
+        |      AS he,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT l.lag_h, x.n AS x, y.n AS y
+        |  FROM (VALUES (1), (24)) AS l(lag_h)
+        |  JOIN hourly x ON TRUE
+        |  JOIN hourly y ON y.he = x.he + l.lag_h),
+        |a AS (
+        |  SELECT lag_h, count(*) AS n_pairs,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM lagged GROUP BY 1)
+        |SELECT lag_h::BIGINT AS lag_h, n_pairs,
+        |  CAST(floor(((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+        |    * 1000000.0) AS BIGINT) AS r_ppm
+        |FROM a ORDER BY lag_h""".stripMargin,
 
     "events_interarrival" ->
       """WITH e AS (
