@@ -742,10 +742,14 @@ object RelationalQueries {
     // r(1h)'s decay.
     "events_autocorr" -> ((s, dir) => {
       val d = (c: Column) => c.cast("double")
+      // persist the |hours|-row series: its four references below would
+      // otherwise each re-scan the events table — at scale that is four
+      // full passes to rebuild a table that fits in one executor page
       val hourly = Tables.events(s, dir)
         .select(expr("cast(date_trunc('hour', ts) as long) div 3600L")
           .as("he"))
         .groupBy(col("he")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lagged = Seq(1L, 24L).map { l =>
         hourly.select(col("he"), col("n").as("x"))
           .join(hourly.select((col("he") - l).as("he"), col("n").as("y")),
