@@ -732,6 +732,34 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("es"), col("event_id"))
     }),
 
+    // join-key skew diagnostics: the distribution of per-key row counts
+    // for the two hottest join keys in the schema — the numbers that
+    // decide salting factors and AQE skew thresholds BEFORE a 100 TB
+    // join is planned. One map-side-combined groupBy per key column,
+    // then order-free aggregates over the |keys|-row count tables;
+    // exact p50/p99 ride the percentile corridor, and the max/mean
+    // skew ratio is the only float (identical tree, ppm-floored).
+    "profile_skew" -> ((s, dir) => {
+      val d = (c: Column) => c.cast("double")
+      def dist(df: DataFrame, keyCol: String, label: String): DataFrame = {
+        val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+        counts.agg(
+          lit(label).as("key_col"),
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"),
+          percentile(col("cnt"), lit(0.5)).as("p50"),
+          percentile(col("cnt"), lit(0.99)).as("p99"),
+          max(col("cnt")).as("max_cnt"),
+          floor(d(max(col("cnt"))) * d(count(lit(1)))
+            / d(sum(col("cnt"))) * lit(1000000.0))
+            .cast("bigint").as("skew_ppm"))
+      }
+      dist(Tables.events(s, dir), "user_id", "events.user_id")
+        .unionByName(dist(Tables.lineitem(s, dir), "l_orderkey",
+          "lineitem.l_orderkey"))
+        .orderBy(col("key_col"))
+    }),
+
     // seasonality probe: autocorrelation of the hourly event volume at
     // lag 1 h and lag 24 h. The hourly series is |hours| rows (grows
     // with calendar time, not data volume — broadcastable at any SF),
@@ -1415,6 +1443,33 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY es
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, es, event_id""".stripMargin,
+
+    "profile_skew" ->
+      """WITH ec AS (
+        |  SELECT count(*) AS cnt FROM events GROUP BY user_id),
+        |lc AS (
+        |  SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey),
+        |e AS (
+        |  SELECT 'events.user_id' AS key_col, count(*) AS n_keys,
+        |    sum(cnt)::BIGINT AS n_rows,
+        |    quantile_cont(cnt, 0.5) AS p50,
+        |    quantile_cont(cnt, 0.99) AS p99,
+        |    max(cnt) AS max_cnt,
+        |    CAST(floor(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+        |      / CAST(sum(cnt)::BIGINT AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS skew_ppm
+        |  FROM ec),
+        |l AS (
+        |  SELECT 'lineitem.l_orderkey' AS key_col, count(*) AS n_keys,
+        |    sum(cnt)::BIGINT AS n_rows,
+        |    quantile_cont(cnt, 0.5) AS p50,
+        |    quantile_cont(cnt, 0.99) AS p99,
+        |    max(cnt) AS max_cnt,
+        |    CAST(floor(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+        |      / CAST(sum(cnt)::BIGINT AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS skew_ppm
+        |  FROM lc)
+        |SELECT * FROM e UNION ALL SELECT * FROM l ORDER BY key_col""".stripMargin,
 
     "events_autocorr" ->
       """WITH hourly AS (
