@@ -1287,6 +1287,37 @@ object RelationalQueries {
         .orderBy(col("rank"))
     }),
 
+    // mergeable approximate quantiles from a DETERMINISTIC uniform
+    // sample: the k rows with the lowest md5 rank (KMV-style bottom-k —
+    // bottom-k of a union ≡ bottom-k of merged bottom-ks, so partial
+    // sketches combine associatively across partitions/batches; the
+    // shuffle carries k rows per partition via TakeOrdered, never the
+    // data). Quantile estimates are exact percentiles OF THE SAMPLE,
+    // and the query also measures its own error: the estimate's TRUE
+    // rank over the full table in pure-integer ppm. Engine-portable
+    // determinism (seeded by md5, not by partitioning) is what makes an
+    // approximate quantile ORACLE-EXACT — DuckDB replays the identical
+    // sample.
+    "agg_quantile_sample" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_extendedprice").as("v"),
+        expr("""cast(conv(substring(md5(cast(concat_ws('-',
+             l_orderkey, l_linenumber) as binary)), 1, 15), 16, 10)
+             as long)""").as("hk"))
+      val est = li.orderBy(col("hk"), col("v")).limit(4096)
+        .agg(count(lit(1)).as("k"),
+          percentile(col("v"), lit(0.5)).as("p50_est"),
+          percentile(col("v"), lit(0.95)).as("p95_est"))
+      li.crossJoin(broadcast(est))
+        .agg(max(col("k")).as("k"), count(lit(1)).as("n"),
+          max(col("p50_est")).as("p50_est"),
+          expr("sum(case when v <= p50_est then 1L else 0L end) " +
+            "* 1000000L div count(1)").as("p50_rank_ppm"),
+          max(col("p95_est")).as("p95_est"),
+          expr("sum(case when v <= p95_est then 1L else 0L end) " +
+            "* 1000000L div count(1)").as("p95_rank_ppm"))
+    }),
+
     // skyline (Pareto-optimal parts): cheapest-for-the-size frontier —
     // no other part is both <= price and >= size with one strict.
     // Grid prune (64²) drops every cell strictly dominated at cell
@@ -2256,6 +2287,27 @@ object RelationalQueries {
         |b AS (SELECT h FROM h ORDER BY h LIMIT 32)
         |SELECT row_number() OVER (ORDER BY h) AS rank, h
         |FROM b ORDER BY rank""".stripMargin,
+
+    "agg_quantile_sample" ->
+      """WITH li AS (
+        |  SELECT l_extendedprice AS v,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR || '-'
+        |      || l_linenumber::VARCHAR), 1, 15))::BIGINT AS hk
+        |  FROM lineitem),
+        |samp AS (SELECT v FROM li ORDER BY hk, v LIMIT 4096),
+        |est AS (
+        |  SELECT count(*) AS k,
+        |    quantile_cont(v, 0.5) AS p50_est,
+        |    quantile_cont(v, 0.95) AS p95_est
+        |  FROM samp)
+        |SELECT est.k, count(*) AS n,
+        |  max(p50_est) AS p50_est,
+        |  sum(CASE WHEN v <= p50_est THEN 1 ELSE 0 END)::BIGINT
+        |    * 1000000 // count(*) AS p50_rank_ppm,
+        |  max(p95_est) AS p95_est,
+        |  sum(CASE WHEN v <= p95_est THEN 1 ELSE 0 END)::BIGINT
+        |    * 1000000 // count(*) AS p95_rank_ppm
+        |FROM li, est GROUP BY est.k""".stripMargin,
 
     "skyline_parts" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part p
