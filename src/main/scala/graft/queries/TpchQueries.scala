@@ -14,7 +14,10 @@ import graft.Tables
   * makes each query interesting — the EXISTS semi-join of q4, the
   * OR-of-ANDs pushdown of q19, the double correlated EXISTS/NOT-EXISTS
   * of q21, the scalar-subquery + anti-join of q22. q2/q11/q16/q20 are
-  * partsupp-centric and have no faithful analog here.
+  * partsupp-centric; they run against a partsupp ANALOG derived from
+  * lineitem (one row per observed (part, supplier) pair with exact
+  * decimal quantity/value rollups and a min-unit-price supplycost —
+  * see `partsupp` below), so all 22 query SHAPES are present.
   *
   * Scale notes (100 TB design): TRUE dimensions (nation/region/
   * supplier/filtered part, and derived scalar aggregates like q15's
@@ -39,7 +42,129 @@ object TpchQueries {
   private def ts(s: String): Column =
     lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
 
+  /** partsupp analog for q2/q11/q16/q20: the testdata has no partsupp
+    * table, so derive one row per observed (part, supplier) pair from
+    * lineitem. `ps_supplycost` = min observed unit price (IEEE divide
+    * then MIN — both engines compute the identical double set, so
+    * equality joins against the per-part MIN are exact);
+    * `ps_availqty`/`ps_value` = exact DECIMAL(18,2) sums rendered as
+    * DOUBLE. One partial+final hash aggregation on the pair key — at
+    * 100 TB this is the same shuffle any partsupp-building compaction
+    * would pay, and every consumer below reuses it.
+    */
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(
+        min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"),
+        sum(dec(col("l_quantity"))).cast("double").as("ps_availqty"),
+        dsum(col("l_extendedprice")).as("ps_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q2: min-cost supplier — the correlated "cost = MIN(cost) over
+    // this part's regional suppliers" subquery, expressed as a
+    // per-part MIN aggregate joined back on (partkey, cost). The
+    // supplier⨝nation⨝region prune is a broadcast (true dimension);
+    // the per-part MIN scales with part and stays a shuffle join.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val prt = Tables.part(s, dir)
+        .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_brand"))
+      val eligible = partsupp(s, dir)
+        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+      val minCost = eligible.groupBy(col("ps_partkey").as("m_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      eligible
+        .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+        .join(minCost, col("ps_partkey") === col("m_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"), col("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // q11: important stock — per-part value within one nation's
+    // suppliers, kept when above a scalar-subquery threshold (a
+    // fraction of the nation total). Value sums stay DECIMAL until
+    // the final render; the threshold is a 1-row broadcast.
+    "q11_important_stock" -> ((s, dir) => {
+      val nat = Tables.nation(s, dir).filter(col("n_name") === "NATION_7")
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val natPs = partsupp(s, dir)
+        .join(broadcast(supp), col("ps_suppkey") === col("s_suppkey"))
+      val perPart = natPs.groupBy(col("ps_partkey"))
+        .agg(dsum(col("ps_value")).as("part_value"))
+      val threshold = perPart
+        .agg((sum(dec(col("part_value"))).cast("double") * lit(0.001))
+          .as("value_floor"))
+      perPart.join(broadcast(threshold))
+        .filter(col("part_value") > col("value_floor"))
+        .select(col("ps_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("ps_partkey"))
+    }),
+
+    // q16: supplier counts per part spec — DISTINCT suppliers per
+    // (brand, type, size) bucket, anti-joining away flagged suppliers
+    // (negative balance stands in for the official complaints LIKE).
+    "q16_parts_supplier" -> ((s, dir) => {
+      val prt = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))
+      val flagged = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      partsupp(s, dir)
+        .join(broadcast(flagged), col("ps_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // q20: excess shippers — nested semi-joins: suppliers (in one
+    // nation) having a ('red' part, supplier) pair whose 1996 shipped
+    // quantity exceeds half its all-time quantity. The part prune
+    // broadcasts; the pair-grain aggregate⨝aggregate join shuffles on
+    // the composite key.
+    "q20_excess_shippers" -> ((s, dir) => {
+      val redParts = Tables.part(s, dir)
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val qty96 = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("qty96"))
+      val qualifying = partsupp(s, dir)
+        .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"),
+          "left_semi")
+        .join(qty96, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("qty96") > lit(0.5) * col("ps_availqty"))
+        .select(col("ps_suppkey"))
+      val nat = Tables.nation(s, dir).filter(col("n_name") === "NATION_3")
+      Tables.supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("ps_suppkey"),
+          "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
 
     // q4: EXISTS semi-join — priority counts for orders with at least
     // one line shipped after the order date ("late" stands in for the
@@ -357,7 +482,92 @@ object TpchQueries {
   private val revSql =
     s"CAST(SUM(l_extendedprice::DECIMAL(18,2) * $disc) AS DOUBLE)"
 
+  // shared derived-partsupp CTE body (see `partsupp` scaladoc)
+  private val psSql =
+    """ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+      |    CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS ps_availqty,
+      |    CAST(SUM(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS ps_value
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q2_min_cost_supplier" ->
+      s"""WITH $psSql,
+         |eligible AS (
+         |  SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+         |  FROM ps
+         |  JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |minc AS (
+         |  SELECT ps_partkey AS m_partkey, MIN(ps_supplycost) AS min_cost
+         |  FROM eligible GROUP BY 1)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+         |  ps_supplycost
+         |FROM eligible
+         |JOIN part ON ps_partkey = p_partkey
+         |JOIN minc ON ps_partkey = m_partkey AND ps_supplycost = min_cost
+         |WHERE p_size = 15 AND p_type = 'LARGE'
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH $psSql,
+         |per_part AS (
+         |  SELECT ps_partkey,
+         |    CAST(SUM(ps_value::DECIMAL(18,2)) AS DOUBLE) AS part_value
+         |  FROM ps
+         |  JOIN supplier ON ps_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7'
+         |  GROUP BY 1),
+         |thr AS (
+         |  SELECT CAST(SUM(part_value::DECIMAL(18,2)) AS DOUBLE) * 0.001
+         |    AS value_floor
+         |  FROM per_part)
+         |SELECT ps_partkey, part_value
+         |FROM per_part, thr
+         |WHERE part_value > value_floor
+         |ORDER BY part_value DESC, ps_partkey""".stripMargin,
+
+    "q16_parts_supplier" ->
+      s"""WITH $psSql
+         |SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps
+         |JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+         |  AND ps_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_shippers" ->
+      s"""WITH $psSql,
+         |qty96 AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(SUM(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS qty96
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY 1, 2),
+         |qualifying AS (
+         |  SELECT ps_suppkey
+         |  FROM ps
+         |  JOIN qty96 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  WHERE ps_partkey IN (
+         |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+         |    AND qty96 > 0.5 * ps_availqty)
+         |SELECT s_name, s_acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_3'
+         |  AND s_suppkey IN (SELECT ps_suppkey FROM qualifying)
+         |ORDER BY s_name""".stripMargin,
+
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

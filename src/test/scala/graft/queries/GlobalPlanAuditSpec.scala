@@ -53,6 +53,8 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "events_gapfill",      // 1-row (min,max) spine bounds broadcast
     "graph_pagerank",      // 1-row n_nodes broadcast per superstep
     "quantile_buckets",    // 1-row n_total broadcast for ntile
+    "agg_quantile_sample", // 1-row bottom-k estimate broadcast for rank check
+    "q11_important_stock", // 1-row value-floor scalar broadcast
     "sample_dsir_weights", // 1-row normalization scalar broadcast
     "text_bigram_lm",      // 1-row model-total scalar broadcast
     "text_heavy_hitters",  // 1-row corpus-total broadcast
