@@ -397,6 +397,34 @@ object CdcQueries {
           col("min_o_orderdate"), col("max_o_orderdate"))
     }),
 
+    // bloom data-skipping point lookup (graft.sources.BloomIndex):
+    // scatter events over 16 files (every file's min/max envelope
+    // spans the whole id domain — footer stats prune NOTHING), build
+    // per-file bloom sidecars on event_id, then resolve three point
+    // probes reading only the ~1 file each bloom admits. The oracle is
+    // the plain IN-list filter: hash equality proves the skipping
+    // layer is invisible to results. The 100 TB shape of the
+    // reference's keyed point probes (watermark fetch by consumer,
+    // /root/reference/app/services/watermark.py:11-16) — at scale a
+    // keyed probe must skip files, not scan them.
+    "bloom_point_lookup" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") + "/graft-bloomidx-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$path/data")
+      graft.sources.BloomIndex.build(s, s"$path/data", "event_id",
+        s"$path/idx", expectedItems = 1L << 16, fpp = 0.01)
+      Seq(42L, 777L, 999L)
+        .map(k => graft.sources.BloomIndex.lookup(s, s"$path/idx", k))
+        .reduce(_ unionByName _)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // distributed keyed MERGE (graft.cdc.Compaction): init a bucketed
     // snapshot, apply an upsert+delete changelog through the
     // partition-pruned merge, read the maintained table back and
@@ -674,6 +702,11 @@ object CdcQueries {
         |FROM grid LEFT JOIN c
         |  ON grid.h = c.h AND grid.event_type = c.event_type
         |ORDER BY hour_s, grid.event_type""".stripMargin,
+
+    "bloom_point_lookup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id IN (42, 777, 999)
+        |ORDER BY event_id""".stripMargin,
 
     "zorder_prune_read" ->
       """SELECT event_type, count(*) AS n,
