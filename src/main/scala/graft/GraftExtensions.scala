@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSimilarityExpr, MinHashExpr, QuantizeExpr, RollingHashExpr, SimHashExpr}
+import graft.functions.{CosineSimilarityExpr, JaroWinklerExpr, MinHashExpr, QuantizeExpr, RollingHashExpr, SimHashExpr}
 
 /** Session extensions exposing the engine's native expressions to SQL
   * users. Two registration paths:
@@ -76,6 +76,12 @@ object GraftExtensions {
                 s"minhash64 arg ${i + 1} must be a literal, got $other")
           } else default
         MinHashExpr(exprs.head, longArg(1, 64L).toInt, longArg(2, 42L))
+      }),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "jaro_winkler takes exactly 2 arguments")
+        JaroWinklerExpr(exprs.head, exprs(1))
       }),
   )
 

@@ -85,24 +85,38 @@ object Compaction {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** The (key, versionCol, deleteCol, nBuckets) a table was built with. */
-  def readMeta(spark: SparkSession, dir: String): (String, String, String, Int) = {
+  /** One read of the single-row meta parquet per public call: merge
+    * needs the key columns, the bucket count AND the stored schema, and
+    * re-reading `<dir>/meta` for each is three fixed-cost Spark jobs
+    * per batch (file listing + footer + head collect) that pure
+    * bookkeeping shouldn't pay.
+    */
+  private final case class Meta(key: String, versionCol: String,
+      deleteCol: String, nBuckets: Int,
+      schema: org.apache.spark.sql.types.StructType)
+
+  private def loadMeta(spark: SparkSession, dir: String): Meta = {
     val r = spark.read.parquet(s"$dir/meta").head()
-    (r.getAs[String]("key"), r.getAs[String]("version_col"),
-      r.getAs[String]("delete_col"), r.getAs[Int]("n_buckets"))
+    Meta(r.getAs[String]("key"), r.getAs[String]("version_col"),
+      r.getAs[String]("delete_col"), r.getAs[Int]("n_buckets"),
+      org.apache.spark.sql.types.DataType
+        .fromJson(r.getAs[String]("schema_json"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
-  private def storedData(spark: SparkSession, dir: String): DataFrame = {
-    val json = spark.read.parquet(s"$dir/meta").head()
-      .getAs[String]("schema_json")
-    val dataSchema = org.apache.spark.sql.types.DataType.fromJson(json)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    spark.read.schema(dataSchema).parquet(s"$dir/data")
+  /** The (key, versionCol, deleteCol, nBuckets) a table was built with. */
+  def readMeta(spark: SparkSession, dir: String): (String, String, String, Int) = {
+    val m = loadMeta(spark, dir)
+    (m.key, m.versionCol, m.deleteCol, m.nBuckets)
   }
+
+  private def storedData(spark: SparkSession, dir: String,
+      m: Meta): DataFrame =
+    spark.read.schema(m.schema).parquet(s"$dir/data")
 
   /** The live table, without the internal bucket column. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    storedData(spark, dir).drop("bucket")
+    storedData(spark, dir, loadMeta(spark, dir)).drop("bucket")
 
   /** The partition-pruned slice of the snapshot a merge of `touched`
     * buckets reads — factored out so CompactionSpec can assert the
@@ -110,7 +124,11 @@ object Compaction {
     */
   private[cdc] def prunedSnapshot(spark: SparkSession, dir: String,
       touched: Seq[Int]): DataFrame =
-    storedData(spark, dir)
+    prunedSnapshot(spark, dir, touched, loadMeta(spark, dir))
+
+  private def prunedSnapshot(spark: SparkSession, dir: String,
+      touched: Seq[Int], m: Meta): DataFrame =
+    storedData(spark, dir, m)
       .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
 
   /** Apply one change batch to the table at `dir` (see object doc).
@@ -120,7 +138,9 @@ object Compaction {
     * tombstone removes the key.
     */
   def merge(spark: SparkSession, dir: String, changelog: DataFrame): MergeStats = {
-    val (key, versionCol, deleteCol, nBuckets) = readMeta(spark, dir)
+    val m = loadMeta(spark, dir)
+    val (key, versionCol, deleteCol, nBuckets) =
+      (m.key, m.versionCol, m.deleteCol, m.nBuckets)
     val dataCols = changelog.columns.filterNot(_ == "bucket")
 
     val changes = changelog
@@ -140,7 +160,7 @@ object Compaction {
     // schema below, so untouched buckets' narrower files read back
     // null-extended); a changelog missing a stored column null-fills
     // its own rows.
-    val snapshot = prunedSnapshot(spark, dir, touched)
+    val snapshot = prunedSnapshot(spark, dir, touched, m)
       .withColumn("_src", lit(0))
     val unioned = snapshot.unionByName(
       changes.select(col("bucket") +: dataCols.map(col): _*)
@@ -180,11 +200,7 @@ object Compaction {
     // future reads project them (untouched buckets' narrower files
     // null-extend under the explicit read schema). Fields are forced
     // nullable: pre-evolution files genuinely lack the new column.
-    val oldFields = org.apache.spark.sql.types.DataType
-      .fromJson(spark.read.parquet(s"$dir/meta").head()
-        .getAs[String]("schema_json"))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-      .fieldNames.toSeq
+    val oldFields = m.schema.fieldNames.toSeq
     if (winners.schema.fieldNames.toSeq != oldFields) {
       import spark.implicits._
       val widened = org.apache.spark.sql.types.StructType(

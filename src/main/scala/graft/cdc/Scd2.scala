@@ -81,38 +81,50 @@ object Scd2 {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  private def readMeta(spark: SparkSession, dir: String)
-      : (String, String, String, Int) = {
+  /** One read of the single-row meta parquet per public call — merge
+    * needs the key columns, the bucket count AND the stored schema, and
+    * separate re-reads of `<dir>/meta` for each are fixed-cost Spark
+    * jobs (listing + footer + head collect) pure bookkeeping shouldn't
+    * pay (it was 4 meta jobs per merge before this).
+    */
+  private final case class Meta(key: String, versionCol: String,
+      deleteCol: String, nBuckets: Int,
+      schema: org.apache.spark.sql.types.StructType)
+
+  private def loadMeta(spark: SparkSession, dir: String): Meta = {
     val r = spark.read.parquet(s"$dir/meta").head()
-    (r.getAs[String]("key"), r.getAs[String]("version_col"),
-      r.getAs[String]("delete_col"), r.getAs[Int]("n_buckets"))
+    Meta(r.getAs[String]("key"), r.getAs[String]("version_col"),
+      r.getAs[String]("delete_col"), r.getAs[Int]("n_buckets"),
+      org.apache.spark.sql.types.DataType
+        .fromJson(r.getAs[String]("schema_json"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
-  private def storedData(spark: SparkSession, dir: String): DataFrame = {
-    val json = spark.read.parquet(s"$dir/meta").head()
-      .getAs[String]("schema_json")
-    val dataSchema = org.apache.spark.sql.types.DataType.fromJson(json)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    spark.read.schema(dataSchema).parquet(s"$dir/data")
-  }
+  private def storedData(spark: SparkSession, dir: String,
+      m: Meta): DataFrame =
+    spark.read.schema(m.schema).parquet(s"$dir/data")
 
   /** The pruned slice a merge of `touched` buckets reads — factored out
     * so Scd2Spec can assert the scan's selected-partition count.
     */
   private[cdc] def prunedHistory(spark: SparkSession, dir: String,
       touched: Seq[Int]): DataFrame =
-    storedData(spark, dir)
+    prunedHistory(spark, dir, touched, loadMeta(spark, dir))
+
+  private def prunedHistory(spark: SparkSession, dir: String,
+      touched: Seq[Int], m: Meta): DataFrame =
+    storedData(spark, dir, m)
       .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
 
   /** Full history with intervals (no internal bucket column). */
   def read(spark: SparkSession, dir: String): DataFrame =
-    storedData(spark, dir).drop("bucket")
+    storedData(spark, dir, loadMeta(spark, dir)).drop("bucket")
 
   /** Live state: open, non-tombstone versions only. */
   def current(spark: SparkSession, dir: String): DataFrame = {
-    val (_, _, deleteCol, _) = readMeta(spark, dir)
-    read(spark, dir).filter(col("is_current"))
-      .drop("valid_to", "is_current").drop(deleteCol)
+    val m = loadMeta(spark, dir)
+    storedData(spark, dir, m).drop("bucket").filter(col("is_current"))
+      .drop("valid_to", "is_current").drop(m.deleteCol)
   }
 
   /** Time travel: the state as of version `v` — rows whose interval
@@ -120,8 +132,9 @@ object Scd2 {
     * unbounded), tombstones excluded.
     */
   def asOf(spark: SparkSession, dir: String, v: Any): DataFrame = {
-    val (_, versionCol, deleteCol, _) = readMeta(spark, dir)
-    read(spark, dir)
+    val m = loadMeta(spark, dir)
+    val (versionCol, deleteCol) = (m.versionCol, m.deleteCol)
+    storedData(spark, dir, m).drop("bucket")
       .filter(col(versionCol) <= lit(v) &&
         (col("valid_to").isNull || col("valid_to") > lit(v)) &&
         !col(deleteCol))
@@ -132,7 +145,9 @@ object Scd2 {
     * version / delete columns and payload schema as `init`'s input).
     */
   def merge(spark: SparkSession, dir: String, changes0: DataFrame): MergeStats = {
-    val (key, versionCol, deleteCol, nBuckets) = readMeta(spark, dir)
+    val m = loadMeta(spark, dir)
+    val (key, versionCol, deleteCol, nBuckets) =
+      (m.key, m.versionCol, m.deleteCol, m.nBuckets)
     val changes = changes0
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -140,7 +155,7 @@ object Scd2 {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) { changes.unpersist(); return MergeStats(Nil, 0L) }
 
-    val hist = prunedHistory(spark, dir, touched)
+    val hist = prunedHistory(spark, dir, touched, m)
     val changedKeys = changes.select(col(key)).distinct()
     // unchanged keys: rows pass through byte-equivalent; changed keys:
     // stored rows collapse back to state records and re-window together
@@ -172,14 +187,10 @@ object Scd2 {
     // the entire output just to count it pre-write. Every touched
     // bucket exists post-write: a merge only ever ADDS rows to a
     // bucket's history (deletes are tombstone audit rows).
-    val rows = prunedHistory(spark, dir, touched).count()
+    val rows = prunedHistory(spark, dir, touched, m).count()
     // widen the meta schema when the batch introduced columns (fields
     // forced nullable: pre-evolution files genuinely lack them)
-    val oldFields = org.apache.spark.sql.types.DataType
-      .fromJson(spark.read.parquet(s"$dir/meta").head()
-        .getAs[String]("schema_json"))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-      .fieldNames.toSeq
+    val oldFields = m.schema.fieldNames.toSeq
     if (out.schema.fieldNames.toSeq != oldFields) {
       import spark.implicits._
       val widened = org.apache.spark.sql.types.StructType(

@@ -135,6 +135,53 @@ object DetSketch {
     if (bottom.size < k) bottom.size.toDouble
     else (k - 1).toDouble * math.pow(2.0, 60) / bottom.max.toDouble
 
+  /** Theta-style SET OPERATIONS on two KMV sketches (the reason KMV
+    * beats HLL when you need more than one set): sketch A and B to
+    * bottom-k, then
+    *  - |A∪B| from the bottom-k of the merged sketch (KMV union is
+    *    closed: bottom-k of a union ≡ bottom-k of the two bottom-ks);
+    *  - |A∩B| theta-style (Dasgupta et al., the DataSketches theta
+    *    sketch): θ = min(θ_A, θ_B); the common hashes ≤ θ are a
+    *    uniform sample of A∩B at rate θ/2^60, so the estimate is
+    *    n_common · 2^60 / θ.
+    * Everything is derived from the deterministic md5-60bit hash, so
+    * the entire one-row output — sketch sizes, thetas, sample counts
+    * AND double estimates — replays exactly in the DuckDB oracle.
+    * Plan: two map-side-combined distincts + TakeOrdered(k) each, then
+    * k-row-frame joins; the shuffle never carries more than k rows per
+    * partition regardless of input size, and the sketches are the only
+    * state a streaming/incremental caller would persist.
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2)
+    val pow60 = lit(1152921504606846976L).cast("double") // 2^60 exact
+    def bottom(df: DataFrame) =
+      df.select(hash60(col(keyCol)).as("h")).distinct()
+        .orderBy(col("h")).limit(k)
+    val ka = bottom(a)
+    val kb = bottom(b)
+    val aStats = ka.agg(count(lit(1)).as("n_a"), max(col("h")).as("theta_a"))
+    val bStats = kb.agg(count(lit(1)).as("n_b"), max(col("h")).as("theta_b"))
+    val uStats = ka.union(kb).distinct().orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("n_union_k"), max(col("h")).as("theta_u"))
+    val common = ka.join(kb, "h")
+    val joined = aStats.crossJoin(bStats).crossJoin(uStats)
+      .withColumn("theta", least(col("theta_a"), col("theta_b")))
+    val inter = common.crossJoin(
+        joined.select(col("theta").as("theta_cut")))
+      .filter(col("h") <= col("theta_cut"))
+      .agg(count(lit(1)).as("n_inter"))
+    joined.crossJoin(inter)
+      .select(col("n_a"), col("theta_a"), col("n_b"), col("theta_b"),
+        col("theta"), col("n_union_k"), col("theta_u"), col("n_inter"),
+        when(col("n_union_k") < k, col("n_union_k").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * pow60
+            / col("theta_u").cast("double")).as("union_est"),
+        (col("n_inter").cast("double") * pow60
+          / col("theta").cast("double")).as("inter_est"))
+  }
+
   /** One-pass grouped HLL as a typed Aggregator: the aggregation
     * STATE is the m-long register buffer itself, merged pointwise —
     * so a grouped sketch shuffles ONE 2^p-long array per (partition,

@@ -1287,6 +1287,23 @@ object RelationalQueries {
         .orderBy(col("rank"))
     }),
 
+    // theta-style KMV set operations: estimate |A∪B| and |A∩B| for
+    // A = orderkeys shipped with returnflag R, B = returnflag A, from
+    // two bottom-128 sketches — the mergeable-set-algebra sketch (the
+    // reason to keep KMV next to HLL: HLL unions but cannot
+    // intersect). Sketch state, thetas, sample counts and the double
+    // estimates all replay exactly in the oracle (deterministic md5
+    // hash); estimator accuracy vs exact distinct counts is
+    // KmvSetOpsSpec. At 100 TB each side is one map-side-combined
+    // distinct + TakeOrdered(128); the joins run over k-row frames.
+    "kmv_set_ops" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.operators.DetSketch.kmvSetOps(
+        li.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+        li.filter(col("l_returnflag") === "A").select(col("l_orderkey")),
+        "l_orderkey", k = 128)
+    }),
+
     // mergeable approximate quantiles from a DETERMINISTIC uniform
     // sample: the k rows with the lowest md5 rank (KMV-style bottom-k —
     // bottom-k of a union ≡ bottom-k of merged bottom-ks, so partial
@@ -2287,6 +2304,39 @@ object RelationalQueries {
         |b AS (SELECT h FROM h ORDER BY h LIMIT 32)
         |SELECT row_number() OVER (ORDER BY h) AS rank, h
         |FROM b ORDER BY rank""".stripMargin,
+
+    "kmv_set_ops" ->
+      """WITH ka AS (
+        |  SELECT h FROM (SELECT DISTINCT
+        |      ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |        ::BIGINT AS h
+        |    FROM lineitem WHERE l_returnflag = 'R')
+        |  ORDER BY h LIMIT 128),
+        |kb AS (
+        |  SELECT h FROM (SELECT DISTINCT
+        |      ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+        |        ::BIGINT AS h
+        |    FROM lineitem WHERE l_returnflag = 'A')
+        |  ORDER BY h LIMIT 128),
+        |ku AS (
+        |  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        |  ORDER BY h LIMIT 128),
+        |a AS (SELECT count(*) AS n_a, max(h) AS theta_a FROM ka),
+        |b AS (SELECT count(*) AS n_b, max(h) AS theta_b FROM kb),
+        |u AS (SELECT count(*) AS n_union_k, max(h) AS theta_u FROM ku),
+        |j AS (SELECT *, least(theta_a, theta_b) AS theta
+        |  FROM a CROSS JOIN b CROSS JOIN u),
+        |i AS (SELECT count(*) AS n_inter
+        |  FROM ka JOIN kb USING (h) CROSS JOIN j
+        |  WHERE h <= j.theta)
+        |SELECT n_a, theta_a, n_b, theta_b, theta, n_union_k, theta_u,
+        |  n_inter,
+        |  CASE WHEN n_union_k < 128 THEN CAST(n_union_k AS DOUBLE)
+        |    ELSE CAST(127 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(theta_u AS DOUBLE) END AS union_est,
+        |  CAST(n_inter AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |    / CAST(theta AS DOUBLE) AS inter_est
+        |FROM j CROSS JOIN i""".stripMargin,
 
     "agg_quantile_sample" ->
       """WITH li AS (

@@ -299,6 +299,47 @@ object TextQueries {
         .jaccardJoin(sh, "doc_id", "hs", num = 9, denom = 10)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // fuzzy record linkage (Jaro-Winkler): match a "dirty" probe list
+    // (part names with vowels stripped — a deterministic corruption
+    // both engines can derive) back to the clean part table. Classic
+    // blocked-linkage shape:
+    //  - blocking key = first 4 chars of the consonant skeleton, so
+    //    the candidate set is an EQUI-join (shuffle on the block key,
+    //    broadcast-able probe side) — never an all-pairs cross join;
+    //  - comparator = the native codegen'd jaro_winkler kernel, pinned
+    //    bit-for-bit to DuckDB's jaro_winkler_similarity (threshold
+    //    margin checked: nearest score sits 7e-4 from 0.84, ~1e12 ulps,
+    //    so the predicate cannot flip across engines);
+    //  - per-probe winner = groupBy argmax over (sim, -part_id) with
+    //    map-side partial aggregation — a k=1 top-k, not a window sort
+    //    over the candidate table.
+    // At 100 TB the block key bounds candidate volume (quadratic only
+    // within a block) and the probe side is the small dim by
+    // construction.
+    "link_fuzzy_names" -> ((s, dir) => {
+      val strip = (c: Column) => regexp_replace(c, "[aeiou]", "")
+      val probes = Tables.part(s, dir)
+        .filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").as("probe_id"),
+          strip(col("p_name")).as("probe_name"))
+      val cands = Tables.part(s, dir)
+        .select(col("p_partkey").as("part_id"), col("p_name").as("name"),
+          substring(strip(col("p_name")), 1, 4).as("blk"))
+      cands
+        .join(broadcast(probes),
+          substring(col("probe_name"), 1, 4) === col("blk"))
+        .withColumn("sim", graft.functions.JaroWinklerExpr
+          .jaroWinkler(col("name"), col("probe_name")))
+        .filter(col("sim") >= 0.84)
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_above"),
+          max_by(struct(col("part_id"), col("sim")),
+            struct(col("sim"), (-col("part_id")).as("neg"))).as("best"))
+        .select(col("probe_id"), col("best.part_id").as("match_id"),
+          col("best.sim").as("sim"), col("n_above"))
+        .orderBy(col("probe_id"))
+    }),
   )
 
   /** Blocked edit-distance candidate pairs (the dedup_edit_distance
@@ -405,6 +446,29 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "curation_pipeline" -> curationOracle,
+
+    "link_fuzzy_names" ->
+      """WITH probes AS (
+        |  SELECT p_partkey AS probe_id,
+        |         regexp_replace(p_name, '[aeiou]', '', 'g') AS probe_name
+        |  FROM part WHERE p_partkey % 7 = 0),
+        |cands AS (
+        |  SELECT p_partkey AS part_id, p_name AS name,
+        |         substr(regexp_replace(p_name, '[aeiou]', '', 'g'), 1, 4) AS blk
+        |  FROM part),
+        |scored AS (
+        |  SELECT c.part_id, p.probe_id,
+        |         jaro_winkler_similarity(c.name, p.probe_name) AS sim
+        |  FROM cands c JOIN probes p ON substr(p.probe_name, 1, 4) = c.blk
+        |  WHERE jaro_winkler_similarity(c.name, p.probe_name) >= 0.84),
+        |ranked AS (
+        |  SELECT probe_id, part_id, sim,
+        |    count(*) OVER (PARTITION BY probe_id) AS n_above,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY sim DESC, part_id) AS rn
+        |  FROM scored)
+        |SELECT probe_id, part_id AS match_id, sim, n_above
+        |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin,
 
     "text_heavy_hitters" ->
       """WITH t AS (
