@@ -80,8 +80,45 @@ object AggView {
       batchId: Long): MergeStats = {
     val (key, valueCol, nBuckets, lastId) = readMeta(spark, dir)
     if (batchId <= lastId) return MergeStats(applied = false, Nil)
+    mergeDeltas(spark, dir, partials(batch, key, valueCol),
+      key, valueCol, nBuckets, batchId, canRetract = false)
+  }
 
-    val delta = partials(batch, key, valueCol)
+  /** Incremental view maintenance over a [[Compaction]] change data
+    * feed: each feed event becomes a SIGNED delta — `insert` and
+    * `update_postimage` add the row (+1, +value), `delete` and
+    * `update_preimage` retract it (−1, −value) — so after applying
+    * every feed batch the view equals a from-scratch aggregation of
+    * the live table. This is the classic retraction-pair IVM plan the
+    * object doc promises: the maintained table emits its own deltas,
+    * and downstream aggregates never rescan it. `feed` must carry the
+    * view's key and value columns plus `_change_type`; a key whose
+    * merged count reaches zero leaves the view (and a bucket emptied
+    * that way has its directory removed, same rule as Compaction).
+    */
+  def applyFeed(spark: SparkSession, dir: String, feed: DataFrame,
+      batchId: Long): MergeStats = {
+    val (key, valueCol, nBuckets, lastId) = readMeta(spark, dir)
+    if (batchId <= lastId) return MergeStats(applied = false, Nil)
+    val sign = when(
+        col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(0L)
+    val signed = feed.groupBy(col(key))
+      .agg(sum(sign).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,2)") * sign)
+          .cast("decimal(28,2)").as("total"))
+      // an update whose value did not move is a (0, 0) delta: folding
+      // it in would rewrite the key's bucket to state it already holds
+      .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0)
+    mergeDeltas(spark, dir, signed, key, valueCol, nBuckets, batchId,
+      canRetract = true)
+  }
+
+  private def mergeDeltas(spark: SparkSession, dir: String,
+      deltaPartials: DataFrame, key: String, valueCol: String,
+      nBuckets: Int, batchId: Long, canRetract: Boolean): MergeStats = {
+    val delta = deltaPartials
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = delta.select(col("bucket")).distinct()
@@ -89,17 +126,40 @@ object AggView {
     if (touched.nonEmpty) {
       val stored = spark.read.parquet(s"$dir/data")
         .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-      val merged = stored.unionByName(delta)
+      val merged0 = stored.unionByName(delta)
         .groupBy(col("bucket"), col(key))
         .agg(sum(col("cnt")).as("cnt"),
           sum(col("total")).cast("decimal(28,2)").as("total"))
+        // a fully-retracted key (merged count 0) leaves the view;
+        // additive-only deltas can't reach 0, so the plain merge path
+        // skips the filter and the emptied-bucket accounting below
+        .filter(!lit(canRetract) || col("cnt") =!= 0)
         .select(col(key), col("cnt"), col("total"), col("bucket"))
+      val merged = if (canRetract)
+        merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else merged0
       merged
         .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
         .write.partitionBy("bucket").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$dir/data")
+      if (canRetract) {
+        // retractions can empty a touched bucket entirely; dynamic
+        // overwrite then wrote no partition for it and the stale
+        // directory would resurrect the rows on read
+        val stillPresent = merged.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        merged.unpersist()
+        val emptied = touched.filterNot(stillPresent)
+        if (emptied.nonEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          emptied.foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/data/bucket=$b"), true)
+          }
+        }
+      }
     }
     delta.unpersist()
     writeMeta(spark, dir, key, valueCol, nBuckets, batchId)

@@ -50,7 +50,8 @@ object Compaction {
   final case class MergeStats(
       touchedBuckets: Seq[Int],
       emptiedBuckets: Seq[Int],
-      rowsWritten: Long)
+      rowsWritten: Long,
+      feedRows: Long = 0L)
 
   private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
@@ -64,6 +65,10 @@ object Compaction {
       nBuckets: Int = 256): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
+    // a re-init is a full table replace: any change feed from the
+    // previous incarnation describes state that no longer exists
+    new Path(s"$dir/feed").getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(s"$dir/feed"), true)
     df.filter(!col(deleteCol))
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       // hash-partition on bucket + in-partition (bucket, key) sort:
@@ -118,6 +123,33 @@ object Compaction {
   def read(spark: SparkSession, dir: String): DataFrame =
     storedData(spark, dir, loadMeta(spark, dir)).drop("bucket")
 
+  /** Next change-feed batch id: one past the highest committed batch.
+    * A driver-side listing of ≤ |merges| directory names — metadata,
+    * never data.
+    */
+  private def nextBatch(spark: SparkSession, dir: String): Long = {
+    val p = new Path(s"$dir/feed")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** The accumulated change data feed: every feed batch ever emitted,
+    * in the table's schema plus `_change_type` (insert /
+    * update_preimage / update_postimage / delete) and the partition
+    * column `batch` identifying which merge produced each row. Reads
+    * are partition-pruned by `batch` — a consumer resuming from batch
+    * K scans only the new directories.
+    */
+  def readFeed(spark: SparkSession, dir: String): DataFrame =
+    // mergeSchema: feed batches written before a schema evolution have
+    // narrower files; the union schema null-extends them exactly like
+    // the table read does
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/feed")
+
   /** The partition-pruned slice of the snapshot a merge of `touched`
     * buckets reads — factored out so CompactionSpec can assert the
     * scan's selected-partition count equals |touched|.
@@ -136,8 +168,24 @@ object Compaction {
     * and the same data schema; the highest version per key wins, a
     * change beats the stored row at equal version, and a winning
     * tombstone removes the key.
+    *
+    * With `emitFeed = true` the merge also materializes a CHANGE DATA
+    * FEED batch under `<dir>/feed/batch=N`: one row per row-level
+    * effect the merge had on the table, in the table's schema plus a
+    * `_change_type` discriminator — `insert` (postimage of a new key),
+    * `update_preimage`/`update_postimage` (the replaced row and its
+    * replacement), `delete` (preimage of a removed key). Changelog
+    * rows that LOSE the version race, and tombstones for absent keys,
+    * produce no feed rows — the feed describes the table delta, not
+    * the input. This is the downstream-facing half of CDC: the
+    * reference EXPORTS per-row operation tags computed from
+    * timestamps (`/root/reference/app/services/export.py` delta
+    * classifier); a maintained table at scale derives them from what
+    * the merge actually did, so consumers can subscribe to `feed/`
+    * instead of diffing 100 TB snapshots.
     */
-  def merge(spark: SparkSession, dir: String, changelog: DataFrame): MergeStats = {
+  def merge(spark: SparkSession, dir: String, changelog: DataFrame,
+      emitFeed: Boolean = false): MergeStats = {
     val m = loadMeta(spark, dir)
     val (key, versionCol, deleteCol, nBuckets) =
       (m.key, m.versionCol, m.deleteCol, m.nBuckets)
@@ -168,11 +216,55 @@ object Compaction {
       allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc, col("_src").desc)
-    val winners = unioned
-      .withColumn("_rn", row_number().over(w))
+    val ranked = unioned.withColumn("_rn", row_number().over(w))
+    val winners = ranked
       .filter(col("_rn") === 1 && !col(deleteCol))
       .drop("_rn", "_src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val feedRows: Long = if (!emitFeed) 0L else {
+      // per-key preimage = the (unique) stored row, surfaced to the
+      // winning changelog row via key-partitioned window aggregates —
+      // the SAME hash partitioning as the ranking window, so the feed
+      // rides the existing shuffle instead of adding one. The feed is
+      // derived from `ranked` (not recomputed) so a pathological
+      // changelog with duplicate (key, version) rows can never make
+      // the feed disagree with what the table actually stored.
+      val allCols = unioned.columns.toSeq
+        .filterNot(c => c == "bucket" || c == "_src")
+      val rowStruct = struct(allCols.map(col): _*)
+      val wKey = Window.partitionBy(col(key))
+      val classified = ranked
+        .withColumn("_had_stored",
+          max(when(col("_src") === 0, 1).otherwise(0)).over(wKey))
+        .withColumn("_pre",
+          first(when(col("_src") === 0, rowStruct), ignoreNulls = true)
+            .over(wKey))
+        .filter(col("_rn") === 1 && col("_src") === 1)
+        // a tombstone for a key the table never held: no table effect
+        .filter(!(col(deleteCol) && col("_had_stored") === 0))
+        .select(col("bucket"), explode(
+          when(col(deleteCol),
+            array(struct(lit("delete").as("change_type"),
+              col("_pre").as("payload"))))
+          .when(col("_had_stored") === 1,
+            array(
+              struct(lit("update_preimage").as("change_type"),
+                col("_pre").as("payload")),
+              struct(lit("update_postimage").as("change_type"),
+                rowStruct.as("payload"))))
+          .otherwise(array(struct(lit("insert").as("change_type"),
+            rowStruct.as("payload"))))).as("_f"))
+        .select(col("_f.payload.*"),
+          col("_f.change_type").as("_change_type"), col("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = classified.count()
+      classified
+        .repartition(col("bucket")).drop("bucket")
+        .write.mode("overwrite").parquet(s"$dir/feed/batch=${nextBatch(spark, dir)}")
+      classified.unpersist()
+      n
+    }
 
     // dynamic overwrite: only `bucket=N` dirs present in the output are
     // replaced; untouched partitions are not read, written, or listed
@@ -211,6 +303,6 @@ object Compaction {
     }
     winners.unpersist()
     changes.unpersist()
-    MergeStats(touched, emptied, rows)
+    MergeStats(touched, emptied, rows, feedRows)
   }
 }

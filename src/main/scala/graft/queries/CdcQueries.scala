@@ -462,6 +462,87 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // change data feed from the maintained MERGE: the same
+    // snapshot/changelog as cdc_merge_upsert, but the observable is
+    // what the merge EMITTED — per-row insert / update_preimage /
+    // update_postimage / delete events under feed/batch=N — rather
+    // than the state it left behind. The oracle reclassifies the
+    // delta relationally (joins of changes against the pre-merge
+    // snapshot), proving the feed is exactly the row-level effect a
+    // downstream consumer would compute by diffing snapshots — except
+    // the operator derives it from one partition-pruned merge instead
+    // of two 100 TB scans.
+    "cdc_change_feed" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-change-feed-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, changes, emitFeed = true)
+      graft.cdc.Compaction.readFeed(s, tableDir)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec18(col("price"))).cast("double").as("total"),
+          sum(col("id")).as("id_sum"))
+        .orderBy(col("change_type"))
+    }),
+
+    // incremental view maintenance off the change feed: a per-group
+    // aggregate view (AggView) initialized from the table's initial
+    // state, then maintained ONLY from the merge's change data feed —
+    // insert/update_postimage add, delete/update_preimage retract
+    // (signed retraction-pair deltas). The oracle aggregates the
+    // table's FINAL state from scratch, so a green row proves
+    // view-over-feed ≡ recompute-over-table: the downstream aggregate
+    // never has to rescan the 100 TB table it summarizes.
+    "cdc_feed_ivm" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val base = sys.props("java.io.tmpdir") + "/graft-feed-ivm-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val tableDir = s"$base/table"
+      val viewDir = s"$base/view"
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.AggView.init(
+        graft.cdc.Compaction.read(s, tableDir)
+          .select((col("id") % 50).as("grp"), col("price")),
+        viewDir, "grp", "price", nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, changes, emitFeed = true)
+      graft.cdc.AggView.applyFeed(s, viewDir,
+        graft.cdc.Compaction.readFeed(s, tableDir)
+          .withColumn("grp", col("id") % 50),
+        batchId = 0L)
+      graft.cdc.AggView.read(s, viewDir)
+        .select(col("grp"), col("cnt"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("grp"))
+    }),
+
     // maintained SCD2 history (graft.cdc.Scd2): init from 80% of the
     // changelog, then merge the remainder in two batches whose event
     // ids INTERLEAVE the stored ones — every merge is a late-data
@@ -743,6 +824,53 @@ object CdcQueries {
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    "cdc_change_feed" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |chg AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE)
+        |      AS price,
+        |    (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |feed AS (
+        |  SELECT s.id, s.price, 'delete' AS change_type
+        |  FROM chg c JOIN snap s ON c.id = s.id WHERE c.deleted
+        |  UNION ALL
+        |  SELECT s.id, s.price, 'update_preimage'
+        |  FROM chg c JOIN snap s ON c.id = s.id WHERE NOT c.deleted
+        |  UNION ALL
+        |  SELECT c.id, c.price, 'update_postimage'
+        |  FROM chg c JOIN snap s ON c.id = s.id WHERE NOT c.deleted
+        |  UNION ALL
+        |  SELECT c.id, c.price, 'insert'
+        |  FROM chg c LEFT JOIN snap s ON c.id = s.id
+        |  WHERE s.id IS NULL AND NOT c.deleted)
+        |SELECT change_type, count(*) AS n_rows,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM feed GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    "cdc_feed_ivm" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, price, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT id % 50 AS grp, count(*) AS cnt,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pivot_event_counts" ->
       """SELECT user_id,

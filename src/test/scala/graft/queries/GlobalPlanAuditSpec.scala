@@ -54,6 +54,7 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "graph_pagerank",      // 1-row n_nodes broadcast per superstep
     "quantile_buckets",    // 1-row n_total broadcast for ntile
     "agg_quantile_sample", // 1-row bottom-k estimate broadcast for rank check
+    "kmv_set_ops",         // k-row sketch frames × 1-row theta cut
     "q11_important_stock", // 1-row value-floor scalar broadcast
     "sample_dsir_weights", // 1-row normalization scalar broadcast
     "text_bigram_lm",      // 1-row model-total scalar broadcast
