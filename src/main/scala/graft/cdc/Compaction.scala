@@ -65,10 +65,12 @@ object Compaction {
       nBuckets: Int = 256): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
-    // a re-init is a full table replace: any change feed from the
-    // previous incarnation describes state that no longer exists
-    new Path(s"$dir/feed").getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(new Path(s"$dir/feed"), true)
+    // a re-init is a full table replace: any change feed or retained
+    // history from the previous incarnation describes state that no
+    // longer exists
+    val fs0 = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs0.delete(new Path(s"$dir/feed"), true)
+    fs0.delete(new Path(s"$dir/_history"), true)
     df.filter(!col(deleteCol))
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       // hash-partition on bucket + in-partition (bucket, key) sort:
@@ -137,6 +139,77 @@ object Compaction {
       .foldLeft(-1L)(math.max) + 1L
   }
 
+  /** Retained history versions (ascending): `v` values for which
+    * `readAsOf(v)` can reconstruct the pre-merge state, provided every
+    * later merge also retained.
+    */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new Path(s"$dir/_history")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }.sorted
+  }
+
+  /** Time travel: the table as it stood AFTER `version` retaining
+    * merges (version 0 = the initial snapshot). Works because a
+    * retaining merge RENAMES each touched bucket directory into
+    * `_history/v=K` before rewriting it — a metadata move, no byte is
+    * copied — so for every bucket the state at version v is either the
+    * pre-image saved by the FIRST retaining merge ≥ v that touched it
+    * (no rewrite happened in between, so the two states coincide), or
+    * the live directory if no later merge touched it. The
+    * reconstruction is driver-side listings plus one partition-pruned
+    * scan per involved history version — O(merges + buckets) metadata,
+    * never a table copy. Requires every merge since `version` to have
+    * run with `retainHistory = true`; rows read back in the CURRENT
+    * schema (columns added later null-extend, exactly like untouched
+    * buckets do after an evolution).
+    */
+  def readAsOf(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val m = loadMeta(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // bucket -> earliest history version >= `version` holding its pre-image
+    val chosen = scala.collection.mutable.Map.empty[Int, Long]
+    versions(spark, dir).filter(_ >= version).foreach { v =>
+      fs.listStatus(new Path(s"$dir/_history/v=$v")).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("bucket=")) {
+          val b = name.drop(7).toInt
+          if (!chosen.contains(b)) chosen(b) = v
+        }
+      }
+    }
+    val live = storedData(spark, dir, m)
+      .filter(!col("bucket").isin(chosen.keys.toSeq.map(Integer.valueOf): _*))
+    chosen.toSeq.groupBy(_._2).foldLeft(live) { case (acc, (v, buckets)) =>
+      val paths = buckets.map { case (b, _) => s"$dir/_history/v=$v/bucket=$b" }
+      acc.unionByName(
+        spark.read.schema(m.schema)
+          .option("basePath", s"$dir/_history/v=$v")
+          .parquet(paths: _*),
+        allowMissingColumns = true)
+    }.drop("bucket")
+  }
+
+  /** Drop history versions below `keepFrom` (and, with `feedBefore`,
+    * feed batches below it): the retention knob that bounds time-travel
+    * storage. Driver-side directory deletes only.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepFromVersion: Long,
+      feedBefore: Long = 0L): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    versions(spark, dir).filter(_ < keepFromVersion).foreach { v =>
+      fs.delete(new Path(s"$dir/_history/v=$v"), true)
+    }
+    val feedRoot = new Path(s"$dir/feed")
+    if (feedBefore > 0L && fs.exists(feedRoot))
+      fs.listStatus(feedRoot).map(_.getPath.getName)
+        .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
+        .filter(_ < feedBefore)
+        .foreach(b => fs.delete(new Path(s"$dir/feed/batch=$b"), true))
+  }
+
   /** The accumulated change data feed: every feed batch ever emitted,
     * in the table's schema plus `_change_type` (insert /
     * update_preimage / update_postimage / delete) and the partition
@@ -185,7 +258,7 @@ object Compaction {
     * instead of diffing 100 TB snapshots.
     */
   def merge(spark: SparkSession, dir: String, changelog: DataFrame,
-      emitFeed: Boolean = false): MergeStats = {
+      emitFeed: Boolean = false, retainHistory: Boolean = false): MergeStats = {
     val m = loadMeta(spark, dir)
     val (key, versionCol, deleteCol, nBuckets) =
       (m.key, m.versionCol, m.deleteCol, m.nBuckets)
@@ -267,8 +340,32 @@ object Compaction {
     }
 
     // dynamic overwrite: only `bucket=N` dirs present in the output are
-    // replaced; untouched partitions are not read, written, or listed
+    // replaced; untouched partitions are not read, written, or listed.
+    // The count ALSO materializes `winners` into the block manager
+    // (MEMORY_AND_DISK never drops), which is what licenses the
+    // history renames below: once cached, the write job no longer
+    // reads the pre-merge files we are about to move.
     val rows = winners.count()
+
+    if (retainHistory) {
+      // snapshot-by-rename: each touched bucket's directory moves into
+      // `_history/v=K` (K = number of retained versions so far) — a
+      // metadata operation regardless of data size, the same
+      // immutable-file trick a transaction-log table format uses for
+      // time travel, expressed in directories. A touched bucket with
+      // no directory yet (first rows ever hashed to it) records an
+      // EMPTY pre-image dir, so readAsOf earlier versions correctly
+      // shows it absent instead of leaking today's rows backwards.
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      val k = versions(spark, dir).foldLeft(-1L)(math.max) + 1L
+      val vDir = new Path(s"$dir/_history/v=$k")
+      fs.mkdirs(vDir)
+      touched.foreach { b =>
+        val src = new Path(s"$dir/data/bucket=$b")
+        val dst = new Path(s"$dir/_history/v=$k/bucket=$b")
+        if (fs.exists(src)) fs.rename(src, dst) else fs.mkdirs(dst)
+      }
+    }
     winners
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))

@@ -543,6 +543,50 @@ object CdcQueries {
         .orderBy(col("grp"))
     }),
 
+    // time travel over the maintained table: two retaining merges,
+    // then one summary row per reconstructable version — readAsOf(0)
+    // (the initial snapshot), readAsOf(1) (after the first merge),
+    // readAsOf(2) (the live table). The oracle recomputes each state
+    // relationally from progressively larger changelog unions, so a
+    // green row proves version reconstruction from renamed pre-image
+    // buckets is exact — the lakehouse time-travel contract without a
+    // transaction log, at rename (not copy) cost per merge.
+    "cdc_time_travel" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changesA = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val changesB = ord.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(3).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(2L).as("version"), lit(false).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-time-travel-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, changesA, retainHistory = true)
+      graft.cdc.Compaction.merge(s, tableDir, changesB, retainHistory = true)
+      def summary(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.groupBy().agg(count(lit(1)).as("n_keys"),
+            sum(dec18(col("price"))).cast("double").as("total"))
+          .select(lit(v).as("v"), col("n_keys"), col("total"))
+      summary(graft.cdc.Compaction.readAsOf(s, tableDir, 0L), 0)
+        .unionByName(summary(graft.cdc.Compaction.readAsOf(s, tableDir, 1L), 1))
+        .unionByName(summary(graft.cdc.Compaction.readAsOf(s, tableDir, 2L), 2))
+        .orderBy(col("v"))
+    }),
+
     // maintained SCD2 history (graft.cdc.Scd2): init from 80% of the
     // changelog, then merge the remainder in two batches whose event
     // ids INTERLEAVE the stored ones — every merge is a late-data
@@ -852,6 +896,45 @@ object CdcQueries {
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
         |  CAST(SUM(id) AS BIGINT) AS id_sum
         |FROM feed GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    "cdc_time_travel" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |ca AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE)
+        |      AS price,
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |cb AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 3.00::DECIMAL(18,2) AS DOUBLE)
+        |      AS price,
+        |    2 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |l1 AS (
+        |  SELECT id, price, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM ca)),
+        |s1 AS (SELECT id, price FROM l1 WHERE rn = 1 AND NOT deleted),
+        |l2 AS (
+        |  SELECT id, price, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM ca
+        |        UNION ALL SELECT * FROM cb)),
+        |s2 AS (SELECT id, price FROM l2 WHERE rn = 1 AND NOT deleted)
+        |SELECT * FROM (
+        |  SELECT 0 AS v, count(*) AS n_keys,
+        |    CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total FROM snap
+        |  UNION ALL
+        |  SELECT 1, count(*), CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE)
+        |  FROM s1
+        |  UNION ALL
+        |  SELECT 2, count(*), CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE)
+        |  FROM s2)
+        |ORDER BY v""".stripMargin,
 
     "cdc_feed_ivm" ->
       """WITH unioned AS (
