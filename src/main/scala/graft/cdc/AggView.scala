@@ -54,18 +54,20 @@ object AggView {
     writeMeta(spark, dir, key, valueCol, nBuckets, batchId)
   }
 
+  // driver-side properties file (see MetaFile): the fence advance on
+  // EVERY merge used to be a Spark write job; now it's a byte-sized
+  // FileSystem stream
   private def writeMeta(spark: SparkSession, dir: String, key: String,
-      valueCol: String, nBuckets: Int, lastBatchId: Long): Unit = {
-    import spark.implicits._
-    Seq((key, valueCol, nBuckets, lastBatchId))
-      .toDF("key", "value_col", "n_buckets", "last_batch_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-  }
+      valueCol: String, nBuckets: Int, lastBatchId: Long): Unit =
+    MetaFile.write(spark, dir, Map(
+      "key" -> key, "value_col" -> valueCol,
+      "n_buckets" -> nBuckets.toString,
+      "last_batch_id" -> lastBatchId.toString))
 
   def readMeta(spark: SparkSession, dir: String): (String, String, Int, Long) = {
-    val r = spark.read.parquet(s"$dir/meta").head()
-    (r.getAs[String]("key"), r.getAs[String]("value_col"),
-      r.getAs[Int]("n_buckets"), r.getAs[Long]("last_batch_id"))
+    val m = MetaFile.read(spark, dir)
+    (m("key"), m("value_col"), m("n_buckets").toInt,
+      m("last_batch_id").toLong)
   }
 
   def read(spark: SparkSession, dir: String): DataFrame =

@@ -81,33 +81,35 @@ object Compaction {
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data")
-    import spark.implicits._
     // the data schema rides in the meta too: a table whose every key
     // was deleted has no parquet footers left to infer from, and reads
     // with an explicit schema stay well-defined on an empty dir
     val schemaJson = df.schema
       .add("bucket", org.apache.spark.sql.types.IntegerType).json
-    Seq((key, versionCol, deleteCol, nBuckets, schemaJson))
-      .toDF("key", "version_col", "delete_col", "n_buckets", "schema_json")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeMeta(spark, dir, key, versionCol, deleteCol, nBuckets, schemaJson)
   }
 
-  /** One read of the single-row meta parquet per public call: merge
-    * needs the key columns, the bucket count AND the stored schema, and
-    * re-reading `<dir>/meta` for each is three fixed-cost Spark jobs
-    * per batch (file listing + footer + head collect) that pure
-    * bookkeeping shouldn't pay.
+  private def writeMeta(spark: SparkSession, dir: String, key: String,
+      versionCol: String, deleteCol: String, nBuckets: Int,
+      schemaJson: String): Unit =
+    MetaFile.write(spark, dir, Map(
+      "key" -> key, "version_col" -> versionCol,
+      "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
+      "schema_json" -> schemaJson))
+
+  /** One read of the driver-side meta file per public call: merge
+    * needs the key columns, the bucket count AND the stored schema —
+    * pure bookkeeping that costs zero Spark jobs (see [[MetaFile]]).
     */
   private final case class Meta(key: String, versionCol: String,
       deleteCol: String, nBuckets: Int,
       schema: org.apache.spark.sql.types.StructType)
 
   private def loadMeta(spark: SparkSession, dir: String): Meta = {
-    val r = spark.read.parquet(s"$dir/meta").head()
-    Meta(r.getAs[String]("key"), r.getAs[String]("version_col"),
-      r.getAs[String]("delete_col"), r.getAs[Int]("n_buckets"),
-      org.apache.spark.sql.types.DataType
-        .fromJson(r.getAs[String]("schema_json"))
+    val m = MetaFile.read(spark, dir)
+    Meta(m("key"), m("version_col"), m("delete_col"),
+      m("n_buckets").toInt,
+      org.apache.spark.sql.types.DataType.fromJson(m("schema_json"))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
@@ -289,7 +291,13 @@ object Compaction {
       allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(versionCol).desc, col("_src").desc)
-    val ranked = unioned.withColumn("_rn", row_number().over(w))
+    val ranked0 = unioned.withColumn("_rn", row_number().over(w))
+    // with a feed to emit, the union+shuffle+window feeds TWO outputs
+    // (feed classification and table winners) — cache it so the
+    // snapshot slice is scanned and ranked once, not per output
+    val ranked = if (emitFeed)
+      ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ranked0
     val winners = ranked
       .filter(col("_rn") === 1 && !col(deleteCol))
       .drop("_rn", "_src")
@@ -391,14 +399,12 @@ object Compaction {
     // nullable: pre-evolution files genuinely lack the new column.
     val oldFields = m.schema.fieldNames.toSeq
     if (winners.schema.fieldNames.toSeq != oldFields) {
-      import spark.implicits._
       val widened = org.apache.spark.sql.types.StructType(
         winners.schema.fields.map(_.copy(nullable = true))).json
-      Seq((key, versionCol, deleteCol, nBuckets, widened))
-        .toDF("key", "version_col", "delete_col", "n_buckets", "schema_json")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      writeMeta(spark, dir, key, versionCol, deleteCol, nBuckets, widened)
     }
     winners.unpersist()
+    if (emitFeed) ranked.unpersist()
     changes.unpersist()
     MergeStats(touched, emptied, rows, feedRows)
   }

@@ -73,30 +73,32 @@ object Scd2 {
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/data")
-    import spark.implicits._
     val schemaJson = window(df.limit(0), key, versionCol, deleteCol).schema
       .add("bucket", org.apache.spark.sql.types.IntegerType).json
-    Seq((key, versionCol, deleteCol, nBuckets, schemaJson))
-      .toDF("key", "version_col", "delete_col", "n_buckets", "schema_json")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeMeta(spark, dir, key, versionCol, deleteCol, nBuckets, schemaJson)
   }
 
-  /** One read of the single-row meta parquet per public call — merge
-    * needs the key columns, the bucket count AND the stored schema, and
-    * separate re-reads of `<dir>/meta` for each are fixed-cost Spark
-    * jobs (listing + footer + head collect) pure bookkeeping shouldn't
-    * pay (it was 4 meta jobs per merge before this).
+  private def writeMeta(spark: SparkSession, dir: String, key: String,
+      versionCol: String, deleteCol: String, nBuckets: Int,
+      schemaJson: String): Unit =
+    MetaFile.write(spark, dir, Map(
+      "key" -> key, "version_col" -> versionCol,
+      "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
+      "schema_json" -> schemaJson))
+
+  /** One read of the driver-side meta file per public call — merge
+    * needs the key columns, the bucket count AND the stored schema —
+    * pure bookkeeping that costs zero Spark jobs (see [[MetaFile]]).
     */
   private final case class Meta(key: String, versionCol: String,
       deleteCol: String, nBuckets: Int,
       schema: org.apache.spark.sql.types.StructType)
 
   private def loadMeta(spark: SparkSession, dir: String): Meta = {
-    val r = spark.read.parquet(s"$dir/meta").head()
-    Meta(r.getAs[String]("key"), r.getAs[String]("version_col"),
-      r.getAs[String]("delete_col"), r.getAs[Int]("n_buckets"),
-      org.apache.spark.sql.types.DataType
-        .fromJson(r.getAs[String]("schema_json"))
+    val m = MetaFile.read(spark, dir)
+    Meta(m("key"), m("version_col"), m("delete_col"),
+      m("n_buckets").toInt,
+      org.apache.spark.sql.types.DataType.fromJson(m("schema_json"))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
@@ -192,12 +194,9 @@ object Scd2 {
     // forced nullable: pre-evolution files genuinely lack them)
     val oldFields = m.schema.fieldNames.toSeq
     if (out.schema.fieldNames.toSeq != oldFields) {
-      import spark.implicits._
       val widened = org.apache.spark.sql.types.StructType(
         out.schema.fields.map(_.copy(nullable = true))).json
-      Seq((key, versionCol, deleteCol, nBuckets, widened))
-        .toDF("key", "version_col", "delete_col", "n_buckets", "schema_json")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      writeMeta(spark, dir, key, versionCol, deleteCol, nBuckets, widened)
     }
     changes.unpersist()
     MergeStats(touched, rows)

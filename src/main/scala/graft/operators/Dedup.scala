@@ -188,18 +188,18 @@ object Dedup {
     // the index is SELF-DESCRIBING: probes must reuse the exact
     // signature parameters or band keys silently never match (the
     // zero-recall hazard `features` documents) — so persist them
-    import spark.implicits._
-    Seq((numHashes, bands, seed, ngram))
-      .toDF("num_hashes", "bands", "seed", "ngram")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // (driver-side properties file: zero Spark jobs, see MetaFile)
+    graft.cdc.MetaFile.write(spark, dir, Map(
+      "num_hashes" -> numHashes.toString, "bands" -> bands.toString,
+      "seed" -> seed.toString, "ngram" -> ngram.toString))
   }
 
   /** The signature parameters an index at `dir` was built with. */
   def readLshIndexMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Long, Int) = {
-    val r = spark.read.parquet(s"$dir/meta").head()
-    (r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
-      r.getAs[Long]("seed"), r.getAs[Int]("ngram"))
+    val m = graft.cdc.MetaFile.read(spark, dir)
+    (m("num_hashes").toInt, m("bands").toInt,
+      m("seed").toLong, m("ngram").toInt)
   }
 
   /** Incremental near-dedup: near-dups of `newDocs` against a corpus

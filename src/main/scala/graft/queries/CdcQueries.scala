@@ -528,9 +528,11 @@ object CdcQueries {
       graft.cdc.Compaction.init(snapshot, tableDir,
         key = "id", versionCol = "version", deleteCol = "deleted",
         nBuckets = 16)
+      // the view's base state IS the snapshot (init drops tombstones;
+      // this snapshot carries none), so seed it from the frame in hand
+      // instead of re-reading the table just written
       graft.cdc.AggView.init(
-        graft.cdc.Compaction.read(s, tableDir)
-          .select((col("id") % 50).as("grp"), col("price")),
+        snapshot.select((col("id") % 50).as("grp"), col("price")),
         viewDir, "grp", "price", nBuckets = 16)
       graft.cdc.Compaction.merge(s, tableDir, changes, emitFeed = true)
       graft.cdc.AggView.applyFeed(s, viewDir,

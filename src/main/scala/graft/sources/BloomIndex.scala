@@ -76,18 +76,18 @@ object BloomIndex {
       .agg(count(lit(1)).as("n_keys"),
         agg(col(keyCol).cast("long")).as("bloom"))
       .write.mode("overwrite").parquet(s"$indexDir/data")
-    Seq((keyCol, fpp, expectedItems, data.schema.json))
-      .toDF("key_col", "fpp", "expected_items", "schema_json")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    // driver-side properties file: zero Spark jobs (see MetaFile)
+    graft.cdc.MetaFile.write(spark, indexDir, Map(
+      "key_col" -> keyCol, "fpp" -> fpp.toString,
+      "expected_items" -> expectedItems.toString,
+      "schema_json" -> data.schema.json))
   }
 
   private def meta(spark: SparkSession, indexDir: String)
       : (String, Double, Long, StructType) = {
-    val r = spark.read.parquet(s"$indexDir/meta").head()
-    (r.getAs[String]("key_col"), r.getAs[Double]("fpp"),
-      r.getAs[Long]("expected_items"),
-      DataType.fromJson(r.getAs[String]("schema_json"))
-        .asInstanceOf[StructType])
+    val m = graft.cdc.MetaFile.read(spark, indexDir)
+    (m("key_col"), m("fpp").toDouble, m("expected_items").toLong,
+      DataType.fromJson(m("schema_json")).asInstanceOf[StructType])
   }
 
   /** Index files not yet covered (new data files since the last build
