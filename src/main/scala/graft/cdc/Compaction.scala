@@ -225,6 +225,22 @@ object Compaction {
     // the table read does
     spark.read.option("mergeSchema", "true").parquet(s"$dir/feed")
 
+  /** Reinterpret a change-feed slice as a changelog a REPLICA table can
+    * merge — the CDC replication chain (source merge → feed → replica
+    * merge) closed over this engine's own operators. Postimages and
+    * inserts pass through as upserts; `delete` preimages become
+    * tombstones carrying the DELETED row's version, which still wins
+    * because a change beats the stored row at EQUAL version (the
+    * ON-CONFLICT tie-break doubles as the replication delete rule).
+    * `update_preimage` rows drop — the postimage carries the new state.
+    * Apply each feed batch in order; the replica then equals the
+    * source after every batch (ReplicationSpec).
+    */
+  def feedAsChangelog(feed: DataFrame, deleteCol: String): DataFrame =
+    feed.filter(col("_change_type") =!= "update_preimage")
+      .withColumn(deleteCol, col("_change_type") === "delete")
+      .drop("_change_type", "batch")
+
   /** The partition-pruned slice of the snapshot a merge of `touched`
     * buckets reads — factored out so CompactionSpec can assert the
     * scan's selected-partition count equals |touched|.
