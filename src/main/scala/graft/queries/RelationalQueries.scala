@@ -722,7 +722,9 @@ object RelationalQueries {
         .orderBy(col("es")).rangeBetween(-3599L, 0L)
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"),
-          col("ts").cast("long").as("es"),
+          // NTZ has no direct long cast; via LTZ in the UTC session the
+          // epoch-second value equals the oracle's epoch over naive ts
+          col("ts").cast("timestamp_ltz").cast("long").as("es"),
           col("value").cast("decimal(18,2)").as("v"))
         .withColumn("n_in_hour", count(col("v")).over(w))
         .withColumn("sum_in_hour",
@@ -812,7 +814,11 @@ object RelationalQueries {
         .orderBy(col("us"), col("event_id"))
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("us"))
+          // ts arrives TIMESTAMP_NTZ from µs-parquet; NTZ→LTZ under the
+          // UTC session reads the wall clock as UTC, matching the
+          // oracle's epoch_us over the naive value (unix_micros itself
+          // rejects NTZ input)
+          unix_micros(col("ts").cast("timestamp_ltz")).as("us"))
         .withColumn("prev_us", lag(col("us"), 1).over(w))
         .filter(col("prev_us").isNotNull)
         .select(expr("(us - prev_us) div 1000000L").as("gap_s"))
@@ -2085,7 +2091,7 @@ object RelationalQueries {
         |    SELECT start_day AS day FROM spans
         |    UNION ALL
         |    SELECT end_day + 1 FROM spans))
-        |SELECT d.day, count(s.start_day) AS n_open
+        |SELECT CAST(d.day AS TIMESTAMP) AS day, count(s.start_day) AS n_open
         |FROM days d LEFT JOIN spans s
         |  ON s.start_day <= d.day AND d.day <= s.end_day
         |GROUP BY d.day ORDER BY d.day""".stripMargin,
