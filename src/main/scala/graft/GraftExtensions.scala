@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinToEquiJoin)
+    e.injectOptimizerRule(_ => graft.plans.MvRewrite)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -1,0 +1,282 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Transparent materialized-view rewrite — the optimizer half of the
+  * maintained-table family. [[graft.cdc.AggView]] keeps per-key
+  * algebraic partials fresh incrementally; this rule lets UNCHANGED
+  * user queries benefit: an `Aggregate` over the registered base table
+  * whose grouping columns are a subset of the view's keys and whose
+  * aggregate functions are derivable from the stored partials is
+  * rewritten to roll the partials up instead of rescanning the base —
+  * the classic partial-rollup rewrite every warehouse MV system
+  * performs (the reference has no optimizer at all; this is the
+  * capability its users get from the warehouses it exports into).
+  *
+  * Derivations (view stores per-group `__cnt` plus, per measure m:
+  * `__sum_i`, `__min_i`, `__max_i`):
+  *
+  *  - count(1)  → coalesce(sum(__cnt), 0)
+  *  - sum(m)    → sum(__sum_i)   (cast back when decimal re-widening
+  *                                changes the type)
+  *  - min(m)    → min(__min_i),  max(m) → max(__max_i)
+  *
+  * A measure is matched STRUCTURALLY: a bare column, or `cast(col AS
+  * t)` with the exact cast the view was declared with — so a query
+  * summing a different decimal scale than the view stores is left
+  * alone rather than silently approximated. Queries with DISTINCT or
+  * FILTER aggregates, expression-valued groupings, non-derivable
+  * functions (avg over changing cardinalities is NOT sum/sum-safe
+  * for its type semantics), or filters touching non-group columns all
+  * bail to the base plan. A `Filter` on group columns is remapped onto
+  * the view (it prunes whole groups, which is exactly what the partial
+  * table stores).
+  *
+  * At 100 TB this is the difference between O(|base|) and O(|groups|)
+  * per dashboard query: the base scan disappears from the plan (the
+  * spec pins the rewritten plan's file source to the view path). The
+  * rule runs in the operator-optimization batch (fixed point): a
+  * rewritten plan no longer references the base path, so it cannot
+  * re-fire.
+  *
+  * Freshness is the registrar's contract: register after [[Mv.create]]
+  * or after an [[graft.cdc.AggView]]-style refresh fence advances, and
+  * [[Mv.deregister]] before mutating the base in place. (A full
+  * snapshot-isolation story needs a table format with a transaction
+  * log — out of scope, stated not papered over.)
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** One registered view: parquet at `viewPath`, keyed by `groupCols`
+    * (lowercase), measures keyed by their structural form → partial
+    * column index.
+    */
+  final case class MvDef(viewPath: String, groupCols: Seq[String],
+      measures: Map[String, Int])
+
+  /** base path (URI path, no trailing slash) → view definition. */
+  private val registry = TrieMap.empty[String, MvDef]
+
+  /** Cached analyzed view scans (FileIndex listing is not free);
+    * `newInstance()` re-keys attributes per use-site.
+    */
+  private val viewPlans = TrieMap.empty[String, LogicalPlan]
+
+  private[plans] def normalize(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    if (p.length > 1 && p.endsWith("/")) p.dropRight(1) else p
+  }
+
+  private[plans] def measureKey(col: String, castTo: Option[DataType]): String =
+    col.toLowerCase + castTo.map(t => "::" + t.sql.toLowerCase).getOrElse("")
+
+  def register(basePath: String, d: MvDef): Unit = {
+    registry.put(normalize(basePath), d)
+    viewPlans.remove(d.viewPath)
+  }
+
+  def deregister(basePath: String): Unit =
+    registry.remove(normalize(basePath)).foreach(d =>
+      viewPlans.remove(d.viewPath))
+
+  def registered(basePath: String): Option[MvDef] =
+    registry.get(normalize(basePath))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (registry.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  /** The base scan under an Aggregate, tolerating the pruning Project
+    * and a group-column Filter in either order. Returns (relation,
+    * filter condition if any).
+    */
+  private def decompose(plan: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression])] = plan match {
+    case lr: LogicalRelation => Some((lr, None))
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      decompose(child)
+    case Filter(cond, child) =>
+      decompose(child).flatMap {
+        // one filter layer is enough: optimizer collapses conjunctions
+        case (lr, None) => Some((lr, Some(cond)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def pathOf(lr: LogicalRelation): Option[String] = lr.relation match {
+    case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+      Some(normalize(fs.location.rootPaths.head.toString))
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate): Option[Aggregate] = for {
+    (lr, filterCond) <- decompose(agg.child)
+    base <- pathOf(lr)
+    d <- registry.get(base)
+    // groupings must be bare columns within the view's key set
+    groupAttrs <- Some(agg.groupingExpressions).filter(_.forall {
+      case a: AttributeReference => d.groupCols.contains(a.name.toLowerCase)
+      case _ => false
+    }).map(_.map(_.asInstanceOf[AttributeReference]))
+    // a filter may only prune whole groups
+    _ <- Some(()).filter(_ => filterCond.forall(_.references.toSeq.forall(
+      r => d.groupCols.contains(r.name.toLowerCase))))
+    view <- viewScan(d)
+    viewAttr = (n: String) => view.output.find(_.name.equalsIgnoreCase(n))
+    cnt <- viewAttr("__cnt")
+    newAggs <- traverseOpt(agg.aggregateExpressions)(
+      rewriteOutput(_, d, viewAttr, cnt))
+    newGroups <- traverseOpt(groupAttrs)(a => viewAttr(a.name))
+    newCond <- filterCond match {
+      case None => Some(None)
+      case Some(c) => remapRefs(c, viewAttr).map(Some(_))
+    }
+  } yield Aggregate(newGroups, newAggs,
+    newCond.map(Filter(_, view)).getOrElse(view))
+
+  private def viewScan(d: MvDef): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val plan = viewPlans.getOrElseUpdate(d.viewPath,
+      GraftBridge.planOf(spark.read.parquet(d.viewPath)))
+    plan match {
+      case lr: LogicalRelation => Some(lr.newInstance())
+      case _ => None
+    }
+  }
+
+  private def traverseOpt[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+
+  /** Rebuild one output expression over the view, PRESERVING its
+    * exprId so parents are untouched.
+    */
+  private def rewriteOutput(ne: NamedExpression, d: MvDef,
+      viewAttr: String => Option[Attribute],
+      cnt: Attribute): Option[NamedExpression] = ne match {
+    case al @ Alias(child, name) =>
+      rewriteExpr(child, d, viewAttr, cnt).map(nc =>
+        Alias(nc, name)(al.exprId, al.qualifier, al.explicitMetadata))
+    case ar: AttributeReference =>
+      viewAttr(ar.name).map(va => Alias(va, ar.name)(ar.exprId))
+    case _ => None
+  }
+
+  private def rewriteExpr(e: Expression, d: MvDef,
+      viewAttr: String => Option[Attribute],
+      cnt: Attribute): Option[Expression] = e match {
+    case ae: AggregateExpression => rewriteAgg(ae, d, viewAttr, cnt)
+    case a: AttributeReference => viewAttr(a.name)
+    case other =>
+      traverseOpt(other.children)(rewriteExpr(_, d, viewAttr, cnt))
+        .map(other.withNewChildren)
+  }
+
+  private def rewriteAgg(ae: AggregateExpression, d: MvDef,
+      viewAttr: String => Option[Attribute],
+      cnt: Attribute): Option[Expression] = {
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    def partial(child: Expression, kind: String): Option[Attribute] =
+      (child match {
+        case a: AttributeReference => Some(measureKey(a.name, None))
+        case c: Cast => c.child match {
+          case a: AttributeReference => Some(measureKey(a.name, Some(c.dataType)))
+          case _ => None
+        }
+        case _ => None
+      }).flatMap(d.measures.get).flatMap(i => viewAttr(s"__${kind}_$i"))
+    val mapped: Option[Expression] = ae.aggregateFunction match {
+      case Count(Seq(Literal(_, _))) =>
+        // empty-relation global aggregate: sum over no rows is NULL
+        // where count is 0
+        Some(Coalesce(Seq(
+          ae.copy(aggregateFunction = Sum(Cast(cnt, LongType))),
+          Literal(0L))))
+      case s: Sum => partial(s.child, "sum").map(p =>
+        ae.copy(aggregateFunction = s.copy(child = p)))
+      case m: Min => partial(m.child, "min").map(p =>
+        ae.copy(aggregateFunction = m.copy(child = p)))
+      case m: Max => partial(m.child, "max").map(p =>
+        ae.copy(aggregateFunction = m.copy(child = p)))
+      case _ => None
+    }
+    // re-aggregating a decimal sum widens again; restore the original
+    // result type so parents (and the schema) are unchanged
+    mapped.map(ne => if (ne.dataType == ae.dataType) ne
+      else Cast(ne, ae.dataType))
+  }
+
+  private def remapRefs(e: Expression,
+      viewAttr: String => Option[Attribute]): Option[Expression] =
+    e match {
+      case a: AttributeReference => viewAttr(a.name)
+      case other =>
+        traverseOpt(other.children)(remapRefs(_, viewAttr))
+          .map(other.withNewChildren)
+    }
+}
+
+/** User surface for creating + registering materialized views. */
+object Mv {
+
+  /** One view measure: a base column, optionally pre-cast (declare the
+    * SAME cast your queries use — e.g. the decimal the engine's exact-
+    * money queries standardize on).
+    */
+  final case class Measure(col: String, castTo: Option[String] = None)
+
+  /** Compute and write the partial table for `basePath` grouped by
+    * `groupCols`, then register it for rewrite. One shuffle, map-side
+    * combined; the view is O(|groups|) rows.
+    */
+  def create(spark: SparkSession, basePath: String, viewPath: String,
+      groupCols: Seq[String], measures: Seq[Measure]): Unit = {
+    require(groupCols.nonEmpty && measures.nonEmpty)
+    val base = spark.read.parquet(basePath)
+    val m = (c: Measure) => c.castTo
+      .map(t => col(c.col).cast(t)).getOrElse(col(c.col))
+    val aggs = count(lit(1)).cast("long").as("__cnt") +:
+      measures.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(m(c)).as(s"__sum_$i"), min(m(c)).as(s"__min_$i"),
+          max(m(c)).as(s"__max_$i"))
+      }
+    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(viewPath)
+    val keys = measures.zipWithIndex.map { case (c, i) =>
+      MvRewrite.measureKey(c.col, c.castTo.map(
+        org.apache.spark.sql.types.DataType.fromDDL)) -> i
+    }.toMap
+    MvRewrite.register(basePath,
+      MvRewrite.MvDef(viewPath, groupCols.map(_.toLowerCase), keys))
+  }
+
+  def deregister(basePath: String): Unit = MvRewrite.deregister(basePath)
+
+  /** True when `df`'s optimized plan reads `viewPath` (and not the
+    * base) — the spec's and demos' rewrite probe.
+    */
+  def readsView(df: DataFrame, viewPath: String): Boolean = {
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(p => MvRewrite.normalize(p.toString))
+        case _ => Nil
+      }
+    }.flatten
+    scans.contains(MvRewrite.normalize(viewPath))
+  }
+}

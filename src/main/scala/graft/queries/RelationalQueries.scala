@@ -1416,6 +1416,43 @@ object RelationalQueries {
           (d(col("n")) * (d(col("n")) * d(col("n")) - lit(1.0))))
           * lit(1000000.0)).cast("bigint").as("rho_ppm"))
     }),
+
+    // transparent materialized-view rewrite (plans.MvRewrite): build
+    // the (flag, status) partial table once, then run an UNCHANGED
+    // base-table aggregate — with a group-column filter and decimal
+    // measures — and let the optimizer swap the base scan for an
+    // O(|groups|) rollup of the view. The rewrite is forced eagerly
+    // (optimizedPlan), asserted (a silent non-rewrite would make this
+    // query a plain aggregate — we require the view scan), and the
+    // registration is dropped before returning so no other query in
+    // the session can match. The oracle computes the same aggregate
+    // from the BASE table: hash-equality proves rewrite correctness,
+    // not just plan shape. At 100 TB the rewritten plan reads KBs
+    // instead of the full fact table.
+    "mv_rewrite_rollup" -> ((s, dir) => {
+      import graft.plans.Mv
+      val base = s"$dir/lineitem.parquet"
+      val viewPath = s"${System.getProperty("java.io.tmpdir")}/graft-mv-lineitem"
+      Mv.create(s, base, viewPath, Seq("l_returnflag", "l_linestatus"),
+        Seq(Mv.Measure("l_quantity", Some("decimal(18,2)")),
+          Mv.Measure("l_extendedprice", Some("decimal(18,2)"))))
+      try {
+        val df = s.read.parquet(base)
+          .filter(col("l_returnflag") =!= "N")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"),
+            min(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("min_qty"),
+            max(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("max_price"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+        df.queryExecution.optimizedPlan // force the rewrite NOW
+        require(Mv.readsView(df, viewPath), "MV rewrite did not fire")
+        df
+      } finally Mv.deregister(base)
+    }),
   )
 
   private val disc = "(1.00::DECIMAL(18,2) - l_discount::DECIMAL(18,2))"
@@ -2429,5 +2466,21 @@ object RelationalQueries {
         |        - 1.0)))
         |    * 1000000.0) AS BIGINT) AS rho_ppm
         |FROM a""".stripMargin,
+
+    // the oracle aggregates the BASE table: equality proves the
+    // view-rollup plan computes exactly what the base scan would
+    "mv_rewrite_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS min_qty,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS max_price
+        |FROM lineitem
+        |WHERE l_returnflag <> 'N'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MvRewriteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def withRule[T](f: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MvRewrite
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
+  }
+
+  /** sales(region, channel, amount, qty) with nulls in one measure. */
+  private lazy val basePath: String = {
+    val dir = tmpDir("mv-base") + "/sales"
+    (0 until 5000).map { i =>
+      (s"r${i % 7}", s"c${i % 3}", i * 1.25,
+        if (i % 11 == 0) None else Some(i.toLong % 97))
+    }.toDF("region", "channel", "amount", "qty")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def createView(): String = {
+    val viewPath = tmpDir("mv-view") + "/sales_by_rc"
+    Mv.create(spark, basePath, viewPath, Seq("region", "channel"),
+      Seq(Mv.Measure("amount", Some("decimal(18,2)")), Mv.Measure("qty")))
+    viewPath
+  }
+
+  private def q(): DataFrame =
+    spark.read.parquet(basePath)
+      .groupBy($"region", $"channel")
+      .agg(count(lit(1)).as("n"),
+        sum($"amount".cast("decimal(18,2)")).as("amt"),
+        min($"qty").as("min_q"), max($"qty").as("max_q"))
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("grouped aggregate rewrites to the view with identical results") {
+    val viewPath = createView()
+    try {
+      val expected = rows(q()) // no rule
+      withRule {
+        val df = q()
+        assert(Mv.readsView(df, viewPath),
+          df.queryExecution.optimizedPlan.toString)
+        assert(!Mv.readsView(df, basePath))
+        assert(rows(df) == expected)
+      }
+    } finally Mv.deregister(basePath)
+  }
+
+  test("rollup to a subset of view keys and a group-column filter") {
+    val viewPath = createView()
+    try withRule {
+      val sub = spark.read.parquet(basePath)
+        .filter($"channel" =!= "c1")
+        .groupBy($"region")
+        .agg(sum($"amount".cast("decimal(18,2)")).as("amt"),
+          count(lit(1)).as("n"))
+      assert(Mv.readsView(sub, viewPath),
+        sub.queryExecution.optimizedPlan.toString)
+      Mv.deregister(basePath)
+      assert(rows(sub) == rows(spark.read.parquet(basePath)
+        .filter($"channel" =!= "c1")
+        .groupBy($"region")
+        .agg(sum($"amount".cast("decimal(18,2)")).as("amt"),
+          count(lit(1)).as("n"))))
+    } finally Mv.deregister(basePath)
+  }
+
+  test("global aggregate (no grouping) derives count from partials") {
+    val viewPath = createView()
+    try withRule {
+      val g = spark.read.parquet(basePath)
+        .agg(count(lit(1)).as("n"), max($"qty").as("mx"))
+      assert(Mv.readsView(g, viewPath),
+        g.queryExecution.optimizedPlan.toString)
+      val r = g.collect().head
+      assert(r.getAs[Long]("n") == 5000L)
+      assert(r.getAs[Long]("mx") == 96L)
+    } finally Mv.deregister(basePath)
+  }
+
+  test("non-derivable shapes are left on the base plan") {
+    val viewPath = createView()
+    try withRule {
+      val distinctAgg = spark.read.parquet(basePath)
+        .groupBy($"region").agg(countDistinct($"channel").as("nc"))
+      assert(!Mv.readsView(distinctAgg, viewPath))
+
+      // different cast than the view stores: must NOT be approximated
+      val otherCast = spark.read.parquet(basePath)
+        .groupBy($"region").agg(sum($"amount".cast("decimal(12,2)")).as("a"))
+      assert(!Mv.readsView(otherCast, viewPath))
+
+      // raw double sum was never declared as a measure
+      val rawSum = spark.read.parquet(basePath)
+        .groupBy($"region").agg(sum($"amount").as("a"))
+      assert(!Mv.readsView(rawSum, viewPath))
+
+      // filter on a non-group column prunes rows INSIDE groups
+      val rowFilter = spark.read.parquet(basePath)
+        .filter($"qty" > 50).groupBy($"region").agg(count(lit(1)).as("n"))
+      assert(!Mv.readsView(rowFilter, viewPath))
+      assert(Mv.readsView(rowFilter, basePath))
+    } finally Mv.deregister(basePath)
+  }
+
+  test("null-bearing measure: sum/min/max partials merge like the base") {
+    val viewPath = createView()
+    try {
+      val direct = rows(spark.read.parquet(basePath)
+        .groupBy($"channel").agg(sum($"qty").as("s"), min($"qty").as("mn")))
+      withRule {
+        val df = spark.read.parquet(basePath)
+          .groupBy($"channel").agg(sum($"qty").as("s"), min($"qty").as("mn"))
+        assert(Mv.readsView(df, viewPath),
+          df.queryExecution.optimizedPlan.toString)
+        assert(rows(df) == direct)
+      }
+    } finally Mv.deregister(basePath)
+  }
+}
