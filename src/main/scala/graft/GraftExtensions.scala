@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSimilarityExpr, JaroWinklerExpr, MinHashExpr, QuantizeExpr, RollingHashExpr, SimHashExpr}
+import graft.functions.{CosineSimilarityExpr, JaroWinklerExpr, MinHashExpr, QuantizeExpr, RollingHashExpr, SimHashExpr, UnicodeNormExpr}
 
 /** Session extensions exposing the engine's native expressions to SQL
   * users. Two registration paths:
@@ -77,6 +77,19 @@ object GraftExtensions {
                 s"minhash64 arg ${i + 1} must be a literal, got $other")
           } else default
         MinHashExpr(exprs.head, longArg(1, 64L).toInt, longArg(2, 42L))
+      }),
+    (new FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormExpr].getName, "unicode_norm"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          "unicode_norm takes (text[, form])")
+        val form = if (exprs.length == 2) exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toUpperCase
+          case other => throw new IllegalArgumentException(
+            s"unicode_norm form must be a literal string, got $other")
+        } else "NFC"
+        UnicodeNormExpr(exprs.head, form)
       }),
     (new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),

@@ -340,6 +340,48 @@ object TextQueries {
           col("best.sim").as("sim"), col("n_above"))
         .orderBy(col("probe_id"))
     }),
+
+    // Unicode canonicalization (functions.UnicodeNormExpr — native
+    // NFC, the cleanup pass that must precede hashing/dedup: composed
+    // é and e+U+0301 are byte-different, hash-different, and
+    // visually identical). The corpus is ASCII, so each doc first
+    // gets a DETERMINISTIC denormalized injection — replace the first
+    // 'a'/'o' with a decomposed combining sequence (docs ≡ 0, 2 mod
+    // 4), the first 'e' with precomposed é (≡ 1: already NFC, must
+    // NOT change), the first 't' with Cyrillic т (≡ 3: non-Latin but
+    // NFC-stable) — replayed exactly in DuckDB, whose utf8proc
+    // nfc_normalize then oracles the JDK normalizer per document:
+    // changed flag, codepoint lengths before/after (NFC shrinks the
+    // combining cases by one), a Cyrillic-codepoint census, and the
+    // normalized head bytes. Narrow per-doc work, zero shuffle.
+    "text_unicode_nfc" -> ((s, dir) => {
+      def injectFirst(sc: Column, letter: String, repl: String): Column = {
+        val p = instr(sc, letter)
+        when(p === 0, sc).otherwise(concat(
+          sc.substr(lit(1), p - 1), lit(repl),
+          sc.substr(p + 1, length(sc))))
+      }
+      val t = col("text")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            injectFirst(t, "a", "à"))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            injectFirst(t, "e", "é"))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            injectFirst(t, "o", "ö"))
+          .otherwise(injectFirst(t, "t", "т")).as("dirty"))
+        .withColumn("nfc",
+          graft.functions.UnicodeNormExpr.unicodeNorm(col("dirty")))
+        .select(col("doc_id"),
+          (col("nfc") =!= col("dirty")).as("changed"),
+          length(col("dirty")).cast("long").as("len_dirty"),
+          length(col("nfc")).cast("long").as("len_nfc"),
+          regexp_count(col("nfc"), lit("[\\x{0400}-\\x{04FF}]"))
+            .cast("long").as("n_cyr"),
+          substring(col("nfc"), 1, 20).as("head20"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Blocked edit-distance candidate pairs (the dedup_edit_distance
@@ -739,5 +781,39 @@ object TextQueries {
         |FROM pairs
         |WHERE inter * 10 >= (n_a + n_b - inter) * 9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical injection via chr() codepoints (768=U+0300 grave,
+    // 233=é, 776=U+0308 diaeresis, 1090=Cyrillic т); utf8proc
+    // nfc_normalize oracles the JDK normalizer
+    "text_unicode_nfc" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN CASE WHEN strpos(text, 'a') > 0
+        |        THEN substr(text, 1, strpos(text, 'a') - 1)
+        |          || 'a' || chr(768) || substr(text, strpos(text, 'a') + 1)
+        |        ELSE text END
+        |      WHEN 1 THEN CASE WHEN strpos(text, 'e') > 0
+        |        THEN substr(text, 1, strpos(text, 'e') - 1)
+        |          || chr(233) || substr(text, strpos(text, 'e') + 1)
+        |        ELSE text END
+        |      WHEN 2 THEN CASE WHEN strpos(text, 'o') > 0
+        |        THEN substr(text, 1, strpos(text, 'o') - 1)
+        |          || 'o' || chr(776) || substr(text, strpos(text, 'o') + 1)
+        |        ELSE text END
+        |      ELSE CASE WHEN strpos(text, 't') > 0
+        |        THEN substr(text, 1, strpos(text, 't') - 1)
+        |          || chr(1090) || substr(text, strpos(text, 't') + 1)
+        |        ELSE text END
+        |    END AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS nfc FROM inj)
+        |SELECT doc_id, (nfc <> dirty) AS changed,
+        |  length(dirty)::BIGINT AS len_dirty,
+        |  length(nfc)::BIGINT AS len_nfc,
+        |  len(regexp_extract_all(nfc, '[\x{0400}-\x{04FF}]'))::BIGINT
+        |    AS n_cyr,
+        |  substr(nfc, 1, 20) AS head20
+        |FROM n ORDER BY doc_id""".stripMargin,
   )
 }
