@@ -42,24 +42,73 @@ object Curation {
   /** Run the full pipeline over a (doc_id, text, ...) corpus; returns
     * surviving docs with curation stats columns appended.
     */
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    curateTapped(docs, cfg, (_, df) => df)
+
+  /** Per-stage funnel counters riding the pipeline's OWN jobs via
+    * `observe` (CollectMetrics): at 100 TB a monitoring recount of
+    * each intermediate stage would double the pipeline's scan cost —
+    * these aggregates piggyback on rows already flowing through the
+    * executors, so the funnel (rows in → post-gate → post-exact-dedup
+    * → survivors) costs zero extra passes. Read the maps AFTER an
+    * action has materialized the result (`Observation.get` blocks on
+    * the first query execution that ran its stage).
+    */
+  final case class Funnel(
+      input: org.apache.spark.sql.Observation,
+      gated: org.apache.spark.sql.Observation,
+      exactDeduped: org.apache.spark.sql.Observation) {
+    /** Stage → rows, once an action has run. */
+    def counts: Map[String, Long] = Map(
+      "input" -> input.get("rows").asInstanceOf[Long],
+      "gated" -> gated.get("rows").asInstanceOf[Long],
+      "exact_deduped" -> exactDeduped.get("rows").asInstanceOf[Long])
+    /** Mean input document length, from the same piggybacked pass. */
+    def meanInputChars: Double =
+      input.get("chars").asInstanceOf[Long].toDouble /
+        input.get("rows").asInstanceOf[Long]
+  }
+
+  /** [[curate]] with the funnel counters attached. */
+  def curateObserved(docs: DataFrame, cfg: Config = Config())
+      : (DataFrame, Funnel) = {
+    import org.apache.spark.sql.Observation
+    val funnel = Funnel(Observation("curate_input"),
+      Observation("curate_gated"), Observation("curate_exact"))
+    val taps: Map[String, (Observation, Seq[Column])] = Map(
+      "input" -> ((funnel.input, Seq(count(lit(1)).as("rows"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("chars")))),
+      "gated" -> ((funnel.gated, Seq(count(lit(1)).as("rows")))),
+      "exact_deduped" -> ((funnel.exactDeduped,
+        Seq(count(lit(1)).as("rows")))))
+    val out = curateTapped(docs, cfg, (stage, df) =>
+      taps.get(stage).map { case (obs, aggs) =>
+        df.observe(obs, aggs.head, aggs.tail: _*)
+      }.getOrElse(df))
+    (out, funnel)
+  }
+
+  private def curateTapped(docs0: DataFrame, cfg: Config,
+      tap: (String, DataFrame) => DataFrame): DataFrame = {
+    val docs = tap("input", docs0)
     // 1-2: narrow filters — no shuffle, codegen'd, run at scan speed
     val langFiltered =
       if (cfg.keepLangs.isEmpty) docs
       else TextFunctions.withLangScores(docs)
         .filter(col("predicted_lang").isin(cfg.keepLangs.toSeq.map(lit(_)): _*))
         .select(docs.columns.toSeq.map(col): _*)
-    val gated = langFiltered.filter(qualityGate(col("text"), cfg))
+    val gated = tap("gated",
+      langFiltered.filter(qualityGate(col("text"), cfg)))
 
     // 3: exact dedup — keep lowest doc_id per content hash (min_by:
     // single hash-agg, map-side partial collapses dups early). Persisted:
     // stage 4 scans the survivors three times (LSH signatures, Jaccard
     // word sets, final anti-join) and each rescan would re-run stages 1-3
     val hashed = gated.withColumn("__fp", md5(TextFunctions.normalize(col("text"))))
-    val exactSurvivors = hashed
+    val exactSurvivors = tap("exact_deduped", hashed
       .groupBy(col("__fp"))
       .agg(min_by(struct(gated.columns.toSeq.map(col): _*), col("doc_id")).as("r"))
-      .select(gated.columns.toSeq.map(c => col(s"r.$c")): _*)
+      .select(gated.columns.toSeq.map(c => col(s"r.$c")): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4: near dedup — LSH candidates -> exact-Jaccard pairs ->

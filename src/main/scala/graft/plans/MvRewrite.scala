@@ -91,6 +91,18 @@ object MvRewrite extends Rule[LogicalPlan] {
   def registered(basePath: String): Option[MvDef] =
     registry.get(normalize(basePath))
 
+  /** Idempotent live-session registration for sessions built without
+    * [[graft.GraftExtensions]] (the builder path injects this rule
+    * into the operator-optimization batch; here it lands in the
+    * post-hoc user batch — both see the same Aggregate-over-scan
+    * shape, and running in both is a no-op second time because a
+    * rewritten plan no longer references a registered base path).
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (registry.isEmpty) plan
     else plan.transformUp {

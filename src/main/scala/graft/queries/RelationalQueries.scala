@@ -1431,6 +1431,7 @@ object RelationalQueries {
     // instead of the full fact table.
     "mv_rewrite_rollup" -> ((s, dir) => {
       import graft.plans.Mv
+      graft.plans.MvRewrite.ensureRegistered(s) // extension-less sessions
       val base = s"$dir/lineitem.parquet"
       val viewPath = s"${System.getProperty("java.io.tmpdir")}/graft-mv-lineitem"
       Mv.create(s, base, viewPath, Seq("l_returnflag", "l_linestatus"),
@@ -1452,6 +1453,28 @@ object RelationalQueries {
         require(Mv.readsView(df, viewPath), "MV rewrite did not fire")
         df
       } finally Mv.deregister(base)
+    }),
+
+    // collation-aware grouping (a Spark 4 engine feature): market
+    // segments get deterministic case noise (even keys upper, odd
+    // lower), then group under the UTF8_LCASE collation — the engine's
+    // hash aggregate treats 'BUILDING' and 'building' as ONE key with
+    // no lower() materialized in the data path. Output avoids the
+    // nondeterministic group representative: min() over the raw
+    // variants (uppercase sorts first in both engines' binary order)
+    // plus an exact-distinct census proving two case variants really
+    // did collapse per group. Oracle: GROUP BY lower(seg).
+    "collate_group" -> ((s, dir) => {
+      val seg = when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+        .otherwise(lower(col("c_mktsegment")))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), seg.as("seg"))
+        .groupBy(collate(col("seg"), "UTF8_LCASE"))
+        .agg(min(col("seg")).as("first_variant"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("seg")).as("n_variants"))
+        .select(col("first_variant"), col("n_rows"), col("n_variants"))
+        .orderBy(col("first_variant"))
     }),
   )
 
@@ -2482,5 +2505,14 @@ object RelationalQueries {
         |WHERE l_returnflag <> 'N'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "collate_group" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |    ELSE lower(c_mktsegment) END AS seg
+        |  FROM customer)
+        |SELECT min(seg) AS first_variant, count(*) AS n_rows,
+        |  count(DISTINCT seg) AS n_variants
+        |FROM s GROUP BY lower(seg) ORDER BY first_variant""".stripMargin,
   )
 }

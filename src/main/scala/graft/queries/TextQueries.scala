@@ -382,6 +382,29 @@ object TextQueries {
           substring(col("nfc"), 1, 20).as("head20"))
         .orderBy(col("doc_id"))
     }),
+
+    // the SQL front door: the native kernels (jaro_winkler,
+    // unicode_norm — GraftExtensions-registered) driven through a
+    // plain `spark.sql` string over a temp view, proving a SQL-only
+    // user gets the same expression tier as the Column API — same
+    // codegen, same plans, oracle-exact against DuckDB's independent
+    // jaro_winkler_similarity / nfc_normalize implementations. (The
+    // Column-API twins of these kernels are gated by link_fuzzy_names
+    // and text_unicode_nfc; this row gates the registration path.)
+    "sql_native_funcs" -> ((s, dir) => {
+      graft.GraftExtensions.register(s) // extension-less sessions
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      // "cafe" + combining acute U+0301 — a DECOMPOSED accent that
+      // unicode_norm must compose; the oracle builds the same bytes
+      // via chr(769)
+      val dec = "café"
+      s.sql(s"""SELECT c_custkey,
+        |  jaro_winkler(c_name, 'Customer#000000010') AS jw,
+        |  unicode_norm(concat('$dec ', c_name)) AS norm_name
+        |FROM customer_v
+        |WHERE c_custkey <= 50
+        |ORDER BY c_custkey""".stripMargin)
+    }),
   )
 
   /** Blocked edit-distance candidate pairs (the dedup_edit_distance
@@ -815,5 +838,14 @@ object TextQueries {
         |    AS n_cyr,
         |  substr(nfc, 1, 20) AS head20
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "sql_native_funcs" ->
+      """SELECT c_custkey,
+        |  jaro_winkler_similarity(c_name, 'Customer#000000010') AS jw,
+        |  nfc_normalize('cafe' || chr(769) || ' ' || c_name)
+        |    AS norm_name
+        |FROM customer
+        |WHERE c_custkey <= 50
+        |ORDER BY c_custkey""".stripMargin,
   )
 }
