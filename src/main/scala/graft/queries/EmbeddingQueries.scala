@@ -246,6 +246,67 @@ object EmbeddingQueries {
         .select((col("vec_id") +: cols): _*)
         .orderBy(col("vec_id"))
     }),
+
+    // hybrid retrieval: reciprocal-rank fusion of a lexical BM25 leg
+    // and a dense cosine leg (the modern two-tower search stack in one
+    // query). The lexical leg ranks only docs matching a query term —
+    // a sparse, bounded set, so its window is fine — while the dense
+    // leg ranks the WHOLE corpus and therefore rides the sharded
+    // GlobalRank operator (cos-band shards, no partitionless window
+    // over corpus-sized data). Fusion is pure integer math —
+    // 10^9 div (60 + rank), the standard RRF k — summed over a
+    // full-outer join of the legs, so the blended score is exact in
+    // both engines; cosine doubles cross the engine boundary on the
+    // established list_cosine_similarity corridor.
+    "hybrid_search_rrf" -> ((s, dir) => {
+      val qTerms = Seq("spark", "query", "hash")
+      // lexical leg — BM25, same determinism discipline as
+      // text_bm25_topk (integerized contribs, associative sum)
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val stats = tok.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = tok
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val lex = tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_scaled", expr("(1000 * n_docs) div df"))
+        .withColumn("tf_norm",
+          col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .withColumn("contrib",
+          floor(col("tf_norm") * lit(1000000.0)) * col("idf_scaled"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib")).as("bm25"))
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r_lex"))
+      // dense leg — cosine to the vec_id=0 probe over every OTHER
+      // vector, globally ranked without a global sort
+      val emb = Tables.embeddings(s, dir)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val scored = emb.crossJoin(broadcast(probe))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos", cosineSim(col("q_emb"), col("embedding")))
+      val vec = graft.operators.GlobalRank.withGlobalRank(scored,
+          Seq(col("cos").desc, col("vec_id")),
+          floor(-col("cos") * lit(4)).cast("int"), "r_vec")
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_ppb",
+          coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + r_vec)"), lit(0L)))
+        .orderBy(col("rrf_ppb").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf_ppb"))
+    }),
   )
 
   // The hyperplane-LSH oracle embeds the EXACT plane values as SQL
@@ -712,5 +773,53 @@ object EmbeddingQueries {
         |  FROM r3)
         |SELECT kind, entity_id, rank_scaled FROM out
         |ORDER BY rank_scaled DESC, kind, entity_id LIMIT 20""".stripMargin,
+
+    // BM25 arithmetic identical to the text_bm25_topk oracle; dense
+    // leg on the list_cosine_similarity corridor; integer RRF fusion
+    "hybrid_search_rrf" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |s AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(SUM(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM d),
+        |t AS (
+        |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM t
+        |  WHERE term IN ('spark','query','hash') GROUP BY 1, 2, 3),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |lexs AS (
+        |  SELECT doc_id,
+        |    SUM(CAST(floor((tf * 2.2::DOUBLE
+        |        / (tf + 1.2::DOUBLE * (0.25::DOUBLE
+        |          + 0.75::DOUBLE * dl / avgdl)))
+        |      * 1000000.0::DOUBLE) AS BIGINT)
+        |      * ((1000 * n_docs) // df)) AS bm25
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN s GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        |  FROM lexs),
+        |emb AS (SELECT * FROM
+        |  read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |probe AS (SELECT embedding AS q_emb FROM emb WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(p.q_emb::DOUBLE[],
+        |      e.embedding::DOUBLE[]) AS cos
+        |  FROM emb e CROSS JOIN probe p WHERE e.vec_id <> 0),
+        |vec AS (
+        |  SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, vec_id) AS r_vec
+        |  FROM scored),
+        |fused AS (
+        |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    l.r_lex, v.r_vec,
+        |    coalesce(1000000000 // (60 + l.r_lex), 0)
+        |      + coalesce(1000000000 // (60 + v.r_vec), 0) AS rrf_ppb
+        |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, r_lex, r_vec, rrf_ppb FROM fused
+        |ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
   )
 }
