@@ -56,12 +56,19 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
+  /** Which view columns hold a measure's partials; an absent kind
+    * simply makes that aggregate non-derivable (e.g. an AggView keeps
+    * count+sum but no min/max — min/max queries stay on the base).
+    */
+  final case class Partials(sum: Option[String] = None,
+      min: Option[String] = None, max: Option[String] = None)
+
   /** One registered view: parquet at `viewPath`, keyed by `groupCols`
-    * (lowercase), measures keyed by their structural form → partial
-    * column index.
+    * (lowercase), `cntCol` holding per-group row counts, measures
+    * keyed by their structural form → partial column names.
     */
   final case class MvDef(viewPath: String, groupCols: Seq[String],
-      measures: Map[String, Int])
+      cntCol: String, measures: Map[String, Partials])
 
   /** base path (URI path, no trailing slash) → view definition. */
   private val registry = TrieMap.empty[String, MvDef]
@@ -148,7 +155,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       r => d.groupCols.contains(r.name.toLowerCase))))
     view <- viewScan(d)
     viewAttr = (n: String) => view.output.find(_.name.equalsIgnoreCase(n))
-    cnt <- viewAttr("__cnt")
+    cnt <- viewAttr(d.cntCol)
     newAggs <- traverseOpt(agg.aggregateExpressions)(
       rewriteOutput(_, d, viewAttr, cnt))
     newGroups <- traverseOpt(groupAttrs)(a => viewAttr(a.name))
@@ -202,7 +209,8 @@ object MvRewrite extends Rule[LogicalPlan] {
       viewAttr: String => Option[Attribute],
       cnt: Attribute): Option[Expression] = {
     if (ae.isDistinct || ae.filter.isDefined) return None
-    def partial(child: Expression, kind: String): Option[Attribute] =
+    def partial(child: Expression, kind: Partials => Option[String])
+        : Option[Attribute] =
       (child match {
         case a: AttributeReference => Some(measureKey(a.name, None))
         case c: Cast => c.child match {
@@ -210,7 +218,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
         case _ => None
-      }).flatMap(d.measures.get).flatMap(i => viewAttr(s"__${kind}_$i"))
+      }).flatMap(d.measures.get).flatMap(kind).flatMap(viewAttr)
     val mapped: Option[Expression] = ae.aggregateFunction match {
       case Count(Seq(Literal(_, _))) =>
         // empty-relation global aggregate: sum over no rows is NULL
@@ -218,11 +226,11 @@ object MvRewrite extends Rule[LogicalPlan] {
         Some(Coalesce(Seq(
           ae.copy(aggregateFunction = Sum(Cast(cnt, LongType))),
           Literal(0L))))
-      case s: Sum => partial(s.child, "sum").map(p =>
+      case s: Sum => partial(s.child, _.sum).map(p =>
         ae.copy(aggregateFunction = s.copy(child = p)))
-      case m: Min => partial(m.child, "min").map(p =>
+      case m: Min => partial(m.child, _.min).map(p =>
         ae.copy(aggregateFunction = m.copy(child = p)))
-      case m: Max => partial(m.child, "max").map(p =>
+      case m: Max => partial(m.child, _.max).map(p =>
         ae.copy(aggregateFunction = m.copy(child = p)))
       case _ => None
     }
@@ -270,10 +278,32 @@ object Mv {
       .write.mode("overwrite").parquet(viewPath)
     val keys = measures.zipWithIndex.map { case (c, i) =>
       MvRewrite.measureKey(c.col, c.castTo.map(
-        org.apache.spark.sql.types.DataType.fromDDL)) -> i
+        org.apache.spark.sql.types.DataType.fromDDL)) ->
+        MvRewrite.Partials(sum = Some(s"__sum_$i"),
+          min = Some(s"__min_$i"), max = Some(s"__max_$i"))
     }.toMap
     MvRewrite.register(basePath,
-      MvRewrite.MvDef(viewPath, groupCols.map(_.toLowerCase), keys))
+      MvRewrite.MvDef(viewPath, groupCols.map(_.toLowerCase), "__cnt", keys))
+  }
+
+  /** Register an [[graft.cdc.AggView]]-maintained view (cnt + decimal
+    * sum partials, possibly streaming-maintained by
+    * `StreamingAggView`) for transparent rewrite of count/sum
+    * aggregates over `basePath` grouped by the view's key. The view
+    * stores `sum(value::DECIMAL(18,2))`, so that exact cast is the
+    * measure a query must use (the engine's standard exact-money
+    * shape); min/max stay on the base — AggView keeps no order
+    * statistics. Call after each merge's fence advance; the caller
+    * owns freshness exactly as with [[create]].
+    */
+  def registerAggView(spark: SparkSession, viewDir: String,
+      basePath: String): Unit = {
+    val (key, valueCol, _, _) = graft.cdc.AggView.readMeta(spark, viewDir)
+    MvRewrite.register(basePath, MvRewrite.MvDef(
+      s"$viewDir/data", Seq(key.toLowerCase), "cnt",
+      Map(MvRewrite.measureKey(valueCol,
+        Some(org.apache.spark.sql.types.DataType.fromDDL("decimal(18,2)")))
+        -> MvRewrite.Partials(sum = Some("total")))))
   }
 
   def deregister(basePath: String): Unit = MvRewrite.deregister(basePath)
