@@ -116,6 +116,21 @@ class MvRewriteSpec extends SparkSpec {
     } finally Mv.deregister(basePath)
   }
 
+  test("SELECT DISTINCT on group columns reads only the view") {
+    val viewPath = createView()
+    try {
+      val expected = rows(
+        spark.read.parquet(basePath).select($"region", $"channel").distinct())
+      withRule {
+        val d = spark.read.parquet(basePath)
+          .select($"region", $"channel").distinct()
+        assert(Mv.readsView(d, viewPath),
+          d.queryExecution.optimizedPlan.toString)
+        assert(rows(d) == expected)
+      }
+    } finally Mv.deregister(basePath)
+  }
+
   test("null-bearing measure: sum/min/max partials merge like the base") {
     val viewPath = createView()
     try {

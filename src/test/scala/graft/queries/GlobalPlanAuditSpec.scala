@@ -59,6 +59,7 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "sample_dsir_weights", // 1-row normalization scalar broadcast
     "text_bigram_lm",      // 1-row model-total scalar broadcast
     "text_heavy_hitters",  // 1-row corpus-total broadcast
+    "hybrid_search_rrf",   // 1-row probe-vector + corpus-stats broadcasts
   )
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
