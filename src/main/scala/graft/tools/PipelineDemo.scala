@@ -36,13 +36,19 @@ object PipelineDemo {
 
     // 1. curate: lang filter -> quality gate -> exact dedup -> LSH
     //    near-dedup clustering -> stats (unigram space: this corpus's
-    //    near-dups are vocabulary-level)
-    val curated = Curation.curate(raw, Curation.Config(
+    //    near-dups are vocabulary-level); funnel counters ride the
+    //    pipeline's own jobs (observe/CollectMetrics — no recounts)
+    val (curated, funnel) = Curation.curateObserved(raw, Curation.Config(
       keepLangs = Set("en"), minTokens = 5,
       nearDupThreshold = 0.9, nearDupNgram = 1))
     val curatedDir = s"$root/curated"
     curated.write.mode("overwrite").parquet(curatedDir)
     val nCurated = spark.read.parquet(curatedDir).count()
+    val f = funnel.counts
+    println(s"[demo] curation funnel: in=${f("input")} " +
+      s"gated=${f("gated")} exact=${f("exact_deduped")} " +
+      s"survivors=$nCurated " +
+      f"(mean input chars ${funnel.meanInputChars}%.1f)")
     println(s"[demo] curated survivors: $nCurated")
 
     // 2. PII scrub (narrow, in place)
