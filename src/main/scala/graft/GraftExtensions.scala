@@ -84,7 +84,8 @@ object GraftExtensions {
         require(exprs.nonEmpty && exprs.length <= 2,
           "unicode_norm takes (text[, form])")
         val form = if (exprs.length == 2) exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null =>
             v.toString.toUpperCase
           case other => throw new IllegalArgumentException(
             s"unicode_norm form must be a literal string, got $other")

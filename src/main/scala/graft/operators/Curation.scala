@@ -63,18 +63,25 @@ object Curation {
       "input" -> input.get("rows").asInstanceOf[Long],
       "gated" -> gated.get("rows").asInstanceOf[Long],
       "exact_deduped" -> exactDeduped.get("rows").asInstanceOf[Long])
-    /** Mean input document length, from the same piggybacked pass. */
-    def meanInputChars: Double =
-      input.get("chars").asInstanceOf[Long].toDouble /
-        input.get("rows").asInstanceOf[Long]
+    /** Mean input document length, from the same piggybacked pass
+      * (0.0 for an empty corpus rather than 0/0 = NaN).
+      */
+    def meanInputChars: Double = {
+      val rows = input.get("rows").asInstanceOf[Long]
+      if (rows == 0L) 0.0
+      else input.get("chars").asInstanceOf[Long].toDouble / rows
+    }
   }
 
   /** [[curate]] with the funnel counters attached. */
   def curateObserved(docs: DataFrame, cfg: Config = Config())
       : (DataFrame, Funnel) = {
     import org.apache.spark.sql.Observation
-    val funnel = Funnel(Observation("curate_input"),
-      Observation("curate_gated"), Observation("curate_exact"))
+    // no-arg Observation = auto-unique metric names: two observed
+    // pipelines combined in ONE action (union of two curated corpora)
+    // would otherwise collide on duplicate observed-metric names and
+    // fail analysis
+    val funnel = Funnel(Observation(), Observation(), Observation())
     val taps: Map[String, (Observation, Seq[Column])] = Map(
       "input" -> ((funnel.input, Seq(count(lit(1)).as("rows"),
         coalesce(sum(length(col("text"))), lit(0L)).as("chars")))),

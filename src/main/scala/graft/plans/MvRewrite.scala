@@ -78,9 +78,23 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   private val viewPlans = TrieMap.empty[String, LogicalPlan]
 
+  /** Fully-qualified registry key: scheme + authority + path. Dropping
+    * the scheme would collide same-pathed tables on DIFFERENT
+    * filesystems (file:/warehouse/t vs s3a://bucket/warehouse/t) and
+    * serve one's view for the other's data; scheme-less registration
+    * paths qualify against the session's default filesystem, the same
+    * resolution `spark.read` applies to them.
+    */
   private[plans] def normalize(path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path).toUri.getPath
-    if (p.length > 1 && p.endsWith("/")) p.dropRight(1) else p
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val q = p.getFileSystem(conf).makeQualified(p).toUri
+    // render scheme/authority uniformly: a qualified local path
+    // arrives as file:/x or file:///x depending on the producer
+    val path1 = Option(q.getPath).getOrElse("")
+    val trimmed = if (path1.length > 1 && path1.endsWith("/"))
+      path1.dropRight(1) else path1
+    s"${q.getScheme}://${Option(q.getAuthority).getOrElse("")}$trimmed"
   }
 
   private[plans] def measureKey(col: String, castTo: Option[DataType]): String =
@@ -150,9 +164,12 @@ object MvRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => d.groupCols.contains(a.name.toLowerCase)
       case _ => false
     }).map(_.map(_.asInstanceOf[AttributeReference]))
-    // a filter may only prune whole groups
-    _ <- Some(()).filter(_ => filterCond.forall(_.references.toSeq.forall(
-      r => d.groupCols.contains(r.name.toLowerCase))))
+    // a filter may only prune whole groups — and must be deterministic:
+    // rand() has no references, but per-ROW sampling evaluated per
+    // GROUP row on the partial table is a different query
+    _ <- Some(()).filter(_ => filterCond.forall(c =>
+      c.deterministic && c.references.toSeq.forall(
+        r => d.groupCols.contains(r.name.toLowerCase))))
     view <- viewScan(d)
     viewAttr = (n: String) => view.output.find(_.name.equalsIgnoreCase(n))
     cnt <- viewAttr(d.cntCol)
@@ -220,9 +237,11 @@ object MvRewrite extends Rule[LogicalPlan] {
         case _ => None
       }).flatMap(d.measures.get).flatMap(kind).flatMap(viewAttr)
     val mapped: Option[Expression] = ae.aggregateFunction match {
-      case Count(Seq(Literal(_, _))) =>
-        // empty-relation global aggregate: sum over no rows is NULL
-        // where count is 0
+      case Count(Seq(Literal(v, _))) if v != null =>
+        // count skips nulls, so count(NULL) ≡ 0 and must NOT become
+        // the group row count; the non-null literal is the count(*)
+        // family. Coalesce: sum over an empty relation is NULL where
+        // the global count is 0.
         Some(Coalesce(Seq(
           ae.copy(aggregateFunction = Sum(Cast(cnt, LongType))),
           Literal(0L))))
@@ -266,6 +285,10 @@ object Mv {
   def create(spark: SparkSession, basePath: String, viewPath: String,
       groupCols: Seq[String], measures: Seq[Measure]): Unit = {
     require(groupCols.nonEmpty && measures.nonEmpty)
+    // a REFRESH of a still-registered base must not be rewritten onto
+    // the stale view it is trying to replace: create's own aggregate
+    // matches the rule perfectly, so deregister first
+    MvRewrite.deregister(basePath)
     val base = spark.read.parquet(basePath)
     val m = (c: Measure) => c.castTo
       .map(t => col(c.col).cast(t)).getOrElse(col(c.col))

@@ -1433,7 +1433,11 @@ object RelationalQueries {
       import graft.plans.Mv
       graft.plans.MvRewrite.ensureRegistered(s) // extension-less sessions
       val base = s"$dir/lineitem.parquet"
-      val viewPath = s"${System.getProperty("java.io.tmpdir")}/graft-mv-lineitem"
+      // dir-hash suffix: concurrent runs at different scale factors
+      // must not overwrite each other's view mid-query (same
+      // convention as every tmp-writing cdc query)
+      val viewPath = s"${System.getProperty("java.io.tmpdir")}/graft-mv-lineitem-" +
+        java.lang.Integer.toHexString(dir.hashCode)
       Mv.create(s, base, viewPath, Seq("l_returnflag", "l_linestatus"),
         Seq(Mv.Measure("l_quantity", Some("decimal(18,2)")),
           Mv.Measure("l_extendedprice", Some("decimal(18,2)"))))

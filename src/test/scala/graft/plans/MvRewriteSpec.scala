@@ -131,6 +131,54 @@ class MvRewriteSpec extends SparkSpec {
     } finally Mv.deregister(basePath)
   }
 
+  test("non-deterministic filters and count(NULL) stay on the base") {
+    val viewPath = createView()
+    try withRule {
+      // rand() has no references but samples per ROW — rewriting onto
+      // the one-row-per-group partial table would sample per GROUP
+      val sampled = spark.read.parquet(basePath)
+        .filter($"region" === "r1" && rand(7) < 0.5)
+        .groupBy($"region").agg(count(lit(1)).as("n"))
+      assert(!Mv.readsView(sampled, viewPath))
+
+      // count skips nulls: count(NULL) is 0, never the group row
+      // count. Catalyst folds it to literal 0 before this rule runs
+      // (making a view-served plan value-correct too); the rule's own
+      // non-null literal guard covers plans that arrive unfolded.
+      val cn = spark.read.parquet(basePath)
+        .groupBy($"region").agg(count(lit(null)).as("n"))
+      assert(cn.select(max($"n")).head().getLong(0) == 0L)
+    } finally Mv.deregister(basePath)
+  }
+
+  test("Mv.create refresh while registered rebuilds from the BASE, not the stale view") {
+    val dir = tmpDir("mv-refresh") + "/t"
+    Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val viewPath = tmpDir("mv-refresh-view") + "/view"
+    def createV(): Unit = Mv.create(spark, dir, viewPath,
+      Seq("k"), Seq(Mv.Measure("v", Some("decimal(18,2)"))))
+    createV()
+    try withRule {
+      // base grows; refresh the view WITHOUT deregistering first —
+      // create's own aggregate must not be served from the stale view
+      Seq(("a", 10.0), ("c", 5.0)).toDF("k", "v")
+        .write.mode("append").parquet(dir)
+      createV()
+      val df = spark.read.parquet(dir)
+        .groupBy($"k").agg(count(lit(1)).as("n"),
+          sum($"v".cast("decimal(18,2)")).as("s"))
+      assert(Mv.readsView(df, viewPath),
+        df.queryExecution.optimizedPlan.toString)
+      val got = df.collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+      assert(got == Map(
+        "a" -> ((2L, "11.00")), "b" -> ((1L, "2.00")),
+        "c" -> ((1L, "5.00"))))
+    } finally Mv.deregister(dir)
+  }
+
   test("null-bearing measure: sum/min/max partials merge like the base") {
     val viewPath = createView()
     try {
