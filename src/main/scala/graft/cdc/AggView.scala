@@ -45,24 +45,37 @@ object AggView {
       nBuckets: Int = 256, batchId: Long = -1L): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0)
-    partials(df, key, valueCol)
+    // the state columns are generated here; a key by these names
+    // would be silently clobbered
+    require(!Set("cnt", "total", "bucket").contains(key.toLowerCase),
+      s"key column '$key' collides with the view's state columns")
+    val state = partials(df, key, valueCol)
       .withColumn("bucket", bucketOf(col(key), nBuckets))
+    state
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
+      // a session-wide dynamic default would leave a previous
+      // incarnation's extra bucket dirs alive — re-init is a replace
+      .option("partitionOverwriteMode", "static")
       .parquet(s"$dir/data")
-    writeMeta(spark, dir, key, valueCol, nBuckets, batchId)
+    // schema in meta: a fully-retracted view has no footers left to
+    // infer from, and reads must stay well-defined on the empty dir
+    writeMeta(spark, dir, key, valueCol, nBuckets, batchId,
+      Some(state.schema.json))
   }
 
   // driver-side properties file (see MetaFile): the fence advance on
   // EVERY merge used to be a Spark write job; now it's a byte-sized
   // FileSystem stream
   private def writeMeta(spark: SparkSession, dir: String, key: String,
-      valueCol: String, nBuckets: Int, lastBatchId: Long): Unit =
+      valueCol: String, nBuckets: Int, lastBatchId: Long,
+      schemaJson: Option[String] = None): Unit =
     MetaFile.write(spark, dir, Map(
       "key" -> key, "value_col" -> valueCol,
       "n_buckets" -> nBuckets.toString,
-      "last_batch_id" -> lastBatchId.toString))
+      "last_batch_id" -> lastBatchId.toString) ++
+      schemaJson.map("schema_json" -> _))
 
   def readMeta(spark: SparkSession, dir: String): (String, String, Int, Long) = {
     val m = MetaFile.read(spark, dir)
@@ -70,8 +83,22 @@ object AggView {
       m("last_batch_id").toLong)
   }
 
+  private def storedSchema(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    MetaFile.read(spark, dir).get("schema_json").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private def storedData(spark: SparkSession, dir: String): DataFrame =
+    storedSchema(spark, dir) match {
+      // explicit schema: an empty (fully-retracted) data dir must not
+      // throw on inference — pre-schema_json tables fall back
+      case Some(s) => spark.read.schema(s).parquet(s"$dir/data")
+      case None => spark.read.parquet(s"$dir/data")
+    }
+
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/data").drop("bucket")
+    storedData(spark, dir).drop("bucket")
 
   /** Fold one delta batch in. Returns applied=false (and touches
     * nothing) when `batchId` was already applied — the exactly-once
@@ -126,7 +153,7 @@ object AggView {
     val touched = delta.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.nonEmpty) {
-      val stored = spark.read.parquet(s"$dir/data")
+      val stored = storedData(spark, dir)
         .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
       val merged0 = stored.unionByName(delta)
         .groupBy(col("bucket"), col(key))
@@ -164,7 +191,10 @@ object AggView {
       }
     }
     delta.unpersist()
-    writeMeta(spark, dir, key, valueCol, nBuckets, batchId)
+    // fence advance preserves the stored schema (MetaFile overwrites
+    // the whole map)
+    writeMeta(spark, dir, key, valueCol, nBuckets, batchId,
+      storedSchema(spark, dir).map(_.json))
     MergeStats(applied = true, touched)
   }
 }

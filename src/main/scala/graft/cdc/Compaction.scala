@@ -60,11 +60,26 @@ object Compaction {
     * `df` must carry `key` and `versionCol`; `deleteCol` is a boolean
     * tombstone column (rows arriving with it true delete the key).
     */
+  /** Column names the operator generates internally; user data
+    * carrying one would be silently replaced or dropped, so init
+    * rejects them up front.
+    */
+  private[cdc] val ReservedCols =
+    Set("bucket", "batch", "_src", "_rn", "_change_type", "_had_stored",
+      "_pre", "_f")
+
+  private[cdc] def requireNoReserved(cols: Seq[String], what: String): Unit = {
+    val clash = cols.map(_.toLowerCase).toSet.intersect(ReservedCols)
+    require(clash.isEmpty,
+      s"$what collides with reserved internal columns: ${clash.mkString(", ")}")
+  }
+
   def init(df: DataFrame, dir: String, key: String,
       versionCol: String, deleteCol: String,
       nBuckets: Int = 256): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
+    requireNoReserved(df.columns.toSeq, "table schema")
     // a re-init is a full table replace: any change feed or retained
     // history from the previous incarnation describes state that no
     // longer exists
@@ -80,6 +95,10 @@ object Compaction {
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
+      // a session-wide dynamic default would leave old bucket dirs of
+      // a previous incarnation alive under a smaller re-init snapshot
+      // and resurrect their rows — a re-init is a FULL replace
+      .option("partitionOverwriteMode", "static")
       .parquet(s"$dir/data")
     // the data schema rides in the meta too: a table whose every key
     // was deleted has no parquet footers left to infer from, and reads
@@ -91,11 +110,11 @@ object Compaction {
 
   private def writeMeta(spark: SparkSession, dir: String, key: String,
       versionCol: String, deleteCol: String, nBuckets: Int,
-      schemaJson: String): Unit =
+      schemaJson: String, extra: Map[String, String] = Map.empty): Unit =
     MetaFile.write(spark, dir, Map(
       "key" -> key, "version_col" -> versionCol,
       "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
-      "schema_json" -> schemaJson))
+      "schema_json" -> schemaJson) ++ extra)
 
   /** One read of the driver-side meta file per public call: merge
     * needs the key columns, the bucket count AND the stored schema —
@@ -103,14 +122,25 @@ object Compaction {
     */
   private final case class Meta(key: String, versionCol: String,
       deleteCol: String, nBuckets: Int,
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      extra: Map[String, String]) {
+    /** Monotonic counters + vacuum floor (see nextBatch/readAsOf):
+      * survive directory deletion, so numbering never restarts.
+      */
+    def counter(name: String): Long =
+      extra.get(name).map(_.toLong).getOrElse(0L)
+  }
+
+  private val CoreMetaKeys =
+    Set("key", "version_col", "delete_col", "n_buckets", "schema_json")
 
   private def loadMeta(spark: SparkSession, dir: String): Meta = {
     val m = MetaFile.read(spark, dir)
     Meta(m("key"), m("version_col"), m("delete_col"),
       m("n_buckets").toInt,
       org.apache.spark.sql.types.DataType.fromJson(m("schema_json"))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+      m.view.filterKeys(k => !CoreMetaKeys.contains(k)).toMap)
   }
 
   /** The (key, versionCol, deleteCol, nBuckets) a table was built with. */
@@ -131,14 +161,18 @@ object Compaction {
     * A driver-side listing of ≤ |merges| directory names — metadata,
     * never data.
     */
-  private def nextBatch(spark: SparkSession, dir: String): Long = {
+  private def nextBatch(spark: SparkSession, dir: String, m: Meta): Long = {
     val p = new Path(s"$dir/feed")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0L
+    val fromDirs = if (!fs.exists(p)) 0L
     else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
       .foldLeft(-1L)(math.max) + 1L
+    // max with the meta counter: a vacuum that deleted EVERY feed dir
+    // must not restart numbering at 0 — a consumer resuming from
+    // "batch >= K" would silently skip all post-vacuum batches
+    math.max(fromDirs, m.counter("next_feed_batch"))
   }
 
   /** Retained history versions (ascending): `v` values for which
@@ -170,6 +204,12 @@ object Compaction {
     */
   def readAsOf(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val m = loadMeta(spark, dir)
+    // vacuumed pre-images make older versions unreconstructible; the
+    // fallback-to-live logic below would then silently return a mixed
+    // frame corresponding to no state that ever existed
+    val floor = m.counter("history_floor")
+    require(version >= floor,
+      s"version $version was vacuumed; oldest reconstructible is $floor")
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     // bucket -> earliest history version >= `version` holding its pre-image
     val chosen = scala.collection.mutable.Map.empty[Int, Long]
@@ -201,6 +241,12 @@ object Compaction {
   def vacuum(spark: SparkSession, dir: String, keepFromVersion: Long,
       feedBefore: Long = 0L): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val m = loadMeta(spark, dir)
+    // derive the next version BEFORE deleting (pre-counter tables have
+    // only the directory listing to go by)
+    val nextVersion = math.max(
+      versions(spark, dir).foldLeft(-1L)(math.max) + 1L,
+      m.counter("next_history_version"))
     versions(spark, dir).filter(_ < keepFromVersion).foreach { v =>
       fs.delete(new Path(s"$dir/_history/v=$v"), true)
     }
@@ -210,6 +256,18 @@ object Compaction {
         .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
         .filter(_ < feedBefore)
         .foreach(b => fs.delete(new Path(s"$dir/feed/batch=$b"), true))
+    // record what is no longer reconstructible so readAsOf can refuse
+    // instead of silently mixing states, and so history/feed numbering
+    // never restarts even when every directory was deleted. The floor
+    // caps at the NEXT version: versions not yet written will be
+    // reconstructible when they exist, however large keepFromVersion.
+    // The counter also rides along so the next retaining merge cannot
+    // renumber from 0 after a full purge.
+    writeMeta(spark, dir, m.key, m.versionCol, m.deleteCol, m.nBuckets,
+      m.schema.json, m.extra ++ Map(
+        "next_history_version" -> nextVersion.toString,
+        "history_floor" -> math.max(m.counter("history_floor"),
+          math.min(keepFromVersion, nextVersion)).toString))
   }
 
   /** The accumulated change data feed: every feed batch ever emitted,
@@ -281,6 +339,7 @@ object Compaction {
     val (key, versionCol, deleteCol, nBuckets) =
       (m.key, m.versionCol, m.deleteCol, m.nBuckets)
     val dataCols = changelog.columns.filterNot(_ == "bucket")
+    requireNoReserved(dataCols.toSeq, "changelog schema")
 
     val changes = changelog
       .withColumn("bucket", bucketOf(col(key), nBuckets))
@@ -318,6 +377,22 @@ object Compaction {
       .filter(col("_rn") === 1 && !col(deleteCol))
       .drop("_rn", "_src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // commit protocol: EVERYTHING expensive writes into `.staging`
+    // first, and only cheap metadata renames touch the live table —
+    // a write failure (disk full, lost executors) before the install
+    // step leaves the table byte-identical, and the feed publishes
+    // only AFTER the table commit so an at-least-once retry of a
+    // crashed merge re-derives a zero-effect delta (equal-version
+    // rewrite: pre == post, retraction pairs cancel) instead of a
+    // duplicate real one under a fresh batch id. Residual window:
+    // a crash in the middle of the per-bucket install renames leaves
+    // some buckets new and some old — with retainHistory the pre-
+    // images survive in _history; full atomicity needs a transaction
+    // log (stated, not papered over).
+    val staging = s"$dir/.staging"
+    fs.delete(new Path(staging), true) // stale staging of a crashed merge
 
     val feedRows: Long = if (!emitFeed) 0L else {
       // per-key preimage = the (unique) stored row, surfaced to the
@@ -358,30 +433,44 @@ object Compaction {
       val n = classified.count()
       classified
         .repartition(col("bucket")).drop("bucket")
-        .write.mode("overwrite").parquet(s"$dir/feed/batch=${nextBatch(spark, dir)}")
+        .write.mode("overwrite").parquet(s"$staging/feed")
       classified.unpersist()
       n
     }
 
-    // dynamic overwrite: only `bucket=N` dirs present in the output are
-    // replaced; untouched partitions are not read, written, or listed.
-    // The count ALSO materializes `winners` into the block manager
-    // (MEMORY_AND_DISK never drops), which is what licenses the
-    // history renames below: once cached, the write job no longer
-    // reads the pre-merge files we are about to move.
+    // stage the new bucket contents while every pre-image directory is
+    // still live: the write job reads the real files, so losing cache
+    // blocks mid-write merely recomputes — nothing depends on the
+    // persisted `winners` for CORRECTNESS anymore, only for not
+    // re-running the union+window per output
     val rows = winners.count()
+    winners
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
+      .write.partitionBy("bucket").mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .parquet(s"$staging/data")
+    val stagedBuckets = fs.listStatus(new Path(s"$staging/data")).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
+      .toSet
+    // a touched bucket with zero surviving keys staged no partition:
+    // its live directory is removed below and never reinstalled
+    val emptied = touched.filterNot(stagedBuckets)
 
+    var extra = m.extra
     if (retainHistory) {
       // snapshot-by-rename: each touched bucket's directory moves into
-      // `_history/v=K` (K = number of retained versions so far) — a
-      // metadata operation regardless of data size, the same
-      // immutable-file trick a transaction-log table format uses for
+      // `_history/v=K` — a metadata operation regardless of data size,
+      // the immutable-file trick a transaction-log format uses for
       // time travel, expressed in directories. A touched bucket with
-      // no directory yet (first rows ever hashed to it) records an
-      // EMPTY pre-image dir, so readAsOf earlier versions correctly
-      // shows it absent instead of leaking today's rows backwards.
-      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-      val k = versions(spark, dir).foldLeft(-1L)(math.max) + 1L
+      // no directory yet records an EMPTY pre-image dir, so readAsOf
+      // earlier versions shows it absent instead of leaking today's
+      // rows backwards. K rides a meta counter so a full vacuum can
+      // never restart numbering.
+      val k = math.max(
+        versions(spark, dir).foldLeft(-1L)(math.max) + 1L,
+        m.counter("next_history_version"))
       val vDir = new Path(s"$dir/_history/v=$k")
       fs.mkdirs(vDir)
       touched.foreach { b =>
@@ -389,36 +478,39 @@ object Compaction {
         val dst = new Path(s"$dir/_history/v=$k/bucket=$b")
         if (fs.exists(src)) fs.rename(src, dst) else fs.mkdirs(dst)
       }
-    }
-    winners
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
-      .write.partitionBy("bucket").mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$dir/data")
-
-    // a touched bucket with zero surviving keys produced no output
-    // partition, so dynamic overwrite left its old directory intact —
-    // drop it explicitly or the deleted rows come back on read
-    val stillPresent = winners.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val emptied = touched.filterNot(stillPresent)
-    if (emptied.nonEmpty) {
-      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-      emptied.foreach { b =>
+      extra += ("next_history_version" -> (k + 1L).toString)
+    } else {
+      touched.foreach { b =>
         fs.delete(new Path(s"$dir/data/bucket=$b"), true)
       }
     }
+    // install: per-bucket renames from staging into the live table
+    stagedBuckets.toSeq.sorted.foreach { b =>
+      fs.rename(new Path(s"$staging/data/bucket=$b"),
+        new Path(s"$dir/data/bucket=$b"))
+    }
+    // publish the feed batch only now that the table state it
+    // describes is committed
+    if (emitFeed) {
+      val n = nextBatch(spark, dir, m)
+      fs.mkdirs(new Path(s"$dir/feed"))
+      fs.rename(new Path(s"$staging/feed"), new Path(s"$dir/feed/batch=$n"))
+      extra += ("next_feed_batch" -> (n + 1L).toString)
+    }
+    fs.delete(new Path(staging), true)
+
     // widen the meta schema when the changelog introduced columns, so
     // future reads project them (untouched buckets' narrower files
     // null-extend under the explicit read schema). Fields are forced
     // nullable: pre-evolution files genuinely lack the new column.
     val oldFields = m.schema.fieldNames.toSeq
-    if (winners.schema.fieldNames.toSeq != oldFields) {
-      val widened = org.apache.spark.sql.types.StructType(
+    val schemaJson = if (winners.schema.fieldNames.toSeq != oldFields)
+      org.apache.spark.sql.types.StructType(
         winners.schema.fields.map(_.copy(nullable = true))).json
-      writeMeta(spark, dir, key, versionCol, deleteCol, nBuckets, widened)
-    }
+    else m.schema.json
+    if (schemaJson != m.schema.json || extra != m.extra)
+      writeMeta(spark, dir, key, versionCol, deleteCol, nBuckets,
+        schemaJson, extra)
     winners.unpersist()
     if (emitFeed) ranked.unpersist()
     changes.unpersist()

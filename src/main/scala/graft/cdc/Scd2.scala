@@ -67,11 +67,20 @@ object Scd2 {
       nBuckets: Int = 256): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
+    // generated history columns: user data by these names would be
+    // silently clobbered
+    Compaction.requireNoReserved(df.columns.toSeq, "changelog schema")
+    require(!df.columns.map(_.toLowerCase)
+        .exists(Set("valid_to", "is_current")),
+      "changelog schema collides with generated columns valid_to/is_current")
     window(df, key, versionCol, deleteCol)
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
+      // re-init is a full replace regardless of the session's
+      // partitionOverwriteMode default
+      .option("partitionOverwriteMode", "static")
       .parquet(s"$dir/data")
     val schemaJson = window(df.limit(0), key, versionCol, deleteCol).schema
       .add("bucket", org.apache.spark.sql.types.IntegerType).json
