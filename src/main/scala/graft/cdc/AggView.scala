@@ -30,7 +30,7 @@ object AggView {
   final case class MergeStats(applied: Boolean, touchedBuckets: Seq[Int])
 
   private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
-    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+    Bucketing.bucketOf(key, nBuckets)
 
   // totals pinned to DECIMAL(28,2): sum() widens decimal precision per
   // aggregation, and a per-merge widening would drift the stored

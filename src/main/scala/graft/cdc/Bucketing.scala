@@ -1,0 +1,15 @@
+package graft.cdc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+
+/** THE bucketing function of the maintained-table family. One copy on
+  * purpose: Compaction, Scd2 and AggView all derive partition
+  * directories from it, and any drift between writers and readers (or
+  * between init and a later merge) would silently split a key across
+  * buckets — the corruption no spec of a single operator can catch.
+  */
+private[cdc] object Bucketing {
+  def bucketOf(key: Column, nBuckets: Int): Column =
+    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+}

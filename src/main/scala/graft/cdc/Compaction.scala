@@ -54,7 +54,7 @@ object Compaction {
       feedRows: Long = 0L)
 
   private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
-    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+    Bucketing.bucketOf(key, nBuckets)
 
   /** Create (or replace) the compacted table from an initial snapshot.
     * `df` must carry `key` and `versionCol`; `deleteCol` is a boolean

@@ -43,7 +43,7 @@ object Scd2 {
   final case class MergeStats(touchedBuckets: Seq[Int], rowsWritten: Long)
 
   private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
-    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+    Bucketing.bucketOf(key, nBuckets)
 
   /** History rows from a bag of state records: per-key lead window over
     * the version order. Tombstone ties are impossible once `(key,
