@@ -23,6 +23,14 @@ import graft.functions.TextFunctions
   * Shapes follow the MinHash/LSH construction of Broder (1997) and the
   * SimHash construction of Charikar (2002) as popularized for web-scale
   * dedup (Manku et al., WWW'07).
+  *
+  * Caching contract: functions returning LAZY frames persist shared
+  * intermediates (both self-join sides of a banded-signature frame)
+  * at MEMORY_AND_DISK; the handle lives inside the returned plan, so
+  * the blocks release via Spark's LRU rather than an explicit
+  * unpersist. Per-batch ingest loops that call these repeatedly
+  * (e.g. [[dedupAgainstIndex]]) should `spark.catalog.clearCache()`
+  * between batches if storage pressure matters.
   */
 object Dedup {
 
@@ -113,6 +121,12 @@ object Dedup {
     // spread across all cores/executors, not file-granularity tasks
     val withSig = docs.repartition(col(idCol))
       .withColumn("xs", featureHashesModP(col(textCol), ngram))
+      // null/featureless docs all hash to ONE degenerate signature —
+      // every band of every such doc collides with every other,
+      // an O(n_null²) candidate blowup whose pairs the jaccard verify
+      // would only discard afterwards. They cannot be near-dups
+      // (no features to overlap), so they exit the LSH path here.
+      .filter(size(col("xs")) > 0)
       // native kernel; bit-identical to minhashFromHashes (DedupSpec)
       .withColumn("sig",
         graft.functions.MinHashExpr.minhash(col("xs"), numHashes, seed))
@@ -278,7 +292,18 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 12,
       checkEvery: Int = 3, driverEdgeLimit: Long = 500000L): DataFrame = {
-    val nEdges = pairs.count()
+    // the driver fast path casts ids to long; non-integral ids (string
+    // doc keys) would null out and crash — route them to the
+    // distributed loop, which compares ids natively, so behavior
+    // cannot flip with data VOLUME
+    val integralIds = pairs.schema("id_a").dataType match {
+      case org.apache.spark.sql.types.ByteType
+        | org.apache.spark.sql.types.ShortType
+        | org.apache.spark.sql.types.IntegerType
+        | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val nEdges = if (integralIds) pairs.count() else Long.MaxValue
     if (nEdges <= driverEdgeLimit) return driverConnectedComponents(pairs)
     distributedConnectedComponents(pairs, maxIters, checkEvery)
   }
@@ -462,6 +487,9 @@ object Dedup {
       // (DedupSpec pins the equivalence)
       .withColumn("fp",
         graft.functions.SimHashExpr.simhash64(col(hashesCol)))
+    // both self-join sides reference the banded fingerprints; same
+    // persist rule as the MinHash twin — without it the kernel +
+    // explode run twice (blocks release via LRU)
     val banded = withFp.withColumn("chunk", explode(array(
       (0 until chunks).map { c =>
         struct(lit(c).as("chunk_id"),
@@ -469,6 +497,7 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
       }: _*)))
       .select(col(idCol), col("fp"), col("chunk.chunk_id"), col("chunk.chunk_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("fp").as("fp_a"),
       col("chunk_id"), col("chunk_val"))
     val b = banded.select(col(idCol).as("id_b"), col("fp").as("fp_b"),

@@ -146,11 +146,27 @@ object Pq {
       shortlist: Int = 50,
       qId: String = "vec_id", qEmb: String = "embedding",
       cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
-    val codes = encode(corpus, dim, cbs, cId, cEmb)
-      .join(Ivf.index(corpus, coarse, cId, cEmb)
-        .select(col("n_id"), col("list_id")), Seq("n_id"))
+    val codes = codesWithList(corpus, dim, coarse, cbs, cId, cEmb)
     val probes = probeLists(queries, coarse, nprobe, qId, qEmb)
     ivfPqFromCodes(probes, codes, corpus, dim, cbs, k, shortlist, cId, cEmb)
+  }
+
+  /** PQ code + coarse-list assignment in ONE corpus pass: both are
+    * row-local projections of the same row, so joining `encode` with
+    * `Ivf.index` on n_id (two scans + a corpus-wide shuffle to glue
+    * two projections back together) is pure waste at index-build
+    * scale.
+    */
+  private def codesWithList(corpus: DataFrame, dim: Int,
+      coarse: Seq[Array[Double]], cbs: Codebooks,
+      cId: String, cEmb: String): DataFrame = {
+    val m = cbs.size
+    val d = subDim(dim, m)
+    corpus.select(col(cId).as("n_id"),
+      array(cbs.indices.map(j =>
+        Ivf.assignment(slice(col(cEmb), j * d + 1, d), cbs(j))): _*)
+        .as("code"),
+      Ivf.assignment(col(cEmb), coarse).as("list_id"))
   }
 
   /** Disk IVF-PQ index: (n_id, code) rows partitioned by coarse list —
@@ -160,9 +176,7 @@ object Pq {
   def writePqIndex(corpus: DataFrame, dim: Int,
       coarse: Seq[Array[Double]], cbs: Codebooks, dir: String,
       cId: String = "vec_id", cEmb: String = "embedding"): Unit =
-    encode(corpus, dim, cbs, cId, cEmb)
-      .join(Ivf.index(corpus, coarse, cId, cEmb)
-        .select(col("n_id"), col("list_id")), Seq("n_id"))
+    codesWithList(corpus, dim, coarse, cbs, cId, cEmb)
       .write.partitionBy("list_id").mode("overwrite").parquet(dir)
 
   /** Append a new vector batch to a [[writePqIndex]] disk index with
@@ -174,9 +188,7 @@ object Pq {
   def appendToPqIndex(newVecs: DataFrame, dim: Int,
       coarse: Seq[Array[Double]], cbs: Codebooks, dir: String,
       cId: String = "vec_id", cEmb: String = "embedding"): Unit =
-    encode(newVecs, dim, cbs, cId, cEmb)
-      .join(Ivf.index(newVecs, coarse, cId, cEmb)
-        .select(col("n_id"), col("list_id")), Seq("n_id"))
+    codesWithList(newVecs, dim, coarse, cbs, cId, cEmb)
       .write.partitionBy("list_id").mode("append").parquet(dir)
 
   /** IVF-PQ over a disk index from [[writePqIndex]]: the queries'

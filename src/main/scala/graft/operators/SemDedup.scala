@@ -28,10 +28,14 @@ import graft.functions.CosineSimilarityExpr.cosineSim
   */
 object SemDedup {
 
-  /** Deterministic centroids: the k smallest-id vectors. */
+  /** Deterministic centroids: the k smallest-id vectors. TakeOrdered,
+    * not `id < k` — ids need not be dense or 0-based (hashed/snowflake
+    * ids would otherwise yield fewer or zero centroids and the report
+    * would silently drop every vector).
+    */
   def firstK(vectors: DataFrame, idCol: String, embCol: String,
       k: Int): DataFrame =
-    vectors.filter(col(idCol) < k)
+    vectors.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cent_id"), col(embCol).as("cent_emb"))
 
   /** Nearest-centroid assignment: argmax cosine, ties to the smallest
@@ -64,13 +68,20 @@ object SemDedup {
     */
   def reportWith(vectors: DataFrame, centroids: DataFrame, idCol: String,
       embCol: String, threshold: Double = 0.4): DataFrame = {
+    // four consumers below (both pair sides, sizes, the final join):
+    // without the persist the n×k crossJoin + assignment window — the
+    // most expensive stage — runs four times (blocks release via LRU)
     val asg = assign(vectors, centroids, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = asg.select(col("cluster_id"), col(idCol).as("id_a"),
       col(embCol).as("emb_a"))
     val b = asg.select(col("cluster_id"), col(idCol).as("id_b"),
       col(embCol).as("emb_b"))
-    // dup verdicts: bounded by contamination volume, broadcast back
+    // dup verdicts: sized by the corpus's duplicate FRACTION — tens of
+    // percent on web-scale corpora — so no broadcast hint (AQE still
+    // broadcasts when it measures small); only the k-row sizes frame
+    // is safely broadcast-bounded
     val dups = a.join(b, Seq("cluster_id"))
       .filter(col("id_b") > col("id_a"))
       .filter(cosineSim(col("emb_a"), col("emb_b")) >= threshold)
@@ -84,7 +95,7 @@ object SemDedup {
     val sizes = asg.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_cluster"))
     asg.join(broadcast(sizes), Seq("cluster_id"))
-      .join(broadcast(dups), Seq(idCol), "left")
+      .join(dups, Seq(idCol), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
       .withColumn("kept", !col("is_dup"))
       .select(col(idCol), col("cluster_id"), col("n_cluster"),

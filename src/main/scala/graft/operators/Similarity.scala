@@ -44,6 +44,11 @@ object Similarity {
     */
   def signature(emb: Column, numPlanes: Int = 12, dim: Int = 64,
       seed: Long = 42L): Column = {
+    // the signature packs one bit per plane into a 32-bit int (and
+    // multi-probe flips ride 32-bit shifts): past 31 planes the pow
+    // cast overflows and distinct outcomes silently collapse onto the
+    // same bucket
+    require(numPlanes <= 31, s"numPlanes must be <= 31, got $numPlanes")
     val ps = typedlit(planes(numPlanes, dim, seed).map(_.toSeq))
     aggregate(
       zip_with(ps, sequence(lit(0), lit(numPlanes - 1)),

@@ -36,8 +36,15 @@ object TopK {
     }
   }
 
-  private def ord: Ordering[Entry] =
-    Ordering.by[Entry, (Double, Long)] { case (s, id) => (-s, id) }
+  // score DESC with Spark's TOTAL double order (Double.compare ranks
+  // NaN greatest), id ASC tiebreak: `-s` under IEEE ordering would
+  // sort a NaN score (zero-norm embedding cosine) LAST and silently
+  // drop it from the buffer, while the window-rank formulation ranks
+  // it FIRST — the two "identical contract" paths would diverge
+  private def ord: Ordering[Entry] = (a: Entry, b: Entry) => {
+    val byScore = java.lang.Double.compare(b._1, a._1)
+    if (byScore != 0) byScore else java.lang.Long.compare(a._2, b._2)
+  }
 
   final class TopKAggregator(k: Int)
       extends Aggregator[Entry, Buf, Seq[Entry]] {
