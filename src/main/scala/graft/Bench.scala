@@ -29,15 +29,38 @@ object Bench {
     // local-iteration filter (the driver never sets it → full set)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
+
+    // JVM-aging diagnostics. Round-4 showed a 3-6x min-of-3 slowdown on
+    // the alphabetically-late text_*/window_* family that a fresh JVM
+    // does not reproduce — one 196-query JVM degrades as it ages. Track
+    // the usual suspects (GC time, JIT code cache, metaspace) per query
+    // so a future regression names its cause from BENCH_DETAIL alone.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime.max(0L)).sum
+    def poolUsedMb(prefix: String): Double =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith(prefix))
+        .map(_.getUsage.getUsed / 1048576.0).sum
+    val codeCacheLimitMb =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getMax.max(0L) / 1048576.0).sum
+
+    val gcPer = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val gc0 = gcMillis
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true }
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
       }
+      gcPer(name) = (gcMillis - gc0) / 1e3
       name -> times.min
     }
     val failed = results.collect { case (n, t) if t.isInfinity => n }
@@ -49,11 +72,17 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+    val jvmDiag =
+      s""""jvm":{"gc_sec_total":${fmt(gcMillis / 1e3)},""" +
+      s""""code_cache_used_mb":${fmt(poolUsedMb("CodeHeap"))},""" +
+      s""""code_cache_limit_mb":${fmt(codeCacheLimitMb)},""" +
+      s""""metaspace_used_mb":${fmt(poolUsedMb("Metaspace"))}}"""
+
     // Full per-query detail: one line for humans/logs plus a file, because
     // the driver persists only the LAST ~2000 chars of output. The final
     // printed line is therefore a compact, complete JSON object (top-40
     // slowest queries) guaranteed to fit inside that tail window.
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${qjson(results)},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${qjson(results)},"gc_sec":${qjson(gcPer.toSeq)},$jvmDiag,"sf":"$sfDir"}"""
     println(fullLine)
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
@@ -61,7 +90,7 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val top = good.sortBy(-_._2).take(40).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${qjson(top)},"queries_note":"top40_by_time_full_set_in_BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${qjson(top)},"queries_note":"top40_by_time_full_set_in_BENCH_DETAIL.json",$jvmDiag,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

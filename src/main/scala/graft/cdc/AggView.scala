@@ -1,5 +1,6 @@
 package graft.cdc
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,7 +8,7 @@ import org.apache.spark.sql.functions._
   * maintained-table family (latest state = [[Compaction]], history =
   * [[Scd2]], aggregates = this): a per-key (count, sum) table that
   * absorbs delta batches WITHOUT rescanning history, with the same
-  * hash-bucketed layout and partition-pruned rewrites.
+  * hash-bucketed layout and path-pruned rewrites.
   *
   * Count and sum are the canonical ALGEBRAIC aggregates: a batch
   * collapses to per-key partials (map-side combined), and merging is
@@ -15,15 +16,16 @@ import org.apache.spark.sql.functions._
   * derive downstream. Deltas are additive; model an update as a
   * retraction pair (negative delta) if the source emits them.
   *
-  * Exactly-once: merges are NOT idempotent (addition), so the meta
+  * Exactly-once: merges are NOT idempotent (addition), so the manifest
   * records the last applied `batchId` and [[merge]] refuses ids
   * <= it. foreachBatch's dominant failure mode — the batch completed
   * but the checkpoint didn't commit, so the SAME id is re-presented —
-  * becomes a no-op. The remaining window is a crash BETWEEN the data
-  * write and the meta write inside one merge (data applied, fence not
-  * advanced → that one replay double-counts): closing it needs an
-  * atomic data+meta commit (a transaction log à la Delta/Iceberg),
-  * which is out of scope here and stated rather than papered over.
+  * becomes a no-op. The fence and the data commit are ONE atomic
+  * manifest rename (see [[TxLog]]): a crash between the bucket write
+  * and the commit leaves both the data and the fence at the previous
+  * batch, so the replay applies exactly once — the double-count window
+  * the previous separate data/meta writes had is closed (verified by
+  * the crash-injection AtomicCommitSpec).
   */
 object AggView {
 
@@ -41,6 +43,13 @@ object AggView {
         sum(col(valueCol).cast("decimal(18,2)"))
           .cast("decimal(28,2)").as("total"))
 
+  private def coreProps(key: String, valueCol: String, nBuckets: Int,
+      lastBatchId: Long, schemaJson: String): Map[String, String] = Map(
+    "key" -> key, "value_col" -> valueCol,
+    "n_buckets" -> nBuckets.toString,
+    "last_batch_id" -> lastBatchId.toString,
+    "schema_json" -> schemaJson)
+
   def init(df: DataFrame, dir: String, key: String, valueCol: String,
       nBuckets: Int = 256, batchId: Long = -1L): Unit = {
     val spark = df.sparkSession
@@ -49,56 +58,74 @@ object AggView {
     // would be silently clobbered
     require(!Set("cnt", "total", "bucket").contains(key.toLowerCase),
       s"key column '$key' collides with the view's state columns")
+    val fs = TxLog.fs(spark, dir)
+    Seq("manifest", "data", ".staging", "meta")
+      .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     val state = partials(df, key, valueCol)
       .withColumn("bucket", bucketOf(col(key), nBuckets))
     state
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
-      // a session-wide dynamic default would leave a previous
-      // incarnation's extra bucket dirs alive — re-init is a replace
-      .option("partitionOverwriteMode", "static")
-      .parquet(s"$dir/data")
-    // schema in meta: a fully-retracted view has no footers left to
-    // infer from, and reads must stay well-defined on the empty dir
-    writeMeta(spark, dir, key, valueCol, nBuckets, batchId,
-      Some(state.schema.json))
+      .parquet(s"$dir/.staging/data")
+    val staged = stagedBucketIds(fs, dir)
+    installAndCommit(spark, dir, 0L,
+      staged.map(b => b -> s"g0/bucket=$b").toMap,
+      coreProps(key, valueCol, nBuckets, batchId,
+        state.drop("bucket").schema.json))
+    fs.delete(new Path(s"$dir/.staging"), true)
   }
 
-  // driver-side properties file (see MetaFile): the fence advance on
-  // EVERY merge used to be a Spark write job; now it's a byte-sized
-  // FileSystem stream
-  private def writeMeta(spark: SparkSession, dir: String, key: String,
-      valueCol: String, nBuckets: Int, lastBatchId: Long,
-      schemaJson: Option[String] = None): Unit =
-    MetaFile.write(spark, dir, Map(
-      "key" -> key, "value_col" -> valueCol,
-      "n_buckets" -> nBuckets.toString,
-      "last_batch_id" -> lastBatchId.toString) ++
-      schemaJson.map("schema_json" -> _))
+  private def stagedBucketIds(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Int] = {
+    val p = new Path(s"$dir/.staging/data")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
+  }
+
+  private def installAndCommit(spark: SparkSession, dir: String,
+      version: Long, newBuckets: Map[Int, String],
+      props: Map[String, String]): Unit = {
+    val fs = TxLog.fs(spark, dir)
+    val stagedData = new Path(s"$dir/.staging/data")
+    if (fs.exists(stagedData)) {
+      fs.mkdirs(new Path(s"$dir/data"))
+      val dst = new Path(s"$dir/data/g$version")
+      require(fs.rename(stagedData, dst),
+        s"install rename failed: $stagedData -> $dst")
+    }
+    TxLog.commit(spark, dir, version, props ++ TxLog.bucketProps(newBuckets))
+  }
+
+  private def snap(spark: SparkSession, dir: String): TxLog.Snapshot =
+    TxLog.latest(spark, dir).getOrElse(throw new
+      IllegalArgumentException(s"no committed manifest under $dir"))
 
   def readMeta(spark: SparkSession, dir: String): (String, String, Int, Long) = {
-    val m = MetaFile.read(spark, dir)
-    (m("key"), m("value_col"), m("n_buckets").toInt,
-      m("last_batch_id").toLong)
+    val s = snap(spark, dir)
+    (s.props("key"), s.props("value_col"), s.props("n_buckets").toInt,
+      s.props("last_batch_id").toLong)
   }
 
-  private def storedSchema(spark: SparkSession, dir: String)
-      : Option[org.apache.spark.sql.types.StructType] =
-    MetaFile.read(spark, dir).get("schema_json").map(j =>
-      org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  private def schemaOf(s: TxLog.Snapshot) =
+    org.apache.spark.sql.types.DataType.fromJson(s.props("schema_json"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
-  private def storedData(spark: SparkSession, dir: String): DataFrame =
-    storedSchema(spark, dir) match {
-      // explicit schema: an empty (fully-retracted) data dir must not
-      // throw on inference — pre-schema_json tables fall back
-      case Some(s) => spark.read.schema(s).parquet(s"$dir/data")
-      case None => spark.read.parquet(s"$dir/data")
-    }
+  private def storedData(spark: SparkSession, dir: String,
+      s: TxLog.Snapshot): DataFrame = {
+    val schema = schemaOf(s)
+    val paths = s.buckets.values.map(rel => s"$dir/data/$rel").toSeq
+    // explicit schema: a fully-retracted view has no footers left to
+    // infer from, and reads must stay well-defined with zero live paths
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
 
   def read(spark: SparkSession, dir: String): DataFrame =
-    storedData(spark, dir).drop("bucket")
+    storedData(spark, dir, snap(spark, dir))
 
   /** Fold one delta batch in. Returns applied=false (and touches
     * nothing) when `batchId` was already applied — the exactly-once
@@ -107,10 +134,12 @@ object AggView {
     */
   def merge(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long): MergeStats = {
-    val (key, valueCol, nBuckets, lastId) = readMeta(spark, dir)
-    if (batchId <= lastId) return MergeStats(applied = false, Nil)
-    mergeDeltas(spark, dir, partials(batch, key, valueCol),
-      key, valueCol, nBuckets, batchId, canRetract = false)
+    val s = snap(spark, dir)
+    if (batchId <= s.props("last_batch_id").toLong)
+      return MergeStats(applied = false, Nil)
+    mergeDeltas(spark, dir, s,
+      partials(batch, s.props("key"), s.props("value_col")),
+      batchId, canRetract = false)
   }
 
   /** Incremental view maintenance over a [[Compaction]] change data
@@ -123,12 +152,15 @@ object AggView {
     * and downstream aggregates never rescan it. `feed` must carry the
     * view's key and value columns plus `_change_type`; a key whose
     * merged count reaches zero leaves the view (and a bucket emptied
-    * that way has its directory removed, same rule as Compaction).
+    * that way leaves the manifest's bucket map, same rule as
+    * Compaction).
     */
   def applyFeed(spark: SparkSession, dir: String, feed: DataFrame,
       batchId: Long): MergeStats = {
-    val (key, valueCol, nBuckets, lastId) = readMeta(spark, dir)
-    if (batchId <= lastId) return MergeStats(applied = false, Nil)
+    val s = snap(spark, dir)
+    if (batchId <= s.props("last_batch_id").toLong)
+      return MergeStats(applied = false, Nil)
+    val (key, valueCol) = (s.props("key"), s.props("value_col"))
     val sign = when(
         col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
@@ -140,61 +172,67 @@ object AggView {
       // an update whose value did not move is a (0, 0) delta: folding
       // it in would rewrite the key's bucket to state it already holds
       .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0)
-    mergeDeltas(spark, dir, signed, key, valueCol, nBuckets, batchId,
-      canRetract = true)
+    mergeDeltas(spark, dir, s, signed, batchId, canRetract = true)
   }
 
   private def mergeDeltas(spark: SparkSession, dir: String,
-      deltaPartials: DataFrame, key: String, valueCol: String,
-      nBuckets: Int, batchId: Long, canRetract: Boolean): MergeStats = {
+      s: TxLog.Snapshot, deltaPartials: DataFrame,
+      batchId: Long, canRetract: Boolean): MergeStats = {
+    val (key, valueCol, nBuckets) =
+      (s.props("key"), s.props("value_col"), s.props("n_buckets").toInt)
+    val fs = TxLog.fs(spark, dir)
     val delta = deltaPartials
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = delta.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    val newVersion = s.version + 1L
+    var newBuckets = s.buckets
     if (touched.nonEmpty) {
-      val stored = storedData(spark, dir)
-        .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-      val merged0 = stored.unionByName(delta)
+      // crashed-writer leftovers must go before our install rename
+      fs.delete(new Path(s"$dir/.staging"), true)
+      TxLog.sweep(spark, dir)
+      val touchedPaths = s.buckets.view
+        .filterKeys(touched.toSet).values.map(rel => s"$dir/data/$rel").toSeq
+      val schema = schemaOf(s)
+      val stored =
+        if (touchedPaths.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(touchedPaths: _*)
+      val merged = stored
+        .withColumn("bucket", bucketOf(col(key), nBuckets))
+        .unionByName(delta)
         .groupBy(col("bucket"), col(key))
         .agg(sum(col("cnt")).as("cnt"),
           sum(col("total")).cast("decimal(28,2)").as("total"))
         // a fully-retracted key (merged count 0) leaves the view;
         // additive-only deltas can't reach 0, so the plain merge path
-        // skips the filter and the emptied-bucket accounting below
+        // skips the filter
         .filter(!lit(canRetract) || col("cnt") =!= 0)
         .select(col(key), col("cnt"), col("total"), col("bucket"))
-      val merged = if (canRetract)
-        merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else merged0
       merged
         .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
+        .sortWithinPartitions(col("bucket"), col(key))
         .write.partitionBy("bucket").mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(s"$dir/data")
-      if (canRetract) {
-        // retractions can empty a touched bucket entirely; dynamic
-        // overwrite then wrote no partition for it and the stale
-        // directory would resurrect the rows on read
-        val stillPresent = merged.select(col("bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        merged.unpersist()
-        val emptied = touched.filterNot(stillPresent)
-        if (emptied.nonEmpty) {
-          val fs = new org.apache.hadoop.fs.Path(dir)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          emptied.foreach { b =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$dir/data/bucket=$b"), true)
-          }
-        }
-      }
+        .parquet(s"$dir/.staging/data")
+      // a retraction can empty a touched bucket entirely: it staged no
+      // partition and simply leaves the bucket map — no stale
+      // directory can resurrect its rows because readers only ever
+      // resolve manifest-listed paths
+      val staged = stagedBucketIds(fs, dir)
+      newBuckets = (s.buckets -- touched) ++
+        staged.map(b => b -> s"g$newVersion/bucket=$b")
     }
+    // ONE commit publishes the new bucket contents AND the advanced
+    // fence — the atomic data+meta write (a no-data batch still
+    // commits a manifest: the fence must advance exactly-once too)
+    installAndCommit(spark, dir, newVersion, newBuckets,
+      coreProps(key, valueCol, nBuckets, batchId,
+        s.props("schema_json")))
+    fs.delete(new Path(s"$dir/.staging"), true)
+    TxLog.vacuum(spark, dir, newVersion)
     delta.unpersist()
-    // fence advance preserves the stored schema (MetaFile overwrites
-    // the whole map)
-    writeMeta(spark, dir, key, valueCol, nBuckets, batchId,
-      storedSchema(spark, dir).map(_.json))
     MergeStats(applied = true, touched)
   }
 }

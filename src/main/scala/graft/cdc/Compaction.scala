@@ -15,34 +15,41 @@ import org.apache.spark.sql.functions._
   * documents corpus itself) and must therefore never rewrite more than
   * it touches.
   *
-  * Layout: `<dir>/data/bucket=N/…` — the table is hash-bucketed on the
-  * merge key (`pmod(xxhash64(key), nBuckets)`) and stored as one
-  * partition directory per bucket, plus `<dir>/meta` pinning
-  * (key, versionCol, deleteCol, nBuckets) so every later merge derives
-  * the exact same bucketing (a mismatched bucket function would
-  * silently split keys across partitions — same self-describing-index
-  * rule as Dedup.writeLshIndex).
+  * Layout (see [[TxLog]] for the commit protocol): immutable parquet
+  * bucket directories under `<dir>/data/g<V>/bucket=B` — the table is
+  * hash-bucketed on the merge key (`pmod(xxhash64(key), nBuckets)`) —
+  * and a versioned manifest under `<dir>/manifest` naming, for every
+  * live bucket, the generation directory currently holding it, plus
+  * all table metadata (key/version/delete columns, bucket count,
+  * schema, feed counter). Readers resolve the latest manifest; writers
+  * stage data invisibly and publish with ONE manifest rename, so a
+  * crash at any point leaves either the old committed state or the new
+  * one — never a torn mix (the atomic data+meta commit the previous
+  * delete-then-rename install lacked).
   *
   * A merge batch:
   *  1. buckets the changelog with the stored hash;
   *  2. collects the DISTINCT touched bucket ids (bounded by nBuckets —
   *     a driver-sized list by construction, never O(rows));
-  *  3. reads ONLY those partitions of the snapshot (partition-pruned
-  *     scan: the filter is on the partition column);
+  *  3. reads ONLY the touched buckets' directories (path-pruned scan:
+  *     the manifest maps bucket id → directory, no listing of the
+  *     untouched ones);
   *  4. reconciles latest-state per key — max version wins, changelog
   *     beats snapshot at equal version (the upsert), winners flagged
   *     deleted are dropped (the DELETE);
-  *  5. overwrites ONLY the touched `bucket=N` directories (dynamic
-  *     partition overwrite), removing any touched bucket whose keys
-  *     were all deleted — dynamic overwrite alone would silently leave
-  *     the stale directory behind and resurrect the rows.
+  *  5. writes the touched buckets' new contents into generation
+  *     `g<V+1>` and commits manifest v<V+1> in which untouched buckets
+  *     keep their old directories verbatim (their files are never
+  *     opened, moved, or rewritten) and fully-deleted buckets simply
+  *     leave the map.
   *
   * Cost per batch is O(|changes| + |snapshot rows sharing a bucket
   * with a change|): at 100 TB with 4096 buckets, a batch touching 1%
   * of keys reads/writes ~1% of partitions, and an untouched partition
   * is never opened (asserted byte-for-byte in CompactionSpec). On a
   * real cluster the same semantics would ride an ACID table format's
-  * MERGE; this is the plain-parquet expression of that plan.
+  * MERGE; this is the plain-parquet expression of that design — and
+  * the manifest IS the (minimal) transaction log such formats use.
   */
 object Compaction {
 
@@ -56,10 +63,6 @@ object Compaction {
   private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
     Bucketing.bucketOf(key, nBuckets)
 
-  /** Create (or replace) the compacted table from an initial snapshot.
-    * `df` must carry `key` and `versionCol`; `deleteCol` is a boolean
-    * tombstone column (rows arriving with it true delete the key).
-    */
   /** Column names the operator generates internally; user data
     * carrying one would be silently replaced or dropped, so init
     * rejects them up front.
@@ -74,18 +77,22 @@ object Compaction {
       s"$what collides with reserved internal columns: ${clash.mkString(", ")}")
   }
 
+  /** Create (or replace) the compacted table from an initial snapshot.
+    * `df` must carry `key` and `versionCol`; `deleteCol` is a boolean
+    * tombstone column (rows arriving with it true delete the key).
+    * A re-init is a full table replace: previous manifests, data,
+    * feed batches and counters all restart.
+    */
   def init(df: DataFrame, dir: String, key: String,
       versionCol: String, deleteCol: String,
       nBuckets: Int = 256): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
     requireNoReserved(df.columns.toSeq, "table schema")
-    // a re-init is a full table replace: any change feed or retained
-    // history from the previous incarnation describes state that no
-    // longer exists
-    val fs0 = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    fs0.delete(new Path(s"$dir/feed"), true)
-    fs0.delete(new Path(s"$dir/_history"), true)
+    val fs = TxLog.fs(spark, dir)
+    Seq("manifest", "data", "feed", ".staging", "meta", "_history")
+      .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
+    val staging = s"$dir/.staging"
     df.filter(!col(deleteCol))
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       // hash-partition on bucket + in-partition (bucket, key) sort:
@@ -95,53 +102,70 @@ object Compaction {
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
-      // a session-wide dynamic default would leave old bucket dirs of
-      // a previous incarnation alive under a smaller re-init snapshot
-      // and resurrect their rows — a re-init is a FULL replace
-      .option("partitionOverwriteMode", "static")
-      .parquet(s"$dir/data")
-    // the data schema rides in the meta too: a table whose every key
-    // was deleted has no parquet footers left to infer from, and reads
-    // with an explicit schema stay well-defined on an empty dir
-    val schemaJson = df.schema
-      .add("bucket", org.apache.spark.sql.types.IntegerType).json
-    writeMeta(spark, dir, key, versionCol, deleteCol, nBuckets, schemaJson)
+      .parquet(s"$staging/data")
+    val staged = stagedBucketIds(fs, staging)
+    installAndCommit(spark, dir, version = 0L,
+      newBuckets = staged.map(b => b -> s"g0/bucket=$b").toMap,
+      props = coreProps(key, versionCol, deleteCol, nBuckets,
+        df.schema.json))
+    fs.delete(new Path(staging), true)
   }
 
-  private def writeMeta(spark: SparkSession, dir: String, key: String,
-      versionCol: String, deleteCol: String, nBuckets: Int,
-      schemaJson: String, extra: Map[String, String] = Map.empty): Unit =
-    MetaFile.write(spark, dir, Map(
-      "key" -> key, "version_col" -> versionCol,
-      "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
-      "schema_json" -> schemaJson) ++ extra)
+  private def coreProps(key: String, versionCol: String, deleteCol: String,
+      nBuckets: Int, schemaJson: String): Map[String, String] = Map(
+    "key" -> key, "version_col" -> versionCol,
+    "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
+    "schema_json" -> schemaJson)
 
-  /** One read of the driver-side meta file per public call: merge
-    * needs the key columns, the bucket count AND the stored schema —
-    * pure bookkeeping that costs zero Spark jobs (see [[MetaFile]]).
+  private def stagedBucketIds(fs: org.apache.hadoop.fs.FileSystem,
+      staging: String): Seq[Int] = {
+    val p = new Path(s"$staging/data")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
+  }
+
+  /** Move the staged generation into place (one rename — the staged
+    * directory is invisible to readers until the manifest commit that
+    * follows), then commit the manifest. The ONLY mutation of
+    * committed state in the whole merge is the commit rename inside
+    * [[TxLog.commit]].
     */
-  private final case class Meta(key: String, versionCol: String,
-      deleteCol: String, nBuckets: Int,
-      schema: org.apache.spark.sql.types.StructType,
-      extra: Map[String, String]) {
-    /** Monotonic counters + vacuum floor (see nextBatch/readAsOf):
-      * survive directory deletion, so numbering never restarts.
-      */
-    def counter(name: String): Long =
-      extra.get(name).map(_.toLong).getOrElse(0L)
+  private def installAndCommit(spark: SparkSession, dir: String,
+      version: Long, newBuckets: Map[Int, String],
+      props: Map[String, String]): TxLog.Snapshot = {
+    val fs = TxLog.fs(spark, dir)
+    val stagedData = new Path(s"$dir/.staging/data")
+    if (fs.exists(stagedData)) {
+      fs.mkdirs(new Path(s"$dir/data"))
+      val dst = new Path(s"$dir/data/g$version")
+      require(fs.rename(stagedData, dst),
+        s"install rename failed: $stagedData -> $dst")
+    }
+    TxLog.commit(spark, dir, version, props ++ TxLog.bucketProps(newBuckets))
   }
 
-  private val CoreMetaKeys =
-    Set("key", "version_col", "delete_col", "n_buckets", "schema_json")
+  /** One read of the driver-side manifest per public call: merge needs
+    * the key columns, the bucket count, the stored schema AND the live
+    * bucket map — pure bookkeeping that costs zero Spark jobs.
+    */
+  private final case class Meta(snap: TxLog.Snapshot, key: String,
+      versionCol: String, deleteCol: String, nBuckets: Int,
+      schema: org.apache.spark.sql.types.StructType) {
+    def buckets: Map[Int, String] = snap.buckets
+  }
 
   private def loadMeta(spark: SparkSession, dir: String): Meta = {
-    val m = MetaFile.read(spark, dir)
-    Meta(m("key"), m("version_col"), m("delete_col"),
-      m("n_buckets").toInt,
-      org.apache.spark.sql.types.DataType.fromJson(m("schema_json"))
-        .asInstanceOf[org.apache.spark.sql.types.StructType],
-      m.view.filterKeys(k => !CoreMetaKeys.contains(k)).toMap)
+    val snap = TxLog.latest(spark, dir).getOrElse(throw new
+        IllegalArgumentException(s"no committed manifest under $dir"))
+    metaOf(snap)
   }
+
+  private def metaOf(snap: TxLog.Snapshot): Meta =
+    Meta(snap, snap.props("key"), snap.props("version_col"),
+      snap.props("delete_col"), snap.props("n_buckets").toInt,
+      org.apache.spark.sql.types.DataType.fromJson(snap.props("schema_json"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** The (key, versionCol, deleteCol, nBuckets) a table was built with. */
   def readMeta(spark: SparkSession, dir: String): (String, String, String, Int) = {
@@ -149,9 +173,26 @@ object Compaction {
     (m.key, m.versionCol, m.deleteCol, m.nBuckets)
   }
 
-  private def storedData(spark: SparkSession, dir: String,
-      m: Meta): DataFrame =
-    spark.read.schema(m.schema).parquet(s"$dir/data")
+  /** Absolute live bucket directories (for specs and path accounting). */
+  private[graft] def livePaths(spark: SparkSession, dir: String): Map[Int, String] =
+    loadMeta(spark, dir).buckets.map { case (b, rel) => b -> s"$dir/data/$rel" }
+
+  /** Read the named bucket directories under `schema` (files carry the
+    * data columns only — the bucket id is re-derived from the key,
+    * which is exactly the function that placed the row there).
+    */
+  private def readBuckets(spark: SparkSession, dir: String, m: Meta,
+      rels: Iterable[String]): DataFrame = {
+    val paths = rels.map(rel => s"$dir/data/$rel").toSeq
+    val noBucket = if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(paths: _*)
+    noBucket.withColumn("bucket", bucketOf(col(m.key), m.nBuckets))
+  }
+
+  private def storedData(spark: SparkSession, dir: String, m: Meta): DataFrame =
+    readBuckets(spark, dir, m, m.buckets.values)
 
   /** The live table, without the internal bucket column. */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -163,111 +204,60 @@ object Compaction {
     */
   private def nextBatch(spark: SparkSession, dir: String, m: Meta): Long = {
     val p = new Path(s"$dir/feed")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = TxLog.fs(spark, dir)
     val fromDirs = if (!fs.exists(p)) 0L
     else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
       .foldLeft(-1L)(math.max) + 1L
-    // max with the meta counter: a vacuum that deleted EVERY feed dir
-    // must not restart numbering at 0 — a consumer resuming from
+    // max with the manifest counter: a vacuum that deleted EVERY feed
+    // dir must not restart numbering at 0 — a consumer resuming from
     // "batch >= K" would silently skip all post-vacuum batches
-    math.max(fromDirs, m.counter("next_feed_batch"))
+    math.max(fromDirs, m.snap.counter("next_feed_batch"))
   }
 
-  /** Retained history versions (ascending): `v` values for which
-    * `readAsOf(v)` can reconstruct the pre-merge state, provided every
-    * later merge also retained.
+  /** Versions time travel can reconstruct (ascending): every committed
+    * manifest still on disk below the live one. A merge with
+    * `retainHistory = false` drops all older manifests (its touched
+    * buckets' pre-images are gone), so presence on disk IS
+    * reconstructibility.
     */
-  def versions(spark: SparkSession, dir: String): Seq[Long] = {
-    val p = new Path(s"$dir/_history")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }.sorted
-  }
+  def versions(spark: SparkSession, dir: String): Seq[Long] =
+    TxLog.versionsOnDisk(spark, dir).dropRight(1)
 
-  /** Time travel: the table as it stood AFTER `version` retaining
-    * merges (version 0 = the initial snapshot). Works because a
-    * retaining merge RENAMES each touched bucket directory into
-    * `_history/v=K` before rewriting it — a metadata move, no byte is
-    * copied — so for every bucket the state at version v is either the
-    * pre-image saved by the FIRST retaining merge ≥ v that touched it
-    * (no rewrite happened in between, so the two states coincide), or
-    * the live directory if no later merge touched it. The
-    * reconstruction is driver-side listings plus one partition-pruned
-    * scan per involved history version — O(merges + buckets) metadata,
-    * never a table copy. Requires every merge since `version` to have
-    * run with `retainHistory = true`; rows read back in the CURRENT
-    * schema (columns added later null-extend, exactly like untouched
-    * buckets do after an evolution).
+  /** Time travel: the table as it stood at committed version `v`
+    * (version 0 = the initial snapshot, each merge adds one). With the
+    * manifest protocol this is nothing but "resolve manifest v": data
+    * files are immutable, so the old manifest's bucket map still names
+    * the exact directories that held the table then — no renames, no
+    * pre-image copies, O(1) metadata. Requires every merge since `v`
+    * to have run with `retainHistory = true` (a non-retaining merge
+    * vacuums older manifests); rows read back in the CURRENT schema
+    * (columns added later null-extend, exactly like untouched buckets
+    * do after an evolution).
     */
   def readAsOf(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val m = loadMeta(spark, dir)
-    // vacuumed pre-images make older versions unreconstructible; the
-    // fallback-to-live logic below would then silently return a mixed
-    // frame corresponding to no state that ever existed
-    val floor = m.counter("history_floor")
-    require(version >= floor,
-      s"version $version was vacuumed; oldest reconstructible is $floor")
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    // bucket -> earliest history version >= `version` holding its pre-image
-    val chosen = scala.collection.mutable.Map.empty[Int, Long]
-    versions(spark, dir).filter(_ >= version).foreach { v =>
-      fs.listStatus(new Path(s"$dir/_history/v=$v")).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("bucket=")) {
-          val b = name.drop(7).toInt
-          if (!chosen.contains(b)) chosen(b) = v
-        }
-      }
-    }
-    val live = storedData(spark, dir, m)
-      .filter(!col("bucket").isin(chosen.keys.toSeq.map(Integer.valueOf): _*))
-    chosen.toSeq.groupBy(_._2).foldLeft(live) { case (acc, (v, buckets)) =>
-      val paths = buckets.map { case (b, _) => s"$dir/_history/v=$v/bucket=$b" }
-      acc.unionByName(
-        spark.read.schema(m.schema)
-          .option("basePath", s"$dir/_history/v=$v")
-          .parquet(paths: _*),
-        allowMissingColumns = true)
-    }.drop("bucket")
+    val live = loadMeta(spark, dir)
+    val old = TxLog.read(spark, dir, version)
+    readBuckets(spark, dir, live.copy(snap = old), old.buckets.values)
+      .drop("bucket")
   }
 
   /** Drop history versions below `keepFrom` (and, with `feedBefore`,
     * feed batches below it): the retention knob that bounds time-travel
-    * storage. Driver-side directory deletes only.
+    * storage. Driver-side manifest deletes + a garbage sweep of the
+    * data directories they alone referenced.
     */
   def vacuum(spark: SparkSession, dir: String, keepFromVersion: Long,
       feedBefore: Long = 0L): Unit = {
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val m = loadMeta(spark, dir)
-    // derive the next version BEFORE deleting (pre-counter tables have
-    // only the directory listing to go by)
-    val nextVersion = math.max(
-      versions(spark, dir).foldLeft(-1L)(math.max) + 1L,
-      m.counter("next_history_version"))
-    versions(spark, dir).filter(_ < keepFromVersion).foreach { v =>
-      fs.delete(new Path(s"$dir/_history/v=$v"), true)
-    }
+    val fs = TxLog.fs(spark, dir)
+    TxLog.vacuum(spark, dir, keepFromVersion)
     val feedRoot = new Path(s"$dir/feed")
     if (feedBefore > 0L && fs.exists(feedRoot))
       fs.listStatus(feedRoot).map(_.getPath.getName)
         .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
         .filter(_ < feedBefore)
         .foreach(b => fs.delete(new Path(s"$dir/feed/batch=$b"), true))
-    // record what is no longer reconstructible so readAsOf can refuse
-    // instead of silently mixing states, and so history/feed numbering
-    // never restarts even when every directory was deleted. The floor
-    // caps at the NEXT version: versions not yet written will be
-    // reconstructible when they exist, however large keepFromVersion.
-    // The counter also rides along so the next retaining merge cannot
-    // renumber from 0 after a full purge.
-    writeMeta(spark, dir, m.key, m.versionCol, m.deleteCol, m.nBuckets,
-      m.schema.json, m.extra ++ Map(
-        "next_history_version" -> nextVersion.toString,
-        "history_floor" -> math.max(m.counter("history_floor"),
-          math.min(keepFromVersion, nextVersion)).toString))
   }
 
   /** The accumulated change data feed: every feed batch ever emitted,
@@ -299,18 +289,20 @@ object Compaction {
       .withColumn(deleteCol, col("_change_type") === "delete")
       .drop("_change_type", "batch")
 
-  /** The partition-pruned slice of the snapshot a merge of `touched`
+  /** The path-pruned slice of the snapshot a merge of `touched`
     * buckets reads — factored out so CompactionSpec can assert the
-    * scan's selected-partition count equals |touched|.
+    * scan opens exactly the touched buckets' files and nothing else.
     */
-  private[cdc] def prunedSnapshot(spark: SparkSession, dir: String,
+  private[graft] def prunedSnapshot(spark: SparkSession, dir: String,
       touched: Seq[Int]): DataFrame =
     prunedSnapshot(spark, dir, touched, loadMeta(spark, dir))
 
   private def prunedSnapshot(spark: SparkSession, dir: String,
-      touched: Seq[Int], m: Meta): DataFrame =
-    storedData(spark, dir, m)
-      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      touched: Seq[Int], m: Meta): DataFrame = {
+    val t = touched.toSet
+    readBuckets(spark, dir, m,
+      m.buckets.view.filterKeys(t.contains).values)
+  }
 
   /** Apply one change batch to the table at `dir` (see object doc).
     * Changelog rows must carry the table's key/version/delete columns
@@ -332,6 +324,17 @@ object Compaction {
     * classifier); a maintained table at scale derives them from what
     * the merge actually did, so consumers can subscribe to `feed/`
     * instead of diffing 100 TB snapshots.
+    *
+    * Crash safety: every expensive write lands in `.staging` or an
+    * uncommitted generation directory; the commit point is the single
+    * manifest rename. A crash before it leaves the table (and its
+    * metadata) byte-identical; a crash after it leaves a committed
+    * merge plus garbage that the next merge sweeps. The one residual
+    * window is the feed PUBLISH (a rename immediately after commit):
+    * a crash exactly in between loses that feed batch while the table
+    * keeps the merge — the at-least-once retry then re-derives a
+    * zero-effect delta under the next batch id rather than a
+    * duplicate real one.
     */
   def merge(spark: SparkSession, dir: String, changelog: DataFrame,
       emitFeed: Boolean = false, retainHistory: Boolean = false): MergeStats = {
@@ -350,14 +353,22 @@ object Compaction {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) { changes.unpersist(); return MergeStats(Nil, Nil, 0L) }
 
+    val fs = TxLog.fs(spark, dir)
+    // clear a crashed writer's leftovers: stale staging, and any
+    // generation directory above the committed version (data installed
+    // but never committed — it must go or our own install collides)
+    val staging = s"$dir/.staging"
+    fs.delete(new Path(staging), true)
+    TxLog.sweep(spark, dir)
+
     // stored rows never carry tombstones (init/merge drop them), so
     // rank snapshot rows as source=0 vs changelog source=1: on a
     // version tie the change wins — INSERT .. ON CONFLICT DO UPDATE.
     // allowMissingColumns = schema evolution both ways: a changelog
-    // that ADDS a column null-fills stored rows (and widens the meta
-    // schema below, so untouched buckets' narrower files read back
-    // null-extended); a changelog missing a stored column null-fills
-    // its own rows.
+    // that ADDS a column null-fills stored rows (and widens the
+    // manifest schema below, so untouched buckets' narrower files read
+    // back null-extended); a changelog missing a stored column
+    // null-fills its own rows.
     val snapshot = prunedSnapshot(spark, dir, touched, m)
       .withColumn("_src", lit(0))
     val unioned = snapshot.unionByName(
@@ -377,22 +388,6 @@ object Compaction {
       .filter(col("_rn") === 1 && !col(deleteCol))
       .drop("_rn", "_src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    // commit protocol: EVERYTHING expensive writes into `.staging`
-    // first, and only cheap metadata renames touch the live table —
-    // a write failure (disk full, lost executors) before the install
-    // step leaves the table byte-identical, and the feed publishes
-    // only AFTER the table commit so an at-least-once retry of a
-    // crashed merge re-derives a zero-effect delta (equal-version
-    // rewrite: pre == post, retraction pairs cancel) instead of a
-    // duplicate real one under a fresh batch id. Residual window:
-    // a crash in the middle of the per-bucket install renames leaves
-    // some buckets new and some old — with retainHistory the pre-
-    // images survive in _history; full atomicity needs a transaction
-    // log (stated, not papered over).
-    val staging = s"$dir/.staging"
-    fs.delete(new Path(staging), true) // stale staging of a crashed merge
 
     val feedRows: Long = if (!emitFeed) 0L else {
       // per-key preimage = the (unique) stored row, surfaced to the
@@ -439,78 +434,57 @@ object Compaction {
     }
 
     // stage the new bucket contents while every pre-image directory is
-    // still live: the write job reads the real files, so losing cache
-    // blocks mid-write merely recomputes — nothing depends on the
-    // persisted `winners` for CORRECTNESS anymore, only for not
-    // re-running the union+window per output
+    // still live (they stay live until a LATER merge's sweep — commit
+    // never deletes): the write job reads the real committed files, so
+    // losing cache blocks mid-write merely recomputes
     val rows = winners.count()
     winners
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
-      .option("partitionOverwriteMode", "static")
       .parquet(s"$staging/data")
-    val stagedBuckets = fs.listStatus(new Path(s"$staging/data")).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
-      .toSet
+    val staged = stagedBucketIds(fs, staging)
     // a touched bucket with zero surviving keys staged no partition:
-    // its live directory is removed below and never reinstalled
-    val emptied = touched.filterNot(stagedBuckets)
+    // it leaves the manifest's bucket map and its old directory is
+    // swept once unreferenced
+    val emptied = touched.filterNot(staged.toSet)
 
-    var extra = m.extra
-    if (retainHistory) {
-      // snapshot-by-rename: each touched bucket's directory moves into
-      // `_history/v=K` — a metadata operation regardless of data size,
-      // the immutable-file trick a transaction-log format uses for
-      // time travel, expressed in directories. A touched bucket with
-      // no directory yet records an EMPTY pre-image dir, so readAsOf
-      // earlier versions shows it absent instead of leaking today's
-      // rows backwards. K rides a meta counter so a full vacuum can
-      // never restart numbering.
-      val k = math.max(
-        versions(spark, dir).foldLeft(-1L)(math.max) + 1L,
-        m.counter("next_history_version"))
-      val vDir = new Path(s"$dir/_history/v=$k")
-      fs.mkdirs(vDir)
-      touched.foreach { b =>
-        val src = new Path(s"$dir/data/bucket=$b")
-        val dst = new Path(s"$dir/_history/v=$k/bucket=$b")
-        if (fs.exists(src)) fs.rename(src, dst) else fs.mkdirs(dst)
-      }
-      extra += ("next_history_version" -> (k + 1L).toString)
-    } else {
-      touched.foreach { b =>
-        fs.delete(new Path(s"$dir/data/bucket=$b"), true)
-      }
-    }
-    // install: per-bucket renames from staging into the live table
-    stagedBuckets.toSeq.sorted.foreach { b =>
-      fs.rename(new Path(s"$staging/data/bucket=$b"),
-        new Path(s"$dir/data/bucket=$b"))
-    }
-    // publish the feed batch only now that the table state it
-    // describes is committed
-    if (emitFeed) {
-      val n = nextBatch(spark, dir, m)
-      fs.mkdirs(new Path(s"$dir/feed"))
-      fs.rename(new Path(s"$staging/feed"), new Path(s"$dir/feed/batch=$n"))
-      extra += ("next_feed_batch" -> (n + 1L).toString)
-    }
-    fs.delete(new Path(staging), true)
+    val newVersion = m.snap.version + 1L
+    val newBuckets = (m.buckets -- touched) ++
+      staged.map(b => b -> s"g$newVersion/bucket=$b")
 
-    // widen the meta schema when the changelog introduced columns, so
-    // future reads project them (untouched buckets' narrower files
+    // widen the manifest schema when the changelog introduced columns,
+    // so future reads project them (untouched buckets' narrower files
     // null-extend under the explicit read schema). Fields are forced
     // nullable: pre-evolution files genuinely lack the new column.
-    val oldFields = m.schema.fieldNames.toSeq
-    val schemaJson = if (winners.schema.fieldNames.toSeq != oldFields)
+    val winnerData = winners.drop("bucket").schema
+    val schemaJson = if (winnerData.fieldNames.toSeq != m.schema.fieldNames.toSeq)
       org.apache.spark.sql.types.StructType(
-        winners.schema.fields.map(_.copy(nullable = true))).json
+        winnerData.fields.map(_.copy(nullable = true))).json
     else m.schema.json
-    if (schemaJson != m.schema.json || extra != m.extra)
-      writeMeta(spark, dir, key, versionCol, deleteCol, nBuckets,
-        schemaJson, extra)
+
+    val feedBatch = if (emitFeed) Some(nextBatch(spark, dir, m)) else None
+    val props = coreProps(key, versionCol, deleteCol, nBuckets, schemaJson) ++
+      feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
+        .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _))
+
+    // THE commit: one manifest rename publishes data + schema + fence
+    installAndCommit(spark, dir, newVersion, newBuckets, props)
+
+    // publish the feed batch only now that the table state it
+    // describes is committed (see scaladoc for the residual window)
+    feedBatch.foreach { n =>
+      fs.mkdirs(new Path(s"$dir/feed"))
+      require(fs.rename(new Path(s"$staging/feed"),
+        new Path(s"$dir/feed/batch=$n")),
+        s"feed publish rename failed for batch $n")
+    }
+    fs.delete(new Path(staging), true)
+    // retention: a non-retaining merge keeps only the new version —
+    // older manifests go, and the sweep reclaims every directory they
+    // alone referenced (the touched buckets' pre-images)
+    if (!retainHistory) TxLog.vacuum(spark, dir, newVersion)
+
     winners.unpersist()
     if (emitFeed) ranked.unpersist()
     changes.unpersist()

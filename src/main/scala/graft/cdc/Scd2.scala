@@ -10,14 +10,17 @@ import org.apache.spark.sql.functions._
   * Scd2 keeps every version as a validity interval — `valid_from` (the
   * row's own version column), `valid_to` (the next change's version,
   * null while open) and `is_current` — and maintains the table
-  * incrementally with partition-pruned rewrites.
+  * incrementally with path-pruned rewrites.
   *
   * The scaled analog of consuming the reference's `updated_at`
   * changelog (/root/reference/app/services/export.py:21-23) into an
   * auditable history instead of a mutable snapshot.
   *
-  * Layout (same scheme as Compaction): `dir/data/bucket=N/` parquet
-  * partitions hash-bucketed on the key, `dir/meta` self-describing.
+  * Layout (same manifest protocol as Compaction, see [[TxLog]]):
+  * immutable `dir/data/g<V>/bucket=B` parquet directories hash-bucketed
+  * on the key, published by a versioned manifest whose single rename is
+  * the commit point — a crashed merge leaves the previous version
+  * byte-identical, never a torn bucket mix.
   *
   * Merge semantics:
   *  - a batch touches only the buckets containing its keys; untouched
@@ -35,7 +38,7 @@ import org.apache.spark.sql.functions._
   *    and a later non-tombstone version resurrects the key.
   *
   * History never shrinks, so merges cannot empty a bucket (no
-  * emptied-directory sweep needed, unlike Compaction).
+  * emptied-bucket accounting needed, unlike Compaction).
   */
 object Scd2 {
 
@@ -44,6 +47,17 @@ object Scd2 {
 
   private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
     Bucketing.bucketOf(key, nBuckets)
+
+  /** Generated interval columns: user data by these names would be
+    * silently clobbered — init AND merge both fail fast (a merge batch
+    * carrying them used to be silently rewritten).
+    */
+  private def requireNoGenerated(cols: Seq[String], what: String): Unit = {
+    Compaction.requireNoReserved(cols, what)
+    require(!cols.map(_.toLowerCase)
+        .exists(Set("valid_to", "is_current")),
+      s"$what collides with generated columns valid_to/is_current")
+  }
 
   /** History rows from a bag of state records: per-key lead window over
     * the version order. Tombstone ties are impossible once `(key,
@@ -67,65 +81,101 @@ object Scd2 {
       nBuckets: Int = 256): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
-    // generated history columns: user data by these names would be
-    // silently clobbered
-    Compaction.requireNoReserved(df.columns.toSeq, "changelog schema")
-    require(!df.columns.map(_.toLowerCase)
-        .exists(Set("valid_to", "is_current")),
-      "changelog schema collides with generated columns valid_to/is_current")
+    requireNoGenerated(df.columns.toSeq, "changelog schema")
+    val fs = TxLog.fs(spark, dir)
+    Seq("manifest", "data", ".staging", "meta")
+      .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     window(df, key, versionCol, deleteCol)
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
-      // re-init is a full replace regardless of the session's
-      // partitionOverwriteMode default
-      .option("partitionOverwriteMode", "static")
-      .parquet(s"$dir/data")
-    val schemaJson = window(df.limit(0), key, versionCol, deleteCol).schema
-      .add("bucket", org.apache.spark.sql.types.IntegerType).json
-    writeMeta(spark, dir, key, versionCol, deleteCol, nBuckets, schemaJson)
+      .parquet(s"$dir/.staging/data")
+    val staged = stagedBucketIds(fs, dir)
+    installAndCommit(spark, dir, 0L,
+      staged.map(b => b -> s"g0/bucket=$b").toMap,
+      coreProps(key, versionCol, deleteCol, nBuckets,
+        window(df.limit(0), key, versionCol, deleteCol).schema.json))
+    fs.delete(new Path(s"$dir/.staging"), true)
   }
 
-  private def writeMeta(spark: SparkSession, dir: String, key: String,
-      versionCol: String, deleteCol: String, nBuckets: Int,
-      schemaJson: String): Unit =
-    MetaFile.write(spark, dir, Map(
-      "key" -> key, "version_col" -> versionCol,
-      "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
-      "schema_json" -> schemaJson))
+  private def coreProps(key: String, versionCol: String, deleteCol: String,
+      nBuckets: Int, schemaJson: String): Map[String, String] = Map(
+    "key" -> key, "version_col" -> versionCol,
+    "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
+    "schema_json" -> schemaJson)
 
-  /** One read of the driver-side meta file per public call — merge
-    * needs the key columns, the bucket count AND the stored schema —
-    * pure bookkeeping that costs zero Spark jobs (see [[MetaFile]]).
+  private def stagedBucketIds(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Int] = {
+    val p = new Path(s"$dir/.staging/data")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
+  }
+
+  private def installAndCommit(spark: SparkSession, dir: String,
+      version: Long, newBuckets: Map[Int, String],
+      props: Map[String, String]): Unit = {
+    val fs = TxLog.fs(spark, dir)
+    val stagedData = new Path(s"$dir/.staging/data")
+    if (fs.exists(stagedData)) {
+      fs.mkdirs(new Path(s"$dir/data"))
+      val dst = new Path(s"$dir/data/g$version")
+      require(fs.rename(stagedData, dst),
+        s"install rename failed: $stagedData -> $dst")
+    }
+    TxLog.commit(spark, dir, version, props ++ TxLog.bucketProps(newBuckets))
+  }
+
+  /** One read of the driver-side manifest per public call — merge needs
+    * the key columns, the bucket count, the stored schema AND the live
+    * bucket map — pure bookkeeping that costs zero Spark jobs.
     */
-  private final case class Meta(key: String, versionCol: String,
-      deleteCol: String, nBuckets: Int,
-      schema: org.apache.spark.sql.types.StructType)
+  private final case class Meta(snap: TxLog.Snapshot, key: String,
+      versionCol: String, deleteCol: String, nBuckets: Int,
+      schema: org.apache.spark.sql.types.StructType) {
+    def buckets: Map[Int, String] = snap.buckets
+  }
 
   private def loadMeta(spark: SparkSession, dir: String): Meta = {
-    val m = MetaFile.read(spark, dir)
-    Meta(m("key"), m("version_col"), m("delete_col"),
-      m("n_buckets").toInt,
-      org.apache.spark.sql.types.DataType.fromJson(m("schema_json"))
+    val snap = TxLog.latest(spark, dir).getOrElse(throw new
+      IllegalArgumentException(s"no committed manifest under $dir"))
+    Meta(snap, snap.props("key"), snap.props("version_col"),
+      snap.props("delete_col"), snap.props("n_buckets").toInt,
+      org.apache.spark.sql.types.DataType.fromJson(snap.props("schema_json"))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def readBuckets(spark: SparkSession, dir: String, m: Meta,
+      rels: Iterable[String]): DataFrame = {
+    val paths = rels.map(rel => s"$dir/data/$rel").toSeq
+    val noBucket = if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(paths: _*)
+    noBucket.withColumn("bucket", bucketOf(col(m.key), m.nBuckets))
   }
 
   private def storedData(spark: SparkSession, dir: String,
       m: Meta): DataFrame =
-    spark.read.schema(m.schema).parquet(s"$dir/data")
+    readBuckets(spark, dir, m, m.buckets.values)
+
+  /** Absolute live bucket directories (for specs and path accounting). */
+  private[graft] def livePaths(spark: SparkSession, dir: String): Map[Int, String] =
+    loadMeta(spark, dir).buckets.map { case (b, rel) => b -> s"$dir/data/$rel" }
 
   /** The pruned slice a merge of `touched` buckets reads — factored out
-    * so Scd2Spec can assert the scan's selected-partition count.
+    * so Scd2Spec can assert the scan opens only touched buckets' files.
     */
-  private[cdc] def prunedHistory(spark: SparkSession, dir: String,
+  private[graft] def prunedHistory(spark: SparkSession, dir: String,
       touched: Seq[Int]): DataFrame =
     prunedHistory(spark, dir, touched, loadMeta(spark, dir))
 
   private def prunedHistory(spark: SparkSession, dir: String,
-      touched: Seq[Int], m: Meta): DataFrame =
-    storedData(spark, dir, m)
-      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      touched: Seq[Int], m: Meta): DataFrame = {
+    val t = touched.toSet
+    readBuckets(spark, dir, m, m.buckets.view.filterKeys(t.contains).values)
+  }
 
   /** Full history with intervals (no internal bucket column). */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -159,6 +209,7 @@ object Scd2 {
     val m = loadMeta(spark, dir)
     val (key, versionCol, deleteCol, nBuckets) =
       (m.key, m.versionCol, m.deleteCol, m.nBuckets)
+    requireNoGenerated(changes0.columns.toSeq, "merge batch schema")
     val changes = changes0
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -166,14 +217,18 @@ object Scd2 {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) { changes.unpersist(); return MergeStats(Nil, 0L) }
 
+    val fs = TxLog.fs(spark, dir)
+    fs.delete(new Path(s"$dir/.staging"), true)
+    TxLog.sweep(spark, dir)
+
     val hist = prunedHistory(spark, dir, touched, m)
     val changedKeys = changes.select(col(key)).distinct()
     // unchanged keys: rows pass through byte-equivalent; changed keys:
     // stored rows collapse back to state records and re-window together
     // with the batch (exact late-data splicing, see object doc).
     // allowMissingColumns = schema evolution: a batch that adds a
-    // column null-extends stored history (meta widens below); a batch
-    // missing a stored column null-fills its own rows.
+    // column null-extends stored history (manifest widens below); a
+    // batch missing a stored column null-fills its own rows.
     val untouchedRows = hist.join(changedKeys, Seq(key), "left_anti")
     val stateCols = hist.columns
       .filterNot(c => c == "valid_to" || c == "is_current").map(col)
@@ -183,30 +238,34 @@ object Scd2 {
     val rebuilt = window(rewound, key, versionCol, deleteCol)
     val out = untouchedRows.unionByName(rebuilt, allowMissingColumns = true)
 
-    // One pass, no persist: dynamic overwrite stages task output under
-    // the destination and only swaps bucket directories at job commit,
-    // so the pre-image slice this plan reads stays intact for the whole
-    // computation (same read-while-rewriting shape AggView.merge uses).
+    // stage the touched buckets' full new contents; the committed
+    // pre-image directories stay live (and readable by this very plan)
+    // until a LATER merge's sweep reclaims them — the read-while-
+    // rewriting hazard the old in-place dynamic overwrite had is gone
     out
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$dir/data")
+      .parquet(s"$dir/.staging/data")
+    val staged = stagedBucketIds(fs, dir)
+    val newVersion = m.snap.version + 1L
+    val newBuckets = (m.buckets -- touched) ++
+      staged.map(b => b -> s"g$newVersion/bucket=$b")
+    // widen the manifest schema when the batch introduced columns
+    // (fields forced nullable: pre-evolution files genuinely lack them)
+    val outData = out.drop("bucket").schema
+    val schemaJson = if (outData.fieldNames.toSeq != m.schema.fieldNames.toSeq)
+      org.apache.spark.sql.types.StructType(
+        outData.fields.map(_.copy(nullable = true))).json
+    else m.schema.json
+    installAndCommit(spark, dir, newVersion, newBuckets,
+      coreProps(key, versionCol, deleteCol, nBuckets, schemaJson))
+    fs.delete(new Path(s"$dir/.staging"), true)
+    TxLog.vacuum(spark, dir, newVersion)
     // MergeStats.rows = the rewritten slice, counted back from its
-    // footers (partition-pruned, no data pages) — cheaper than caching
-    // the entire output just to count it pre-write. Every touched
-    // bucket exists post-write: a merge only ever ADDS rows to a
-    // bucket's history (deletes are tombstone audit rows).
-    val rows = prunedHistory(spark, dir, touched, m).count()
-    // widen the meta schema when the batch introduced columns (fields
-    // forced nullable: pre-evolution files genuinely lack them)
-    val oldFields = m.schema.fieldNames.toSeq
-    if (out.schema.fieldNames.toSeq != oldFields) {
-      val widened = org.apache.spark.sql.types.StructType(
-        out.schema.fields.map(_.copy(nullable = true))).json
-      writeMeta(spark, dir, key, versionCol, deleteCol, nBuckets, widened)
-    }
+    // footers (path-pruned, no data pages) — cheaper than caching the
+    // entire output just to count it pre-write
+    val rows = prunedHistory(spark, dir, touched).count()
     changes.unpersist()
     MergeStats(touched, rows)
   }

@@ -1,0 +1,188 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Minimal versioned-manifest transaction log for the maintained-table
+  * family (Compaction / Scd2 / AggView) — the scaled analog of the
+  * reference's Postgres transaction around data + watermark
+  * (`/root/reference/app/services/jobs.py:31-60`, commit at `:42`).
+  *
+  * Protocol: data files are IMMUTABLE once written — a merge writes its
+  * output under a fresh generation directory (`data/g<V>/bucket=B`),
+  * invisible to readers, then commits by renaming one properties file
+  * into `manifest/v<V>`. That single rename atomically publishes the
+  * new bucket map AND every piece of table metadata (schema, batch-id
+  * fence, counters): a crash anywhere before it leaves the table
+  * byte-identical at the previous version, and a crash anywhere after
+  * it leaves a fully-committed table plus garbage directories that the
+  * next writer sweeps. This closes the double-count window AggView
+  * documented (data applied, fence not advanced) and the torn
+  * per-bucket-install window Compaction documented — there is no
+  * moment where readers can observe half a merge.
+  *
+  * The commit rename REFUSES to overwrite (`rename` to an existing
+  * destination fails on HDFS-semantics filesystems and is checked
+  * here): two writers racing to commit the same next version conflict
+  * deterministically — one wins, the other throws — which is the
+  * cross-process fence the old last-rename-wins meta write lacked.
+  *
+  * Manifest files are tiny (bucket count × a path string) and written
+  * driver-side: zero Spark jobs. Old manifests double as time-travel
+  * snapshots: `readAsOf(v)` is just "resolve manifest v" as long as
+  * its generation directories were retained.
+  */
+private[graft] object TxLog {
+
+  /** One committed table state. `props` carries the table metadata;
+    * bucket contents live under `bucket.<id>` keys as paths relative
+    * to `<dir>/data`.
+    */
+  final case class Snapshot(version: Long, props: Map[String, String]) {
+    def buckets: Map[Int, String] =
+      props.collect { case (k, v) if k.startsWith("bucket.") =>
+        k.drop("bucket.".length).toInt -> v
+      }
+    def prop(k: String): Option[String] = props.get(k)
+    def counter(name: String): Long = props.get(name).map(_.toLong).getOrElse(0L)
+  }
+
+  def bucketProps(buckets: Map[Int, String]): Map[String, String] =
+    buckets.map { case (b, rel) => s"bucket.$b" -> rel }
+
+  private def manifestDir(dir: String) = new Path(s"$dir/manifest")
+
+  private def manifestPath(dir: String, v: Long) =
+    new Path(manifestDir(dir), f"v$v%020d.properties")
+
+  def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** All committed versions on disk, ascending. Driver-side listing of
+    * ≤ retained-versions names — metadata, never data.
+    */
+  def versionsOnDisk(spark: SparkSession, dir: String): Seq[Long] = {
+    val d = manifestDir(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".properties") =>
+        n.stripPrefix("v").stripSuffix(".properties").toLong
+      }.sorted
+  }
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    versionsOnDisk(spark, dir).lastOption
+
+  private def load(f: FileSystem, p: Path): Map[String, String] = {
+    val props = new java.util.Properties()
+    val is = f.open(p)
+    try props.load(is) finally is.close()
+    import scala.jdk.CollectionConverters._
+    props.stringPropertyNames().asScala
+      .map(k => k -> props.getProperty(k)).toMap
+  }
+
+  /** The latest committed state, or None for an uninitialized dir. */
+  def latest(spark: SparkSession, dir: String): Option[Snapshot] =
+    latestVersion(spark, dir).map(v =>
+      Snapshot(v, load(fs(spark, dir), manifestPath(dir, v))))
+
+  /** A specific committed version; throws (naming the oldest still on
+    * disk) when it was vacuumed or never existed.
+    */
+  def read(spark: SparkSession, dir: String, v: Long): Snapshot = {
+    val p = manifestPath(dir, v)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) {
+      val have = versionsOnDisk(spark, dir)
+      throw new IllegalArgumentException(
+        s"version $v was vacuumed or never committed; " +
+          s"oldest reconstructible is ${have.headOption.getOrElse(-1L)}")
+    }
+    Snapshot(v, load(f, p))
+  }
+
+  /** Test-only failpoint: invoked immediately before the commit rename
+    * so crash-injection specs can kill a writer after its data is fully
+    * staged/installed but before the table acknowledges it.
+    */
+  private[cdc] var beforeCommit: () => Unit = () => ()
+
+  /** Atomically commit version `v`: write a temp file, then one rename.
+    * Fails (rather than overwrites) if `v` is already committed — the
+    * concurrent-writer fence.
+    */
+  def commit(spark: SparkSession, dir: String, v: Long,
+      props: Map[String, String]): Snapshot = {
+    val f = fs(spark, dir)
+    f.mkdirs(manifestDir(dir))
+    val tmp = new Path(manifestDir(dir),
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val p = new java.util.Properties()
+    props.foreach { case (k, value) => p.setProperty(k, value) }
+    val os = f.create(tmp, true)
+    try p.store(os, null) finally os.close()
+    beforeCommit()
+    val dst = manifestPath(dir, v)
+    if (!f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"commit of version $v lost the race (or rename failed): $dst")
+    }
+    Snapshot(v, props)
+  }
+
+  /** Post-commit / pre-merge garbage sweep:
+    *  - generation directories numbered ABOVE the latest committed
+    *    version are orphans of a crashed writer (data installed,
+    *    manifest never committed) — a retry must clear them or its own
+    *    install rename would collide;
+    *  - bucket directories referenced by NO manifest still on disk are
+    *    superseded pre-images past their retention — deleting them is
+    *    what bounds storage.
+    * Driver-side listings and deletes only; safe to crash mid-sweep
+    * (the next writer just sweeps again).
+    */
+  def sweep(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val dataRoot = new Path(s"$dir/data")
+    if (!f.exists(dataRoot)) return
+    val latestV = latestVersion(spark, dir).getOrElse(-1L)
+    val referenced: Set[String] = versionsOnDisk(spark, dir).flatMap { v =>
+      Snapshot(v, load(f, manifestPath(dir, v))).buckets.values
+    }.toSet
+    f.listStatus(dataRoot).foreach { gen =>
+      val name = gen.getPath.getName
+      if (name.startsWith("g")) {
+        val genV = scala.util.Try(name.drop(1).toLong).getOrElse(Long.MaxValue)
+        if (genV > latestV) {
+          require(f.delete(gen.getPath, true), s"sweep failed: ${gen.getPath}")
+        } else {
+          var remaining = false
+          f.listStatus(gen.getPath).foreach { b =>
+            val rel = s"$name/${b.getPath.getName}"
+            if (!referenced.contains(rel))
+              require(f.delete(b.getPath, true), s"sweep failed: ${b.getPath}")
+            else remaining = true
+          }
+          if (!remaining) f.delete(gen.getPath, true)
+        }
+      }
+    }
+  }
+
+  /** Drop manifests below `keepFromVersion` (never the latest), then
+    * sweep newly-unreferenced data. Time-travel retention in two
+    * driver-side steps.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepFromVersion: Long): Unit = {
+    val f = fs(spark, dir)
+    val vs = versionsOnDisk(spark, dir)
+    vs.filter(v => v < keepFromVersion && v != vs.last).foreach { v =>
+      require(f.delete(manifestPath(dir, v), false),
+        s"vacuum failed to delete manifest v$v")
+    }
+    sweep(spark, dir)
+  }
+}

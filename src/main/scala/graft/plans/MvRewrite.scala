@@ -48,11 +48,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * rewritten plan no longer references the base path, so it cannot
   * re-fire.
   *
-  * Freshness is the registrar's contract: register after [[Mv.create]]
-  * or after an [[graft.cdc.AggView]]-style refresh fence advances, and
-  * [[Mv.deregister]] before mutating the base in place. (A full
-  * snapshot-isolation story needs a table format with a transaction
-  * log — out of scope, stated not papered over.)
+  * Freshness: for plain [[Mv.create]] views it is the registrar's
+  * contract — register after creating, [[Mv.deregister]] before
+  * mutating the base in place. For [[graft.cdc.AggView]]-backed
+  * registrations the rule is coupled to the transaction log instead:
+  * the view's committed state is resolved through its manifest at
+  * query time (a refresh needs no re-registration), and when the base
+  * is the feed-emitting Compaction table, the rewrite consults both
+  * fences and serves the BASE while the view lags behind published
+  * feed batches — stale aggregates are never served (MvFreshnessSpec).
+  * The registry itself is scoped per SparkSession.
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
@@ -63,20 +68,52 @@ object MvRewrite extends Rule[LogicalPlan] {
   final case class Partials(sum: Option[String] = None,
       min: Option[String] = None, max: Option[String] = None)
 
+  /** A view maintained by [[graft.cdc.AggView]] under the manifest
+    * protocol: the rule resolves its CURRENT committed state (paths +
+    * batch-id fence) from the manifest at query time, and — when the
+    * base is a [[graft.cdc.Compaction]] table emitting the change feed
+    * the view consumes — bails to the base scan whenever the base has
+    * published feed batches the view has not applied yet. The
+    * convention this checks is the one the engine's own IVM loop uses:
+    * `AggView.applyFeed(batchId = <feed batch id>)`.
+    */
+  final case class AggViewLink(viewDir: String,
+      baseTableDir: Option[String])
+
   /** One registered view: parquet at `viewPath`, keyed by `groupCols`
     * (lowercase), `cntCol` holding per-group row counts, measures
-    * keyed by their structural form → partial column names.
+    * keyed by their structural form → partial column names. With
+    * `aggView` set, `viewPath` is the AggView table DIR (resolved
+    * through its manifest, never listed directly).
     */
   final case class MvDef(viewPath: String, groupCols: Seq[String],
-      cntCol: String, measures: Map[String, Partials])
+      cntCol: String, measures: Map[String, Partials],
+      aggView: Option[AggViewLink] = None)
 
-  /** base path (URI path, no trailing slash) → view definition. */
+  /** (session UUID | base path) → view definition. Keyed per session
+    * (ADVICE r4): a view registered in one SparkSession must not
+    * rewrite aggregates in every other session of the JVM.
+    */
   private val registry = TrieMap.empty[String, MvDef]
 
   /** Cached analyzed view scans (FileIndex listing is not free);
-    * `newInstance()` re-keys attributes per use-site.
+    * `newInstance()` re-keys attributes per use-site. For
+    * manifest-backed views the cached plan is tagged with the manifest
+    * version it resolved, so one driver-side meta read per query
+    * detects a refresh and only a REAL refresh pays the re-listing.
     */
-  private val viewPlans = TrieMap.empty[String, LogicalPlan]
+  private val viewPlans = TrieMap.empty[String, (Long, LogicalPlan)]
+
+  /** Session discriminator: identity of the active session object —
+    * stable for a session's lifetime, distinct across `newSession()`
+    * siblings (Spark 4's api-facade SparkSession exposes no
+    * sessionUUID to match on).
+    */
+  private def sessionTag: String =
+    Integer.toHexString(System.identityHashCode(SparkSession.active))
+
+  private def sessionKey(path: String): String =
+    s"$sessionTag|${normalize(path)}"
 
   /** Fully-qualified registry key: scheme + authority + path. Dropping
     * the scheme would collide same-pathed tables on DIFFERENT
@@ -101,16 +138,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     col.toLowerCase + castTo.map(t => "::" + t.sql.toLowerCase).getOrElse("")
 
   def register(basePath: String, d: MvDef): Unit = {
-    registry.put(normalize(basePath), d)
+    registry.put(sessionKey(basePath), d)
     viewPlans.remove(d.viewPath)
   }
 
   def deregister(basePath: String): Unit =
-    registry.remove(normalize(basePath)).foreach(d =>
+    registry.remove(sessionKey(basePath)).foreach(d =>
       viewPlans.remove(d.viewPath))
 
   def registered(basePath: String): Option[MvDef] =
-    registry.get(normalize(basePath))
+    registry.get(sessionKey(basePath))
 
   /** Idempotent live-session registration for sessions built without
     * [[graft.GraftExtensions]] (the builder path injects this rule
@@ -155,10 +192,37 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The freshness fence (round-5 item): with an AggView-backed view
+    * whose base is a feed-emitting Compaction table, compare the
+    * base's highest PUBLISHED feed batch against the view's last
+    * APPLIED batch id — both one driver-side manifest read — and
+    * refuse the rewrite while the base is ahead. A stale registered
+    * view then silently serves the BASE (correct, slower) instead of
+    * stale aggregates; the next `applyFeed` makes the rewrite fire
+    * again with no re-registration needed.
+    */
+  private def isFresh(d: MvDef): Boolean = d.aggView match {
+    case None => true // plain Mv.create views: registrar owns freshness
+    case Some(link) =>
+      val spark = SparkSession.active
+      graft.cdc.TxLog.latest(spark, link.viewDir) match {
+        case None => false
+        case Some(vs) =>
+          val applied = vs.props.get("last_batch_id")
+            .map(_.toLong).getOrElse(Long.MinValue)
+          link.baseTableDir.forall { baseDir =>
+            graft.cdc.TxLog.latest(spark, baseDir).exists { bs =>
+              bs.counter("next_feed_batch") - 1L <= applied
+            }
+          }
+      }
+  }
+
   private def rewrite(agg: Aggregate): Option[Aggregate] = for {
     (lr, filterCond) <- decompose(agg.child)
     base <- pathOf(lr)
-    d <- registry.get(base)
+    d <- registry.get(s"$sessionTag|$base")
+    _ <- Some(()).filter(_ => isFresh(d))
     // groupings must be bare columns within the view's key set
     groupAttrs <- Some(agg.groupingExpressions).filter(_.forall {
       case a: AttributeReference => d.groupCols.contains(a.name.toLowerCase)
@@ -185,10 +249,33 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def viewScan(d: MvDef): Option[LogicalPlan] = {
     val spark = SparkSession.active
-    val plan = viewPlans.getOrElseUpdate(d.viewPath,
-      GraftBridge.planOf(spark.read.parquet(d.viewPath)))
-    plan match {
-      case lr: LogicalRelation => Some(lr.newInstance())
+    val resolved: Option[(Long, LogicalPlan)] = d.aggView match {
+      case None =>
+        Some(viewPlans.getOrElseUpdate(d.viewPath,
+          (0L, GraftBridge.planOf(spark.read.parquet(d.viewPath)))))
+      case Some(link) =>
+        // resolve the view's CURRENT committed state through its
+        // manifest: generation dirs of stale/crashed merges are
+        // invisible, and a refresh (new manifest version) invalidates
+        // the cached listing exactly once
+        graft.cdc.TxLog.latest(spark, link.viewDir).flatMap { snap =>
+          val paths = snap.buckets.values
+            .map(rel => s"${link.viewDir}/data/$rel").toSeq
+          if (paths.isEmpty) None // fully-retracted view: serve the base
+          else Some(viewPlans.get(d.viewPath) match {
+            case Some(hit @ (v, _)) if v == snap.version => hit
+            case _ =>
+              val schema = DataType.fromJson(snap.props("schema_json"))
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              val entry = (snap.version, GraftBridge.planOf(
+                spark.read.schema(schema).parquet(paths: _*)))
+              viewPlans.put(d.viewPath, entry)
+              entry
+          })
+        }
+    }
+    resolved.map(_._2) match {
+      case Some(lr: LogicalRelation) => Some(lr.newInstance())
       case _ => None
     }
   }
@@ -316,17 +403,25 @@ object Mv {
     * stores `sum(value::DECIMAL(18,2))`, so that exact cast is the
     * measure a query must use (the engine's standard exact-money
     * shape); min/max stay on the base — AggView keeps no order
-    * statistics. Call after each merge's fence advance; the caller
-    * owns freshness exactly as with [[create]].
+    * statistics.
+    *
+    * The rule resolves the view's committed state through its manifest
+    * on every query, so a refresh is picked up WITHOUT re-registering.
+    * Pass `baseTableDir` when the base is the Compaction table whose
+    * change feed maintains this view: the rewrite then also checks the
+    * feed fence (base's last published batch vs the view's last
+    * applied one) and serves the BASE while the view lags — the
+    * freshness coupling a bare path registration cannot have.
     */
   def registerAggView(spark: SparkSession, viewDir: String,
-      basePath: String): Unit = {
+      basePath: String, baseTableDir: Option[String] = None): Unit = {
     val (key, valueCol, _, _) = graft.cdc.AggView.readMeta(spark, viewDir)
     MvRewrite.register(basePath, MvRewrite.MvDef(
-      s"$viewDir/data", Seq(key.toLowerCase), "cnt",
+      viewDir, Seq(key.toLowerCase), "cnt",
       Map(MvRewrite.measureKey(valueCol,
         Some(org.apache.spark.sql.types.DataType.fromDDL("decimal(18,2)")))
-        -> MvRewrite.Partials(sum = Some("total")))))
+        -> MvRewrite.Partials(sum = Some("total"))),
+      aggView = Some(MvRewrite.AggViewLink(viewDir, baseTableDir))))
   }
 
   def deregister(basePath: String): Unit = MvRewrite.deregister(basePath)
@@ -342,6 +437,9 @@ object Mv {
         case _ => Nil
       }
     }.flatten
-    scans.contains(MvRewrite.normalize(viewPath))
+    val v = MvRewrite.normalize(viewPath)
+    // manifest-backed views scan explicit bucket paths UNDER the view
+    // dir, so prefix-match as well as exact-match
+    scans.exists(s => s == v || s.startsWith(v + "/"))
   }
 }

@@ -249,11 +249,11 @@ object EmbeddingQueries {
 
     // hybrid retrieval: reciprocal-rank fusion of a lexical BM25 leg
     // and a dense cosine leg (the modern two-tower search stack in one
-    // query). The lexical leg ranks only docs matching a query term —
-    // a sparse, bounded set, so its window is fine — while the dense
-    // leg ranks the WHOLE corpus and therefore rides the sharded
-    // GlobalRank operator (cos-band shards, no partitionless window
-    // over corpus-sized data). Fusion is pure integer math —
+    // query). BOTH legs ride the sharded GlobalRank operator — the
+    // dense leg ranks the whole corpus (cos-band shards) and the
+    // lexical leg ranks every doc matching a query term, which for a
+    // common term is corpus-proportional at 100 TB (bm25-band shards;
+    // no partitionless window anywhere). Fusion is pure integer math —
     // 10^9 div (60 + rank), the standard RRF k — summed over a
     // full-outer join of the legs, so the blended score is exact in
     // both engines; cosine doubles cross the engine boundary on the
@@ -273,7 +273,7 @@ object EmbeddingQueries {
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val lex = tf.join(broadcast(dfreq), Seq("term"))
+      val lexScores = tf.join(broadcast(dfreq), Seq("term"))
         .crossJoin(broadcast(stats))
         .withColumn("idf_scaled", expr("(1000 * n_docs) div df"))
         .withColumn("tf_norm",
@@ -284,8 +284,14 @@ object EmbeddingQueries {
           floor(col("tf_norm") * lit(1000000.0)) * col("idf_scaled"))
         .groupBy(col("doc_id"))
         .agg(sum(col("contrib")).as("bm25"))
-        .withColumn("r_lex", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))))
+      // r4 verdict item: a common query term matches a corpus-
+      // proportional doc set at 100 TB, so the lexical leg must NOT
+      // rank with a partitionless window — shard by a bm25 magnitude
+      // band (monotone in the sort order) exactly as the dense leg
+      // shards by cosine band, and let GlobalRank chain the offsets
+      val lexRanked = graft.operators.GlobalRank.withGlobalRank(lexScores,
+          Seq(col("bm25").desc, col("doc_id")),
+          expr("(-bm25) div 1000000000"), "r_lex")
         .select(col("doc_id"), col("r_lex"))
       // dense leg — cosine to the vec_id=0 probe over every OTHER
       // vector, globally ranked without a global sort
@@ -299,7 +305,7 @@ object EmbeddingQueries {
           Seq(col("cos").desc, col("vec_id")),
           floor(-col("cos") * lit(4)).cast("int"), "r_vec")
         .select(col("vec_id").as("doc_id"), col("r_vec"))
-      lex.join(vec, Seq("doc_id"), "full_outer")
+      lexRanked.join(vec, Seq("doc_id"), "full_outer")
         .withColumn("rrf_ppb",
           coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)) +
             coalesce(expr("1000000000 div (60 + r_vec)"), lit(0L)))

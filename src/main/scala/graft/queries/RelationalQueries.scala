@@ -26,6 +26,16 @@ import graft.Tables
   */
 object RelationalQueries {
 
+  /** Giant-basket guard for the market-basket pair explode: a basket
+    * of n items emits n·(n−1)/2 pairs from ONE row, so an uncapped
+    * degenerate basket (bot traffic, a catalog-wide order) bursts
+    * quadratically inside a single task. 512 is far above any real
+    * basket (TPC-H orders hold ≤ 7 lines) while capping the per-row
+    * burst at ~131k pairs. Shared by basket_pairs / item_similarity
+    * and mirrored in their oracle SQL.
+    */
+  private[queries] val MaxBasket = 512
+
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** Exact decimal sum rendered as double (bit-identical across engines). */
@@ -902,12 +912,17 @@ object RelationalQueries {
       // (baskets are small — bounded items per order — so the
       // quadratic step is per-row constant work, while the self-join
       // form shuffled the items table twice and joined). Pair counts
-      // are a partial-aggregated groupBy; a pathological giant basket
-      // would need a size cap before the explode at 100 TB.
+      // are a partial-aggregated groupBy. Baskets above MaxBasket are
+      // dropped BEFORE the explode (r4 verdict item): one pathological
+      // degenerate basket would otherwise emit a quadratic row burst
+      // — 10k items = 50M pairs from one row — and co-occurrence
+      // support from such a basket is noise, the standard
+      // market-basket cap. Mirrored in the oracle SQL.
       val baskets = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) <= MaxBasket)
       baskets.select(explode(expr(
           """flatten(transform(ps, (x, i) ->
                transform(slice(ps, i + 2, size(ps)),
@@ -934,6 +949,8 @@ object RelationalQueries {
       val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
       val pairs = items.groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        // same giant-basket cap as basket_pairs (see comment there)
+        .filter(size(col("ps")) <= MaxBasket)
         .select(explode(expr(
           """flatten(transform(ps, (x, i) ->
                transform(slice(ps, i + 2, size(ps)),
@@ -1506,8 +1523,13 @@ object RelationalQueries {
         |GROUP BY decile ORDER BY decile""".stripMargin,
 
     "basket_pairs" ->
-      """WITH items AS (
+      s"""WITH items0 AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (
+        |  SELECT l_orderkey FROM items0
+        |  GROUP BY 1 HAVING count(*) <= $MaxBasket),
+        |items AS (
+        |  SELECT i.* FROM items0 i JOIN ok USING (l_orderkey)),
         |p AS (
         |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
         |    count(*) AS n_orders
@@ -1519,14 +1541,19 @@ object RelationalQueries {
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 200""".stripMargin,
 
     "item_similarity" ->
-      """WITH items AS (
+      s"""WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |f AS (
         |  SELECT l_partkey, count(*) AS n FROM items GROUP BY 1),
+        |ok AS (
+        |  SELECT l_orderkey FROM items
+        |  GROUP BY 1 HAVING count(*) <= $MaxBasket),
+        |capped AS (
+        |  SELECT i.* FROM items i JOIN ok USING (l_orderkey)),
         |p AS (
         |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
         |    count(*) AS n_ab
-        |  FROM items a JOIN items b
+        |  FROM capped a JOIN capped b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2)
         |SELECT part_a, part_b, n_ab, fa.n AS n_a, fb.n AS n_b,

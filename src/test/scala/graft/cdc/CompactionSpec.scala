@@ -35,19 +35,18 @@ class CompactionSpec extends SparkSpec {
     dir
   }
 
-  /** (path, length, mtime) of every data file under a bucket dir. */
+  /** (path, length, mtime) of every data file of every LIVE bucket,
+    * resolved through the manifest (the reader's own path resolution).
+    */
   private def fileState(dir: String): Map[String, Seq[(String, Long, Long)]] = {
-    val root = Paths.get(s"$dir/data")
     import scala.jdk.CollectionConverters._
-    Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("bucket="))
-      .map { b =>
-        val files = Files.list(b).iterator().asScala
-          .filter(f => !f.getFileName.toString.startsWith("."))
-          .map(f => (f.toString, Files.size(f),
-            Files.getLastModifiedTime(f).toMillis)).toSeq.sortBy(_._1)
-        b.getFileName.toString -> files
-      }.toMap
+    Compaction.livePaths(spark, dir).map { case (b, p) =>
+      val files = Files.list(Paths.get(p)).iterator().asScala
+        .filter(f => !f.getFileName.toString.startsWith("."))
+        .map(f => (f.toString, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis)).toSeq.sortBy(_._1)
+      s"bucket=$b" -> files
+    }
   }
 
   /** From-scratch reconciliation the merge must agree with. */
@@ -110,16 +109,20 @@ class CompactionSpec extends SparkSpec {
     touched.foreach(b => assert(after(b) != before(b)))
   }
 
-  test("merge reads only touched partitions (pruned scan)") {
+  test("merge reads only touched buckets' files (path-pruned scan)") {
     val dir = freshTable(200)
     val touched = Seq(3)
     val plan = Compaction.prunedSnapshot(spark, dir, touched)
-    val scans = plan.queryExecution.executedPlan.collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.selectedPartitions.partitionCount
-    }
-    assert(scans == Seq(1),
-      s"expected exactly the 1 touched partition selected, got $scans")
+    // path pruning happens at manifest resolution, before Spark ever
+    // lists a directory: the scan's input files must all live under
+    // the one touched bucket's directory and nothing else
+    val files = plan.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/bucket=3/")),
+      s"scan read beyond the touched bucket: ${files.mkString(", ")}")
+    val allLive = fileState(dir).values.flatten.size
+    assert(files.length < allLive,
+      "pruned scan unexpectedly covers the whole table")
   }
 
   test("a fully-deleted bucket's directory is removed, not left stale") {

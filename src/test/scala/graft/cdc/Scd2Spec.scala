@@ -49,17 +49,15 @@ class Scd2Spec extends SparkSpec {
   }
 
   private def fileState(dir: String): Map[String, Seq[(String, Long, Long)]] = {
-    val root = Paths.get(s"$dir/data")
     import scala.jdk.CollectionConverters._
-    Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("bucket="))
-      .map { b =>
-        val files = Files.list(b).iterator().asScala
-          .filter(f => !f.getFileName.toString.startsWith("."))
-          .map(f => (f.toString, Files.size(f),
-            Files.getLastModifiedTime(f).toMillis)).toSeq.sortBy(_._1)
-        b.getFileName.toString -> files
-      }.toMap
+    Scd2.livePaths(spark, dir).map { case (bId, p) =>
+      val b = Paths.get(p)
+      val files = Files.list(b).iterator().asScala
+        .filter(f => !f.getFileName.toString.startsWith("."))
+        .map(f => (f.toString, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis)).toSeq.sortBy(_._1)
+      s"bucket=$bId" -> files
+    }
   }
 
   test("sequential merges == from-scratch rebuild, incl. late splice") {
@@ -127,12 +125,11 @@ class Scd2Spec extends SparkSpec {
       assert(after(b) == before(b), s"untouched $b was rewritten")
     }
     touched.foreach(b => assert(after(b) != before(b)))
-    // pruned read: the merge-path scan selects exactly |touched| dirs
-    val scans = Scd2.prunedHistory(spark, dir, stats.touchedBuckets)
-      .queryExecution.executedPlan.collectLeaves().collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.selectedPartitions.partitionCount
-      }
-    assert(scans.nonEmpty && scans.forall(_ == stats.touchedBuckets.size))
+    // pruned read: the merge-path scan opens only touched buckets' files
+    val files = Scd2.prunedHistory(spark, dir, stats.touchedBuckets).inputFiles
+    assert(files.nonEmpty)
+    val touchedDirs = stats.touchedBuckets.map(b => s"/bucket=$b/").toSet
+    assert(files.forall(f => touchedDirs.exists(f.contains)),
+      s"scan read beyond touched buckets: ${files.mkString(", ")}")
   }
 }

@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Time travel on the maintained MERGE table: retaining merges move
-  * each touched bucket's pre-image into `_history/v=K` by RENAME (no
-  * bytes copied), and readAsOf(v) reconstructs the state after v
-  * retaining merges from per-bucket nearest-successor pre-images plus
-  * the live table. Vacuum bounds retention.
+/** Time travel on the maintained MERGE table: data files are immutable
+  * generations and each manifest version pins the exact directories
+  * that held the table then, so readAsOf(v) is "resolve manifest v" —
+  * no pre-image renames, no byte copies, ever. Vacuum bounds retention
+  * by dropping old manifests and sweeping what they alone referenced.
   */
 class TimeTravelSpec extends SparkSpec {
 
@@ -56,36 +56,45 @@ class TimeTravelSpec extends SparkSpec {
     assert(s1.exists(_._1 == 3L) && !s2.exists(_._1 == 3L))
   }
 
-  test("history holds exactly the touched buckets, moved not copied") {
+  test("retained pre-images are the original files, never moved or copied") {
     val dir = tmpDir("tt")
     Compaction.init(changeDf(initState(64)), dir, "id", "version",
       "deleted", nBuckets = N_BUCKETS)
-    // record pre-merge file identity (name, size, mtime) per bucket
+    val s0 = rows(Compaction.read(spark, dir))
+    // record pre-merge file identity (absolute path, size, mtime)
     import scala.jdk.CollectionConverters._
-    def listFiles(root: String): Map[String, Seq[(String, Long, Long)]] =
-      Files.list(Paths.get(root)).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("bucket="))
-        .map { b =>
-          b.getFileName.toString ->
-            Files.list(b).iterator().asScala
-              .filter(f => !f.getFileName.toString.startsWith("."))
-              .map(f => (f.getFileName.toString, Files.size(f),
-                Files.getLastModifiedTime(f).toMillis))
-              .toSeq.sortBy(_._1)
-        }.toMap
-    val before = listFiles(s"$dir/data")
+    def filesOf(bucketDir: String): Seq[(String, Long, Long)] =
+      Files.list(Paths.get(bucketDir)).iterator().asScala
+        .filter(f => !f.getFileName.toString.startsWith("."))
+        .map(f => (f.toString, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis))
+        .toSeq.sortBy(_._1)
+    val before = Compaction.livePaths(spark, dir)
+      .map { case (b, p) => b -> filesOf(p) }
 
     val stats = Compaction.merge(spark, dir,
       changeDf(Seq((5L, "v1-5", 1L, false))), retainHistory = true)
     assert(stats.touchedBuckets.size == 1)
-    val touched = s"bucket=${stats.touchedBuckets.head}"
+    val touched = stats.touchedBuckets.head
 
-    val hist = listFiles(s"$dir/_history/v=0")
-    assert(hist.keySet == Set(touched),
-      s"history should hold only the touched bucket: ${hist.keySet}")
-    // rename preserves file identity — same names, sizes, mtimes
-    assert(hist(touched) == before(touched),
-      "pre-image files were not the originals (copied or rewritten?)")
+    val after = Compaction.livePaths(spark, dir)
+    def parentDir(file: String) = file.substring(0, file.lastIndexOf('/'))
+    // untouched buckets: the manifest still names the ORIGINAL
+    // directories and their files are byte-identical in place
+    (before.keySet - touched).foreach { b =>
+      assert(after(b) == parentDir(before(b).head._1),
+        s"untouched bucket $b changed directories")
+      assert(filesOf(after(b)) == before(b),
+        s"untouched bucket $b was rewritten")
+    }
+    // the touched bucket points at a NEW generation dir...
+    assert(after(touched).contains("/g1/"),
+      s"touched bucket should live in generation g1: ${after(touched)}")
+    // ...while its v0 pre-image files survive IN PLACE for time travel
+    val preImageDir = parentDir(before(touched).head._1)
+    assert(filesOf(preImageDir) == before(touched),
+      "pre-image files were moved or rewritten (should be immutable)")
+    assert(rows(Compaction.readAsOf(spark, dir, 0L)) == s0)
   }
 
   test("a bucket born after version 0 is absent when reading version 0") {

@@ -131,6 +131,31 @@ class PlanRegressionSpec extends SparkSpec {
       "bottom-k must plan as TakeOrderedAndProject (k-bounded heads)")
   }
 
+  test("hybrid_search_rrf: both legs rank via sharded GlobalRank") {
+    // r4 verdict: the lexical leg ranked with a partitionless window —
+    // corpus-proportional for a common term at 100 TB. Both legs now
+    // ride GlobalRank, whose ONLY partitionless window runs over the
+    // |shards|-row offsets aggregate. Assert exactly that: every
+    // empty-partitionSpec WindowExec in the plan sits above a
+    // __shard-grouped aggregation (metadata-sized input), never above
+    // raw data.
+    val all = collectAll(plan("hybrid_search_rrf"))
+    val bare = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.nonEmpty, "expected GlobalRank offset windows in the plan")
+    bare.foreach { w =>
+      val aggBelow = collectAll(w).exists {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+          h.groupingExpressions.exists(_.toString.contains("__shard"))
+        case _ => false
+      }
+      assert(aggBelow,
+        s"partitionless window over non-shard-aggregated input:\n$w")
+    }
+  }
+
   test("item_similarity: frequency table broadcasts to both pair sides") {
     val all = collectAll(plan("item_similarity"))
     val bhj = all.count(_.isInstanceOf[BroadcastHashJoinExec])
