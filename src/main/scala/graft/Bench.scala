@@ -78,11 +78,22 @@ object Bench {
       s""""code_cache_limit_mb":${fmt(codeCacheLimitMb)},""" +
       s""""metaspace_used_mb":${fmt(poolUsedMb("Metaspace"))}}"""
 
+    // the scale-rehearsal section (graft.tools.ScaleRehearsal writes
+    // BENCH_SF1.json): embed it so one artifact carries both the
+    // per-query bench and the 1×→10× growth-curve evidence
+    val sf1Section = try {
+      val p = java.nio.file.Paths.get("BENCH_SF1.json")
+      if (java.nio.file.Files.exists(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+      else None
+    } catch { case _: Throwable => None }
+    val sf1Json = sf1Section.map(s => s""","sf1":$s""").getOrElse("")
+
     // Full per-query detail: one line for humans/logs plus a file, because
     // the driver persists only the LAST ~2000 chars of output. The final
     // printed line is therefore a compact, complete JSON object (top-40
     // slowest queries) guaranteed to fit inside that tail window.
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${qjson(results)},"gc_sec":${qjson(gcPer.toSeq)},$jvmDiag,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${qjson(results)},"gc_sec":${qjson(gcPer.toSeq)},$jvmDiag$sf1Json,"sf":"$sfDir"}"""
     println(fullLine)
     try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")

@@ -12,6 +12,13 @@ import org.slf4j.LoggerFactory
 /** Factory entry points for the supported `users` sources. */
 object CdcEngine {
 
+  /** Test-only failpoint: invoked between the CSV publish and the
+    * watermark advance, so the crash-consistency spec can kill the
+    * engine inside the duplicate-export window (same discipline as
+    * [[TxLog.beforeCommit]]).
+    */
+  private[cdc] var afterSink: () => Unit = () => ()
+
   /** Live-database source via JDBC — the direct analog of the
     * reference reading Postgres (`/root/reference/app/database.py`).
     * The watermark predicate composed on top of this DataFrame pushes
@@ -243,8 +250,13 @@ final class CdcEngine(
             ExportJob(jobId, "completed", exportType, "", 0L)
           case Some(wm) =>
             val rows = CsvSink.write(df, s"$outputDir/$filename")
+            CdcEngine.afterSink()
             // advance-last ordering: state moves only after the sink
-            // succeeded (app/services/jobs.py:42 commit discipline)
+            // succeeded (app/services/jobs.py:42 commit discipline).
+            // A crash in between leaves the exported file WITHOUT the
+            // watermark advance — the retry re-exports the same rows
+            // (at-least-once, the reference's own window; consumers
+            // dedup by id) — never the reverse, which would LOSE rows.
             wmStore.upsert(consumerId, wm)
             val secs = (System.nanoTime() - t0) / 1e9
             log.info(

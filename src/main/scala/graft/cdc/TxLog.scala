@@ -125,7 +125,28 @@ private[graft] object TxLog {
     try p.store(os, null) finally os.close()
     beforeCommit()
     val dst = manifestPath(dir, v)
-    if (!f.rename(tmp, dst)) {
+    // HDFS-semantics filesystems refuse a rename onto an existing
+    // destination, which IS the fence. The LOCAL filesystem does not:
+    // its rename is POSIX rename(2), which silently OVERWRITES — two
+    // same-version committers would both "succeed" and one's state
+    // would be lost (observed as dropped watermark consumers under a
+    // cross-instance race). There the atomic refuse-if-exists
+    // primitive is link(2): hard-link the temp file to the final name,
+    // which fails EEXIST atomically in the kernel.
+    val committed =
+      if (f.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
+            java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
+          f.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            f.delete(tmp, false); false
+        }
+      } else f.rename(tmp, dst)
+    if (!committed) {
       f.delete(tmp, false)
       throw new IllegalStateException(
         s"commit of version $v lost the race (or rename failed): $dst")
@@ -157,13 +178,15 @@ private[graft] object TxLog {
       if (name.startsWith("g")) {
         val genV = scala.util.Try(name.drop(1).toLong).getOrElse(Long.MaxValue)
         if (genV > latestV) {
-          require(f.delete(gen.getPath, true), s"sweep failed: ${gen.getPath}")
+          require(f.delete(gen.getPath, true) || !f.exists(gen.getPath),
+            s"sweep failed: ${gen.getPath}")
         } else {
           var remaining = false
           f.listStatus(gen.getPath).foreach { b =>
             val rel = s"$name/${b.getPath.getName}"
             if (!referenced.contains(rel))
-              require(f.delete(b.getPath, true), s"sweep failed: ${b.getPath}")
+              require(f.delete(b.getPath, true) || !f.exists(b.getPath),
+                s"sweep failed: ${b.getPath}")
             else remaining = true
           }
           if (!remaining) f.delete(gen.getPath, true)
@@ -180,7 +203,11 @@ private[graft] object TxLog {
     val f = fs(spark, dir)
     val vs = versionsOnDisk(spark, dir)
     vs.filter(v => v < keepFromVersion && v != vs.last).foreach { v =>
-      require(f.delete(manifestPath(dir, v), false),
+      val p = manifestPath(dir, v)
+      // a concurrent vacuum (two CAS writers cleaning up after their
+      // own commits) may have deleted it first — already-gone is fine,
+      // only a delete that LEAVES the file behind is an error
+      require(f.delete(p, false) || !f.exists(p),
         s"vacuum failed to delete manifest v$v")
     }
     sweep(spark, dir)

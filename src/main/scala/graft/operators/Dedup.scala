@@ -148,7 +148,14 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, seed: Long = 42L,
       ngram: Int = 3): DataFrame = {
     // both sides of the self-join reference the banded signatures; without
-    // the persist the (CPU-heavy) signature compute runs twice
+    // the persist the (CPU-heavy) signature compute runs twice. The cache
+    // entry outlives this call (the returned plan references it): Spark's
+    // CacheManager dedups identical plans, so repeated calls on the same
+    // corpus reuse one entry, and MEMORY_AND_DISK evicts LRU under
+    // pressure — but a session timing DIFFERENT corpora back-to-back
+    // must spark.catalog.clearCache() between them or later runs read
+    // earlier runs' leftovers (this skewed a 1× vs 10× scale rehearsal
+    // 50× before the harness cleared caches per measurement)
     val banded = bandedSignatures(docs, idCol, textCol, numHashes, bands,
         seed, ngram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -509,9 +509,89 @@ object EmbeddingQueries {
       |ORDER BY s.vec_id""".stripMargin
       .replace("__LLOYD__", lloydCents)
 
+  /** ann_ivfpq_topk ground truth: the coarse-quantizer replay of
+    * annIvfOracle (idx/probes over the Lloyd centroids) composed with
+    * the encode/LUT replay of ann_pq_adc, ADC restricted to candidates
+    * in the probed lists — then the production tail: the ADC top-50
+    * shortlist re-ranks by EXACT squared L2 over the raw vectors.
+    * Subspace/dimension sums fold in fixed order on both engines, so
+    * the doubles are bit-identical and only exact ties — broken by
+    * n_id — could differ.
+    */
+  private val annIvfPqOracle: String =
+    """WITH __LLOYD__,
+      |idx AS (
+      |  SELECT vec_id AS n_id, list_id FROM (
+      |    SELECT e.vec_id, cents.list_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        __L2__, cents.list_id) AS r
+      |    FROM e CROSS JOIN cents) WHERE r = 1),
+      |probes AS (
+      |  SELECT q_id, list_id FROM (
+      |    SELECT e.vec_id AS q_id, cents.list_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        __L2__, cents.list_id) AS r
+      |    FROM e CROSS JOIN cents WHERE e.vec_id < 5) WHERE r <= 4),
+      |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id,
+      |    embedding
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |sd AS (
+      |  SELECT e.vec_id, js.j, cb.code_id,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+      |      t -> (e.embedding[js.j * 8 + t]::DOUBLE
+      |          - cb.embedding[js.j * 8 + t]::DOUBLE)
+      |         * (e.embedding[js.j * 8 + t]::DOUBLE
+      |          - cb.embedding[js.j * 8 + t]::DOUBLE))),
+      |      (a, b) -> a + b) AS d2
+      |  FROM e CROSS JOIN range(0, 8) js(j) CROSS JOIN cb),
+      |asg AS (
+      |  SELECT vec_id, j, code_id FROM (
+      |    SELECT vec_id, j, code_id,
+      |      row_number() OVER (PARTITION BY vec_id, j
+      |        ORDER BY d2, code_id) AS r
+      |    FROM sd) WHERE r = 1),
+      |cand AS (
+      |  SELECT p.q_id, i.n_id
+      |  FROM probes p JOIN idx i USING (list_id)
+      |  WHERE i.n_id <> p.q_id),
+      |adc AS (
+      |  SELECT c.q_id, c.n_id,
+      |    list_reduce(list_prepend(0.0, list(dq.d2 ORDER BY dq.j)),
+      |      (x, y) -> x + y) AS adc_d2
+      |  FROM cand c
+      |  JOIN asg a ON a.vec_id = c.n_id
+      |  JOIN sd dq ON dq.vec_id = c.q_id AND dq.j = a.j
+      |    AND dq.code_id = a.code_id
+      |  GROUP BY c.q_id, c.n_id),
+      |short AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id)
+      |        AS pr
+      |    FROM adc) WHERE pr <= 50),
+      |rr AS (
+      |  SELECT s.q_id, s.n_id,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |      j -> (qe.embedding[j]::DOUBLE - ne.embedding[j]::DOUBLE)
+      |         * (qe.embedding[j]::DOUBLE - ne.embedding[j]::DOUBLE))),
+      |      (a, b) -> a + b) AS d2
+      |  FROM short s
+      |  JOIN e qe ON qe.vec_id = s.q_id
+      |  JOIN e ne ON ne.vec_id = s.n_id),
+      |ranked AS (
+      |  SELECT q_id, n_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY d2, n_id)
+      |      AS rank
+      |  FROM rr)
+      |SELECT q_id, rank, n_id FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+      .replace("__LLOYD__", lloydCents)
+      .replace("__L2__", l2Sql("cents.cent"))
+
   val oracle: Map[String, String] = Map(
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
+    "ann_ivfpq_topk" -> annIvfPqOracle,
     "semdedup_kmeans" -> semdedupKmeansOracle,
 
     "embed_neardup_lsh" ->

@@ -103,6 +103,26 @@ object ExtensionQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF×PQ — the composed billion-vector ANN stack (Pq.ivfPqTopK,
+    // the production shortlist+re-rank shape): the SAME coarse
+    // quantizer as ann_ivf_topk prunes to nprobe lists, candidates
+    // shortlist by ADC over the SAME init-only codebooks as
+    // ann_pq_adc (m lookups each, no raw vector in the scanned
+    // index), then ONLY the shortlist's raw vectors re-rank by exact
+    // L2. Every stage is deterministic, so the oracle composes the
+    // two proven replays (Lloyd CTEs + encode/LUT CTEs), restricts
+    // ADC to the probed lists, and replays the exact re-rank.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val coarse = Ivf.train(emb, nlist = 8, iters = 1)
+      val cbs = graft.operators.Pq.train(emb, dim = 64, m = 8, k = 16,
+        iters = 0)
+      graft.operators.Pq.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+          dim = 64, coarse, cbs, k = 5, nprobe = 4, shortlist = 50)
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // the composed curation pipeline (lang filter -> quality gate ->
     // exact dedup -> LSH near-dedup clustering -> stats)
     "curation_pipeline" -> ((s, dir) => {

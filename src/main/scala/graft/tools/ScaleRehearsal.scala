@@ -1,0 +1,170 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Scale rehearsal (r4 verdict item 7): run the dedup / ANN /
+  * maintained-table battery at 1× and 10× the bench scale and verify
+  * the growth curve empirically — no quadratic candidate blowup, no
+  * super-linear shuffle surprise, merge cost staying O(touched).
+  *
+  * The testdata ships no sf1, so the 10× corpus is synthesized from
+  * sf0.1 deterministically: replica k of a document token-remaps every
+  * token with a `~k` suffix (within-replica near-dup structure is
+  * preserved; across replicas Jaccard drops to 0 — replicating
+  * VERBATIM would instead manufacture a k-clique of near-dups per doc
+  * and the pair count would grow quadratically BY CONSTRUCTION, which
+  * would measure the data, not the operator). Embedding replicas get a
+  * deterministic per-replica component shift; keyed tables offset
+  * their keys.
+  *
+  * Output: one JSON line per run plus `BENCH_SF1.json`, which
+  * `graft.Bench` embeds into BENCH_DETAIL.json as the `sf1` section.
+  * Ratios comfortably under 10× input growth → sublinear; ratios near
+  * 10 → linear; the tool flags anything above `LinearBar` (20, i.e.
+  * 2× headroom over linear for shuffle log-factors and fixed costs).
+  */
+object ScaleRehearsal {
+
+  private val LinearBar = 20.0
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** documents scaled ×f with token-remapped replicas. */
+  private def docsAt(spark: SparkSession, sfDir: String, f: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val reps = explode(sequence(lit(0), lit(f - 1))).as("rep")
+    base.select(col("doc_id"), col("text"), reps)
+      .select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit("~"), col("rep"))))).as("text"))
+  }
+
+  private def embeddingsAt(spark: SparkSession, sfDir: String, f: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val reps = explode(sequence(lit(0), lit(f - 1))).as("rep")
+    base.select(col("vec_id"), col("embedding"), reps)
+      .select(
+        (col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x + ((col("rep") * (j + 1) % 7).cast("double") * 0.01)
+            .cast("float"))
+          .as("embedding"))
+  }
+
+  private def ordersAt(spark: SparkSession, sfDir: String, f: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val reps = explode(sequence(lit(0), lit(f - 1))).as("rep")
+    base.select(col("o_orderkey"), col("o_totalprice"), reps)
+      .select((col("o_orderkey") + col("rep") * 100000000L).as("id"),
+        col("o_totalprice").as("price"))
+  }
+
+  private def fmt(v: Double) = f"$v%.2f"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get("graft-scale-rehearsal")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sf1").toString
+
+    def battery(f: Int): Map[String, Double] = {
+      var nPairs = 0L
+      // each op measures against a CLEAN cache: operators like
+      // Dedup.lshCandidatePairs persist intermediates whose entries
+      // outlive the call (CacheManager matches the plan), so without
+      // the clearCache a later op — or a later battery — silently
+      // reads an earlier one's leftovers and the growth ratio
+      // measures cache luck, not the operator (observed: a 57× "blow
+      // up" that was really the ×1 leg running on the warmup's cache)
+      def measure(op: (DataFrame, DataFrame) => Unit): Double = {
+        spark.catalog.clearCache()
+        val docs = docsAt(spark, sfDir, f)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val emb = embeddingsAt(spark, sfDir, f).persist()
+        emb.count()
+        val (_, t) = time(op(docs, emb))
+        t
+      }
+      val tExact = measure { (docs, _) =>
+        docs.groupBy(md5(col("text"))).agg(count(lit(1))).count(): Unit
+      }
+      val tLsh = measure { (docs, _) =>
+        nPairs = graft.operators.Dedup.lshCandidatePairs(
+          docs, "doc_id", "text").count()
+      }
+      val tSim = measure { (docs, _) =>
+        graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text")
+          .count(): Unit
+      }
+      val tIvf = measure { (_, emb) =>
+        graft.operators.Ivf.ivfTopK(
+          emb.filter(col("vec_id") < 20), emb, k = 10,
+          nlist = 16, nprobe = 4, iters = 1).count(): Unit
+      }
+      // maintained table: init at scale, then a merge touching ~1% of
+      // keys — the merge must scale with the TOUCHED slice
+      spark.catalog.clearCache()
+      val tableDir = s"$tmp/table-x$f"
+      val ord = ordersAt(spark, sfDir, f)
+        .select(col("id"), col("price"), lit(0L).as("version"),
+          lit(false).as("deleted"))
+      val (_, tInit) = time {
+        graft.cdc.Compaction.init(ord, tableDir, "id", "version",
+          "deleted", nBuckets = 128)
+      }
+      val changes = ord.filter(col("id") % 100 === 7)
+        .select(col("id"), (col("price") * 2).as("price"),
+          lit(1L).as("version"), lit(false).as("deleted"))
+      val (_, tMerge) = time {
+        graft.cdc.Compaction.merge(spark, tableDir, changes)
+      }
+      Map("exact_dedup" -> tExact, "lsh_pairs" -> tLsh,
+        "near_dups" -> tSim, "ann_ivf" -> tIvf,
+        "table_init" -> tInit, "table_merge_1pct" -> tMerge,
+        "lsh_pair_count" -> nPairs.toDouble)
+    }
+
+    // warm the JVM once so neither leg pays the JIT/codegen cold start
+    // (measure() then clears every cache this warmup leaves behind)
+    battery(1)
+    val at1 = battery(1)
+    val at10 = battery(10)
+
+    val usedMb = (Runtime.getRuntime.totalMemory -
+      Runtime.getRuntime.freeMemory) / 1048576
+    val keys = Seq("exact_dedup", "lsh_pairs", "near_dups", "ann_ivf",
+      "table_init", "table_merge_1pct")
+    val entries = keys.map { k =>
+      val ratio = at10(k) / math.max(at1(k), 0.001)
+      // the merge touches the same 1% key FRACTION at both scales and
+      // its cost is dominated by the touched slice + fixed job
+      // overhead — it gets a stricter sublinear bar than the full-scan
+      // operators, because O(touched) is the property being verified
+      val bar = if (k == "table_merge_1pct") LinearBar / 2 else LinearBar
+      val flag = ratio <= bar
+      s""""$k":{"x1_sec":${fmt(at1(k))},"x10_sec":${fmt(at10(k))},""" +
+        s""""ratio":${fmt(ratio)},"linear_ok":$flag}"""
+    }
+    val pairGrowth = at10("lsh_pair_count") /
+      math.max(at1("lsh_pair_count"), 1.0)
+    val json = s"""{"sf1_factor":10,"ops":{${entries.mkString(",")}},""" +
+      s""""lsh_pair_growth":${fmt(pairGrowth)},""" +
+      s""""driver_used_mb":$usedMb}"""
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SF1.json"), json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

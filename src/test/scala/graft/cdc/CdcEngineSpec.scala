@@ -286,6 +286,27 @@ class CdcEngineSpec extends SparkSpec {
     (1 to 8).foreach(i => assert(store.get(s"consumer-$i").nonEmpty))
   }
 
+  test("watermark upserts from two independent store instances lose no consumer") {
+    // the r4 advisory scenario: two separate driver processes sharing a
+    // state dir. Separate INSTANCES bypass the per-instance
+    // `synchronized`, so only the manifest CAS commit serializes them —
+    // the old last-rename-wins dir swap could silently drop one side.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpDir("wmxproc")
+    val a = new WatermarkStore(spark, s"$root/wm")
+    val b = new WatermarkStore(spark, s"$root/wm")
+    val fs = (1 to 10).map { i =>
+      val store = if (i % 2 == 0) a else b
+      Future(store.upsert(s"c-$i", ts(f"2026-01-0${i % 9 + 1} 00:00:00")))
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(a.all().count() == 10)
+    (1 to 10).foreach(i => assert(b.get(s"c-$i").nonEmpty,
+      s"consumer c-$i lost in the cross-instance race"))
+  }
+
   test("watermark upsert: insert path then update path") {
     val root = tmpDir("wm")
     val store = new WatermarkStore(spark, s"$root/wm")

@@ -112,6 +112,18 @@ class Scd2Spec extends SparkSpec {
     assert(payloadAt(6L).contains("v6-1"))
   }
 
+  test("merge batch carrying generated columns fails fast (no silent clobber)") {
+    val dir = fresh(10)
+    val bad = Seq((1L, "x", 9L, false, true))
+      .toDF("id", "payload", "version", "deleted", "is_current")
+    intercept[IllegalArgumentException] { Scd2.merge(spark, dir, bad) }
+    val bad2 = Seq((1L, "x", 9L, false, 7))
+      .toDF("id", "payload", "version", "deleted", "bucket")
+    intercept[IllegalArgumentException] { Scd2.merge(spark, dir, bad2) }
+    // and the refusals left the table untouched
+    assert(Scd2.read(spark, dir).count() == 10L)
+  }
+
   test("untouched buckets are byte-identical; scan prunes to touched") {
     val dir = fresh(200)
     val before = fileState(dir)
