@@ -198,6 +198,25 @@ object Compaction {
   def read(spark: SparkSession, dir: String): DataFrame =
     storedData(spark, dir, loadMeta(spark, dir)).drop("bucket")
 
+  /** Point lookup by key: the bucket function pins WHICH single bucket
+    * directory can hold the key, the manifest maps it to its one
+    * directory, and only that directory's files are opened — O(1
+    * bucket) regardless of table size, the maintained-table analog of
+    * the reference's indexed primary-key lookup. Keys hashing to a
+    * bucket absent from the map (all its rows deleted, or never
+    * present) return an empty frame without touching storage. The
+    * equality predicate still applies WITHIN the bucket (a bucket
+    * holds many keys), pushed to the parquet reader.
+    */
+  def lookup(spark: SparkSession, dir: String, keyValue: Any): DataFrame = {
+    val m = loadMeta(spark, dir)
+    val bucket = spark.range(1)
+      .select(bucketOf(lit(keyValue), m.nBuckets)).head().getInt(0)
+    readBuckets(spark, dir, m, m.buckets.get(bucket).toSeq)
+      .drop("bucket")
+      .filter(col(m.key) === lit(keyValue))
+  }
+
   /** Next change-feed batch id: one past the highest committed batch.
     * A driver-side listing of ≤ |merges| directory names — metadata,
     * never data.

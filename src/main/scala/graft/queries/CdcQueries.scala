@@ -462,6 +462,44 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // O(1-bucket) point lookup on the maintained MERGE table: the
+    // bucket function pins the single manifest-mapped directory that
+    // can hold each key, so a primary-key read on a 100 TB table opens
+    // one bucket's files (the maintained-table analog of the
+    // reference's indexed `get user by id`; single-bucket read
+    // asserted in CompactionSpec). Probes cover the whole outcome
+    // space — snapshot-only, updated, inserted, tombstoned, absent —
+    // and the oracle recomputes each from the relational merge.
+    "cdc_bucket_lookup" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-bucket-lookup-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, changes)
+      // 4: snapshot-only · 6: updated (%2∧%3) · 9: inserted (%3 only)
+      // 30: tombstoned (%2∧%3∧%5) · 7: never present
+      Seq(4L, 6L, 9L, 30L, 7L)
+        .map(k => graft.cdc.Compaction.lookup(s, tableDir, k))
+        .reduce(_.unionByName(_))
+        .select(col("id"), dec18(col("price")).cast("double").as("price"),
+          col("version"))
+        .orderBy(col("id"))
+    }),
+
     // change data feed from the maintained MERGE: the same
     // snapshot/changelog as cdc_merge_upsert, but the observable is
     // what the merge EMITTED — per-row insert / update_preimage /
@@ -870,6 +908,26 @@ object CdcQueries {
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    "cdc_bucket_lookup" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT id, CAST(price::DECIMAL(18,2) AS DOUBLE) AS price,
+        |  CAST(version AS BIGINT) AS version
+        |FROM latest
+        |WHERE rn = 1 AND NOT deleted AND id IN (4, 6, 9, 30, 7)
+        |ORDER BY id""".stripMargin,
 
     "cdc_change_feed" ->
       """WITH snap AS (

@@ -125,6 +125,29 @@ class CompactionSpec extends SparkSpec {
       "pruned scan unexpectedly covers the whole table")
   }
 
+  test("point lookup opens exactly one bucket and covers every outcome") {
+    val dir = freshTable(200)
+    Compaction.merge(spark, dir, Seq(
+      (7L, "v1-7", 1L, false),    // update
+      (201L, "v1-201", 1L, false), // insert
+      (13L, "", 1L, true))         // delete
+      .toDF("id", "payload", "version", "deleted"))
+    def hit(k: Long): Seq[(Long, String)] =
+      Compaction.lookup(spark, dir, k)
+        .select("id", "payload").as[(Long, String)].collect().toSeq
+    assert(hit(7L) == Seq((7L, "v1-7")))
+    assert(hit(201L) == Seq((201L, "v1-201")))
+    assert(hit(42L) == Seq((42L, "v0-42"))) // untouched snapshot row
+    assert(hit(13L).isEmpty)  // tombstoned
+    assert(hit(999L).isEmpty) // never present
+    // the scan behind a hit opens ONE bucket's files, nothing else
+    val files = Compaction.lookup(spark, dir, 42L).inputFiles
+    assert(files.nonEmpty)
+    val bucketDirs = files.map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+    assert(bucketDirs.size == 1,
+      s"lookup read more than one bucket: $bucketDirs")
+  }
+
   test("a fully-deleted bucket's directory is removed, not left stale") {
     // one lonely key: find a bucket holding exactly one id, delete it
     val dir = tmpDir("compaction")
