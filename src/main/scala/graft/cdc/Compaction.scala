@@ -107,9 +107,56 @@ object Compaction {
     installAndCommit(spark, dir, version = 0L,
       newBuckets = staged.map(b => b -> s"g0/bucket=$b").toMap,
       props = coreProps(key, versionCol, deleteCol, nBuckets,
-        df.schema.json))
+        df.schema.json) ++ rowProps(stagedCounts(spark, staging, staged)))
     fs.delete(new Path(staging), true)
   }
+
+  /** Per-bucket row counts of the staged generation — read back from
+    * the staged files' FOOTERS (count on a parquet partition is
+    * metadata; with aggregate pushdown no data page opens), so stats
+    * never add a pass over the data.
+    */
+  private def stagedCounts(spark: SparkSession, staging: String,
+      staged: Seq[Int]): Map[Int, Long] =
+    // an all-buckets-emptied merge staged no partitions (the dir holds
+    // only _SUCCESS — nothing to read a schema from)
+    if (staged.isEmpty) Map.empty
+    else spark.read.parquet(s"$staging/data")
+      .groupBy(col("bucket")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  private def rowProps(counts: Map[Int, Long]): Map[String, String] =
+    counts.map { case (b, n) => s"rows.$b" -> n.toString }
+
+  /** Exact live row count answered from the manifest alone — zero I/O,
+    * zero Spark jobs: every commit records each bucket's count, so the
+    * 100 TB table's `count(*)` is a driver-side sum of ≤ nBuckets
+    * integers (the manifest-level answer an ACID table format gives).
+    */
+  def countRows(spark: SparkSession, dir: String): Long = {
+    val m = loadMeta(spark, dir)
+    val counted = m.snap.props.collect {
+      case (k, v) if k.startsWith("rows.") =>
+        k.drop("rows.".length).toInt -> v.toLong
+    }.toMap
+    // a manifest written before stats existed may lack entries for
+    // some live buckets: answer with a real (path-pruned) count of
+    // just those rather than a silently-low number
+    val missing = m.buckets.keySet -- counted.keySet
+    val rest = if (missing.isEmpty) 0L
+      else readBuckets(spark, dir, m,
+        m.buckets.view.filterKeys(missing.contains).values).count()
+    counted.values.sum + rest
+  }
+
+  /** Per-bucket row counts (bucket, rows) from the manifest — the
+    * zero-cost skew diagnostic for bucket-count sizing.
+    */
+  def bucketStats(spark: SparkSession, dir: String): Seq[(Int, Long)] =
+    loadMeta(spark, dir).snap.props.collect {
+      case (k, v) if k.startsWith("rows.") =>
+        k.drop("rows.".length).toInt -> v.toLong
+    }.toSeq.sortBy(_._1)
 
   private def coreProps(key: String, versionCol: String, deleteCol: String,
       nBuckets: Int, schemaJson: String): Map[String, String] = Map(
@@ -483,7 +530,16 @@ object Compaction {
     else m.schema.json
 
     val feedBatch = if (emitFeed) Some(nextBatch(spark, dir, m)) else None
+    // stats ride the commit: untouched buckets carry their recorded
+    // counts forward, touched buckets take the staged generation's
+    // footer counts, emptied buckets drop — countRows stays exact
+    // across every merge without ever scanning
+    val carriedRows = m.snap.props.collect {
+      case (k, v) if k.startsWith("rows.") &&
+          !touched.contains(k.drop("rows.".length).toInt) => k -> v
+    }
     val props = coreProps(key, versionCol, deleteCol, nBuckets, schemaJson) ++
+      carriedRows ++ rowProps(stagedCounts(spark, staging, staged)) ++
       feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
         .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _))
 

@@ -462,6 +462,37 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // zero-scan count(*) on the maintained MERGE table: every commit
+    // records per-bucket row counts in the manifest, so the live count
+    // is a driver-side sum of ≤ nBuckets integers — no file opens at
+    // all (the manifest-stats answer an ACID table format gives,
+    // exact across updates/inserts/deletes because stats ride the
+    // same atomic commit as the data). Oracle recomputes the count
+    // relationally from the merge inputs.
+    "cdc_meta_count" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-meta-count-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, changes)
+      s.range(1).select(
+        lit(graft.cdc.Compaction.countRows(s, tableDir)).as("n_rows"))
+    }),
+
     // O(1-bucket) point lookup on the maintained MERGE table: the
     // bucket function pins the single manifest-mapped directory that
     // can hold each key, so a primary-key read on a 100 TB table opens
@@ -908,6 +939,20 @@ object CdcQueries {
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    "cdc_meta_count" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, 0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_rows FROM latest
+        |WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     "cdc_bucket_lookup" ->
       """WITH unioned AS (

@@ -163,6 +163,24 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.read(spark, dir).count() == 0L)
   }
 
+  test("manifest row stats stay exact across merges (zero-scan count)") {
+    val dir = freshTable(100)
+    assert(Compaction.countRows(spark, dir) == 100L)
+    Compaction.merge(spark, dir, Seq(
+      (7L, "v1-7", 1L, false),    // update: count unchanged
+      (101L, "v1-101", 1L, false), // insert: +1
+      (13L, "", 1L, true))         // delete: -1
+      .toDF("id", "payload", "version", "deleted"))
+    assert(Compaction.countRows(spark, dir) == 100L)
+    assert(Compaction.countRows(spark, dir) ==
+      Compaction.read(spark, dir).count())
+    // per-bucket stats sum to the total and cover every live bucket
+    val stats = Compaction.bucketStats(spark, dir)
+    assert(stats.map(_._2).sum == 100L)
+    assert(stats.map(_._1).toSet ==
+      Compaction.livePaths(spark, dir).keySet)
+  }
+
   test("sequential batches == one batch of the union") {
     val b1 = Seq((3L, "v1-3", 1L, false), (50L, "", 1L, true))
       .toDF("id", "payload", "version", "deleted")
