@@ -450,10 +450,12 @@ object Compaction {
     val ranked = if (emitFeed)
       ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ranked0
+    // winners has exactly ONE action (the staged write): no persist —
+    // row counts come from the staged files' footers afterwards, so
+    // the old count-then-write double pass (and its cache) is gone
     val winners = ranked
       .filter(col("_rn") === 1 && !col(deleteCol))
       .drop("_rn", "_src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val feedRows: Long = if (!emitFeed) 0L else {
       // per-key preimage = the (unique) stored row, surfaced to the
@@ -503,7 +505,6 @@ object Compaction {
     // still live (they stay live until a LATER merge's sweep — commit
     // never deletes): the write job reads the real committed files, so
     // losing cache blocks mid-write merely recomputes
-    val rows = winners.count()
     winners
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
@@ -538,8 +539,12 @@ object Compaction {
       case (k, v) if k.startsWith("rows.") &&
           !touched.contains(k.drop("rows.".length).toInt) => k -> v
     }
+    val newCounts = stagedCounts(spark, staging, staged)
+    // rowsWritten = the staged footer counts — the pass the old
+    // pre-write winners.count() made is folded into the stats read
+    val rows = newCounts.values.sum
     val props = coreProps(key, versionCol, deleteCol, nBuckets, schemaJson) ++
-      carriedRows ++ rowProps(stagedCounts(spark, staging, staged)) ++
+      carriedRows ++ rowProps(newCounts) ++
       feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
         .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _))
 
@@ -560,7 +565,6 @@ object Compaction {
     // alone referenced (the touched buckets' pre-images)
     if (!retainHistory) TxLog.vacuum(spark, dir, newVersion)
 
-    winners.unpersist()
     if (emitFeed) ranked.unpersist()
     changes.unpersist()
     MergeStats(touched, emptied, rows, feedRows)

@@ -1,0 +1,89 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Feed-driven replica maintenance with consumer-side resume — the
+  * complete CDC chain (source merge → change feed → replica merge)
+  * closed over the engine's own operators, plus the piece
+  * [[Compaction.feedAsChangelog]] leaves to the caller: REMEMBERING
+  * where the consumer is.
+  *
+  * The offset lives in a [[TxLog]] manifest under `<replica>/_sync`
+  * (`last_batch`), committed only AFTER the replica merge: a crash in
+  * between replays the same feed slice, and the merge's (key, version)
+  * semantics make the replay a no-op — at-least-once apply, exactly-
+  * once state. Catch-up applies the whole unseen batch range in ONE
+  * partition-pruned feed read + ONE merge (version order resolves
+  * cross-batch winners; a later re-insert outranks an earlier delete
+  * by version exactly as it did at the source).
+  *
+  * This is the consumer-side mirror of the reference's watermark
+  * discipline (`/root/reference/app/services/watermark.py` — advance
+  * only after the export landed), at table scale.
+  */
+object Replicator {
+
+  private def syncDir(replicaDir: String) = s"$replicaDir/_sync"
+
+  /** Highest feed batch the source has published (−1 if none). */
+  private def sourceHead(spark: SparkSession, sourceDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$sourceDir/feed")
+    val fs = TxLog.fs(spark, sourceDir)
+    val fromDirs = if (!fs.exists(p)) -1L
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
+      .foldLeft(-1L)(math.max)
+    math.max(fromDirs, TxLog.latest(spark, sourceDir)
+      .map(_.counter("next_feed_batch") - 1L).getOrElse(-1L))
+  }
+
+  /** The replica's last applied feed batch (−1 before the first sync). */
+  def lastApplied(spark: SparkSession, replicaDir: String): Long =
+    TxLog.latest(spark, syncDir(replicaDir))
+      .flatMap(_.prop("last_batch")).map(_.toLong).getOrElse(-1L)
+
+  /** Clone the source's CURRENT state into a fresh replica table and
+    * fence the consumer at the source's published head: batches whose
+    * effects the snapshot already contains are never re-applied.
+    */
+  def init(spark: SparkSession, sourceDir: String, replicaDir: String,
+      nBuckets: Int = 0): Unit = {
+    val (key, versionCol, deleteCol, srcBuckets) =
+      Compaction.readMeta(spark, sourceDir)
+    // the head is read BEFORE the state copy: a batch published in
+    // between is replayed by the first sync, and replay is convergent
+    val head = sourceHead(spark, sourceDir)
+    Compaction.init(Compaction.read(spark, sourceDir), replicaDir,
+      key, versionCol, deleteCol,
+      if (nBuckets > 0) nBuckets else srcBuckets)
+    TxLog.fs(spark, replicaDir)
+      .delete(new org.apache.hadoop.fs.Path(syncDir(replicaDir)), true)
+    TxLog.commit(spark, syncDir(replicaDir), 0L,
+      Map("last_batch" -> head.toString))
+  }
+
+  /** Apply every feed batch the replica has not seen; returns the new
+    * consumer position (−1 ⇒ source never published). Idempotent: a
+    * crashed sync's replay converges, and a sync with nothing new is
+    * a metadata-only no-op.
+    */
+  def sync(spark: SparkSession, sourceDir: String, replicaDir: String): Long = {
+    val last = lastApplied(spark, replicaDir)
+    val head = sourceHead(spark, sourceDir)
+    if (head <= last) return last
+    val (_, _, deleteCol, _) = Compaction.readMeta(spark, replicaDir)
+    val slice = Compaction.readFeed(spark, sourceDir)
+      .filter(col("batch") > last) // partition-pruned resume
+    Compaction.merge(spark, replicaDir,
+      Compaction.feedAsChangelog(slice, deleteCol))
+    // the offset advances only after the merge committed: the crash
+    // window between the two replays, never skips
+    val state = TxLog.latest(spark, syncDir(replicaDir))
+    val v = state.map(_.version + 1L).getOrElse(0L)
+    TxLog.commit(spark, syncDir(replicaDir), v,
+      Map("last_batch" -> head.toString))
+    TxLog.vacuum(spark, syncDir(replicaDir), v)
+    head
+  }
+}

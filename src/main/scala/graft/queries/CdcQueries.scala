@@ -462,6 +462,47 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // the closed CDC replication chain with consumer-managed resume:
+    // source table → change-feed batches → Replicator (init clones the
+    // current state and fences at the published head; sync applies
+    // only unseen batches in one partition-pruned merge, advancing a
+    // TxLog-committed offset AFTER the merge). The observable is the
+    // REPLICA's final state; the oracle recomputes the SOURCE
+    // relationally — a green row proves clone + fence + multi-batch
+    // catch-up reproduce the source exactly, without the replica ever
+    // rescanning it.
+    "cdc_replica_sync" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      def batch(mod: Int, v: Long) = ord.filter(col("o_orderkey") % mod === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(v + 1).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(v).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val base = sys.props("java.io.tmpdir") + "/graft-replica-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      graft.cdc.Compaction.init(snapshot, src,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Compaction.merge(s, src, batch(3, 1L), emitFeed = true)
+      graft.cdc.Replicator.init(s, src, dst) // clone + fence at batch 0
+      graft.cdc.Compaction.merge(s, src, batch(7, 2L), emitFeed = true)
+      graft.cdc.Compaction.merge(s, src, batch(11, 3L), emitFeed = true)
+      graft.cdc.Replicator.sync(s, src, dst) // catch up batches 1..2
+      graft.cdc.Compaction.read(s, dst)
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(dec18(col("price"))).cast("double").as("total"),
+          sum(col("id") * col("version")).as("checksum"))
+    }),
+
     // zero-scan count(*) on the maintained MERGE table: every commit
     // records per-bucket row counts in the manifest, so the live count
     // is a driver-side sum of ≤ nBuckets integers — no file opens at
@@ -938,6 +979,35 @@ object CdcQueries {
         |  FROM unioned)
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    "cdc_replica_sync" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 3.00::DECIMAL(18,2) AS DOUBLE),
+        |    2 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 4.00::DECIMAL(18,2) AS DOUBLE),
+        |    3 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |latest AS (
+        |  SELECT id, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  CAST(SUM(id * version) AS BIGINT) AS checksum
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     "cdc_meta_count" ->
