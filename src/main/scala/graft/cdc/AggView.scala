@@ -61,41 +61,20 @@ object AggView {
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", ".staging", "meta")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
+    val txn = new TableTxn(spark, dir, baseVersion = -1L)
     val state = partials(df, key, valueCol)
       .withColumn("bucket", bucketOf(col(key), nBuckets))
     state
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$dir/.staging/data")
-    val staged = stagedBucketIds(fs, dir)
-    installAndCommit(spark, dir, 0L,
-      staged.map(b => b -> s"g0/bucket=$b").toMap,
+      .parquet(s"${txn.staging}/data")
+    val staged = txn.stagedBucketIds()
+    txn.installAndCommit(
+      staged.map(b => b -> txn.bucketRel(b)).toMap,
       coreProps(key, valueCol, nBuckets, batchId,
         state.drop("bucket").schema.json))
-    fs.delete(new Path(s"$dir/.staging"), true)
-  }
-
-  private def stagedBucketIds(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[Int] = {
-    val p = new Path(s"$dir/.staging/data")
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
-  }
-
-  private def installAndCommit(spark: SparkSession, dir: String,
-      version: Long, newBuckets: Map[Int, String],
-      props: Map[String, String]): Unit = {
-    val fs = TxLog.fs(spark, dir)
-    val stagedData = new Path(s"$dir/.staging/data")
-    if (fs.exists(stagedData)) {
-      fs.mkdirs(new Path(s"$dir/data"))
-      val dst = new Path(s"$dir/data/g$version")
-      require(fs.rename(stagedData, dst),
-        s"install rename failed: $stagedData -> $dst")
-    }
-    TxLog.commit(spark, dir, version, props ++ TxLog.bucketProps(newBuckets))
+    txn.cleanup()
   }
 
   private def snap(spark: SparkSession, dir: String): TxLog.Snapshot =
@@ -137,7 +116,7 @@ object AggView {
     val s = snap(spark, dir)
     if (batchId <= s.props("last_batch_id").toLong)
       return MergeStats(applied = false, Nil)
-    mergeDeltas(spark, dir, s,
+    mergeDeltas(spark, dir,
       partials(batch, s.props("key"), s.props("value_col")),
       batchId, canRetract = false)
   }
@@ -172,25 +151,43 @@ object AggView {
       // an update whose value did not move is a (0, 0) delta: folding
       // it in would rewrite the key's bucket to state it already holds
       .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0)
-    mergeDeltas(spark, dir, s, signed, batchId, canRetract = true)
+    mergeDeltas(spark, dir, signed, batchId, canRetract = true)
   }
 
   private def mergeDeltas(spark: SparkSession, dir: String,
-      s: TxLog.Snapshot, deltaPartials: DataFrame,
+      deltaPartials: DataFrame,
       batchId: Long, canRetract: Boolean): MergeStats = {
+    // bucket + cache the delta ONCE (bucketing params never change
+    // post-init); each OCC attempt re-resolves the snapshot AND the
+    // fence — a concurrent writer may have applied this very batchId,
+    // in which case the retry degrades to the exactly-once no-op
+    val s0 = snap(spark, dir)
+    val nBuckets0 = s0.props("n_buckets").toInt
+    val delta = deltaPartials
+      .withColumn("bucket", bucketOf(col(s0.props("key")), nBuckets0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = delta.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      TxLog.withOcc(spark, dir) {
+        mergeDeltasOnce(spark, dir, delta, touched, batchId, canRetract)
+      }
+    } finally delta.unpersist()
+  }
+
+  private def mergeDeltasOnce(spark: SparkSession, dir: String,
+      delta: DataFrame, touched: Seq[Int],
+      batchId: Long, canRetract: Boolean): MergeStats = {
+    val s = snap(spark, dir)
+    if (batchId <= s.props("last_batch_id").toLong)
+      return MergeStats(applied = false, Nil)
     val (key, valueCol, nBuckets) =
       (s.props("key"), s.props("value_col"), s.props("n_buckets").toInt)
-    val fs = TxLog.fs(spark, dir)
-    val delta = deltaPartials
-      .withColumn("bucket", bucketOf(col(key), nBuckets))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = delta.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val newVersion = s.version + 1L
+    val txn = new TableTxn(spark, dir, s.version)
     var newBuckets = s.buckets
     if (touched.nonEmpty) {
-      // crashed-writer leftovers must go before our install rename
-      fs.delete(new Path(s"$dir/.staging"), true)
+      // crashed-writer leftovers (grace-aware: a LIVE concurrent
+      // writer's staging and in-flight generation survive)
       TxLog.sweep(spark, dir)
       val touchedPaths = s.buckets.view
         .filterKeys(touched.toSet).values.map(rel => s"$dir/data/$rel").toSeq
@@ -215,24 +212,23 @@ object AggView {
         .repartition(col("bucket"))
         .sortWithinPartitions(col("bucket"), col(key))
         .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$dir/.staging/data")
+        .parquet(s"${txn.staging}/data")
       // a retraction can empty a touched bucket entirely: it staged no
       // partition and simply leaves the bucket map — no stale
       // directory can resurrect its rows because readers only ever
       // resolve manifest-listed paths
-      val staged = stagedBucketIds(fs, dir)
+      val staged = txn.stagedBucketIds()
       newBuckets = (s.buckets -- touched) ++
-        staged.map(b => b -> s"g$newVersion/bucket=$b")
+        staged.map(b => b -> txn.bucketRel(b))
     }
     // ONE commit publishes the new bucket contents AND the advanced
     // fence — the atomic data+meta write (a no-data batch still
     // commits a manifest: the fence must advance exactly-once too)
-    installAndCommit(spark, dir, newVersion, newBuckets,
+    txn.installAndCommit(newBuckets,
       coreProps(key, valueCol, nBuckets, batchId,
         s.props("schema_json")))
-    fs.delete(new Path(s"$dir/.staging"), true)
-    TxLog.vacuum(spark, dir, newVersion)
-    delta.unpersist()
+    txn.cleanup()
+    TxLog.vacuum(spark, dir, txn.newVersion)
     MergeStats(applied = true, touched)
   }
 }

@@ -92,7 +92,7 @@ object Compaction {
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", "feed", ".staging", "meta", "_history")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
-    val staging = s"$dir/.staging"
+    val txn = new TableTxn(spark, dir, baseVersion = -1L)
     df.filter(!col(deleteCol))
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       // hash-partition on bucket + in-partition (bucket, key) sort:
@@ -102,13 +102,14 @@ object Compaction {
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$staging/data")
-    val staged = stagedBucketIds(fs, staging)
-    installAndCommit(spark, dir, version = 0L,
-      newBuckets = staged.map(b => b -> s"g0/bucket=$b").toMap,
+      .parquet(s"${txn.staging}/data")
+    val staged = txn.stagedBucketIds()
+    txn.installAndCommit(
+      newBuckets = staged.map(b => b -> txn.bucketRel(b)).toMap,
       props = coreProps(key, versionCol, deleteCol, nBuckets,
-        df.schema.json) ++ rowProps(stagedCounts(spark, staging, staged)))
-    fs.delete(new Path(staging), true)
+        df.schema.json) ++
+        rowProps(stagedCounts(spark, txn.staging, staged)))
+    txn.cleanup()
   }
 
   /** Per-bucket row counts of the staged generation — read back from
@@ -163,34 +164,6 @@ object Compaction {
     "key" -> key, "version_col" -> versionCol,
     "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
     "schema_json" -> schemaJson)
-
-  private def stagedBucketIds(fs: org.apache.hadoop.fs.FileSystem,
-      staging: String): Seq[Int] = {
-    val p = new Path(s"$staging/data")
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
-  }
-
-  /** Move the staged generation into place (one rename — the staged
-    * directory is invisible to readers until the manifest commit that
-    * follows), then commit the manifest. The ONLY mutation of
-    * committed state in the whole merge is the commit rename inside
-    * [[TxLog.commit]].
-    */
-  private def installAndCommit(spark: SparkSession, dir: String,
-      version: Long, newBuckets: Map[Int, String],
-      props: Map[String, String]): TxLog.Snapshot = {
-    val fs = TxLog.fs(spark, dir)
-    val stagedData = new Path(s"$dir/.staging/data")
-    if (fs.exists(stagedData)) {
-      fs.mkdirs(new Path(s"$dir/data"))
-      val dst = new Path(s"$dir/data/g$version")
-      require(fs.rename(stagedData, dst),
-        s"install rename failed: $stagedData -> $dst")
-    }
-    TxLog.commit(spark, dir, version, props ++ TxLog.bucketProps(newBuckets))
-  }
 
   /** One read of the driver-side manifest per public call: merge needs
     * the key columns, the bucket count, the stored schema AND the live
@@ -404,28 +377,38 @@ object Compaction {
     */
   def merge(spark: SparkSession, dir: String, changelog: DataFrame,
       emitFeed: Boolean = false, retainHistory: Boolean = false): MergeStats = {
-    val m = loadMeta(spark, dir)
-    val (key, versionCol, deleteCol, nBuckets) =
-      (m.key, m.versionCol, m.deleteCol, m.nBuckets)
+    // bucketing params are fixed at init (only a full re-init changes
+    // them), so the bucketed changelog — the expensive input — is
+    // computed and cached ONCE and reused verbatim across OCC retries;
+    // each attempt re-resolves the manifest snapshot inside withOcc.
+    val m0 = loadMeta(spark, dir)
     val dataCols = changelog.columns.filterNot(_ == "bucket")
     requireNoReserved(dataCols.toSeq, "changelog schema")
-
     val changes = changelog
-      .withColumn("bucket", bucketOf(col(key), nBuckets))
+      .withColumn("bucket", bucketOf(col(m0.key), m0.nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // distinct over the partition-id domain: ≤ nBuckets values, a
-    // metadata-sized collect regardless of batch row count
-    val touched = changes.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) { changes.unpersist(); return MergeStats(Nil, Nil, 0L) }
+    try {
+      // distinct over the partition-id domain: ≤ nBuckets values, a
+      // metadata-sized collect regardless of batch row count
+      val touched = changes.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return MergeStats(Nil, Nil, 0L)
+      TxLog.withOcc(spark, dir) {
+        mergeOnce(spark, dir, changes, dataCols.toSeq, touched,
+          emitFeed, retainHistory)
+      }
+    } finally changes.unpersist()
+  }
 
-    val fs = TxLog.fs(spark, dir)
-    // clear a crashed writer's leftovers: stale staging, and any
-    // generation directory above the committed version (data installed
-    // but never committed — it must go or our own install collides)
-    val staging = s"$dir/.staging"
-    fs.delete(new Path(staging), true)
+  private def mergeOnce(spark: SparkSession, dir: String,
+      changes: DataFrame, dataCols: Seq[String], touched: Seq[Int],
+      emitFeed: Boolean, retainHistory: Boolean): MergeStats = {
+    val m = loadMeta(spark, dir)
+    val (key, versionCol) = (m.key, m.versionCol)
+    // clear crashed writers' leftovers (grace-aware: a LIVE concurrent
+    // writer's staging and in-flight generation survive the sweep)
     TxLog.sweep(spark, dir)
+    val txn = new TableTxn(spark, dir, m.snap.version)
 
     // stored rows never carry tombstones (init/merge drop them), so
     // rank snapshot rows as source=0 vs changelog source=1: on a
@@ -450,6 +433,23 @@ object Compaction {
     val ranked = if (emitFeed)
       ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ranked0
+    try mergeTail(spark, dir, m, txn, ranked, unioned, touched,
+      emitFeed, retainHistory)
+    finally { if (emitFeed) ranked.unpersist() }
+  }
+
+  /** Everything from winner selection to commit — split out so the
+    * feed cache above it unpersists on EVERY exit (a lost commit CAS
+    * included; the OCC retry builds a fresh plan and cache).
+    */
+  private def mergeTail(spark: SparkSession, dir: String, m: Meta,
+      txn: TableTxn, ranked: DataFrame, unioned: DataFrame,
+      touched: Seq[Int],
+      emitFeed: Boolean, retainHistory: Boolean): MergeStats = {
+    val (key, versionCol, deleteCol, nBuckets) =
+      (m.key, m.versionCol, m.deleteCol, m.nBuckets)
+    val fs = TxLog.fs(spark, dir)
+    val staging = txn.staging
     // winners has exactly ONE action (the staged write): no persist —
     // row counts come from the staged files' footers afterwards, so
     // the old count-then-write double pass (and its cache) is gone
@@ -510,15 +510,15 @@ object Compaction {
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$staging/data")
-    val staged = stagedBucketIds(fs, staging)
+    val staged = txn.stagedBucketIds()
     // a touched bucket with zero surviving keys staged no partition:
     // it leaves the manifest's bucket map and its old directory is
     // swept once unreferenced
     val emptied = touched.filterNot(staged.toSet)
 
-    val newVersion = m.snap.version + 1L
+    val newVersion = txn.newVersion
     val newBuckets = (m.buckets -- touched) ++
-      staged.map(b => b -> s"g$newVersion/bucket=$b")
+      staged.map(b => b -> txn.bucketRel(b))
 
     // widen the manifest schema when the changelog introduced columns,
     // so future reads project them (untouched buckets' narrower files
@@ -549,7 +549,9 @@ object Compaction {
         .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _))
 
     // THE commit: one manifest rename publishes data + schema + fence
-    installAndCommit(spark, dir, newVersion, newBuckets, props)
+    // (on a lost CAS the txn reclaims its install and the OCC loop
+    // recomputes against the winner's snapshot)
+    txn.installAndCommit(newBuckets, props)
 
     // publish the feed batch only now that the table state it
     // describes is committed (see scaladoc for the residual window)
@@ -559,14 +561,12 @@ object Compaction {
         new Path(s"$dir/feed/batch=$n")),
         s"feed publish rename failed for batch $n")
     }
-    fs.delete(new Path(staging), true)
+    txn.cleanup()
     // retention: a non-retaining merge keeps only the new version —
     // older manifests go, and the sweep reclaims every directory they
     // alone referenced (the touched buckets' pre-images)
     if (!retainHistory) TxLog.vacuum(spark, dir, newVersion)
 
-    if (emitFeed) ranked.unpersist()
-    changes.unpersist()
     MergeStats(touched, emptied, rows, feedRows)
   }
 }

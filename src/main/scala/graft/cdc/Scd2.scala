@@ -85,18 +85,19 @@ object Scd2 {
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", ".staging", "meta")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
+    val txn = new TableTxn(spark, dir, baseVersion = -1L)
     window(df, key, versionCol, deleteCol)
       .withColumn("bucket", bucketOf(col(key), nBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$dir/.staging/data")
-    val staged = stagedBucketIds(fs, dir)
-    installAndCommit(spark, dir, 0L,
-      staged.map(b => b -> s"g0/bucket=$b").toMap,
+      .parquet(s"${txn.staging}/data")
+    val staged = txn.stagedBucketIds()
+    txn.installAndCommit(
+      staged.map(b => b -> txn.bucketRel(b)).toMap,
       coreProps(key, versionCol, deleteCol, nBuckets,
         window(df.limit(0), key, versionCol, deleteCol).schema.json))
-    fs.delete(new Path(s"$dir/.staging"), true)
+    txn.cleanup()
   }
 
   private def coreProps(key: String, versionCol: String, deleteCol: String,
@@ -104,28 +105,6 @@ object Scd2 {
     "key" -> key, "version_col" -> versionCol,
     "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
     "schema_json" -> schemaJson)
-
-  private def stagedBucketIds(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[Int] = {
-    val p = new Path(s"$dir/.staging/data")
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith("bucket=") => s.drop(7).toInt }
-  }
-
-  private def installAndCommit(spark: SparkSession, dir: String,
-      version: Long, newBuckets: Map[Int, String],
-      props: Map[String, String]): Unit = {
-    val fs = TxLog.fs(spark, dir)
-    val stagedData = new Path(s"$dir/.staging/data")
-    if (fs.exists(stagedData)) {
-      fs.mkdirs(new Path(s"$dir/data"))
-      val dst = new Path(s"$dir/data/g$version")
-      require(fs.rename(stagedData, dst),
-        s"install rename failed: $stagedData -> $dst")
-    }
-    TxLog.commit(spark, dir, version, props ++ TxLog.bucketProps(newBuckets))
-  }
 
   /** One read of the driver-side manifest per public call — merge needs
     * the key columns, the bucket count, the stored schema AND the live
@@ -206,20 +185,30 @@ object Scd2 {
     * version / delete columns and payload schema as `init`'s input).
     */
   def merge(spark: SparkSession, dir: String, changes0: DataFrame): MergeStats = {
+    // bucketing params are fixed at init: bucket and cache the batch
+    // ONCE, re-resolve the snapshot per OCC attempt (see Compaction)
+    val m0 = loadMeta(spark, dir)
+    requireNoGenerated(changes0.columns.toSeq, "merge batch schema")
+    val changes = changes0
+      .withColumn("bucket", bucketOf(col(m0.key), m0.nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = changes.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return MergeStats(Nil, 0L)
+      TxLog.withOcc(spark, dir) {
+        mergeOnce(spark, dir, changes, touched)
+      }
+    } finally changes.unpersist()
+  }
+
+  private def mergeOnce(spark: SparkSession, dir: String,
+      changes: DataFrame, touched: Seq[Int]): MergeStats = {
     val m = loadMeta(spark, dir)
     val (key, versionCol, deleteCol, nBuckets) =
       (m.key, m.versionCol, m.deleteCol, m.nBuckets)
-    requireNoGenerated(changes0.columns.toSeq, "merge batch schema")
-    val changes = changes0
-      .withColumn("bucket", bucketOf(col(key), nBuckets))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = changes.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) { changes.unpersist(); return MergeStats(Nil, 0L) }
-
-    val fs = TxLog.fs(spark, dir)
-    fs.delete(new Path(s"$dir/.staging"), true)
     TxLog.sweep(spark, dir)
+    val txn = new TableTxn(spark, dir, m.snap.version)
 
     val hist = prunedHistory(spark, dir, touched, m)
     val changedKeys = changes.select(col(key)).distinct()
@@ -246,11 +235,10 @@ object Scd2 {
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
       .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$dir/.staging/data")
-    val staged = stagedBucketIds(fs, dir)
-    val newVersion = m.snap.version + 1L
+      .parquet(s"${txn.staging}/data")
+    val staged = txn.stagedBucketIds()
     val newBuckets = (m.buckets -- touched) ++
-      staged.map(b => b -> s"g$newVersion/bucket=$b")
+      staged.map(b => b -> txn.bucketRel(b))
     // widen the manifest schema when the batch introduced columns
     // (fields forced nullable: pre-evolution files genuinely lack them)
     val outData = out.drop("bucket").schema
@@ -258,15 +246,14 @@ object Scd2 {
       org.apache.spark.sql.types.StructType(
         outData.fields.map(_.copy(nullable = true))).json
     else m.schema.json
-    installAndCommit(spark, dir, newVersion, newBuckets,
+    txn.installAndCommit(newBuckets,
       coreProps(key, versionCol, deleteCol, nBuckets, schemaJson))
-    fs.delete(new Path(s"$dir/.staging"), true)
-    TxLog.vacuum(spark, dir, newVersion)
+    txn.cleanup()
+    TxLog.vacuum(spark, dir, txn.newVersion)
     // MergeStats.rows = the rewritten slice, counted back from its
     // footers (path-pruned, no data pages) — cheaper than caching the
     // entire output just to count it pre-write
     val rows = prunedHistory(spark, dir, touched).count()
-    changes.unpersist()
     MergeStats(touched, rows)
   }
 }

@@ -34,6 +34,50 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object TxLog {
 
+  /** Thrown when a commit loses the version CAS to a concurrent
+    * writer: the table advanced under us, nothing was published, and
+    * the merge is safe to recompute against the new latest snapshot —
+    * the retryable signal [[withOcc]] loops on.
+    */
+  final class CommitConflict(msg: String) extends IllegalStateException(msg)
+
+  /** How long an UNREFERENCED generation directory numbered above the
+    * latest committed version — which is either a crashed writer's
+    * orphan or a LIVE concurrent writer's in-flight install — survives
+    * before the sweep reclaims it. Generation names are writer-unique
+    * (`g<V>-<txn>`), so an orphan can never collide with a retry;
+    * deferring its deletion is pure storage-reclamation latency, while
+    * deleting it eagerly would yank a racing writer's staged data out
+    * from under its commit. Specs set this to 0 to exercise the
+    * reclamation path deterministically.
+    */
+  private[cdc] var orphanGraceMs: Long = 30L * 60L * 1000L
+
+  /** Bounded optimistic-concurrency retry: run `body` (which must
+    * re-resolve the latest snapshot itself on every attempt), and
+    * re-run it when it loses the commit CAS. A non-conflict failure is
+    * ALSO retried when the table's version moved during the attempt —
+    * a concurrent non-retaining merge's vacuum can delete the
+    * pre-image directories an in-flight reader was scanning, which
+    * surfaces as a read error rather than a CommitConflict; if the
+    * version did NOT move, the failure is real and propagates.
+    */
+  private[cdc] def withOcc[A](spark: SparkSession, dir: String,
+      maxAttempts: Int = 5)(body: => A): A = {
+    var attempt = 1
+    while (true) {
+      val seen = latestVersion(spark, dir).getOrElse(-1L)
+      try return body
+      catch {
+        case _: CommitConflict if attempt < maxAttempts => attempt += 1
+        case scala.util.control.NonFatal(_) if attempt < maxAttempts &&
+            latestVersion(spark, dir).getOrElse(-1L) != seen =>
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** One committed table state. `props` carries the table metadata;
     * bucket contents live under `bucket.<id>` keys as paths relative
     * to `<dir>/data`.
@@ -148,25 +192,41 @@ private[graft] object TxLog {
       } else f.rename(tmp, dst)
     if (!committed) {
       f.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new CommitConflict(
         s"commit of version $v lost the race (or rename failed): $dst")
     }
     Snapshot(v, props)
   }
 
   /** Post-commit / pre-merge garbage sweep:
+    *  - generation directories numbered AT OR BELOW the latest
+    *    committed version whose buckets no manifest on disk references
+    *    are superseded pre-images past their retention, or a LOSING
+    *    concurrent writer's install (its version committed — by
+    *    someone else) — deleting them is what bounds storage;
     *  - generation directories numbered ABOVE the latest committed
-    *    version are orphans of a crashed writer (data installed,
-    *    manifest never committed) — a retry must clear them or its own
-    *    install rename would collide;
-    *  - bucket directories referenced by NO manifest still on disk are
-    *    superseded pre-images past their retention — deleting them is
-    *    what bounds storage.
+    *    version are either a crashed writer's orphans (data installed,
+    *    manifest never committed) or a live concurrent writer's
+    *    in-flight install; writer-unique names mean they can never
+    *    collide with anything, so they are reclaimed only once older
+    *    than [[orphanGraceMs]];
+    *  - a stale per-writer staging directory (`.staging-<txn>`) ages
+    *    out the same way; the legacy shared `.staging` is always
+    *    cleared (only pre-OCC single-writer code ever wrote it).
     * Driver-side listings and deletes only; safe to crash mid-sweep
     * (the next writer just sweeps again).
     */
   def sweep(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark, dir)
+    val now = System.currentTimeMillis()
+    val root = new Path(dir)
+    if (f.exists(root)) f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n == ".staging" || (n.startsWith(".staging-") &&
+          now - st.getModificationTime > orphanGraceMs))
+        require(f.delete(st.getPath, true) || !f.exists(st.getPath),
+          s"sweep failed: ${st.getPath}")
+    }
     val dataRoot = new Path(s"$dir/data")
     if (!f.exists(dataRoot)) return
     val latestV = latestVersion(spark, dir).getOrElse(-1L)
@@ -176,10 +236,14 @@ private[graft] object TxLog {
     f.listStatus(dataRoot).foreach { gen =>
       val name = gen.getPath.getName
       if (name.startsWith("g")) {
-        val genV = scala.util.Try(name.drop(1).toLong).getOrElse(Long.MaxValue)
+        // both layouts: g<V> (pre-OCC) and g<V>-<txn> (writer-unique)
+        val digits = name.drop(1).takeWhile(_.isDigit)
+        val genV =
+          if (digits.nonEmpty) digits.toLong else Long.MaxValue
         if (genV > latestV) {
-          require(f.delete(gen.getPath, true) || !f.exists(gen.getPath),
-            s"sweep failed: ${gen.getPath}")
+          if (now - gen.getModificationTime > orphanGraceMs)
+            require(f.delete(gen.getPath, true) || !f.exists(gen.getPath),
+              s"sweep failed: ${gen.getPath}")
         } else {
           var remaining = false
           f.listStatus(gen.getPath).foreach { b =>

@@ -120,13 +120,25 @@ class AtomicCommitSpec extends SparkSpec
     crashOnCommit()
     intercept[RuntimeException] { Compaction.merge(spark, dir, changes) }
     healCommit()
-    // the crashed writer installed data/g1 but never committed it
+    // the crashed writer installed a writer-unique data/g1-<txn> dir
+    // but never committed it
     val fs = TxLog.fs(spark, dir)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/g1")),
+    def orphans(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("g1-"))
+    val crashed = orphans()
+    assert(crashed.nonEmpty,
       "precondition: orphan generation should exist after the crash")
-    // a fresh merge (same version target) must sweep it and succeed
-    val stats = Compaction.merge(spark, dir, changes)
-    assert(stats.rowsWritten > 0)
+    // a fresh merge can never collide with it (writer-unique names);
+    // with the reclamation grace elapsed the merge's sweep deletes it
+    val saved = TxLog.orphanGraceMs
+    try {
+      TxLog.orphanGraceMs = 0L
+      val stats = Compaction.merge(spark, dir, changes)
+      assert(stats.rowsWritten > 0)
+      assert(crashed.toSet.intersect(orphans().toSet).isEmpty,
+        "crashed orphan generation should have been swept")
+    } finally TxLog.orphanGraceMs = saved
     assert(Compaction.read(spark, dir).filter($"payload" === "v1-1").count() == 1L)
   }
 }

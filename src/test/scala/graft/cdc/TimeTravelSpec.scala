@@ -88,7 +88,7 @@ class TimeTravelSpec extends SparkSpec {
         s"untouched bucket $b was rewritten")
     }
     // the touched bucket points at a NEW generation dir...
-    assert(after(touched).contains("/g1/"),
+    assert(after(touched).contains("/g1-"),
       s"touched bucket should live in generation g1: ${after(touched)}")
     // ...while its v0 pre-image files survive IN PLACE for time travel
     val preImageDir = parentDir(before(touched).head._1)
