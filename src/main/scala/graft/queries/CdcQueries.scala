@@ -462,6 +462,40 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // zone-map-pruned incremental scan on the maintained table: every
+    // commit records each bucket's footer max(version) in the
+    // manifest, so "changed since the watermark" opens only buckets a
+    // later-versioned merge touched (the strict-`>` watermark export
+    // of export.py:21-23 rehosted onto the 100 TB maintained table —
+    // the pruning itself is asserted file-exactly in CompactionSpec).
+    // The NARROW %97 batch against the %2 snapshot is the shape that
+    // matters at scale: the scan must cost O(changed buckets).
+    "cdc_changed_since" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changes = ord.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-changed-since-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, changes)
+      graft.cdc.Compaction.readChangedSince(s, tableDir, since = 0L)
+        .groupBy()
+        .agg(count(lit(1)).as("n_changed"),
+          sum(dec18(col("price"))).cast("double").as("total"))
+    }),
+
     // the closed CDC replication chain with consumer-managed resume:
     // source table → change-feed batches → Replicator (init clones the
     // current state and fences at the published head; sync applies
@@ -980,6 +1014,19 @@ object CdcQueries {
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // rows with version > 0 after the merge = the narrow batch's
+    // surviving (non-tombstone) upserts
+    "cdc_changed_since" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2)
+        |      AS DOUBLE) AS price
+        |  FROM orders
+        |  WHERE o_orderkey % 97 = 0 AND o_orderkey % 5 <> 0)
+        |SELECT count(*) AS n_changed,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM changed""".stripMargin,
 
     "cdc_replica_sync" ->
       """WITH unioned AS (

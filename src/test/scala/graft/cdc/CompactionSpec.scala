@@ -181,6 +181,43 @@ class CompactionSpec extends SparkSpec {
       Compaction.livePaths(spark, dir).keySet)
   }
 
+  test("readChangedSince prunes to zone-map-passing buckets, file-exactly") {
+    val dir = freshTable(100)
+    // one narrow batch at version 5: only its keys' buckets get a
+    // higher zone-map max
+    val batch = Seq((7L, "v5-7", 5L, false), (8L, "v5-8", 5L, false))
+      .toDF("id", "payload", "version", "deleted")
+    val stats = Compaction.merge(spark, dir, batch, retainHistory = true)
+    val live = Compaction.livePaths(spark, dir)
+    val touchedDirs = stats.touchedBuckets.map(live).toSet
+
+    val changed = Compaction.readChangedSince(spark, dir, since = 0L)
+    // correctness: exactly the narrow batch's rows
+    assert(changed.select($"id", $"payload").as[(Long, String)]
+      .collect().toSet == Set((7L, "v5-7"), (8L, "v5-8")))
+    // pruning: the scan's input files all live in touched buckets'
+    // directories — untouched buckets (max version still 0) are
+    // never opened
+    val opened = changed.inputFiles.toSet
+      .map((f: String) => new java.net.URI(f).getPath)
+    assert(opened.nonEmpty)
+    assert(opened.forall(f => touchedDirs.exists(d => f.startsWith(d))),
+      s"scan opened un-pruned files: $opened vs $touchedDirs")
+    assert(touchedDirs.size < live.size,
+      "precondition: the batch must touch a strict subset of buckets")
+
+    // a watermark at/above the max prunes EVERYTHING (zero files)
+    val none = Compaction.readChangedSince(spark, dir, since = 5L)
+    assert(none.count() == 0L)
+    assert(none.inputFiles.isEmpty,
+      "fully-pruned scan must not open any file")
+
+    // semantics == unpruned filter over the full table
+    val full = Compaction.read(spark, dir).filter($"version" > 0L)
+      .select($"id", $"payload").as[(Long, String)].collect().toSet
+    assert(full == Set((7L, "v5-7"), (8L, "v5-8")))
+  }
+
   test("sequential batches == one batch of the union") {
     val b1 = Seq((3L, "v1-3", 1L, false), (50L, "", 1L, true))
       .toDF("id", "payload", "version", "deleted")
