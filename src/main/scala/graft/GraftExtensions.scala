@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinToEquiJoin)
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MergePruning)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -547,13 +547,20 @@ object Compaction {
             rowStruct.as("payload"))))).as("_f"))
         .select(col("_f.payload.*"),
           col("_f.change_type").as("_change_type"), col("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = classified.count()
+      // ONE action: write straight from the cached `ranked` (no
+      // separate count pass — the old persist+count materialized the
+      // classification twice); feedRows reads back from the staged
+      // files' footers, metadata only
       classified
         .repartition(col("bucket")).drop("bucket")
         .write.mode("overwrite").parquet(s"$staging/feed")
-      classified.unpersist()
-      n
+      val feedPath = new Path(s"$staging/feed")
+      val hasRows = fs.listStatus(feedPath).exists(st =>
+        st.getPath.getName.startsWith("part-") && st.getLen > 0)
+      // a zero-effect merge stages no part files (nothing to infer a
+      // schema from) — the batch still publishes, as before
+      if (!hasRows) 0L
+      else spark.read.parquet(s"$staging/feed").count()
     }
 
     // stage the new bucket contents while every pre-image directory is

@@ -246,14 +246,16 @@ object Scd2 {
       org.apache.spark.sql.types.StructType(
         outData.fields.map(_.copy(nullable = true))).json
     else m.schema.json
+    // MergeStats.rows = the staged slice counted from its own footers
+    // BEFORE install (metadata, no data pages) — the old post-commit
+    // pruned re-read resolved the manifest and schema a second time
+    // for the same number
+    val rows = if (staged.isEmpty) 0L
+      else spark.read.parquet(s"${txn.staging}/data").count()
     txn.installAndCommit(newBuckets,
       coreProps(key, versionCol, deleteCol, nBuckets, schemaJson))
     txn.cleanup()
     TxLog.vacuum(spark, dir, txn.newVersion)
-    // MergeStats.rows = the rewritten slice, counted back from its
-    // footers (path-pruned, no data pages) — cheaper than caching the
-    // entire output just to count it pre-write
-    val rows = prunedHistory(spark, dir, touched).count()
     MergeStats(touched, rows)
   }
 }

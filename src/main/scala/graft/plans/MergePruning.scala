@@ -1,0 +1,215 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, Literal, Pmod, XxHash64}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.TxLog
+
+/** Transparent bucket pruning for SQL over the maintained merge table
+  * ([[graft.cdc.Compaction]]): a user who registers `Compaction.read`
+  * as a view and writes plain SQL gets the SAME O(changed-data) scans
+  * the programmatic API hands out —
+  *
+  *  - `WHERE key = k` / `key IN (…)`: only the buckets the literals
+  *    hash into are scanned (the [[graft.cdc.Compaction.lookup]]
+  *    O(1-bucket) point read, reached from SQL);
+  *  - `WHERE version > w` (or `>=`): only buckets whose
+  *    manifest-recorded max version passes the watermark are scanned
+  *    (the [[graft.cdc.Compaction.readChangedSince]] zone-map prune,
+  *    reached from SQL).
+  *
+  * The rule recognizes a Filter directly over a parquet relation whose
+  * root paths are exactly bucket directories of one committed graft
+  * manifest (`<table>/manifest` + `<table>/data/g<V>[-txn]/bucket=B`),
+  * computes the surviving bucket set DRIVER-side from the manifest's
+  * metadata — the bucket of each key literal evaluated through the
+  * same Catalyst `xxhash64` expression the writers partition by
+  * ([[graft.cdc.Bucketing]]), so physical-type hashing can never skew
+  * — plus a typed zone-map comparison, and swaps in a file index over
+  * the surviving directories. The Filter stays on top: pruning only
+  * removes directories that provably cannot hold a matching row.
+  *
+  * Bail-outs keep it sound: any root path not in the CURRENT manifest
+  * (stale plan), a relation with partition columns, a non-literal
+  * comparand, a literal whose type differs from the column's (a
+  * type-promoted comparison wraps the column in a Cast and never
+  * reaches here), or any evaluation surprise (the rule body is
+  * NonFatal-guarded) leaves the plan untouched. Cost: one driver-side
+  * manifest read per (table, committed version) — cached — plus a few
+  * KB of bucket metadata even at 4096 buckets.
+  */
+object MergePruning extends Rule[LogicalPlan] {
+
+  private final case class Info(
+      tableDir: String, version: Long, key: String, versionCol: String,
+      nBuckets: Int,
+      bucketDirs: Map[Int, String],
+      maxv: Map[Int, String])
+
+  /** table dir -> cached manifest metadata (re-validated against the
+    * latest committed version on every use, so a refresh invalidates
+    * on the next query).
+    */
+  private val cache = TrieMap.empty[String, Info]
+
+  /** Idempotent live-session registration (sessions built through
+    * [[graft.GraftExtensions]] get the rule injected instead).
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(MergePruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MergePruning
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, lr: LogicalRelation) =>
+      try prune(f, cond, lr).getOrElse(f)
+      catch { case scala.util.control.NonFatal(_) => f }
+  }
+
+  private def normalize(p: String): String = MvRewrite.normalize(p)
+
+  // the (table dir, bucket id) iff path is <t>/data/g<V>[-txn]/bucket=N
+  private def tableDirOf(path: Path): Option[(String, Int)] = {
+    val bucketName = path.getName
+    if (!bucketName.startsWith("bucket=")) return None
+    val gen = path.getParent
+    if (gen == null || !gen.getName.startsWith("g")) return None
+    val data = gen.getParent
+    if (data == null || data.getName != "data") return None
+    val table = data.getParent
+    if (table == null) return None
+    scala.util.Try(bucketName.drop(7).toInt).toOption
+      .map(b => (table.toString, b))
+  }
+
+  private def infoFor(spark: SparkSession, tableDir: String): Option[Info] = {
+    val latest = TxLog.latestVersion(spark, tableDir).getOrElse(return None)
+    cache.get(tableDir).filter(_.version == latest).orElse {
+      val snap = TxLog.read(spark, tableDir, latest)
+      for {
+        key <- snap.prop("key")
+        versionCol <- snap.prop("version_col")
+        nBuckets <- snap.prop("n_buckets").map(_.toInt)
+      } yield {
+        val info = Info(tableDir, latest, key, versionCol, nBuckets,
+          bucketDirs = snap.buckets.map { case (b, rel) =>
+            b -> normalize(s"$tableDir/data/$rel")
+          },
+          maxv = snap.props.collect {
+            case (k, v) if k.startsWith("maxv.") =>
+              k.drop("maxv.".length).toInt -> v
+          })
+        cache.put(tableDir, info)
+        info
+      }
+    }
+  }
+
+  /** Same physical hash the writers bucket by ([[graft.cdc.Bucketing]]:
+    * `pmod(xxhash64(key), n)`), folded on the literal driver-side.
+    */
+  private def bucketOf(l: Literal, nBuckets: Int): Int =
+    Cast(Pmod(new XxHash64(Seq(l)), Literal(nBuckets.toLong, LongType)),
+      IntegerType).eval().asInstanceOf[Int]
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def prune(f: Filter, cond: Expression,
+      lr: LogicalRelation): Option[LogicalPlan] = {
+    val fs = lr.relation match {
+      case r: HadoopFsRelation if r.partitionSchema.isEmpty => r
+      case _ => return None
+    }
+    val roots = fs.location.rootPaths
+    if (roots.isEmpty) return None
+    val parsed = roots.map(tableDirOf)
+    if (parsed.exists(_.isEmpty)) return None
+    val tableDirs = parsed.flatten.map(_._1).distinct
+    if (tableDirs.size != 1) return None
+    val spark = fs.sparkSession
+    val info = infoFor(spark, tableDirs.head).getOrElse(return None)
+
+    // stale plan (manifest advanced since the scan was built): bail
+    val rootSet = roots.map(p => normalize(p.toString)).toSet
+    if (!rootSet.subsetOf(info.bucketDirs.values.toSet)) return None
+    val liveHere: Map[Int, String] =
+      info.bucketDirs.filter { case (_, d) => rootSet.contains(d) }
+
+    def isKey(a: AttributeReference) = a.name.equalsIgnoreCase(info.key)
+    def isVersion(a: AttributeReference) =
+      a.name.equalsIgnoreCase(info.versionCol)
+
+    /** Buckets whose recorded max version can satisfy `col > lit`
+      * (or `>=`): typed comparison through a foldable Catalyst cast of
+      * the stored string back to the column's type. Stat-less buckets
+      * (and a null/failed comparison) are kept conservatively.
+      */
+    def zonePass(a: AttributeReference, l: Literal,
+        strict: Boolean): Set[Int] =
+      liveHere.keySet.filter { b =>
+        info.maxv.get(b) match {
+          case None => true
+          case Some(mx) =>
+            val mxTyped = Cast(
+              Literal(UTF8String.fromString(mx), StringType), a.dataType,
+              Some(SQLConf.get.sessionLocalTimeZone))
+            val cmp =
+              if (strict) GreaterThan(mxTyped, l)
+              else GreaterThanOrEqual(mxTyped, l)
+            cmp.eval() match {
+              case b: Boolean => b
+              case _ => true // null comparison: keep the bucket
+            }
+        }
+      }
+
+    // per-conjunct allowed-bucket sets (None = conjunct not prunable)
+    val perConjunct: Seq[Option[Set[Int]]] =
+      splitConjuncts(cond).map {
+        case EqualTo(a: AttributeReference, l: Literal)
+            if isKey(a) && l.value != null && l.dataType == a.dataType =>
+          Some(Set(bucketOf(l, info.nBuckets)))
+        case EqualTo(l: Literal, a: AttributeReference)
+            if isKey(a) && l.value != null && l.dataType == a.dataType =>
+          Some(Set(bucketOf(l, info.nBuckets)))
+        case In(a: AttributeReference, vs)
+            if isKey(a) && vs.nonEmpty && vs.forall {
+              case l: Literal => l.value != null && l.dataType == a.dataType
+              case _ => false
+            } =>
+          Some(vs.collect { case l: Literal =>
+            bucketOf(l, info.nBuckets) }.toSet)
+        case GreaterThan(a: AttributeReference, l: Literal)
+            if isVersion(a) && l.value != null && l.dataType == a.dataType =>
+          Some(zonePass(a, l, strict = true))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+            if isVersion(a) && l.value != null && l.dataType == a.dataType =>
+          Some(zonePass(a, l, strict = false))
+        case _ => None
+      }
+
+    val prunable = perConjunct.flatten
+    if (prunable.isEmpty) return None
+    val allowed = prunable.reduce(_ intersect _)
+    val keptDirs = liveHere.view.filterKeys(allowed.contains).values.toSeq
+    if (keptDirs.size == rootSet.size) return None
+
+    val newIndex = new InMemoryFileIndex(spark,
+      keptDirs.map(new Path(_)), Map.empty[String, String],
+      Some(fs.dataSchema))
+    val pruned = lr.copy(relation = fs.copy(location = newIndex)(spark))
+    Some(f.copy(child = pruned))
+  }
+}

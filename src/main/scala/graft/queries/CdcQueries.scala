@@ -606,6 +606,46 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // the same probes through PLAIN SQL over a registered view: the
+    // MergePruning optimizer rule (plans/MergePruning.scala) resolves
+    // the IN-list's buckets from the manifest at plan time, so the SQL
+    // user's point query scans ≤ 5 bucket directories of the 16 — the
+    // O(1-bucket) lookup without calling any graft API (directory-
+    // exact pruning asserted in MergePruningSpec; this row pins the
+    // SQL path's RESULTS against the relational oracle)
+    "cdc_sql_pruned_lookup" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-sql-lookup-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, changes)
+      graft.plans.MergePruning.ensureRegistered(s)
+      val view = "graft_sql_lookup_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.read(s, tableDir).createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT id,
+           |  CAST(CAST(price AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           |  version
+           |FROM $view
+           |WHERE id IN (4, 6, 9, 30, 7)
+           |ORDER BY id""".stripMargin)
+    }),
+
     // change data feed from the maintained MERGE: the same
     // snapshot/changelog as cdc_merge_upsert, but the observable is
     // what the merge EMITTED — per-row insert / update_preimage /
@@ -1072,6 +1112,27 @@ object CdcQueries {
         |WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     "cdc_bucket_lookup" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT id, CAST(price::DECIMAL(18,2) AS DOUBLE) AS price,
+        |  CAST(version AS BIGINT) AS version
+        |FROM latest
+        |WHERE rn = 1 AND NOT deleted AND id IN (4, 6, 9, 30, 7)
+        |ORDER BY id""".stripMargin,
+
+    // same probes, same reconciliation — the SQL path must agree
+    "cdc_sql_pruned_lookup" ->
       """WITH unioned AS (
         |  SELECT o_orderkey AS id, o_totalprice AS price,
         |    0 AS version, FALSE AS deleted
