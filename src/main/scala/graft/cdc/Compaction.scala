@@ -292,6 +292,49 @@ object Compaction {
       .filter(col(m.versionCol) > lit(since))
   }
 
+  /** Resize the table's bucket count in ONE committed full rewrite —
+    * the lifecycle tool [[bucketStats]]' skew diagnostic exists for: a
+    * table that outgrew its bucket count (buckets too big for a task's
+    * working set) or shrank far below it (small-file overhead) moves
+    * to the right layout without losing its identity. Everything else
+    * about the table survives: the version lineage continues (+1), the
+    * feed and its numbering are untouched, zone maps and row stats are
+    * recomputed for the new buckets in the same footer pass, and time
+    * travel to pre-resize versions still resolves (old generation
+    * directories are immutable; pass `retainHistory = true` to keep
+    * their manifests). Readers never see an intermediate state — the
+    * rewrite stages invisibly and publishes with the manifest CAS,
+    * racing writers conflict-retry exactly as merges do. Cost is one
+    * full read + write of live data (unavoidable for a hash-layout
+    * change); run it at the cadence of capacity planning, not of
+    * merges.
+    */
+  def rebucket(spark: SparkSession, dir: String, newNBuckets: Int,
+      retainHistory: Boolean = false): Unit = {
+    require(newNBuckets > 0, "nBuckets must be positive")
+    TxLog.withOcc(spark, dir) {
+      val m = loadMeta(spark, dir)
+      if (m.nBuckets == newNBuckets) return
+      TxLog.sweep(spark, dir)
+      val txn = new TableTxn(spark, dir, m.snap.version)
+      storedData(spark, dir, m).drop("bucket")
+        .withColumn("bucket", bucketOf(col(m.key), newNBuckets))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col(m.key))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"${txn.staging}/data")
+      val staged = txn.stagedBucketIds()
+      val props = coreProps(m.key, m.versionCol, m.deleteCol,
+        newNBuckets, m.schema.json) ++
+        rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
+        m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)
+      txn.installAndCommit(
+        staged.map(b => b -> txn.bucketRel(b)).toMap, props)
+      txn.cleanup()
+      if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+    }
+  }
+
   /** Next change-feed batch id: one past the highest committed batch.
     * A driver-side listing of ≤ |merges| directory names — metadata,
     * never data.

@@ -50,7 +50,8 @@ import graft.cdc.TxLog
 object MergePruning extends Rule[LogicalPlan] {
 
   private final case class Info(
-      tableDir: String, version: Long, key: String, versionCol: String,
+      tableDir: String, version: Long, key: String,
+      versionCol: Option[String],
       nBuckets: Int,
       bucketDirs: Map[Int, String],
       maxv: Map[Int, String])
@@ -97,9 +98,11 @@ object MergePruning extends Rule[LogicalPlan] {
       val snap = TxLog.read(spark, tableDir, latest)
       for {
         key <- snap.prop("key")
-        versionCol <- snap.prop("version_col")
         nBuckets <- snap.prop("n_buckets").map(_.toInt)
       } yield {
+        // Scd2/Compaction manifests carry a version column (zone maps
+        // possible); AggView's don't — key pruning still applies
+        val versionCol = snap.prop("version_col")
         val info = Info(tableDir, latest, key, versionCol, nBuckets,
           bucketDirs = snap.buckets.map { case (b, rel) =>
             b -> normalize(s"$tableDir/data/$rel")
@@ -149,7 +152,7 @@ object MergePruning extends Rule[LogicalPlan] {
 
     def isKey(a: AttributeReference) = a.name.equalsIgnoreCase(info.key)
     def isVersion(a: AttributeReference) =
-      a.name.equalsIgnoreCase(info.versionCol)
+      info.versionCol.exists(a.name.equalsIgnoreCase)
 
     /** Buckets whose recorded max version can satisfy `col > lit`
       * (or `>=`): typed comparison through a foldable Catalyst cast of

@@ -218,6 +218,43 @@ class CompactionSpec extends SparkSpec {
     assert(full == Set((7L, "v5-7"), (8L, "v5-8")))
   }
 
+  test("rebucket preserves state, stats, lookups and feed numbering") {
+    val dir = freshTable(100)
+    Compaction.merge(spark, dir,
+      Seq((7L, "v1-7", 1L, false)).toDF("id", "payload", "version", "deleted"),
+      emitFeed = true)
+    val before = Compaction.read(spark, dir)
+      .select($"id", $"payload").as[(Long, String)].collect().toSet
+
+    Compaction.rebucket(spark, dir, 32)
+    val (_, _, _, nB) = Compaction.readMeta(spark, dir)
+    assert(nB == 32)
+    assert(Compaction.livePaths(spark, dir).keySet
+      .forall(b => b >= 0 && b < 32))
+    // state byte-equal, manifest stats still exact (zero-scan count)
+    assert(Compaction.read(spark, dir)
+      .select($"id", $"payload").as[(Long, String)].collect().toSet == before)
+    assert(Compaction.countRows(spark, dir) == 100L)
+
+    // point lookup opens one bucket of the NEW layout
+    val hit = Compaction.lookup(spark, dir, 7L)
+    assert(hit.select($"payload").as[String].collect().toSeq == Seq("v1-7"))
+    assert(hit.inputFiles.map(f => new java.net.URI(f).getPath)
+      .map(p => p.substring(0, p.lastIndexOf('/'))).distinct.length == 1)
+
+    // zone maps recomputed: the v1 change is still watermark-visible
+    assert(Compaction.readChangedSince(spark, dir, 0L)
+      .select($"id").as[Long].collect().toSeq == Seq(7L))
+
+    // feed numbering continues, it does not restart at 0
+    Compaction.merge(spark, dir,
+      Seq((8L, "v2-8", 2L, false)).toDF("id", "payload", "version", "deleted"),
+      emitFeed = true)
+    val batches = Compaction.readFeed(spark, dir)
+      .select($"batch").distinct().as[Long].collect().toSet
+    assert(batches == Set(0L, 1L), s"feed numbering broke: $batches")
+  }
+
   test("sequential batches == one batch of the union") {
     val b1 = Seq((3L, "v1-3", 1L, false), (50L, "", 1L, true))
       .toDF("id", "payload", "version", "deleted")

@@ -117,6 +117,38 @@ class MergePruningSpec extends SparkSpec {
       "a non-key predicate must not prune anything")
   }
 
+  test("Scd2 history views prune by key the same way") {
+    val dir = tmpDir("merge-pruning-scd2") + "/t"
+    graft.cdc.Scd2.init(
+      (1L to 60L).map(i => (i, s"v0-$i", 0L, false))
+        .toDF("id", "payload", "version", "deleted"),
+      dir, "id", "version", "deleted", nBuckets = 8)
+    graft.cdc.Scd2.merge(spark, dir,
+      Seq((7L, "v1-7", 1L, false)).toDF("id", "payload", "version", "deleted"))
+    graft.cdc.Scd2.read(spark, dir).createOrReplaceTempView("mp_scd2")
+    val df = spark.sql(
+      "SELECT payload, is_current FROM mp_scd2 WHERE id = 7 ORDER BY version")
+    assert(df.as[(String, Boolean)].collect().toSeq ==
+      Seq(("v0-7", false), ("v1-7", true)),
+      "key 7's full history must come back")
+    assert(scanDirs(df).size == 1,
+      "a key's history lives in exactly one bucket")
+  }
+
+  test("AggView dashboards prune by key (no version column in manifest)") {
+    val dir = tmpDir("merge-pruning-aggview") + "/v"
+    graft.cdc.AggView.init(
+      (1L to 60L).map(i => (i % 10, i.toDouble)).toDF("k", "v"),
+      dir, "k", "v", nBuckets = 8)
+    graft.cdc.AggView.read(spark, dir).createOrReplaceTempView("mp_agg")
+    val df = spark.sql(
+      "SELECT cnt, CAST(total AS DOUBLE) AS total FROM mp_agg WHERE k = 3")
+    // keys 3,13,23,33,43,53 -> cnt 6, total 168
+    assert(df.as[(Long, Double)].collect().toSeq == Seq((6L, 168.0)))
+    assert(scanDirs(df).size == 1,
+      "a view key's state lives in exactly one bucket")
+  }
+
   test("SQL == programmatic API on the same predicates") {
     val dir = freshTable()
     Compaction.merge(spark,
