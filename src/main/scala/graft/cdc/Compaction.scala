@@ -120,7 +120,8 @@ object Compaction {
     * stored stringified (cast AFTER the aggregate so the pushdown
     * stays eligible) and cast back to the column's type at prune time.
     */
-  private final case class BucketStats(rows: Long, maxVersion: String)
+  private final case class BucketStats(rows: Long,
+      minVersion: String, maxVersion: String)
 
   private def stagedStats(spark: SparkSession, staging: String,
       staged: Seq[Int], versionCol: String): Map[Int, BucketStats] =
@@ -129,15 +130,19 @@ object Compaction {
     if (staged.isEmpty) Map.empty
     else spark.read.parquet(s"$staging/data")
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), max(col(versionCol)).as("mx"))
-      .select(col("bucket"), col("n"), col("mx").cast("string"))
+      .agg(count(lit(1)).as("n"),
+        min(col(versionCol)).as("mn"), max(col(versionCol)).as("mx"))
+      .select(col("bucket"), col("n"),
+        col("mn").cast("string"), col("mx").cast("string"))
       .collect()
-      .map(r => r.getInt(0) -> BucketStats(r.getLong(1), r.getString(2)))
+      .map(r => r.getInt(0) ->
+        BucketStats(r.getLong(1), r.getString(2), r.getString(3)))
       .toMap
 
   private def rowProps(stats: Map[Int, BucketStats]): Map[String, String] =
     stats.flatMap { case (b, st) =>
       Seq(s"rows.$b" -> st.rows.toString) ++
+        Option(st.minVersion).map(mn => s"minv.$b" -> mn) ++
         Option(st.maxVersion).map(mx => s"maxv.$b" -> mx)
     }
 
@@ -642,10 +647,9 @@ object Compaction {
     // countRows stays exact and readChangedSince prunes correctly
     // across every merge without ever scanning
     val carriedRows = m.snap.props.collect {
-      case (k, v) if (k.startsWith("rows.") &&
-          !touched.contains(k.drop("rows.".length).toInt)) ||
-        (k.startsWith("maxv.") &&
-          !touched.contains(k.drop("maxv.".length).toInt)) => k -> v
+      case (k, v) if Seq("rows.", "minv.", "maxv.").exists(p =>
+          k.startsWith(p) && !touched.contains(k.drop(p.length).toInt))
+        => k -> v
     }
     val newStats = stagedStats(spark, staging, staged, versionCol)
     // rowsWritten = the staged footer counts — the pass the old

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, Literal, Pmod, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Pmod, XxHash64}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -22,10 +22,12 @@ import graft.cdc.TxLog
   *  - `WHERE key = k` / `key IN (…)`: only the buckets the literals
   *    hash into are scanned (the [[graft.cdc.Compaction.lookup]]
   *    O(1-bucket) point read, reached from SQL);
-  *  - `WHERE version > w` (or `>=`): only buckets whose
-  *    manifest-recorded max version passes the watermark are scanned
-  *    (the [[graft.cdc.Compaction.readChangedSince]] zone-map prune,
-  *    reached from SQL).
+  *  - `WHERE version > w` / `>=` / `<` / `<=` / `=` (and BETWEEN,
+  *    which analyzes to a >= ∧ <= pair): only buckets whose
+  *    manifest-recorded [min, max] version envelope can satisfy the
+  *    predicate are scanned (the
+  *    [[graft.cdc.Compaction.readChangedSince]] zone-map prune,
+  *    reached from SQL, in both directions).
   *
   * The rule recognizes a Filter directly over a parquet relation whose
   * root paths are exactly bucket directories of one committed graft
@@ -54,6 +56,7 @@ object MergePruning extends Rule[LogicalPlan] {
       versionCol: Option[String],
       nBuckets: Int,
       bucketDirs: Map[Int, String],
+      minv: Map[Int, String],
       maxv: Map[Int, String])
 
   /** table dir -> cached manifest metadata (re-validated against the
@@ -107,6 +110,10 @@ object MergePruning extends Rule[LogicalPlan] {
           bucketDirs = snap.buckets.map { case (b, rel) =>
             b -> normalize(s"$tableDir/data/$rel")
           },
+          minv = snap.props.collect {
+            case (k, v) if k.startsWith("minv.") =>
+              k.drop("minv.".length).toInt -> v
+          },
           maxv = snap.props.collect {
             case (k, v) if k.startsWith("maxv.") =>
               k.drop("maxv.".length).toInt -> v
@@ -154,29 +161,35 @@ object MergePruning extends Rule[LogicalPlan] {
     def isVersion(a: AttributeReference) =
       info.versionCol.exists(a.name.equalsIgnoreCase)
 
-    /** Buckets whose recorded max version can satisfy `col > lit`
-      * (or `>=`): typed comparison through a foldable Catalyst cast of
-      * the stored string back to the column's type. Stat-less buckets
-      * (and a null/failed comparison) are kept conservatively.
+    /** True iff the stored stringified stat, cast back to the
+      * column's type, satisfies `op(stat, lit)` — a missing stat or a
+      * null/failed comparison keeps the bucket conservatively.
       */
-    def zonePass(a: AttributeReference, l: Literal,
-        strict: Boolean): Set[Int] =
-      liveHere.keySet.filter { b =>
-        info.maxv.get(b) match {
-          case None => true
-          case Some(mx) =>
-            val mxTyped = Cast(
-              Literal(UTF8String.fromString(mx), StringType), a.dataType,
-              Some(SQLConf.get.sessionLocalTimeZone))
-            val cmp =
-              if (strict) GreaterThan(mxTyped, l)
-              else GreaterThanOrEqual(mxTyped, l)
-            cmp.eval() match {
-              case b: Boolean => b
-              case _ => true // null comparison: keep the bucket
-            }
-        }
+    def statHolds(stat: Option[String], a: AttributeReference, l: Literal,
+        op: (Expression, Expression) => Expression): Boolean =
+      stat match {
+        case None => true
+        case Some(s) =>
+          val typed = Cast(
+            Literal(UTF8String.fromString(s), StringType), a.dataType,
+            Some(SQLConf.get.sessionLocalTimeZone))
+          op(typed, l).eval() match {
+            case b: Boolean => b
+            case _ => true
+          }
       }
+
+    /** Buckets whose [min, max] version envelope can satisfy the
+      * predicate (typed zone-map comparison; see [[statHolds]]).
+      */
+    def zonePass(keep: Int => Boolean): Set[Int] =
+      liveHere.keySet.filter(keep)
+    def maxHolds(a: AttributeReference, l: Literal,
+        op: (Expression, Expression) => Expression)(b: Int): Boolean =
+      statHolds(info.maxv.get(b), a, l, op)
+    def minHolds(a: AttributeReference, l: Literal,
+        op: (Expression, Expression) => Expression)(b: Int): Boolean =
+      statHolds(info.minv.get(b), a, l, op)
 
     // per-conjunct allowed-bucket sets (None = conjunct not prunable)
     val perConjunct: Seq[Option[Set[Int]]] =
@@ -196,10 +209,21 @@ object MergePruning extends Rule[LogicalPlan] {
             bucketOf(l, info.nBuckets) }.toSet)
         case GreaterThan(a: AttributeReference, l: Literal)
             if isVersion(a) && l.value != null && l.dataType == a.dataType =>
-          Some(zonePass(a, l, strict = true))
+          Some(zonePass(maxHolds(a, l, GreaterThan)))
         case GreaterThanOrEqual(a: AttributeReference, l: Literal)
             if isVersion(a) && l.value != null && l.dataType == a.dataType =>
-          Some(zonePass(a, l, strict = false))
+          Some(zonePass(maxHolds(a, l, GreaterThanOrEqual)))
+        case LessThan(a: AttributeReference, l: Literal)
+            if isVersion(a) && l.value != null && l.dataType == a.dataType =>
+          Some(zonePass(minHolds(a, l, LessThan)))
+        case LessThanOrEqual(a: AttributeReference, l: Literal)
+            if isVersion(a) && l.value != null && l.dataType == a.dataType =>
+          Some(zonePass(minHolds(a, l, LessThanOrEqual)))
+        case EqualTo(a: AttributeReference, l: Literal)
+            if isVersion(a) && l.value != null && l.dataType == a.dataType =>
+          Some(zonePass(b =>
+            minHolds(a, l, LessThanOrEqual)(b) &&
+              maxHolds(a, l, GreaterThanOrEqual)(b)))
         case _ => None
       }
 

@@ -110,6 +110,28 @@ class AtomicCommitSpec extends SparkSpec
       s"replay duplicated history rows: $hist3")
   }
 
+  test("rebucket: crash before commit leaves the old layout byte-intact") {
+    val dir = tmpDir("atomic-rebucket") + "/t"
+    Compaction.init((1L to 30L).map(i => (i, s"v0-$i", 0L, false))
+      .toDF("id", "payload", "version", "deleted"), dir,
+      "id", "version", "deleted", nBuckets = 4)
+    val before = Compaction.read(spark, dir)
+      .select($"id", $"payload").as[(Long, String)].collect().toSet
+    crashOnCommit()
+    intercept[RuntimeException] { Compaction.rebucket(spark, dir, 16) }
+    healCommit()
+    // old layout still committed and readable
+    val (_, _, _, nB) = Compaction.readMeta(spark, dir)
+    assert(nB == 4, "crashed rebucket must not change the bucket count")
+    assert(Compaction.read(spark, dir)
+      .select($"id", $"payload").as[(Long, String)].collect().toSet == before)
+    // the retry completes and preserves state
+    Compaction.rebucket(spark, dir, 16)
+    assert(Compaction.readMeta(spark, dir)._4 == 16)
+    assert(Compaction.read(spark, dir)
+      .select($"id", $"payload").as[(Long, String)].collect().toSet == before)
+  }
+
   test("orphaned generation dirs from a crashed commit are swept, not collided with") {
     val dir = tmpDir("atomic-sweep") + "/t"
     Compaction.init((1L to 10L).map(i => (i, s"v0-$i", 0L, false))

@@ -87,6 +87,18 @@ class MergePruningSpec extends SparkSpec {
     assert(none.count() == 0L)
     assert(scanDirs(none).isEmpty,
       "fully-pruned watermark scan must hold zero directories")
+
+    // equality uses BOTH ends of the envelope: only touched buckets
+    // hold any version-5 row (untouched max out at 0)
+    val exact = spark.sql(
+      "SELECT id FROM mp_zone WHERE version = 5 ORDER BY id")
+    assert(exact.as[Long].collect().toSeq == Seq(7L, 8L))
+    assert(scanDirs(exact).subsetOf(touchedDirs))
+
+    // and the min side prunes the below-range probe to zero dirs
+    val below = spark.sql("SELECT id FROM mp_zone WHERE version < 0")
+    assert(below.count() == 0L)
+    assert(scanDirs(below).isEmpty)
   }
 
   test("conjunction intersects: key equality AND watermark") {
