@@ -130,9 +130,23 @@ object ScaleRehearsal {
       val (_, tMerge) = time {
         graft.cdc.Compaction.merge(spark, tableDir, changes)
       }
+      // zone-mapped incremental scan: a SECOND merge of a FIXED key
+      // set (ids < 5000 exist only in replica 0, so the batch is the
+      // same at every scale), then "changed since" at its watermark —
+      // the scan must cost O(buckets that batch touched), i.e. stay
+      // ~FLAT while the table grows 10×
+      val narrow = ord.filter(col("id") < 5000)
+        .select(col("id"), (col("price") * 3).as("price"),
+          lit(2L).as("version"), lit(false).as("deleted"))
+      graft.cdc.Compaction.merge(spark, tableDir, narrow)
+      val (_, tChanged) = time {
+        graft.cdc.Compaction.readChangedSince(spark, tableDir, 1L)
+          .count(): Unit
+      }
       Map("exact_dedup" -> tExact, "lsh_pairs" -> tLsh,
         "near_dups" -> tSim, "ann_ivf" -> tIvf,
         "table_init" -> tInit, "table_merge_1pct" -> tMerge,
+        "changed_since_narrow" -> tChanged,
         "lsh_pair_count" -> nPairs.toDouble)
     }
 
@@ -145,14 +159,17 @@ object ScaleRehearsal {
     val usedMb = (Runtime.getRuntime.totalMemory -
       Runtime.getRuntime.freeMemory) / 1048576
     val keys = Seq("exact_dedup", "lsh_pairs", "near_dups", "ann_ivf",
-      "table_init", "table_merge_1pct")
+      "table_init", "table_merge_1pct", "changed_since_narrow")
     val entries = keys.map { k =>
       val ratio = at10(k) / math.max(at1(k), 0.001)
       // the merge touches the same 1% key FRACTION at both scales and
       // its cost is dominated by the touched slice + fixed job
       // overhead — it gets a stricter sublinear bar than the full-scan
       // operators, because O(touched) is the property being verified
-      val bar = if (k == "table_merge_1pct") LinearBar / 2 else LinearBar
+      // O(touched)/O(pruned) ops get a stricter sublinear bar — flat
+      // cost under 10× growth is the property being verified
+      val bar = if (k == "table_merge_1pct" || k == "changed_since_narrow")
+        LinearBar / 2 else LinearBar
       val flag = ratio <= bar
       s""""$k":{"x1_sec":${fmt(at1(k))},"x10_sec":${fmt(at10(k))},""" +
         s""""ratio":${fmt(ratio)},"linear_ok":$flag}"""
