@@ -120,10 +120,10 @@ object Compaction {
     * stored stringified (cast AFTER the aggregate so the pushdown
     * stays eligible) and cast back to the column's type at prune time.
     */
-  private final case class BucketStats(rows: Long,
+  private[cdc] final case class BucketStats(rows: Long,
       minVersion: String, maxVersion: String)
 
-  private def stagedStats(spark: SparkSession, staging: String,
+  private[cdc] def stagedStats(spark: SparkSession, staging: String,
       staged: Seq[Int], versionCol: String): Map[Int, BucketStats] =
     // an all-buckets-emptied merge staged no partitions (the dir holds
     // only _SUCCESS — nothing to read a schema from)
@@ -139,7 +139,7 @@ object Compaction {
         BucketStats(r.getLong(1), r.getString(2), r.getString(3)))
       .toMap
 
-  private def rowProps(stats: Map[Int, BucketStats]): Map[String, String] =
+  private[cdc] def rowProps(stats: Map[Int, BucketStats]): Map[String, String] =
     stats.flatMap { case (b, st) =>
       Seq(s"rows.$b" -> st.rows.toString) ++
         Option(st.minVersion).map(mn => s"minv.$b" -> mn) ++

@@ -96,7 +96,9 @@ object Scd2 {
     txn.installAndCommit(
       staged.map(b => b -> txn.bucketRel(b)).toMap,
       coreProps(key, versionCol, deleteCol, nBuckets,
-        window(df.limit(0), key, versionCol, deleteCol).schema.json))
+        window(df.limit(0), key, versionCol, deleteCol).schema.json) ++
+        Compaction.rowProps(Compaction.stagedStats(
+          spark, txn.staging, staged, versionCol)))
     txn.cleanup()
   }
 
@@ -159,6 +161,23 @@ object Scd2 {
   /** Full history with intervals (no internal bucket column). */
   def read(spark: SparkSession, dir: String): DataFrame =
     storedData(spark, dir, loadMeta(spark, dir)).drop("bucket")
+
+  /** Exact history row count from the manifest alone (zero file
+    * opens) — every commit records per-bucket counts; buckets from a
+    * pre-stats manifest fall back to a path-pruned count.
+    */
+  def countRows(spark: SparkSession, dir: String): Long = {
+    val m = loadMeta(spark, dir)
+    val counted = m.snap.props.collect {
+      case (k, v) if k.startsWith("rows.") =>
+        k.drop("rows.".length).toInt -> v.toLong
+    }.toMap
+    val missing = m.buckets.keySet -- counted.keySet
+    val rest = if (missing.isEmpty) 0L
+      else readBuckets(spark, dir, m,
+        m.buckets.view.filterKeys(missing.contains).values).count()
+    counted.values.sum + rest
+  }
 
   /** Live state: open, non-tombstone versions only. */
   def current(spark: SparkSession, dir: String): DataFrame = {
@@ -246,14 +265,24 @@ object Scd2 {
       org.apache.spark.sql.types.StructType(
         outData.fields.map(_.copy(nullable = true))).json
     else m.schema.json
+    // per-bucket stats (rows + valid_from zone maps, the same footer
+    // pass Compaction uses): untouched buckets carry theirs forward so
+    // countRows stays exact and history watermark SQL prunes
+    val carried = m.snap.props.collect {
+      case (k, v) if Seq("rows.", "minv.", "maxv.").exists(p =>
+          k.startsWith(p) && !touched.contains(k.drop(p.length).toInt))
+        => k -> v
+    }
+    val newStats = Compaction.stagedStats(
+      spark, txn.staging, staged, versionCol)
     // MergeStats.rows = the staged slice counted from its own footers
     // BEFORE install (metadata, no data pages) — the old post-commit
     // pruned re-read resolved the manifest and schema a second time
     // for the same number
-    val rows = if (staged.isEmpty) 0L
-      else spark.read.parquet(s"${txn.staging}/data").count()
+    val rows = newStats.values.map(_.rows).sum
     txn.installAndCommit(newBuckets,
-      coreProps(key, versionCol, deleteCol, nBuckets, schemaJson))
+      coreProps(key, versionCol, deleteCol, nBuckets, schemaJson) ++
+        carried ++ Compaction.rowProps(newStats))
     txn.cleanup()
     TxLog.vacuum(spark, dir, txn.newVersion)
     MergeStats(touched, rows)

@@ -112,6 +112,33 @@ class Scd2Spec extends SparkSpec {
     assert(payloadAt(6L).contains("v6-1"))
   }
 
+  test("manifest stats: zero-scan count stays exact; history watermark prunes from SQL") {
+    val dir = fresh(100)
+    assert(Scd2.countRows(spark, dir) == 100L)
+    val stats = Scd2.merge(spark, dir, changelog(Seq((7L, "v5-7", 5L, false))))
+    // history grew by one state row
+    assert(Scd2.countRows(spark, dir) == 101L)
+    assert(Scd2.countRows(spark, dir) == Scd2.read(spark, dir).count())
+
+    // valid_from zone maps: SQL "history changed since" scans only the
+    // merged bucket (MergePruning over the Scd2 manifest)
+    graft.plans.MergePruning.ensureRegistered(spark)
+    Scd2.read(spark, dir).createOrReplaceTempView("scd2_stats_view")
+    val df = spark.sql(
+      "SELECT id, payload FROM scd2_stats_view WHERE version > 0")
+    assert(df.as[(Long, String)].collect().toSeq == Seq((7L, "v5-7")))
+    val opened = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toUri.getPath)
+    }.flatten.toSet
+    val touchedDirs = stats.touchedBuckets
+      .map(Scd2.livePaths(spark, dir)).toSet
+    assert(opened.nonEmpty && opened.subsetOf(touchedDirs),
+      s"history watermark opened un-pruned dirs: $opened vs $touchedDirs")
+  }
+
   test("merge batch carrying generated columns fails fast (no silent clobber)") {
     val dir = fresh(10)
     val bad = Seq((1L, "x", 9L, false, true))
