@@ -119,6 +119,10 @@ object Compaction {
     * page opens), so stats never add a pass over the data. The max is
     * stored stringified (cast AFTER the aggregate so the pushdown
     * stays eligible) and cast back to the column's type at prune time.
+    * TIMESTAMP version columns render and re-parse through the SESSION
+    * time zone: writers and readers must agree on it (GraftSession
+    * pins UTC) or a zone-map prune could skew by the offset — the same
+    * session-TZ contract Spark's own timestamp/string casts carry.
     */
   private[cdc] final case class BucketStats(rows: Long,
       minVersion: String, maxVersion: String)

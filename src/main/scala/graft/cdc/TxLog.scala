@@ -48,10 +48,16 @@ private[graft] object TxLog {
     * (`g<V>-<txn>`), so an orphan can never collide with a retry;
     * deferring its deletion is pure storage-reclamation latency, while
     * deleting it eagerly would yank a racing writer's staged data out
-    * from under its commit. Specs set this to 0 to exercise the
+    * from under its commit. The default is sized for the SLOWEST
+    * plausible staging write, not the common case: at 100 TB a merge
+    * can stage for hours, and the only cost of a long grace is that a
+    * crashed writer's garbage occupies storage until it elapses (a
+    * heartbeat file under the staging dir would tighten this, at the
+    * cost of a liveness protocol — not worth it while reclamation is
+    * hygiene, not correctness). Specs set this to 0 to exercise the
     * reclamation path deterministically.
     */
-  private[cdc] var orphanGraceMs: Long = 30L * 60L * 1000L
+  private[cdc] var orphanGraceMs: Long = 12L * 60L * 60L * 1000L
 
   /** Bounded optimistic-concurrency retry: run `body` (which must
     * re-resolve the latest snapshot itself on every attempt), and

@@ -462,6 +462,40 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // bucket-count resize: the same merge as cdc_merge_upsert, then a
+    // rebucket 16 → 64 BEFORE the read — the oracle is the identical
+    // relational recompute, so a green row proves the layout change
+    // moved every surviving key (and no tombstone ghost) byte-exactly
+    // into the new hash layout while stats/lookups stay live
+    // (layout-level assertions are CompactionSpec's rebucket test)
+    "cdc_rebucket" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-rebucket-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, changes)
+      graft.cdc.Compaction.rebucket(s, tableDir, 64)
+      graft.cdc.Compaction.read(s, tableDir)
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(dec18(col("price"))).cast("double").as("total"),
+          sum(col("id") * col("version")).as("checksum"))
+    }),
+
     // zone-map-pruned incremental scan on the maintained table: every
     // commit records each bucket's footer max(version) in the
     // manifest, so "changed since the watermark" opens only buckets a
@@ -1053,6 +1087,27 @@ object CdcQueries {
         |  FROM unioned)
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // rebucket changes layout, never content: same recompute as the
+    // merge, plus the id·version checksum pinning row identity
+    "cdc_rebucket" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  CAST(SUM(id * version) AS BIGINT) AS checksum
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     // rows with version > 0 after the merge = the narrow batch's
