@@ -30,7 +30,11 @@ class ConcurrentMergeSpec extends SparkSpec {
     val gate = new CountDownLatch(1)
     val fs = thunks.map(t => Future { gate.await(); t() })
     gate.countDown()
-    try fs.map(f => Await.result(f, 120.seconds))
+    // generous: two concurrent multi-job merges under external host
+    // load have blown a 2-minute bound once (same contention pattern
+    // as the round-4 bench anomaly) — the bound exists to fail a
+    // deadlock, not a slow machine
+    try fs.map(f => Await.result(f, 600.seconds))
     finally pool.shutdown()
   }
 
