@@ -161,6 +161,41 @@ class MergePruningSpec extends SparkSpec {
       "a view key's state lives in exactly one bucket")
   }
 
+  test("timestamp version columns round-trip the zone maps (UTC session)") {
+    val dir = tmpDir("merge-pruning-ts") + "/t"
+    val base = (1L to 40L).map(i =>
+      (i, s"v0-$i", java.sql.Timestamp.valueOf("2024-01-01 00:00:00.123456"),
+        false))
+      .toDF("id", "payload", "updated_at", "deleted")
+    Compaction.init(base, dir, "id", "updated_at", "deleted", nBuckets = 8)
+    val later = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789012")
+    val stats = Compaction.merge(spark, dir,
+      Seq((7L, "v1-7", later, false))
+        .toDF("id", "payload", "updated_at", "deleted"))
+    val live = Compaction.livePaths(spark, dir)
+    val touchedDirs = stats.touchedBuckets.map(live).toSet
+
+    // programmatic watermark scan: sub-second precision survives the
+    // manifest's string round-trip
+    val wm = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.123456")
+    val changed = Compaction.readChangedSince(spark, dir, wm)
+    assert(changed.select($"id").as[Long].collect().toSeq == Seq(7L))
+    val opened = changed.inputFiles
+      .map(f => new java.net.URI(f).getPath).toSet
+    assert(opened.forall(f => touchedDirs.exists(d => f.startsWith(d))),
+      s"timestamp zone maps failed to prune: $opened vs $touchedDirs")
+
+    // and through SQL (typed literal, same prune)
+    view(dir, "mp_ts")
+    val df = spark.sql("SELECT id FROM mp_ts WHERE updated_at > " +
+      "TIMESTAMP '2024-01-01 00:00:00.123456'")
+    assert(df.as[Long].collect().toSeq == Seq(7L))
+    assert(scanDirs(df).subsetOf(touchedDirs))
+    // a watermark beyond the max prunes all files
+    val none = Compaction.readChangedSince(spark, dir, later)
+    assert(none.count() == 0L && none.inputFiles.isEmpty)
+  }
+
   test("SQL == programmatic API on the same predicates") {
     val dir = freshTable()
     Compaction.merge(spark,
