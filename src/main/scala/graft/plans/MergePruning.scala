@@ -131,11 +131,6 @@ object MergePruning extends Rule[LogicalPlan] {
     Cast(Pmod(new XxHash64(Seq(l)), Literal(nBuckets.toLong, LongType)),
       IntegerType).eval().asInstanceOf[Int]
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
-    case other => Seq(other)
-  }
-
   private def prune(f: Filter, cond: Expression,
       lr: LogicalRelation): Option[LogicalPlan] = {
     val fs = lr.relation match {
@@ -191,9 +186,22 @@ object MergePruning extends Rule[LogicalPlan] {
         op: (Expression, Expression) => Expression)(b: Int): Boolean =
       statHolds(info.minv.get(b), a, l, op)
 
-    // per-conjunct allowed-bucket sets (None = conjunct not prunable)
-    val perConjunct: Seq[Option[Set[Int]]] =
-      splitConjuncts(cond).map {
+    // the allowed-bucket set a predicate subtree implies (None = not
+    // prunable): AND intersects — a non-prunable conjunct is simply
+    // residual, the other side still prunes; OR unions — and is sound
+    // ONLY when BOTH branches prune (an unprunable branch could match
+    // rows anywhere, so the disjunction must bail)
+    def allowed(e: Expression): Option[Set[Int]] = e match {
+      case And(x, y) => (allowed(x), allowed(y)) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+      case org.apache.spark.sql.catalyst.expressions.Or(x, y) =>
+        for { a <- allowed(x); b <- allowed(y) } yield a.union(b)
+      case leaf => leafBuckets(leaf)
+    }
+
+    def leafBuckets(e: Expression): Option[Set[Int]] = e match {
         case EqualTo(a: AttributeReference, l: Literal)
             if isKey(a) && l.value != null && l.dataType == a.dataType =>
           Some(Set(bucketOf(l, info.nBuckets)))
@@ -227,10 +235,9 @@ object MergePruning extends Rule[LogicalPlan] {
         case _ => None
       }
 
-    val prunable = perConjunct.flatten
-    if (prunable.isEmpty) return None
-    val allowed = prunable.reduce(_ intersect _)
-    val keptDirs = liveHere.view.filterKeys(allowed.contains).values.toSeq
+    val allowedBuckets = allowed(cond).getOrElse(return None)
+    val keptDirs =
+      liveHere.view.filterKeys(allowedBuckets.contains).values.toSeq
     if (keptDirs.size == rootSet.size) return None
 
     val newIndex = new InMemoryFileIndex(spark,

@@ -119,6 +119,41 @@ class MergePruningSpec extends SparkSpec {
     assert(scanDirs(unchanged).size <= 1)
   }
 
+  test("disjunction unions bucket sets; an unprunable OR branch bails") {
+    val dir = freshTable()
+    view(dir, "mp_or")
+    val live = Compaction.livePaths(spark, dir).values.toSet
+    val df = spark.sql(
+      "SELECT id FROM mp_or WHERE id = 4 OR id = 9 ORDER BY id")
+    assert(df.as[Long].collect().toSeq == Seq(4L, 9L))
+    val dirs = scanDirs(df)
+    assert(dirs.nonEmpty && dirs.size <= 2,
+      s"OR of two key literals should scan <= 2 buckets, scanned $dirs")
+    // a branch pruning can't reason about could match anywhere: the
+    // whole disjunction must scan everything
+    val mixed = spark.sql(
+      "SELECT id FROM mp_or WHERE id = 4 OR payload = 'v0-9' ORDER BY id")
+    assert(mixed.as[Long].collect().toSeq == Seq(4L, 9L))
+    assert(scanDirs(mixed) == live,
+      "a disjunction with an unprunable branch must not prune")
+  }
+
+  test("BETWEEN on the version column rides both zone-map ends") {
+    val dir = freshTable()
+    Compaction.merge(spark, dir,
+      Seq((7L, "v5-7", 5L, false)).toDF("id", "payload", "version", "deleted"))
+    val stats2 = Compaction.merge(spark, dir,
+      Seq((8L, "v9-8", 9L, false)).toDF("id", "payload", "version", "deleted"))
+    view(dir, "mp_between")
+    // BETWEEN analyzes to >= AND <=; [6, 10] excludes both the v0 mass
+    // and the v5 bucket (unless 7 and 8 share one)
+    val df = spark.sql(
+      "SELECT id FROM mp_between WHERE version BETWEEN 6 AND 10")
+    assert(df.as[Long].collect().toSeq == Seq(8L))
+    val live = Compaction.livePaths(spark, dir)
+    assert(scanDirs(df).subsetOf(stats2.touchedBuckets.map(live).toSet))
+  }
+
   test("non-key predicates leave the scan unpruned (sound no-op)") {
     val dir = freshTable()
     view(dir, "mp_noop")
