@@ -482,12 +482,34 @@ object Compaction {
     * zero-effect delta under the next batch id rather than a
     * duplicate real one.
     */
+  /** Thrown (and handled inside [[merge]]) when a concurrent
+    * [[rebucket]] committed between bucketing the changelog and the
+    * merge's own commit: the cached bucket ids are computed under the
+    * OLD layout and writing them would misplace keys in the new one,
+    * so the whole merge must re-bucket — an OCC retry alone cannot
+    * fix it.
+    */
+  private final class RebucketedDuringWrite extends RuntimeException(
+    "bucket count changed under an in-flight merge")
+
   def merge(spark: SparkSession, dir: String, changelog: DataFrame,
       emitFeed: Boolean = false, retainHistory: Boolean = false): MergeStats = {
-    // bucketing params are fixed at init (only a full re-init changes
-    // them), so the bucketed changelog — the expensive input — is
-    // computed and cached ONCE and reused verbatim across OCC retries;
-    // each attempt re-resolves the manifest snapshot inside withOcc.
+    var attempts = 0
+    while (true) {
+      try return mergeBucketed(spark, dir, changelog, emitFeed, retainHistory)
+      catch { case _: RebucketedDuringWrite if attempts < 3 => attempts += 1 }
+    }
+    sys.error("unreachable")
+  }
+
+  private def mergeBucketed(spark: SparkSession, dir: String,
+      changelog: DataFrame,
+      emitFeed: Boolean, retainHistory: Boolean): MergeStats = {
+    // bucketing params change only under a (rare) concurrent rebucket
+    // — detected inside mergeOnce, restarting merge() wholesale — so
+    // the bucketed changelog, the expensive input, is computed and
+    // cached ONCE and reused verbatim across OCC retries; each attempt
+    // re-resolves the manifest snapshot inside withOcc.
     val m0 = loadMeta(spark, dir)
     val dataCols = changelog.columns.filterNot(_ == "bucket")
     requireNoReserved(dataCols.toSeq, "changelog schema")
@@ -502,15 +524,17 @@ object Compaction {
       if (touched.isEmpty) return MergeStats(Nil, Nil, 0L)
       TxLog.withOcc(spark, dir) {
         mergeOnce(spark, dir, changes, dataCols.toSeq, touched,
-          emitFeed, retainHistory)
+          m0.nBuckets, emitFeed, retainHistory)
       }
     } finally changes.unpersist()
   }
 
   private def mergeOnce(spark: SparkSession, dir: String,
       changes: DataFrame, dataCols: Seq[String], touched: Seq[Int],
+      bucketedWith: Int,
       emitFeed: Boolean, retainHistory: Boolean): MergeStats = {
     val m = loadMeta(spark, dir)
+    if (m.nBuckets != bucketedWith) throw new RebucketedDuringWrite
     val (key, versionCol) = (m.key, m.versionCol)
     // clear crashed writers' leftovers (grace-aware: a LIVE concurrent
     // writer's staging and in-flight generation survive the sweep)

@@ -131,6 +131,48 @@ class ConcurrentMergeSpec extends SparkSpec {
     assert(closed.toSeq == Seq(1L, 1L))
   }
 
+  test("a rebucket landing under an in-flight merge forces a re-bucketed retry") {
+    val dir = tmpDir("occ-rebucket") + "/t"
+    Compaction.init((1L to 40L).map(i => (i, s"v0-$i", 0L, false))
+      .toDF("id", "payload", "version", "deleted"),
+      dir, "id", "version", "deleted", nBuckets = 4)
+    // fire a rebucket from INSIDE the merge's commit window: the merge
+    // bucketed its changelog under nBuckets=4, the rebucket moves the
+    // table to 16, the merge's CAS loses — and an OCC retry alone
+    // would write 4-bucket ids into the 16-bucket layout (keys a point
+    // lookup could then never find); the detector must restart the
+    // whole merge under the new layout instead
+    var fired = false
+    TxLog.beforeCommit = () => {
+      if (!fired) {
+        fired = true
+        TxLog.beforeCommit = () => ()
+        Compaction.rebucket(spark, dir, 16)
+      }
+    }
+    try Compaction.merge(spark, dir,
+      Seq((7L, "v1-7", 1L, false)).toDF("id", "payload", "version", "deleted"))
+    finally TxLog.beforeCommit = () => ()
+
+    val (_, _, _, nB) = Compaction.readMeta(spark, dir)
+    assert(nB == 16, "the rebucket must have won the layout")
+    // the merged key is found by the NEW layout's point lookup — the
+    // exact read a stale-bucket write would silently break
+    assert(Compaction.lookup(spark, dir, 7L)
+      .select($"payload").as[String].collect().toSeq == Seq("v1-7"))
+    assert(Compaction.read(spark, dir).count() == 40L)
+    // every live bucket dir is consistent with its contents' hash
+    val live = Compaction.livePaths(spark, dir)
+    live.foreach { case (b, p) =>
+      val ids = spark.read.parquet(p).select($"id").as[Long].collect()
+      ids.foreach { id =>
+        val expect = spark.range(1)
+          .select(graft.cdc.Bucketing.bucketOf(lit(id), 16)).head().getInt(0)
+        assert(expect == b, s"key $id misplaced: dir bucket=$b, hash $expect")
+      }
+    }
+  }
+
   test("sweep leaves a younger-than-grace in-flight generation alone") {
     val dir = tmpDir("occ-grace") + "/t"
     Compaction.init(Seq((1L, "x", 0L, false))
