@@ -489,7 +489,7 @@ object Compaction {
     * so the whole merge must re-bucket — an OCC retry alone cannot
     * fix it.
     */
-  private final class RebucketedDuringWrite extends RuntimeException(
+  private[cdc] final class RebucketedDuringWrite extends RuntimeException(
     "bucket count changed under an in-flight merge")
 
   def merge(spark: SparkSession, dir: String, changelog: DataFrame,

@@ -145,6 +145,12 @@ object Scd2 {
   private[graft] def livePaths(spark: SparkSession, dir: String): Map[Int, String] =
     loadMeta(spark, dir).buckets.map { case (b, rel) => b -> s"$dir/data/$rel" }
 
+  /** The (key, versionCol, deleteCol, nBuckets) the table runs with. */
+  def readMeta(spark: SparkSession, dir: String): (String, String, String, Int) = {
+    val m = loadMeta(spark, dir)
+    (m.key, m.versionCol, m.deleteCol, m.nBuckets)
+  }
+
   /** The pruned slice a merge of `touched` buckets reads — factored out
     * so Scd2Spec can assert the scan opens only touched buckets' files.
     */
@@ -156,6 +162,39 @@ object Scd2 {
       touched: Seq[Int], m: Meta): DataFrame = {
     val t = touched.toSet
     readBuckets(spark, dir, m, m.buckets.view.filterKeys(t.contains).values)
+  }
+
+  /** Resize the history table's bucket count in ONE committed full
+    * rewrite — same contract as [[Compaction.rebucket]]: the version
+    * lineage continues, stats and zone maps recompute in the staged
+    * footer pass, readers never see an intermediate state, racing
+    * writers conflict-retry, and a merge in flight under the old
+    * layout detects the change and restarts re-bucketed.
+    */
+  def rebucket(spark: SparkSession, dir: String, newNBuckets: Int,
+      retainHistory: Boolean = false): Unit = {
+    require(newNBuckets > 0, "nBuckets must be positive")
+    TxLog.withOcc(spark, dir) {
+      val m = loadMeta(spark, dir)
+      if (m.nBuckets == newNBuckets) return
+      TxLog.sweep(spark, dir)
+      val txn = new TableTxn(spark, dir, m.snap.version)
+      storedData(spark, dir, m).drop("bucket")
+        .withColumn("bucket", bucketOf(col(m.key), newNBuckets))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col(m.key))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"${txn.staging}/data")
+      val staged = txn.stagedBucketIds()
+      txn.installAndCommit(
+        staged.map(b => b -> txn.bucketRel(b)).toMap,
+        coreProps(m.key, m.versionCol, m.deleteCol, newNBuckets,
+          m.schema.json) ++
+          Compaction.rowProps(Compaction.stagedStats(
+            spark, txn.staging, staged, m.versionCol)))
+      txn.cleanup()
+      if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+    }
   }
 
   /** Full history with intervals (no internal bucket column). */
@@ -204,8 +243,22 @@ object Scd2 {
     * version / delete columns and payload schema as `init`'s input).
     */
   def merge(spark: SparkSession, dir: String, changes0: DataFrame): MergeStats = {
-    // bucketing params are fixed at init: bucket and cache the batch
-    // ONCE, re-resolve the snapshot per OCC attempt (see Compaction)
+    var attempts = 0
+    while (true) {
+      try return mergeBucketed(spark, dir, changes0)
+      catch {
+        case _: Compaction.RebucketedDuringWrite if attempts < 3 =>
+          attempts += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def mergeBucketed(spark: SparkSession, dir: String,
+      changes0: DataFrame): MergeStats = {
+    // bucket and cache the batch ONCE, re-resolve the snapshot per OCC
+    // attempt; a concurrent rebucket invalidates the cached bucket ids
+    // and restarts merge() wholesale (see Compaction)
     val m0 = loadMeta(spark, dir)
     requireNoGenerated(changes0.columns.toSeq, "merge batch schema")
     val changes = changes0
@@ -216,14 +269,17 @@ object Scd2 {
         .collect().map(_.getInt(0)).toSeq.sorted
       if (touched.isEmpty) return MergeStats(Nil, 0L)
       TxLog.withOcc(spark, dir) {
-        mergeOnce(spark, dir, changes, touched)
+        mergeOnce(spark, dir, changes, touched, m0.nBuckets)
       }
     } finally changes.unpersist()
   }
 
   private def mergeOnce(spark: SparkSession, dir: String,
-      changes: DataFrame, touched: Seq[Int]): MergeStats = {
+      changes: DataFrame, touched: Seq[Int],
+      bucketedWith: Int): MergeStats = {
     val m = loadMeta(spark, dir)
+    if (m.nBuckets != bucketedWith)
+      throw new Compaction.RebucketedDuringWrite
     val (key, versionCol, deleteCol, nBuckets) =
       (m.key, m.versionCol, m.deleteCol, m.nBuckets)
     TxLog.sweep(spark, dir)

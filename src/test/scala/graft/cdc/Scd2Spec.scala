@@ -139,6 +139,23 @@ class Scd2Spec extends SparkSpec {
       s"history watermark opened un-pruned dirs: $opened vs $touchedDirs")
   }
 
+  test("rebucket preserves history, counts, and current-state reads") {
+    val dir = fresh(60)
+    Scd2.merge(spark, dir, changelog(Seq((7L, "v1-7", 1L, false))))
+    val before = history(dir)
+    Scd2.rebucket(spark, dir, 16)
+    val (_, _, _, nB) = Scd2.readMeta(spark, dir)
+    assert(nB == 16)
+    assert(history(dir) == before, "rebucket must not change history")
+    assert(Scd2.countRows(spark, dir) == 61L)
+    val current = Scd2.current(spark, dir)
+      .filter($"id" === 7L).select($"payload").as[String].collect()
+    assert(current.toSeq == Seq("v1-7"))
+    // further merges work under the new layout
+    Scd2.merge(spark, dir, changelog(Seq((8L, "v2-8", 2L, false))))
+    assert(Scd2.countRows(spark, dir) == 62L)
+  }
+
   test("merge batch carrying generated columns fails fast (no silent clobber)") {
     val dir = fresh(10)
     val bad = Seq((1L, "x", 9L, false, true))
