@@ -106,6 +106,37 @@ object AggView {
   def read(spark: SparkSession, dir: String): DataFrame =
     storedData(spark, dir, snap(spark, dir))
 
+  /** Resize the view's bucket count in ONE committed full rewrite —
+    * same contract as [[Compaction.rebucket]]: the batch-id fence and
+    * version lineage carry, readers never see an intermediate state,
+    * racing writers conflict-retry, and a delta merge in flight under
+    * the old layout detects the change and restarts re-bucketed.
+    */
+  def rebucket(spark: SparkSession, dir: String, newNBuckets: Int,
+      retainHistory: Boolean = false): Unit = {
+    require(newNBuckets > 0, "nBuckets must be positive")
+    TxLog.withOcc(spark, dir) {
+      val s = snap(spark, dir)
+      val (key, valueCol) = (s.props("key"), s.props("value_col"))
+      if (s.props("n_buckets").toInt == newNBuckets) return
+      TxLog.sweep(spark, dir)
+      val txn = new TableTxn(spark, dir, s.version)
+      storedData(spark, dir, s)
+        .withColumn("bucket", bucketOf(col(key), newNBuckets))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col(key))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"${txn.staging}/data")
+      val staged = txn.stagedBucketIds()
+      txn.installAndCommit(
+        staged.map(b => b -> txn.bucketRel(b)).toMap,
+        coreProps(key, valueCol, newNBuckets,
+          s.props("last_batch_id").toLong, s.props("schema_json")))
+      txn.cleanup()
+      if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+    }
+  }
+
   /** Fold one delta batch in. Returns applied=false (and touches
     * nothing) when `batchId` was already applied — the exactly-once
     * fence for at-least-once callers. Pass monotonically increasing
@@ -157,10 +188,26 @@ object AggView {
   private def mergeDeltas(spark: SparkSession, dir: String,
       deltaPartials: DataFrame,
       batchId: Long, canRetract: Boolean): MergeStats = {
-    // bucket + cache the delta ONCE (bucketing params never change
-    // post-init); each OCC attempt re-resolves the snapshot AND the
-    // fence — a concurrent writer may have applied this very batchId,
-    // in which case the retry degrades to the exactly-once no-op
+    var attempts = 0
+    while (true) {
+      try return mergeDeltasBucketed(spark, dir, deltaPartials,
+        batchId, canRetract)
+      catch {
+        case _: Compaction.RebucketedDuringWrite if attempts < 3 =>
+          attempts += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def mergeDeltasBucketed(spark: SparkSession, dir: String,
+      deltaPartials: DataFrame,
+      batchId: Long, canRetract: Boolean): MergeStats = {
+    // bucket + cache the delta ONCE; each OCC attempt re-resolves the
+    // snapshot AND the fence — a concurrent writer may have applied
+    // this very batchId, in which case the retry degrades to the
+    // exactly-once no-op; a concurrent rebucket invalidates the cached
+    // bucket ids and restarts mergeDeltas wholesale
     val s0 = snap(spark, dir)
     val nBuckets0 = s0.props("n_buckets").toInt
     val delta = deltaPartials
@@ -170,15 +217,18 @@ object AggView {
       val touched = delta.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       TxLog.withOcc(spark, dir) {
-        mergeDeltasOnce(spark, dir, delta, touched, batchId, canRetract)
+        mergeDeltasOnce(spark, dir, delta, touched, nBuckets0,
+          batchId, canRetract)
       }
     } finally delta.unpersist()
   }
 
   private def mergeDeltasOnce(spark: SparkSession, dir: String,
-      delta: DataFrame, touched: Seq[Int],
+      delta: DataFrame, touched: Seq[Int], bucketedWith: Int,
       batchId: Long, canRetract: Boolean): MergeStats = {
     val s = snap(spark, dir)
+    if (s.props("n_buckets").toInt != bucketedWith)
+      throw new Compaction.RebucketedDuringWrite
     if (batchId <= s.props("last_batch_id").toLong)
       return MergeStats(applied = false, Nil)
     val (key, valueCol, nBuckets) =

@@ -208,6 +208,11 @@ object MergePruning extends Rule[LogicalPlan] {
         case EqualTo(l: Literal, a: AttributeReference)
             if isKey(a) && l.value != null && l.dataType == a.dataType =>
           Some(Set(bucketOf(l, info.nBuckets)))
+        // null-safe equality against a non-null literal ≡ equality
+        case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+            a: AttributeReference, l: Literal)
+            if isKey(a) && l.value != null && l.dataType == a.dataType =>
+          Some(Set(bucketOf(l, info.nBuckets)))
         case In(a: AttributeReference, vs)
             if isKey(a) && vs.nonEmpty && vs.forall {
               case l: Literal => l.value != null && l.dataType == a.dataType

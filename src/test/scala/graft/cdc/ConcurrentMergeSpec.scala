@@ -173,6 +173,36 @@ class ConcurrentMergeSpec extends SparkSpec {
     }
   }
 
+  test("AggView rebucket carries the fence; an in-flight delta merge restarts") {
+    val dir = tmpDir("occ-agg-rebucket") + "/v"
+    AggView.init((1L to 40L).map(i => (i % 10, i.toDouble)).toDF("k", "v"),
+      dir, "k", "v", nBuckets = 2, batchId = 0L)
+    // fire the rebucket from inside the delta merge's commit window
+    var fired = false
+    TxLog.beforeCommit = () => {
+      if (!fired) {
+        fired = true
+        TxLog.beforeCommit = () => ()
+        AggView.rebucket(spark, dir, 8)
+      }
+    }
+    try {
+      val stats = AggView.merge(spark, dir,
+        Seq((3L, 100.0)).toDF("k", "v"), batchId = 1L)
+      assert(stats.applied)
+    } finally TxLog.beforeCommit = () => ()
+
+    val (_, _, nB, fence) = AggView.readMeta(spark, dir)
+    assert(nB == 8, "the rebucket must have won the layout")
+    assert(fence == 1L, "the restarted merge must advance the fence")
+    // content: keys 1..40 by k=i%10 → k=3 holds 3+13+23+33=72, +100
+    val got = AggView.read(spark, dir)
+      .filter(col("k") === 3L)
+      .select(col("cnt"), col("total").cast("double"))
+      .as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((5L, 172.0)), s"got $got")
+  }
+
   test("sweep leaves a younger-than-grace in-flight generation alone") {
     val dir = tmpDir("occ-grace") + "/t"
     Compaction.init(Seq((1L, "x", 0L, false))

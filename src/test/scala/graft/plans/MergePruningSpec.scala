@@ -54,6 +54,14 @@ class MergePruningSpec extends SparkSpec {
     assert(lookedUp.forall(f => dirs.exists(d => f.startsWith(d))))
   }
 
+  test("null-safe equality (<=>) prunes like equality") {
+    val dir = freshTable()
+    view(dir, "mp_nse")
+    val df = spark.sql("SELECT payload FROM mp_nse WHERE id <=> 7")
+    assert(df.as[String].collect().toSeq == Seq("v0-7"))
+    assert(scanDirs(df).size == 1)
+  }
+
   test("SQL IN-list scans at most one bucket per literal") {
     val dir = freshTable()
     view(dir, "mp_in")
