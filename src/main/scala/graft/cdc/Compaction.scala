@@ -251,11 +251,41 @@ object Compaction {
     */
   def lookup(spark: SparkSession, dir: String, keyValue: Any): DataFrame = {
     val m = loadMeta(spark, dir)
-    val bucket = spark.range(1)
-      .select(bucketOf(lit(keyValue), m.nBuckets)).head().getInt(0)
+    val bucket = bucketOfValue(keyValue, m.nBuckets)
     readBuckets(spark, dir, m, m.buckets.get(bucket).toSeq)
       .drop("bucket")
       .filter(col(m.key) === lit(keyValue))
+  }
+
+  /** The bucket a literal key hashes into, folded DRIVER-side through
+    * the same Catalyst `xxhash64` expression the writers partition by
+    * (the old 1-row `spark.range` probe paid a whole Spark job for
+    * this constant).
+    */
+  private def bucketOfValue(v: Any, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    Cast(Pmod(new XxHash64(Seq(Literal(v))),
+      Literal(nBuckets.toLong, LongType)), IntegerType)
+      .eval().asInstanceOf[Int]
+  }
+
+  /** Multi-key point lookup: ONE pruned scan over the distinct buckets
+    * the keys hash into (≤ |keys| directories regardless of table
+    * size) with the IN-predicate pushed into their files — the batch
+    * form of [[lookup]], equivalent to the SQL `key IN (…)` path
+    * [[graft.plans.MergePruning]] serves.
+    */
+  def lookupMany(spark: SparkSession, dir: String,
+      keyValues: Seq[Any]): DataFrame = {
+    val m = loadMeta(spark, dir)
+    if (keyValues.isEmpty)
+      return readBuckets(spark, dir, m, Nil).drop("bucket")
+    val buckets = keyValues.map(v => bucketOfValue(v, m.nBuckets)).toSet
+    readBuckets(spark, dir, m,
+      m.buckets.view.filterKeys(buckets.contains).values)
+      .drop("bucket")
+      .filter(col(m.key).isin(keyValues: _*))
   }
 
   /** Incremental scan with zone-map pruning: live rows whose version

@@ -218,6 +218,52 @@ class CompactionSpec extends SparkSpec {
     assert(full == Set((7L, "v5-7"), (8L, "v5-8")))
   }
 
+  test("lookupMany == union of lookups, over at most |keys| buckets") {
+    val dir = freshTable(100)
+    Compaction.merge(spark, dir,
+      Seq((7L, "v1-7", 1L, false), (200L, "v1-200", 1L, false))
+        .toDF("id", "payload", "version", "deleted"))
+    val keys = Seq(7L, 200L, 13L, 999L) // updated, inserted, v0, absent
+    val many = Compaction.lookupMany(spark, dir, keys)
+    val single = keys.map(k => Compaction.lookup(spark, dir, k))
+      .reduce(_.unionByName(_))
+    assert(many.select($"id", $"payload").as[(Long, String)].collect().toSet ==
+      single.select($"id", $"payload").as[(Long, String)].collect().toSet)
+    assert(many.select($"id").as[Long].collect().toSet == Set(7L, 200L, 13L))
+    val openedDirs = many.inputFiles
+      .map(f => { val p = new java.net.URI(f).getPath
+        p.substring(0, p.lastIndexOf('/')) }).toSet
+    assert(openedDirs.size <= keys.size,
+      s"batch lookup opened ${openedDirs.size} dirs for ${keys.size} keys")
+    assert(Compaction.lookupMany(spark, dir, Nil).count() == 0L)
+  }
+
+  test("null merge keys form one deterministic key group") {
+    // null is a degenerate-but-deterministic key: it hashes to one
+    // fixed bucket, upserts/deletes reconcile like any key, and —
+    // plain SQL semantics — equality lookups can never address it
+    // (read it back with isNull). Pinned so a null-keyed feed can't
+    // silently fork rows across buckets.
+    val dir = tmpDir("compaction-nullkey")
+    Compaction.init(
+      Seq((Some(1L), "a", 0L, false), (None, "n0", 0L, false))
+        .toDF("id", "payload", "version", "deleted"),
+      dir, "id", "version", "deleted", nBuckets = 8)
+    Compaction.merge(spark, dir,
+      Seq((Option.empty[Long], "n1", 1L, false))
+        .toDF("id", "payload", "version", "deleted"))
+    val nulls = Compaction.read(spark, dir).filter($"id".isNull)
+      .select($"payload").as[String].collect()
+    assert(nulls.toSeq == Seq("n1"), "null key must upsert as ONE group")
+    assert(Compaction.lookup(spark, dir, null).count() == 0L,
+      "equality lookup on null matches nothing (SQL semantics)")
+    // a tombstone removes the null group
+    Compaction.merge(spark, dir,
+      Seq((Option.empty[Long], "", 2L, true))
+        .toDF("id", "payload", "version", "deleted"))
+    assert(Compaction.read(spark, dir).filter($"id".isNull).count() == 0L)
+  }
+
   test("rebucket preserves state, stats, lookups and feed numbering") {
     val dir = freshTable(100)
     Compaction.merge(spark, dir,
