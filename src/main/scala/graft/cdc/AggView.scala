@@ -106,6 +106,24 @@ object AggView {
   def read(spark: SparkSession, dir: String): DataFrame =
     storedData(spark, dir, snap(spark, dir))
 
+  /** One key's aggregate row (the dashboard point read) from the
+    * single bucket directory that can hold it — O(1 bucket) on a view
+    * of any size, same mechanics as [[Compaction.lookup]].
+    */
+  def lookup(spark: SparkSession, dir: String, keyValue: Any): DataFrame = {
+    val s = snap(spark, dir)
+    val (key, nBuckets) = (s.props("key"), s.props("n_buckets").toInt)
+    val bucket = Bucketing.bucketOfValue(keyValue, nBuckets)
+    val paths = s.buckets.get(bucket).toSeq
+      .map(rel => s"$dir/data/$rel")
+    val schema = schemaOf(s)
+    val base = if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+    base.filter(col(key) === lit(keyValue))
+  }
+
   /** Resize the view's bucket count in ONE committed full rewrite —
     * same contract as [[Compaction.rebucket]]: the batch-id fence and
     * version lineage carry, readers never see an intermediate state,

@@ -12,4 +12,16 @@ import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
 private[cdc] object Bucketing {
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+
+  /** The bucket a literal key hashes into, folded DRIVER-side through
+    * the same Catalyst `xxhash64` expression [[bucketOf]] partitions
+    * by — point lookups pay zero Spark jobs for the constant.
+    */
+  def bucketOfValue(v: Any, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    Cast(Pmod(new XxHash64(Seq(Literal(v))),
+      Literal(nBuckets.toLong, LongType)), IntegerType)
+      .eval().asInstanceOf[Int]
+  }
 }

@@ -257,18 +257,8 @@ object Compaction {
       .filter(col(m.key) === lit(keyValue))
   }
 
-  /** The bucket a literal key hashes into, folded DRIVER-side through
-    * the same Catalyst `xxhash64` expression the writers partition by
-    * (the old 1-row `spark.range` probe paid a whole Spark job for
-    * this constant).
-    */
-  private def bucketOfValue(v: Any, nBuckets: Int): Int = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    Cast(Pmod(new XxHash64(Seq(Literal(v))),
-      Literal(nBuckets.toLong, LongType)), IntegerType)
-      .eval().asInstanceOf[Int]
-  }
+  private def bucketOfValue(v: Any, nBuckets: Int): Int =
+    Bucketing.bucketOfValue(v, nBuckets)
 
   /** Multi-key point lookup: ONE pruned scan over the distinct buckets
     * the keys hash into (≤ |keys| directories regardless of table

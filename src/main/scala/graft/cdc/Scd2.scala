@@ -151,6 +151,20 @@ object Scd2 {
     (m.key, m.versionCol, m.deleteCol, m.nBuckets)
   }
 
+  /** One key's FULL history (all its validity intervals, tombstones
+    * included) from the single bucket directory that can hold it —
+    * the audit query "show me everything this key ever was", O(1
+    * bucket) on a history of any size (same mechanics as
+    * [[Compaction.lookup]]).
+    */
+  def lookup(spark: SparkSession, dir: String, keyValue: Any): DataFrame = {
+    val m = loadMeta(spark, dir)
+    val bucket = Bucketing.bucketOfValue(keyValue, m.nBuckets)
+    readBuckets(spark, dir, m, m.buckets.get(bucket).toSeq)
+      .drop("bucket")
+      .filter(col(m.key) === lit(keyValue))
+  }
+
   /** The pruned slice a merge of `touched` buckets reads — factored out
     * so Scd2Spec can assert the scan opens only touched buckets' files.
     */

@@ -42,6 +42,20 @@ class AggViewSpec extends SparkSpec {
     assert(state(dir) == recompute(b0 ++ b1 ++ b2))
   }
 
+  test("point lookup opens one bucket of the view") {
+    val dir = tmpDir("aggview-lookup") + "/v"
+    AggView.init(mk((1L to 40L).map(i => (i % 10, i.toDouble))),
+      dir, "k", "v", nBuckets = 8)
+    val hit = AggView.lookup(spark, dir, 3L)
+    val got = hit.select(col("cnt"), col("total").cast("double"))
+      .as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((4L, 72.0)), s"got ${got.toSeq}")
+    val dirs = hit.inputFiles.map(f => { val p = new java.net.URI(f).getPath
+      p.substring(0, p.lastIndexOf('/')) }).distinct
+    assert(dirs.length == 1, s"view lookup must open one bucket: $dirs")
+    assert(AggView.lookup(spark, dir, 9999L).count() == 0L)
+  }
+
   test("batch-id fence: replayed and stale ids are no-ops") {
     val dir = tmpDir("aggfence")
     AggView.init(mk(Seq((1L, 1.0))), dir, "k", "v", nBuckets = 4)

@@ -139,6 +139,22 @@ class Scd2Spec extends SparkSpec {
       s"history watermark opened un-pruned dirs: $opened vs $touchedDirs")
   }
 
+  test("point history lookup opens one bucket and returns every interval") {
+    val dir = fresh(100)
+    Scd2.merge(spark, dir, changelog(Seq((7L, "v1-7", 1L, false))))
+    Scd2.merge(spark, dir, changelog(Seq((7L, "", 2L, true))))
+    val hist = Scd2.lookup(spark, dir, 7L)
+    val rows = hist.select($"payload", $"valid_to", $"is_current")
+      .as[(String, Option[Long], Boolean)].collect().toSet
+    assert(rows == Set(("v0-7", Some(1L), false),
+      ("v1-7", Some(2L), false), ("", None, false)),
+      s"full history incl. the tombstone must come back: $rows")
+    val dirs = hist.inputFiles.map(f => { val p = new java.net.URI(f).getPath
+      p.substring(0, p.lastIndexOf('/')) }).distinct
+    assert(dirs.length == 1, s"history lookup must open one bucket: $dirs")
+    assert(Scd2.lookup(spark, dir, 9999L).count() == 0L)
+  }
+
   test("rebucket preserves history, counts, and current-state reads") {
     val dir = fresh(60)
     Scd2.merge(spark, dir, changelog(Seq((7L, "v1-7", 1L, false))))
