@@ -133,10 +133,29 @@ private[graft] object TxLog {
       .map(k => k -> props.getProperty(k)).toMap
   }
 
-  /** The latest committed state, or None for an uninitialized dir. */
-  def latest(spark: SparkSession, dir: String): Option[Snapshot] =
-    latestVersion(spark, dir).map(v =>
-      Snapshot(v, load(fs(spark, dir), manifestPath(dir, v))))
+  /** The latest committed state, or None for an uninitialized dir.
+    *
+    * List-then-read is inherently racy against a concurrent writer's
+    * vacuum: the manifest we listed as latest can be deleted before we
+    * open it — but ONLY because a newer version committed (vacuum
+    * never deletes its own latest), so on FileNotFound we re-list and
+    * read the newer one. Bounded, and each retry strictly advances.
+    */
+  def latest(spark: SparkSession, dir: String): Option[Snapshot] = {
+    var attempts = 0
+    while (true) {
+      latestVersion(spark, dir) match {
+        case None => return None
+        case Some(v) =>
+          try return Some(Snapshot(v, load(fs(spark, dir), manifestPath(dir, v))))
+          catch {
+            case _: java.io.FileNotFoundException if attempts < 20 =>
+              attempts += 1
+          }
+      }
+    }
+    sys.error("unreachable")
+  }
 
   /** A specific committed version; throws (naming the oldest still on
     * disk) when it was vacuumed or never existed.
@@ -237,7 +256,10 @@ private[graft] object TxLog {
     if (!f.exists(dataRoot)) return
     val latestV = latestVersion(spark, dir).getOrElse(-1L)
     val referenced: Set[String] = versionsOnDisk(spark, dir).flatMap { v =>
-      Snapshot(v, load(f, manifestPath(dir, v))).buckets.values
+      // a concurrent vacuum may delete an old manifest between the
+      // listing and this read; a gone manifest references nothing
+      try Snapshot(v, load(f, manifestPath(dir, v))).buckets.values
+      catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet
     f.listStatus(dataRoot).foreach { gen =>
       val name = gen.getPath.getName
