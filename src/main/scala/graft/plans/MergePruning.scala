@@ -237,6 +237,17 @@ object MergePruning extends Rule[LogicalPlan] {
           Some(zonePass(b =>
             minHolds(a, l, LessThanOrEqual)(b) &&
               maxHolds(a, l, GreaterThanOrEqual)(b)))
+        // version IN (…): a bucket survives if ANY literal falls in
+        // its [min, max] envelope
+        case In(a: AttributeReference, vs)
+            if isVersion(a) && vs.nonEmpty && vs.forall {
+              case l: Literal => l.value != null && l.dataType == a.dataType
+              case _ => false
+            } =>
+          Some(zonePass(b => vs.exists { case l: Literal =>
+            minHolds(a, l, LessThanOrEqual)(b) &&
+              maxHolds(a, l, GreaterThanOrEqual)(b)
+          }))
         case _ => None
       }
 

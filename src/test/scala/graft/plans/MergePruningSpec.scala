@@ -162,6 +162,25 @@ class MergePruningSpec extends SparkSpec {
     assert(scanDirs(df).subsetOf(stats2.touchedBuckets.map(live).toSet))
   }
 
+  test("version IN-list keeps buckets whose envelope holds any literal") {
+    val dir = freshTable()
+    val s1 = Compaction.merge(spark, dir,
+      Seq((7L, "v5-7", 5L, false)).toDF("id", "payload", "version", "deleted"))
+    val s2 = Compaction.merge(spark, dir,
+      Seq((8L, "v9-8", 9L, false)).toDF("id", "payload", "version", "deleted"))
+    view(dir, "mp_vin")
+    val df = spark.sql(
+      "SELECT id FROM mp_vin WHERE version IN (5, 9) ORDER BY id")
+    assert(df.as[Long].collect().toSeq == Seq(7L, 8L))
+    val live = Compaction.livePaths(spark, dir)
+    // only buckets a later-versioned merge touched can hold 5 or 9
+    val touchedDirs = (s1.touchedBuckets ++ s2.touchedBuckets)
+      .map(live).toSet
+    assert(scanDirs(df).nonEmpty && scanDirs(df).subsetOf(touchedDirs),
+      s"version IN probe opened un-pruned dirs: ${scanDirs(df)}")
+    assert(scanDirs(df).size < live.size)
+  }
+
   test("non-key predicates leave the scan unpruned (sound no-op)") {
     val dir = freshTable()
     view(dir, "mp_noop")
