@@ -150,8 +150,10 @@ object AggView {
         staged.map(b => b -> txn.bucketRel(b)).toMap,
         coreProps(key, valueCol, newNBuckets,
           s.props("last_batch_id").toLong, s.props("schema_json")))
-      txn.cleanup()
-      if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+      TxLog.hygiene {
+        txn.cleanup()
+        if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+      }
     }
   }
 
@@ -295,8 +297,7 @@ object AggView {
     txn.installAndCommit(newBuckets,
       coreProps(key, valueCol, nBuckets, batchId,
         s.props("schema_json")))
-    txn.cleanup()
-    TxLog.vacuum(spark, dir, txn.newVersion)
+    TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(applied = true, touched)
   }
 }

@@ -359,8 +359,10 @@ object Compaction {
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)
       txn.installAndCommit(
         staged.map(b => b -> txn.bucketRel(b)).toMap, props)
-      txn.cleanup()
-      if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+      TxLog.hygiene {
+        txn.cleanup()
+        if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+      }
     }
   }
 
@@ -721,11 +723,15 @@ object Compaction {
         new Path(s"$dir/feed/batch=$n")),
         s"feed publish rename failed for batch $n")
     }
-    txn.cleanup()
     // retention: a non-retaining merge keeps only the new version —
     // older manifests go, and the sweep reclaims every directory they
-    // alone referenced (the touched buckets' pre-images)
-    if (!retainHistory) TxLog.vacuum(spark, dir, newVersion)
+    // alone referenced (the touched buckets' pre-images). Hygiene
+    // only: the merge is COMMITTED, a failure here must not convert
+    // it into a spurious retry
+    TxLog.hygiene {
+      txn.cleanup()
+      if (!retainHistory) TxLog.vacuum(spark, dir, newVersion)
+    }
 
     MergeStats(touched, emptied, rows, feedRows)
   }

@@ -206,8 +206,10 @@ object Scd2 {
           m.schema.json) ++
           Compaction.rowProps(Compaction.stagedStats(
             spark, txn.staging, staged, m.versionCol)))
-      txn.cleanup()
-      if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+      TxLog.hygiene {
+        txn.cleanup()
+        if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+      }
     }
   }
 
@@ -353,8 +355,7 @@ object Scd2 {
     txn.installAndCommit(newBuckets,
       coreProps(key, versionCol, deleteCol, nBuckets, schemaJson) ++
         carried ++ Compaction.rowProps(newStats))
-    txn.cleanup()
-    TxLog.vacuum(spark, dir, txn.newVersion)
+    TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(touched, rows)
   }
 }

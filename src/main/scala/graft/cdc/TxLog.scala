@@ -84,6 +84,17 @@ private[graft] object TxLog {
     sys.error("unreachable")
   }
 
+  /** Post-commit storage hygiene (own-staging cleanup, retention
+    * vacuum) must never fail an ALREADY-COMMITTED write: the table
+    * state is published, the hygiene is redone by any later writer's
+    * sweep, and propagating a transient failure here would make the
+    * caller retry — and report — a merge that in fact applied
+    * (observed as a raced AggView batch applying exactly once but
+    * BOTH writers reporting applied=false).
+    */
+  private[cdc] def hygiene(work: => Unit): Unit =
+    try work catch { case scala.util.control.NonFatal(_) => () }
+
   /** One committed table state. `props` carries the table metadata;
     * bucket contents live under `bucket.<id>` keys as paths relative
     * to `<dir>/data`.
@@ -273,8 +284,17 @@ private[graft] object TxLog {
             require(f.delete(gen.getPath, true) || !f.exists(gen.getPath),
               s"sweep failed: ${gen.getPath}")
         } else {
+          // a CAS loser deletes its own at-or-below-latest install
+          // concurrently with this sweep: a generation vanishing
+          // between the root listing and here is already-done work
+          val children =
+            try f.listStatus(gen.getPath)
+            catch {
+              case _: java.io.FileNotFoundException =>
+                Array.empty[org.apache.hadoop.fs.FileStatus]
+            }
           var remaining = false
-          f.listStatus(gen.getPath).foreach { b =>
+          children.foreach { b =>
             val rel = s"$name/${b.getPath.getName}"
             if (!referenced.contains(rel))
               require(f.delete(b.getPath, true) || !f.exists(b.getPath),
