@@ -716,12 +716,33 @@ object Compaction {
     txn.installAndCommit(newBuckets, props)
 
     // publish the feed batch only now that the table state it
-    // describes is committed (see scaladoc for the residual window)
+    // describes is committed (see scaladoc for the residual window).
+    // A failure here must NOT re-enter the OCC loop: the version just
+    // moved — by our own commit — so a generic retry would re-run the
+    // whole already-applied merge, derive a zero-effect delta, and
+    // silently drop this batch's real change events. Retry the rename
+    // alone; if it still fails, surface the distinct non-retryable
+    // error so the caller knows the table committed but the feed
+    // batch did not publish.
     feedBatch.foreach { n =>
-      fs.mkdirs(new Path(s"$dir/feed"))
-      require(fs.rename(new Path(s"$staging/feed"),
-        new Path(s"$dir/feed/batch=$n")),
-        s"feed publish rename failed for batch $n")
+      val src = new Path(s"$staging/feed")
+      val dst = new Path(s"$dir/feed/batch=$n")
+      var lastErr: Throwable = null
+      val published = (1 to 3).exists { _ =>
+        try {
+          fs.mkdirs(new Path(s"$dir/feed"))
+          // batch ids are writer-unique post-commit (the committed
+          // counter reserved n), so dst existing means OUR earlier
+          // attempt succeeded but reported failure
+          fs.rename(src, dst) || fs.exists(dst)
+        } catch {
+          case scala.util.control.NonFatal(e) => lastErr = e; false
+        }
+      }
+      if (!published)
+        throw new TxLog.PostCommitPublishFailure(
+          s"table committed at v$newVersion but feed batch $n failed to publish",
+          lastErr)
     }
     // retention: a non-retaining merge keeps only the new version —
     // older manifests go, and the sweep reclaims every directory they

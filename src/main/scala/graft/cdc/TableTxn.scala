@@ -61,6 +61,18 @@ private[cdc] final class TableTxn(spark: SparkSession, dir: String,
       val dst = new Path(s"$dir/data/$genName")
       require(fs.rename(stagedData, dst),
         s"install rename failed: $stagedData -> $dst")
+      // the rename PRESERVES the staging dir's mtime, which dates from
+      // the START of the staging write — a staging phase longer than
+      // the orphan grace would make this just-installed (live!)
+      // generation immediately sweep-eligible in the install-to-commit
+      // window. Re-stamp both the generation and the surviving staging
+      // dir (it still holds the un-published feed batch) to NOW so the
+      // grace clock measures from install, not from staging start.
+      TxLog.hygiene {
+        val now = System.currentTimeMillis()
+        fs.setTimes(dst, now, -1)
+        fs.setTimes(new Path(staging), now, -1)
+      }
     }
     try TxLog.commit(spark, dir, newVersion,
       props ++ TxLog.bucketProps(newBuckets))

@@ -41,6 +41,19 @@ private[graft] object TxLog {
     */
   final class CommitConflict(msg: String) extends IllegalStateException(msg)
 
+  /** Thrown when the table state COMMITTED but a post-commit publish
+    * step (e.g. the change-feed batch rename) failed after bounded
+    * local retries. Deliberately NOT retryable by [[withOcc]]: the
+    * version already advanced — by us — so a generic retry would
+    * re-run the whole merge against its own committed output, produce
+    * a zero-effect delta, and silently drop the real change events
+    * (the divergence the round-5 advice flagged). Callers must treat
+    * this as "table advanced, downstream batch missing" and repair
+    * the publish alone.
+    */
+  final class PostCommitPublishFailure(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+
   /** How long an UNREFERENCED generation directory numbered above the
     * latest committed version — which is either a crashed writer's
     * orphan or a LIVE concurrent writer's in-flight install — survives
@@ -75,6 +88,9 @@ private[graft] object TxLog {
       val seen = latestVersion(spark, dir).getOrElse(-1L)
       try return body
       catch {
+        // the table committed; only the downstream publish failed —
+        // retrying the body would re-run an already-applied merge
+        case e: PostCommitPublishFailure => throw e
         case _: CommitConflict if attempt < maxAttempts => attempt += 1
         case scala.util.control.NonFatal(_) if attempt < maxAttempts &&
             latestVersion(spark, dir).getOrElse(-1L) != seen =>
@@ -115,6 +131,34 @@ private[graft] object TxLog {
 
   private def manifestPath(dir: String, v: Long) =
     new Path(manifestDir(dir), f"v$v%020d.properties")
+
+  /** Zero-byte vacuum tombstone: [[vacuum]] writes one for the HIGHEST
+    * version it is about to delete, BEFORE deleting any manifest, so
+    * "manifest for v is gone" always implies "a tombstone ≥ v exists".
+    * This keeps the commit CAS monotonic: without it, a slow writer
+    * whose target slot was committed by a rival and then vacuumed
+    * could rename its manifest into the vacated slot and "succeed"
+    * while its data is absent from the live lineage (silent lost
+    * update + forked time travel). [[commit]] refuses any version at
+    * or below the highest tombstone. Tombstones are metadata-sized
+    * (at most one survives — vacuum drops superseded ones) and are
+    * invisible to [[versionsOnDisk]] (extension filter).
+    */
+  private def tombstonePath(dir: String, v: Long) =
+    new Path(manifestDir(dir), f"t$v%020d.vacuumed")
+
+  /** Highest version ever vacuumed away, or -1. Commits at or below
+    * this are fenced off permanently.
+    */
+  private[cdc] def highestVacuumed(spark: SparkSession, dir: String): Long = {
+    val d = manifestDir(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(d)) -1L
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("t") && n.endsWith(".vacuumed") =>
+        n.stripPrefix("t").stripSuffix(".vacuumed").toLong
+      }.foldLeft(-1L)(math.max)
+  }
 
   def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
@@ -197,6 +241,11 @@ private[graft] object TxLog {
       props: Map[String, String]): Snapshot = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
+    // vacuum fence fast path: the slot was committed once and vacuumed
+    // — renaming into it would fork history (see tombstonePath)
+    if (v <= highestVacuumed(spark, dir))
+      throw new CommitConflict(
+        s"commit of version $v refused: the slot was committed and vacuumed")
     val tmp = new Path(manifestDir(dir),
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val p = new java.util.Properties()
@@ -230,6 +279,18 @@ private[graft] object TxLog {
       f.delete(tmp, false)
       throw new CommitConflict(
         s"commit of version $v lost the race (or rename failed): $dst")
+    }
+    // post-rename fence re-check, closing the TOCTOU against a racing
+    // vacuum: the tombstone is written BEFORE any manifest delete, so
+    // if our rename only succeeded because the slot was vacated, the
+    // tombstone is necessarily visible now. Self-abort is safe: a
+    // tombstone ≥ v implies a committed version > v exists (vacuum
+    // never deletes the latest), so no reader can have resolved our
+    // deleted manifest as the table's latest.
+    if (v <= highestVacuumed(spark, dir)) {
+      f.delete(dst, false)
+      throw new CommitConflict(
+        s"commit of version $v landed in a vacuumed slot; self-aborted")
     }
     Snapshot(v, props)
   }
@@ -314,13 +375,29 @@ private[graft] object TxLog {
   def vacuum(spark: SparkSession, dir: String, keepFromVersion: Long): Unit = {
     val f = fs(spark, dir)
     val vs = versionsOnDisk(spark, dir)
-    vs.filter(v => v < keepFromVersion && v != vs.last).foreach { v =>
-      val p = manifestPath(dir, v)
-      // a concurrent vacuum (two CAS writers cleaning up after their
-      // own commits) may have deleted it first — already-gone is fine,
-      // only a delete that LEAVES the file behind is an error
-      require(f.delete(p, false) || !f.exists(p),
-        s"vacuum failed to delete manifest v$v")
+    val drop = vs.filter(v => v < keepFromVersion && v != vs.last)
+    if (drop.nonEmpty) {
+      // fence FIRST: tombstone the highest version this vacuum will
+      // delete before deleting anything, so a slow writer can never
+      // commit into a slot we vacated (see tombstonePath). Overwrite-
+      // create: racing vacuums writing the same zero-byte marker are
+      // idempotent.
+      val prior = highestVacuumed(spark, dir)
+      f.create(tombstonePath(dir, drop.max), true).close()
+      drop.foreach { v =>
+        val p = manifestPath(dir, v)
+        // a concurrent vacuum (two CAS writers cleaning up after their
+        // own commits) may have deleted it first — already-gone is
+        // fine, only a delete that LEAVES the file behind is an error
+        require(f.delete(p, false) || !f.exists(p),
+          s"vacuum failed to delete manifest v$v")
+      }
+      // superseded tombstones are redundant (the fence is the max);
+      // dropping them is hygiene, the new one must stay
+      hygiene {
+        if (prior >= 0 && prior < drop.max)
+          f.delete(tombstonePath(dir, prior), false)
+      }
     }
     sweep(spark, dir)
   }
