@@ -120,6 +120,16 @@ private[graft] object TxLog {
       props.collect { case (k, v) if k.startsWith("bucket.") =>
         k.drop("bucket.".length).toInt -> v
       }
+    /** Merge-on-read delta directories per bucket, in commit order
+      * (`delta.<b>` = comma-joined manifest-relative paths). Base and
+      * delta dirs together are a bucket's live contents; readers fold
+      * them (see [[Compaction]] merge-on-read).
+      */
+    def deltas: Map[Int, Seq[String]] =
+      props.collect { case (k, v) if k.startsWith("delta.") =>
+        k.drop("delta.".length).toInt ->
+          v.split(",").toSeq.filter(_.nonEmpty)
+      }
     def prop(k: String): Option[String] = props.get(k)
     def counter(name: String): Long = props.get(name).map(_.toLong).getOrElse(0L)
   }
@@ -330,8 +340,10 @@ private[graft] object TxLog {
     val referenced: Set[String] = versionsOnDisk(spark, dir).flatMap { v =>
       // a concurrent vacuum may delete an old manifest between the
       // listing and this read; a gone manifest references nothing
-      try Snapshot(v, load(f, manifestPath(dir, v))).buckets.values
-      catch { case _: java.io.FileNotFoundException => Nil }
+      try {
+        val s = Snapshot(v, load(f, manifestPath(dir, v)))
+        s.buckets.values ++ s.deltas.values.flatten
+      } catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet
     f.listStatus(dataRoot).foreach { gen =>
       val name = gen.getPath.getName

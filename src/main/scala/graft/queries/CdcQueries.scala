@@ -462,6 +462,87 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // merge-on-read: two scattered delta merges land as O(changes)
+    // delta files (base buckets never rewritten — MergeOnReadSpec
+    // asserts byte-identity); the READ folds base + deltas with the
+    // same latest-wins rule, so the oracle is the identical relational
+    // recompute over the union of all three inputs. This is the
+    // write-amplification answer for the reference's own dominant
+    // workload shape (frequent small incremental batches,
+    // /root/reference/app/services/exports.py:115-125) at 100 TB.
+    "cdc_merge_mor" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val b1 = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val b2 = ord.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(3).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(2L).as("version"),
+          (col("o_orderkey") % 11 === 0).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-merge-mor-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, b1, mergeOnRead = true)
+      graft.cdc.Compaction.merge(s, tableDir, b2, mergeOnRead = true)
+      graft.cdc.Compaction.read(s, tableDir)
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(dec18(col("price"))).cast("double").as("total"),
+          sum(col("id") * col("version")).as("checksum"))
+    }),
+
+    // the same two delta merges, then compact() folds them into a
+    // fresh base BEFORE the read — identical oracle, so a green row
+    // proves lazy compaction preserves every winner/tombstone decision
+    // while restoring the zero-reconciliation read path
+    "cdc_mor_compact" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val b1 = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val b2 = ord.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(3).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(2L).as("version"),
+          (col("o_orderkey") % 11 === 0).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-mor-compact-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, b1, mergeOnRead = true)
+      graft.cdc.Compaction.merge(s, tableDir, b2, mergeOnRead = true)
+      graft.cdc.Compaction.compact(s, tableDir)
+      graft.cdc.Compaction.read(s, tableDir)
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(dec18(col("price"))).cast("double").as("total"),
+          sum(col("id") * col("version")).as("checksum"))
+    }),
+
     // bucket-count resize: the same merge as cdc_merge_upsert, then a
     // rebucket 16 → 64 BEFORE the read — the oracle is the identical
     // relational recompute, so a green row proves the layout change
@@ -1087,6 +1168,58 @@ object CdcQueries {
         |  FROM unioned)
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // merge-on-read folds base + deltas to the same latest-wins state
+    // a relational recompute over the unioned inputs produces; the
+    // checksum pins per-row identity (id × winning version)
+    "cdc_merge_mor" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 3.00::DECIMAL(18,2) AS DOUBLE),
+        |    2 AS version, (o_orderkey % 11 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |latest AS (
+        |  SELECT id, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  CAST(SUM(id * version) AS BIGINT) AS checksum
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // compact changes layout, never content: identical oracle
+    "cdc_mor_compact" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 3.00::DECIMAL(18,2) AS DOUBLE),
+        |    2 AS version, (o_orderkey % 11 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |latest AS (
+        |  SELECT id, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  CAST(SUM(id * version) AS BIGINT) AS checksum
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     // rebucket changes layout, never content: same recompute as the
