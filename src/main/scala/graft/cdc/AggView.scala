@@ -31,48 +31,60 @@ object AggView {
 
   final case class MergeStats(applied: Boolean, touchedBuckets: Seq[Int])
 
-  private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
-    Bucketing.bucketOf(key, nBuckets)
+  private def bucketOf(keys: Seq[org.apache.spark.sql.Column], nBuckets: Int) =
+    Bucketing.bucketOf(keys, nBuckets)
+
+  private def keysOf(s: TxLog.Snapshot): Seq[String] =
+    Bucketing.decodeKeys(s.props("key"))
 
   // totals pinned to DECIMAL(28,2): sum() widens decimal precision per
   // aggregation, and a per-merge widening would drift the stored
   // schema across buckets
-  private def partials(df: DataFrame, key: String, valueCol: String) =
-    df.groupBy(col(key))
+  private def partials(df: DataFrame, keys: Seq[String], valueCol: String) =
+    df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         sum(col(valueCol).cast("decimal(18,2)"))
           .cast("decimal(28,2)").as("total"))
 
-  private def coreProps(key: String, valueCol: String, nBuckets: Int,
+  private def coreProps(keys: Seq[String], valueCol: String, nBuckets: Int,
       lastBatchId: Long, schemaJson: String): Map[String, String] = Map(
-    "key" -> key, "value_col" -> valueCol,
+    "key" -> Bucketing.encodeKeys(keys), "value_col" -> valueCol,
     "n_buckets" -> nBuckets.toString,
     "last_batch_id" -> lastBatchId.toString,
     "schema_json" -> schemaJson)
 
   def init(df: DataFrame, dir: String, key: String, valueCol: String,
-      nBuckets: Int = 256, batchId: Long = -1L): Unit = {
+      nBuckets: Int = 256, batchId: Long = -1L): Unit =
+    init(df, dir, Seq(key), valueCol, nBuckets, batchId)
+
+  /** Composite-key form (e.g. per `(tenant_id, event_type)` totals):
+    * one aggregate row per key TUPLE; see [[Compaction.init]].
+    */
+  def init(df: DataFrame, dir: String, keys: Seq[String], valueCol: String,
+      nBuckets: Int, batchId: Long): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0)
+    Bucketing.encodeKeys(keys)
     // the state columns are generated here; a key by these names
     // would be silently clobbered
-    require(!Set("cnt", "total", "bucket").contains(key.toLowerCase),
-      s"key column '$key' collides with the view's state columns")
+    keys.foreach(key =>
+      require(!Set("cnt", "total", "bucket").contains(key.toLowerCase),
+        s"key column '$key' collides with the view's state columns"))
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", ".staging", "meta")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
-    val state = partials(df, key, valueCol)
-      .withColumn("bucket", bucketOf(col(key), nBuckets))
+    val state = partials(df, keys, valueCol)
+      .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
     state
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
+      .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"${txn.staging}/data")
     val staged = txn.stagedBucketIds()
     txn.installAndCommit(
       staged.map(b => b -> txn.bucketRel(b)).toMap,
-      coreProps(key, valueCol, nBuckets, batchId,
+      coreProps(keys, valueCol, nBuckets, batchId,
         state.drop("bucket").schema.json))
     txn.cleanup()
   }
@@ -112,8 +124,14 @@ object AggView {
     */
   def lookup(spark: SparkSession, dir: String, keyValue: Any): DataFrame = {
     val s = snap(spark, dir)
-    val (key, nBuckets) = (s.props("key"), s.props("n_buckets").toInt)
-    val bucket = Bucketing.bucketOfValue(keyValue, nBuckets)
+    val (keys, nBuckets) = (keysOf(s), s.props("n_buckets").toInt)
+    val vals = keyValue match {
+      case sq: Seq[_] => sq.toSeq
+      case v => Seq(v)
+    }
+    require(vals.size == keys.size,
+      s"key tuple arity ${vals.size} != view key (${keys.mkString(", ")})")
+    val bucket = Bucketing.bucketOfValues(vals, nBuckets)
     val paths = s.buckets.get(bucket).toSeq
       .map(rel => s"$dir/data/$rel")
     val schema = schemaOf(s)
@@ -121,7 +139,8 @@ object AggView {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(paths: _*)
-    base.filter(col(key) === lit(keyValue))
+    base.filter(keys.zip(vals).map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _))
   }
 
   /** Resize the view's bucket count in ONE committed full rewrite —
@@ -135,20 +154,20 @@ object AggView {
     require(newNBuckets > 0, "nBuckets must be positive")
     TxLog.withOcc(spark, dir) {
       val s = snap(spark, dir)
-      val (key, valueCol) = (s.props("key"), s.props("value_col"))
+      val (keys, valueCol) = (keysOf(s), s.props("value_col"))
       if (s.props("n_buckets").toInt == newNBuckets) return
       TxLog.sweep(spark, dir)
       val txn = new TableTxn(spark, dir, s.version)
       storedData(spark, dir, s)
-        .withColumn("bucket", bucketOf(col(key), newNBuckets))
+        .withColumn("bucket", bucketOf(keys.map(col), newNBuckets))
         .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col(key))
+        .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"${txn.staging}/data")
       val staged = txn.stagedBucketIds()
       txn.installAndCommit(
         staged.map(b => b -> txn.bucketRel(b)).toMap,
-        coreProps(key, valueCol, newNBuckets,
+        coreProps(keys, valueCol, newNBuckets,
           s.props("last_batch_id").toLong, s.props("schema_json")))
       TxLog.hygiene {
         txn.cleanup()
@@ -168,7 +187,7 @@ object AggView {
     if (batchId <= s.props("last_batch_id").toLong)
       return MergeStats(applied = false, Nil)
     mergeDeltas(spark, dir,
-      partials(batch, s.props("key"), s.props("value_col")),
+      partials(batch, keysOf(s), s.props("value_col")),
       batchId, canRetract = false)
   }
 
@@ -190,12 +209,12 @@ object AggView {
     val s = snap(spark, dir)
     if (batchId <= s.props("last_batch_id").toLong)
       return MergeStats(applied = false, Nil)
-    val (key, valueCol) = (s.props("key"), s.props("value_col"))
+    val (keys, valueCol) = (keysOf(s), s.props("value_col"))
     val sign = when(
         col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
       .otherwise(0L)
-    val signed = feed.groupBy(col(key))
+    val signed = feed.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("cnt"),
         sum(col(valueCol).cast("decimal(18,2)") * sign)
           .cast("decimal(28,2)").as("total"))
@@ -231,7 +250,7 @@ object AggView {
     val s0 = snap(spark, dir)
     val nBuckets0 = s0.props("n_buckets").toInt
     val delta = deltaPartials
-      .withColumn("bucket", bucketOf(col(s0.props("key")), nBuckets0))
+      .withColumn("bucket", bucketOf(keysOf(s0).map(col), nBuckets0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = delta.select(col("bucket")).distinct()
@@ -251,8 +270,8 @@ object AggView {
       throw new Compaction.RebucketedDuringWrite
     if (batchId <= s.props("last_batch_id").toLong)
       return MergeStats(applied = false, Nil)
-    val (key, valueCol, nBuckets) =
-      (s.props("key"), s.props("value_col"), s.props("n_buckets").toInt)
+    val (keys, valueCol, nBuckets) =
+      (keysOf(s), s.props("value_col"), s.props("n_buckets").toInt)
     val txn = new TableTxn(spark, dir, s.version)
     var newBuckets = s.buckets
     if (touched.nonEmpty) {
@@ -268,19 +287,19 @@ object AggView {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else spark.read.schema(schema).parquet(touchedPaths: _*)
       val merged = stored
-        .withColumn("bucket", bucketOf(col(key), nBuckets))
+        .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
         .unionByName(delta)
-        .groupBy(col("bucket"), col(key))
+        .groupBy(col("bucket") +: keys.map(col): _*)
         .agg(sum(col("cnt")).as("cnt"),
           sum(col("total")).cast("decimal(28,2)").as("total"))
         // a fully-retracted key (merged count 0) leaves the view;
         // additive-only deltas can't reach 0, so the plain merge path
         // skips the filter
         .filter(!lit(canRetract) || col("cnt") =!= 0)
-        .select(col(key), col("cnt"), col("total"), col("bucket"))
+        .select(keys.map(col) ++ Seq(col("cnt"), col("total"), col("bucket")): _*)
       merged
         .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col(key))
+        .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"${txn.staging}/data")
       // a retraction can empty a touched bucket entirely: it staged no
@@ -295,7 +314,7 @@ object AggView {
     // fence — the atomic data+meta write (a no-data batch still
     // commits a manifest: the fence must advance exactly-once too)
     txn.installAndCommit(newBuckets,
-      coreProps(key, valueCol, nBuckets, batchId,
+      coreProps(keys, valueCol, nBuckets, batchId,
         s.props("schema_json")))
     TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(applied = true, touched)

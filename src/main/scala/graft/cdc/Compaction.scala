@@ -60,8 +60,8 @@ object Compaction {
       rowsWritten: Long,
       feedRows: Long = 0L)
 
-  private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
-    Bucketing.bucketOf(key, nBuckets)
+  private def bucketOf(keys: Seq[org.apache.spark.sql.Column], nBuckets: Int) =
+    Bucketing.bucketOf(keys, nBuckets)
 
   /** Column names the operator generates internally; user data
     * carrying one would be silently replaced or dropped, so init
@@ -85,28 +85,41 @@ object Compaction {
     */
   def init(df: DataFrame, dir: String, key: String,
       versionCol: String, deleteCol: String,
-      nBuckets: Int = 256): Unit = {
+      nBuckets: Int = 256): Unit =
+    init(df, dir, Seq(key), versionCol, deleteCol, nBuckets)
+
+  /** Composite-key form: the table is bucketed on the hash of the key
+    * TUPLE (e.g. `(tenant_id, id)`) and every merge / lookup / window
+    * reconciles per tuple. The one-column overload is the one-element
+    * case of the same code path.
+    */
+  def init(df: DataFrame, dir: String, keys: Seq[String],
+      versionCol: String, deleteCol: String,
+      nBuckets: Int): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
     requireNoReserved(df.columns.toSeq, "table schema")
+    Bucketing.encodeKeys(keys)
+    keys.foreach(k => require(df.columns.contains(k),
+      s"key column '$k' missing from the snapshot schema"))
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", "feed", ".staging", "meta", "_history")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
     df.filter(!col(deleteCol))
-      .withColumn("bucket", bucketOf(col(key), nBuckets))
+      .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
       // hash-partition on bucket + in-partition (bucket, key) sort:
       // one writer task per bucket, deterministic file content, and
       // no per-write range-sampling job (measured on the merge-family
       // bench queries — three writes each paid a sampling pass)
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
+      .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"${txn.staging}/data")
     val staged = txn.stagedBucketIds()
     txn.installAndCommit(
       newBuckets = staged.map(b => b -> txn.bucketRel(b)).toMap,
-      props = coreProps(key, versionCol, deleteCol, nBuckets,
+      props = coreProps(keys, versionCol, deleteCol, nBuckets,
         df.schema.json) ++
         rowProps(stagedStats(spark, txn.staging, staged, versionCol)))
     txn.cleanup()
@@ -187,9 +200,10 @@ object Compaction {
         k.drop("rows.".length).toInt -> v.toLong
     }.toSeq.sortBy(_._1)
 
-  private def coreProps(key: String, versionCol: String, deleteCol: String,
+  private def coreProps(keys: Seq[String], versionCol: String,
+      deleteCol: String,
       nBuckets: Int, schemaJson: String): Map[String, String] = Map(
-    "key" -> key, "version_col" -> versionCol,
+    "key" -> Bucketing.encodeKeys(keys), "version_col" -> versionCol,
     "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
     "schema_json" -> schemaJson)
 
@@ -197,9 +211,10 @@ object Compaction {
     * the key columns, the bucket count, the stored schema AND the live
     * bucket map — pure bookkeeping that costs zero Spark jobs.
     */
-  private final case class Meta(snap: TxLog.Snapshot, key: String,
+  private final case class Meta(snap: TxLog.Snapshot, keys: Seq[String],
       versionCol: String, deleteCol: String, nBuckets: Int,
       schema: org.apache.spark.sql.types.StructType) {
+    def keyCols: Seq[org.apache.spark.sql.Column] = keys.map(col)
     def buckets: Map[Int, String] = snap.buckets
     /** Merge-on-read delta dirs per bucket, commit order. */
     def deltas: Map[Int, Seq[String]] = snap.deltas
@@ -218,15 +233,18 @@ object Compaction {
   }
 
   private def metaOf(snap: TxLog.Snapshot): Meta =
-    Meta(snap, snap.props("key"), snap.props("version_col"),
+    Meta(snap, Bucketing.decodeKeys(snap.props("key")),
+      snap.props("version_col"),
       snap.props("delete_col"), snap.props("n_buckets").toInt,
       org.apache.spark.sql.types.DataType.fromJson(snap.props("schema_json"))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
-  /** The (key, versionCol, deleteCol, nBuckets) a table was built with. */
+  /** The (key — comma-joined when composite, versionCol, deleteCol,
+    * nBuckets) a table was built with.
+    */
   def readMeta(spark: SparkSession, dir: String): (String, String, String, Int) = {
     val m = loadMeta(spark, dir)
-    (m.key, m.versionCol, m.deleteCol, m.nBuckets)
+    (m.keys.mkString(","), m.versionCol, m.deleteCol, m.nBuckets)
   }
 
   /** Absolute live bucket directories (for specs and path accounting). */
@@ -244,7 +262,7 @@ object Compaction {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     else spark.read.schema(m.schema).parquet(paths: _*)
-    noBucket.withColumn("bucket", bucketOf(col(m.key), m.nBuckets))
+    noBucket.withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
   }
 
   /** Fold a set of DIRTY buckets' base + delta files into their live
@@ -272,12 +290,12 @@ object Compaction {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withSeq)
     else spark.read.schema(withSeq).parquet(paths: _*)
-    val w = Window.partitionBy(col(m.key))
+    val w = Window.partitionBy(m.keyCols: _*)
       .orderBy(col(m.versionCol).desc, col("_seq").desc_nulls_last)
     raw.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col(m.deleteCol))
       .drop("_rn", "_seq")
-      .withColumn("bucket", bucketOf(col(m.key), m.nBuckets))
+      .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
   }
 
   /** The live contents of `ids`: clean buckets ride the plain pruned
@@ -314,17 +332,33 @@ object Compaction {
     */
   def lookup(spark: SparkSession, dir: String, keyValue: Any): DataFrame = {
     val m = loadMeta(spark, dir)
-    val bucket = bucketOfValue(keyValue, m.nBuckets)
+    val vals = tupleOf(m, keyValue)
+    val bucket = Bucketing.bucketOfValues(vals, m.nBuckets)
     // on a dirty bucket the equality predicate is on the fold's window
     // PARTITION key, so Catalyst pushes it below the window to the
     // scan — the lookup reconciles only the looked-up key's rows
     liveView(spark, dir, m, Set(bucket))
       .drop("bucket")
-      .filter(col(m.key) === lit(keyValue))
+      .filter(keyPred(m, vals))
   }
 
-  private def bucketOfValue(v: Any, nBuckets: Int): Int =
-    Bucketing.bucketOfValue(v, nBuckets)
+  /** A lookup argument for a composite-key table is the key TUPLE as a
+    * Seq in declared key order; single-key tables take the bare value
+    * (a Seq of one also works).
+    */
+  private def tupleOf(m: Meta, keyValue: Any): Seq[Any] = {
+    val vals = keyValue match {
+      case s: Seq[_] => s.toSeq
+      case v => Seq(v)
+    }
+    require(vals.size == m.keys.size,
+      s"key tuple arity ${vals.size} != table key (${m.keys.mkString(", ")})")
+    vals
+  }
+
+  private def keyPred(m: Meta, vals: Seq[Any]): org.apache.spark.sql.Column =
+    m.keys.zip(vals).map { case (k, v) => col(k) === lit(v) }
+      .reduce(_ && _)
 
   /** Multi-key point lookup: ONE pruned scan over the distinct buckets
     * the keys hash into (≤ |keys| directories regardless of table
@@ -337,10 +371,14 @@ object Compaction {
     val m = loadMeta(spark, dir)
     if (keyValues.isEmpty)
       return readBuckets(spark, dir, m, Nil).drop("bucket")
-    val buckets = keyValues.map(v => bucketOfValue(v, m.nBuckets)).toSet
+    val tuples = keyValues.map(v => tupleOf(m, v))
+    val buckets = tuples.map(t => Bucketing.bucketOfValues(t, m.nBuckets)).toSet
+    val pred =
+      if (m.keys.size == 1) col(m.keys.head).isin(tuples.map(_.head): _*)
+      else tuples.map(t => keyPred(m, t)).reduce(_ || _)
     liveView(spark, dir, m, buckets)
       .drop("bucket")
-      .filter(col(m.key).isin(keyValues: _*))
+      .filter(pred)
   }
 
   /** Incremental scan with zone-map pruning: live rows whose version
@@ -417,13 +455,13 @@ object Compaction {
       TxLog.sweep(spark, dir)
       val txn = new TableTxn(spark, dir, m.snap.version)
       storedData(spark, dir, m).drop("bucket")
-        .withColumn("bucket", bucketOf(col(m.key), newNBuckets))
+        .withColumn("bucket", bucketOf(m.keyCols, newNBuckets))
         .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col(m.key))
+        .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"${txn.staging}/data")
       val staged = txn.stagedBucketIds()
-      val props = coreProps(m.key, m.versionCol, m.deleteCol,
+      val props = coreProps(m.keys, m.versionCol, m.deleteCol,
         newNBuckets, m.schema.json) ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)
@@ -609,7 +647,7 @@ object Compaction {
     val dataCols = changelog.columns.filterNot(_ == "bucket")
     requireNoReserved(dataCols.toSeq, "changelog schema")
     val changes = changelog
-      .withColumn("bucket", bucketOf(col(m0.key), m0.nBuckets))
+      .withColumn("bucket", bucketOf(m0.keyCols, m0.nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // distinct over the partition-id domain: ≤ nBuckets values, a
@@ -631,7 +669,7 @@ object Compaction {
       mergeOnRead: Boolean): MergeStats = {
     val m = loadMeta(spark, dir)
     if (m.nBuckets != bucketedWith) throw new RebucketedDuringWrite
-    val (key, versionCol) = (m.key, m.versionCol)
+    val versionCol = m.versionCol
     // clear crashed writers' leftovers (grace-aware: a LIVE concurrent
     // writer's staging and in-flight generation survive the sweep)
     TxLog.sweep(spark, dir)
@@ -654,7 +692,7 @@ object Compaction {
       changes.select(col("bucket") +: dataCols.map(col): _*)
         .withColumn("_src", lit(1)),
       allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
+    val w = Window.partitionBy(m.keyCols: _*)
       .orderBy(col(versionCol).desc, col("_src").desc)
     val ranked0 = unioned.withColumn("_rn", row_number().over(w))
     // with a feed to emit, the union+shuffle+window feeds TWO outputs
@@ -686,11 +724,11 @@ object Compaction {
   private def stageFeed(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, staging: String,
       ranked: DataFrame, unioned: DataFrame,
-      key: String, deleteCol: String): Long = {
+      keys: Seq[String], deleteCol: String): Long = {
     val allCols = unioned.columns.toSeq
       .filterNot(c => c == "bucket" || c == "_src")
     val rowStruct = struct(allCols.map(col): _*)
-    val wKey = Window.partitionBy(col(key))
+    val wKey = Window.partitionBy(keys.map(col): _*)
     val classified = ranked
       .withColumn("_had_stored",
         max(when(col("_src") === 0, 1).otherwise(0)).over(wKey))
@@ -764,8 +802,8 @@ object Compaction {
       txn: TableTxn, ranked: DataFrame, unioned: DataFrame,
       touched: Seq[Int],
       emitFeed: Boolean, retainHistory: Boolean): MergeStats = {
-    val (key, versionCol, deleteCol, nBuckets) =
-      (m.key, m.versionCol, m.deleteCol, m.nBuckets)
+    val (keys, versionCol, deleteCol, nBuckets) =
+      (m.keys, m.versionCol, m.deleteCol, m.nBuckets)
     val fs = TxLog.fs(spark, dir)
     val staging = txn.staging
     // winners has exactly ONE action (the staged write): no persist —
@@ -776,7 +814,7 @@ object Compaction {
       .drop("_rn", "_src")
 
     val feedRows: Long = if (!emitFeed) 0L
-      else stageFeed(spark, fs, staging, ranked, unioned, key, deleteCol)
+      else stageFeed(spark, fs, staging, ranked, unioned, keys, deleteCol)
 
     // stage the new bucket contents while every pre-image directory is
     // still live (they stay live until a LATER merge's sweep — commit
@@ -784,7 +822,7 @@ object Compaction {
     // losing cache blocks mid-write merely recomputes
     winners
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
+      .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$staging/data")
     val staged = txn.stagedBucketIds()
@@ -826,7 +864,7 @@ object Compaction {
     // rowsWritten = the staged footer counts — the pass the old
     // pre-write winners.count() made is folded into the stats read
     val rows = newStats.values.map(_.rows).sum
-    val props = coreProps(key, versionCol, deleteCol, nBuckets, schemaJson) ++
+    val props = coreProps(keys, versionCol, deleteCol, nBuckets, schemaJson) ++
       carriedRows ++ rowProps(newStats) ++
       feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
         .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _))
@@ -926,17 +964,17 @@ object Compaction {
         changes.select(col("bucket") +: dataCols.map(col): _*)
           .withColumn("_src", lit(1)),
         allowMissingColumns = true)
-      val w = Window.partitionBy(col(m.key))
+      val w = Window.partitionBy(m.keyCols: _*)
         .orderBy(col(m.versionCol).desc, col("_src").desc)
       val ranked = unioned.withColumn("_rn", row_number().over(w))
-      stageFeed(spark, fs, txn.staging, ranked, unioned, m.key, m.deleteCol)
+      stageFeed(spark, fs, txn.staging, ranked, unioned, m.keys, m.deleteCol)
     }
 
     // THE delta write — the only data-sized cost of the merge
     changes.select(col("bucket") +: dataCols.map(col): _*)
       .withColumn("_seq", lit(txn.newVersion))
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(m.key))
+      .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"${txn.staging}/data")
     val staged = txn.stagedBucketIds()
@@ -981,7 +1019,7 @@ object Compaction {
         Seq("delta.", "drows.", "dmaxv.").exists(p =>
           k.startsWith(p) && !stagedSet.contains(k.drop(p.length).toInt))
     }
-    val props = coreProps(m.key, m.versionCol, m.deleteCol, m.nBuckets,
+    val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
       schemaJson) ++ carried ++ deltaProps ++
       feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
         .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _))
@@ -1016,7 +1054,7 @@ object Compaction {
       val txn = new TableTxn(spark, dir, m.snap.version)
       foldBuckets(spark, dir, m, dirty)
         .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col(m.key))
+        .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"${txn.staging}/data")
       val staged = txn.stagedBucketIds()
@@ -1024,7 +1062,7 @@ object Compaction {
         Seq("rows.", "minv.", "maxv.").exists(p =>
           k.startsWith(p) && !dirty.contains(k.drop(p.length).toInt))
       }
-      val props = coreProps(m.key, m.versionCol, m.deleteCol, m.nBuckets,
+      val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
         m.schema.json) ++ carried ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)

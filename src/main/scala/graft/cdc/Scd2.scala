@@ -45,8 +45,8 @@ object Scd2 {
   /** Outcome of one merge batch, for observability and specs. */
   final case class MergeStats(touchedBuckets: Seq[Int], rowsWritten: Long)
 
-  private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
-    Bucketing.bucketOf(key, nBuckets)
+  private def bucketOf(keys: Seq[org.apache.spark.sql.Column], nBuckets: Int) =
+    Bucketing.bucketOf(keys, nBuckets)
 
   /** Generated interval columns: user data by these names would be
     * silently clobbered — init AND merge both fail fast (a merge batch
@@ -63,11 +63,11 @@ object Scd2 {
     * the version order. Tombstone ties are impossible once `(key,
     * version)` is deduplicated, so the order is total.
     */
-  private def window(states: DataFrame, key: String, versionCol: String,
+  private def window(states: DataFrame, keys: Seq[String], versionCol: String,
       deleteCol: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(versionCol))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol))
     states
-      .dropDuplicates(key, versionCol)
+      .dropDuplicates(keys :+ versionCol)
       .withColumn("valid_to", lead(col(versionCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull && !col(deleteCol))
   }
@@ -78,33 +78,45 @@ object Scd2 {
     */
   def init(df: DataFrame, dir: String, key: String,
       versionCol: String, deleteCol: String,
-      nBuckets: Int = 256): Unit = {
+      nBuckets: Int = 256): Unit =
+    init(df, dir, Seq(key), versionCol, deleteCol, nBuckets)
+
+  /** Composite-key form (e.g. `(tenant_id, id)`): history intervals
+    * are maintained per key TUPLE; see [[Compaction.init]].
+    */
+  def init(df: DataFrame, dir: String, keys: Seq[String],
+      versionCol: String, deleteCol: String,
+      nBuckets: Int): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
     requireNoGenerated(df.columns.toSeq, "changelog schema")
+    Bucketing.encodeKeys(keys)
+    keys.foreach(k => require(df.columns.contains(k),
+      s"key column '$k' missing from the changelog schema"))
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", ".staging", "meta")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
-    window(df, key, versionCol, deleteCol)
-      .withColumn("bucket", bucketOf(col(key), nBuckets))
+    window(df, keys, versionCol, deleteCol)
+      .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
+      .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"${txn.staging}/data")
     val staged = txn.stagedBucketIds()
     txn.installAndCommit(
       staged.map(b => b -> txn.bucketRel(b)).toMap,
-      coreProps(key, versionCol, deleteCol, nBuckets,
-        window(df.limit(0), key, versionCol, deleteCol).schema.json) ++
+      coreProps(keys, versionCol, deleteCol, nBuckets,
+        window(df.limit(0), keys, versionCol, deleteCol).schema.json) ++
         Compaction.rowProps(Compaction.stagedStats(
           spark, txn.staging, staged, versionCol)))
     txn.cleanup()
   }
 
-  private def coreProps(key: String, versionCol: String, deleteCol: String,
+  private def coreProps(keys: Seq[String], versionCol: String,
+      deleteCol: String,
       nBuckets: Int, schemaJson: String): Map[String, String] = Map(
-    "key" -> key, "version_col" -> versionCol,
+    "key" -> Bucketing.encodeKeys(keys), "version_col" -> versionCol,
     "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
     "schema_json" -> schemaJson)
 
@@ -112,16 +124,18 @@ object Scd2 {
     * the key columns, the bucket count, the stored schema AND the live
     * bucket map — pure bookkeeping that costs zero Spark jobs.
     */
-  private final case class Meta(snap: TxLog.Snapshot, key: String,
+  private final case class Meta(snap: TxLog.Snapshot, keys: Seq[String],
       versionCol: String, deleteCol: String, nBuckets: Int,
       schema: org.apache.spark.sql.types.StructType) {
     def buckets: Map[Int, String] = snap.buckets
+    def keyCols: Seq[org.apache.spark.sql.Column] = keys.map(col)
   }
 
   private def loadMeta(spark: SparkSession, dir: String): Meta = {
     val snap = TxLog.latest(spark, dir).getOrElse(throw new
       IllegalArgumentException(s"no committed manifest under $dir"))
-    Meta(snap, snap.props("key"), snap.props("version_col"),
+    Meta(snap, Bucketing.decodeKeys(snap.props("key")),
+      snap.props("version_col"),
       snap.props("delete_col"), snap.props("n_buckets").toInt,
       org.apache.spark.sql.types.DataType.fromJson(snap.props("schema_json"))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -134,7 +148,7 @@ object Scd2 {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     else spark.read.schema(m.schema).parquet(paths: _*)
-    noBucket.withColumn("bucket", bucketOf(col(m.key), m.nBuckets))
+    noBucket.withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
   }
 
   private def storedData(spark: SparkSession, dir: String,
@@ -148,7 +162,7 @@ object Scd2 {
   /** The (key, versionCol, deleteCol, nBuckets) the table runs with. */
   def readMeta(spark: SparkSession, dir: String): (String, String, String, Int) = {
     val m = loadMeta(spark, dir)
-    (m.key, m.versionCol, m.deleteCol, m.nBuckets)
+    (m.keys.mkString(","), m.versionCol, m.deleteCol, m.nBuckets)
   }
 
   /** One key's FULL history (all its validity intervals, tombstones
@@ -159,10 +173,17 @@ object Scd2 {
     */
   def lookup(spark: SparkSession, dir: String, keyValue: Any): DataFrame = {
     val m = loadMeta(spark, dir)
-    val bucket = Bucketing.bucketOfValue(keyValue, m.nBuckets)
+    val vals = keyValue match {
+      case s: Seq[_] => s.toSeq
+      case v => Seq(v)
+    }
+    require(vals.size == m.keys.size,
+      s"key tuple arity ${vals.size} != table key (${m.keys.mkString(", ")})")
+    val bucket = Bucketing.bucketOfValues(vals, m.nBuckets)
     readBuckets(spark, dir, m, m.buckets.get(bucket).toSeq)
       .drop("bucket")
-      .filter(col(m.key) === lit(keyValue))
+      .filter(m.keys.zip(vals).map { case (k, v) => col(k) === lit(v) }
+        .reduce(_ && _))
   }
 
   /** The pruned slice a merge of `touched` buckets reads — factored out
@@ -194,15 +215,15 @@ object Scd2 {
       TxLog.sweep(spark, dir)
       val txn = new TableTxn(spark, dir, m.snap.version)
       storedData(spark, dir, m).drop("bucket")
-        .withColumn("bucket", bucketOf(col(m.key), newNBuckets))
+        .withColumn("bucket", bucketOf(m.keyCols, newNBuckets))
         .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col(m.key))
+        .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"${txn.staging}/data")
       val staged = txn.stagedBucketIds()
       txn.installAndCommit(
         staged.map(b => b -> txn.bucketRel(b)).toMap,
-        coreProps(m.key, m.versionCol, m.deleteCol, newNBuckets,
+        coreProps(m.keys, m.versionCol, m.deleteCol, newNBuckets,
           m.schema.json) ++
           Compaction.rowProps(Compaction.stagedStats(
             spark, txn.staging, staged, m.versionCol)))
@@ -278,7 +299,7 @@ object Scd2 {
     val m0 = loadMeta(spark, dir)
     requireNoGenerated(changes0.columns.toSeq, "merge batch schema")
     val changes = changes0
-      .withColumn("bucket", bucketOf(col(m0.key), m0.nBuckets))
+      .withColumn("bucket", bucketOf(m0.keyCols, m0.nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = changes.select(col("bucket")).distinct()
@@ -296,26 +317,26 @@ object Scd2 {
     val m = loadMeta(spark, dir)
     if (m.nBuckets != bucketedWith)
       throw new Compaction.RebucketedDuringWrite
-    val (key, versionCol, deleteCol, nBuckets) =
-      (m.key, m.versionCol, m.deleteCol, m.nBuckets)
+    val (keys, versionCol, deleteCol, nBuckets) =
+      (m.keys, m.versionCol, m.deleteCol, m.nBuckets)
     TxLog.sweep(spark, dir)
     val txn = new TableTxn(spark, dir, m.snap.version)
 
     val hist = prunedHistory(spark, dir, touched, m)
-    val changedKeys = changes.select(col(key)).distinct()
+    val changedKeys = changes.select(m.keyCols: _*).distinct()
     // unchanged keys: rows pass through byte-equivalent; changed keys:
     // stored rows collapse back to state records and re-window together
     // with the batch (exact late-data splicing, see object doc).
     // allowMissingColumns = schema evolution: a batch that adds a
     // column null-extends stored history (manifest widens below); a
     // batch missing a stored column null-fills its own rows.
-    val untouchedRows = hist.join(changedKeys, Seq(key), "left_anti")
+    val untouchedRows = hist.join(changedKeys, keys, "left_anti")
     val stateCols = hist.columns
       .filterNot(c => c == "valid_to" || c == "is_current").map(col)
-    val rewound = hist.join(changedKeys, Seq(key), "left_semi")
+    val rewound = hist.join(changedKeys, keys, "left_semi")
       .select(stateCols: _*)
       .unionByName(changes, allowMissingColumns = true)
-    val rebuilt = window(rewound, key, versionCol, deleteCol)
+    val rebuilt = window(rewound, keys, versionCol, deleteCol)
     val out = untouchedRows.unionByName(rebuilt, allowMissingColumns = true)
 
     // stage the touched buckets' full new contents; the committed
@@ -324,7 +345,7 @@ object Scd2 {
     // rewriting hazard the old in-place dynamic overwrite had is gone
     out
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
+      .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"${txn.staging}/data")
     val staged = txn.stagedBucketIds()
@@ -353,7 +374,7 @@ object Scd2 {
     // for the same number
     val rows = newStats.values.map(_.rows).sum
     txn.installAndCommit(newBuckets,
-      coreProps(key, versionCol, deleteCol, nBuckets, schemaJson) ++
+      coreProps(keys, versionCol, deleteCol, nBuckets, schemaJson) ++
         carried ++ Compaction.rowProps(newStats))
     TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(touched, rows)

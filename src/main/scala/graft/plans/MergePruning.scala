@@ -52,7 +52,7 @@ import graft.cdc.TxLog
 object MergePruning extends Rule[LogicalPlan] {
 
   private final case class Info(
-      tableDir: String, version: Long, key: String,
+      tableDir: String, version: Long, keys: Seq[String],
       versionCol: Option[String],
       nBuckets: Int,
       bucketDirs: Map[Int, String],
@@ -106,7 +106,8 @@ object MergePruning extends Rule[LogicalPlan] {
         // Scd2/Compaction manifests carry a version column (zone maps
         // possible); AggView's don't — key pruning still applies
         val versionCol = snap.prop("version_col")
-        val info = Info(tableDir, latest, key, versionCol, nBuckets,
+        val info = Info(tableDir, latest,
+          key.split(",").toSeq.filter(_.nonEmpty), versionCol, nBuckets,
           bucketDirs = snap.buckets.map { case (b, rel) =>
             b -> normalize(s"$tableDir/data/$rel")
           },
@@ -125,11 +126,14 @@ object MergePruning extends Rule[LogicalPlan] {
   }
 
   /** Same physical hash the writers bucket by ([[graft.cdc.Bucketing]]:
-    * `pmod(xxhash64(key), n)`), folded on the literal driver-side.
+    * `pmod(xxhash64(keys…), n)`), folded on the literal(s) driver-side.
     */
-  private def bucketOf(l: Literal, nBuckets: Int): Int =
-    Cast(Pmod(new XxHash64(Seq(l)), Literal(nBuckets.toLong, LongType)),
+  private def bucketOf(ls: Seq[Literal], nBuckets: Int): Int =
+    Cast(Pmod(new XxHash64(ls), Literal(nBuckets.toLong, LongType)),
       IntegerType).eval().asInstanceOf[Int]
+
+  private def bucketOf(l: Literal, nBuckets: Int): Int =
+    bucketOf(Seq(l), nBuckets)
 
   private def prune(f: Filter, cond: Expression,
       lr: LogicalRelation): Option[LogicalPlan] = {
@@ -152,9 +156,44 @@ object MergePruning extends Rule[LogicalPlan] {
     val liveHere: Map[Int, String] =
       info.bucketDirs.filter { case (_, d) => rootSet.contains(d) }
 
-    def isKey(a: AttributeReference) = a.name.equalsIgnoreCase(info.key)
+    // single-column leaf pruning applies only to single-column keys; a
+    // composite key needs the FULL tuple bound (see compositeBucket)
+    def isKey(a: AttributeReference) =
+      info.keys.size == 1 && a.name.equalsIgnoreCase(info.keys.head)
     def isVersion(a: AttributeReference) =
       info.versionCol.exists(a.name.equalsIgnoreCase)
+
+    /** Composite-key point pruning: a conjunction that binds EVERY key
+      * column to a same-typed literal pins exactly one bucket — the
+      * SQL-transparent form of the tuple lookup. Bindings come from
+      * top-level conjuncts only (an OR branch binding the tuple does
+      * not constrain the whole filter); conflicting duplicate
+      * bindings (k = 1 AND k = 2) pick one arbitrarily, which is
+      * sound — the residual filter still applies and matches nothing.
+      */
+    def compositeBucket(e: Expression): Option[Set[Int]] = {
+      if (info.keys.size <= 1) return None
+      def conjuncts(x: Expression): Seq[Expression] = x match {
+        case And(a, b) => conjuncts(a) ++ conjuncts(b)
+        case o => Seq(o)
+      }
+      val bindings: Map[String, Literal] = conjuncts(e).collect {
+        case EqualTo(a: AttributeReference, l: Literal)
+            if l.value != null && l.dataType == a.dataType =>
+          a.name.toLowerCase -> l
+        case EqualTo(l: Literal, a: AttributeReference)
+            if l.value != null && l.dataType == a.dataType =>
+          a.name.toLowerCase -> l
+        case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+            a: AttributeReference, l: Literal)
+            if l.value != null && l.dataType == a.dataType =>
+          a.name.toLowerCase -> l
+      }.toMap
+      if (info.keys.forall(k => bindings.contains(k.toLowerCase)))
+        Some(Set(bucketOf(
+          info.keys.map(k => bindings(k.toLowerCase)), info.nBuckets)))
+      else None
+    }
 
     /** True iff the stored stringified stat, cast back to the
       * column's type, satisfies `op(stat, lit)` — a missing stat or a
@@ -251,7 +290,12 @@ object MergePruning extends Rule[LogicalPlan] {
         case _ => None
       }
 
-    val allowedBuckets = allowed(cond).getOrElse(return None)
+    val allowedBuckets = (compositeBucket(cond), allowed(cond)) match {
+      case (Some(c), Some(a)) => c.intersect(a)
+      case (Some(c), None) => c
+      case (None, Some(a)) => a
+      case (None, None) => return None
+    }
     val keptDirs =
       liveHere.view.filterKeys(allowedBuckets.contains).values.toSeq
     if (keptDirs.size == rootSet.size) return None

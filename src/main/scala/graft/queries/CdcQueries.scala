@@ -462,6 +462,40 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // composite merge key on lineitem's natural (l_orderkey,
+    // l_linenumber) PK: the table buckets on the hash of the TUPLE and
+    // every merge/lookup reconciles per tuple — real CDC tables key on
+    // (tenant_id, id), not one column. The oracle recomputes the
+    // latest-wins state relationally over the same two-column
+    // partition, so a green row proves tuple bucketing, tuple
+    // windowing and tuple tombstones end-to-end.
+    "cdc_composite_key" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val snapshot = li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_quantity").cast("double").as("qty"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changes = li.filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          (col("l_quantity") * 2).cast("double").as("qty"),
+          lit(1L).as("version"),
+          ((col("l_orderkey") + col("l_linenumber")) % 5 === 0)
+            .as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-composite-key-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        keys = Seq("ok", "ln"), versionCol = "version",
+        deleteCol = "deleted", nBuckets = 16)
+      graft.cdc.Compaction.merge(s, tableDir, changes)
+      graft.cdc.Compaction.read(s, tableDir)
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("qty").cast("decimal(18,2)")).cast("double").as("total_qty"),
+          sum(col("ok") * lit(7) + col("ln") + col("version"))
+            .as("checksum"))
+    }),
+
     // merge-on-read: two scattered delta merges land as O(changes)
     // delta files (base buckets never rewritten — MergeOnReadSpec
     // asserts byte-identity); the READ folds base + deltas with the
@@ -1168,6 +1202,28 @@ object CdcQueries {
         |  FROM unioned)
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // composite (ok, ln) tuple latest-wins recompute
+    "cdc_composite_key" ->
+      """WITH unioned AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(l_quantity AS DOUBLE) AS qty,
+        |    0 AS version, FALSE AS deleted
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity * 2 AS DOUBLE),
+        |    1 AS version, ((l_orderkey + l_linenumber) % 5 = 0) AS deleted
+        |  FROM lineitem WHERE l_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT ok, ln, qty, version, deleted,
+        |    row_number() OVER (PARTITION BY ok, ln
+        |      ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(qty::DECIMAL(18,2)) AS DOUBLE) AS total_qty,
+        |  CAST(SUM(ok * 7 + ln + version) AS BIGINT) AS checksum
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     // merge-on-read folds base + deltas to the same latest-wins state
