@@ -19,6 +19,7 @@ import graft.functions.{CosineSimilarityExpr, JaroWinklerExpr, MinHashExpr, Quan
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectResolutionRule(_ => graft.plans.GraftDml)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinToEquiJoin)
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
     e.injectOptimizerRule(_ => graft.plans.MergePruning)

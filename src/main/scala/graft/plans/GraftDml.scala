@@ -1,0 +1,368 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, expr, lit, when}
+
+import graft.cdc.Compaction
+
+/** SQL front door for the maintained merge table ([[Compaction]]):
+  * register a table under a name and plain SQL both READS it
+  * (`spark.table(name)` / `SELECT … FROM name`, served by a temp view
+  * over the live manifest with [[MergePruning]] bucket/zone pruning)
+  * and MAINTAINS it —
+  *
+  * {{{
+  *   MERGE INTO users USING changes ON users.id = changes.id
+  *   WHEN MATCHED AND changes.deleted THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *;
+  *   UPDATE users SET name = 'x' WHERE id = 7;
+  *   DELETE FROM users WHERE id = 9;
+  * }}}
+  *
+  * — each lowered onto ONE [[Compaction.merge]] batch (path-pruned,
+  * manifest-committed, OCC-fenced: everything the programmatic API
+  * guarantees, reached from a SQL string). The reference's whole write
+  * path is SQL through an ORM
+  * (`/root/reference/app/seed_users.py:39-43`); this is its
+  * maintained-table analog for SQL-only users.
+  *
+  * Two entry points share one lowering:
+  *  - sessions built with [[graft.GraftExtensions]]: the [[GraftDml]]
+  *    resolution rule intercepts `MergeIntoTable` / `UpdateTable` /
+  *    `DeleteFromTable` over registered names inside `spark.sql(...)`
+  *    itself (before Spark's v2 rewrite rejects the non-catalog
+  *    target);
+  *  - any live session: [[GraftTables.sql]] parses, lowers the same
+  *    way, and delegates everything else to `spark.sql`.
+  *
+  * Supported MERGE shape (validated, clear errors otherwise): ON must
+  * equate every merge-key column; WHEN clauses drawn from
+  * `MATCHED [AND c] THEN DELETE`, `MATCHED THEN UPDATE SET *`,
+  * `NOT MATCHED THEN INSERT *`. UPDATE/DELETE synthesize a changelog
+  * from the CURRENT rows at the stored version — the merge's
+  * change-beats-stored tie-break applies them without inventing
+  * versions.
+  */
+object GraftTables {
+
+  /** (session, lowercase name) -> table dir. Session-scoped on
+    * purpose (same isolation rule as MvRewrite's registry).
+    */
+  private val registry = TrieMap.empty[(SparkSession, String), String]
+
+  def register(spark: SparkSession, name: String, dir: String): Unit = {
+    registry.put((spark, name.toLowerCase), dir)
+    refresh(spark, name)
+  }
+
+  def unregister(spark: SparkSession, name: String): Unit = {
+    registry.remove((spark, name.toLowerCase))
+    spark.catalog.dropTempView(name)
+  }
+
+  private[plans] def dirOf(spark: SparkSession, name: String): Option[String] =
+    registry.get((spark, name.toLowerCase))
+
+  /** Re-point the temp view at the table's CURRENT manifest. DML
+    * through this front door refreshes automatically; after a
+    * programmatic `Compaction.merge` call refresh explicitly (the same
+    * contract as Spark's own REFRESH TABLE after external writes).
+    */
+  def refresh(spark: SparkSession, name: String): Unit =
+    dirOf(spark, name).foreach { dir =>
+      Compaction.read(spark, dir).createOrReplaceTempView(name)
+    }
+
+  /** Parse + lower DML over registered tables; anything else delegates
+    * to `spark.sql`. The live-session path for sessions built without
+    * [[graft.GraftExtensions]].
+    */
+  def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+    GraftDml.lower(spark, parsed) match {
+      case Some(cmd) => cmd.run(spark); spark.emptyDataFrame
+      case None => spark.sql(sqlText)
+    }
+  }
+}
+
+/** Resolution rule lowering DML plans over [[GraftTables]]-registered
+  * names to runnable merge commands. Injected by
+  * [[graft.GraftExtensions]]; runs in the analyzer's Resolution batch,
+  * BEFORE the row-level-command rewrite that would reject a
+  * non-catalog target.
+  */
+object GraftDml extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    SparkSession.getActiveSession match {
+      case None => plan
+      case Some(spark) => plan match {
+        // DML is always the plan root; no transform needed
+        case _ => lower(spark, plan).getOrElse(plan)
+      }
+    }
+
+  /** The last name part of the DML target, whether still unresolved or
+    * already substituted by the temp view (SubqueryAlias keeps the
+    * registered name).
+    */
+  private[plans] def publicTargetName(p: LogicalPlan): Option[String] =
+    targetName(p)
+
+  private def targetName(p: LogicalPlan): Option[String] = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      Some(u.multipartIdentifier.last)
+    case SubqueryAlias(id, _) => Some(id.name)
+    case _ => None
+  }
+
+  private[plans] def lower(spark: SparkSession,
+      plan: LogicalPlan): Option[LeafRunnableCommand] = plan match {
+    case m: MergeIntoTable =>
+      for {
+        name <- targetName(m.targetTable)
+        dir <- GraftTables.dirOf(spark, name)
+      } yield GraftMergeIntoCommand(name, dir, m.targetTable, m.sourceTable,
+        m.mergeCondition, m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions)
+    case u: UpdateTable =>
+      for {
+        name <- targetName(u.table)
+        dir <- GraftTables.dirOf(spark, name)
+      } yield GraftUpdateCommand(name, dir, u.assignments, u.condition)
+    case d: DeleteFromTable =>
+      for {
+        name <- targetName(d.table)
+        dir <- GraftTables.dirOf(spark, name)
+      } yield GraftDeleteCommand(name, dir, Option(d.condition))
+    case _ => None
+  }
+
+  /** Strip qualifiers so a condition written against `src.c` or `t.c`
+    * applies to a bare DataFrame carrying column `c`, then render to
+    * SQL for `functions.expr` (version-stable: no internal Column
+    * constructors).
+    */
+  private[plans] def bare(e: Expression): String =
+    e.transform {
+      case UnresolvedAttribute(parts) => UnresolvedAttribute(Seq(parts.last))
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }.sql
+
+  private[plans] def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100", // generic internal-error class with message slot
+      messageParameters = Map("message" -> s"graft SQL DML: $msg"))
+
+  /** Validate that the ON condition is a conjunction equating every
+    * merge-key column (by name on both sides) and nothing else the
+    * lowering would silently ignore.
+    */
+  private[plans] def requireKeyEquality(cond: Expression,
+      keys: Seq[String]): Unit = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case o => Seq(o)
+    }
+    def lastName(e: Expression): Option[String] = e match {
+      case UnresolvedAttribute(parts) => Some(parts.last.toLowerCase)
+      case a: AttributeReference => Some(a.name.toLowerCase)
+      case _ => None
+    }
+    val cs = conjuncts(cond)
+    val matched = cs.collect {
+      case EqualTo(l, r) if lastName(l).isDefined &&
+          lastName(l) == lastName(r) => lastName(l).get
+    }
+    val want = keys.map(_.toLowerCase).toSet
+    if (cs.size != keys.size || matched.toSet != want || matched.size != keys.size)
+      fail(s"MERGE ON must equate exactly the merge key columns " +
+        s"(${keys.mkString(", ")}); got: ${cond.sql}")
+  }
+}
+
+/** MERGE INTO <registered> USING <source> — lowered to one
+  * [[Compaction.merge]] of the source as a changelog batch.
+  */
+final case class GraftMergeIntoCommand(name: String, dir: String,
+    target: LogicalPlan, source: LogicalPlan, condition: Expression,
+    matchedActions: Seq[MergeAction], notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  /** `UPDATE SET *` / `INSERT *` as written, OR the identity-assignment
+    * form the analyzer expands them into before our resolution rule
+    * runs (assignment(t.c, s.c) per column, names matching).
+    */
+  private def isStarAssignments(assignments: Seq[Assignment]): Boolean =
+    assignments.nonEmpty && assignments.forall { a =>
+      def nameOf(e: Expression): Option[String] = e match {
+        case UnresolvedAttribute(parts) => Some(parts.last.toLowerCase)
+        case ar: AttributeReference => Some(ar.name.toLowerCase)
+        case _ => None
+      }
+      nameOf(a.key).isDefined && nameOf(a.key) == nameOf(a.value)
+    }
+
+  /** A WHEN MATCHED AND <cond> may only reference SOURCE columns: the
+    * lowering evaluates it on the source batch, and silently reading a
+    * same-named TARGET column's pre-image instead would be wrong, not
+    * approximate.
+    */
+  private def requireSourceOnly(c: Expression): Unit = {
+    val tName = GraftDml.publicTargetName(target)
+    c.foreach {
+      case UnresolvedAttribute(parts)
+          if parts.size > 1 &&
+            tName.exists(parts(parts.size - 2).equalsIgnoreCase) =>
+        GraftDml.fail(s"MERGE clause condition may only reference source " +
+          s"columns; got target reference ${parts.mkString(".")}")
+      case ar: AttributeReference =>
+        val targetIds = scala.util.Try(target.outputSet).toOption
+        if (targetIds.exists(_.contains(ar)))
+          GraftDml.fail(s"MERGE clause condition may only reference " +
+            s"source columns; got target reference ${ar.name}")
+      case _ => ()
+    }
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (keyProp, versionCol, deleteCol, _) = Compaction.readMeta(spark, dir)
+    val keys = keyProp.split(",").toSeq
+    GraftDml.requireKeyEquality(condition, keys)
+    if (notMatchedBySourceActions.nonEmpty)
+      GraftDml.fail("WHEN NOT MATCHED BY SOURCE is not supported")
+
+    val deleteCond: Option[Option[String]] = matchedActions.collectFirst {
+      case DeleteAction(c) =>
+        c.foreach(requireSourceOnly)
+        c.map(GraftDml.bare)
+    }
+    val hasUpdateStar = matchedActions.exists {
+      case UpdateStarAction(None) => true
+      case UpdateStarAction(Some(_)) =>
+        GraftDml.fail("WHEN MATCHED AND <cond> THEN UPDATE SET * is not " +
+          "supported; put the condition on the DELETE clause")
+      case ua: org.apache.spark.sql.catalyst.plans.logical.UpdateAction
+          if ua.condition.isEmpty && isStarAssignments(ua.assignments) =>
+        true
+      case _ => false
+    }
+    val hasInsertStar = notMatchedActions match {
+      case Nil => false
+      case Seq(InsertStarAction(None)) => true
+      case Seq(ia: org.apache.spark.sql.catalyst.plans.logical.InsertAction)
+          if ia.condition.isEmpty && isStarAssignments(ia.assignments) =>
+        true
+      case other => GraftDml.fail(
+        s"only WHEN NOT MATCHED THEN INSERT * is supported; got $other")
+    }
+    matchedActions.foreach {
+      case _: UpdateStarAction | _: DeleteAction => ()
+      case ua: org.apache.spark.sql.catalyst.plans.logical.UpdateAction
+          if ua.condition.isEmpty && isStarAssignments(ua.assignments) => ()
+      case other => GraftDml.fail(
+        s"unsupported WHEN MATCHED action: $other (use UPDATE SET * / DELETE)")
+    }
+    if (!hasUpdateStar && !hasInsertStar && deleteCond.isEmpty)
+      GraftDml.fail("MERGE must have at least one supported action")
+    if (hasUpdateStar != hasInsertStar)
+      GraftDml.fail("UPDATE SET * and INSERT * must be used together " +
+        "(the merge is an upsert); a delete-only MERGE omits both")
+
+    val src = org.apache.spark.sql.GraftBridge.ofRows(spark, source)
+    val tableCols = Compaction.read(spark, dir).columns.toSeq
+    val missing = tableCols.filterNot(src.columns.contains)
+    if (missing.nonEmpty)
+      GraftDml.fail(s"source is missing table columns: " +
+        missing.mkString(", "))
+
+    val changelog =
+      if (hasUpdateStar) {
+        // upsert (+ optional conditional delete): source rows ARE the
+        // changelog; a DELETE clause condition marks its rows as
+        // tombstones on top of the source's own delete column
+        deleteCond match {
+          case None => src
+          case Some(None) =>
+            GraftDml.fail("WHEN MATCHED THEN DELETE without a condition " +
+              "contradicts UPDATE SET * (every matched row would match " +
+              "the first clause); add AND <cond>")
+          case Some(Some(cSql)) =>
+            src.withColumn(deleteCol,
+              when(expr(cSql), lit(true)).otherwise(col(deleteCol)))
+        }
+      } else {
+        // delete-only MERGE: matched source rows become tombstones;
+        // unmatched tombstones are no-ops in the merge by definition
+        val base = deleteCond match {
+          case Some(Some(cSql)) => src.filter(expr(cSql))
+          case _ => src
+        }
+        base.withColumn(deleteCol, lit(true))
+      }
+
+    Compaction.merge(spark, dir, changelog.select(tableCols.map(col): _*))
+    GraftTables.refresh(spark, name)
+    Seq.empty
+  }
+}
+
+/** UPDATE <registered> SET … [WHERE …] — the changelog is the CURRENT
+  * matching rows with the assignments applied at their stored version;
+  * the merge's change-beats-stored tie-break lands them.
+  */
+final case class GraftUpdateCommand(name: String, dir: String,
+    assignments: Seq[Assignment],
+    condition: Option[Expression]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val current = Compaction.read(spark, dir)
+    val filtered = condition match {
+      case Some(c) => current.filter(expr(GraftDml.bare(c)))
+      case None => current
+    }
+    val updated = assignments.foldLeft(filtered) { (df, a) =>
+      val target = GraftDml.bare(a.key).stripPrefix("`").stripSuffix("`")
+      if (!current.columns.exists(_.equalsIgnoreCase(target)))
+        GraftDml.fail(s"UPDATE SET targets unknown column $target")
+      df.withColumn(target, expr(GraftDml.bare(a.value)))
+    }
+    Compaction.merge(spark, dir, updated)
+    GraftTables.refresh(spark, name)
+    Seq.empty
+  }
+}
+
+/** DELETE FROM <registered> [WHERE …] — the changelog is the CURRENT
+  * matching rows as tombstones at their stored version.
+  */
+final case class GraftDeleteCommand(name: String, dir: String,
+    condition: Option[Expression]) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (_, _, deleteCol, _) = Compaction.readMeta(spark, dir)
+    val current = Compaction.read(spark, dir)
+    val filtered = condition match {
+      case Some(c) => current.filter(expr(GraftDml.bare(c)))
+      case None => current
+    }
+    Compaction.merge(spark, dir, filtered.withColumn(deleteCol, lit(true)))
+    GraftTables.refresh(spark, name)
+    Seq.empty
+  }
+}

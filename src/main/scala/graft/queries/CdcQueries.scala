@@ -462,6 +462,47 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // the SQL write path end-to-end: the maintained table is
+    // registered under a name, and the merge is issued as a plain
+    // `spark.sql("MERGE INTO …")` string — intercepted by the GraftDml
+    // resolution rule (GraftExtensions) and lowered onto ONE
+    // path-pruned Compaction.merge — then read back through
+    // spark.table (the auto-refreshed registered view). Same oracle
+    // recompute as cdc_merge_upsert: a green row proves the SQL front
+    // door produces byte-identical table state to the programmatic API.
+    "sql_merge_into" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+        .createOrReplaceTempView("sql_merge_changes")
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-sql-merge-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.plans.GraftTables.register(s, "sql_merge_tbl", tableDir)
+      s.sql(
+        """MERGE INTO sql_merge_tbl USING sql_merge_changes
+          |ON sql_merge_tbl.id = sql_merge_changes.id
+          |WHEN MATCHED AND sql_merge_changes.deleted THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.table("sql_merge_tbl")
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(dec18(col("price"))).cast("double").as("total"))
+    }),
+
     // composite merge key on lineitem's natural (l_orderkey,
     // l_linenumber) PK: the table buckets on the hash of the TUPLE and
     // every merge/lookup reconciles per tuple — real CDC tables key on
@@ -1187,6 +1228,28 @@ object CdcQueries {
         |FROM orders""".stripMargin,
 
     "cdc_merge_upsert" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, price, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // the SQL MERGE lowers onto the same latest-wins merge — identical
+    // recompute to cdc_merge_upsert (tombstones never stored, per the
+    // table contract: an unmatched source row flagged deleted is a
+    // no-op, not an ANSI insert-of-a-tombstone)
+    "sql_merge_into" ->
       """WITH unioned AS (
         |  SELECT o_orderkey AS id, o_totalprice AS price,
         |    0 AS version, FALSE AS deleted
