@@ -49,13 +49,34 @@ object Ivf {
 
   /** Lloyd k-means with deterministic init (lowest-id vectors). Returns
     * nlist × dim centroids. Each iteration: one assignment pass + one
-    * per-dimension average; empty lists keep their previous centroid.
+    * dense per-list (sum, count) aggregation; empty lists keep their
+    * previous centroid.
+    *
+    * Execution (r5 verdict item 4): the per-iteration statistics ride
+    * `aggregateByKey` over DENSE vectors — map-side combined, so the
+    * shuffle carries at most `partitions × nlist` partial vectors and
+    * the driver receives ≤ nlist (sum, count) rows, never the old
+    * `posexplode` plan's dim× row amplification and nlist×dim-ROW
+    * collect. The mean itself is unchanged (sum/count), so the
+    * deterministic-quantizer contract the SQL oracles replay holds.
+    *
+    * `maxTrainRows` bounds the TRAINING set to the lowest-id n vectors
+    * (deterministic, same rule as the init) — the standard
+    * sample-trained quantizer: at 100 TB the coarse centroids converge
+    * on a bounded sample while indexing/search still cover the full
+    * corpus, keeping train cost flat as the corpus grows. Default None
+    * trains exactly as before.
     */
   def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
-      idCol: String = "vec_id", embCol: String = "embedding")
-      : Seq[Array[Double]] = {
-    // each Lloyd iteration scans the corpus; cache it for the loop
-    val cached = corpus.select(col(idCol), col(embCol)).persist()
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxTrainRows: Option[Int] = None): Seq[Array[Double]] = {
+    val trainSet = maxTrainRows match {
+      case Some(n) => corpus.select(col(idCol), col(embCol))
+        .orderBy(col(idCol)).limit(n)
+      case None => corpus.select(col(idCol), col(embCol))
+    }
+    // each Lloyd iteration scans the training set; cache it for the loop
+    val cached = trainSet.persist()
     try trainImpl(cached, nlist, iters, idCol, embCol)
     finally cached.unpersist()
   }
@@ -68,16 +89,30 @@ object Ivf {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
 
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(
-        assignment(col(embCol), cents).as("list_id"), col(embCol).as("e"))
-      val means = assigned
-        .select(col("list_id"), posexplode(col("e")).as(Seq("dim", "v")))
-        .groupBy(col("list_id"), col("dim"))
-        .agg(avg(col("v")).as("m"))
-        .collect()
+      val stats = corpus.select(
+          assignment(col(embCol), cents).as("list_id"), col(embCol).as("e"))
+        .rdd
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+        .aggregateByKey((Array.empty[Double], 0L))(
+          (acc, v) => {
+            val a = if (acc._2 == 0L) new Array[Double](v.length) else acc._1
+            var i = 0
+            while (i < v.length) { a(i) += v(i); i += 1 }
+            (a, acc._2 + 1L)
+          },
+          (x, y) =>
+            if (x._2 == 0L) y
+            else if (y._2 == 0L) x
+            else {
+              val a = x._1
+              var i = 0
+              while (i < a.length) { a(i) += y._1(i); i += 1 }
+              (a, x._2 + y._2)
+            })
+        .collect() // ≤ nlist dense rows
       val next = cents.map(_.clone()).toArray
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      stats.foreach { case (list, (sum, n)) =>
+        if (n > 0L) next(list) = sum.map(_ / n)
       }
       cents = next.toSeq
     }

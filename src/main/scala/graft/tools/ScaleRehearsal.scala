@@ -113,6 +113,14 @@ object ScaleRehearsal {
           emb.filter(col("vec_id") < 20), emb, k = 10,
           nlist = 16, nprobe = 4, iters = 1).count(): Unit
       }
+      // sample-bounded quantizer training (r5 verdict item 4): the
+      // training set is capped at the lowest-id 20k vectors, so train
+      // cost must stay ~FLAT while the corpus grows 10× (the corpus
+      // only contributes the deterministic top-n scan)
+      val tIvfTrain = measure { (_, emb) =>
+        graft.operators.Ivf.train(emb, nlist = 16, iters = 2,
+          maxTrainRows = Some(20000)): Unit
+      }
       // maintained table: init at scale, then a merge touching ~1% of
       // keys — the merge must scale with the TOUCHED slice
       spark.catalog.clearCache()
@@ -145,6 +153,7 @@ object ScaleRehearsal {
       }
       Map("exact_dedup" -> tExact, "lsh_pairs" -> tLsh,
         "near_dups" -> tSim, "ann_ivf" -> tIvf,
+        "ivf_train_sampled" -> tIvfTrain,
         "table_init" -> tInit, "table_merge_1pct" -> tMerge,
         "changed_since_narrow" -> tChanged,
         "lsh_pair_count" -> nPairs.toDouble)
@@ -159,6 +168,7 @@ object ScaleRehearsal {
     val usedMb = (Runtime.getRuntime.totalMemory -
       Runtime.getRuntime.freeMemory) / 1048576
     val keys = Seq("exact_dedup", "lsh_pairs", "near_dups", "ann_ivf",
+      "ivf_train_sampled",
       "table_init", "table_merge_1pct", "changed_since_narrow")
     val entries = keys.map { k =>
       val ratio = at10(k) / math.max(at1(k), 0.001)
@@ -168,7 +178,8 @@ object ScaleRehearsal {
       // operators, because O(touched) is the property being verified
       // O(touched)/O(pruned) ops get a stricter sublinear bar — flat
       // cost under 10× growth is the property being verified
-      val bar = if (k == "table_merge_1pct" || k == "changed_since_narrow")
+      val bar = if (k == "table_merge_1pct" || k == "changed_since_narrow" ||
+          k == "ivf_train_sampled")
         LinearBar / 2 else LinearBar
       val flag = ratio <= bar
       s""""$k":{"x1_sec":${fmt(at1(k))},"x10_sec":${fmt(at10(k))},""" +
