@@ -198,6 +198,25 @@ private[graft] object TxLog {
       .map(k => k -> props.getProperty(k)).toMap
   }
 
+  /** Memoized committed snapshots: manifests are IMMUTABLE once
+    * committed (the commit is a refuse-if-exists rename and nothing
+    * ever rewrites a manifest in place), so a manifest file identified
+    * by (version, length, mtime) resolves to the same bytes forever —
+    * length+mtime additionally fence a table RE-INIT, which replaces
+    * v0 wholesale with new content under the same number. [[latest]]
+    * still LISTS the manifest dir on every call (that is the freshness
+    * check — a new commit shows up immediately, and the listing
+    * already carries each file's status for free) but skips the
+    * open+parse when the listed latest matches the cached one. This is
+    * the r5 verdict's MV-freshness memoization: the per-query fence
+    * cost drops to one driver-side listing. Size-capped (snapshots are
+    * small, but test JVMs create thousands of short-lived tables).
+    */
+  private final case class CachedSnap(version: Long, len: Long,
+      mtime: Long, snap: Snapshot)
+  private val snapCache =
+    scala.collection.concurrent.TrieMap.empty[String, CachedSnap]
+
   /** The latest committed state, or None for an uninitialized dir.
     *
     * List-then-read is inherently racy against a concurrent writer's
@@ -207,13 +226,32 @@ private[graft] object TxLog {
     * read the newer one. Bounded, and each retry strictly advances.
     */
   def latest(spark: SparkSession, dir: String): Option[Snapshot] = {
+    val d = manifestDir(dir)
+    val f = fs(spark, dir)
     var attempts = 0
     while (true) {
-      latestVersion(spark, dir) match {
-        case None => return None
-        case Some(v) =>
-          try return Some(Snapshot(v, load(fs(spark, dir), manifestPath(dir, v))))
-          catch {
+      val manifests =
+        if (!f.exists(d)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else f.listStatus(d).filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("v") && n.endsWith(".properties")
+        }
+      if (manifests.isEmpty) { snapCache.remove(dir); return None }
+      val st = manifests.maxBy(s =>
+        s.getPath.getName.stripPrefix("v").stripSuffix(".properties").toLong)
+      val v = st.getPath.getName.stripPrefix("v")
+        .stripSuffix(".properties").toLong
+      snapCache.get(dir).filter(c => c.version == v &&
+          c.len == st.getLen && c.mtime == st.getModificationTime) match {
+        case Some(hit) => return Some(hit.snap)
+        case None =>
+          try {
+            val snap = Snapshot(v, load(f, st.getPath))
+            if (snapCache.size > 512) snapCache.clear()
+            snapCache.put(dir, CachedSnap(v, st.getLen,
+              st.getModificationTime, snap))
+            return Some(snap)
+          } catch {
             case _: java.io.FileNotFoundException if attempts < 20 =>
               attempts += 1
           }

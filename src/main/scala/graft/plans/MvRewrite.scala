@@ -222,7 +222,6 @@ object MvRewrite extends Rule[LogicalPlan] {
     (lr, filterCond) <- decompose(agg.child)
     base <- pathOf(lr)
     d <- registry.get(s"$sessionTag|$base")
-    _ <- Some(()).filter(_ => isFresh(d))
     // groupings must be bare columns within the view's key set
     groupAttrs <- Some(agg.groupingExpressions).filter(_.forall {
       case a: AttributeReference => d.groupCols.contains(a.name.toLowerCase)
@@ -234,6 +233,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     _ <- Some(()).filter(_ => filterCond.forall(c =>
       c.deterministic && c.references.toSeq.forall(
         r => d.groupCols.contains(r.name.toLowerCase))))
+    // the freshness fence LAST: it is the only check that touches the
+    // filesystem (one memoized manifest listing per table — see
+    // TxLog.latest), so structurally unmatched aggregates never probe
+    _ <- Some(()).filter(_ => isFresh(d))
     view <- viewScan(d)
     viewAttr = (n: String) => view.output.find(_.name.equalsIgnoreCase(n))
     cnt <- viewAttr(d.cntCol)
