@@ -27,7 +27,7 @@ object Replicator {
   private def syncDir(replicaDir: String) = s"$replicaDir/_sync"
 
   /** Highest feed batch the source has published (−1 if none). */
-  private def sourceHead(spark: SparkSession, sourceDir: String): Long = {
+  private[graft] def sourceHead(spark: SparkSession, sourceDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$sourceDir/feed")
     val fs = TxLog.fs(spark, sourceDir)
     val fromDirs = if (!fs.exists(p)) -1L
@@ -54,8 +54,10 @@ object Replicator {
     // the head is read BEFORE the state copy: a batch published in
     // between is replayed by the first sync, and replay is convergent
     val head = sourceHead(spark, sourceDir)
+    // readMeta joins a composite key with commas; decode so the
+    // replica inherits the source's key TUPLE, not one bogus column
     Compaction.init(Compaction.read(spark, sourceDir), replicaDir,
-      key, versionCol, deleteCol,
+      Bucketing.decodeKeys(key), versionCol, deleteCol,
       if (nBuckets > 0) nBuckets else srcBuckets)
     TxLog.fs(spark, replicaDir)
       .delete(new org.apache.hadoop.fs.Path(syncDir(replicaDir)), true)

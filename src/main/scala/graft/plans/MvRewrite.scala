@@ -420,7 +420,9 @@ object Mv {
       basePath: String, baseTableDir: Option[String] = None): Unit = {
     val (key, valueCol, _, _) = graft.cdc.AggView.readMeta(spark, viewDir)
     MvRewrite.register(basePath, MvRewrite.MvDef(
-      viewDir, Seq(key.toLowerCase), "cnt",
+      // composite view keys arrive comma-joined from readMeta
+      viewDir, key.split(",").toSeq.filter(_.nonEmpty).map(_.toLowerCase),
+      "cnt",
       Map(MvRewrite.measureKey(valueCol,
         Some(org.apache.spark.sql.types.DataType.fromDDL("decimal(18,2)")))
         -> MvRewrite.Partials(sum = Some("total"))),

@@ -11,17 +11,18 @@ import graft.cdc.{Replicator, TxLog}
   * merge with a TxLog-committed consumer offset) run as a Structured
   * Streaming job instead of a polling loop.
   *
-  * The file stream over the source's `feed/` directory is the WAKE-UP
-  * SIGNAL — a published feed batch appears as new files atomically
-  * (the publish is one directory rename), so each micro-batch fires
-  * exactly when there is something to apply. What to apply is decided
-  * by the replica's own offset, not by the stream's file slice:
-  * `Replicator.sync` re-resolves `[offset+1, head]` and applies it in
-  * one partition-pruned merge, which makes the job indifferent to
-  * micro-batch/feed-batch alignment and idempotent under foreachBatch
-  * replay (both the offset fence and the merge's (key, version)
-  * semantics already guarantee convergence — the streaming layer adds
-  * scheduling, not new state).
+  * The stream rides [[FeedBatchSource]] — a DataSource-v2 micro-batch
+  * source whose OFFSETS are the feed batch ids themselves, so progress
+  * is checkpointed and resumed by the engine with real per-batch
+  * semantics, and `maxBatchesPerTrigger` bounds how far one
+  * micro-batch may advance (backpressure for a replica catching up
+  * after downtime). What to apply is still decided by the replica's
+  * own offset, not the stream slice: `Replicator.sync` re-resolves
+  * `[offset+1, head]` and applies it in one partition-pruned merge,
+  * which makes the job indifferent to micro-batch/feed-batch alignment
+  * and idempotent under foreachBatch replay (the offset fence and the
+  * merge's (key, version) semantics already guarantee convergence —
+  * the streaming layer adds scheduling, not new state).
   */
 object StreamingReplicator {
 
@@ -39,17 +40,24 @@ object StreamingReplicator {
 
   /** A writer that keeps `replicaDir` (created by `Replicator.init`)
     * in sync with `sourceDir`'s feed. Attach a trigger + checkpoint
-    * and `.start()`.
+    * and `.start()`. `maxBatchesPerTrigger` caps how many feed batches
+    * one micro-batch admits (0 = unbounded).
     */
   def replicaStream(spark: SparkSession, sourceDir: String,
-      replicaDir: String): DataStreamWriter[Row] =
-    spark.readStream
-      .schema(feedSchema(spark, sourceDir))
-      .parquet(s"$sourceDir/feed/batch=*")
+      replicaDir: String, maxBatchesPerTrigger: Long = 0L)
+      : DataStreamWriter[Row] = {
+    val reader = spark.readStream
+      .format(classOf[FeedBatchSource].getName)
+      .option("path", sourceDir)
+    val limited = if (maxBatchesPerTrigger > 0L)
+      reader.option("maxBatchesPerTrigger", maxBatchesPerTrigger.toString)
+    else reader
+    limited.load()
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         Replicator.sync(batch.sparkSession, sourceDir, replicaDir)
         ()
       }
+  }
 }

@@ -132,6 +132,25 @@ class CompositeKeySpec extends SparkSpec {
     assert(AggView.lookup(spark, dir, Seq("t1", "click")).count() == 1)
   }
 
+  test("Replicator inherits a composite key tuple from the source") {
+    val src = tmpDir("ck-repl") + "/src"
+    val rep = tmpDir("ck-repl") + "/rep"
+    Compaction.init(snapshot, src, Seq("tenant", "id"),
+      "version", "deleted", nBuckets = 4)
+    Replicator.init(spark, src, rep)
+    Compaction.merge(spark, src,
+      Seq(("t1", 7L, "t1-7-v1", 1L, false), ("t2", 9L, "", 1L, true))
+        .toDF("tenant", "id", "payload", "version", "deleted"),
+      emitFeed = true)
+    Replicator.sync(spark, src, rep)
+    val srcState = state(src)
+    val repState = Compaction.read(spark, rep).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(repState == srcState, "replica diverged from composite-key source")
+    assert(Compaction.lookup(spark, rep, Seq("t1", 7L))
+      .select("payload").as[String].collect().toSeq == Seq("t1-7-v1"))
+  }
+
   test("MergePruning: a full tuple equality conjunction scans one bucket") {
     val dir = tmpDir("ck-prune") + "/t"
     Compaction.init(snapshot, dir, Seq("tenant", "id"),

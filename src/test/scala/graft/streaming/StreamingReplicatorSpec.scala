@@ -8,10 +8,10 @@ import graft.SparkSpec
 import graft.cdc.{Compaction, Replicator}
 
 /** Streaming replication (StreamingReplicator): the replica tracks the
-  * source across drains driven by the feed file stream, resumes from
-  * its own offset after a restart, and converges under replayed
-  * micro-batches — the scheduling layer must add NO new state beyond
-  * the checkpoint it already gets for free.
+  * source across drains driven by the DSv2 feed-batch source (offsets
+  * = feed batch ids), resumes from its own offset after a restart, and
+  * converges under replayed micro-batches — the scheduling layer must
+  * add NO new state beyond the checkpoint it already gets for free.
   */
 class StreamingReplicatorSpec extends SparkSpec {
 
@@ -69,5 +69,71 @@ class StreamingReplicatorSpec extends SparkSpec {
       changeDf(Seq((31L, "v4-31", 4L, false))), emitFeed = true)
     drain()
     assert(state(dst) == state(src))
+  }
+
+  test("feed source emits exactly the published batch ids as offsets") {
+    val root = tmpDir("feedsource")
+    val src = s"$root/src"
+    Compaction.init(
+      changeDf((1L to 10L).map(i => (i, s"v0-$i", 0L, false))),
+      src, "id", "version", "deleted", nBuckets = 4)
+    (1L to 3L).foreach { v =>
+      Compaction.merge(spark, src,
+        changeDf(Seq((v, s"v$v", v, false))), emitFeed = true)
+    }
+    val q = spark.readStream
+      .format(classOf[FeedBatchSource].getName)
+      .option("path", src)
+      .load()
+      .writeStream
+      .format("memory")
+      .queryName("feed_ids")
+      .option("checkpointLocation", s"$root/ckpt-ids")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, q.exception.toString)
+    val ids = spark.table("feed_ids").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(0L, 1L, 2L), s"wrong batch ids: $ids")
+  }
+
+  test("maxBatchesPerTrigger rate-limits catch-up into multiple micro-batches") {
+    val root = tmpDir("feedratelimit")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Compaction.init(
+      changeDf((1L to 10L).map(i => (i, s"v0-$i", 0L, false))),
+      src, "id", "version", "deleted", nBuckets = 4)
+    Replicator.init(spark, src, dst)
+    // 4 feed batches pile up while the replica is down
+    (1L to 4L).foreach { v =>
+      Compaction.merge(spark, src,
+        changeDf(Seq((v, s"v$v", v, false))), emitFeed = true)
+    }
+    val microBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .format(classOf[FeedBatchSource].getName)
+      .option("path", src)
+      .option("maxBatchesPerTrigger", "1")
+      .load()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          microBatches.incrementAndGet()
+          Replicator.sync(batch.sparkSession, src, dst)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt-rl")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, q.exception.toString)
+    assert(state(dst) == state(src))
+    // admission control actually split the catch-up: one feed batch
+    // per micro-batch, so 4 non-empty micro-batches, not one bulk
+    assert(microBatches.get() == 4,
+      s"expected 4 rate-limited micro-batches, got ${microBatches.get()}")
   }
 }
