@@ -86,7 +86,7 @@ object Compaction {
   def init(df: DataFrame, dir: String, key: String,
       versionCol: String, deleteCol: String,
       nBuckets: Int = 256): Unit =
-    init(df, dir, Seq(key), versionCol, deleteCol, nBuckets)
+    init(df, dir, Seq(key), versionCol, deleteCol, nBuckets, Nil)
 
   /** Composite-key form: the table is bucketed on the hash of the key
     * TUPLE (e.g. `(tenant_id, id)`) and every merge / lookup / window
@@ -95,13 +95,34 @@ object Compaction {
     */
   def init(df: DataFrame, dir: String, keys: Seq[String],
       versionCol: String, deleteCol: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int): Unit =
+    init(df, dir, keys, versionCol, deleteCol, nBuckets, Nil)
+
+  /** Clustered form: every bucket write (init, merges, compaction,
+    * rebucket) additionally sorts rows INSIDE the bucket by
+    * `clusterBy` — one column = plain sort, two = Z-order (Morton
+    * interleave, [[graft.sources.ZOrder]]) — so parquet row-group
+    * min/max stats prune non-key range predicates WITHIN the buckets
+    * that survive bucket/zone-map pruning. Hash bucketing answers
+    * "which directory can hold this key"; clustering answers "which
+    * row groups inside it can hold this range" — the two prune
+    * levels compose. Clustering is layout only: no read-path change,
+    * no semantics change, and the property persists across merges
+    * because every staged rewrite re-applies the sort.
+    */
+  def init(df: DataFrame, dir: String, keys: Seq[String],
+      versionCol: String, deleteCol: String,
+      nBuckets: Int, clusterBy: Seq[String]): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
     requireNoReserved(df.columns.toSeq, "table schema")
     Bucketing.encodeKeys(keys)
     keys.foreach(k => require(df.columns.contains(k),
       s"key column '$k' missing from the snapshot schema"))
+    require(clusterBy.size <= 2,
+      "clusterBy supports one (sort) or two (Z-order) columns")
+    clusterBy.foreach(c => require(df.columns.contains(c),
+      s"cluster column '$c' missing from the snapshot schema"))
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", "feed", ".staging", "meta", "_history")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
@@ -113,16 +134,31 @@ object Compaction {
       // no per-write range-sampling job (measured on the merge-family
       // bench queries — three writes each paid a sampling pass)
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
+      .sortWithinPartitions(inBucketSort(keys, clusterBy): _*)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"${txn.staging}/data")
     val staged = txn.stagedBucketIds()
     txn.installAndCommit(
       newBuckets = staged.map(b => b -> txn.bucketRel(b)).toMap,
       props = coreProps(keys, versionCol, deleteCol, nBuckets,
-        df.schema.json) ++
+        df.schema.json, clusterBy) ++
         rowProps(stagedStats(spark, txn.staging, staged, versionCol)))
     txn.cleanup()
+  }
+
+  /** The deterministic in-bucket sort every staged write applies:
+    * cluster expression first (row-group stat locality), key columns
+    * as the tiebreak (stable file content).
+    */
+  private def inBucketSort(keys: Seq[String],
+      clusterBy: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    val cluster = clusterBy match {
+      case Nil => Nil
+      case Seq(c) => Seq(col(c))
+      case Seq(x, y) => Seq(graft.sources.ZOrder.mortonCode(col(x), col(y)))
+      case _ => Nil
+    }
+    (col("bucket") +: cluster) ++ keys.map(col)
   }
 
   /** Per-bucket stats of the staged generation — row count and the
@@ -202,10 +238,13 @@ object Compaction {
 
   private def coreProps(keys: Seq[String], versionCol: String,
       deleteCol: String,
-      nBuckets: Int, schemaJson: String): Map[String, String] = Map(
+      nBuckets: Int, schemaJson: String,
+      clusterBy: Seq[String]): Map[String, String] = Map(
     "key" -> Bucketing.encodeKeys(keys), "version_col" -> versionCol,
     "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
-    "schema_json" -> schemaJson)
+    "schema_json" -> schemaJson) ++
+    (if (clusterBy.isEmpty) Map.empty
+     else Map("cluster_by" -> clusterBy.mkString(",")))
 
   /** One read of the driver-side manifest per public call: merge needs
     * the key columns, the bucket count, the stored schema AND the live
@@ -215,6 +254,8 @@ object Compaction {
       versionCol: String, deleteCol: String, nBuckets: Int,
       schema: org.apache.spark.sql.types.StructType) {
     def keyCols: Seq[org.apache.spark.sql.Column] = keys.map(col)
+    def clusterBy: Seq[String] = snap.prop("cluster_by")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     def buckets: Map[Int, String] = snap.buckets
     /** Merge-on-read delta dirs per bucket, commit order. */
     def deltas: Map[Int, Seq[String]] = snap.deltas
@@ -457,12 +498,12 @@ object Compaction {
       storedData(spark, dir, m).drop("bucket")
         .withColumn("bucket", bucketOf(m.keyCols, newNBuckets))
         .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
+        .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"${txn.staging}/data")
       val staged = txn.stagedBucketIds()
       val props = coreProps(m.keys, m.versionCol, m.deleteCol,
-        newNBuckets, m.schema.json) ++
+        newNBuckets, m.schema.json, m.clusterBy) ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)
       txn.installAndCommit(
@@ -822,7 +863,7 @@ object Compaction {
     // losing cache blocks mid-write merely recomputes
     winners
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
+      .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$staging/data")
     val staged = txn.stagedBucketIds()
@@ -864,7 +905,8 @@ object Compaction {
     // rowsWritten = the staged footer counts — the pass the old
     // pre-write winners.count() made is folded into the stats read
     val rows = newStats.values.map(_.rows).sum
-    val props = coreProps(keys, versionCol, deleteCol, nBuckets, schemaJson) ++
+    val props = coreProps(keys, versionCol, deleteCol, nBuckets, schemaJson,
+      m.clusterBy) ++
       carriedRows ++ rowProps(newStats) ++
       feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
         .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _))
@@ -974,7 +1016,7 @@ object Compaction {
     changes.select(col("bucket") +: dataCols.map(col): _*)
       .withColumn("_seq", lit(txn.newVersion))
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
+      .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"${txn.staging}/data")
     val staged = txn.stagedBucketIds()
@@ -1020,7 +1062,7 @@ object Compaction {
           k.startsWith(p) && !stagedSet.contains(k.drop(p.length).toInt))
     }
     val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
-      schemaJson) ++ carried ++ deltaProps ++
+      schemaJson, m.clusterBy) ++ carried ++ deltaProps ++
       feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
         .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _))
 
@@ -1054,7 +1096,7 @@ object Compaction {
       val txn = new TableTxn(spark, dir, m.snap.version)
       foldBuckets(spark, dir, m, dirty)
         .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
+        .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"${txn.staging}/data")
       val staged = txn.stagedBucketIds()
@@ -1063,7 +1105,7 @@ object Compaction {
           k.startsWith(p) && !dirty.contains(k.drop(p.length).toInt))
       }
       val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
-        m.schema.json) ++ carried ++
+        m.schema.json, m.clusterBy) ++ carried ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)
       txn.installAndCommit(

@@ -462,6 +462,41 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // clustered maintained table: same merge semantics, but every
+    // bucket write Z-orders rows on (o_custkey-derived, price-derived)
+    // inside the bucket so non-key range predicates prune at row-group
+    // level within surviving buckets (ClusteredCompactionSpec asserts
+    // the row-group skipping; this query pins that the layout variant
+    // changes NOTHING about the data — identical oracle recompute,
+    // with a range predicate riding the clustered column)
+    "cdc_clustered_scan" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"), col("o_custkey").as("cust"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-clustered-scan-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        keys = Seq("id"), versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16, clusterBy = Seq("cust", "id"))
+      graft.cdc.Compaction.merge(s, tableDir, changes)
+      graft.cdc.Compaction.read(s, tableDir)
+        .filter(col("cust") < 500)
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(dec18(col("price"))).cast("double").as("total"),
+          sum(col("id") * col("version")).as("checksum"))
+    }),
+
     // the SQL write path end-to-end: the maintained table is
     // registered under a name, and the merge is issued as a plain
     // `spark.sql("MERGE INTO …")` string — intercepted by the GraftDml
@@ -1244,6 +1279,27 @@ object CdcQueries {
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // clustering is layout-only: identical latest-wins recompute with
+    // the range predicate applied to the reconciled state
+    "cdc_clustered_scan" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_custkey AS cust,
+        |    o_totalprice AS price, 0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, cust, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  CAST(SUM(id * version) AS BIGINT) AS checksum
+        |FROM latest WHERE rn = 1 AND NOT deleted AND cust < 500""".stripMargin,
 
     // the SQL MERGE lowers onto the same latest-wins merge — identical
     // recompute to cdc_merge_upsert (tombstones never stored, per the
