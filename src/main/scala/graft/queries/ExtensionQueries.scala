@@ -145,9 +145,16 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // sketch aggregates: HLL distinct + approximate quantiles (engine
-    // sketches are implementation-specific -> rows-only check; exact
-    // counterparts are oracle-checked in agg_distinct)
+    // sketch aggregates: HLL distinct + approximate quantiles.
+    // INTENTIONALLY rows-only (no oracleSql entry, by design, not
+    // omission): the values are Spark's engine-native HLL++/KLL sketch
+    // states, which no other engine reproduces bit-for-bit — DuckDB's
+    // approx_count_distinct is a DIFFERENT estimator, so a hash
+    // comparison would fail on two correct answers. The deterministic
+    // accuracy story lives elsewhere: agg_distinct oracle-checks the
+    // exact counterparts, and agg_hll_registers / agg_cms_counters /
+    // agg_kmv_bottomk oracle-check this engine's own deterministic
+    // sketch implementations register-by-register.
     "agg_sketches" -> ((s, dir) => {
       Tables.lineitem(s, dir).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
