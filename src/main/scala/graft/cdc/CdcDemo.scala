@@ -146,6 +146,46 @@ object CdcDemo {
       s"${Compaction.countRows(spark, tbl)}, lookup(7) -> " +
       Compaction.lookup(spark, tbl, 7L)
         .select(col("payload")).as[String].collect().mkString)
+
+    // ---- round 6: merge-on-read (O(changes) scattered writes + lazy
+    // compaction) and the SQL DML front door.
+    val before = Compaction.countRows(spark, tbl)
+    val mor = Compaction.merge(spark, tbl,
+      Seq((21L, "mor-21", 3L, false), (22L, "mor-22", 3L, false),
+        (1002L, "mor-1002", 3L, false))
+        .toDF("id", "payload", "version", "deleted"),
+      mergeOnRead = true)
+    println(s"merge-on-read: wrote ${mor.rowsWritten} delta rows " +
+      s"(no base rewrite), dirty buckets = " +
+      s"${Compaction.deltaStats(spark, tbl).size}, folded read " +
+      s"count = ${Compaction.countRows(spark, tbl)} (was $before)")
+    Compaction.compact(spark, tbl)
+    println(s"compact: dirty buckets now " +
+      s"${Compaction.deltaStats(spark, tbl).size}, lookup(21) -> " +
+      Compaction.lookup(spark, tbl, 21L)
+        .select(col("payload")).as[String].collect().mkString)
+
+    graft.plans.GraftTables.register(spark, "demo_tbl", tbl)
+    Seq((7L, "sql-7", 9L, false), (2000L, "sql-2000", 9L, false),
+      (8L, "", 9L, true))
+      .toDF("id", "payload", "version", "deleted")
+      .createOrReplaceTempView("demo_changes")
+    graft.plans.GraftTables.sql(spark,
+      """MERGE INTO demo_tbl USING demo_changes
+        |ON demo_tbl.id = demo_changes.id
+        |WHEN MATCHED AND demo_changes.deleted THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.plans.GraftTables.sql(spark,
+      "UPDATE demo_tbl SET payload = concat(payload, '!') WHERE id = 2000")
+    println(s"SQL MERGE+UPDATE: lookup(7) -> " +
+      spark.table("demo_tbl").where(col("id") === 7)
+        .select(col("payload")).as[String].collect().mkString +
+      s", inserted 2000 -> " +
+      spark.table("demo_tbl").where(col("id") === 2000)
+        .select(col("payload")).as[String].collect().mkString +
+      s", deleted 8 present = " +
+      spark.table("demo_tbl").where(col("id") === 8).count())
     spark.stop()
   }
 }

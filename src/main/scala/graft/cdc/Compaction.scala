@@ -1087,10 +1087,24 @@ object Compaction {
     * the same manifest CAS as merges do.
     */
   def compact(spark: SparkSession, dir: String,
-      retainHistory: Boolean = false): Unit = {
+      retainHistory: Boolean = false): Unit =
+    compact(spark, dir, minDeltas = 1, retainHistory)
+
+  /** Partial compaction: fold only buckets whose delta CHAIN has
+    * reached `minDeltas` dirs — the incremental form an operator runs
+    * on a cadence (e.g. `minDeltas = 8` keeps worst-case read
+    * amplification at 8 extra files per bucket while never rewriting
+    * a bucket that has absorbed only one small delta). Buckets below
+    * the threshold keep their deltas verbatim; repeated calls
+    * converge the same way single-bucket CoW merges do.
+    */
+  def compact(spark: SparkSession, dir: String, minDeltas: Int,
+      retainHistory: Boolean): Unit = {
     TxLog.withOcc(spark, dir) {
       val m = loadMeta(spark, dir)
-      val dirty = m.dirty
+      val dirty = m.deltas.collect {
+        case (b, rels) if rels.size >= minDeltas => b
+      }.toSet
       if (dirty.isEmpty) return
       TxLog.sweep(spark, dir)
       val txn = new TableTxn(spark, dir, m.snap.version)
@@ -1100,9 +1114,12 @@ object Compaction {
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"${txn.staging}/data")
       val staged = txn.stagedBucketIds()
+      // base stats carry for untouched buckets; delta props carry for
+      // dirty-but-below-threshold buckets (their chains stay live)
       val carried = m.snap.props.filter { case (k, _) =>
-        Seq("rows.", "minv.", "maxv.").exists(p =>
-          k.startsWith(p) && !dirty.contains(k.drop(p.length).toInt))
+        Seq("rows.", "minv.", "maxv.", "delta.", "drows.", "dmaxv.")
+          .exists(p =>
+            k.startsWith(p) && !dirty.contains(k.drop(p.length).toInt))
       }
       val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
         m.schema.json, m.clusterBy) ++ carried ++

@@ -134,6 +134,17 @@ object GraftDml extends Rule[LogicalPlan] {
       } yield GraftMergeIntoCommand(name, dir, m.targetTable, m.sourceTable,
         m.mergeCondition, m.matchedActions, m.notMatchedActions,
         m.notMatchedBySourceActions)
+    case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+      for {
+        name <- targetName(i.table)
+        dir <- GraftTables.dirOf(spark, name)
+      } yield {
+        if (i.overwrite || i.partitionSpec.nonEmpty ||
+            i.ifPartitionNotExists)
+          GraftDml.fail("only plain INSERT INTO <table> SELECT … is " +
+            "supported on maintained tables (no OVERWRITE/partitions)")
+        GraftInsertCommand(name, dir, i.query)
+      }
     case u: UpdateTable =>
       for {
         name <- targetName(u.table)
@@ -313,6 +324,34 @@ final case class GraftMergeIntoCommand(name: String, dir: String,
       }
 
     Compaction.merge(spark, dir, changelog.select(tableCols.map(col): _*))
+    GraftTables.refresh(spark, name)
+    Seq.empty
+  }
+}
+
+/** INSERT INTO <registered> SELECT … — the rows ARE the changelog
+  * (they must carry the table's full schema including version and
+  * delete columns); an inserted key that already exists upserts by the
+  * merge's version rule, exactly like the reference's ON CONFLICT
+  * seed path.
+  */
+final case class GraftInsertCommand(name: String, dir: String,
+    query: LogicalPlan) extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows = org.apache.spark.sql.GraftBridge.ofRows(spark, query)
+    val tableCols = Compaction.read(spark, dir).columns.toSeq
+    val src =
+      if (rows.columns.toSeq == tableCols) rows
+      else if (rows.columns.length == tableCols.length)
+        // positional INSERT (SELECT list without aliases): adopt the
+        // table's column names, the SQL-standard by-position semantics
+        rows.toDF(tableCols: _*)
+      else GraftDml.fail(s"INSERT arity ${rows.columns.length} != " +
+        s"table arity ${tableCols.length}")
+    Compaction.merge(spark, dir, src)
     GraftTables.refresh(spark, name)
     Seq.empty
   }

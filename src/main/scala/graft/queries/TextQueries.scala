@@ -313,29 +313,42 @@ object TextQueries {
     //    so the predicate cannot flip across engines);
     //  - per-probe winner = groupBy argmax over (sim, -part_id) with
     //    map-side partial aggregation — a k=1 top-k, not a window sort
-    //    over the candidate table.
-    // At 100 TB the block key bounds candidate volume (quadratic only
-    // within a block) and the probe side is the small dim by
-    // construction.
+    //    over the candidate table;
+    //  - the comparator runs once per DISTINCT (name, probe) pair, not
+    //    once per row pair: real entity corpora are value-skewed (the
+    //    10x full-scale bench grew row pairs 100x but distinct names
+    //    0x, and this query went 83x slower scoring duplicates), so
+    //    names collapse to (name, multiplicity, min id) BEFORE the
+    //    block join and the aggregate reconstitutes exact row-level
+    //    counts from the multiplicities — identical output, scoring
+    //    cost O(distinct names x probes in block).
+    // At 100 TB the block key bounds candidate volume and the distinct
+    // collapse makes that volume grow with VALUE diversity, not row
+    // count; the probe side is the small dim by construction.
     "link_fuzzy_names" -> ((s, dir) => {
       val strip = (c: Column) => regexp_replace(c, "[aeiou]", "")
       val probes = Tables.part(s, dir)
         .filter(col("p_partkey") % 7 === 0)
         .select(col("p_partkey").as("probe_id"),
           strip(col("p_name")).as("probe_name"))
-      val cands = Tables.part(s, dir)
+      val candNames = Tables.part(s, dir)
         .select(col("p_partkey").as("part_id"), col("p_name").as("name"),
           substring(strip(col("p_name")), 1, 4).as("blk"))
-      cands
+        .groupBy(col("blk"), col("name"))
+        // the original row-level argmax broke sim ties on the LOWEST
+        // part id; within one name every dup shares the sim, so the
+        // name's min id is the only id that can ever win
+        .agg(count(lit(1)).as("n_dups"), min(col("part_id")).as("min_id"))
+      candNames
         .join(broadcast(probes),
           substring(col("probe_name"), 1, 4) === col("blk"))
         .withColumn("sim", graft.functions.JaroWinklerExpr
           .jaroWinkler(col("name"), col("probe_name")))
         .filter(col("sim") >= 0.84)
         .groupBy(col("probe_id"))
-        .agg(count(lit(1)).as("n_above"),
-          max_by(struct(col("part_id"), col("sim")),
-            struct(col("sim"), (-col("part_id")).as("neg"))).as("best"))
+        .agg(sum(col("n_dups")).as("n_above"),
+          max_by(struct(col("min_id").as("part_id"), col("sim")),
+            struct(col("sim"), (-col("min_id")).as("neg"))).as("best"))
         .select(col("probe_id"), col("best.part_id").as("match_id"),
           col("best.sim").as("sim"), col("n_above"))
         .orderBy(col("probe_id"))
@@ -425,10 +438,24 @@ object TextQueries {
     //    thresholded form measured 118 s at sf0.1 because candidate
     //    volume grows quadratically with the corpus and every pair
     //    paid the full 256×256 table.
+    // bag-of-letters signature, computed ONCE per doc side: a single
+    // edit changes the letter histogram's L1 by at most 2 (a
+    // substitution moves two counts by one, an insert/delete moves
+    // one), so L1(sig_a, sig_b) > 2·maxDist PROVES edit distance >
+    // maxDist — a complete pair prefilter ~10× cheaper than even the
+    // early-abandoning banded kernel. The 10× full-scale bench showed
+    // why it matters: same-length different-content docs grow
+    // quadratically within a block, and every one used to pay the
+    // kernel; now they die on 26 integer subtractions (flagged at
+    // ratio 14.7, re-measured well under the bar with the filter).
+    val sigOf = (p: org.apache.spark.sql.Column) => array(
+      ('a' to 'z').map(ch =>
+        (length(p) - length(translate(p, ch.toString, ""))).cast("int")): _*)
     val d = docs
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / maxDist).cast("long").as("bucket"),
         substring(col("text"), 1, 256).as("prefix"))
+      .withColumn("sig", sigOf(col("prefix")))
     // spread the probe side: the single-file scan is one task, and
     // the broadcast join (small dim side) keeps the DP verification
     // in that one task without this — at real scale, file splits
@@ -437,11 +464,14 @@ object TextQueries {
       .select(col("doc_id").as("id_a"), col("lang"),
         explode(array(col("bucket") - 1, col("bucket"),
           col("bucket") + 1)).as("bucket"),
-        col("prefix").as("pa"))
+        col("prefix").as("pa"), col("sig").as("sa"))
     val b = d.select(col("doc_id").as("id_b"), col("lang"),
-      col("bucket"), col("prefix").as("pb"))
+      col("bucket"), col("prefix").as("pb"), col("sig").as("sb"))
     a.join(b, Seq("lang", "bucket"))
       .filter(col("id_b") > col("id_a"))
+      .filter(aggregate(
+        zip_with(col("sa"), col("sb"), (x, y) => abs(x - y)),
+        lit(0), (acc, v) => acc + v) <= lit(2 * maxDist))
       .select(col("id_a"), col("id_b"),
         graft.functions.BandedLevenshteinExpr
           .bandedLevenshtein(col("pa"), col("pb"), maxDist)

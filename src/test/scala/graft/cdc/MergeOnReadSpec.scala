@@ -128,6 +128,34 @@ class MergeOnReadSpec extends SparkSpec {
     assert(onDisk == live, s"unswept generations: ${onDisk -- live}")
   }
 
+  test("partial compaction folds only buckets past the delta threshold") {
+    val dir = tmpDir("mor-partial") + "/t"
+    mkTable(dir, n = 200)
+    // key 7's bucket absorbs TWO deltas; key 9's bucket only one
+    val b7 = Bucketing.bucketOfValue(7L, 16)
+    val b9 = Bucketing.bucketOfValue(9L, 16)
+    assert(b7 != b9, "test wants distinct buckets")
+    Compaction.merge(spark, dir,
+      Seq((7L, "a", 1L, false), (9L, "x", 1L, false))
+        .toDF("id", "name", "version", "deleted"), mergeOnRead = true)
+    Compaction.merge(spark, dir,
+      Seq((7L, "b", 2L, false)).toDF("id", "name", "version", "deleted"),
+      mergeOnRead = true)
+    val before = state(dir)
+
+    Compaction.compact(spark, dir, minDeltas = 2, retainHistory = false)
+    val chains = Compaction.deltaStats(spark, dir)
+      .map { case (b, n, _) => b -> n }.toMap
+    assert(!chains.contains(b7), "2-delta bucket was not folded")
+    assert(chains.get(b9).contains(1),
+      s"below-threshold bucket lost its delta chain: $chains")
+    assert(state(dir) == before, "partial compaction changed the state")
+    // full compact clears the remainder
+    Compaction.compact(spark, dir)
+    assert(Compaction.deltaStats(spark, dir).isEmpty)
+    assert(state(dir) == before)
+  }
+
   test("readChangedSince folds deltas and prunes via the delta zone map") {
     val dir = tmpDir("mor-since") + "/t"
     mkTable(dir)

@@ -105,6 +105,23 @@ class GraftDmlSpec extends SparkSpec {
     assert(spark.table(name).count() == 95)
   }
 
+  test("INSERT INTO ... SELECT lowers to an upsert merge") {
+    val (dir, name) = freshTable("ins")
+    GraftTables.sql(spark,
+      s"""INSERT INTO $name
+         |SELECT id + 500, concat('ins', id), 1L, false
+         |FROM range(3)""".stripMargin)
+    // an insert of an EXISTING key upserts by version (ON CONFLICT)
+    GraftTables.sql(spark,
+      s"INSERT INTO $name SELECT 7L, 'up7', 2L, false")
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 103)
+    assert(got(500L) == "ins0" && got(502L) == "ins2")
+    assert(got(7L) == "up7")
+    assert(Compaction.countRows(spark, dir) == 103L)
+  }
+
   test("unsupported shapes fail with a clear message") {
     val (_, name) = freshTable("unsup")
     spark.range(1).select(col("id"), lit("x").as("name"),
