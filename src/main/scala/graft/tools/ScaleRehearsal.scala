@@ -114,12 +114,13 @@ object ScaleRehearsal {
           nlist = 16, nprobe = 4, iters = 1).count(): Unit
       }
       // sample-bounded quantizer training (r5 verdict item 4): the
-      // training set is capped at the lowest-id 20k vectors, so train
-      // cost must stay ~FLAT while the corpus grows 10× (the corpus
-      // only contributes the deterministic top-n scan)
+      // training set is capped at the lowest-id 2k vectors — the x1
+      // corpus size, so BOTH legs train on the same 2k rows and the
+      // 10x corpus contributes only the deterministic top-n scan;
+      // train cost must stay ~FLAT
       val tIvfTrain = measure { (_, emb) =>
         graft.operators.Ivf.train(emb, nlist = 16, iters = 2,
-          maxTrainRows = Some(20000)): Unit
+          maxTrainRows = Some(2000)): Unit
       }
       // maintained table: init at scale, then a merge touching ~1% of
       // keys — the merge must scale with the TOUCHED slice
