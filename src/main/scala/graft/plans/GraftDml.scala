@@ -368,6 +368,8 @@ final case class GraftUpdateCommand(name: String, dir: String,
   override def output: Seq[Attribute] = Nil
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val (keyProp, versionCol, deleteCol, _) = Compaction.readMeta(spark, dir)
+    val keys = keyProp.split(",").toSeq
     val current = Compaction.read(spark, dir)
     val filtered = condition match {
       case Some(c) => current.filter(expr(GraftDml.bare(c)))
@@ -377,6 +379,17 @@ final case class GraftUpdateCommand(name: String, dir: String,
       val target = GraftDml.bare(a.key).stripPrefix("`").stripSuffix("`")
       if (!current.columns.exists(_.equalsIgnoreCase(target)))
         GraftDml.fail(s"UPDATE SET targets unknown column $target")
+      // assigning a KEY column would upsert a NEW key and leave the
+      // old row behind (a silent duplicate, not a move); assigning the
+      // version or tombstone columns would corrupt the merge's
+      // reconciliation. Refuse all three rather than mis-apply.
+      if (keys.exists(_.equalsIgnoreCase(target)))
+        GraftDml.fail(s"UPDATE may not change merge key column $target " +
+          "(delete the old key and insert the new one)")
+      if (versionCol.equalsIgnoreCase(target) ||
+          deleteCol.equalsIgnoreCase(target))
+        GraftDml.fail(s"UPDATE may not change engine column $target " +
+          "(versions advance via MERGE; deletes via DELETE)")
       df.withColumn(target, expr(GraftDml.bare(a.value)))
     }
     Compaction.merge(spark, dir, updated)

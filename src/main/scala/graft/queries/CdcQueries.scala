@@ -548,6 +548,36 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // SQL UPDATE + DELETE over the registered maintained table: both
+    // lower onto tombstone/upsert merges built from the CURRENT
+    // matching rows at their stored version (the change-beats-stored
+    // tie-break lands them without inventing versions). Oracle =
+    // apply the same UPDATE/DELETE relationally to the initial
+    // snapshot.
+    "sql_update_delete" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") +
+        "/graft-sql-upd-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir,
+        key = "id", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.plans.GraftTables.register(s, "sql_upd_tbl", tableDir)
+      graft.plans.GraftTables.sql(s,
+        "UPDATE sql_upd_tbl SET price = price * 2 WHERE id % 10 = 0")
+      graft.plans.GraftTables.sql(s,
+        "DELETE FROM sql_upd_tbl WHERE id % 14 = 0")
+      s.table("sql_upd_tbl")
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(dec18(col("price"))).cast("double").as("total"))
+    }),
+
     // composite merge key on lineitem's natural (l_orderkey,
     // l_linenumber) PK: the table buckets on the hash of the TUPLE and
     // every merge/lookup reconciles per tuple — real CDC tables key on
@@ -1332,6 +1362,22 @@ object CdcQueries {
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // relational replay of the UPDATE then DELETE
+    "sql_update_delete" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |updated AS (
+        |  SELECT id,
+        |    CASE WHEN id % 10 = 0
+        |      THEN CAST(price * 2 AS DOUBLE) ELSE price END AS price
+        |  FROM snap),
+        |kept AS (SELECT * FROM updated WHERE id % 14 <> 0)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM kept""".stripMargin,
 
     // composite (ok, ln) tuple latest-wins recompute
     "cdc_composite_key" ->

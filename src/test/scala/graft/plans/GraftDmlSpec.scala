@@ -138,5 +138,15 @@ class GraftDmlSpec extends SparkSpec {
     // non-DML SQL passes straight through to spark.sql
     assert(GraftTables.sql(spark,
       s"SELECT count(*) AS n FROM $name").as[Long].head() == 100L)
+    // UPDATE may not rewrite key/engine columns (a key change would
+    // duplicate, not move; a version change would corrupt the merge)
+    val eKey = intercept[Exception] {
+      GraftTables.sql(spark, s"UPDATE $name SET id = id + 1 WHERE id = 1")
+    }
+    assert(eKey.getMessage.contains("merge key"), eKey.getMessage)
+    val eVer = intercept[Exception] {
+      GraftTables.sql(spark, s"UPDATE $name SET version = 99 WHERE id = 1")
+    }
+    assert(eVer.getMessage.contains("engine column"), eVer.getMessage)
   }
 }
