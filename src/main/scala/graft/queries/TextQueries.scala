@@ -469,9 +469,11 @@ object TextQueries {
       col("bucket"), col("prefix").as("pb"), col("sig").as("sb"))
     a.join(b, Seq("lang", "bucket"))
       .filter(col("id_b") > col("id_a"))
-      .filter(aggregate(
-        zip_with(col("sa"), col("sb"), (x, y) => abs(x - y)),
-        lit(0), (acc, v) => acc + v) <= lit(2 * maxDist))
+      // native codegen'd L1 (BagDistanceExpr) — the interpreted
+      // zip_with fold cost about as much per pair as the kernel it
+      // guards; the fused loop is ~10x cheaper
+      .filter(graft.functions.BagDistanceExpr
+        .bagL1(col("sa"), col("sb")) <= lit(2 * maxDist))
       .select(col("id_a"), col("id_b"),
         graft.functions.BandedLevenshteinExpr
           .bandedLevenshtein(col("pa"), col("pb"), maxDist)
