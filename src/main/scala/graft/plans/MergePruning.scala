@@ -51,13 +51,23 @@ import graft.cdc.TxLog
   */
 object MergePruning extends Rule[LogicalPlan] {
 
+  /** One zone-mappable component of a bucket: its base files, or the
+    * union of its merge-on-read delta files (min is never recorded for
+    * deltas — a missing stat keeps the bucket conservatively).
+    */
+  private final case class Comp(min: Option[String], max: Option[String])
+
   private final case class Info(
       tableDir: String, version: Long, keys: Seq[String],
       versionCol: Option[String],
       nBuckets: Int,
-      bucketDirs: Map[Int, String],
-      minv: Map[Int, String],
-      maxv: Map[Int, String])
+      /** every live directory of each bucket: the base dir plus any
+        * merge-on-read delta dirs — key pruning keeps or drops them
+        * TOGETHER (same hash), which is what keeps the rule sound on
+        * the fold plan's base+delta scan leg.
+        */
+      bucketDirs: Map[Int, Seq[String]],
+      comps: Map[Int, Seq[Comp]])
 
   /** table dir -> cached manifest metadata (re-validated against the
     * latest committed version on every use, so a refresh invalidates
@@ -106,19 +116,21 @@ object MergePruning extends Rule[LogicalPlan] {
         // Scd2/Compaction manifests carry a version column (zone maps
         // possible); AggView's don't — key pruning still applies
         val versionCol = snap.prop("version_col")
+        val deltas = snap.deltas
+        val ids = snap.buckets.keySet ++ deltas.keySet
         val info = Info(tableDir, latest,
           key.split(",").toSeq.filter(_.nonEmpty), versionCol, nBuckets,
-          bucketDirs = snap.buckets.map { case (b, rel) =>
-            b -> normalize(s"$tableDir/data/$rel")
-          },
-          minv = snap.props.collect {
-            case (k, v) if k.startsWith("minv.") =>
-              k.drop("minv.".length).toInt -> v
-          },
-          maxv = snap.props.collect {
-            case (k, v) if k.startsWith("maxv.") =>
-              k.drop("maxv.".length).toInt -> v
-          })
+          bucketDirs = ids.map { b =>
+            b -> (snap.buckets.get(b).toSeq ++ deltas.getOrElse(b, Nil))
+              .map(rel => normalize(s"$tableDir/data/$rel"))
+          }.toMap,
+          comps = ids.map { b =>
+            val base = snap.buckets.get(b).map(_ =>
+              Comp(snap.prop(s"minv.$b"), snap.prop(s"maxv.$b")))
+            val delta = deltas.get(b).map(_ =>
+              Comp(None, snap.prop(s"dmaxv.$b")))
+            b -> (base.toSeq ++ delta.toSeq)
+          }.toMap)
         cache.put(tableDir, info)
         info
       }
@@ -152,9 +164,11 @@ object MergePruning extends Rule[LogicalPlan] {
 
     // stale plan (manifest advanced since the scan was built): bail
     val rootSet = roots.map(p => normalize(p.toString)).toSet
-    if (!rootSet.subsetOf(info.bucketDirs.values.toSet)) return None
-    val liveHere: Map[Int, String] =
-      info.bucketDirs.filter { case (_, d) => rootSet.contains(d) }
+    if (!rootSet.subsetOf(info.bucketDirs.values.flatten.toSet)) return None
+    val liveHere: Map[Int, Seq[String]] =
+      info.bucketDirs.map { case (b, ds) =>
+        b -> ds.filter(rootSet.contains)
+      }.filter(_._2.nonEmpty)
 
     // single-column leaf pruning applies only to single-column keys; a
     // composite key needs the FULL tuple bound (see compositeBucket)
@@ -213,17 +227,22 @@ object MergePruning extends Rule[LogicalPlan] {
           }
       }
 
-    /** Buckets whose [min, max] version envelope can satisfy the
-      * predicate (typed zone-map comparison; see [[statHolds]]).
+    /** Buckets with ANY component (base files, or the merge-on-read
+      * delta union) whose [min, max] envelope can satisfy the
+      * predicate — a bucket with no recorded components is kept
+      * conservatively (typed zone-map comparison; see [[statHolds]]).
       */
-    def zonePass(keep: Int => Boolean): Set[Int] =
-      liveHere.keySet.filter(keep)
+    def zonePass(keep: Comp => Boolean): Set[Int] =
+      liveHere.keySet.filter { b =>
+        val cs = info.comps.getOrElse(b, Nil)
+        cs.isEmpty || cs.exists(keep)
+      }
     def maxHolds(a: AttributeReference, l: Literal,
-        op: (Expression, Expression) => Expression)(b: Int): Boolean =
-      statHolds(info.maxv.get(b), a, l, op)
+        op: (Expression, Expression) => Expression)(c: Comp): Boolean =
+      statHolds(c.max, a, l, op)
     def minHolds(a: AttributeReference, l: Literal,
-        op: (Expression, Expression) => Expression)(b: Int): Boolean =
-      statHolds(info.minv.get(b), a, l, op)
+        op: (Expression, Expression) => Expression)(c: Comp): Boolean =
+      statHolds(c.min, a, l, op)
 
     // the allowed-bucket set a predicate subtree implies (None = not
     // prunable): AND intersects — a non-prunable conjunct is simply
@@ -296,8 +315,8 @@ object MergePruning extends Rule[LogicalPlan] {
       case (None, Some(a)) => a
       case (None, None) => return None
     }
-    val keptDirs =
-      liveHere.view.filterKeys(allowedBuckets.contains).values.toSeq
+    val keptDirs = liveHere.view
+      .filterKeys(allowedBuckets.contains).values.flatten.toSeq
     if (keptDirs.size == rootSet.size) return None
 
     val newIndex = new InMemoryFileIndex(spark,

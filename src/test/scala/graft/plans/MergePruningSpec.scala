@@ -54,6 +54,37 @@ class MergePruningSpec extends SparkSpec {
     assert(lookedUp.forall(f => dirs.exists(d => f.startsWith(d))))
   }
 
+  test("SQL point lookup on a merge-on-read table prunes base AND delta dirs") {
+    val dir = freshTable()
+    // two scattered MoR merges: the table now has delta dirs the
+    // pruning map must recognize (a pre-round-6 rule bailed on them)
+    Compaction.merge(spark, dir,
+      Seq((7L, "d1-7", 1L, false), (9L, "d1-9", 1L, false))
+        .toDF("id", "payload", "version", "deleted"), mergeOnRead = true)
+    Compaction.merge(spark, dir,
+      Seq((7L, "d2-7", 2L, false)).toDF("id", "payload", "version", "deleted"),
+      mergeOnRead = true)
+    view(dir, "mp_mor")
+    val df = spark.sql("SELECT payload FROM mp_mor WHERE id = 7")
+    // the fold reconciles: latest delta wins
+    assert(df.as[String].collect().toSeq == Seq("d2-7"))
+    // every scanned dir belongs to key 7's bucket — base or delta;
+    // no other bucket's directory opens anywhere in the plan (the
+    // programmatic lookup's files define the bucket's dir set)
+    val allowed = Compaction.lookup(spark, dir, 7L).inputFiles
+      .map(f => new java.net.URI(f).getPath)
+      .map(p => p.substring(0, p.lastIndexOf('/'))).toSet
+    val dirs = scanDirs(df)
+    assert(dirs.nonEmpty && dirs.subsetOf(allowed),
+      s"scanned outside key 7's bucket: ${dirs -- allowed}")
+    // a watermark query on the dirty table still answers correctly
+    // (the version filter stays above the fold window — whole-bucket
+    // key pruning is the only prune that reaches the dirty leg)
+    val since = spark.sql(
+      "SELECT id FROM mp_mor WHERE version > 1 ORDER BY id")
+    assert(since.as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("null-safe equality (<=>) prunes like equality") {
     val dir = freshTable()
     view(dir, "mp_nse")
