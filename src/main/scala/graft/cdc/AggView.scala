@@ -73,6 +73,7 @@ object AggView {
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", ".staging", "meta")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
+    TxLog.invalidate(dir)
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
     val state = partials(df, keys, valueCol)
       .withColumn("bucket", bucketOf(keys.map(col), nBuckets))

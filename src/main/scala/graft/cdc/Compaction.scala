@@ -126,6 +126,7 @@ object Compaction {
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", "feed", ".staging", "meta", "_history")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
+    TxLog.invalidate(dir)
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
     df.filter(!col(deleteCol))
       .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
@@ -360,6 +361,24 @@ object Compaction {
   /** The live table, without the internal bucket column. */
   def read(spark: SparkSession, dir: String): DataFrame =
     storedData(spark, dir, loadMeta(spark, dir)).drop("bucket")
+
+  /** The table's current committed version (0 = the initial snapshot,
+    * each merge/compact/rebucket adds one) — the handle for
+    * [[readAsOf]] and for `expectedBase`-fenced read-modify-writes.
+    */
+  def version(spark: SparkSession, dir: String): Long =
+    loadMeta(spark, dir).snap.version
+
+  /** The live table plus the version it was resolved at, from ONE
+    * manifest read — the atomic pair a read-modify-write needs to pin
+    * its base ([[merge]]'s `expectedBase`) without a window between
+    * "which version" and "which rows".
+    */
+  private[graft] def readWithVersion(spark: SparkSession,
+      dir: String): (Long, DataFrame) = {
+    val m = loadMeta(spark, dir)
+    (m.snap.version, storedData(spark, dir, m).drop("bucket"))
+  }
 
   /** Point lookup by key: the bucket function pins WHICH single bucket
     * directory can hold the key, the manifest maps it to its one
@@ -665,11 +684,12 @@ object Compaction {
 
   def merge(spark: SparkSession, dir: String, changelog: DataFrame,
       emitFeed: Boolean = false, retainHistory: Boolean = false,
-      mergeOnRead: Boolean = false): MergeStats = {
+      mergeOnRead: Boolean = false,
+      expectedBase: Option[Long] = None): MergeStats = {
     var attempts = 0
     while (true) {
       try return mergeBucketed(spark, dir, changelog, emitFeed,
-        retainHistory, mergeOnRead)
+        retainHistory, mergeOnRead, expectedBase)
       catch { case _: RebucketedDuringWrite if attempts < 3 => attempts += 1 }
     }
     sys.error("unreachable")
@@ -678,13 +698,23 @@ object Compaction {
   private def mergeBucketed(spark: SparkSession, dir: String,
       changelog: DataFrame,
       emitFeed: Boolean, retainHistory: Boolean,
-      mergeOnRead: Boolean): MergeStats = {
+      mergeOnRead: Boolean, expectedBase: Option[Long]): MergeStats = {
     // bucketing params change only under a (rare) concurrent rebucket
     // — detected inside mergeOnce, restarting merge() wholesale — so
     // the bucketed changelog, the expensive input, is computed and
     // cached ONCE and reused verbatim across OCC retries; each attempt
     // re-resolves the manifest snapshot inside withOcc.
     val m0 = loadMeta(spark, dir)
+    // check the read-modify-write fence BEFORE materializing the
+    // changelog: when the table already advanced past the caller's
+    // snapshot, that snapshot's files may have been vacuumed — reading
+    // them would fail with FILE_NOT_EXIST instead of the actionable
+    // StaleBase (the in-OCC re-check below still covers a commit that
+    // lands between here and ours)
+    expectedBase.filter(_ != m0.snap.version).foreach { want =>
+      throw new TxLog.StaleBase(
+        s"changelog derived at v$want but table is at v${m0.snap.version}")
+    }
     val dataCols = changelog.columns.filterNot(_ == "bucket")
     requireNoReserved(dataCols.toSeq, "changelog schema")
     val changes = changelog
@@ -698,7 +728,7 @@ object Compaction {
       if (touched.isEmpty) return MergeStats(Nil, Nil, 0L)
       TxLog.withOcc(spark, dir) {
         mergeOnce(spark, dir, changes, dataCols.toSeq, touched,
-          m0.nBuckets, emitFeed, retainHistory, mergeOnRead)
+          m0.nBuckets, emitFeed, retainHistory, mergeOnRead, expectedBase)
       }
     } finally changes.unpersist()
   }
@@ -707,8 +737,19 @@ object Compaction {
       changes: DataFrame, dataCols: Seq[String], touched: Seq[Int],
       bucketedWith: Int,
       emitFeed: Boolean, retainHistory: Boolean,
-      mergeOnRead: Boolean): MergeStats = {
+      mergeOnRead: Boolean, expectedBase: Option[Long]): MergeStats = {
     val m = loadMeta(spark, dir)
+    // read-modify-write fence: a caller whose changelog was DERIVED
+    // from a specific snapshot (SQL UPDATE/DELETE re-emitting current
+    // rows at their stored version) pins that version here; if the
+    // table advanced, committing the stale pre-images would silently
+    // overwrite the concurrent writer (lost update). StaleBase is
+    // non-retryable by withOcc on purpose — only the CALLER can
+    // rebuild the changelog against the new snapshot.
+    expectedBase.filter(_ != m.snap.version).foreach { want =>
+      throw new TxLog.StaleBase(
+        s"changelog derived at v$want but table is at v${m.snap.version}")
+    }
     if (m.nBuckets != bucketedWith) throw new RebucketedDuringWrite
     val versionCol = m.versionCol
     // clear crashed writers' leftovers (grace-aware: a LIVE concurrent

@@ -61,6 +61,7 @@ object Replicator {
       if (nBuckets > 0) nBuckets else srcBuckets)
     TxLog.fs(spark, replicaDir)
       .delete(new org.apache.hadoop.fs.Path(syncDir(replicaDir)), true)
+    TxLog.invalidate(syncDir(replicaDir))
     TxLog.commit(spark, syncDir(replicaDir), 0L,
       Map("last_batch" -> head.toString))
   }
@@ -69,14 +70,23 @@ object Replicator {
     * consumer position (−1 ⇒ source never published). Idempotent: a
     * crashed sync's replay converges, and a sync with nothing new is
     * a metadata-only no-op.
+    *
+    * `upTo` bounds the drain: only batches ≤ it are merged and the
+    * offset advances no further. This is how a rate-limited streaming
+    * consumer ([[graft.streaming.StreamingReplicator]]'s
+    * `maxBatchesPerTrigger`) makes its admission control bound APPLIED
+    * work, not just stream offsets — each micro-batch merges exactly
+    * its admitted feed slice instead of the first one draining the
+    * whole backlog.
     */
-  def sync(spark: SparkSession, sourceDir: String, replicaDir: String): Long = {
+  def sync(spark: SparkSession, sourceDir: String, replicaDir: String,
+      upTo: Long = Long.MaxValue): Long = {
     val last = lastApplied(spark, replicaDir)
-    val head = sourceHead(spark, sourceDir)
+    val head = math.min(sourceHead(spark, sourceDir), upTo)
     if (head <= last) return last
     val (_, _, deleteCol, _) = Compaction.readMeta(spark, replicaDir)
     val slice = Compaction.readFeed(spark, sourceDir)
-      .filter(col("batch") > last) // partition-pruned resume
+      .filter(col("batch") > last && col("batch") <= head) // partition-pruned
     Compaction.merge(spark, replicaDir,
       Compaction.feedAsChangelog(slice, deleteCol))
     // the offset advances only after the merge committed: the crash

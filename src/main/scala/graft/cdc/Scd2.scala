@@ -96,6 +96,7 @@ object Scd2 {
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", ".staging", "meta")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
+    TxLog.invalidate(dir)
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
     window(df, keys, versionCol, deleteCol)
       .withColumn("bucket", bucketOf(keys.map(col), nBuckets))

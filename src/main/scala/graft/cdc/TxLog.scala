@@ -54,6 +54,17 @@ private[graft] object TxLog {
   final class PostCommitPublishFailure(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)
 
+  /** Thrown by a merge whose caller pinned the snapshot version its
+    * changelog was DERIVED from (`expectedBase`) when the table has
+    * advanced past it. Deliberately NOT retryable by [[withOcc]]: the
+    * changelog itself is stale — recommitting it against the new
+    * snapshot would replay pre-images over a concurrent writer's rows
+    * (the read-modify-write lost update SQL UPDATE/DELETE would
+    * otherwise be exposed to). Callers rebuild the changelog from the
+    * new snapshot and retry the WHOLE read-modify-write.
+    */
+  final class StaleBase(msg: String) extends IllegalStateException(msg)
+
   /** How long an UNREFERENCED generation directory numbered above the
     * latest committed version — which is either a crashed writer's
     * orphan or a LIVE concurrent writer's in-flight install — survives
@@ -91,6 +102,9 @@ private[graft] object TxLog {
         // the table committed; only the downstream publish failed —
         // retrying the body would re-run an already-applied merge
         case e: PostCommitPublishFailure => throw e
+        // the caller's changelog is derived from an outdated snapshot;
+        // only the caller can rebuild it (see StaleBase)
+        case e: StaleBase => throw e
         case _: CommitConflict if attempt < maxAttempts => attempt += 1
         case scala.util.control.NonFatal(_) if attempt < maxAttempts &&
             latestVersion(spark, dir).getOrElse(-1L) != seen =>
@@ -286,7 +300,7 @@ private[graft] object TxLog {
     * concurrent-writer fence.
     */
   def commit(spark: SparkSession, dir: String, v: Long,
-      props: Map[String, String]): Snapshot = {
+      props0: Map[String, String]): Snapshot = {
     val f = fs(spark, dir)
     f.mkdirs(manifestDir(dir))
     // vacuum fence fast path: the slot was committed once and vacuumed
@@ -294,6 +308,17 @@ private[graft] object TxLog {
     if (v <= highestVacuumed(spark, dir))
       throw new CommitConflict(
         s"commit of version $v refused: the slot was committed and vacuumed")
+    // commit LINEAGE: every manifest records a writer-unique txn_id and
+    // the txn_id of the version it built on. The post-rename vacuum
+    // fence below uses it to distinguish "our slot was vacated before
+    // our rename" (fork — must abort) from "our committed version was
+    // legitimately consumed by a successor and then vacuumed" (success
+    // — aborting would orphan an already-reserved feed batch and drop
+    // its change events on the retry's zero-effect re-merge).
+    val txnId = java.util.UUID.randomUUID().toString.take(8)
+    val props = props0 ++ Map("txn_id" -> txnId) ++
+      latest(spark, dir).filter(_.version == v - 1)
+        .flatMap(_.prop("txn_id")).map("base_txn" -> _)
     val tmp = new Path(manifestDir(dir),
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val p = new java.util.Properties()
@@ -336,12 +361,31 @@ private[graft] object TxLog {
     // never deletes the latest), so no reader can have resolved our
     // deleted manifest as the table's latest.
     if (v <= highestVacuumed(spark, dir)) {
+      // before self-aborting, check whether a LATER committed version
+      // chains off OUR txn: if so, our commit was read and consumed by
+      // a successor whose vacuum tombstoned v — the commit SUCCEEDED
+      // and reporting conflict would replay an applied merge (and lose
+      // its reserved feed batch). Only the direct successor carries
+      // our txn_id; if it too was vacuumed inside this microsecond
+      // window we conservatively keep the (previous) abort behavior.
+      val consumed = versionsOnDisk(spark, dir).filter(_ > v).exists { w =>
+        try load(f, manifestPath(dir, w)).get("base_txn").contains(txnId)
+        catch { case _: java.io.FileNotFoundException => false }
+      }
+      if (consumed) return Snapshot(v, props)
       f.delete(dst, false)
       throw new CommitConflict(
         s"commit of version $v landed in a vacuumed slot; self-aborted")
     }
     Snapshot(v, props)
   }
+
+  /** Drop a table's memoized snapshot — called by the init paths so a
+    * same-JVM re-init can never serve the previous table's cached
+    * manifest even when the replacement lands with an identical
+    * (version, length, mtime) triple on a coarse-mtime filesystem.
+    */
+  private[graft] def invalidate(dir: String): Unit = snapCache.remove(dir)
 
   /** Post-commit / pre-merge garbage sweep:
     *  - generation directories numbered AT OR BELOW the latest

@@ -169,6 +169,54 @@ object GraftDml extends Rule[LogicalPlan] {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     }.sql
 
+  /** The read-modify-write loop SQL UPDATE/DELETE share: resolve the
+    * table WITH its version in one manifest read, let the caller derive
+    * the changelog from that exact snapshot, and commit it with the
+    * version pinned (`expectedBase`). A concurrent commit in the window
+    * surfaces as [[graft.cdc.TxLog.StaleBase]] — the changelog is
+    * rebuilt from the NEW snapshot and retried, so the statement
+    * applies to what the table actually holds instead of overwriting
+    * the concurrent writer with stale pre-images.
+    */
+  private[plans] def rmwLoop(spark: SparkSession, dir: String,
+      name: String)(derive: DataFrame => DataFrame): Unit = {
+    val maxAttempts = 8
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val (base, current) = Compaction.readWithVersion(spark, dir)
+      val changelog = derive(current)
+      try {
+        Compaction.merge(spark, dir, changelog, expectedBase = Some(base))
+        done = true
+      } catch {
+        case _: graft.cdc.TxLog.StaleBase if attempt < maxAttempts =>
+          attempt += 1
+        // a concurrent writer's vacuum can delete our snapshot's files
+        // between the fence check and the changelog materialization —
+        // the same staleness, surfaced by the scan instead of the
+        // fence: rebuild from the new snapshot exactly like StaleBase
+        case e: Exception if attempt < maxAttempts && isVacuumedRead(e) =>
+          attempt += 1
+      }
+    }
+    GraftTables.refresh(spark, name)
+  }
+
+  /** A scan failure caused by the snapshot's files being vacuumed
+    * underneath an in-flight read (Spark's FAILED_READ_FILE /
+    * FileNotFound anywhere in the cause chain) — for a pinned-base
+    * read-modify-write this means the base is stale, not that data is
+    * lost: the current snapshot has the rows.
+    */
+  private def isVacuumedRead(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+      t =>
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(t.getMessage).exists(m =>
+          m.contains("FAILED_READ_FILE") || m.contains("does not exist"))
+    }
+
   private[plans] def fail(msg: String): Nothing =
     throw new AnalysisException(
       errorClass = "_LEGACY_ERROR_TEMP_3100", // generic internal-error class with message slot
@@ -360,6 +408,17 @@ final case class GraftInsertCommand(name: String, dir: String,
 /** UPDATE <registered> SET … [WHERE …] — the changelog is the CURRENT
   * matching rows with the assignments applied at their stored version;
   * the merge's change-beats-stored tie-break lands them.
+  *
+  * Two read-modify-write guarantees the naive lowering lacks:
+  *  - every assignment RHS evaluates against the PRE-update row (SQL
+  *    semantics): all new values are computed in ONE projection, so
+  *    `SET a = b, b = a` swaps instead of copying;
+  *  - the snapshot the changelog was derived from is pinned
+  *    (`expectedBase`): if a concurrent writer commits between our
+  *    read and our merge, the merge aborts with
+  *    [[graft.cdc.TxLog.StaleBase]] and the WHOLE statement rebuilds
+  *    against the new snapshot — the stale pre-images can never
+  *    silently overwrite the concurrent write (lost update).
   */
 final case class GraftUpdateCommand(name: String, dir: String,
     assignments: Seq[Assignment],
@@ -370,36 +429,48 @@ final case class GraftUpdateCommand(name: String, dir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val (keyProp, versionCol, deleteCol, _) = Compaction.readMeta(spark, dir)
     val keys = keyProp.split(",").toSeq
-    val current = Compaction.read(spark, dir)
-    val filtered = condition match {
-      case Some(c) => current.filter(expr(GraftDml.bare(c)))
-      case None => current
+    GraftDml.rmwLoop(spark, dir, name) { current =>
+      val filtered = condition match {
+        case Some(c) => current.filter(expr(GraftDml.bare(c)))
+        case None => current
+      }
+      val byTarget = assignments.map { a =>
+        val target = GraftDml.bare(a.key).stripPrefix("`").stripSuffix("`")
+        if (!current.columns.exists(_.equalsIgnoreCase(target)))
+          GraftDml.fail(s"UPDATE SET targets unknown column $target")
+        // assigning a KEY column would upsert a NEW key and leave the
+        // old row behind (a silent duplicate, not a move); assigning
+        // the version or tombstone columns would corrupt the merge's
+        // reconciliation. Refuse all three rather than mis-apply.
+        if (keys.exists(_.equalsIgnoreCase(target)))
+          GraftDml.fail(s"UPDATE may not change merge key column $target " +
+            "(delete the old key and insert the new one)")
+        if (versionCol.equalsIgnoreCase(target) ||
+            deleteCol.equalsIgnoreCase(target))
+          GraftDml.fail(s"UPDATE may not change engine column $target " +
+            "(versions advance via MERGE; deletes via DELETE)")
+        target.toLowerCase -> a.value
+      }
+      if (byTarget.map(_._1).distinct.size != byTarget.size)
+        GraftDml.fail("UPDATE SET assigns the same column twice")
+      val lookup = byTarget.toMap
+      // ONE projection: every RHS sees the pre-update row, per SQL
+      filtered.select(current.columns.map { c =>
+        lookup.get(c.toLowerCase) match {
+          case Some(rhs) => expr(GraftDml.bare(rhs)).as(c)
+          case None => col(c)
+        }
+      }: _*)
     }
-    val updated = assignments.foldLeft(filtered) { (df, a) =>
-      val target = GraftDml.bare(a.key).stripPrefix("`").stripSuffix("`")
-      if (!current.columns.exists(_.equalsIgnoreCase(target)))
-        GraftDml.fail(s"UPDATE SET targets unknown column $target")
-      // assigning a KEY column would upsert a NEW key and leave the
-      // old row behind (a silent duplicate, not a move); assigning the
-      // version or tombstone columns would corrupt the merge's
-      // reconciliation. Refuse all three rather than mis-apply.
-      if (keys.exists(_.equalsIgnoreCase(target)))
-        GraftDml.fail(s"UPDATE may not change merge key column $target " +
-          "(delete the old key and insert the new one)")
-      if (versionCol.equalsIgnoreCase(target) ||
-          deleteCol.equalsIgnoreCase(target))
-        GraftDml.fail(s"UPDATE may not change engine column $target " +
-          "(versions advance via MERGE; deletes via DELETE)")
-      df.withColumn(target, expr(GraftDml.bare(a.value)))
-    }
-    Compaction.merge(spark, dir, updated)
-    GraftTables.refresh(spark, name)
     Seq.empty
   }
 }
 
 /** DELETE FROM <registered> [WHERE …] — the changelog is the CURRENT
-  * matching rows as tombstones at their stored version.
+  * matching rows as tombstones at their stored version, derived and
+  * committed under the same [[GraftDml.rmwLoop]] stale-base fence as
+  * UPDATE (a concurrent writer's rows are never resurrected by a
+  * stale pre-image).
   */
 final case class GraftDeleteCommand(name: String, dir: String,
     condition: Option[Expression]) extends LeafRunnableCommand {
@@ -408,13 +479,13 @@ final case class GraftDeleteCommand(name: String, dir: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (_, _, deleteCol, _) = Compaction.readMeta(spark, dir)
-    val current = Compaction.read(spark, dir)
-    val filtered = condition match {
-      case Some(c) => current.filter(expr(GraftDml.bare(c)))
-      case None => current
+    GraftDml.rmwLoop(spark, dir, name) { current =>
+      val filtered = condition match {
+        case Some(c) => current.filter(expr(GraftDml.bare(c)))
+        case None => current
+      }
+      filtered.withColumn(deleteCol, lit(true))
     }
-    Compaction.merge(spark, dir, filtered.withColumn(deleteCol, lit(true)))
-    GraftTables.refresh(spark, name)
     Seq.empty
   }
 }

@@ -56,7 +56,19 @@ object StreamingReplicator {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        Replicator.sync(batch.sparkSession, sourceDir, replicaDir)
+        // bound APPLIED work by the admitted slice: sync only up to
+        // the highest feed batch id this micro-batch admitted, so
+        // maxBatchesPerTrigger limits merge size per trigger instead
+        // of the first micro-batch draining the whole backlog and the
+        // rest being no-ops (the admitted ids are ≤ a handful of longs
+        // — a metadata-sized collect)
+        val admitted = batch.agg(
+          org.apache.spark.sql.functions.max("batch")).collect()
+        val upTo = if (admitted.isEmpty || admitted(0).isNullAt(0))
+          None else Some(admitted(0).getLong(0))
+        upTo.foreach(hi =>
+          Replicator.sync(batch.sparkSession, sourceDir, replicaDir,
+            upTo = hi))
         ()
       }
   }

@@ -75,4 +75,29 @@ class ReplicatorSpec extends SparkSpec {
     assert(Replicator.sync(spark, src, dst) == 0L)
     assert(state(dst) == synced)
   }
+
+  test("sync(upTo) applies only the admitted feed slice") {
+    val root = tmpDir("replicator3")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Compaction.init(
+      changeDf((1L to 10L).map(i => (i, s"v0-$i", 0L, false))),
+      src, "id", "version", "deleted", nBuckets = 4)
+    Replicator.init(spark, src, dst)
+    // three batches pile up
+    (1L to 3L).foreach { v =>
+      Compaction.merge(spark, src,
+        changeDf(Seq((v, s"v$v", v, false))), emitFeed = true)
+    }
+    // bounded drain: only batch 0 applies, the offset stops there
+    assert(Replicator.sync(spark, src, dst, upTo = 0L) == 0L)
+    val m1 = state(dst).map(r => r._1 -> r._2).toMap
+    assert(m1(1L) == "v1" && m1(2L) == "v0-2" && m1(3L) == "v0-3",
+      s"upTo=0 must apply exactly batch 0: $m1")
+    // upTo below the applied position is a no-op, never a rewind
+    assert(Replicator.sync(spark, src, dst, upTo = -1L) == 0L)
+    // the rest drains; upTo beyond head clamps to head
+    assert(Replicator.sync(spark, src, dst, upTo = 99L) == 2L)
+    assert(state(dst) == state(src))
+  }
 }

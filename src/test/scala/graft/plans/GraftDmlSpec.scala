@@ -149,4 +149,66 @@ class GraftDmlSpec extends SparkSpec {
     }
     assert(eVer.getMessage.contains("engine column"), eVer.getMessage)
   }
+
+  private def twoColTable(tag: String): (String, String) = {
+    val dir = tmpDir(s"dml-$tag") + "/t"
+    val name = s"dml_$tag"
+    Compaction.init(
+      spark.range(10).select(col("id"),
+        (col("id") * 10).as("a"), (col("id") * 100).as("b"),
+        lit(0L).as("version"), lit(false).as("deleted")),
+      dir, "id", "version", "deleted", nBuckets = 4)
+    GraftTables.register(spark, name, dir)
+    (dir, name)
+  }
+
+  test("multi-assignment UPDATE evaluates every RHS on the PRE-update row") {
+    val (_, name) = twoColTable("swap")
+    // SQL semantics: SET a = b, b = a SWAPS (both RHS see pre-images);
+    // a sequential withColumn lowering would leave b unchanged
+    GraftTables.sql(spark, s"UPDATE $name SET a = b, b = a WHERE id = 3")
+    val r = spark.table(name).filter(col("id") === 3)
+      .select("a", "b").as[(Long, Long)].head()
+    assert(r == ((300L, 30L)), s"expected swap (300,30), got $r")
+    // untouched rows intact
+    val r2 = spark.table(name).filter(col("id") === 4)
+      .select("a", "b").as[(Long, Long)].head()
+    assert(r2 == ((40L, 400L)))
+  }
+
+  test("UPDATE SET of the same column twice is rejected") {
+    val (_, name) = twoColTable("dup")
+    val e = intercept[Exception] {
+      GraftTables.sql(spark, s"UPDATE $name SET a = 1, a = 2 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("twice"), e.getMessage)
+  }
+
+  test("UPDATE rebuilds on a concurrent commit instead of losing it") {
+    val (dir, name) = twoColTable("race")
+    val interleaved = new java.util.concurrent.atomic.AtomicInteger(0)
+    // deterministic interleaving: the FIRST derive triggers a
+    // concurrent writer committing AFTER our snapshot read — the
+    // pinned-base merge must abort (StaleBase), and the retry must
+    // re-derive from the new snapshot so BOTH writes land
+    GraftDml.rmwLoop(spark, dir, name) { current =>
+      if (interleaved.getAndIncrement() == 0) {
+        Compaction.merge(spark, dir,
+          spark.range(1).select(lit(5L).as("id"), lit(-1L).as("a"),
+            lit(-2L).as("b"), lit(1L).as("version"),
+            lit(false).as("deleted")))
+      }
+      // the statement: SET a = a + 1000 WHERE id = 5 — derived from
+      // whatever snapshot `current` resolves
+      current.filter(col("id") === 5)
+        .withColumn("a", col("a") + 1000)
+    }
+    assert(interleaved.get() == 2,
+      s"expected a StaleBase retry (2 derives), got ${interleaved.get()}")
+    val r = Compaction.read(spark, dir).filter(col("id") === 5)
+      .select("a", "b").as[(Long, Long)].head()
+    // the concurrent write (a=-1, b=-2) was seen by the retry: the
+    // update applied ON TOP of it, not over the stale pre-image
+    assert(r == ((999L, -2L)), s"lost update: got $r")
+  }
 }

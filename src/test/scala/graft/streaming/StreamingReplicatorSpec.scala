@@ -110,30 +110,22 @@ class StreamingReplicatorSpec extends SparkSpec {
       Compaction.merge(spark, src,
         changeDf(Seq((v, s"v$v", v, false))), emitFeed = true)
     }
-    val microBatches = new java.util.concurrent.atomic.AtomicInteger(0)
-    val q = spark.readStream
-      .format(classOf[FeedBatchSource].getName)
-      .option("path", src)
-      .option("maxBatchesPerTrigger", "1")
-      .load()
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          microBatches.incrementAndGet()
-          Replicator.sync(batch.sparkSession, src, dst)
-        }
-        ()
-      }
+    val dstVersionBefore = Compaction.version(spark, dst)
+    val q = StreamingReplicator.replicaStream(spark, src, dst,
+        maxBatchesPerTrigger = 1L)
       .option("checkpointLocation", s"$root/ckpt-rl")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     assert(q.exception.isEmpty, q.exception.toString)
     assert(state(dst) == state(src))
-    // admission control actually split the catch-up: one feed batch
-    // per micro-batch, so 4 non-empty micro-batches, not one bulk
-    assert(microBatches.get() == 4,
-      s"expected 4 rate-limited micro-batches, got ${microBatches.get()}")
+    // admission control bounds APPLIED work, not just stream offsets:
+    // each rate-limited micro-batch merged exactly its one admitted
+    // feed batch, so the replica advanced 4 versions (4 merges) —
+    // an unbounded first sync would have drained the backlog in ONE
+    // merge and left the replica at +1
+    assert(Compaction.version(spark, dst) == dstVersionBefore + 4,
+      s"expected 4 bounded merges, replica went " +
+        s"$dstVersionBefore -> ${Compaction.version(spark, dst)}")
   }
 }
