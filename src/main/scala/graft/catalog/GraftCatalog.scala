@@ -1,0 +1,463 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.{Compaction, TxLog}
+
+/** A DataSource-v2 `TableCatalog` over [[graft.cdc.Compaction]]
+  * maintained tables — the step from "library with a SQL hijack" to
+  * "table format". Register once:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  * }}}
+  *
+  * and plain SQL manages and reads maintained tables with no
+  * per-session `register()` call:
+  *
+  * {{{
+  *   CREATE TABLE graft.users (id BIGINT, name STRING,
+  *     version BIGINT, deleted BOOLEAN)
+  *     TBLPROPERTIES ('keys'='id', 'buckets'='64')
+  *   INSERT INTO graft.users SELECT ...          -- upsert merge
+  *   SELECT * FROM graft.users WHERE id = 7      -- bucket-pruned
+  *   SELECT * FROM graft.users VERSION AS OF 2   -- time travel
+  *   SHOW TABLES IN graft
+  *   MERGE INTO graft.users USING changes ON ... -- via GraftDml
+  * }}}
+  *
+  * Analog in the reference: its ORM resolves table names against the
+  * database catalog (`/root/reference/app/models.py` declares `users`
+  * once, every query resolves it by name) — this is the maintained-
+  * table catalog for Spark SQL users.
+  *
+  * Read path: the table exposes a `V1Scan` whose relation is the SAME
+  * logical read `Compaction.read`/`readAsOf` hands out, with pushed
+  * filters and column pruning applied INSIDE it — so the manifest-
+  * pruned parquet scan, the merge-on-read fold, and the
+  * [[graft.plans.MergePruning]] bucket/zone-map rule (a session
+  * optimizer rule: it optimizes the inner plan when the RDD is
+  * materialized) all engage exactly as they do for the programmatic
+  * API. Pushed filters are also re-applied by Spark above the scan
+  * (we return every filter as post-scan), so pushdown here is a data
+  * reduction, never a correctness dependency.
+  *
+  * Write path: `V1Write` → `InsertableRelation` → one
+  * [[Compaction.merge]] (append = upsert-by-version, the reference's
+  * ON CONFLICT) or a full re-init (INSERT OVERWRITE / truncate),
+  * keeping every table invariant (OCC fence, manifest stats, feed
+  * counter) because the only write route IS the engine's own.
+  *
+  * Layout: `<warehouse>/<namespace...>/<table>` is the table dir; a
+  * `CREATE TABLE ... LOCATION '<dir>'` writes a `.location` redirect
+  * so existing tables attach without moving data.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      org.apache.spark.sql.internal.SQLConf.get.warehousePath
+        .stripSuffix("/") + s"/$name")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The managed directory for an identifier (before any `.location`
+    * redirect).
+    */
+  private def managedDir(ident: Identifier): String =
+    (warehouse.stripSuffix("/") +: (ident.namespace() :+ ident.name()))
+      .mkString("/")
+
+  private def redirectPath(ident: Identifier) =
+    new Path(managedDir(ident), ".location")
+
+  /** The table's data directory: the managed path, unless a
+    * `.location` redirect (written by CREATE ... LOCATION) points at
+    * an external one.
+    */
+  def tableDir(ident: Identifier): String = {
+    val f = TxLog.fs(spark, warehouse)
+    val rp = redirectPath(ident)
+    if (f.exists(rp)) {
+      val in = f.open(rp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else managedDir(ident)
+  }
+
+  private def isTable(ident: Identifier): Boolean =
+    TxLog.latestVersion(spark, tableDir(ident)).isDefined
+
+  override def tableExists(ident: Identifier): Boolean = isTable(ident)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val f = TxLog.fs(spark, warehouse)
+    val nsDir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!f.exists(nsDir)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    }
+    f.listStatus(nsDir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isTable(Identifier.of(namespace, n)))
+      .map(n => Identifier.of(namespace, n))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!isTable(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(fullName(ident), tableDir(ident), None)
+  }
+
+  /** SQL `VERSION AS OF <v>` — resolves straight onto
+    * [[Compaction.readAsOf]] (manifests are immutable; time travel is
+    * "read manifest v").
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!isTable(ident)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft version must be a commit number, got '$version'")
+    }
+    new GraftTable(fullName(ident), tableDir(ident), Some(v))
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` (micros since epoch) — the greatest
+    * version committed at or before the timestamp, by manifest mtime.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!isTable(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val v = Compaction.versionAsOfTimestamp(spark, dir, timestamp / 1000L)
+    new GraftTable(fullName(ident), dir, Some(v))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
+
+  private def prop(properties: util.Map[String, String],
+      key: String): Option[String] =
+    Option(properties.get(key))
+      .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + key)))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (isTable(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft tables are hash-bucketed on their merge keys " +
+        "('buckets' property), not PARTITIONED BY")
+    val keys = prop(properties, "keys").orElse(prop(properties, "key"))
+      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft tables need TBLPROPERTIES ('keys'='<merge key column(s)>')"))
+    val versionCol = prop(properties, "version_col").getOrElse("version")
+    val deleteCol = prop(properties, "delete_col").getOrElse("deleted")
+    val nBuckets = prop(properties, "buckets").map(_.toInt).getOrElse(256)
+    val clusterBy = prop(properties, "cluster_by")
+      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val location = prop(properties, TableCatalog.PROP_LOCATION)
+    val dir = location.getOrElse(managedDir(ident))
+    location.foreach { loc =>
+      // external attach: persist the redirect under the managed path
+      val f = TxLog.fs(spark, warehouse)
+      f.mkdirs(new Path(managedDir(ident)))
+      val out = f.create(redirectPath(ident), true)
+      try out.write(loc.getBytes("UTF-8")) finally out.close()
+    }
+    if (TxLog.latestVersion(spark, dir).isDefined) {
+      // LOCATION naming an existing maintained table: attach, don't
+      // clobber — CREATE is then a catalog registration only
+      val existing = Compaction.readMeta(spark, dir)
+      require(existing._1 == keys.mkString(","),
+        s"existing table at $dir has keys (${existing._1}), " +
+          s"CREATE declared (${keys.mkString(",")})")
+    } else {
+      Compaction.initEmpty(spark, dir, schema, keys, versionCol,
+        deleteCol, nBuckets, clusterBy)
+    }
+    new GraftTable(fullName(ident), dir, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    // the manifest owns all table metadata; the only supported ALTER
+    // today is a no-op property touch — schema changes arrive through
+    // merge-time evolution, bucket changes through rebucket()
+    val unsupported = changes.filterNot(
+      _.isInstanceOf[TableChange.SetProperty])
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports only TBLPROPERTIES; got " +
+          unsupported.mkString(", "))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!isTable(ident)) return false
+    val f = TxLog.fs(spark, warehouse)
+    val dir = tableDir(ident)
+    TxLog.invalidate(dir)
+    // drop the data only when managed; an external LOCATION table
+    // unregisters (redirect removed) and keeps its data
+    val external = f.exists(redirectPath(ident))
+    if (external) f.delete(new Path(managedDir(ident)), true)
+    else f.delete(new Path(dir), true)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!isTable(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (isTable(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val f = TxLog.fs(spark, warehouse)
+    TxLog.invalidate(tableDir(oldIdent))
+    f.mkdirs(new Path(managedDir(newIdent)).getParent)
+    require(f.rename(new Path(managedDir(oldIdent)),
+      new Path(managedDir(newIdent))),
+      s"rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+  }
+
+  override def invalidateTable(ident: Identifier): Unit =
+    TxLog.invalidate(tableDir(ident))
+
+  // ----- namespaces: directories under the warehouse ---------------
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val f = TxLog.fs(spark, warehouse)
+    val root = new Path(warehouse)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        !isTable(Identifier.of(Array.empty, st.getPath.getName)))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || TxLog.fs(spark, warehouse)
+      .exists(new Path((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    TxLog.fs(spark, warehouse)
+      .mkdirs(new Path((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val f = TxLog.fs(spark, warehouse)
+    val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!f.exists(p)) false
+    else {
+      if (!cascade && f.listStatus(p).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      f.delete(p, true)
+    }
+  }
+}
+
+/** One maintained table resolved through [[GraftCatalog]] —
+  * optionally pinned to a historical version (`VERSION AS OF` /
+  * `TIMESTAMP AS OF`).
+  */
+final class GraftTable(tableName: String, val dir: String,
+    val asOf: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+
+  /** The committed data schema: the live manifest's, or — pinned —
+    * the schema as of that commit (evolution is part of history).
+    */
+  override def schema(): StructType = {
+    val props = asOf match {
+      case Some(v) => TxLog.read(spark, dir, v).props
+      case None => TxLog.latest(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest under $dir")).props
+    }
+    DataType.fromJson(props("schema_json")).asInstanceOf[StructType]
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def properties(): util.Map[String, String] = {
+    val (keys, versionCol, deleteCol, nBuckets) =
+      Compaction.readMeta(spark, dir)
+    Map(TableCatalog.PROP_PROVIDER -> "graft", "keys" -> keys,
+      "version_col" -> versionCol, "delete_col" -> deleteCol,
+      "buckets" -> nBuckets.toString,
+      TableCatalog.PROP_LOCATION -> dir).asJava
+  }
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, asOf, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, "cannot write to a time-travel (AS OF) table")
+    new GraftWriteBuilder(dir, info)
+  }
+}
+
+/** Scan with filter + column pushdown into the engine's own read
+  * plan. Every filter is ALSO returned as post-scan (Spark re-applies
+  * it above), so the pushdown is purely a data reduction — the
+  * translated predicate reaches the inner plan where MergePruning and
+  * parquet row-group stats prune on it.
+  */
+private[catalog] final class GraftScanBuilder(dir: String,
+    asOf: Option[Long], tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f =>
+      GraftScanBuilder.translate(f).isDefined)
+    filters // all re-applied post-scan: pushdown is best-effort
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def needConversion: Boolean = true
+        override def buildScan(): RDD[Row] = {
+          val spark = context.sparkSession
+          val base = asOf match {
+            case Some(v) => Compaction.readAsOf(spark, dir, v)
+            case None => Compaction.read(spark, dir)
+          }
+          val filtered = pushed.flatMap(GraftScanBuilder.translate)
+            .foldLeft(base)((df, p) => df.filter(p))
+          filtered.select(required.fieldNames.map(col).toSeq: _*).rdd
+        }
+      }.asInstanceOf[T]
+  }
+}
+
+private[catalog] object GraftScanBuilder {
+
+  /** Exact translation of a v1 source filter to a Column predicate;
+    * None = not translatable (stays post-scan only).
+    */
+  def translate(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) =>
+      Some(col(a).isInCollection(vs.toSeq))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) =>
+      Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case sources.Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}
+
+/** INSERT INTO = one upsert merge; INSERT OVERWRITE (truncate) = full
+  * re-init under the table's existing parameters.
+  */
+private[catalog] final class GraftWriteBuilder(dir: String,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ov: Boolean): Unit = {
+          val spark = data.sparkSession
+          val (keyProp, versionCol, deleteCol, nBuckets) =
+            Compaction.readMeta(spark, dir)
+          val snap = TxLog.latest(spark, dir).get
+          val tableCols = DataType.fromJson(snap.props("schema_json"))
+            .asInstanceOf[StructType].fieldNames.toSeq
+          // v2 insert resolution already aligned names/arity; select
+          // in table order for the merge's schema-union determinism
+          val aligned = data.select(tableCols.map(col): _*)
+          if (overwrite || ov) {
+            val clusterBy = snap.prop("cluster_by")
+              .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+            Compaction.init(aligned, dir, keyProp.split(",").toSeq,
+              versionCol, deleteCol, nBuckets, clusterBy)
+          } else {
+            // catalog tables keep history: VERSION AS OF serves every
+            // commit until an explicit Compaction.vacuum bounds it
+            Compaction.merge(spark, dir, aligned, retainHistory = true)
+          }
+        }
+      }
+  }
+}

@@ -147,6 +147,38 @@ object Compaction {
     txn.cleanup()
   }
 
+  /** Create an EMPTY maintained table: commit a v0 manifest carrying
+    * the full table metadata (schema, keys, engine columns, bucket
+    * count, clustering) and zero buckets. The first merge populates
+    * it — this is the `CREATE TABLE` (no AS SELECT) path of the SQL
+    * catalog ([[graft.catalog.GraftCatalog]]); reads of the empty
+    * table return an empty frame under the declared schema.
+    */
+  def initEmpty(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType, keys: Seq[String],
+      versionCol: String, deleteCol: String,
+      nBuckets: Int = 256, clusterBy: Seq[String] = Nil): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    requireNoReserved(schema.fieldNames.toSeq, "table schema")
+    Bucketing.encodeKeys(keys)
+    (keys :+ versionCol :+ deleteCol).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"column '$c' missing from the table schema"))
+    require(clusterBy.size <= 2,
+      "clusterBy supports one (sort) or two (Z-order) columns")
+    clusterBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column '$c' missing from the table schema"))
+    val fs = TxLog.fs(spark, dir)
+    Seq("manifest", "data", "feed", ".staging", "meta", "_history")
+      .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
+    TxLog.invalidate(dir)
+    val txn = new TableTxn(spark, dir, baseVersion = -1L)
+    txn.installAndCommit(newBuckets = Map.empty,
+      props = coreProps(keys, versionCol, deleteCol, nBuckets,
+        schema.json, clusterBy))
+    txn.cleanup()
+  }
+
   /** The deterministic in-bucket sort every staged write applies:
     * cluster expression first (row-group stat locality), key columns
     * as the tiebreak (stable file content).
@@ -560,6 +592,23 @@ object Compaction {
     */
   def versions(spark: SparkSession, dir: String): Seq[Long] =
     TxLog.versionsOnDisk(spark, dir).dropRight(1)
+
+  /** The greatest committed version whose commit time (manifest mtime,
+    * stamped by the atomic publish rename) is at or before
+    * `tsMillis` — the resolution step behind SQL
+    * `TIMESTAMP AS OF <ts>`. Fails (naming the earliest commit still
+    * on disk) for a timestamp before all retained history.
+    */
+  def versionAsOfTimestamp(spark: SparkSession, dir: String,
+      tsMillis: Long): Long = {
+    val times = TxLog.commitTimesOnDisk(spark, dir)
+    require(times.nonEmpty, s"no committed manifest under $dir")
+    val eligible = times.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMillis predates all retained history " +
+        s"(earliest commit: v${times.head._1} at ${times.head._2})")
+    eligible.last._1
+  }
 
   /** Time travel: the table as it stood at committed version `v`
     * (version 0 = the initial snapshot, each merge adds one). With the

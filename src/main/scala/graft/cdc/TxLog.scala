@@ -203,6 +203,25 @@ private[graft] object TxLog {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versionsOnDisk(spark, dir).lastOption
 
+  /** (version, commit wall-clock millis) for every manifest on disk,
+    * ascending — the commit time is the manifest file's mtime (stamped
+    * by the atomic publish rename). Serves `TIMESTAMP AS OF`: the
+    * greatest version committed at or before a timestamp.
+    */
+  def commitTimesOnDisk(spark: SparkSession,
+      dir: String): Seq[(Long, Long)] = {
+    val d = manifestDir(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq
+      .collect {
+        case st if st.getPath.getName.startsWith("v") &&
+            st.getPath.getName.endsWith(".properties") =>
+          st.getPath.getName.stripPrefix("v")
+            .stripSuffix(".properties").toLong -> st.getModificationTime
+      }.sortBy(_._1)
+  }
+
   private def load(f: FileSystem, p: Path): Map[String, String] = {
     val props = new java.util.Properties()
     val is = f.open(p)

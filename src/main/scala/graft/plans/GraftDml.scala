@@ -125,16 +125,72 @@ object GraftDml extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Resolve a DML target to (display name, table dir): the session
+    * registry first (temp-view front door), then the `graft` catalog —
+    * an unresolved `graft.ns.t` identifier looked up through the
+    * catalog plugin, or an already-resolved DataSourceV2Relation over
+    * a [[graft.catalog.GraftTable]] (the analyzer may resolve the
+    * relation before this rule fires; both shapes must lower).
+    */
+  private[plans] final case class Target(name: String, dir: String,
+      retain: Boolean)
+
+  private def resolveTarget(spark: SparkSession,
+      p: LogicalPlan): Option[Target] = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      GraftTables.dirOf(spark, u.multipartIdentifier.last)
+        .map(d => Target(u.multipartIdentifier.last, d, retain = false))
+        .orElse(catalogDir(spark, u.multipartIdentifier))
+    case SubqueryAlias(id, child) =>
+      resolveTarget(spark, child)
+        .orElse(GraftTables.dirOf(spark, id.name)
+          .map(d => Target(id.name, d, retain = false)))
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: graft.catalog.GraftTable =>
+          if (t.asOf.nonEmpty)
+            fail("cannot run DML against a time-travel (AS OF) table")
+          // catalog tables keep history (the table-format semantic:
+          // VERSION AS OF works until an explicit vacuum)
+          Some(Target(t.name(), t.dir, retain = true))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Multipart identifier -> graft-catalog table dir, when its head
+    * names a registered [[graft.catalog.GraftCatalog]] and the table
+    * exists there. Errors (catalog missing, wrong plugin type) mean
+    * "not ours" — the plan is left for Spark to resolve or reject.
+    */
+  private def catalogDir(spark: SparkSession,
+      parts: Seq[String]): Option[Target] =
+    if (parts.size < 2) None
+    else scala.util.Try {
+      spark.sessionState.catalogManager.catalog(parts.head) match {
+        case g: graft.catalog.GraftCatalog =>
+          val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.tail.init.toArray, parts.last)
+          if (g.tableExists(ident))
+            Some(Target(parts.mkString("."), g.tableDir(ident),
+              retain = true))
+          else None
+        case _ => None
+      }
+    }.toOption.flatten
+
   private[plans] def lower(spark: SparkSession,
       plan: LogicalPlan): Option[LeafRunnableCommand] = plan match {
     case m: MergeIntoTable =>
-      for {
-        name <- targetName(m.targetTable)
-        dir <- GraftTables.dirOf(spark, name)
-      } yield GraftMergeIntoCommand(name, dir, m.targetTable, m.sourceTable,
-        m.mergeCondition, m.matchedActions, m.notMatchedActions,
-        m.notMatchedBySourceActions)
+      resolveTarget(spark, m.targetTable).map { t =>
+        GraftMergeIntoCommand(t.name, t.dir, m.targetTable, m.sourceTable,
+          m.mergeCondition, m.matchedActions, m.notMatchedActions,
+          m.notMatchedBySourceActions, t.retain)
+      }
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+      // catalog-table INSERTs take Spark's standard v2 write path
+      // (AppendData -> V1Write -> one merge); only registry temp-view
+      // targets need the lowering
       for {
         name <- targetName(i.table)
         dir <- GraftTables.dirOf(spark, name)
@@ -146,15 +202,14 @@ object GraftDml extends Rule[LogicalPlan] {
         GraftInsertCommand(name, dir, i.query)
       }
     case u: UpdateTable =>
-      for {
-        name <- targetName(u.table)
-        dir <- GraftTables.dirOf(spark, name)
-      } yield GraftUpdateCommand(name, dir, u.assignments, u.condition)
+      resolveTarget(spark, u.table).map { t =>
+        GraftUpdateCommand(t.name, t.dir, u.assignments, u.condition,
+          t.retain)
+      }
     case d: DeleteFromTable =>
-      for {
-        name <- targetName(d.table)
-        dir <- GraftTables.dirOf(spark, name)
-      } yield GraftDeleteCommand(name, dir, Option(d.condition))
+      resolveTarget(spark, d.table).map { t =>
+        GraftDeleteCommand(t.name, t.dir, Option(d.condition), t.retain)
+      }
     case _ => None
   }
 
@@ -179,7 +234,8 @@ object GraftDml extends Rule[LogicalPlan] {
     * the concurrent writer with stale pre-images.
     */
   private[plans] def rmwLoop(spark: SparkSession, dir: String,
-      name: String)(derive: DataFrame => DataFrame): Unit = {
+      name: String, retain: Boolean = false)
+      (derive: DataFrame => DataFrame): Unit = {
     val maxAttempts = 8
     var attempt = 0
     var done = false
@@ -187,7 +243,8 @@ object GraftDml extends Rule[LogicalPlan] {
       val (base, current) = Compaction.readWithVersion(spark, dir)
       val changelog = derive(current)
       try {
-        Compaction.merge(spark, dir, changelog, expectedBase = Some(base))
+        Compaction.merge(spark, dir, changelog, retainHistory = retain,
+          expectedBase = Some(base))
         done = true
       } catch {
         case _: graft.cdc.TxLog.StaleBase if attempt < maxAttempts =>
@@ -255,7 +312,8 @@ object GraftDml extends Rule[LogicalPlan] {
 final case class GraftMergeIntoCommand(name: String, dir: String,
     target: LogicalPlan, source: LogicalPlan, condition: Expression,
     matchedActions: Seq[MergeAction], notMatchedActions: Seq[MergeAction],
-    notMatchedBySourceActions: Seq[MergeAction]) extends LeafRunnableCommand {
+    notMatchedBySourceActions: Seq[MergeAction],
+    retain: Boolean = false) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
@@ -371,7 +429,8 @@ final case class GraftMergeIntoCommand(name: String, dir: String,
         base.withColumn(deleteCol, lit(true))
       }
 
-    Compaction.merge(spark, dir, changelog.select(tableCols.map(col): _*))
+    Compaction.merge(spark, dir, changelog.select(tableCols.map(col): _*),
+      retainHistory = retain)
     GraftTables.refresh(spark, name)
     Seq.empty
   }
@@ -421,15 +480,15 @@ final case class GraftInsertCommand(name: String, dir: String,
   *    silently overwrite the concurrent write (lost update).
   */
 final case class GraftUpdateCommand(name: String, dir: String,
-    assignments: Seq[Assignment],
-    condition: Option[Expression]) extends LeafRunnableCommand {
+    assignments: Seq[Assignment], condition: Option[Expression],
+    retain: Boolean = false) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (keyProp, versionCol, deleteCol, _) = Compaction.readMeta(spark, dir)
     val keys = keyProp.split(",").toSeq
-    GraftDml.rmwLoop(spark, dir, name) { current =>
+    GraftDml.rmwLoop(spark, dir, name, retain) { current =>
       val filtered = condition match {
         case Some(c) => current.filter(expr(GraftDml.bare(c)))
         case None => current
@@ -473,13 +532,14 @@ final case class GraftUpdateCommand(name: String, dir: String,
   * stale pre-image).
   */
 final case class GraftDeleteCommand(name: String, dir: String,
-    condition: Option[Expression]) extends LeafRunnableCommand {
+    condition: Option[Expression],
+    retain: Boolean = false) extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Nil
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (_, _, deleteCol, _) = Compaction.readMeta(spark, dir)
-    GraftDml.rmwLoop(spark, dir, name) { current =>
+    GraftDml.rmwLoop(spark, dir, name, retain) { current =>
       val filtered = condition match {
         case Some(c) => current.filter(expr(GraftDml.bare(c)))
         case None => current

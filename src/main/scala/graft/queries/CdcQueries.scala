@@ -578,6 +578,100 @@ object CdcQueries {
           sum(dec18(col("price"))).cast("double").as("total"))
     }),
 
+    // the DSv2 TableCatalog end-to-end, zero register() calls: CREATE
+    // TABLE through SQL DDL (an empty v0 manifest), INSERT INTO
+    // through Spark's STANDARD v2 write path (AppendData -> V1Write ->
+    // one upsert merge), MERGE INTO resolved on the catalog
+    // identifier, and the final SELECT resolved through the catalog's
+    // pruned read. Oracle = the same latest-wins recompute as
+    // sql_merge_into: a green row proves the catalog route is
+    // byte-identical to both the programmatic API and the
+    // registry-view SQL route.
+    "sql_catalog_merge" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftcat.merge_t")
+      s.sql("""CREATE TABLE graftcat.merge_t (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16')""")
+      val ord = Tables.orders(s, dir)
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("catalog_merge_snap")
+      s.sql("INSERT INTO graftcat.merge_t SELECT * FROM catalog_merge_snap")
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+        .createOrReplaceTempView("catalog_merge_changes")
+      val mergeSql =
+        """MERGE INTO graftcat.merge_t USING catalog_merge_changes
+          |ON graftcat.merge_t.id = catalog_merge_changes.id
+          |WHEN MATCHED AND catalog_merge_changes.deleted THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+      // GraftSession (the harness) carries the GraftDml rule: plain
+      // spark.sql lowers natively; an extension-less session falls
+      // back to the parse-level front door — same lowering either way
+      try s.sql(mergeSql)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        graft.plans.GraftTables.sql(s, mergeSql) }
+      s.sql("""SELECT count(*) AS n_keys,
+        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graftcat.merge_t""")
+    }),
+
+    // SQL time travel on a catalog table: history is retained by the
+    // catalog write path (the table-format semantic), so VERSION AS OF
+    // reads any committed manifest — v1 here is the state after the
+    // first INSERT, while the live read reflects the upsert batch.
+    // Both reads aggregate side by side; the oracle recomputes each
+    // from the base tables. Proves the catalog's loadTable(version)
+    // route end-to-end, not just the programmatic readAsOf.
+    "sql_time_travel" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftcat.tt_t")
+      s.sql("""CREATE TABLE graftcat.tt_t (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16')""")
+      val ord = Tables.orders(s, dir)
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("catalog_tt_snap")
+      s.sql("INSERT INTO graftcat.tt_t SELECT * FROM catalog_tt_snap")
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(3).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 7 === 0).as("deleted"))
+        .createOrReplaceTempView("catalog_tt_changes")
+      s.sql("""INSERT INTO graftcat.tt_t
+        SELECT * FROM catalog_tt_changes""")
+      s.sql("""SELECT 'v1_snapshot' AS tag, count(*) AS n_keys,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graftcat.tt_t VERSION AS OF 1
+        UNION ALL
+        SELECT 'live' AS tag, count(*) AS n_keys,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graftcat.tt_t""")
+    }),
+
     // composite merge key on lineitem's natural (l_orderkey,
     // l_linenumber) PK: the table buckets on the hash of the TUPLE and
     // every merge/lookup reconciles per tuple — real CDC tables key on
@@ -1378,6 +1472,51 @@ object CdcQueries {
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM kept""".stripMargin,
+
+    // catalog MERGE = the same latest-wins recompute (tombstones never
+    // stored; an unmatched deleted source row is a no-op)
+    "sql_catalog_merge" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, price, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // as-of v1 = the plain snapshot aggregate; live = latest-wins over
+    // snapshot + upsert batch (INSERT of an existing key upserts by
+    // version; a tombstone row deletes a matched key, no-ops otherwise)
+    "sql_time_travel" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |changes AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 3.00::DECIMAL(18,2) AS DOUBLE)
+        |      AS price,
+        |    1 AS version, (o_orderkey % 7 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, price, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM changes))
+        |SELECT 'v1_snapshot' AS tag, count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total FROM snap
+        |UNION ALL
+        |SELECT 'live' AS tag, count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     // composite (ok, ln) tuple latest-wins recompute
     "cdc_composite_key" ->

@@ -1,0 +1,196 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.Compaction
+import graft.plans.GraftTables
+
+/** The DSv2 `TableCatalog`: CREATE/SHOW/DROP through plain SQL,
+  * INSERT INTO = upsert merge via the standard v2 write path (no
+  * extension rule involved), SELECT through the engine's own pruned
+  * read, VERSION AS OF / TIMESTAMP AS OF time travel, MERGE/UPDATE/
+  * DELETE lowering on catalog identifiers, and external-LOCATION
+  * attach of a pre-existing maintained table.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("graft-cat-wh")
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", w)
+    w
+  }
+
+  private def sqlc(q: String) = { warehouse; spark.sql(q) }
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trips with upsert semantics") {
+    sqlc("""CREATE TABLE gcat.users (
+        id BIGINT, name STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='8')""")
+    // empty after create, under the declared schema
+    assert(sqlc("SELECT * FROM gcat.users").columns.toSeq ==
+      Seq("id", "name", "version", "deleted"))
+    assert(sqlc("SELECT * FROM gcat.users").count() == 0)
+
+    sqlc("""INSERT INTO gcat.users
+        SELECT id, concat('u', id), 0L, false FROM range(100)""")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.users")
+      .as[Long].head() == 100L)
+
+    // re-inserting an existing key at a higher version upserts
+    // (ON CONFLICT DO UPDATE), and a tombstone row deletes
+    sqlc("INSERT INTO gcat.users SELECT 7L, 'seven2', 1L, false")
+    sqlc("INSERT INTO gcat.users SELECT 9L, '', 1L, true")
+    val got = sqlc("SELECT id, name FROM gcat.users")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 99 && got(7L) == "seven2" && !got.contains(9L))
+
+    // point lookup through SQL answers correctly (bucket pruning
+    // engages in the inner plan when MergePruning is registered)
+    assert(sqlc("SELECT name FROM gcat.users WHERE id = 7")
+      .as[String].head() == "seven2")
+  }
+
+  test("SHOW TABLES, tableExists, DROP TABLE") {
+    sqlc("""CREATE TABLE gcat.droppable (
+        id BIGINT, v BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id')""")
+    val names = sqlc("SHOW TABLES IN gcat")
+      .select("tableName").as[String].collect().toSet
+    assert(names.contains("droppable"))
+    assert(spark.catalog.tableExists("gcat.droppable"))
+    sqlc("DROP TABLE gcat.droppable")
+    assert(!spark.catalog.tableExists("gcat.droppable"))
+    val after = sqlc("SHOW TABLES IN gcat")
+      .select("tableName").as[String].collect().toSet
+    assert(!after.contains("droppable"))
+  }
+
+  test("namespaces: CREATE NAMESPACE + nested table") {
+    sqlc("CREATE NAMESPACE IF NOT EXISTS gcat.nsx")
+    sqlc("""CREATE TABLE gcat.nsx.t (
+        id BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("INSERT INTO gcat.nsx.t SELECT id, 0L, false FROM range(5)")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.nsx.t")
+      .as[Long].head() == 5L)
+    val names = sqlc("SHOW TABLES IN gcat.nsx")
+      .select("tableName").as[String].collect().toSet
+    assert(names == Set("t"))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF time travel through SQL") {
+    sqlc("""CREATE TABLE gcat.tt (
+        id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("INSERT INTO gcat.tt SELECT id, 'a', 0L, false FROM range(10)")
+    Thread.sleep(1100) // manifest mtime granularity for TIMESTAMP AS OF
+    val betweenMs = System.currentTimeMillis()
+    sqlc("INSERT INTO gcat.tt SELECT 3L, 'b', 1L, false")
+
+    assert(sqlc("SELECT v FROM gcat.tt WHERE id = 3")
+      .as[String].head() == "b")
+    // v1 = after the first insert (v0 is the empty CREATE commit)
+    assert(sqlc("SELECT v FROM gcat.tt VERSION AS OF 1 WHERE id = 3")
+      .as[String].head() == "a")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.tt VERSION AS OF 0")
+      .as[Long].head() == 0L)
+    // a timestamp between the two inserts resolves to the first
+    val ts = new java.sql.Timestamp(betweenMs)
+    assert(spark.sql(
+      s"SELECT v FROM gcat.tt TIMESTAMP AS OF '$ts' WHERE id = 3")
+      .as[String].head() == "a")
+    // writes against a pinned table are refused
+    val e = intercept[Exception] {
+      GraftTables.sql(spark,
+        "UPDATE gcat.tt VERSION AS OF 1 SET v = 'x'")
+    }
+    assert(e != null)
+  }
+
+  test("MERGE INTO / UPDATE / DELETE on catalog identifiers") {
+    sqlc("""CREATE TABLE gcat.dml (
+        id BIGINT, name STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("""INSERT INTO gcat.dml
+        SELECT id, concat('u', id), 0L, false FROM range(20)""")
+    Seq((3L, "three2", 1L, false), (100L, "new", 1L, false))
+      .toDF("id", "name", "version", "deleted")
+      .createOrReplaceTempView("gcat_src")
+
+    GraftTables.sql(spark,
+      """MERGE INTO gcat.dml USING gcat_src ON gcat.dml.id = gcat_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    GraftTables.sql(spark,
+      "UPDATE gcat.dml SET name = concat(name, '!') WHERE id < 2")
+    GraftTables.sql(spark, "DELETE FROM gcat.dml WHERE id = 5")
+
+    val got = sqlc("SELECT id, name FROM gcat.dml")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 20) // 20 - 1 delete + 1 insert
+    assert(got(3L) == "three2" && got(100L) == "new")
+    assert(got(0L) == "u0!" && got(1L) == "u1!" && got(2L) == "u2")
+    assert(!got.contains(5L))
+    // catalog DML retained history: the pre-merge version still reads
+    assert(sqlc("SELECT name FROM gcat.dml VERSION AS OF 1 WHERE id = 3")
+      .as[String].head() == "u3")
+  }
+
+  test("INSERT OVERWRITE replaces the table contents") {
+    sqlc("""CREATE TABLE gcat.ovr (
+        id BIGINT, v BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("INSERT INTO gcat.ovr SELECT id, 0L, 0L, false FROM range(50)")
+    sqlc("INSERT OVERWRITE gcat.ovr SELECT id, 1L, 0L, false FROM range(3)")
+    val got = sqlc("SELECT id, v FROM gcat.ovr")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("external LOCATION attaches an existing maintained table") {
+    val ext = tmpDir("gcat-ext") + "/t"
+    Compaction.init(
+      (1L to 30L).map(i => (i, s"x$i", 0L, false))
+        .toDF("id", "payload", "version", "deleted"),
+      ext, "id", "version", "deleted", nBuckets = 4)
+    sqlc(s"""CREATE TABLE gcat.ext (
+        id BIGINT, payload STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id') LOCATION '$ext'""")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.ext")
+      .as[Long].head() == 30L)
+    // DML through the catalog identifier writes the external dir
+    GraftTables.sql(spark, "DELETE FROM gcat.ext WHERE id <= 10")
+    assert(Compaction.countRows(spark, ext) == 20L)
+    // DROP unregisters but keeps external data
+    sqlc("DROP TABLE gcat.ext")
+    assert(!spark.catalog.tableExists("gcat.ext"))
+    assert(Compaction.countRows(spark, ext) == 20L)
+  }
+
+  test("dataframe writeTo append routes through the merge") {
+    sqlc("""CREATE TABLE gcat.wt (
+        id BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    spark.range(10).select(col("id"), lit(0L).as("version"),
+        lit(false).as("deleted"))
+      .writeTo("gcat.wt").append()
+    spark.range(5).select(col("id"), lit(1L).as("version"),
+        lit(false).as("deleted"))
+      .writeTo("gcat.wt").append()
+    // 10 keys, 5 upserted at v1 — still 10 rows
+    assert(sqlc("SELECT count(*) AS n FROM gcat.wt")
+      .as[Long].head() == 10L)
+  }
+
+  test("CREATE without keys property fails with a clear message") {
+    val e = intercept[Exception] {
+      sqlc("CREATE TABLE gcat.nokeys (id BIGINT, version BIGINT, deleted BOOLEAN)")
+    }
+    assert(e.getMessage.contains("keys"), e.getMessage)
+  }
+}
