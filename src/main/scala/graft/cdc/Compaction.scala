@@ -1035,7 +1035,7 @@ object Compaction {
     * comparison that cannot be evaluated yields None — the stat is
     * dropped and the bucket is conservatively read.
     */
-  private def typedMax(a: String, b: String,
+  private[cdc] def typedMax(a: String, b: String,
       dt: org.apache.spark.sql.types.DataType): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, GreaterThanOrEqual, Literal}
     import org.apache.spark.sql.types.StringType

@@ -130,6 +130,21 @@ object Scd2 {
       schema: org.apache.spark.sql.types.StructType) {
     def buckets: Map[Int, String] = snap.buckets
     def keyCols: Seq[org.apache.spark.sql.Column] = keys.map(col)
+    /** Merge-on-read delta dirs per bucket, commit order. */
+    def deltas: Map[Int, Seq[String]] = snap.deltas
+    /** Buckets whose reads must re-window (unfolded deltas). */
+    def dirty: Set[Int] = deltas.keySet
+    /** Every bucket with live contents (a delta-only bucket has no
+      * base entry).
+      */
+    def liveIds: Set[Int] = buckets.keySet ++ dirty
+    /** The state-record schema: stored columns minus the generated
+      * interval pair (what a merge batch carries, what delta files
+      * hold).
+      */
+    def stateSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(schema.fields.filterNot(f =>
+        f.name == "valid_to" || f.name == "is_current"))
   }
 
   private def loadMeta(spark: SparkSession, dir: String): Meta = {
@@ -152,9 +167,57 @@ object Scd2 {
     noBucket.withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
   }
 
+  /** Fold DIRTY buckets' base + delta files into live history — the
+    * read half of Scd2 merge-on-read. One scan over base dirs (full
+    * interval rows, `_seq` null) and delta dirs (state records,
+    * interval columns null, `_seq` = committing version) under one
+    * widened schema; then (1) deduplicate `(key, version)` replays —
+    * `_seq` descending nulls-last, so the LATEST delta beats earlier
+    * ones and any delta beats the base — collapse to state records,
+    * and (2) re-derive the intervals with the same [[window]] every
+    * other path uses. A late change splices exactly: the window is
+    * the definition, not an incremental patch. Cost: the window
+    * shuffle touches only the dirty buckets' rows.
+    */
+  private def foldBuckets(spark: SparkSession, dir: String, m: Meta,
+      ids: Iterable[Int]): DataFrame = {
+    val idSeq = ids.toSeq
+    val rels = idSeq.flatMap(b => m.buckets.get(b)) ++
+      idSeq.flatMap(b => m.deltas.getOrElse(b, Nil))
+    val withSeq = org.apache.spark.sql.types.StructType(
+      m.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_seq", org.apache.spark.sql.types.LongType, nullable = true))
+    val paths = rels.map(rel => s"$dir/data/$rel")
+    val raw = if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withSeq)
+    else spark.read.schema(withSeq).parquet(paths: _*)
+    val dedupW = Window.partitionBy((m.keyCols :+ col(m.versionCol)): _*)
+      .orderBy(col("_seq").desc_nulls_last)
+    val states = raw
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_seq", "valid_to", "is_current")
+    window(states, m.keys, m.versionCol, m.deleteCol)
+      .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
+  }
+
+  /** The live history of `ids`: clean buckets ride the plain pruned
+    * scan (no window, no shuffle), dirty buckets fold base + deltas.
+    * A fully-compacted table takes the fast path everywhere.
+    */
+  private def liveView(spark: SparkSession, dir: String, m: Meta,
+      ids: Set[Int]): DataFrame = {
+    val dirty = ids.intersect(m.dirty)
+    val clean = readBuckets(spark, dir, m,
+      (ids -- dirty).toSeq.flatMap(m.buckets.get))
+    if (dirty.isEmpty) clean
+    else clean.unionByName(foldBuckets(spark, dir, m, dirty))
+  }
+
   private def storedData(spark: SparkSession, dir: String,
       m: Meta): DataFrame =
-    readBuckets(spark, dir, m, m.buckets.values)
+    liveView(spark, dir, m, m.liveIds)
 
   /** Absolute live bucket directories (for specs and path accounting). */
   private[graft] def livePaths(spark: SparkSession, dir: String): Map[Int, String] =
@@ -181,7 +244,7 @@ object Scd2 {
     require(vals.size == m.keys.size,
       s"key tuple arity ${vals.size} != table key (${m.keys.mkString(", ")})")
     val bucket = Bucketing.bucketOfValues(vals, m.nBuckets)
-    readBuckets(spark, dir, m, m.buckets.get(bucket).toSeq)
+    liveView(spark, dir, m, Set(bucket).intersect(m.liveIds))
       .drop("bucket")
       .filter(m.keys.zip(vals).map { case (k, v) => col(k) === lit(v) }
         .reduce(_ && _))
@@ -195,10 +258,8 @@ object Scd2 {
     prunedHistory(spark, dir, touched, loadMeta(spark, dir))
 
   private def prunedHistory(spark: SparkSession, dir: String,
-      touched: Seq[Int], m: Meta): DataFrame = {
-    val t = touched.toSet
-    readBuckets(spark, dir, m, m.buckets.view.filterKeys(t.contains).values)
-  }
+      touched: Seq[Int], m: Meta): DataFrame =
+    liveView(spark, dir, m, touched.toSet.intersect(m.liveIds))
 
   /** Resize the history table's bucket count in ONE committed full
     * rewrite — same contract as [[Compaction.rebucket]]: the version
@@ -249,11 +310,16 @@ object Scd2 {
       case (k, v) if k.startsWith("rows.") =>
         k.drop("rows.".length).toInt -> v.toLong
     }.toMap
-    val missing = m.buckets.keySet -- counted.keySet
+    // a dirty bucket needs the fold (a delta row may be a replayed
+    // (key, version) — no metadata can know without reading)
+    val clean = m.buckets.keySet -- m.dirty
+    val missing = clean -- counted.keySet
     val rest = if (missing.isEmpty) 0L
       else readBuckets(spark, dir, m,
         m.buckets.view.filterKeys(missing.contains).values).count()
-    counted.values.sum + rest
+    val dirtyRows = if (m.dirty.isEmpty) 0L
+      else foldBuckets(spark, dir, m, m.dirty).count()
+    counted.view.filterKeys(clean.contains).values.sum + rest + dirtyRows
   }
 
   /** Live state: open, non-tombstone versions only. */
@@ -280,10 +346,11 @@ object Scd2 {
   /** Apply one change batch (state records carrying the same key /
     * version / delete columns and payload schema as `init`'s input).
     */
-  def merge(spark: SparkSession, dir: String, changes0: DataFrame): MergeStats = {
+  def merge(spark: SparkSession, dir: String, changes0: DataFrame,
+      mergeOnRead: Boolean = false): MergeStats = {
     var attempts = 0
     while (true) {
-      try return mergeBucketed(spark, dir, changes0)
+      try return mergeBucketed(spark, dir, changes0, mergeOnRead)
       catch {
         case _: Compaction.RebucketedDuringWrite if attempts < 3 =>
           attempts += 1
@@ -293,7 +360,7 @@ object Scd2 {
   }
 
   private def mergeBucketed(spark: SparkSession, dir: String,
-      changes0: DataFrame): MergeStats = {
+      changes0: DataFrame, mergeOnRead: Boolean): MergeStats = {
     // bucket and cache the batch ONCE, re-resolve the snapshot per OCC
     // attempt; a concurrent rebucket invalidates the cached bucket ids
     // and restarts merge() wholesale (see Compaction)
@@ -307,14 +374,14 @@ object Scd2 {
         .collect().map(_.getInt(0)).toSeq.sorted
       if (touched.isEmpty) return MergeStats(Nil, 0L)
       TxLog.withOcc(spark, dir) {
-        mergeOnce(spark, dir, changes, touched, m0.nBuckets)
+        mergeOnce(spark, dir, changes, touched, m0.nBuckets, mergeOnRead)
       }
     } finally changes.unpersist()
   }
 
   private def mergeOnce(spark: SparkSession, dir: String,
       changes: DataFrame, touched: Seq[Int],
-      bucketedWith: Int): MergeStats = {
+      bucketedWith: Int, mergeOnRead: Boolean): MergeStats = {
     val m = loadMeta(spark, dir)
     if (m.nBuckets != bucketedWith)
       throw new Compaction.RebucketedDuringWrite
@@ -322,6 +389,8 @@ object Scd2 {
       (m.keys, m.versionCol, m.deleteCol, m.nBuckets)
     TxLog.sweep(spark, dir)
     val txn = new TableTxn(spark, dir, m.snap.version)
+    if (mergeOnRead)
+      return morMerge(spark, dir, m, txn, changes, touched)
 
     val hist = prunedHistory(spark, dir, touched, m)
     val changedKeys = changes.select(m.keyCols: _*).distinct()
@@ -362,8 +431,13 @@ object Scd2 {
     // per-bucket stats (rows + valid_from zone maps, the same footer
     // pass Compaction uses): untouched buckets carry theirs forward so
     // countRows stays exact and history watermark SQL prunes
+    // delta props carry for UNTOUCHED buckets only: a copy-on-write
+    // merge folds a touched bucket's deltas into its new base (via
+    // prunedHistory -> liveView), so the commit drops them and the
+    // sweep reclaims the directories
     val carried = m.snap.props.collect {
-      case (k, v) if Seq("rows.", "minv.", "maxv.").exists(p =>
+      case (k, v) if Seq("rows.", "minv.", "maxv.",
+          "delta.", "drows.", "dmaxv.").exists(p =>
           k.startsWith(p) && !touched.contains(k.drop(p.length).toInt))
         => k -> v
     }
@@ -379,5 +453,136 @@ object Scd2 {
         carried ++ Compaction.rowProps(newStats))
     TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(touched, rows)
+  }
+
+  /** The merge-on-read write path: stage the batch's STATE RECORDS
+    * themselves (tagged `_seq` = committing version) as per-bucket
+    * delta files and commit a manifest whose base entries — and prior
+    * deltas — carry verbatim. Write amplification is O(|changes|)
+    * bytes however scattered the batch: a late trickle of history
+    * rows spread across every bucket of a 100 TB audit table writes
+    * only itself instead of re-windowing and rewriting each touched
+    * bucket (SCD2's dominant write pattern — the reference's
+    * delta-export shape, `/root/reference/app/services/exports.py:138-171`,
+    * made durable). Readers fold with [[foldBuckets]] (exact
+    * late-splice re-window over base + deltas); [[compact]] restores
+    * the zero-window read path.
+    */
+  private def morMerge(spark: SparkSession, dir: String, m: Meta,
+      txn: TableTxn, changes: DataFrame,
+      touched: Seq[Int]): MergeStats = {
+    val vType = m.schema(m.versionCol).dataType
+    // common columns must match stored types exactly — a drifted delta
+    // file would poison every later fold under the explicit schema
+    changes.columns.filterNot(_ == "bucket").foreach { c =>
+      m.schema.fields.find(_.name == c).foreach { f =>
+        val got = changes.schema(c).dataType
+        require(got == f.dataType,
+          s"batch column $c: ${got.simpleString} does not match stored " +
+            s"${f.dataType.simpleString} (merge-on-read deltas must be " +
+            "byte-compatible with the base)")
+      }
+    }
+    val dataCols = changes.columns.filterNot(_ == "bucket").toSeq
+    changes.select(col("bucket") +: dataCols.map(col): _*)
+      .withColumn("_seq", lit(txn.newVersion))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"${txn.staging}/data")
+    val staged = txn.stagedBucketIds()
+    val newStats = Compaction.stagedStats(
+      spark, txn.staging, staged, m.versionCol)
+    val deltaRows = newStats.values.map(_.rows).sum
+
+    // a batch that ADDS columns widens the manifest schema (base and
+    // older delta files null-extend under the explicit read schema);
+    // the generated interval columns stay LAST so stateSchema and
+    // window output agree
+    val newCols = changes.drop("bucket").schema.fields
+      .filterNot(f => m.schema.fieldNames.contains(f.name))
+    val schemaJson = if (newCols.isEmpty) m.schema.json
+      else org.apache.spark.sql.types.StructType(
+        (m.stateSchema.fields ++ newCols ++
+          m.schema.fields.filter(f =>
+            f.name == "valid_to" || f.name == "is_current"))
+          .map(_.copy(nullable = true))).json
+
+    val deltaProps = staged.flatMap { b =>
+      val rels = m.deltas.getOrElse(b, Nil) :+ txn.bucketRel(b)
+      val st = newStats(b)
+      val rows = m.snap.counter(s"drows.$b") + st.rows
+      val mx = m.snap.prop(s"dmaxv.$b") match {
+        case None => Option(st.maxVersion)
+        case Some(old) => Option(st.maxVersion) match {
+          case None => Some(old)
+          case Some(nw) => Compaction.typedMax(old, nw, vType)
+        }
+      }
+      Seq(s"delta.$b" -> rels.mkString(","),
+        s"drows.$b" -> rows.toString) ++
+        mx.map(v => s"dmaxv.$b" -> v)
+    }.toMap
+    val stagedSet = staged.toSet
+    val carried = m.snap.props.filter { case (k, _) =>
+      Seq("rows.", "minv.", "maxv.").exists(k.startsWith) ||
+        Seq("delta.", "drows.", "dmaxv.").exists(p =>
+          k.startsWith(p) && !stagedSet.contains(k.drop(p.length).toInt))
+    }
+    // the base bucket map is UNCHANGED — that is the whole point
+    txn.installAndCommit(m.buckets,
+      coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
+        schemaJson) ++ carried ++ deltaProps)
+    TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
+    MergeStats(touched, deltaRows)
+  }
+
+  /** Fold every delta chain of length ≥ `minDeltas` back into its
+    * bucket's base (one committed rewrite of just those buckets) —
+    * restoring the zero-window read path; below-threshold chains stay
+    * verbatim. Same incremental contract as [[Compaction.compact]].
+    */
+  def compact(spark: SparkSession, dir: String, minDeltas: Int = 1,
+      retainHistory: Boolean = false): Unit = {
+    TxLog.withOcc(spark, dir) {
+      val m = loadMeta(spark, dir)
+      val dirty = m.deltas.collect {
+        case (b, rels) if rels.size >= minDeltas => b
+      }.toSet
+      if (dirty.isEmpty) return
+      TxLog.sweep(spark, dir)
+      val txn = new TableTxn(spark, dir, m.snap.version)
+      foldBuckets(spark, dir, m, dirty)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"${txn.staging}/data")
+      val staged = txn.stagedBucketIds()
+      val carried = m.snap.props.filter { case (k, _) =>
+        Seq("rows.", "minv.", "maxv.", "delta.", "drows.", "dmaxv.")
+          .exists(p =>
+            k.startsWith(p) && !dirty.contains(k.drop(p.length).toInt))
+      }
+      txn.installAndCommit(
+        (m.buckets -- dirty) ++ staged.map(b => b -> txn.bucketRel(b)).toMap,
+        coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
+          m.schema.json) ++ carried ++
+          Compaction.rowProps(Compaction.stagedStats(
+            spark, txn.staging, staged, m.versionCol)))
+      TxLog.hygiene {
+        txn.cleanup()
+        if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+      }
+    }
+  }
+
+  /** Per-bucket merge-on-read pressure, manifest-only: (bucket,
+    * unfolded delta dirs, delta rows).
+    */
+  def deltaStats(spark: SparkSession, dir: String): Seq[(Int, Int, Long)] = {
+    val m = loadMeta(spark, dir)
+    m.deltas.toSeq.sortBy(_._1).map { case (b, rels) =>
+      (b, rels.size, m.snap.counter(s"drows.$b"))
+    }
   }
 }

@@ -1185,6 +1185,38 @@ object CdcQueries {
           sum(col("valid_to")).as("sum_valid_to"))
     }),
 
+    // SCD2 merge-on-read: the same history pipeline with the two
+    // follow-up batches landing as O(changes) delta files (base
+    // buckets untouched), a PARTIAL compact folding only the longest
+    // chains, and the final read reconciling a MIX of folded and
+    // still-dirty buckets through the exact re-window fold. Oracle =
+    // the same relational recompute as cdc_scd2_merge over the same
+    // union: a green row proves folded reads are indistinguishable
+    // from copy-on-write history.
+    "cdc_scd2_mor" -> ((s, dir) => {
+      val st = Tables.events(s, dir).select(
+        col("user_id").as("uid"), col("event_id").as("version"),
+        col("event_type").as("payload"),
+        (col("event_type") === "error").as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-scd2mor-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Scd2.init(st.filter(col("version") % 3 =!= 0), tableDir,
+        key = "uid", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Scd2.merge(s, tableDir,
+        st.filter(col("version") % 3 === 0 && col("version") % 6 =!= 0),
+        mergeOnRead = true)
+      graft.cdc.Scd2.merge(s, tableDir,
+        st.filter(col("version") % 6 === 0), mergeOnRead = true)
+      graft.cdc.Scd2.compact(s, tableDir, minDeltas = 2)
+      graft.cdc.Scd2.read(s, tableDir)
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+          sum(col("version")).as("sum_version"),
+          sum(col("valid_to")).as("sum_valid_to"))
+    }),
+
     // SCD type-2 history build: each change record for an entity
     // (user_id) becomes a versioned row with a validity interval —
     // valid_from = its ts, valid_to = the NEXT change's ts, open
@@ -1313,6 +1345,24 @@ object CdcQueries {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "cdc_scd2_merge" ->
+      """WITH st AS (
+        |  SELECT user_id AS uid, event_id AS version,
+        |    (event_type = 'error') AS deleted
+        |  FROM events),
+        |h AS (
+        |  SELECT uid, version, deleted,
+        |    lead(version) OVER (PARTITION BY uid ORDER BY version)
+        |      AS valid_to
+        |  FROM st)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN valid_to IS NULL AND NOT deleted
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  CAST(sum(valid_to) AS BIGINT) AS sum_valid_to
+        |FROM h""".stripMargin,
+
+    // identical recompute: the fold must be invisible to results
+    "cdc_scd2_mor" ->
       """WITH st AS (
         |  SELECT user_id AS uid, event_id AS version,
         |    (event_type = 'error') AS deleted
