@@ -486,28 +486,42 @@ object Dedup {
     * md5-derived hash when cross-engine reproducibility matters).
     */
   def simhashNearDupsFromHashes(docs: DataFrame, idCol: String,
-      hashesCol: String, maxBits: Int = 3): DataFrame = {
-    val chunks = maxBits + 1
-    val width = 64 / chunks
-    val withFp = docs
+      hashesCol: String, maxBits: Int = 3): DataFrame =
+    fingerprintNearDups(docs
       // native codegen'd kernel; bit-identical to simhashFromHashes
       // (DedupSpec pins the equivalence)
       .withColumn("fp",
-        graft.functions.SimHashExpr.simhash64(col(hashesCol)))
+        graft.functions.SimHashExpr.simhash64(col(hashesCol))),
+      idCol, "fp", maxBits)
+
+  /** Near-dup pairs over ANY 64-bit fingerprint column (SimHash,
+    * image dHash/pHash, audio chromaprint-style hashes …) with
+    * hamming ≤ `maxBits`, via the same pigeonhole banding: split into
+    * `maxBits + 1` chunks — a pair within `maxBits` flipped bits must
+    * share at least one chunk exactly — and equi-join on
+    * (chunk_id, chunk_value). Shuffle is O(n·chunks) rows, never the
+    * O(n²) cross join, so the operator scales to a 100 TB corpus the
+    * same way the text twin does.
+    */
+  def fingerprintNearDups(docs: DataFrame, idCol: String,
+      fpCol: String, maxBits: Int = 3): DataFrame = {
+    val chunks = maxBits + 1
+    val width = 64 / chunks
     // both self-join sides reference the banded fingerprints; same
-    // persist rule as the MinHash twin — without it the kernel +
+    // persist rule as the MinHash twin — without it the fingerprint +
     // explode run twice (blocks release via LRU)
-    val banded = withFp.withColumn("chunk", explode(array(
+    val banded = docs.withColumn("chunk", explode(array(
       (0 until chunks).map { c =>
         struct(lit(c).as("chunk_id"),
-          shiftright(col("fp"), c * width)
+          shiftright(col(fpCol), c * width)
             .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
       }: _*)))
-      .select(col(idCol), col("fp"), col("chunk.chunk_id"), col("chunk.chunk_val"))
+      .select(col(idCol), col(fpCol).as("__fp"),
+        col("chunk.chunk_id"), col("chunk.chunk_val"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col("fp").as("fp_a"),
+    val a = banded.select(col(idCol).as("id_a"), col("__fp").as("fp_a"),
       col("chunk_id"), col("chunk_val"))
-    val b = banded.select(col(idCol).as("id_b"), col("fp").as("fp_b"),
+    val b = banded.select(col(idCol).as("id_b"), col("__fp").as("fp_b"),
       col("chunk_id"), col("chunk_val"))
     a.join(b, Seq("chunk_id", "chunk_val"))
       .filter(col("id_a") < col("id_b"))

@@ -200,5 +200,47 @@ object ExtensionQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
         .orderBy(col("media_id"))
     }),
+
+    // REAL image decode + perceptual dedup end-to-end: render actual
+    // PNGs (JDK ImageIO) whose 9×8 luminance grid encodes
+    // md5(doc_id % 97), decode them back, fingerprint with dHash
+    // (block-average 9×8 → 64 horizontal-gradient sign bits), and
+    // group. Members of a group render at DIFFERENT pixel sizes, so
+    // matching them is true scale-invariant perceptual dedup, not
+    // byte equality — yet the expected group structure (and the sum
+    // of DECODED widths/heights, proving the codec reads real
+    // dimensions) is pure doc_id arithmetic the oracle recomputes
+    // without decoding a byte. The near-dup JOIN over these
+    // fingerprints (banded hamming, shared with SimHash) is pinned in
+    // MultimodalImageSpec with planted bit-flips.
+    "multimodal_phash" -> ((s, dir) => {
+      val media = Multimodal.syntheticImages(s, s"$dir/documents.parquet")
+      val fps = Multimodal.imageDHashes(media)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grouped = fps.groupBy(col("dhash"))
+        .agg(count(lit(1)).as("members"))
+      val shape = grouped.agg(
+        sum(col("members")).as("n_images"),
+        count(lit(1)).as("n_groups"),
+        (sum(col("members") * (col("members") - 1)) / lit(2))
+          .cast("bigint").as("n_pairs"))
+      val dims = fps.agg(
+        sum(col("width")).cast("bigint").as("sum_w"),
+        sum(col("height")).cast("bigint").as("sum_h"))
+      try shape.crossJoin(dims) finally fps.unpersist(false)
+    }),
+
+    // REAL resize pipeline: decode → bilinear scale into the
+    // aspect-preserving 48px box → re-encode PNG → decode AGAIN and
+    // report the second decode's dimensions. A green row proves the
+    // full codec round-trip (not metadata bookkeeping): the oracle
+    // recomputes the box from the construction formula alone.
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticImages(s, s"$dir/documents.parquet")
+      val resized = Multimodal.resizeImages(media, maxSide = 48)
+      Multimodal.imageDHashes(resized)
+        .select(col("media_id"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }),
   )
 }

@@ -778,6 +778,46 @@ object TextQueries {
         |SELECT doc_id, CAST(len(f) AS INT) AS n_hashes, f[1] AS min_hash
         |FROM fp ORDER BY doc_id""".stripMargin,
 
+    // the planted perceptual-group structure is doc_id arithmetic:
+    // group = doc_id % 97 over the doc_id % 41 = 0 sample; distinct
+    // fingerprints == distinct groups (md5-derived 64-bit patterns,
+    // collision-free at this cardinality); widths/heights from the
+    // member-size formula — no image decoding needed oracle-side
+    "multimodal_phash" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 97 AS g
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |  WHERE doc_id % 41 = 0),
+        |grp AS (SELECT g, count(*) AS members FROM s GROUP BY g)
+        |SELECT
+        |  (SELECT CAST(sum(members) AS BIGINT) FROM grp) AS n_images,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM grp) AS n_groups,
+        |  (SELECT CAST(sum(members * (members - 1)) / 2 AS BIGINT)
+        |     FROM grp) AS n_pairs,
+        |  (SELECT CAST(sum(9 * (8 + doc_id % 5)) AS BIGINT) FROM s)
+        |    AS sum_w,
+        |  (SELECT CAST(sum(8 * (8 + doc_id % 3)) AS BIGINT) FROM s)
+        |    AS sum_h""".stripMargin,
+
+    // the aspect-preserving 48px box from the construction formula:
+    // scale = min(1, 48/max(w0,h0)), truncating multiply — the same
+    // IEEE double ops the Scala fitBox performs
+    "multimodal_resize" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    9 * (8 + doc_id % 5) AS w0, 8 * (8 + doc_id % 3) AS h0
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |  WHERE doc_id % 41 = 0),
+        |b AS (
+        |  SELECT media_id,
+        |    LEAST(CAST(1.0 AS DOUBLE),
+        |      CAST(48.0 AS DOUBLE) / GREATEST(w0, h0)) AS sc, w0, h0
+        |  FROM s)
+        |SELECT media_id,
+        |  GREATEST(CAST(FLOOR(w0 * sc) AS INT), 1) AS width,
+        |  GREATEST(CAST(FLOOR(h0 * sc) AS INT), 1) AS height
+        |FROM b ORDER BY media_id""".stripMargin,
+
     // mirrors Multimodal.decodeStub byte-for-byte: rolling checksum
     // c = c*31 + byte with 64-bit wraparound, folded in HUGEINT then
     // re-signed. ord(text[i]) == the UTF-8 byte because the corpus is

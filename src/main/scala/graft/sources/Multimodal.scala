@@ -7,17 +7,24 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, and batched decode /
   * feature-extract operators.
   *
-  * The Spark-side architecture is real — schema, partition-parallel
-  * batched processing via `mapPartitions` over a typed Dataset, stable
-  * output schema — while the codec itself is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries; on
-  * a real cluster `decodeStub` is replaced by the JNI/FFI codec call,
-  * and nothing else changes).
+  * IMAGES are decoded for real with `javax.imageio` (PNG/JPEG/BMP/GIF
+  * codecs ship in the JDK — no external dependency): true
+  * width/height, grayscale histograms, perceptual dHash fingerprints
+  * ([[dHash64]]) and a real decode→scale→re-encode [[resizeImages]].
+  * AUDIO/VIDEO codecs (mp3/aac/h264 …) are NOT in the JDK, so those
+  * kinds keep the deterministic [[decodeStub]] seam — on a real
+  * cluster the stub is replaced by the FFI codec call and nothing
+  * else changes. An image payload `ImageIO` cannot parse falls back
+  * to the stub too, so mixed/corrupt corpora degrade per row, never
+  * fail the job.
   *
   * Scale design: payload bytes never move through a shuffle — decode is
   * a narrow map over the scan partitions; only the (tiny) extracted
   * features flow downstream. `binaryFile` sources + partition sizing by
   * `spark.sql.files.maxPartitionBytes` keep one batch ≈ one task.
+  * Near-duplicate detection over dHash rides the SAME pigeonhole
+  * banding as text SimHash ([[graft.operators.Dedup.fingerprintNearDups]]):
+  * O(n·chunks) shuffle rows, never an all-pairs join.
   */
 object Multimodal {
 
@@ -60,19 +67,152 @@ object Multimodal {
     (checksum, hist.map(_ / n))
   }
 
+  // ----- real JDK image codec ---------------------------------------
+
+  /** Decode an image payload with the JDK's own codecs. None = not a
+    * parseable image (wrong kind, corrupt bytes) — callers fall back
+    * to the stub seam instead of failing the task.
+    */
+  private[graft] def decodeImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def encodePng(
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Integer luminance (0..255) of a pixel, ITU-R 601 weights. */
+  @inline private def luma(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    (r * 299 + g * 587 + b * 114) / 1000
+  }
+
+  /** The perceptual difference hash (dHash, 64-bit): average the
+    * luminance over a 9×8 grid of pixel blocks (area averaging — no
+    * resampling-library dependence, deterministic on any platform),
+    * then emit one bit per horizontal neighbor pair
+    * (`cell[r][i+1] > cell[r][i]`). Robust to uniform re-scaling and
+    * lossless re-encoding by construction; small local edits flip few
+    * bits, which is what the banded hamming join thresholds on.
+    */
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val cols = 9
+    val rows = 8
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = Array.ofDim[Double](rows, cols)
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols) {
+        // pixel block [x0, x1) x [y0, y1) of cell (r, c)
+        val x0 = (c.toLong * w / cols).toInt
+        val x1 = math.max((((c + 1).toLong * w) / cols).toInt, x0 + 1)
+        val y0 = (r.toLong * h / rows).toInt
+        val y1 = math.max((((r + 1).toLong * h) / rows).toInt, y0 + 1)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            sum += luma(img.getRGB(x, y))
+            x += 1
+          }
+          y += 1
+        }
+        val n = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+        grid(r)(c) = if (n <= 0) 0.0 else sum.toDouble / n
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L
+    var i = 0
+    r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        if (grid(r)(c + 1) > grid(r)(c)) bits |= 1L << i
+        i += 1
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Perceptual fingerprints for image rows: one narrow
+    * `mapPartitions` decode pass (payloads never shuffle) emitting
+    * `(media_id, dhash, width, height)` — true decoded dimensions,
+    * not metadata claims. Rows that fail to decode are dropped (they
+    * have no perceptual content to match on).
+    */
+  def imageDHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeImage(r.payload).map(img =>
+          (r.media_id, dHash64(img), img.getWidth, img.getHeight))
+      }
+    }.toDF("media_id", "dhash", "width", "height")
+  }
+
+  /** Image near-duplicate pairs (hamming(dhash) ≤ `maxBits`) via the
+    * shared pigeonhole banding — the visual twin of SimHash text
+    * dedup: finds the same picture re-scaled, re-encoded, or lightly
+    * edited without ever forming the O(n²) pair space.
+    */
+  def imageNearDups(media: Dataset[MediaRow], maxBits: Int = 3): DataFrame =
+    graft.operators.Dedup.fingerprintNearDups(
+      imageDHashes(media), "media_id", "dhash", maxBits)
+
   /** Batched decode + feature extraction: one `mapPartitions` pass, no
     * shuffle; the payload column is dropped from the output so only
-    * features flow downstream.
+    * features flow downstream. Image rows decode for REAL (JDK
+    * codecs): checksum = rolling hash over the decoded luminance
+    * plane, feature = normalized 16-bin luminance histogram. Audio/
+    * video (and unparseable payloads) take the stub seam.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (checksum, feature) = decodeStub(r.payload)
+        val decoded = if (r.kind == "image") decodeImage(r.payload) else None
+        val (checksum, feature) = decoded match {
+          case Some(img) => imageStats(img)
+          case None => decodeStub(r.payload)
+        }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
           checksum, feature)
       }
     }
+  }
+
+  /** Checksum + normalized luminance histogram over DECODED pixels. */
+  private[graft] def imageStats(
+      img: java.awt.image.BufferedImage): (Long, Array[Float]) = {
+    var checksum = 1125899906842597L
+    val hist = new Array[Float](FeatureDim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val l = luma(img.getRGB(x, y))
+        checksum = checksum * 31 + l
+        hist(l * FeatureDim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(img.getWidth.toLong * img.getHeight, 1L).toFloat
+    (checksum, hist.map(_ / n))
   }
 
   /** Deterministic synthetic media table (payloads derived from the
@@ -103,34 +243,145 @@ object Multimodal {
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
       .withColumn("n_sampled", size(col("sampled_frames")))
 
-  /** STUB resize: a real implementation decodes, scales, and re-encodes
-    * the payload (libjpeg/swscale via FFI). The fake keeps the plumbing
-    * honest — output metadata reflects the target box with aspect ratio
-    * preserved, and the payload is truncated proportionally to the
-    * pixel reduction so byte-accounting stays deterministic.
+  /** The aspect-preserving target box every resize path uses. */
+  private[graft] def fitBox(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    val scale = math.min(1.0, maxSide.toDouble / math.max(math.max(w, h), 1))
+    (math.max((w * scale).toInt, 1), math.max((h * scale).toInt, 1))
+  }
+
+  /** REAL image resize: decode (JDK codecs), scale into the
+    * aspect-preserving box with bilinear interpolation, re-encode as
+    * PNG. Payloads `ImageIO` cannot parse fall back to the stub seam
+    * (metadata-accurate truncation) so mixed corpora never fail.
+    */
+  private[sources] def resizeReal(payload: Array[Byte],
+      maxSide: Int): Option[(Array[Byte], Int, Int)] =
+    decodeImage(payload).map { img =>
+      val (nw, nh) = fitBox(img.getWidth, img.getHeight, maxSide)
+      val out = new java.awt.image.BufferedImage(nw, nh,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+      } finally g.dispose()
+      (encodePng(out), nw, nh)
+    }
+
+  /** STUB resize for non-decodable payloads: output metadata reflects
+    * the target box with aspect ratio preserved, payload truncated
+    * proportionally so byte-accounting stays deterministic.
     */
   private[sources] def resizeStub(payload: Array[Byte], w: Int, h: Int,
       maxSide: Int): (Array[Byte], Int, Int) = {
-    val scale = math.min(1.0, maxSide.toDouble / math.max(math.max(w, h), 1))
-    val nw = math.max((w * scale).toInt, 1)
-    val nh = math.max((h * scale).toInt, 1)
+    val (nw, nh) = fitBox(w, h, maxSide)
     val keep = math.max(
       (payload.length * (nw.toLong * nh) / math.max(w.toLong * h, 1L)).toInt, 1)
     (java.util.Arrays.copyOf(payload, math.min(keep, payload.length)), nw, nh)
   }
 
   /** Batched resize for image rows: one `mapPartitions` pass, payloads
-    * never shuffle; non-image rows pass through untouched.
+    * never shuffle; non-image rows pass through untouched; decodable
+    * images take the real codec path, others the stub.
     */
   def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map {
         case r if r.kind == "image" =>
-          val (p, w, h) = resizeStub(r.payload, r.width, r.height, maxSide)
-          r.copy(payload = p, width = w, height = h)
+          resizeReal(r.payload, maxSide) match {
+            case Some((p, w, h)) => r.copy(payload = p, width = w, height = h)
+            case None =>
+              val (p, w, h) = resizeStub(r.payload, r.width, r.height, maxSide)
+              r.copy(payload = p, width = w, height = h)
+          }
         case r => r
       }
     }
+  }
+
+  // ----- deterministic synthetic images (real PNGs) ------------------
+
+  /** Render the deterministic test image of `(group, docId)`: an 8-row
+    * × 9-column grid of uniform luminance blocks whose HORIZONTAL
+    * steps follow the 64 bits of md5(group) — so [[dHash64]] of the
+    * decoded image IS those bits, for ANY member size (block
+    * averaging recovers the exact cell values when the dimensions are
+    * multiples of 9×8, which [[syntheticImages]] guarantees). Members
+    * of one group render at different pixel sizes, making them true
+    * scale-variant near-duplicates with identical fingerprints.
+    */
+  private[graft] def renderGridImage(group: Long, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val bits = groupBits(group)
+    val cols = 9
+    val rows = 8
+    // per-row walk: start 128, step ±12 per bit — range stays within
+    // [32, 224], every step strict so the dHash sign is unambiguous
+    val cells = Array.ofDim[Int](rows, cols)
+    var r = 0
+    while (r < rows) {
+      cells(r)(0) = 128
+      var c = 1
+      while (c < cols) {
+        val bit = (bits >>> (r * (cols - 1) + (c - 1))) & 1L
+        cells(r)(c) = cells(r)(c - 1) + (if (bit == 1L) 12 else -12)
+        c += 1
+      }
+      r += 1
+    }
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, cells(y * rows / h)(x * cols / w))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** 64 deterministic bits per group (first 8 bytes of md5 of the
+    * decimal string — the same digest every engine has).
+    */
+  private[graft] def groupBits(group: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(group.toString.getBytes("UTF-8"))
+    var bits = 0L
+    var i = 0
+    while (i < 8) { bits = (bits << 8) | (d(i) & 0xffL); i += 1 }
+    bits
+  }
+
+  /** A deterministic corpus of REAL PNG images keyed by the documents
+    * table: each sampled `doc_id` joins perceptual group
+    * `doc_id % nGroups` and renders that group's grid image at a
+    * member-specific pixel size (multiples of 9×8 so fingerprints are
+    * exact) — planted scale-variant near-duplicates whose expected
+    * group structure is pure doc_id arithmetic, recomputable by any
+    * SQL engine without decoding a single byte.
+    */
+  def syntheticImages(spark: SparkSession, documentsDir: String,
+      sampleMod: Long = 41L, nGroups: Long = 97L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(documentsDir)
+      .select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val g = ((docId % nGroups) + nGroups) % nGroups
+          val w = 9 * (8 + (docId % 5L).toInt)
+          val h = 8 * (8 + (docId % 3L).toInt)
+          val png = encodePng(renderGridImage(g, w, h))
+          MediaRow(docId, "image", png, w, h, 0, 1)
+        }
+      }
   }
 }
