@@ -1326,6 +1326,46 @@ object Compaction {
     }
   }
 
+  /** One maintenance pass — the policy that keeps a merge-on-read
+    * table's read amplification AND history storage bounded without an
+    * operator watching it:
+    *
+    *  1. partial compaction: every bucket whose delta CHAIN reached
+    *     `maxDeltasPerBucket` folds back into its base (one OCC
+    *     transaction, only those buckets rewritten; below-threshold
+    *     chains stay verbatim) — so a reader never reconciles more
+    *     than `maxDeltasPerBucket` extra files per bucket, no matter
+    *     how many scattered merges land between passes;
+    *  2. age-based retention: committed manifests older than
+    *     `maxHistoryAge` (by commit mtime) vacuum away — time travel
+    *     stays available inside the window, storage is bounded
+    *     outside it. The latest version always survives.
+    *
+    * Cost when nothing qualifies: two driver-side metadata reads, zero
+    * Spark jobs — safe to call on every streaming micro-batch cadence
+    * ([[graft.streaming.StreamingCompaction.mergeStream]]'s
+    * `maintainEvery`). Returns (buckets folded, manifests vacuumed).
+    */
+  def maintain(spark: SparkSession, dir: String,
+      maxDeltasPerBucket: Int = 8,
+      maxHistoryAge: java.time.Duration = null): (Int, Int) = {
+    val before = loadMeta(spark, dir)
+    val toFold = before.deltas.count(_._2.size >= maxDeltasPerBucket)
+    if (toFold > 0)
+      compact(spark, dir, minDeltas = maxDeltasPerBucket,
+        retainHistory = true)
+    val vacuumed = Option(maxHistoryAge).map { age =>
+      val cutoff = System.currentTimeMillis() - age.toMillis
+      val times = TxLog.commitTimesOnDisk(spark, dir)
+      val expired = times.dropRight(1).filter(_._2 < cutoff)
+      if (expired.nonEmpty) {
+        TxLog.vacuum(spark, dir, expired.map(_._1).max + 1L)
+        expired.size
+      } else 0
+    }.getOrElse(0)
+    (toFold, vacuumed)
+  }
+
   /** Per-bucket merge-on-read pressure, manifest-only: (bucket, number
     * of unfolded delta dirs, delta rows) — the zero-cost input to a
     * compaction schedule.

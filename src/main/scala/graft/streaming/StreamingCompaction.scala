@@ -21,12 +21,32 @@ import graft.cdc.Compaction
   */
 object StreamingCompaction {
 
-  def mergeStream(changelog: DataFrame, tableDir: String)
-      : DataStreamWriter[Row] =
+  /** `mergeOnRead = true` makes every micro-batch an O(batch) delta
+    * write (the scattered-update fast path); `maintainEvery = N > 0`
+    * runs [[Compaction.maintain]] after every Nth micro-batch so
+    * delta chains fold before read amplification accumulates — the
+    * cadence-driven compaction an unattended streaming table needs.
+    * The maintenance check is manifest-only when nothing qualifies,
+    * so a tight cadence costs metadata, not jobs.
+    */
+  def mergeStream(changelog: DataFrame, tableDir: String,
+      mergeOnRead: Boolean = false, maintainEvery: Int = 0,
+      maxDeltasPerBucket: Int = 8,
+      maxHistoryAge: java.time.Duration = null)
+      : DataStreamWriter[Row] = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     changelog.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        Compaction.merge(batch.sparkSession, tableDir, batch.toDF())
+        Compaction.merge(batch.sparkSession, tableDir, batch.toDF(),
+          mergeOnRead = mergeOnRead)
+        if (maintainEvery > 0 &&
+            batches.incrementAndGet() % maintainEvery == 0) {
+          Compaction.maintain(batch.sparkSession, tableDir,
+            maxDeltasPerBucket, maxHistoryAge)
+          ()
+        }
         ()
       }
+  }
 }

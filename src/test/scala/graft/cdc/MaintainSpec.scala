@@ -1,0 +1,128 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** maintain(): with maintenance on a cadence, N scattered
+  * merge-on-read batches can never grow an unbounded delta chain
+  * (read amplification bounded by maxDeltasPerBucket) and age-based
+  * retention bounds history storage — while results stay identical to
+  * the copy-on-write twin.
+  */
+class MaintainSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def changeDf(rows: Seq[(Long, String, Long, Boolean)]): DataFrame =
+    rows.toDF("id", "payload", "version", "deleted")
+
+  test("delta chains stay bounded across many scattered MoR merges") {
+    val dir = tmpDir("maintain") + "/t"
+    val cowDir = tmpDir("maintain-cow") + "/t"
+    val init = changeDf((1L to 200L).map(i => (i, s"v0-$i", 0L, false)))
+    Compaction.init(init, dir, "id", "version", "deleted", nBuckets = 8)
+    Compaction.init(init, cowDir, "id", "version", "deleted", nBuckets = 8)
+
+    val bound = 4
+    var maxChainEverAfterMaintain = 0
+    (1L to 20L).foreach { v =>
+      // one scattered update per round (hits many buckets over time)
+      val batch = changeDf(Seq(((v * 37) % 200 + 1, s"u$v", v, false)))
+      Compaction.merge(spark, dir, batch, mergeOnRead = true)
+      Compaction.merge(spark, cowDir, batch)
+      Compaction.maintain(spark, dir, maxDeltasPerBucket = bound)
+      val worst = Compaction.deltaStats(spark, dir)
+        .map(_._2).maxOption.getOrElse(0)
+      maxChainEverAfterMaintain =
+        math.max(maxChainEverAfterMaintain, worst)
+      assert(worst < bound,
+        s"round $v: chain length $worst reached the bound $bound")
+    }
+    // maintenance actually ran (chains formed and were folded)
+    assert(maxChainEverAfterMaintain > 0 ||
+      Compaction.deltaStats(spark, dir).isEmpty)
+    // and the maintained MoR table equals the CoW twin exactly
+    val a = Compaction.read(spark, dir)
+      .select("id", "payload", "version")
+      .as[(Long, String, Long)].collect().toSet
+    val b = Compaction.read(spark, cowDir)
+      .select("id", "payload", "version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("age-based retention vacuums expired history, keeps the window") {
+    val dir = tmpDir("maintain-age") + "/t"
+    Compaction.init(changeDf(Seq((1L, "a", 0L, false))), dir,
+      "id", "version", "deleted", nBuckets = 4)
+    (1L to 3L).foreach { v =>
+      Compaction.merge(spark, dir, changeDf(Seq((1L, s"v$v", v, false))),
+        retainHistory = true)
+    }
+    assert(TxLog.versionsOnDisk(spark, dir).size == 4)
+    // a 1-hour window keeps everything (all commits are fresh)
+    val (_, kept) = Compaction.maintain(spark, dir,
+      maxHistoryAge = java.time.Duration.ofHours(1))
+    assert(kept == 0)
+    assert(TxLog.versionsOnDisk(spark, dir).size == 4)
+    // a zero window vacuums all but the latest
+    val (_, dropped) = Compaction.maintain(spark, dir,
+      maxHistoryAge = java.time.Duration.ZERO)
+    assert(dropped == 3, s"dropped $dropped")
+    assert(TxLog.versionsOnDisk(spark, dir).size == 1)
+    // the table still reads (latest survived)
+    assert(Compaction.read(spark, dir).count() == 1)
+  }
+
+  test("no-op maintenance costs no commit (version unchanged)") {
+    val dir = tmpDir("maintain-noop") + "/t"
+    Compaction.init(changeDf(Seq((1L, "a", 0L, false))), dir,
+      "id", "version", "deleted", nBuckets = 4)
+    val v = Compaction.version(spark, dir)
+    val (folded, vacuumed) = Compaction.maintain(spark, dir,
+      maxDeltasPerBucket = 2, java.time.Duration.ofHours(1))
+    assert(folded == 0 && vacuumed == 0)
+    assert(Compaction.version(spark, dir) == v)
+  }
+
+  test("streaming mergeStream with maintainEvery keeps chains bounded") {
+    val root = tmpDir("maintain-stream")
+    val srcDir = s"$root/changes"
+    val tableDir = s"$root/table"
+    Compaction.init(
+      changeDf((1L to 100L).map(i => (i, s"v0-$i", 0L, false))),
+      tableDir, "id", "version", "deleted", nBuckets = 8)
+    // 6 change files -> 6 micro-batches (maxFilesPerTrigger=1)
+    (1L to 6L).foreach { v =>
+      changeDf(Seq((v * 17 % 100 + 1, s"s$v", v, false)))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val schema = graft.cdc.Compaction.read(spark, tableDir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = graft.streaming.StreamingCompaction.mergeStream(
+        src, tableDir, mergeOnRead = true, maintainEvery = 2,
+        maxDeltasPerBucket = 2)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, q.exception.toString)
+    // chains were folded on the cadence: nothing at/over the bound
+    val worst = Compaction.deltaStats(spark, tableDir)
+      .map(_._2).maxOption.getOrElse(0)
+    assert(worst < 2, s"worst chain $worst")
+    // and the table is correct
+    val got = Compaction.read(spark, tableDir)
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    (1L to 6L).foreach { v =>
+      assert(got(v * 17 % 100 + 1) == s"s$v" ||
+        // a later batch may have overwritten the same key
+        (1L to 6L).exists(w => w > v && w * 17 % 100 == v * 17 % 100))
+    }
+    assert(got.size == 100)
+  }
+}
