@@ -46,8 +46,15 @@ import graft.cdc.Replicator
   */
 class FeedBatchSource extends TableProvider {
 
+  private def emitRows(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("emitRows")).exists(_.toBoolean)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FeedBatchSource.Schema
+    if (emitRows(options))
+      StreamingReplicator.feedSchema(SparkSession.active,
+          options.get("path"))
+        .add("batch", LongType, nullable = false)
+    else FeedBatchSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -58,7 +65,9 @@ class FeedBatchSource extends TableProvider {
         "graft feed source requires .option(\"path\", <table dir>)"))
     new FeedBatchTable(path,
       Option(opts.get("maxBatchesPerTrigger")).map(_.toLong),
-      Option(opts.get("startingBatch")).map(_.toLong).getOrElse(-1L))
+      Option(opts.get("startingBatch")).map(_.toLong).getOrElse(-1L),
+      emitRows = emitRows(opts),
+      rowSchema = if (emitRows(opts)) Some(schema) else None)
   }
 }
 
@@ -69,20 +78,24 @@ object FeedBatchSource {
 
 private[streaming] class FeedBatchTable(tableDir: String,
     maxBatchesPerTrigger: Option[Long],
-    startingBatch: Long) extends Table with SupportsRead {
+    startingBatch: Long,
+    emitRows: Boolean = false,
+    rowSchema: Option[StructType] = None) extends Table with SupportsRead {
 
   override def name(): String = s"graft-feed($tableDir)"
-  override def schema(): StructType = FeedBatchSource.Schema
+  override def schema(): StructType =
+    rowSchema.getOrElse(FeedBatchSource.Schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = FeedBatchSource.Schema
+        override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream =
-          new FeedBatchStream(tableDir, maxBatchesPerTrigger, startingBatch)
+          new FeedBatchStream(tableDir, maxBatchesPerTrigger,
+            startingBatch, if (emitRows) rowSchema else None)
       }
     }
 }
@@ -97,7 +110,8 @@ private[streaming] case class FeedBatchOffset(batch: Long) extends Offset {
 
 private[streaming] class FeedBatchStream(tableDir: String,
     maxBatchesPerTrigger: Option[Long],
-    startingBatch: Long)
+    startingBatch: Long,
+    rowSchema: Option[StructType] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -148,11 +162,29 @@ private[streaming] class FeedBatchStream(tableDir: String,
     val from = start.asInstanceOf[FeedBatchOffset].batch
     val to = end.asInstanceOf[FeedBatchOffset].batch
     if (to <= from) Array.empty
-    else Array(FeedBatchRange(from + 1, to))
+    else rowSchema match {
+      case None => Array(FeedBatchRange(from + 1, to))
+      case Some(_) =>
+        // data-row mode: one partition per published file of the
+        // admitted batch range — parallelism follows the feed layout
+        val spark = SparkSession.active
+        val fs = graft.cdc.TxLog.fs(spark, tableDir)
+        (from + 1 to to).flatMap { b =>
+          val d = new org.apache.hadoop.fs.Path(s"$tableDir/feed/batch=$b")
+          if (!fs.exists(d)) Nil
+          else fs.listStatus(d).toSeq
+            .filter(st => st.getPath.getName.startsWith("part-") &&
+              st.getLen > 0)
+            .map(st => FeedFilePartition(st.getPath.toString, b))
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FeedBatchReaderFactory
+    rowSchema match {
+      case None => FeedBatchReaderFactory
+      case Some(schema) => new FeedRowReaderFactory(schema)
+    }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -171,6 +203,74 @@ private[streaming] object FeedBatchReaderFactory
       override def next(): Boolean = { current += 1; current <= r.last }
       override def get(): InternalRow = InternalRow(current)
       override def close(): Unit = ()
+    }
+  }
+}
+
+private[streaming] case class FeedFilePartition(path: String, batch: Long)
+  extends InputPartition
+
+/** Data-row mode reader: one published feed parquet file per
+  * partition, read through Spark's own vectorized parquet reader (the
+  * same kernel the batch path uses — no hand-rolled decoder), each
+  * row projected BY NAME into the declared read schema (older batches
+  * written before a schema evolution null-extend) with the batch id
+  * appended. Files are immutable once published, so a replayed offset
+  * range re-reads byte-identical data — exactly-once downstream under
+  * the engine's offset checkpointing.
+  */
+private[streaming] final class FeedRowReaderFactory(
+    readSchema: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FeedFilePartition]
+    new PartitionReader[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+      private val reader =
+        new org.apache.spark.sql.execution.datasources.parquet
+          .VectorizedParquetRecordReader(false, 4096)
+      // file field names, footer-read once, for the by-name projection
+      private val fileFields: Seq[String] = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.path),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val fields = r.getFooter.getFileMetaData.getSchema.getFields
+          (0 until fields.size).map(i => fields.get(i).getName)
+        } finally r.close()
+      }
+      reader.initialize(p.path, null)
+      // data columns resolve by name; the trailing `batch` column (and
+      // any evolved-in column the file predates) yields null/literal
+      private val mapping: Array[Int] =
+        readSchema.fieldNames.map(n => fileFields.indexOf(n))
+
+      override def next(): Boolean = reader.nextKeyValue()
+
+      override def get(): InternalRow = {
+        // the vectorized reader hands out a row VIEW over its column
+        // vectors (overwritten on the next batch load) — copy first
+        val src = reader.getCurrentValue.asInstanceOf[InternalRow].copy()
+        val out = new Array[Any](readSchema.length)
+        var i = 0
+        while (i < readSchema.length) {
+          val f = readSchema.fields(i)
+          out(i) =
+            if (f.name == "batch") p.batch
+            else {
+              val j = mapping(i)
+              if (j < 0 || src.isNullAt(j)) null
+              else src.get(j, f.dataType)
+            }
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+
+      override def close(): Unit = reader.close()
     }
   }
 }

@@ -128,4 +128,59 @@ class StreamingReplicatorSpec extends SparkSpec {
       s"expected 4 bounded merges, replica went " +
         s"$dstVersionBefore -> ${Compaction.version(spark, dst)}")
   }
+
+  test("emitRows mode streams the change rows themselves, exactly-once across restart") {
+    val root = tmpDir("feedrows")
+    val src = s"$root/src"
+    val sinkDir = s"$root/sink"
+    Compaction.init(
+      changeDf((1L to 20L).map(i => (i, s"v0-$i", 0L, false))),
+      src, "id", "version", "deleted", nBuckets = 4)
+    Compaction.merge(spark, src,
+      changeDf(Seq((1L, "v1-1", 1L, false), (2L, "", 1L, true))),
+      emitFeed = true)
+
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[FeedBatchSource].getName)
+        .option("path", src)
+        .option("emitRows", "true")
+        .load()
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(q.exception.isEmpty, q.exception.toString)
+    }
+
+    drain()
+    val got1 = spark.read.parquet(sinkDir)
+      .select($"id", $"payload", $"_change_type", $"batch")
+      .as[(Long, String, String, Long)].collect().toSet
+    // batch 0: update of key 1 (pre+post image) + delete of key 2
+    assert(got1 == Set(
+      (1L, "v0-1", "update_preimage", 0L),
+      (1L, "v1-1", "update_postimage", 0L),
+      (2L, "v0-2", "delete", 0L)), s"got $got1")
+
+    // restart after a new publish: only batch 1's rows append (the
+    // checkpointed offset fences batch 0 — exactly-once)
+    Compaction.merge(spark, src,
+      changeDf(Seq((30L, "v2-30", 2L, false))), emitFeed = true)
+    drain()
+    val got2 = spark.read.parquet(sinkDir)
+      .select($"id", $"_change_type", $"batch")
+      .as[(Long, String, Long)].collect().toList
+    assert(got2.size == 4, s"replay duplicated rows: $got2")
+    assert(got2.count(_._3 == 1L) == 1)
+    assert(got2.contains((30L, "insert", 1L)))
+
+    // a drain with nothing new appends nothing
+    drain()
+    assert(spark.read.parquet(sinkDir).count() == 4)
+  }
 }
