@@ -548,6 +548,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT substring-span dedup (round-7): winnowed positional
+    // fingerprints (every-position rolling hash, rightmost-min
+    // winnowing — the Schleimer/Wilkerson/Aiken guarantee) find every
+    // maximal shared token run >= 16 with exact boundaries, where
+    // dedup_spans' strided windows only estimate ratios and miss
+    // off-stride splices. The corpus plants them: each sampled doc
+    // gets a clone whose copy sits behind a 3-token prefix — off any
+    // stride-8 grid. Oracle = ground truth via every-position
+    // 16-grams + diagonal gaps-and-islands (no hashes oracle-side, so
+    // a green row proves the winnowing guarantee held for every run).
+    "dedup_spans_exact" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          slice(split(col("text"), " "), 1, 60).as("toks"))
+      val clones = base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(array(lit("px"), lit("qx"), lit("rx")),
+          slice(col("toks"), 1, 50)).as("toks"))
+      graft.operators.ExactSpans.spansFromTokens(
+          base.unionByName(clones), "doc_id", "toks", minLen = 16)
+        .orderBy(col("id_a"), col("id_b"), col("start_a"),
+          col("start_b"))
+    }),
+
     // deterministic WEIGHTED sampling: per-doc keep probability
     // n_tokens/256 (capped at 1), decided by comparing the doc's
     // md5-fraction against a per-doc hex threshold — importance
@@ -812,6 +837,39 @@ object PipelineQueries {
         |    THEN CAST(coalesce(m.n_dup, 0) AS DOUBLE) / len(spans)
         |    ELSE 0.0 END AS dup_ratio
         |FROM g LEFT JOIN m USING (doc_id) ORDER BY g.doc_id""".stripMargin,
+
+    // ground truth without hashes: every-position 16-grams, pairs on
+    // gram equality, maximal runs = gaps-and-islands per (pair,
+    // diagonal) — span_len = run length + 15
+    "dedup_spans_exact" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id, string_split(text, ' ')[1:60] AS toks
+        |  FROM $docsParquet WHERE doc_id % 11 = 0),
+        |d AS (
+        |  SELECT doc_id, toks FROM d0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    list_concat(['px','qx','rx'], toks[1:50]) FROM d0),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(toks[i:i+15], ' ') AS gram
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, len(toks) - 14)) AS i
+        |        FROM d WHERE len(toks) >= 16)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.pos AS pa, b.pos AS pb
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |q AS (
+        |  SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+        |      ORDER BY pa) AS grp
+        |  FROM p)
+        |SELECT id_a, id_b,
+        |  CAST(min(pa) AS INT) AS start_a, CAST(min(pb) AS INT) AS start_b,
+        |  CAST(max(pa) - min(pa) + 16 AS INT) AS span_len
+        |FROM q GROUP BY id_a, id_b, diag, grp
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH t AS (
