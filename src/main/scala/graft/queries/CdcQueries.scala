@@ -619,10 +619,13 @@ object CdcQueries {
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin
       // GraftSession (the harness) carries the GraftDml rule: plain
-      // spark.sql lowers natively; an extension-less session falls
-      // back to the parse-level front door — same lowering either way
+      // spark.sql lowers natively; an extension-less session surfaces
+      // Spark's native no-row-level-ops error (an analysis OR planning
+      // time SparkThrowable depending on how far resolution got) and
+      // falls back to the parse-level front door — same lowering
       try s.sql(mergeSql)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      catch { case e: Throwable with org.apache.spark.SparkThrowable
+          if e.getCondition != null =>
         graft.plans.GraftTables.sql(s, mergeSql) }
       s.sql("""SELECT count(*) AS n_keys,
         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total

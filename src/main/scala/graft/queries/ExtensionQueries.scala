@@ -215,19 +215,32 @@ object ExtensionQueries {
     // MultimodalImageSpec with planted bit-flips.
     "multimodal_phash" -> ((s, dir) => {
       val media = Multimodal.syntheticImages(s, s"$dir/documents.parquet")
-      val fps = Multimodal.imageDHashes(media)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val grouped = fps.groupBy(col("dhash"))
-        .agg(count(lit(1)).as("members"))
-      val shape = grouped.agg(
-        sum(col("members")).as("n_images"),
-        count(lit(1)).as("n_groups"),
-        (sum(col("members") * (col("members") - 1)) / lit(2))
-          .cast("bigint").as("n_pairs"))
-      val dims = fps.agg(
-        sum(col("width")).cast("bigint").as("sum_w"),
-        sum(col("height")).cast("bigint").as("sum_h"))
-      try shape.crossJoin(dims) finally fps.unpersist(false)
+      // one aggregation tree: per-fingerprint members + dimension
+      // sums, then a global rollup — no second pass over the decoded
+      // corpus and no join
+      Multimodal.imageDHashes(media)
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).as("members"),
+          sum(col("width")).as("gw"), sum(col("height")).as("gh"))
+        .agg(
+          sum(col("members")).as("n_images"),
+          count(lit(1)).as("n_groups"),
+          (sum(col("members") * (col("members") - 1)) / lit(2))
+            .cast("bigint").as("n_pairs"),
+          sum(col("gw")).cast("bigint").as("sum_w"),
+          sum(col("gh")).cast("bigint").as("sum_h"))
+    }),
+
+    // REAL audio decode end-to-end: synthesize actual WAV containers
+    // (16-bit mono PCM square waves whose period/length/amplitude are
+    // doc_id arithmetic), decode them back with the JDK's own parser
+    // (javax.sound.sampled), and report exact integer sample stats —
+    // n_samples, duration, energy, zero crossings, peak — all
+    // closed-form for the oracle. A green row proves WAV header +
+    // PCM frame parsing, not bookkeeping.
+    "multimodal_audio" -> ((s, dir) => {
+      val media = Multimodal.syntheticWavs(s, s"$dir/documents.parquet")
+      Multimodal.audioStats(media).orderBy(col("media_id"))
     }),
 
     // REAL resize pipeline: decode → bilinear scale into the

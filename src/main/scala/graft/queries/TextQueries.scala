@@ -799,6 +799,25 @@ object TextQueries {
         |  (SELECT CAST(sum(8 * (8 + doc_id % 3)) AS BIGINT) FROM s)
         |    AS sum_h""".stripMargin,
 
+    // square-wave closed forms: N = P·m samples, sum of squares
+    // N·A², 2m−1 sign transitions, peak A — pure doc_id arithmetic
+    "multimodal_audio" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    20 + (doc_id % 5) * 20 AS p,
+        |    40 + doc_id % 7 AS m,
+        |    1000 + (doc_id % 10) * 500 AS a
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |  WHERE doc_id % 41 = 0)
+        |SELECT media_id,
+        |  CAST(p * m AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(p * m * 125 AS BIGINT) AS duration_us,
+        |  CAST(p * m * a * a AS BIGINT) AS sum_sq,
+        |  CAST(2 * m - 1 AS BIGINT) AS zero_crossings,
+        |  CAST(a AS INT) AS peak
+        |FROM s ORDER BY media_id""".stripMargin,
+
     // the aspect-preserving 48px box from the construction formula:
     // scale = min(1, 48/max(w0,h0)), truncating multiply — the same
     // IEEE double ops the Scala fitBox performs

@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * codecs ship in the JDK — no external dependency): true
   * width/height, grayscale histograms, perceptual dHash fingerprints
   * ([[dHash64]]) and a real decode→scale→re-encode [[resizeImages]].
-  * AUDIO/VIDEO codecs (mp3/aac/h264 …) are NOT in the JDK, so those
-  * kinds keep the deterministic [[decodeStub]] seam — on a real
+  * AUDIO decodes for real too for WAV/PCM (`javax.sound.sampled`,
+  * also in the JDK): [[decodeWav]], exact sample stats
+  * ([[audioStats]]), energy fingerprints and near-dedup. COMPRESSED
+  * audio (mp3/aac) and VIDEO codecs are NOT in the JDK, so those
+  * payloads keep the deterministic [[decodeStub]] seam — on a real
   * cluster the stub is replaced by the FFI codec call and nothing
-  * else changes. An image payload `ImageIO` cannot parse falls back
-  * to the stub too, so mixed/corrupt corpora degrade per row, never
-  * fail the job.
+  * else changes. Any payload the JDK cannot parse falls back to the
+  * stub too, so mixed/corrupt corpora degrade per row, never fail
+  * the job.
   *
   * Scale design: payload bytes never move through a shuffle — decode is
   * a narrow map over the scan partitions; only the (tiny) extracted
@@ -381,6 +384,171 @@ object Multimodal {
           val h = 8 * (8 + (docId % 3L).toInt)
           val png = encodePng(renderGridImage(g, w, h))
           MediaRow(docId, "image", png, w, h, 0, 1)
+        }
+      }
+  }
+
+  // ----- real JDK audio codec (WAV/PCM via javax.sound.sampled) -----
+
+  /** Decoded mono PCM audio: sample rate + first-channel samples. */
+  final case class WavData(sampleRate: Int, samples: Array[Int])
+
+  /** Decode a WAV payload with the JDK's own parser
+    * (`javax.sound.sampled` ships WAV/AIFF/AU PCM support — no
+    * external dependency). None = not parseable audio (compressed
+    * codecs like mp3/aac are NOT in the JDK and keep the stub seam).
+    * Multi-channel input keeps channel 0; 8/16-bit signed PCM.
+    */
+  private[graft] def decodeWav(payload: Array[Byte]): Option[WavData] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
+        val bytesPerSample = f.getSampleSizeInBits / 8
+        if (bytesPerSample != 1 && bytesPerSample != 2) return None
+        val frameSize = f.getFrameSize
+        val raw = in.readAllBytes()
+        val nFrames = raw.length / frameSize
+        val out = new Array[Int](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          val base = i * frameSize
+          out(i) =
+            if (bytesPerSample == 1) raw(base).toInt
+            else if (f.isBigEndian)
+              (raw(base) << 8) | (raw(base + 1) & 0xff)
+            else (raw(base + 1) << 8) | (raw(base) & 0xff)
+          i += 1
+        }
+        Some(WavData(f.getSampleRate.toInt, out))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Encode 16-bit mono PCM as a WAV container (JDK writer). */
+  private[graft] def encodeWav(samples: Array[Int],
+      sampleRate: Int): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      bytes(2 * i) = (v & 0xff).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Exact integer stats over DECODED samples — the audit numbers a
+    * corpus pipeline filters on (silence, clipping, length), all
+    * derivable in plain SQL for the synthetic corpus.
+    */
+  final case class AudioStats(media_id: Long, n_samples: Long,
+      sample_rate: Int, duration_us: Long, sum_sq: Long,
+      zero_crossings: Long, peak: Int)
+
+  def audioStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWav(r.payload).map { w =>
+          var sumSq = 0L
+          var zc = 0L
+          var peak = 0
+          var i = 0
+          val s = w.samples
+          while (i < s.length) {
+            val v = s(i)
+            sumSq += v.toLong * v
+            if (i > 0 && ((s(i - 1) < 0 && v >= 0) ||
+                (s(i - 1) >= 0 && v < 0))) zc += 1
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          AudioStats(r.media_id, s.length.toLong, w.sampleRate,
+            s.length.toLong * 1000000L / w.sampleRate, sumSq, zc, peak)
+        }
+      }
+    }.toDF()
+  }
+
+  /** 64-bit audio fingerprint: split the clip into 64 equal time
+    * chunks, bit = chunk energy above the clip's mean chunk energy —
+    * invariant to uniform amplitude scaling (both sides scale by the
+    * same factor), so a re-mastered copy of the same material matches
+    * under the shared banded hamming join
+    * ([[graft.operators.Dedup.fingerprintNearDups]]).
+    */
+  private[graft] def audioFingerprint(samples: Array[Int]): Long = {
+    if (samples.length < 64) return 0L
+    val chunk = samples.length / 64
+    val energy = new Array[Double](64)
+    var c = 0
+    while (c < 64) {
+      var e = 0.0
+      var i = c * chunk
+      val end = i + chunk
+      while (i < end) { e += samples(i).toDouble * samples(i); i += 1 }
+      energy(c) = e
+      c += 1
+    }
+    val mean = energy.sum / 64
+    var bits = 0L
+    c = 0
+    while (c < 64) {
+      if (energy(c) > mean) bits |= 1L << c
+      c += 1
+    }
+    bits
+  }
+
+  /** Audio near-duplicate pairs over the energy fingerprint. */
+  def audioNearDups(media: Dataset[MediaRow], maxBits: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    val fps = media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap(r => decodeWav(r.payload).map(w =>
+        (r.media_id, audioFingerprint(w.samples))))
+    }.toDF("media_id", "afp")
+    graft.operators.Dedup.fingerprintNearDups(fps, "media_id", "afp",
+      maxBits)
+  }
+
+  /** Deterministic REAL WAV corpus keyed by the documents table: each
+    * sampled doc renders an 8 kHz 16-bit mono square wave whose
+    * period, length and amplitude are doc_id arithmetic —
+    *   P = 20 + (doc_id % 5)·20   (even, samples per period)
+    *   N = P · (40 + doc_id % 7)  (whole periods)
+    *   A = 1000 + (doc_id % 10)·500
+    * so the DECODED stats are closed-form: n_samples = N,
+    * sum_sq = N·A², zero_crossings = 2·(N/P) − 1, peak = A — an SQL
+    * oracle for a real audio codec without synthesizing a sine table.
+    */
+  def syntheticWavs(spark: SparkSession, documentsDir: String,
+      sampleMod: Long = 41L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(documentsDir)
+      .select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val p = 20 + (docId % 5L).toInt * 20
+          val n = p * (40 + (docId % 7L).toInt)
+          val a = 1000 + (docId % 10L).toInt * 500
+          val samples = Array.tabulate(n)(i =>
+            if (i % p < p / 2) a else -a)
+          MediaRow(docId, "audio", encodeWav(samples, 8000),
+            0, 0, 8000, 1)
         }
       }
   }
