@@ -186,6 +186,27 @@ object CdcDemo {
         .select(col("payload")).as[String].collect().mkString +
       s", deleted 8 present = " +
       spark.table("demo_tbl").where(col("id") === 8).count())
+
+    // ---- round 7: the DSv2 catalog — CREATE/INSERT/SELECT/AS OF and
+    // maintenance SQL with zero register() calls.
+    spark.conf.set("spark.sql.catalog.demo", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.demo.warehouse", s"$root/warehouse")
+    spark.sql("DROP TABLE IF EXISTS demo.users")
+    spark.sql("""CREATE TABLE demo.users (
+      id BIGINT, payload STRING, version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='8')""")
+    spark.sql("INSERT INTO demo.users SELECT id, concat('cat-', id), 0L, false FROM range(100)")
+    spark.sql("INSERT INTO demo.users SELECT 5L, 'cat-5b', 1L, false")
+    val asOf = spark.sql(
+      "SELECT payload FROM demo.users VERSION AS OF 1 WHERE id = 5")
+      .as[String].collect().mkString
+    val live = spark.sql("SELECT payload FROM demo.users WHERE id = 5")
+      .as[String].collect().mkString
+    val vacuumed = graft.plans.GraftTables.sql(spark,
+      "VACUUM demo.users RETAIN 0 HOURS").collect().head.getInt(1)
+    println(s"catalog: count=" +
+      spark.sql("SELECT count(*) FROM demo.users").as[Long].head() +
+      s", id=5 live=$live asof_v1=$asOf, VACUUM dropped $vacuumed versions")
     spark.stop()
   }
 }

@@ -83,14 +83,75 @@ object GraftTables {
 
   /** Parse + lower DML over registered tables; anything else delegates
     * to `spark.sql`. The live-session path for sessions built without
-    * [[graft.GraftExtensions]].
+    * [[graft.GraftExtensions]]. Also accepts the two maintenance
+    * statements Spark's parser does not know (the table-format idiom):
+    *
+    * {{{
+    *   VACUUM t [RETAIN <n> HOURS]   -- age-based history retention
+    *   OPTIMIZE t [MIN DELTAS <n>]   -- fold merge-on-read delta chains
+    * }}}
+    *
+    * `t` is a registered name or a catalog identifier
+    * (`graft.ns.t`). Both return a one-row result frame.
     */
-  def sql(spark: SparkSession, sqlText: String): DataFrame = {
-    val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
-    GraftDml.lower(spark, parsed) match {
-      case Some(cmd) => cmd.run(spark); spark.emptyDataFrame
-      case None => spark.sql(sqlText)
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    maintenanceSql(spark, sqlText).getOrElse {
+      val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+      GraftDml.lower(spark, parsed) match {
+        case Some(cmd) => cmd.run(spark); spark.emptyDataFrame
+        case None => spark.sql(sqlText)
+      }
     }
+
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+MIN\s+DELTAS\s+(\d+))?\s*;?\s*""".r
+
+  private def maintenanceSql(spark: SparkSession,
+      sqlText: String): Option[DataFrame] = {
+    import spark.implicits._
+    def dirFor(name: String): String = {
+      val parts = name.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+      GraftDml.resolveName(spark, parts).map(_.dir).getOrElse(
+        GraftDml.fail(s"$name is not a registered or catalog " +
+          "maintained table"))
+    }
+    sqlText match {
+      case VacuumRe(name, hours) =>
+        val dir = dirFor(name)
+        val age = java.time.Duration.ofHours(
+          Option(hours).map(_.toLong).getOrElse(168L))
+        val (_, vacuumed) = Compaction.maintain(spark, dir,
+          maxDeltasPerBucket = Int.MaxValue, maxHistoryAge = age)
+        Some(Seq((name, vacuumed)).toDF("table", "versions_vacuumed"))
+      case OptimizeRe(name, minDeltas) =>
+        val dir = dirFor(name)
+        val bound = Option(minDeltas).map(_.toInt).getOrElse(1)
+        val (folded, _) = Compaction.maintain(spark, dir,
+          maxDeltasPerBucket = bound)
+        Some(Seq((name, folded)).toDF("table", "buckets_folded"))
+      case _ => None
+    }
+  }
+
+  /** Continuous change subscription for a maintained table by NAME
+    * (registry or catalog identifier): the feed's data-row stream
+    * (`FeedBatchSource` with `emitRows`) — table schema +
+    * `_change_type` + `batch`, checkpointed feed-batch offsets,
+    * `maxBatchesPerTrigger` admission control via the returned
+    * reader's options.
+    */
+  def changeStream(spark: SparkSession, name: String): DataFrame = {
+    val parts = name.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+    val dir = GraftDml.resolveName(spark, parts).map(_.dir).getOrElse(
+      GraftDml.fail(s"$name is not a registered or catalog " +
+        "maintained table"))
+    spark.readStream
+      .format("graft.streaming.FeedBatchSource")
+      .option("path", dir)
+      .option("emitRows", "true")
+      .load()
   }
 }
 
@@ -163,6 +224,17 @@ object GraftDml extends Rule[LogicalPlan] {
     * exists there. Errors (catalog missing, wrong plugin type) mean
     * "not ours" — the plan is left for Spark to resolve or reject.
     */
+  /** Name-based resolution for entry points that have no LogicalPlan
+    * (maintenance SQL, change streams): registry for a bare name,
+    * catalog for a qualified one.
+    */
+  private[plans] def resolveName(spark: SparkSession,
+      parts: Seq[String]): Option[Target] =
+    (if (parts.size == 1)
+      GraftTables.dirOf(spark, parts.head)
+        .map(d => Target(parts.head, d, retain = false))
+    else None).orElse(catalogDir(spark, parts))
+
   private def catalogDir(spark: SparkSession,
       parts: Seq[String]): Option[Target] =
     if (parts.size < 2) None

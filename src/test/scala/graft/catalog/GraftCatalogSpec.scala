@@ -187,6 +187,78 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == 10L)
   }
 
+  test("VACUUM / OPTIMIZE maintenance SQL over catalog and registry names") {
+    sqlc("""CREATE TABLE gcat.mnt (
+        id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("INSERT INTO gcat.mnt SELECT id, 'a', 0L, false FROM range(20)")
+    sqlc("INSERT INTO gcat.mnt SELECT 1L, 'b', 1L, false")
+    sqlc("INSERT INTO gcat.mnt SELECT 2L, 'c', 1L, false")
+    // catalog writes retain history: several manifests on disk
+    val dir = tmpDirOf("gcat.mnt")
+    assert(graft.cdc.TxLog.versionsOnDisk(spark, dir).size == 4)
+    val res = GraftTables.sql(spark, "VACUUM gcat.mnt RETAIN 0 HOURS")
+      .as[(String, Int)].head()
+    assert(res._2 == 3, s"vacuumed ${res._2}")
+    assert(graft.cdc.TxLog.versionsOnDisk(spark, dir).size == 1)
+    assert(sqlc("SELECT count(*) AS n FROM gcat.mnt").as[Long].head() == 20)
+
+    // OPTIMIZE folds a merge-on-read chain (registry name route)
+    val rdir = tmpDir("gcat-opt") + "/t"
+    Compaction.init(
+      (1L to 10L).map(i => (i, s"v$i", 0L, false))
+        .toDF("id", "v", "version", "deleted"),
+      rdir, "id", "version", "deleted", nBuckets = 4)
+    Compaction.merge(spark,  rdir,
+      Seq((1L, "m", 1L, false)).toDF("id", "v", "version", "deleted"),
+      mergeOnRead = true)
+    GraftTables.register(spark, "opt_tbl", rdir)
+    assert(Compaction.deltaStats(spark, rdir).nonEmpty)
+    val folded = GraftTables.sql(spark, "OPTIMIZE opt_tbl")
+      .as[(String, Int)].head()
+    assert(folded._2 == 1, s"folded ${folded._2}")
+    assert(Compaction.deltaStats(spark, rdir).isEmpty)
+
+    // unknown table: clear error
+    val e = intercept[Exception] {
+      GraftTables.sql(spark, "VACUUM nope.nothere")
+    }
+    assert(e.getMessage.contains("maintained table"), e.getMessage)
+  }
+
+  test("changeStream subscribes to a catalog table's data rows by name") {
+    sqlc("""CREATE TABLE gcat.cs (
+        id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    // catalog INSERT does not emit a feed; use the engine API with
+    // emitFeed for the published change batch
+    val dir = tmpDirOf("gcat.cs")
+    Compaction.merge(spark, dir,
+      Seq((1L, "x", 0L, false)).toDF("id", "v", "version", "deleted"),
+      emitFeed = true)
+    val sink = tmpDir("gcat-cs-sink")
+    val q = GraftTables.changeStream(spark, "gcat.cs")
+      .writeStream.format("parquet")
+      .option("path", s"$sink/out")
+      .option("checkpointLocation", s"$sink/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.exception.isEmpty, q.exception.toString)
+    val rows = spark.read.parquet(s"$sink/out")
+      .select($"id", $"_change_type", $"batch")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((1L, "insert", 0L)), s"got $rows")
+  }
+
+  private def tmpDirOf(name: String): String = {
+    val parts = name.split('.')
+    val cat = spark.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[GraftCatalog]
+    cat.tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+      parts.tail.init, parts.last))
+  }
+
   test("CREATE without keys property fails with a clear message") {
     val e = intercept[Exception] {
       sqlc("CREATE TABLE gcat.nokeys (id BIGINT, version BIGINT, deleted BOOLEAN)")
