@@ -231,6 +231,20 @@ object ExtensionQueries {
           sum(col("gh")).cast("bigint").as("sum_h"))
     }),
 
+    // frame-level video near-dedup: every frame in the container is a
+    // REAL PNG decoded with the real JDK codec; members of a
+    // perceptual group render the same 12-frame sequence at different
+    // pixel sizes AND with a clipped prefix (temporal offset), so a
+    // pair's shared-frame vote is 12 − max(clipA, clipB) — pure
+    // doc_id arithmetic for the oracle, while the engine side must
+    // demux, decode and fingerprint every frame to get there.
+    "multimodal_video" -> ((s, dir) => {
+      val media = Multimodal.syntheticVideos(s, s"$dir/documents.parquet",
+        sampleMod = 11L, nGroups = 7L)
+      Multimodal.videoNearDups(media, minSharedFrames = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // REAL audio decode end-to-end: synthesize actual WAV containers
     // (16-bit mono PCM square waves whose period/length/amplitude are
     // doc_id arithmetic), decode them back with the JDK's own parser

@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * ([[dHash64]]) and a real decode→scale→re-encode [[resizeImages]].
   * AUDIO decodes for real too for WAV/PCM (`javax.sound.sampled`,
   * also in the JDK): [[decodeWav]], exact sample stats
-  * ([[audioStats]]), energy fingerprints and near-dedup. COMPRESSED
-  * audio (mp3/aac) and VIDEO codecs are NOT in the JDK, so those
-  * payloads keep the deterministic [[decodeStub]] seam — on a real
-  * cluster the stub is replaced by the FFI codec call and nothing
-  * else changes. Any payload the JDK cannot parse falls back to the
+  * ([[audioStats]]), energy fingerprints and near-dedup. VIDEO ships
+  * as a length-prefixed frame container whose frames are real PNGs —
+  * per-frame decode, perceptual hashing and frame-voting near-dedup
+  * ([[videoFrameHashes]]/[[videoNearDups]]) run the real image codec;
+  * only the demuxer is synthetic. COMPRESSED codecs (mp3/aac,
+  * h264/vp9) are NOT in the JDK, so those payloads keep the
+  * deterministic [[decodeStub]] seam — on a real cluster the stub is
+  * replaced by the FFI codec call and nothing else changes. Any payload the JDK cannot parse falls back to the
   * stub too, so mixed/corrupt corpora degrade per row, never fail
   * the job.
   *
@@ -549,6 +552,114 @@ object Multimodal {
             if (i % p < p / 2) a else -a)
           MediaRow(docId, "audio", encodeWav(samples, 8000),
             0, 0, 8000, 1)
+        }
+      }
+  }
+
+  // ----- frame-level video plumbing (real per-frame image decode) ---
+
+  /** Minimal deterministic frame container ("GFV1"): magic, frame
+    * count, then length-prefixed PNG frames. A real video codec
+    * (h264/vp9) is not in the JDK — the CONTAINER is synthetic, but
+    * every frame inside is a real PNG decoded with the real JDK
+    * codec, so the per-frame pipeline (decode → fingerprint → vote)
+    * exercises exactly what an FFI-codec build would run after
+    * demuxing.
+    */
+  private[graft] def encodeFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.writeInt(0x47465631) // "GFV1"
+    d.writeInt(frames.size)
+    frames.foreach { f => d.writeInt(f.length); d.write(f) }
+    d.flush()
+    out.toByteArray
+  }
+
+  private[graft] def decodeFrames(
+      payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      val d = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (d.readInt() != 0x47465631) return None
+      val n = d.readInt()
+      if (n < 0 || n > 1000000) return None
+      Some((0 until n).map { _ =>
+        val len = d.readInt()
+        val buf = new Array[Byte](len)
+        d.readFully(buf)
+        buf
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-frame perceptual hashes for video rows: one narrow decode
+    * pass emitting `(media_id, frame_idx, dhash)` for every
+    * `stride`-th frame — payloads never shuffle, only 16-byte hash
+    * rows flow downstream. Undecodable containers/frames drop.
+    */
+  def videoFrameHashes(media: Dataset[MediaRow],
+      stride: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeFrames(r.payload).toSeq.flatMap { frames =>
+          frames.indices.by(stride).flatMap { i =>
+            decodeImage(frames(i)).map(img =>
+              (r.media_id, i, dHash64(img)))
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** Video near-duplicates by FRAME VOTING: two videos match when
+    * they share ≥ `minSharedFrames` distinct frame fingerprints —
+    * robust to temporal clipping (a shared tail still votes) and, via
+    * dHash, to per-frame re-scaling. The pair space is generated by
+    * the frame-hash equi-join (hot hashes = real shared content =
+    * real output), never an all-pairs comparison; the voting groupBy
+    * partial-aggregates map-side.
+    */
+  def videoNearDups(media: Dataset[MediaRow], minSharedFrames: Int = 3,
+      stride: Int = 1): DataFrame = {
+    val fh = videoFrameHashes(media, stride)
+      .select(col("media_id"), col("dhash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = fh.select(col("media_id").as("id_a"), col("dhash"))
+    val b = fh.select(col("media_id").as("id_b"), col("dhash"))
+    a.join(b, Seq("dhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= minSharedFrames)
+  }
+
+  /** Deterministic REAL-frame video corpus keyed by the documents
+    * table: group `doc_id % nGroups` plays the same 12-frame sequence
+    * (frame i renders grid image `groupBits(g·1000 + i)`), each
+    * member at its own pixel size AND with the first `doc_id % 3`
+    * frames clipped — scale-variant, temporally-offset duplicates
+    * whose expected frame overlap (`12 − max(clipA, clipB)`) is pure
+    * doc_id arithmetic.
+    */
+  def syntheticVideos(spark: SparkSession, documentsDir: String,
+      sampleMod: Long = 41L, nGroups: Long = 97L,
+      nFrames: Int = 12): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(documentsDir)
+      .select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val g = ((docId % nGroups) + nGroups) % nGroups
+          val clip = (docId % 3L).toInt
+          val w = 9 * (8 + (docId % 5L).toInt)
+          val h = 8 * (8 + (docId % 3L).toInt)
+          val frames = (clip until nFrames).map(i =>
+            encodePng(renderGridImage(g * 1000L + i, w, h)))
+          MediaRow(docId, "video", encodeFrames(frames),
+            w, h, 0, frames.size)
         }
       }
   }
