@@ -145,7 +145,8 @@ object Compaction {
       newBuckets = staged.map(b => b -> txn.bucketRel(b)).toMap,
       props = coreProps(keys, versionCol, deleteCol, nBuckets,
         df.schema.json, clusterBy) ++
-        rowProps(stagedStats(spark, txn.staging, staged, versionCol)))
+        rowProps(stagedStats(spark, txn.staging, staged, versionCol)) +
+        ("op" -> "init"))
     txn.cleanup()
   }
 
@@ -177,7 +178,7 @@ object Compaction {
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
     txn.installAndCommit(newBuckets = Map.empty,
       props = coreProps(keys, versionCol, deleteCol, nBuckets,
-        schema.json, clusterBy))
+        schema.json, clusterBy) + ("op" -> "create"))
     txn.cleanup()
   }
 
@@ -657,7 +658,8 @@ object Compaction {
       val props = coreProps(m.keys, m.versionCol, m.deleteCol,
         newNBuckets, m.schema.json, m.clusterBy) ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
-        m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)
+        m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
+        ("op" -> "rebucket")
       txn.installAndCommit(
         staged.map(b => b -> txn.bucketRel(b)).toMap, props)
       TxLog.hygiene {
@@ -693,6 +695,43 @@ object Compaction {
     */
   def versions(spark: SparkSession, dir: String): Seq[Long] =
     TxLog.versionsOnDisk(spark, dir).dropRight(1)
+
+  /** Commit audit log from the retained manifests alone (driver
+    * metadata, zero Spark jobs): one row per version still on disk —
+    * commit time (manifest mtime), operation, writer txn lineage, and
+    * the recorded live row count. The table-format `DESCRIBE HISTORY`
+    * surface; reach it from SQL via
+    * `GraftTables.sql("DESCRIBE HISTORY t")`.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val rows = TxLog.commitTimesOnDisk(spark, dir).map { case (v, ts) =>
+      val snap = TxLog.read(spark, dir, v)
+      val rowCount = snap.props.collect {
+        case (k, value) if k.startsWith("rows.") => value.toLong
+      }.sum
+      org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
+        snap.prop("op").getOrElse("unknown"),
+        snap.prop("txn_id").orNull, snap.prop("base_txn").orNull,
+        rowCount, snap.deltas.size)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("committed_at",
+          org.apache.spark.sql.types.TimestampType, nullable = false),
+        org.apache.spark.sql.types.StructField("operation",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("txn_id",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("base_txn",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("live_rows",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dirty_buckets",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
 
   /** The greatest committed version whose commit time (manifest mtime,
     * stamped by the atomic publish rename) is at or before
@@ -1100,7 +1139,8 @@ object Compaction {
       m.clusterBy) ++
       carriedRows ++ rowProps(newStats) ++
       feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
-        .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _))
+        .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)) +
+      ("op" -> "merge")
 
     // THE commit: one manifest rename publishes data + schema + fence
     // (on a lost CAS the txn reclaims its install and the OCC loop
@@ -1255,7 +1295,8 @@ object Compaction {
     val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
       schemaJson, m.clusterBy) ++ carried ++ deltaProps ++
       feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
-        .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _))
+        .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)) +
+      ("op" -> "merge-mor")
 
     // the base bucket map is UNCHANGED — that is the whole point
     txn.installAndCommit(m.buckets, props)
@@ -1315,7 +1356,8 @@ object Compaction {
       val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
         m.schema.json, m.clusterBy) ++ carried ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
-        m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)
+        m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
+        ("op" -> "compact")
       txn.installAndCommit(
         (m.buckets -- dirty) ++ staged.map(b => b -> txn.bucketRel(b)).toMap,
         props)

@@ -89,6 +89,7 @@ object GraftTables {
     * {{{
     *   VACUUM t [RETAIN <n> HOURS]   -- age-based history retention
     *   OPTIMIZE t [MIN DELTAS <n>]   -- fold merge-on-read delta chains
+    *   DESCRIBE HISTORY t            -- commit audit log
     * }}}
     *
     * `t` is a registered name or a catalog identifier
@@ -107,6 +108,8 @@ object GraftTables {
     """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+MIN\s+DELTAS\s+(\d+))?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
 
   private def maintenanceSql(spark: SparkSession,
       sqlText: String): Option[DataFrame] = {
@@ -131,6 +134,9 @@ object GraftTables {
         val (folded, _) = Compaction.maintain(spark, dir,
           maxDeltasPerBucket = bound)
         Some(Seq((name, folded)).toDF("table", "buckets_folded"))
+      case HistoryRe(name) =>
+        Some(Compaction.history(spark, dirFor(name))
+          .orderBy(org.apache.spark.sql.functions.col("version").desc))
       case _ => None
     }
   }

@@ -226,6 +226,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("maintained table"), e.getMessage)
   }
 
+  test("DESCRIBE HISTORY: commit audit log with operations and lineage") {
+    sqlc("""CREATE TABLE gcat.hist (
+        id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("INSERT INTO gcat.hist SELECT id, 'a', 0L, false FROM range(10)")
+    val dir = tmpDirOf("gcat.hist")
+    Compaction.merge(spark, dir,
+      Seq((1L, "m", 1L, false)).toDF("id", "v", "version", "deleted"),
+      retainHistory = true, mergeOnRead = true)
+    Compaction.compact(spark, dir, 1, retainHistory = true)
+
+    val h = GraftTables.sql(spark, "DESCRIBE HISTORY gcat.hist")
+      .select($"version", $"operation", $"live_rows", $"dirty_buckets")
+      .as[(Long, String, Long, Int)].collect().toList
+    assert(h.map(_._1) == List(3L, 2L, 1L, 0L), h.toString) // desc
+    assert(h.map(_._2) == List("compact", "merge-mor", "merge", "create"),
+      h.toString)
+    assert(h.find(_._1 == 2L).get._4 == 1, "MoR commit shows its dirty bucket")
+    assert(h.head._4 == 0)
+    // lineage chains (txn ids present and linked)
+    val lin = GraftTables.sql(spark, "DESCRIBE HISTORY gcat.hist")
+      .select($"version", $"txn_id", $"base_txn")
+      .as[(Long, String, Option[String])].collect()
+      .sortBy(_._1)
+    lin.sliding(2).foreach { case Array(pv, cv) =>
+      assert(cv._3.contains(pv._2), s"lineage break at v${cv._1}")
+    }
+  }
+
   test("changeStream subscribes to a catalog table's data rows by name") {
     sqlc("""CREATE TABLE gcat.cs (
         id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
