@@ -75,4 +75,39 @@ object ExactSpans {
         col("s.len").as("span_len"))
       .distinct()
   }
+
+  /** Apply the report: keep-first span REMOVAL with exact boundaries.
+    * A token of doc D is cut iff some reported span covers it on D's
+    * LATER side (`id_b = D` — the earlier doc of every pair keeps its
+    * copy), so one canonical copy of every duplicated run survives
+    * corpus-wide per pair ordering. Output per doc: original token
+    * count, removed count, and the md5 fingerprint of the reassembled
+    * text — the exact-boundary upgrade of chunk-grid boilerplate
+    * removal (`curate_span_removal`), which cuts whole 16-token cells
+    * and misses off-grid runs.
+    *
+    * The interval mask is a per-doc higher-order expression over the
+    * collected (small) span list — no extra shuffle beyond the span
+    * report itself.
+    */
+  def removeSpans(docs: DataFrame, idCol: String, toksCol: String,
+      minLen: Int = 16, k: Int = 8): DataFrame = {
+    val sp = spansFromTokens(docs, idCol, toksCol, minLen, k)
+    val intervals = sp.groupBy(col("id_b").as(idCol))
+      .agg(collect_list(struct(col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e"))).as("iv"))
+    docs.select(col(idCol), col(toksCol).as("__t"))
+      .join(intervals, Seq(idCol), "left")
+      .withColumn("kept",
+        when(col("iv").isNull, col("__t")).otherwise(expr(
+          """transform(
+             filter(sequence(0, size(__t) - 1),
+               i -> NOT exists(iv, v -> i >= v.s AND i < v.e)),
+             i -> element_at(__t, i + 1))""")))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("kept"))).cast("long")
+          .as("n_removed"),
+        md5(concat_ws(" ", col("kept")).cast("binary")).as("clean_fp"))
+  }
 }

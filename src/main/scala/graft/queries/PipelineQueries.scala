@@ -573,6 +573,25 @@ object PipelineQueries {
           col("start_b"))
     }),
 
+    // keep-first EXACT-span removal over the same planted corpus:
+    // each reported span is cut from its pair's LATER doc only, so
+    // one canonical copy survives; the md5 of every reassembled text
+    // must match the oracle's join-based reconstruction token for
+    // token — boundary-exact removal, not chunk-grid approximation.
+    "dedup_spans_removal" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          slice(split(col("text"), " "), 1, 60).as("toks"))
+      val clones = base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(array(lit("px"), lit("qx"), lit("rx")),
+          slice(col("toks"), 1, 50)).as("toks"))
+      graft.operators.ExactSpans.removeSpans(
+          base.unionByName(clones), "doc_id", "toks", minLen = 16)
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic WEIGHTED sampling: per-doc keep probability
     // n_tokens/256 (capped at 1), decided by comparing the doc's
     // md5-fraction against a per-doc hex threshold — importance
@@ -870,6 +889,60 @@ object PipelineQueries {
         |  CAST(max(pa) - min(pa) + 16 AS INT) AS span_len
         |FROM q GROUP BY id_a, id_b, diag, grp
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+    // ground truth removal: islands spans -> covered (doc, pos) on the
+    // id_b side -> anti-join token positions -> ordered reassembly
+    "dedup_spans_removal" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id, string_split(text, ' ')[1:60] AS toks
+        |  FROM $docsParquet WHERE doc_id % 11 = 0),
+        |d AS (
+        |  SELECT doc_id, toks FROM d0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    list_concat(['px','qx','rx'], toks[1:50]) FROM d0),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(toks[i:i+15], ' ') AS gram
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, len(toks) - 14)) AS i
+        |        FROM d WHERE len(toks) >= 16)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.pos AS pa, b.pos AS pb
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |q AS (
+        |  SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+        |      ORDER BY pa) AS grp
+        |  FROM p),
+        |r AS (
+        |  SELECT id_b, min(pb) AS start_b,
+        |    max(pa) - min(pa) + 16 AS span_len
+        |  FROM q GROUP BY id_a, id_b, diag, grp),
+        |cov AS (
+        |  SELECT DISTINCT id_b AS doc_id, pos FROM (
+        |    SELECT id_b, unnest(range(start_b, start_b + span_len)) AS pos
+        |    FROM r)),
+        |tokpos AS (
+        |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |        FROM d)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM tokpos t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.toks) - coalesce(agg.n_kept, 0) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(agg.fp, md5('')) AS clean_fp
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH t AS (

@@ -69,6 +69,27 @@ class ExactSpansSpec extends SparkSpec {
     assert(spans == Set((1L, 2L, 17, 18, 30)), s"got $spans")
   }
 
+  test("removeSpans cuts the LATER doc's copy with exact boundaries") {
+    val run = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val a = s"a1 a2 $run a3"
+    val b = s"b1 b2 b3 $run b4 b5"
+    val docs = Seq(doc(1, a), doc(2, b)).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val out = ExactSpans.removeSpans(docs, "doc_id", "toks")
+      .select("doc_id", "n_tokens", "n_removed")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, r) => id -> ((n, r)) }.toMap
+    assert(out(1L) == ((23L, 0L)), s"earlier doc must keep its copy: $out")
+    assert(out(2L) == ((25L, 20L)), s"later doc loses exactly the run: $out")
+    // the reassembled later doc is its non-duplicated remainder
+    val fp = ExactSpans.removeSpans(docs, "doc_id", "toks")
+      .filter(col("doc_id") === 2).select("clean_fp").as[String].head()
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("b1 b2 b3 b4 b5".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp == expect)
+  }
+
   test("identical documents: one whole-doc span") {
     val t = (1 to 25).map(i => s"w$i").mkString(" ")
     val docs = Seq(doc(1, t), doc(2, t)).toDF("doc_id", "text")
