@@ -104,16 +104,49 @@ object AggView {
     org.apache.spark.sql.types.DataType.fromJson(s.props("schema_json"))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
-  private def storedData(spark: SparkSession, dir: String,
-      s: TxLog.Snapshot): DataFrame = {
-    val schema = schemaOf(s)
-    val paths = s.buckets.values.map(rel => s"$dir/data/$rel").toSeq
+  private def readPaths(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): DataFrame =
     // explicit schema: a fully-retracted view has no footers left to
     // infer from, and reads must stay well-defined with zero live paths
     if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(paths: _*)
+
+  /** Sum partial rows down to one row per key; a key whose merged
+    * count is zero (fully retracted across base + deltas) leaves the
+    * view. This IS merge-on-read for aggregates: partials are
+    * commutative, so delta files need no sequence column and any
+    * subset folds to the same answer.
+    */
+  private def foldPartials(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("total")).cast("decimal(28,2)").as("total"))
+      .filter(col("cnt") =!= 0)
+      .select(keys.map(col) ++ Seq(col("cnt"), col("total")): _*)
+
+  /** The live view: clean buckets ride the plain scan (no shuffle);
+    * buckets carrying unfolded delta files fold base + deltas by
+    * per-key summation.
+    */
+  private def storedData(spark: SparkSession, dir: String,
+      s: TxLog.Snapshot): DataFrame = {
+    val schema = schemaOf(s)
+    val keys = keysOf(s)
+    val dirty = s.deltas.keySet
+    val clean = readPaths(spark, schema,
+      (s.buckets -- dirty).values.map(rel => s"$dir/data/$rel").toSeq)
+    if (dirty.isEmpty) clean
+    else {
+      val dirtyRels = dirty.toSeq.flatMap(b => s.buckets.get(b)) ++
+        dirty.toSeq.flatMap(b => s.deltas.getOrElse(b, Nil))
+      val folded = foldPartials(
+        readPaths(spark, schema,
+          dirtyRels.map(rel => s"$dir/data/$rel")), keys)
+      clean.unionByName(folded)
+    }
   }
 
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -133,14 +166,14 @@ object AggView {
     require(vals.size == keys.size,
       s"key tuple arity ${vals.size} != view key (${keys.mkString(", ")})")
     val bucket = Bucketing.bucketOfValues(vals, nBuckets)
-    val paths = s.buckets.get(bucket).toSeq
-      .map(rel => s"$dir/data/$rel")
+    val rels = s.buckets.get(bucket).toSeq ++
+      s.deltas.getOrElse(bucket, Nil)
     val schema = schemaOf(s)
-    val base = if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(paths: _*)
-    base.filter(keys.zip(vals).map { case (k, v) => col(k) === lit(v) }
+    val base = readPaths(spark, schema,
+      rels.map(rel => s"$dir/data/$rel"))
+    val one = if (s.deltas.contains(bucket))
+      foldPartials(base, keys) else base
+    one.filter(keys.zip(vals).map { case (k, v) => col(k) === lit(v) }
       .reduce(_ && _))
   }
 
@@ -183,13 +216,13 @@ object AggView {
     * ids (foreachBatch's id works as-is).
     */
   def merge(spark: SparkSession, dir: String, batch: DataFrame,
-      batchId: Long): MergeStats = {
+      batchId: Long, mergeOnRead: Boolean = false): MergeStats = {
     val s = snap(spark, dir)
     if (batchId <= s.props("last_batch_id").toLong)
       return MergeStats(applied = false, Nil)
     mergeDeltas(spark, dir,
       partials(batch, keysOf(s), s.props("value_col")),
-      batchId, canRetract = false)
+      batchId, canRetract = false, mergeOnRead)
   }
 
   /** Incremental view maintenance over a [[Compaction]] change data
@@ -222,16 +255,92 @@ object AggView {
       // an update whose value did not move is a (0, 0) delta: folding
       // it in would rewrite the key's bucket to state it already holds
       .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0)
-    mergeDeltas(spark, dir, signed, batchId, canRetract = true)
+    mergeDeltas(spark, dir, signed, batchId, canRetract = true,
+      mergeOnRead = false)
+  }
+
+  /** Feed-driven IVM with O(batch) delta writes: the signed partials
+    * land as per-bucket delta files instead of rewriting every
+    * touched bucket — the scattered-update fast path for a view whose
+    * feed touches most groups every batch. Reads fold by summation;
+    * [[compact]] restores the zero-fold path.
+    */
+  def applyFeedOnRead(spark: SparkSession, dir: String, feed: DataFrame,
+      batchId: Long): MergeStats = {
+    val s = snap(spark, dir)
+    if (batchId <= s.props("last_batch_id").toLong)
+      return MergeStats(applied = false, Nil)
+    val (keys, valueCol) = (keysOf(s), s.props("value_col"))
+    val sign = when(
+        col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(0L)
+    val signed = feed.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("cnt"),
+        sum(col(valueCol).cast("decimal(18,2)") * sign)
+          .cast("decimal(28,2)").as("total"))
+      .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0)
+    mergeDeltas(spark, dir, signed, batchId, canRetract = true,
+      mergeOnRead = true)
+  }
+
+  /** Fold delta chains of length ≥ `minDeltas` back into their
+    * buckets' base (one committed rewrite of just those buckets) —
+    * the batch fence carries unchanged; same incremental contract as
+    * [[Compaction.compact]].
+    */
+  def compact(spark: SparkSession, dir: String, minDeltas: Int = 1,
+      retainHistory: Boolean = false): Unit = {
+    TxLog.withOcc(spark, dir) {
+      val s = snap(spark, dir)
+      val dirty = s.deltas.collect {
+        case (b, rels) if rels.size >= minDeltas => b
+      }.toSet
+      if (dirty.isEmpty) return
+      val (keys, valueCol, nBuckets) =
+        (keysOf(s), s.props("value_col"), s.props("n_buckets").toInt)
+      TxLog.sweep(spark, dir)
+      val txn = new TableTxn(spark, dir, s.version)
+      val rels = dirty.toSeq.flatMap(b => s.buckets.get(b)) ++
+        dirty.toSeq.flatMap(b => s.deltas.getOrElse(b, Nil))
+      foldPartials(readPaths(spark, schemaOf(s),
+          rels.map(rel => s"$dir/data/$rel")), keys)
+        .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"${txn.staging}/data")
+      val staged = txn.stagedBucketIds()
+      val carried = s.props.filter { case (k, _) =>
+        k.startsWith("delta.") &&
+          !dirty.contains(k.drop("delta.".length).toInt)
+      }
+      txn.installAndCommit(
+        (s.buckets -- dirty) ++ staged.map(b => b -> txn.bucketRel(b)).toMap,
+        coreProps(keys, valueCol, nBuckets,
+          s.props("last_batch_id").toLong, s.props("schema_json")) ++
+          carried)
+      TxLog.hygiene {
+        txn.cleanup()
+        if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+      }
+    }
+  }
+
+  /** Per-bucket merge-on-read pressure: (bucket, chain length). */
+  def deltaStats(spark: SparkSession, dir: String): Seq[(Int, Int)] = {
+    val s = snap(spark, dir)
+    s.deltas.toSeq.sortBy(_._1).map { case (b, rels) => (b, rels.size) }
   }
 
   private def mergeDeltas(spark: SparkSession, dir: String,
       deltaPartials: DataFrame,
-      batchId: Long, canRetract: Boolean): MergeStats = {
+      batchId: Long, canRetract: Boolean,
+      mergeOnRead: Boolean): MergeStats = {
     var attempts = 0
     while (true) {
       try return mergeDeltasBucketed(spark, dir, deltaPartials,
-        batchId, canRetract)
+        batchId, canRetract, mergeOnRead)
       catch {
         case _: Compaction.RebucketedDuringWrite if attempts < 3 =>
           attempts += 1
@@ -242,7 +351,8 @@ object AggView {
 
   private def mergeDeltasBucketed(spark: SparkSession, dir: String,
       deltaPartials: DataFrame,
-      batchId: Long, canRetract: Boolean): MergeStats = {
+      batchId: Long, canRetract: Boolean,
+      mergeOnRead: Boolean): MergeStats = {
     // bucket + cache the delta ONCE; each OCC attempt re-resolves the
     // snapshot AND the fence — a concurrent writer may have applied
     // this very batchId, in which case the retry degrades to the
@@ -258,14 +368,15 @@ object AggView {
         .collect().map(_.getInt(0)).toSeq.sorted
       TxLog.withOcc(spark, dir) {
         mergeDeltasOnce(spark, dir, delta, touched, nBuckets0,
-          batchId, canRetract)
+          batchId, canRetract, mergeOnRead)
       }
     } finally delta.unpersist()
   }
 
   private def mergeDeltasOnce(spark: SparkSession, dir: String,
       delta: DataFrame, touched: Seq[Int], bucketedWith: Int,
-      batchId: Long, canRetract: Boolean): MergeStats = {
+      batchId: Long, canRetract: Boolean,
+      mergeOnRead: Boolean): MergeStats = {
     val s = snap(spark, dir)
     if (s.props("n_buckets").toInt != bucketedWith)
       throw new Compaction.RebucketedDuringWrite
@@ -275,18 +386,42 @@ object AggView {
       (keysOf(s), s.props("value_col"), s.props("n_buckets").toInt)
     val txn = new TableTxn(spark, dir, s.version)
     var newBuckets = s.buckets
-    if (touched.nonEmpty) {
+    val touchedSet = touched.toSet
+    // delta chains of buckets this commit does NOT rewrite/restage
+    // carry verbatim; a CoW rewrite folds its buckets' chains in and
+    // drops them, a MoR write appends to them
+    def carriedChains(restaged: Set[Int]): Map[String, String] =
+      s.props.filter { case (k, _) =>
+        k.startsWith("delta.") &&
+          !restaged.contains(k.drop("delta.".length).toInt)
+      }
+    var extraProps: Map[String, String] = carriedChains(
+      if (mergeOnRead) Set.empty else touchedSet)
+    if (touched.nonEmpty && mergeOnRead) {
+      // O(batch): stage the delta partials themselves; base entries
+      // (and prior chains) carry verbatim, reads fold by summation
+      TxLog.sweep(spark, dir)
+      delta
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"${txn.staging}/data")
+      val staged = txn.stagedBucketIds()
+      extraProps = carriedChains(staged.toSet) ++ staged.map { b =>
+        val rels = s.deltas.getOrElse(b, Nil) :+ txn.bucketRel(b)
+        s"delta.$b" -> rels.mkString(",")
+      }
+    } else if (touched.nonEmpty) {
       // crashed-writer leftovers (grace-aware: a LIVE concurrent
       // writer's staging and in-flight generation survive)
       TxLog.sweep(spark, dir)
-      val touchedPaths = s.buckets.view
-        .filterKeys(touched.toSet).values.map(rel => s"$dir/data/$rel").toSeq
+      // fold the touched buckets' base AND any delta chains in: a CoW
+      // rewrite leaves its buckets clean
+      val touchedRels = s.buckets.view.filterKeys(touchedSet).values.toSeq ++
+        touched.flatMap(b => s.deltas.getOrElse(b, Nil))
       val schema = schemaOf(s)
-      val stored =
-        if (touchedPaths.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(touchedPaths: _*)
+      val stored = readPaths(spark, schema,
+        touchedRels.map(rel => s"$dir/data/$rel"))
       val merged = stored
         .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
         .unionByName(delta)
@@ -294,9 +429,10 @@ object AggView {
         .agg(sum(col("cnt")).as("cnt"),
           sum(col("total")).cast("decimal(28,2)").as("total"))
         // a fully-retracted key (merged count 0) leaves the view;
-        // additive-only deltas can't reach 0, so the plain merge path
-        // skips the filter
-        .filter(!lit(canRetract) || col("cnt") =!= 0)
+        // additive-only deltas can't reach 0 UNLESS a folded delta
+        // chain carried retractions — filter whenever either applies
+        .filter(!lit(canRetract || touched.exists(s.deltas.contains)) ||
+          col("cnt") =!= 0)
         .select(keys.map(col) ++ Seq(col("cnt"), col("total"), col("bucket")): _*)
       merged
         .repartition(col("bucket"))
@@ -316,7 +452,7 @@ object AggView {
     // commits a manifest: the fence must advance exactly-once too)
     txn.installAndCommit(newBuckets,
       coreProps(keys, valueCol, nBuckets, batchId,
-        s.props("schema_json")))
+        s.props("schema_json")) ++ extraProps)
     TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(applied = true, touched)
   }

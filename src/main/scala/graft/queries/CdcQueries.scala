@@ -1166,6 +1166,32 @@ object CdcQueries {
         .orderBy(col("user_id"))
     }),
 
+    // AggView merge-on-read: the same view maintained with O(batch)
+    // partial-row delta files (base untouched), a partial compact
+    // folding only the longest chains, and a final read reconciling
+    // a MIX of folded and dirty buckets by per-key summation. Oracle
+    // = the identical full-recompute: the fold must be invisible.
+    "cdc_agg_mor" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id").as("k"),
+        col("value").as("v"), col("event_id"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-aggmor-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.AggView.init(
+        ev.filter(col("event_id") % 3 =!= 0).select("k", "v"),
+        tableDir, "k", "v", nBuckets = 16)
+      graft.cdc.AggView.merge(s, tableDir,
+        ev.filter(col("event_id") % 3 === 0 && col("event_id") % 6 =!= 0)
+          .select("k", "v"), batchId = 0L, mergeOnRead = true)
+      graft.cdc.AggView.merge(s, tableDir,
+        ev.filter(col("event_id") % 6 === 0).select("k", "v"),
+        batchId = 1L, mergeOnRead = true)
+      graft.cdc.AggView.compact(s, tableDir, minDeltas = 2)
+      graft.cdc.AggView.read(s, tableDir)
+        .select(col("k").as("user_id"), col("cnt"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("user_id"))
+    }),
+
     "cdc_scd2_merge" -> ((s, dir) => {
       val st = Tables.events(s, dir).select(
         col("user_id").as("uid"), col("event_id").as("version"),
@@ -1343,6 +1369,11 @@ object CdcQueries {
 
     // the maintained view must equal the from-scratch aggregate
     "cdc_agg_view" ->
+      """SELECT user_id, count(*) AS cnt,
+        |  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "cdc_agg_mor" ->
       """SELECT user_id, count(*) AS cnt,
         |  CAST(SUM(value::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
