@@ -505,23 +505,14 @@ object Dedup {
     */
   def fingerprintNearDups(docs: DataFrame, idCol: String,
       fpCol: String, maxBits: Int = 3): DataFrame = {
-    val chunks = maxBits + 1
-    val width = 64 / chunks
     // both self-join sides reference the banded fingerprints; same
     // persist rule as the MinHash twin — without it the fingerprint +
     // explode run twice (blocks release via LRU)
-    val banded = docs.withColumn("chunk", explode(array(
-      (0 until chunks).map { c =>
-        struct(lit(c).as("chunk_id"),
-          shiftright(col(fpCol), c * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
-      }: _*)))
-      .select(col(idCol), col(fpCol).as("__fp"),
-        col("chunk.chunk_id"), col("chunk.chunk_val"))
+    val banded = bandedFps(docs, idCol, fpCol, maxBits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col("__fp").as("fp_a"),
+    val a = banded.select(col("id").as("id_a"), col("fp").as("fp_a"),
       col("chunk_id"), col("chunk_val"))
-    val b = banded.select(col(idCol).as("id_b"), col("__fp").as("fp_b"),
+    val b = banded.select(col("id").as("id_b"), col("fp").as("fp_b"),
       col("chunk_id"), col("chunk_val"))
     a.join(b, Seq("chunk_id", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
@@ -529,5 +520,84 @@ object Dedup {
         hamming(col("fp_a"), col("fp_b")).as("hamming_bits"))
       .distinct()
       .filter(col("hamming_bits") <= maxBits)
+  }
+
+  /** (id, fp, chunk_id, chunk_val) pigeonhole rows of a fingerprint
+    * column — the shared banding every hamming join (and the
+    * persisted index) is built from.
+    */
+  private def bandedFps(docs: DataFrame, idCol: String, fpCol: String,
+      maxBits: Int): DataFrame = {
+    val chunks = maxBits + 1
+    val width = 64 / chunks
+    docs.withColumn("chunk", explode(array(
+      (0 until chunks).map { c =>
+        struct(lit(c).as("chunk_id"),
+          shiftright(col(fpCol), c * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
+      }: _*)))
+      .select(col(idCol).as("id"), col(fpCol).as("fp"),
+        col("chunk.chunk_id"), col("chunk.chunk_val"))
+  }
+
+  /** Persist a fingerprint corpus as a probe-able near-dup index: the
+    * banded chunk rows land as parquet partitioned by `chunk_id`, and
+    * the banding parameter rides the index metadata (probing with a
+    * different `maxBits` would silently produce zero recall, so there
+    * is no way to pass one). The media twin of [[writeLshIndex]] —
+    * an ingest pipeline indexes once and probes each new batch in
+    * O(new), never re-fingerprinting the corpus.
+    */
+  def writeFingerprintIndex(items: DataFrame, idCol: String,
+      fpCol: String, dir: String, maxBits: Int = 3): Unit = {
+    val spark = items.sparkSession
+    bandedFps(items, idCol, fpCol, maxBits)
+      .write.partitionBy("chunk_id").mode("overwrite")
+      .parquet(s"$dir/chunks")
+    graft.cdc.MetaFile.write(spark, dir,
+      Map("max_bits" -> maxBits.toString))
+  }
+
+  /** Add a batch's fingerprints to an existing index (append-only:
+    * immutable parquet files under the same chunk partitioning).
+    */
+  def appendFingerprintIndex(items: DataFrame, idCol: String,
+      fpCol: String, dir: String): Unit = {
+    val spark = items.sparkSession
+    val maxBits = graft.cdc.MetaFile.read(spark, dir)("max_bits").toInt
+    bandedFps(items, idCol, fpCol, maxBits)
+      .write.partitionBy("chunk_id").mode("append")
+      .parquet(s"$dir/chunks")
+  }
+
+  /** Incremental fingerprint near-dedup: pairs of `newItems` against
+    * the indexed corpus (id_a = indexed, id_b = new) PLUS within the
+    * new batch itself (id_a < id_b) — O(new·chunks) probe rows, the
+    * corpus contributes its stored banding. Id spaces must be
+    * disjoint (ingest batches have fresh ids). Same threshold
+    * semantics as [[fingerprintNearDups]], so incremental results
+    * match a from-scratch run on the union.
+    */
+  def fingerprintDedupAgainstIndex(newItems: DataFrame, idCol: String,
+      fpCol: String, indexDir: String): DataFrame = {
+    val spark = newItems.sparkSession
+    val maxBits = graft.cdc.MetaFile.read(spark, indexDir)("max_bits").toInt
+    val newBanded = bandedFps(newItems, idCol, fpCol, maxBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stored = spark.read.parquet(s"$indexDir/chunks")
+    val cross = stored
+      .select(col("id").as("id_a"), col("fp").as("fp_a"),
+        col("chunk_id"), col("chunk_val"))
+      .join(newBanded.select(col("id").as("id_b"),
+        col("fp").as("fp_b"), col("chunk_id"), col("chunk_val")),
+        Seq("chunk_id", "chunk_val"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("fp_a"), col("fp_b")).as("hamming_bits"))
+      .distinct()
+      .filter(col("hamming_bits") <= maxBits)
+    val within = fingerprintNearDups(
+      newBanded.select(col("id"), col("fp")).distinct(),
+      "id", "fp", maxBits)
+    cross.unionByName(within)
   }
 }

@@ -179,6 +179,28 @@ object Multimodal {
     graft.operators.Dedup.fingerprintNearDups(
       imageDHashes(media), "media_id", "dhash", maxBits)
 
+  /** Persist the corpus's image fingerprints as an incremental
+    * near-dup index; probe each ingest batch with [[dedupNewImages]]
+    * in O(new) — the media face of the text pipeline's LSH index.
+    */
+  def writeImageIndex(media: Dataset[MediaRow], dir: String,
+      maxBits: Int = 3): Unit =
+    graft.operators.Dedup.writeFingerprintIndex(
+      imageDHashes(media), "media_id", "dhash", dir, maxBits)
+
+  /** Near-dups of a NEW media batch against the indexed corpus plus
+    * within the batch; decode + fingerprint cost is O(new) only.
+    * Call [[appendNewImages]] after accepting the batch so the index
+    * stays current.
+    */
+  def dedupNewImages(media: Dataset[MediaRow], dir: String): DataFrame =
+    graft.operators.Dedup.fingerprintDedupAgainstIndex(
+      imageDHashes(media), "media_id", "dhash", dir)
+
+  def appendNewImages(media: Dataset[MediaRow], dir: String): Unit =
+    graft.operators.Dedup.appendFingerprintIndex(
+      imageDHashes(media), "media_id", "dhash", dir)
+
   /** Batched decode + feature extraction: one `mapPartitions` pass, no
     * shuffle; the payload column is dropped from the output so only
     * features flow downstream. Image rows decode for REAL (JDK

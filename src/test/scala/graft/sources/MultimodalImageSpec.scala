@@ -104,6 +104,32 @@ class MultimodalImageSpec extends SparkSpec {
     assert(feats(2L).checksum == stubSum)
   }
 
+  test("incremental image index: O(new) probing matches from-scratch") {
+    val dir = tmpDir("img-index")
+    val corpus = Seq(
+      MediaRow(1L, "image", png(10L, 90, 80), 90, 80, 0, 1),
+      MediaRow(2L, "image", png(11L, 90, 80), 90, 80, 0, 1),
+      MediaRow(3L, "image", png(12L, 90, 80), 90, 80, 0, 1))
+    Multimodal.writeImageIndex(corpus.toDS(), dir)
+    // new batch: a rescaled dup of indexed #2, a fresh unique, and an
+    // exact within-batch pair
+    val batch = Seq(
+      MediaRow(100L, "image", png(11L, 9 * 12, 8 * 10), 108, 80, 0, 1),
+      MediaRow(101L, "image", png(50L, 90, 80), 90, 80, 0, 1),
+      MediaRow(102L, "image", png(51L, 90, 80), 90, 80, 0, 1),
+      MediaRow(103L, "image", png(51L, 9 * 9, 8 * 9), 81, 72, 0, 1))
+    val pairs = Multimodal.dedupNewImages(batch.toDS(), dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 100L), (102L, 103L)), s"got $pairs")
+    // accept + append; the next batch matches against the grown index
+    Multimodal.appendNewImages(batch.toDS(), dir)
+    val next = Seq(
+      MediaRow(200L, "image", png(50L, 9 * 10, 8 * 10), 90, 80, 0, 1))
+    val p2 = Multimodal.dedupNewImages(next.toDS(), dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((101L, 200L)), s"got $p2")
+  }
+
   test("syntheticImages renders decodable PNGs with formula sizes") {
     val sample = Multimodal.syntheticImages(spark,
       "/root/testdata/sf0.001/documents.parquet").collect()
