@@ -184,13 +184,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val location = prop(properties, TableCatalog.PROP_LOCATION)
     val dir = location.getOrElse(managedDir(ident))
-    location.foreach { loc =>
-      // external attach: persist the redirect under the managed path
-      val f = TxLog.fs(spark, warehouse)
-      f.mkdirs(new Path(managedDir(ident)))
-      val out = f.create(redirectPath(ident), true)
-      try out.write(loc.getBytes("UTF-8")) finally out.close()
-    }
+    // validate BEFORE registering anything: a failed CREATE must leave
+    // no phantom table behind (redirect written then require-throw
+    // would make tableExists true for a table the user was told failed)
     if (TxLog.latestVersion(spark, dir).isDefined) {
       // LOCATION naming an existing maintained table: attach, don't
       // clobber — CREATE is then a catalog registration only
@@ -201,6 +197,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     } else {
       Compaction.initEmpty(spark, dir, schema, keys, versionCol,
         deleteCol, nBuckets, clusterBy)
+    }
+    location.foreach { loc =>
+      // external attach: persist the redirect under the managed path
+      val f = TxLog.fs(spark, warehouse)
+      f.mkdirs(new Path(managedDir(ident)))
+      val out = f.create(redirectPath(ident), true)
+      try out.write(loc.getBytes("UTF-8")) finally out.close()
     }
     new GraftTable(fullName(ident), dir, None)
   }

@@ -706,8 +706,12 @@ object Compaction {
   def history(spark: SparkSession, dir: String): DataFrame = {
     val rows = TxLog.commitTimesOnDisk(spark, dir).map { case (v, ts) =>
       val snap = TxLog.read(spark, dir, v)
+      // base rows + staged MoR delta rows: exact on clean tables, an
+      // upper bound on dirty ones (a delta may replay or supersede a
+      // base key — countRows() folds for the exact live number)
       val rowCount = snap.props.collect {
-        case (k, value) if k.startsWith("rows.") => value.toLong
+        case (k, value) if k.startsWith("rows.") ||
+          k.startsWith("drows.") => value.toLong
       }.sum
       org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
         snap.prop("op").getOrElse("unknown"),
@@ -1399,7 +1403,11 @@ object Compaction {
     val vacuumed = Option(maxHistoryAge).map { age =>
       val cutoff = System.currentTimeMillis() - age.toMillis
       val times = TxLog.commitTimesOnDisk(spark, dir)
-      val expired = times.dropRight(1).filter(_._2 < cutoff)
+      // only the contiguous expired PREFIX: manifest mtimes come from
+      // different writers' clocks, and vacuuming past a skew-stamped
+      // "old" version would delete younger manifests the retention
+      // window promised to keep
+      val expired = times.dropRight(1).takeWhile(_._2 < cutoff)
       if (expired.nonEmpty) {
         TxLog.vacuum(spark, dir, expired.map(_._1).max + 1L)
         expired.size

@@ -116,7 +116,7 @@ object CsvSink {
       .sortBy(_.getFileName.toString)
     val entries = parts.map { p =>
       val name = p.getFileName.toString
-      val idx = name.stripPrefix("part-").take(5).toInt
+      val idx = name.stripPrefix("part-").takeWhile(_.isDigit).toInt
       (name, perPart.getOrElse(idx, 0L), Files.size(p))
     }
     val partSum = entries.map(_._2).sum

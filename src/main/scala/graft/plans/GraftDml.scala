@@ -114,28 +114,31 @@ object GraftTables {
   private def maintenanceSql(spark: SparkSession,
       sqlText: String): Option[DataFrame] = {
     import spark.implicits._
-    def dirFor(name: String): String = {
+    // a target that is NOT one of our maintained tables delegates to
+    // spark.sql untouched — another extension (e.g. a different table
+    // format) may own the statement
+    def dirFor(name: String): Option[String] = {
       val parts = name.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
-      GraftDml.resolveName(spark, parts).map(_.dir).getOrElse(
-        GraftDml.fail(s"$name is not a registered or catalog " +
-          "maintained table"))
+      GraftDml.resolveName(spark, parts).map(_.dir)
     }
     sqlText match {
       case VacuumRe(name, hours) =>
-        val dir = dirFor(name)
-        val age = java.time.Duration.ofHours(
-          Option(hours).map(_.toLong).getOrElse(168L))
-        val (_, vacuumed) = Compaction.maintain(spark, dir,
-          maxDeltasPerBucket = Int.MaxValue, maxHistoryAge = age)
-        Some(Seq((name, vacuumed)).toDF("table", "versions_vacuumed"))
+        dirFor(name).map { dir =>
+          val age = java.time.Duration.ofHours(
+            Option(hours).map(_.toLong).getOrElse(168L))
+          val (_, vacuumed) = Compaction.maintain(spark, dir,
+            maxDeltasPerBucket = Int.MaxValue, maxHistoryAge = age)
+          Seq((name, vacuumed)).toDF("table", "versions_vacuumed")
+        }
       case OptimizeRe(name, minDeltas) =>
-        val dir = dirFor(name)
-        val bound = Option(minDeltas).map(_.toInt).getOrElse(1)
-        val (folded, _) = Compaction.maintain(spark, dir,
-          maxDeltasPerBucket = bound)
-        Some(Seq((name, folded)).toDF("table", "buckets_folded"))
+        dirFor(name).map { dir =>
+          val bound = Option(minDeltas).map(_.toInt).getOrElse(1)
+          val (folded, _) = Compaction.maintain(spark, dir,
+            maxDeltasPerBucket = bound)
+          Seq((name, folded)).toDF("table", "buckets_folded")
+        }
       case HistoryRe(name) =>
-        Some(Compaction.history(spark, dirFor(name))
+        dirFor(name).map(dir => Compaction.history(spark, dir)
           .orderBy(org.apache.spark.sql.functions.col("version").desc))
       case _ => None
     }
@@ -205,8 +208,13 @@ object GraftDml extends Rule[LogicalPlan] {
   private def resolveTarget(spark: SparkSession,
       p: LogicalPlan): Option[Target] = p match {
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-      GraftTables.dirOf(spark, u.multipartIdentifier.last)
-        .map(d => Target(u.multipartIdentifier.last, d, retain = false))
+      // a QUALIFIED identifier (graft.ns.t) is never a registry name:
+      // consulting the registry with just the last part would silently
+      // mutate a same-named registered table instead of the catalog one
+      (if (u.multipartIdentifier.size == 1)
+        GraftTables.dirOf(spark, u.multipartIdentifier.last)
+          .map(d => Target(u.multipartIdentifier.last, d, retain = false))
+      else None)
         .orElse(catalogDir(spark, u.multipartIdentifier))
     case SubqueryAlias(id, child) =>
       resolveTarget(spark, child)
@@ -348,8 +356,10 @@ object GraftDml extends Rule[LogicalPlan] {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
       t =>
         t.isInstanceOf[java.io.FileNotFoundException] ||
-        Option(t.getMessage).exists(m =>
-          m.contains("FAILED_READ_FILE") || m.contains("does not exist"))
+        // Spark's task-level wrapper for a file deleted mid-scan; a
+        // broader message match (e.g. any "does not exist") would loop
+        // 8 rebuild cycles on unrelated persistent errors
+        Option(t.getMessage).exists(_.contains("FAILED_READ_FILE"))
     }
 
   private[plans] def fail(msg: String): Nothing =

@@ -541,8 +541,12 @@ object Multimodal {
   def audioNearDups(media: Dataset[MediaRow], maxBits: Int = 3): DataFrame = {
     import media.sparkSession.implicits._
     val fps = media.filter(_.kind == "audio").mapPartitions { rows =>
-      rows.flatMap(r => decodeWav(r.payload).map(w =>
-        (r.media_id, audioFingerprint(w.samples))))
+      // clips shorter than the 64-chunk grid have no energy profile to
+      // fingerprint — drop them like undecodable payloads (a shared 0L
+      // would make every tiny clip a mutual "duplicate")
+      rows.flatMap(r => decodeWav(r.payload)
+        .filter(_.samples.length >= 64)
+        .map(w => (r.media_id, audioFingerprint(w.samples))))
     }.toDF("media_id", "afp")
     graft.operators.Dedup.fingerprintNearDups(fps, "media_id", "afp",
       maxBits)

@@ -175,7 +175,7 @@ private[streaming] class FeedBatchStream(tableDir: String,
           else fs.listStatus(d).toSeq
             .filter(st => st.getPath.getName.startsWith("part-") &&
               st.getLen > 0)
-            .map(st => FeedFilePartition(st.getPath.toString, b))
+            .map(st => FeedFilePartition(st.getPath.toString, st.getLen, b))
         }.toArray
     }
   }
@@ -183,7 +183,31 @@ private[streaming] class FeedBatchStream(tableDir: String,
   override def createReaderFactory(): PartitionReaderFactory =
     rowSchema match {
       case None => FeedBatchReaderFactory
-      case Some(schema) => new FeedRowReaderFactory(schema)
+      case Some(schema) =>
+        // mirror the conf keys Spark's own parquet read path injects
+        // (newHadoopConf copies only EXPLICITLY-set SQL confs; the
+        // schema converter reads these raw and NPEs on absence)
+        val spark = SparkSession.active
+        val sqlc = spark.sessionState.conf
+        val hc = spark.sessionState.newHadoopConf()
+        import org.apache.spark.sql.internal.SQLConf
+        hc.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+          sqlc.getConf(SQLConf.PARQUET_BINARY_AS_STRING))
+        hc.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+          sqlc.getConf(SQLConf.PARQUET_INT96_AS_TIMESTAMP))
+        hc.setBoolean(SQLConf.CASE_SENSITIVE.key,
+          sqlc.getConf(SQLConf.CASE_SENSITIVE))
+        hc.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+          sqlc.getConf(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED))
+        hc.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+          sqlc.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG))
+        hc.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+          sqlc.getConf(SQLConf.PARQUET_FIELD_ID_READ_ENABLED))
+        hc.set("parquet.read.support.class",
+          "org.apache.spark.sql.execution.datasources.parquet" +
+            ".ParquetReadSupport")
+        new FeedRowReaderFactory(schema,
+          new org.apache.spark.util.SerializableConfiguration(hc))
     }
 
   override def commit(end: Offset): Unit = ()
@@ -207,8 +231,8 @@ private[streaming] object FeedBatchReaderFactory
   }
 }
 
-private[streaming] case class FeedFilePartition(path: String, batch: Long)
-  extends InputPartition
+private[streaming] case class FeedFilePartition(path: String, len: Long,
+    batch: Long) extends InputPartition
 
 /** Data-row mode reader: one published feed parquet file per
   * partition, read through Spark's own vectorized parquet reader (the
@@ -220,7 +244,9 @@ private[streaming] case class FeedFilePartition(path: String, batch: Long)
   * the engine's offset checkpointing.
   */
 private[streaming] final class FeedRowReaderFactory(
-    readSchema: StructType) extends PartitionReaderFactory {
+    readSchema: StructType,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -228,21 +254,40 @@ private[streaming] final class FeedRowReaderFactory(
     new PartitionReader[InternalRow] {
       import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
+      // the SESSION's Hadoop configuration, shipped with the factory:
+      // a bare `new Configuration()` here would lose fs credentials /
+      // scheme registrations and strand the stream on local fs
+      private val conf =
+        new org.apache.hadoop.conf.Configuration(hadoopConf.value)
+      private val path = new org.apache.hadoop.fs.Path(p.path)
       private val reader =
         new org.apache.spark.sql.execution.datasources.parquet
           .VectorizedParquetRecordReader(false, 4096)
-      // file field names, footer-read once, for the by-name projection
+      // footer read once (session-conf filesystem): field names for
+      // the by-name projection + the file's own Spark schema for the
+      // record reader's requested-schema contract
       private val fileFields: Seq[String] = {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.path),
-          new org.apache.hadoop.conf.Configuration())
+          path, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
-          val fields = r.getFooter.getFileMetaData.getSchema.getFields
+          val msg = r.getFooter.getFileMetaData.getSchema
+          val sparkFileSchema =
+            new org.apache.spark.sql.execution.datasources.parquet
+              .ParquetToSparkSchemaConverter(conf).convert(msg)
+          // the stable key ParquetReadSupport reads the requested
+          // schema from (same constant across Spark 3.x/4.x)
+          conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+            sparkFileSchema.json)
+          val fields = msg.getFields
           (0 until fields.size).map(i => fields.get(i).getName)
         } finally r.close()
       }
-      reader.initialize(p.path, null)
+      reader.initialize(
+        new org.apache.hadoop.mapred.FileSplit(
+          path, 0, p.len, Array.empty[String]),
+        new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
       // data columns resolve by name; the trailing `batch` column (and
       // any evolved-in column the file predates) yields null/literal
       private val mapping: Array[Int] =

@@ -219,11 +219,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(folded._2 == 1, s"folded ${folded._2}")
     assert(Compaction.deltaStats(spark, rdir).isEmpty)
 
-    // unknown table: clear error
+    // a target that is NOT ours delegates to spark.sql untouched
+    // (another extension may own VACUUM); plain Spark then rejects
+    // the statement it does not know
     val e = intercept[Exception] {
       GraftTables.sql(spark, "VACUUM nope.nothere")
     }
-    assert(e.getMessage.contains("maintained table"), e.getMessage)
+    assert(!e.getMessage.contains("maintained table"), e.getMessage)
   }
 
   test("DESCRIBE HISTORY: commit audit log with operations and lineage") {
@@ -286,6 +288,65 @@ class GraftCatalogSpec extends SparkSpec {
       .asInstanceOf[GraftCatalog]
     cat.tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
       parts.tail.init, parts.last))
+  }
+
+  test("qualified DML never hits a same-named registry table") {
+    // registry table "shadow" and catalog table gcat.shadow coexist;
+    // DML on the QUALIFIED name must mutate the catalog table only
+    val rdir = tmpDir("gcat-shadow-reg") + "/t"
+    Compaction.init(
+      (1L to 5L).map(i => (i, s"reg$i", 0L, false))
+        .toDF("id", "v", "version", "deleted"),
+      rdir, "id", "version", "deleted", nBuckets = 4)
+    GraftTables.register(spark, "shadow", rdir)
+    sqlc("""CREATE TABLE gcat.shadow (
+        id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("INSERT INTO gcat.shadow SELECT id, concat('cat', id), 0L, false FROM range(1, 6)")
+
+    GraftTables.sql(spark, "DELETE FROM gcat.shadow WHERE id = 1")
+    // catalog table lost the row; the registered table is untouched
+    assert(sqlc("SELECT count(*) AS n FROM gcat.shadow")
+      .as[Long].head() == 4L)
+    assert(Compaction.countRows(spark, rdir) == 5L)
+    // and the bare name still routes to the registry
+    GraftTables.sql(spark, "DELETE FROM shadow WHERE id = 2")
+    assert(Compaction.countRows(spark, rdir) == 4L)
+    assert(sqlc("SELECT count(*) AS n FROM gcat.shadow")
+      .as[Long].head() == 4L)
+  }
+
+  test("failed external CREATE leaves no phantom table") {
+    val ext = tmpDir("gcat-phantom") + "/t"
+    Compaction.init(
+      Seq((1L, "a", 0L, false)).toDF("id", "v", "version", "deleted"),
+      ext, "id", "version", "deleted", nBuckets = 4)
+    // declared keys mismatch the existing table's -> CREATE fails ...
+    val e = intercept[Exception] {
+      sqlc(s"""CREATE TABLE gcat.phantom (
+          id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+          TBLPROPERTIES ('keys'='v') LOCATION '$ext'""")
+    }
+    assert(e.getMessage.contains("keys"), e.getMessage)
+    // ... and must leave nothing registered behind
+    assert(!spark.catalog.tableExists("gcat.phantom"))
+    val names = sqlc("SHOW TABLES IN gcat")
+      .select("tableName").as[String].collect().toSet
+    assert(!names.contains("phantom"))
+  }
+
+  test("DESCRIBE HISTORY counts merge-on-read delta rows") {
+    sqlc("""CREATE TABLE gcat.hmor (
+        id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    val dir = tmpDirOf("gcat.hmor")
+    Compaction.merge(spark, dir,
+      (1L to 7L).map(i => (i, s"m$i", 1L, false))
+        .toDF("id", "v", "version", "deleted"),
+      retainHistory = true, mergeOnRead = true)
+    val h = GraftTables.sql(spark, "DESCRIBE HISTORY gcat.hmor")
+      .select($"version", $"live_rows").as[(Long, Long)].collect().toMap
+    assert(h(1L) == 7L, s"MoR commit under-reported rows: $h")
   }
 
   test("CREATE without keys property fails with a clear message") {
