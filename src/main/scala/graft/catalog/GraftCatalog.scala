@@ -113,6 +113,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isTable(ident: Identifier): Boolean =
     TxLog.latestVersion(spark, tableDir(ident)).isDefined
 
+  /** The catalog serves MERGE (latest-state) tables; an Scd2 history
+    * or AggView dir attached here would silently get the wrong DML
+    * semantics (their manifests self-describe via `table_type`;
+    * pre-tag manifests pass — they can only be merge tables, the
+    * other families never existed untagged under a catalog).
+    */
+  private def requireMergeTable(dir: String): Unit = {
+    val t = TxLog.latest(spark, dir).flatMap(_.prop("table_type"))
+    require(t.forall(_ == "merge"),
+      s"$dir is a ${t.getOrElse("?")} table; the graft catalog serves " +
+        "merge (latest-state) tables — use the Scd2/AggView APIs directly")
+  }
+
   override def tableExists(ident: Identifier): Boolean = isTable(ident)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -132,7 +145,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     if (!isTable(ident)) throw new NoSuchTableException(ident)
-    new GraftTable(fullName(ident), tableDir(ident), None)
+    val dir = tableDir(ident)
+    requireMergeTable(dir)
+    new GraftTable(fullName(ident), dir, None)
   }
 
   /** SQL `VERSION AS OF <v>` — resolves straight onto
@@ -190,6 +205,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (TxLog.latestVersion(spark, dir).isDefined) {
       // LOCATION naming an existing maintained table: attach, don't
       // clobber — CREATE is then a catalog registration only
+      requireMergeTable(dir)
       val existing = Compaction.readMeta(spark, dir)
       require(existing._1 == keys.mkString(","),
         s"existing table at $dir has keys (${existing._1}), " +

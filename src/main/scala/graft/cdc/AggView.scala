@@ -48,6 +48,7 @@ object AggView {
 
   private def coreProps(keys: Seq[String], valueCol: String, nBuckets: Int,
       lastBatchId: Long, schemaJson: String): Map[String, String] = Map(
+    "table_type" -> "aggview",
     "key" -> Bucketing.encodeKeys(keys), "value_col" -> valueCol,
     "n_buckets" -> nBuckets.toString,
     "last_batch_id" -> lastBatchId.toString,

@@ -375,6 +375,7 @@ object Compaction {
       deleteCol: String,
       nBuckets: Int, schemaJson: String,
       clusterBy: Seq[String]): Map[String, String] = Map(
+    "table_type" -> "merge",
     "key" -> Bucketing.encodeKeys(keys), "version_col" -> versionCol,
     "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
     "schema_json" -> schemaJson) ++

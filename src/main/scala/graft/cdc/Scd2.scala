@@ -117,6 +117,7 @@ object Scd2 {
   private def coreProps(keys: Seq[String], versionCol: String,
       deleteCol: String,
       nBuckets: Int, schemaJson: String): Map[String, String] = Map(
+    "table_type" -> "scd2",
     "key" -> Bucketing.encodeKeys(keys), "version_col" -> versionCol,
     "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
     "schema_json" -> schemaJson)

@@ -349,6 +349,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(h(1L) == 7L, s"MoR commit under-reported rows: $h")
   }
 
+  test("catalog refuses to attach an Scd2/AggView dir as a merge table") {
+    import graft.cdc.Scd2
+    val hist = tmpDir("gcat-scd2") + "/h"
+    Scd2.init(
+      Seq((1L, "a", 0L, false)).toDF("id", "v", "version", "deleted"),
+      hist, "id", "version", "deleted", nBuckets = 4)
+    val e = intercept[Exception] {
+      sqlc(s"""CREATE TABLE gcat.wrongtype (
+          id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+          TBLPROPERTIES ('keys'='id') LOCATION '$hist'""")
+    }
+    assert(e.getMessage.contains("scd2"), e.getMessage)
+    assert(!spark.catalog.tableExists("gcat.wrongtype"))
+  }
+
+  test("concurrent catalog INSERTs: OCC serializes, no lost write") {
+    sqlc("""CREATE TABLE gcat.conc (
+        id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("INSERT INTO gcat.conc SELECT id, 'base', 0L, false FROM range(50)")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            // each writer inserts its own disjoint key range
+            spark.sql(s"""INSERT INTO gcat.conc
+              SELECT id + ${1000 * w}, 'w$w', 1L, false FROM range(20)""")
+            ()
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    // all four writers' rows landed (OCC retried the losers)
+    val got = sqlc("SELECT v, count(*) AS n FROM gcat.conc GROUP BY v")
+      .as[(String, Long)].collect().toMap
+    assert(got("base") == 50L)
+    (1 to 4).foreach(w => assert(got(s"w$w") == 20L, s"writer $w: $got"))
+  }
+
   test("CREATE without keys property fails with a clear message") {
     val e = intercept[Exception] {
       sqlc("CREATE TABLE gcat.nokeys (id BIGINT, version BIGINT, deleted BOOLEAN)")
