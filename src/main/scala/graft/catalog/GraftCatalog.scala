@@ -156,11 +156,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!isTable(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    requireMergeTable(dir)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft version must be a commit number, got '$version'")
     }
-    new GraftTable(fullName(ident), tableDir(ident), Some(v))
+    new GraftTable(fullName(ident), dir, Some(v))
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` (micros since epoch) — the greatest
@@ -169,6 +171,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     if (!isTable(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
+    requireMergeTable(dir)
     val v = Compaction.versionAsOfTimestamp(spark, dir, timestamp / 1000L)
     new GraftTable(fullName(ident), dir, Some(v))
   }
@@ -204,12 +207,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // would make tableExists true for a table the user was told failed)
     if (TxLog.latestVersion(spark, dir).isDefined) {
       // LOCATION naming an existing maintained table: attach, don't
-      // clobber — CREATE is then a catalog registration only
+      // clobber — CREATE is then a catalog registration only, and
+      // every declared piece of DDL must AGREE with what the table
+      // was built with (a silently-ignored mismatch would leave the
+      // user's DDL disagreeing with what SELECT/INSERT actually use)
       requireMergeTable(dir)
-      val existing = Compaction.readMeta(spark, dir)
-      require(existing._1 == keys.mkString(","),
-        s"existing table at $dir has keys (${existing._1}), " +
+      val (exKeys, exVersion, exDelete, exBuckets) =
+        Compaction.readMeta(spark, dir)
+      require(exKeys == keys.mkString(","),
+        s"existing table at $dir has keys ($exKeys), " +
           s"CREATE declared (${keys.mkString(",")})")
+      def check(what: String, declared: Option[String],
+          actual: String): Unit = declared.foreach(d =>
+        require(d == actual, s"existing table at $dir has $what " +
+          s"'$actual', CREATE declared '$d'"))
+      check("version_col", prop(properties, "version_col"), exVersion)
+      check("delete_col", prop(properties, "delete_col"), exDelete)
+      check("buckets", prop(properties, "buckets"), exBuckets.toString)
+      if (schema.nonEmpty) {
+        val stored = DataType.fromJson(TxLog.latest(spark, dir).get
+          .props("schema_json")).asInstanceOf[StructType]
+        val want = schema.fields.map(f => (f.name, f.dataType)).toSeq
+        val have = stored.fields.map(f => (f.name, f.dataType)).toSeq
+        require(want == have, s"existing table at $dir has schema " +
+          s"${stored.simpleString}, CREATE declared ${schema.simpleString}")
+      }
     } else {
       Compaction.initEmpty(spark, dir, schema, keys, versionCol,
         deleteCol, nBuckets, clusterBy)

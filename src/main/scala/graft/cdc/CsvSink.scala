@@ -1,10 +1,8 @@
 package graft.cdc
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
-
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -24,7 +22,10 @@ import org.apache.spark.sql.functions._
   * contract IS one file per export — the single-writer tail is inherent
   * to that contract, not an engine limitation. For cluster-scale exports
   * `write(df, dir, singleFile = false)` keeps one file per partition
-  * (each writer streams independently; no driver materialization).
+  * (each writer streams independently; no driver materialization). All
+  * filesystem bookkeeping (part listing, rename, manifest) goes through
+  * the Hadoop `FileSystem` API, so both paths work on HDFS/S3, not just
+  * the local disk.
   */
 object CsvSink {
 
@@ -47,7 +48,13 @@ object CsvSink {
     }
     if (!singleFile) return writeSharded(rendered, outPath)
 
-    val writer = rendered.coalesce(1).write
+    // Rows are counted DURING the one write job (per-partition
+    // accumulator), not by re-reading the written file on the driver —
+    // the count costs nothing extra regardless of export size.
+    val spark = rendered.sparkSession
+    val (counted, acc) = countingRows(rendered.coalesce(1))
+    val tmp = outPath + ".tmpdir-" + java.util.UUID.randomUUID()
+    counted.write
       .option("header", "true")
       .option("timestampFormat", IsoTimestampFormat)
       // RFC-4180 quote doubling ("" inside quoted fields), matching the
@@ -55,17 +62,17 @@ object CsvSink {
       // escaping, which csv-standard readers would misparse
       .option("escape", "\"")
       .mode("overwrite")
-
-    val tmp = outPath + ".tmpdir-" + java.util.UUID.randomUUID()
-    writer.csv(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
-      .find(_.getFileName.toString.startsWith("part-"))
+      .csv(tmp)
+    val rows = partCounts(acc).values.sum
+    val fs = rawFs(spark, outPath)
+    val part = fs.listStatus(new Path(tmp)).toSeq.map(_.getPath)
+      .find(_.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
-    // Count data rows without re-running the job: lines minus header.
-    val rows = countLines(part) - 1
-    Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)
-    Files.move(part, Paths.get(outPath), StandardCopyOption.REPLACE_EXISTING)
-    deleteRecursively(Paths.get(tmp))
+    val target = new Path(outPath)
+    Option(target.getParent).foreach(fs.mkdirs)
+    if (fs.exists(target)) fs.delete(target, false)
+    require(fs.rename(part, target), s"rename $part -> $target failed")
+    fs.delete(new Path(tmp), true)
     rows
   }
 
@@ -82,7 +89,63 @@ object CsvSink {
     */
   private def writeSharded(rendered: DataFrame, outPath: String): Long = {
     val spark = rendered.sparkSession
-    val acc = spark.sparkContext
+    val (counted, acc) = countingRows(rendered)
+    counted.write
+      .option("header", "true")
+      .option("timestampFormat", IsoTimestampFormat)
+      .option("escape", "\"")
+      .mode("overwrite")
+      .csv(outPath)
+    val perPart = partCounts(acc)
+    val total = perPart.values.sum
+    // part-<%05d> carries the task partition index: join names to
+    // counts without touching file contents
+    val fs = rawFs(spark, outPath)
+    val dir = new Path(outPath)
+    val parts = fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val entries = parts.map { st =>
+      val name = st.getPath.getName
+      val idx = name.stripPrefix("part-").takeWhile(_.isDigit).toInt
+      (name, perPart.getOrElse(idx, 0L), st.getLen)
+    }
+    val partSum = entries.map(_._2).sum
+    require(partSum == total,
+      s"csv export accounting mismatch: parts sum $partSum != total $total")
+    val json = entries.map { case (n, r, b) =>
+      s"""{"name":"$n","rows":$r,"bytes":$b}"""
+    }.mkString(s"""{"rows":$total,"parts":[""", ",", "]}")
+    val out = fs.create(new Path(dir, "_MANIFEST.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    total
+  }
+
+  /** The filesystem for sink bookkeeping (part listing, rename,
+    * manifest), with checksum sidecars unwrapped: Hadoop's LOCAL
+    * filesystem is a `ChecksumFileSystem` whose create/rename shadow
+    * every artifact with a `.crc` dotfile a CSV consumer would trip
+    * over; HDFS/S3 filesystems pass through unchanged, so the sink
+    * stays cluster-portable without littering local exports.
+    */
+  private def rawFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    TxLog.fs(spark, path) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+
+  /** Thread a per-partition counting iterator into `rendered`: rows are
+    * tallied as the CSV writer pulls them, reported once at iterator
+    * exhaustion. Action-task accumulator semantics make the report
+    * exactly-once per successful task (a retried task's partial count
+    * is discarded with the task); [[partCounts]] takes the max per
+    * partition id as a belt-and-braces guard against speculative twins.
+    */
+  private def countingRows(rendered: DataFrame)
+      : (DataFrame, org.apache.spark.util.CollectionAccumulator[(Int, Long)]) = {
+    val acc = rendered.sparkSession.sparkContext
       .collectionAccumulator[(Int, Long)]("csv-part-rows")
     val counted = rendered.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -99,36 +162,14 @@ object CsvSink {
         }
       }
     }(org.apache.spark.sql.Encoders.row(rendered.schema))
-    counted.write
-      .option("header", "true")
-      .option("timestampFormat", IsoTimestampFormat)
-      .option("escape", "\"")
-      .mode("overwrite")
-      .csv(outPath)
-    val perPart = acc.value.asScala.toSeq
-      .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2).max }
-    val total = perPart.values.sum
-    // part-<%05d> carries the task partition index: join names to
-    // counts without touching file contents
-    val dir = Paths.get(outPath)
-    val parts = Files.list(dir).toArray.map(_.asInstanceOf[Path])
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .sortBy(_.getFileName.toString)
-    val entries = parts.map { p =>
-      val name = p.getFileName.toString
-      val idx = name.stripPrefix("part-").takeWhile(_.isDigit).toInt
-      (name, perPart.getOrElse(idx, 0L), Files.size(p))
-    }
-    val partSum = entries.map(_._2).sum
-    require(partSum == total,
-      s"csv export accounting mismatch: parts sum $partSum != total $total")
-    val json = entries.map { case (n, r, b) =>
-      s"""{"name":"$n","rows":$r,"bytes":$b}"""
-    }.mkString(s"""{"rows":$total,"parts":[""", ",", "]}")
-    Files.write(dir.resolve("_MANIFEST.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    total
+    (counted, acc)
   }
+
+  private def partCounts(
+      acc: org.apache.spark.util.CollectionAccumulator[(Int, Long)])
+      : Map[Int, Long] =
+    acc.value.asScala.toSeq
+      .groupBy(_._1).map { case (pid, xs) => pid -> xs.map(_._2).max }
 
   /** Consumer-side reader for this sink's dialect: the round-trip
     * contract a downstream of the reference relies on. Parses the
@@ -153,15 +194,4 @@ object CsvSink {
         to_timestamp(col("updated_at"), IsoTimestampFormat))
       .withColumn("is_deleted", col("is_deleted") === "True")
   }
-
-  private def countLines(p: Path): Long = {
-    val in = Files.newBufferedReader(p)
-    try Iterator.continually(in.readLine()).takeWhile(_ != null).size.toLong
-    finally in.close()
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
 }

@@ -582,6 +582,10 @@ object Dedup {
       fpCol: String, indexDir: String): DataFrame = {
     val spark = newItems.sparkSession
     val maxBits = graft.cdc.MetaFile.read(spark, indexDir)("max_bits").toInt
+    // lazy-persist contract (header of this file): the returned frame
+    // is lazy, so the banded fingerprints can't unpersist here without
+    // recomputing the banding for every reuse below — blocks release
+    // via Spark's LRU, and per-batch ingest loops reuse the entry
     val newBanded = bandedFps(newItems, idCol, fpCol, maxBits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stored = spark.read.parquet(s"$indexDir/chunks")

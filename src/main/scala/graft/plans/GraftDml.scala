@@ -117,10 +117,8 @@ object GraftTables {
     // a target that is NOT one of our maintained tables delegates to
     // spark.sql untouched — another extension (e.g. a different table
     // format) may own the statement
-    def dirFor(name: String): Option[String] = {
-      val parts = name.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
-      GraftDml.resolveName(spark, parts).map(_.dir)
-    }
+    def dirFor(name: String): Option[String] =
+      GraftDml.resolveName(spark, GraftDml.splitIdentifier(name)).map(_.dir)
     sqlText match {
       case VacuumRe(name, hours) =>
         dirFor(name).map { dir =>
@@ -242,6 +240,32 @@ object GraftDml extends Rule[LogicalPlan] {
     * (maintenance SQL, change streams): registry for a bare name,
     * catalog for a qualified one.
     */
+  /** Multipart-identifier split that respects backtick quoting: dots
+    * inside `` `quoted.parts` `` are identifier characters, not
+    * separators, and doubled backticks unescape (Spark's own quoting
+    * rule) — `VACUUM \`my.table\`` resolves the one registered name
+    * instead of silently splitting into `my`.`table`.
+    */
+  private[plans] def splitIdentifier(name: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var quoted = false
+    while (i < name.length) {
+      val c = name.charAt(i)
+      if (c == '`') {
+        if (quoted && i + 1 < name.length && name.charAt(i + 1) == '`') {
+          cur.append('`'); i += 1 // escaped backtick inside quotes
+        } else quoted = !quoted
+      } else if (c == '.' && !quoted) {
+        parts += cur.result(); cur.clear()
+      } else cur.append(c)
+      i += 1
+    }
+    parts += cur.result()
+    parts.toSeq
+  }
+
   private[plans] def resolveName(spark: SparkSession,
       parts: Seq[String]): Option[Target] =
     (if (parts.size == 1)
@@ -250,20 +274,34 @@ object GraftDml extends Rule[LogicalPlan] {
     else None).orElse(catalogDir(spark, parts))
 
   private def catalogDir(spark: SparkSession,
-      parts: Seq[String]): Option[Target] =
-    if (parts.size < 2) None
-    else scala.util.Try {
-      spark.sessionState.catalogManager.catalog(parts.head) match {
-        case g: graft.catalog.GraftCatalog =>
-          val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
-            parts.tail.init.toArray, parts.last)
-          if (g.tableExists(ident))
-            Some(Target(parts.mkString("."), g.tableDir(ident),
-              retain = true))
-          else None
-        case _ => None
-      }
-    }.toOption.flatten
+      parts: Seq[String]): Option[Target] = {
+    if (parts.size < 2) return None
+    // a missing/foreign catalog means "not ours" — but once the head
+    // IS a graft catalog holding the table, errors below (wrong table
+    // type) must propagate, not silently fall through to spark.sql
+    val cat = try spark.sessionState.catalogManager.catalog(parts.head)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    cat match {
+      case g: graft.catalog.GraftCatalog =>
+        val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.tail.init.toArray, parts.last)
+        if (g.tableExists(ident)) {
+          val dir = g.tableDir(ident)
+          // same invariant as GraftCatalog.loadTable: DML and
+          // maintenance carry merge (latest-state) semantics — an
+          // Scd2/AggView dir resolved by name must fail loudly here,
+          // not get a table_type=merge manifest stamped over it
+          val t = graft.cdc.TxLog.latest(spark, dir)
+            .flatMap(_.prop("table_type"))
+          if (!t.forall(_ == "merge"))
+            fail(s"${parts.mkString(".")} is a ${t.get} table; " +
+              "MERGE/UPDATE/DELETE/maintenance apply to merge " +
+              "(latest-state) tables — use the Scd2/AggView APIs")
+          Some(Target(parts.mkString("."), dir, retain = true))
+        } else None
+      case _ => None
+    }
+  }
 
   private[plans] def lower(spark: SparkSession,
       plan: LogicalPlan): Option[LeafRunnableCommand] = plan match {

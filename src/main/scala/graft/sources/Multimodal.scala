@@ -648,6 +648,11 @@ object Multimodal {
     */
   def videoNearDups(media: Dataset[MediaRow], minSharedFrames: Int = 3,
       stride: Int = 1): DataFrame = {
+    // lazy-persist contract (see graft.operators.Dedup's header): the
+    // result is lazy, so the frame hashes can't unpersist here without
+    // recomputing the decode for both join sides — blocks release via
+    // Spark's LRU (MEMORY_AND_DISK evicts under pressure), and repeat
+    // callers reuse the entry instead of re-decoding every frame
     val fh = videoFrameHashes(media, stride)
       .select(col("media_id"), col("dhash")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
