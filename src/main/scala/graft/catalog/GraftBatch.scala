@@ -1,0 +1,754 @@
+package graft.catalog
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, GenericInternalRow, Literal, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.types.PhysicalDataType
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.{FileFormat, FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.{Bucketing, Compaction, TxLog}
+
+/** Driver-side planning metadata for one scan: the committed manifest
+  * parsed once — table parameters, live bucket → directory map, and
+  * merge-on-read delta chains. Reading it costs zero Spark jobs
+  * (manifests are a driver-side file, cached by [[TxLog]]).
+  */
+private[catalog] final case class ScanMeta(dir: String, version: Long,
+    props: Map[String, String], keys: Seq[String], versionCol: String,
+    deleteCol: String, nBuckets: Int, schema: StructType,
+    buckets: Map[Int, String], deltas: Map[Int, Seq[String]]) {
+  def dirty: Set[Int] = deltas.keySet
+  def liveIds: Set[Int] = buckets.keySet ++ dirty
+}
+
+private[catalog] object ScanMeta {
+  def load(spark: SparkSession, dir: String,
+      asOf: Option[Long]): ScanMeta = {
+    val snap = asOf match {
+      case Some(v) => TxLog.read(spark, dir, v)
+      case None => TxLog.latest(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest under $dir"))
+    }
+    ScanMeta(dir, snap.version, snap.props,
+      Bucketing.decodeKeys(snap.props("key")),
+      snap.props("version_col"), snap.props("delete_col"),
+      snap.props("n_buckets").toInt,
+      DataType.fromJson(snap.props("schema_json"))
+        .asInstanceOf[StructType],
+      snap.buckets, snap.deltas)
+  }
+}
+
+/** A bin of clean (no unfolded deltas) files, all from generation
+  * directories sharing one SCHEMA EPOCH — the physical column-name
+  * vector their files were written under (ALTER RENAME is
+  * metadata-only, so older generations carry older names; an epoch's
+  * reader requests the epoch's names, and because a rename preserves
+  * position and type the output aligns with the logical schema with
+  * no per-row rewrite). `epoch` indexes the factory's reader table.
+  */
+private[catalog] final case class GraftCleanPartition(epoch: Int,
+    files: Array[PartitionedFile]) extends InputPartition
+
+/** One dirty bucket's base + delta files, folded to live state INSIDE
+  * the partition reader (see [[GraftFoldSpec]]) — the merge-on-read
+  * reconciliation without the window shuffle: a bucket already
+  * co-locates every row of its keys, so the fold is partition-local
+  * by construction. `epochs(i)` is `files(i)`'s schema epoch.
+  */
+private[catalog] final case class GraftFoldPartition(bucket: Int,
+    epochs: Array[Int], files: Array[PartitionedFile])
+    extends InputPartition
+
+/** Native DSv2 `Batch` scan over a maintained merge table: the
+  * manifest-pruned file set planned driver-side, Spark's own
+  * (vectorized, codegen-friendly) parquet reader per file, and
+  * merge-on-read buckets folded in their reader. Replaces the former
+  * `V1Scan` bridge, which paid a Row↔InternalRow conversion on every
+  * output row and was opaque to whole-stage codegen.
+  *
+  * Planning (all driver-side metadata, no Spark jobs):
+  *  1. bucket pruning — key equality/IN pins buckets through the same
+  *     xxhash64 the writers partition by; version-range predicates
+  *     prune on the manifest's per-bucket [min, max] zone maps
+  *     ([[GraftPrune]], the scan-builder twin of
+  *     [[graft.plans.MergePruning]]);
+  *  2. file listing — only surviving buckets' directories are listed
+  *     (parallel, O(kept buckets));
+  *  3. clean buckets (no unfolded deltas) pack into Spark's own
+  *     `FilePartition` bins (maxPartitionBytes / openCost sizing,
+  *     large files split by range) and read COLUMNAR when the schema
+  *     supports it; dirty buckets become one [[GraftFoldPartition]]
+  *     each, folded row-wise in the reader.
+  *
+  * Filters are also re-applied by Spark above the scan (every filter
+  * is reported as post-scan), so pushdown — bucket pruning, parquet
+  * row-group stats, dictionary filtering — is a pure data reduction,
+  * never a correctness dependency. At 100 TB the full-scan plan is
+  * partition-per-128MB vectorized parquet with zero conversion; the
+  * pruned plan opens exactly the directories the programmatic API
+  * would.
+  */
+private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
+    required: StructType, pushed: Array[Filter],
+    tracker: Option[GraftRowTracker] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  // ----- runtime group filtering (row-level operations) -------------
+  // Spark pushes the MERGE source / DELETE condition keys at runtime,
+  // so a row-level op replaces only the buckets holding matched keys.
+  // Offered only on row-level scans (tracker present) and single-key
+  // tables: one column of a composite key cannot pin the tuple hash.
+
+  @volatile private var runtimeBuckets: Option[Set[Int]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    tracker match {
+      case Some(_) =>
+        val meta = ScanMeta.load(spark, dir, asOf)
+        if (meta.keys.size == 1)
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .column(meta.keys.head))
+        else Array.empty
+      case None => Array.empty
+    }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val meta = ScanMeta.load(spark, dir, asOf)
+    val sets = predicates.toSeq
+      .flatMap(p => GraftPrune.runtimeBucketsOf(meta, p))
+    if (sets.nonEmpty) runtimeBuckets = Some(sets.reduce(_ intersect _))
+  }
+
+  override def description(): String = {
+    val p = planned
+    s"GraftScan $dir${asOf.map(v => s" asOf=$v").getOrElse("")} " +
+      s"buckets=${p.keptIds.size}/${p.meta.liveIds.size} " +
+      s"fold=${p.foldParts.length} columnar=${p.columnar}"
+  }
+
+  /** Everything planInputPartitions/createReaderFactory/statistics
+    * share, computed once per scan. `epochSigs(e)` is epoch e's
+    * physical name for every field of the table schema (one epoch,
+    * the identity, unless ALTER RENAME events exist).
+    */
+  private final case class Planned(meta: ScanMeta, keptIds: Set[Int],
+      epochSigs: Vector[Seq[String]],
+      cleanParts: Array[GraftCleanPartition],
+      foldParts: Array[GraftFoldPartition], columnar: Boolean,
+      totalBytes: Long)
+
+  // re-planned when a runtime filter arrives after an earlier plan
+  // (estimateStatistics/EXPLAIN may force planning pre-execution)
+  private var plannedCache: Option[(Option[Set[Int]], Planned)] = None
+
+  private def planned: Planned = synchronized {
+    val key = runtimeBuckets
+    plannedCache match {
+      case Some((k, p)) if k == key => p
+      case _ =>
+        val p = computePlanned()
+        plannedCache = Some((key, p))
+        tracker.foreach { t =>
+          t.version = p.meta.version
+          t.buckets = p.keptIds
+        }
+        p
+    }
+  }
+
+  private def computePlanned(): Planned = {
+    val s = spark
+    val meta = ScanMeta.load(s, dir, asOf)
+    val kept = GraftPrune.allowedBuckets(meta, pushed)
+      .intersect(runtimeBuckets.getOrElse(meta.liveIds))
+    val fs = TxLog.fs(s, dir)
+    val events = Compaction.renameEvents(meta.props)
+
+    // schema epoch of a generation dir: the physical name vector its
+    // files were written under (identity when no renames exist)
+    val sigIdx = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], Int]
+    def epochOf(rel: String): Int = {
+      val genV = Compaction.genVersionOf(rel)
+      val sig =
+        if (events.isEmpty) meta.schema.fieldNames.toSeq
+        else meta.schema.fieldNames.toSeq
+          .map(n => Compaction.physicalName(events, genV, n))
+      sigIdx.synchronized(sigIdx.getOrElseUpdate(sig, sigIdx.size))
+    }
+
+    def listFiles(rel: String): Seq[(String, Long, Long, Int)] = {
+      val p = new Path(s"${meta.dir}/data/$rel")
+      val e = epochOf(rel)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(st => st.isFile &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+        .map(st => (st.getPath.toString, st.getLen,
+          st.getModificationTime, e))
+    }
+
+    // parallel listing: one FS call per kept bucket directory — the
+    // only I/O planning does (manifest and stats are already local)
+    val cleanIds = (kept -- meta.dirty).toSeq.sorted
+    val dirtyIds = kept.intersect(meta.dirty).toSeq.sorted
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(32, kept.size)))
+    val (cleanFiles, foldFiles) = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val cleanF = Future.traverse(cleanIds)(b => Future {
+        meta.buckets.get(b).toSeq.flatMap(listFiles)
+      })
+      val dirtyF = Future.traverse(dirtyIds)(b => Future {
+        val rels = meta.buckets.get(b).toSeq ++
+          meta.deltas.getOrElse(b, Nil)
+        b -> rels.flatMap(listFiles)
+      })
+      (Await.result(cleanF, Duration.Inf).flatten,
+        Await.result(dirtyF, Duration.Inf))
+    } finally pool.shutdown()
+
+    def pf(path: String, start: Long, len: Long, mod: Long,
+        size: Long): PartitionedFile =
+      PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+        start, len, Array.empty[String], mod, size)
+
+    // clean files: split large ones by range (the parquet reader
+    // assigns row groups by midpoint, Spark's own rule), then pack
+    // with Spark's bin-packing so partition sizing matches what a
+    // FileSourceScanExec would do at the same confs. Packing is
+    // per-epoch: one partition's files share one reader schema.
+    val openCost = s.sessionState.conf.filesOpenCostInBytes
+    val totalClean = cleanFiles.map(_._2).sum
+    val maxSplit = FilePartition.maxSplitBytes(s,
+      totalClean + openCost * cleanFiles.size)
+    val cleanParts = cleanFiles.groupBy(_._4).toSeq.flatMap {
+      case (epoch, fsOfEpoch) =>
+        val splitFiles = fsOfEpoch.flatMap { case (p, len, mod, _) =>
+          (0L until len by maxSplit).map { off =>
+            pf(p, off, math.min(maxSplit, len - off), mod, len)
+          }
+        }.sortBy(-_.length)
+        FilePartition.getFilePartitions(s, splitFiles, maxSplit)
+          .map(fp => GraftCleanPartition(epoch, fp.files))
+    }.toArray
+
+    val folds = foldFiles.map { case (b, files) =>
+      GraftFoldPartition(b, files.map(_._4).toArray,
+        files.map { case (p, len, mod, _) => pf(p, 0, len, mod, len) }
+          .toArray)
+    }.toArray
+
+    // DSv2 requires every partition of one scan to agree on
+    // columnar-vs-row, so a scan touching any dirty bucket reads
+    // row-wise (still through the vectorized parquet decoder — only
+    // the hand-off is per-row); a compacted table reads columnar.
+    // Renames don't break columnar: epochs differ only in NAMES, and
+    // the batch layout is positional.
+    val columnar = folds.isEmpty && required.nonEmpty &&
+      new ParquetFileFormat().supportBatch(s, required)
+    val totalBytes = totalClean +
+      foldFiles.flatMap(_._2).map(_._2).sum
+    Planned(meta, kept, sigIdx.keys.toVector, cleanParts, folds,
+      columnar, totalBytes)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (planned.cleanParts.toSeq ++ planned.foldParts.toSeq)
+      .toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val s = spark
+    val p = planned
+    val meta = p.meta
+    val fmt = new ParquetFileFormat()
+    val hadoopConf = s.sessionState.newHadoopConf()
+    // logical -> physical field name, per epoch ("_seq" is reserved,
+    // never renamed)
+    val logicalNames = meta.schema.fieldNames.toSeq
+    def physOf(epoch: Int, logical: String): String =
+      if (logical == "_seq") "_seq"
+      else p.epochSigs(epoch)(logicalNames.indexOf(logical))
+    def physSchema(epoch: Int, logical: StructType): StructType =
+      StructType(logical.fields.map(f =>
+        f.copy(name = physOf(epoch, f.name))))
+    def readerFor(epoch: Int, logical: StructType,
+        batch: Boolean): PartitionedFile => Iterator[InternalRow] = {
+      val physRequired = physSchema(epoch, logical)
+      // parquet filters reference column names: hand each epoch only
+      // the filters whose references it stores under the same name
+      // (the rest still apply post-scan — pushdown is a reduction)
+      val physFilters =
+        if (physRequired.fieldNames.sameElements(logical.fieldNames))
+          pushed.toSeq
+        else pushed.toSeq.filter(_.references.forall(r =>
+          physOf(epoch, r) == r))
+      // a FRESH conf per closure: buildReaderWithPartitionValues
+      // writes the requested schema INTO the conf it is given, so a
+      // shared instance would leak the last epoch's schema into every
+      // earlier closure's broadcast
+      fmt.buildReaderWithPartitionValues(s,
+        dataSchema = physSchema(epoch, meta.schema),
+        partitionSchema = new StructType(),
+        requiredSchema = physRequired,
+        filters = physFilters,
+        options = Map(FileFormat.OPTION_RETURNING_BATCH ->
+          batch.toString),
+        hadoopConf =
+          new org.apache.hadoop.conf.Configuration(hadoopConf))
+    }
+    val cleanReaders = p.epochSigs.indices
+      .map(e => readerFor(e, required, p.columnar)).toArray
+    val foldSpec = if (p.foldParts.isEmpty) None else {
+      // the fold needs the key/version/delete columns and the commit
+      // sequence regardless of projection; winners project down after
+      val needed = (required.fieldNames ++ meta.keys ++
+        Seq(meta.versionCol, meta.deleteCol)).map(_.toLowerCase).toSet
+      val foldInput = StructType(
+        meta.schema.fields.filter(f => needed(f.name.toLowerCase)) :+
+          StructField("_seq", LongType, nullable = true))
+      val foldReaders = p.epochSigs.indices.map { e =>
+        val phys = physSchema(e, foldInput)
+        fmt.buildReaderWithPartitionValues(s,
+          dataSchema = phys, partitionSchema = new StructType(),
+          requiredSchema = phys, filters = Nil,
+          options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+          hadoopConf =
+            new org.apache.hadoop.conf.Configuration(hadoopConf))
+      }.toArray
+      Some(GraftFoldSpec(foldReaders, foldInput, meta.keys,
+        meta.versionCol, meta.deleteCol, required))
+    }
+    new GraftReaderFactory(p.columnar, cleanReaders, foldSpec)
+  }
+
+  /** Size from the pruned listing, rows from the manifest's exact
+    * per-bucket counts when nothing filters them (clean buckets only —
+    * a dirty bucket's fold outcome is not knowable from metadata) —
+    * the numbers AQE and broadcast planning act on.
+    */
+  override def estimateStatistics(): Statistics = {
+    val p = planned
+    val rows: OptionalLong =
+      if (pushed.nonEmpty || p.foldParts.nonEmpty) OptionalLong.empty()
+      else {
+        val counts = p.keptIds.toSeq.map(b =>
+          p.meta.props.get(s"rows.$b").map(_.toLong))
+        if (counts.exists(_.isEmpty)) OptionalLong.empty()
+        else OptionalLong.of(counts.flatten.sum)
+      }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        OptionalLong.of(math.max(p.totalBytes, 1L))
+      override def numRows(): OptionalLong = rows
+    }
+  }
+}
+
+/** Serializable fold recipe shipped to executors: the parquet reader
+  * closure over the fold input schema, plus the column names the
+  * latest-state rule needs. The fold is [[graft.cdc.Compaction]]'s
+  * merge rule applied reader-side: highest version per key wins, at
+  * equal version a later commit (`_seq`, null for base files) beats an
+  * earlier one, winning tombstones drop. Memory is one bucket's live
+  * keys — the same working set a merge shuffle partition holds.
+  */
+private[catalog] final case class GraftFoldSpec(
+    readers: Array[PartitionedFile => Iterator[InternalRow]],
+    foldInput: StructType, keys: Seq[String], versionCol: String,
+    deleteCol: String, required: StructType)
+
+private[catalog] final class GraftReaderFactory(columnar: Boolean,
+    cleanReaders: Array[PartitionedFile => Iterator[InternalRow]],
+    foldSpec: Option[GraftFoldSpec]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case f: GraftCleanPartition =>
+        new GraftIteratorReader(
+          f.files.iterator.flatMap(cleanReaders(f.epoch)))
+      case f: GraftFoldPartition =>
+        val spec = foldSpec.getOrElse(throw new IllegalStateException(
+          "fold partition without a fold spec"))
+        new GraftIteratorReader(GraftFold.fold(spec, f.epochs, f.files))
+      case other => throw new IllegalStateException(
+        s"unexpected partition $other")
+    }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] =
+    partition match {
+      case f: GraftCleanPartition =>
+        // with OPTION_RETURNING_BATCH=true the FileFormat contract
+        // yields ColumnarBatch values through the InternalRow-typed
+        // iterator (Spark's own FileScanRDD relies on the same cast)
+        new GraftColumnarReader(
+          f.files.iterator.flatMap(cleanReaders(f.epoch)))
+      case other => throw new IllegalStateException(
+        s"columnar read of non-file partition $other")
+    }
+}
+
+private[catalog] final class GraftIteratorReader(
+    it: Iterator[InternalRow]) extends PartitionReader[InternalRow] {
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (it.hasNext) { cur = it.next(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = () // file streams close via the task
+                                  // completion listener the FileFormat
+                                  // reader registers
+}
+
+private[catalog] final class GraftColumnarReader(
+    it: Iterator[InternalRow]) extends PartitionReader[ColumnarBatch] {
+  private var cur: ColumnarBatch = _
+  override def next(): Boolean =
+    if (it.hasNext) { cur = it.next().asInstanceOf[ColumnarBatch]; true }
+    else false
+  override def get(): ColumnarBatch = cur
+  override def close(): Unit = ()
+}
+
+private[catalog] object GraftFold {
+
+  /** Fold one dirty bucket's base + delta rows to live state and
+    * project to the scan's required columns. Hash-map fold keyed by
+    * the key tuple's UnsafeRow; values copy (the parquet reader reuses
+    * its row buffer). Winning tombstones drop.
+    */
+  def fold(spec: GraftFoldSpec, epochs: Array[Int],
+      files: Array[PartitionedFile]): Iterator[InternalRow] = {
+    val in = spec.foldInput
+    val keyIdx = spec.keys.map(in.fieldIndex)
+    val vIdx = in.fieldIndex(spec.versionCol)
+    val seqIdx = in.fieldIndex("_seq")
+    val delIdx = in.fieldIndex(spec.deleteCol)
+    val vType = in.fields(vIdx).dataType
+    val vOrd = PhysicalDataType.ordering(vType)
+      .asInstanceOf[Ordering[Any]]
+    val keyProj = UnsafeProjection.create(
+      keyIdx.map(i => BoundReference(i, in.fields(i).dataType,
+        nullable = true)))
+
+    // candidate beats incumbent: version strictly higher, or equal
+    // version with a later (non-null, larger) commit sequence — the
+    // same total order Compaction.merge resolves by
+    def beats(cand: InternalRow, inc: InternalRow): Boolean = {
+      val cv = cand.get(vIdx, vType)
+      val iv = inc.get(vIdx, vType)
+      val c = vOrd.compare(cv, iv)
+      if (c != 0) return c > 0
+      val cs = if (cand.isNullAt(seqIdx)) Long.MinValue
+        else cand.getLong(seqIdx)
+      val is = if (inc.isNullAt(seqIdx)) Long.MinValue
+        else inc.getLong(seqIdx)
+      cs > is
+    }
+
+    val best = new java.util.HashMap[UnsafeRow, InternalRow]()
+    files.zip(epochs).foreach { case (f, e) =>
+      spec.readers(e)(f).foreach { r =>
+        val k = keyProj(r)
+        val inc = best.get(k)
+        if (inc == null) best.put(k.copy(), r.copy())
+        else if (beats(r, inc)) best.put(k, r.copy())
+      }
+    }
+    val outProj = UnsafeProjection.create(
+      spec.required.fields.map(f =>
+        BoundReference(in.fieldIndex(f.name), f.dataType,
+          nullable = true)).toSeq)
+    import scala.jdk.CollectionConverters._
+    best.values().iterator().asScala
+      .filter(r => r.isNullAt(delIdx) || !r.getBoolean(delIdx))
+      .map(outProj)
+  }
+}
+
+/** Zero-scan COUNT(*): the aggregate answered from the manifest's
+  * per-bucket row counts alone — [[graft.cdc.Compaction.countRows]]'s
+  * O(nBuckets) driver arithmetic, reached from plain SQL through
+  * `SupportsPushDownAggregates`. Only offered when the table is fully
+  * compacted and every live bucket carries a recorded count (a dirty
+  * bucket's fold outcome is not metadata-derivable); otherwise the
+  * builder declines and the normal scan answers.
+  */
+private[catalog] final class GraftCountScan(dir: String,
+    schema: StructType, counts: Array[Long])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCountScan $dir (manifest stats, zero file reads)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftLocalPartition(counts))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val vals = p.asInstanceOf[GraftLocalPartition].values
+        new GraftIteratorReader(Iterator.single(
+          new GenericInternalRow(vals.map(v => v: Any))))
+      }
+    }
+}
+
+private[catalog] final case class GraftLocalPartition(values: Array[Long])
+    extends InputPartition
+
+/** Driver-side bucket pruning from pushed v1 filters — the
+  * scan-builder twin of [[graft.plans.MergePruning]] (which serves
+  * registered-view SQL over the same layout): key equality/IN pins
+  * buckets through the writers' own hash; version-range predicates
+  * prune on the manifest zone maps with a TYPED comparison (the
+  * stringified stat casts back to the column's type through Catalyst,
+  * so timestamp/decimal order is never string order). Every decision
+  * errs keep-side: unknown filter shapes, type-promoted comparands,
+  * or missing stats leave buckets in.
+  */
+private[catalog] object GraftPrune {
+
+  def allowedBuckets(meta: ScanMeta, pushed: Array[Filter]): Set[Int] = {
+    val live = meta.liveIds
+    if (pushed.isEmpty) return live
+    // the pushed array is a conjunction: intersect every prunable
+    // conjunct's allowed set; composite keys additionally prune when
+    // the conjuncts bind the whole tuple
+    val perFilter = pushed.toSeq.flatMap(f => allowed(meta, f))
+    val comp = compositeBucket(meta, pushed)
+    (perFilter ++ comp.toSeq).foldLeft(live)(_ intersect _)
+  }
+
+  /** External filter value as a typed Catalyst literal, only when its
+    * type matches the column's exactly (a promoted comparison must not
+    * hash/compare under the wrong physical type).
+    */
+  private def typedLit(meta: ScanMeta, col: String,
+      v: Any): Option[Literal] = {
+    if (v == null) return None
+    val f = meta.schema.fields.find(_.name.equalsIgnoreCase(col))
+      .getOrElse(return None)
+    scala.util.Try(Literal(v)).toOption.filter(_.dataType == f.dataType)
+  }
+
+  private def isKey(meta: ScanMeta, a: String): Boolean =
+    meta.keys.size == 1 && a.equalsIgnoreCase(meta.keys.head)
+
+  private def isVersion(meta: ScanMeta, a: String): Boolean =
+    a.equalsIgnoreCase(meta.versionCol)
+
+  /** Same physical hash the writers bucket by
+    * ([[graft.cdc.Bucketing]]: `pmod(xxhash64(keys…), n)`), folded on
+    * already-internal Catalyst literals driver-side.
+    */
+  private def bucketOfLits(ls: Seq[Literal], nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Pmod, XxHash64}
+    import org.apache.spark.sql.types.IntegerType
+    Cast(Pmod(new XxHash64(ls), Literal(nBuckets.toLong, LongType)),
+      IntegerType).eval().asInstanceOf[Int]
+  }
+
+  private def bucketOf(meta: ScanMeta, l: Literal): Int =
+    bucketOfLits(Seq(l), meta.nBuckets)
+
+  /** True iff the stored stringified stat, cast back to the column's
+    * type, satisfies `op(stat, lit)` — missing stat or null/failed
+    * comparison keeps the bucket.
+    */
+  private def statHolds(meta: ScanMeta, stat: Option[String], l: Literal,
+      op: (org.apache.spark.sql.catalyst.expressions.Expression,
+           org.apache.spark.sql.catalyst.expressions.Expression) =>
+           org.apache.spark.sql.catalyst.expressions.Expression)
+      : Boolean =
+    stat match {
+      case None => true
+      case Some(s) =>
+        val typed = Cast(Literal(UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType), l.dataType,
+          Some(SQLConf.get.sessionLocalTimeZone))
+        scala.util.Try(op(typed, l).eval()).toOption match {
+          case Some(b: Boolean) => b
+          case _ => true
+        }
+    }
+
+  /** A bucket's zone-mapped components: base files ([minv, maxv]) and
+    * the merge-on-read delta union (max only).
+    */
+  private def comps(meta: ScanMeta,
+      b: Int): Seq[(Option[String], Option[String])] =
+    meta.buckets.get(b).map(_ =>
+      (meta.props.get(s"minv.$b"), meta.props.get(s"maxv.$b"))).toSeq ++
+    meta.deltas.get(b).map(_ =>
+      (None, meta.props.get(s"dmaxv.$b"))).toSeq
+
+  private def zonePass(meta: ScanMeta)(
+      keep: ((Option[String], Option[String])) => Boolean): Set[Int] =
+    meta.liveIds.filter { b =>
+      val cs = comps(meta, b)
+      cs.isEmpty || cs.exists(keep)
+    }
+
+  import org.apache.spark.sql.catalyst.expressions.{GreaterThan => GT, GreaterThanOrEqual => GTE, LessThan => LT, LessThanOrEqual => LTE}
+  import org.apache.spark.sql.{sources => s}
+
+  /** The allowed-bucket set one filter implies (None = not prunable).
+    * AND intersects with None-as-residual; OR unions only when both
+    * branches prune (an unprunable branch could match anywhere).
+    */
+  private def allowed(meta: ScanMeta, f: Filter): Option[Set[Int]] =
+    f match {
+      case s.And(l, r) => (allowed(meta, l), allowed(meta, r)) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+      case s.Or(l, r) =>
+        for { a <- allowed(meta, l); b <- allowed(meta, r) }
+          yield a.union(b)
+      case s.EqualTo(a, v) if isKey(meta, a) =>
+        typedLit(meta, a, v).map(l => Set(bucketOf(meta, l)))
+      case s.EqualNullSafe(a, v) if isKey(meta, a) && v != null =>
+        typedLit(meta, a, v).map(l => Set(bucketOf(meta, l)))
+      case s.In(a, vs) if isKey(meta, a) && vs.nonEmpty =>
+        val ls = vs.toSeq.map(typedLit(meta, a, _))
+        if (ls.exists(_.isEmpty)) None
+        else Some(ls.flatten.map(bucketOf(meta, _)).toSet)
+      case s.GreaterThan(a, v) if isVersion(meta, a) =>
+        typedLit(meta, a, v).map(l =>
+          zonePass(meta)(c => statHolds(meta, c._2, l, GT)))
+      case s.GreaterThanOrEqual(a, v) if isVersion(meta, a) =>
+        typedLit(meta, a, v).map(l =>
+          zonePass(meta)(c => statHolds(meta, c._2, l, GTE)))
+      case s.LessThan(a, v) if isVersion(meta, a) =>
+        typedLit(meta, a, v).map(l =>
+          zonePass(meta)(c => statHolds(meta, c._1, l, LT)))
+      case s.LessThanOrEqual(a, v) if isVersion(meta, a) =>
+        typedLit(meta, a, v).map(l =>
+          zonePass(meta)(c => statHolds(meta, c._1, l, LTE)))
+      case s.EqualTo(a, v) if isVersion(meta, a) =>
+        typedLit(meta, a, v).map(l => zonePass(meta)(c =>
+          statHolds(meta, c._1, l, LTE) &&
+            statHolds(meta, c._2, l, GTE)))
+      case s.In(a, vs) if isVersion(meta, a) && vs.nonEmpty =>
+        val ls = vs.toSeq.map(typedLit(meta, a, _))
+        if (ls.exists(_.isEmpty)) None
+        else Some(zonePass(meta)(c => ls.flatten.exists(l =>
+          statHolds(meta, c._1, l, LTE) &&
+            statHolds(meta, c._2, l, GTE))))
+      case _ => None
+    }
+
+  /** Runtime (v2 Predicate) bucket pruning for row-level operations:
+    * the IN / equality predicates Spark pushes after evaluating the
+    * MERGE source or DELETE condition subquery. Single-key tables
+    * only (guarded by `filterAttributes`); unknown shapes mean
+    * "cannot prune" (None), never "prune everything".
+    */
+  def runtimeBucketsOf(meta: ScanMeta,
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Set[Int]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+    if (meta.keys.size != 1) return None
+    val key = meta.keys.head
+    val keyType = meta.schema.fields
+      .find(_.name.equalsIgnoreCase(key)).map(_.dataType)
+      .getOrElse(return None)
+    def isKeyRef(e: VExpr): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && r.fieldNames()(0).equalsIgnoreCase(key)
+      case _ => false
+    }
+    def litBucket(e: VExpr): Option[Int] = e match {
+      case l: VLit[_] if l.dataType == keyType && l.value != null =>
+        Some(bucketOfLits(Seq(Literal(l.value, l.dataType)),
+          meta.nBuckets))
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isKeyRef(p.children()(0)) =>
+        val lits = p.children().drop(1).toSeq.map(litBucket)
+        if (lits.exists(_.isEmpty)) None else Some(lits.flatten.toSet)
+      case "=" | "<=>" if p.children().length == 2 =>
+        val Array(a, b) = p.children()
+        if (isKeyRef(a)) litBucket(b).map(Set(_))
+        else if (isKeyRef(b)) litBucket(a).map(Set(_))
+        else None
+      case "AND" =>
+        val kids = p.children().toSeq.collect {
+          case c: org.apache.spark.sql.connector.expressions.filter
+            .Predicate => runtimeBucketsOf(meta, c)
+        }
+        val known = kids.flatten
+        if (known.isEmpty) None else Some(known.reduce(_ intersect _))
+      case "OR" =>
+        val kids = p.children().toSeq.collect {
+          case c: org.apache.spark.sql.connector.expressions.filter
+            .Predicate => runtimeBucketsOf(meta, c)
+        }
+        if (kids.size == 2 && kids.forall(_.isDefined))
+          Some(kids.flatten.reduce(_ union _))
+        else None
+      case _ => None
+    }
+  }
+
+  /** Composite-key point pruning: conjuncts binding EVERY key column
+    * to a same-typed literal pin exactly one bucket (the SQL form of
+    * the tuple lookup). Conflicting duplicate bindings pick one
+    * arbitrarily — sound, the residual filter matches nothing.
+    */
+  private def compositeBucket(meta: ScanMeta,
+      pushed: Array[Filter]): Option[Set[Int]] = {
+    if (meta.keys.size <= 1) return None
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case s.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val bindings: Map[String, Literal] = pushed.toSeq.flatMap(conjuncts)
+      .flatMap {
+        case s.EqualTo(a, v) => typedLit(meta, a, v)
+          .map(a.toLowerCase -> _)
+        case s.EqualNullSafe(a, v) if v != null =>
+          typedLit(meta, a, v).map(a.toLowerCase -> _)
+        case _ => None
+      }.toMap
+    if (meta.keys.forall(k => bindings.contains(k.toLowerCase)))
+      Some(Set(bucketOfLits(
+        meta.keys.map(k => bindings(k.toLowerCase)), meta.nBuckets)))
+    else None
+  }
+}

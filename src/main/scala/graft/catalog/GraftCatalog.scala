@@ -10,7 +10,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
@@ -113,17 +113,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isTable(ident: Identifier): Boolean =
     TxLog.latestVersion(spark, tableDir(ident)).isDefined
 
-  /** The catalog serves MERGE (latest-state) tables; an Scd2 history
-    * or AggView dir attached here would silently get the wrong DML
-    * semantics (their manifests self-describe via `table_type`;
-    * pre-tag manifests pass — they can only be merge tables, the
-    * other families never existed untagged under a catalog).
+  /** The self-described family of the table at `dir` (`table_type`
+    * manifest prop; pre-tag manifests can only be merge tables — the
+    * other families never existed untagged).
+    */
+  private def tableTypeOf(dir: String): String =
+    TxLog.latest(spark, dir).flatMap(_.prop("table_type"))
+      .getOrElse("merge")
+
+  /** Writable-table guard: DML/ALTER/attach carry MERGE (latest-state)
+    * semantics — an Scd2 history or AggView dir reached through a
+    * write path would silently get the wrong semantics stamped over
+    * it. Reads route by type instead ([[loadTable]]).
     */
   private def requireMergeTable(dir: String): Unit = {
-    val t = TxLog.latest(spark, dir).flatMap(_.prop("table_type"))
-    require(t.forall(_ == "merge"),
-      s"$dir is a ${t.getOrElse("?")} table; the graft catalog serves " +
-        "merge (latest-state) tables — use the Scd2/AggView APIs directly")
+    val t = tableTypeOf(dir)
+    require(t == "merge",
+      s"$dir is a $t table; writes/DML apply to merge (latest-state) " +
+        "tables — Scd2/AggView tables are read-only through the " +
+        "catalog (maintain them via their own APIs)")
   }
 
   override def tableExists(ident: Identifier): Boolean = isTable(ident)
@@ -143,16 +151,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .toArray
   }
 
+  /** Reads route by the table's self-described family: merge tables
+    * get the full native read/write table; Scd2 history and AggView
+    * dashboard tables are served READ-ONLY (`SELECT * FROM
+    * graft.ns.hist` with no registry call — DML/INSERT refuse with a
+    * clear message, their maintenance stays with their own APIs).
+    */
   override def loadTable(ident: Identifier): Table = {
     if (!isTable(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
-    requireMergeTable(dir)
-    new GraftTable(fullName(ident), dir, None)
+    tableTypeOf(dir) match {
+      case "merge" => new GraftTable(fullName(ident), dir, None)
+      case t => new GraftReadOnlyTable(fullName(ident), dir, t)
+    }
   }
 
   /** SQL `VERSION AS OF <v>` — resolves straight onto
     * [[Compaction.readAsOf]] (manifests are immutable; time travel is
-    * "read manifest v").
+    * "read manifest v"). Merge tables only: an Scd2/AggView table IS
+    * its own history.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!isTable(ident)) throw new NoSuchTableException(ident)
@@ -248,15 +265,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
-    // the manifest owns all table metadata; the only supported ALTER
-    // today is a no-op property touch — schema changes arrive through
-    // merge-time evolution, bucket changes through rebucket()
-    val unsupported = changes.filterNot(
-      _.isInstanceOf[TableChange.SetProperty])
-    if (unsupported.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports only TBLPROPERTIES; got " +
-          unsupported.mkString(", "))
+    // schema changes lower onto ONE metadata-only manifest commit
+    // (Compaction.alterSchema: adds null-extend on read, renames are a
+    // versioned mapping, drops stop projecting — no data file moves);
+    // property touches stay a no-op (the manifest owns table
+    // parameters; buckets change through rebucket())
+    if (!isTable(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    requireMergeTable(dir)
+    def top(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft ALTER TABLE $what supports top-level columns only, " +
+          s"got ${fieldNames.mkString(".")}")
+      fieldNames.head
+    }
+    val schemaChanges = changes.flatMap {
+      case a: TableChange.AddColumn =>
+        require(a.isNullable,
+          "graft ALTER TABLE ADD COLUMN must be nullable: pre-ALTER " +
+            "files genuinely lack the column and read back null")
+        require(a.position() == null,
+          "graft ALTER TABLE ADD COLUMN appends; FIRST/AFTER is not " +
+            "supported (column order is the manifest schema's)")
+        Some(Compaction.SchemaChange.AddColumn(
+          top(a.fieldNames(), "ADD COLUMN"), a.dataType()))
+      case d: TableChange.DeleteColumn =>
+        Some(Compaction.SchemaChange.DropColumn(
+          top(d.fieldNames(), "DROP COLUMN")))
+      case r: TableChange.RenameColumn =>
+        Some(Compaction.SchemaChange.RenameColumn(
+          top(r.fieldNames(), "RENAME COLUMN"), r.newName()))
+      case _: TableChange.SetProperty => None // no-op touch
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE does not support $other")
+    }
+    if (schemaChanges.nonEmpty)
+      Compaction.alterSchema(spark, dir, schemaChanges)
     loadTable(ident)
   }
 
@@ -264,10 +308,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(ident)) return false
     val f = TxLog.fs(spark, warehouse)
     val dir = tableDir(ident)
-    TxLog.invalidate(dir)
     // drop the data only when managed; an external LOCATION table
-    // unregisters (redirect removed) and keeps its data
+    // unregisters (redirect removed) and keeps its data. A managed
+    // Scd2/AggView dir is read-only through the catalog — destroying
+    // a history table needs its own API, not a SQL DROP
     val external = f.exists(redirectPath(ident))
+    if (!external) requireMergeTable(dir)
+    TxLog.invalidate(dir)
     if (external) f.delete(new Path(managedDir(ident)), true)
     else f.delete(new Path(dir), true)
     true
@@ -347,7 +394,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 final class GraftTable(tableName: String, val dir: String,
     val asOf: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog
+      .SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -368,7 +417,8 @@ final class GraftTable(tableName: String, val dir: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def properties(): util.Map[String, String] = {
     val (keys, versionCol, deleteCol, nBuckets) =
@@ -387,20 +437,39 @@ final class GraftTable(tableName: String, val dir: String,
     require(asOf.isEmpty, "cannot write to a time-travel (AS OF) table")
     new GraftWriteBuilder(dir, info)
   }
+
+  /** Standard-connector MERGE/UPDATE/DELETE (group-based replace with
+    * runtime group filtering) — the route a session WITHOUT the
+    * GraftDml extension rule plans through. See
+    * [[GraftRowLevelOperation]]; note the GraftDml route additionally
+    * emits change-feed events (a group replace has no pre-images to
+    * classify), so feed consumers should prefer it.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty, "cannot run DML against a time-travel table")
+    () => new GraftRowLevelOperation(dir, info.command())
+  }
 }
 
-/** Scan with filter + column pushdown into the engine's own read
-  * plan. Every filter is ALSO returned as post-scan (Spark re-applies
-  * it above), so the pushdown is purely a data reduction — the
-  * translated predicate reaches the inner plan where MergePruning and
-  * parquet row-group stats prune on it.
+/** Scan builder for the native DSv2 read ([[GraftScan]]): filter +
+  * column pushdown reach the parquet readers and the driver-side
+  * bucket/zone-map pruning directly, and a bare `COUNT(*)` on a
+  * compacted table short-circuits to manifest stats with zero file
+  * reads ([[GraftCountScan]]). Every filter is ALSO returned as
+  * post-scan (Spark re-applies it above), so pushdown is purely a
+  * data reduction, never a correctness dependency.
   */
 private[catalog] final class GraftScanBuilder(dir: String,
-    asOf: Option[Long], tableSchema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    asOf: Option[Long], tableSchema: StructType,
+    tracker: Option[GraftRowTracker] = None) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var aggCounts: Option[(StructType, Array[Long])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
@@ -413,26 +482,52 @@ private[catalog] final class GraftScanBuilder(dir: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required
+  /** `SELECT COUNT(*)` answered from the manifest alone — the SQL
+    * route to [[Compaction.countRows]]'s zero-scan arithmetic. Only a
+    * complete pushdown is offered, and only when the answer IS
+    * metadata: no residual filters, no GROUP BY, every aggregate a
+    * bare COUNT(*), no unfolded merge-on-read deltas, and a recorded
+    * row count for every live bucket. Anything else declines and the
+    * normal scan answers.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = countFromManifest(agg).isDefined
 
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: SQLContext): T =
-      new BaseRelation with TableScan {
-        override def sqlContext: SQLContext = context
-        override def schema: StructType = required
-        override def needConversion: Boolean = true
-        override def buildScan(): RDD[Row] = {
-          val spark = context.sparkSession
-          val base = asOf match {
-            case Some(v) => Compaction.readAsOf(spark, dir, v)
-            case None => Compaction.read(spark, dir)
-          }
-          val filtered = pushed.flatMap(GraftScanBuilder.translate)
-            .foldLeft(base)((df, p) => df.filter(p))
-          filtered.select(required.fieldNames.map(col).toSeq: _*).rdd
-        }
-      }.asInstanceOf[T]
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    aggCounts = countFromManifest(agg)
+    aggCounts.isDefined
+  }
+
+  private def countFromManifest(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Array[Long])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (tracker.isDefined) return None // row-level scans read rows
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty ||
+        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
+      return None
+    val meta = try ScanMeta.load(SparkSession.active, dir, asOf)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (meta.dirty.nonEmpty) return None // fold outcome needs a read
+    val counts = meta.buckets.keySet.toSeq
+      .map(b => meta.props.get(s"rows.$b").map(_.toLong))
+    if (counts.exists(_.isEmpty)) return None // pre-stats manifest
+    val total = counts.flatten.sum
+    val schema = StructType(agg.aggregateExpressions.zipWithIndex.map {
+      case (_, i) => org.apache.spark.sql.types.StructField(
+        s"count_star_$i", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    })
+    Some((schema, Array.fill(agg.aggregateExpressions.length)(total)))
+  }
+
+  override def build(): Scan = aggCounts match {
+    case Some((schema, counts)) => new GraftCountScan(dir, schema, counts)
+    case None => new GraftScan(dir, asOf, required, pushed, tracker)
   }
 }
 
@@ -465,17 +560,116 @@ private[catalog] object GraftScanBuilder {
   }
 }
 
+/** An Scd2 history or AggView dashboard table resolved through the
+  * catalog: read-only SQL access to the table family's own read
+  * (`Scd2.read` — full validity-interval history with merge-on-read
+  * splicing; `AggView.read` — the folded live view). Served through a
+  * `V1Scan` bridge with filter + column pushdown INTO the family's
+  * read plan: these reads carry family-specific reconciliation
+  * (interval windowing / partial-sum folding) that the native merge
+  * Batch scan's latest-wins fold must not apply. Writes and DML
+  * refuse — maintenance stays with the Scd2/AggView APIs, which own
+  * the merge semantics.
+  */
+final class GraftReadOnlyTable(tableName: String, val dir: String,
+    val tableType: String) extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = {
+    val props = TxLog.latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed manifest under $dir")).props
+    // both families store their full READ schema (Scd2's includes the
+    // generated valid_to/is_current interval columns)
+    DataType.fromJson(props("schema_json")).asInstanceOf[StructType]
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def properties(): util.Map[String, String] =
+    Map(TableCatalog.PROP_PROVIDER -> "graft",
+      "table_type" -> tableType,
+      TableCatalog.PROP_LOCATION -> dir).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftReadOnlyScanBuilder(dir, tableType, schema())
+}
+
+/** V1 bridge scan for the read-only families: every filter is also
+  * re-applied post-scan, so pushdown into the family read is purely a
+  * data reduction (bucket pruning via [[graft.plans.MergePruning]]
+  * engages inside the family's own plan where sound).
+  */
+private[catalog] final class GraftReadOnlyScanBuilder(dir: String,
+    tableType: String, tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftScanBuilder.translate(f).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def needConversion: Boolean = true
+        override def buildScan(): RDD[Row] = {
+          val spark = context.sparkSession
+          val base = tableType match {
+            case "scd2" => graft.cdc.Scd2.read(spark, dir)
+            case "aggview" => graft.cdc.AggView.read(spark, dir)
+            case other => throw new IllegalStateException(
+              s"unknown table_type $other at $dir")
+          }
+          val filtered = pushed.flatMap(GraftScanBuilder.translate)
+            .foldLeft(base)((df, p) => df.filter(p))
+          filtered.select(required.fieldNames.map(col).toSeq: _*).rdd
+        }
+      }.asInstanceOf[T]
+  }
+}
+
 /** INSERT INTO = one upsert merge; INSERT OVERWRITE (truncate) = full
-  * re-init under the table's existing parameters.
+  * re-init under the table's existing parameters; `writeStream
+  * .toTable` = one fenced merge per epoch ([[GraftStreamingWrite]]).
+  * Streaming `update` output mode is append-as-upsert by nature here
+  * (the merge IS the update), hence the marker trait.
   */
 private[catalog] final class GraftWriteBuilder(dir: String,
-    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.internal.connector
+      .SupportsStreamingUpdateAsAppend {
 
   private var overwrite = false
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def build(): Write = new V1Write {
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwrite,
+        "streaming INSERT OVERWRITE (complete mode) is not supported " +
+          "on maintained tables — the merge is incremental by design")
+      new GraftStreamingWrite(dir, info.schema(), info.queryId())
+    }
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ov: Boolean): Unit = {

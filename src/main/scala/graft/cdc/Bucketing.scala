@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
   * one-element case of the same function, so pre-composite tables'
   * layouts are unchanged byte-for-byte.
   */
-private[cdc] object Bucketing {
+private[graft] object Bucketing {
   def bucketOf(keys: Seq[Column], nBuckets: Int): Column =
     pmod(xxhash64(keys: _*), lit(nBuckets.toLong)).cast("int")
 

@@ -433,13 +433,77 @@ object Compaction {
     * which is exactly the function that placed the row there).
     */
   private def readBuckets(spark: SparkSession, dir: String, m: Meta,
-      rels: Iterable[String]): DataFrame = {
-    val paths = rels.map(rel => s"$dir/data/$rel").toSeq
-    val noBucket = if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(paths: _*)
-    noBucket.withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
+      rels: Iterable[String]): DataFrame =
+    readRelsAs(spark, dir, rels.toSeq, m.schema,
+      renameEvents(m.snap.props))
+      .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
+
+  /** ALTER RENAME COLUMN events from manifest props, NEWEST first:
+    * `rename.<commitV>` holds `from:to` pairs (comma-joined when one
+    * ALTER renames several). A file dir of generation V carries the
+    * name each column had AT V; [[physicalName]] walks events with
+    * commit version > V backward to recover it.
+    */
+  private[graft] def renameEvents(
+      props: Map[String, String]): Seq[(Long, String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith("rename.") =>
+        val ver = k.drop("rename.".length).toLong
+        v.split(",").toSeq.zipWithIndex.map { case (pair, i) =>
+          val Array(from, to) = pair.split(":", 2)
+          (ver, i, from, to)
+        }
+    }.flatten.sortBy(e => (-e._1, -e._2)).map(e => (e._1, e._3, e._4))
+
+  /** The physical (as-written) name of logical column `logical` in a
+    * directory committed at generation `genV`.
+    */
+  private[graft] def physicalName(events: Seq[(Long, String, String)],
+      genV: Long, logical: String): String =
+    events.foldLeft(logical) { case (n, (v, from, to)) =>
+      if (v > genV && n.equalsIgnoreCase(to)) from else n
+    }
+
+  /** Generation (commit) version of a manifest-relative data path
+    * (`g<V>[-txn]/bucket=B`); unparsable names resolve as "current"
+    * (logical names — conservative for files written post-rename).
+    */
+  private[graft] def genVersionOf(rel: String): Long = {
+    val g = rel.split('/').head
+    if (!g.startsWith("g")) return Long.MaxValue
+    val digits = g.drop(1).takeWhile(_.isDigit)
+    if (digits.isEmpty) Long.MaxValue else digits.toLong
+  }
+
+  /** Read rel dirs under the LOGICAL schema, resolving per-generation
+    * physical column names: ALTER RENAME is a metadata-only commit, so
+    * files keep the name they were written with; grouping dirs by
+    * their physical name vector and re-aliasing positionally restores
+    * the logical schema (same arity and types — a zero-cost Project,
+    * and with no rename events the read is the single parquet scan it
+    * always was).
+    */
+  private def readRelsAs(spark: SparkSession, dir: String,
+      rels: Seq[String],
+      logical: org.apache.spark.sql.types.StructType,
+      events: Seq[(Long, String, String)]): DataFrame = {
+    if (rels.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    if (events.isEmpty)
+      return spark.read.schema(logical)
+        .parquet(rels.map(r => s"$dir/data/$r"): _*)
+    rels.groupBy { rel =>
+      val genV = genVersionOf(rel)
+      logical.fields.map(f => physicalName(events, genV, f.name)).toSeq
+    }.toSeq.map { case (physNames, rs) =>
+      val phys = org.apache.spark.sql.types.StructType(
+        logical.fields.zip(physNames).map { case (f, n) =>
+          f.copy(name = n)
+        })
+      spark.read.schema(phys).parquet(rs.map(r => s"$dir/data/$r"): _*)
+        .toDF(logical.fieldNames.toSeq: _*)
+    }.reduce(_ union _)
   }
 
   /** Fold a set of DIRTY buckets' base + delta files into their live
@@ -462,11 +526,8 @@ object Compaction {
     val withSeq = org.apache.spark.sql.types.StructType(
       m.schema.fields :+ org.apache.spark.sql.types.StructField(
         "_seq", org.apache.spark.sql.types.LongType, nullable = true))
-    val paths = rels.map(rel => s"$dir/data/$rel")
-    val raw = if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withSeq)
-    else spark.read.schema(withSeq).parquet(paths: _*)
+    val raw = readRelsAs(spark, dir, rels, withSeq,
+      renameEvents(m.snap.props))
     val w = Window.partitionBy(m.keyCols: _*)
       .orderBy(col(m.versionCol).desc, col("_seq").desc_nulls_last)
     raw.withColumn("_rn", row_number().over(w))
@@ -624,6 +685,246 @@ object Compaction {
       .filter(col(m.versionCol) > lit(since))
   }
 
+  /** Replace the full contents of `bucketIds` with `replacement` in
+    * ONE committed rewrite — the write half of a GROUP-based v2
+    * row-level operation ([[graft.catalog.GraftTable]]'s
+    * `SupportsRowLevelOperations`): Spark computes the affected
+    * groups' surviving rows (deletes removed, updates applied), and
+    * this stores them verbatim, dropping the replaced buckets'
+    * merge-on-read deltas (the replacement reflects the folded state
+    * the scan read). Fences on the EXACT snapshot the scan planned
+    * against (`expectedBase`): a concurrent commit means the
+    * replacement rows are stale pre-images, so the op aborts with
+    * [[TxLog.StaleBase]] instead of silently losing the rival's
+    * write — the same lost-update fence the SQL UPDATE/DELETE
+    * lowering carries. Two more merge-table invariants hold:
+    * replacement rows carrying a TRUE `deleteCol` drop (stored tables
+    * never carry tombstones — an UPDATE setting the tombstone IS a
+    * delete), and a replacement row whose key hashes OUTSIDE
+    * `bucketIds` fails the commit (a key-changing UPDATE would split
+    * the hash layout; change keys by delete+insert).
+    *
+    * Unlike [[merge]], a replace does not emit change-feed events:
+    * Spark hands over post-images only, so per-row effect
+    * classification has no pre-image to diff against. Feed consumers
+    * should write through MERGE (the GraftDml route) — documented on
+    * the catalog.
+    */
+  private[graft] def replaceBuckets(spark: SparkSession, dir: String,
+      replacement: DataFrame, bucketIds: Set[Int], expectedBase: Long,
+      insertsOutsideGroups: Boolean = false): Unit = {
+    TxLog.withOcc(spark, dir) {
+      val m = loadMeta(spark, dir)
+      if (m.snap.version != expectedBase)
+        throw new TxLog.StaleBase(
+          s"row-level operation planned at v$expectedBase but table " +
+            s"is at v${m.snap.version}; re-run against the new snapshot")
+      TxLog.sweep(spark, dir)
+      val txn = new TableTxn(spark, dir, m.snap.version)
+      val vType = m.schema(m.versionCol).dataType
+      // ONE staged write serves both roles: rows hashing INTO the read
+      // groups rewrite those buckets' bases; rows hashing OUTSIDE (a
+      // MERGE's NOT MATCHED inserts — the group filter covers matched
+      // keys only, so a brand-new key's bucket was never read) append
+      // as merge-on-read DELTA dirs, tagged with the committing
+      // version in `_seq` exactly like morMerge's files. In-group
+      // rows carry a null `_seq` (base files read it back null).
+      val inGroup = col("bucket").isInCollection(bucketIds.toSeq)
+      replacement.select(m.schema.fieldNames.map(col).toSeq: _*)
+        .filter(!col(m.deleteCol))
+        .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
+        .withColumn("_seq", when(inGroup,
+          lit(null).cast("long")).otherwise(lit(txn.newVersion)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"${txn.staging}/data")
+      val staged = txn.stagedBucketIds()
+      val escaped = staged.toSet -- bucketIds
+      if (escaped.nonEmpty && !insertsOutsideGroups) {
+        TxLog.hygiene(txn.cleanup())
+        throw new IllegalArgumentException(
+          s"row-level operation produced rows hashing outside the " +
+            s"groups it read (buckets ${escaped.mkString(", ")}): " +
+            "key columns cannot be UPDATEd in place — delete and " +
+            "re-insert to change a key")
+      }
+      val stagedIn = staged.filter(bucketIds.contains)
+      val newBuckets = (m.buckets -- bucketIds) ++
+        stagedIn.map(b => b -> txn.bucketRel(b))
+      val carried = m.snap.props.collect {
+        case (k, v) if Seq("rows.", "minv.", "maxv.",
+            "delta.", "drows.", "dmaxv.").exists(p =>
+            k.startsWith(p) && !bucketIds.contains(k.drop(p.length).toInt))
+          => k -> v
+      }
+      val newStats = stagedStats(spark, txn.staging, staged, m.versionCol)
+      // escapee buckets keep base + prior deltas and APPEND one delta
+      // dir each, folding its footer stats into the delta zone map —
+      // the same bookkeeping a merge-on-read merge commits
+      val escapeProps = escaped.toSeq.flatMap { b =>
+        val rels = m.deltas.getOrElse(b, Nil) :+ txn.bucketRel(b)
+        val st = newStats(b)
+        val rows = m.snap.counter(s"drows.$b") + st.rows
+        val mx = m.snap.prop(s"dmaxv.$b") match {
+          case None => Option(st.maxVersion)
+          case Some(old) => Option(st.maxVersion) match {
+            case None => Some(old)
+            case Some(nw) => typedMax(old, nw, vType)
+          }
+        }
+        Seq(s"delta.$b" -> rels.mkString(","),
+          s"drows.$b" -> rows.toString) ++
+          mx.map(v => s"dmaxv.$b" -> v)
+      }.toMap
+      val props = coreProps(m.keys, m.versionCol, m.deleteCol,
+        m.nBuckets, m.schema.json, m.clusterBy) ++
+        evolutionProps(m.snap) ++ carried ++
+        rowProps(newStats.view.filterKeys(stagedIn.contains).toMap) ++
+        escapeProps ++
+        m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
+        ("op" -> "replace")
+      // catalog tables keep history: VERSION AS OF serves every commit
+      // until an explicit vacuum, exactly like the DML lowering
+      txn.installAndCommit(newBuckets, props)
+      TxLog.hygiene(txn.cleanup())
+    }
+  }
+
+  /** One ALTER TABLE change for [[alterSchema]]. */
+  sealed trait SchemaChange
+  object SchemaChange {
+    final case class AddColumn(name: String,
+        dataType: org.apache.spark.sql.types.DataType)
+      extends SchemaChange
+    final case class DropColumn(name: String) extends SchemaChange
+    final case class RenameColumn(from: String, to: String)
+      extends SchemaChange
+  }
+
+  /** Schema-evolution bookkeeping every commit carries forward: the
+    * versioned rename events (retained old generation directories
+    * still resolve their physical column names through them) and the
+    * dropped-name fence.
+    */
+  private def evolutionProps(snap: TxLog.Snapshot): Map[String, String] =
+    snap.props.filter { case (k, _) =>
+      k.startsWith("rename.") || k == "dead_cols"
+    }
+
+  /** Apply ALTER TABLE changes as ONE metadata-only commit
+    * (`op=alter`): the manifest owns the schema, so ADD / DROP /
+    * RENAME COLUMN touch no data file. An added column reads back
+    * null from pre-ALTER files (the explicit read schema
+    * null-extends); a dropped column simply stops projecting; a
+    * rename records a versioned `rename.<V>` mapping that the read
+    * funnels resolve PER GENERATION DIRECTORY — files keep the name
+    * they were written with, and since a rename preserves position
+    * and type, restoring the logical name is a zero-cost positional
+    * alias, never a coalesce (an explicit null written post-rename
+    * stays null). Guards keep the evolution sound:
+    *
+    *  - table parameters (key / version / delete / cluster columns)
+    *    cannot be dropped or renamed — they are fixed at init;
+    *  - a new or target name must not collide (case-insensitively)
+    *    with a live column, a reserved internal column, a DROPPED
+    *    column, or any historical spelling of a renamed column:
+    *    un-rewritten files may still carry bytes under those names,
+    *    and a collision would resurrect them with a new meaning.
+    *    [[merge]] enforces the same fence on changelog columns.
+    *
+    * Concurrent writers race the same manifest CAS as merges; time
+    * travel to a pre-ALTER version serves the schema of THAT commit
+    * (evolution is part of history). The analog in the reference is
+    * DDL-first schema ownership
+    * (/root/reference/seeds/001_schema.sql:2-9).
+    */
+  def alterSchema(spark: SparkSession, dir: String,
+      changes: Seq[SchemaChange]): Unit = {
+    require(changes.nonEmpty, "ALTER: no changes given")
+    TxLog.withOcc(spark, dir) {
+      val m = loadMeta(spark, dir)
+      require(m.snap.prop("table_type").forall(_ == "merge"),
+        s"$dir is not a merge table; ALTER applies to merge tables")
+      val protectedCols =
+        (m.keys ++ Seq(m.versionCol, m.deleteCol) ++ m.clusterBy)
+          .map(_.toLowerCase).toSet
+      val committed = renameEvents(m.snap.props)
+      var fields = m.schema.fields.toVector
+      var dead = m.snap.prop("dead_cols")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+        .map(_.toLowerCase).toSet
+      var newPairs = Vector.empty[(String, String)]
+      // committed events plus this ALTER's own pairs (newest first):
+      // an add/rename inside the same statement sees prior renames
+      def allEvents: Seq[(Long, String, String)] =
+        newPairs.reverse.map { case (f, t) =>
+          (m.snap.version + 1, f, t)
+        } ++ committed
+      def historical: Set[String] = allEvents.map(_._2.toLowerCase).toSet
+      def taken(n: String): Boolean =
+        fields.exists(_.name.equalsIgnoreCase(n)) ||
+          dead.contains(n.toLowerCase) || historical.contains(n.toLowerCase)
+      // every spelling `name` ever had, walking renames newest-first
+      def chainOf(name: String): Seq[String] = {
+        var n = name
+        val acc = scala.collection.mutable.ArrayBuffer(n)
+        allEvents.foreach { case (_, from, to) =>
+          if (n.equalsIgnoreCase(to)) { n = from; acc += n }
+        }
+        acc.toSeq
+      }
+      def cleanName(n: String, what: String): Unit = {
+        requireNoReserved(Seq(n), what)
+        require(!n.contains(":") && !n.contains(","),
+          s"$what: column name '$n' may not contain ':' or ','")
+      }
+      changes.foreach {
+        case SchemaChange.AddColumn(name, dt) =>
+          cleanName(name, "ALTER ADD COLUMN")
+          require(!taken(name), s"ALTER ADD COLUMN $name: the name " +
+            "is (or historically was) in use — data under it may " +
+            "still exist in un-rewritten files")
+          fields = fields :+ org.apache.spark.sql.types.StructField(
+            name, dt, nullable = true)
+        case SchemaChange.DropColumn(name) =>
+          require(fields.exists(_.name.equalsIgnoreCase(name)),
+            s"ALTER DROP COLUMN: no column $name")
+          require(!protectedCols.contains(name.toLowerCase),
+            s"ALTER DROP COLUMN: $name is a table-parameter column " +
+              "(key/version/delete/cluster) — parameters are fixed")
+          dead = dead ++ chainOf(name).map(_.toLowerCase)
+          fields = fields.filterNot(_.name.equalsIgnoreCase(name))
+        case SchemaChange.RenameColumn(from, to) =>
+          require(fields.exists(_.name.equalsIgnoreCase(from)),
+            s"ALTER RENAME COLUMN: no column $from")
+          require(!protectedCols.contains(from.toLowerCase),
+            s"ALTER RENAME COLUMN: $from is a table-parameter column " +
+              "(key/version/delete/cluster) — parameters are fixed")
+          cleanName(to, "ALTER RENAME COLUMN")
+          require(!taken(to), s"ALTER RENAME COLUMN to $to: the name " +
+            "is (or historically was) in use")
+          fields = fields.map(f =>
+            if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)
+          newPairs = newPairs :+ (from -> to)
+      }
+      val renameProp =
+        if (newPairs.isEmpty) Map.empty[String, String]
+        else Map(s"rename.${m.snap.version + 1}" ->
+          newPairs.map { case (f, t) => s"$f:$t" }.mkString(","))
+      val deadProp =
+        if (dead.isEmpty) Map.empty[String, String]
+        else Map("dead_cols" -> dead.toSeq.sorted.mkString(","))
+      val props = m.snap.props -- Seq("txn_id", "base_txn") ++
+        renameProp ++ deadProp +
+        ("schema_json" -> org.apache.spark.sql.types
+          .StructType(fields).json) +
+        ("op" -> "alter")
+      TxLog.commit(spark, dir, m.snap.version + 1, props)
+      ()
+    }
+  }
+
   /** Resize the table's bucket count in ONE committed full rewrite —
     * the lifecycle tool [[bucketStats]]' skew diagnostic exists for: a
     * table that outgrew its bucket count (buckets too big for a task's
@@ -658,6 +959,7 @@ object Compaction {
       val staged = txn.stagedBucketIds()
       val props = coreProps(m.keys, m.versionCol, m.deleteCol,
         newNBuckets, m.schema.json, m.clusterBy) ++
+        evolutionProps(m.snap) ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
         ("op" -> "rebucket")
@@ -945,6 +1247,19 @@ object Compaction {
         s"changelog derived at v$want but table is at v${m.snap.version}")
     }
     if (m.nBuckets != bucketedWith) throw new RebucketedDuringWrite
+    // merge-time evolution fence: a changelog column whose name was
+    // DROPPED or is a pre-rename spelling would silently resurrect
+    // bytes still present in un-rewritten files under a new meaning
+    val fencedNames = m.snap.prop("dead_cols")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      .map(_.toLowerCase).toSet ++
+      renameEvents(m.snap.props).map(_._2.toLowerCase)
+    val nameClash = dataCols.map(_.toLowerCase).toSet
+      .intersect(fencedNames)
+    require(nameClash.isEmpty,
+      s"changelog columns (${nameClash.mkString(", ")}) reuse dropped/" +
+        "pre-rename column names whose data may still exist in " +
+        "un-rewritten files; rename the changelog column")
     val versionCol = m.versionCol
     // clear crashed writers' leftovers (grace-aware: a LIVE concurrent
     // writer's staging and in-flight generation survive the sweep)
@@ -1141,7 +1456,7 @@ object Compaction {
     // pre-write winners.count() made is folded into the stats read
     val rows = newStats.values.map(_.rows).sum
     val props = coreProps(keys, versionCol, deleteCol, nBuckets, schemaJson,
-      m.clusterBy) ++
+      m.clusterBy) ++ evolutionProps(m.snap) ++
       carriedRows ++ rowProps(newStats) ++
       feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
         .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)) +
@@ -1298,7 +1613,8 @@ object Compaction {
           k.startsWith(p) && !stagedSet.contains(k.drop(p.length).toInt))
     }
     val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
-      schemaJson, m.clusterBy) ++ carried ++ deltaProps ++
+      schemaJson, m.clusterBy) ++ evolutionProps(m.snap) ++
+      carried ++ deltaProps ++
       feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
         .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)) +
       ("op" -> "merge-mor")
@@ -1359,7 +1675,8 @@ object Compaction {
             k.startsWith(p) && !dirty.contains(k.drop(p.length).toInt))
       }
       val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
-        m.schema.json, m.clusterBy) ++ carried ++
+        m.schema.json, m.clusterBy) ++ evolutionProps(m.snap) ++
+        carried ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
         ("op" -> "compact")

@@ -122,7 +122,7 @@ private[graft] object TxLog {
     * (observed as a raced AggView batch applying exactly once but
     * BOTH writers reporting applied=false).
     */
-  private[cdc] def hygiene(work: => Unit): Unit =
+  private[graft] def hygiene(work: => Unit): Unit =
     try work catch { case scala.util.control.NonFatal(_) => () }
 
   /** One committed table state. `props` carries the table metadata;

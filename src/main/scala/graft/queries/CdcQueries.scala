@@ -675,6 +675,77 @@ object CdcQueries {
         FROM graftcat.tt_t""")
     }),
 
+    // zero-scan COUNT(*) from PLAIN SQL: the scan builder's aggregate
+    // pushdown (SupportsPushDownAggregates) routes a bare count on a
+    // compacted catalog table to the manifest's per-bucket row stats —
+    // the same O(nBuckets) driver arithmetic cdc_meta_count reaches
+    // programmatically, now reached by `SELECT count(*) FROM t`. The
+    // query itself asserts the plan used GraftCountScan (zero file
+    // partitions), so a green row proves both the answer AND the
+    // zero-file route.
+    "sql_meta_count" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftcat.cnt_t")
+      s.sql("""CREATE TABLE graftcat.cnt_t (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16')""")
+      val ord = Tables.orders(s, dir)
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("catalog_cnt_snap")
+      s.sql("INSERT INTO graftcat.cnt_t SELECT * FROM catalog_cnt_snap")
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+        .createOrReplaceTempView("catalog_cnt_changes")
+      s.sql("INSERT INTO graftcat.cnt_t SELECT * FROM catalog_cnt_changes")
+      val out = s.sql("SELECT count(*) AS n_rows FROM graftcat.cnt_t")
+      require(out.queryExecution.executedPlan.toString
+          .contains("GraftCountScan"),
+        "COUNT(*) on a compacted catalog table must answer from " +
+          "manifest stats (GraftCountScan), not a file scan:\n" +
+          out.queryExecution.executedPlan)
+      out
+    }),
+
+    // Scd2 history read through the CATALOG: the table_type routing
+    // serves a maintained history table to plain `SELECT ... FROM
+    // graftcat.hist_t` (read-only — DML/INSERT refuse), with the
+    // family's own interval reconciliation inside the scan. Oracle =
+    // the relational lead-window recompute, same as cdc_scd2_merge: a
+    // green row proves the catalog route is byte-identical to the
+    // Scd2 API read.
+    "sql_scd2_history" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      val st = Tables.events(s, dir).select(
+        col("user_id").as("uid"), col("event_id").as("version"),
+        col("event_type").as("payload"),
+        (col("event_type") === "error").as("deleted"))
+      graft.cdc.Scd2.init(st.filter(col("version") % 4 =!= 0),
+        s"$wh/hist_t", key = "uid", versionCol = "version",
+        deleteCol = "deleted", nBuckets = 16)
+      graft.cdc.Scd2.merge(s, s"$wh/hist_t",
+        st.filter(col("version") % 4 === 0))
+      s.sql("""SELECT count(*) AS n_rows,
+          CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_current,
+          CAST(sum(version) AS BIGINT) AS sum_version,
+          CAST(sum(valid_to) AS BIGINT) AS sum_valid_to
+        FROM graftcat.hist_t""")
+    }),
+
     // composite merge key on lineitem's natural (l_orderkey,
     // l_linenumber) PK: the table buckets on the hash of the TUPLE and
     // every merge/lookup reconciles per tuple — real CDC tables key on
@@ -1601,6 +1672,41 @@ object CdcQueries {
         |SELECT 'live' AS tag, count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // the SQL-route count = the same latest-wins recompute (an INSERT
+    // of an existing key upserts by version; tombstones delete)
+    "sql_meta_count" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, 0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_rows FROM latest
+        |WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // the catalog route serves the SAME history the lead-window
+    // recompute derives (init + one replayed-batch merge converge)
+    "sql_scd2_history" ->
+      """WITH st AS (
+        |  SELECT user_id AS uid, event_id AS version,
+        |    (event_type = 'error') AS deleted
+        |  FROM events),
+        |h AS (
+        |  SELECT uid, version, deleted,
+        |    lead(version) OVER (PARTITION BY uid ORDER BY version)
+        |      AS valid_to
+        |  FROM st)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN valid_to IS NULL AND NOT deleted
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+        |  CAST(sum(version) AS BIGINT) AS sum_version,
+        |  CAST(sum(valid_to) AS BIGINT) AS sum_valid_to
+        |FROM h""".stripMargin,
 
     // composite (ok, ln) tuple latest-wins recompute
     "cdc_composite_key" ->
