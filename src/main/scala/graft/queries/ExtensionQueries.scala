@@ -245,6 +245,19 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // the same frame-voting pipeline over REAL RIFF/AVI containers:
+    // the engine demuxes a genuine public container (fourcc chunk
+    // walk, LIST recursion, uncompressed-DIB frames wrapped as BMP
+    // for the JDK decoder — sources/Avi.scala) before fingerprinting;
+    // the oracle stays the pure doc_id arithmetic, so a green row
+    // proves the demuxer end-to-end, not just the vote.
+    "multimodal_video_avi" -> ((s, dir) => {
+      val media = Multimodal.syntheticVideosAvi(s,
+        s"$dir/documents.parquet", sampleMod = 13L, nGroups = 5L)
+      Multimodal.videoNearDups(media, minSharedFrames = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // REAL audio decode end-to-end: synthesize actual WAV containers
     // (16-bit mono PCM square waves whose period/length/amplitude are
     // doc_id arithmetic), decode them back with the JDK's own parser

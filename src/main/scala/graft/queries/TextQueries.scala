@@ -813,6 +813,20 @@ object TextQueries {
         |WHERE 12 - GREATEST(a.clip, b.clip) >= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // AVI variant: identical arithmetic over the %13/%5 sample — a
+    // lossless (DIB) container keeps frame hashes exact
+    "multimodal_video_avi" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id % 5 AS g, doc_id % 3 AS clip
+        |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |  WHERE doc_id % 13 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(12 - GREATEST(a.clip, b.clip) AS BIGINT)
+        |    AS n_shared_frames
+        |FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        |WHERE 12 - GREATEST(a.clip, b.clip) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // square-wave closed forms: N = P·m samples, sum of squares
     // N·A², 2m−1 sign transitions, peak A — pure doc_id arithmetic
     "multimodal_audio" ->

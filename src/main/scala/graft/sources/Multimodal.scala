@@ -602,7 +602,16 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Per-frame bytes from a video payload: RIFF/AVI containers (MJPG
+    * or uncompressed DIB streams — [[Avi.demux]], the real public
+    * format) and the legacy length-prefixed list both demux; anything
+    * else drops (None).
+    */
   private[graft] def decodeFrames(
+      payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    decodeFramesGfv(payload).orElse(Avi.demux(payload))
+
+  private def decodeFramesGfv(
       payload: Array[Byte]): Option[Seq[Array[Byte]]] =
     try {
       val d = new java.io.DataInputStream(
@@ -690,6 +699,36 @@ object Multimodal {
           val frames = (clip until nFrames).map(i =>
             encodePng(renderGridImage(g * 1000L + i, w, h)))
           MediaRow(docId, "video", encodeFrames(frames),
+            w, h, 0, frames.size)
+        }
+      }
+  }
+
+  /** [[syntheticVideos]] with REAL RIFF/AVI containers: the same
+    * deterministic frame sequences muxed as uncompressed-DIB AVI
+    * streams ([[Avi.mux]]), so the engine side demuxes a genuine
+    * public container format before the per-frame decode →
+    * fingerprint → vote pipeline runs. DIB (lossless) keeps the
+    * frame fingerprints bit-deterministic across the container
+    * round-trip — the oracle's doc_id arithmetic stays exact.
+    */
+  def syntheticVideosAvi(spark: SparkSession, documentsDir: String,
+      sampleMod: Long = 41L, nGroups: Long = 97L,
+      nFrames: Int = 12): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(documentsDir)
+      .select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { docId =>
+          val g = ((docId % nGroups) + nGroups) % nGroups
+          val clip = (docId % 3L).toInt
+          val w = 9 * (8 + (docId % 5L).toInt)
+          val h = 8 * (8 + (docId % 3L).toInt)
+          val frames = (clip until nFrames).map(i =>
+            renderGridImage(g * 1000L + i, w, h))
+          MediaRow(docId, "video", Avi.mux(frames, "DIB "),
             w, h, 0, frames.size)
         }
       }
