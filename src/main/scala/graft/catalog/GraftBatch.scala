@@ -25,8 +25,9 @@ import graft.cdc.{Bucketing, Compaction, TxLog}
   * (manifests are a driver-side file, cached by [[TxLog]]).
   */
 private[catalog] final case class ScanMeta(dir: String, version: Long,
-    props: Map[String, String], keys: Seq[String], versionCol: String,
-    deleteCol: String, nBuckets: Int, schema: StructType,
+    family: String, props: Map[String, String], keys: Seq[String],
+    versionCol: Option[String], deleteCol: Option[String],
+    nBuckets: Int, schema: StructType,
     buckets: Map[Int, String], deltas: Map[Int, Seq[String]]) {
   def dirty: Set[Int] = deltas.keySet
   def liveIds: Set[Int] = buckets.keySet ++ dirty
@@ -41,9 +42,10 @@ private[catalog] object ScanMeta {
         throw new IllegalArgumentException(
           s"no committed manifest under $dir"))
     }
-    ScanMeta(dir, snap.version, snap.props,
+    ScanMeta(dir, snap.version,
+      snap.prop("table_type").getOrElse("merge"), snap.props,
       Bucketing.decodeKeys(snap.props("key")),
-      snap.props("version_col"), snap.props("delete_col"),
+      snap.prop("version_col"), snap.prop("delete_col"),
       snap.props("n_buckets").toInt,
       DataType.fromJson(snap.props("schema_json"))
         .asInstanceOf[StructType],
@@ -327,11 +329,23 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       .map(e => readerFor(e, required, p.columnar)).toArray
     val foldSpec = if (p.foldParts.isEmpty) None else {
       // the fold needs the key/version/delete columns and the commit
-      // sequence regardless of projection; winners project down after
+      // sequence regardless of projection; winners project down after.
+      // Scd2's stored interval columns are RECOMPUTED by the fold, so
+      // they are never read; AggView needs its full (keys, cnt, total)
+      // state regardless of projection and carries no sequence.
+      val generated: Set[String] = meta.family match {
+        case "scd2" => Set("valid_to", "is_current")
+        case _ => Set.empty
+      }
       val needed = (required.fieldNames ++ meta.keys ++
-        Seq(meta.versionCol, meta.deleteCol)).map(_.toLowerCase).toSet
-      val foldInput = StructType(
-        meta.schema.fields.filter(f => needed(f.name.toLowerCase)) :+
+        meta.versionCol.toSeq ++ meta.deleteCol.toSeq ++
+        (if (meta.family == "aggview") Seq("cnt", "total") else Nil))
+        .map(_.toLowerCase).toSet -- generated
+      val dataFields =
+        meta.schema.fields.filter(f => needed(f.name.toLowerCase))
+      val foldInput =
+        if (meta.family == "aggview") StructType(dataFields)
+        else StructType(dataFields :+
           StructField("_seq", LongType, nullable = true))
       val foldReaders = p.epochSigs.indices.map { e =>
         val phys = physSchema(e, foldInput)
@@ -342,7 +356,7 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
           hadoopConf =
             new org.apache.hadoop.conf.Configuration(hadoopConf))
       }.toArray
-      Some(GraftFoldSpec(foldReaders, foldInput, meta.keys,
+      Some(GraftFoldSpec(meta.family, foldReaders, foldInput, meta.keys,
         meta.versionCol, meta.deleteCol, required))
     }
     new GraftReaderFactory(p.columnar, cleanReaders, foldSpec)
@@ -379,10 +393,11 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
   * earlier one, winning tombstones drop. Memory is one bucket's live
   * keys — the same working set a merge shuffle partition holds.
   */
-private[catalog] final case class GraftFoldSpec(
+private[catalog] final case class GraftFoldSpec(family: String,
     readers: Array[PartitionedFile => Iterator[InternalRow]],
-    foldInput: StructType, keys: Seq[String], versionCol: String,
-    deleteCol: String, required: StructType)
+    foldInput: StructType, keys: Seq[String],
+    versionCol: Option[String], deleteCol: Option[String],
+    required: StructType)
 
 private[catalog] final class GraftReaderFactory(columnar: Boolean,
     cleanReaders: Array[PartitionedFile => Iterator[InternalRow]],
@@ -442,32 +457,58 @@ private[catalog] final class GraftColumnarReader(
 
 private[catalog] object GraftFold {
 
-  /** Fold one dirty bucket's base + delta rows to live state and
-    * project to the scan's required columns. Hash-map fold keyed by
-    * the key tuple's UnsafeRow; values copy (the parquet reader reuses
-    * its row buffer). Winning tombstones drop.
+  /** Fold one dirty bucket's base + delta rows to the family's live
+    * state and project to the scan's required columns — partition-
+    * local by construction (a bucket co-locates every row of its
+    * keys), so no fold ever shuffles:
+    *
+    *  - merge: hash-map latest-state (highest version per key, `_seq`
+    *    tie-break — any delta beats the base, later deltas beat
+    *    earlier), winning tombstones drop;
+    *  - scd2: `(key, version)` replay-dedup by `_seq`, then per-key
+    *    interval re-derivation (valid_to = next version, is_current =
+    *    open ∧ not tombstone) — the reader-side form of Scd2's
+    *    window;
+    *  - aggview: per-key partial summation (cnt, total), zero-count
+    *    keys leave the view.
     */
   def fold(spec: GraftFoldSpec, epochs: Array[Int],
+      files: Array[PartitionedFile]): Iterator[InternalRow] =
+    spec.family match {
+      case "scd2" => foldScd2(spec, epochs, files)
+      case "aggview" => foldAgg(spec, epochs, files)
+      case _ => foldMerge(spec, epochs, files)
+    }
+
+  private def rows(spec: GraftFoldSpec, epochs: Array[Int],
+      files: Array[PartitionedFile]): Iterator[InternalRow] =
+    files.zip(epochs).iterator.flatMap { case (f, e) =>
+      spec.readers(e)(f)
+    }
+
+  private def keyProjOf(spec: GraftFoldSpec): UnsafeProjection = {
+    val in = spec.foldInput
+    UnsafeProjection.create(spec.keys.map(k =>
+      BoundReference(in.fieldIndex(k),
+        in.fields(in.fieldIndex(k)).dataType, nullable = true)))
+  }
+
+  private def foldMerge(spec: GraftFoldSpec, epochs: Array[Int],
       files: Array[PartitionedFile]): Iterator[InternalRow] = {
     val in = spec.foldInput
-    val keyIdx = spec.keys.map(in.fieldIndex)
-    val vIdx = in.fieldIndex(spec.versionCol)
+    val vIdx = in.fieldIndex(spec.versionCol.get)
     val seqIdx = in.fieldIndex("_seq")
-    val delIdx = in.fieldIndex(spec.deleteCol)
+    val delIdx = in.fieldIndex(spec.deleteCol.get)
     val vType = in.fields(vIdx).dataType
     val vOrd = PhysicalDataType.ordering(vType)
       .asInstanceOf[Ordering[Any]]
-    val keyProj = UnsafeProjection.create(
-      keyIdx.map(i => BoundReference(i, in.fields(i).dataType,
-        nullable = true)))
+    val keyProj = keyProjOf(spec)
 
     // candidate beats incumbent: version strictly higher, or equal
     // version with a later (non-null, larger) commit sequence — the
     // same total order Compaction.merge resolves by
     def beats(cand: InternalRow, inc: InternalRow): Boolean = {
-      val cv = cand.get(vIdx, vType)
-      val iv = inc.get(vIdx, vType)
-      val c = vOrd.compare(cv, iv)
+      val c = vOrd.compare(cand.get(vIdx, vType), inc.get(vIdx, vType))
       if (c != 0) return c > 0
       val cs = if (cand.isNullAt(seqIdx)) Long.MinValue
         else cand.getLong(seqIdx)
@@ -477,13 +518,11 @@ private[catalog] object GraftFold {
     }
 
     val best = new java.util.HashMap[UnsafeRow, InternalRow]()
-    files.zip(epochs).foreach { case (f, e) =>
-      spec.readers(e)(f).foreach { r =>
-        val k = keyProj(r)
-        val inc = best.get(k)
-        if (inc == null) best.put(k.copy(), r.copy())
-        else if (beats(r, inc)) best.put(k, r.copy())
-      }
+    rows(spec, epochs, files).foreach { r =>
+      val k = keyProj(r)
+      val inc = best.get(k)
+      if (inc == null) best.put(k.copy(), r.copy())
+      else if (beats(r, inc)) best.put(k, r.copy())
     }
     val outProj = UnsafeProjection.create(
       spec.required.fields.map(f =>
@@ -493,6 +532,124 @@ private[catalog] object GraftFold {
     best.values().iterator().asScala
       .filter(r => r.isNullAt(delIdx) || !r.getBoolean(delIdx))
       .map(outProj)
+  }
+
+  private def foldScd2(spec: GraftFoldSpec, epochs: Array[Int],
+      files: Array[PartitionedFile]): Iterator[InternalRow] = {
+    val in = spec.foldInput
+    val vIdx = in.fieldIndex(spec.versionCol.get)
+    val seqIdx = in.fieldIndex("_seq")
+    val delIdx = in.fieldIndex(spec.deleteCol.get)
+    val vType = in.fields(vIdx).dataType
+    val vOrd = PhysicalDataType.ordering(vType)
+      .asInstanceOf[Ordering[Any]]
+    val keyProj = keyProjOf(spec)
+
+    // key -> (version -> (seq, state row)); a replayed (key, version)
+    // keeps the LATEST writer's record (_seq desc, null = base)
+    val byKey = new java.util.HashMap[UnsafeRow,
+      java.util.HashMap[Any, (Long, InternalRow)]]()
+    rows(spec, epochs, files).foreach { raw =>
+      val r = raw.copy() // versions index into the row's buffer
+      val k = keyProj(r)
+      var inner = byKey.get(k)
+      if (inner == null) {
+        inner = new java.util.HashMap[Any, (Long, InternalRow)]()
+        byKey.put(k.copy(), inner)
+      }
+      val v = r.get(vIdx, vType)
+      val seq = if (r.isNullAt(seqIdx)) Long.MinValue
+        else r.getLong(seqIdx)
+      val inc = inner.get(v)
+      if (inc == null || seq > inc._1) inner.put(v, (seq, r))
+    }
+
+    // required projection with the generated interval columns
+    // RECOMPUTED (never read): tag each output field
+    val fields = spec.required.fields.map { f =>
+      if (f.name.equalsIgnoreCase("valid_to")) ("valid_to", -1, f.dataType)
+      else if (f.name.equalsIgnoreCase("is_current"))
+        ("is_current", -1, f.dataType)
+      else ("in", in.fieldIndex(f.name), f.dataType)
+    }
+    val unsafe = UnsafeProjection.create(spec.required)
+    import scala.jdk.CollectionConverters._
+    byKey.values().iterator().asScala.flatMap { inner =>
+      val history = inner.values().asScala.toSeq.map(_._2)
+        .sortBy(_.get(vIdx, vType))(vOrd)
+      history.indices.iterator.map { i =>
+        val r = history(i)
+        val validTo = if (i + 1 < history.size)
+          history(i + 1).get(vIdx, vType) else null
+        val isCurrent = i + 1 == history.size &&
+          !(!r.isNullAt(delIdx) && r.getBoolean(delIdx))
+        val out = new GenericInternalRow(fields.length)
+        var j = 0
+        while (j < fields.length) {
+          fields(j) match {
+            case ("valid_to", _, _) => out.update(j, validTo)
+            case ("is_current", _, _) => out.update(j, isCurrent)
+            case (_, idx, dt) =>
+              out.update(j, if (r.isNullAt(idx)) null else r.get(idx, dt))
+          }
+          j += 1
+        }
+        unsafe(out)
+      }
+    }
+  }
+
+  private def foldAgg(spec: GraftFoldSpec, epochs: Array[Int],
+      files: Array[PartitionedFile]): Iterator[InternalRow] = {
+    val in = spec.foldInput
+    val cntIdx = in.fieldIndex("cnt")
+    val totIdx = in.fieldIndex("total")
+    val totType = in.fields(totIdx).dataType
+      .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+    val keyProj = keyProjOf(spec)
+
+    // key -> (sum cnt, sum total, a representative row for key values)
+    final case class Acc(var cnt: Long,
+        var total: java.math.BigDecimal, row: InternalRow)
+    val sums = new java.util.HashMap[UnsafeRow, Acc]()
+    rows(spec, epochs, files).foreach { raw =>
+      val k = keyProj(raw)
+      val c = raw.getLong(cntIdx)
+      val t = if (raw.isNullAt(totIdx)) null
+        else raw.getDecimal(totIdx, totType.precision, totType.scale)
+          .toJavaBigDecimal
+      val acc = sums.get(k)
+      if (acc == null) sums.put(k.copy(), Acc(c, t, raw.copy()))
+      else {
+        acc.cnt += c
+        if (t != null)
+          acc.total = if (acc.total == null) t else acc.total.add(t)
+      }
+    }
+    val outExprs = spec.required.fields.map(f =>
+      BoundReference(in.fieldIndex(f.name), f.dataType,
+        nullable = true): org.apache.spark.sql.catalyst.expressions
+        .Expression)
+    val unsafe = UnsafeProjection.create(outExprs.toSeq)
+    import scala.jdk.CollectionConverters._
+    sums.values().iterator().asScala
+      .filter(_.cnt != 0L) // fully-retracted keys leave the view
+      .map { acc =>
+        val patched = new GenericInternalRow(in.length)
+        var j = 0
+        while (j < in.length) {
+          patched.update(j,
+            if (j == cntIdx) acc.cnt
+            else if (j == totIdx) {
+              if (acc.total == null) null
+              else org.apache.spark.sql.types.Decimal(acc.total,
+                totType.precision, totType.scale)
+            } else if (acc.row.isNullAt(j)) null
+            else acc.row.get(j, in.fields(j).dataType))
+          j += 1
+        }
+        unsafe(patched)
+      }
   }
 }
 
@@ -569,7 +726,7 @@ private[catalog] object GraftPrune {
     meta.keys.size == 1 && a.equalsIgnoreCase(meta.keys.head)
 
   private def isVersion(meta: ScanMeta, a: String): Boolean =
-    a.equalsIgnoreCase(meta.versionCol)
+    meta.versionCol.exists(a.equalsIgnoreCase)
 
   /** Same physical hash the writers bucket by
     * ([[graft.cdc.Bucketing]]: `pmod(xxhash64(keys…), n)`), folded on

@@ -5,16 +5,15 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,16 +47,17 @@ import graft.cdc.{Compaction, TxLog}
   * once, every query resolves it by name) — this is the maintained-
   * table catalog for Spark SQL users.
   *
-  * Read path: the table exposes a `V1Scan` whose relation is the SAME
-  * logical read `Compaction.read`/`readAsOf` hands out, with pushed
-  * filters and column pruning applied INSIDE it — so the manifest-
-  * pruned parquet scan, the merge-on-read fold, and the
-  * [[graft.plans.MergePruning]] bucket/zone-map rule (a session
-  * optimizer rule: it optimizes the inner plan when the RDD is
-  * materialized) all engage exactly as they do for the programmatic
-  * API. Pushed filters are also re-applied by Spark above the scan
-  * (we return every filter as post-scan), so pushdown here is a data
-  * reduction, never a correctness dependency.
+  * Read path: a NATIVE DSv2 Batch scan ([[GraftScan]]) — input
+  * partitions are the manifest-pruned file set computed driver-side
+  * (key-equality/IN bucket pruning through the writers' own hash,
+  * typed zone-map pruning on version ranges), read by Spark's
+  * vectorized parquet reader; compacted tables stream COLUMNAR
+  * batches into whole-stage codegen, merge-on-read buckets fold in
+  * their partition reader. Pushed filters are also re-applied by
+  * Spark above the scan (we return every filter as post-scan), so
+  * pushdown here is a data reduction, never a correctness
+  * dependency. Scd2/AggView tables route through the same scan with
+  * their own fold readers, read-only.
   *
   * Write path: `V1Write` → `InsertableRelation` → one
   * [[Compaction.merge]] (append = upsert-by-version, the reference's
@@ -561,15 +561,13 @@ private[catalog] object GraftScanBuilder {
 }
 
 /** An Scd2 history or AggView dashboard table resolved through the
-  * catalog: read-only SQL access to the table family's own read
-  * (`Scd2.read` — full validity-interval history with merge-on-read
-  * splicing; `AggView.read` — the folded live view). Served through a
-  * `V1Scan` bridge with filter + column pushdown INTO the family's
-  * read plan: these reads carry family-specific reconciliation
-  * (interval windowing / partial-sum folding) that the native merge
-  * Batch scan's latest-wins fold must not apply. Writes and DML
-  * refuse — maintenance stays with the Scd2/AggView APIs, which own
-  * the merge semantics.
+  * catalog: read-only SQL access served by the SAME native Batch scan
+  * the merge tables use ([[GraftScan]]), with the family's own
+  * reconciliation applied in the fold readers — Scd2 merge-on-read
+  * buckets re-derive their validity intervals per key, AggView dirty
+  * buckets sum partials; compacted tables read COLUMNAR with zero
+  * per-row conversion. Writes and DML refuse — maintenance stays with
+  * the Scd2/AggView APIs, which own the merge semantics.
   */
 final class GraftReadOnlyTable(tableName: String, val dir: String,
     val tableType: String) extends Table with SupportsRead {
@@ -597,54 +595,7 @@ final class GraftReadOnlyTable(tableName: String, val dir: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftReadOnlyScanBuilder(dir, tableType, schema())
-}
-
-/** V1 bridge scan for the read-only families: every filter is also
-  * re-applied post-scan, so pushdown into the family read is purely a
-  * data reduction (bucket pruning via [[graft.plans.MergePruning]]
-  * engages inside the family's own plan where sound).
-  */
-private[catalog] final class GraftReadOnlyScanBuilder(dir: String,
-    tableType: String, tableSchema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-
-  private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = tableSchema
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => GraftScanBuilder.translate(f).isDefined)
-    filters
-  }
-
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required
-
-    override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: SQLContext): T =
-      new BaseRelation with TableScan {
-        override def sqlContext: SQLContext = context
-        override def schema: StructType = required
-        override def needConversion: Boolean = true
-        override def buildScan(): RDD[Row] = {
-          val spark = context.sparkSession
-          val base = tableType match {
-            case "scd2" => graft.cdc.Scd2.read(spark, dir)
-            case "aggview" => graft.cdc.AggView.read(spark, dir)
-            case other => throw new IllegalStateException(
-              s"unknown table_type $other at $dir")
-          }
-          val filtered = pushed.flatMap(GraftScanBuilder.translate)
-            .foldLeft(base)((df, p) => df.filter(p))
-          filtered.select(required.fieldNames.map(col).toSeq: _*).rdd
-        }
-      }.asInstanceOf[T]
-  }
+    new GraftScanBuilder(dir, None, schema())
 }
 
 /** INSERT INTO = one upsert merge; INSERT OVERWRITE (truncate) = full

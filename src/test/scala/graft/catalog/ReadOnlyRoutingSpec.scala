@@ -72,6 +72,42 @@ class ReadOnlyRoutingSpec extends SparkSpec {
       e4.getMessage.contains("merge"))
   }
 
+  test("read-only tables ride the native Batch scan; MoR folds match the API") {
+    val dir = s"$warehouse/hist_mor"
+    val changes = (0L until 40L).map(i => (i % 10, s"s$i", i, false))
+      .toDF("id", "name", "ver", "gone")
+    Scd2.init(changes, dir, "id", "ver", "gone", 4)
+    // a merge-on-read batch that SPLICES between stored versions
+    Scd2.merge(spark, dir,
+      Seq((3L, "late", 15L, false), (99L, "new", 0L, false))
+        .toDF("id", "name", "ver", "gone"),
+      mergeOnRead = true)
+    assert(graft.cdc.TxLog.latest(spark, dir).get.deltas.nonEmpty)
+    val viaCatalog = sqlc(
+      "SELECT id, name, ver, valid_to, is_current FROM gro.hist_mor")
+    // the native scan plans (no V1 bridge), and the reader-side
+    // interval re-derivation matches the API's window fold exactly
+    assert(viaCatalog.queryExecution.executedPlan.toString
+      .contains("GraftScan"))
+    val got = viaCatalog
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    val api = Scd2.read(spark, dir)
+      .select(col("id"), col("name"), col("ver"), col("valid_to"),
+        col("is_current"))
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == api, s"catalog ${got.size} rows vs api ${api.size}")
+    assert(got.size == 42) // 40 + spliced late change + new key
+    // the splice closed the right interval
+    assert(got.exists(r => r._1 == 3L && r._2 == "late" &&
+      r._4.contains(23L))) // next stored version of key 3 after 15
+    // COUNT(*) on a CLEAN history answers from manifest stats
+    graft.cdc.Scd2.compact(spark, dir)
+    val cnt = sqlc("SELECT count(*) AS n FROM gro.hist_mor")
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("GraftCountScan"))
+    assert(cnt.as[Long].head() == 42L)
+  }
+
   test("AggView dashboard is SELECTable by catalog name") {
     val dir = s"$warehouse/dash"
     val rows = Seq(("a", 10.0), ("a", 5.0), ("b", 2.5))
@@ -85,5 +121,24 @@ class ReadOnlyRoutingSpec extends SparkSpec {
     // SHOW TABLES lists it alongside merge tables
     assert(sqlc("SHOW TABLES IN gro").collect()
       .map(_.getString(1)).toSet.contains("dash"))
+
+    // a merge-on-read partial batch folds in the reader: sums merge,
+    // a fully-retracted key leaves, a new key appears
+    AggView.merge(spark, dir,
+      Seq(("a", 4.0), ("b", -2.5), ("c", 7.0)).toDF("grp", "amount"),
+      batchId = 1L, mergeOnRead = true)
+    AggView.merge(spark, dir,
+      Seq(("b", 0.0)).toDF("grp", "amount"), // cnt 1, keeps b at cnt 2
+      batchId = 2L, mergeOnRead = true)
+    assert(graft.cdc.TxLog.latest(spark, dir).get.deltas.nonEmpty)
+    val folded = sqlc("SELECT grp, cnt, total FROM gro.dash ORDER BY grp")
+    assert(folded.queryExecution.executedPlan.toString
+      .contains("GraftScan"))
+    val api = AggView.read(spark, dir)
+      .select(col("grp"), col("cnt"), col("total"))
+      .as[(String, Long, BigDecimal)].collect().toSet
+    val rows2 = folded.as[(String, Long, BigDecimal)].collect()
+    assert(rows2.toSet == api)
+    assert(rows2.map(_._1).toSet == Set("a", "b", "c"))
   }
 }
