@@ -115,25 +115,39 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
 
   override def toBatch: Batch = this
 
-  // ----- runtime group filtering (row-level operations) -------------
-  // Spark pushes the MERGE source / DELETE condition keys at runtime,
-  // so a row-level op replaces only the buckets holding matched keys.
-  // Offered only on row-level scans (tracker present) and single-key
-  // tables: one column of a composite key cannot pin the tuple hash.
+  // ----- runtime bucket filtering -----------------------------------
+  // Two producers, one mechanism: row-level operations push the MERGE
+  // source / DELETE condition keys (so a DML replaces only the
+  // buckets holding matched keys), and DYNAMIC PRUNING pushes the
+  // build side's join keys on equi-joins against this table (so a
+  // "join the 100 TB table to a filtered dim on the key" plan opens
+  // only the dim keys' buckets — the v2 form of dynamic partition
+  // pruning, with the hash bucket as the partition). Single-key
+  // tables only: one column of a composite key cannot pin the tuple
+  // hash. Unknown predicate shapes prune nothing, and Spark joins
+  // re-filter rows anyway, so this is purely a data reduction.
 
   @volatile private var runtimeBuckets: Option[Set[Int]] = None
 
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    tracker match {
-      case Some(_) =>
-        val meta = ScanMeta.load(spark, dir, asOf)
-        if (meta.keys.size == 1)
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .column(meta.keys.head))
-        else Array.empty
-      case None => Array.empty
-    }
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // join-driven DPP under AQE with reuseBroadcastOnly plans the
+    // filter as an adaptive broadcast subquery that reaches a v2
+    // scan's leaf stage unresolved ("no subquery result" at
+    // translateRuntimeFilterV2) — an upstream wart for v2 scans, so
+    // plain scans advertise the capability only when the planning
+    // mode can actually execute it. Row-level scans (tracker) always
+    // advertise: their group-filter rule is AQE-aware.
+    val conf = SQLConf.get
+    val plainScanSafe = !conf.adaptiveExecutionEnabled ||
+      !conf.dynamicPartitionPruningReuseBroadcastOnly
+    if (tracker.isEmpty && !plainScanSafe) return Array.empty
+    val meta = ScanMeta.load(spark, dir, asOf)
+    if (meta.keys.size == 1)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(meta.keys.head))
+    else Array.empty
+  }
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -856,6 +870,10 @@ private[catalog] object GraftPrune {
       case _ => None
     }
     p.name() match {
+      // driver-side hashing cost guard: a runtime IN-set bigger than
+      // the bucket space can't prune much anyway — skip rather than
+      // fold hashes over millions of literals on the driver
+      case "IN" if p.children().length > 4 * meta.nBuckets + 1 => None
       case "IN" if p.children().nonEmpty && isKeyRef(p.children()(0)) =>
         val lits = p.children().drop(1).toSeq.map(litBucket)
         if (lits.exists(_.isEmpty)) None else Some(lits.flatten.toSet)

@@ -1,0 +1,99 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Join-driven runtime bucket pruning: an equi-join on the merge key
+  * against a small filtered build side pushes the build keys into the
+  * scan at runtime (`SupportsRuntimeV2Filtering`), so only the
+  * matched keys' buckets are opened — dynamic partition pruning with
+  * the hash bucket as the partition, the shape a 100 TB fact-to-dim
+  * point-read join takes.
+  */
+class RuntimePruningSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("graft-dpp-wh")
+    spark.conf.set("spark.sql.catalog.gdpp",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdpp.warehouse", w)
+    w
+  }
+
+  private def sqlc(q: String) = { warehouse; spark.sql(q) }
+
+  private def factScan(df: DataFrame): BatchScanExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Seq[BatchScanExec] = p.collect {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: QueryStageExec => find(s.plan)
+    }.flatten
+    find(df.queryExecution.executedPlan)
+      .find(_.scan.isInstanceOf[GraftScan])
+      .getOrElse(fail("no GraftScan in plan:\n" +
+        df.queryExecution.executedPlan))
+  }
+
+  test("equi-join against a filtered dim prunes the fact scan's buckets") {
+    sqlc("""CREATE TABLE gdpp.fact (
+        id BIGINT, v DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='32')""")
+    sqlc("""INSERT INTO gdpp.fact
+        SELECT id, CAST(id AS DOUBLE), 0L, false FROM range(20000)""")
+    // a small dim TABLE (a folded LocalRelation would hide the
+    // selective predicate DPP looks for); the filter keeps 2 keys
+    val dimPath = tmpDir("dpp-dim")
+    Seq((7L, "x"), (19L, "y"), (23L, "y"), (501L, "z"))
+      .toDF("k", "tag").write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+
+    // AQE + reuse-only broadcast DPP can't execute v2 runtime
+    // filters (upstream wart; the scan declines the capability
+    // there) — exercise the executable planning mode
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    try {
+    val q = sqlc("""SELECT /*+ BROADCAST(d) */ sum(f.v) AS s
+        FROM gdpp.fact f JOIN dpp_dim d ON f.id = d.k
+        WHERE d.tag = 'y'""")
+    // correctness first — execute THIS dataframe (its executed plan
+    // is what the partition inspection below reads)
+    assert(q.collect().map(_.getDouble(0)).toSeq == Seq(42.0))
+    // the executed fact scan carried a runtime filter and opened only
+    // the matched keys' buckets (2 distinct keys -> <= 2 of 32)
+    val scan = factScan(q)
+    assert(scan.toString.contains("RuntimeFilters") &&
+      !scan.toString.contains("RuntimeFilters: []"),
+      s"expected a runtime filter on the fact scan: $scan")
+    val opened = scan.inputRDD.partitions.length
+    assert(opened <= 2, s"runtime pruning should open <=2 buckets, " +
+      s"opened $opened partitions")
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "true")
+  }
+
+  test("runtime pruning composes with static pushdown and stays correct") {
+    sqlc("""CREATE TABLE gdpp.fact2 (
+        id BIGINT, v DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16')""")
+    sqlc("""INSERT INTO gdpp.fact2
+        SELECT id, 1.0D, 0L, false FROM range(5000)""")
+    val dim2Path = tmpDir("dpp-dim2")
+    spark.range(0, 5000, 100).toDF("k")
+      .write.mode("overwrite").parquet(dim2Path)
+    spark.read.parquet(dim2Path).createOrReplaceTempView("dpp_dim2")
+    val q = sqlc("""SELECT /*+ BROADCAST(d) */ count(*) AS n
+        FROM gdpp.fact2 f JOIN dpp_dim2 d ON f.id = d.k
+        WHERE f.id < 1000""")
+    assert(q.as[Long].head() == 10L)
+  }
+}
