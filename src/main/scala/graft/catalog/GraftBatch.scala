@@ -62,7 +62,13 @@ private[catalog] object ScanMeta {
   * no per-row rewrite). `epoch` indexes the factory's reader table.
   */
 private[catalog] final case class GraftCleanPartition(epoch: Int,
-    files: Array[PartitionedFile]) extends InputPartition
+    bucket: Int, files: Array[PartitionedFile]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // the hash bucket is the storage-partition value (-1 = a mixed bin,
+  // only produced when key-grouped reporting is off)
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 /** One dirty bucket's base + delta files, folded to live state INSIDE
   * the partition reader (see [[GraftFoldSpec]]) — the merge-on-read
@@ -73,6 +79,10 @@ private[catalog] final case class GraftCleanPartition(epoch: Int,
 private[catalog] final case class GraftFoldPartition(bucket: Int,
     epochs: Array[Int], files: Array[PartitionedFile])
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 /** Native DSv2 `Batch` scan over a maintained merge table: the
   * manifest-pruned file set planned driver-side, Spark's own
@@ -107,13 +117,38 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     required: StructType, pushed: Array[Filter],
     tracker: Option[GraftRowTracker] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private def spark: SparkSession = SparkSession.active
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  // ----- storage-partitioned joins -----------------------------------
+  // With spark.sql.sources.v2.bucketing.enabled, the scan reports
+  // KeyGroupedPartitioning over the catalog's own bucket(n, keys)
+  // function: two maintained tables bucketed identically join WITHOUT
+  // a shuffle (each partition is one hash bucket, both sides
+  // co-locate a key's rows by construction). Opt-in because the
+  // per-bucket partition layout trades away cross-bucket small-file
+  // binning; plain-scan runtime filtering steps aside in this mode
+  // (mutating the partition set under key-grouped reporting would
+  // desync the reported and planned partition values).
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val p = planned
+    if (p.spj)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(Array(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(p.meta.nBuckets, p.meta.keys: _*)),
+          p.cleanParts.length + p.foldParts.length)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(p.cleanParts.length + p.foldParts.length)
+  }
 
   // ----- runtime bucket filtering -----------------------------------
   // Two producers, one mechanism: row-level operations push the MERGE
@@ -141,7 +176,8 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     val conf = SQLConf.get
     val plainScanSafe = !conf.adaptiveExecutionEnabled ||
       !conf.dynamicPartitionPruningReuseBroadcastOnly
-    if (tracker.isEmpty && !plainScanSafe) return Array.empty
+    if (tracker.isEmpty && (!plainScanSafe || planned.spj))
+      return Array.empty
     val meta = ScanMeta.load(spark, dir, asOf)
     if (meta.keys.size == 1)
       Array(org.apache.spark.sql.connector.expressions.Expressions
@@ -174,7 +210,7 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       epochSigs: Vector[Seq[String]],
       cleanParts: Array[GraftCleanPartition],
       foldParts: Array[GraftFoldPartition], columnar: Boolean,
-      totalBytes: Long)
+      totalBytes: Long, spj: Boolean)
 
   // re-planned when a runtime filter arrives after an earlier plan
   // (estimateStatistics/EXPLAIN may force planning pre-execution)
@@ -239,14 +275,14 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       val cleanF = Future.traverse(cleanIds)(b => Future {
-        meta.buckets.get(b).toSeq.flatMap(listFiles)
+        b -> meta.buckets.get(b).toSeq.flatMap(listFiles)
       })
       val dirtyF = Future.traverse(dirtyIds)(b => Future {
         val rels = meta.buckets.get(b).toSeq ++
           meta.deltas.getOrElse(b, Nil)
         b -> rels.flatMap(listFiles)
       })
-      (Await.result(cleanF, Duration.Inf).flatten,
+      (Await.result(cleanF, Duration.Inf),
         Await.result(dirtyF, Duration.Inf))
     } finally pool.shutdown()
 
@@ -261,19 +297,40 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     // FileSourceScanExec would do at the same confs. Packing is
     // per-epoch: one partition's files share one reader schema.
     val openCost = s.sessionState.conf.filesOpenCostInBytes
-    val totalClean = cleanFiles.map(_._2).sum
+    val flatClean = cleanFiles.flatMap(_._2)
+    val totalClean = flatClean.map(_._2).sum
     val maxSplit = FilePartition.maxSplitBytes(s,
-      totalClean + openCost * cleanFiles.size)
-    val cleanParts = cleanFiles.groupBy(_._4).toSeq.flatMap {
-      case (epoch, fsOfEpoch) =>
-        val splitFiles = fsOfEpoch.flatMap { case (p, len, mod, _) =>
-          (0L until len by maxSplit).map { off =>
-            pf(p, off, math.min(maxSplit, len - off), mod, len)
-          }
-        }.sortBy(-_.length)
-        FilePartition.getFilePartitions(s, splitFiles, maxSplit)
-          .map(fp => GraftCleanPartition(epoch, fp.files))
-    }.toArray
+      totalClean + openCost * flatClean.size)
+    // key-grouped (storage-partitioned-join) layout only when no
+    // bucket is coarser than a normal split: the per-bucket task can
+    // then never LOSE read parallelism against the binned layout, so
+    // Spark 4's default-on v2 bucketing gets shuffle-free co-located
+    // joins with no full-scan regression. An oversized bucket (or a
+    // row-level scan, which needs runtime filtering) declines and
+    // takes the bin-packed layout.
+    val spj = SQLConf.get.v2BucketingEnabled && tracker.isEmpty &&
+      cleanFiles.forall(_._2.map(_._2).sum <=
+        s.sessionState.conf.filesMaxPartitionBytes)
+    val cleanParts =
+      if (spj)
+        // key-grouped layout: one partition per clean bucket (its
+        // whole file set) — the storage-partition unit SPJ zips on
+        cleanFiles.filter(_._2.nonEmpty).map { case (b, fs0) =>
+          GraftCleanPartition(fs0.head._4, b,
+            fs0.map { case (p2, len, mod, _) =>
+              pf(p2, 0, len, mod, len)
+            }.toArray)
+        }.toArray
+      else flatClean.groupBy(_._4).toSeq.flatMap {
+        case (epoch, fsOfEpoch) =>
+          val splitFiles = fsOfEpoch.flatMap { case (p2, len, mod, _) =>
+            (0L until len by maxSplit).map { off =>
+              pf(p2, off, math.min(maxSplit, len - off), mod, len)
+            }
+          }.sortBy(-_.length)
+          FilePartition.getFilePartitions(s, splitFiles, maxSplit)
+            .map(fp => GraftCleanPartition(epoch, -1, fp.files))
+      }.toArray
 
     val folds = foldFiles.map { case (b, files) =>
       GraftFoldPartition(b, files.map(_._4).toArray,
@@ -292,7 +349,7 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     val totalBytes = totalClean +
       foldFiles.flatMap(_._2).map(_._2).sum
     Planned(meta, kept, sigIdx.keys.toVector, cleanParts, folds,
-      columnar, totalBytes)
+      columnar, totalBytes, spj)
   }
 
   override def planInputPartitions(): Array[InputPartition] =

@@ -69,7 +69,8 @@ import graft.cdc.{Compaction, TxLog}
   * `CREATE TABLE ... LOCATION '<dir>'` writes a `.location` redirect
   * so existing tables attach without moving data.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -334,6 +335,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def invalidateTable(ident: Identifier): Unit =
     TxLog.invalidate(tableDir(ident))
+
+  // ----- functions: the bucketing identity for SPJ ------------------
+
+  override def listFunctions(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ----- namespaces: directories under the warehouse ---------------
 

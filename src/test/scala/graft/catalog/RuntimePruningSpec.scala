@@ -56,10 +56,13 @@ class RuntimePruningSpec extends SparkSpec {
 
     // AQE + reuse-only broadcast DPP can't execute v2 runtime
     // filters (upstream wart; the scan declines the capability
-    // there) — exercise the executable planning mode
+    // there) — exercise the executable planning mode. Key-grouped
+    // (SPJ) reporting and runtime filtering are per-scan exclusive,
+    // so opt out of v2 bucketing for this scenario.
     spark.conf.set(
       "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
       "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     try {
     val q = sqlc("""SELECT /*+ BROADCAST(d) */ sum(f.v) AS s
         FROM gdpp.fact f JOIN dpp_dim d ON f.id = d.k
@@ -76,9 +79,12 @@ class RuntimePruningSpec extends SparkSpec {
     val opened = scan.inputRDD.partitions.length
     assert(opened <= 2, s"runtime pruning should open <=2 buckets, " +
       s"opened $opened partitions")
-    } finally spark.conf.set(
-      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
-      "true")
+    } finally {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "true")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
   }
 
   test("runtime pruning composes with static pushdown and stays correct") {
