@@ -746,6 +746,70 @@ object CdcQueries {
         FROM graftcat.hist_t""")
     }),
 
+    // storage-partitioned join through the catalog: two maintained
+    // tables bucketed identically on o_orderkey join WITH ZERO
+    // SHUFFLES (KeyGroupedPartitioning over the catalog's own bucket
+    // function — each task zips one hash bucket from both sides).
+    // The query ASSERTS the shuffle-free plan, so a green row proves
+    // both the co-located join's answer and its shape. Oracle = the
+    // same join recomputed relationally.
+    "sql_spj_join" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftcat.spj_a")
+      s.sql("DROP TABLE IF EXISTS graftcat.spj_b")
+      s.sql("""CREATE TABLE graftcat.spj_a (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16')""")
+      s.sql("""CREATE TABLE graftcat.spj_b (
+        id BIGINT, seg STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16')""")
+      val ord = Tables.orders(s, dir)
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("spj_a_src")
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_orderpriority").as("seg"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("spj_b_src")
+      s.sql("INSERT INTO graftcat.spj_a SELECT * FROM spj_a_src")
+      s.sql("INSERT INTO graftcat.spj_b SELECT * FROM spj_b_src")
+      val prev = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val out = s.sql("""SELECT b.seg,
+            count(*) AS n_orders,
+            CAST(SUM(CAST(a.price AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM graftcat.spj_a a JOIN graftcat.spj_b b ON a.id = b.id
+          GROUP BY b.seg ORDER BY b.seg""")
+        // plan guard: the co-bucketed join itself must be
+        // shuffle-free (the groupBy above it may exchange)
+        val planStr = out.queryExecution.executedPlan.toString
+        val joinIdx = planStr.indexOf("SortMergeJoin")
+        require(joinIdx >= 0, s"expected a sort-merge join:\n$planStr")
+        require(!planStr.substring(joinIdx).contains("Exchange hash"),
+          "the co-bucketed join's inputs must not re-shuffle:\n" +
+            planStr)
+        out.collect() // materialize under the pinned confs
+        out
+      } finally {
+        prev match {
+          case Some(v) =>
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None =>
+            s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }),
+
     // composite merge key on lineitem's natural (l_orderkey,
     // l_linenumber) PK: the table buckets on the hash of the TUPLE and
     // every merge/lookup reconciles per tuple — real CDC tables key on
@@ -1707,6 +1771,19 @@ object CdcQueries {
         |  CAST(sum(version) AS BIGINT) AS sum_version,
         |  CAST(sum(valid_to) AS BIGINT) AS sum_valid_to
         |FROM h""".stripMargin,
+
+    // the co-located join recomputed relationally
+    "sql_spj_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS id, o_orderpriority AS seg
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT b.seg, count(*) AS n_orders,
+        |  CAST(SUM(a.price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM a JOIN b ON a.id = b.id
+        |GROUP BY b.seg ORDER BY b.seg""".stripMargin,
 
     // composite (ok, ln) tuple latest-wins recompute
     "cdc_composite_key" ->
