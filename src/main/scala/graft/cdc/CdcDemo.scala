@@ -207,6 +207,48 @@ object CdcDemo {
     println(s"catalog: count=" +
       spark.sql("SELECT count(*) FROM demo.users").as[Long].head() +
       s", id=5 live=$live asof_v1=$asOf, VACUUM dropped $vacuumed versions")
+
+    // round 8: schema evolution + standard-connector DML + co-located
+    // joins, all through plain SQL against the catalog
+    spark.sql("ALTER TABLE demo.users ADD COLUMN score DOUBLE")
+    spark.sql("ALTER TABLE demo.users RENAME COLUMN payload TO label")
+    spark.sql("UPDATE demo.users SET score = 9.5 WHERE id = 5")
+    spark.sql("DELETE FROM demo.users WHERE id = 6")
+    val altered = spark.sql(
+      "SELECT label, score FROM demo.users WHERE id = 5")
+      .as[(String, Option[Double])].head()
+    val cntPlan = spark.sql("SELECT count(*) FROM demo.users")
+    val zeroScan = cntPlan.queryExecution.executedPlan.toString
+      .contains("GraftCountScan")
+    spark.sql("""CREATE TABLE demo.segments (id BIGINT, seg STRING,
+      version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='8')""")
+    spark.sql("INSERT INTO demo.segments SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END, 0L, false " +
+      "FROM range(100)")
+    val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val spjQ = spark.sql("""SELECT s.seg, count(*) AS n
+      FROM demo.users u JOIN demo.segments s ON u.id = s.id
+      GROUP BY s.seg ORDER BY s.seg""")
+    val spjRows = spjQ.as[(String, Long)].collect().toSeq
+    val spjPlan = spjQ.queryExecution.executedPlan.toString
+    val joinShuffleFree = {
+      val i = spjPlan.indexOf("SortMergeJoin")
+      i >= 0 && !spjPlan.substring(i).contains("Exchange hash")
+    }
+    prevBc match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    println(s"alter+dml: id=5 -> $altered (renamed column reads old " +
+      s"bytes, v2 UPDATE wrote score), count(*) zero-scan=$zeroScan, " +
+      s"rows=" + spark.sql("SELECT count(*) FROM demo.users")
+        .as[Long].head())
+    println(s"spj: co-bucketed join shuffle-free=$joinShuffleFree, " +
+      s"segments=$spjRows")
     spark.stop()
   }
 }
