@@ -724,25 +724,26 @@ private[catalog] object GraftFold {
   }
 }
 
-/** Zero-scan COUNT(*): the aggregate answered from the manifest's
-  * per-bucket row counts alone — [[graft.cdc.Compaction.countRows]]'s
-  * O(nBuckets) driver arithmetic, reached from plain SQL through
+/** Zero-scan aggregates: COUNT(*) / MIN(version) / MAX(version)
+  * answered from the manifest's per-bucket row counts and zone maps
+  * alone — [[graft.cdc.Compaction.countRows]]'s O(nBuckets) driver
+  * arithmetic, reached from plain SQL through
   * `SupportsPushDownAggregates`. Only offered when the table is fully
-  * compacted and every live bucket carries a recorded count (a dirty
+  * compacted and every live bucket carries the needed stat (a dirty
   * bucket's fold outcome is not metadata-derivable); otherwise the
   * builder declines and the normal scan answers.
   */
-private[catalog] final class GraftCountScan(dir: String,
-    schema: StructType, counts: Array[Long])
+private[catalog] final class GraftStatsScan(dir: String,
+    schema: StructType, values: Array[Any])
     extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftCountScan $dir (manifest stats, zero file reads)"
+    s"GraftStatsScan $dir (manifest stats, zero file reads)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftLocalPartition(counts))
+    Array(GraftLocalPartition(values))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
@@ -750,12 +751,12 @@ private[catalog] final class GraftCountScan(dir: String,
           p: InputPartition): PartitionReader[InternalRow] = {
         val vals = p.asInstanceOf[GraftLocalPartition].values
         new GraftIteratorReader(Iterator.single(
-          new GenericInternalRow(vals.map(v => v: Any))))
+          new GenericInternalRow(vals.clone())))
       }
     }
 }
 
-private[catalog] final case class GraftLocalPartition(values: Array[Long])
+private[catalog] final case class GraftLocalPartition(values: Array[Any])
     extends InputPartition
 
 /** Driver-side bucket pruning from pushed v1 filters — the

@@ -486,7 +486,7 @@ private[catalog] final class GraftScanBuilder(dir: String,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
-  private var aggCounts: Option[(StructType, Array[Long])] = None
+  private var aggStats: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
@@ -499,51 +499,101 @@ private[catalog] final class GraftScanBuilder(dir: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** `SELECT COUNT(*)` answered from the manifest alone — the SQL
-    * route to [[Compaction.countRows]]'s zero-scan arithmetic. Only a
-    * complete pushdown is offered, and only when the answer IS
-    * metadata: no residual filters, no GROUP BY, every aggregate a
-    * bare COUNT(*), no unfolded merge-on-read deltas, and a recorded
-    * row count for every live bucket. Anything else declines and the
-    * normal scan answers.
+  /** `SELECT COUNT(*)` / `MIN(versionCol)` / `MAX(versionCol)`
+    * answered from the manifest alone — the SQL route to
+    * [[Compaction.countRows]]'s zero-scan arithmetic and the
+    * per-bucket zone maps. Only a complete pushdown is offered, and
+    * only when the answer IS metadata: no residual filters, no GROUP
+    * BY, every aggregate one of the three supported shapes, no
+    * unfolded merge-on-read deltas (a fold outcome is not
+    * metadata-derivable), and recorded stats for every live bucket.
+    * Min/max are sound because stored rows of a compacted table are
+    * LIVE rows (tombstones drop at merge), so footer stats describe
+    * exactly what the scan would produce. Anything else declines and
+    * the normal scan answers.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean = countFromManifest(agg).isDefined
+        .Aggregation): Boolean = statsFromManifest(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    aggCounts = countFromManifest(agg)
-    aggCounts.isDefined
+    aggStats = statsFromManifest(agg)
+    aggStats.isDefined
   }
 
-  private def countFromManifest(
+  private def statsFromManifest(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Option[(StructType, Array[Long])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+        .Aggregation): Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     if (tracker.isDefined) return None // row-level scans read rows
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
-        agg.aggregateExpressions.isEmpty ||
-        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
-      return None
+        agg.aggregateExpressions.isEmpty) return None
     val meta = try ScanMeta.load(SparkSession.active, dir, asOf)
       catch { case scala.util.control.NonFatal(_) => return None }
     if (meta.dirty.nonEmpty) return None // fold outcome needs a read
-    val counts = meta.buckets.keySet.toSeq
-      .map(b => meta.props.get(s"rows.$b").map(_.toLong))
-    if (counts.exists(_.isEmpty)) return None // pre-stats manifest
-    val total = counts.flatten.sum
-    val schema = StructType(agg.aggregateExpressions.zipWithIndex.map {
-      case (_, i) => org.apache.spark.sql.types.StructField(
-        s"count_star_$i", org.apache.spark.sql.types.LongType,
-        nullable = false)
-    })
-    Some((schema, Array.fill(agg.aggregateExpressions.length)(total)))
+    val live = meta.buckets.keySet.toSeq
+
+    def isVersionRef(e: org.apache.spark.sql.connector.expressions
+        .Expression): Boolean = e match {
+      case r: NamedReference => r.fieldNames.length == 1 &&
+        meta.versionCol.exists(r.fieldNames()(0).equalsIgnoreCase)
+      case _ => false
+    }
+    val vType = meta.versionCol
+      .flatMap(vc => meta.schema.fields
+        .find(_.name.equalsIgnoreCase(vc)).map(_.dataType))
+
+    lazy val count: Option[Long] = {
+      val cs = live.map(b => meta.props.get(s"rows.$b").map(_.toLong))
+      if (cs.exists(_.isEmpty)) None else Some(cs.flatten.sum)
+    }
+    // typed extreme over the stringified per-bucket stats (Catalyst
+    // cast back to the column's type — never string order)
+    def extreme(prefix: String, wantMax: Boolean): Option[Any] = {
+      val dt = vType.getOrElse(return None)
+      if (live.isEmpty) return Some(null) // empty table: SQL null
+      val raw = live.map(b => meta.props.get(s"$prefix.$b"))
+      if (raw.exists(_.isEmpty)) return None // pre-stats manifest
+      val typed = raw.flatten.map { s0 =>
+        val v = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s0),
+            org.apache.spark.sql.types.StringType), dt,
+          Some(org.apache.spark.sql.internal.SQLConf.get
+            .sessionLocalTimeZone)).eval()
+        if (v == null) return None // unparsable stat: decline
+        v
+      }
+      val ord = org.apache.spark.sql.catalyst.types.PhysicalDataType
+        .ordering(dt).asInstanceOf[Ordering[Any]]
+      Some(if (wantMax) typed.max(ord) else typed.min(ord))
+    }
+
+    val resolved = agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => count.map(c =>
+        (org.apache.spark.sql.types.StructField(s"count_star_$i",
+          org.apache.spark.sql.types.LongType, nullable = false),
+          c: Any))
+      case (m: Min, i) if isVersionRef(m.column()) =>
+        extreme("minv", wantMax = false).map(v =>
+          (org.apache.spark.sql.types.StructField(s"min_$i",
+            vType.get, nullable = true), v))
+      case (m: Max, i) if isVersionRef(m.column()) =>
+        extreme("maxv", wantMax = true).map(v =>
+          (org.apache.spark.sql.types.StructField(s"max_$i",
+            vType.get, nullable = true), v))
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) return None
+    val pairs = resolved.flatten
+    Some((StructType(pairs.map(_._1)), pairs.map(_._2).toArray))
   }
 
-  override def build(): Scan = aggCounts match {
-    case Some((schema, counts)) => new GraftCountScan(dir, schema, counts)
+  override def build(): Scan = aggStats match {
+    case Some((schema, values)) => new GraftStatsScan(dir, schema, values)
     case None => new GraftScan(dir, asOf, required, pushed, tracker)
   }
 }

@@ -219,7 +219,7 @@ object CdcDemo {
       .as[(String, Option[Double])].head()
     val cntPlan = spark.sql("SELECT count(*) FROM demo.users")
     val zeroScan = cntPlan.queryExecution.executedPlan.toString
-      .contains("GraftCountScan")
+      .contains("GraftStatsScan")
     spark.sql("""CREATE TABLE demo.segments (id BIGINT, seg STRING,
       version BIGINT, deleted BOOLEAN)
       TBLPROPERTIES ('keys'='id', 'buckets'='8')""")

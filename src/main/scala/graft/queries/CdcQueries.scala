@@ -680,7 +680,7 @@ object CdcQueries {
     // compacted catalog table to the manifest's per-bucket row stats —
     // the same O(nBuckets) driver arithmetic cdc_meta_count reaches
     // programmatically, now reached by `SELECT count(*) FROM t`. The
-    // query itself asserts the plan used GraftCountScan (zero file
+    // query itself asserts the plan used GraftStatsScan (zero file
     // partitions), so a green row proves both the answer AND the
     // zero-file route.
     "sql_meta_count" -> ((s, dir) => {
@@ -707,11 +707,14 @@ object CdcQueries {
           (col("o_orderkey") % 5 === 0).as("deleted"))
         .createOrReplaceTempView("catalog_cnt_changes")
       s.sql("INSERT INTO graftcat.cnt_t SELECT * FROM catalog_cnt_changes")
-      val out = s.sql("SELECT count(*) AS n_rows FROM graftcat.cnt_t")
+      val out = s.sql("""SELECT count(*) AS n_rows,
+        CAST(min(version) AS BIGINT) AS min_v,
+        CAST(max(version) AS BIGINT) AS max_v
+        FROM graftcat.cnt_t""")
       require(out.queryExecution.executedPlan.toString
-          .contains("GraftCountScan"),
+          .contains("GraftStatsScan"),
         "COUNT(*) on a compacted catalog table must answer from " +
-          "manifest stats (GraftCountScan), not a file scan:\n" +
+          "manifest stats (GraftStatsScan), not a file scan:\n" +
           out.queryExecution.executedPlan)
       out
     }),
@@ -1737,8 +1740,9 @@ object CdcQueries {
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
-    // the SQL-route count = the same latest-wins recompute (an INSERT
-    // of an existing key upserts by version; tombstones delete)
+    // the SQL-route count/min/max = the same latest-wins recompute
+    // (an INSERT of an existing key upserts by version; tombstones
+    // delete; min/max range over the LIVE rows' versions)
     "sql_meta_count" ->
       """WITH unioned AS (
         |  SELECT o_orderkey AS id, 0 AS version, FALSE AS deleted
@@ -1747,11 +1751,13 @@ object CdcQueries {
         |  SELECT o_orderkey, 1 AS version, (o_orderkey % 5 = 0) AS deleted
         |  FROM orders WHERE o_orderkey % 3 = 0),
         |latest AS (
-        |  SELECT id, deleted,
+        |  SELECT id, version, deleted,
         |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
         |  FROM unioned)
-        |SELECT count(*) AS n_rows FROM latest
-        |WHERE rn = 1 AND NOT deleted""".stripMargin,
+        |SELECT count(*) AS n_rows,
+        |  CAST(min(version) AS BIGINT) AS min_v,
+        |  CAST(max(version) AS BIGINT) AS max_v
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     // the catalog route serves the SAME history the lead-window
     // recompute derives (init + one replayed-batch merge converge)

@@ -107,7 +107,7 @@ class GraftBatchScanSpec extends SparkSpec {
     mkTable("t4", 750, 8)
     val df = sqlc("SELECT count(*) AS n FROM gbatch.t4")
     val scan = scanOf(df)
-    assert(scan.scan.isInstanceOf[GraftCountScan],
+    assert(scan.scan.isInstanceOf[GraftStatsScan],
       s"expected manifest-stats count, got ${scan.scan}")
     assert(df.as[Long].head() == 750L)
     // upsert 5 existing + 10 new keys, still compacted: count tracks
@@ -119,6 +119,20 @@ class GraftBatchScanSpec extends SparkSpec {
     val filtered = sqlc("SELECT count(*) FROM gbatch.t4 WHERE id < 10")
     assert(scanOf(filtered).scan.isInstanceOf[GraftScan])
     assert(filtered.as[Long].head() == 10L)
+  }
+
+  test("MIN/MAX on the version column answer from zone maps") {
+    mkTable("t8", 300, 8)
+    sqlc("INSERT INTO gbatch.t8 SELECT 5L, 'x', 42L, false")
+    val df = sqlc("""SELECT count(*) AS n, min(version) AS mn,
+        max(version) AS mx FROM gbatch.t8""")
+    assert(scanOf(df).scan.isInstanceOf[GraftStatsScan],
+      s"expected manifest stats, got ${scanOf(df).scan}")
+    assert(df.as[(Long, Long, Long)].head() == ((300L, 0L, 42L)))
+    // min/max on a NON-version column declines and still answers
+    val other = sqlc("SELECT max(id) AS m FROM gbatch.t8")
+    assert(scanOf(other).scan.isInstanceOf[GraftScan])
+    assert(other.as[Long].head() == 299L)
   }
 
   test("merge-on-read buckets fold in the reader; count pushdown declines") {
@@ -153,7 +167,7 @@ class GraftBatchScanSpec extends SparkSpec {
     Compaction.compact(spark, dir)
     assert(scanOf(sqlc("SELECT * FROM gbatch.t5")).supportsColumnar)
     assert(scanOf(sqlc("SELECT count(*) AS n FROM gbatch.t5")).scan
-      .isInstanceOf[GraftCountScan])
+      .isInstanceOf[GraftStatsScan])
   }
 
   test("time travel reads the pinned version through the native scan") {

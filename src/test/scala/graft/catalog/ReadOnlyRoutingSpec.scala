@@ -104,7 +104,7 @@ class ReadOnlyRoutingSpec extends SparkSpec {
     graft.cdc.Scd2.compact(spark, dir)
     val cnt = sqlc("SELECT count(*) AS n FROM gro.hist_mor")
     assert(cnt.queryExecution.executedPlan.toString
-      .contains("GraftCountScan"))
+      .contains("GraftStatsScan"))
     assert(cnt.as[Long].head() == 42L)
   }
 
