@@ -113,6 +113,20 @@ private[catalog] final case class GraftFoldPartition(bucket: Int,
   * pruned plan opens exactly the directories the programmatic API
   * would.
   */
+private[catalog] object GraftScan {
+  /** Shared planning-listing pool: daemon threads, one per local
+    * core class — per-scan pools caused thread churn on
+    * catalog-heavy workloads (a fresh 32-thread pool per EXPLAIN).
+    */
+  lazy val listingPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(32,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-scan-listing")
+        t.setDaemon(true)
+        t
+      })
+}
+
 private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     required: StructType, pushed: Array[Filter],
     tracker: Option[GraftRowTracker] = None)
@@ -121,6 +135,11 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private def spark: SparkSession = SparkSession.active
+
+  // ONE manifest snapshot per scan: filterAttributes / filter /
+  // planning / stats all answer against the same committed version,
+  // and a commit landing mid-planning cannot shift the scan under us
+  private lazy val scanMeta: ScanMeta = ScanMeta.load(spark, dir, asOf)
 
   override def readSchema(): StructType = required
 
@@ -178,7 +197,7 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       !conf.dynamicPartitionPruningReuseBroadcastOnly
     if (tracker.isEmpty && (!plainScanSafe || planned.spj))
       return Array.empty
-    val meta = ScanMeta.load(spark, dir, asOf)
+    val meta = scanMeta
     if (meta.keys.size == 1)
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(meta.keys.head))
@@ -188,7 +207,7 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
-    val meta = ScanMeta.load(spark, dir, asOf)
+    val meta = scanMeta
     val sets = predicates.toSeq
       .flatMap(p => GraftPrune.runtimeBucketsOf(meta, p))
     if (sets.nonEmpty) runtimeBuckets = Some(sets.reduce(_ intersect _))
@@ -231,9 +250,23 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     }
   }
 
+  // per-bucket listing cache: a scan that plans more than once (an
+  // EXPLAIN or estimateStatistics pass before a runtime filter
+  // arrives, then the filtered re-plan) pays the FS listing for each
+  // bucket at most ONCE — the re-plan after filter() only touches a
+  // subset of already-listed buckets. Keyed by bucket id, valid for
+  // the life of this scan (one manifest snapshot, see scanMeta).
+  private val listingCache = new java.util.concurrent.ConcurrentHashMap[
+    Int, Seq[(String, Long, Long, Int)]]()
+  // schema-epoch registry shared across re-plans so cached listings'
+  // epoch indices stay valid (the map only grows; an index never
+  // changes meaning once assigned)
+  private val sigIdx = scala.collection.mutable.LinkedHashMap
+    .empty[Seq[String], Int]
+
   private def computePlanned(): Planned = {
     val s = spark
-    val meta = ScanMeta.load(s, dir, asOf)
+    val meta = scanMeta
     val kept = GraftPrune.allowedBuckets(meta, pushed)
       .intersect(runtimeBuckets.getOrElse(meta.liveIds))
     val fs = TxLog.fs(s, dir)
@@ -241,8 +274,6 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
 
     // schema epoch of a generation dir: the physical name vector its
     // files were written under (identity when no renames exist)
-    val sigIdx = scala.collection.mutable.LinkedHashMap
-      .empty[Seq[String], Int]
     def epochOf(rel: String): Int = {
       val genV = Compaction.genVersionOf(rel)
       val sig =
@@ -264,27 +295,36 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     }
 
     // parallel listing: one FS call per kept bucket directory — the
-    // only I/O planning does (manifest and stats are already local)
+    // only I/O planning does (manifest and stats are already local).
+    // The pool is shared across scans (no per-query thread churn) and
+    // results are memoized per bucket (no double listing on re-plan).
     val cleanIds = (kept -- meta.dirty).toSeq.sorted
     val dirtyIds = kept.intersect(meta.dirty).toSeq.sorted
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(32, kept.size)))
-    val (cleanFiles, foldFiles) = try {
+    def listed(b: Int, rels: => Seq[String]): Seq[(String, Long, Long, Int)] = {
+      val hit = listingCache.get(b)
+      if (hit != null) hit
+      else {
+        val r = rels.flatMap(listFiles)
+        listingCache.put(b, r)
+        r
+      }
+    }
+    val (cleanFiles, foldFiles) = {
       implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.ExecutionContext
+          .fromExecutor(GraftScan.listingPool)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       val cleanF = Future.traverse(cleanIds)(b => Future {
-        b -> meta.buckets.get(b).toSeq.flatMap(listFiles)
+        b -> listed(b, meta.buckets.get(b).toSeq)
       })
       val dirtyF = Future.traverse(dirtyIds)(b => Future {
-        val rels = meta.buckets.get(b).toSeq ++
-          meta.deltas.getOrElse(b, Nil)
-        b -> rels.flatMap(listFiles)
+        b -> listed(b, meta.buckets.get(b).toSeq ++
+          meta.deltas.getOrElse(b, Nil))
       })
       (Await.result(cleanF, Duration.Inf),
         Await.result(dirtyF, Duration.Inf))
-    } finally pool.shutdown()
+    }
 
     def pf(path: String, start: Long, len: Long, mod: Long,
         size: Long): PartitionedFile =
@@ -367,7 +407,19 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     val logicalNames = meta.schema.fieldNames.toSeq
     def physOf(epoch: Int, logical: String): String =
       if (logical == "_seq") "_seq"
-      else p.epochSigs(epoch)(logicalNames.indexOf(logical))
+      else {
+        // `required` binds at ANALYSIS time; meta.schema is the scan
+        // snapshot — a concurrent ALTER RENAME committed in between
+        // makes the lookup miss. Fail with the actionable error, not
+        // an ArrayIndexOutOfBounds from indexOf's -1.
+        val i = logicalNames.indexWhere(_.equalsIgnoreCase(logical))
+        if (i < 0) throw new IllegalStateException(
+          s"column '$logical' is not in $dir's committed schema " +
+            s"(${logicalNames.mkString(", ")}): the table schema " +
+            "changed since the query was analyzed (concurrent ALTER " +
+            "TABLE?) — re-run the query")
+        p.epochSigs(epoch)(i)
+      }
     def physSchema(epoch: Int, logical: StructType): StructType =
       StructType(logical.fields.map(f =>
         f.copy(name = physOf(epoch, f.name))))
@@ -873,9 +925,15 @@ private[catalog] object GraftPrune {
       case s.EqualNullSafe(a, v) if isKey(meta, a) && v != null =>
         typedLit(meta, a, v).map(l => Set(bucketOf(meta, l)))
       case s.In(a, vs) if isKey(meta, a) && vs.nonEmpty =>
-        val ls = vs.toSeq.map(typedLit(meta, a, _))
-        if (ls.exists(_.isEmpty)) None
-        else Some(ls.flatten.map(bucketOf(meta, _)).toSet)
+        // same driver-side hashing cost guard as the runtime path: an
+        // IN list bigger than the bucket space cannot prune much —
+        // skip rather than fold xxhash64 over a huge literal set here
+        if (vs.length > 4 * meta.nBuckets + 1) None
+        else {
+          val ls = vs.toSeq.map(typedLit(meta, a, _))
+          if (ls.exists(_.isEmpty)) None
+          else Some(ls.flatten.map(bucketOf(meta, _)).toSet)
+        }
       case s.GreaterThan(a, v) if isVersion(meta, a) =>
         typedLit(meta, a, v).map(l =>
           zonePass(meta)(c => statHolds(meta, c._2, l, GT)))
@@ -893,11 +951,16 @@ private[catalog] object GraftPrune {
           statHolds(meta, c._1, l, LTE) &&
             statHolds(meta, c._2, l, GTE)))
       case s.In(a, vs) if isVersion(meta, a) && vs.nonEmpty =>
-        val ls = vs.toSeq.map(typedLit(meta, a, _))
-        if (ls.exists(_.isEmpty)) None
-        else Some(zonePass(meta)(c => ls.flatten.exists(l =>
-          statHolds(meta, c._1, l, LTE) &&
-            statHolds(meta, c._2, l, GTE))))
+        // cap for the same reason: the zone pass is O(|vs| * buckets)
+        // on the driver and a huge IN rarely narrows a version range
+        if (vs.length > 4 * meta.nBuckets + 1) None
+        else {
+          val ls = vs.toSeq.map(typedLit(meta, a, _))
+          if (ls.exists(_.isEmpty)) None
+          else Some(zonePass(meta)(c => ls.flatten.exists(l =>
+            statHolds(meta, c._1, l, LTE) &&
+              statHolds(meta, c._2, l, GTE))))
+        }
       case _ => None
     }
 

@@ -63,14 +63,30 @@ private[catalog] final class GraftRowLevelOperation(dir: String,
     new GraftScanBuilder(dir, None, schema, Some(tracker))
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Decide marker handling from the PLAN, not per-row arity, when
+    // the write schema makes it visible: a future Spark that exposes
+    // the __row_operation marker in LogicalWriteInfo gets a
+    // build-time strip decision; the current one (marker present in
+    // physical rows but absent from info.schema()) falls back to a
+    // validated arity check in the writer that fails loudly on any
+    // unexpected shape instead of silently mis-projecting.
+    val opCol =
+      org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN
+    val declared = info.schema()
+    val (dataSchema, knownStrip) =
+      if (declared.nonEmpty && declared.head.name == opCol)
+        (StructType(declared.tail), Some(true))
+      else (declared, None)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftReplaceBatchWrite(dir, info.schema(), tracker,
-            allowInserts = cmd == RowLevelOperation.Command.MERGE)
+          new GraftReplaceBatchWrite(dir, dataSchema, tracker,
+            allowInserts = cmd == RowLevelOperation.Command.MERGE,
+            knownStrip = knownStrip)
       }
     }
+  }
 }
 
 /** The replace write: staged parquet per partition, one fenced
@@ -79,7 +95,8 @@ private[catalog] final class GraftRowLevelOperation(dir: String,
   */
 private[catalog] final class GraftReplaceBatchWrite(dir: String,
     writeSchema: StructType, tracker: GraftRowTracker,
-    allowInserts: Boolean) extends BatchWrite {
+    allowInserts: Boolean,
+    knownStrip: Option[Boolean] = None) extends BatchWrite {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -90,7 +107,7 @@ private[catalog] final class GraftReplaceBatchWrite(dir: String,
       info: PhysicalWriteInfo): DataWriterFactory = {
     val (owf, confEntries) = GraftStage.prepare(spark, writeSchema)
     new GraftReplaceWriterFactory(stagingRoot, writeSchema, owf,
-      confEntries)
+      confEntries, knownStrip)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -123,7 +140,8 @@ private[catalog] final class GraftReplaceBatchWrite(dir: String,
 private[catalog] final class GraftReplaceWriterFactory(
     stagingRoot: String, schema: StructType,
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    confEntries: Map[String, String]) extends DataWriterFactory {
+    confEntries: Map[String, String],
+    knownStrip: Option[Boolean]) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
@@ -145,10 +163,26 @@ private[catalog] final class GraftReplaceWriterFactory(
         schema.fields.zipWithIndex.map { case (f, i) =>
           BoundReference(i + 1, f.dataType, nullable = true)
         }.toSeq)
-      private var strip = -1
+      // strip decided at BUILD time when the plan exposed the marker
+      // (knownStrip), otherwise from the first row's arity — the only
+      // two legal arities are the data schema and data+marker; any
+      // other shape means Spark changed the physical row layout, and
+      // silently projecting would shift every column by one, so fail.
+      private var strip = knownStrip.map(b => if (b) 1 else 0).getOrElse(-1)
+      private def decide(n: Int): Int =
+        if (n == schema.length) 0
+        else if (n == schema.length + 1) 1
+        else throw new IllegalStateException(
+          s"row-level write received rows of arity $n for a " +
+            s"${schema.length}-column table: the physical row layout " +
+            "does not match data or data+__row_operation — refusing " +
+            "to mis-project staged rows")
       override def write(r: InternalRow): Unit = {
-        if (strip < 0) strip =
-          if (r.numFields == schema.length + 1) 1 else 0
+        if (strip < 0) strip = decide(r.numFields)
+        else if (r.numFields != schema.length + strip)
+          throw new IllegalStateException(
+            s"row-level write arity changed mid-stream: expected " +
+              s"${schema.length + strip} fields, got ${r.numFields}")
         inner.write(if (strip == 1) stripOp(r) else r)
       }
       override def commit(): WriterCommitMessage = inner.commit()

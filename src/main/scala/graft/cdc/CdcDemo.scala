@@ -220,6 +220,7 @@ object CdcDemo {
     val cntPlan = spark.sql("SELECT count(*) FROM demo.users")
     val zeroScan = cntPlan.queryExecution.executedPlan.toString
       .contains("GraftStatsScan")
+    spark.sql("DROP TABLE IF EXISTS demo.segments")
     spark.sql("""CREATE TABLE demo.segments (id BIGINT, seg STRING,
       version BIGINT, deleted BOOLEAN)
       TBLPROPERTIES ('keys'='id', 'buckets'='8')""")

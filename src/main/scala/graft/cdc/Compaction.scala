@@ -65,6 +65,18 @@ object Compaction {
   private def bucketOf(keys: Seq[org.apache.spark.sql.Column], nBuckets: Int) =
     Bucketing.bucketOf(keys, nBuckets)
 
+  /** Null-tombstone convention, engine-wide: a NULL delete flag means
+    * LIVE — a delta row without an explicit tombstone is an upsert.
+    * Every fold (foldBuckets, morMerge, replaceBuckets, init, Scd2)
+    * and the catalog reader's in-reader fold (GraftFold.foldMerge /
+    * foldScd2) apply this same rule, so a dirty-bucket read and the
+    * post-compaction read of the same table always agree. A bare
+    * `!col(deleteCol)` would silently DROP null-flag rows under
+    * three-valued logic — never write that; use `!isDeleted(...)`.
+    */
+  private[graft] def isDeleted(deleteCol: String): org.apache.spark.sql.Column =
+    coalesce(col(deleteCol), lit(false))
+
   /** Column names the operator generates internally; user data
     * carrying one would be silently replaced or dropped, so init
     * rejects them up front.
@@ -130,7 +142,7 @@ object Compaction {
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     TxLog.invalidate(dir)
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
-    df.filter(!col(deleteCol))
+    df.filter(!isDeleted(deleteCol))
       .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
       // hash-partition on bucket + in-partition (bucket, key) sort:
       // one writer task per bucket, deterministic file content, and
@@ -531,7 +543,7 @@ object Compaction {
     val w = Window.partitionBy(m.keyCols: _*)
       .orderBy(col(m.versionCol).desc, col("_seq").desc_nulls_last)
     raw.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col(m.deleteCol))
+      .filter(col("_rn") === 1 && !isDeleted(m.deleteCol))
       .drop("_rn", "_seq")
       .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
   }
@@ -731,7 +743,7 @@ object Compaction {
       // rows carry a null `_seq` (base files read it back null).
       val inGroup = col("bucket").isInCollection(bucketIds.toSeq)
       replacement.select(m.schema.fieldNames.map(col).toSeq: _*)
-        .filter(!col(m.deleteCol))
+        .filter(!isDeleted(m.deleteCol))
         .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
         .withColumn("_seq", when(inGroup,
           lit(null).cast("long")).otherwise(lit(txn.newVersion)))
@@ -1328,9 +1340,9 @@ object Compaction {
           .over(wKey))
       .filter(col("_rn") === 1 && col("_src") === 1)
       // a tombstone for a key the table never held: no table effect
-      .filter(!(col(deleteCol) && col("_had_stored") === 0))
+      .filter(!(isDeleted(deleteCol) && col("_had_stored") === 0))
       .select(col("bucket"), explode(
-        when(col(deleteCol),
+        when(isDeleted(deleteCol),
           array(struct(lit("delete").as("change_type"),
             col("_pre").as("payload"))))
         .when(col("_had_stored") === 1,
@@ -1401,7 +1413,7 @@ object Compaction {
     // row counts come from the staged files' footers afterwards, so
     // the old count-then-write double pass (and its cache) is gone
     val winners = ranked
-      .filter(col("_rn") === 1 && !col(deleteCol))
+      .filter(col("_rn") === 1 && !isDeleted(deleteCol))
       .drop("_rn", "_src")
 
     val feedRows: Long = if (!emitFeed) 0L

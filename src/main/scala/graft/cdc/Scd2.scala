@@ -69,7 +69,11 @@ object Scd2 {
     states
       .dropDuplicates(keys :+ versionCol)
       .withColumn("valid_to", lead(col(versionCol), 1).over(w))
-      .withColumn("is_current", col("valid_to").isNull && !col(deleteCol))
+      // null delete flag = LIVE (Compaction.isDeleted convention);
+      // a bare !col would write NULL into is_current for such rows
+      // while the catalog reader's foldScd2 computes true
+      .withColumn("is_current",
+        col("valid_to").isNull && !Compaction.isDeleted(deleteCol))
   }
 
   /** Build the history table from a full changelog (any number of
@@ -340,7 +344,7 @@ object Scd2 {
     storedData(spark, dir, m).drop("bucket")
       .filter(col(versionCol) <= lit(v) &&
         (col("valid_to").isNull || col("valid_to") > lit(v)) &&
-        !col(deleteCol))
+        !Compaction.isDeleted(deleteCol))
       .drop("valid_to", "is_current")
   }
 
