@@ -77,6 +77,19 @@ object Compaction {
   private[graft] def isDeleted(deleteCol: String): org.apache.spark.sql.Column =
     coalesce(col(deleteCol), lit(false))
 
+  /** Step timing for the merge/feed protocol path, printed only when
+    * GRAFT_PROF=1 — zero overhead otherwise (one boolean check).
+    */
+  private val profEnabled = sys.env.get("GRAFT_PROF").contains("1")
+  private[cdc] def prof[A](label: String)(f: => A): A =
+    if (!profEnabled) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"GRAFTPROF $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Column names the operator generates internally; user data
     * carrying one would be silently replaced or dropped, so init
     * rejects them up front.
@@ -1275,7 +1288,7 @@ object Compaction {
     val versionCol = m.versionCol
     // clear crashed writers' leftovers (grace-aware: a LIVE concurrent
     // writer's staging and in-flight generation survive the sweep)
-    TxLog.sweep(spark, dir)
+    prof("merge.sweep") { TxLog.sweep(spark, dir) }
     val txn = new TableTxn(spark, dir, m.snap.version)
     if (mergeOnRead)
       return morMerge(spark, dir, m, txn, changes, dataCols, touched,
@@ -1417,17 +1430,21 @@ object Compaction {
       .drop("_rn", "_src")
 
     val feedRows: Long = if (!emitFeed) 0L
-      else stageFeed(spark, fs, staging, ranked, unioned, keys, deleteCol)
+      else prof("merge.stageFeed") {
+        stageFeed(spark, fs, staging, ranked, unioned, keys, deleteCol)
+      }
 
     // stage the new bucket contents while every pre-image directory is
     // still live (they stay live until a LATER merge's sweep — commit
     // never deletes): the write job reads the real committed files, so
     // losing cache blocks mid-write merely recomputes
-    winners
-      .repartition(col("bucket"))
-      .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$staging/data")
+    prof("merge.stageWinners") {
+      winners
+        .repartition(col("bucket"))
+        .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$staging/data")
+    }
     val staged = txn.stagedBucketIds()
     // a touched bucket with zero surviving keys staged no partition:
     // it leaves the manifest's bucket map and its old directory is
@@ -1463,7 +1480,9 @@ object Compaction {
           k.startsWith(p) && !touched.contains(k.drop(p.length).toInt))
         => k -> v
     }
-    val newStats = stagedStats(spark, staging, staged, versionCol)
+    val newStats = prof("merge.stagedStats") {
+      stagedStats(spark, staging, staged, versionCol)
+    }
     // rowsWritten = the staged footer counts — the pass the old
     // pre-write winners.count() made is folded into the stats read
     val rows = newStats.values.map(_.rows).sum
@@ -1477,7 +1496,7 @@ object Compaction {
     // THE commit: one manifest rename publishes data + schema + fence
     // (on a lost CAS the txn reclaims its install and the OCC loop
     // recomputes against the winner's snapshot)
-    txn.installAndCommit(newBuckets, props)
+    prof("merge.commit") { txn.installAndCommit(newBuckets, props) }
 
     // publish the feed batch only now that the table state it
     // describes is committed (see scaladoc for the residual window).
@@ -1494,9 +1513,11 @@ object Compaction {
     // alone referenced (the touched buckets' pre-images). Hygiene
     // only: the merge is COMMITTED, a failure here must not convert
     // it into a spurious retry
-    TxLog.hygiene {
-      txn.cleanup()
-      if (!retainHistory) TxLog.vacuum(spark, dir, newVersion)
+    prof("merge.cleanup+vacuum") {
+      TxLog.hygiene {
+        txn.cleanup()
+        if (!retainHistory) TxLog.vacuum(spark, dir, newVersion)
+      }
     }
 
     MergeStats(touched, emptied, rows, feedRows)
