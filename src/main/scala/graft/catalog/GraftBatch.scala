@@ -129,7 +129,9 @@ private[catalog] object GraftScan {
 
 private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     required: StructType, pushed: Array[Filter],
-    tracker: Option[GraftRowTracker] = None)
+    tracker: Option[GraftRowTracker] = None,
+    streamOptions: org.apache.spark.sql.util.CaseInsensitiveStringMap =
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -144,6 +146,39 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table("graft.ns.t")`: the change data feed as
+    * a CHANGELOG stream in the TABLE schema — insert and
+    * update-postimage events as their rows, deletes as the pre-image
+    * row with the table's own tombstone column set true (the
+    * [[Compaction.feedAsChangelog]] shape, so `readStream.table(src)
+    * .writeStream.toTable(dst)` closes the replication loop through
+    * nothing but standard API). Offsets are feed batch ids —
+    * checkpoint-resumed, rate-limited with
+    * `.option("maxBatchesPerTrigger", n)`, fenced for fresh
+    * checkpoints with `.option("startingBatch", b)`. Raw events
+    * (`_change_type`, preimages, batch ids) stream via
+    * [[graft.plans.GraftTables.changeStream]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      "cannot stream a time-travel (AS OF) table")
+    val meta = scanMeta
+    require(meta.props.get("feed").contains("true"),
+      s"the table at $dir has no change data feed: create it with " +
+        "TBLPROPERTIES ('feed'='true') or enable it with ALTER TABLE " +
+        "... SET TBLPROPERTIES ('feed'='true') — the feed starts at " +
+        "the next commit")
+    val deleteCol = meta.deleteCol.getOrElse(throw new IllegalStateException(
+      s"merge table at $dir lacks a delete column"))
+    new graft.streaming.FeedBatchStream(dir,
+      Option(streamOptions.get("maxBatchesPerTrigger")).map(_.toLong),
+      Option(streamOptions.get("startingBatch")).map(_.toLong)
+        .getOrElse(-1L),
+      rowSchema = Some(required),
+      changelogDeleteCol = Some(deleteCol))
+  }
 
   // ----- storage-partitioned joins -----------------------------------
   // With spark.sql.sources.v2.bucketing.enabled, the scan reports
@@ -198,10 +233,13 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     if (tracker.isEmpty && (!plainScanSafe || planned.spj))
       return Array.empty
     val meta = scanMeta
-    if (meta.keys.size == 1)
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column(meta.keys.head))
-    else Array.empty
+    // composite keys advertise every key column: a join binding the
+    // whole tuple delivers one single-column IN per key, combined by
+    // filter() into tuple-hash pruning; a join binding only part of
+    // the tuple prunes nothing (runtimeBucketsOf/Composite decline)
+    // but Spark re-applies the filter above the scan regardless.
+    meta.keys.map(k => org.apache.spark.sql.connector.expressions
+      .Expressions.column(k)).toArray
   }
 
   override def filter(predicates: Array[
@@ -209,7 +247,8 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       : Unit = {
     val meta = scanMeta
     val sets = predicates.toSeq
-      .flatMap(p => GraftPrune.runtimeBucketsOf(meta, p))
+      .flatMap(p => GraftPrune.runtimeBucketsOf(meta, p)) ++
+      GraftPrune.runtimeBucketsComposite(meta, predicates.toSeq)
     if (sets.nonEmpty) runtimeBuckets = Some(sets.reduce(_ intersect _))
   }
 
@@ -488,22 +527,95 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
   /** Size from the pruned listing, rows from the manifest's exact
     * per-bucket counts when nothing filters them (clean buckets only —
     * a dirty bucket's fold outcome is not knowable from metadata) —
-    * the numbers AQE and broadcast planning act on.
+    * the numbers AQE and broadcast planning act on. On top of that,
+    * COLUMN-level statistics from the same manifest, for CBO join
+    * reordering and broadcast decisions at 100 TB:
+    *
+    *  - merge keys are UNIQUE by construction (every commit folds to
+    *    latest-state per key), so distinctCount = numRows and
+    *    nullCount = 0 — the exact NDV a join-cardinality estimate
+    *    needs, with no sampling pass;
+    *  - the version column's global min/max fold the per-bucket zone
+    *    maps (typed through the same Catalyst cast the pruning uses,
+    *    never string order).
     */
   override def estimateStatistics(): Statistics = {
     val p = planned
+    val exact = pushed.isEmpty && p.foldParts.isEmpty
     val rows: OptionalLong =
-      if (pushed.nonEmpty || p.foldParts.nonEmpty) OptionalLong.empty()
+      if (!exact) OptionalLong.empty()
       else {
         val counts = p.keptIds.toSeq.map(b =>
           p.meta.props.get(s"rows.$b").map(_.toLong))
         if (counts.exists(_.isEmpty)) OptionalLong.empty()
         else OptionalLong.of(counts.flatten.sum)
       }
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (rows.isPresent) {
+      val n = rows.getAsLong
+      val requiredNames = required.fieldNames.map(_.toLowerCase).toSet
+      p.meta.keys.filter(k => requiredNames(k.toLowerCase)).foreach { k =>
+        colStats.put(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(k),
+          new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+            override def distinctCount(): OptionalLong =
+              OptionalLong.of(n)
+          })
+      }
+      p.meta.versionCol
+        .filter(vc => requiredNames(vc.toLowerCase))
+        .foreach { vc =>
+          val vType = p.meta.schema.fields
+            .find(_.name.equalsIgnoreCase(vc)).map(_.dataType)
+          val mins = p.keptIds.toSeq.map(b =>
+            p.meta.props.get(s"minv.$b"))
+          val maxs = p.keptIds.toSeq.map(b =>
+            p.meta.props.get(s"maxv.$b"))
+          if (vType.isDefined && p.keptIds.nonEmpty &&
+              !mins.exists(_.isEmpty) && !maxs.exists(_.isEmpty)) {
+            val dt = vType.get
+            val ord = org.apache.spark.sql.catalyst.types
+              .PhysicalDataType.ordering(dt)
+              .asInstanceOf[Ordering[Any]]
+            def typed(s: String): Option[Any] = {
+              val tz = Some(SQLConf.get.sessionLocalTimeZone)
+              val c = org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(s),
+                  org.apache.spark.sql.types.StringType), dt, tz)
+              if (!c.resolved) None else Option(c.eval())
+            }
+            val lo = mins.flatten.flatMap(typed(_))
+            val hi = maxs.flatten.flatMap(typed(_))
+            if (lo.size == p.keptIds.size && hi.size == p.keptIds.size) {
+              val mn = lo.min(ord)
+              val mx = hi.max(ord)
+              colStats.put(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(vc),
+                new org.apache.spark.sql.connector.read.colstats
+                    .ColumnStatistics {
+                  override def min(): java.util.Optional[Object] =
+                    java.util.Optional.of(mn.asInstanceOf[Object])
+                  override def max(): java.util.Optional[Object] =
+                    java.util.Optional.of(mx.asInstanceOf[Object])
+                })
+            }
+          }
+        }
+    }
     new Statistics {
       override def sizeInBytes(): OptionalLong =
         OptionalLong.of(math.max(p.totalBytes, 1L))
       override def numRows(): OptionalLong = rows
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 }
@@ -1020,6 +1132,77 @@ private[catalog] object GraftPrune {
         else None
       case _ => None
     }
+  }
+
+  /** Composite-key RUNTIME pruning: dynamic partition pruning on a
+    * composite-keyed table arrives as one single-column IN per join
+    * key (Spark plans each equi-join key's DPP filter independently).
+    * One column alone cannot pin a tuple hash, but when EVERY key
+    * column carries a bounded literal set, the actual join tuples are
+    * a subset of the sets' cross product — hashing the product is
+    * sound (it can only keep extra buckets, never drop a real one).
+    * The product is capped like the single-key path: beyond
+    * 4·nBuckets tuples the driver-side hashing cannot pay for itself.
+    */
+  def runtimeBucketsComposite(meta: ScanMeta,
+      predicates: Seq[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Option[Set[Int]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+    if (meta.keys.size <= 1) return None
+    def flat(p: org.apache.spark.sql.connector.expressions.filter
+        .Predicate): Seq[org.apache.spark.sql.connector.expressions
+        .filter.Predicate] =
+      if (p.name() == "AND")
+        p.children().toSeq.collect {
+          case c: org.apache.spark.sql.connector.expressions.filter
+            .Predicate => c
+        }.flatMap(flat)
+      else Seq(p)
+    def keyRef(e: VExpr): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        meta.keys.find(_.equalsIgnoreCase(r.fieldNames()(0)))
+      case _ => None
+    }
+    def lit(e: VExpr, key: String): Option[Literal] = {
+      val keyType = meta.schema.fields
+        .find(_.name.equalsIgnoreCase(key)).map(_.dataType)
+      e match {
+        case l: VLit[_] if keyType.contains(l.dataType) && l.value != null =>
+          Some(Literal(l.value, l.dataType))
+        case _ => None
+      }
+    }
+    // per-key literal sets from the predicates' IN / = / <=> atoms;
+    // several atoms on one key intersect (all must hold)
+    val perKey = scala.collection.mutable.Map.empty[String, Set[Literal]]
+    def bind(key: String, vals: Set[Literal]): Unit =
+      perKey(key) = perKey.get(key).map(_ intersect vals).getOrElse(vals)
+    predicates.flatMap(flat).foreach { p =>
+      p.name() match {
+        case "IN" if p.children().nonEmpty =>
+          keyRef(p.children()(0)).foreach { k =>
+            val ls = p.children().drop(1).toSeq.map(lit(_, k))
+            if (!ls.exists(_.isEmpty)) bind(k, ls.flatten.toSet)
+          }
+        case "=" | "<=>" if p.children().length == 2 =>
+          val Array(a, b) = p.children()
+          keyRef(a).foreach(k => lit(b, k).foreach(l => bind(k, Set(l))))
+          keyRef(b).foreach(k => lit(a, k).foreach(l => bind(k, Set(l))))
+        case _ => ()
+      }
+    }
+    if (!meta.keys.forall(perKey.contains)) return None
+    val sets = meta.keys.map(perKey)
+    val product = sets.map(_.size.toLong).product
+    if (product == 0) return Some(Set.empty) // a key bound to nothing
+    if (product > 4L * meta.nBuckets + 1) return None
+    def cross(ss: Seq[Set[Literal]]): Seq[Seq[Literal]] = ss match {
+      case Seq() => Seq(Seq.empty)
+      case head +: tail =>
+        for (h <- head.toSeq; t <- cross(tail)) yield h +: t
+    }
+    Some(cross(sets).map(tuple =>
+      bucketOfLits(tuple, meta.nBuckets)).toSet)
   }
 
   /** Composite-key point pruning: conjuncts binding EVERY key column

@@ -218,6 +218,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val nBuckets = prop(properties, "buckets").map(_.toInt).getOrElse(256)
     val clusterBy = prop(properties, "cluster_by")
       .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val feed = prop(properties, "feed").exists(_.toBoolean)
     val location = prop(properties, TableCatalog.PROP_LOCATION)
     val dir = location.getOrElse(managedDir(ident))
     // validate BEFORE registering anything: a failed CREATE must leave
@@ -242,6 +243,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       check("version_col", prop(properties, "version_col"), exVersion)
       check("delete_col", prop(properties, "delete_col"), exDelete)
       check("buckets", prop(properties, "buckets"), exBuckets.toString)
+      check("feed", prop(properties, "feed").map(_.toBoolean.toString),
+        Compaction.feedEnabled(spark, dir).toString)
       if (schema.nonEmpty) {
         val stored = DataType.fromJson(TxLog.latest(spark, dir).get
           .props("schema_json")).asInstanceOf[StructType]
@@ -252,7 +255,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     } else {
       Compaction.initEmpty(spark, dir, schema, keys, versionCol,
-        deleteCol, nBuckets, clusterBy)
+        deleteCol, nBuckets, clusterBy, feed)
     }
     location.foreach { loc =>
       // external attach: persist the redirect under the managed path
@@ -296,6 +299,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RenameColumn =>
         Some(Compaction.SchemaChange.RenameColumn(
           top(r.fieldNames(), "RENAME COLUMN"), r.newName()))
+      case w: TableChange.UpdateColumnType =>
+        Some(Compaction.SchemaChange.WidenColumn(
+          top(w.fieldNames(), "ALTER COLUMN TYPE"), w.newDataType()))
+      // the change-feed opt-in toggles as a metadata-only commit; any
+      // other property touch stays a no-op (the manifest owns table
+      // parameters)
+      case p: TableChange.SetProperty if p.property() == "feed" =>
+        Compaction.setFeedEnabled(spark, dir, p.value().toBoolean)
+        None
       case _: TableChange.SetProperty => None // no-op touch
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support $other")
@@ -435,20 +447,26 @@ final class GraftTable(tableName: String, val dir: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // `spark.readStream.table("graft.ns.t")` — the table's change
+      // data feed as a CHANGELOG stream in the table schema (see
+      // GraftScan.toMicroBatchStream); requires the 'feed' property
+      TableCapability.MICRO_BATCH_READ)
 
   override def properties(): util.Map[String, String] = {
     val (keys, versionCol, deleteCol, nBuckets) =
       Compaction.readMeta(spark, dir)
-    Map(TableCatalog.PROP_PROVIDER -> "graft", "keys" -> keys,
+    (Map(TableCatalog.PROP_PROVIDER -> "graft", "keys" -> keys,
       "version_col" -> versionCol, "delete_col" -> deleteCol,
       "buckets" -> nBuckets.toString,
-      TableCatalog.PROP_LOCATION -> dir).asJava
+      TableCatalog.PROP_LOCATION -> dir) ++
+      (if (Compaction.feedEnabled(spark, dir)) Map("feed" -> "true")
+       else Map.empty)).asJava
   }
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, asOf, schema())
+    new GraftScanBuilder(dir, asOf, schema(), None, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, "cannot write to a time-travel (AS OF) table")
@@ -480,7 +498,9 @@ final class GraftTable(tableName: String, val dir: String,
   */
 private[catalog] final class GraftScanBuilder(dir: String,
     asOf: Option[Long], tableSchema: StructType,
-    tracker: Option[GraftRowTracker] = None) extends ScanBuilder
+    tracker: Option[GraftRowTracker] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -594,7 +614,8 @@ private[catalog] final class GraftScanBuilder(dir: String,
 
   override def build(): Scan = aggStats match {
     case Some((schema, values)) => new GraftStatsScan(dir, schema, values)
-    case None => new GraftScan(dir, asOf, required, pushed, tracker)
+    case None => new GraftScan(dir, asOf, required, pushed, tracker,
+      options)
   }
 }
 
@@ -704,7 +725,8 @@ private[catalog] final class GraftWriteBuilder(dir: String,
             val clusterBy = snap.prop("cluster_by")
               .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
             Compaction.init(aligned, dir, keyProp.split(",").toSeq,
-              versionCol, deleteCol, nBuckets, clusterBy)
+              versionCol, deleteCol, nBuckets, clusterBy,
+              feed = snap.prop("feed").contains("true"))
           } else {
             // catalog tables keep history: VERSION AS OF serves every
             // commit until an explicit Compaction.vacuum bounds it

@@ -139,7 +139,18 @@ object Compaction {
     */
   def init(df: DataFrame, dir: String, keys: Seq[String],
       versionCol: String, deleteCol: String,
-      nBuckets: Int, clusterBy: Seq[String]): Unit = {
+      nBuckets: Int, clusterBy: Seq[String]): Unit =
+    init(df, dir, keys, versionCol, deleteCol, nBuckets, clusterBy,
+      feed = false)
+
+  /** Feed variant: `feed = true` opts the table into the change data
+    * feed from birth — every subsequent merge emits (see
+    * [[feedEnabled]]).
+    */
+  def init(df: DataFrame, dir: String, keys: Seq[String],
+      versionCol: String, deleteCol: String,
+      nBuckets: Int, clusterBy: Seq[String],
+      feed: Boolean): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
     requireNoReserved(df.columns.toSeq, "table schema")
@@ -170,6 +181,7 @@ object Compaction {
       newBuckets = staged.map(b => b -> txn.bucketRel(b)).toMap,
       props = coreProps(keys, versionCol, deleteCol, nBuckets,
         df.schema.json, clusterBy) ++
+        (if (feed) Map("feed" -> "true") else Map.empty) ++
         rowProps(stagedStats(spark, txn.staging, staged, versionCol)) +
         ("op" -> "init"))
     txn.cleanup()
@@ -185,7 +197,8 @@ object Compaction {
   def initEmpty(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType, keys: Seq[String],
       versionCol: String, deleteCol: String,
-      nBuckets: Int = 256, clusterBy: Seq[String] = Nil): Unit = {
+      nBuckets: Int = 256, clusterBy: Seq[String] = Nil,
+      feed: Boolean = false): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     requireNoReserved(schema.fieldNames.toSeq, "table schema")
     Bucketing.encodeKeys(keys)
@@ -203,7 +216,9 @@ object Compaction {
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
     txn.installAndCommit(newBuckets = Map.empty,
       props = coreProps(keys, versionCol, deleteCol, nBuckets,
-        schema.json, clusterBy) + ("op" -> "create"))
+        schema.json, clusterBy) ++
+        (if (feed) Map("feed" -> "true") else Map.empty) +
+        ("op" -> "create"))
     txn.cleanup()
   }
 
@@ -802,18 +817,89 @@ object Compaction {
           s"drows.$b" -> rows.toString) ++
           mx.map(v => s"dmaxv.$b" -> v)
       }.toMap
+      // change-feed from the v2 row-level path: Spark hands over
+      // post-images only, so per-row effect classification diffs the
+      // replaced buckets' committed pre-state against the STAGED
+      // post-state (already materialized — no replan of the MERGE
+      // source). O(replaced buckets + replacement), emitted only for
+      // feed-enabled tables, and published with the same post-commit
+      // rename protocol a merge's feed batch uses — a third-party
+      // engine planning DML through the standard connector now feeds
+      // the stream exactly like the GraftDml route.
+      val feedBatch: Option[Long] =
+        if (!feedEnabled(m.snap)) None
+        else {
+          val pre = liveView(spark, dir, m, bucketIds).drop("bucket")
+          val post =
+            if (staged.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                m.schema)
+            else spark.read.schema(m.schema).parquet(
+              staged.map(b => s"${txn.staging}/data/bucket=$b"): _*)
+          stageReplaceFeed(spark, txn.staging, pre, post, m)
+          Some(nextBatch(spark, dir, m))
+        }
       val props = coreProps(m.keys, m.versionCol, m.deleteCol,
         m.nBuckets, m.schema.json, m.clusterBy) ++
         evolutionProps(m.snap) ++ carried ++
         rowProps(newStats.view.filterKeys(stagedIn.contains).toMap) ++
         escapeProps ++
-        m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
+        feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
+          .orElse(m.snap.prop("next_feed_batch")
+            .map("next_feed_batch" -> _)) +
         ("op" -> "replace")
       // catalog tables keep history: VERSION AS OF serves every commit
       // until an explicit vacuum, exactly like the DML lowering
       txn.installAndCommit(newBuckets, props)
+      feedBatch.foreach(n => publishFeed(TxLog.fs(spark, dir),
+        txn.staging, dir, n, txn.newVersion))
       TxLog.hygiene(txn.cleanup())
     }
+  }
+
+  /** Classify the table effect of a bucket replace (insert / delete /
+    * update pre+post per key) by a null-safe full-outer join of the
+    * replaced buckets' pre-state against the staged post-state, and
+    * stage it under `<staging>/feed` in the exact layout
+    * [[stageFeed]] produces — one feed, two producers.
+    */
+  private def stageReplaceFeed(spark: SparkSession, staging: String,
+      pre: DataFrame, post: DataFrame, m: Meta): Unit = {
+    val cols = m.schema.fieldNames.toSeq
+    val keyLower = m.keys.map(_.toLowerCase).toSet
+    val valueCols = cols.filterNot(c => keyLower(c.toLowerCase))
+    val o = pre.select(lit(1).as("_o_present") +:
+      cols.map(c => col(c).as(s"_o_$c")): _*)
+    val n = post.select(lit(1).as("_n_present") +:
+      cols.map(c => col(c).as(s"_n_$c")): _*)
+    val joined = o.join(n,
+      m.keys.map(k => col(s"_o_$k") <=> col(s"_n_$k")).reduce(_ && _),
+      "full_outer")
+    val same = valueCols.map(c => col(s"_o_$c") <=> col(s"_n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val oPayload = struct(cols.map(c => col(s"_o_$c").as(c)): _*)
+    val nPayload = struct(cols.map(c => col(s"_n_$c").as(c)): _*)
+    joined
+      .filter(col("_o_present").isNull || col("_n_present").isNull ||
+        !same)
+      .select(explode(
+        when(col("_n_present").isNull,
+          array(struct(lit("delete").as("change_type"),
+            oPayload.as("payload"))))
+        .when(col("_o_present").isNull,
+          array(struct(lit("insert").as("change_type"),
+            nPayload.as("payload"))))
+        .otherwise(array(
+          struct(lit("update_preimage").as("change_type"),
+            oPayload.as("payload")),
+          struct(lit("update_postimage").as("change_type"),
+            nPayload.as("payload"))))).as("_f"))
+      .select(col("_f.payload.*"),
+        col("_f.change_type").as("_change_type"))
+      .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
+      .repartition(col("bucket")).drop("bucket")
+      .write.mode("overwrite").parquet(s"$staging/feed")
   }
 
   /** One ALTER TABLE change for [[alterSchema]]. */
@@ -825,16 +911,74 @@ object Compaction {
     final case class DropColumn(name: String) extends SchemaChange
     final case class RenameColumn(from: String, to: String)
       extends SchemaChange
+    final case class WidenColumn(name: String,
+        to: org.apache.spark.sql.types.DataType) extends SchemaChange
   }
 
-  /** Schema-evolution bookkeeping every commit carries forward: the
-    * versioned rename events (retained old generation directories
-    * still resolve their physical column names through them) and the
-    * dropped-name fence.
+  /** Type promotions ALTER COLUMN accepts — exactly the set the
+    * vectorized parquet reader widens IN THE SCAN (Spark 4's
+    * IntegerToLong/IntegerToDouble/FloatToDouble updaters and the
+    * unscaled-decimal paths), so a widen is a metadata-only commit:
+    * pre-widen files keep their narrow physical type and every read
+    * funnel requests the wide logical type. Narrowing (lossy) and
+    * anything the reader cannot widen in place refuse.
+    */
+  private[graft] def canWiden(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision >= d1.precision
+      case _ => false
+    }
+  }
+
+  /** Durable table flags every commit carries forward: the versioned
+    * rename events (retained old generation directories still resolve
+    * their physical column names through them), the dropped-name
+    * fence, and the change-feed opt-in.
     */
   private def evolutionProps(snap: TxLog.Snapshot): Map[String, String] =
     snap.props.filter { case (k, _) =>
-      k.startsWith("rename.") || k == "dead_cols"
+      k.startsWith("rename.") || k == "dead_cols" || k == "feed"
+    }
+
+  /** Whether the table opted into the change data feed
+    * (`TBLPROPERTIES ('feed'='true')` / `init(..., feed = true)`).
+    * When set, EVERY write path emits feed events — catalog INSERT,
+    * streaming writes, the SQL DML lowerings, v2 row-level replaces —
+    * so `spark.readStream.table(...)` observes every committed change
+    * regardless of which connector surface produced it.
+    */
+  def feedEnabled(spark: SparkSession, dir: String): Boolean =
+    TxLog.latest(spark, dir).exists(feedEnabled)
+
+  private def feedEnabled(snap: TxLog.Snapshot): Boolean =
+    snap.prop("feed").contains("true")
+
+  /** Toggle the change-feed flag as ONE metadata-only commit (the
+    * ALTER TABLE SET TBLPROPERTIES ('feed'=...) lowering). Enabling
+    * starts the feed from the NEXT commit; history before it is not
+    * reconstructed (same contract as other lakehouse CDF opt-ins).
+    */
+  def setFeedEnabled(spark: SparkSession, dir: String,
+      enabled: Boolean): Unit =
+    TxLog.withOcc(spark, dir) {
+      val m = loadMeta(spark, dir)
+      if (feedEnabled(m.snap) == enabled) return
+      val props = m.snap.props -- Seq("txn_id", "base_txn") ++
+        (if (enabled) Map("feed" -> "true") else Map.empty) +
+        ("op" -> "alter")
+      TxLog.commit(spark, dir,
+        m.snap.version + 1,
+        if (enabled) props else props - "feed")
+      ()
     }
 
   /** Apply ALTER TABLE changes as ONE metadata-only commit
@@ -932,6 +1076,33 @@ object Compaction {
           fields = fields.map(f =>
             if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)
           newPairs = newPairs :+ (from -> to)
+        case SchemaChange.WidenColumn(name, to) =>
+          val f = fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+            throw new IllegalArgumentException(
+              s"ALTER COLUMN TYPE: no column $name"))
+          // KEY columns are hashed for bucket routing, and Spark's
+          // xxhash64 of 5:int and 5:long differ — a widened key would
+          // silently re-route every row. Version widening is safe:
+          // versions are compared (zone-map strings cast through the
+          // NEW type), never hashed.
+          val hashed = (m.keys ++ m.clusterBy).map(_.toLowerCase).toSet
+          require(!hashed.contains(name.toLowerCase),
+            s"ALTER COLUMN TYPE: $name is a key/cluster column — its " +
+              "hash routes rows to buckets, and widening changes the " +
+              "hash; rebucket() into a new layout instead")
+          require(!m.deleteCol.equalsIgnoreCase(name),
+            "ALTER COLUMN TYPE: the tombstone column is BOOLEAN by " +
+              "contract")
+          require(canWiden(f.dataType, to),
+            s"ALTER COLUMN TYPE: cannot change $name from " +
+              s"${f.dataType.simpleString} to ${to.simpleString} — " +
+              "only lossless widenings the parquet scan performs in " +
+              "place are supported (byte/short/int->bigint, " +
+              "float->double, int->double, decimal precision growth " +
+              "at the same scale)")
+          fields = fields.map(g =>
+            if (g.name.equalsIgnoreCase(name)) g.copy(dataType = to)
+            else g)
       }
       val renameProp =
         if (newPairs.isEmpty) Map.empty[String, String]
@@ -1290,9 +1461,12 @@ object Compaction {
     // writer's staging and in-flight generation survive the sweep)
     prof("merge.sweep") { TxLog.sweep(spark, dir) }
     val txn = new TableTxn(spark, dir, m.snap.version)
+    // a table that opted into the change feed emits on EVERY merge —
+    // the caller flag remains for per-call opt-in on plain tables
+    val emitFeedEff = emitFeed || feedEnabled(m.snap)
     if (mergeOnRead)
       return morMerge(spark, dir, m, txn, changes, dataCols, touched,
-        emitFeed, retainHistory)
+        emitFeedEff, retainHistory)
 
     // stored rows never carry tombstones (init/merge drop them), so
     // rank snapshot rows as source=0 vs changelog source=1: on a
@@ -1314,12 +1488,12 @@ object Compaction {
     // with a feed to emit, the union+shuffle+window feeds TWO outputs
     // (feed classification and table winners) — cache it so the
     // snapshot slice is scanned and ranked once, not per output
-    val ranked = if (emitFeed)
+    val ranked = if (emitFeedEff)
       ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ranked0
     try mergeTail(spark, dir, m, txn, ranked, unioned, touched,
-      emitFeed, retainHistory)
-    finally { if (emitFeed) ranked.unpersist() }
+      emitFeedEff, retainHistory)
+    finally { if (emitFeedEff) ranked.unpersist() }
   }
 
   /** Classify the table effect of a merge (insert / update_preimage /
@@ -1340,10 +1514,21 @@ object Compaction {
   private def stageFeed(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, staging: String,
       ranked: DataFrame, unioned: DataFrame,
-      keys: Seq[String], deleteCol: String): Long = {
+      keys: Seq[String], deleteCol: String, versionCol: String): Long = {
     val allCols = unioned.columns.toSeq
       .filterNot(c => c == "bucket" || c == "_src")
     val rowStruct = struct(allCols.map(col): _*)
+    // a DELETE event's payload is the last-known (pre-image) values,
+    // but its VERSION is the tombstone's own: the delete happened AT
+    // that version. Carrying the pre-image's version instead would
+    // tie a delete against the insert it supersedes when a consumer
+    // merges several feed batches in one pass (readStream.table
+    // drains, Replicator catch-up), and the tie would resolve
+    // arbitrarily — a replica could resurrect a deleted key.
+    val delPayload = struct(allCols.map { c =>
+      if (c.equalsIgnoreCase(versionCol)) col(c).as(c)
+      else col("_pre").getField(c).as(c)
+    }: _*)
     val wKey = Window.partitionBy(keys.map(col): _*)
     val classified = ranked
       .withColumn("_had_stored",
@@ -1357,7 +1542,7 @@ object Compaction {
       .select(col("bucket"), explode(
         when(isDeleted(deleteCol),
           array(struct(lit("delete").as("change_type"),
-            col("_pre").as("payload"))))
+            delPayload.as("payload"))))
         .when(col("_had_stored") === 1,
           array(
             struct(lit("update_preimage").as("change_type"),
@@ -1431,7 +1616,8 @@ object Compaction {
 
     val feedRows: Long = if (!emitFeed) 0L
       else prof("merge.stageFeed") {
-        stageFeed(spark, fs, staging, ranked, unioned, keys, deleteCol)
+        stageFeed(spark, fs, staging, ranked, unioned, keys, deleteCol,
+          versionCol)
       }
 
     // stage the new bucket contents while every pre-image directory is
@@ -1593,7 +1779,8 @@ object Compaction {
       val w = Window.partitionBy(m.keyCols: _*)
         .orderBy(col(m.versionCol).desc, col("_src").desc)
       val ranked = unioned.withColumn("_rn", row_number().over(w))
-      stageFeed(spark, fs, txn.staging, ranked, unioned, m.keys, m.deleteCol)
+      stageFeed(spark, fs, txn.staging, ranked, unioned, m.keys,
+        m.deleteCol, m.versionCol)
     }
 
     // THE delta write — the only data-sized cost of the merge

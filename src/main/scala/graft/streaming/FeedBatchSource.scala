@@ -108,10 +108,19 @@ private[streaming] case class FeedBatchOffset(batch: Long) extends Offset {
   override def json(): String = batch.toString
 }
 
-private[streaming] class FeedBatchStream(tableDir: String,
+/** `changelogDeleteCol`: CHANGELOG mode (the catalog's
+  * `readStream.table` route) — rows are projected into the TABLE
+  * schema, `update_preimage` events are skipped, and the named
+  * tombstone column is computed as `_change_type == "delete"`
+  * (matching [[graft.cdc.Compaction.feedAsChangelog]]); without it,
+  * data-row mode emits the raw feed events including `_change_type`
+  * and `batch`.
+  */
+private[graft] class FeedBatchStream(tableDir: String,
     maxBatchesPerTrigger: Option[Long],
     startingBatch: Long,
-    rowSchema: Option[StructType] = None)
+    rowSchema: Option[StructType] = None,
+    changelogDeleteCol: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -207,7 +216,8 @@ private[streaming] class FeedBatchStream(tableDir: String,
           "org.apache.spark.sql.execution.datasources.parquet" +
             ".ParquetReadSupport")
         new FeedRowReaderFactory(schema,
-          new org.apache.spark.util.SerializableConfiguration(hc))
+          new org.apache.spark.util.SerializableConfiguration(hc),
+          changelogDeleteCol)
     }
 
   override def commit(end: Offset): Unit = ()
@@ -245,7 +255,8 @@ private[streaming] case class FeedFilePartition(path: String, len: Long,
   */
 private[streaming] final class FeedRowReaderFactory(
     readSchema: StructType,
-    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    hadoopConf: org.apache.spark.util.SerializableConfiguration,
+    changelogDeleteCol: Option[String] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
@@ -292,8 +303,35 @@ private[streaming] final class FeedRowReaderFactory(
       // any evolved-in column the file predates) yields null/literal
       private val mapping: Array[Int] =
         readSchema.fieldNames.map(n => fileFields.indexOf(n))
+      // changelog mode: _change_type read from the file (never part
+      // of readSchema there), preimages skipped, tombstone computed
+      private val ctIdx: Int =
+        if (changelogDeleteCol.isEmpty) -1
+        else {
+          val i = fileFields.indexOf("_change_type")
+          if (i < 0) throw new IllegalStateException(
+            s"feed file ${p.path} lacks _change_type")
+          i
+        }
+      private val Preimage =
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString("update_preimage")
+      private val Delete =
+        org.apache.spark.unsafe.types.UTF8String.fromString("delete")
+      private var pendingDelete = false
 
-      override def next(): Boolean = reader.nextKeyValue()
+      override def next(): Boolean = {
+        if (ctIdx < 0) return reader.nextKeyValue()
+        while (reader.nextKeyValue()) {
+          val v = reader.getCurrentValue.asInstanceOf[InternalRow]
+          val ct = v.getUTF8String(ctIdx)
+          if (ct == null || !ct.equals(Preimage)) {
+            pendingDelete = ct != null && ct.equals(Delete)
+            return true
+          }
+        }
+        false
+      }
 
       override def get(): InternalRow = {
         // the vectorized reader hands out a row VIEW over its column
@@ -304,7 +342,9 @@ private[streaming] final class FeedRowReaderFactory(
         while (i < readSchema.length) {
           val f = readSchema.fields(i)
           out(i) =
-            if (f.name == "batch") p.batch
+            if (f.name == "batch" && ctIdx < 0) p.batch
+            else if (changelogDeleteCol.exists(_.equalsIgnoreCase(f.name)))
+              pendingDelete
             else {
               val j = mapping(i)
               if (j < 0 || src.isNullAt(j)) null

@@ -102,4 +102,60 @@ class RuntimePruningSpec extends SparkSpec {
         WHERE f.id < 1000""")
     assert(q.as[Long].head() == 10L)
   }
+
+  test("composite-key tuple join prunes to the tuples' cross-product buckets") {
+    sqlc("""CREATE TABLE gdpp.cfact (
+        tenant BIGINT, id BIGINT, v DOUBLE, version BIGINT,
+        deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='tenant,id', 'buckets'='32')""")
+    sqlc("""INSERT INTO gdpp.cfact
+        SELECT id % 8, id, CAST(id AS DOUBLE), 0L, false
+        FROM range(20000)""")
+    val dimPath = tmpDir("dpp-cdim")
+    // two (tenant, id) tuples: the join binds the WHOLE key tuple
+    Seq((3L, 11L, "y"), (5L, 4013L, "y"))
+      .toDF("t", "k", "tag").write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dpp_cdim")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val q = sqlc("""SELECT /*+ BROADCAST(d) */ sum(f.v) AS s
+          FROM gdpp.cfact f
+          JOIN dpp_cdim d ON f.tenant = d.t AND f.id = d.k
+          WHERE d.tag = 'y'""")
+      assert(q.collect().map(_.getDouble(0)).toSeq == Seq(11.0 + 4013.0))
+      val opened = factScan(q).inputRDD.getNumPartitions
+      // 2 tuples bind both key columns with 2 values each: the cross
+      // product is ≤ 4 tuples → ≤ 4 of 32 buckets open
+      assert(opened <= 4,
+        s"composite runtime pruning should open ≤ 4 buckets, " +
+          s"opened $opened partitions")
+    } finally {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "true")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("composite-key v2 DML stays correct with runtime filters advertised") {
+    sqlc("""CREATE TABLE gdpp.cdml (
+        tenant BIGINT, id BIGINT, name STRING, version BIGINT,
+        deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='tenant,id', 'buckets'='16')""")
+    sqlc("""INSERT INTO gdpp.cdml
+        SELECT id % 4, id, concat('u', id), 0L, false FROM range(400)""")
+    sqlc("DELETE FROM gdpp.cdml WHERE tenant = 1 AND id = 5")
+    sqlc("UPDATE gdpp.cdml SET name = 'upd', version = 1 " +
+      "WHERE tenant = 2 AND id = 6")
+    val got = sqlc("SELECT tenant, id, name FROM gdpp.cdml " +
+      "WHERE id IN (5, 6)")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((2L, 6L, "upd")),
+      s"composite v2 DELETE+UPDATE must apply exactly, got $got")
+    assert(sqlc("SELECT count(*) AS n FROM gdpp.cdml").as[Long].head()
+      == 399L)
+  }
 }

@@ -42,11 +42,15 @@ class CompactionFeedSpec extends SparkSpec {
         .toDF("id", "payload", "version", "deleted"),
       emitFeed = true)
     assert(stats.feedRows == 4L)
+    // the delete event keeps the pre-image's VALUES but carries the
+    // TOMBSTONE's version (1, not the stored row's 0): the delete
+    // happened at that version, so a consumer merging several batches
+    // in one pass orders it correctly after the insert it supersedes
     assert(feed(dir) == Set(
       (2L, "v0-2", 0L, "update_preimage", 0),
       (2L, "v1-2", 1L, "update_postimage", 0),
       (9L, "v1-9", 1L, "insert", 0),
-      (3L, "v0-3", 0L, "delete", 0)))
+      (3L, "v0-3", 1L, "delete", 0)))
   }
 
   test("a changelog row that loses the version race emits no feed row") {
