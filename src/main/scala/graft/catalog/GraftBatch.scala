@@ -220,17 +220,16 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    // join-driven DPP under AQE with reuseBroadcastOnly plans the
-    // filter as an adaptive broadcast subquery that reaches a v2
-    // scan's leaf stage unresolved ("no subquery result" at
-    // translateRuntimeFilterV2) — an upstream wart for v2 scans, so
-    // plain scans advertise the capability only when the planning
-    // mode can actually execute it. Row-level scans (tracker) always
-    // advertise: their group-filter rule is AQE-aware.
-    val conf = SQLConf.get
-    val plainScanSafe = !conf.adaptiveExecutionEnabled ||
-      !conf.dynamicPartitionPruningReuseBroadcastOnly
-    if (tracker.isEmpty && (!plainScanSafe || planned.spj))
+    // Advertised under STOCK confs too: Spark 4.1 executes v2 runtime
+    // filters under AQE + dynamicPartitionPruning.reuseBroadcastOnly
+    // (round-8 declined them there against an earlier "no subquery
+    // result at translateRuntimeFilterV2" failure that 4.1.2 does not
+    // reproduce — re-verified by RuntimePruningSpec's default-conf
+    // case: correct result, runtime IN filter planned, 2/32 buckets
+    // opened). Only SPJ-mode scans decline (mutating the partition
+    // set under key-grouped reporting would desync the reported and
+    // planned partition values).
+    if (tracker.isEmpty && planned.spj)
       return Array.empty
     val meta = scanMeta
     // composite keys advertise every key column: a join binding the

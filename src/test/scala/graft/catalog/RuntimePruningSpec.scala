@@ -54,11 +54,10 @@ class RuntimePruningSpec extends SparkSpec {
       .toDF("k", "tag").write.mode("overwrite").parquet(dimPath)
     spark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
 
-    // AQE + reuse-only broadcast DPP can't execute v2 runtime
-    // filters (upstream wart; the scan declines the capability
-    // there) — exercise the executable planning mode. Key-grouped
-    // (SPJ) reporting and runtime filtering are per-scan exclusive,
-    // so opt out of v2 bucketing for this scenario.
+    // Key-grouped (SPJ) reporting and runtime filtering are per-scan
+    // exclusive, so opt out of v2 bucketing for this scenario; the
+    // non-reuse-only DPP planning mode is exercised here, the STOCK
+    // default mode in its own case below.
     spark.conf.set(
       "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
       "false")
@@ -101,6 +100,42 @@ class RuntimePruningSpec extends SparkSpec {
         FROM gdpp.fact2 f JOIN dpp_dim2 d ON f.id = d.k
         WHERE f.id < 1000""")
     assert(q.as[Long].head() == 10L)
+  }
+
+  test("runtime pruning engages under STOCK Spark defaults (AQE + reuse-only DPP)") {
+    sqlc("""CREATE TABLE gdpp.fact3 (
+        id BIGINT, v DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='32')""")
+    sqlc("""INSERT INTO gdpp.fact3
+        SELECT id, CAST(id AS DOUBLE), 0L, false FROM range(20000)""")
+    val dimPath = tmpDir("dpp-dim3")
+    Seq((7L, "x"), (19L, "y"), (23L, "y"), (501L, "z"))
+      .toDF("k", "tag").write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim3")
+    // NO conf overrides beyond disabling SPJ reporting (per-scan
+    // exclusive with runtime filtering): AQE on,
+    // dynamicPartitionPruning.reuseBroadcastOnly on — the defaults a
+    // stock cluster runs. The "join the 100 TB table to a filtered
+    // dim" plan must bucket-prune HERE, not only under tuned confs.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      == "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val q = sqlc("""SELECT /*+ BROADCAST(d) */ sum(f.v) AS s
+          FROM gdpp.fact3 f JOIN dpp_dim3 d ON f.id = d.k
+          WHERE d.tag = 'y'""")
+      assert(q.collect().map(_.getDouble(0)).toSeq == Seq(42.0))
+      val scan = factScan(q)
+      assert(scan.runtimeFilters.nonEmpty,
+        "the scan should carry a runtime IN filter under defaults")
+      val opened = scan.inputRDD.getNumPartitions
+      assert(opened <= 2,
+        s"2 dim keys should open <= 2 of 32 buckets, opened $opened")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
   }
 
   test("composite-key tuple join prunes to the tuples' cross-product buckets") {
