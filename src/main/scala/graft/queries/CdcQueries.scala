@@ -813,6 +813,151 @@ object CdcQueries {
       }
     }),
 
+    // ALTER COLUMN type widening end-to-end through SQL: a table born
+    // with an INT column widens to BIGINT as a METADATA-ONLY commit
+    // (zero data files move — Spark 4's vectorized parquet reader
+    // widens INT32 pages in place under the BIGINT read schema), then
+    // a merge lands values only the wide type can hold. The oracle
+    // recomputes the latest-wins state with the same arithmetic, so a
+    // green row proves narrow pre-widen files and wide post-widen
+    // files reconcile in one scan.
+    "sql_alter_widen" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftcat.widen_t")
+      s.sql("""CREATE TABLE graftcat.widen_t (
+        id BIGINT, qty INT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16')""")
+      val ord = Tables.orders(s, dir)
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 1000).cast("int").as("qty"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("widen_snap")
+      s.sql("INSERT INTO graftcat.widen_t SELECT * FROM widen_snap")
+      s.sql("ALTER TABLE graftcat.widen_t ALTER COLUMN qty TYPE BIGINT")
+      // post-widen upsert batch: values beyond INT range
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") * lit(100000L) + lit(3000000000L))
+            .as("qty"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+        .createOrReplaceTempView("widen_changes")
+      s.sql("INSERT INTO graftcat.widen_t SELECT * FROM widen_changes")
+      s.sql("""SELECT count(*) AS n_keys, SUM(qty) AS sum_qty,
+        MAX(qty) AS max_qty FROM graftcat.widen_t""")
+    }),
+
+    // join-driven dynamic bucket pruning under STOCK Spark defaults
+    // (AQE on, DPP reuseBroadcastOnly on): joining the maintained
+    // table to a small filtered dim pushes the dim's keys into the
+    // scan at runtime, so only the matched keys' buckets open — the
+    // v2 form of dynamic partition pruning with the hash bucket as
+    // the partition, the plan shape a 100 TB fact-to-dim point-read
+    // join takes. The plan guard asserts the runtime filter is
+    // actually planned; the oracle recomputes the join relationally.
+    "sql_dpp_join" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftcat.dpp_t")
+      s.sql("""CREATE TABLE graftcat.dpp_t (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='32')""")
+      val ord = Tables.orders(s, dir)
+      ord.select(col("o_orderkey").as("id"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("dpp_fact_src")
+      s.sql("INSERT INTO graftcat.dpp_t SELECT * FROM dpp_fact_src")
+      ord.filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("tag"))
+        .createOrReplaceTempView("dpp_dim_src")
+      // key-grouped (SPJ) reporting and runtime filtering are
+      // per-scan exclusive; the dim is a plain view, so pin SPJ off
+      // for this query — AQE and reuse-only DPP stay at defaults
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      try {
+        val out = s.sql("""SELECT /*+ BROADCAST(d) */
+            count(*) AS n_orders,
+            CAST(SUM(CAST(f.price AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM graftcat.dpp_t f JOIN dpp_dim_src d ON f.id = d.k""")
+        val planStr = out.queryExecution.executedPlan.toString
+        require(planStr.contains("dynamicpruning"),
+          s"expected a runtime pruning filter on the fact scan:\n" +
+            planStr)
+        out.collect() // materialize under the pinned conf
+        out
+      } finally {
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }),
+
+    // the closed replication loop through NOTHING but standard API:
+    // the source opts into the change feed (TBLPROPERTIES
+    // feed=true), every INSERT emits events, and
+    // `readStream.table(src).writeStream.toTable(dst)` drains the
+    // changelog (deletes arrive as tombstone-flagged pre-images) into
+    // a second maintained table. The observable is the REPLICA's
+    // final state; the oracle recomputes the SOURCE relationally — a
+    // green row proves feed emission, the changelog stream encoding,
+    // checkpointed offsets and the merge-apply reproduce the source
+    // exactly, with no engine-private API in the loop.
+    "cdc_changelog_stream" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftcat.chg_src")
+      s.sql("DROP TABLE IF EXISTS graftcat.chg_dst")
+      s.sql("""CREATE TABLE graftcat.chg_src (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16', 'feed'='true')""")
+      s.sql("""CREATE TABLE graftcat.chg_dst (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16')""")
+      val ord = Tables.orders(s, dir)
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("chg_snap")
+      s.sql("INSERT INTO graftcat.chg_src SELECT * FROM chg_snap")
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+        .createOrReplaceTempView("chg_changes")
+      s.sql("INSERT INTO graftcat.chg_src SELECT * FROM chg_changes")
+      // fresh checkpoint per run (the tables were just re-created)
+      val ckpt = s"$wh/chg_ckpt"
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val q = s.readStream.table("graftcat.chg_src").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graftcat.chg_dst")
+      q.awaitTermination()
+      s.sql("""SELECT count(*) AS n_keys,
+        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        SUM(id * version) AS checksum
+        FROM graftcat.chg_dst""")
+    }),
+
     // composite merge key on lineitem's natural (l_orderkey,
     // l_linenumber) PK: the table buckets on the hash of the TUPLE and
     // every merge/lookup reconciles per tuple — real CDC tables key on
@@ -1790,6 +1935,60 @@ object CdcQueries {
         |  CAST(SUM(a.price::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM a JOIN b ON a.id = b.id
         |GROUP BY b.seg ORDER BY b.seg""".stripMargin,
+
+    // latest-wins recompute with the post-widen qty arithmetic
+    "sql_alter_widen" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_orderkey % 1000 AS BIGINT) AS qty,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_orderkey * 100000 + 3000000000 AS BIGINT),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, qty, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC)
+        |      AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  CAST(MAX(qty) AS BIGINT) AS max_qty
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // the fact-to-filtered-dim join recomputed relationally
+    "sql_dpp_join" ->
+      """SELECT count(*) AS n_orders,
+        |  CAST(SUM(f.price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM (SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE)
+        |        AS price FROM orders) f
+        |JOIN (SELECT o_orderkey AS k FROM orders
+        |      WHERE o_orderkey % 997 = 0) d
+        |ON f.id = d.k""".stripMargin,
+
+    // the replica's final state == the source's latest-wins state
+    "cdc_changelog_stream" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE)
+        |      AS price, 0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2)
+        |      AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC)
+        |      AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  CAST(SUM(id * version) AS BIGINT) AS checksum
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     // composite (ok, ln) tuple latest-wins recompute
     "cdc_composite_key" ->
