@@ -250,6 +250,41 @@ object CdcDemo {
         .as[Long].head())
     println(s"spj: co-bucketed join shuffle-free=$joinShuffleFree, " +
       s"segments=$spjRows")
+
+    // round 9: the change data feed as a table property + the closed
+    // replication loop through nothing but standard API — the source
+    // opts in with TBLPROPERTIES('feed'='true'), a widened column
+    // lands as a metadata-only ALTER, and readStream.table(src) →
+    // writeStream.toTable(dst) drains the changelog into a replica
+    spark.sql("DROP TABLE IF EXISTS demo.feed_src")
+    spark.sql("DROP TABLE IF EXISTS demo.feed_dst")
+    spark.sql("""CREATE TABLE demo.feed_src (id BIGINT, qty INT,
+      version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='8', 'feed'='true')""")
+    spark.sql("""CREATE TABLE demo.feed_dst (id BIGINT, qty BIGINT,
+      version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='8')""")
+    spark.sql(
+      "INSERT INTO demo.feed_src SELECT id, CAST(id AS INT), 0L, false " +
+        "FROM range(60)")
+    spark.sql("ALTER TABLE demo.feed_src ALTER COLUMN qty TYPE BIGINT")
+    spark.sql("""INSERT INTO demo.feed_src VALUES
+      (3, 9000000000, 1, false), (7, 0, 1, true), (60, 42, 1, false)""")
+    val ckpt = s"$root/feed-ckpt"
+    val q = spark.readStream.table("demo.feed_src").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("demo.feed_dst")
+    q.awaitTermination()
+    val srcN = spark.sql("SELECT count(*) FROM demo.feed_src")
+      .as[Long].head()
+    val dstN = spark.sql("SELECT count(*) FROM demo.feed_dst")
+      .as[Long].head()
+    val wide = spark.sql(
+      "SELECT qty FROM demo.feed_dst WHERE id = 3").as[Long].head()
+    println(s"feed: changelog stream replicated $dstN/$srcN rows " +
+      s"(tombstone dropped id=7, widened qty(3)=$wide)")
     spark.stop()
   }
 }

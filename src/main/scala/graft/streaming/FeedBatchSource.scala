@@ -286,10 +286,24 @@ private[streaming] final class FeedRowReaderFactory(
           val sparkFileSchema =
             new org.apache.spark.sql.execution.datasources.parquet
               .ParquetToSparkSchemaConverter(conf).convert(msg)
+          // request the READ schema's type wherever it is a legal
+          // widening of the file's (feed files written before an
+          // ALTER COLUMN widen carry the narrow type; the vectorized
+          // reader widens INT32->Long etc. in place) — requesting the
+          // file's own type would hand back values the projection
+          // below cannot carry into the declared read schema
+          val requested = StructType(sparkFileSchema.fields.map { f =>
+            readSchema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+              case Some(rf) if rf.dataType != f.dataType &&
+                  graft.cdc.Compaction.canWiden(f.dataType, rf.dataType) =>
+                f.copy(dataType = rf.dataType)
+              case _ => f
+            }
+          })
           // the stable key ParquetReadSupport reads the requested
           // schema from (same constant across Spark 3.x/4.x)
           conf.set("org.apache.spark.sql.parquet.row.requested_schema",
-            sparkFileSchema.json)
+            requested.json)
           val fields = msg.getFields
           (0 until fields.size).map(i => fields.get(i).getName)
         } finally r.close()
