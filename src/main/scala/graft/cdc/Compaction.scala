@@ -1294,11 +1294,30 @@ object Compaction {
     * are partition-pruned by `batch` — a consumer resuming from batch
     * K scans only the new directories.
     */
-  def readFeed(spark: SparkSession, dir: String): DataFrame =
-    // mergeSchema: feed batches written before a schema evolution have
-    // narrower files; the union schema null-extends them exactly like
-    // the table read does
-    spark.read.option("mergeSchema", "true").parquet(s"$dir/feed")
+  def readFeed(spark: SparkSession, dir: String): DataFrame = {
+    val fs = TxLog.fs(spark, dir)
+    val root = new Path(s"$dir/feed")
+    val hasBatches = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
+    if (!hasBatches) {
+      // a feed that never emitted — or whose every batch aged out
+      // under maintain(maxFeedAge) — reads as the EMPTY frame under
+      // the feed schema, not a schema-inference error
+      val m = loadMeta(spark, dir)
+      val schema = org.apache.spark.sql.types.StructType(
+        m.schema.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("batch",
+            org.apache.spark.sql.types.IntegerType))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      // mergeSchema: feed batches written before a schema evolution
+      // have narrower files; the union schema null-extends them
+      // exactly like the table read does
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/feed")
+  }
 
   /** Reinterpret a change-feed slice as a changelog a REPLICA table can
     * merge — the CDC replication chain (source merge → feed → replica
@@ -1932,7 +1951,8 @@ object Compaction {
     */
   def maintain(spark: SparkSession, dir: String,
       maxDeltasPerBucket: Int = 8,
-      maxHistoryAge: java.time.Duration = null): (Int, Int) = {
+      maxHistoryAge: java.time.Duration = null,
+      maxFeedAge: java.time.Duration = null): (Int, Int) = {
     val before = loadMeta(spark, dir)
     val toFold = before.deltas.count(_._2.size >= maxDeltasPerBucket)
     if (toFold > 0)
@@ -1951,6 +1971,30 @@ object Compaction {
         expired.size
       } else 0
     }.getOrElse(0)
+    // feed retention: a feed-enabled table accumulates one batch dir
+    // per write FOREVER without a bound — the Kafka-style knob. Only
+    // the contiguous expired PREFIX deletes (same clock-skew rule as
+    // history, and a mid-stream gap would read as silent data loss to
+    // a resuming consumer; a consumer below the retention horizon is
+    // out of contract either way, and the numbering never restarts —
+    // nextBatch maxes with the committed counter).
+    Option(maxFeedAge).foreach { age =>
+      val cutoff = System.currentTimeMillis() - age.toMillis
+      val fs = TxLog.fs(spark, dir)
+      val root = new Path(s"$dir/feed")
+      if (fs.exists(root)) {
+        val batches = fs.listStatus(root).toSeq
+          .flatMap { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("batch="))
+              Some(n.drop(6).toLong -> st.getModificationTime)
+            else None
+          }.sortBy(_._1)
+        batches.takeWhile(_._2 < cutoff).foreach { case (b, _) =>
+          fs.delete(new Path(s"$dir/feed/batch=$b"), true)
+        }
+      }
+    }
     (toFold, vacuumed)
   }
 

@@ -77,6 +77,32 @@ class MaintainSpec extends SparkSpec {
     assert(Compaction.read(spark, dir).count() == 1)
   }
 
+  test("age-based feed retention drops the expired prefix, numbering survives") {
+    val dir = tmpDir("maintain-feed") + "/t"
+    Compaction.init(changeDf(Seq((1L, "a", 0L, false))), dir,
+      Seq("id"), "version", "deleted", nBuckets = 4, clusterBy = Nil,
+      feed = true)
+    (1L to 3L).foreach { v =>
+      Compaction.merge(spark, dir, changeDf(Seq((1L, s"v$v", v, false))),
+        retainHistory = true)
+    }
+    def batches: Seq[Long] = Compaction.readFeed(spark, dir)
+      .select("batch").distinct().as[Long].collect().sorted.toSeq
+    assert(batches == Seq(0L, 1L, 2L))
+    // a 1-hour window keeps everything (batches are fresh)
+    Compaction.maintain(spark, dir,
+      maxFeedAge = java.time.Duration.ofHours(1))
+    assert(batches == Seq(0L, 1L, 2L))
+    // a zero window drops the whole expired prefix
+    Compaction.maintain(spark, dir, maxFeedAge = java.time.Duration.ZERO)
+    assert(Compaction.readFeed(spark, dir).count() == 0)
+    // numbering NEVER restarts: the committed counter outlives the
+    // dirs, so a consumer fenced at "batch >= 3" misses nothing
+    Compaction.merge(spark, dir, changeDf(Seq((1L, "v4", 4L, false))),
+      retainHistory = true)
+    assert(batches == Seq(3L))
+  }
+
   test("no-op maintenance costs no commit (version unchanged)") {
     val dir = tmpDir("maintain-noop") + "/t"
     Compaction.init(changeDf(Seq((1L, "a", 0L, false))), dir,
