@@ -848,7 +848,11 @@ object CdcQueries {
           (col("o_orderkey") % 5 === 0).as("deleted"))
         .createOrReplaceTempView("widen_changes")
       s.sql("INSERT INTO graftcat.widen_t SELECT * FROM widen_changes")
-      s.sql("""SELECT count(*) AS n_keys, SUM(qty) AS sum_qty,
+      // MAX proves a beyond-INT value round-tripped; the SUM folds a
+      // bounded residue so the aggregate can never overflow a long at
+      // any scale factor (Spark 4 runs ANSI arithmetic by default)
+      s.sql("""SELECT count(*) AS n_keys,
+        SUM(qty % 1000000) AS sum_qty_mod,
         MAX(qty) AS max_qty FROM graftcat.widen_t""")
     }),
 
@@ -1954,7 +1958,7 @@ object CdcQueries {
         |      AS rn
         |  FROM unioned)
         |SELECT count(*) AS n_keys,
-        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(qty % 1000000) AS BIGINT) AS sum_qty_mod,
         |  CAST(MAX(qty) AS BIGINT) AS max_qty
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
