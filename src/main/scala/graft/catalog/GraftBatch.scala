@@ -172,12 +172,25 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
         "the next commit")
     val deleteCol = meta.deleteCol.getOrElse(throw new IllegalStateException(
       s"merge table at $dir lacks a delete column"))
+    // historical spellings per logical column, so feed batches
+    // published before an ALTER RENAME still resolve by (old) name
+    val events = Compaction.renameEvents(meta.props)
+    val spellings: Map[String, Seq[String]] =
+      meta.schema.fieldNames.map { n =>
+        var cur = n
+        val acc = scala.collection.mutable.ArrayBuffer(cur)
+        events.foreach { case (_, from, to) =>
+          if (cur.equalsIgnoreCase(to)) { cur = from; acc += cur }
+        }
+        n.toLowerCase -> acc.toSeq
+      }.toMap
     new graft.streaming.FeedBatchStream(dir,
       Option(streamOptions.get("maxBatchesPerTrigger")).map(_.toLong),
       Option(streamOptions.get("startingBatch")).map(_.toLong)
         .getOrElse(-1L),
       rowSchema = Some(required),
-      changelogDeleteCol = Some(deleteCol))
+      changelogDeleteCol = Some(deleteCol),
+      spellings = spellings)
   }
 
   // ----- storage-partitioned joins -----------------------------------

@@ -1296,27 +1296,74 @@ object Compaction {
     */
   def readFeed(spark: SparkSession, dir: String): DataFrame = {
     val fs = TxLog.fs(spark, dir)
+    val m = loadMeta(spark, dir)
     val root = new Path(s"$dir/feed")
-    val hasBatches = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
-    if (!hasBatches) {
-      // a feed that never emitted — or whose every batch aged out
-      // under maintain(maxFeedAge) — reads as the EMPTY frame under
-      // the feed schema, not a schema-inference error
-      val m = loadMeta(spark, dir)
+    val logicalFeed = org.apache.spark.sql.types.StructType(
+      m.schema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType))
+    val emptyFeed = {
       val schema = org.apache.spark.sql.types.StructType(
-        m.schema.fields :+
-          org.apache.spark.sql.types.StructField("_change_type",
-            org.apache.spark.sql.types.StringType) :+
+        logicalFeed.fields :+
           org.apache.spark.sql.types.StructField("batch",
             org.apache.spark.sql.types.IntegerType))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else
-      // mergeSchema: feed batches written before a schema evolution
-      // have narrower files; the union schema null-extends them
-      // exactly like the table read does
-      spark.read.option("mergeSchema", "true").parquet(s"$dir/feed")
+    }
+    if (!fs.exists(root)) return emptyFeed
+    val batchDirs = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    // EVOLUTION-AWARE read: batches written before an ALTER carry the
+    // old column names (rename) and narrow types (widen), and lack
+    // added columns — a plain mergeSchema read would null out a
+    // renamed column for every old batch and FAIL outright on a
+    // widened one (parquet schema merging refuses int-vs-long).
+    // Group batch dirs by their files' Spark schema (one driver-side
+    // footer inference per batch dir — feed retention bounds the
+    // count), read each group under ITS OWN physical schema with the
+    // `batch` partition column preserved via basePath, then project
+    // every group onto the CURRENT logical feed schema: renamed
+    // columns resolve through their historical spellings, narrow
+    // values cast up, added columns null-extend.
+    val bySig = batchDirs.flatMap { p =>
+      // a zero-effect merge publishes an empty batch dir: no files,
+      // no rows — skip (its id stays visible via nextBatch's counter)
+      val hasFiles = fs.listStatus(p).exists(st =>
+        st.isFile && st.getLen > 0 &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+      if (!hasFiles) None
+      else Some(spark.read.parquet(p.toString).schema -> p.toString)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    if (bySig.isEmpty) return emptyFeed
+    val events = renameEvents(m.snap.props)
+    def spellings(logical: String): Seq[String] = {
+      var n = logical
+      val acc = scala.collection.mutable.ArrayBuffer(n)
+      events.foreach { case (_, from, to) =>
+        if (n.equalsIgnoreCase(to)) { n = from; acc += n }
+      }
+      acc.toSeq
+    }
+    bySig.toSeq.map { case (phys, dirs) =>
+      val withBatch = org.apache.spark.sql.types.StructType(
+        phys.fields :+ org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.IntegerType))
+      val raw = spark.read
+        .option("basePath", root.toString)
+        .schema(withBatch)
+        .parquet(dirs: _*)
+      val cols = logicalFeed.fields.toSeq.map { f =>
+        spellings(f.name)
+          .flatMap(sp => phys.fields.find(_.name.equalsIgnoreCase(sp)))
+          .headOption match {
+          case Some(pf) => col(pf.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      } :+ col("batch")
+      raw.select(cols: _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Reinterpret a change-feed slice as a changelog a REPLICA table can

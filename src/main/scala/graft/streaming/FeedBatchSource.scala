@@ -120,7 +120,8 @@ private[graft] class FeedBatchStream(tableDir: String,
     maxBatchesPerTrigger: Option[Long],
     startingBatch: Long,
     rowSchema: Option[StructType] = None,
-    changelogDeleteCol: Option[String] = None)
+    changelogDeleteCol: Option[String] = None,
+    spellings: Map[String, Seq[String]] = Map.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -217,7 +218,7 @@ private[graft] class FeedBatchStream(tableDir: String,
             ".ParquetReadSupport")
         new FeedRowReaderFactory(schema,
           new org.apache.spark.util.SerializableConfiguration(hc),
-          changelogDeleteCol)
+          changelogDeleteCol, spellings)
     }
 
   override def commit(end: Offset): Unit = ()
@@ -256,8 +257,15 @@ private[streaming] case class FeedFilePartition(path: String, len: Long,
 private[streaming] final class FeedRowReaderFactory(
     readSchema: StructType,
     hadoopConf: org.apache.spark.util.SerializableConfiguration,
-    changelogDeleteCol: Option[String] = None)
+    changelogDeleteCol: Option[String] = None,
+    // logical column (lowercase) -> its historical spellings, newest
+    // first: feed files published before an ALTER RENAME carry the
+    // old name, and by-name projection alone would null them out
+    spellings: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
+
+  private def spellingsOf(name: String): Seq[String] =
+    spellings.getOrElse(name.toLowerCase, Seq(name))
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -293,7 +301,10 @@ private[streaming] final class FeedRowReaderFactory(
           // file's own type would hand back values the projection
           // below cannot carry into the declared read schema
           val requested = StructType(sparkFileSchema.fields.map { f =>
-            readSchema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            // resolve through historical spellings too: a column both
+            // renamed AND widened matches its read field by OLD name
+            readSchema.fields.find(rf => spellingsOf(rf.name)
+              .exists(_.equalsIgnoreCase(f.name))) match {
               case Some(rf) if rf.dataType != f.dataType &&
                   graft.cdc.Compaction.canWiden(f.dataType, rf.dataType) =>
                 f.copy(dataType = rf.dataType)
@@ -313,10 +324,15 @@ private[streaming] final class FeedRowReaderFactory(
           path, 0, p.len, Array.empty[String]),
         new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
           conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
-      // data columns resolve by name; the trailing `batch` column (and
+      // data columns resolve by name — through historical spellings
+      // for renamed columns — and the trailing `batch` column (plus
       // any evolved-in column the file predates) yields null/literal
       private val mapping: Array[Int] =
-        readSchema.fieldNames.map(n => fileFields.indexOf(n))
+        readSchema.fieldNames.map { n =>
+          spellingsOf(n).iterator
+            .map(s => fileFields.indexWhere(_.equalsIgnoreCase(s)))
+            .find(_ >= 0).getOrElse(-1)
+        }
       // changelog mode: _change_type read from the file (never part
       // of readSchema there), preimages skipped, tombstone computed
       private val ctIdx: Int =

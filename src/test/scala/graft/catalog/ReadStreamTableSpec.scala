@@ -139,24 +139,26 @@ class ReadStreamTableSpec extends SparkSpec {
       s"post-ALTER commits stream, pre-ALTER history does not: $got")
   }
 
-  test("changelog stream reads pre-widen feed files under the widened schema") {
+  test("changelog stream reads pre-evolution feed files under the evolved schema") {
     sqlc("""CREATE TABLE grst.widen (
         id BIGINT, qty INT, version BIGINT, deleted BOOLEAN)
         TBLPROPERTIES ('keys'='id', 'buckets'='4', 'feed'='true')""")
-    // feed batch 0 carries qty as INT32 in its parquet
+    // feed batch 0 carries qty as INT32 under the name 'qty'
     sqlc("""INSERT INTO grst.widen
         SELECT id, CAST(id AS INT), 0L, false FROM range(10)""")
     sqlc("ALTER TABLE grst.widen ALTER COLUMN qty TYPE BIGINT")
-    // feed batch 1 carries BIGINT values
+    sqlc("ALTER TABLE grst.widen RENAME COLUMN qty TO amount")
+    // feed batch 1 carries BIGINT values under the new name
     sqlc("INSERT INTO grst.widen VALUES (3, 9000000000, 1, false)")
     val root = tmpDir("grst-widen")
     drainTo("grst.widen", s"$root/out", s"$root/ckpt")
     val got = spark.read.parquet(s"$root/out")
-      .select("id", "qty").as[(Long, Long)].collect()
+      .select("id", "amount").as[(Long, Long)].collect()
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     assert(got(3L) == 9000000000L)
     assert(got(5L) == 5L,
-      "pre-widen INT32 feed bytes must stream as BIGINT")
+      "pre-evolution feed bytes (old name, INT32) must stream under " +
+        "the renamed BIGINT column")
   }
 
   test("merge-on-read and programmatic merges feed the same stream") {
