@@ -84,6 +84,23 @@ object Replicator {
     val last = lastApplied(spark, replicaDir)
     val head = math.min(sourceHead(spark, sourceDir), upTo)
     if (head <= last) return last
+    // retention fence: maintain(maxFeedAge)/vacuum(feedBefore) delete
+    // the expired batch prefix at the source. Applying across the gap
+    // would silently skip those changes and the replica would diverge
+    // forever — fail loudly instead; the operator re-inits the
+    // replica from a fresh snapshot (Replicator.init re-fences).
+    val feedRoot = new org.apache.hadoop.fs.Path(s"$sourceDir/feed")
+    val fsrc = TxLog.fs(spark, sourceDir)
+    val minAvail = (if (!fsrc.exists(feedRoot)) Nil
+      else fsrc.listStatus(feedRoot).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("batch=") => s.drop(6).toLong })
+      .minOption.getOrElse(head + 1L)
+    if (last + 1L < minAvail)
+      throw new IllegalStateException(
+        s"source feed batches ${last + 1}..${minAvail - 1} were " +
+          "removed by retention; the replica cannot catch up " +
+          "incrementally — re-initialize it from the current source " +
+          "snapshot (Replicator.init)")
     val (_, _, deleteCol, _) = Compaction.readMeta(spark, replicaDir)
     val slice = Compaction.readFeed(spark, sourceDir)
       .filter(col("batch") > last && col("batch") <= head) // partition-pruned

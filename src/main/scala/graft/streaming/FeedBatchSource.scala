@@ -179,6 +179,27 @@ private[graft] class FeedBatchStream(tableDir: String,
         // admitted batch range — parallelism follows the feed layout
         val spark = SparkSession.active
         val fs = graft.cdc.TxLog.fs(spark, tableDir)
+        // retention fence: maintain(maxFeedAge) deletes the expired
+        // PREFIX of batch dirs. A consumer whose offset sits below
+        // the horizon would silently skip those changes and diverge
+        // forever — fail loudly instead (the Kafka OffsetOutOfRange
+        // contract): re-seed from a snapshot and fence with
+        // .option("startingBatch", <oldest available - 1>).
+        val root = new org.apache.hadoop.fs.Path(s"$tableDir/feed")
+        val minAvail =
+          if (!fs.exists(root)) None
+          else fs.listStatus(root).toSeq.map(_.getPath.getName)
+            .collect { case s if s.startsWith("batch=") =>
+              s.drop(6).toLong }
+            .minOption
+        minAvail.foreach { mn =>
+          if (from + 1 < mn) throw new IllegalStateException(
+            s"feed batches ${from + 1}..${mn - 1} of $tableDir were " +
+              "removed by retention (maintain maxFeedAge); resuming " +
+              "here would silently skip their changes — re-seed the " +
+              "consumer from a table snapshot and restart with " +
+              s".option(\"startingBatch\", ${mn - 1})")
+        }
         (from + 1 to to).flatMap { b =>
           val d = new org.apache.hadoop.fs.Path(s"$tableDir/feed/batch=$b")
           if (!fs.exists(d)) Nil

@@ -161,6 +161,47 @@ class ReadStreamTableSpec extends SparkSpec {
         "the renamed BIGINT column")
   }
 
+  test("a consumer below the retention horizon fails loudly; fenced/current ones run") {
+    sqlc("""CREATE TABLE grst.ret (
+        id BIGINT, name STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4', 'feed'='true')""")
+    sqlc("INSERT INTO grst.ret VALUES (1, 'a', 0, false)") // batch 0
+    sqlc("INSERT INTO grst.ret VALUES (2, 'b', 1, false)") // batch 1
+    val root = tmpDir("grst-ret")
+    drainTo("grst.ret", s"$root/out", s"$root/ckpt") // applied 0..1
+    Compaction.maintain(spark, s"$warehouse/ret",
+      maxFeedAge = java.time.Duration.ZERO) // drops batches 0,1
+    sqlc("INSERT INTO grst.ret VALUES (3, 'c', 2, false)") // batch 2
+    // the up-to-date checkpoint continues: its next batch (2) is the
+    // oldest available
+    drainTo("grst.ret", s"$root/out", s"$root/ckpt")
+    assert(spark.read.parquet(s"$root/out").count() == 3L)
+    // a FRESH consumer demanding all history fails loudly instead of
+    // silently skipping the aged-out batches
+    val q = spark.readStream.table("grst.ret").writeStream
+      .format("parquet").option("path", s"$root/out2")
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[Exception] { q.awaitTermination() }
+    val all = (err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse(""))
+    assert(all.contains("retention"),
+      s"expected the retention-horizon error, got: $all")
+    // a startingBatch fence at the horizon streams what remains
+    val q2 = spark.readStream
+      .option("startingBatch", "1")
+      .table("grst.ret").writeStream
+      .format("parquet").option("path", s"$root/out3")
+      .option("checkpointLocation", s"$root/ckpt3")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    import spark.implicits._
+    assert(spark.read.parquet(s"$root/out3").select("id")
+      .as[Long].collect().toSet == Set(3L))
+  }
+
   test("merge-on-read and programmatic merges feed the same stream") {
     val dir = tmpDir("grst-mor") + "/t"
     Compaction.init(

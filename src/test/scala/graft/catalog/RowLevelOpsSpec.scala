@@ -83,6 +83,22 @@ class RowLevelOpsSpec extends SparkSpec {
     assert(got(4L) == "u4")
   }
 
+  test("MERGE with WHEN NOT MATCHED BY SOURCE through the v2 path") {
+    mk("mrgsrc", 30, 4)
+    // keep only ids the source names; bump the named ones
+    Seq((3L, "keep3", 1L, false), (7L, "keep7", 1L, false))
+      .toDF("id", "name", "version", "deleted")
+      .createOrReplaceTempView("rlo_src2")
+    sqlc("""MERGE INTO grlo.mrgsrc t USING rlo_src2 s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = sqlc("SELECT id, name FROM grlo.mrgsrc")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(3L -> "keep3", 7L -> "keep7"),
+      s"NOT MATCHED BY SOURCE must delete the rest, got $got")
+  }
+
   test("key-changing UPDATE is refused, table left intact") {
     val dir = mk("keych", 40, 8)
     val before = TxLog.latest(spark, dir).get.version

@@ -103,6 +103,30 @@ class MaintainSpec extends SparkSpec {
     assert(batches == Seq(3L))
   }
 
+  test("a replica behind the feed-retention horizon refuses to sync") {
+    val src = tmpDir("maintain-feed-rep") + "/src"
+    val dst = tmpDir("maintain-feed-rep") + "/dst"
+    Compaction.init(changeDf(Seq((1L, "a", 0L, false))), src,
+      Seq("id"), "version", "deleted", nBuckets = 4, clusterBy = Nil,
+      feed = true)
+    Replicator.init(spark, src, dst)
+    Compaction.merge(spark, src, changeDf(Seq((1L, "v1", 1L, false))),
+      retainHistory = true) // batch 0 — never applied
+    Compaction.maintain(spark, src,
+      maxFeedAge = java.time.Duration.ZERO) // drops it
+    Compaction.merge(spark, src, changeDf(Seq((1L, "v2", 2L, false))),
+      retainHistory = true) // batch 1
+    val e = intercept[IllegalStateException] {
+      Replicator.sync(spark, src, dst)
+    }
+    assert(e.getMessage.contains("retention"), e.getMessage)
+    // re-init re-fences at the live head; sync is then a no-op
+    Replicator.init(spark, src, dst)
+    Replicator.sync(spark, src, dst)
+    assert(Compaction.read(spark, dst).select("payload")
+      .as[String].head() == "v2")
+  }
+
   test("no-op maintenance costs no commit (version unchanged)") {
     val dir = tmpDir("maintain-noop") + "/t"
     Compaction.init(changeDf(Seq((1L, "a", 0L, false))), dir,
