@@ -84,9 +84,11 @@ object Bench {
     val finalResults = results.map { case (n, t) =>
       n -> math.min(t, warmed.getOrElse(n, Double.PositiveInfinity))
     }
-    val rewarmed = finalResults.count { case (n, t) => t < prelim(n) }
-    System.err.println(
-      s"bench: warm re-pass improved $rewarmed of ${warmed.size} re-run queries")
+    val rewarmedNames = finalResults.collect {
+      case (n, t) if t < prelim(n) => n
+    }
+    System.err.println(s"bench: warm re-pass improved " +
+      s"${rewarmedNames.size} of ${warmed.size} re-run queries")
 
     val failed = finalResults.collect { case (n, t) if t.isInfinity => n }
     val good = finalResults.filterNot(_._2.isInfinity)
@@ -96,6 +98,11 @@ object Bench {
     def qjson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // which entries' published time came from the warm re-pass: their
+    // gc_sec describes the (discarded) battery run, not the published
+    // number — a regression hunt must not read GC causality into them
+    val rewarmedJson =
+      rewarmedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     val jvmDiag =
       s""""jvm":{"gc_sec_total":${fmt(gcMillis / 1e3)},""" +
@@ -126,7 +133,7 @@ object Bench {
     // the driver persists only the LAST ~2000 chars of output. The final
     // printed line is therefore a compact, complete JSON object (top-40
     // slowest queries) guaranteed to fit inside that tail window.
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"failed":$failedJson,"queries":${qjson(finalResults)},"gc_sec":${qjson(gcPer.toSeq)},$jvmDiag$sf1Json$sf1FullJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"failed":$failedJson,"rewarmed":$rewarmedJson,"queries":${qjson(finalResults)},"gc_sec":${qjson(gcPer.toSeq)},$jvmDiag$sf1Json$sf1FullJson,"sf":"$sfDir"}"""
     println(fullLine)
     // a filtered local-iteration run must not clobber the full-set
     // detail artifact the driver and the judge read

@@ -176,14 +176,8 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     // published before an ALTER RENAME still resolve by (old) name
     val events = Compaction.renameEvents(meta.props)
     val spellings: Map[String, Seq[String]] =
-      meta.schema.fieldNames.map { n =>
-        var cur = n
-        val acc = scala.collection.mutable.ArrayBuffer(cur)
-        events.foreach { case (_, from, to) =>
-          if (cur.equalsIgnoreCase(to)) { cur = from; acc += cur }
-        }
-        n.toLowerCase -> acc.toSeq
-      }.toMap
+      meta.schema.fieldNames.map(n =>
+        n.toLowerCase -> Compaction.historicalSpellings(events, n)).toMap
     new graft.streaming.FeedBatchStream(dir,
       Option(streamOptions.get("maxBatchesPerTrigger")).map(_.toLong),
       Option(streamOptions.get("startingBatch")).map(_.toLong)
@@ -568,15 +562,21 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     if (rows.isPresent) {
       val n = rows.getAsLong
       val requiredNames = required.fieldNames.map(_.toLowerCase).toSet
-      p.meta.keys.filter(k => requiredNames(k.toLowerCase)).foreach { k =>
-        colStats.put(
-          org.apache.spark.sql.connector.expressions.Expressions
-            .column(k),
-          new org.apache.spark.sql.connector.read.colstats
-              .ColumnStatistics {
-            override def distinctCount(): OptionalLong =
-              OptionalLong.of(n)
-          })
+      // SINGLE-key tables only: uniqueness is a property of the key
+      // TUPLE — claiming per-column NDV = rows on a composite key
+      // would overstate each column's cardinality by orders of
+      // magnitude and flip CBO's join estimates the wrong way
+      if (p.meta.keys.size == 1) {
+        p.meta.keys.filter(k => requiredNames(k.toLowerCase)).foreach { k =>
+          colStats.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(k),
+            new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                OptionalLong.of(n)
+            })
+        }
       }
       p.meta.versionCol
         .filter(vc => requiredNames(vc.toLowerCase))
@@ -1205,9 +1205,17 @@ private[catalog] object GraftPrune {
     }
     if (!meta.keys.forall(perKey.contains)) return None
     val sets = meta.keys.map(perKey)
-    val product = sets.map(_.size.toLong).product
-    if (product == 0) return Some(Set.empty) // a key bound to nothing
-    if (product > 4L * meta.nBuckets + 1) return None
+    if (sets.exists(_.isEmpty))
+      return Some(Set.empty) // a key bound to nothing
+    // overflow-safe product cap: multiply with an early exit — a
+    // plain .product of four ~55k-literal sets wraps a Long negative
+    // and would sail past the guard into an astronomic cross product
+    val cap = 4L * meta.nBuckets + 1
+    var product = 1L
+    sets.foreach { s =>
+      product = product * s.size
+      if (product > cap || product <= 0) return None
+    }
     def cross(ss: Seq[Set[Literal]]): Seq[Seq[Literal]] = ss match {
       case Seq() => Seq(Seq.empty)
       case head +: tail =>

@@ -722,11 +722,21 @@ private[catalog] final class GraftWriteBuilder(dir: String,
           // in table order for the merge's schema-union determinism
           val aligned = data.select(tableCols.map(col): _*)
           if (overwrite || ov) {
+            // truncation resets the table AND its feed directory —
+            // batch numbering would restart at 0 and every
+            // checkpointed consumer would silently stall or skip.
+            // Refuse rather than strand consumers; an intentional
+            // reset is DROP + CREATE (consumers re-seed explicitly).
+            require(!snap.prop("feed").contains("true"),
+              "INSERT OVERWRITE on a change-feed-enabled table would " +
+                "reset feed batch numbering and strand checkpointed " +
+                "consumers; express the change through MERGE/DELETE " +
+                "+ INSERT (which emit feed events), or DROP and " +
+                "re-CREATE the table")
             val clusterBy = snap.prop("cluster_by")
               .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
             Compaction.init(aligned, dir, keyProp.split(",").toSeq,
-              versionCol, deleteCol, nBuckets, clusterBy,
-              feed = snap.prop("feed").contains("true"))
+              versionCol, deleteCol, nBuckets, clusterBy)
           } else {
             // catalog tables keep history: VERSION AS OF serves every
             // commit until an explicit Compaction.vacuum bounds it

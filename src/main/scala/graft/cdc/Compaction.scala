@@ -96,7 +96,7 @@ object Compaction {
     */
   private[cdc] val ReservedCols =
     Set("bucket", "batch", "_src", "_rn", "_change_type", "_had_stored",
-      "_pre", "_f", "_seq")
+      "_pre", "_f", "_seq", "_order", "_ord_rn")
 
   private[cdc] def requireNoReserved(cols: Seq[String], what: String): Unit = {
     val clash = cols.map(_.toLowerCase).toSet.intersect(ReservedCols)
@@ -503,6 +503,25 @@ object Compaction {
     events.foldLeft(logical) { case (n, (v, from, to)) =>
       if (v > genV && n.equalsIgnoreCase(to)) from else n
     }
+
+  /** Every spelling `logical` ever had, newest first — the full
+    * unwind of [[renameEvents]] regardless of generation. Used where
+    * a file's generation is unknown (feed batches): the dead-name
+    * fence guarantees no other column ever used these spellings, so
+    * matching ANY of them is unambiguous. ONE implementation — the
+    * feed batch reader, the changelog stream, and ALTER's own
+    * collision checks must never disagree on a column's history.
+    */
+  private[graft] def historicalSpellings(
+      events: Seq[(Long, String, String)],
+      logical: String): Seq[String] = {
+    var n = logical
+    val acc = scala.collection.mutable.ArrayBuffer(n)
+    events.foreach { case (_, from, to) =>
+      if (n.equalsIgnoreCase(to)) { n = from; acc += n }
+    }
+    acc.toSeq
+  }
 
   /** Generation (commit) version of a manifest-relative data path
     * (`g<V>[-txn]/bucket=B`); unparsable names resolve as "current"
@@ -946,7 +965,8 @@ object Compaction {
     */
   private def evolutionProps(snap: TxLog.Snapshot): Map[String, String] =
     snap.props.filter { case (k, _) =>
-      k.startsWith("rename.") || k == "dead_cols" || k == "feed"
+      k.startsWith("rename.") || k == "dead_cols" || k == "feed" ||
+        k == "schema_altered"
     }
 
   /** Whether the table opted into the change data feed
@@ -1115,6 +1135,9 @@ object Compaction {
         renameProp ++ deadProp +
         ("schema_json" -> org.apache.spark.sql.types
           .StructType(fields).json) +
+        // durable marker: feed readers take the per-batch
+        // schema-resolution path only once an ALTER ever happened
+        ("schema_altered" -> "true") +
         ("op" -> "alter")
       TxLog.commit(spark, dir, m.snap.version + 1, props)
       ()
@@ -1314,6 +1337,21 @@ object Compaction {
     val batchDirs = fs.listStatus(root).toSeq
       .filter(_.getPath.getName.startsWith("batch="))
       .map(_.getPath)
+    if (batchDirs.isEmpty) return emptyFeed
+    // fast path: a table never touched by ALTER has no renames and no
+    // widenings — every batch reads under the CURRENT logical feed
+    // schema in ONE scan (explicit schema: merge-added columns
+    // null-extend by name), no per-batch footer pass. Merges widen
+    // only the manifest's column SET, never names or types, so the
+    // `schema_altered` marker is exactly the per-batch-resolution
+    // trigger.
+    if (m.snap.prop("schema_altered").isEmpty) {
+      val withBatch = org.apache.spark.sql.types.StructType(
+        logicalFeed.fields :+
+          org.apache.spark.sql.types.StructField("batch",
+            org.apache.spark.sql.types.IntegerType))
+      return spark.read.schema(withBatch).parquet(root.toString)
+    }
     // EVOLUTION-AWARE read: batches written before an ALTER carry the
     // old column names (rename) and narrow types (widen), and lack
     // added columns — a plain mergeSchema read would null out a
@@ -1338,14 +1376,8 @@ object Compaction {
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     if (bySig.isEmpty) return emptyFeed
     val events = renameEvents(m.snap.props)
-    def spellings(logical: String): Seq[String] = {
-      var n = logical
-      val acc = scala.collection.mutable.ArrayBuffer(n)
-      events.foreach { case (_, from, to) =>
-        if (n.equalsIgnoreCase(to)) { n = from; acc += n }
-      }
-      acc.toSeq
-    }
+    def spellings(logical: String): Seq[String] =
+      historicalSpellings(events, logical)
     bySig.toSeq.map { case (phys, dirs) =>
       val withBatch = org.apache.spark.sql.types.StructType(
         phys.fields :+ org.apache.spark.sql.types.StructField("batch",
@@ -1380,6 +1412,11 @@ object Compaction {
   def feedAsChangelog(feed: DataFrame, deleteCol: String): DataFrame =
     feed.filter(col("_change_type") =!= "update_preimage")
       .withColumn(deleteCol, col("_change_type") === "delete")
+      // feed order rides along as the sanctioned `_order` tiebreak:
+      // when several batches merge in ONE pass, same-version events
+      // for a key (a v2 delete and the insert it supersedes) resolve
+      // by publish order instead of arbitrarily
+      .withColumn("_order", col("batch").cast("long"))
       .drop("_change_type", "batch")
 
   /** The path-pruned slice of the snapshot a merge of `touched`
@@ -1473,9 +1510,26 @@ object Compaction {
       throw new TxLog.StaleBase(
         s"changelog derived at v$want but table is at v${m0.snap.version}")
     }
-    val dataCols = changelog.columns.filterNot(_ == "bucket")
+    // `_order` is the sanctioned intra-version ordering channel: when
+    // a changelog carries it (feedAsChangelog stamps the feed batch
+    // id), rows tying on (key, version) resolve by _order DESC
+    // instead of arbitrarily — a delete event and the same-version
+    // insert it supersedes, merged in ONE catch-up pass, land in feed
+    // order. Reduced here to one winner per key, then the ordinary
+    // merge applies (a change still beats a stored row at equal
+    // version).
+    val ordered =
+      if (!changelog.columns.contains("_order")) changelog
+      else {
+        val w = Window.partitionBy(m0.keyCols: _*)
+          .orderBy(col(m0.versionCol).desc,
+            col("_order").desc_nulls_last)
+        changelog.withColumn("_ord_rn", row_number().over(w))
+          .filter(col("_ord_rn") === 1).drop("_ord_rn", "_order")
+      }
+    val dataCols = ordered.columns.filterNot(_ == "bucket")
     requireNoReserved(dataCols.toSeq, "changelog schema")
-    val changes = changelog
+    val changes = ordered
       .withColumn("bucket", bucketOf(m0.keyCols, m0.nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -186,13 +186,16 @@ private[graft] class FeedBatchStream(tableDir: String,
         // contract): re-seed from a snapshot and fence with
         // .option("startingBatch", <oldest available - 1>).
         val root = new org.apache.hadoop.fs.Path(s"$tableDir/feed")
-        val minAvail =
-          if (!fs.exists(root)) None
-          else fs.listStatus(root).toSeq.map(_.getPath.getName)
-            .collect { case s if s.startsWith("batch=") =>
-              s.drop(6).toLong }
-            .minOption
-        minAvail.foreach { mn =>
+        // when retention deleted EVERY batch dir the committed counter
+        // still says batches ≤ `to` were published — treat the whole
+        // admitted range as below the horizon, not as "nothing new"
+        val mn =
+          (if (!fs.exists(root)) None
+           else fs.listStatus(root).toSeq.map(_.getPath.getName)
+             .collect { case s if s.startsWith("batch=") =>
+               s.drop(6).toLong }
+             .minOption).getOrElse(to + 1)
+        locally {
           if (from + 1 < mn) throw new IllegalStateException(
             s"feed batches ${from + 1}..${mn - 1} of $tableDir were " +
               "removed by retention (maintain maxFeedAge); resuming " +

@@ -58,4 +58,43 @@ class ReplicationSpec extends SparkSpec {
     val m = rows(src).map(r => r._1 -> r._2).toMap
     assert(m(8L) == "v2-8" && !m.contains(3L) && m(31L) == "v3-31")
   }
+
+  test("one-pass catch-up resolves same-version insert/delete by feed order") {
+    val root = tmpDir("repl-order")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    Compaction.init(changeDf(Nil), src, "id", "version", "deleted",
+      nBuckets = 4)
+    Compaction.init(changeDf(Nil), dst, "id", "version", "deleted",
+      nBuckets = 4)
+    // batch 0: insert k at version 5; batch 1: a tombstone at the
+    // SAME version (a v2 DELETE's feed event carries the pre-image's
+    // version — no user version bump exists for it). Applying both
+    // batches in ONE merge must land the DELETE: the feed order is
+    // the only ordering information, and feedAsChangelog's `_order`
+    // carries it.
+    Compaction.merge(spark, src,
+      changeDf(Seq((7L, "ins", 5L, false))), emitFeed = true)
+    Compaction.merge(spark, src,
+      changeDf(Seq((7L, "ins", 5L, true))), emitFeed = true)
+    Compaction.merge(spark, dst, Compaction.feedAsChangelog(
+      Compaction.readFeed(spark, src), "deleted"))
+    assert(rows(dst).isEmpty,
+      s"the later delete must win the same-version tie, got ${rows(dst)}")
+    assert(rows(dst) == rows(src))
+
+    // the mirror order: insert → delete → re-insert at ONE version
+    // across three batches, drained in one pass — the re-insert wins
+    Compaction.merge(spark, src,
+      changeDf(Seq((9L, "in", 5L, false))), emitFeed = true)
+    Compaction.merge(spark, src,
+      changeDf(Seq((9L, "in", 5L, true))), emitFeed = true)
+    Compaction.merge(spark, src,
+      changeDf(Seq((9L, "back", 5L, false))), emitFeed = true)
+    Compaction.merge(spark, dst, Compaction.feedAsChangelog(
+      Compaction.readFeed(spark, src)
+        .filter(col("batch") >= 2), "deleted"))
+    assert(rows(dst) == rows(src))
+    assert(rows(dst) == Set((9L, "back", 5L)))
+  }
 }
