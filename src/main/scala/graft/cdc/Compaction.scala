@@ -1515,21 +1515,13 @@ object Compaction {
     // id), rows tying on (key, version) resolve by _order DESC
     // instead of arbitrarily — a delete event and the same-version
     // insert it supersedes, merged in ONE catch-up pass, land in feed
-    // order. Reduced here to one winner per key, then the ordinary
-    // merge applies (a change still beats a stored row at equal
-    // version).
-    val ordered =
-      if (!changelog.columns.contains("_order")) changelog
-      else {
-        val w = Window.partitionBy(m0.keyCols: _*)
-          .orderBy(col(m0.versionCol).desc,
-            col("_order").desc_nulls_last)
-        changelog.withColumn("_ord_rn", row_number().over(w))
-          .filter(col("_ord_rn") === 1).drop("_ord_rn", "_order")
-      }
-    val dataCols = ordered.columns.filterNot(_ == "bucket")
+    // order. The column rides INTO the merge's own ranking window
+    // (no extra shuffle on the catch-up path) and is dropped before
+    // anything is stored.
+    val dataCols = changelog.columns
+      .filterNot(c => c == "bucket" || c == "_order")
     requireNoReserved(dataCols.toSeq, "changelog schema")
-    val changes = ordered
+    val changes = changelog
       .withColumn("bucket", bucketOf(m0.keyCols, m0.nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1584,9 +1576,25 @@ object Compaction {
     // a table that opted into the change feed emits on EVERY merge —
     // the caller flag remains for per-call opt-in on plain tables
     val emitFeedEff = emitFeed || feedEnabled(m.snap)
-    if (mergeOnRead)
-      return morMerge(spark, dir, m, txn, changes, dataCols, touched,
+    val hasOrder = changes.columns.contains("_order")
+    if (mergeOnRead) {
+      // the MoR path stages the changelog verbatim as delta files, so
+      // an _order-carrying batch reduces to one winner per key FIRST
+      // (the fold's (version, _seq) order cannot see intra-batch
+      // publish order); the CoW path below threads _order through its
+      // own ranking window instead — no extra shuffle there
+      val reduced =
+        if (!hasOrder) changes
+        else {
+          val w = Window.partitionBy(m.keyCols: _*)
+            .orderBy(col(m.versionCol).desc,
+              col("_order").desc_nulls_last)
+          changes.withColumn("_ord_rn", row_number().over(w))
+            .filter(col("_ord_rn") === 1).drop("_ord_rn", "_order")
+        }
+      return morMerge(spark, dir, m, txn, reduced, dataCols, touched,
         emitFeedEff, retainHistory)
+    }
 
     // stored rows never carry tombstones (init/merge drop them), so
     // rank snapshot rows as source=0 vs changelog source=1: on a
@@ -1598,12 +1606,15 @@ object Compaction {
     // null-fills its own rows.
     val snapshot = prunedSnapshot(spark, dir, touched, m)
       .withColumn("_src", lit(0))
+    val changeCols = (col("bucket") +: dataCols.map(col)) ++
+      (if (hasOrder) Seq(col("_order")) else Nil)
     val unioned = snapshot.unionByName(
-      changes.select(col("bucket") +: dataCols.map(col): _*)
+      changes.select(changeCols: _*)
         .withColumn("_src", lit(1)),
-      allowMissingColumns = true)
-    val w = Window.partitionBy(m.keyCols: _*)
-      .orderBy(col(versionCol).desc, col("_src").desc)
+      allowMissingColumns = true) // snapshot rows null-fill _order
+    val order = Seq(col(versionCol).desc, col("_src").desc) ++
+      (if (hasOrder) Seq(col("_order").desc_nulls_last) else Nil)
+    val w = Window.partitionBy(m.keyCols: _*).orderBy(order: _*)
     val ranked0 = unioned.withColumn("_rn", row_number().over(w))
     // with a feed to emit, the union+shuffle+window feeds TWO outputs
     // (feed classification and table winners) — cache it so the
@@ -1636,7 +1647,7 @@ object Compaction {
       ranked: DataFrame, unioned: DataFrame,
       keys: Seq[String], deleteCol: String, versionCol: String): Long = {
     val allCols = unioned.columns.toSeq
-      .filterNot(c => c == "bucket" || c == "_src")
+      .filterNot(c => c == "bucket" || c == "_src" || c == "_order")
     val rowStruct = struct(allCols.map(col): _*)
     // a DELETE event's payload is the last-known (pre-image) values,
     // but its VERSION is the tombstone's own: the delete happened AT
@@ -1732,7 +1743,7 @@ object Compaction {
     // the old count-then-write double pass (and its cache) is gone
     val winners = ranked
       .filter(col("_rn") === 1 && !isDeleted(deleteCol))
-      .drop("_rn", "_src")
+      .drop("_rn", "_src", "_order") // ordering channel never stores
 
     val feedRows: Long = if (!emitFeed) 0L
       else prof("merge.stageFeed") {
