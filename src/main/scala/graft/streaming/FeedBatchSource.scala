@@ -195,14 +195,12 @@ private[graft] class FeedBatchStream(tableDir: String,
              .collect { case s if s.startsWith("batch=") =>
                s.drop(6).toLong }
              .minOption).getOrElse(to + 1)
-        locally {
-          if (from + 1 < mn) throw new IllegalStateException(
-            s"feed batches ${from + 1}..${mn - 1} of $tableDir were " +
-              "removed by retention (maintain maxFeedAge); resuming " +
-              "here would silently skip their changes — re-seed the " +
-              "consumer from a table snapshot and restart with " +
-              s".option(\"startingBatch\", ${mn - 1})")
-        }
+        if (from + 1 < mn) throw new IllegalStateException(
+          s"feed batches ${from + 1}..${mn - 1} of $tableDir were " +
+            "removed by retention (maintain maxFeedAge); resuming " +
+            "here would silently skip their changes — re-seed the " +
+            "consumer from a table snapshot and restart with " +
+            s".option(\"startingBatch\", ${mn - 1})")
         (from + 1 to to).flatMap { b =>
           val d = new org.apache.hadoop.fs.Path(s"$tableDir/feed/batch=$b")
           if (!fs.exists(d)) Nil
