@@ -159,6 +159,17 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     * checkpoints with `.option("startingBatch", b)`. Raw events
     * (`_change_type`, preimages, batch ids) stream via
     * [[graft.plans.GraftTables.changeStream]].
+    *
+    * Ordering caveat: the emitted rows carry the TABLE schema, so a
+    * drain spanning several feed batches cannot ship the `_order`
+    * publish-order channel [[graft.cdc.Compaction.feedAsChangelog]]
+    * uses — two events for one key at the SAME version (a v2 DELETE's
+    * tombstone against the insert it supersedes) resolve arbitrarily
+    * in the downstream merge. Monotonic versions make this moot; for
+    * version-reusing workloads, replicate with
+    * [[graft.cdc.Replicator]] (order-exact) or pin
+    * `maxBatchesPerTrigger=1` so every micro-batch holds one feed
+    * batch.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {

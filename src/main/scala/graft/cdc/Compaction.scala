@@ -1582,18 +1582,21 @@ object Compaction {
       // an _order-carrying batch reduces to one winner per key FIRST
       // (the fold's (version, _seq) order cannot see intra-batch
       // publish order); the CoW path below threads _order through its
-      // own ranking window instead — no extra shuffle there
-      val reduced =
-        if (!hasOrder) changes
-        else {
-          val w = Window.partitionBy(m.keyCols: _*)
-            .orderBy(col(m.versionCol).desc,
-              col("_order").desc_nulls_last)
-          changes.withColumn("_ord_rn", row_number().over(w))
-            .filter(col("_ord_rn") === 1).drop("_ord_rn", "_order")
-        }
-      return morMerge(spark, dir, m, txn, reduced, dataCols, touched,
-        emitFeedEff, retainHistory)
+      // own ranking window instead — no extra shuffle there. The
+      // reduce is persisted: a feed-enabled MoR merge consumes it
+      // twice (classification + delta write) and must not pay the
+      // window shuffle per consumer.
+      if (!hasOrder)
+        return morMerge(spark, dir, m, txn, changes, dataCols, touched,
+          emitFeedEff, retainHistory)
+      val w = Window.partitionBy(m.keyCols: _*)
+        .orderBy(col(m.versionCol).desc, col("_order").desc_nulls_last)
+      val reduced = changes.withColumn("_ord_rn", row_number().over(w))
+        .filter(col("_ord_rn") === 1).drop("_ord_rn", "_order")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try return morMerge(spark, dir, m, txn, reduced, dataCols,
+        touched, emitFeedEff, retainHistory)
+      finally reduced.unpersist()
     }
 
     // stored rows never carry tombstones (init/merge drop them), so

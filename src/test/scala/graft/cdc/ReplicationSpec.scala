@@ -96,5 +96,16 @@ class ReplicationSpec extends SparkSpec {
         .filter(col("batch") >= 2), "deleted"))
     assert(rows(dst) == rows(src))
     assert(rows(dst) == Set((9L, "back", 5L)))
+
+    // the MERGE-ON-READ consumer path: delta files cannot express
+    // intra-batch order, so the _order pre-reduce must land the same
+    // outcome before staging (and the folded read must agree)
+    val dstMor = s"$root/dst-mor"
+    Compaction.init(changeDf(Nil), dstMor, "id", "version", "deleted",
+      nBuckets = 4)
+    Compaction.merge(spark, dstMor, Compaction.feedAsChangelog(
+      Compaction.readFeed(spark, src), "deleted"), mergeOnRead = true)
+    assert(rows(dstMor) == rows(src),
+      s"MoR one-pass catch-up diverged: ${rows(dstMor)} vs ${rows(src)}")
   }
 }
