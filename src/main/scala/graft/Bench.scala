@@ -87,6 +87,12 @@ object Bench {
     val rewarmedNames = finalResults.collect {
       case (n, t) if t < prelim(n) => n
     }
+    // both numbers publish (r9 advisory): `queries` carries the
+    // warm-merged min, `queries_battery` the in-battery min for every
+    // rewarmed entry — so cross-round ratio hunts can normalize on the
+    // same protocol instead of reading the warm-merge itself as a
+    // speedup (math.min only ever lowers)
+    val batteryOfRewarmed = rewarmedNames.map(n => n -> prelim(n))
     System.err.println(s"bench: warm re-pass improved " +
       s"${rewarmedNames.size} of ${warmed.size} re-run queries")
 
@@ -133,7 +139,7 @@ object Bench {
     // the driver persists only the LAST ~2000 chars of output. The final
     // printed line is therefore a compact, complete JSON object (top-40
     // slowest queries) guaranteed to fit inside that tail window.
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"failed":$failedJson,"rewarmed":$rewarmedJson,"queries":${qjson(finalResults)},"gc_sec":${qjson(gcPer.toSeq)},$jvmDiag$sf1Json$sf1FullJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"failed":$failedJson,"rewarmed":$rewarmedJson,"queries_battery":${qjson(batteryOfRewarmed)},"queries":${qjson(finalResults)},"gc_sec":${qjson(gcPer.toSeq)},$jvmDiag$sf1Json$sf1FullJson,"sf":"$sfDir"}"""
     println(fullLine)
     // a filtered local-iteration run must not clobber the full-set
     // detail artifact the driver and the judge read

@@ -859,20 +859,20 @@ object Compaction {
           stageReplaceFeed(spark, txn.staging, pre, post, m)
           Some(nextBatch(spark, dir, m))
         }
+      feedBatch.foreach(n =>
+        stampFeedIntent(TxLog.fs(spark, dir), txn.staging, n))
       val props = coreProps(m.keys, m.versionCol, m.deleteCol,
         m.nBuckets, m.schema.json, m.clusterBy) ++
         evolutionProps(m.snap) ++ carried ++
         rowProps(newStats.view.filterKeys(stagedIn.contains).toMap) ++
         escapeProps ++
-        feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
-          .orElse(m.snap.prop("next_feed_batch")
-            .map("next_feed_batch" -> _)) +
+        feedCommitProps(feedBatch, txn, m.snap) +
         ("op" -> "replace")
       // catalog tables keep history: VERSION AS OF serves every commit
       // until an explicit vacuum, exactly like the DML lowering
       txn.installAndCommit(newBuckets, props)
       feedBatch.foreach(n => publishFeed(TxLog.fs(spark, dir),
-        txn.staging, dir, n, txn.newVersion))
+        txn.staging, dir, n, txn.newVersion, m.schema.json))
       TxLog.hygiene(txn.cleanup())
     }
   }
@@ -1131,7 +1131,8 @@ object Compaction {
       val deadProp =
         if (dead.isEmpty) Map.empty[String, String]
         else Map("dead_cols" -> dead.toSeq.sorted.mkString(","))
-      val props = m.snap.props -- Seq("txn_id", "base_txn") ++
+      val props = m.snap.props --
+        Seq("txn_id", "base_txn", "feed_batch", "feed_txn") ++
         renameProp ++ deadProp +
         ("schema_json" -> org.apache.spark.sql.types
           .StructType(fields).json) +
@@ -1303,11 +1304,17 @@ object Compaction {
     val fs = TxLog.fs(spark, dir)
     TxLog.vacuum(spark, dir, keepFromVersion)
     val feedRoot = new Path(s"$dir/feed")
-    if (feedBefore > 0L && fs.exists(feedRoot))
-      fs.listStatus(feedRoot).map(_.getPath.getName)
+    if (feedBefore > 0L && fs.exists(feedRoot)) {
+      val doomed = fs.listStatus(feedRoot).map(_.getPath.getName)
         .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
         .filter(_ < feedBefore)
-        .foreach(b => fs.delete(new Path(s"$dir/feed/batch=$b"), true))
+      if (doomed.nonEmpty) {
+        // the horizon records BEFORE any delete (see HorizonMarker)
+        writeFeedHorizon(fs, dir, doomed.max + 1L)
+        doomed.foreach(b =>
+          fs.delete(new Path(s"$dir/feed/batch=$b"), true))
+      }
+    }
   }
 
   /** The accumulated change data feed: every feed batch ever emitted,
@@ -1317,6 +1324,26 @@ object Compaction {
     * are partition-pruned by `batch` — a consumer resuming from batch
     * K scans only the new directories.
     */
+  /** One listStatus per directory through a bounded pool: object-store
+    * listings are latency-bound, and the evolution-aware feed read
+    * needs one per batch dir — sequential round trips would dominate.
+    */
+  private def listDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dirs: Seq[Path]): Seq[(Path, Array[org.apache.hadoop.fs.FileStatus])] =
+    if (dirs.lengthCompare(4) <= 0) dirs.map(p => p -> fs.listStatus(p))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, dirs.size))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(dirs)(p =>
+            scala.concurrent.Future(p -> fs.listStatus(p))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+
   def readFeed(spark: SparkSession, dir: String): DataFrame = {
     val fs = TxLog.fs(spark, dir)
     val m = loadMeta(spark, dir)
@@ -1357,23 +1384,33 @@ object Compaction {
     // added columns — a plain mergeSchema read would null out a
     // renamed column for every old batch and FAIL outright on a
     // widened one (parquet schema merging refuses int-vs-long).
-    // Group batch dirs by their files' Spark schema (one driver-side
-    // footer inference per batch dir — feed retention bounds the
-    // count), read each group under ITS OWN physical schema with the
-    // `batch` partition column preserved via basePath, then project
-    // every group onto the CURRENT logical feed schema: renamed
-    // columns resolve through their historical spellings, narrow
-    // values cast up, added columns null-extend.
-    val bySig = batchDirs.flatMap { p =>
-      // a zero-effect merge publishes an empty batch dir: no files,
-      // no rows — skip (its id stays visible via nextBatch's counter)
-      val hasFiles = fs.listStatus(p).exists(st =>
-        st.isFile && st.getLen > 0 &&
-          !st.getPath.getName.startsWith(".") &&
-          !st.getPath.getName.startsWith("_"))
-      if (!hasFiles) None
-      else Some(spark.read.parquet(p.toString).schema -> p.toString)
-    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // Group batch dirs by schema EPOCH — the publish marker's
+    // fingerprint of the table schema each batch was written under —
+    // so the driver does ONE footer inference per epoch (≈ per ALTER),
+    // not one per batch (r9 advice: a long-lived ALTERed feed paid
+    // O(batches) sequential footer reads per read). Each group reads
+    // under ITS OWN physical schema with the `batch` partition column
+    // preserved via basePath, then projects onto the CURRENT logical
+    // feed schema: renamed columns resolve through their historical
+    // spellings, narrow values cast up, added columns null-extend.
+    val listed = listDirs(fs, batchDirs)
+    // a zero-effect merge publishes an empty batch dir: no data files,
+    // no rows — skip (its id stays visible via nextBatch's counter)
+    val withData = listed.filter { case (_, sts) =>
+      sts.exists(st => st.isFile && st.getLen > 0 &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+    }
+    val epochs = withData.groupBy { case (p, sts) =>
+      // a pre-marker (legacy) batch keeps its own footer pass
+      sts.iterator.map(_.getPath.getName)
+        .collectFirst { case PubMarker(_, h) => h }
+        .getOrElse(s"legacy:$p")
+    }
+    val bySig = epochs.values.toSeq.map { group =>
+      spark.read.parquet(group.head._1.toString).schema ->
+        group.map(_._1.toString)
+    }.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
     if (bySig.isEmpty) return emptyFeed
     val events = renameEvents(m.snap.props)
     def spellings(logical: String): Seq[String] =
@@ -1703,14 +1740,164 @@ object Compaction {
     else spark.read.parquet(s"$staging/feed").count()
   }
 
+  /** Zero-byte publish marker inside every published batch dir,
+    * filename-encoded so no reader ever opens it:
+    * `_pub-<millis>-<schemaFingerprint>`. The millis are the durable
+    * retention clock ([[maintain]]'s `maxFeedAge` — object-store
+    * directory mtimes are synthetic and clock-skewed); the fingerprint
+    * identifies the table-schema EPOCH the batch was written under, so
+    * the evolution-aware [[readFeed]] does one footer inference per
+    * epoch instead of one per batch.
+    */
+  private[cdc] val PubMarker = "^_pub-([0-9]+)-([0-9a-f]+)$".r
+
+  /** Staged-intent marker `_batch-<n>`, written into `<staging>/feed`
+    * BEFORE the commit that reserves batch `n`: a writer that dies
+    * between its commit and [[publishFeed]] leaves the only copy of the
+    * batch's change events in its staging dir, and this marker is how
+    * [[republishStagedFeed]] maps that staging back to its batch id.
+    */
+  private[cdc] val IntentMarker = "^_batch-([0-9]+)$".r
+
+  private[cdc] def schemaFingerprint(schemaJson: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(schemaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
+  private def stampFeedIntent(fs: org.apache.hadoop.fs.FileSystem,
+      staging: String, n: Long): Unit = TxLog.hygiene {
+    // best-effort: without it the crash-recovery republish degrades to
+    // "gap detected loudly", never to silence
+    val d = new Path(s"$staging/feed")
+    fs.mkdirs(d)
+    fs.create(new Path(d, s"_batch-$n"), true).close()
+  }
+
+  /** The feed bookkeeping a committing write records: the advanced
+    * batch counter, plus — when this commit emits a batch — the
+    * (feed_txn, feed_batch) pair [[republishStagedFeed]] matches a
+    * crashed writer's staging against to finish its publish (the
+    * commit-then-publish window, r9 advice).
+    */
+  private def feedCommitProps(feedBatch: Option[Long], txn: TableTxn,
+      snap: TxLog.Snapshot): Map[String, String] = feedBatch match {
+    case Some(n) => Map("next_feed_batch" -> (n + 1L).toString,
+      "feed_batch" -> n.toString, "feed_txn" -> txn.id)
+    case None =>
+      snap.prop("next_feed_batch").map("next_feed_batch" -> _).toMap
+  }
+
+  /** Zero-byte retention-horizon marker `feed/_horizon-<n>`: every
+    * batch id below `n` was (or was about to be) released by
+    * [[maintain]]/[[vacuum]]. Written BEFORE any deletion, so a crash
+    * between the two leaves the horizon conservative (dirs still
+    * present), never a consumer silently skipping an unrecorded
+    * deletion (r9 advice — dir-mtime expiry was both undurable and
+    * unfenced). A marker file instead of a manifest property on
+    * purpose: retention must not bump the table version (time travel
+    * and version arithmetic stay untouched), and consumers only
+    * consult it at stream start and on failure paths — never per
+    * trigger.
+    */
+  private[graft] val HorizonMarker = "^_horizon-([0-9]+)$".r
+
+  /** The recorded retention horizon (0 when retention never ran): one
+    * listing of `feed/`, taken at stream start / failure paths only.
+    */
+  private[graft] def feedHorizon(spark: SparkSession, dir: String): Long = {
+    val fs = TxLog.fs(spark, dir)
+    val root = new Path(s"$dir/feed")
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .collect { case HorizonMarker(h) => h.toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  private def writeFeedHorizon(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, horizon: Long): Unit = {
+    fs.create(new Path(s"$dir/feed/_horizon-$horizon"), true).close()
+    // superseded markers are redundant once the higher one is durable
+    TxLog.hygiene {
+      fs.listStatus(new Path(s"$dir/feed")).foreach { st =>
+        st.getPath.getName match {
+          case HorizonMarker(h) if h.toLong < horizon =>
+            fs.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** Finish a crashed writer's feed publish: a writer that died between
+    * its commit and [[publishFeed]] left the ONLY copy of that batch's
+    * change events in `.staging-<txn>/feed` — the pre-r10 sweep deleted
+    * it, turning the crash into a permanent feed gap. The staging's
+    * `_batch-<n>` intent marker must match a committed manifest's
+    * (`feed_txn`, `feed_batch`) pair: a staging whose commit never
+    * landed (a crashed CAS loser) is NOT republished — publishing
+    * uncommitted events would be worse than the gap, which consumers
+    * refuse loudly. Returns true when a publish was completed.
+    */
+  private[cdc] def republishStagedFeed(spark: SparkSession, dir: String,
+      txnId: String): Boolean = {
+    val fs = TxLog.fs(spark, dir)
+    val feedDir = new Path(s"$dir/.staging-$txnId/feed")
+    if (!fs.exists(feedDir)) return false
+    val n = fs.listStatus(feedDir).iterator.map(_.getPath.getName)
+      .collectFirst { case IntentMarker(b) => b.toLong }
+      .getOrElse(return false)
+    if (fs.exists(new Path(s"$dir/feed/batch=$n")))
+      return false // published — by our earlier attempt or the CAS winner
+    TxLog.versionsOnDisk(spark, dir).reverse.iterator
+      .flatMap(v => scala.util.Try(TxLog.read(spark, dir, v)).toOption)
+      .find(s => s.prop("feed_txn").contains(txnId) &&
+        s.prop("feed_batch").contains(n.toString)) match {
+      case None => false // commit never landed (or manifest vacuumed)
+      case Some(snap) =>
+        publishFeed(fs, s"$dir/.staging-$txnId", dir, n, snap.version,
+          snap.props.getOrElse("schema_json", "{}"))
+        true
+    }
+  }
+
+  /** Scan for crashed writers' committed-but-unpublished feed batches
+    * and finish their publishes immediately (the sweep does the same,
+    * but only after the orphan grace). Returns the number republished.
+    * This is the remediation the consumer-side lost-publish fences
+    * name.
+    */
+  def repairFeed(spark: SparkSession, dir: String): Int = {
+    val fs = TxLog.fs(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return 0
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(".staging-") =>
+        n.stripPrefix(".staging-") }
+      .count(republishStagedFeed(spark, dir, _))
+  }
+
   /** The post-commit feed-batch publish with its bounded local retry;
     * see the call sites for why a persistent failure surfaces as the
     * non-retryable [[TxLog.PostCommitPublishFailure]].
     */
   private def publishFeed(fs: org.apache.hadoop.fs.FileSystem,
-      staging: String, dir: String, n: Long, newVersion: Long): Unit = {
+      staging: String, dir: String, n: Long, newVersion: Long,
+      schemaJson: String): Unit = {
     val src = new Path(s"$staging/feed")
     val dst = new Path(s"$dir/feed/batch=$n")
+    // durable publish metadata rides the rename (see [[PubMarker]]);
+    // best-effort — a marker-less batch falls back to dir mtime
+    // (retention) and its own footer pass (evolution read). A
+    // REpublish ([[republishStagedFeed]]) drops the crashed attempt's
+    // marker first so exactly one survives.
+    TxLog.hygiene {
+      fs.listStatus(src).foreach { st =>
+        if (PubMarker.matches(st.getPath.getName))
+          fs.delete(st.getPath, false)
+      }
+      fs.create(new Path(src, s"_pub-${System.currentTimeMillis()}-" +
+        schemaFingerprint(schemaJson)), true).close()
+    }
     var lastErr: Throwable = null
     val published = (1 to 3).exists { _ =>
       try {
@@ -1786,6 +1973,7 @@ object Compaction {
     else m.schema.json
 
     val feedBatch = if (emitFeed) Some(nextBatch(spark, dir, m)) else None
+    feedBatch.foreach(n => stampFeedIntent(fs, staging, n))
     // stats ride the commit: untouched buckets carry their recorded
     // counts AND max-version zone maps forward, touched buckets take
     // the staged generation's footer stats, emptied buckets drop —
@@ -1809,8 +1997,7 @@ object Compaction {
     val props = coreProps(keys, versionCol, deleteCol, nBuckets, schemaJson,
       m.clusterBy) ++ evolutionProps(m.snap) ++
       carriedRows ++ rowProps(newStats) ++
-      feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
-        .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)) +
+      feedCommitProps(feedBatch, txn, m.snap) +
       ("op" -> "merge")
 
     // THE commit: one manifest rename publishes data + schema + fence
@@ -1827,7 +2014,8 @@ object Compaction {
     // alone; if it still fails, surface the distinct non-retryable
     // error so the caller knows the table committed but the feed
     // batch did not publish.
-    feedBatch.foreach(n => publishFeed(fs, staging, dir, n, newVersion))
+    feedBatch.foreach(n =>
+      publishFeed(fs, staging, dir, n, newVersion, schemaJson))
     // retention: a non-retaining merge keeps only the new version —
     // older manifests go, and the sweep reclaims every directory they
     // alone referenced (the touched buckets' pre-images). Hygiene
@@ -1938,6 +2126,7 @@ object Compaction {
         (m.schema.fields ++ newCols).map(_.copy(nullable = true))).json
 
     val feedBatch = if (emitFeed) Some(nextBatch(spark, dir, m)) else None
+    feedBatch.foreach(n => stampFeedIntent(fs, txn.staging, n))
     // base entries, base stats and prior deltas all carry verbatim;
     // each staged bucket APPENDS one delta dir and folds its footer
     // stats into the delta-side zone map
@@ -1969,13 +2158,13 @@ object Compaction {
     val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
       schemaJson, m.clusterBy) ++ evolutionProps(m.snap) ++
       carried ++ deltaProps ++
-      feedBatch.map(n => "next_feed_batch" -> (n + 1L).toString)
-        .orElse(m.snap.prop("next_feed_batch").map("next_feed_batch" -> _)) +
+      feedCommitProps(feedBatch, txn, m.snap) +
       ("op" -> "merge-mor")
 
     // the base bucket map is UNCHANGED — that is the whole point
     txn.installAndCommit(m.buckets, props)
-    feedBatch.foreach(n => publishFeed(fs, txn.staging, dir, n, txn.newVersion))
+    feedBatch.foreach(n =>
+      publishFeed(fs, txn.staging, dir, n, txn.newVersion, schemaJson))
     TxLog.hygiene {
       txn.cleanup()
       if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
@@ -2101,12 +2290,28 @@ object Compaction {
         val batches = fs.listStatus(root).toSeq
           .flatMap { st =>
             val n = st.getPath.getName
-            if (n.startsWith("batch="))
-              Some(n.drop(6).toLong -> st.getModificationTime)
+            if (n.startsWith("batch=")) Some(n.drop(6).toLong -> st)
             else None
           }.sortBy(_._1)
-        batches.takeWhile(_._2 < cutoff).foreach { case (b, _) =>
-          fs.delete(new Path(s"$dir/feed/batch=$b"), true)
+        // expiry clock: the publish marker's wall-clock, stamped by the
+        // publisher and riding the atomic rename — dir mtime only for
+        // pre-marker batches (object-store directory mtimes are
+        // synthetic, and maintainer-vs-publisher clock skew could
+        // expire a younger-than-promised batch; r9 advice). Lazy: only
+        // the expired prefix (+1 terminator) is ever listed.
+        def publishedAt(st: org.apache.hadoop.fs.FileStatus): Long =
+          fs.listStatus(st.getPath).iterator.map(_.getPath.getName)
+            .collectFirst { case PubMarker(ms, _) => ms.toLong }
+            .getOrElse(st.getModificationTime)
+        val expired = batches.iterator
+          .takeWhile { case (_, st) => publishedAt(st) < cutoff }.toSeq
+        if (expired.nonEmpty) {
+          // horizon first, deletes second: a crash in between leaves
+          // extra dirs behind, never an unrecorded gap
+          writeFeedHorizon(fs, dir, expired.last._1 + 1L)
+          expired.foreach { case (b, _) =>
+            fs.delete(new Path(s"$dir/feed/batch=$b"), true)
+          }
         }
       }
     }

@@ -43,6 +43,23 @@ object Replicator {
     TxLog.latest(spark, syncDir(replicaDir))
       .flatMap(_.prop("last_batch")).map(_.toLong).getOrElse(-1L)
 
+  /** Highest batch in (from, upTo] whose directory is PUBLISHED,
+    * walking contiguously: a committed-but-unpublished batch (a writer
+    * that crashed between its commit and the feed publish) stops the
+    * walk, so a consumer can never skip it — catch-up resumes once the
+    * publish is repaired ([[Compaction.repairFeed]], or the sweep
+    * after the orphan grace). O(new batches) existence probes; no
+    * listing.
+    */
+  private[graft] def publishedThrough(spark: SparkSession,
+      sourceDir: String, from: Long, upTo: Long): Long = {
+    val fs = TxLog.fs(spark, sourceDir)
+    var h = from
+    while (h < upTo && fs.exists(new org.apache.hadoop.fs.Path(
+        s"$sourceDir/feed/batch=${h + 1}"))) h += 1
+    h
+  }
+
   /** Clone the source's CURRENT state into a fresh replica table and
     * fence the consumer at the source's published head: batches whose
     * effects the snapshot already contains are never re-applied.
@@ -82,8 +99,8 @@ object Replicator {
   def sync(spark: SparkSession, sourceDir: String, replicaDir: String,
       upTo: Long = Long.MaxValue): Long = {
     val last = lastApplied(spark, replicaDir)
-    val head = math.min(sourceHead(spark, sourceDir), upTo)
-    if (head <= last) return last
+    val committedHead = math.min(sourceHead(spark, sourceDir), upTo)
+    if (committedHead <= last) return last
     // retention fence: maintain(maxFeedAge)/vacuum(feedBefore) delete
     // the expired batch prefix at the source. Applying across the gap
     // would silently skip those changes and the replica would diverge
@@ -94,13 +111,26 @@ object Replicator {
     val minAvail = (if (!fsrc.exists(feedRoot)) Nil
       else fsrc.listStatus(feedRoot).toSeq.map(_.getPath.getName)
         .collect { case s if s.startsWith("batch=") => s.drop(6).toLong })
-      .minOption.getOrElse(head + 1L)
+      .minOption.getOrElse(committedHead + 1L)
     if (last + 1L < minAvail)
       throw new IllegalStateException(
         s"source feed batches ${last + 1}..${minAvail - 1} were " +
           "removed by retention; the replica cannot catch up " +
           "incrementally — re-initialize it from the current source " +
           "snapshot (Replicator.init)")
+    // never apply past (or across) an unpublished batch: a committed
+    // batch whose dir is missing is a crashed publish, and skipping it
+    // would diverge silently — stop BEFORE it and report no progress
+    // until repairFeed/the sweep finishes the publish
+    val head = publishedThrough(spark, sourceDir, last, committedHead)
+    if (head <= last) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"feed batch ${last + 1} of $sourceDir is committed but not " +
+          "published (writer crashed between commit and publish?); " +
+          "sync is blocked until graft.cdc.Compaction.repairFeed " +
+          "republishes it")
+      return last
+    }
     val (_, _, deleteCol, _) = Compaction.readMeta(spark, replicaDir)
     val slice = Compaction.readFeed(spark, sourceDir)
       .filter(col("batch") > last && col("batch") <= head) // partition-pruned

@@ -431,9 +431,19 @@ private[graft] object TxLog {
     if (f.exists(root)) f.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (n == ".staging" || (n.startsWith(".staging-") &&
-          now - st.getModificationTime > orphanGraceMs))
+          now - st.getModificationTime > orphanGraceMs)) {
+        // a stale staging may hold the ONLY copy of a committed-but-
+        // unpublished feed batch (writer died between its commit and
+        // the feed publish) — finish that publish before reclaiming,
+        // instead of deleting the change events (r9 advice)
+        if (n.startsWith(".staging-")) hygiene {
+          Compaction.republishStagedFeed(spark, dir,
+            n.stripPrefix(".staging-"))
+          ()
+        }
         require(f.delete(st.getPath, true) || !f.exists(st.getPath),
           s"sweep failed: ${st.getPath}")
+      }
     }
     val dataRoot = new Path(s"$dir/data")
     if (!f.exists(dataRoot)) return

@@ -298,7 +298,8 @@ object Dedup {
     * propagation. Labels are identical either way.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 12,
-      checkEvery: Int = 3, driverEdgeLimit: Long = 500000L): DataFrame = {
+      checkEvery: Int = 3, driverEdgeLimit: Long = 500000L,
+      edgeCountHint: Long = -1L): DataFrame = {
     // the driver fast path casts ids to long; non-integral ids (string
     // doc keys) would null out and crash — route them to the
     // distributed loop, which compares ids natively, so behavior
@@ -310,7 +311,16 @@ object Dedup {
         | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    val nEdges = if (integralIds) pairs.count() else Long.MaxValue
+    // routing probe: a caller that already counted its pairs passes the
+    // hint; otherwise a LIMIT-bounded count decides — it stops pulling
+    // rows at driverEdgeLimit+1 instead of pricing the full edge set
+    // twice just to pick a strategy
+    val nEdges =
+      if (!integralIds) Long.MaxValue
+      else if (edgeCountHint >= 0L) edgeCountHint
+      else if (driverEdgeLimit < 0L) Long.MaxValue
+      else pairs.limit(
+        (driverEdgeLimit + 1L).min(Int.MaxValue.toLong).toInt).count()
     if (nEdges <= driverEdgeLimit) return driverConnectedComponents(pairs)
     distributedConnectedComponents(pairs, maxIters, checkEvery)
   }

@@ -125,8 +125,65 @@ private[graft] class FeedBatchStream(tableDir: String,
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private def head: Long =
-    Replicator.sourceHead(SparkSession.active, tableDir)
+  private def log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Highest batch id the committed manifest counter has reserved —
+    * one (cached) manifest read, no `feed/` listing.
+    */
+  private def committedHead: Long =
+    graft.cdc.TxLog.latest(SparkSession.active, tableDir)
+      .map(_.counter("next_feed_batch") - 1L).getOrElse(-1L)
+
+  /** Contiguous-published admission watermark (r9 advice + r10 item):
+    * offsets only advance across batch directories VERIFIED to exist,
+    * so a committed-but-unpublished batch (a writer that crashed
+    * between its commit and the feed publish) blocks the stream AT the
+    * gap instead of being silently skipped forever — progress resumes
+    * when [[graft.cdc.Compaction.repairFeed]] (or the sweep) finishes
+    * the publish. Monotonic, so each trigger probes only the batches
+    * beyond it: O(new) existence checks, no per-trigger listing.
+    */
+  @volatile private var verifiedThrough: Long = Long.MinValue
+  @volatile private var lastWarnedGap: Long = Long.MinValue
+
+  private def contiguousHead(from: Long): Long = {
+    val spark = SparkSession.active
+    val fs = graft.cdc.TxLog.fs(spark, tableDir)
+    if (verifiedThrough == Long.MinValue) {
+      // first trigger (ONE root listing per stream): don't probe from
+      // batch 0 when retention already released a prefix — start at
+      // the recorded horizon, or the oldest surviving dir for a
+      // legacy table without the marker (pre-marker retention only
+      // ever deleted a prefix). The planning fence still throws when
+      // `from` itself sits below the jump.
+      val (hz, minDir) = feedFloor(fs)
+      verifiedThrough = math.max(from,
+        (if (hz > 0L) hz else minDir.getOrElse(0L)) - 1L)
+    }
+    val cap = committedHead
+    var h = math.max(verifiedThrough, from)
+    while (h < cap && fs.exists(new org.apache.hadoop.fs.Path(
+        s"$tableDir/feed/batch=${h + 1}"))) h += 1
+    verifiedThrough = h
+    if (h < cap && lastWarnedGap != h + 1) {
+      lastWarnedGap = h + 1
+      log.warn(s"feed batch ${h + 1} of $tableDir is committed but " +
+        "not published (writer crashed between commit and publish?); " +
+        "the stream holds at the gap until " +
+        "graft.cdc.Compaction.repairFeed republishes it")
+    }
+    h
+  }
+
+  /** Memoized per-batch file listings: batches are immutable once
+    * published, so a re-planned offset range (task retry, restart
+    * replay) re-uses the first listing. `listings` counts physical
+    * listings for the one-listing-per-batch-lifetime spec.
+    */
+  private val fileCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Seq[FeedFilePartition]]
+  private[streaming] val listings =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Trigger.AvailableNow: fix the drain target at query start so the
     * run terminates even while a writer keeps publishing — WITHOUT
@@ -136,7 +193,7 @@ private[graft] class FeedBatchStream(tableDir: String,
   @volatile private var availableNowTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(head)
+    availableNowTarget = Some(committedHead)
 
   override def initialOffset(): Offset = FeedBatchOffset(startingBatch)
 
@@ -153,7 +210,8 @@ private[graft] class FeedBatchStream(tableDir: String,
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[FeedBatchOffset].batch
-    val h = availableNowTarget.map(t => math.min(t, head)).getOrElse(head)
+    val pub = contiguousHead(from)
+    val h = availableNowTarget.map(t => math.min(t, pub)).getOrElse(pub)
     val capped = maxBatchesPerTrigger match {
       case Some(n) => math.min(h, from + n)
       case None => h
@@ -165,7 +223,7 @@ private[graft] class FeedBatchStream(tableDir: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
-  override def reportLatestOffset(): Offset = FeedBatchOffset(head)
+  override def reportLatestOffset(): Offset = FeedBatchOffset(committedHead)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
@@ -176,40 +234,77 @@ private[graft] class FeedBatchStream(tableDir: String,
       case None => Array(FeedBatchRange(from + 1, to))
       case Some(_) =>
         // data-row mode: one partition per published file of the
-        // admitted batch range — parallelism follows the feed layout
+        // admitted batch range — parallelism follows the feed layout.
+        // Batch listings memoize (immutable once published) and the
+        // retention horizon is a committed property, so a steady-state
+        // trigger performs NO `feed/` listing at all (r9 advice: this
+        // re-listed the root plus every admitted dir per trigger).
         val spark = SparkSession.active
         val fs = graft.cdc.TxLog.fs(spark, tableDir)
-        // retention fence: maintain(maxFeedAge) deletes the expired
-        // PREFIX of batch dirs. A consumer whose offset sits below
-        // the horizon would silently skip those changes and diverge
-        // forever — fail loudly instead (the Kafka OffsetOutOfRange
-        // contract): re-seed from a snapshot and fence with
-        // .option("startingBatch", <oldest available - 1>).
-        val root = new org.apache.hadoop.fs.Path(s"$tableDir/feed")
-        // when retention deleted EVERY batch dir the committed counter
-        // still says batches ≤ `to` were published — treat the whole
-        // admitted range as below the horizon, not as "nothing new"
-        val mn =
-          (if (!fs.exists(root)) None
-           else fs.listStatus(root).toSeq.map(_.getPath.getName)
-             .collect { case s if s.startsWith("batch=") =>
-               s.drop(6).toLong }
-             .minOption).getOrElse(to + 1)
-        if (from + 1 < mn) throw new IllegalStateException(
-          s"feed batches ${from + 1}..${mn - 1} of $tableDir were " +
-            "removed by retention (maintain maxFeedAge); resuming " +
-            "here would silently skip their changes — re-seed the " +
-            "consumer from a table snapshot and restart with " +
-            s".option(\"startingBatch\", ${mn - 1})")
+        if (fileCache.size > 8192) fileCache.clear()
         (from + 1 to to).flatMap { b =>
-          val d = new org.apache.hadoop.fs.Path(s"$tableDir/feed/batch=$b")
-          if (!fs.exists(d)) Nil
-          else fs.listStatus(d).toSeq
-            .filter(st => st.getPath.getName.startsWith("part-") &&
-              st.getLen > 0)
-            .map(st => FeedFilePartition(st.getPath.toString, st.getLen, b))
+          fileCache.getOrElseUpdate(b, listBatch(spark, fs, b, from))
         }.toArray
     }
+  }
+
+  /** One physical listing of a published batch dir. A MISSING dir is
+    * never silently skipped (both failures below used to yield `Nil`,
+    * i.e. permanent silent divergence):
+    *  - below the retention horizon → the Kafka OffsetOutOfRange
+    *    contract: re-seed from a snapshot and fence with
+    *    `.option("startingBatch", <horizon - 1>)`;
+    *  - at or above it → a lost publish (writer crashed between commit
+    *    and feed publish) or an out-of-band delete; repairFeed is the
+    *    remediation. Contiguous admission makes this unreachable for
+    *    fresh offsets — it guards ranges admitted by old checkpoints.
+    */
+  /** (recorded horizon or 0, oldest surviving batch dir) — one root
+    * listing, taken at stream start and on failure paths only.
+    */
+  private def feedFloor(fs: org.apache.hadoop.fs.FileSystem)
+      : (Long, Option[Long]) = {
+    val root = new org.apache.hadoop.fs.Path(s"$tableDir/feed")
+    if (!fs.exists(root)) (0L, None)
+    else {
+      val names = fs.listStatus(root).map(_.getPath.getName)
+      (names.collect { case graft.cdc.Compaction.HorizonMarker(h) =>
+        h.toLong }.foldLeft(0L)(math.max),
+       names.collect { case s if s.startsWith("batch=") =>
+         s.drop(6).toLong }.minOption)
+    }
+  }
+
+  private def listBatch(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, b: Long,
+      from: Long): Seq[FeedFilePartition] = {
+    val d = new org.apache.hadoop.fs.Path(s"$tableDir/feed/batch=$b")
+    if (!fs.exists(d)) {
+      val (hz, minDir) = feedFloor(fs)
+      // with a recorded horizon, only ids below it are retention; a
+      // legacy table's prefix-below-oldest-dir is assumed retention
+      // (no dirs at all ⇒ the committed counter says batches ≤ b were
+      // published but every dir is gone — whole range below horizon)
+      val mn = if (hz > 0L) hz else minDir.getOrElse(b + 1L)
+      if (b < mn) throw new IllegalStateException(
+        s"feed batches ${from + 1}..${mn - 1} of $tableDir were " +
+          "removed by retention (maintain maxFeedAge); resuming " +
+          "here would silently skip their changes — re-seed the " +
+          "consumer from a table snapshot and restart with " +
+          s".option(\"startingBatch\", ${mn - 1})")
+      throw new IllegalStateException(
+        s"feed batch $b of $tableDir is committed but its directory " +
+          "is missing: a writer crashed between its commit and the " +
+          "feed publish (run graft.cdc.Compaction.repairFeed to " +
+          "finish the publish from its staging) or the directory was " +
+          "deleted outside retention; proceeding would silently skip " +
+          "its changes")
+    }
+    listings.incrementAndGet()
+    fs.listStatus(d).toSeq
+      .filter(st => st.getPath.getName.startsWith("part-") &&
+        st.getLen > 0)
+      .map(st => FeedFilePartition(st.getPath.toString, st.getLen, b))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -387,8 +482,10 @@ private[streaming] final class FeedRowReaderFactory(
 
       override def get(): InternalRow = {
         // the vectorized reader hands out a row VIEW over its column
-        // vectors (overwritten on the next batch load) — copy first
-        val src = reader.getCurrentValue.asInstanceOf[InternalRow].copy()
+        // vectors; no defensive copy — the projection below reads every
+        // field before the next nextKeyValue(), and the DSv2 reader
+        // contract only keeps a returned row valid until next() anyway
+        val src = reader.getCurrentValue.asInstanceOf[InternalRow]
         val out = new Array[Any](readSchema.length)
         var i = 0
         while (i < readSchema.length) {
