@@ -145,7 +145,15 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
 
   override def readSchema(): StructType = required
 
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    // `_order` (publish order) exists only on the changelog STREAM;
+    // stored table rows have none — refuse rather than null-extend
+    require(!required.fieldNames.exists(_.equalsIgnoreCase("_order")),
+      "_order is a streaming-only metadata column: it is the change " +
+        "feed's publish order, which stored table rows do not have — " +
+        "select it on spark.readStream.table(...) reads")
+    this
+  }
 
   /** `spark.readStream.table("graft.ns.t")`: the change data feed as
     * a CHANGELOG stream in the TABLE schema — insert and
@@ -160,16 +168,18 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     * (`_change_type`, preimages, batch ids) stream via
     * [[graft.plans.GraftTables.changeStream]].
     *
-    * Ordering caveat: the emitted rows carry the TABLE schema, so a
-    * drain spanning several feed batches cannot ship the `_order`
-    * publish-order channel [[graft.cdc.Compaction.feedAsChangelog]]
-    * uses — two events for one key at the SAME version (a v2 DELETE's
-    * tombstone against the insert it supersedes) resolve arbitrarily
-    * in the downstream merge. Monotonic versions make this moot; for
-    * version-reusing workloads, replicate with
-    * [[graft.cdc.Replicator]] (order-exact) or pin
-    * `maxBatchesPerTrigger=1` so every micro-batch holds one feed
-    * batch.
+    * Ordering: every row additionally carries the `_order` publish
+    * order (the feed batch id) as the LAST field — surfaced by the
+    * table's `_order` METADATA COLUMN, so
+    * `.select($"*", $"_order").writeStream.toTable(dst)` threads the
+    * sanctioned [[graft.cdc.Compaction.feedAsChangelog]] tiebreak
+    * through standard API: two events for one key at the SAME version
+    * (a v2 DELETE's tombstone against the insert it supersedes),
+    * drained in one multi-batch micro-batch, resolve by publish order
+    * in the downstream merge instead of arbitrarily. A query that does
+    * not select `_order` binds only the table columns and the trailing
+    * field is ignored (the analyzer appends requested metadata columns
+    * after the table output, so alignment is positional either way).
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -193,7 +203,10 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       Option(streamOptions.get("maxBatchesPerTrigger")).map(_.toLong),
       Option(streamOptions.get("startingBatch")).map(_.toLong)
         .getOrElse(-1L),
-      rowSchema = Some(required),
+      // `_order` rides as the trailing field whether or not the query
+      // selected the metadata column (see the ordering note above)
+      rowSchema = Some(required.add("_order",
+        org.apache.spark.sql.types.LongType, nullable = false)),
       changelogDeleteCol = Some(deleteCol),
       spellings = spellings)
   }

@@ -425,11 +425,37 @@ final class GraftTable(tableName: String, val dir: String,
     val asOf: Option[Long]) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog
-      .SupportsRowLevelOperations {
+      .SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
 
   override def name(): String = tableName
+
+  /** `_order` — the feed PUBLISH ORDER (the feed batch id) as a
+    * metadata column on `spark.readStream.table` changelog reads:
+    * `.select($"*", $"_order")` threads it into a downstream merge so
+    * two events for one key at the SAME version (a DELETE's tombstone
+    * against the insert it supersedes, drained in one multi-batch
+    * micro-batch) resolve by publish order instead of arbitrarily —
+    * the engine's own merge recognizes `_order` as its sanctioned
+    * tiebreak channel and never stores it. Streaming-only: stored
+    * table rows have no publish order, so a batch read selecting it
+    * refuses (see [[GraftScan.toBatch]]). `_order` is a reserved
+    * column name, so it can never shadow table data.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = "_order"
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "feed publish order (feed batch id); streaming changelog " +
+          "reads only — thread into a downstream merge to resolve " +
+          "same-version events by publish order"
+    })
 
   /** The committed data schema: the live manifest's, or — pinned —
     * the schema as of that commit (evolution is part of history).

@@ -132,8 +132,15 @@ private[catalog] final class GraftStreamingWrite(dir: String,
           s"no committed manifest under $dir"))
       val tableCols = DataType.fromJson(snap.props("schema_json"))
         .asInstanceOf[StructType].fieldNames.toSeq
+      // `_order` passes through to the merge: it is the engine's
+      // sanctioned publish-order tiebreak (readStream.table emits it
+      // as a metadata column), recognized by Compaction.merge and
+      // never stored — dropping it here would re-open the
+      // same-version multi-batch race the channel exists to close
+      val keep = tableCols ++
+        writeSchema.fieldNames.find(_.equalsIgnoreCase("_order"))
       val batch = s.read.schema(writeSchema).parquet(staged: _*)
-        .select(tableCols.map(col): _*)
+        .select(keep.map(col): _*)
       // catalog tables keep history, exactly like the batch INSERT
       Compaction.merge(s, dir, batch, retainHistory = true)
     }

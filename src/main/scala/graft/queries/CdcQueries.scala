@@ -945,12 +945,30 @@ object CdcQueries {
           (col("o_orderkey") % 5 === 0).as("deleted"))
         .createOrReplaceTempView("chg_changes")
       s.sql("INSERT INTO graftcat.chg_src SELECT * FROM chg_changes")
+      // planted same-version races (the r9 ordering caveat): key -1 is
+      // inserted then DELETED at the SAME version (the v2 tombstone
+      // carries the deleted row's version), key -2 is inserted,
+      // deleted, and re-inserted at one version — only the feed's
+      // PUBLISH ORDER can rank these, and the single AvailableNow
+      // micro-batch below drains every batch at once, so a wrong (or
+      // absent) order channel flips the replica's final state and the
+      // oracle hash
+      s.sql("INSERT INTO graftcat.chg_src VALUES (-1, 50.0, 99, false)")
+      s.sql("DELETE FROM graftcat.chg_src WHERE id = -1")
+      s.sql("INSERT INTO graftcat.chg_src VALUES (-2, 50.0, 99, false)")
+      s.sql("DELETE FROM graftcat.chg_src WHERE id = -2")
+      s.sql("INSERT INTO graftcat.chg_src VALUES (-2, 123.45, 99, false)")
       // fresh checkpoint per run (the tables were just re-created)
       val ckpt = s"$wh/chg_ckpt"
       val fs = new org.apache.hadoop.fs.Path(ckpt)
         .getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-      val q = s.readStream.table("graftcat.chg_src").writeStream
+      // `_order` is the table's streaming metadata column (publish
+      // order = feed batch id); selecting it threads the sanctioned
+      // tiebreak into the replica merge, which never stores it
+      val q = s.readStream.table("graftcat.chg_src")
+        .select(col("*"), col("_order"))
+        .writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1972,7 +1990,10 @@ object CdcQueries {
         |      WHERE o_orderkey % 997 = 0) d
         |ON f.id = d.k""".stripMargin,
 
-    // the replica's final state == the source's latest-wins state
+    // the replica's final state == the source's latest-wins state;
+    // the planted same-version races resolve by PUBLISH order: key -1
+    // (insert then delete at v99) is absent, key -2 (insert, delete,
+    // re-insert at v99) survives with its LAST payload
     "cdc_changelog_stream" ->
       """WITH unioned AS (
         |  SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE)
@@ -1988,11 +2009,16 @@ object CdcQueries {
         |  SELECT id, price, version, deleted,
         |    row_number() OVER (PARTITION BY id ORDER BY version DESC)
         |      AS rn
-        |  FROM unioned)
+        |  FROM unioned),
+        |final AS (
+        |  SELECT id, price, version FROM latest
+        |  WHERE rn = 1 AND NOT deleted
+        |  UNION ALL
+        |  SELECT -2, 123.45, 99)
         |SELECT count(*) AS n_keys,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
         |  CAST(SUM(id * version) AS BIGINT) AS checksum
-        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+        |FROM final""".stripMargin,
 
     // composite (ok, ln) tuple latest-wins recompute
     "cdc_composite_key" ->

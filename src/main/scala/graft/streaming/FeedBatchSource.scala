@@ -492,6 +492,9 @@ private[streaming] final class FeedRowReaderFactory(
           val f = readSchema.fields(i)
           out(i) =
             if (f.name == "batch" && ctIdx < 0) p.batch
+            // changelog mode: `_order` = publish order = feed batch id
+            // (the catalog's metadata column; see GraftScan scaladoc)
+            else if (f.name == "_order" && ctIdx >= 0) p.batch
             else if (changelogDeleteCol.exists(_.equalsIgnoreCase(f.name)))
               pendingDelete
             else {
