@@ -600,6 +600,9 @@ private[catalog] final class GraftScanBuilder(dir: String,
     // cast back to the column's type — never string order)
     def extreme(prefix: String, wantMax: Boolean): Option[Any] = {
       val dt = vType.getOrElse(return None)
+      // string version stats are TRUNCATED bounds (prune-valid, not
+      // exact) — MIN/MAX must come from a real scan
+      if (dt == org.apache.spark.sql.types.StringType) return None
       if (live.isEmpty) return Some(null) // empty table: SQL null
       val raw = live.map(b => meta.props.get(s"$prefix.$b"))
       if (raw.exists(_.isEmpty)) return None // pre-stats manifest

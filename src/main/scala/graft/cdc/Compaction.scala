@@ -258,15 +258,30 @@ object Compaction {
     // only _SUCCESS — nothing to read a schema from)
     if (staged.isEmpty) Map.empty
     else driverFooterStats(spark, staging, staged, versionCol).getOrElse {
-      spark.read.parquet(s"$staging/data")
-        .groupBy(col("bucket"))
+      val df = spark.read.parquet(s"$staging/data")
+      // STRING version columns record Iceberg-style TRUNCATED bounds
+      // (≤-min prefix, >-max incremented prefix): the zone-map prune
+      // stays exact-conservative and the manifest never stores an
+      // unbounded value. The MIN/MAX aggregate pushdown declines
+      // string version columns for the same reason (bounds, not
+      // answers) — see GraftScanBuilder.statsFromManifest.
+      val isStr = df.schema.fields
+        .find(_.name.equalsIgnoreCase(versionCol))
+        .exists(_.dataType == org.apache.spark.sql.types.StringType)
+      def lo(s: String): String =
+        if (s == null || !isStr) s
+        else graft.sources.MetadataScan.truncateLower(s)
+      def hi(s: String): String =
+        if (s == null || !isStr) s
+        else graft.sources.MetadataScan.truncateUpper(s)
+      df.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col(versionCol)).as("mn"), max(col(versionCol)).as("mx"))
         .select(col("bucket"), col("n"),
           col("mn").cast("string"), col("mx").cast("string"))
         .collect()
         .map(r => r.getInt(0) ->
-          BucketStats(r.getLong(1), r.getString(2), r.getString(3)))
+          BucketStats(r.getLong(1), lo(r.getString(2)), hi(r.getString(3))))
         .toMap
     }
 

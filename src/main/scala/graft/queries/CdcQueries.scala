@@ -397,6 +397,42 @@ object CdcQueries {
           col("min_o_orderdate"), col("max_o_orderdate"))
     }),
 
+    // STRING-keyed file pruning from footer bounds (r9 item 5): the
+    // Iceberg-style truncated min/max (≤-prefix lower, incremented
+    // upper, 16 code points) extend MetadataScan pruning to string
+    // columns. The key is the customer number followed by the full
+    // name ('000000075-Customer#000000075', 28 chars) — longer than
+    // the truncation width, so the recorded bounds are genuinely
+    // truncated, while the distinguishing digits sit inside it, so a
+    // key-range probe opens only the files whose truncated envelope
+    // admits it (asserted in-query), then re-filters exactly. The
+    // oracle recomputes relationally: a hash match proves truncated
+    // bounds never drop a qualifying file.
+    "meta_string_prune" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") + "/graft-strprune-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Tables.customer(s, dir)
+        .select(concat(substring(col("c_name"), 10, 9), lit("-"),
+          col("c_name")).as("k"), col("c_acctbal"))
+        .repartitionByRange(8, col("k"))
+        .sortWithinPartitions(col("k"))
+        .write.mode("overwrite").parquet(s"$path/data")
+      val bound = "000000075"
+      val kept = graft.sources.MetadataScan.filesAbove(
+        s, s"$path/data", "k", bound)
+      val total = graft.sources.MetadataScan
+        .fileStats(s, s"$path/data", Seq("k")).count()
+      require(kept.nonEmpty && kept.size < total,
+        s"expected string zone maps to prune files: kept ${kept.size} " +
+          s"of $total")
+      s.read.parquet(kept: _*)
+        .filter(col("k") > bound) // exactness: pruning is a superset
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("total_bal"),
+          min(col("k")).as("first_key"))
+    }),
+
     // bloom data-skipping point lookup (graft.sources.BloomIndex):
     // scatter events over 16 files (every file's min/max envelope
     // spans the whole id domain — footer stats prune NOTHING), build
@@ -1784,6 +1820,14 @@ object CdcQueries {
         |  min(o_orderdate) AS min_o_orderdate,
         |  max(o_orderdate) AS max_o_orderdate
         |FROM orders""".stripMargin,
+
+    "meta_string_prune" ->
+      """SELECT count(*) AS n_cust,
+        |  CAST(SUM(c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS total_bal,
+        |  min(k) AS first_key
+        |FROM (SELECT concat(substring(c_name, 10, 9), '-', c_name) AS k,
+        |        c_acctbal FROM customer)
+        |WHERE k > '000000075'""".stripMargin,
 
     "cdc_merge_upsert" ->
       """WITH unioned AS (

@@ -33,10 +33,15 @@ import org.apache.spark.sql.types._
   *   - `count(*)` = Σ row-group rowCounts — exact by the format spec.
   *   - numeric / date / timestamp min-max — exact: parquet-mr stores
   *     untruncated statistics for fixed-width primitives.
-  *   - STRING (BINARY) min-max is intentionally UNSUPPORTED here:
-  *     writers may truncate binary stats (parquet-mr
+  *   - STRING (BINARY) min-max is intentionally UNSUPPORTED in the
+  *     EXACT path: writers may truncate binary stats (parquet-mr
   *     `parquet.statistics.truncate.length`), which keeps them valid
-  *     for pruning bounds but not for exact answers.
+  *     for pruning bounds but not for exact answers. The PRUNING path
+  *     ([[fileStats]] / [[filesAbove]] / manifests) supports strings
+  *     with Iceberg-style truncated bounds ([[truncateLower]] /
+  *     [[truncateUpper]]): a ≤-min prefix and a >-max incremented
+  *     prefix, 16 code points each, so string-keyed file pruning works
+  *     without ever recording unbounded values.
   *   - DOUBLE/FLOAT columns containing NaN: the parquet spec tells
   *     writers to drop NaN from stats, so min/max then reflect only
   *     non-NaN values — same as SQL aggregate semantics, but Spark's
@@ -60,6 +65,13 @@ object MetadataScan {
     */
   def stats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
     val specs = typedSpecs(spark, path, cols)
+    // exactness contract: string footer stats may be TRUNCATED by the
+    // writer (and are re-truncated here for pruning) — valid bounds,
+    // never exact aggregates
+    require(!specs.exists(_.kind == "str"),
+      "string min/max may be truncated in parquet footers — exact " +
+        "aggregates unsupported; use fileStats/filesAbove (pruning " +
+        "bounds are valid)")
     perFileStats(spark, listParquetFiles(spark.sparkContext.hadoopConfiguration, path), specs, strict = true)
       .agg(
         sum(col("n_rows")).as("n_rows"),
@@ -214,6 +226,12 @@ object MetadataScan {
       case (PrimitiveTypeName.INT32, _) => IntegerType
       case (PrimitiveTypeName.DOUBLE, _) => DoubleType
       case (PrimitiveTypeName.FLOAT, _) => FloatType
+      // strings carry TRUNCATED bounds (Iceberg-style, see truncate*
+      // below): valid for pruning (fileStats / filesAbove), refused by
+      // the exact-aggregate path (stats)
+      case (PrimitiveTypeName.BINARY,
+          _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+        StringType
       case other => throw new IllegalArgumentException(
         s"footer stats unsupported for $other (binary stats may be truncated)")
     }
@@ -231,8 +249,46 @@ object MetadataScan {
       case (PrimitiveTypeName.INT32, _) => "i32"
       case (PrimitiveTypeName.DOUBLE, _) => "f64"
       case (PrimitiveTypeName.FLOAT, _) => "f32"
+      case (PrimitiveTypeName.BINARY,
+          _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) => "str"
       case other => throw new IllegalArgumentException(s"$other")
     }
+
+  /** Iceberg-style string bound truncation (UnicodeUtil semantics),
+    * keeping recorded bounds SMALL without ever making them wrong:
+    * the lower bound is a code-point prefix (a prefix sorts ≤ the
+    * original in UTF-8 byte order, which matches code-point order),
+    * the upper bound is the prefix with its last incrementable code
+    * point bumped (strictly > anything extending the prefix). A max
+    * whose prefix cannot be incremented (every code point at the
+    * ceiling) keeps its full value — valid, merely long, and only
+    * pathological data hits it.
+    */
+  private[graft] def truncateLower(s: String, len: Int = 16): String =
+    if (s.codePointCount(0, s.length) <= len) s
+    else s.substring(0, s.offsetByCodePoints(0, len))
+
+  private[graft] def truncateUpper(s: String, len: Int = 16): String = {
+    if (s.codePointCount(0, s.length) <= len) return s
+    val cut = s.substring(0, s.offsetByCodePoints(0, len))
+    var i = cut.codePointCount(0, cut.length) - 1
+    while (i >= 0) {
+      val off = cut.offsetByCodePoints(0, i)
+      val cp = cut.codePointAt(off)
+      if (cp < Character.MAX_CODE_POINT) {
+        // skip the surrogate range: lone surrogates are not valid
+        // scalar values and would not round-trip through UTF-8
+        val next =
+          if (cp + 1 >= Character.MIN_SURROGATE.toInt &&
+              cp + 1 <= Character.MAX_SURROGATE.toInt)
+            Character.MAX_SURROGATE.toInt + 1
+          else cp + 1
+        return cut.substring(0, off) + new String(Character.toChars(next))
+      }
+      i -= 1
+    }
+    s
+  }
 
   /** Fold one file's footer into (file, n_rows, then
     * min/max/nulls/stats-ok per col). All-null chunks contribute SQL
@@ -277,8 +333,16 @@ object MetadataScan {
         }
       }
       Row.fromSeq(file +: (nRows: Any) +: specs.indices.flatMap(i =>
-        if (ok(i)) Seq[Any](mins(i), maxs(i), nulls(i), true)
-        else Seq[Any](null, null, null, false)))
+        if (ok(i)) {
+          // string bounds re-truncate once per file (the per-chunk
+          // fold above compared full footer values)
+          val (lo, hi) =
+            if (specs(i)._2 == "str" && mins(i) != null)
+              (truncateLower(mins(i).asInstanceOf[String]),
+                truncateUpper(maxs(i).asInstanceOf[String]))
+            else (mins(i), maxs(i))
+          Seq[Any](lo, hi, nulls(i), true)
+        } else Seq[Any](null, null, null, false)))
     } finally r.close()
   }
 
@@ -292,9 +356,19 @@ object MetadataScan {
       t
     case "date" => java.sql.Date.valueOf(
       java.time.LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].toLong))
+    case "str" =>
+      new String(v.asInstanceOf[org.apache.parquet.io.api.Binary]
+        .getBytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   @SuppressWarnings(Array("unchecked"))
-  private def cmp(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    // UTF-8 byte order, matching both parquet's binary stat order and
+    // Spark's UTF8String comparison — java.lang.String.compareTo is
+    // UTF-16 code-unit order and diverges above the BMP
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
 }
