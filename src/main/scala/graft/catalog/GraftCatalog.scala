@@ -17,7 +17,7 @@ import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.cdc.{Compaction, TxLog}
+import graft.cdc.{Compaction, Scd2, TxLog}
 
 /** A DataSource-v2 `TableCatalog` over [[graft.cdc.Compaction]]
   * maintained tables — the step from "library with a SQL hijack" to
@@ -221,6 +221,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val feed = prop(properties, "feed").exists(_.toBoolean)
     val location = prop(properties, TableCatalog.PROP_LOCATION)
     val dir = location.getOrElse(managedDir(ident))
+    // `CREATE TABLE h (...) USING scd2` — the SQL form for a
+    // maintained SCD2 history (r9 item 4): commits an empty history
+    // whose state schema is the declared column list (the engine adds
+    // the generated valid_to/is_current pair), keyed/versioned by the
+    // same TBLPROPERTIES a merge table uses. Served read-only through
+    // the catalog like every scd2 table; populate with Scd2.merge.
+    if (prop(properties, TableCatalog.PROP_PROVIDER)
+        .exists(_.equalsIgnoreCase("scd2"))) {
+      if (TxLog.latestVersion(spark, dir).isDefined) {
+        require(tableTypeOf(dir) == "scd2",
+          s"existing table at $dir is a ${tableTypeOf(dir)} table, " +
+            "CREATE declared USING scd2")
+        val snap = TxLog.latest(spark, dir).get
+        require(snap.prop("key").contains(
+            graft.cdc.Bucketing.encodeKeys(keys)),
+          s"existing scd2 table at $dir has keys " +
+            s"(${snap.prop("key").getOrElse("")}), CREATE declared " +
+            s"(${keys.mkString(",")})")
+      } else {
+        require(schema.nonEmpty,
+          "CREATE TABLE ... USING scd2 needs a column list (the " +
+            "history's STATE schema; valid_to/is_current are generated)")
+        (keys :+ versionCol :+ deleteCol).foreach(c =>
+          require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+            s"column '$c' missing from the declared schema"))
+        Scd2.init(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema),
+          dir, keys, versionCol, deleteCol, nBuckets)
+      }
+      location.foreach { loc =>
+        val f = TxLog.fs(spark, warehouse)
+        f.mkdirs(new Path(managedDir(ident)))
+        val out = f.create(redirectPath(ident), true)
+        try out.write(loc.getBytes("UTF-8")) finally out.close()
+      }
+      return new GraftReadOnlyTable(fullName(ident), dir, "scd2")
+    }
     // validate BEFORE registering anything: a failed CREATE must leave
     // no phantom table behind (redirect written then require-throw
     // would make tableExists true for a table the user was told failed)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{col, expr, lit, when}
 
-import graft.cdc.Compaction
+import graft.cdc.{Compaction, TxLog}
 
 /** SQL front door for the maintained merge table ([[Compaction]]):
   * register a table under a name and plain SQL both READS it
@@ -96,13 +96,15 @@ object GraftTables {
     * (`graft.ns.t`). Both return a one-row result frame.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
-    maintenanceSql(spark, sqlText).getOrElse {
-      val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
-      GraftDml.lower(spark, parsed) match {
-        case Some(cmd) => cmd.run(spark); spark.emptyDataFrame
-        case None => spark.sql(sqlText)
+    maintenanceSql(spark, sqlText)
+      .orElse(mvSql(spark, sqlText))
+      .getOrElse {
+        val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+        GraftDml.lower(spark, parsed) match {
+          case Some(cmd) => cmd.run(spark); spark.emptyDataFrame
+          case None => spark.sql(sqlText)
+        }
       }
-    }
 
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
@@ -138,6 +140,167 @@ object GraftTables {
       case HistoryRe(name) =>
         dirFor(name).map(dir => Compaction.history(spark, dir)
           .orderBy(org.apache.spark.sql.functions.col("version").desc))
+      case _ => None
+    }
+  }
+
+  // ---- derived-table DDL: materialized views over maintained tables ----
+  //
+  // The SQL surface for graft.cdc.AggView + MvRewrite (r9 item 4):
+  //
+  //   CREATE MATERIALIZED VIEW mv AS
+  //     SELECT k1[, k2 ...], count(*) AS cnt, sum(v) AS total
+  //     FROM base GROUP BY k1[, k2 ...]
+  //   REFRESH MATERIALIZED VIEW mv   -- apply the base's unapplied feed
+  //   DROP MATERIALIZED VIEW mv
+  //
+  // The SELECT shape is exactly what AggView stores (per-key count +
+  // DECIMAL sum partials — the aliases cnt/total ARE the state column
+  // names); anything else fails with a message naming the contract.
+  // CREATE seeds the view from the base's current state, fences it at
+  // the base's published feed head, registers the MvRewrite so an
+  // UNCHANGED aggregate over the base (summing the view's exact
+  // decimal(18,2) measure shape) rolls partials up instead of
+  // rescanning, and persists the definition as a sidecar under the
+  // view dir. REFRESH applies feed batches through the contiguous
+  // published head (a crashed publish pauses refresh, never skips).
+  // Freshness is fenced either way: while the view lags the base's
+  // feed, MvRewrite serves the BASE (MvFreshnessSpec's contract).
+
+  /** (session, lowercase mv name) → view dir; session-scoped like the
+    * table registry (the sidecar makes the definition durable).
+    */
+  private val mvRegistry = TrieMap.empty[(SparkSession, String), String]
+
+  private val CreateMvRe =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(`?\w+`?)\s+AS\s+""" +
+      """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
+  private val RefreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(`?\w+`?)\s*;?\s*""".r
+  private val DropMvRe =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(`?\w+`?)\s*;?\s*""".r
+  private val CntItem = """(?is)count\s*\(\s*(?:\*|1)\s*\)\s+AS\s+cnt""".r
+  private val SumItem = """(?is)sum\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+total""".r
+  private val KeyItem = """`?(\w+)`?""".r
+
+  private def unquote(n: String): String =
+    n.stripPrefix("`").stripSuffix("`")
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def mvDefPath(viewDir: String) =
+    new org.apache.hadoop.fs.Path(s"$viewDir/_mvdef.properties")
+
+  private def writeMvDef(spark: SparkSession, viewDir: String,
+      baseDir: String, keys: Seq[String], valueCol: String): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("base_dir", baseDir)
+    p.setProperty("keys", keys.mkString(","))
+    p.setProperty("value_col", valueCol)
+    val out = TxLog.fs(spark, viewDir).create(mvDefPath(viewDir), true)
+    try p.store(out, null) finally out.close()
+  }
+
+  private def readMvDef(spark: SparkSession,
+      viewDir: String): (String, Seq[String], String) = {
+    val p = new java.util.Properties()
+    val in = TxLog.fs(spark, viewDir).open(mvDefPath(viewDir))
+    try p.load(in) finally in.close()
+    (p.getProperty("base_dir"),
+      p.getProperty("keys").split(",").toSeq.filter(_.nonEmpty),
+      p.getProperty("value_col"))
+  }
+
+  private def mvSql(spark: SparkSession,
+      sqlText: String): Option[DataFrame] = {
+    import spark.implicits._
+    def fail(msg: String): Nothing = GraftDml.fail(msg)
+    def viewDirOf(name: String): String =
+      mvRegistry.getOrElse((spark, unquote(name).toLowerCase),
+        fail(s"unknown materialized view $name — CREATE MATERIALIZED " +
+          "VIEW it in this session first (definitions persist as " +
+          "_mvdef.properties under the view dir)"))
+    sqlText match {
+      case CreateMvRe(name0, selectList, base, groupBy) =>
+        val name = unquote(name0).toLowerCase
+        val baseDir = GraftDml.resolveName(spark,
+          GraftDml.splitIdentifier(base)).map(_.dir).getOrElse(
+          fail(s"$base is not a registered or catalog maintained table"))
+        require(Compaction.feedEnabled(spark, baseDir),
+          s"$base has no change data feed ('feed'='true'): a " +
+            "materialized view cannot refresh without it")
+        val contract = "CREATE MATERIALIZED VIEW supports exactly " +
+          "SELECT <group cols>, count(*) AS cnt, sum(<col>) AS total " +
+          "FROM <base> GROUP BY <group cols> (AggView stores count + " +
+          "decimal-sum partials under those names)"
+        var keys = Vector.empty[String]
+        var valueCol: Option[String] = None
+        var hasCnt = false
+        splitTopLevel(selectList).foreach {
+          case CntItem() => hasCnt = true
+          case SumItem(v) =>
+            require(valueCol.isEmpty, contract)
+            valueCol = Some(v)
+          case KeyItem(k) => keys = keys :+ k
+          case other => fail(s"unsupported select item '$other' — $contract")
+        }
+        val groupKeys = splitTopLevel(groupBy).map(g =>
+          KeyItem.unapplySeq(g).map(_.head)
+            .getOrElse(fail(s"unsupported GROUP BY item '$g' — $contract")))
+        require(hasCnt && valueCol.isDefined && keys.nonEmpty &&
+          keys.map(_.toLowerCase) == groupKeys.map(_.toLowerCase).toVector,
+          contract)
+        val (_, _, _, nBuckets) = Compaction.readMeta(spark, baseDir)
+        // fence at the base's committed feed head: the snapshot below
+        // already contains every committed merge's effects
+        val head = graft.cdc.Replicator.sourceHead(spark, baseDir)
+        val viewDir = s"$baseDir/_mv/$name"
+        graft.cdc.AggView.init(
+          Compaction.read(spark, baseDir)
+            .select((keys :+ valueCol.get).map(col): _*),
+          viewDir, keys, valueCol.get, nBuckets, batchId = head)
+        writeMvDef(spark, viewDir, baseDir, keys, valueCol.get)
+        Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
+        mvRegistry.put((spark, name), viewDir)
+        Some(Seq((name, viewDir, head)).toDF("view", "location",
+          "as_of_batch"))
+      case RefreshMvRe(name0) =>
+        val viewDir = viewDirOf(name0)
+        val (baseDir, _, _) = readMvDef(spark, viewDir)
+        val (_, _, _, last) = graft.cdc.AggView.readMeta(spark, viewDir)
+        // contiguous published head: a committed-but-unpublished batch
+        // pauses refresh at the gap instead of being skipped forever
+        val head = graft.cdc.Replicator.publishedThrough(spark, baseDir,
+          last, graft.cdc.Replicator.sourceHead(spark, baseDir))
+        if (head > last)
+          graft.cdc.AggView.applyFeed(spark, viewDir,
+            Compaction.readFeed(spark, baseDir)
+              .filter(col("batch") > last && col("batch") <= head),
+            batchId = head)
+        Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
+        Some(Seq((unquote(name0).toLowerCase, math.max(0L, head - last)))
+          .toDF("view", "batches_applied"))
+      case DropMvRe(name0) =>
+        val name = unquote(name0).toLowerCase
+        val viewDir = viewDirOf(name0)
+        val (baseDir, _, _) = readMvDef(spark, viewDir)
+        Mv.deregister(baseDir)
+        mvRegistry.remove((spark, name))
+        TxLog.fs(spark, viewDir).delete(
+          new org.apache.hadoop.fs.Path(viewDir), true)
+        Some(Seq(name).toDF("dropped_view"))
       case _ => None
     }
   }

@@ -186,9 +186,37 @@ object MvRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The registry key a scan matches: a single-root scan matches its
+    * root; a MULTI-root scan matches the maintained-table dir all its
+    * roots live under — but only when the root set equals the table's
+    * CURRENT committed live bucket set exactly (a zone-pruned, bucket-
+    * pruned or time-travel scan aggregates a SUBSET, and rewriting it
+    * to the full view would be wrong; a dirty merge-on-read table
+    * never reaches here — its fold plan is not a bare LogicalRelation).
+    * This is what lets `CREATE MATERIALIZED VIEW ... FROM t` rewrite
+    * aggregates over the registered table t itself, not just over
+    * single-root parquet copies.
+    */
   private def pathOf(lr: LogicalRelation): Option[String] = lr.relation match {
     case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
       Some(normalize(fs.location.rootPaths.head.toString))
+    case fs: HadoopFsRelation if fs.location.rootPaths.length > 1 =>
+      val roots = fs.location.rootPaths.map(p => normalize(p.toString))
+      val dirs = roots.map { r =>
+        val i = r.lastIndexOf("/data/")
+        if (i < 0) "" else r.substring(0, i)
+      }.distinct
+      dirs match {
+        case Seq(d) if d.nonEmpty && registry.contains(sessionKey(d)) =>
+          graft.cdc.TxLog.latest(SparkSession.active, d) match {
+            case Some(s) if s.deltas.isEmpty &&
+                s.buckets.values.map(rel =>
+                  normalize(s"$d/data/$rel")).toSet == roots.toSet =>
+              Some(normalize(d))
+            case _ => None
+          }
+        case _ => None
+      }
     case _ => None
   }
 

@@ -1016,6 +1016,56 @@ object CdcQueries {
         FROM graftcat.chg_dst""")
     }),
 
+    // SQL DDL for the derived-table family (r9 item 4): the
+    // materialized view is CREATED, REFRESHED and rewritten-through
+    // with nothing but SQL text — CREATE MATERIALIZED VIEW lowers onto
+    // AggView.init fenced at the base's feed head and registers the
+    // MvRewrite; a feed-emitting merge moves the base; REFRESH applies
+    // the unapplied feed batches (AggView signed-retraction IVM); and
+    // the UNCHANGED dashboard aggregate over the maintained table
+    // itself then rolls the view's partials up instead of rescanning
+    // the base (asserted in-query). The oracle recomputes the grouped
+    // aggregate from the raw changelog — a green row proves
+    // create-via-SQL + IVM + transparent rewrite end-to-end.
+    "sql_create_mv" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val base = sys.props("java.io.tmpdir") + "/graft-sqlmv-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 50).as("grp"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      graft.cdc.Compaction.init(snapshot, base, Seq("id"), "version",
+        "deleted", nBuckets = 16, clusterBy = Nil, feed = true)
+      graft.plans.GraftTables.register(s, "mv_base", base)
+      graft.plans.GraftTables.sql(s,
+        """CREATE MATERIALIZED VIEW sales_by_grp AS
+          SELECT grp, count(*) AS cnt, sum(price) AS total
+          FROM mv_base GROUP BY grp""")
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 50).as("grp"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      graft.cdc.Compaction.merge(s, base, changes, emitFeed = true)
+      graft.plans.GraftTables.sql(s,
+        "REFRESH MATERIALIZED VIEW sales_by_grp")
+      graft.plans.GraftTables.refresh(s, "mv_base")
+      val out = s.table("mv_base")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec18(col("price"))).cast("double").as("total"))
+        .orderBy(col("grp"))
+      out.queryExecution.optimizedPlan // force the rewrite NOW
+      require(graft.plans.Mv.readsView(out, s"$base/_mv/sales_by_grp"),
+        "MV rewrite did not fire on the maintained-table scan")
+      out
+    }),
+
     // composite merge key on lineitem's natural (l_orderkey,
     // l_linenumber) PK: the table buckets on the hash of the TUPLE and
     // every merge/lookup reconciles per tuple — real CDC tables key on
@@ -2063,6 +2113,29 @@ object CdcQueries {
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
         |  CAST(SUM(id * version) AS BIGINT) AS checksum
         |FROM final""".stripMargin,
+
+    // the grouped aggregate over the base's latest-wins live state
+    "sql_create_mv" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_orderkey % 50 AS grp,
+        |    CAST(o_totalprice AS DOUBLE) AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey % 50,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2)
+        |      AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, grp, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC)
+        |      AS rn
+        |  FROM unioned)
+        |SELECT grp, count(*) AS cnt,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted
+        |GROUP BY grp ORDER BY grp""".stripMargin,
 
     // composite (ok, ln) tuple latest-wins recompute
     "cdc_composite_key" ->
