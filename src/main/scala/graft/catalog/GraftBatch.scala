@@ -352,15 +352,66 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       sigIdx.synchronized(sigIdx.getOrElseUpdate(sig, sigIdx.size))
     }
 
+    // time-partition pruning (r9 item 3): the partition bounds the
+    // pushed filters imply for the table's partition source column —
+    // whole `_tp=` dirs outside them (or below the retention floor)
+    // are skipped BY NAME, before any footer or data page is touched.
+    // Pruning is purely a data reduction: Spark re-applies every
+    // filter above the scan.
+    val tpSpec: Option[(String, String)] =
+      for { u <- meta.props.get("tp_unit"); c <- meta.props.get("tp_col") }
+        yield (u, c)
+    val tpFloor: Option[Int] = meta.props.get("tp_min").map(_.toInt)
+    val (tpLo, tpHi): (Option[Int], Option[Int]) = tpSpec match {
+      case None => (None, None)
+      case Some((u, c)) =>
+        def tpOf(v: Any): Option[Int] =
+          scala.util.Try(Compaction.tpValueOf(u, v)).toOption
+        var lo: Option[Int] = None
+        var hi: Option[Int] = None
+        def low(d: Int): Unit = lo = Some(lo.fold(d)(math.max(_, d)))
+        def high(d: Int): Unit = hi = Some(hi.fold(d)(math.min(_, d)))
+        def walk(f: org.apache.spark.sql.sources.Filter): Unit = f match {
+          case org.apache.spark.sql.sources.And(l, r) => walk(l); walk(r)
+          case org.apache.spark.sql.sources.GreaterThan(a, v)
+              if a.equalsIgnoreCase(c) => tpOf(v).foreach(low)
+          case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v)
+              if a.equalsIgnoreCase(c) => tpOf(v).foreach(low)
+          case org.apache.spark.sql.sources.LessThan(a, v)
+              if a.equalsIgnoreCase(c) => tpOf(v).foreach(high)
+          case org.apache.spark.sql.sources.LessThanOrEqual(a, v)
+              if a.equalsIgnoreCase(c) => tpOf(v).foreach(high)
+          case org.apache.spark.sql.sources.EqualTo(a, v)
+              if a.equalsIgnoreCase(c) =>
+            tpOf(v).foreach { d => low(d); high(d) }
+          case _ => ()
+        }
+        pushed.foreach(walk)
+        (lo, hi)
+    }
+    def tpAdmit(n: Int): Boolean =
+      tpFloor.forall(n >= _) && tpLo.forall(n >= _) && tpHi.forall(n <= _)
+
     def listFiles(rel: String): Seq[(String, Long, Long, Int)] = {
       val p = new Path(s"${meta.dir}/data/$rel")
       val e = epochOf(rel)
       if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.filter(st => st.isFile &&
-          !st.getPath.getName.startsWith(".") &&
-          !st.getPath.getName.startsWith("_"))
-        .map(st => (st.getPath.toString, st.getLen,
-          st.getModificationTime, e))
+      else {
+        val entries = fs.listStatus(p).toSeq
+        // time-partitioned layout: one `_tp=` level inside the bucket
+        val leaves = entries.flatMap { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("_tp=")) {
+            if (tpAdmit(n.drop(4).toInt)) fs.listStatus(st.getPath).toSeq
+            else Nil
+          } else Seq(st)
+        }
+        leaves.filter(st => st.isFile &&
+            !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))
+          .map(st => (st.getPath.toString, st.getLen,
+            st.getModificationTime, e))
+      }
     }
 
     // parallel listing: one FS call per kept bucket directory — the

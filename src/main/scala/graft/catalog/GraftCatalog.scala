@@ -206,9 +206,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (isTable(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft tables are hash-bucketed on their merge keys " +
-        "('buckets' property), not PARTITIONED BY")
+    // PARTITIONED BY (days(ts) | months(ts) | hours(ts)) — the
+    // Iceberg-style TIME partition level composing with the bucket
+    // hash (see Compaction's time-partitions note); anything else
+    // (identity columns, bucket transforms) stays refused: buckets
+    // come from the 'buckets' property.
+    val timePartition: Option[(String, String)] = partitions match {
+      case Array() => None
+      case Array(t) if Set("days", "months", "hours")(t.name) &&
+          t.arguments.length == 1 =>
+        t.arguments.head match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames.length == 1 =>
+            Some(t.name -> r.fieldNames.head)
+          case _ => throw new IllegalArgumentException(
+            s"PARTITIONED BY (${t.name}(...)) needs a plain column")
+        }
+      case _ => throw new IllegalArgumentException(
+        "graft tables are hash-bucketed on their merge keys " +
+          "('buckets' property); PARTITIONED BY accepts only one " +
+          "days(col) / months(col) / hours(col) time transform")
+    }
     val keys = prop(properties, "keys").orElse(prop(properties, "key"))
       .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
       .getOrElse(throw new IllegalArgumentException(
@@ -293,7 +311,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     } else {
       Compaction.initEmpty(spark, dir, schema, keys, versionCol,
-        deleteCol, nBuckets, clusterBy, feed)
+        deleteCol, nBuckets, clusterBy, feed, timePartition)
     }
     location.foreach { loc =>
       // external attach: persist the redirect under the managed path

@@ -96,7 +96,101 @@ object Compaction {
     */
   private[cdc] val ReservedCols =
     Set("bucket", "batch", "_src", "_rn", "_change_type", "_had_stored",
-      "_pre", "_f", "_seq", "_order", "_ord_rn")
+      "_pre", "_f", "_seq", "_order", "_ord_rn", "_tp")
+
+  // ---- time partitions (r9 item 3) ----------------------------------
+  //
+  // A maintained table may declare an Iceberg-style TIME PARTITION
+  // SPEC — `PARTITIONED BY (days(ts))` at CREATE, or
+  // `init(..., timePartition = Some("days" -> "ts"))` — composing with
+  // bucket hashing: every staged write lands as
+  // `bucket=<b>/_tp=<n>` (the `_tp` value is the transform of the
+  // source column: days/months/hours since epoch, UTC), so
+  //
+  //  - a time-range scan opens only the matching partitions' files
+  //    INSIDE the buckets that survive key/zone-map pruning (the two
+  //    prune levels compose — [[readTimeRange]], and the catalog scan
+  //    derives the day range from pushed filters);
+  //  - retention drops whole partitions as METADATA
+  //    ([[dropPartitionsBefore]] / maintain's `maxPartitionAge`): one
+  //    commit subtracts the retired partitions' footer row counts and
+  //    fences reads at `tp_min`, the dirs delete after it.
+  //
+  // `_tp` is derived at write and never part of the table schema; the
+  // dir name carries it (Spark's partition discovery re-surfaces it at
+  // read, where [[readRelsAs]] filters and drops it).
+
+  /** The `_tp` value of a row — the Iceberg transform of the partition
+    * source column. Decimal floor-division so pre-1970 values land in
+    * the right partition (long `/` truncates toward zero).
+    */
+  private[graft] def tpColumn(unit: String,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def floorDiv(micros: org.apache.spark.sql.Column, d: Long) =
+      floor(micros.cast("decimal(30,0)") / lit(d)).cast("int")
+    unit match {
+      case "days" => floorDiv(unix_micros(c.cast("timestamp")),
+        86400000000L)
+      case "hours" => floorDiv(unix_micros(c.cast("timestamp")),
+        3600000000L)
+      case "months" =>
+        ((year(c.cast("timestamp")) - lit(1970)) * lit(12) +
+          month(c.cast("timestamp")) - lit(1)).cast("int")
+      case u => throw new IllegalArgumentException(
+        s"unsupported time-partition transform '$u' (days/months/hours)")
+    }
+  }
+
+  /** Driver-side twin of [[tpColumn]] for literal bounds — UTC, same
+    * epoch arithmetic, so a bound and the written dirs always agree.
+    */
+  private[graft] def tpValueOf(unit: String, v: Any): Int = {
+    val instant = v match {
+      case t: java.sql.Timestamp => t.toInstant
+      case d: java.sql.Date =>
+        d.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      case i: java.time.Instant => i
+      case d: java.time.LocalDate =>
+        d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      case s: String => java.sql.Timestamp.valueOf(s).toInstant
+      case other => throw new IllegalArgumentException(
+        s"time-partition bound must be a timestamp/date, got $other")
+    }
+    unit match {
+      case "days" => math.floorDiv(instant.getEpochSecond, 86400L).toInt
+      case "hours" => math.floorDiv(instant.getEpochSecond, 3600L).toInt
+      case "months" =>
+        val d = java.time.LocalDate.ofInstant(instant,
+          java.time.ZoneOffset.UTC)
+        (d.getYear - 1970) * 12 + d.getMonthValue - 1
+      case u => throw new IllegalArgumentException(
+        s"unsupported time-partition transform '$u'")
+    }
+  }
+
+  /** Add the derived `_tp` column and return the staged write's
+    * partition column list.
+    */
+  private def withTp(df: DataFrame,
+      tp: Option[(String, String)]): (DataFrame, Seq[String]) = tp match {
+    case None => (df, Seq("bucket"))
+    case Some((u, c)) =>
+      (df.withColumn("_tp", tpColumn(u, col(c))), Seq("bucket", "_tp"))
+  }
+
+  /** Read-side partition admission: the retention floor
+    * ([[dropPartitionsBefore]] records `tp_min` BEFORE deleting dirs —
+    * a crash in between leaves extra dirs that this predicate keeps
+    * invisible) plus an optional queried range. `Some` for every
+    * time-partitioned table (reads must descend the `_tp=` level),
+    * `None` for flat tables.
+    */
+  private def tpKeepFn(m: Meta,
+      range: Option[(Int, Int)] = None): Option[Int => Boolean] =
+    m.tp.map { _ => (d: Int) =>
+      m.tpMin.forall(d >= _) &&
+        range.forall { case (lo, hi) => d >= lo && d <= hi }
+    }
 
   private[cdc] def requireNoReserved(cols: Seq[String], what: String): Unit = {
     val clash = cols.map(_.toLowerCase).toSet.intersect(ReservedCols)
@@ -150,13 +244,29 @@ object Compaction {
   def init(df: DataFrame, dir: String, keys: Seq[String],
       versionCol: String, deleteCol: String,
       nBuckets: Int, clusterBy: Seq[String],
-      feed: Boolean): Unit = {
+      feed: Boolean): Unit =
+    init(df, dir, keys, versionCol, deleteCol, nBuckets, clusterBy,
+      feed, timePartition = None)
+
+  /** Time-partitioned form: `timePartition = Some("days" -> "ts")`
+    * composes an Iceberg-style partition level with the bucket hash —
+    * see the time-partitions note above [[tpColumn]].
+    */
+  def init(df: DataFrame, dir: String, keys: Seq[String],
+      versionCol: String, deleteCol: String,
+      nBuckets: Int, clusterBy: Seq[String],
+      feed: Boolean, timePartition: Option[(String, String)]): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
     requireNoReserved(df.columns.toSeq, "table schema")
     Bucketing.encodeKeys(keys)
     keys.foreach(k => require(df.columns.contains(k),
       s"key column '$k' missing from the snapshot schema"))
+    timePartition.foreach { case (u, c) =>
+      tpValueOf(u, new java.sql.Timestamp(0L)) // validates the unit
+      require(df.columns.exists(_.equalsIgnoreCase(c)),
+        s"time-partition column '$c' missing from the snapshot schema")
+    }
     require(clusterBy.size <= 2,
       "clusterBy supports one (sort) or two (Z-order) columns")
     clusterBy.foreach(c => require(df.columns.contains(c),
@@ -166,15 +276,18 @@ object Compaction {
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     TxLog.invalidate(dir)
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
-    df.filter(!isDeleted(deleteCol))
-      .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
+    val (staged0, partCols) = withTp(
+      df.filter(!isDeleted(deleteCol))
+        .withColumn("bucket", bucketOf(keys.map(col), nBuckets)),
+      timePartition)
+    staged0
       // hash-partition on bucket + in-partition (bucket, key) sort:
       // one writer task per bucket, deterministic file content, and
       // no per-write range-sampling job (measured on the merge-family
       // bench queries — three writes each paid a sampling pass)
       .repartition(col("bucket"))
       .sortWithinPartitions(inBucketSort(keys, clusterBy): _*)
-      .write.partitionBy("bucket").mode("overwrite")
+      .write.partitionBy(partCols: _*).mode("overwrite")
       .parquet(s"${txn.staging}/data")
     val staged = txn.stagedBucketIds()
     txn.installAndCommit(
@@ -182,6 +295,8 @@ object Compaction {
       props = coreProps(keys, versionCol, deleteCol, nBuckets,
         df.schema.json, clusterBy) ++
         (if (feed) Map("feed" -> "true") else Map.empty) ++
+        timePartition.map { case (u, c) =>
+          Map("tp_unit" -> u, "tp_col" -> c) }.getOrElse(Map.empty) ++
         rowProps(stagedStats(spark, txn.staging, staged, versionCol)) +
         ("op" -> "init"))
     txn.cleanup()
@@ -198,9 +313,15 @@ object Compaction {
       schema: org.apache.spark.sql.types.StructType, keys: Seq[String],
       versionCol: String, deleteCol: String,
       nBuckets: Int = 256, clusterBy: Seq[String] = Nil,
-      feed: Boolean = false): Unit = {
+      feed: Boolean = false,
+      timePartition: Option[(String, String)] = None): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     requireNoReserved(schema.fieldNames.toSeq, "table schema")
+    timePartition.foreach { case (u, c) =>
+      tpValueOf(u, new java.sql.Timestamp(0L)) // validates the unit
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"time-partition column '$c' missing from the table schema")
+    }
     Bucketing.encodeKeys(keys)
     (keys :+ versionCol :+ deleteCol).foreach(c =>
       require(schema.fieldNames.contains(c),
@@ -217,7 +338,9 @@ object Compaction {
     txn.installAndCommit(newBuckets = Map.empty,
       props = coreProps(keys, versionCol, deleteCol, nBuckets,
         schema.json, clusterBy) ++
-        (if (feed) Map("feed" -> "true") else Map.empty) +
+        (if (feed) Map("feed" -> "true") else Map.empty) ++
+        timePartition.map { case (u, c) =>
+          Map("tp_unit" -> u, "tp_col" -> c) }.getOrElse(Map.empty) +
         ("op" -> "create"))
     txn.cleanup()
   }
@@ -303,9 +426,19 @@ object Compaction {
       val conf = spark.sessionState.newHadoopConf()
       val fs = new Path(staging).getFileSystem(conf)
       val files: Seq[(Int, Path)] = staged.flatMap { b =>
-        fs.listStatus(new Path(s"$staging/data/bucket=$b")).toSeq
-          .filter(st => st.getPath.getName.endsWith(".parquet") ||
-            st.getPath.getName.startsWith("part-"))
+        val entries =
+          fs.listStatus(new Path(s"$staging/data/bucket=$b")).toSeq
+        // time-partitioned layout nests one `_tp=` level inside each
+        // bucket — descend it for the footer pass
+        val leaves = entries.flatMap { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith("_tp="))
+            fs.listStatus(st.getPath).toSeq
+          else Seq(st)
+        }
+        leaves
+          .filter(st => st.isFile &&
+            (st.getPath.getName.endsWith(".parquet") ||
+              st.getPath.getName.startsWith("part-")))
           .map(st => b -> st.getPath)
       }
       if (files.isEmpty) return Some(Map.empty)
@@ -447,6 +580,12 @@ object Compaction {
     def keyCols: Seq[org.apache.spark.sql.Column] = keys.map(col)
     def clusterBy: Seq[String] = snap.prop("cluster_by")
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    /** Time-partition spec: (transform unit, source column). */
+    def tp: Option[(String, String)] =
+      for { u <- snap.prop("tp_unit"); c <- snap.prop("tp_col") }
+        yield (u, c)
+    /** Retention floor: partitions below it are retired. */
+    def tpMin: Option[Int] = snap.prop("tp_min").map(_.toInt)
     def buckets: Map[Int, String] = snap.buckets
     /** Merge-on-read delta dirs per bucket, commit order. */
     def deltas: Map[Int, Seq[String]] = snap.deltas
@@ -488,9 +627,10 @@ object Compaction {
     * which is exactly the function that placed the row there).
     */
   private def readBuckets(spark: SparkSession, dir: String, m: Meta,
-      rels: Iterable[String]): DataFrame =
+      rels: Iterable[String],
+      tpRange: Option[(Int, Int)] = None): DataFrame =
     readRelsAs(spark, dir, rels.toSeq, m.schema,
-      renameEvents(m.snap.props))
+      renameEvents(m.snap.props), tpKeepFn(m, tpRange))
       .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
 
   /** ALTER RENAME COLUMN events from manifest props, NEWEST first:
@@ -560,24 +700,49 @@ object Compaction {
   private def readRelsAs(spark: SparkSession, dir: String,
       rels: Seq[String],
       logical: org.apache.spark.sql.types.StructType,
-      events: Seq[(Long, String, String)]): DataFrame = {
-    if (rels.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
-    if (events.isEmpty)
-      return spark.read.schema(logical)
-        .parquet(rels.map(r => s"$dir/data/$r"): _*)
-    rels.groupBy { rel =>
+      events: Seq[(Long, String, String)],
+      tpKeep: Option[Int => Boolean] = None): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    if (rels.isEmpty) return empty
+    // time-partitioned layout: each bucket rel holds one `_tp=` level.
+    // The read enumerates the partition LEAF dirs itself (one pooled
+    // listing per rel) and prunes by NAME — retention floor + queried
+    // range — then reads the leaves directly: no partition discovery
+    // (multi-root discovery rejects this layout), no synthetic column,
+    // and skipped partitions cost nothing, not even a footer.
+    def paths(rs: Seq[String]): Seq[String] = tpKeep match {
+      case None => rs.map(r => s"$dir/data/$r")
+      case Some(keep) =>
+        val fs = TxLog.fs(spark, dir)
+        listDirs(fs, rs.map(r => new Path(s"$dir/data/$r")))
+          .flatMap(_._2.toSeq)
+          .collect {
+            case st if st.isDirectory &&
+                st.getPath.getName.startsWith("_tp=") &&
+                keep(st.getPath.getName.drop(4).toInt) =>
+              st.getPath.toString
+          }
+    }
+    if (events.isEmpty) {
+      val ps = paths(rels)
+      return if (ps.isEmpty) empty
+        else spark.read.schema(logical).parquet(ps: _*)
+    }
+    val parts = rels.groupBy { rel =>
       val genV = genVersionOf(rel)
       logical.fields.map(f => physicalName(events, genV, f.name)).toSeq
-    }.toSeq.map { case (physNames, rs) =>
+    }.toSeq.flatMap { case (physNames, rs) =>
       val phys = org.apache.spark.sql.types.StructType(
         logical.fields.zip(physNames).map { case (f, n) =>
           f.copy(name = n)
         })
-      spark.read.schema(phys).parquet(rs.map(r => s"$dir/data/$r"): _*)
-        .toDF(logical.fieldNames.toSeq: _*)
-    }.reduce(_ union _)
+      val ps = paths(rs)
+      if (ps.isEmpty) None
+      else Some(spark.read.schema(phys).parquet(ps: _*)
+        .toDF(logical.fieldNames.toSeq: _*))
+    }
+    parts.reduceOption(_ union _).getOrElse(empty)
   }
 
   /** Fold a set of DIRTY buckets' base + delta files into their live
@@ -600,8 +765,11 @@ object Compaction {
     val withSeq = org.apache.spark.sql.types.StructType(
       m.schema.fields :+ org.apache.spark.sql.types.StructField(
         "_seq", org.apache.spark.sql.types.LongType, nullable = true))
+    // the retention floor only — never a RANGE prune: winners are
+    // decided over the full surviving history, so restricting the fold
+    // input to a queried range could resurrect superseded rows
     val raw = readRelsAs(spark, dir, rels, withSeq,
-      renameEvents(m.snap.props))
+      renameEvents(m.snap.props), tpKeepFn(m))
     val w = Window.partitionBy(m.keyCols: _*)
       .orderBy(col(m.versionCol).desc, col("_seq").desc_nulls_last)
     raw.withColumn("_rn", row_number().over(w))
@@ -617,10 +785,10 @@ object Compaction {
     * bucket, so merge-on-read costs nothing until it is used.
     */
   private def liveView(spark: SparkSession, dir: String, m: Meta,
-      ids: Set[Int]): DataFrame = {
+      ids: Set[Int], tpRange: Option[(Int, Int)] = None): DataFrame = {
     val dirty = ids.intersect(m.dirty)
     val clean = readBuckets(spark, dir, m,
-      (ids -- dirty).toSeq.flatMap(m.buckets.get))
+      (ids -- dirty).toSeq.flatMap(m.buckets.get), tpRange)
     if (dirty.isEmpty) clean
     else clean.unionByName(foldBuckets(spark, dir, m, dirty))
   }
@@ -759,6 +927,110 @@ object Compaction {
       .filter(col(m.versionCol) > lit(since))
   }
 
+  /** Time-range scan over a TIME-PARTITIONED table: live rows whose
+    * partition source column lies in `[from, to]` (inclusive), opening
+    * ONLY the matching partitions' files inside each live bucket — the
+    * partition level prunes by directory name before any footer or
+    * data page is touched, and the row filter re-applies the exact
+    * bound (partition granularity is coarser than the values). Dirty
+    * (merge-on-read) buckets fold their full surviving history first —
+    * winners must never be decided on a range subset — then filter;
+    * compact() restores full pruning.
+    */
+  def readTimeRange(spark: SparkSession, dir: String, from: Any,
+      to: Any): DataFrame = {
+    val m = loadMeta(spark, dir)
+    val (unit, srcCol) = m.tp.getOrElse(throw new IllegalArgumentException(
+      s"the table at $dir has no time-partition spec: create it with " +
+        "PARTITIONED BY (days(<col>)) / init(..., timePartition = ...)"))
+    val range = (tpValueOf(unit, from), tpValueOf(unit, to))
+    liveView(spark, dir, m, m.liveIds, Some(range))
+      .drop("bucket")
+      .filter(col(srcCol) >= lit(from) && col(srcCol) <= lit(to))
+  }
+
+  /** Retire every partition strictly below `bound`'s partition as
+    * METADATA: one commit subtracts the retired partitions' footer row
+    * counts from the per-bucket stats, drops the affected buckets'
+    * version zone maps (a subtracted extreme is unknowable without a
+    * read), and records the `tp_min` floor reads fence on — THEN the
+    * directories delete (a crash in between leaves extra dirs that the
+    * floor keeps invisible). Destructive like [[vacuum]]: time travel
+    * into retired partitions is gone. Returns the number of partition
+    * directories retired. Merge-on-read deltas must be compacted first
+    * — delta row counts cannot be subtracted per partition.
+    */
+  def dropPartitionsBefore(spark: SparkSession, dir: String,
+      bound: Any): Int = TxLog.withOcc(spark, dir) {
+    val m = loadMeta(spark, dir)
+    val (unit, _) = m.tp.getOrElse(throw new IllegalArgumentException(
+      s"the table at $dir has no time-partition spec"))
+    require(m.dirty.isEmpty,
+      "compact() the table first: merge-on-read delta chains cannot " +
+        "be partition-retired")
+    val cut = tpValueOf(unit, bound)
+    if (m.tpMin.exists(_ >= cut)) return 0
+    val fs = TxLog.fs(spark, dir)
+    // one listing per live bucket (pooled): the doomed partition dirs
+    val doomed: Seq[(Int, Path)] = listDirs(fs,
+      m.buckets.toSeq.map { case (b, rel) => new Path(s"$dir/data/$rel") })
+      .zip(m.buckets.toSeq)
+      .flatMap { case ((_, sts), (b, _)) =>
+        sts.toSeq.collect {
+          case st if st.isDirectory &&
+              st.getPath.getName.startsWith("_tp=") &&
+              st.getPath.getName.drop(4).toInt < cut =>
+            b -> st.getPath
+        }
+      }
+    if (doomed.isEmpty) {
+      // still record the floor: the caller's retention promise holds
+      // even when nothing is present below it yet
+      TxLog.commit(spark, dir, m.snap.version + 1,
+        m.snap.props -- Seq("txn_id", "base_txn", "feed_batch",
+          "feed_txn") + ("tp_min" -> cut.toString) +
+          ("op" -> "retire-partitions"))
+      return 0
+    }
+    // retired row counts per bucket, from the doomed files' footers
+    // (metadata-only, pooled — O(retired files))
+    val droppedRows: Map[Int, Long] = {
+      val files = listDirs(fs, doomed.map(_._2))
+        .zip(doomed)
+        .flatMap { case ((_, sts), (b, _)) =>
+          sts.toSeq.filter(st => st.isFile && st.getLen > 0 &&
+              !st.getPath.getName.startsWith(".") &&
+              !st.getPath.getName.startsWith("_"))
+            .map(st => b -> st.getPath)
+        }
+      val conf = spark.sessionState.newHadoopConf()
+      files.groupBy(_._1).view.mapValues(_.map { case (_, p) =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }.sum).toMap
+    }
+    val touched = doomed.map(_._1).toSet
+    val props = m.snap.props
+      .map {
+        case (k, v) if k.startsWith("rows.") &&
+            touched.contains(k.drop(5).toInt) =>
+          k -> math.max(0L,
+            v.toLong - droppedRows.getOrElse(k.drop(5).toInt, 0L)).toString
+        case kv => kv
+      }
+      .filterNot { case (k, _) =>
+        Seq("minv.", "maxv.").exists(p => k.startsWith(p) &&
+          touched.contains(k.drop(p.length).toInt)) ||
+          Seq("txn_id", "base_txn", "feed_batch", "feed_txn").contains(k)
+      } + ("tp_min" -> cut.toString) + ("op" -> "retire-partitions")
+    TxLog.commit(spark, dir, m.snap.version + 1, props)
+    // physical deletion AFTER the fence committed
+    TxLog.hygiene(doomed.foreach { case (_, p) => fs.delete(p, true) })
+    doomed.size
+  }
+
   /** Replace the full contents of `bucketIds` with `replacement` in
     * ONE committed rewrite — the write half of a GROUP-based v2
     * row-level operation ([[graft.catalog.GraftTable]]'s
@@ -804,14 +1076,17 @@ object Compaction {
       // version in `_seq` exactly like morMerge's files. In-group
       // rows carry a null `_seq` (base files read it back null).
       val inGroup = col("bucket").isInCollection(bucketIds.toSeq)
-      replacement.select(m.schema.fieldNames.map(col).toSeq: _*)
-        .filter(!isDeleted(m.deleteCol))
-        .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
-        .withColumn("_seq", when(inGroup,
-          lit(null).cast("long")).otherwise(lit(txn.newVersion)))
+      val (replStage, replParts) = withTp(
+        replacement.select(m.schema.fieldNames.map(col).toSeq: _*)
+          .filter(!isDeleted(m.deleteCol))
+          .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
+          .withColumn("_seq", when(inGroup,
+            lit(null).cast("long")).otherwise(lit(txn.newVersion))),
+        m.tp)
+      replStage
         .repartition(col("bucket"))
         .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
-        .write.partitionBy("bucket").mode("overwrite")
+        .write.partitionBy(replParts: _*).mode("overwrite")
         .parquet(s"${txn.staging}/data")
       val staged = txn.stagedBucketIds()
       val escaped = staged.toSet -- bucketIds
@@ -981,7 +1256,8 @@ object Compaction {
   private def evolutionProps(snap: TxLog.Snapshot): Map[String, String] =
     snap.props.filter { case (k, _) =>
       k.startsWith("rename.") || k == "dead_cols" || k == "feed" ||
-        k == "schema_altered"
+        k == "schema_altered" || k == "tp_unit" || k == "tp_col" ||
+        k == "tp_min"
     }
 
   /** Whether the table opted into the change data feed
@@ -1185,11 +1461,14 @@ object Compaction {
       if (m.nBuckets == newNBuckets) return
       TxLog.sweep(spark, dir)
       val txn = new TableTxn(spark, dir, m.snap.version)
-      storedData(spark, dir, m).drop("bucket")
-        .withColumn("bucket", bucketOf(m.keyCols, newNBuckets))
+      val (rbStage, rbParts) = withTp(
+        storedData(spark, dir, m).drop("bucket")
+          .withColumn("bucket", bucketOf(m.keyCols, newNBuckets)),
+        m.tp)
+      rbStage
         .repartition(col("bucket"))
         .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
-        .write.partitionBy("bucket").mode("overwrite")
+        .write.partitionBy(rbParts: _*).mode("overwrite")
         .parquet(s"${txn.staging}/data")
       val staged = txn.stagedBucketIds()
       val props = coreProps(m.keys, m.versionCol, m.deleteCol,
@@ -1961,10 +2240,11 @@ object Compaction {
     // never deletes): the write job reads the real committed files, so
     // losing cache blocks mid-write merely recomputes
     prof("merge.stageWinners") {
-      winners
+      val (wStage, wParts) = withTp(winners, m.tp)
+      wStage
         .repartition(col("bucket"))
         .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
-        .write.partitionBy("bucket").mode("overwrite")
+        .write.partitionBy(wParts: _*).mode("overwrite")
         .parquet(s"$staging/data")
     }
     val staged = txn.stagedBucketIds()
@@ -2121,11 +2401,14 @@ object Compaction {
     }
 
     // THE delta write — the only data-sized cost of the merge
-    changes.select(col("bucket") +: dataCols.map(col): _*)
-      .withColumn("_seq", lit(txn.newVersion))
+    val (dStage, dParts) = withTp(
+      changes.select(col("bucket") +: dataCols.map(col): _*)
+        .withColumn("_seq", lit(txn.newVersion)),
+      m.tp)
+    dStage
       .repartition(col("bucket"))
       .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
-      .write.partitionBy("bucket").mode("overwrite")
+      .write.partitionBy(dParts: _*).mode("overwrite")
       .parquet(s"${txn.staging}/data")
     val staged = txn.stagedBucketIds()
     val newStats = stagedStats(spark, txn.staging, staged, m.versionCol)
@@ -2219,10 +2502,12 @@ object Compaction {
       if (dirty.isEmpty) return
       TxLog.sweep(spark, dir)
       val txn = new TableTxn(spark, dir, m.snap.version)
-      foldBuckets(spark, dir, m, dirty)
+      val (cStage, cParts) = withTp(foldBuckets(spark, dir, m, dirty),
+        m.tp)
+      cStage
         .repartition(col("bucket"))
         .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
-        .write.partitionBy("bucket").mode("overwrite")
+        .write.partitionBy(cParts: _*).mode("overwrite")
         .parquet(s"${txn.staging}/data")
       val staged = txn.stagedBucketIds()
       // base stats carry for untouched buckets; delta props carry for
@@ -2271,12 +2556,21 @@ object Compaction {
   def maintain(spark: SparkSession, dir: String,
       maxDeltasPerBucket: Int = 8,
       maxHistoryAge: java.time.Duration = null,
-      maxFeedAge: java.time.Duration = null): (Int, Int) = {
+      maxFeedAge: java.time.Duration = null,
+      maxPartitionAge: java.time.Duration = null): (Int, Int) = {
     val before = loadMeta(spark, dir)
     val toFold = before.deltas.count(_._2.size >= maxDeltasPerBucket)
     if (toFold > 0)
       compact(spark, dir, minDeltas = maxDeltasPerBucket,
         retainHistory = true)
+    // partition retention (time-partitioned tables): drop every
+    // partition older than the window, as metadata-first commits
+    Option(maxPartitionAge).foreach { age =>
+      if (loadMeta(spark, dir).dirty.nonEmpty)
+        compact(spark, dir, retainHistory = true)
+      dropPartitionsBefore(spark, dir, new java.sql.Timestamp(
+        System.currentTimeMillis() - age.toMillis))
+    }
     val vacuumed = Option(maxHistoryAge).map { age =>
       val cutoff = System.currentTimeMillis() - age.toMillis
       val times = TxLog.commitTimesOnDisk(spark, dir)

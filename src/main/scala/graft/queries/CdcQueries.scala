@@ -1016,6 +1016,47 @@ object CdcQueries {
         FROM graftcat.chg_dst""")
     }),
 
+    // Iceberg-style TIME PARTITIONS composing with bucket hashing
+    // (r9 item 3): the events history is maintained PARTITIONED BY
+    // days(ts) — every write (init AND a later merge) lands as
+    // bucket=<b>/_tp=<day> — and a time-range scan opens ONLY the
+    // matching partitions' files (asserted in-query over inputFiles:
+    // every opened file sits in an in-range `_tp=` dir, and strictly
+    // fewer files open than the table holds). The oracle recomputes
+    // the range aggregate relationally; a green row proves the
+    // partition level prunes without ever changing results.
+    "cdc_time_partition" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id").as("id"), col("user_id"),
+          col("event_type"), col("ts"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-timepart-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(ev, tableDir, Seq("id"), "version",
+        "deleted", nBuckets = 8, clusterBy = Nil, feed = false,
+        timePartition = Some("days" -> "ts"))
+      // a second write proves merges preserve the layout
+      graft.cdc.Compaction.merge(s, tableDir,
+        ev.filter(col("id") % 7 === 0).withColumn("version", lit(1L)))
+      val from = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val to = java.sql.Timestamp.valueOf("2024-01-15 23:59:59")
+      val out = graft.cdc.Compaction.readTimeRange(s, tableDir, from, to)
+      val opened = out.inputFiles
+      val dayRe = "_tp=([0-9]+)".r
+      require(opened.nonEmpty && opened.forall(f =>
+        dayRe.findFirstMatchIn(f).exists { mm =>
+          val d = mm.group(1).toInt; d >= 19732 && d <= 19737
+        }),
+        "time-range scan opened files outside the partition range")
+      val total = graft.cdc.Compaction.read(s, tableDir)
+        .inputFiles.length
+      require(opened.length < total,
+        s"no partition pruning: opened ${opened.length} of $total files")
+      out.groupBy().agg(count(lit(1)).as("n"),
+        sum(col("user_id") * 7 + col("id") % 97).as("checksum"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    }),
+
     // SQL DDL for the derived-table family (r9 item 4): the
     // materialized view is CREATED, REFRESHED and rewritten-through
     // with nothing but SQL text — CREATE MATERIALIZED VIEW lowers onto
@@ -2113,6 +2154,16 @@ object CdcQueries {
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
         |  CAST(SUM(id * version) AS BIGINT) AS checksum
         |FROM final""".stripMargin,
+
+    // the time-range aggregate recomputed relationally (versions moved
+    // by the merge do not enter the checksum — only live identity)
+    "cdc_time_partition" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(user_id * 7 + event_id % 97) AS BIGINT) AS checksum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 23:59:59'""".stripMargin,
 
     // the grouped aggregate over the base's latest-wins live state
     "sql_create_mv" ->

@@ -399,47 +399,47 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("CREATE TABLE ... USING scd2: SQL-created history, populated " +
       "by Scd2.merge, read-only through the catalog") {
-    sqlc("""CREATE TABLE gcat.hist (
+    sqlc("""CREATE TABLE gcat.s2hist (
         id BIGINT, name STRING, version BIGINT, deleted BOOLEAN)
         USING scd2 TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
     // empty history reads under the GENERATED schema (state columns
     // plus the engine's interval pair)
-    val cols = sqlc("SELECT * FROM gcat.hist").columns.toSeq
+    val cols = sqlc("SELECT * FROM gcat.s2hist").columns.toSeq
     assert(cols.contains("valid_to") && cols.contains("is_current"),
       cols.toString)
-    assert(sqlc("SELECT * FROM gcat.hist").count() == 0L)
+    assert(sqlc("SELECT * FROM gcat.s2hist").count() == 0L)
     // populate through the history API (the catalog serves scd2
     // read-only); two versions of one key become two intervals
-    val dir = s"$warehouse/hist"
+    val dir = s"$warehouse/s2hist"
     graft.cdc.Scd2.merge(spark,
       dir,
       Seq((1L, "a", 0L, false), (1L, "b", 1L, false),
         (2L, "x", 0L, false))
         .toDF("id", "name", "version", "deleted"))
     val got = sqlc("""SELECT id, name, valid_to, is_current
-        FROM gcat.hist ORDER BY id, version""")
+        FROM gcat.s2hist ORDER BY id, version""")
       .as[(Long, String, Option[Long], Boolean)].collect().toSeq
     assert(got == Seq((1L, "a", Some(1L), false),
       (1L, "b", None, true), (2L, "x", None, true)), got.toString)
     // writes through the catalog refuse (scd2 is read-only there)
     val e = intercept[Exception] {
-      sqlc("INSERT INTO gcat.hist VALUES (3, 'z', 0, false, NULL, true)")
+      sqlc("INSERT INTO gcat.s2hist VALUES (3, 'z', 0, false, NULL, true)")
     }
     assert(e.getMessage.contains("read-only") ||
       e.getMessage.contains("merge") ||
       e.getMessage.toLowerCase.contains("does not support"), e.getMessage)
     // a plain (merge) CREATE cannot clobber the scd2 dir via LOCATION
     val e2 = intercept[Exception] {
-      sqlc(s"""CREATE TABLE gcat.hist2 (
+      sqlc(s"""CREATE TABLE gcat.s2clash (
           id BIGINT, name STRING, version BIGINT, deleted BOOLEAN)
           TBLPROPERTIES ('keys'='id') LOCATION '$dir'""")
     }
     assert(e2.getMessage.contains("scd2"), e2.getMessage)
     // while USING scd2 LOCATION attaches to it
-    sqlc(s"""CREATE TABLE gcat.hist3 (
+    sqlc(s"""CREATE TABLE gcat.s2attach (
         id BIGINT, name STRING, version BIGINT, deleted BOOLEAN)
         USING scd2 TBLPROPERTIES ('keys'='id') LOCATION '$dir'""")
-    assert(sqlc("SELECT count(*) AS n FROM gcat.hist3")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.s2attach")
       .as[Long].head() == 3L)
   }
 }
