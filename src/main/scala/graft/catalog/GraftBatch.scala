@@ -389,10 +389,17 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
         pushed.foreach(walk)
         (lo, hi)
     }
-    def tpAdmit(n: Int): Boolean =
-      tpFloor.forall(n >= _) && tpLo.forall(n >= _) && tpHi.forall(n <= _)
+    // `rangeOk = false` for DIRTY (merge-on-read) buckets: their fold
+    // decides winners over the full surviving history, so only the
+    // retention floor may prune — a range prune on the fold INPUT
+    // would resurrect superseded rows (same invariant as
+    // Compaction.foldBuckets)
+    def tpAdmit(n: Int, rangeOk: Boolean): Boolean =
+      tpFloor.forall(n >= _) &&
+        (!rangeOk || (tpLo.forall(n >= _) && tpHi.forall(n <= _)))
 
-    def listFiles(rel: String): Seq[(String, Long, Long, Int)] = {
+    def listFiles(rel: String, rangeOk: Boolean)
+        : Seq[(String, Long, Long, Int)] = {
       val p = new Path(s"${meta.dir}/data/$rel")
       val e = epochOf(rel)
       if (!fs.exists(p)) Nil
@@ -402,7 +409,8 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
         val leaves = entries.flatMap { st =>
           val n = st.getPath.getName
           if (st.isDirectory && n.startsWith("_tp=")) {
-            if (tpAdmit(n.drop(4).toInt)) fs.listStatus(st.getPath).toSeq
+            if (tpAdmit(Compaction.tpDirValue(n), rangeOk))
+              fs.listStatus(st.getPath).toSeq
             else Nil
           } else Seq(st)
         }
@@ -420,11 +428,12 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     // results are memoized per bucket (no double listing on re-plan).
     val cleanIds = (kept -- meta.dirty).toSeq.sorted
     val dirtyIds = kept.intersect(meta.dirty).toSeq.sorted
-    def listed(b: Int, rels: => Seq[String]): Seq[(String, Long, Long, Int)] = {
+    def listed(b: Int, rangeOk: Boolean,
+        rels: => Seq[String]): Seq[(String, Long, Long, Int)] = {
       val hit = listingCache.get(b)
       if (hit != null) hit
       else {
-        val r = rels.flatMap(listFiles)
+        val r = rels.flatMap(listFiles(_, rangeOk))
         listingCache.put(b, r)
         r
       }
@@ -436,10 +445,10 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       val cleanF = Future.traverse(cleanIds)(b => Future {
-        b -> listed(b, meta.buckets.get(b).toSeq)
+        b -> listed(b, rangeOk = true, meta.buckets.get(b).toSeq)
       })
       val dirtyF = Future.traverse(dirtyIds)(b => Future {
-        b -> listed(b, meta.buckets.get(b).toSeq ++
+        b -> listed(b, rangeOk = false, meta.buckets.get(b).toSeq ++
           meta.deltas.getOrElse(b, Nil))
       })
       (Await.result(cleanF, Duration.Inf),

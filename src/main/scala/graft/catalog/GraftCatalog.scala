@@ -247,6 +247,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the catalog like every scd2 table; populate with Scd2.merge.
     if (prop(properties, TableCatalog.PROP_PROVIDER)
         .exists(_.equalsIgnoreCase("scd2"))) {
+      require(timePartition.isEmpty,
+        "scd2 histories are not time-partitioned (history layout is " +
+          "interval-keyed); drop the PARTITIONED BY clause")
       if (TxLog.latestVersion(spark, dir).isDefined) {
         require(tableTypeOf(dir) == "scd2",
           s"existing table at $dir is a ${tableTypeOf(dir)} table, " +
@@ -261,13 +264,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(schema.nonEmpty,
           "CREATE TABLE ... USING scd2 needs a column list (the " +
             "history's STATE schema; valid_to/is_current are generated)")
-        (keys :+ versionCol :+ deleteCol).foreach(c =>
-          require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-            s"column '$c' missing from the declared schema"))
+        // resolve declared parameter names to the schema's EXACT case:
+        // SQL resolution is case-insensitive, Scd2.init is not
+        def exact(c: String, what: String): String =
+          schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$what column '$c' missing from the declared schema"))
         Scd2.init(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schema),
-          dir, keys, versionCol, deleteCol, nBuckets)
+          dir, keys.map(exact(_, "key")), exact(versionCol, "version"),
+          exact(deleteCol, "delete"), nBuckets)
       }
       location.foreach { loc =>
         val f = TxLog.fs(spark, warehouse)

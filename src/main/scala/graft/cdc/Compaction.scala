@@ -141,18 +141,25 @@ object Compaction {
     }
   }
 
-  /** Driver-side twin of [[tpColumn]] for literal bounds — UTC, same
-    * epoch arithmetic, so a bound and the written dirs always agree.
+  /** Driver-side twin of [[tpColumn]] for literal bounds. For
+    * timestamp values and days/hours the arithmetic is instant-based
+    * and timezone-free on both sides; where a CALENDAR enters (months'
+    * year/month fields, DATE-at-midnight and string parsing) both
+    * sides use the SESSION time zone — the same writer/reader
+    * session-TZ contract the version zone maps carry (GraftSession
+    * pins UTC), so a bound and the written dirs always agree.
     */
   private[graft] def tpValueOf(unit: String, v: Any): Int = {
+    val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val instant = v match {
       case t: java.sql.Timestamp => t.toInstant
       case d: java.sql.Date =>
-        d.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+        d.toLocalDate.atStartOfDay(zone).toInstant
       case i: java.time.Instant => i
-      case d: java.time.LocalDate =>
-        d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
-      case s: String => java.sql.Timestamp.valueOf(s).toInstant
+      case d: java.time.LocalDate => d.atStartOfDay(zone).toInstant
+      case s: String => java.time.LocalDateTime
+        .parse(s.replace(' ', 'T')).atZone(zone).toInstant
       case other => throw new IllegalArgumentException(
         s"time-partition bound must be a timestamp/date, got $other")
     }
@@ -160,22 +167,42 @@ object Compaction {
       case "days" => math.floorDiv(instant.getEpochSecond, 86400L).toInt
       case "hours" => math.floorDiv(instant.getEpochSecond, 3600L).toInt
       case "months" =>
-        val d = java.time.LocalDate.ofInstant(instant,
-          java.time.ZoneOffset.UTC)
+        val d = java.time.LocalDate.ofInstant(instant, zone)
         (d.getYear - 1970) * 12 + d.getMonthValue - 1
       case u => throw new IllegalArgumentException(
         s"unsupported time-partition transform '$u'")
     }
   }
 
+  /** Parse a `_tp=<n>` directory name. NULL partition-source values
+    * are refused at write time ([[withTp]]), so a non-numeric value —
+    * Hive's `__HIVE_DEFAULT_PARTITION__` from an external writer —
+    * is a layout violation reported loudly instead of a
+    * NumberFormatException deep in a scan.
+    */
+  private[graft] def tpDirValue(dirName: String): Int =
+    try dirName.drop(4).toInt
+    catch {
+      case _: NumberFormatException => throw new IllegalStateException(
+        s"unexpected time-partition directory '$dirName': the engine " +
+          "refuses null partition-source values at write, so this " +
+          "layout was written externally — repair or remove the dir")
+    }
+
   /** Add the derived `_tp` column and return the staged write's
-    * partition column list.
+    * partition column list. A NULL partition-source value fails the
+    * write loudly: it would land as Hive's default-partition dir,
+    * which no reader of this layout can place.
     */
   private def withTp(df: DataFrame,
       tp: Option[(String, String)]): (DataFrame, Seq[String]) = tp match {
     case None => (df, Seq("bucket"))
     case Some((u, c)) =>
-      (df.withColumn("_tp", tpColumn(u, col(c))), Seq("bucket", "_tp"))
+      (df.withColumn("_tp",
+        when(col(c).isNull, raise_error(lit(
+          s"time-partition source column '$c' must not be null"))
+          .cast("int"))
+        .otherwise(tpColumn(u, col(c)))), Seq("bucket", "_tp"))
   }
 
   /** Read-side partition admission: the retention floor
@@ -720,7 +747,7 @@ object Compaction {
           .collect {
             case st if st.isDirectory &&
                 st.getPath.getName.startsWith("_tp=") &&
-                keep(st.getPath.getName.drop(4).toInt) =>
+                keep(tpDirValue(st.getPath.getName)) =>
               st.getPath.toString
           }
     }
@@ -979,7 +1006,7 @@ object Compaction {
         sts.toSeq.collect {
           case st if st.isDirectory &&
               st.getPath.getName.startsWith("_tp=") &&
-              st.getPath.getName.drop(4).toInt < cut =>
+              tpDirValue(st.getPath.getName) < cut =>
             b -> st.getPath
         }
       }
@@ -1618,24 +1645,37 @@ object Compaction {
     * are partition-pruned by `batch` — a consumer resuming from batch
     * K scans only the new directories.
     */
-  /** One listStatus per directory through a bounded pool: object-store
-    * listings are latency-bound, and the evolution-aware feed read
-    * needs one per batch dir — sequential round trips would dominate.
+  /** Shared daemon pool for driver-side directory listings — reused
+    * across calls (time-partitioned reads and feed reads list per
+    * bucket/batch dir; a per-call pool would churn threads on every
+    * query, the anti-pattern GraftScan.listingPool already avoids).
+    */
+  private lazy val listingPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-listing-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** One listStatus per directory through the shared pool: object-store
+    * listings are latency-bound, and the evolution-aware feed read and
+    * time-partitioned layouts need one per dir — sequential round
+    * trips would dominate.
     */
   private def listDirs(fs: org.apache.hadoop.fs.FileSystem,
       dirs: Seq[Path]): Seq[(Path, Array[org.apache.hadoop.fs.FileStatus])] =
     if (dirs.lengthCompare(4) <= 0) dirs.map(p => p -> fs.listStatus(p))
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, dirs.size))
-      try {
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.traverse(dirs)(p =>
-            scala.concurrent.Future(p -> fs.listStatus(p))),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(listingPool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(dirs)(p =>
+          scala.concurrent.Future(p -> fs.listStatus(p))),
+        scala.concurrent.duration.Duration.Inf)
     }
 
   def readFeed(spark: SparkSession, dir: String): DataFrame = {

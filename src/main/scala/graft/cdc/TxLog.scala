@@ -435,14 +435,19 @@ private[graft] object TxLog {
         // a stale staging may hold the ONLY copy of a committed-but-
         // unpublished feed batch (writer died between its commit and
         // the feed publish) — finish that publish before reclaiming,
-        // instead of deleting the change events (r9 advice)
-        if (n.startsWith(".staging-")) hygiene {
-          Compaction.republishStagedFeed(spark, dir,
-            n.stripPrefix(".staging-"))
-          ()
-        }
-        require(f.delete(st.getPath, true) || !f.exists(st.getPath),
-          s"sweep failed: ${st.getPath}")
+        // instead of deleting the change events (r9 advice). A
+        // TRANSIENT republish failure must keep the staging for the
+        // next sweep: deleting it anyway would destroy the only copy
+        // and make the gap permanent.
+        val reclaimable =
+          if (!n.startsWith(".staging-")) true
+          else
+            try { Compaction.republishStagedFeed(spark, dir,
+              n.stripPrefix(".staging-")); true }
+            catch { case scala.util.control.NonFatal(_) => false }
+        if (reclaimable)
+          require(f.delete(st.getPath, true) || !f.exists(st.getPath),
+            s"sweep failed: ${st.getPath}")
       }
     }
     val dataRoot = new Path(s"$dir/data")

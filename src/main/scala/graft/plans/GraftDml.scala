@@ -262,13 +262,25 @@ object GraftTables {
         require(hasCnt && valueCol.isDefined && keys.nonEmpty &&
           keys.map(_.toLowerCase) == groupKeys.map(_.toLowerCase).toVector,
           contract)
+        // one view per base: MvRewrite's registry keys on the base
+        // path, so a second registration would silently shadow the
+        // first view's rewrite (and DROP of either would disarm both)
+        Mv.registeredViewDir(baseDir).foreach(existing =>
+          fail(s"$base already has a materialized view at $existing — " +
+            "one MV per base (DROP MATERIALIZED VIEW the existing one " +
+            "first)"))
         val (_, _, _, nBuckets) = Compaction.readMeta(spark, baseDir)
-        // fence at the base's committed feed head: the snapshot below
-        // already contains every committed merge's effects
-        val head = graft.cdc.Replicator.sourceHead(spark, baseDir)
+        // seed and fence from ONE manifest snapshot: reading the head
+        // first and the data later would double-count a merge landing
+        // in between (seeded AND re-applied by the first REFRESH —
+        // signed-retraction IVM is not replay-convergent the way a
+        // keyed merge is)
+        val snap = graft.cdc.TxLog.latest(spark, baseDir).getOrElse(
+          fail(s"no committed manifest under $baseDir"))
+        val head = snap.counter("next_feed_batch") - 1L
         val viewDir = s"$baseDir/_mv/$name"
         graft.cdc.AggView.init(
-          Compaction.read(spark, baseDir)
+          Compaction.readAsOf(spark, baseDir, snap.version)
             .select((keys :+ valueCol.get).map(col): _*),
           viewDir, keys, valueCol.get, nBuckets, batchId = head)
         writeMvDef(spark, viewDir, baseDir, keys, valueCol.get)
@@ -296,7 +308,10 @@ object GraftTables {
         val name = unquote(name0).toLowerCase
         val viewDir = viewDirOf(name0)
         val (baseDir, _, _) = readMvDef(spark, viewDir)
-        Mv.deregister(baseDir)
+        // deregister only OUR rewrite: the base-keyed registry may
+        // hold a registration for a different (programmatic) view
+        if (Mv.registeredViewDir(baseDir).contains(viewDir))
+          Mv.deregister(baseDir)
         mvRegistry.remove((spark, name))
         TxLog.fs(spark, viewDir).delete(
           new org.apache.hadoop.fs.Path(viewDir), true)

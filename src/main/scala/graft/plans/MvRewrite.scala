@@ -459,6 +459,15 @@ object Mv {
 
   def deregister(basePath: String): Unit = MvRewrite.deregister(basePath)
 
+  /** The view dir/path registered against `basePath` in the ACTIVE
+    * session, if any — the registry holds one rewrite per base, so
+    * DDL layers use this to refuse a shadowing second registration
+    * and to deregister only their own.
+    */
+  def registeredViewDir(basePath: String): Option[String] =
+    MvRewrite.registered(basePath).map(d =>
+      d.aggView.map(_.viewDir).getOrElse(d.viewPath))
+
   /** True when `df`'s optimized plan reads `viewPath` (and not the
     * base) — the spec's and demos' rewrite probe.
     */

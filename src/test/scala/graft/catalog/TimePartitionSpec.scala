@@ -87,6 +87,55 @@ class TimePartitionSpec extends SparkSpec {
     assert(Compaction.read(spark, dir).count() == 0L)
   }
 
+  test("a dirty bucket's fold input is never range-pruned: a newer " +
+      "out-of-range version must not resurrect the old row") {
+    val w = tmpDir("tpart-mor-wh")
+    spark.conf.set("spark.sql.catalog.gtpm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtpm.warehouse", w)
+    spark.sql("""CREATE TABLE gtpm.ev (
+        id BIGINT, payload STRING, ts TIMESTAMP, version BIGINT,
+        deleted BOOLEAN)
+        PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('keys'='id', 'buckets'='2')""")
+    Seq((1L, "old", ts(10), 0L, false), (2L, "keep", ts(10), 0L, false))
+      .toDF("id", "payload", "ts", "version", "deleted")
+      .writeTo("gtpm.ev").append()
+    // key 1 moves OUT of the queried range via a merge-on-read delta
+    // (the delta file lands in _tp=Jan-20; the stale base row stays in
+    // _tp=Jan-10 — exactly the shape a range prune on the fold input
+    // would resurrect)
+    Compaction.merge(spark, s"$w/ev",
+      Seq((1L, "moved", ts(20), 1L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"),
+      mergeOnRead = true, retainHistory = true)
+    val got = spark.sql(
+      "SELECT id FROM gtpm.ev WHERE ts >= TIMESTAMP '2024-01-09 00:00:00' " +
+        "AND ts <= TIMESTAMP '2024-01-11 00:00:00'")
+      .as[Long].collect().toSet
+    assert(got == Set(2L),
+      s"the superseded in-range row resurrected: $got")
+    // and the programmatic range read agrees
+    val got2 = Compaction.readTimeRange(spark, s"$w/ev", ts(9, 0),
+      ts(11, 0)).select($"id").as[Long].collect().toSet
+    assert(got2 == Set(2L), got2.toString)
+  }
+
+  test("a NULL partition-source value fails the write loudly") {
+    val dir = tmpDir("tpart-null")
+    val e = intercept[Exception] {
+      Compaction.init(
+        Seq((1L, "a", null.asInstanceOf[java.sql.Timestamp], 0L, false))
+          .toDF("id", "payload", "ts", "version", "deleted"),
+        dir, Seq("id"), "version", "deleted", nBuckets = 2,
+        clusterBy = Nil, feed = false,
+        timePartition = Some("days" -> "ts"))
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("must not be null")),
+      causes(e).mkString(" | "))
+  }
+
   test("merge-on-read deltas refuse partition retirement until compacted") {
     val dir = tmpDir("tpart3")
     Compaction.init(seed(40), dir, Seq("id"), "version", "deleted",
