@@ -417,7 +417,11 @@ object CdcQueries {
         .repartitionByRange(8, col("k"))
         .sortWithinPartitions(col("k"))
         .write.mode("overwrite").parquet(s"$path/data")
-      val bound = "000000075"
+      // scale-relative bound (half the key domain), so the prune
+      // assertion holds at every SF the harness runs
+      val half = Tables.customer(s, dir)
+        .agg(max(col("c_custkey")).cast("long")).head().getLong(0) / 2L
+      val bound = f"$half%09d"
       val kept = graft.sources.MetadataScan.filesAbove(
         s, s"$path/data", "k", bound)
       val total = graft.sources.MetadataScan
@@ -1918,7 +1922,8 @@ object CdcQueries {
         |  min(k) AS first_key
         |FROM (SELECT concat(substring(c_name, 10, 9), '-', c_name) AS k,
         |        c_acctbal FROM customer)
-        |WHERE k > '000000075'""".stripMargin,
+        |WHERE k > lpad(CAST((SELECT max(c_custkey) // 2 FROM customer)
+        |  AS VARCHAR), 9, '0')""".stripMargin,
 
     "cdc_merge_upsert" ->
       """WITH unioned AS (
