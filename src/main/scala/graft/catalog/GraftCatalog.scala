@@ -213,7 +213,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // come from the 'buckets' property.
     val timePartition: Option[(String, String)] = partitions match {
       case Array() => None
-      case Array(t) if Set("days", "months", "hours")(t.name) &&
+      case Array(t) if Set("years", "days", "months", "hours")(t.name) &&
           t.arguments.length == 1 =>
         t.arguments.head match {
           case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -225,7 +225,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => throw new IllegalArgumentException(
         "graft tables are hash-bucketed on their merge keys " +
           "('buckets' property); PARTITIONED BY accepts only one " +
-          "days(col) / months(col) / hours(col) time transform")
+          "years|months|days|hours(col) time transform")
     }
     val keys = prop(properties, "keys").orElse(prop(properties, "key"))
       .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))

@@ -136,8 +136,11 @@ object Compaction {
       case "months" =>
         ((year(c.cast("timestamp")) - lit(1970)) * lit(12) +
           month(c.cast("timestamp")) - lit(1)).cast("int")
+      case "years" =>
+        (year(c.cast("timestamp")) - lit(1970)).cast("int")
       case u => throw new IllegalArgumentException(
-        s"unsupported time-partition transform '$u' (days/months/hours)")
+        s"unsupported time-partition transform '$u' " +
+          "(years/months/days/hours)")
     }
   }
 
@@ -169,6 +172,8 @@ object Compaction {
       case "months" =>
         val d = java.time.LocalDate.ofInstant(instant, zone)
         (d.getYear - 1970) * 12 + d.getMonthValue - 1
+      case "years" =>
+        java.time.LocalDate.ofInstant(instant, zone).getYear - 1970
       case u => throw new IllegalArgumentException(
         s"unsupported time-partition transform '$u'")
     }

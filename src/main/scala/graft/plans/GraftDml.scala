@@ -112,6 +112,9 @@ object GraftTables {
     """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+MIN\s+DELTAS\s+(\d+))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val RetireRe =
+    ("""(?is)\s*RETIRE\s+PARTITIONS\s+([\w.`]+)\s+BEFORE\s+""" +
+      """TIMESTAMP\s+'([^']+)'\s*;?\s*""").r
 
   private def maintenanceSql(spark: SparkSession,
       sqlText: String): Option[DataFrame] = {
@@ -140,6 +143,15 @@ object GraftTables {
       case HistoryRe(name) =>
         dirFor(name).map(dir => Compaction.history(spark, dir)
           .orderBy(org.apache.spark.sql.functions.col("version").desc))
+      // time-partitioned retention: drop every partition strictly
+      // below the bound's partition, metadata-first
+      // (Compaction.dropPartitionsBefore)
+      case RetireRe(name, ts) =>
+        dirFor(name).map { dir =>
+          val n = Compaction.dropPartitionsBefore(spark, dir,
+            java.sql.Timestamp.valueOf(ts))
+          Seq((name, n)).toDF("table", "partitions_retired")
+        }
       case _ => None
     }
   }

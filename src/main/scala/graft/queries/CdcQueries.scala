@@ -417,10 +417,12 @@ object CdcQueries {
         .repartitionByRange(8, col("k"))
         .sortWithinPartitions(col("k"))
         .write.mode("overwrite").parquet(s"$path/data")
-      // scale-relative bound (half the key domain), so the prune
-      // assertion holds at every SF the harness runs
+      // scale-relative bound (half the NAME-digit domain — the same
+      // digits the key is built from), so the prune assertion holds at
+      // every SF and on synthesized corpora whose custkeys are offset
       val half = Tables.customer(s, dir)
-        .agg(max(col("c_custkey")).cast("long")).head().getLong(0) / 2L
+        .agg(max(substring(col("c_name"), 10, 9).cast("long")))
+        .head().getLong(0) / 2L
       val bound = f"$half%09d"
       val kept = graft.sources.MetadataScan.filesAbove(
         s, s"$path/data", "k", bound)
@@ -1922,8 +1924,9 @@ object CdcQueries {
         |  min(k) AS first_key
         |FROM (SELECT concat(substring(c_name, 10, 9), '-', c_name) AS k,
         |        c_acctbal FROM customer)
-        |WHERE k > lpad(CAST((SELECT max(c_custkey) // 2 FROM customer)
-        |  AS VARCHAR), 9, '0')""".stripMargin,
+        |WHERE k > lpad(CAST((SELECT
+        |    max(CAST(substring(c_name, 10, 9) AS BIGINT)) // 2
+        |  FROM customer) AS VARCHAR), 9, '0')""".stripMargin,
 
     "cdc_merge_upsert" ->
       """WITH unioned AS (

@@ -136,6 +136,32 @@ class TimePartitionSpec extends SparkSpec {
       causes(e).mkString(" | "))
   }
 
+  test("years transform and the RETIRE PARTITIONS SQL verb") {
+    val dir = tmpDir("tpart-yr")
+    Compaction.init(
+      Seq((1L, "a", java.sql.Timestamp.valueOf("2022-06-01 00:00:00"),
+          0L, false),
+        (2L, "b", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"),
+          0L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"),
+      dir, Seq("id"), "version", "deleted", nBuckets = 2,
+      clusterBy = Nil, feed = false,
+      timePartition = Some("years" -> "ts"))
+    val fs = TxLog.fs(spark, dir)
+    val snap = TxLog.latest(spark, dir).get
+    val dirs = snap.buckets.values.flatMap(rel =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data/$rel"))
+        .map(_.getPath.getName)).toSet
+    assert(dirs == Set("_tp=52", "_tp=54"), dirs.toString) // 2022, 2024
+    graft.plans.GraftTables.register(spark, "tpart_yr", dir)
+    val out = graft.plans.GraftTables.sql(spark,
+      "RETIRE PARTITIONS tpart_yr BEFORE TIMESTAMP '2023-01-01 00:00:00'")
+    assert(out.select("partitions_retired").as[Int].head() == 1)
+    assert(Compaction.read(spark, dir)
+      .select($"id").as[Long].collect().toSet == Set(2L))
+    assert(Compaction.countRows(spark, dir) == 1L)
+  }
+
   test("merge-on-read deltas refuse partition retirement until compacted") {
     val dir = tmpDir("tpart3")
     Compaction.init(seed(40), dir, Seq("id"), "version", "deleted",
