@@ -118,13 +118,11 @@ private[catalog] object GraftScan {
     * core class — per-scan pools caused thread churn on
     * catalog-heavy workloads (a fresh 32-thread pool per EXPLAIN).
     */
+  /** One shared listing pool across layers — see
+    * [[graft.cdc.Compaction.listingPool]].
+    */
   lazy val listingPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(32,
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-scan-listing")
-        t.setDaemon(true)
-        t
-      })
+    Compaction.listingPool
 }
 
 private[catalog] final class GraftScan(dir: String, asOf: Option[Long],

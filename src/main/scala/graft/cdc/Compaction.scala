@@ -161,8 +161,15 @@ object Compaction {
         d.toLocalDate.atStartOfDay(zone).toInstant
       case i: java.time.Instant => i
       case d: java.time.LocalDate => d.atStartOfDay(zone).toInstant
-      case s: String => java.time.LocalDateTime
-        .parse(s.replace(' ', 'T')).atZone(zone).toInstant
+      case s: String =>
+        // lenient like the JDBC escape form: full ISO, date-only (=
+        // midnight), or Timestamp.valueOf's single-digit fields — all
+        // read as a WALL CLOCK in the session zone
+        scala.util.Try(java.time.LocalDateTime.parse(s.replace(' ', 'T')))
+          .orElse(scala.util.Try(
+            java.time.LocalDate.parse(s).atStartOfDay()))
+          .getOrElse(java.sql.Timestamp.valueOf(s).toLocalDateTime)
+          .atZone(zone).toInstant
       case other => throw new IllegalArgumentException(
         s"time-partition bound must be a timestamp/date, got $other")
     }
@@ -203,11 +210,15 @@ object Compaction {
       tp: Option[(String, String)]): (DataFrame, Seq[String]) = tp match {
     case None => (df, Seq("bucket"))
     case Some((u, c)) =>
+      // guard the DERIVED value, not just the source: a non-null
+      // source that fails the timestamp conversion (non-ANSI string
+      // cast) would otherwise still land as Hive's default partition
+      val v = tpColumn(u, col(c))
       (df.withColumn("_tp",
-        when(col(c).isNull, raise_error(lit(
-          s"time-partition source column '$c' must not be null"))
-          .cast("int"))
-        .otherwise(tpColumn(u, col(c)))), Seq("bucket", "_tp"))
+        when(v.isNull, raise_error(lit(
+          s"time-partition source column '$c' must not be null (or " +
+            "fail to convert to a timestamp)")).cast("int"))
+        .otherwise(v)), Seq("bucket", "_tp"))
   }
 
   /** Read-side partition admission: the retention floor
@@ -1650,13 +1661,15 @@ object Compaction {
     * are partition-pruned by `batch` — a consumer resuming from batch
     * K scans only the new directories.
     */
-  /** Shared daemon pool for driver-side directory listings — reused
-    * across calls (time-partitioned reads and feed reads list per
-    * bucket/batch dir; a per-call pool would churn threads on every
-    * query, the anti-pattern GraftScan.listingPool already avoids).
+  /** THE shared daemon pool for driver-side directory listings —
+    * reused across calls and across layers (this object's feed /
+    * time-partition reads AND the catalog scan's per-bucket listings
+    * reference it), so the listing concurrency against one filesystem
+    * has a single bound and no per-query thread churn.
     */
-  private lazy val listingPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(16,
+  private[graft] lazy val listingPool
+      : java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(32,
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger
         override def newThread(r: Runnable): Thread = {

@@ -444,7 +444,18 @@ private[graft] object TxLog {
           else
             try { Compaction.republishStagedFeed(spark, dir,
               n.stripPrefix(".staging-")); true }
-            catch { case scala.util.control.NonFatal(_) => false }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                // loud, not silent: a DETERMINISTIC failure pins the
+                // staging forever (by design — the events' only copy)
+                // and an operator must learn, not discover by du
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"feed republish from ${st.getPath} failed; keeping " +
+                    "the staging for the next sweep (if this repeats, " +
+                    "the batch may be unrecoverable — inspect the " +
+                    s"staged files): $e")
+                false
+            }
         if (reclaimable)
           require(f.delete(st.getPath, true) || !f.exists(st.getPath),
             s"sweep failed: ${st.getPath}")

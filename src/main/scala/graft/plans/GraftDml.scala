@@ -148,8 +148,10 @@ object GraftTables {
       // (Compaction.dropPartitionsBefore)
       case RetireRe(name, ts) =>
         dirFor(name).map { dir =>
-          val n = Compaction.dropPartitionsBefore(spark, dir,
-            java.sql.Timestamp.valueOf(ts))
+          // the raw string: tpValueOf parses it in the SESSION zone,
+          // like every other bound (Timestamp.valueOf here would
+          // shift the destructive cut by the JVM default-TZ offset)
+          val n = Compaction.dropPartitionsBefore(spark, dir, ts)
           Seq((name, n)).toDF("table", "partitions_retired")
         }
       case _ => None
@@ -241,9 +243,10 @@ object GraftTables {
     def fail(msg: String): Nothing = GraftDml.fail(msg)
     def viewDirOf(name: String): String =
       mvRegistry.getOrElse((spark, unquote(name).toLowerCase),
-        fail(s"unknown materialized view $name — CREATE MATERIALIZED " +
-          "VIEW it in this session first (definitions persist as " +
-          "_mvdef.properties under the view dir)"))
+        fail(s"unknown materialized view $name in this session — " +
+          "CREATE MATERIALIZED VIEW re-attaches it (same name " +
+          "re-creates/replaces; definitions persist as " +
+          "_mvdef.properties under <base>/_mv/<name>)"))
     sqlText match {
       case CreateMvRe(name0, selectList, base, groupBy) =>
         val name = unquote(name0).toLowerCase
@@ -276,11 +279,27 @@ object GraftTables {
           contract)
         // one view per base: MvRewrite's registry keys on the base
         // path, so a second registration would silently shadow the
-        // first view's rewrite (and DROP of either would disarm both)
-        Mv.registeredViewDir(baseDir).foreach(existing =>
-          fail(s"$base already has a materialized view at $existing — " +
-            "one MV per base (DROP MATERIALIZED VIEW the existing one " +
-            "first)"))
+        // first view's rewrite (and DROP of either would disarm both).
+        // Re-CREATE of the SAME name replaces it (the recovery path
+        // after a restart); a DIFFERENT name refuses — against both
+        // the session registry AND the durable on-disk _mv family, so
+        // a restart cannot sneak a shadowing second view in.
+        val ownDir = s"$baseDir/_mv/$name"
+        Mv.registeredViewDir(baseDir).filter(_ != ownDir)
+          .foreach(existing =>
+            fail(s"$base already has a materialized view at $existing " +
+              "— one MV per base (DROP MATERIALIZED VIEW it first)"))
+        val mvRoot = new org.apache.hadoop.fs.Path(s"$baseDir/_mv")
+        val mvFs = TxLog.fs(spark, baseDir)
+        val others =
+          if (!mvFs.exists(mvRoot)) Nil
+          else mvFs.listStatus(mvRoot).toSeq.map(_.getPath.getName)
+            .filter(_ != name)
+        if (others.nonEmpty)
+          fail(s"$base already has materialized view(s) " +
+            s"${others.mkString(", ")} under $baseDir/_mv — one MV " +
+            "per base; CREATE (same name) re-creates it, or DROP / " +
+            "delete the existing dir first")
         val (_, _, _, nBuckets) = Compaction.readMeta(spark, baseDir)
         // seed and fence from ONE manifest snapshot: reading the head
         // first and the data later would double-count a merge landing

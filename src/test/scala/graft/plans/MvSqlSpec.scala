@@ -49,6 +49,20 @@ class MvSqlSpec extends SparkSpec {
     val viewDir = created.select("location").as[String].head()
     assert(viewDir == s"$base/_mv/mvsql_v")
 
+    // one MV per base: a DIFFERENT name refuses (durable, disk-backed
+    // check), the SAME name re-creates/replaces
+    val e0 = intercept[Exception] {
+      GraftTables.sql(spark,
+        """CREATE MATERIALIZED VIEW mvsql_v2 AS
+          SELECT grp, count(*) AS cnt, sum(price) AS total
+          FROM mvsql_base GROUP BY grp""")
+    }
+    assert(e0.getMessage.contains("one MV per base"), e0.getMessage)
+    GraftTables.sql(spark,
+      """CREATE MATERIALIZED VIEW mvsql_v AS
+        SELECT grp, count(*) AS cnt, sum(price) AS total
+        FROM mvsql_base GROUP BY grp""") // replace: no error
+
     // fresh view serves the UNCHANGED dashboard over the table itself
     val truth0 = asMap(spark.table("mvsql_base")
       .groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
