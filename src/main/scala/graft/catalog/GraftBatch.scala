@@ -206,7 +206,12 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       rowSchema = Some(required.add("_order",
         org.apache.spark.sql.types.LongType, nullable = false)),
       changelogDeleteCol = Some(deleteCol),
-      spellings = spellings)
+      spellings = spellings,
+      // time-bounded changelog consumption (replicate the last N
+      // days): `_tp` dirs outside the bounds never plan a partition
+      tpPrune = graft.streaming.FeedBatchSource.tpPruneOf(dir,
+        Option(streamOptions.get("timeLowerBound")),
+        Option(streamOptions.get("timeUpperBound"))))
   }
 
   // ----- storage-partitioned joins -----------------------------------
@@ -360,32 +365,43 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       for { u <- meta.props.get("tp_unit"); c <- meta.props.get("tp_col") }
         yield (u, c)
     val tpFloor: Option[Int] = meta.props.get("tp_min").map(_.toInt)
-    val (tpLo, tpHi): (Option[Int], Option[Int]) = tpSpec match {
-      case None => (None, None)
+    // bounds compile to a UNION of closed `_tp` intervals (r10 item 2):
+    // AND intersects, OR unions, IN is a union of points — so
+    // `ts IN (t1, t2)` and `(ts BETWEEN a AND b) OR (ts BETWEEN c AND
+    // d)` prune too, not just AND-chains of ranges. Anything the walk
+    // cannot type lands on the all-covering interval, which both
+    // operations propagate conservatively (see Compaction.TpAll).
+    val tpIvs: Seq[(Int, Int)] = tpSpec match {
+      case None => Compaction.TpAll
       case Some((u, c)) =>
+        import org.apache.spark.sql.sources._
+        val All = Compaction.TpAll
         def tpOf(v: Any): Option[Int] =
           scala.util.Try(Compaction.tpValueOf(u, v)).toOption
-        var lo: Option[Int] = None
-        var hi: Option[Int] = None
-        def low(d: Int): Unit = lo = Some(lo.fold(d)(math.max(_, d)))
-        def high(d: Int): Unit = hi = Some(hi.fold(d)(math.min(_, d)))
-        def walk(f: org.apache.spark.sql.sources.Filter): Unit = f match {
-          case org.apache.spark.sql.sources.And(l, r) => walk(l); walk(r)
-          case org.apache.spark.sql.sources.GreaterThan(a, v)
-              if a.equalsIgnoreCase(c) => tpOf(v).foreach(low)
-          case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v)
-              if a.equalsIgnoreCase(c) => tpOf(v).foreach(low)
-          case org.apache.spark.sql.sources.LessThan(a, v)
-              if a.equalsIgnoreCase(c) => tpOf(v).foreach(high)
-          case org.apache.spark.sql.sources.LessThanOrEqual(a, v)
-              if a.equalsIgnoreCase(c) => tpOf(v).foreach(high)
-          case org.apache.spark.sql.sources.EqualTo(a, v)
-              if a.equalsIgnoreCase(c) =>
-            tpOf(v).foreach { d => low(d); high(d) }
-          case _ => ()
+        def point(v: Any): Seq[(Int, Int)] =
+          tpOf(v).map(d => Seq((d, d))).getOrElse(All)
+        def walk(f: Filter): Seq[(Int, Int)] = f match {
+          case And(l, r) => Compaction.tpIntersect(walk(l), walk(r))
+          case Or(l, r) => Compaction.tpUnion(walk(l), walk(r))
+          case GreaterThan(a, v) if a.equalsIgnoreCase(c) =>
+            tpOf(v).map(d => Seq((d, Int.MaxValue))).getOrElse(All)
+          case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(c) =>
+            tpOf(v).map(d => Seq((d, Int.MaxValue))).getOrElse(All)
+          case LessThan(a, v) if a.equalsIgnoreCase(c) =>
+            tpOf(v).map(d => Seq((Int.MinValue, d))).getOrElse(All)
+          case LessThanOrEqual(a, v) if a.equalsIgnoreCase(c) =>
+            tpOf(v).map(d => Seq((Int.MinValue, d))).getOrElse(All)
+          case EqualTo(a, v) if a.equalsIgnoreCase(c) => point(v)
+          case EqualNullSafe(a, v)
+              if a.equalsIgnoreCase(c) && v != null => point(v)
+          case In(a, vs) if a.equalsIgnoreCase(c) =>
+            // a NULL comparand matches no row — skipping it is sound
+            vs.toSeq.filter(_ != null).map(point)
+              .foldLeft(Seq.empty[(Int, Int)])(Compaction.tpUnion)
+          case _ => All
         }
-        pushed.foreach(walk)
-        (lo, hi)
+        pushed.map(walk)
+          .foldLeft(Compaction.TpAll)(Compaction.tpIntersect)
     }
     // `rangeOk = false` for DIRTY (merge-on-read) buckets: their fold
     // decides winners over the full surviving history, so only the
@@ -394,30 +410,24 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     // Compaction.foldBuckets)
     def tpAdmit(n: Int, rangeOk: Boolean): Boolean =
       tpFloor.forall(n >= _) &&
-        (!rangeOk || (tpLo.forall(n >= _) && tpHi.forall(n <= _)))
+        (!rangeOk || Compaction.tpAdmits(tpIvs, n))
 
     def listFiles(rel: String, rangeOk: Boolean)
         : Seq[(String, Long, Long, Int)] = {
       val p = new Path(s"${meta.dir}/data/$rel")
       val e = epochOf(rel)
-      if (!fs.exists(p)) Nil
-      else {
-        val entries = fs.listStatus(p).toSeq
-        // time-partitioned layout: one `_tp=` level inside the bucket
-        val leaves = entries.flatMap { st =>
-          val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("_tp=")) {
-            if (tpAdmit(Compaction.tpDirValue(n), rangeOk))
-              fs.listStatus(st.getPath).toSeq
-            else Nil
-          } else Seq(st)
-        }
-        leaves.filter(st => st.isFile &&
-            !st.getPath.getName.startsWith(".") &&
-            !st.getPath.getName.startsWith("_"))
-          .map(st => (st.getPath.toString, st.getLen,
-            st.getModificationTime, e))
-      }
+      // time-partitioned layout: one `_tp=` level inside the bucket —
+      // the shared lister descends admitted partitions. pooled = false:
+      // this runs ON the shared listing pool already (one future per
+      // bucket below), so a nested pooled Await could starve it.
+      Compaction.listTpLeaves(fs, Seq(p),
+          tpAdmit(_, rangeOk), pooled = false)
+        .flatMap(_._2)
+        .filter(st => st.isFile &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+        .map(st => (st.getPath.toString, st.getLen,
+          st.getModificationTime, e))
     }
 
     // parallel listing: one FS call per kept bucket directory — the

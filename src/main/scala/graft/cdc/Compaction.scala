@@ -161,6 +161,11 @@ object Compaction {
         d.toLocalDate.atStartOfDay(zone).toInstant
       case i: java.time.Instant => i
       case d: java.time.LocalDate => d.atStartOfDay(zone).toInstant
+      // TIMESTAMP_NTZ bounds (and NTZ-column literals converted by
+      // CatalystTypeConverters) arrive as LocalDateTime: a wall clock,
+      // read in the session zone — exactly how the write side's
+      // ntz→timestamp cast places the same values into `_tp=` dirs
+      case ldt: java.time.LocalDateTime => ldt.atZone(zone).toInstant
       case s: String =>
         // lenient like the JDBC escape form: full ISO, date-only (=
         // midnight), or Timestamp.valueOf's single-digit fields — all
@@ -186,6 +191,97 @@ object Compaction {
     }
   }
 
+  // ---- shared time-partition plumbing --------------------------------
+
+  /** THE one `_tp=` directory-descent implementation (r10 review: five
+    * near-identical copies across Compaction/GraftBatch/FeedBatchSource
+    * were how the next layout change would ship a fifth behavior). For
+    * each root: plain entries pass through verbatim; an admitted
+    * `_tp=<n>` child is replaced by ITS children; a skipped one
+    * contributes nothing — so the result is each root's LEAF statuses
+    * under the (bucket[, _tp]) layout. `pooled = false` keeps every
+    * listing on the caller's thread — required when the caller already
+    * runs ON [[listingPool]] (the catalog scan's per-bucket futures),
+    * where a nested pooled Await could starve the pool.
+    */
+  private[graft] def listTpLeaves(fs: org.apache.hadoop.fs.FileSystem,
+      roots: Seq[Path], admit: Int => Boolean = _ => true,
+      pooled: Boolean = true)
+      : Seq[(Path, Seq[org.apache.hadoop.fs.FileStatus])] = {
+    def ls(ps: Seq[Path]): Seq[(Path, Seq[org.apache.hadoop.fs.FileStatus])] = {
+      def one(p: Path) = p -> (
+        try fs.listStatus(p).toSeq
+        catch { case _: java.io.FileNotFoundException => Nil })
+      if (pooled) listDirs(fs, ps).map { case (p, a) => p -> a.toSeq }
+      else ps.map(one)
+    }
+    val top = ls(roots)
+    // admitted _tp dirs across every root, listed in one pooled round
+    val tpDirs: Seq[(Int, Path)] = top.zipWithIndex.flatMap {
+      case ((_, sts), i) => sts.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("_tp=")
+            && admit(tpDirValue(st.getPath.getName)) =>
+          i -> st.getPath
+      }
+    }
+    val children: Map[Path, Seq[org.apache.hadoop.fs.FileStatus]] =
+      ls(tpDirs.map(_._2)).toMap
+    top.zipWithIndex.map { case ((root, sts), i) =>
+      val leaves = sts.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("_tp="))
+          if (admit(tpDirValue(n))) children.getOrElse(st.getPath, Nil)
+          else Nil
+        else Seq(st)
+      }
+      root -> leaves
+    }
+  }
+
+  /** The non-descending sibling of [[listTpLeaves]]: per root, the
+    * ADMITTED `_tp=` child directory statuses themselves (the parquet
+    * read roots / retirement units). One pooled listing per root.
+    */
+  private[graft] def listTpDirs(fs: org.apache.hadoop.fs.FileSystem,
+      roots: Seq[Path], admit: Int => Boolean = _ => true)
+      : Seq[(Path, Seq[org.apache.hadoop.fs.FileStatus])] =
+    listDirs(fs, roots).map { case (root, sts) =>
+      root -> sts.toSeq.filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_tp=") &&
+        admit(tpDirValue(st.getPath.getName)))
+    }
+
+  /** Interval algebra for time-partition pruning bounds: a predicate
+    * over the partition source column compiles to a UNION of closed
+    * `_tp` intervals — `ts > b` → `[tp(b), +∞)` (partition granularity
+    * is coarser than values, so the boundary partition is kept),
+    * `IN (a, b)` → `{[tp(a)], [tp(b)]}`, AND intersects, OR unions —
+    * and "cannot constrain" is simply the all-covering interval, which
+    * both operations propagate conservatively. Capped at 64 intervals
+    * (a wider IN-list degrades to no pruning, never to wrong pruning).
+    */
+  private[graft] val TpAll: Seq[(Int, Int)] =
+    Seq((Int.MinValue, Int.MaxValue))
+
+  private[graft] def tpIntersect(a: Seq[(Int, Int)],
+      b: Seq[(Int, Int)]): Seq[(Int, Int)] = {
+    val out = for {
+      (al, ah) <- a; (bl, bh) <- b
+      lo = math.max(al, bl); hi = math.min(ah, bh)
+      if lo <= hi
+    } yield (lo, hi)
+    if (out.size > 64) TpAll else out
+  }
+
+  private[graft] def tpUnion(a: Seq[(Int, Int)],
+      b: Seq[(Int, Int)]): Seq[(Int, Int)] = {
+    val out = a ++ b
+    if (out.size > 64) TpAll else out
+  }
+
+  private[graft] def tpAdmits(ivs: Seq[(Int, Int)], n: Int): Boolean =
+    ivs.exists { case (lo, hi) => n >= lo && n <= hi }
+
   /** Parse a `_tp=<n>` directory name. NULL partition-source values
     * are refused at write time ([[withTp]]), so a non-numeric value —
     * Hive's `__HIVE_DEFAULT_PARTITION__` from an external writer —
@@ -201,24 +297,29 @@ object Compaction {
           "layout was written externally — repair or remove the dir")
     }
 
+  /** The guarded `_tp` derivation every partitioned write shares: the
+    * DERIVED value is checked, not just the source — a non-null source
+    * that fails the timestamp conversion (non-ANSI string cast) would
+    * otherwise still land as Hive's default partition, which no reader
+    * of this layout can place.
+    */
+  private def tpColumnChecked(u: String,
+      c: String): org.apache.spark.sql.Column = {
+    val v = tpColumn(u, col(c))
+    when(v.isNull, raise_error(lit(
+      s"time-partition source column '$c' must not be null (or " +
+        "fail to convert to a timestamp)")).cast("int"))
+      .otherwise(v)
+  }
+
   /** Add the derived `_tp` column and return the staged write's
-    * partition column list. A NULL partition-source value fails the
-    * write loudly: it would land as Hive's default-partition dir,
-    * which no reader of this layout can place.
+    * partition column list.
     */
   private def withTp(df: DataFrame,
       tp: Option[(String, String)]): (DataFrame, Seq[String]) = tp match {
     case None => (df, Seq("bucket"))
     case Some((u, c)) =>
-      // guard the DERIVED value, not just the source: a non-null
-      // source that fails the timestamp conversion (non-ANSI string
-      // cast) would otherwise still land as Hive's default partition
-      val v = tpColumn(u, col(c))
-      (df.withColumn("_tp",
-        when(v.isNull, raise_error(lit(
-          s"time-partition source column '$c' must not be null (or " +
-            "fail to convert to a timestamp)")).cast("int"))
-        .otherwise(v)), Seq("bucket", "_tp"))
+      (df.withColumn("_tp", tpColumnChecked(u, c)), Seq("bucket", "_tp"))
   }
 
   /** Read-side partition admission: the retention floor
@@ -315,7 +416,11 @@ object Compaction {
     clusterBy.foreach(c => require(df.columns.contains(c),
       s"cluster column '$c' missing from the snapshot schema"))
     val fs = TxLog.fs(spark, dir)
-    Seq("manifest", "data", "feed", ".staging", "meta", "_history")
+    // "_mv" too: a re-init is a FULL table replace, and a surviving
+    // materialized-view dir would otherwise RE-ATTACH (stale) on the
+    // next CREATE instead of re-seeding from the new table
+    Seq("manifest", "data", "feed", ".staging", "meta", "_history",
+        "_mv")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     TxLog.invalidate(dir)
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
@@ -374,7 +479,11 @@ object Compaction {
     clusterBy.foreach(c => require(schema.fieldNames.contains(c),
       s"cluster column '$c' missing from the table schema"))
     val fs = TxLog.fs(spark, dir)
-    Seq("manifest", "data", "feed", ".staging", "meta", "_history")
+    // "_mv" too: a re-init is a FULL table replace, and a surviving
+    // materialized-view dir would otherwise RE-ATTACH (stale) on the
+    // next CREATE instead of re-seeding from the new table
+    Seq("manifest", "data", "feed", ".staging", "meta", "_history",
+        "_mv")
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     TxLog.invalidate(dir)
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
@@ -468,22 +577,18 @@ object Compaction {
     try {
       val conf = spark.sessionState.newHadoopConf()
       val fs = new Path(staging).getFileSystem(conf)
-      val files: Seq[(Int, Path)] = staged.flatMap { b =>
-        val entries =
-          fs.listStatus(new Path(s"$staging/data/bucket=$b")).toSeq
-        // time-partitioned layout nests one `_tp=` level inside each
-        // bucket — descend it for the footer pass
-        val leaves = entries.flatMap { st =>
-          if (st.isDirectory && st.getPath.getName.startsWith("_tp="))
-            fs.listStatus(st.getPath).toSeq
-          else Seq(st)
+      // time-partitioned layout nests one `_tp=` level inside each
+      // bucket — the shared lister descends it for the footer pass
+      val files: Seq[(Int, Path)] = listTpLeaves(fs,
+        staged.map(b => new Path(s"$staging/data/bucket=$b")))
+        .zip(staged)
+        .flatMap { case ((_, leaves), b) =>
+          leaves
+            .filter(st => st.isFile &&
+              (st.getPath.getName.endsWith(".parquet") ||
+                st.getPath.getName.startsWith("part-")))
+            .map(st => b -> st.getPath)
         }
-        leaves
-          .filter(st => st.isFile &&
-            (st.getPath.getName.endsWith(".parquet") ||
-              st.getPath.getName.startsWith("part-")))
-          .map(st => b -> st.getPath)
-      }
       if (files.isEmpty) return Some(Map.empty)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, files.size))
@@ -758,14 +863,8 @@ object Compaction {
       case None => rs.map(r => s"$dir/data/$r")
       case Some(keep) =>
         val fs = TxLog.fs(spark, dir)
-        listDirs(fs, rs.map(r => new Path(s"$dir/data/$r")))
-          .flatMap(_._2.toSeq)
-          .collect {
-            case st if st.isDirectory &&
-                st.getPath.getName.startsWith("_tp=") &&
-                keep(tpDirValue(st.getPath.getName)) =>
-              st.getPath.toString
-          }
+        listTpDirs(fs, rs.map(r => new Path(s"$dir/data/$r")), keep)
+          .flatMap(_._2.map(_.getPath.toString))
     }
     if (events.isEmpty) {
       val ps = paths(rels)
@@ -1000,32 +1099,45 @@ object Compaction {
     * directories delete (a crash in between leaves extra dirs that the
     * floor keeps invisible). Destructive like [[vacuum]]: time travel
     * into retired partitions is gone. Returns the number of partition
-    * directories retired. Merge-on-read deltas must be compacted first
-    * — delta row counts cannot be subtracted per partition.
+    * directories retired.
+    *
+    * Merge-on-read tables pay only an O(affected) fold, never a full
+    * compact: a doomed dir under an UNFOLDED chain cannot delete in
+    * place — winners are decided over full history, so removing a
+    * key's latest version (in the doomed range) would resurrect an
+    * older one in a kept range, and delta row counts cannot be
+    * subtracted per partition — so exactly the buckets whose base or
+    * delta dirs hold doomed partitions are folded first
+    * ([[compactBuckets]]); every other delta chain stays byte-intact.
     */
   def dropPartitionsBefore(spark: SparkSession, dir: String,
       bound: Any): Int = TxLog.withOcc(spark, dir) {
-    val m = loadMeta(spark, dir)
-    val (unit, _) = m.tp.getOrElse(throw new IllegalArgumentException(
+    val m0 = loadMeta(spark, dir)
+    val (unit, _) = m0.tp.getOrElse(throw new IllegalArgumentException(
       s"the table at $dir has no time-partition spec"))
-    require(m.dirty.isEmpty,
-      "compact() the table first: merge-on-read delta chains cannot " +
-        "be partition-retired")
     val cut = tpValueOf(unit, bound)
-    if (m.tpMin.exists(_ >= cut)) return 0
+    if (m0.tpMin.exists(_ >= cut)) return 0
     val fs = TxLog.fs(spark, dir)
-    // one listing per live bucket (pooled): the doomed partition dirs
-    val doomed: Seq[(Int, Path)] = listDirs(fs,
-      m.buckets.toSeq.map { case (b, rel) => new Path(s"$dir/data/$rel") })
-      .zip(m.buckets.toSeq)
-      .flatMap { case ((_, sts), (b, _)) =>
-        sts.toSeq.collect {
-          case st if st.isDirectory &&
-              st.getPath.getName.startsWith("_tp=") &&
-              tpDirValue(st.getPath.getName) < cut =>
-            b -> st.getPath
-        }
+    if (m0.dirty.nonEmpty) {
+      val dirtyRoots: Seq[(Int, Path)] = m0.dirty.toSeq.sorted.flatMap {
+        b => (m0.buckets.get(b).toSeq ++ m0.deltas.getOrElse(b, Nil))
+          .map(rel => b -> new Path(s"$dir/data/$rel"))
       }
+      val affected = listTpDirs(fs, dirtyRoots.map(_._2), _ < cut)
+        .zip(dirtyRoots)
+        .collect { case ((_, ds), (b, _)) if ds.nonEmpty => b }
+        .toSet
+      if (affected.nonEmpty)
+        compactBuckets(spark, dir, affected, retainHistory = true)
+    }
+    val m = if (m0.dirty.isEmpty) m0 else loadMeta(spark, dir)
+    // one listing per live bucket (pooled): the doomed partition dirs
+    val bucketSeq = m.buckets.toSeq
+    val doomed: Seq[(Int, Path)] = listTpDirs(fs,
+      bucketSeq.map { case (_, rel) => new Path(s"$dir/data/$rel") },
+      _ < cut)
+      .zip(bucketSeq)
+      .flatMap { case ((_, ds), (b, _)) => ds.map(b -> _.getPath) }
     if (doomed.isEmpty) {
       // still record the floor: the caller's retention promise holds
       // even when nothing is present below it yet
@@ -1205,7 +1317,8 @@ object Compaction {
       // until an explicit vacuum, exactly like the DML lowering
       txn.installAndCommit(newBuckets, props)
       feedBatch.foreach(n => publishFeed(TxLog.fs(spark, dir),
-        txn.staging, dir, n, txn.newVersion, m.schema.json))
+        txn.staging, dir, n, txn.newVersion, m.schema.json,
+        m.tp.map(_._1)))
       TxLog.hygiene(txn.cleanup())
     }
   }
@@ -1232,7 +1345,7 @@ object Compaction {
       .reduceOption(_ && _).getOrElse(lit(true))
     val oPayload = struct(cols.map(c => col(s"_o_$c").as(c)): _*)
     val nPayload = struct(cols.map(c => col(s"_n_$c").as(c)): _*)
-    joined
+    val events = joined
       .filter(col("_o_present").isNull || col("_n_present").isNull ||
         !same)
       .select(explode(
@@ -1251,7 +1364,14 @@ object Compaction {
         col("_f.change_type").as("_change_type"))
       .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
       .repartition(col("bucket")).drop("bucket")
-      .write.mode("overwrite").parquet(s"$staging/feed")
+    m.tp match {
+      case None =>
+        events.write.mode("overwrite").parquet(s"$staging/feed")
+      case Some((u, c)) =>
+        events.withColumn("_tp", tpColumnChecked(u, c))
+          .write.partitionBy("_tp").mode("overwrite")
+          .parquet(s"$staging/feed")
+    }
   }
 
   /** One ALTER TABLE change for [[alterSchema]]. */
@@ -1300,7 +1420,7 @@ object Compaction {
     snap.props.filter { case (k, _) =>
       k.startsWith("rename.") || k == "dead_cols" || k == "feed" ||
         k == "schema_altered" || k == "tp_unit" || k == "tp_col" ||
-        k == "tp_min"
+        k == "tp_min" || k == "tp_evolved"
     }
 
   /** Whether the table opted into the change data feed
@@ -1529,6 +1649,73 @@ object Compaction {
     }
   }
 
+  /** Change the table's TIME-PARTITION SPEC in ONE committed full
+    * rewrite — partition evolution in the [[rebucket]] mold (r10 item
+    * 3): `none→days(ts)`, `days→months` (granularity change) and
+    * `days→none` (drop the spec) all work, so a year-old table that
+    * needs retention is never stuck re-initializing. Everything else
+    * survives: the version lineage continues (+1), feed numbering is
+    * untouched, zone maps and row stats are recomputed in the same
+    * footer pass, readers never see an intermediate state (staged
+    * write + manifest CAS), and a concurrent merge either commits
+    * first (this rewrite OCC-retries over its result) or loses the
+    * CAS and re-runs against the new spec — `withTp` derives `_tp`
+    * from the manifest each attempt resolves. The retention floor
+    * (`tp_min`) does NOT carry: it is a promise in the OLD granularity
+    * about data that is already gone, and the rewrite materializes
+    * only surviving rows. A crash at any point leaves the old layout
+    * committed (the staging sweeps). Cost is one full read + write of
+    * live data — unavoidable for a layout change; run it at the
+    * cadence of capacity planning. SQL:
+    * `ALTER TABLE t SET PARTITION SPEC (days(ts))` /
+    * `ALTER TABLE t DROP PARTITION SPEC` via [[graft.plans.GraftTables]].
+    */
+  def repartitionTime(spark: SparkSession, dir: String,
+      timePartition: Option[(String, String)],
+      retainHistory: Boolean = false): Unit = {
+    TxLog.withOcc(spark, dir) {
+      val m = loadMeta(spark, dir)
+      timePartition.foreach { case (u, c) =>
+        tpValueOf(u, new java.sql.Timestamp(0L)) // validates the unit
+        require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"time-partition column '$c' missing from the table schema")
+      }
+      if (m.tp == timePartition) return
+      TxLog.sweep(spark, dir)
+      val txn = new TableTxn(spark, dir, m.snap.version)
+      // the fold inside storedData reconciles merge-on-read chains, so
+      // the rewrite doubles as a full compaction (dirty buckets clean)
+      val (stage, parts) = withTp(
+        storedData(spark, dir, m).drop("bucket")
+          .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets)),
+        timePartition)
+      stage
+        .repartition(col("bucket"))
+        .sortWithinPartitions(inBucketSort(m.keys, m.clusterBy): _*)
+        .write.partitionBy(parts: _*).mode("overwrite")
+        .parquet(s"${txn.staging}/data")
+      val staged = txn.stagedBucketIds()
+      val props = coreProps(m.keys, m.versionCol, m.deleteCol,
+        m.nBuckets, m.schema.json, m.clusterBy) ++
+        (evolutionProps(m.snap) -- Seq("tp_unit", "tp_col", "tp_min")) ++
+        timePartition.map { case (u, c) =>
+          Map("tp_unit" -> u, "tp_col" -> c) }.getOrElse(Map.empty) ++
+        rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
+        m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
+        // durable marker: the feed may now hold batches of BOTH
+        // layouts (flat and `_tp=`-nested) — readFeed must take the
+        // layout-aware listing route forever after
+        ("tp_evolved" -> "true") +
+        ("op" -> "repartition")
+      txn.installAndCommit(
+        staged.map(b => b -> txn.bucketRel(b)).toMap, props)
+      TxLog.hygiene {
+        txn.cleanup()
+        if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+      }
+    }
+  }
+
   /** Next change-feed batch id: one past the highest committed batch.
     * A driver-side listing of ≤ |merges| directory names — metadata,
     * never data.
@@ -1642,11 +1829,17 @@ object Compaction {
     TxLog.vacuum(spark, dir, keepFromVersion)
     val feedRoot = new Path(s"$dir/feed")
     if (feedBefore > 0L && fs.exists(feedRoot)) {
+      // same lost-publish fence as maintain's feed retention: never
+      // stamp the horizon past a committed-but-unpublished batch
+      val lostCap = stagedIntentIds(spark, dir)
+        .minOption.getOrElse(Long.MaxValue)
       val doomed = fs.listStatus(feedRoot).map(_.getPath.getName)
         .collect { case s if s.startsWith("batch=") => s.drop(6).toLong }
-        .filter(_ < feedBefore)
+        .filter(b => b < feedBefore && b < lostCap)
       if (doomed.nonEmpty) {
-        // the horizon records BEFORE any delete (see HorizonMarker)
+        // the horizon records BEFORE any delete (see HorizonMarker);
+        // every doomed id is below lostCap, so the stamp never crosses
+        // a recoverable lost publish
         writeFeedHorizon(fs, dir, doomed.max + 1L)
         doomed.foreach(b =>
           fs.delete(new Path(s"$dir/feed/batch=$b"), true))
@@ -1717,63 +1910,89 @@ object Compaction {
       .filter(_.getPath.getName.startsWith("batch="))
       .map(_.getPath)
     if (batchDirs.isEmpty) return emptyFeed
-    // fast path: a table never touched by ALTER has no renames and no
-    // widenings — every batch reads under the CURRENT logical feed
-    // schema in ONE scan (explicit schema: merge-added columns
-    // null-extend by name), no per-batch footer pass. Merges widen
-    // only the manifest's column SET, never names or types, so the
-    // `schema_altered` marker is exactly the per-batch-resolution
-    // trigger.
-    if (m.snap.prop("schema_altered").isEmpty) {
+    val altered = m.snap.prop("schema_altered").isDefined
+    // fast path: a table never touched by ALTER and never
+    // time-partitioned reads every batch under the CURRENT logical
+    // feed schema in ONE scan (explicit schema: merge-added columns
+    // null-extend by name) — no listing, no per-batch footer pass.
+    // Merges widen only the manifest's column SET, never names or
+    // types, so the `schema_altered` marker is exactly the
+    // per-batch-resolution trigger. Time-partitioned tables (current
+    // spec, or any layout in the feed's history — a spec EVOLUTION
+    // leaves earlier batches flat) take the listing route: nested and
+    // flat batches must read as separate groups.
+    if (!altered && m.tp.isEmpty && m.snap.prop("tp_evolved").isEmpty) {
       val withBatch = org.apache.spark.sql.types.StructType(
         logicalFeed.fields :+
           org.apache.spark.sql.types.StructField("batch",
             org.apache.spark.sql.types.IntegerType))
       return spark.read.schema(withBatch).parquet(root.toString)
     }
-    // EVOLUTION-AWARE read: batches written before an ALTER carry the
-    // old column names (rename) and narrow types (widen), and lack
-    // added columns — a plain mergeSchema read would null out a
-    // renamed column for every old batch and FAIL outright on a
-    // widened one (parquet schema merging refuses int-vs-long).
-    // Group batch dirs by schema EPOCH — the publish marker's
-    // fingerprint of the table schema each batch was written under —
-    // so the driver does ONE footer inference per epoch (≈ per ALTER),
-    // not one per batch (r9 advice: a long-lived ALTERed feed paid
-    // O(batches) sequential footer reads per read). Each group reads
-    // under ITS OWN physical schema with the `batch` partition column
+    // LAYOUT- AND EVOLUTION-AWARE read: batches written before an
+    // ALTER carry the old column names (rename) and narrow types
+    // (widen), and lack added columns — a plain mergeSchema read would
+    // null out a renamed column for every old batch and FAIL outright
+    // on a widened one (parquet schema merging refuses int-vs-long).
+    // Group batch dirs by (schema EPOCH, layout) — the publish
+    // marker's fingerprint of the table schema each batch was written
+    // under, plus whether the batch nests a `_tp=` level — so the
+    // driver does ONE footer inference per epoch (≈ per ALTER), not
+    // one per batch. Each group reads under ITS OWN physical schema
+    // with the `batch` (and, when nested, `_tp`) partition columns
     // preserved via basePath, then projects onto the CURRENT logical
     // feed schema: renamed columns resolve through their historical
     // spellings, narrow values cast up, added columns null-extend.
     val listed = listDirs(fs, batchDirs)
+    val tpChildren: Map[Path, Seq[org.apache.hadoop.fs.FileStatus]] =
+      listDirs(fs, listed.flatMap(_._2).collect {
+        case st if st.isDirectory &&
+          st.getPath.getName.startsWith("_tp=") => st.getPath
+      }.toSeq).map { case (p, a) => p -> a.toSeq }.toMap
+    def isData(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.isFile && st.getLen > 0 &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_")
     // a zero-effect merge publishes an empty batch dir: no data files,
     // no rows — skip (its id stays visible via nextBatch's counter)
-    val withData = listed.filter { case (_, sts) =>
-      sts.exists(st => st.isFile && st.getLen > 0 &&
-        !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_"))
+    val withData = listed.flatMap { case (p, sts) =>
+      val nested = sts.exists(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_tp="))
+      val hasRows =
+        if (nested) sts.exists(st => st.isDirectory &&
+          tpChildren.getOrElse(st.getPath, Nil).exists(isData))
+        else sts.exists(isData)
+      if (hasRows) Some((p, sts, nested)) else None
     }
-    val epochs = withData.groupBy { case (p, sts) =>
+    val epochs = withData.groupBy { case (p, sts, nested) =>
       // a pre-marker (legacy) batch keeps its own footer pass
-      sts.iterator.map(_.getPath.getName)
-        .collectFirst { case PubMarker(_, h) => h }
-        .getOrElse(s"legacy:$p")
+      (sts.iterator.map(_.getPath.getName)
+        .collectFirst { case PubMarker(_, h, _) => h }
+        .getOrElse(s"legacy:$p"), nested)
     }
-    val bySig = epochs.values.toSeq.map { group =>
-      spark.read.parquet(group.head._1.toString).schema ->
-        group.map(_._1.toString)
+    val bySig = epochs.toSeq.map { case ((_, nested), group) =>
+      // single-root inference surfaces the partition level as a
+      // column; strip it — it is re-declared explicitly per group
+      val inferred = spark.read.parquet(group.head._1.toString).schema
+      val phys = org.apache.spark.sql.types.StructType(
+        inferred.fields.filterNot(f =>
+          f.name == "_tp" || f.name == "batch"))
+      (phys, nested) -> group.map(_._1.toString)
     }.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
     if (bySig.isEmpty) return emptyFeed
     val events = renameEvents(m.snap.props)
     def spellings(logical: String): Seq[String] =
       historicalSpellings(events, logical)
-    bySig.toSeq.map { case (phys, dirs) =>
-      val withBatch = org.apache.spark.sql.types.StructType(
-        phys.fields :+ org.apache.spark.sql.types.StructField("batch",
-          org.apache.spark.sql.types.IntegerType))
+    bySig.toSeq.map { case ((phys, nested), dirs) =>
+      val partFields =
+        Seq(org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.IntegerType)) ++
+        (if (nested) Seq(org.apache.spark.sql.types.StructField("_tp",
+          org.apache.spark.sql.types.IntegerType)) else Nil)
+      val withParts = org.apache.spark.sql.types.StructType(
+        phys.fields ++ partFields)
       val raw = spark.read
         .option("basePath", root.toString)
-        .schema(withBatch)
+        .schema(withParts)
         .parquet(dirs: _*)
       val cols = logicalFeed.fields.toSeq.map { f =>
         spellings(f.name)
@@ -2037,7 +2256,8 @@ object Compaction {
   private def stageFeed(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, staging: String,
       ranked: DataFrame, unioned: DataFrame,
-      keys: Seq[String], deleteCol: String, versionCol: String): Long = {
+      keys: Seq[String], deleteCol: String, versionCol: String,
+      tp: Option[(String, String)]): Long = {
     val allCols = unioned.columns.toSeq
       .filterNot(c => c == "bucket" || c == "_src" || c == "_order")
     val rowStruct = struct(allCols.map(col): _*)
@@ -2079,13 +2299,23 @@ object Compaction {
     // ONE action: write straight from the cached `ranked` (no
     // separate count pass — the old persist+count materialized the
     // classification twice); feedRows reads back from the staged
-    // files' footers, metadata only
-    classified
-      .repartition(col("bucket")).drop("bucket")
-      .write.mode("overwrite").parquet(s"$staging/feed")
+    // files' footers, metadata only. TIME-PARTITIONED tables stage
+    // feed events under one `_tp=` level too (r10 item 7): a
+    // time-bounded consumer (replicate the last 30 days) skips whole
+    // out-of-range partition dirs inside every batch by NAME.
+    val placed = classified.repartition(col("bucket")).drop("bucket")
+    tp match {
+      case None =>
+        placed.write.mode("overwrite").parquet(s"$staging/feed")
+      case Some((u, c)) =>
+        placed.withColumn("_tp", tpColumnChecked(u, c))
+          .write.partitionBy("_tp").mode("overwrite")
+          .parquet(s"$staging/feed")
+    }
     val feedPath = new Path(s"$staging/feed")
-    val hasRows = fs.listStatus(feedPath).exists(st =>
-      st.getPath.getName.startsWith("part-") && st.getLen > 0)
+    val hasRows = listTpLeaves(fs, Seq(feedPath)).flatMap(_._2)
+      .exists(st => st.getPath.getName.startsWith("part-") &&
+        st.getLen > 0)
     // a zero-effect merge stages no part files (nothing to infer a
     // schema from) — the batch still publishes, as before
     if (!hasRows) 0L
@@ -2094,14 +2324,29 @@ object Compaction {
 
   /** Zero-byte publish marker inside every published batch dir,
     * filename-encoded so no reader ever opens it:
-    * `_pub-<millis>-<schemaFingerprint>`. The millis are the durable
-    * retention clock ([[maintain]]'s `maxFeedAge` — object-store
+    * `_pub-<millis>-<schemaFingerprint>[-tp<unit>]`. The millis are the
+    * durable retention clock ([[maintain]]'s `maxFeedAge` — object-store
     * directory mtimes are synthetic and clock-skewed); the fingerprint
     * identifies the table-schema EPOCH the batch was written under, so
     * the evolution-aware [[readFeed]] does one footer inference per
-    * epoch instead of one per batch.
+    * epoch instead of one per batch. The optional `-tp<unit>` suffix
+    * records the TIME-PARTITION transform the batch's `_tp=` dirs were
+    * written under: a time-bounded stream consumer prunes a batch's
+    * partition dirs only when the recorded unit matches the unit its
+    * bounds were computed in (a partition-spec evolution between the
+    * two would silently change the dirs' meaning).
     */
-  private[cdc] val PubMarker = "^_pub-([0-9]+)-([0-9a-f]+)$".r
+  private[cdc] val PubMarker =
+    "^_pub-([0-9]+)-([0-9a-f]+)(-tp[a-z]+)?$".r
+
+  /** The `-tp<unit>` suffix of a batch dir's publish marker, if any —
+    * one name scan, no file opens.
+    */
+  private[graft] def batchTpUnit(
+      names: Iterable[String]): Option[String] =
+    names.collectFirst {
+      case PubMarker(_, _, sfx) if sfx != null => sfx.stripPrefix("-tp")
+    }
 
   /** Staged-intent marker `_batch-<n>`, written into `<staging>/feed`
     * BEFORE the commit that reserves batch `n`: a writer that dies
@@ -2153,16 +2398,53 @@ object Compaction {
     */
   private[graft] val HorizonMarker = "^_horizon-([0-9]+)$".r
 
-  /** The recorded retention horizon (0 when retention never ran): one
-    * listing of `feed/`, taken at stream start / failure paths only.
+  /** (recorded retention horizon or 0, oldest surviving batch dir):
+    * ONE listing of `feed/`, taken at stream start / failure paths
+    * only — THE feed-floor scan every consumer-side retention fence
+    * shares (the streaming source, the Replicator, REFRESH
+    * MATERIALIZED VIEW).
     */
-  private[graft] def feedHorizon(spark: SparkSession, dir: String): Long = {
+  private[graft] def feedFloor(spark: SparkSession,
+      dir: String): (Long, Option[Long]) = {
     val fs = TxLog.fs(spark, dir)
     val root = new Path(s"$dir/feed")
-    if (!fs.exists(root)) 0L
-    else fs.listStatus(root).iterator.map(_.getPath.getName)
-      .collect { case HorizonMarker(h) => h.toLong }
-      .foldLeft(0L)(math.max)
+    if (!fs.exists(root)) (0L, None)
+    else {
+      val names = fs.listStatus(root).map(_.getPath.getName)
+      (names.collect { case HorizonMarker(h) => h.toLong }
+        .foldLeft(0L)(math.max),
+        names.collect { case s if s.startsWith("batch=") =>
+          s.drop(6).toLong }.minOption)
+    }
+  }
+
+  /** The recorded retention horizon (0 when retention never ran). */
+  private[graft] def feedHorizon(spark: SparkSession, dir: String): Long =
+    feedFloor(spark, dir)._1
+
+  /** Batch ids whose ONLY copy still sits in a crashed writer's staging
+    * (`_batch-<n>` intent marker present, `feed/batch=<n>` absent):
+    * committed but unpublished, recoverable via [[repairFeed]]. Feed
+    * retention must never stamp its horizon past one — the horizon
+    * would reclassify the lost batch as "released by retention" and
+    * consumers would skip its changes forever (r10 advice). O(live
+    * stagings) listings — a handful at most.
+    */
+  private[cdc] def stagedIntentIds(spark: SparkSession,
+      dir: String): Set[Long] = {
+    val fs = TxLog.fs(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith(".staging-"))
+      .flatMap { st =>
+        val feed = new Path(st.getPath, "feed")
+        try fs.listStatus(feed).iterator.map(_.getPath.getName)
+          .collectFirst { case IntentMarker(b) => b.toLong }
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+      .filterNot(n => fs.exists(new Path(s"$dir/feed/batch=$n")))
+      .toSet
   }
 
   private def writeFeedHorizon(fs: org.apache.hadoop.fs.FileSystem,
@@ -2207,7 +2489,8 @@ object Compaction {
       case None => false // commit never landed (or manifest vacuumed)
       case Some(snap) =>
         publishFeed(fs, s"$dir/.staging-$txnId", dir, n, snap.version,
-          snap.props.getOrElse("schema_json", "{}"))
+          snap.props.getOrElse("schema_json", "{}"),
+          snap.prop("tp_unit"))
         true
     }
   }
@@ -2234,7 +2517,7 @@ object Compaction {
     */
   private def publishFeed(fs: org.apache.hadoop.fs.FileSystem,
       staging: String, dir: String, n: Long, newVersion: Long,
-      schemaJson: String): Unit = {
+      schemaJson: String, tpUnit: Option[String] = None): Unit = {
     val src = new Path(s"$staging/feed")
     val dst = new Path(s"$dir/feed/batch=$n")
     // durable publish metadata rides the rename (see [[PubMarker]]);
@@ -2248,7 +2531,8 @@ object Compaction {
           fs.delete(st.getPath, false)
       }
       fs.create(new Path(src, s"_pub-${System.currentTimeMillis()}-" +
-        schemaFingerprint(schemaJson)), true).close()
+        schemaFingerprint(schemaJson) +
+        tpUnit.map(u => s"-tp$u").getOrElse("")), true).close()
     }
     var lastErr: Throwable = null
     val published = (1 to 3).exists { _ =>
@@ -2290,7 +2574,7 @@ object Compaction {
     val feedRows: Long = if (!emitFeed) 0L
       else prof("merge.stageFeed") {
         stageFeed(spark, fs, staging, ranked, unioned, keys, deleteCol,
-          versionCol)
+          versionCol, m.tp)
       }
 
     // stage the new bucket contents while every pre-image directory is
@@ -2368,7 +2652,8 @@ object Compaction {
     // error so the caller knows the table committed but the feed
     // batch did not publish.
     feedBatch.foreach(n =>
-      publishFeed(fs, staging, dir, n, newVersion, schemaJson))
+      publishFeed(fs, staging, dir, n, newVersion, schemaJson,
+        m.tp.map(_._1)))
     // retention: a non-retaining merge keeps only the new version —
     // older manifests go, and the sweep reclaims every directory they
     // alone referenced (the touched buckets' pre-images). Hygiene
@@ -2455,7 +2740,7 @@ object Compaction {
         .orderBy(col(m.versionCol).desc, col("_src").desc)
       val ranked = unioned.withColumn("_rn", row_number().over(w))
       stageFeed(spark, fs, txn.staging, ranked, unioned, m.keys,
-        m.deleteCol, m.versionCol)
+        m.deleteCol, m.versionCol, m.tp)
     }
 
     // THE delta write — the only data-sized cost of the merge
@@ -2520,7 +2805,8 @@ object Compaction {
     // the base bucket map is UNCHANGED — that is the whole point
     txn.installAndCommit(m.buckets, props)
     feedBatch.foreach(n =>
-      publishFeed(fs, txn.staging, dir, n, txn.newVersion, schemaJson))
+      publishFeed(fs, txn.staging, dir, n, txn.newVersion, schemaJson,
+        m.tp.map(_._1)))
     TxLog.hygiene {
       txn.cleanup()
       if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
@@ -2551,12 +2837,28 @@ object Compaction {
     * converge the same way single-bucket CoW merges do.
     */
   def compact(spark: SparkSession, dir: String, minDeltas: Int,
+      retainHistory: Boolean): Unit =
+    compactSelected(spark, dir, deltas => deltas.collect {
+      case (b, rels) if rels.size >= minDeltas => b
+    }.toSet, retainHistory)
+
+  /** Fold exactly `ids` (intersected with the currently-dirty set) —
+    * the targeted form partition retention uses to keep retention on a
+    * merge-on-read table O(affected buckets): only the buckets whose
+    * chains hold doomed partitions pay the fold; every other delta
+    * chain stays byte-identical.
+    */
+  def compactBuckets(spark: SparkSession, dir: String, ids: Set[Int],
+      retainHistory: Boolean = false): Unit =
+    compactSelected(spark, dir, deltas => ids.intersect(deltas.keySet),
+      retainHistory)
+
+  private def compactSelected(spark: SparkSession, dir: String,
+      select: Map[Int, Seq[String]] => Set[Int],
       retainHistory: Boolean): Unit = {
     TxLog.withOcc(spark, dir) {
       val m = loadMeta(spark, dir)
-      val dirty = m.deltas.collect {
-        case (b, rels) if rels.size >= minDeltas => b
-      }.toSet
+      val dirty = select(m.deltas)
       if (dirty.isEmpty) return
       TxLog.sweep(spark, dir)
       val txn = new TableTxn(spark, dir, m.snap.version)
@@ -2623,9 +2925,9 @@ object Compaction {
         retainHistory = true)
     // partition retention (time-partitioned tables): drop every
     // partition older than the window, as metadata-first commits
+    // (merge-on-read chains holding doomed partitions fold inside —
+    // O(affected buckets), never a table-wide compact)
     Option(maxPartitionAge).foreach { age =>
-      if (loadMeta(spark, dir).dirty.nonEmpty)
-        compact(spark, dir, retainHistory = true)
       dropPartitionsBefore(spark, dir, new java.sql.Timestamp(
         System.currentTimeMillis() - age.toMillis))
     }
@@ -2668,10 +2970,18 @@ object Compaction {
         // the expired prefix (+1 terminator) is ever listed.
         def publishedAt(st: org.apache.hadoop.fs.FileStatus): Long =
           fs.listStatus(st.getPath).iterator.map(_.getPath.getName)
-            .collectFirst { case PubMarker(ms, _) => ms.toLong }
+            .collectFirst { case PubMarker(ms, _, _) => ms.toLong }
             .getOrElse(st.getModificationTime)
+        // never expire past a committed-but-unpublished batch (its only
+        // copy sits in a crashed writer's staging, recoverable via
+        // repairFeed): stamping the horizon over it would reclassify
+        // the lost batch as retention and consumers would skip it
+        // silently — cap the expired prefix below the first such id
+        val lostCap = stagedIntentIds(spark, dir)
+          .minOption.getOrElse(Long.MaxValue)
         val expired = batches.iterator
-          .takeWhile { case (_, st) => publishedAt(st) < cutoff }.toSeq
+          .takeWhile { case (b, st) =>
+            b < lostCap && publishedAt(st) < cutoff }.toSeq
         if (expired.nonEmpty) {
           // horizon first, deletes second: a crash in between leaves
           // extra dirs behind, never an unrecorded gap

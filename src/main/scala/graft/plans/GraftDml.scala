@@ -115,6 +115,12 @@ object GraftTables {
   private val RetireRe =
     ("""(?is)\s*RETIRE\s+PARTITIONS\s+([\w.`]+)\s+BEFORE\s+""" +
       """TIMESTAMP\s+'([^']+)'\s*;?\s*""").r
+  private val SetPartRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+PARTITION\s+SPEC\s*""" +
+      """\(\s*(\w+)\s*\(\s*`?(\w+)`?\s*\)\s*\)\s*;?\s*""").r
+  private val DropPartRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+""" +
+      """SPEC\s*;?\s*""").r
 
   private def maintenanceSql(spark: SparkSession,
       sqlText: String): Option[DataFrame] = {
@@ -154,6 +160,22 @@ object GraftTables {
           val n = Compaction.dropPartitionsBefore(spark, dir, ts)
           Seq((name, n)).toDF("table", "partitions_retired")
         }
+      // partition-spec evolution: one committed full rewrite into the
+      // new layout (Compaction.repartitionTime)
+      case SetPartRe(name, unit, colName) =>
+        dirFor(name).map { dir =>
+          Compaction.repartitionTime(spark, dir,
+            Some(unit.toLowerCase -> colName))
+          GraftTables.refresh(spark, name)
+          Seq((name, s"${unit.toLowerCase}($colName)"))
+            .toDF("table", "partition_spec")
+        }
+      case DropPartRe(name) =>
+        dirFor(name).map { dir =>
+          Compaction.repartitionTime(spark, dir, None)
+          GraftTables.refresh(spark, name)
+          Seq((name, "none")).toDF("table", "partition_spec")
+        }
       case _ => None
     }
   }
@@ -166,7 +188,14 @@ object GraftTables {
   //     SELECT k1[, k2 ...], count(*) AS cnt, sum(v) AS total
   //     FROM base GROUP BY k1[, k2 ...]
   //   REFRESH MATERIALIZED VIEW mv   -- apply the base's unapplied feed
+  //   REFRESH ALL MATERIALIZED VIEWS ON base   -- sweep every rollup
   //   DROP MATERIALIZED VIEW mv
+  //
+  // A base may carry SEVERAL rollups; the rewrite serves the cheapest
+  // matching one (fewest partial bytes). CREATE with an existing
+  // identical definition RE-ATTACHES the durable view (sidecar +
+  // manifest) instead of re-seeding it — the post-restart recovery
+  // path; a different definition under the same name re-creates.
   //
   // The SELECT shape is exactly what AggView stores (per-key count +
   // DECIMAL sum partials — the aliases cnt/total ARE the state column
@@ -191,6 +220,9 @@ object GraftTables {
       """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(`?\w+`?)\s*;?\s*""".r
+  private val RefreshAllMvRe =
+    ("""(?is)\s*REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS\s+ON\s+""" +
+      """([\w.`]+)\s*;?\s*""").r
   private val DropMvRe =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(`?\w+`?)\s*;?\s*""".r
   private val CntItem = """(?is)count\s*\(\s*(?:\*|1)\s*\)\s+AS\s+cnt""".r
@@ -277,29 +309,32 @@ object GraftTables {
         require(hasCnt && valueCol.isDefined && keys.nonEmpty &&
           keys.map(_.toLowerCase) == groupKeys.map(_.toLowerCase).toVector,
           contract)
-        // one view per base: MvRewrite's registry keys on the base
-        // path, so a second registration would silently shadow the
-        // first view's rewrite (and DROP of either would disarm both).
-        // Re-CREATE of the SAME name replaces it (the recovery path
-        // after a restart); a DIFFERENT name refuses — against both
-        // the session registry AND the durable on-disk _mv family, so
-        // a restart cannot sneak a shadowing second view in.
-        val ownDir = s"$baseDir/_mv/$name"
-        Mv.registeredViewDir(baseDir).filter(_ != ownDir)
-          .foreach(existing =>
-            fail(s"$base already has a materialized view at $existing " +
-              "— one MV per base (DROP MATERIALIZED VIEW it first)"))
-        val mvRoot = new org.apache.hadoop.fs.Path(s"$baseDir/_mv")
-        val mvFs = TxLog.fs(spark, baseDir)
-        val others =
-          if (!mvFs.exists(mvRoot)) Nil
-          else mvFs.listStatus(mvRoot).toSeq.map(_.getPath.getName)
-            .filter(_ != name)
-        if (others.nonEmpty)
-          fail(s"$base already has materialized view(s) " +
-            s"${others.mkString(", ")} under $baseDir/_mv — one MV " +
-            "per base; CREATE (same name) re-creates it, or DROP / " +
-            "delete the existing dir first")
+        // a base may carry SEVERAL rollups (r10 item 5): each view
+        // registers under its own dir and the rewrite serves the
+        // cheapest matching one, so no shadowing/one-per-base fence
+        // is needed anymore.
+        val viewDir = s"$baseDir/_mv/$name"
+        // RE-ATTACH instead of re-seed (r10 advice): after a restart
+        // the session registry is empty but the sidecar + manifest are
+        // durable — a CREATE matching the existing definition
+        // re-registers the healthy view as-is instead of paying a full
+        // rebuild from a fresh base snapshot (a DIFFERENT definition
+        // under the same name still re-creates).
+        val existing = scala.util.Try(readMvDef(spark, viewDir)).toOption
+          .filter { case (b, ks, v) =>
+            b == baseDir &&
+              ks.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
+              v.equalsIgnoreCase(valueCol.get) &&
+              TxLog.latest(spark, viewDir).isDefined
+          }
+        if (existing.isDefined) {
+          val (_, _, _, attachedAt) =
+            graft.cdc.AggView.readMeta(spark, viewDir)
+          Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
+          mvRegistry.put((spark, name), viewDir)
+          return Some(Seq((name, viewDir, attachedAt))
+            .toDF("view", "location", "as_of_batch"))
+        }
         val (_, _, _, nBuckets) = Compaction.readMeta(spark, baseDir)
         // seed and fence from ONE manifest snapshot: reading the head
         // first and the data later would double-count a merge landing
@@ -309,7 +344,6 @@ object GraftTables {
         val snap = graft.cdc.TxLog.latest(spark, baseDir).getOrElse(
           fail(s"no committed manifest under $baseDir"))
         val head = snap.counter("next_feed_batch") - 1L
-        val viewDir = s"$baseDir/_mv/$name"
         graft.cdc.AggView.init(
           Compaction.readAsOf(spark, baseDir, snap.version)
             .select((keys :+ valueCol.get).map(col): _*),
@@ -320,35 +354,77 @@ object GraftTables {
         Some(Seq((name, viewDir, head)).toDF("view", "location",
           "as_of_batch"))
       case RefreshMvRe(name0) =>
-        val viewDir = viewDirOf(name0)
-        val (baseDir, _, _) = readMvDef(spark, viewDir)
-        val (_, _, _, last) = graft.cdc.AggView.readMeta(spark, viewDir)
-        // contiguous published head: a committed-but-unpublished batch
-        // pauses refresh at the gap instead of being skipped forever
-        val head = graft.cdc.Replicator.publishedThrough(spark, baseDir,
-          last, graft.cdc.Replicator.sourceHead(spark, baseDir))
-        if (head > last)
-          graft.cdc.AggView.applyFeed(spark, viewDir,
-            Compaction.readFeed(spark, baseDir)
-              .filter(col("batch") > last && col("batch") <= head),
-            batchId = head)
-        Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
-        Some(Seq((unquote(name0).toLowerCase, math.max(0L, head - last)))
+        Some(Seq((unquote(name0).toLowerCase,
+          refreshMv(spark, viewDirOf(name0))))
           .toDF("view", "batches_applied"))
+      case RefreshAllMvRe(base) =>
+        val baseDir = GraftDml.resolveName(spark,
+          GraftDml.splitIdentifier(base)).map(_.dir).getOrElse(
+          fail(s"$base is not a registered or catalog maintained table"))
+        val fs = TxLog.fs(spark, baseDir)
+        val mvRoot = new org.apache.hadoop.fs.Path(s"$baseDir/_mv")
+        val names =
+          if (!fs.exists(mvRoot)) Nil
+          else fs.listStatus(mvRoot).toSeq.map(_.getPath.getName).sorted
+            .filter(n => fs.exists(mvDefPath(s"$baseDir/_mv/$n")))
+        val rows = names.map { n =>
+          val viewDir = s"$baseDir/_mv/$n"
+          // a view unknown to this session (post-restart) re-attaches
+          // from its durable sidecar as part of the sweep
+          mvRegistry.putIfAbsent((spark, n), viewDir)
+          (n, refreshMv(spark, viewDir))
+        }
+        Some(rows.toDF("view", "batches_applied"))
       case DropMvRe(name0) =>
         val name = unquote(name0).toLowerCase
         val viewDir = viewDirOf(name0)
         val (baseDir, _, _) = readMvDef(spark, viewDir)
-        // deregister only OUR rewrite: the base-keyed registry may
-        // hold a registration for a different (programmatic) view
-        if (Mv.registeredViewDir(baseDir).contains(viewDir))
-          Mv.deregister(baseDir)
+        // deregister only OUR rewrite: the base may carry sibling
+        // views (and programmatic registrations), which stay armed
+        Mv.deregister(baseDir, viewDir)
         mvRegistry.remove((spark, name))
         TxLog.fs(spark, viewDir).delete(
           new org.apache.hadoop.fs.Path(viewDir), true)
         Some(Seq(name).toDF("dropped_view"))
       case _ => None
     }
+  }
+
+  /** Apply the base's unapplied published feed batches to one view and
+    * (re-)arm its rewrite; returns the number of batches applied.
+    * Shared by REFRESH MATERIALIZED VIEW and the REFRESH ALL sweep.
+    */
+  private def refreshMv(spark: SparkSession, viewDir: String): Long = {
+    val (baseDir, _, _) = readMvDef(spark, viewDir)
+    val (_, _, _, last) = graft.cdc.AggView.readMeta(spark, viewDir)
+    val srcHead = graft.cdc.Replicator.sourceHead(spark, baseDir)
+    // retention fence (same rule as Replicator.sync, r10 advice):
+    // feed retention that outran the view's last-applied batch must
+    // fail loudly — publishedThrough alone returns `last` both for a
+    // crashed publish (pause, recoverable) and for a retention-deleted
+    // batch (permanent), and silently applying nothing forever would
+    // disarm the rewrite with no signal
+    if (srcHead > last) {
+      val minAvail = Compaction.feedFloor(spark, baseDir)._2
+        .getOrElse(srcHead + 1L)
+      if (last + 1L < minAvail)
+        GraftDml.fail(
+          s"base feed batches ${last + 1}..${minAvail - 1} were " +
+            "removed by retention (maintain maxFeedAge/vacuum) — the " +
+            "view cannot refresh incrementally; DROP and re-CREATE " +
+            "it to re-seed from the current base snapshot")
+    }
+    // contiguous published head: a committed-but-unpublished batch
+    // pauses refresh at the gap instead of being skipped forever
+    val head = graft.cdc.Replicator.publishedThrough(spark, baseDir,
+      last, srcHead)
+    if (head > last)
+      graft.cdc.AggView.applyFeed(spark, viewDir,
+        Compaction.readFeed(spark, baseDir)
+          .filter(col("batch") > last && col("batch") <= head),
+        batchId = head)
+    Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
+    math.max(0L, head - last)
   }
 
   /** Continuous change subscription for a maintained table by NAME

@@ -12,7 +12,7 @@ import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.cdc.TxLog
+import graft.cdc.{Compaction, TxLog}
 
 /** Transparent bucket pruning for SQL over the maintained merge table
   * ([[graft.cdc.Compaction]]): a user who registers `Compaction.read`
@@ -67,7 +67,15 @@ object MergePruning extends Rule[LogicalPlan] {
         * the fold plan's base+delta scan leg.
         */
       bucketDirs: Map[Int, Seq[String]],
-      comps: Map[Int, Seq[Comp]])
+      comps: Map[Int, Seq[Comp]],
+      /** time-partition spec (unit, source column), retention floor,
+        * and the dirty (merge-on-read) bucket set: `_tp=` leaf
+        * admission range-prunes CLEAN buckets only — a fold's input
+        * must keep full history (same invariant as the catalog scan's
+        * `rangeOk = false`).
+        */
+      tp: Option[(String, String)], tpMin: Option[Int],
+      dirty: Set[Int])
 
   /** table dir -> cached manifest metadata (re-validated against the
     * latest committed version on every use, so a refresh invalidates
@@ -91,18 +99,33 @@ object MergePruning extends Rule[LogicalPlan] {
 
   private def normalize(p: String): String = MvRewrite.normalize(p)
 
-  // the (table dir, bucket id) iff path is <t>/data/g<V>[-txn]/bucket=N
-  private def tableDirOf(path: Path): Option[(String, Int)] = {
-    val bucketName = path.getName
+  /** One parsed scan root: the table dir, the bucket id, the bucket
+    * DIRECTORY (normalized — the manifest-level unit the stale-plan
+    * check runs on), and the `_tp` value when the root is a
+    * time-partition leaf.
+    */
+  private final case class Root(tableDir: String, bucket: Int,
+      bucketDir: String, tp: Option[Int])
+
+  // parses <t>/data/g<V>[-txn]/bucket=N and the time-partitioned leaf
+  // <t>/data/g<V>[-txn]/bucket=N/_tp=M
+  private def tableDirOf(path: Path): Option[Root] = {
+    val (bucketPath, tp) =
+      if (path.getName.startsWith("_tp=")) {
+        val v = scala.util.Try(path.getName.drop(4).toInt).toOption
+          .getOrElse(return None)
+        (Option(path.getParent).getOrElse(return None), Some(v))
+      } else (path, None)
+    val bucketName = bucketPath.getName
     if (!bucketName.startsWith("bucket=")) return None
-    val gen = path.getParent
+    val gen = bucketPath.getParent
     if (gen == null || !gen.getName.startsWith("g")) return None
     val data = gen.getParent
     if (data == null || data.getName != "data") return None
     val table = data.getParent
     if (table == null) return None
     scala.util.Try(bucketName.drop(7).toInt).toOption
-      .map(b => (table.toString, b))
+      .map(b => Root(table.toString, b, normalize(bucketPath.toString), tp))
   }
 
   private def infoFor(spark: SparkSession, tableDir: String): Option[Info] = {
@@ -130,7 +153,11 @@ object MergePruning extends Rule[LogicalPlan] {
             val delta = deltas.get(b).map(_ =>
               Comp(None, snap.prop(s"dmaxv.$b")))
             b -> (base.toSeq ++ delta.toSeq)
-          }.toMap)
+          }.toMap,
+          tp = for { u <- snap.prop("tp_unit"); c <- snap.prop("tp_col") }
+            yield (u, c),
+          tpMin = snap.prop("tp_min").map(_.toInt),
+          dirty = deltas.keySet)
         cache.put(tableDir, info)
         info
       }
@@ -153,22 +180,28 @@ object MergePruning extends Rule[LogicalPlan] {
       case r: HadoopFsRelation if r.partitionSchema.isEmpty => r
       case _ => return None
     }
-    val roots = fs.location.rootPaths
-    if (roots.isEmpty) return None
-    val parsed = roots.map(tableDirOf)
-    if (parsed.exists(_.isEmpty)) return None
-    val tableDirs = parsed.flatten.map(_._1).distinct
+    val rootPaths = fs.location.rootPaths
+    if (rootPaths.isEmpty) return None
+    val parsed0 = rootPaths.map(tableDirOf)
+    if (parsed0.exists(_.isEmpty)) return None
+    val parsed: Seq[(Path, Root)] = rootPaths.zip(parsed0.flatten)
+    val tableDirs = parsed.map(_._2.tableDir).distinct
     if (tableDirs.size != 1) return None
     val spark = fs.sparkSession
     val info = infoFor(spark, tableDirs.head).getOrElse(return None)
 
-    // stale plan (manifest advanced since the scan was built): bail
-    val rootSet = roots.map(p => normalize(p.toString)).toSet
-    if (!rootSet.subsetOf(info.bucketDirs.values.flatten.toSet)) return None
-    val liveHere: Map[Int, Seq[String]] =
-      info.bucketDirs.map { case (b, ds) =>
-        b -> ds.filter(rootSet.contains)
-      }.filter(_._2.nonEmpty)
+    // stale plan (manifest advanced since the scan was built): bail.
+    // The check runs at the BUCKET-directory level — a time-partitioned
+    // table's scan roots are `bucket=N/_tp=M` leaves, whose parent is
+    // the manifest-level unit
+    if (!parsed.forall(p =>
+        info.bucketDirs.values.exists(_.contains(p._2.bucketDir))))
+      return None
+    // layout agreement: a time-partitioned manifest serves leaf roots,
+    // a flat one serves bucket roots — any mismatch is a stale plan
+    // (e.g. a partition-spec evolution committed after the view built)
+    if (parsed.exists(_._2.tp.isDefined != info.tp.isDefined)) return None
+    val liveHere: Map[Int, Seq[(Path, Root)]] = parsed.groupBy(_._2.bucket)
 
     // single-column leaf pruning applies only to single-column keys; a
     // composite key needs the FULL tuple bound (see compositeBucket)
@@ -309,20 +342,104 @@ object MergePruning extends Rule[LogicalPlan] {
         case _ => None
       }
 
+    // `_tp` leaf admission (time-partitioned tables): the partition
+    // bounds the filter implies for the partition source column, as a
+    // union of intervals — the SQL-transparent twin of the catalog
+    // scan's pushed-filter pruning. Range admission applies to CLEAN
+    // buckets only: a dirty bucket's fold decides winners over full
+    // history, so only the retention floor may drop its leaves (the
+    // same `rangeOk = false` invariant as GraftBatch / foldBuckets).
+    val tpIvs: Seq[(Int, Int)] = info.tp match {
+      case None => Compaction.TpAll
+      case Some((u, c)) => tpBoundsOf(cond, u, c)
+    }
+    def tpAdmit(r: Root): Boolean = r.tp match {
+      case None => true
+      case Some(n) =>
+        info.tpMin.forall(n >= _) &&
+          (info.dirty.contains(r.bucket) ||
+            Compaction.tpAdmits(tpIvs, n))
+    }
+
     val allowedBuckets = (compositeBucket(cond), allowed(cond)) match {
       case (Some(c), Some(a)) => c.intersect(a)
       case (Some(c), None) => c
       case (None, Some(a)) => a
-      case (None, None) => return None
+      case (None, None) =>
+        // no key/version pruning — `_tp` bounds alone may still prune
+        // (e.g. a bare `WHERE ts BETWEEN a AND b` over a partitioned
+        // table); with neither, leave the plan untouched
+        if (tpIvs == Compaction.TpAll) return None
+        liveHere.keySet
     }
-    val keptDirs = liveHere.view
-      .filterKeys(allowedBuckets.contains).values.flatten.toSeq
-    if (keptDirs.size == rootSet.size) return None
+    val keptDirs = parsed.collect {
+      case (path, r) if allowedBuckets.contains(r.bucket) &&
+        tpAdmit(r) => path
+    }
+    if (keptDirs.size == parsed.size) return None
 
     val newIndex = new InMemoryFileIndex(spark,
-      keptDirs.map(new Path(_)), Map.empty[String, String],
+      keptDirs, Map.empty[String, String],
       Some(fs.dataSchema))
     val pruned = lr.copy(relation = fs.copy(location = newIndex)(spark))
     Some(f.copy(child = pruned))
+  }
+
+  /** `_tp` interval bounds a Catalyst predicate implies for the
+    * partition source column — the expression twin of the catalog
+    * scan's pushed-filter walk ([[graft.catalog.GraftBatch]]): AND
+    * intersects, OR unions, IN is a union of points, both literal
+    * orders accepted; anything the walk cannot type lands on the
+    * all-covering interval (conservative both ways).
+    */
+  private def tpBoundsOf(cond: Expression, unit: String,
+      tpCol: String): Seq[(Int, Int)] = {
+    val All = Compaction.TpAll
+    def isTp(a: AttributeReference) = a.name.equalsIgnoreCase(tpCol)
+    def tpOf(l: Literal): Option[Int] =
+      if (l.value == null) None
+      else scala.util.Try(Compaction.tpValueOf(unit,
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))).toOption
+    // partition granularity is coarser than values, so every bound is
+    // INCLUSIVE of its boundary partition (a > v keeps partition tp(v))
+    def ge(l: Literal) =
+      tpOf(l).map(d => Seq((d, Int.MaxValue))).getOrElse(All)
+    def le(l: Literal) =
+      tpOf(l).map(d => Seq((Int.MinValue, d))).getOrElse(All)
+    def eq(l: Literal) = tpOf(l).map(d => Seq((d, d))).getOrElse(All)
+    def walk(e: Expression): Seq[(Int, Int)] = e match {
+      case And(x, y) => Compaction.tpIntersect(walk(x), walk(y))
+      case org.apache.spark.sql.catalyst.expressions.Or(x, y) =>
+        Compaction.tpUnion(walk(x), walk(y))
+      case GreaterThan(a: AttributeReference, l: Literal)
+        if isTp(a) => ge(l)
+      case GreaterThan(l: Literal, a: AttributeReference)
+        if isTp(a) => le(l)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+        if isTp(a) => ge(l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference)
+        if isTp(a) => le(l)
+      case LessThan(a: AttributeReference, l: Literal)
+        if isTp(a) => le(l)
+      case LessThan(l: Literal, a: AttributeReference)
+        if isTp(a) => ge(l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal)
+        if isTp(a) => le(l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference)
+        if isTp(a) => ge(l)
+      case EqualTo(a: AttributeReference, l: Literal) if isTp(a) => eq(l)
+      case EqualTo(l: Literal, a: AttributeReference) if isTp(a) => eq(l)
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(
+          a: AttributeReference, l: Literal)
+        if isTp(a) && l.value != null => eq(l)
+      case In(a: AttributeReference, vs)
+          if isTp(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        // a NULL comparand matches no row — skipping it is sound
+        vs.collect { case l: Literal if l.value != null => eq(l) }
+          .foldLeft(Seq.empty[(Int, Int)])(Compaction.tpUnion)
+      case _ => All
+    }
+    walk(cond)
   }
 }

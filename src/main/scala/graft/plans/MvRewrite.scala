@@ -90,11 +90,13 @@ object MvRewrite extends Rule[LogicalPlan] {
       cntCol: String, measures: Map[String, Partials],
       aggView: Option[AggViewLink] = None)
 
-  /** (session UUID | base path) → view definition. Keyed per session
-    * (ADVICE r4): a view registered in one SparkSession must not
-    * rewrite aggregates in every other session of the JVM.
+  /** (session UUID | base path) → the base's registered views. Keyed
+    * per session (ADVICE r4): a view registered in one SparkSession
+    * must not rewrite aggregates in every other session of the JVM.
+    * A base may carry SEVERAL rollups (r10 item 5) — the rewrite
+    * picks the cheapest matching one (fewest partial rows).
     */
-  private val registry = TrieMap.empty[String, MvDef]
+  private val registry = TrieMap.empty[String, List[MvDef]]
 
   /** Cached analyzed view scans (FileIndex listing is not free);
     * `newInstance()` re-keys attributes per use-site. For
@@ -138,16 +140,39 @@ object MvRewrite extends Rule[LogicalPlan] {
     col.toLowerCase + castTo.map(t => "::" + t.sql.toLowerCase).getOrElse("")
 
   def register(basePath: String, d: MvDef): Unit = {
-    registry.put(sessionKey(basePath), d)
+    // idempotent per view path: re-registering replaces the same
+    // view's definition, never stacks duplicates of it
+    registry.updateWith(sessionKey(basePath))(old =>
+      Some(old.getOrElse(Nil).filterNot(_.viewPath == d.viewPath) :+ d))
     viewPlans.remove(d.viewPath)
   }
 
+  /** Deregister EVERY view of the base (the pre-multi-view contract;
+    * programmatic callers that own the whole base keep using it).
+    */
   def deregister(basePath: String): Unit =
-    registry.remove(sessionKey(basePath)).foreach(d =>
-      viewPlans.remove(d.viewPath))
+    registry.remove(sessionKey(basePath)).foreach(_.foreach(d =>
+      viewPlans.remove(d.viewPath)))
+
+  /** Deregister one view of the base, leaving siblings armed — the
+    * form the SQL DDL layer uses (DROP of one MV must not disarm the
+    * base's other rollups).
+    */
+  def deregister(basePath: String, viewPath: String): Unit = {
+    registry.updateWith(sessionKey(basePath)) {
+      case None => None
+      case Some(ds) =>
+        val rest = ds.filterNot(_.viewPath == viewPath)
+        if (rest.isEmpty) None else Some(rest)
+    }
+    viewPlans.remove(viewPath)
+  }
 
   def registered(basePath: String): Option[MvDef] =
-    registry.get(sessionKey(basePath))
+    registeredDefs(basePath).headOption
+
+  def registeredDefs(basePath: String): Seq[MvDef] =
+    registry.get(sessionKey(basePath)).getOrElse(Nil)
 
   /** Idempotent live-session registration for sessions built without
     * [[graft.GraftExtensions]] (the builder path injects this rule
@@ -249,7 +274,17 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def rewrite(agg: Aggregate): Option[Aggregate] = for {
     (lr, filterCond) <- decompose(agg.child)
     base <- pathOf(lr)
-    d <- registry.get(s"$sessionTag|$base")
+    // several rollups may match (e.g. a (k1) view and a (k1, k2)
+    // view both derive a GROUP BY k1): serve the CHEAPEST — fewest
+    // partial bytes, resolved from the matching views' file indexes
+    // (structurally-unmatched candidates never touch the filesystem)
+    result <- registry.get(s"$sessionTag|$base").getOrElse(Nil)
+      .flatMap(d => rewriteWith(agg, filterCond, d))
+      .minByOption(_._2).map(_._1)
+  } yield result
+
+  private def rewriteWith(agg: Aggregate, filterCond: Option[Expression],
+      d: MvDef): Option[(Aggregate, Long)] = for {
     // groupings must be bare columns within the view's key set
     groupAttrs <- Some(agg.groupingExpressions).filter(_.forall {
       case a: AttributeReference => d.groupCols.contains(a.name.toLowerCase)
@@ -261,11 +296,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     _ <- Some(()).filter(_ => filterCond.forall(c =>
       c.deterministic && c.references.toSeq.forall(
         r => d.groupCols.contains(r.name.toLowerCase))))
-    // the freshness fence LAST: it is the only check that touches the
-    // filesystem (one memoized manifest listing per table — see
-    // TxLog.latest), so structurally unmatched aggregates never probe
+    // the freshness fence LAST among the cheap checks: it is the first
+    // that touches the filesystem (one memoized manifest listing per
+    // table — see TxLog.latest), so structurally unmatched aggregates
+    // never probe
     _ <- Some(()).filter(_ => isFresh(d))
-    view <- viewScan(d)
+    (view, bytes) <- viewScan(d)
     viewAttr = (n: String) => view.output.find(_.name.equalsIgnoreCase(n))
     cnt <- viewAttr(d.cntCol)
     newAggs <- traverseOpt(agg.aggregateExpressions)(
@@ -275,10 +311,14 @@ object MvRewrite extends Rule[LogicalPlan] {
       case None => Some(None)
       case Some(c) => remapRefs(c, viewAttr).map(Some(_))
     }
-  } yield Aggregate(newGroups, newAggs,
-    newCond.map(Filter(_, view)).getOrElse(view))
+  } yield (Aggregate(newGroups, newAggs,
+    newCond.map(Filter(_, view)).getOrElse(view)), bytes)
 
-  private def viewScan(d: MvDef): Option[LogicalPlan] = {
+  /** The view's resolved scan plus its total file bytes — the cost
+    * the cheapest-view pick orders on (partial-table size is the
+    * rollup-work proxy; both come from the same cached file index).
+    */
+  private def viewScan(d: MvDef): Option[(LogicalPlan, Long)] = {
     val spark = SparkSession.active
     val resolved: Option[(Long, LogicalPlan)] = d.aggView match {
       case None =>
@@ -306,7 +346,12 @@ object MvRewrite extends Rule[LogicalPlan] {
         }
     }
     resolved.map(_._2) match {
-      case Some(lr: LogicalRelation) => Some(lr.newInstance())
+      case Some(lr: LogicalRelation) =>
+        val bytes = lr.relation match {
+          case fs: HadoopFsRelation => fs.location.sizeInBytes
+          case r => r.sizeInBytes
+        }
+        Some((lr.newInstance(), bytes))
       case _ => None
     }
   }
@@ -459,13 +504,16 @@ object Mv {
 
   def deregister(basePath: String): Unit = MvRewrite.deregister(basePath)
 
-  /** The view dir/path registered against `basePath` in the ACTIVE
-    * session, if any — the registry holds one rewrite per base, so
-    * DDL layers use this to refuse a shadowing second registration
-    * and to deregister only their own.
+  /** Deregister ONE view of the base (siblings stay armed). */
+  def deregister(basePath: String, viewPath: String): Unit =
+    MvRewrite.deregister(basePath, viewPath)
+
+  /** The view dirs/paths registered against `basePath` in the ACTIVE
+    * session — a base may carry several rollups; DDL layers use this
+    * to deregister only their own.
     */
-  def registeredViewDir(basePath: String): Option[String] =
-    MvRewrite.registered(basePath).map(d =>
+  def registeredViewDirs(basePath: String): Seq[String] =
+    MvRewrite.registeredDefs(basePath).map(d =>
       d.aggView.map(_.viewDir).getOrElse(d.viewPath))
 
   /** True when `df`'s optimized plan reads `viewPath` (and not the

@@ -1113,6 +1113,153 @@ object CdcQueries {
       out
     }),
 
+    // PARTITION-SPEC EVOLUTION (r10 item 3): the table starts FLAT,
+    // absorbs a merge, and then `ALTER TABLE … SET PARTITION SPEC
+    // (days(ts))` rewrites it into the bucket/_tp layout as ONE
+    // committed transaction — after which a time-range read prunes in
+    // the NEW granularity (asserted in-query over inputFiles). The
+    // oracle recomputes the range aggregate over the latest-wins
+    // state; a green row proves the evolution is state-preserving AND
+    // the evolved layout actually prunes.
+    "cdc_partition_evolution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id").as("id"), col("user_id"),
+          col("event_type"), col("ts"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-partevo-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      // flat at birth — no time-partition spec
+      graft.cdc.Compaction.init(ev, tableDir, Seq("id"), "version",
+        "deleted", nBuckets = 8)
+      graft.cdc.Compaction.merge(s, tableDir,
+        ev.filter(col("id") % 7 === 0).withColumn("version", lit(1L)))
+      graft.plans.GraftTables.register(s, "partevo", tableDir)
+      val res = graft.plans.GraftTables.sql(s,
+        "ALTER TABLE partevo SET PARTITION SPEC (days(ts))")
+      require(res.collect().head.getString(1) == "days(ts)")
+      val from = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val to = java.sql.Timestamp.valueOf("2024-01-15 23:59:59")
+      val out = graft.cdc.Compaction.readTimeRange(s, tableDir, from, to)
+      val opened = out.inputFiles
+      val dayRe = "_tp=([0-9]+)".r
+      require(opened.nonEmpty && opened.forall(f =>
+        dayRe.findFirstMatchIn(f).exists { mm =>
+          val d = mm.group(1).toInt; d >= 19732 && d <= 19737
+        }),
+        "evolved layout did not prune the time-range scan")
+      require(opened.length <
+        graft.cdc.Compaction.read(s, tableDir).inputFiles.length,
+        "no partition pruning after evolution")
+      out.groupBy().agg(count(lit(1)).as("n"),
+        sum(col("user_id") * 11 + col("id") % 89).as("checksum"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    }),
+
+    // SQL-transparent `_tp` pruning on a REGISTERED time-partitioned
+    // table (r10 item 1): plain SQL over the temp view — a ts range
+    // AND an IN-list of two days — must open ONLY matching `_tp=`
+    // leaf dirs (asserted in-query on the optimized plan's file-index
+    // roots: the MergePruning rule, not the catalog, is what prunes
+    // here). The oracle recomputes both aggregates relationally.
+    "cdc_sql_tp_prune" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id").as("id"), col("user_id"),
+          col("event_type"), col("ts"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-sqltp-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(ev, tableDir, Seq("id"), "version",
+        "deleted", nBuckets = 8, clusterBy = Nil, feed = false,
+        timePartition = Some("days" -> "ts"))
+      graft.plans.MergePruning.ensureRegistered(s)
+      graft.plans.GraftTables.register(s, "sqltp", tableDir)
+      def leafDays(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fsr: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fsr.location.rootPaths.toSeq.flatMap(p =>
+                "_tp=([0-9]+)".r.findFirstMatchIn(p.toString)
+                  .map(_.group(1).toInt))
+            case _ => Nil
+          }
+        }.flatten
+      val ranged = s.sql("""SELECT count(*) AS n,
+        CAST(SUM(user_id * 13 + id % 83) AS BIGINT) AS checksum
+        FROM sqltp
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-12 23:59:59'""")
+      val days = leafDays(ranged)
+      require(days.nonEmpty && days.forall(d => d >= 19732 && d <= 19734),
+        s"registered-table SQL did not prune _tp dirs: $days")
+      // OR of two disjoint day ranges prunes as an interval union
+      val orQ = s.sql("""SELECT count(*) AS n_or FROM sqltp
+        WHERE (ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+            AND TIMESTAMP '2024-01-03 23:59:59')
+          OR (ts BETWEEN TIMESTAMP '2024-01-20 00:00:00'
+            AND TIMESTAMP '2024-01-20 23:59:59')""")
+      val orDays = leafDays(orQ)
+      require(orDays.nonEmpty &&
+        orDays.forall(d => d == 19725 || d == 19742),
+        s"OR-of-ranges did not prune to the interval union: $orDays")
+      ranged.crossJoin(orQ)
+    }),
+
+    // TWO materialized views on ONE base (r10 item 5): a coarse
+    // rollup by grp and a finer one by (grp, parity) both register;
+    // REFRESH ALL MATERIALIZED VIEWS sweeps them after a feed-emitting
+    // merge; and the UNCHANGED dashboard GROUP BY grp is rewritten
+    // onto the CHEAPEST matching view — the coarse one — asserted
+    // in-query on the optimized plan. The oracle recomputes the
+    // grouped aggregate from the raw changelog.
+    "sql_mv_multi" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val base = sys.props("java.io.tmpdir") + "/graft-sqlmvmulti-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 40).as("grp"),
+          (col("o_orderkey") % 3).as("parity"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      graft.cdc.Compaction.init(snapshot, base, Seq("id"), "version",
+        "deleted", nBuckets = 16, clusterBy = Nil, feed = true)
+      graft.plans.GraftTables.register(s, "mvm_base", base)
+      graft.plans.GraftTables.sql(s,
+        """CREATE MATERIALIZED VIEW mvm_coarse AS
+          SELECT grp, count(*) AS cnt, sum(price) AS total
+          FROM mvm_base GROUP BY grp""")
+      graft.plans.GraftTables.sql(s,
+        """CREATE MATERIALIZED VIEW mvm_fine AS
+          SELECT grp, parity, count(*) AS cnt, sum(price) AS total
+          FROM mvm_base GROUP BY grp, parity""")
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 40).as("grp"),
+          (col("o_orderkey") % 3).as("parity"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      graft.cdc.Compaction.merge(s, base, changes, emitFeed = true)
+      graft.plans.GraftTables.sql(s,
+        "REFRESH ALL MATERIALIZED VIEWS ON mvm_base")
+      graft.plans.GraftTables.refresh(s, "mvm_base")
+      val out = s.table("mvm_base")
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec18(col("price"))).cast("double").as("total"))
+        .orderBy(col("grp"))
+      out.queryExecution.optimizedPlan // force the rewrite NOW
+      require(graft.plans.Mv.readsView(out, s"$base/_mv/mvm_coarse"),
+        "rewrite did not fire on the maintained-table scan")
+      require(!graft.plans.Mv.readsView(out, s"$base/_mv/mvm_fine"),
+        "the cheaper (coarse) view must win over the finer sibling")
+      out
+    }),
+
     // composite merge key on lineitem's natural (l_orderkey,
     // l_linenumber) PK: the table buckets on the hash of the TUPLE and
     // every merge/lookup reconciles per tuple — real CDC tables key on
@@ -2182,6 +2329,56 @@ object CdcQueries {
         |  FROM orders WHERE o_orderkey % 2 = 0
         |  UNION ALL
         |  SELECT o_orderkey, o_orderkey % 50,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2)
+        |      AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, grp, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC)
+        |      AS rn
+        |  FROM unioned)
+        |SELECT grp, count(*) AS cnt,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // evolution is state-preserving: the range aggregate over the
+    // latest-wins state (the merge re-upserts the same ids, so live
+    // identity equals the raw events in range)
+    "cdc_partition_evolution" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(user_id * 11 + event_id % 89) AS BIGINT) AS checksum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 23:59:59'""".stripMargin,
+
+    // both pruned aggregates recomputed relationally
+    "cdc_sql_tp_prune" ->
+      """SELECT * FROM
+        |(SELECT count(*) AS n,
+        |   CAST(SUM(user_id * 13 + event_id % 83) AS BIGINT) AS checksum
+        | FROM events
+        | WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |   AND ts <= TIMESTAMP '2024-01-12 23:59:59')
+        |CROSS JOIN
+        |(SELECT count(*) AS n_or FROM events
+        | WHERE (ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+        |     AND TIMESTAMP '2024-01-03 23:59:59')
+        |   OR (ts BETWEEN TIMESTAMP '2024-01-20 00:00:00'
+        |     AND TIMESTAMP '2024-01-20 23:59:59'))""".stripMargin,
+
+    // the grouped aggregate over the base's latest-wins live state
+    // (same recompute shape as sql_create_mv, different grouping)
+    "sql_mv_multi" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_orderkey % 40 AS grp,
+        |    CAST(o_totalprice AS DOUBLE) AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey % 40,
         |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2)
         |      AS DOUBLE),
         |    1 AS version, (o_orderkey % 5 = 0) AS deleted

@@ -67,20 +67,46 @@ class FeedBatchSource extends TableProvider {
       Option(opts.get("maxBatchesPerTrigger")).map(_.toLong),
       Option(opts.get("startingBatch")).map(_.toLong).getOrElse(-1L),
       emitRows = emitRows(opts),
-      rowSchema = if (emitRows(opts)) Some(schema) else None)
+      rowSchema = if (emitRows(opts)) Some(schema) else None,
+      tpPrune = FeedBatchSource.tpPruneOf(path,
+        Option(opts.get("timeLowerBound")),
+        Option(opts.get("timeUpperBound"))))
   }
 }
 
 object FeedBatchSource {
   val Schema: StructType = new StructType().add("batch", LongType,
     nullable = false)
+
+  /** Compile the consumer's `timeLowerBound`/`timeUpperBound` options
+    * (timestamp strings, session zone) into the `_tp` admission range
+    * for a TIME-PARTITIONED source table — (unit, lo, hi). Pruning is
+    * a dir-granularity FILTER on the emitted events (replicate only
+    * the last 30 days): skipped partitions' events are never emitted,
+    * and the consumer still re-applies its exact row bound. A flat
+    * (un-partitioned) table, or a batch published under a DIFFERENT
+    * transform unit than the table's current one, is never pruned.
+    */
+  private[graft] def tpPruneOf(path: String, lower: Option[String],
+      upper: Option[String]): Option[(String, Int, Int)] = {
+    if (lower.isEmpty && upper.isEmpty) return None
+    val unit = graft.cdc.TxLog.latest(SparkSession.active, path)
+      .flatMap(_.prop("tp_unit")).getOrElse(return None)
+    val lo = lower.map(graft.cdc.Compaction.tpValueOf(unit, _))
+      .getOrElse(Int.MinValue)
+    val hi = upper.map(graft.cdc.Compaction.tpValueOf(unit, _))
+      .getOrElse(Int.MaxValue)
+    Some((unit, lo, hi))
+  }
 }
 
 private[streaming] class FeedBatchTable(tableDir: String,
     maxBatchesPerTrigger: Option[Long],
     startingBatch: Long,
     emitRows: Boolean = false,
-    rowSchema: Option[StructType] = None) extends Table with SupportsRead {
+    rowSchema: Option[StructType] = None,
+    tpPrune: Option[(String, Int, Int)] = None)
+    extends Table with SupportsRead {
 
   override def name(): String = s"graft-feed($tableDir)"
   override def schema(): StructType =
@@ -95,7 +121,8 @@ private[streaming] class FeedBatchTable(tableDir: String,
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream =
           new FeedBatchStream(tableDir, maxBatchesPerTrigger,
-            startingBatch, if (emitRows) rowSchema else None)
+            startingBatch, if (emitRows) rowSchema else None,
+            tpPrune = tpPrune)
       }
     }
 }
@@ -121,7 +148,12 @@ private[graft] class FeedBatchStream(tableDir: String,
     startingBatch: Long,
     rowSchema: Option[StructType] = None,
     changelogDeleteCol: Option[String] = None,
-    spellings: Map[String, Seq[String]] = Map.empty)
+    spellings: Map[String, Seq[String]] = Map.empty,
+    /** (unit, lo, hi): `_tp` admission range for time-bounded
+      * consumers of a TIME-PARTITIONED table's feed — see
+      * [[FeedBatchSource.tpPruneOf]].
+      */
+    tpPrune: Option[(String, Int, Int)] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -156,7 +188,7 @@ private[graft] class FeedBatchStream(tableDir: String,
       // legacy table without the marker (pre-marker retention only
       // ever deleted a prefix). The planning fence still throws when
       // `from` itself sits below the jump.
-      val (hz, minDir) = feedFloor(fs)
+      val (hz, minDir) = graft.cdc.Compaction.feedFloor(spark, tableDir)
       verifiedThrough = math.max(from,
         (if (hz > 0L) hz else minDir.getOrElse(0L)) - 1L)
     }
@@ -259,28 +291,12 @@ private[graft] class FeedBatchStream(tableDir: String,
     *    remediation. Contiguous admission makes this unreachable for
     *    fresh offsets — it guards ranges admitted by old checkpoints.
     */
-  /** (recorded horizon or 0, oldest surviving batch dir) — one root
-    * listing, taken at stream start and on failure paths only.
-    */
-  private def feedFloor(fs: org.apache.hadoop.fs.FileSystem)
-      : (Long, Option[Long]) = {
-    val root = new org.apache.hadoop.fs.Path(s"$tableDir/feed")
-    if (!fs.exists(root)) (0L, None)
-    else {
-      val names = fs.listStatus(root).map(_.getPath.getName)
-      (names.collect { case graft.cdc.Compaction.HorizonMarker(h) =>
-        h.toLong }.foldLeft(0L)(math.max),
-       names.collect { case s if s.startsWith("batch=") =>
-         s.drop(6).toLong }.minOption)
-    }
-  }
-
   private def listBatch(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, b: Long,
       from: Long): Seq[FeedFilePartition] = {
     val d = new org.apache.hadoop.fs.Path(s"$tableDir/feed/batch=$b")
     if (!fs.exists(d)) {
-      val (hz, minDir) = feedFloor(fs)
+      val (hz, minDir) = graft.cdc.Compaction.feedFloor(spark, tableDir)
       // with a recorded horizon, only ids below it are retention; a
       // legacy table's prefix-below-oldest-dir is assumed retention
       // (no dirs at all ⇒ the committed counter says batches ≤ b were
@@ -301,7 +317,27 @@ private[graft] class FeedBatchStream(tableDir: String,
           "its changes")
     }
     listings.incrementAndGet()
-    fs.listStatus(d).toSeq
+    val top = fs.listStatus(d).toSeq
+    // time-partitioned feed batches nest one `_tp=` level; a
+    // time-bounded consumer skips out-of-range partition dirs by NAME
+    // — but ONLY when the batch's publish marker records the same
+    // transform unit the bounds were computed in (a partition-spec
+    // evolution in between would change the dirs' meaning)
+    val unit = graft.cdc.Compaction.batchTpUnit(
+      top.map(_.getPath.getName))
+    val admit: Int => Boolean = tpPrune match {
+      case Some((u, lo, hi)) if unit.contains(u) =>
+        n => n >= lo && n <= hi
+      case _ => _ => true
+    }
+    top.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("_tp=")) {
+        if (admit(graft.cdc.Compaction.tpDirValue(n)))
+          fs.listStatus(st.getPath).toSeq
+        else Nil
+      } else Seq(st)
+    }
       .filter(st => st.getPath.getName.startsWith("part-") &&
         st.getLen > 0)
       .map(st => FeedFilePartition(st.getPath.toString, st.getLen, b))
@@ -480,11 +516,34 @@ private[streaming] final class FeedRowReaderFactory(
         false
       }
 
+      // fields whose vectorized-reader values are VIEWS over the column
+      // vectors (UTF8String, nested array/map/struct): the projection
+      // reads every field before the next nextKeyValue(), but
+      // GenericInternalRow.copy() is SHALLOW — a consumer retaining
+      // rows via copy() (buffering operators on interpreted paths)
+      // would observe them silently mutate when the reader loads the
+      // next 4096-row page. Copy exactly those kinds; fixed-width
+      // primitives (and getBinary, which already allocates) stay on
+      // the cheap path.
+      private val needsCopy: Array[Boolean] = readSchema.fields.map {
+        f => f.dataType match {
+          case org.apache.spark.sql.types.StringType => true
+          case _: org.apache.spark.sql.types.ArrayType => true
+          case _: org.apache.spark.sql.types.MapType => true
+          case _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        }
+      }
+
+      private def owned(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case r: InternalRow => r.copy()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+        case o => o
+      }
+
       override def get(): InternalRow = {
-        // the vectorized reader hands out a row VIEW over its column
-        // vectors; no defensive copy — the projection below reads every
-        // field before the next nextKeyValue(), and the DSv2 reader
-        // contract only keeps a returned row valid until next() anyway
         val src = reader.getCurrentValue.asInstanceOf[InternalRow]
         val out = new Array[Any](readSchema.length)
         var i = 0
@@ -500,6 +559,7 @@ private[streaming] final class FeedRowReaderFactory(
             else {
               val j = mapping(i)
               if (j < 0 || src.isNullAt(j)) null
+              else if (needsCopy(i)) owned(src.get(j, f.dataType))
               else src.get(j, f.dataType)
             }
           i += 1

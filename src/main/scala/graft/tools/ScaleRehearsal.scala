@@ -152,11 +152,33 @@ object ScaleRehearsal {
         graft.cdc.Compaction.readChangedSince(spark, tableDir, 1L)
           .count(): Unit
       }
+      // time-partitioned retention (r10 item 8): dropPartitionsBefore
+      // is a footer pass over the RETIRED files plus one listing per
+      // live bucket — with a fixed bucket count and day span, the
+      // retired FILE count is scale-invariant (files get bigger, not
+      // more numerous), so retire cost must stay ~flat under 10×
+      // table growth with a fixed retired fraction
+      spark.catalog.clearCache()
+      val tpDir = s"$tmp/tp-table-x$f"
+      val day0 = 1704067200L // 2024-01-01 UTC
+      val tpOrd = ordersAt(spark, sfDir, f)
+        .select(col("id"), col("price"),
+          timestamp_seconds(lit(day0) + (col("id") % 100) * 86400L)
+            .as("ts"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      graft.cdc.Compaction.init(tpOrd, tpDir, Seq("id"), "version",
+        "deleted", nBuckets = 128, clusterBy = Nil, feed = false,
+        timePartition = Some("days" -> "ts"))
+      val (_, tRetire) = time {
+        graft.cdc.Compaction.dropPartitionsBefore(spark, tpDir,
+          new java.sql.Timestamp((day0 + 10L * 86400L) * 1000L)): Unit
+      }
       Map("exact_dedup" -> tExact, "lsh_pairs" -> tLsh,
         "near_dups" -> tSim, "ann_ivf" -> tIvf,
         "ivf_train_sampled" -> tIvfTrain,
         "table_init" -> tInit, "table_merge_1pct" -> tMerge,
         "changed_since_narrow" -> tChanged,
+        "retire_partitions" -> tRetire,
         "lsh_pair_count" -> nPairs.toDouble)
     }
 
@@ -170,7 +192,8 @@ object ScaleRehearsal {
       Runtime.getRuntime.freeMemory) / 1048576
     val keys = Seq("exact_dedup", "lsh_pairs", "near_dups", "ann_ivf",
       "ivf_train_sampled",
-      "table_init", "table_merge_1pct", "changed_since_narrow")
+      "table_init", "table_merge_1pct", "changed_since_narrow",
+      "retire_partitions")
     val entries = keys.map { k =>
       val ratio = at10(k) / math.max(at1(k), 0.001)
       // the merge touches the same 1% key FRACTION at both scales and
@@ -180,7 +203,7 @@ object ScaleRehearsal {
       // O(touched)/O(pruned) ops get a stricter sublinear bar — flat
       // cost under 10× growth is the property being verified
       val bar = if (k == "table_merge_1pct" || k == "changed_since_narrow" ||
-          k == "ivf_train_sampled")
+          k == "ivf_train_sampled" || k == "retire_partitions")
         LinearBar / 2 else LinearBar
       val flag = ratio <= bar
       s""""$k":{"x1_sec":${fmt(at1(k))},"x10_sec":${fmt(at10(k))},""" +

@@ -23,6 +23,31 @@ class TimePartitionSpec extends SparkSpec {
     (1 to n).map(i => (i.toLong, s"p$i", ts(1 + (i - 1) % 20), 0L, false))
       .toDF("id", "payload", "ts", "version", "deleted")
 
+  /** Data files the executed plan's graft scan actually opened. */
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def collect(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => collect(a.executedPlan)
+      case q: QueryStageExec => collect(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(collect)
+    }
+    collect(df.queryExecution.executedPlan).flatMap(
+      _.inputPartitions.flatMap {
+        case p: GraftCleanPartition =>
+          p.files.map(_.filePath.toString).toSeq
+        case _ => Nil
+      })
+  }
+
+  private def tpDays(files: Seq[String]): Set[Int] = {
+    val dayRe = "_tp=([0-9]+)".r
+    files.flatMap(f => dayRe.findFirstMatchIn(f).map(_.group(1).toInt))
+      .toSet
+  }
+
   test("writes land as bucket/_tp dirs; range reads open only matching " +
       "partitions; merges preserve the layout and results stay exact") {
     val dir = tmpDir("tpart")
@@ -162,21 +187,142 @@ class TimePartitionSpec extends SparkSpec {
     assert(Compaction.countRows(spark, dir) == 1L)
   }
 
-  test("merge-on-read deltas refuse partition retirement until compacted") {
+  test("merge-on-read retirement folds ONLY the buckets holding doomed " +
+      "partitions; untouched delta chains stay byte-intact") {
     val dir = tmpDir("tpart3")
-    Compaction.init(seed(40), dir, Seq("id"), "version", "deleted",
+    val bucketOf = (k: Long) => graft.cdc.Bucketing.bucketOfValues(Seq(k), 4)
+    // every seed row lives ABOVE the cut (day >= 10) except key 1's
+    // v0 at day 2 (superseded below) and key 3's at day 3 (a live row
+    // retention genuinely retires)
+    val rows = (1L to 40L).map(i =>
+      (i, s"p$i", i match {
+        case 1L => ts(2)
+        case 3L => ts(3)
+        case _ => ts(10 + (i % 8).toInt)
+      }, 0L, false))
+    Compaction.init(rows.toDF("id", "payload", "ts", "version", "deleted"),
+      dir, Seq("id"), "version", "deleted",
       nBuckets = 4, clusterBy = Nil, feed = false,
       timePartition = Some("days" -> "ts"))
+    // key 1's latest version moves it to day 12 (kept range) as a MoR
+    // delta: retiring day 2 without folding would delete the bucket's
+    // doomed base rows while winners still reference them — v0/v1
+    // reconciliation must happen BEFORE the partition drop
     Compaction.merge(spark, dir,
-      Seq((1L, "d", ts(2), 1L, false))
+      Seq((1L, "moved", ts(12), 1L, false))
         .toDF("id", "payload", "ts", "version", "deleted"),
       mergeOnRead = true)
-    val e = intercept[IllegalArgumentException] {
-      Compaction.dropPartitionsBefore(spark, dir, ts(6, 0))
+    // a second dirty bucket with NO doomed partitions anywhere (its
+    // bucket must hold neither key 1's nor key 3's below-cut rows)
+    val other = (2L to 40L).find(k => k != 3L &&
+      bucketOf(k) != bucketOf(1L) && bucketOf(k) != bucketOf(3L)).get
+    Compaction.merge(spark, dir,
+      Seq((other, "late", ts(19), 1L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"),
+      mergeOnRead = true)
+    val before = TxLog.latest(spark, dir).get
+    assert(before.deltas.keySet ==
+      Set(bucketOf(1L), bucketOf(other)))
+    val truth = Compaction.read(spark, dir)
+      .filter($"ts" >= ts(6, 0)).select($"id").as[Long].collect().toSet
+    val retired = Compaction.dropPartitionsBefore(spark, dir, ts(6, 0))
+    assert(retired > 0)
+    val after = TxLog.latest(spark, dir).get
+    // O(affected): the doomed-partition bucket folded, the unaffected
+    // dirty bucket's delta chain survives byte-identically
+    assert(!after.deltas.contains(bucketOf(1L)),
+      "the bucket holding a doomed partition must have folded")
+    assert(after.deltas.get(bucketOf(other)) ==
+      before.deltas.get(bucketOf(other)),
+      "unaffected delta chain must survive byte-intact")
+    // correctness: key 1's v0 (doomed day) must NOT resurrect, and the
+    // manifest count stays exact
+    val got = Compaction.read(spark, dir).select($"id").as[Long]
+      .collect().toSet
+    assert(got == truth, s"got $got != $truth")
+    assert(Compaction.read(spark, dir).filter($"id" === 1L)
+      .select($"payload").as[String].collect().toSeq == Seq("moved"))
+    assert(Compaction.countRows(spark, dir) == truth.size.toLong)
+  }
+
+  test("partition-spec evolution: none→days→months→none as committed " +
+      "rewrites; state, feed numbering and pruning all follow") {
+    val dir = tmpDir("tpart-evo")
+    Compaction.init(seed(100), dir, Seq("id"), "version", "deleted",
+      nBuckets = 4, clusterBy = Nil, feed = true)
+    Compaction.merge(spark, dir,
+      Seq((101L, "new", ts(4), 1L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"))
+    def state() = Compaction.read(spark, dir)
+      .select($"id", $"payload", $"ts").orderBy($"id")
+      .as[(Long, String, java.sql.Timestamp)].collect().toSeq
+    val truth = state()
+    val nfb = TxLog.latest(spark, dir).get.counter("next_feed_batch")
+    assert(nfb == 1L)
+    graft.plans.GraftTables.register(spark, "tpart_evo", dir)
+
+    // none → days
+    val out = graft.plans.GraftTables.sql(spark,
+      "ALTER TABLE tpart_evo SET PARTITION SPEC (days(ts))")
+    assert(out.select("partition_spec").as[String].head() == "days(ts)")
+    assert(state() == truth, "evolution must be state-preserving")
+    assert(TxLog.latest(spark, dir).get.counter("next_feed_batch") == nfb,
+      "feed numbering must survive the rewrite")
+    // pruning now live in the NEW granularity
+    val ranged = Compaction.readTimeRange(spark, dir, ts(4, 0), ts(4, 23))
+    assert(ranged.inputFiles.nonEmpty &&
+      ranged.inputFiles.forall(_.contains(s"_tp=${19722 + 4}")),
+      ranged.inputFiles.mkString("\n"))
+    assert(ranged.select($"id").as[Long].collect().toSet ==
+      truth.filter(r => r._3.getTime >= ts(4, 0).getTime &&
+        r._3.getTime <= ts(4, 23).getTime).map(_._1).toSet)
+    // merges keep the evolved layout
+    Compaction.merge(spark, dir,
+      Seq((102L, "post-evo", ts(6), 1L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"))
+    assert(Compaction.readTimeRange(spark, dir, ts(6, 0), ts(6, 23))
+      .filter($"id" === 102L).count() == 1L)
+    // the feed now holds a FLAT pre-evolution batch (0) and a
+    // `_tp=`-nested post-evolution one (1): readFeed reads both
+    val feed = Compaction.readFeed(spark, dir)
+    assert(feed.select($"batch").distinct().as[Int].collect().toSet ==
+      Set(0, 1), "mixed-layout feed must read every batch")
+    assert(feed.filter($"batch" === 1 && $"id" === 102L).count() == 1L)
+
+    // days → months (granularity change): 2024-01 = (2024-1970)*12 = 648
+    graft.plans.GraftTables.sql(spark,
+      "ALTER TABLE tpart_evo SET PARTITION SPEC (months(ts))")
+    val fs = TxLog.fs(spark, dir)
+    val snap = TxLog.latest(spark, dir).get
+    val tpDirsNow = snap.buckets.values.flatMap(rel =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data/$rel"))
+        .map(_.getPath.getName)).toSet
+    assert(tpDirsNow == Set("_tp=648"), tpDirsNow.toString)
+    val truth2 = state()
+    assert(truth2.map(_._1) == (truth.map(_._1) :+ 102L).sorted)
+
+    // a FAILED evolution (null-deriving partition source) aborts the
+    // whole rewrite and leaves the committed layout byte-intact
+    intercept[Exception] {
+      Compaction.repartitionTime(spark, dir, Some("days" -> "payload"))
     }
-    assert(e.getMessage.contains("compact"), e.getMessage)
-    Compaction.compact(spark, dir)
-    assert(Compaction.dropPartitionsBefore(spark, dir, ts(6, 0)) > 0)
+    assert(state() == truth2, "failed rewrite must leave the table as-is")
+    assert(TxLog.latest(spark, dir).get.prop("tp_unit")
+      .contains("months"))
+
+    // months → none: the spec drops, _tp level disappears
+    graft.plans.GraftTables.sql(spark,
+      "ALTER TABLE tpart_evo DROP PARTITION SPEC")
+    assert(state() == truth2)
+    val snap2 = TxLog.latest(spark, dir).get
+    assert(snap2.prop("tp_unit").isEmpty && snap2.prop("tp_col").isEmpty)
+    val leaves = snap2.buckets.values.flatMap(rel =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data/$rel"))
+        .map(_.getPath.getName))
+    assert(!leaves.exists(_.startsWith("_tp=")), leaves.toString)
+    intercept[IllegalArgumentException] {
+      Compaction.readTimeRange(spark, dir, ts(1, 0), ts(20, 23))
+    }
   }
 
   test("catalog: CREATE PARTITIONED BY (days(ts)), pushed ts filters " +
@@ -190,23 +336,6 @@ class TimePartitionSpec extends SparkSpec {
         PARTITIONED BY (days(ts))
         TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
     seed(200).writeTo("gtp.ev").append()
-    def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-      def collect(p: SparkPlan): Seq[BatchScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => collect(a.executedPlan)
-        case q: QueryStageExec => collect(q.plan)
-        case b: BatchScanExec => Seq(b)
-        case other => other.children.flatMap(collect)
-      }
-      collect(df.queryExecution.executedPlan).flatMap(
-        _.inputPartitions.flatMap {
-          case p: GraftCleanPartition =>
-            p.files.map(_.filePath.toString).toSeq
-          case _ => Nil
-        })
-    }
     val q = spark.sql(
       "SELECT count(*) AS n, CAST(SUM(id) AS BIGINT) AS s FROM gtp.ev " +
         s"WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' " +
@@ -227,5 +356,52 @@ class TimePartitionSpec extends SparkSpec {
     val ids = (1 to 200).filter(i => { val d = 1 + (i - 1) % 20
       d >= 3 && d <= 5 })
     assert(n == ids.size && s == ids.map(_.toLong).sum, (n, s).toString)
+  }
+
+  test("catalog: IN-list and OR-of-ranges on the partition column " +
+      "prune as interval unions") {
+    val w = tmpDir("tpart-wh2")
+    spark.conf.set("spark.sql.catalog.gtp2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtp2.warehouse", w)
+    spark.sql("""CREATE TABLE gtp2.ev (
+        id BIGINT, payload STRING, ts TIMESTAMP, version BIGINT,
+        deleted BOOLEAN)
+        PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    seed(200).writeTo("gtp2.ev").append()
+    // 2024-01-01 = epoch day 19723
+    def day(d: Int) = 19722 + d
+
+    // IN: two point timestamps → exactly their two partitions open
+    val qIn = spark.sql(
+      "SELECT id FROM gtp2.ev WHERE ts IN (" +
+        "TIMESTAMP '2024-01-04 12:00:00', " +
+        "TIMESTAMP '2024-01-17 12:00:00')")
+    assert(tpDays(scanFiles(qIn)) == Set(day(4), day(17)),
+      tpDays(scanFiles(qIn)).toString)
+    val inIds = qIn.as[Long].collect().toSet
+    assert(inIds == (1 to 200).filter(i =>
+      Set(4, 17).contains(1 + (i - 1) % 20)).map(_.toLong).toSet)
+
+    // OR of two BETWEEN ranges → the union of the two day intervals
+    val qOr = spark.sql(
+      "SELECT id FROM gtp2.ev WHERE " +
+        "(ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' " +
+        "AND TIMESTAMP '2024-01-03 23:59:59') OR " +
+        "(ts BETWEEN TIMESTAMP '2024-01-18 00:00:00' " +
+        "AND TIMESTAMP '2024-01-19 23:59:59')")
+    assert(tpDays(scanFiles(qOr)) ==
+      Set(day(2), day(3), day(18), day(19)),
+      tpDays(scanFiles(qOr)).toString)
+    assert(qOr.as[Long].collect().toSet == (1 to 200).filter(i =>
+      Set(2, 3, 18, 19).contains(1 + (i - 1) % 20)).map(_.toLong).toSet)
+
+    // an OR with an unconstrained branch must NOT prune
+    val qLoose = spark.sql(
+      "SELECT id FROM gtp2.ev WHERE " +
+        "ts >= TIMESTAMP '2024-01-19 00:00:00' OR payload = 'p1'")
+    assert(tpDays(scanFiles(qLoose)) == (1 to 20).map(day).toSet)
+    assert(qLoose.as[Long].collect().toSet == (1 to 200).filter(i =>
+      1 + (i - 1) % 20 >= 19 || i == 1).map(_.toLong).toSet)
   }
 }

@@ -53,6 +53,44 @@ class FeedDurabilitySpec extends SparkSpec {
     n
   }
 
+  test("feed retention never expires past a committed-but-unpublished " +
+      "batch: the recoverable lost publish stays below the horizon") {
+    val dir = tmpDir("fdur-cap")
+    initTable(dir)
+    mergeOne(dir, 10L, 1L) // batch 0
+    mergeOne(dir, 11L, 2L) // batch 1
+    val lost = unpublishLatest(dir) // batch 1 back to its staging
+    assert(lost == 1L)
+    mergeOne(dir, 12L, 3L) // batch 2 (published)
+    Thread.sleep(5)
+    // everything is "old enough" — but expiry must CAP below the lost
+    // batch: stamping the horizon past it would reclassify the
+    // recoverable crash as retention and consumers would skip it
+    Compaction.maintain(spark, dir, maxFeedAge = java.time.Duration.ZERO)
+    val fs = TxLog.fs(spark, dir)
+    assert(!fs.exists(new Path(s"$dir/feed/batch=0")),
+      "the contiguous prefix below the lost batch must expire")
+    assert(fs.exists(new Path(s"$dir/feed/batch=2")),
+      "batches above the lost publish must survive")
+    assert(Compaction.feedHorizon(spark, dir) == 1L,
+      s"horizon must stop below the lost batch, " +
+        s"got ${Compaction.feedHorizon(spark, dir)}")
+    // the lost publish is still recoverable and consumers resume
+    assert(Compaction.repairFeed(spark, dir) == 1)
+    assert(fs.exists(new Path(s"$dir/feed/batch=1")))
+    // vacuum's feedBefore path obeys the same fence
+    val lost2 = { mergeOne(dir, 13L, 4L); unpublishLatest(dir) } // batch 3
+    mergeOne(dir, 14L, 5L) // batch 4
+    // keepFrom 0: only the FEED retention path is under test (dropping
+    // the lost batch's committing manifest would separately disarm the
+    // republish, by design)
+    Compaction.vacuum(spark, dir, 0L, feedBefore = 100L)
+    assert(Compaction.feedHorizon(spark, dir) == lost2,
+      "vacuum must cap the horizon below the lost publish too")
+    assert(fs.exists(new Path(s"$dir/feed/batch=4")))
+    assert(Compaction.repairFeed(spark, dir) == 1)
+  }
+
   test("a committed-but-unpublished batch blocks sync; repairFeed " +
       "finishes the publish and sync converges") {
     val dir = tmpDir("fdur")
@@ -167,7 +205,7 @@ class FeedDurabilitySpec extends SparkSpec {
     def fpOf(b: Long): String =
       fs.listStatus(new Path(s"$dir/feed/batch=$b"))
         .map(_.getPath.getName)
-        .collectFirst { case Compaction.PubMarker(_, h) => h }.get
+        .collectFirst { case Compaction.PubMarker(_, h, _) => h }.get
     assert(fpOf(0) == fpOf(1), "same schema epoch, different fingerprint")
     assert(fpOf(0) != fpOf(2), "ALTER did not change the epoch")
     // the evolution-aware read still projects every epoch correctly

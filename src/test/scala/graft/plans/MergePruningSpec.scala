@@ -289,6 +289,120 @@ class MergePruningSpec extends SparkSpec {
     assert(none.count() == 0L && none.inputFiles.isEmpty)
   }
 
+  // ---- time-partitioned tables (r10 item 1) --------------------------
+
+  private def ts(day: Int, h: Int = 12): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  private def tpTable(): String = {
+    val dir = tmpDir("merge-pruning-tp") + "/t"
+    Compaction.init(
+      (1L to 100L).map(i => (i, s"v0-$i", ts(1 + ((i - 1) % 20).toInt),
+        0L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"),
+      dir, Seq("id"), "version", "deleted", nBuckets = 8,
+      clusterBy = Nil, feed = false,
+      timePartition = Some("days" -> "ts"))
+    dir
+  }
+
+  private def tpDays(dirs: Set[String]): Set[Int] =
+    dirs.flatMap(d => "_tp=([0-9]+)".r.findFirstMatchIn(d)
+      .map(_.group(1).toInt))
+
+  test("time-partitioned registered table: point lookup pins one bucket") {
+    val dir = tpTable()
+    view(dir, "mp_tp_point")
+    val df = spark.sql("SELECT payload FROM mp_tp_point WHERE id = 7")
+    assert(df.as[String].collect().toSeq == Seq("v0-7"))
+    // every scanned leaf belongs to key 7's ONE bucket
+    val dirs = scanDirs(df)
+    val bucketDirs = dirs.map(d => d.substring(0, d.lastIndexOf('/')))
+    assert(dirs.nonEmpty && bucketDirs.size == 1,
+      s"expected one bucket's leaves, scanned $dirs")
+    // and the _tp level ALSO prunes inside the bucket: the filter's
+    // equality on ts's twin is absent here, but the lookup's day is
+    // known — the bucket holds ≤ 20 day dirs and the id=7 row sits in
+    // exactly one, so scanning all of them is the correct bucket-only
+    // prune (no ts predicate given)
+    assert(tpDays(dirs).nonEmpty)
+  }
+
+  test("time-partitioned registered table: ts range opens only matching " +
+      "_tp dirs, composing with key pruning") {
+    val dir = tpTable()
+    view(dir, "mp_tp_range")
+    // 2024-01-01 = epoch day 19723
+    def day(d: Int) = 19722 + d
+    val df = spark.sql("SELECT id FROM mp_tp_range WHERE " +
+      "ts >= TIMESTAMP '2024-01-03 00:00:00' AND " +
+      "ts <= TIMESTAMP '2024-01-05 23:59:59' ORDER BY id")
+    val expect = (1 to 100).filter(i => { val d = 1 + (i - 1) % 20
+      d >= 3 && d <= 5 }).map(_.toLong)
+    assert(df.as[Long].collect().toSeq == expect)
+    assert(tpDays(scanDirs(df)) == Set(day(3), day(4), day(5)),
+      scanDirs(df).toString)
+
+    // composed: key ∧ range — one bucket AND one day
+    val both = spark.sql("SELECT payload FROM mp_tp_range WHERE id = 3 " +
+      "AND ts >= TIMESTAMP '2024-01-03 00:00:00' " +
+      "AND ts <= TIMESTAMP '2024-01-03 23:59:59'")
+    assert(both.as[String].collect().toSeq == Seq("v0-3"))
+    val bothDirs = scanDirs(both)
+    assert(bothDirs.size == 1 && tpDays(bothDirs) == Set(day(3)),
+      bothDirs.toString)
+
+    // IN of two days and OR of two ranges prune as interval unions
+    val qIn = spark.sql("SELECT id FROM mp_tp_range WHERE ts IN (" +
+      "TIMESTAMP '2024-01-04 12:00:00', TIMESTAMP '2024-01-17 12:00:00')")
+    assert(qIn.as[Long].collect().toSet == (1 to 100).filter(i =>
+      Set(4, 17).contains(1 + (i - 1) % 20)).map(_.toLong).toSet)
+    assert(tpDays(scanDirs(qIn)) == Set(day(4), day(17)))
+    val qOr = spark.sql("SELECT id FROM mp_tp_range WHERE " +
+      "(ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND " +
+      "TIMESTAMP '2024-01-02 23:59:59') OR " +
+      "(ts BETWEEN TIMESTAMP '2024-01-19 00:00:00' AND " +
+      "TIMESTAMP '2024-01-19 23:59:59')")
+    assert(tpDays(scanDirs(qOr)) == Set(day(2), day(19)))
+    assert(qOr.as[Long].collect().toSet == (1 to 100).filter(i =>
+      Set(2, 19).contains(1 + (i - 1) % 20)).map(_.toLong).toSet)
+  }
+
+  test("time-partitioned registered table: dirty buckets are never " +
+      "range-pruned (no resurrection through SQL)") {
+    val dir = tpTable()
+    // key 7 (seed day 7) moves to day 18 at v1 as a MoR delta: its
+    // bucket is dirty. A ts-range query over [day 1, day 10] must NOT
+    // resurrect v0 of key 7 — the fold needs the full chain even
+    // though v1's partition lies outside the queried range.
+    Compaction.merge(spark, dir,
+      Seq((7L, "moved", ts(18), 1L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"),
+      mergeOnRead = true)
+    view(dir, "mp_tp_dirty")
+    val df = spark.sql("SELECT id FROM mp_tp_dirty WHERE " +
+      "ts >= TIMESTAMP '2024-01-01 00:00:00' AND " +
+      "ts <= TIMESTAMP '2024-01-10 23:59:59' ORDER BY id")
+    val expect = (1 to 100).filter(i => { val d = 1 + (i - 1) % 20
+      d <= 10 && i != 7 }).map(_.toLong)
+    assert(df.as[Long].collect().toSeq == expect,
+      "v0 of the moved key must not resurrect under a range query")
+    // the prune is still live AND sound: clean buckets' leaves stay
+    // within the queried days, while the dirty bucket (key 7's) keeps
+    // its full history — including the out-of-range day-18 delta leaf
+    val dirtyBucket = graft.cdc.Bucketing.bucketOfValues(Seq(7L), 8)
+    val all = spark.sql("SELECT id FROM mp_tp_dirty")
+    val (dirtyLeaves, cleanLeaves) = scanDirs(df).partition(
+      _.contains(s"/bucket=$dirtyBucket/"))
+    assert(cleanLeaves.nonEmpty &&
+      tpDays(cleanLeaves).forall(d => d >= 19723 && d <= 19732),
+      s"clean-bucket leaves escaped the range: ${tpDays(cleanLeaves)}")
+    assert(tpDays(dirtyLeaves).contains(19722 + 18),
+      s"the dirty bucket must keep its full history: $dirtyLeaves")
+    assert(scanDirs(df).size < scanDirs(all).size,
+      "the range query must still prune overall")
+  }
+
   test("SQL == programmatic API on the same predicates") {
     val dir = freshTable()
     Compaction.merge(spark,

@@ -49,28 +49,46 @@ class MvSqlSpec extends SparkSpec {
     val viewDir = created.select("location").as[String].head()
     assert(viewDir == s"$base/_mv/mvsql_v")
 
-    // one MV per base: a DIFFERENT name refuses (durable, disk-backed
-    // check), the SAME name re-creates/replaces
-    val e0 = intercept[Exception] {
-      GraftTables.sql(spark,
-        """CREATE MATERIALIZED VIEW mvsql_v2 AS
-          SELECT grp, count(*) AS cnt, sum(price) AS total
-          FROM mvsql_base GROUP BY grp""")
-    }
-    assert(e0.getMessage.contains("one MV per base"), e0.getMessage)
+    // a base carries SEVERAL rollups (r10 item 5): a second, FINER
+    // view registers alongside the first
+    val created2 = GraftTables.sql(spark,
+      """CREATE MATERIALIZED VIEW mvsql_fine AS
+        SELECT grp, id, count(*) AS cnt, sum(price) AS total
+        FROM mvsql_base GROUP BY grp, id""")
+    val fineDir = created2.select("location").as[String].head()
+    assert(fineDir == s"$base/_mv/mvsql_fine")
+
+    // CREATE with the identical definition RE-ATTACHES the durable
+    // view instead of re-seeding it (post-restart recovery): the view
+    // manifest version must not move
+    val vBefore = graft.cdc.TxLog.latest(spark, viewDir).get.version
     GraftTables.sql(spark,
       """CREATE MATERIALIZED VIEW mvsql_v AS
         SELECT grp, count(*) AS cnt, sum(price) AS total
-        FROM mvsql_base GROUP BY grp""") // replace: no error
+        FROM mvsql_base GROUP BY grp""")
+    assert(graft.cdc.TxLog.latest(spark, viewDir).get.version == vBefore,
+      "identical re-CREATE must re-attach, not re-seed")
 
-    // fresh view serves the UNCHANGED dashboard over the table itself
+    // fresh view serves the UNCHANGED dashboard over the table itself;
+    // BOTH rollups match a GROUP BY grp — the CHEAPEST (the 5-row
+    // coarse view, not the 60-row fine one) must win
     val truth0 = asMap(spark.table("mvsql_base")
       .groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
         sum(dec18(col("price"))).cast("double").as("total"))
       .orderBy(col("grp")))
     val q0 = dashboard("mvsql_base")
     assert(Mv.readsView(q0, viewDir), "fresh view should serve")
+    assert(!Mv.readsView(q0, fineDir),
+      "the coarser (cheaper) rollup must win over the finer one")
     assert(asMap(q0) == truth0)
+    // a GROUP BY grp, id matches only the fine view
+    val qFine = spark.table("mvsql_base")
+      .groupBy(col("grp"), col("id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec18(col("price"))).cast("double").as("total"))
+    qFine.queryExecution.optimizedPlan
+    assert(Mv.readsView(qFine, fineDir),
+      "the finer grouping must be served by the fine rollup")
 
     // the base moves: stale view bails to base — correct either way
     Compaction.merge(spark,
@@ -95,11 +113,56 @@ class MvSqlSpec extends SparkSpec {
     assert(GraftTables.sql(spark, "REFRESH MATERIALIZED VIEW mvsql_v")
       .select("batches_applied").as[Long].head() == 0L)
 
-    // DROP removes state and rewrite
+    // REFRESH ALL sweeps every rollup of the base (the fine view is
+    // still one batch behind)
+    val all = GraftTables.sql(spark,
+      "REFRESH ALL MATERIALIZED VIEWS ON mvsql_base")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("mvsql_fine" -> 1L, "mvsql_v" -> 0L), all.toString)
+
+    // DROP removes the dropped view's state and rewrite — the SIBLING
+    // stays armed and keeps serving
     GraftTables.sql(spark, "DROP MATERIALIZED VIEW mvsql_v")
-    assert(!Mv.readsView(dashboard("mvsql_base"), viewDir))
+    val q3 = dashboard("mvsql_base")
+    assert(!Mv.readsView(q3, viewDir))
+    assert(Mv.readsView(q3, fineDir),
+      "dropping one view must not disarm its sibling")
+    assert(asMap(q3) == truth1)
     assert(!graft.cdc.TxLog.fs(spark, viewDir)
       .exists(new org.apache.hadoop.fs.Path(viewDir)))
+    GraftTables.sql(spark, "DROP MATERIALIZED VIEW mvsql_fine")
+  }
+
+  test("REFRESH fails loudly when feed retention outran the view") {
+    MvRewrite.ensureRegistered(spark)
+    val base = tmpDir("mvsqlret")
+    Compaction.init(
+      (1L to 20L).map(i => (i, i % 4, i * 2.0, 0L, false))
+        .toDF("id", "grp", "price", "version", "deleted"),
+      base, Seq("id"), "version", "deleted", nBuckets = 4,
+      clusterBy = Nil, feed = true)
+    GraftTables.register(spark, "mvsqlret_base", base)
+    GraftTables.sql(spark,
+      """CREATE MATERIALIZED VIEW mvsqlret_v AS
+        SELECT grp, count(*) AS cnt, sum(price) AS total
+        FROM mvsqlret_base GROUP BY grp""")
+    // two merges publish feed batches the view has not applied …
+    (1 to 2).foreach { i =>
+      Compaction.merge(spark, base,
+        Seq((100L + i, 1L, 9.0, i.toLong, false))
+          .toDF("id", "grp", "price", "version", "deleted"))
+    }
+    // … and retention releases them before the view catches up
+    // (publish markers stamp millis; step past the current one so the
+    // strict `< cutoff` expiry always sees them as old)
+    Thread.sleep(5)
+    Compaction.maintain(spark, base,
+      maxFeedAge = java.time.Duration.ZERO)
+    val e = intercept[Exception] {
+      GraftTables.sql(spark, "REFRESH MATERIALIZED VIEW mvsqlret_v")
+    }
+    assert(e.getMessage.contains("removed by retention"), e.getMessage)
+    GraftTables.sql(spark, "DROP MATERIALIZED VIEW mvsqlret_v")
   }
 
   test("unsupported shapes and feed-less bases fail with the contract") {

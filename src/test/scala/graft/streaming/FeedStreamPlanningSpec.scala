@@ -90,6 +90,60 @@ class FeedStreamPlanningSpec extends SparkSpec {
     assert(s.listings.get() == listed + 1L)
   }
 
+  test("time-bounded consumers of a partitioned table's feed plan only " +
+      "in-range _tp dirs (r10 item 7)") {
+    val dir = tmpDir("fsp-tp")
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    Compaction.init(
+      Seq((1L, "seed", ts(1), 0L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"),
+      dir, Seq("id"), "version", "deleted", nBuckets = 2,
+      clusterBy = Nil, feed = true,
+      timePartition = Some("days" -> "ts"))
+    // one merge touching THREE days: the batch nests three _tp dirs
+    Compaction.merge(spark, dir,
+      Seq((10L, "a", ts(2), 1L, false), (11L, "b", ts(9), 1L, false),
+        (12L, "c", ts(17), 1L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"))
+    def stream(bounds: Option[(String, String)]) =
+      new FeedBatchStream(dir, None, -1L,
+        rowSchema = Some(StreamingReplicator.feedSchema(spark, dir)
+          .add("batch", LongType, nullable = false)),
+        tpPrune = bounds.flatMap { case (lo, hi) =>
+          FeedBatchSource.tpPruneOf(dir, Some(lo), Some(hi)) })
+    def plannedDays(s: FeedBatchStream): Set[Int] = {
+      val start = s.deserializeOffset("-1")
+      val end = s.latestOffset(start, ReadLimit.allAvailable())
+      s.planInputPartitions(start, end).flatMap {
+        case p: FeedFilePartition =>
+          "_tp=([0-9]+)".r.findFirstMatchIn(p.path).map(_.group(1).toInt)
+        case _ => None
+      }.toSet
+    }
+    // unbounded: all three days' files plan
+    assert(plannedDays(stream(None)) ==
+      Set(19722 + 2, 19722 + 9, 19722 + 17))
+    // bounded to [day 5, day 12]: only day 9's file plans — the
+    // out-of-range _tp dirs are excluded from the file partitions
+    assert(plannedDays(stream(Some(
+      ("2024-01-05 00:00:00", "2024-01-12 23:59:59")))) ==
+      Set(19722 + 9))
+    // bounds on a feed batch published under a DIFFERENT transform
+    // unit must not prune (the dirs' meaning changed): simulate by
+    // renaming the batch's marker unit suffix
+    val fs = TxLog.fs(spark, dir)
+    val batchDir = new Path(s"$dir/feed/batch=0")
+    val marker = fs.listStatus(batchDir).map(_.getPath)
+      .find(_.getName.startsWith("_pub-")).get
+    assert(fs.rename(marker, new Path(batchDir,
+      marker.getName.stripSuffix("-tpdays") + "-tphours")))
+    assert(plannedDays(stream(Some(
+      ("2024-01-05 00:00:00", "2024-01-12 23:59:59")))) ==
+      Set(19722 + 2, 19722 + 9, 19722 + 17),
+      "a unit-mismatched batch must not prune")
+  }
+
   test("a planned range whose batch dir vanished is a loud error " +
       "naming the remediation, never a silent skip") {
     val dir = tmpDir("fsp")
