@@ -1118,19 +1118,39 @@ object Compaction {
     val cut = tpValueOf(unit, bound)
     if (m0.tpMin.exists(_ >= cut)) return 0
     val fs = TxLog.fs(spark, dir)
-    if (m0.dirty.nonEmpty) {
-      val dirtyRoots: Seq[(Int, Path)] = m0.dirty.toSeq.sorted.flatMap {
-        b => (m0.buckets.get(b).toSeq ++ m0.deltas.getOrElse(b, Nil))
-          .map(rel => b -> new Path(s"$dir/data/$rel"))
-      }
-      val affected = listTpDirs(fs, dirtyRoots.map(_._2), _ < cut)
-        .zip(dirtyRoots)
-        .collect { case ((_, ds), (b, _)) if ds.nonEmpty => b }
-        .toSet
-      if (affected.nonEmpty)
+    // fold-then-re-analyze LOOP: each reload after a targeted fold can
+    // absorb a CONCURRENT merge-on-read commit (the reload means our
+    // final commit no longer CAS-conflicts with it), so the dirty/
+    // doomed analysis must re-run on the reloaded snapshot until no
+    // dirty bucket holds a doomed partition — otherwise a below-cut
+    // delta landing in the window would survive the floor stamp and
+    // hide superseded history from every later fold (self-review r11)
+    var m = m0
+    var guard = 0
+    var settled = false
+    while (!settled) {
+      val affected =
+        if (m.dirty.isEmpty) Set.empty[Int]
+        else {
+          val dirtyRoots: Seq[(Int, Path)] = m.dirty.toSeq.sorted.flatMap {
+            b => (m.buckets.get(b).toSeq ++ m.deltas.getOrElse(b, Nil))
+              .map(rel => b -> new Path(s"$dir/data/$rel"))
+          }
+          listTpDirs(fs, dirtyRoots.map(_._2), _ < cut)
+            .zip(dirtyRoots)
+            .collect { case ((_, ds), (b, _)) if ds.nonEmpty => b }
+            .toSet
+        }
+      if (affected.isEmpty) settled = true
+      else {
+        guard += 1
+        require(guard <= 8,
+          "partition retirement cannot settle: concurrent writers " +
+            "keep landing merge-on-read batches below the cut")
         compactBuckets(spark, dir, affected, retainHistory = true)
+        m = loadMeta(spark, dir)
+      }
     }
-    val m = if (m0.dirty.isEmpty) m0 else loadMeta(spark, dir)
     // one listing per live bucket (pooled): the doomed partition dirs
     val bucketSeq = m.buckets.toSeq
     val doomed: Seq[(Int, Path)] = listTpDirs(fs,

@@ -106,12 +106,14 @@ object Replicator {
     // would silently skip those changes and the replica would diverge
     // forever — fail loudly instead; the operator re-inits the
     // replica from a fresh snapshot (Replicator.init re-fences).
-    val feedRoot = new org.apache.hadoop.fs.Path(s"$sourceDir/feed")
-    val fsrc = TxLog.fs(spark, sourceDir)
-    val minAvail = (if (!fsrc.exists(feedRoot)) Nil
-      else fsrc.listStatus(feedRoot).toSeq.map(_.getPath.getName)
-        .collect { case s if s.startsWith("batch=") => s.drop(6).toLong })
-      .minOption.getOrElse(committedHead + 1L)
+    // the RECORDED horizon is authoritative when present (retention
+    // stamps it before deleting and never crosses a recoverable lost
+    // publish); oldest-surviving-dir is the pre-marker legacy fallback
+    // — classifying by dirs alone would misread a repairable crashed
+    // publish below the oldest dir as a permanent retention gap
+    val (hz, minDir) = Compaction.feedFloor(spark, sourceDir)
+    val minAvail =
+      if (hz > 0L) hz else minDir.getOrElse(committedHead + 1L)
     if (last + 1L < minAvail)
       throw new IllegalStateException(
         s"source feed batches ${last + 1}..${minAvail - 1} were " +

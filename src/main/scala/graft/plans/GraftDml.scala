@@ -363,10 +363,14 @@ object GraftTables {
           fail(s"$base is not a registered or catalog maintained table"))
         val fs = TxLog.fs(spark, baseDir)
         val mvRoot = new org.apache.hadoop.fs.Path(s"$baseDir/_mv")
+        // sidecar AND an intact manifest (same gate as CREATE's
+        // re-attach): a half-deleted view dir must be skipped, not
+        // abort the whole sweep and starve the healthy siblings
         val names =
           if (!fs.exists(mvRoot)) Nil
           else fs.listStatus(mvRoot).toSeq.map(_.getPath.getName).sorted
-            .filter(n => fs.exists(mvDefPath(s"$baseDir/_mv/$n")))
+            .filter(n => fs.exists(mvDefPath(s"$baseDir/_mv/$n")) &&
+              TxLog.latest(spark, s"$baseDir/_mv/$n").isDefined)
         val rows = names.map { n =>
           val viewDir = s"$baseDir/_mv/$n"
           // a view unknown to this session (post-restart) re-attaches
@@ -405,8 +409,16 @@ object GraftTables {
     // batch (permanent), and silently applying nothing forever would
     // disarm the rewrite with no signal
     if (srcHead > last) {
-      val minAvail = Compaction.feedFloor(spark, baseDir)._2
-        .getOrElse(srcHead + 1L)
+      // the RECORDED horizon is authoritative when present: retention
+      // always stamps it before deleting, and it never crosses a
+      // recoverable lost publish — so a missing batch at/above it is a
+      // crashed publish (pause below, repairFeed recovers), never a
+      // retention gap. Oldest-surviving-dir is the legacy fallback for
+      // pre-marker feeds only (self-review r11: classifying by oldest
+      // dir misread a repairable gap as permanent).
+      val (hz, minDir) = Compaction.feedFloor(spark, baseDir)
+      val minAvail =
+        if (hz > 0L) hz else minDir.getOrElse(srcHead + 1L)
       if (last + 1L < minAvail)
         GraftDml.fail(
           s"base feed batches ${last + 1}..${minAvail - 1} were " +

@@ -193,9 +193,10 @@ object MergePruning extends Rule[LogicalPlan] {
     // stale plan (manifest advanced since the scan was built): bail.
     // The check runs at the BUCKET-directory level — a time-partitioned
     // table's scan roots are `bucket=N/_tp=M` leaves, whose parent is
-    // the manifest-level unit
-    if (!parsed.forall(p =>
-        info.bucketDirs.values.exists(_.contains(p._2.bucketDir))))
+    // the manifest-level unit. One flattened Set: this runs on the
+    // optimizer hot path over up to buckets×partitions roots.
+    val liveDirSet = info.bucketDirs.values.flatten.toSet
+    if (!parsed.forall(p => liveDirSet.contains(p._2.bucketDir)))
       return None
     // layout agreement: a time-partitioned manifest serves leaf roots,
     // a flat one serves bucket roots — any mismatch is a stale plan
