@@ -159,11 +159,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * clear message, their maintenance stays with their own APIs).
     */
   override def loadTable(ident: Identifier): Table = {
-    if (!isTable(ident)) throw new NoSuchTableException(ident)
+    if (!isTable(ident))
+      return metaTableOf(ident).getOrElse(
+        throw new NoSuchTableException(ident))
     val dir = tableDir(ident)
     tableTypeOf(dir) match {
       case "merge" => new GraftTable(fullName(ident), dir, None)
       case t => new GraftReadOnlyTable(fullName(ident), dir, t)
+    }
+  }
+
+  /** Metadata-table resolution ([[MetaTables]]): `graft.ns.t.history`
+    * (the Iceberg dotted spelling — the base table rides as the LAST
+    * namespace element) or `` graft.ns.`t$history` `` (the Delta
+    * suffix spelling). Only reached when `ident` itself is not a
+    * table, so a real table can never be shadowed.
+    */
+  private def metaTableOf(ident: Identifier): Option[Table] = {
+    val name = ident.name()
+    val cand: Option[(Identifier, String)] = name.split('$') match {
+      case Array(base, kind)
+          if base.nonEmpty && MetaTables.Names(kind.toLowerCase) =>
+        Some((Identifier.of(ident.namespace(), base), kind.toLowerCase))
+      case _ if ident.namespace().nonEmpty &&
+          MetaTables.Names(name.toLowerCase) =>
+        Some((Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last), name.toLowerCase))
+      case _ => None
+    }
+    cand.collect { case (base, kind) if isTable(base) =>
+      MetaTables.table(kind, fullName(ident), tableDir(base))
     }
   }
 

@@ -1079,7 +1079,24 @@ object Compaction {
     * winners must never be decided on a range subset — then filter;
     * compact() restores full pruning.
     */
-  def readTimeRange(spark: SparkSession, dir: String, from: Any,
+  def readTimeRange(spark: SparkSession, dir: String,
+      from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame =
+    readTimeRangeOf(spark, dir, from, to)
+
+  def readTimeRange(spark: SparkSession, dir: String,
+      from: java.time.Instant, to: java.time.Instant): DataFrame =
+    readTimeRangeOf(spark, dir, from, to)
+
+  def readTimeRange(spark: SparkSession, dir: String,
+      from: java.time.LocalDate, to: java.time.LocalDate): DataFrame =
+    readTimeRangeOf(spark, dir, from, to)
+
+  /** Untyped form behind the overloads above (r10 review: typed pairs
+    * catch a date-vs-timestamp unit mismatch at compile time — an
+    * uneven pair no longer resolves). Both bounds are INCLUSIVE and
+    * read as session-zone wall clocks ([[tpValueOf]]).
+    */
+  private def readTimeRangeOf(spark: SparkSession, dir: String, from: Any,
       to: Any): DataFrame = {
     val m = loadMeta(spark, dir)
     val (unit, srcCol) = m.tp.getOrElse(throw new IllegalArgumentException(
@@ -1770,8 +1787,15 @@ object Compaction {
     * surface; reach it from SQL via
     * `GraftTables.sql("DESCRIBE HISTORY t")`.
     */
-  def history(spark: SparkSession, dir: String): DataFrame = {
-    val rows = TxLog.commitTimesOnDisk(spark, dir).map { case (v, ts) =>
+  /** One tuple per retained commit: (version, commit millis, op,
+    * txn_id, base_txn, live rows, dirty buckets) — driver metadata,
+    * zero Spark jobs. Shared by [[history]] and the catalog's
+    * `t$history` metadata table.
+    */
+  private[graft] def historyRows(spark: SparkSession, dir: String)
+      : Seq[(Long, Long, String, Option[String], Option[String],
+          Long, Int)] =
+    TxLog.commitTimesOnDisk(spark, dir).map { case (v, ts) =>
       val snap = TxLog.read(spark, dir, v)
       // base rows + staged MoR delta rows: exact on clean tables, an
       // upper bound on dirty ones (a delta may replay or supersede a
@@ -1780,10 +1804,16 @@ object Compaction {
         case (k, value) if k.startsWith("rows.") ||
           k.startsWith("drows.") => value.toLong
       }.sum
-      org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
-        snap.prop("op").getOrElse("unknown"),
-        snap.prop("txn_id").orNull, snap.prop("base_txn").orNull,
+      (v, ts, snap.prop("op").getOrElse("unknown"),
+        snap.prop("txn_id"), snap.prop("base_txn"),
         rowCount, snap.deltas.size)
+    }
+
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val rows = historyRows(spark, dir).map {
+      case (v, ts, op, txn, base, rowCount, dirty) =>
+        org.apache.spark.sql.Row(v, new java.sql.Timestamp(ts),
+          op, txn.orNull, base.orNull, rowCount, dirty)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),

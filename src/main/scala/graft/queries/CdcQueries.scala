@@ -1206,6 +1206,68 @@ object CdcQueries {
       ranged.crossJoin(orQ)
     }),
 
+    // The change data feed as a BATCH metadata table
+    // (`graft.ns.t.changes`, catalog/MetaTables.scala): raw events —
+    // table columns + _change_type + batch — read through the same
+    // vectorized per-file feed reader the changelog stream uses, with
+    // `batch` predicates pushed down to batch-DIRECTORY pruning
+    // (asserted in-query on the planned partitions). Three planted
+    // batches: snapshot inserts, an overlapping merge (updates +
+    // inserts), a predicate DELETE; the query reads batch >= 1 and the
+    // oracle recomputes the expected events relationally.
+    "sql_changes_table" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val wh = sys.props("java.io.tmpdir") + "/graft-chtbl-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.chcat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.chcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS chcat.ch_src")
+      s.sql("""CREATE TABLE chcat.ch_src (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16', 'feed'='true')""")
+      val ord = Tables.orders(s, dir)
+      // batch 0: the snapshot
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("chtbl_snap")
+      s.sql("INSERT INTO chcat.ch_src SELECT * FROM chtbl_snap")
+      // batch 1: updates (%6 == 0 keys exist) + fresh inserts
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("chtbl_changes")
+      s.sql("INSERT INTO chcat.ch_src SELECT * FROM chtbl_changes")
+      // batch 2: a predicate DELETE through the feed-emitting lowering
+      graft.plans.GraftTables.sql(s,
+        "DELETE FROM chcat.ch_src WHERE id % 7 = 0")
+      val out = s.sql("""SELECT _change_type, count(*) AS n,
+        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        CAST(SUM(id * (version + 1)) AS BIGINT) AS checksum
+        FROM chcat.ch_src.changes WHERE batch >= 1
+        GROUP BY _change_type ORDER BY _change_type""")
+      // the pushed batch bound prunes to exactly the selected dirs
+      // (descend through AQE wrappers: an aggregate plan hides its
+      // scan inside AdaptiveSparkPlanExec until execution)
+      def plannedBatches(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[Long] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => plannedBatches(a.executedPlan)
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.inputPartitions.toSeq.collect {
+          case fp: graft.streaming.FeedFilePartition => fp.batch
+        }
+        case o => o.children.flatMap(plannedBatches)
+      }
+      val planned = plannedBatches(out.queryExecution.executedPlan).toSet
+      require(planned == Set(1L, 2L),
+        s"changes-table batch pruning expected dirs {1, 2}, got $planned")
+      out
+    }),
+
     // TWO materialized views on ONE base (r10 item 5): a coarse
     // rollup by grp and a finer one by (grp, parity) both register;
     // REFRESH ALL MATERIALIZED VIEWS sweeps them after a feed-emitting
@@ -2353,6 +2415,43 @@ object CdcQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-15 23:59:59'""".stripMargin,
+
+    // the expected feed events of batches 1 (merge over the snapshot:
+    // update pre/post images for keys in both, inserts for fresh keys)
+    // and 2 (the DELETE's events: current rows at their stored
+    // version), recomputed relationally
+    "sql_changes_table" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |chg AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 2.00::DECIMAL(18,2)
+        |      AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |state AS (
+        |  SELECT id, price, 1 AS version FROM chg
+        |  UNION ALL
+        |  SELECT id, price, 0 FROM snap
+        |  WHERE id NOT IN (SELECT id FROM chg)),
+        |events AS (
+        |  SELECT 'update_preimage' AS _change_type, s.id, s.price,
+        |    0 AS version
+        |  FROM snap s WHERE s.id IN (SELECT id FROM chg)
+        |  UNION ALL
+        |  SELECT 'update_postimage', c.id, c.price, 1
+        |  FROM chg c WHERE c.id IN (SELECT id FROM snap)
+        |  UNION ALL
+        |  SELECT 'insert', c.id, c.price, 1
+        |  FROM chg c WHERE c.id NOT IN (SELECT id FROM snap)
+        |  UNION ALL
+        |  SELECT 'delete', id, price, version
+        |  FROM state WHERE id % 7 = 0)
+        |SELECT _change_type, count(*) AS n,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  CAST(SUM(id * (version + 1)) AS BIGINT) AS checksum
+        |FROM events GROUP BY _change_type
+        |ORDER BY _change_type""".stripMargin,
 
     // both pruned aggregates recomputed relationally
     "cdc_sql_tp_prune" ->

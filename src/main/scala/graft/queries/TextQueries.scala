@@ -44,6 +44,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // model-based quality filtering (operators.QualityModel — the
+    // FineWeb-Edu-style classifier tier): the logit of a FIXED linear
+    // model over the engine's quality features, integer-scaled
+    // (floor(logit·1e6)) so the per-row IEEE arithmetic — no exp/log —
+    // compares bit-for-bit against DuckDB. The literal weights stand
+    // in for QualityModel.train's output (training reduces floats
+    // across partitions, so the trained model is spec-tested, not
+    // oracled); the expression shape IS QualityModel.scoreScaled's.
+    "quality_model_score" -> ((s, dir) => {
+      val model = graft.operators.QualityModel.Model(
+        bias = -2.5, weights = Seq(2.0, 8.0, 10.0, 1.0))
+      Tables.documents(s, dir).repartition(col("doc_id"))
+        .select(col("doc_id"),
+          graft.operators.QualityModel.scoreScaled(model)(col("text"))
+            .as("logit_scaled"),
+          (graft.operators.QualityModel.score(model)(col("text")) >
+            lit(0.0)).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // quality scoring: punctuation ratio, stopword ratio, mean word len
     "text_quality" -> ((s, dir) => {
       // repartition: spread regexp+tokenize cost across cores (the
@@ -623,6 +643,32 @@ object TextQueries {
         |  length(string_split(text, ' ')) AS n_tokens,
         |  length(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    // the fixed model's logit recomputed with the identical
+    // left-associated IEEE double arithmetic (no exp/log anywhere)
+    "quality_model_score" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopListSql))) AS DOUBLE) AS nstop,
+         |    CAST(length(text) - length(regexp_replace(text,
+         |      '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+         |    CAST(length(text) AS DOUBLE) AS nchars,
+         |    CAST(len(list_distinct(string_split(text, ' ')))
+         |      AS DOUBLE) AS ndist
+         |  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |z AS (
+         |  SELECT doc_id,
+         |    ((((-2.5 + 2.0 * (nt / (nt + 20.0)))
+         |      + 8.0 * (nstop / nt))
+         |      + 10.0 * (npunct / nchars))
+         |      + 1.0 * (ndist / nt)) AS logit
+         |  FROM f)
+         |SELECT doc_id,
+         |  CAST(floor(logit * 1000000.0) AS BIGINT) AS logit_scaled,
+         |  logit > 0.0 AS kept
+         |FROM z ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

@@ -131,7 +131,7 @@ private[streaming] class FeedBatchTable(tableDir: String,
   * any). Feed publishes are atomic directory renames with a committed
   * monotonic counter, so the id order IS the publish order.
   */
-private[streaming] case class FeedBatchOffset(batch: Long) extends Offset {
+private[graft] case class FeedBatchOffset(batch: Long) extends Offset {
   override def json(): String = batch.toString
 }
 
@@ -395,7 +395,7 @@ private[streaming] object FeedBatchReaderFactory
   }
 }
 
-private[streaming] case class FeedFilePartition(path: String, len: Long,
+private[graft] case class FeedFilePartition(path: String, len: Long,
     batch: Long) extends InputPartition
 
 /** Data-row mode reader: one published feed parquet file per
