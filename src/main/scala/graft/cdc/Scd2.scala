@@ -126,6 +126,31 @@ object Scd2 {
     "delete_col" -> deleteCol, "n_buckets" -> nBuckets.toString,
     "schema_json" -> schemaJson)
 
+  /** The committed history-retention floor ([[expireHistoryBefore]]),
+    * carried through every later rewrite — a merge/compact/rebucket
+    * that dropped it would silently re-arm `asOf` below the floor.
+    */
+  private def floorProp(snap: TxLog.Snapshot): Map[String, String] =
+    snap.prop("expired_before").map("expired_before" -> _).toMap
+
+  /** `aStr <= b` under the version column's type (`aStr` a stringified
+    * manifest stat, `b` a raw bound); a failed cast/compare answers
+    * `true` — the conservative direction for candidate selection.
+    */
+  private def typedLe(aStr: String, b: Any,
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.StringType
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val la = Cast(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(aStr), StringType),
+      dt, tz)
+    LessThanOrEqual(la, Cast(Literal(b), dt, tz)).eval() match {
+      case x: java.lang.Boolean => x
+      case _ => true
+    }
+  }
+
   /** One read of the driver-side manifest per public call — merge needs
     * the key columns, the bucket count, the stored schema AND the live
     * bucket map — pure bookkeeping that costs zero Spark jobs.
@@ -291,7 +316,7 @@ object Scd2 {
       txn.installAndCommit(
         staged.map(b => b -> txn.bucketRel(b)).toMap,
         coreProps(m.keys, m.versionCol, m.deleteCol, newNBuckets,
-          m.schema.json) ++
+          m.schema.json) ++ floorProp(m.snap) ++
           Compaction.rowProps(Compaction.stagedStats(
             spark, txn.staging, staged, m.versionCol)))
       TxLog.hygiene {
@@ -340,6 +365,14 @@ object Scd2 {
     */
   def asOf(spark: SparkSession, dir: String, v: Any): DataFrame = {
     val m = loadMeta(spark, dir)
+    // below the committed retention floor the history is GONE —
+    // answering would silently reconstruct a partial state
+    m.snap.prop("expired_before").foreach { floor =>
+      require(typedLe(floor, v, m.schema(m.versionCol).dataType),
+        s"asOf($v) predates the expired-history floor $floor " +
+          s"(expireHistoryBefore ran); rows superseded before it were " +
+          "retired and the state cannot be reconstructed")
+    }
     val (versionCol, deleteCol) = (m.versionCol, m.deleteCol)
     storedData(spark, dir, m).drop("bucket")
       .filter(col(versionCol) <= lit(v) &&
@@ -455,7 +488,7 @@ object Scd2 {
     val rows = newStats.values.map(_.rows).sum
     txn.installAndCommit(newBuckets,
       coreProps(keys, versionCol, deleteCol, nBuckets, schemaJson) ++
-        carried ++ Compaction.rowProps(newStats))
+        floorProp(m.snap) ++ carried ++ Compaction.rowProps(newStats))
     TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(touched, rows)
   }
@@ -537,9 +570,99 @@ object Scd2 {
     // the base bucket map is UNCHANGED — that is the whole point
     txn.installAndCommit(m.buckets,
       coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
-        schemaJson) ++ carried ++ deltaProps)
+        schemaJson) ++ floorProp(m.snap) ++ carried ++ deltaProps)
     TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(touched, deltaRows)
+  }
+
+  /** History retention: drop every interval row SUPERSEDED at or
+    * before `cut` — closed rows with `valid_to <= cut`, plus dead
+    * keys' open tombstones at `version <= cut` (the "forget deleted
+    * entities" half) — keeping, per key, the exact suffix of its
+    * version chain that covers `cut` onward. The state `current()` and
+    * every `asOf(t >= cut)` answer are UNCHANGED (survivors are a
+    * per-key chain suffix, so no surviving interval is re-derived);
+    * `asOf(t < cut)` now fails loudly on the committed
+    * `expired_before` floor instead of answering from partial history.
+    * Destructive like [[Compaction.vacuum]].
+    *
+    * Scale shape: candidate buckets are chosen from the manifest's
+    * `minv` zone maps (a doomed row implies a successor — or its own
+    * tombstone — at `version <= cut`, so its bucket's min valid_from
+    * is `<= cut`); only candidates are read and rewritten, each delta
+    * chain among them folding in the same pass (expire doubles as
+    * their compaction). A bucket whose history expires COMPLETELY
+    * leaves the bucket map — the one Scd2 operation that can shrink a
+    * bucket. Returns the number of history rows dropped.
+    */
+  def expireHistoryBefore(spark: SparkSession, dir: String,
+      cut: Any, retainHistory: Boolean = false): Long =
+    TxLog.withOcc(spark, dir) {
+      val m = loadMeta(spark, dir)
+      val vType = m.schema(m.versionCol).dataType
+      val floorStr = stringifyBound(cut, vType)
+      // monotone floor: a cut at or below the committed one is a no-op
+      // (re-running retention must not rewrite anything)
+      if (m.snap.prop("expired_before")
+          .exists(old => typedLe(floorStr, old, vType)))
+        return 0L
+      val candidates = m.liveIds.filter { b =>
+        m.dirty.contains(b) ||
+          m.snap.prop(s"minv.$b").forall(typedLe(_, cut, vType))
+      }
+      TxLog.sweep(spark, dir)
+      val txn = new TableTxn(spark, dir, m.snap.version)
+      if (candidates.isEmpty) {
+        // nothing can hold a doomed row — still commit the floor so
+        // asOf below it refuses from now on
+        txn.installAndCommit(m.buckets,
+          m.snap.props -- Seq("txn_id", "base_txn") +
+            ("expired_before" -> floorStr))
+        TxLog.hygiene(txn.cleanup())
+        return 0L
+      }
+      val cutLit = lit(cut).cast(vType)
+      val folded = liveView(spark, dir, m, candidates)
+      val doomed = (col("valid_to").isNotNull &&
+        col("valid_to") <= cutLit) ||
+        (Compaction.isDeleted(m.deleteCol) &&
+          col(m.versionCol) <= cutLit)
+      val before = folded.count()
+      folded.filter(!doomed)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket") +: m.keyCols: _*)
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"${txn.staging}/data")
+      // an entirely-expired bucket stages nothing and leaves the map
+      val staged = txn.stagedBucketIds()
+      val carried = m.snap.props.filter { case (k, _) =>
+        Seq("rows.", "minv.", "maxv.", "delta.", "drows.", "dmaxv.")
+          .exists(p =>
+            k.startsWith(p) && !candidates.contains(k.drop(p.length).toInt))
+      }
+      val newStats = Compaction.stagedStats(
+        spark, txn.staging, staged, m.versionCol)
+      txn.installAndCommit(
+        (m.buckets -- candidates) ++ staged.map(b => b -> txn.bucketRel(b)),
+        coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
+          m.schema.json) ++ carried ++ Compaction.rowProps(newStats) +
+          ("expired_before" -> floorStr))
+      TxLog.hygiene {
+        txn.cleanup()
+        if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
+      }
+      before - newStats.values.map(_.rows).sum
+    }
+
+  /** Stringify a retention bound in the version column's type — the
+    * round-trippable form [[typedLe]] casts back.
+    */
+  private def stringifyBound(cut: Any,
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    String.valueOf(Cast(Cast(Literal(cut), dt, tz), StringType, tz).eval())
   }
 
   /** Fold every delta chain of length ≥ `minDeltas` back into its
@@ -571,7 +694,7 @@ object Scd2 {
       txn.installAndCommit(
         (m.buckets -- dirty) ++ staged.map(b => b -> txn.bucketRel(b)).toMap,
         coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
-          m.schema.json) ++ carried ++
+          m.schema.json) ++ floorProp(m.snap) ++ carried ++
           Compaction.rowProps(Compaction.stagedStats(
             spark, txn.staging, staged, m.versionCol)))
       TxLog.hygiene {

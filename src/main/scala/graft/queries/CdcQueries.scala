@@ -1861,6 +1861,45 @@ object CdcQueries {
           sum(col("valid_to")).as("sum_valid_to"))
     }),
 
+    // SCD2 history retention (Scd2.expireHistoryBefore): rows
+    // superseded at or before the cut retire — per key, exactly the
+    // suffix of its version chain covering the cut survives — so
+    // current() and every asOf at/after the cut are UNCHANGED, while
+    // asOf below the committed floor refuses (asserted in-query). The
+    // merge-on-read batch proves expire folds delta chains in the same
+    // pass. Oracle = the survivor set recomputed with a lead window
+    // over the full changelog plus the same retention predicate.
+    "scd2_expire_history" -> ((s, dir) => {
+      val st = Tables.events(s, dir).select(
+        col("user_id").as("uid"), col("event_id").as("version"),
+        col("event_type").as("payload"),
+        (col("event_type") === "error").as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-scd2exp-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Scd2.init(st.filter(col("version") % 4 =!= 0), tableDir,
+        key = "uid", versionCol = "version", deleteCol = "deleted",
+        nBuckets = 16)
+      graft.cdc.Scd2.merge(s, tableDir,
+        st.filter(col("version") % 4 === 0), mergeOnRead = true)
+      graft.cdc.Scd2.expireHistoryBefore(s, tableDir, 5000L)
+      // the committed floor fences time travel below it
+      val fenced =
+        try { graft.cdc.Scd2.asOf(s, tableDir, 4999L).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      require(fenced, "asOf below the expired-history floor must refuse")
+      val hist = graft.cdc.Scd2.read(s, tableDir)
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+          sum(col("version")).as("sum_version"),
+          sum(col("valid_to")).as("sum_valid_to"))
+      val asof = graft.cdc.Scd2.asOf(s, tableDir, 5000L)
+        .groupBy()
+        .agg(count(lit(1)).as("n_asof"),
+          sum(col("version")).as("sum_asof_version"))
+      hist.crossJoin(asof)
+    }),
+
     // SCD2 merge-on-read: the same history pipeline with the two
     // follow-up batches landing as O(changes) delta files (base
     // buckets untouched), a PARTIAL compact folding only the longest
@@ -2041,6 +2080,39 @@ object CdcQueries {
         |  CAST(sum(version) AS BIGINT) AS sum_version,
         |  CAST(sum(valid_to) AS BIGINT) AS sum_valid_to
         |FROM h""".stripMargin,
+
+    // the survivor suffix of each key's chain (retention predicate
+    // over a lead window) plus the unchanged as-of slice
+    "scd2_expire_history" ->
+      """WITH st AS (
+        |  SELECT user_id AS uid, event_id AS version,
+        |    (event_type = 'error') AS deleted
+        |  FROM events),
+        |w AS (
+        |  SELECT uid, version, deleted,
+        |    lead(version) OVER (PARTITION BY uid ORDER BY version)
+        |      AS valid_to
+        |  FROM st),
+        |surv AS (
+        |  SELECT *, (valid_to IS NULL AND NOT deleted) AS is_current
+        |  FROM w
+        |  WHERE (valid_to IS NULL OR valid_to > 5000)
+        |    AND NOT (deleted AND version <= 5000)),
+        |asof_slice AS (
+        |  SELECT * FROM w
+        |  WHERE version <= 5000
+        |    AND (valid_to IS NULL OR valid_to > 5000)
+        |    AND NOT deleted)
+        |SELECT
+        |  (SELECT count(*) FROM surv) AS n_rows,
+        |  (SELECT CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM surv) AS n_current,
+        |  (SELECT CAST(sum(version) AS BIGINT) FROM surv) AS sum_version,
+        |  (SELECT CAST(sum(valid_to) AS BIGINT) FROM surv)
+        |    AS sum_valid_to,
+        |  (SELECT count(*) FROM asof_slice) AS n_asof,
+        |  (SELECT CAST(sum(version) AS BIGINT) FROM asof_slice)
+        |    AS sum_asof_version""".stripMargin,
 
     // identical recompute: the fold must be invisible to results
     "cdc_scd2_mor" ->

@@ -48,6 +48,7 @@ class GlobalPlanAuditSpec extends SparkSpec {
     "curation_pipeline",   // stats scalar broadcast at the tail
     "cdc_counts",          // single-row summary cross
     "cdc_sql_tp_prune",    // two 1-row prune-proof summaries crossed
+    "scd2_expire_history", // 1-row history × as-of summaries crossed
     "cdc_minmax_ts",       // single-row summary
     "cdc_table_checksum",  // 3-scalar fold
     "agg_sketches",        // single-row sketch summary
