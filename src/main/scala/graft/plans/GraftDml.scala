@@ -121,6 +121,9 @@ object GraftTables {
   private val DropPartRe =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+""" +
       """SPEC\s*;?\s*""").r
+  private val ExpireRe =
+    ("""(?is)\s*EXPIRE\s+HISTORY\s+([\w.`]+)\s+BEFORE\s+""" +
+      """(?:TIMESTAMP\s+'([^']+)'|(-?\d+))\s*;?\s*""").r
 
   private def maintenanceSql(spark: SparkSession,
       sqlText: String): Option[DataFrame] = {
@@ -176,7 +179,47 @@ object GraftTables {
           GraftTables.refresh(spark, name)
           Seq((name, "none")).toDF("table", "partition_spec")
         }
+      // SCD2 history retention (Scd2.expireHistoryBefore): resolved
+      // OUTSIDE dirFor — resolveName deliberately refuses scd2 tables
+      // for merge-semantics DML, but this verb's target must BE one
+      case ExpireRe(name, ts, num) =>
+        scd2DirFor(spark, name).map { dir =>
+          val bound: Any = if (ts != null) ts else num.toLong
+          val dropped = graft.cdc.Scd2.expireHistoryBefore(
+            spark, dir, bound)
+          Seq((name, dropped)).toDF("table", "rows_expired")
+        }
       case _ => None
+    }
+  }
+
+  /** Resolve `name` (registered, or a graft-catalog identifier) to a
+    * table dir REQUIRED to be scd2 — the inverse gate of
+    * [[GraftDml.resolveName]], which refuses scd2 for merge DML.
+    */
+  private def scd2DirFor(spark: SparkSession,
+      name: String): Option[String] = {
+    val parts = GraftDml.splitIdentifier(name)
+    val dirOpt: Option[String] =
+      if (parts.size == 1) GraftTables.dirOf(spark, parts.head)
+      else {
+        val cat = try spark.sessionState.catalogManager.catalog(parts.head)
+          catch { case scala.util.control.NonFatal(_) => return None }
+        cat match {
+          case g: graft.catalog.GraftCatalog =>
+            val ident = org.apache.spark.sql.connector.catalog.Identifier
+              .of(parts.tail.init.toArray, parts.last)
+            if (g.tableExists(ident)) Some(g.tableDir(ident)) else None
+          case _ => None
+        }
+      }
+    dirOpt.map { dir =>
+      val t = TxLog.latest(spark, dir).flatMap(_.prop("table_type"))
+      if (!t.contains("scd2"))
+        GraftDml.fail(s"$name is a ${t.getOrElse("?")} table; EXPIRE " +
+          "HISTORY applies to scd2 history tables — merge tables " +
+          "retire time partitions with RETIRE PARTITIONS, or vacuum")
+      dir
     }
   }
 

@@ -94,6 +94,36 @@ class Scd2ExpireSpec extends SparkSpec {
     assert(stateOf(Scd2.asOf(spark, dir, 0L)).nonEmpty)
   }
 
+  test("EXPIRE HISTORY SQL verb resolves catalog scd2 tables; merge tables refuse") {
+    val (dir, _) = build()
+    val w = tmpDir("scd2-expire-wh")
+    spark.conf.set("spark.sql.catalog.xcat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.xcat.warehouse", w)
+    // attach the existing history by LOCATION (type-checked by CREATE)
+    spark.sql(s"""CREATE TABLE xcat.hist (
+        id BIGINT, payload STRING, version BIGINT, deleted BOOLEAN)
+        USING scd2 TBLPROPERTIES ('keys'='id') LOCATION '$dir'""")
+    val cur = stateOf(Scd2.current(spark, dir))
+    val out = graft.plans.GraftTables.sql(spark,
+      "EXPIRE HISTORY xcat.hist BEFORE 2")
+      .collect().head
+    assert(out.getString(0) == "xcat.hist" && out.getLong(1) > 0)
+    assert(stateOf(Scd2.current(spark, dir)) == cur)
+    intercept[IllegalArgumentException] {
+      Scd2.asOf(spark, dir, 1L).count()
+    }
+    // a merge table refuses loudly instead of misapplying scd2 rules
+    spark.sql("""CREATE TABLE xcat.m (
+        id BIGINT, v DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='2')""")
+    val e = intercept[Exception] {
+      graft.plans.GraftTables.sql(spark,
+        "EXPIRE HISTORY xcat.m BEFORE 2")
+    }
+    assert(e.getMessage.contains("EXPIRE"), e.getMessage)
+  }
+
   test("expire folds merge-on-read deltas and the floor survives merges") {
     val (dir, _) = build()
     Scd2.merge(spark, dir,
