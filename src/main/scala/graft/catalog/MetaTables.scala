@@ -340,6 +340,17 @@ private[catalog] final class GraftChangesScan(fullName: String,
     // (writer crashed between commit and publish) caps the read at the
     // gap — repairFeed recovers it — instead of skipping it silently
     val published = Replicator.publishedThrough(spark, dir, bLo - 1, bHi)
+    // an EXPLICIT upper bound reaching past the gap must fail loudly:
+    // the caller named a range and would otherwise read a silent
+    // prefix of it; unbounded reads serve the contiguous prefix (the
+    // stream's hold-at-the-gap behavior, batch-shaped)
+    if (hi != Long.MaxValue && published < bHi)
+      throw new IllegalStateException(
+        s"feed batch ${published + 1} of $dir is committed but not " +
+          "published (writer crashed between commit and publish?); " +
+          s"the requested range reaches batch $bHi — run " +
+          "graft.cdc.Compaction.repairFeed to finish the publish, or " +
+          s"bound the read at batch <= $published")
     // force the retention/fence state before planning file partitions
     stream.planInputPartitions(
       graft.streaming.FeedBatchOffset(bLo - 1),

@@ -589,9 +589,10 @@ object Scd2 {
     * Scale shape: candidate buckets are chosen from the manifest's
     * `minv` zone maps (a doomed row implies a successor — or its own
     * tombstone — at `version <= cut`, so its bucket's min valid_from
-    * is `<= cut`); only candidates are read and rewritten, each delta
-    * chain among them folding in the same pass (expire doubles as
-    * their compaction). A bucket whose history expires COMPLETELY
+    * is `<= cut`), then ONE column-pruned probe narrows candidates to
+    * the buckets actually holding a doomed row — only those are
+    * rewritten (O(doomed history) writes), each delta chain among them
+    * folding in the same pass (expire doubles as their compaction). A bucket whose history expires COMPLETELY
     * leaves the bucket map — the one Scd2 operation that can shrink a
     * bucket. Returns the number of history rows dropped.
     */
@@ -612,21 +613,33 @@ object Scd2 {
       }
       TxLog.sweep(spark, dir)
       val txn = new TableTxn(spark, dir, m.snap.version)
-      if (candidates.isEmpty) {
-        // nothing can hold a doomed row — still commit the floor so
-        // asOf below it refuses from now on
+      val cutLit = lit(cut).cast(vType)
+      val doomed = (col("valid_to").isNotNull &&
+        col("valid_to") <= cutLit) ||
+        (Compaction.isDeleted(m.deleteCol) &&
+          col(m.versionCol) <= cutLit)
+      // PROBE pass: `minv <= cut` admits every bucket whose oldest key
+      // predates the cut — on a table whose keys were mostly created
+      // early and never superseded, that is ALL of them, and rewriting
+      // them would make retention O(table). One column-pruned scan
+      // (keys/version/tombstone/valid_to — never the payload) finds
+      // the buckets that actually HOLD a doomed row; only those
+      // rewrite, so the write side stays O(doomed history).
+      val affected: Set[Int] =
+        if (candidates.isEmpty) Set.empty
+        else liveView(spark, dir, m, candidates)
+          .filter(doomed).select(col("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSet
+      if (affected.isEmpty) {
+        // nothing to drop — still commit the floor so asOf below it
+        // refuses from now on
         txn.installAndCommit(m.buckets,
           m.snap.props -- Seq("txn_id", "base_txn") +
             ("expired_before" -> floorStr))
         TxLog.hygiene(txn.cleanup())
         return 0L
       }
-      val cutLit = lit(cut).cast(vType)
-      val folded = liveView(spark, dir, m, candidates)
-      val doomed = (col("valid_to").isNotNull &&
-        col("valid_to") <= cutLit) ||
-        (Compaction.isDeleted(m.deleteCol) &&
-          col(m.versionCol) <= cutLit)
+      val folded = liveView(spark, dir, m, affected)
       val before = folded.count()
       folded.filter(!doomed)
         .repartition(col("bucket"))
@@ -638,12 +651,12 @@ object Scd2 {
       val carried = m.snap.props.filter { case (k, _) =>
         Seq("rows.", "minv.", "maxv.", "delta.", "drows.", "dmaxv.")
           .exists(p =>
-            k.startsWith(p) && !candidates.contains(k.drop(p.length).toInt))
+            k.startsWith(p) && !affected.contains(k.drop(p.length).toInt))
       }
       val newStats = Compaction.stagedStats(
         spark, txn.staging, staged, m.versionCol)
       txn.installAndCommit(
-        (m.buckets -- candidates) ++ staged.map(b => b -> txn.bucketRel(b)),
+        (m.buckets -- affected) ++ staged.map(b => b -> txn.bucketRel(b)),
         coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
           m.schema.json) ++ carried ++ Compaction.rowProps(newStats) +
           ("expired_before" -> floorStr))
