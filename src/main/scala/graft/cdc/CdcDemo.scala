@@ -285,6 +285,19 @@ object CdcDemo {
       "SELECT qty FROM demo.feed_dst WHERE id = 3").as[Long].head()
     println(s"feed: changelog stream replicated $dstN/$srcN rows " +
       s"(tombstone dropped id=7, widened qty(3)=$wide)")
+
+    // round 11: metadata tables — commit history, live files, and the
+    // change feed as a BATCH table with batch-dir pruning, from SQL
+    val histN = spark.sql("SELECT count(*) FROM demo.feed_src.history")
+      .as[Long].head()
+    val fileN = spark.sql("SELECT count(*) FROM demo.feed_src.files")
+      .as[Long].head()
+    val chg = spark.sql("""SELECT _change_type, count(*) AS n
+        FROM demo.feed_src.changes WHERE batch >= 1
+        GROUP BY _change_type ORDER BY _change_type""")
+      .as[(String, Long)].collect().toSeq
+    println(s"meta: history=$histN commits, files=$fileN, " +
+      s"changes(batch>=1)=${chg.mkString(",")}")
     spark.stop()
   }
 }
