@@ -374,34 +374,7 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     val tpIvs: Seq[(Int, Int)] = tpSpec match {
       case None => Compaction.TpAll
       case Some((u, c)) =>
-        import org.apache.spark.sql.sources._
-        val All = Compaction.TpAll
-        def tpOf(v: Any): Option[Int] =
-          scala.util.Try(Compaction.tpValueOf(u, v)).toOption
-        def point(v: Any): Seq[(Int, Int)] =
-          tpOf(v).map(d => Seq((d, d))).getOrElse(All)
-        def walk(f: Filter): Seq[(Int, Int)] = f match {
-          case And(l, r) => Compaction.tpIntersect(walk(l), walk(r))
-          case Or(l, r) => Compaction.tpUnion(walk(l), walk(r))
-          case GreaterThan(a, v) if a.equalsIgnoreCase(c) =>
-            tpOf(v).map(d => Seq((d, Int.MaxValue))).getOrElse(All)
-          case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(c) =>
-            tpOf(v).map(d => Seq((d, Int.MaxValue))).getOrElse(All)
-          case LessThan(a, v) if a.equalsIgnoreCase(c) =>
-            tpOf(v).map(d => Seq((Int.MinValue, d))).getOrElse(All)
-          case LessThanOrEqual(a, v) if a.equalsIgnoreCase(c) =>
-            tpOf(v).map(d => Seq((Int.MinValue, d))).getOrElse(All)
-          case EqualTo(a, v) if a.equalsIgnoreCase(c) => point(v)
-          case EqualNullSafe(a, v)
-              if a.equalsIgnoreCase(c) && v != null => point(v)
-          case In(a, vs) if a.equalsIgnoreCase(c) =>
-            // a NULL comparand matches no row — skipping it is sound
-            vs.toSeq.filter(_ != null).map(point)
-              .foldLeft(Seq.empty[(Int, Int)])(Compaction.tpUnion)
-          case _ => All
-        }
-        pushed.map(walk)
-          .foldLeft(Compaction.TpAll)(Compaction.tpIntersect)
+        Compaction.tpIvsFromFilters(pushed.toSeq, u, c)
     }
     // `rangeOk = false` for DIRTY (merge-on-read) buckets: their fold
     // decides winners over the full surviving history, so only the

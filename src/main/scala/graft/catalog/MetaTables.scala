@@ -232,6 +232,7 @@ private[catalog] final class ChangesScanBuilder(fullName: String,
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
   private var pushedArr: Array[Filter] = Array.empty
+  private var allFilters: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
 
   private def longOf(v: Any): Option[Long] = v match {
@@ -264,6 +265,7 @@ private[catalog] final class ChangesScanBuilder(fullName: String,
       case _ => false
     }
     pushedArr = accepted
+    allFilters = filters
     filters // Spark re-applies everything above the scan
   }
 
@@ -272,15 +274,37 @@ private[catalog] final class ChangesScanBuilder(fullName: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftChangesScan(fullName, dir, required, lo, hi,
+  override def build(): Scan = {
+    // `_tp` admission for a TIME-PARTITIONED source: the options range
+    // intersected with whatever interval union the pushed filters
+    // imply for the partition source column (`WHERE ts >= X` on
+    // t.changes skips out-of-range partition dirs INSIDE each batch —
+    // same walk as the data scan, Compaction.tpIvsFromFilters).
+    // Unit-mismatched batches never prune (checked per batch marker).
+    val spark = SparkSession.active
+    val fromOptions = graft.streaming.FeedBatchSource.tpPruneOf(dir,
       Option(options.get("timeLowerBound")),
       Option(options.get("timeUpperBound")))
+    val tpSpec: Option[(String, String)] =
+      TxLog.latest(spark, dir).flatMap(snap =>
+        for { u <- snap.prop("tp_unit"); c <- snap.prop("tp_col") }
+          yield (u, c))
+    val fromFilters: Option[(String, Seq[(Int, Int)])] =
+      tpSpec.map { case (u, c) =>
+        u -> Compaction.tpIvsFromFilters(allFilters.toSeq, u, c)
+      }.filter(_._2 != Compaction.TpAll)
+    val tpPrune = (fromOptions, fromFilters) match {
+      case (Some((u, a)), Some((_, b))) =>
+        Some((u, Compaction.tpIntersect(a, b)))
+      case (a, b) => a.orElse(b)
+    }
+    new GraftChangesScan(fullName, dir, required, lo, hi, tpPrune)
+  }
 }
 
 private[catalog] final class GraftChangesScan(fullName: String,
     dir: String, required: StructType, lo: Long, hi: Long,
-    timeLower: Option[String], timeUpper: Option[String])
+    tpPrune: Option[(String, Seq[(Int, Int)])])
     extends Scan with Batch {
 
   private def spark: SparkSession = SparkSession.active
@@ -313,8 +337,7 @@ private[catalog] final class GraftChangesScan(fullName: String,
       rowSchema = Some(required),
       changelogDeleteCol = None,
       spellings = spellings,
-      tpPrune = graft.streaming.FeedBatchSource.tpPruneOf(
-        dir, timeLower, timeUpper))
+      tpPrune = tpPrune)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -282,6 +282,45 @@ object Compaction {
   private[graft] def tpAdmits(ivs: Seq[(Int, Int)], n: Int): Boolean =
     ivs.exists { case (lo, hi) => n >= lo && n <= hi }
 
+  /** `_tp` interval bounds implied by pushed DSv2 source filters for
+    * the partition source column `c` under `unit`: AND intersects, OR
+    * unions, IN is a union of points; anything the walk cannot type
+    * lands on the all-covering interval (conservative both ways).
+    * Shared by the catalog data scan and the `t.changes` metadata
+    * table — one walk, one behavior.
+    */
+  private[graft] def tpIvsFromFilters(
+      pushed: Seq[org.apache.spark.sql.sources.Filter],
+      unit: String, c: String): Seq[(Int, Int)] = {
+    import org.apache.spark.sql.sources._
+    val All = TpAll
+    def tpOf(v: Any): Option[Int] =
+      scala.util.Try(tpValueOf(unit, v)).toOption
+    def point(v: Any): Seq[(Int, Int)] =
+      tpOf(v).map(d => Seq((d, d))).getOrElse(All)
+    def walk(f: Filter): Seq[(Int, Int)] = f match {
+      case And(l, r) => tpIntersect(walk(l), walk(r))
+      case Or(l, r) => tpUnion(walk(l), walk(r))
+      case GreaterThan(a, v) if a.equalsIgnoreCase(c) =>
+        tpOf(v).map(d => Seq((d, Int.MaxValue))).getOrElse(All)
+      case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(c) =>
+        tpOf(v).map(d => Seq((d, Int.MaxValue))).getOrElse(All)
+      case LessThan(a, v) if a.equalsIgnoreCase(c) =>
+        tpOf(v).map(d => Seq((Int.MinValue, d))).getOrElse(All)
+      case LessThanOrEqual(a, v) if a.equalsIgnoreCase(c) =>
+        tpOf(v).map(d => Seq((Int.MinValue, d))).getOrElse(All)
+      case EqualTo(a, v) if a.equalsIgnoreCase(c) => point(v)
+      case EqualNullSafe(a, v)
+          if a.equalsIgnoreCase(c) && v != null => point(v)
+      case In(a, vs) if a.equalsIgnoreCase(c) =>
+        // a NULL comparand matches no row — skipping it is sound
+        vs.toSeq.filter(_ != null).map(point)
+          .foldLeft(Seq.empty[(Int, Int)])(tpUnion)
+      case _ => All
+    }
+    pushed.map(walk).foldLeft(TpAll)(tpIntersect)
+  }
+
   /** Parse a `_tp=<n>` directory name. NULL partition-source values
     * are refused at write time ([[withTp]]), so a non-numeric value —
     * Hive's `__HIVE_DEFAULT_PARTITION__` from an external writer —

@@ -88,7 +88,7 @@ object FeedBatchSource {
     * transform unit than the table's current one, is never pruned.
     */
   private[graft] def tpPruneOf(path: String, lower: Option[String],
-      upper: Option[String]): Option[(String, Int, Int)] = {
+      upper: Option[String]): Option[(String, Seq[(Int, Int)])] = {
     if (lower.isEmpty && upper.isEmpty) return None
     val unit = graft.cdc.TxLog.latest(SparkSession.active, path)
       .flatMap(_.prop("tp_unit")).getOrElse(return None)
@@ -96,7 +96,7 @@ object FeedBatchSource {
       .getOrElse(Int.MinValue)
     val hi = upper.map(graft.cdc.Compaction.tpValueOf(unit, _))
       .getOrElse(Int.MaxValue)
-    Some((unit, lo, hi))
+    Some((unit, Seq((lo, hi))))
   }
 }
 
@@ -105,7 +105,7 @@ private[streaming] class FeedBatchTable(tableDir: String,
     startingBatch: Long,
     emitRows: Boolean = false,
     rowSchema: Option[StructType] = None,
-    tpPrune: Option[(String, Int, Int)] = None)
+    tpPrune: Option[(String, Seq[(Int, Int)])] = None)
     extends Table with SupportsRead {
 
   override def name(): String = s"graft-feed($tableDir)"
@@ -149,11 +149,13 @@ private[graft] class FeedBatchStream(tableDir: String,
     rowSchema: Option[StructType] = None,
     changelogDeleteCol: Option[String] = None,
     spellings: Map[String, Seq[String]] = Map.empty,
-    /** (unit, lo, hi): `_tp` admission range for time-bounded
-      * consumers of a TIME-PARTITIONED table's feed — see
-      * [[FeedBatchSource.tpPruneOf]].
+    /** (unit, interval union): `_tp` admission for time-bounded
+      * consumers of a TIME-PARTITIONED table's feed — from the
+      * `timeLowerBound`/`timeUpperBound` options
+      * ([[FeedBatchSource.tpPruneOf]]) and/or, on the `t.changes`
+      * batch table, pushed filters on the partition source column.
       */
-    tpPrune: Option[(String, Int, Int)] = None)
+    tpPrune: Option[(String, Seq[(Int, Int)])] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -326,8 +328,8 @@ private[graft] class FeedBatchStream(tableDir: String,
     val unit = graft.cdc.Compaction.batchTpUnit(
       top.map(_.getPath.getName))
     val admit: Int => Boolean = tpPrune match {
-      case Some((u, lo, hi)) if unit.contains(u) =>
-        n => n >= lo && n <= hi
+      case Some((u, ivs)) if unit.contains(u) =>
+        n => graft.cdc.Compaction.tpAdmits(ivs, n)
       case _ => _ => true
     }
     top.flatMap { st =>

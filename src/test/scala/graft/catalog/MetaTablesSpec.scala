@@ -132,6 +132,29 @@ class MetaTablesSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("changes reads prune _tp dirs from pushed time predicates") {
+    sqlc("""CREATE TABLE mcat.mtc (
+        id BIGINT, ts TIMESTAMP, version BIGINT, deleted BOOLEAN)
+        PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('keys'='id', 'buckets'='4', 'feed'='true')""")
+    sqlc("""INSERT INTO mcat.mtc SELECT id,
+        timestamp'2024-01-10 06:00:00' + make_interval(0,0,0,CAST(id % 4 AS INT)),
+        0L, false FROM range(200)""")
+    // WHERE on the partition source column prunes partition dirs
+    // INSIDE the feed batch — days 19732..19735, bound keeps 2
+    val q = sqlc("""SELECT id FROM mcat.mtc.changes
+        WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-12 23:59:59'""")
+    val days = q.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.inputPartitions.collect {
+        case p: graft.streaming.FeedFilePartition =>
+          "_tp=([0-9]+)".r.findFirstMatchIn(p.path).map(_.group(1).toInt)
+      }.flatten
+    }.getOrElse(fail("no BatchScanExec")).toSet
+    assert(days == Set(19733, 19734), s"planned _tp dirs: $days")
+    assert(q.count() == 100L) // ids with id % 4 in {1, 2}
+  }
+
   test("changes read below the retention horizon fails loudly") {
     sqlc("""CREATE TABLE mcat.mr (
         id BIGINT, v DOUBLE, version BIGINT, deleted BOOLEAN)
