@@ -208,13 +208,24 @@ object Compaction {
       roots: Seq[Path], admit: Int => Boolean = _ => true,
       pooled: Boolean = true)
       : Seq[(Path, Seq[org.apache.hadoop.fs.FileStatus])] = {
-    def ls(ps: Seq[Path]): Seq[(Path, Seq[org.apache.hadoop.fs.FileStatus])] = {
-      def one(p: Path) = p -> (
-        try fs.listStatus(p).toSeq
-        catch { case _: java.io.FileNotFoundException => Nil })
-      if (pooled) listDirs(fs, ps).map { case (p, a) => p -> a.toSeq }
-      else ps.map(one)
-    }
+    // FileNotFound-tolerant in BOTH branches: a dir referenced by the
+    // manifest snapshot we just read can vanish under a concurrent
+    // commit + vacuum; a missing dir lists as empty (the conservative
+    // read) instead of failing the whole metadata pass
+    def one(p: Path) = p -> (
+      try fs.listStatus(p).toSeq
+      catch { case _: java.io.FileNotFoundException =>
+        Seq.empty[org.apache.hadoop.fs.FileStatus] })
+    def ls(ps: Seq[Path]): Seq[(Path, Seq[org.apache.hadoop.fs.FileStatus])] =
+      if (!pooled || ps.lengthCompare(4) <= 0) ps.map(one)
+      else {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(listingPool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(ps)(p =>
+            scala.concurrent.Future(one(p))),
+          scala.concurrent.duration.Duration.Inf)
+      }
     val top = ls(roots)
     // admitted _tp dirs across every root, listed in one pooled round
     val tpDirs: Seq[(Int, Path)] = top.zipWithIndex.flatMap {

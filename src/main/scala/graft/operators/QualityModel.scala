@@ -36,7 +36,10 @@ object QualityModel {
 
   /** Ordered feature vector: name -> per-row expression. All bounded
     * [0, ~1] by construction (ratios and a saturating length), so
-    * gradient descent needs no standardization pass.
+    * gradient descent needs no standardization pass. An EMPTY text
+    * yields NaN ratios (0/0) that poison gradient sums — run the
+    * pipeline's length gate first (curation always does); the score
+    * of such a row is NaN on every engine identically.
     */
   def features(text: Column): Seq[(String, Column)] = {
     val nTokens = TextFunctions.tokenCount(text).cast("double")
