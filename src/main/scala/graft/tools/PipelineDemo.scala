@@ -51,6 +51,26 @@ object PipelineDemo {
       f"(mean input chars ${funnel.meanInputChars}%.1f)")
     println(s"[demo] curated survivors: $nCurated")
 
+    // 1b. model-based quality tier (FineWeb-Edu style): train the
+    // linear classifier ON the corpus with weak labels from the
+    // heuristic gate itself (curation survivors = positive, gated-out
+    // = negative), then score the survivors — the composition a real
+    // pipeline runs: heuristics bootstrap the model, the model ranks
+    val survivorIds = spark.read.parquet(curatedDir)
+      .select(col("doc_id")).withColumn("label", lit(1.0))
+    val weak = raw.join(survivorIds, Seq("doc_id"), "left")
+      .select(col("text"),
+        coalesce(col("label"), lit(0.0)).as("label"))
+    val model = graft.operators.QualityModel.train(
+      weak, "text", "label", iters = 30)
+    val sep = weak.withColumn("logit",
+      graft.operators.QualityModel.score(model)(col("text")))
+      .groupBy(col("label")).agg(avg(col("logit")).as("mean_logit"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    println(f"[demo] quality model: trained on ${f("input")} weak " +
+      f"labels; mean logit survivors=${sep(1.0)}%.2f vs " +
+      f"gated-out=${sep(0.0)}%.2f (separated=${sep(1.0) > sep(0.0)})")
+
     // 2. PII scrub (narrow, in place)
     val scrubbed = spark.read.parquet(curatedDir)
       .withColumn("text", PipelineQueries.scrubPii(col("text")))
