@@ -37,7 +37,7 @@ import graft.cdc.{Compaction, Replicator, TxLog}
   * pruning (reading "changes since batch k" lists and opens only
   * `batch>k` dirs — O(selected), never O(feed)).
   */
-private[catalog] object MetaTables {
+private[graft] object MetaTables {
 
   val Names: Set[String] = Set("history", "files", "partitions", "changes")
 
@@ -54,7 +54,53 @@ private[catalog] object MetaTables {
     * (days/hours divide the epoch directly; months/years are calendar
     * fields in the session zone, matching the write side).
     */
-  private[catalog] def tpStartMicros(unit: String, n: Int): Long = {
+  /** (bucket, kind, tp, status) for every live data file — ONE pooled
+    * leaf listing over every base + delta dir of the current snapshot.
+    * Shared by the `files`/`partitions` metadata tables and the
+    * `SHOW FILES` / `SHOW PARTITIONS` SQL verbs.
+    */
+  private[graft] def fileEntries(spark: SparkSession, dir: String)
+      : Seq[(Int, String, Option[Int],
+          org.apache.hadoop.fs.FileStatus)] = {
+    val m = ScanMeta.load(spark, dir, None)
+    val fs = TxLog.fs(spark, dir)
+    val roots: Seq[(Int, String, Path)] =
+      m.buckets.toSeq.sortBy(_._1).map { case (b, rel) =>
+        (b, "base", new Path(s"$dir/data/$rel")) } ++
+      m.deltas.toSeq.sortBy(_._1).flatMap { case (b, rels) =>
+        rels.map(rel => (b, "delta", new Path(s"$dir/data/$rel"))) }
+    Compaction.listTpLeaves(fs, roots.map(_._3)).zip(roots).flatMap {
+      case ((_, leaves), (b, k, _)) =>
+        leaves.filter(st => st.isFile &&
+            !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))
+          .map { st =>
+            val parent = st.getPath.getParent.getName
+            val tp = if (parent.startsWith("_tp="))
+              Some(Compaction.tpDirValue(parent)) else None
+            (b, k, tp, st)
+          }
+    }
+  }
+
+  /** Per-partition rollup of [[fileEntries]]: (tp, unit, files, bytes,
+    * buckets) — empty for a flat table.
+    */
+  private[graft] def partitionEntries(spark: SparkSession, dir: String)
+      : Seq[(Int, String, Long, Long, Int)] =
+    TxLog.latest(spark, dir).flatMap(_.prop("tp_unit")) match {
+      case None => Nil
+      case Some(unit) =>
+        fileEntries(spark, dir)
+          .collect { case (b, _, Some(tp), st) => (tp, b, st.getLen) }
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (tp, group) =>
+            (tp, unit, group.size.toLong, group.map(_._3).sum,
+              group.map(_._2).distinct.size)
+          }
+    }
+
+  private[graft] def tpStartMicros(unit: String, n: Int): Long = {
     val zone = java.time.ZoneId.of(
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val instant = unit match {
@@ -123,32 +169,6 @@ private[catalog] final class GraftLocalMetaTable(fullName: String,
     }
   }
 
-  /** (bucket, kind, tp, status) for every live data file — ONE pooled
-    * leaf listing over every base + delta dir of the current snapshot.
-    */
-  private def fileEntries(): Seq[(Int, String, Option[Int],
-      org.apache.hadoop.fs.FileStatus)] = {
-    val m = ScanMeta.load(spark, dir, None)
-    val fs = TxLog.fs(spark, dir)
-    val roots: Seq[(Int, String, Path)] =
-      m.buckets.toSeq.sortBy(_._1).map { case (b, rel) =>
-        (b, "base", new Path(s"$dir/data/$rel")) } ++
-      m.deltas.toSeq.sortBy(_._1).flatMap { case (b, rels) =>
-        rels.map(rel => (b, "delta", new Path(s"$dir/data/$rel"))) }
-    Compaction.listTpLeaves(fs, roots.map(_._3)).zip(roots).flatMap {
-      case ((_, leaves), (b, k, _)) =>
-        leaves.filter(st => st.isFile &&
-            !st.getPath.getName.startsWith(".") &&
-            !st.getPath.getName.startsWith("_"))
-          .map { st =>
-            val parent = st.getPath.getParent.getName
-            val tp = if (parent.startsWith("_tp="))
-              Some(Compaction.tpDirValue(parent)) else None
-            (b, k, tp, st)
-          }
-    }
-  }
-
   private def computeRows(): Array[InternalRow] = kind match {
     case "history" =>
       Compaction.historyRows(spark, dir).map {
@@ -159,28 +179,19 @@ private[catalog] final class GraftLocalMetaTable(fullName: String,
             : InternalRow
       }.toArray
     case "files" =>
-      fileEntries().map { case (b, k, tp, st) =>
+      MetaTables.fileEntries(spark, dir).map { case (b, k, tp, st) =>
         new GenericInternalRow(Array[Any](b, MetaTables.utf8(k),
           tp.map(Int.box).orNull,
           MetaTables.utf8(st.getPath.toString), st.getLen,
           st.getModificationTime * 1000L)): InternalRow
       }.toArray
     case "partitions" =>
-      val m = ScanMeta.load(spark, dir, None)
-      m.props.get("tp_unit") match {
-        case None => Array.empty // flat table: no partitions
-        case Some(unit) =>
-          fileEntries()
-            .collect { case (b, _, Some(tp), st) => (tp, b, st.getLen) }
-            .groupBy(_._1).toSeq.sortBy(_._1)
-            .map { case (tp, group) =>
-              new GenericInternalRow(Array[Any](tp,
-                MetaTables.tpStartMicros(unit, tp),
-                MetaTables.utf8(unit), group.size.toLong,
-                group.map(_._3).sum,
-                group.map(_._2).distinct.size)): InternalRow
-            }.toArray
-      }
+      MetaTables.partitionEntries(spark, dir).map {
+        case (tp, unit, files, bytes, buckets) =>
+          new GenericInternalRow(Array[Any](tp,
+            MetaTables.tpStartMicros(unit, tp),
+            MetaTables.utf8(unit), files, bytes, buckets)): InternalRow
+      }.toArray
     case k => throw new IllegalArgumentException(s"unknown meta table $k")
   }
 }

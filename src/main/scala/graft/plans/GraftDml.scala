@@ -124,6 +124,13 @@ object GraftTables {
   private val ExpireRe =
     ("""(?is)\s*EXPIRE\s+HISTORY\s+([\w.`]+)\s+BEFORE\s+""" +
       """(?:TIMESTAMP\s+'([^']+)'|(-?\d+))\s*;?\s*""").r
+  private val ShowFilesRe =
+    """(?is)\s*SHOW\s+FILES\s+([\w.`]+)\s*;?\s*""".r
+  private val ShowPartsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*""".r
+  private val ShowChangesRe =
+    ("""(?is)\s*SHOW\s+CHANGES\s+([\w.`]+)\s+FROM\s+(\d+)""" +
+      """(?:\s+TO\s+(\d+))?\s*;?\s*""").r
 
   private def maintenanceSql(spark: SparkSession,
       sqlText: String): Option[DataFrame] = {
@@ -189,7 +196,65 @@ object GraftTables {
             spark, dir, bound)
           Seq((name, dropped)).toDF("table", "rows_expired")
         }
+      // inspection verbs for REGISTERED-name users — the SQL twins of
+      // the catalog metadata tables (t.files / t.partitions /
+      // t.changes, catalog/MetaTables.scala); any maintained type
+      case ShowFilesRe(name) =>
+        anyDirFor(spark, name).map { dir =>
+          graft.catalog.MetaTables.fileEntries(spark, dir)
+            .map { case (b, k, tp, st) =>
+              (b, k, tp, st.getPath.toString, st.getLen,
+                new java.sql.Timestamp(st.getModificationTime))
+            }.toDF("bucket", "kind", "partition", "path",
+              "size_bytes", "modified_at")
+        }
+      case ShowPartsRe(name) =>
+        anyDirFor(spark, name).map { dir =>
+          graft.catalog.MetaTables.partitionEntries(spark, dir)
+            .map { case (tp, unit, files, bytes, buckets) =>
+              (tp, new java.sql.Timestamp(
+                graft.catalog.MetaTables.tpStartMicros(unit, tp) / 1000L),
+                unit, files, bytes, buckets)
+            }.toDF("partition", "starts_at", "unit", "files",
+              "size_bytes", "buckets")
+        }
+      // batch-range changes read by NAME: readFeed's `batch` is a
+      // partition column, so the range filter prunes batch DIRS at
+      // plan time — the registered-name twin of t.changes
+      case ShowChangesRe(name, from, to) =>
+        anyDirFor(spark, name).map { dir =>
+          if (!Compaction.feedEnabled(spark, dir))
+            GraftDml.fail(s"$name has no change data feed: enable it with " +
+              "TBLPROPERTIES ('feed'='true') / feed = true")
+          val lower = org.apache.spark.sql.functions
+            .col("batch") >= from.toLong
+          val bound = Option(to).map(t =>
+            lower && org.apache.spark.sql.functions
+              .col("batch") <= t.toLong).getOrElse(lower)
+          Compaction.readFeed(spark, dir).filter(bound)
+        }
       case _ => None
+    }
+  }
+
+  /** Resolve `name` (registered, or a graft-catalog identifier) to its
+    * table dir with NO table-type gate — the inspection verbs serve
+    * merge and scd2 tables alike.
+    */
+  private def anyDirFor(spark: SparkSession,
+      name: String): Option[String] = {
+    val parts = GraftDml.splitIdentifier(name)
+    if (parts.size == 1) GraftTables.dirOf(spark, parts.head)
+    else {
+      val cat = try spark.sessionState.catalogManager.catalog(parts.head)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      cat match {
+        case g: graft.catalog.GraftCatalog =>
+          val ident = org.apache.spark.sql.connector.catalog.Identifier
+            .of(parts.tail.init.toArray, parts.last)
+          if (g.tableExists(ident)) Some(g.tableDir(ident)) else None
+        case _ => None
+      }
     }
   }
 
@@ -198,22 +263,8 @@ object GraftTables {
     * [[GraftDml.resolveName]], which refuses scd2 for merge DML.
     */
   private def scd2DirFor(spark: SparkSession,
-      name: String): Option[String] = {
-    val parts = GraftDml.splitIdentifier(name)
-    val dirOpt: Option[String] =
-      if (parts.size == 1) GraftTables.dirOf(spark, parts.head)
-      else {
-        val cat = try spark.sessionState.catalogManager.catalog(parts.head)
-          catch { case scala.util.control.NonFatal(_) => return None }
-        cat match {
-          case g: graft.catalog.GraftCatalog =>
-            val ident = org.apache.spark.sql.connector.catalog.Identifier
-              .of(parts.tail.init.toArray, parts.last)
-            if (g.tableExists(ident)) Some(g.tableDir(ident)) else None
-          case _ => None
-        }
-      }
-    dirOpt.map { dir =>
+      name: String): Option[String] =
+    anyDirFor(spark, name).map { dir =>
       val t = TxLog.latest(spark, dir).flatMap(_.prop("table_type"))
       if (!t.contains("scd2"))
         GraftDml.fail(s"$name is a ${t.getOrElse("?")} table; EXPIRE " +
@@ -221,7 +272,6 @@ object GraftTables {
           "retire time partitions with RETIRE PARTITIONS, or vacuum")
       dir
     }
-  }
 
   // ---- derived-table DDL: materialized views over maintained tables ----
   //

@@ -155,6 +155,44 @@ class MetaTablesSpec extends SparkSpec {
     assert(q.count() == 100L) // ids with id % 4 in {1, 2}
   }
 
+  test("SHOW FILES / PARTITIONS / CHANGES verbs serve registered names") {
+    import graft.plans.GraftTables
+    val dir = tmpDir("meta-show") + "/t"
+    val ev = spark.range(120).select(col("id"),
+      (expr("timestamp'2024-02-01 06:00:00'") +
+        expr("make_interval(0,0,0,CAST(id % 3 AS INT))")).as("ts"),
+      lit(0L).as("version"), lit(false).as("deleted"))
+    Compaction.init(ev, dir, Seq("id"), "version", "deleted",
+      nBuckets = 4, clusterBy = Nil, feed = true,
+      timePartition = Some("days" -> "ts"))
+    Compaction.merge(spark, dir, ev.filter(col("id") % 5 === 0)
+      .withColumn("version", lit(1L)))
+    GraftTables.register(spark, "showt", dir)
+
+    val files = GraftTables.sql(spark, "SHOW FILES showt").collect()
+    assert(files.nonEmpty &&
+      files.forall(_.getAs[Long]("size_bytes") > 0))
+    val parts = GraftTables.sql(spark, "SHOW PARTITIONS showt")
+      .orderBy("partition").collect()
+    // 2024-02-01..03 = days 19754..19756
+    assert(parts.map(_.getInt(0)).toSeq == Seq(19754, 19755, 19756))
+    // batch range filter prunes to the selected batch dirs AND rows
+    // init seeds no feed events; the merge publishes batch 0
+    val chg = GraftTables.sql(spark, "SHOW CHANGES showt FROM 0 TO 0")
+    assert(chg.select("batch").distinct().as[Int].collect().toSeq
+      == Seq(0))
+    assert(chg.count() == 48L) // 24 keys x update pre+post images
+    // feed-less tables refuse loudly
+    val flat = tmpDir("meta-show-nofeed") + "/t"
+    Compaction.init(ev, flat, Seq("id"), "version", "deleted",
+      nBuckets = 2)
+    GraftTables.register(spark, "showflat", flat)
+    val e = intercept[Exception] {
+      GraftTables.sql(spark, "SHOW CHANGES showflat FROM 0")
+    }
+    assert(e.getMessage.contains("feed"))
+  }
+
   test("changes read below the retention horizon fails loudly") {
     sqlc("""CREATE TABLE mcat.mr (
         id BIGINT, v DOUBLE, version BIGINT, deleted BOOLEAN)
