@@ -570,10 +570,18 @@ final class GraftTable(tableName: String, val dir: String,
   override def properties(): util.Map[String, String] = {
     val (keys, versionCol, deleteCol, nBuckets) =
       Compaction.readMeta(spark, dir)
+    // surface the lifecycle state DESCRIBE EXTENDED should show: the
+    // time-partition spec and the committed retention floor
+    val snap = TxLog.latest(spark, dir)
+    val lifecycle = snap.toSeq.flatMap { s =>
+      s.prop("tp_unit").zip(s.prop("tp_col")).map { case (u, c) =>
+        "partition_spec" -> s"$u($c)" } ++
+        s.prop("tp_min").map("partition_floor" -> _)
+    }
     (Map(TableCatalog.PROP_PROVIDER -> "graft", "keys" -> keys,
       "version_col" -> versionCol, "delete_col" -> deleteCol,
       "buckets" -> nBuckets.toString,
-      TableCatalog.PROP_LOCATION -> dir) ++
+      TableCatalog.PROP_LOCATION -> dir) ++ lifecycle ++
       (if (Compaction.feedEnabled(spark, dir)) Map("feed" -> "true")
        else Map.empty)).asJava
   }
@@ -794,9 +802,13 @@ final class GraftReadOnlyTable(tableName: String, val dir: String,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def properties(): util.Map[String, String] =
-    Map(TableCatalog.PROP_PROVIDER -> "graft",
+    (Map(TableCatalog.PROP_PROVIDER -> "graft",
       "table_type" -> tableType,
-      TableCatalog.PROP_LOCATION -> dir).asJava
+      TableCatalog.PROP_LOCATION -> dir) ++
+      // an expired-history floor is the one lifecycle fact a reader
+      // of an scd2 table must know (asOf below it refuses)
+      TxLog.latest(spark, dir).flatMap(_.prop("expired_before"))
+        .map("expired_before" -> _)).asJava
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
