@@ -220,17 +220,44 @@ object GraftTables {
         }
       // batch-range changes read by NAME: readFeed's `batch` is a
       // partition column, so the range filter prunes batch DIRS at
-      // plan time — the registered-name twin of t.changes
+      // plan time — the registered-name twin of t.changes, with the
+      // SAME fences (a silent gap here while the catalog route fails
+      // loudly would be the worse kind of asymmetry)
       case ShowChangesRe(name, from, to) =>
         anyDirFor(spark, name).map { dir =>
           if (!Compaction.feedEnabled(spark, dir))
             GraftDml.fail(s"$name has no change data feed: enable it with " +
               "TBLPROPERTIES ('feed'='true') / feed = true")
+          val fromB = from.toLong
+          val head = TxLog.latest(spark, dir)
+            .map(_.counter("next_feed_batch") - 1L).getOrElse(-1L)
+          val toB = Option(to).map(_.toLong)
+          val hiB = math.min(toB.getOrElse(head), head)
+          // retention fence: batches below the recorded horizon are
+          // gone — reading past them silently omits their changes
+          val (hz, minDir) = Compaction.feedFloor(spark, dir)
+          val minAvail = if (hz > 0L) hz
+            else minDir.getOrElse(if (head >= fromB) head + 1L else fromB)
+          if (fromB < minAvail && fromB <= hiB)
+            GraftDml.fail(s"feed batches $fromB..${minAvail - 1} of " +
+              s"$name were removed by retention — start the read at " +
+              s"FROM $minAvail, or re-seed from a table snapshot")
+          // committed-but-unpublished batch inside the range: a crashed
+          // publish would be a SILENT MIDDLE GAP in this read — refuse
+          // and name the remediation (repairFeed), like the stream and
+          // the catalog changes table
+          val published = graft.cdc.Replicator.publishedThrough(
+            spark, dir, fromB - 1L, hiB)
+          if (published < hiB)
+            GraftDml.fail(s"feed batch ${published + 1} of $name is " +
+              "committed but not published (writer crashed between " +
+              "commit and publish?) — run Compaction.repairFeed, or " +
+              s"bound the read with TO $published")
           val lower = org.apache.spark.sql.functions
-            .col("batch") >= from.toLong
-          val bound = Option(to).map(t =>
+            .col("batch") >= fromB
+          val bound = toB.map(t =>
             lower && org.apache.spark.sql.functions
-              .col("batch") <= t.toLong).getOrElse(lower)
+              .col("batch") <= t).getOrElse(lower)
           Compaction.readFeed(spark, dir).filter(bound)
         }
       case _ => None

@@ -191,6 +191,18 @@ class MetaTablesSpec extends SparkSpec {
       GraftTables.sql(spark, "SHOW CHANGES showflat FROM 0")
     }
     assert(e.getMessage.contains("feed"))
+    // retention-deleted range refuses loudly (catalog-route parity),
+    // and a read starting at the surviving floor answers
+    Compaction.merge(spark, dir, ev.filter(col("id") % 7 === 0)
+      .withColumn("version", lit(2L)))
+    val live = graft.cdc.TxLog.latestVersion(spark, dir).get
+    Compaction.vacuum(spark, dir, live, feedBefore = 1L)
+    val er = intercept[Exception] {
+      GraftTables.sql(spark, "SHOW CHANGES showt FROM 0")
+    }
+    assert(er.getMessage.contains("retention"), er.getMessage)
+    assert(GraftTables.sql(spark, "SHOW CHANGES showt FROM 1")
+      .count() > 0)
   }
 
   test("changes read below the retention horizon fails loudly") {
