@@ -316,7 +316,8 @@ private[catalog] final class ChangesScanBuilder(fullName: String,
 private[catalog] final class GraftChangesScan(fullName: String,
     dir: String, required: StructType, lo: Long, hi: Long,
     tpPrune: Option[(String, Seq[(Int, Int)])])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -324,6 +325,30 @@ private[catalog] final class GraftChangesScan(fullName: String,
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-changes($fullName, batch in [$lo, $hi])"
+
+  /** Planned-file byte sum — free at estimate time (the partitions
+    * are memoized per batch), so a SMALL selected change range joins
+    * broadcast instead of inheriting Spark's never-broadcast default
+    * for statless v2 scans. Row count stays unknown (feed events per
+    * byte vary); sizeInBytes alone drives the broadcast decision.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes =
+      try planInputPartitions().collect {
+        case p: graft.streaming.FeedFilePartition => p.len
+      }.sum
+      catch { case scala.util.control.NonFatal(_) =>
+        // estimation must never throw where execution would (the
+        // retention/gap fences fire loudly at execution)
+        Long.MaxValue }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   /** The feed machinery in data-row mode: per-published-file
     * partitions, memoized listings, schema-evolution spellings, `_tp`

@@ -121,6 +121,14 @@ class MetaTablesSpec extends SparkSpec {
     val one = sqlc("SELECT id FROM mcat.mc.changes WHERE batch = 2")
     assert(changeBatches(one).toSet == Set(2L))
     assert(one.as[Long].collect().sorted.toSeq == (90L to 99L))
+    // a small selected range reports its planned bytes, so the join
+    // BROADCASTS the changes side instead of shuffling the big table
+    val joined = spark.table("mcat.mc")
+      .join(sqlc("SELECT id, batch FROM mcat.mc.changes WHERE batch = 2"),
+        Seq("id"))
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, joined.queryExecution.executedPlan.toString)
     // matches the programmatic feed read exactly
     val dir = s"$warehouse/mc"
     val expect = Compaction.readFeed(spark, dir)
