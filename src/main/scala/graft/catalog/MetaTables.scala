@@ -222,6 +222,17 @@ private[catalog] final class GraftChangesTable(fullName: String,
         s"no committed manifest under $dir"))
     val base = org.apache.spark.sql.types.DataType
       .fromJson(snap.props("schema_json")).asInstanceOf[StructType]
+    // the feed's metadata columns are appended by NAME: a base table
+    // already carrying either would produce ambiguous fields and the
+    // feed reader's projection would shadow the user's data — refuse
+    // loudly rather than serve a silently-wrong changes table
+    val clash = base.fieldNames.filter(n =>
+      n.equalsIgnoreCase("_change_type") || n.equalsIgnoreCase("batch"))
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$fullName: base table columns ${clash.mkString(", ")} collide " +
+          "with the changes table's metadata columns (_change_type, " +
+          "batch) — rename them before reading the change feed")
     StructType(base.fields)
       .add("_change_type", StringType, nullable = false)
       .add("batch", LongType, nullable = false)

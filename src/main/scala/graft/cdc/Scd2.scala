@@ -134,11 +134,18 @@ object Scd2 {
     snap.prop("expired_before").map("expired_before" -> _).toMap
 
   /** `aStr <= b` under the version column's type (`aStr` a stringified
-    * manifest stat, `b` a raw bound); a failed cast/compare answers
-    * `true` — the conservative direction for candidate selection.
+    * manifest stat, `b` a raw bound). `onFailedCompare` is what a
+    * failed cast/compare answers, and the safe direction DIFFERS per
+    * call site (r11 advice): candidate-bucket selection must ADMIT the
+    * bucket (`true` — over-scanning is safe, skipping is not), while
+    * the asOf fence must REFUSE the read and the monotone-floor check
+    * must RUN retention (`false` — an un-comparable bound silently
+    * no-opping retention, or admitting a read below the expired floor,
+    * are both wrong-direction defaults).
     */
   private def typedLe(aStr: String, b: Any,
-      dt: org.apache.spark.sql.types.DataType): Boolean = {
+      dt: org.apache.spark.sql.types.DataType,
+      onFailedCompare: Boolean): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, LessThanOrEqual, Literal}
     import org.apache.spark.sql.types.StringType
     val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
@@ -147,7 +154,7 @@ object Scd2 {
       dt, tz)
     LessThanOrEqual(la, Cast(Literal(b), dt, tz)).eval() match {
       case x: java.lang.Boolean => x
-      case _ => true
+      case _ => onFailedCompare
     }
   }
 
@@ -368,7 +375,10 @@ object Scd2 {
     // below the committed retention floor the history is GONE —
     // answering would silently reconstruct a partial state
     m.snap.prop("expired_before").foreach { floor =>
-      require(typedLe(floor, v, m.schema(m.versionCol).dataType),
+      // onFailedCompare=false: an un-comparable asOf bound REFUSES —
+      // admitting it would read below the expired floor
+      require(typedLe(floor, v, m.schema(m.versionCol).dataType,
+          onFailedCompare = false),
         s"asOf($v) predates the expired-history floor $floor " +
           s"(expireHistoryBefore ran); rows superseded before it were " +
           "retired and the state cannot be reconstructed")
@@ -604,12 +614,17 @@ object Scd2 {
       val floorStr = stringifyBound(cut, vType)
       // monotone floor: a cut at or below the committed one is a no-op
       // (re-running retention must not rewrite anything)
+      // onFailedCompare=false: an un-comparable committed floor must
+      // not silently no-op a HIGHER cut (retention would never run)
       if (m.snap.prop("expired_before")
-          .exists(old => typedLe(floorStr, old, vType)))
+          .exists(old => typedLe(floorStr, old, vType,
+            onFailedCompare = false)))
         return 0L
       val candidates = m.liveIds.filter { b =>
         m.dirty.contains(b) ||
-          m.snap.prop(s"minv.$b").forall(typedLe(_, cut, vType))
+          // onFailedCompare=true: un-comparable stat ADMITS the bucket
+          m.snap.prop(s"minv.$b").forall(typedLe(_, cut, vType,
+            onFailedCompare = true))
       }
       TxLog.sweep(spark, dir)
       val txn = new TableTxn(spark, dir, m.snap.version)

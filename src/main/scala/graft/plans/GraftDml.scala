@@ -242,23 +242,30 @@ object GraftTables {
             GraftDml.fail(s"feed batches $fromB..${minAvail - 1} of " +
               s"$name were removed by retention — start the read at " +
               s"FROM $minAvail, or re-seed from a table snapshot")
-          // committed-but-unpublished batch inside the range: a crashed
-          // publish would be a SILENT MIDDLE GAP in this read — refuse
-          // and name the remediation (repairFeed), like the stream and
-          // the catalog changes table
+          // committed-but-unpublished batch inside the range (crashed
+          // publish). The catalog t.changes route's rule, verbatim
+          // (r11 advice — the two routes must share the SAME fence):
+          // an EXPLICIT TO reaching past the gap fails loudly (the
+          // caller named batches this read cannot serve); the
+          // unbounded form serves the contiguous published prefix —
+          // the gap caps the read instead of a middle batch silently
+          // vanishing from it
           val published = graft.cdc.Replicator.publishedThrough(
             spark, dir, fromB - 1L, hiB)
-          if (published < hiB)
-            GraftDml.fail(s"feed batch ${published + 1} of $name is " +
-              "committed but not published (writer crashed between " +
-              "commit and publish?) — run Compaction.repairFeed, or " +
-              s"bound the read with TO $published")
-          val lower = org.apache.spark.sql.functions
-            .col("batch") >= fromB
-          val bound = toB.map(t =>
-            lower && org.apache.spark.sql.functions
-              .col("batch") <= t).getOrElse(lower)
-          Compaction.readFeed(spark, dir).filter(bound)
+          val capped = toB match {
+            case Some(_) =>
+              if (published < hiB)
+                GraftDml.fail(s"feed batch ${published + 1} of $name " +
+                  "is committed but not published (writer crashed " +
+                  "between commit and publish?) — run " +
+                  "Compaction.repairFeed, or bound the read with " +
+                  s"TO $published")
+              hiB
+            case None => published
+          }
+          val c = org.apache.spark.sql.functions.col("batch")
+          Compaction.readFeed(spark, dir)
+            .filter(c >= fromB && c <= capped)
         }
       case _ => None
     }

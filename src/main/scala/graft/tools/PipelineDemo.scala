@@ -67,9 +67,13 @@ object PipelineDemo {
       graft.operators.QualityModel.score(model)(col("text")))
       .groupBy(col("label")).agg(avg(col("logit")).as("mean_logit"))
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // a weak-label class can be EMPTY (e.g. curation gated nothing
+    // out): report NaN separation instead of throwing (r11 advice)
+    val pos = sep.getOrElse(1.0, Double.NaN)
+    val neg = sep.getOrElse(0.0, Double.NaN)
     println(f"[demo] quality model: trained on ${f("input")} weak " +
-      f"labels; mean logit survivors=${sep(1.0)}%.2f vs " +
-      f"gated-out=${sep(0.0)}%.2f (separated=${sep(1.0) > sep(0.0)})")
+      f"labels; mean logit survivors=$pos%.2f vs " +
+      f"gated-out=$neg%.2f (separated=${pos > neg})")
 
     // 2. PII scrub (narrow, in place)
     val scrubbed = spark.read.parquet(curatedDir)

@@ -213,6 +213,51 @@ class MetaTablesSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("unbounded SHOW CHANGES caps at the contiguous published " +
+      "prefix across a lost publish; an explicit TO past the gap " +
+      "fails loudly (catalog-route parity)") {
+    import graft.plans.GraftTables
+    import graft.cdc.TxLog
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("meta-show-gap") + "/t"
+    val ev = spark.range(40).select(col("id"),
+      col("id").cast("double").as("v"),
+      lit(0L).as("version"), lit(false).as("deleted"))
+    Compaction.init(ev, dir, Seq("id"), "version", "deleted",
+      nBuckets = 2, clusterBy = Nil, feed = true)
+    // retainHistory: repairFeed resolves the crashed txn through its
+    // committed manifest version, which a default vacuum would drop
+    def mergeV(v: Long): Unit = Compaction.merge(spark, dir,
+      ev.withColumn("version", lit(v)).withColumn("v", col("v") + v),
+      retainHistory = true)
+    mergeV(1L) // feed batch 0
+    mergeV(2L) // feed batch 1
+    // fabricate the crashed publish: batch 1's dir back into staging
+    val fs = TxLog.fs(spark, dir)
+    val snap = TxLog.latest(spark, dir).get
+    val txn = snap.prop("feed_txn").get
+    val staged = new Path(s"$dir/.staging-$txn/feed")
+    fs.mkdirs(staged.getParent)
+    assert(fs.rename(new Path(s"$dir/feed/batch=1"), staged))
+    mergeV(3L) // feed batch 2 — published, beyond the gap
+    GraftTables.register(spark, "showgap", dir)
+    // unbounded: serves batches 0..0 (the contiguous published
+    // prefix), never a silent middle gap
+    val open = GraftTables.sql(spark, "SHOW CHANGES showgap FROM 0")
+    assert(open.select("batch").distinct().as[Long].collect().toSeq
+      == Seq(0L), "unbounded read must stop at the publish gap")
+    // explicit TO reaching past the gap names the remediation
+    val e = intercept[Exception] {
+      GraftTables.sql(spark, "SHOW CHANGES showgap FROM 0 TO 2")
+    }
+    assert(e.getMessage.contains("repairFeed"), e.getMessage)
+    // repair completes the publish; the unbounded read drains to head
+    assert(Compaction.repairFeed(spark, dir) == 1)
+    assert(GraftTables.sql(spark, "SHOW CHANGES showgap FROM 0")
+      .select("batch").distinct().as[Long].collect().toSet
+      == Set(0L, 1L, 2L))
+  }
+
   test("changes read below the retention horizon fails loudly") {
     sqlc("""CREATE TABLE mcat.mr (
         id BIGINT, v DOUBLE, version BIGINT, deleted BOOLEAN)
