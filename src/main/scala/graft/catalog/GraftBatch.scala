@@ -572,7 +572,8 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       }
       val needed = (required.fieldNames ++ meta.keys ++
         meta.versionCol.toSeq ++ meta.deleteCol.toSeq ++
-        (if (meta.family == "aggview") Seq("cnt", "total") else Nil))
+        (if (meta.family == "aggview") Seq("cnt", "total", "nncnt")
+         else Nil))
         .map(_.toLowerCase).toSet -- generated
       val dataFields =
         meta.schema.fields.filter(f => needed(f.name.toLowerCase))
@@ -916,13 +917,16 @@ private[catalog] object GraftFold {
     val in = spec.foldInput
     val cntIdx = in.fieldIndex("cnt")
     val totIdx = in.fieldIndex("total")
+    val nnIdx = in.fieldIndex("nncnt")
     val totType = in.fields(totIdx).dataType
       .asInstanceOf[org.apache.spark.sql.types.DecimalType]
     val keyProj = keyProjOf(spec)
 
-    // key -> (sum cnt, sum total, a representative row for key values)
+    // key -> (sum cnt, sum total, sum nncnt, a representative row for
+    // key values)
     final case class Acc(var cnt: Long,
-        var total: java.math.BigDecimal, row: InternalRow)
+        var total: java.math.BigDecimal, var nncnt: Long,
+        row: InternalRow)
     val sums = new java.util.HashMap[UnsafeRow, Acc]()
     rows(spec, epochs, files).foreach { raw =>
       val k = keyProj(raw)
@@ -930,12 +934,14 @@ private[catalog] object GraftFold {
       val t = if (raw.isNullAt(totIdx)) null
         else raw.getDecimal(totIdx, totType.precision, totType.scale)
           .toJavaBigDecimal
+      val nn = raw.getLong(nnIdx)
       val acc = sums.get(k)
-      if (acc == null) sums.put(k.copy(), Acc(c, t, raw.copy()))
+      if (acc == null) sums.put(k.copy(), Acc(c, t, nn, raw.copy()))
       else {
         acc.cnt += c
         if (t != null)
           acc.total = if (acc.total == null) t else acc.total.add(t)
+        acc.nncnt += nn
       }
     }
     val outExprs = spec.required.fields.map(f =>
@@ -956,7 +962,8 @@ private[catalog] object GraftFold {
               if (acc.total == null) null
               else org.apache.spark.sql.types.Decimal(acc.total,
                 totType.precision, totType.scale)
-            } else if (acc.row.isNullAt(j)) null
+            } else if (j == nnIdx) acc.nncnt
+            else if (acc.row.isNullAt(j)) null
             else acc.row.get(j, in.fields(j).dataType))
           j += 1
         }

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate view — the third member of the
   * maintained-table family (latest state = [[Compaction]], history =
-  * [[Scd2]], aggregates = this): a per-key (count, sum) table that
-  * absorbs delta batches WITHOUT rescanning history, with the same
-  * hash-bucketed layout and path-pruned rewrites.
+  * [[Scd2]], aggregates = this): a per-key (count, sum, non-null
+  * count) table that absorbs delta batches WITHOUT rescanning
+  * history, with the same hash-bucketed layout and path-pruned
+  * rewrites. The `nncnt` partial (state format 2, r12) is the
+  * measure's per-key NON-NULL count: it derives `count(v)` and, with
+  * `total`, the exact decimal `avg(v)` in [[graft.plans.MvRewrite]].
   *
   * Count and sum are the canonical ALGEBRAIC aggregates: a batch
   * collapses to per-key partials (map-side combined), and merging is
@@ -44,11 +47,21 @@ object AggView {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         sum(col(valueCol).cast("decimal(18,2)"))
-          .cast("decimal(28,2)").as("total"))
+          .cast("decimal(28,2)").as("total"),
+        // per-group NON-NULL measure count (state format 2, r12):
+        // derives count(v) and, with total, exact decimal avg(v).
+        // Counts the CAST measure — the declared decimal(18,2) shape
+        // the rewrite matches — so null-ness agrees with the base
+        // aggregation even when a cast overflow nulls a value
+        count(col(valueCol).cast("decimal(18,2)")).as("nncnt"))
 
   private def coreProps(keys: Seq[String], valueCol: String, nBuckets: Int,
       lastBatchId: Long, schemaJson: String): Map[String, String] = Map(
     "table_type" -> "aggview",
+    // state format 2 = per-key (cnt, total, nncnt); bumped in r12 when
+    // the non-null count partial was added. snap() refuses format-1
+    // manifests loudly — the partials cannot be conjured retroactively
+    "agg_format" -> "2",
     "key" -> Bucketing.encodeKeys(keys), "value_col" -> valueCol,
     "n_buckets" -> nBuckets.toString,
     "last_batch_id" -> lastBatchId.toString,
@@ -69,7 +82,8 @@ object AggView {
     // the state columns are generated here; a key by these names
     // would be silently clobbered
     keys.foreach(key =>
-      require(!Set("cnt", "total", "bucket").contains(key.toLowerCase),
+      require(!Set("cnt", "total", "nncnt", "bucket")
+          .contains(key.toLowerCase),
         s"key column '$key' collides with the view's state columns"))
     val fs = TxLog.fs(spark, dir)
     Seq("manifest", "data", ".staging", "meta")
@@ -91,9 +105,19 @@ object AggView {
     txn.cleanup()
   }
 
-  private def snap(spark: SparkSession, dir: String): TxLog.Snapshot =
-    TxLog.latest(spark, dir).getOrElse(throw new
+  private def snap(spark: SparkSession, dir: String): TxLog.Snapshot = {
+    val s = TxLog.latest(spark, dir).getOrElse(throw new
       IllegalArgumentException(s"no committed manifest under $dir"))
+    // format fence (r12): a view whose state predates the nncnt
+    // partial cannot serve it, and silently reading/merging would
+    // corrupt the stored schema — refuse loudly, naming the upgrade
+    if (!s.props.get("agg_format").contains("2"))
+      throw new IllegalStateException(s"aggview at $dir uses state " +
+        "format 1 (pre-nncnt); its partials cannot be upgraded in " +
+        "place — DROP and re-CREATE (or re-init) the view to rebuild " +
+        "it under format 2")
+    s
+  }
 
   def readMeta(spark: SparkSession, dir: String): (String, String, Int, Long) = {
     val s = snap(spark, dir)
@@ -124,9 +148,11 @@ object AggView {
   private def foldPartials(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
-        sum(col("total")).cast("decimal(28,2)").as("total"))
+        sum(col("total")).cast("decimal(28,2)").as("total"),
+        sum(col("nncnt")).as("nncnt"))
       .filter(col("cnt") =!= 0)
-      .select(keys.map(col) ++ Seq(col("cnt"), col("total")): _*)
+      .select(keys.map(col) ++
+        Seq(col("cnt"), col("total"), col("nncnt")): _*)
 
   /** The live view: clean buckets ride the plain scan (no shuffle);
     * buckets carrying unfolded delta files fold base + deltas by
@@ -252,10 +278,15 @@ object AggView {
     val signed = feed.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("cnt"),
         sum(col(valueCol).cast("decimal(18,2)") * sign)
-          .cast("decimal(28,2)").as("total"))
-      // an update whose value did not move is a (0, 0) delta: folding
-      // it in would rewrite the key's bucket to state it already holds
-      .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0)
+          .cast("decimal(28,2)").as("total"),
+        sum(when(col(valueCol).cast("decimal(18,2)").isNotNull, sign)
+          .otherwise(0L)).as("nncnt"))
+      // an update whose value did not move is an all-zero delta:
+      // folding it in would rewrite the key's bucket to state it
+      // already holds (nncnt checked too — a null→non-null flip of
+      // the same total must still land)
+      .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0 ||
+        col("nncnt") =!= 0)
     mergeDeltas(spark, dir, signed, batchId, canRetract = true,
       mergeOnRead = false)
   }
@@ -279,8 +310,11 @@ object AggView {
     val signed = feed.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("cnt"),
         sum(col(valueCol).cast("decimal(18,2)") * sign)
-          .cast("decimal(28,2)").as("total"))
-      .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0)
+          .cast("decimal(28,2)").as("total"),
+        sum(when(col(valueCol).cast("decimal(18,2)").isNotNull, sign)
+          .otherwise(0L)).as("nncnt"))
+      .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0 ||
+        col("nncnt") =!= 0)
     mergeDeltas(spark, dir, signed, batchId, canRetract = true,
       mergeOnRead = true)
   }
@@ -428,13 +462,15 @@ object AggView {
         .unionByName(delta)
         .groupBy(col("bucket") +: keys.map(col): _*)
         .agg(sum(col("cnt")).as("cnt"),
-          sum(col("total")).cast("decimal(28,2)").as("total"))
+          sum(col("total")).cast("decimal(28,2)").as("total"),
+          sum(col("nncnt")).as("nncnt"))
         // a fully-retracted key (merged count 0) leaves the view;
         // additive-only deltas can't reach 0 UNLESS a folded delta
         // chain carried retractions — filter whenever either applies
         .filter(!lit(canRetract || touched.exists(s.deltas.contains)) ||
           col("cnt") =!= 0)
-        .select(keys.map(col) ++ Seq(col("cnt"), col("total"), col("bucket")): _*)
+        .select(keys.map(col) ++
+          Seq(col("cnt"), col("total"), col("nncnt"), col("bucket")): _*)
       merged
         .repartition(col("bucket"))
         .sortWithinPartitions(col("bucket") +: keys.map(col): _*)

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -23,12 +23,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * capability its users get from the warehouses it exports into).
   *
   * Derivations (view stores per-group `__cnt` plus, per measure m:
-  * `__sum_i`, `__min_i`, `__max_i`):
+  * `__sum_i`, `__min_i`, `__max_i`, `__nncnt_i`):
   *
   *  - count(1)  → coalesce(sum(__cnt), 0)
+  *  - count(m)  → coalesce(sum(__nncnt_i), 0)   (non-null rollup)
   *  - sum(m)    → sum(__sum_i)   (cast back when decimal re-widening
   *                                changes the type)
   *  - min(m)    → min(__min_i),  max(m) → max(__max_i)
+  *  - avg(m)    → Σ__sum_i / Σ__nncnt_i for DECIMAL m, rebuilt along
+  *                Spark's own Average evaluate path (identical operand
+  *                types, identical rounding — bit-exact vs the base);
+  *                float/double avg bails to the base scan
   *
   * A measure is matched STRUCTURALLY: a bare column, or `cast(col AS
   * t)` with the exact cast the view was declared with — so a query
@@ -64,9 +69,13 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** Which view columns hold a measure's partials; an absent kind
     * simply makes that aggregate non-derivable (e.g. an AggView keeps
     * count+sum but no min/max — min/max queries stay on the base).
+    * `nncnt` is the per-group NON-NULL count of the measure (r12):
+    * it derives `count(m)` directly and, with `sum`, `avg(m)` for
+    * DECIMAL measures.
     */
   final case class Partials(sum: Option[String] = None,
-      min: Option[String] = None, max: Option[String] = None)
+      min: Option[String] = None, max: Option[String] = None,
+      nncnt: Option[String] = None)
 
   /** A view maintained by [[graft.cdc.AggView]] under the manifest
     * protocol: the rule resolves its CURRENT committed state (paths +
@@ -408,6 +417,46 @@ object MvRewrite extends Rule[LogicalPlan] {
         Some(Coalesce(Seq(
           ae.copy(aggregateFunction = Sum(Cast(cnt, LongType))),
           Literal(0L))))
+      // count(m) → Σ per-group non-null counts (r12): the nncnt
+      // partial IS count(m) per group, so the rollup is exact for any
+      // null pattern; absent partial (pre-r12 view state) bails
+      case Count(Seq(c)) => partial(c, _.nncnt).map(p =>
+        Coalesce(Seq(
+          ae.copy(aggregateFunction = Sum(Cast(p, LongType))),
+          Literal(0L))))
+      // avg(m) for DECIMAL measures (r12): reconstruct Spark's own
+      // Average evaluate path over the stored partials so the result
+      // is bit-identical to the base aggregation — Σsum restored to
+      // Average's internal sum type decimal(p+10, s), divided by the
+      // Σ non-null count cast to decimal(20, 0) under LEGACY eval
+      // (divide-by-zero → NULL, avg-of-empty semantics), cast to
+      // Average's result type decimal(p+4, s+4). Identical operand
+      // types ⇒ identical Divide result type ⇒ identical HALF_UP
+      // rounding. Float/double avg bails to the base: sum/count order
+      // sensitivity makes a partial rollup inexact there.
+      case a: Average => a.child.dataType match {
+        case dt: org.apache.spark.sql.types.DecimalType =>
+          for {
+            sp <- partial(a.child, _.sum)
+            np <- partial(a.child, _.nncnt)
+          } yield {
+            import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode}
+            import org.apache.spark.sql.types.DecimalType
+            val sumDT =
+              DecimalType(math.min(38, dt.precision + 10), dt.scale)
+            // TWO aggregates replace the one Average: each needs its
+            // OWN resultId — copies sharing ae's id would collide in
+            // the aggregation buffer (same slot, different types)
+            val sumAgg = ae.copy(aggregateFunction = Sum(sp),
+              resultId = NamedExpression.newExprId)
+            val cntAgg = ae.copy(aggregateFunction = Sum(Cast(np, LongType)),
+              resultId = NamedExpression.newExprId)
+            Cast(Divide(Cast(sumAgg, sumDT),
+              Cast(cntAgg, DecimalType(20, 0)), EvalMode.LEGACY),
+              ae.dataType)
+          }
+        case _ => None
+      }
       case s: Sum => partial(s.child, _.sum).map(p =>
         ae.copy(aggregateFunction = s.copy(child = p)))
       case m: Min => partial(m.child, _.min).map(p =>
@@ -458,7 +507,8 @@ object Mv {
     val aggs = count(lit(1)).cast("long").as("__cnt") +:
       measures.zipWithIndex.flatMap { case (c, i) =>
         Seq(sum(m(c)).as(s"__sum_$i"), min(m(c)).as(s"__min_$i"),
-          max(m(c)).as(s"__max_$i"))
+          max(m(c)).as(s"__max_$i"),
+          count(m(c)).as(s"__nncnt_$i"))
       }
     base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(viewPath)
@@ -466,7 +516,8 @@ object Mv {
       MvRewrite.measureKey(c.col, c.castTo.map(
         org.apache.spark.sql.types.DataType.fromDDL)) ->
         MvRewrite.Partials(sum = Some(s"__sum_$i"),
-          min = Some(s"__min_$i"), max = Some(s"__max_$i"))
+          min = Some(s"__min_$i"), max = Some(s"__max_$i"),
+          nncnt = Some(s"__nncnt_$i"))
     }.toMap
     MvRewrite.register(basePath,
       MvRewrite.MvDef(viewPath, groupCols.map(_.toLowerCase), "__cnt", keys))
@@ -498,7 +549,8 @@ object Mv {
       "cnt",
       Map(MvRewrite.measureKey(valueCol,
         Some(org.apache.spark.sql.types.DataType.fromDDL("decimal(18,2)")))
-        -> MvRewrite.Partials(sum = Some("total"))),
+        -> MvRewrite.Partials(sum = Some("total"),
+          nncnt = Some("nncnt"))),
       aggView = Some(MvRewrite.AggViewLink(viewDir, baseTableDir))))
   }
 

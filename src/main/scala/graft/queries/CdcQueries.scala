@@ -1322,6 +1322,67 @@ object CdcQueries {
       out
     }),
 
+    // avg + count(col) served FROM the materialized view's partials
+    // (r12): the dashboard aggregate every warehouse MV system must
+    // rewrite. The view stores per-group (cnt, Σ decimal(18,2),
+    // non-null cnt); avg(price::decimal(18,2)) is rebuilt along
+    // Spark's own Average evaluate path over Σtotal/Σnncnt — asserted
+    // IN-QUERY to read the view, not the base. NULL prices (id%7=0 in
+    // the snapshot, id%11=0 in the changes) force nncnt < cnt, and
+    // the changes batch flips null↔non-null so the signed feed deltas
+    // land through REFRESH. The published value integerizes the
+    // decimal(22,6) average to micro-units (exact: *10^6 then
+    // truncate), which the oracle reproduces with integer arithmetic
+    // — round-half-up(S_cents·10^4 / C) = (2·S_cents·10^4 + C) //
+    // (2·C) for the positive sums here, avoiding DuckDB's
+    // double-valued AVG entirely.
+    "sql_mv_avg" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val base = sys.props("java.io.tmpdir") + "/graft-sqlmvavg-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 40).as("grp"),
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("o_totalprice").cast("double")).as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      // self-contained across reruns: init keeps the _mv subtree, so a
+      // previous run's view would re-attach with a stale fence
+      graft.cdc.TxLog.fs(s, base).delete(
+        new org.apache.hadoop.fs.Path(s"$base/_mv"), true)
+      graft.cdc.Compaction.init(snapshot, base, Seq("id"), "version",
+        "deleted", nBuckets = 16, clusterBy = Nil, feed = true)
+      graft.plans.GraftTables.register(s, "mva_base", base)
+      graft.plans.GraftTables.sql(s,
+        """CREATE MATERIALIZED VIEW mva_v AS
+          SELECT grp, count(*) AS cnt, sum(price) AS total
+          FROM mva_base GROUP BY grp""")
+      val changes = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 40).as("grp"),
+          when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise((dec18(col("o_totalprice")) *
+              lit(2).cast("decimal(18,2)")).cast("double")).as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      graft.cdc.Compaction.merge(s, base, changes, emitFeed = true)
+      graft.plans.GraftTables.sql(s, "REFRESH MATERIALIZED VIEW mva_v")
+      graft.plans.GraftTables.refresh(s, "mva_base")
+      val agg = s.table("mva_base")
+        .groupBy(col("grp"))
+        .agg(avg(dec18(col("price"))).as("a"),
+          count(dec18(col("price"))).as("n_nonnull"),
+          count(lit(1)).as("cnt"))
+      agg.queryExecution.optimizedPlan // force the rewrite NOW
+      require(graft.plans.Mv.readsView(agg, s"$base/_mv/mva_v"),
+        "avg/count(col) rewrite did not fire on the view")
+      agg.select(col("grp"),
+          (col("a") * lit(1000000)).cast("long").as("avg_micros"),
+          col("n_nonnull"), col("cnt"))
+        .orderBy(col("grp"))
+    }),
+
     // composite merge key on lineitem's natural (l_orderkey,
     // l_linenumber) PK: the table buckets on the hash of the TUPLE and
     // every merge/lookup reconciles per tuple — real CDC tables key on
@@ -2561,6 +2622,41 @@ object CdcQueries {
         |  FROM unioned)
         |SELECT grp, count(*) AS cnt,
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1 AND NOT deleted
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // integer-exact twin of Spark's decimal avg: Spark publishes
+    // trunc(avg(price::decimal(18,2)) * 1e6) -- avg = half-up-rounded
+    // S/C at scale 6, so micro-units = (2*S_cents*10^4 + C)//(2*C)
+    // for the positive sums here (the groups are far below the
+    // C < 2e6 bound where Spark's double rounding at scale 12 could
+    // shift the scale-6 digit). NULL prices keep COUNT(price)
+    // strictly below COUNT(*).
+    "sql_mv_avg" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_orderkey % 40 AS grp,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |      ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey % 40,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |      ELSE CAST(o_totalprice::DECIMAL(18,2) *
+        |        2.00::DECIMAL(18,2) AS DOUBLE) END,
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, grp, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC)
+        |      AS rn
+        |  FROM unioned)
+        |SELECT grp,
+        |  CASE WHEN COUNT(price) = 0 THEN NULL
+        |    ELSE (2 * CAST(SUM(price::DECIMAL(18,2)) * 100 AS BIGINT)
+        |          * 10000 + COUNT(price)) // (2 * COUNT(price)) END
+        |    AS avg_micros,
+        |  COUNT(price) AS n_nonnull, COUNT(*) AS cnt
         |FROM latest WHERE rn = 1 AND NOT deleted
         |GROUP BY grp ORDER BY grp""".stripMargin,
 

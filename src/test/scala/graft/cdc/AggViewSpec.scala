@@ -67,4 +67,39 @@ class AggViewSpec extends SparkSpec {
     assert(AggView.merge(spark, dir, mk(Seq((1L, 1.0))), 1L).applied)
     assert(state(dir)(1L)._1 == 3L)
   }
+
+  test("nncnt partial tracks non-null measures through merges") {
+    val dir = tmpDir("aggnncnt")
+    val rows = Seq((1L, Some(1.5)), (1L, None), (2L, None))
+      .toDF("k", "v")
+    AggView.init(rows, dir, "k", "v", nBuckets = 4)
+    AggView.merge(spark, dir,
+      Seq((1L, Some(2.5)), (2L, Some(4.0)), (2L, None)).toDF("k", "v"),
+      batchId = 0L)
+    val got = AggView.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // k=1: 3 rows, 2 non-null; k=2: 3 rows, 1 non-null
+    assert(got == Map(1L -> ((3L, 2L)), 2L -> ((3L, 1L))), got.toString)
+  }
+
+  test("format-1 manifests (pre-nncnt state) are refused loudly") {
+    val dir = tmpDir("aggfmt")
+    AggView.init(mk(Seq((1L, 1.0))), dir, "k", "v", nBuckets = 2)
+    // strip the format marker — the state a pre-r12 build committed
+    val s = TxLog.latest(spark, dir).get
+    val txn = new TableTxn(spark, dir, s.version)
+    txn.installAndCommit(s.buckets,
+      s.props -- Seq("agg_format", "txn_id", "base_txn"))
+    txn.cleanup()
+    TxLog.invalidate(dir)
+    val e = intercept[IllegalStateException] {
+      AggView.read(spark, dir)
+    }
+    assert(e.getMessage.contains("format 1") &&
+      e.getMessage.contains("re-CREATE"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      AggView.merge(spark, dir, mk(Seq((1L, 2.0))), 0L)
+    }
+    assert(e2.getMessage.contains("format 1"), e2.getMessage)
+  }
 }

@@ -179,6 +179,53 @@ class MvRewriteSpec extends SparkSpec {
     } finally Mv.deregister(dir)
   }
 
+  test("avg over a DECIMAL measure rewrites bit-exactly; count(col) " +
+      "rolls the non-null partial up (r12)") {
+    val viewPath = createView()
+    def q2() = spark.read.parquet(basePath)
+      .groupBy($"region")
+      .agg(avg($"amount".cast("decimal(18,2)")).as("avg_amt"),
+        count($"qty").as("n_qty"), count(lit(1)).as("n"))
+    try {
+      val expected = rows(q2()) // no rule: the base aggregation
+      withRule {
+        val df = q2()
+        assert(Mv.readsView(df, viewPath),
+          df.queryExecution.optimizedPlan.toString)
+        assert(!Mv.readsView(df, basePath))
+        // bit-exact: Row.toString renders the decimal(22,6) verbatim
+        assert(rows(df) == expected)
+        // count(qty) must be the NON-null count (qty has nulls at
+        // i % 11 == 0), strictly below count(*)
+        val r = df.filter($"region" === "r0").head()
+        assert(r.getAs[Long]("n_qty") < r.getAs[Long]("n"))
+      }
+    } finally Mv.deregister(basePath)
+  }
+
+  test("global avg (no grouping) rewrites; avg over a non-decimal " +
+      "measure bails to the base (r12)") {
+    val viewPath = createView()
+    try {
+      val expected = rows(spark.read.parquet(basePath)
+        .agg(avg($"amount".cast("decimal(18,2)")).as("a")))
+      withRule {
+        val g = spark.read.parquet(basePath)
+          .agg(avg($"amount".cast("decimal(18,2)")).as("a"))
+        assert(Mv.readsView(g, viewPath),
+          g.queryExecution.optimizedPlan.toString)
+        assert(rows(g) == expected)
+        // qty is a LONG measure: avg(long) → double, order-sensitive
+        // float summation — a partial rollup would not be bit-exact,
+        // so the rewrite must bail
+        val dbl = spark.read.parquet(basePath)
+          .groupBy($"region").agg(avg($"qty").as("a"))
+        assert(!Mv.readsView(dbl, viewPath))
+        assert(Mv.readsView(dbl, basePath))
+      }
+    } finally Mv.deregister(basePath)
+  }
+
   test("null-bearing measure: sum/min/max partials merge like the base") {
     val viewPath = createView()
     try {

@@ -133,6 +133,71 @@ class MvSqlSpec extends SparkSpec {
     GraftTables.sql(spark, "DROP MATERIALIZED VIEW mvsql_fine")
   }
 
+  test("avg and count(col) rewrite through the SQL-created view, " +
+      "bit-exact across null measures and a refresh (r12)") {
+    MvRewrite.ensureRegistered(spark)
+    val base = tmpDir("mvsqlavg")
+    // every 6th price NULL: nncnt must diverge from cnt
+    Compaction.init(
+      (1L to 60L).map(i => (i, i % 5,
+          if (i % 6 == 0) None else Some(i * 1.5), 0L, false))
+        .toDF("id", "grp", "price", "version", "deleted"),
+      base, Seq("id"), "version", "deleted", nBuckets = 8,
+      clusterBy = Nil, feed = true)
+    GraftTables.register(spark, "mvsqlavg_base", base)
+    GraftTables.sql(spark,
+      """CREATE MATERIALIZED VIEW mvsqlavg_v AS
+        SELECT grp, count(*) AS cnt, sum(price) AS total
+        FROM mvsqlavg_base GROUP BY grp""")
+    val viewDir = s"$base/_mv/mvsqlavg_v"
+    def q() = {
+      val df = spark.table("mvsqlavg_base")
+        .groupBy(col("grp"))
+        .agg(avg(dec18(col("price"))).as("avg_price"),
+          count(dec18(col("price"))).as("n_nn"),
+          count(lit(1)).as("n"))
+        .orderBy(col("grp"))
+      df.queryExecution.optimizedPlan
+      df
+    }
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val served = q()
+    assert(Mv.readsView(served, viewDir),
+      served.queryExecution.optimizedPlan.toString)
+    Mv.deregister(base, viewDir)
+    val truth = asRows(q()) // base recompute, rewrite disarmed
+    GraftTables.sql(spark, // re-attach re-arms the registered rewrite
+      """CREATE MATERIALIZED VIEW mvsqlavg_v AS
+        SELECT grp, count(*) AS cnt, sum(price) AS total
+        FROM mvsqlavg_base GROUP BY grp""")
+    assert(asRows(served) == truth,
+      "avg/count(col) from partials must be bit-exact vs the base")
+    assert(served.collect().exists(r =>
+        r.getAs[Long]("n_nn") < r.getAs[Long]("n")),
+      "null prices must keep n_nn below n somewhere")
+    // a merge flipping null→non-null and non-null→null, then REFRESH:
+    // the signed nncnt deltas must land
+    Compaction.merge(spark, base,
+      Seq((6L, 1L, Some(9.0), 1L, false), // was null → now 9.0
+        (7L, 2L, Option.empty[Double], 1L, false)) // was 10.5 → null
+        .toDF("id", "grp", "price", "version", "deleted"),
+      emitFeed = true)
+    GraftTables.refresh(spark, "mvsqlavg_base")
+    GraftTables.sql(spark, "REFRESH MATERIALIZED VIEW mvsqlavg_v")
+    val after = q()
+    assert(Mv.readsView(after, viewDir),
+      after.queryExecution.optimizedPlan.toString)
+    Mv.deregister(base, viewDir)
+    assert(asRows(q()) == asRows(after),
+      "post-refresh avg/count(col) must equal the base recompute")
+    GraftTables.sql(spark, // re-attach for DROP's registry lookup
+      """CREATE MATERIALIZED VIEW mvsqlavg_v AS
+        SELECT grp, count(*) AS cnt, sum(price) AS total
+        FROM mvsqlavg_base GROUP BY grp""")
+    GraftTables.sql(spark, "DROP MATERIALIZED VIEW mvsqlavg_v")
+  }
+
   test("REFRESH fails loudly when feed retention outran the view") {
     MvRewrite.ensureRegistered(spark)
     val base = tmpDir("mvsqlret")
