@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectResolutionRule(_ => graft.plans.GraftDml)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinToEquiJoin)
+    e.injectOptimizerRule(_ => graft.plans.TimePredicateRewrite)
     e.injectOptimizerRule(_ => graft.plans.MvRewrite)
     e.injectOptimizerRule(_ => graft.plans.MergePruning)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -152,7 +152,28 @@ object Compaction {
     * session-TZ contract the version zone maps carry (GraftSession
     * pins UTC), so a bound and the written dirs always agree.
     */
-  private[graft] def tpValueOf(unit: String, v: Any): Int = {
+  private[graft] def tpValueOf(unit: String, v: Any): Int =
+    tpOfInstant(unit, tpInstantOf(v))
+
+  /** Partition id for a STRICT upper bound (`col < v`): when `v` lies
+    * exactly on a partition boundary, the boundary partition holds no
+    * qualifying row and is excluded — `ts < midnight(d)` keeps day
+    * d-1's partition, not day d's (the shape [[graft.plans
+    * .TimePredicateRewrite]] emits for every day-cast predicate).
+    * Anywhere else the boundary partition is kept, same as `<=`.
+    */
+  private[graft] def tpStrictUpper(unit: String, v: Any): Int = {
+    val i = tpInstantOf(v)
+    val d = tpOfInstant(unit, i)
+    val vMicros = Math.multiplyExact(i.getEpochSecond, 1000000L) +
+      i.getNano / 1000L
+    if (d != Int.MinValue &&
+        vMicros == graft.catalog.MetaTables.tpStartMicros(unit, d))
+      d - 1
+    else d
+  }
+
+  private def tpInstantOf(v: Any): java.time.Instant = {
     val zone = java.time.ZoneId.of(
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val instant = v match {
@@ -178,6 +199,13 @@ object Compaction {
       case other => throw new IllegalArgumentException(
         s"time-partition bound must be a timestamp/date, got $other")
     }
+    instant
+  }
+
+  private def tpOfInstant(unit: String,
+      instant: java.time.Instant): Int = {
+    val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     unit match {
       case "days" => math.floorDiv(instant.getEpochSecond, 86400L).toInt
       case "hours" => math.floorDiv(instant.getEpochSecond, 3600L).toInt
@@ -317,7 +345,10 @@ object Compaction {
       case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(c) =>
         tpOf(v).map(d => Seq((d, Int.MaxValue))).getOrElse(All)
       case LessThan(a, v) if a.equalsIgnoreCase(c) =>
-        tpOf(v).map(d => Seq((Int.MinValue, d))).getOrElse(All)
+        // strict <: a bound exactly ON a partition boundary excludes
+        // the boundary partition (tpStrictUpper)
+        scala.util.Try(tpStrictUpper(unit, v)).toOption
+          .map(d => Seq((Int.MinValue, d))).getOrElse(All)
       case LessThanOrEqual(a, v) if a.equalsIgnoreCase(c) =>
         tpOf(v).map(d => Seq((Int.MinValue, d))).getOrElse(All)
       case EqualTo(a, v) if a.equalsIgnoreCase(c) => point(v)

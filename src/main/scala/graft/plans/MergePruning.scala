@@ -408,6 +408,15 @@ object MergePruning extends Rule[LogicalPlan] {
       tpOf(l).map(d => Seq((d, Int.MaxValue))).getOrElse(All)
     def le(l: Literal) =
       tpOf(l).map(d => Seq((Int.MinValue, d))).getOrElse(All)
+    // strict <: a bound exactly ON a partition boundary excludes the
+    // boundary partition (Compaction.tpStrictUpper) — the shape every
+    // rewritten day-cast predicate ends in (`ts < midnight(d+1)`)
+    def lt(l: Literal) =
+      (if (l.value == null) None
+       else scala.util.Try(Compaction.tpStrictUpper(unit,
+         org.apache.spark.sql.catalyst.CatalystTypeConverters
+           .convertToScala(l.value, l.dataType))).toOption)
+        .map(d => Seq((Int.MinValue, d))).getOrElse(All)
     def eq(l: Literal) = tpOf(l).map(d => Seq((d, d))).getOrElse(All)
     def walk(e: Expression): Seq[(Int, Int)] = e match {
       case And(x, y) => Compaction.tpIntersect(walk(x), walk(y))
@@ -416,13 +425,13 @@ object MergePruning extends Rule[LogicalPlan] {
       case GreaterThan(a: AttributeReference, l: Literal)
         if isTp(a) => ge(l)
       case GreaterThan(l: Literal, a: AttributeReference)
-        if isTp(a) => le(l)
+        if isTp(a) => lt(l)
       case GreaterThanOrEqual(a: AttributeReference, l: Literal)
         if isTp(a) => ge(l)
       case GreaterThanOrEqual(l: Literal, a: AttributeReference)
         if isTp(a) => le(l)
       case LessThan(a: AttributeReference, l: Literal)
-        if isTp(a) => le(l)
+        if isTp(a) => lt(l)
       case LessThan(l: Literal, a: AttributeReference)
         if isTp(a) => ge(l)
       case LessThanOrEqual(a: AttributeReference, l: Literal)

@@ -1,0 +1,211 @@
+package graft.plans
+
+import java.time.{LocalDate, LocalDateTime, ZoneId}
+
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, TruncDate, TruncTimestamp}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+
+/** Rewrites the time-predicate shapes BI tools emit —
+  * `CAST(ts AS DATE) <op> date`, `date_trunc(unit, ts) <op> literal`,
+  * `trunc(d, unit) <op> date` — into EQUIVALENT range predicates on
+  * the raw column (r11 verdict item 3):
+  *
+  * {{{
+  *   CAST(ts AS DATE) =  DATE'2024-01-10'
+  *     ⇒ ts >= TIMESTAMP'2024-01-10 00:00:00' AND
+  *       ts <  TIMESTAMP'2024-01-11 00:00:00'
+  *   date_trunc('month', ts) >= TIMESTAMP'2024-02-01'
+  *     ⇒ ts >= TIMESTAMP'2024-02-01'
+  * }}}
+  *
+  * The equivalence is EXACT, including null propagation: day(ts) and
+  * trunc(ts) are monotone non-decreasing in ts, so every comparison
+  * against a literal converts to a boundary comparison on ts itself
+  * (an unaligned `=` bound — `date_trunc('month', ts) = mid-month` —
+  * matches no row; it is left untouched rather than turned into a
+  * null-vs-false hazard). Boundaries are computed in the session
+  * zone with calendar arithmetic (a `days()` boundary is the next
+  * MIDNIGHT, 23–25 wall-clock hours away across DST, never a fixed
+  * 86400 s), and the truncated literal itself is produced by
+  * evaluating Spark's own `TruncTimestamp`/`TruncDate`, so the
+  * rewrite can never disagree with the engine's trunc semantics.
+  *
+  * Why a rewrite rather than teaching each pruning walk these shapes:
+  * once the predicate is a bare-column range, EVERY downstream
+  * consumer serves it — [[MergePruning]]'s `_tp` bound derivation and
+  * the catalog's pushed-filter walk (v1 `sources.Filter` cannot even
+  * carry a cast-wrapped column, so the catalog route could never see
+  * the original shape), parquet row-group min/max pruning, and the
+  * optimizer's own stats estimation. One rewrite, every route prunes
+  * — the same reason UnwrapCastInBinaryComparison exists for numeric
+  * casts upstream.
+  */
+object TimePredicateRewrite extends Rule[LogicalPlan] {
+
+  /** Idempotent live-session registration for sessions built without
+    * [[graft.GraftExtensions]] (same pattern as MvRewrite's).
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f: Filter =>
+      val c = rewrite(f.condition)
+      if (c.fastEquals(f.condition)) f else f.copy(condition = c)
+    case j: Join if j.condition.isDefined =>
+      val c = j.condition.map(rewrite)
+      if (c.get.fastEquals(j.condition.get)) j else j.copy(condition = c)
+  }
+
+  private def rewrite(cond: Expression): Expression = cond.transformUp {
+    case cmp @ GreaterThan(l, r) =>
+      rw(l, r, Op.Gt).orElse(rw(r, l, Op.Lt)).getOrElse(cmp)
+    case cmp @ GreaterThanOrEqual(l, r) =>
+      rw(l, r, Op.Ge).orElse(rw(r, l, Op.Le)).getOrElse(cmp)
+    case cmp @ LessThan(l, r) =>
+      rw(l, r, Op.Lt).orElse(rw(r, l, Op.Gt)).getOrElse(cmp)
+    case cmp @ LessThanOrEqual(l, r) =>
+      rw(l, r, Op.Le).orElse(rw(r, l, Op.Ge)).getOrElse(cmp)
+    case cmp @ EqualTo(l, r) =>
+      rw(l, r, Op.Eq).orElse(rw(r, l, Op.Eq)).getOrElse(cmp)
+  }
+
+  private object Op extends Enumeration { val Eq, Gt, Ge, Lt, Le = Value }
+
+  private def zone: ZoneId =
+    ZoneId.of(SQLConf.get.sessionLocalTimeZone)
+
+  /** Evaluate a foldable comparand; null (or non-foldable, or a
+    * runtime eval error) declines the rewrite.
+    */
+  private def foldedValue(e: Expression): Option[Any] =
+    if (!e.foldable) None
+    else scala.util.Try(e.eval()).toOption.filter(_ != null)
+
+  /** Units date_trunc/trunc support, as calendar steps. */
+  private def stepOf(fmt: String): Option[(String, Long)] =
+    fmt.toLowerCase match {
+      case "year" | "yyyy" | "yy" => Some(("months", 12L))
+      case "quarter" => Some(("months", 3L))
+      case "month" | "mon" | "mm" => Some(("months", 1L))
+      case "week" => Some(("days", 7L))
+      case "day" | "dd" => Some(("days", 1L))
+      case "hour" => Some(("micros", 3600L * 1000000L))
+      case "minute" => Some(("micros", 60L * 1000000L))
+      case "second" => Some(("micros", 1000000L))
+      case "millisecond" => Some(("micros", 1000L))
+      case "microsecond" => Some(("micros", 1L))
+      case _ => None
+    }
+
+  /** The next boundary after aligned timestamp `micros` under `step`.
+    * Calendar units advance the session-zone (or NTZ wall-clock)
+    * datetime — a day is the next midnight, not +86400 s; sub-day
+    * units are fixed-length (exact even across DST: consecutive
+    * local-truncated hour boundaries are always 3600 s apart, the
+    * offset change cancels out of the difference).
+    */
+  private def advance(micros: Long, step: (String, Long),
+      ntz: Boolean): Long = step match {
+    case ("micros", n) => micros + n
+    case (unit, n) if ntz =>
+      val ldt = LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), 0, java.time.ZoneOffset.UTC)
+        .plusNanos(Math.floorMod(micros, 1000000L) * 1000L)
+      val adv = if (unit == "months") ldt.plusMonths(n) else ldt.plusDays(n)
+      adv.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        adv.getNano / 1000L
+    case (unit, n) =>
+      val zdt = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L).atZone(zone)
+      val adv = if (unit == "months") zdt.plusMonths(n) else zdt.plusDays(n)
+      adv.toInstant.getEpochSecond * 1000000L +
+        adv.toInstant.getNano / 1000L
+  }
+
+  /** Rewrite `<shape>(child) op <literal>` to a raw bound on `child`,
+    * given the half-open hit interval [lo, hi) of the literal's
+    * equivalence class and `aligned` = the literal IS a shape output.
+    */
+  private def bounds(child: Expression, mk: Long => Literal, lo: Long,
+      hi: Long, aligned: Boolean, op: Op.Value): Option[Expression] =
+    op match {
+      // { x : shape(x) = v } = [lo, hi) when aligned, ∅ otherwise —
+      // the empty case is declined (FALSE would lose null semantics)
+      case Op.Eq if aligned =>
+        Some(And(GreaterThanOrEqual(child, mk(lo)), LessThan(child, mk(hi))))
+      case Op.Eq => None
+      // shape(x) >= v ⇔ x >= smallest aligned value >= v
+      case Op.Ge => Some(GreaterThanOrEqual(child, mk(if (aligned) lo else hi)))
+      // shape(x) > v ⇔ x >= smallest aligned value > v
+      case Op.Gt => Some(GreaterThanOrEqual(child, mk(hi)))
+      // shape(x) <= v ⇔ x < first boundary past floor(v)
+      case Op.Le => Some(LessThan(child, mk(hi)))
+      // shape(x) < v ⇔ x < floor(v), or past it when v is unaligned
+      case Op.Lt => Some(LessThan(child, mk(if (aligned) lo else hi)))
+    }
+
+  private def rw(shaped: Expression, comparand: Expression,
+      op: Op.Value): Option[Expression] = shaped match {
+    // CAST(ts AS DATE) op date — the cast truncates to the session-
+    // zone (or NTZ wall-clock) day, so day(ts) op d is a day-boundary
+    // range on ts; every date comparand is aligned by construction
+    case c: Cast if c.dataType == DateType &&
+        (c.child.dataType == TimestampType ||
+          c.child.dataType == TimestampNTZType) &&
+        comparand.dataType == DateType =>
+      foldedValue(comparand).map { v =>
+        val d = LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+        val ntz = c.child.dataType == TimestampNTZType
+        def midnight(day: LocalDate): Long =
+          if (ntz) day.atStartOfDay()
+            .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+          else day.atStartOfDay(zone).toInstant.getEpochSecond * 1000000L
+        val mk = (m: Long) => Literal(m, c.child.dataType)
+        bounds(c.child, mk, midnight(d), midnight(d.plusDays(1)),
+          aligned = true, op)
+      }.flatten
+    // date_trunc(unit, ts) op timestamp — evaluate Spark's OWN trunc
+    // on the literal for the floor (the rewrite can't drift from
+    // engine semantics), advance one calendar unit for the ceiling
+    case t: TruncTimestamp if comparand.dataType == t.timestamp.dataType &&
+        (t.timestamp.dataType == TimestampType ||
+          t.timestamp.dataType == TimestampNTZType) =>
+      for {
+        fmt <- foldedValue(t.format).map(_.toString)
+        step <- stepOf(fmt)
+        v <- foldedValue(comparand).map(_.asInstanceOf[Long])
+        tr <- scala.util.Try(t.copy(timestamp = Literal(v,
+            t.timestamp.dataType)).eval()).toOption
+          .collect { case m: java.lang.Long => m.longValue() }
+        ntz = t.timestamp.dataType == TimestampNTZType
+        mk = (m: Long) => Literal(m, t.timestamp.dataType)
+        out <- bounds(t.timestamp, mk, tr, advance(tr, step, ntz),
+          aligned = tr == v, op)
+      } yield out
+    // trunc(d, unit) op date — the DATE twin; sub-day units are not
+    // meaningful on dates and stepOf's day/month units only
+    case t: TruncDate if comparand.dataType == DateType &&
+        t.date.dataType == DateType =>
+      for {
+        fmt <- foldedValue(t.format).map(_.toString)
+        step <- stepOf(fmt)
+        if step._1 != "micros"
+        v <- foldedValue(comparand).map(_.asInstanceOf[Int])
+        tr <- scala.util.Try(t.copy(date = Literal(v, DateType)).eval())
+          .toOption.collect { case d: java.lang.Integer => d.intValue() }
+        d0 = LocalDate.ofEpochDay(tr.toLong)
+        hi = (if (step._1 == "months") d0.plusMonths(step._2)
+          else d0.plusDays(step._2)).toEpochDay
+        mk = (m: Long) => Literal(m.toInt, DateType)
+        out <- bounds(t.date, mk, tr.toLong, hi, aligned = tr == v, op)
+      } yield out
+    case _ => None
+  }
+}

@@ -1203,7 +1203,17 @@ object CdcQueries {
       require(orDays.nonEmpty &&
         orDays.forall(d => d == 19725 || d == 19742),
         s"OR-of-ranges did not prune to the interval union: $orDays")
-      ranged.crossJoin(orQ)
+      // the BI-tool day-cast shape (r12): TimePredicateRewrite turns
+      // CAST(ts AS DATE) = d into a raw midnight-to-midnight range,
+      // the strict upper bound excludes the boundary partition, and
+      // the scan opens exactly ONE _tp dir
+      graft.plans.TimePredicateRewrite.ensureRegistered(s)
+      val castQ = s.sql("""SELECT count(*) AS n_cast FROM sqltp
+        WHERE CAST(ts AS DATE) = DATE '2024-01-15'""")
+      val castDays = leafDays(castQ)
+      require(castDays.nonEmpty && castDays.forall(_ == 19737),
+        s"day-cast predicate did not prune to one _tp dir: $castDays")
+      ranged.crossJoin(orQ).crossJoin(castQ)
     }),
 
     // The change data feed as a BATCH metadata table
@@ -2599,7 +2609,10 @@ object CdcQueries {
         | WHERE (ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
         |     AND TIMESTAMP '2024-01-03 23:59:59')
         |   OR (ts BETWEEN TIMESTAMP '2024-01-20 00:00:00'
-        |     AND TIMESTAMP '2024-01-20 23:59:59'))""".stripMargin,
+        |     AND TIMESTAMP '2024-01-20 23:59:59'))
+        |CROSS JOIN
+        |(SELECT count(*) AS n_cast FROM events
+        | WHERE CAST(ts AS DATE) = DATE '2024-01-15')""".stripMargin,
 
     // the grouped aggregate over the base's latest-wins live state
     // (same recompute shape as sql_create_mv, different grouping)
