@@ -591,7 +591,8 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
             new org.apache.hadoop.conf.Configuration(hadoopConf))
       }.toArray
       Some(GraftFoldSpec(meta.family, foldReaders, foldInput, meta.keys,
-        meta.versionCol, meta.deleteCol, required))
+        meta.versionCol, meta.deleteCol, required,
+        meta.props.get("expired_before")))
     }
     new GraftReaderFactory(p.columnar, cleanReaders, foldSpec)
   }
@@ -710,7 +711,12 @@ private[catalog] final case class GraftFoldSpec(family: String,
     readers: Array[PartitionedFile => Iterator[InternalRow]],
     foldInput: StructType, keys: Seq[String],
     versionCol: Option[String], deleteCol: Option[String],
-    required: StructType)
+    required: StructType,
+    // scd2 only: the committed history-retention floor — the fold
+    // re-applies expire's predicate so a merge-on-read replay of a
+    // pre-floor batch cannot resurrect retired history in catalog
+    // reads (Scd2.dropExpired's native twin)
+    expiredBefore: Option[String] = None)
 
 private[catalog] final class GraftReaderFactory(columnar: Boolean,
     cleanReaders: Array[PartitionedFile => Iterator[InternalRow]],
@@ -886,11 +892,32 @@ private[catalog] object GraftFold {
       else ("in", in.fieldIndex(f.name), f.dataType)
     }
     val unsafe = UnsafeProjection.create(spec.required)
+    // retention floor as a version-typed value (expire's predicate,
+    // re-applied at fold time — see GraftFoldSpec.expiredBefore)
+    val floor: Option[Any] = spec.expiredBefore.flatMap { f =>
+      scala.util.Try(org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(f),
+          org.apache.spark.sql.types.StringType),
+        vType, Some(org.apache.spark.sql.internal.SQLConf.get
+          .sessionLocalTimeZone)).eval()).toOption.filter(_ != null)
+    }
     import scala.jdk.CollectionConverters._
     byKey.values().iterator().asScala.flatMap { inner =>
       val history = inner.values().asScala.toSeq.map(_._2)
         .sortBy(_.get(vIdx, vType))(vOrd)
-      history.indices.iterator.map { i =>
+      history.indices.iterator.filter { i =>
+        floor.forall { cut =>
+          val r = history(i)
+          val validTo = if (i + 1 < history.size)
+            history(i + 1).get(vIdx, vType) else null
+          val deleted = !r.isNullAt(delIdx) && r.getBoolean(delIdx)
+          // keep unless expire would have dropped it: fully-superseded
+          // before the floor, or a tombstone at/below it
+          !((validTo != null && vOrd.lteq(validTo, cut)) ||
+            (deleted && vOrd.lteq(r.get(vIdx, vType), cut)))
+        }
+      }.map { i =>
         val r = history(i)
         val validTo = if (i + 1 < history.size)
           history(i + 1).get(vIdx, vType) else null

@@ -216,6 +216,27 @@ object Scd2 {
     * the definition, not an incremental patch. Cost: the window
     * shuffle touches only the dirty buckets' rows.
     */
+  /** Drop the rows the committed retention floor has retired — the
+    * EXACT predicate [[expireHistoryBefore]] deletes with: fully-
+    * superseded history (`valid_to <= floor`) and tombstones at
+    * `version <= floor`. Applied to every RE-WINDOWED output (the
+    * copy-on-write merge's rebuilt keys, the merge-on-read fold, and
+    * through the fold: compact), so a replayed pre-floor batch cannot
+    * resurrect below-floor history (r11 verdict item 4) — while a
+    * late row whose successor sits ABOVE the floor still splices in,
+    * exactly as expire would have kept it. No-op without a floor.
+    */
+  private def dropExpired(df: DataFrame, m: Meta): DataFrame =
+    m.snap.prop("expired_before") match {
+      case None => df
+      case Some(f) =>
+        val cut = lit(f).cast(m.schema(m.versionCol).dataType)
+        df.filter(!((col("valid_to").isNotNull &&
+          col("valid_to") <= cut) ||
+          (Compaction.isDeleted(m.deleteCol) &&
+            col(m.versionCol) <= cut)))
+    }
+
   private def foldBuckets(spark: SparkSession, dir: String, m: Meta,
       ids: Iterable[Int]): DataFrame = {
     val idSeq = ids.toSeq
@@ -235,7 +256,7 @@ object Scd2 {
       .withColumn("_rn", row_number().over(dedupW))
       .filter(col("_rn") === 1)
       .drop("_rn", "_seq", "valid_to", "is_current")
-    window(states, m.keys, m.versionCol, m.deleteCol)
+    dropExpired(window(states, m.keys, m.versionCol, m.deleteCol), m)
       .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
   }
 
@@ -454,7 +475,11 @@ object Scd2 {
     val rewound = hist.join(changedKeys, keys, "left_semi")
       .select(stateCols: _*)
       .unionByName(changes, allowMissingColumns = true)
-    val rebuilt = window(rewound, keys, versionCol, deleteCol)
+    // the retention fence re-applies to the re-windowed keys: a
+    // replayed pre-floor batch's rows die here instead of landing as
+    // below-floor history on disk
+    val rebuilt = dropExpired(
+      window(rewound, keys, versionCol, deleteCol), m)
     val out = untouchedRows.unionByName(rebuilt, allowMissingColumns = true)
 
     // stage the touched buckets' full new contents; the committed

@@ -145,4 +145,67 @@ class Scd2ExpireSpec extends SparkSpec {
     assert(e.getMessage.contains("expired-history floor"))
     assert(stateOf(Scd2.asOf(spark, dir, 5L)).exists(_._2 == "v5-2"))
   }
+
+  test("a replayed pre-floor batch cannot resurrect below-floor " +
+      "history (merge-side fence, r12)") {
+    val (dir, _) = build()
+    assert(Scd2.expireHistoryBefore(spark, dir, 2L) > 0)
+    val cur = stateOf(Scd2.current(spark, dir))
+    val asOfFloor = stateOf(Scd2.asOf(spark, dir, 2L))
+    val rows = Scd2.countRows(spark, dir)
+    // replay the ANCIENT v0/v1 batches: every row is either fully
+    // superseded before the floor or a below-floor tombstone — all
+    // were retired by expire and must die at the merge fence
+    Scd2.merge(spark, dir, changelog(
+      (1L to 40L).map(i => (i, s"v0-$i", 0L, false)) ++
+        (1L to 40L).map(i => (i, s"v1-$i", 1L, i % 5 == 0))))
+    assert(stateOf(Scd2.current(spark, dir)) == cur)
+    assert(stateOf(Scd2.asOf(spark, dir, 2L)) == asOfFloor)
+    assert(Scd2.countRows(spark, dir) == rows,
+      "replayed pre-floor rows must not land on disk")
+    // no below-floor row anywhere in the stored history
+    val hist = Scd2.read(spark, dir)
+    assert(hist.filter(col("valid_to").isNotNull &&
+      col("valid_to") <= 2L).count() == 0)
+    assert(hist.filter(col("deleted") && col("version") <= 2L)
+      .count() == 0)
+    // a LEGITIMATE late row whose successor sits above the floor
+    // still splices in, exactly as expire would have kept it: key 3
+    // survives at v2 with no v1 row (expired) — a replayed v1 row for
+    // key 3 was superseded at v2 <= ... v2 > floor? valid_to=2 <= 2
+    // so it dies; a v1.5-style row closing at v2 dies the same way.
+    // A late row closing ABOVE the floor: key 2 history has v2, v3;
+    // splice a fresh version 2.5-analog (v=2, already there) — use a
+    // NEW key instead: first-seen key 99 at v1 would close nowhere
+    // (current), so it must SURVIVE the fence (it is not below-floor
+    // history, it is live state expire never touches)
+    Scd2.merge(spark, dir, changelog(Seq((99L, "v1-99", 1L, false))))
+    assert(stateOf(Scd2.current(spark, dir)).contains((99L, "v1-99")),
+      "a first-seen key below the floor is live state, not retired " +
+        "history — the fence must keep it")
+  }
+
+  test("merge-on-read replay of retired history stays invisible to " +
+      "reads and compact scrubs it (r12)") {
+    val (dir, _) = build()
+    assert(Scd2.expireHistoryBefore(spark, dir, 2L) > 0)
+    val cur = stateOf(Scd2.current(spark, dir))
+    val hist = Scd2.read(spark, dir).count()
+    // replay retired rows as a MoR delta: the fold must re-apply the
+    // expire predicate, so reads never show them
+    Scd2.merge(spark, dir, changelog(
+      (1L to 40L).map(i => (i, s"v1-$i", 1L, i % 5 == 0))),
+      mergeOnRead = true)
+    assert(Scd2.deltaStats(spark, dir).nonEmpty)
+    assert(stateOf(Scd2.current(spark, dir)) == cur)
+    assert(Scd2.read(spark, dir).count() == hist,
+      "folded read must not resurrect retired history")
+    assert(Scd2.read(spark, dir).filter(col("valid_to").isNotNull &&
+      col("valid_to") <= 2L).count() == 0)
+    // compact materializes the fold: disk is clean afterwards
+    Scd2.compact(spark, dir)
+    assert(Scd2.deltaStats(spark, dir).isEmpty)
+    assert(Scd2.read(spark, dir).count() == hist)
+    assert(stateOf(Scd2.current(spark, dir)) == cur)
+  }
 }
