@@ -29,7 +29,14 @@ object Curation {
       nearDupThreshold: Double = 0.8,
       // MinHash feature space: 1 = bag-of-words, n>=2 = n-token
       // shingles (see Dedup.features)
-      nearDupNgram: Int = 3)
+      nearDupNgram: Int = 3,
+      // model-based quality tier (r12): docs whose [[QualityModel]]
+      // logit is <= the threshold are gated out AFTER the heuristic
+      // gate and BEFORE any shuffle — the FineWeb-Edu-style
+      // heuristics -> model -> dedup funnel as ONE call. The score is
+      // a literal-weight codegen'd Column, so the tier rides the same
+      // scan as the heuristic gate (no extra pass, no UDF).
+      modelGate: Option[(QualityModel.Model, Double)] = None)
 
   /** Quality gate predicate over a text column. */
   def qualityGate(text: Column, cfg: Config): Column = {
@@ -57,12 +64,17 @@ object Curation {
   final case class Funnel(
       input: org.apache.spark.sql.Observation,
       gated: org.apache.spark.sql.Observation,
-      exactDeduped: org.apache.spark.sql.Observation) {
+      exactDeduped: org.apache.spark.sql.Observation,
+      // present iff the pipeline ran with Config.modelGate — the model
+      // tier's counter rides the same piggybacked pass as the others
+      modelGated: Option[org.apache.spark.sql.Observation] = None) {
     /** Stage → rows, once an action has run. */
     def counts: Map[String, Long] = Map(
       "input" -> input.get("rows").asInstanceOf[Long],
       "gated" -> gated.get("rows").asInstanceOf[Long],
-      "exact_deduped" -> exactDeduped.get("rows").asInstanceOf[Long])
+      "exact_deduped" -> exactDeduped.get("rows").asInstanceOf[Long]) ++
+      modelGated.map(o =>
+        "model_gated" -> o.get("rows").asInstanceOf[Long])
     /** Mean input document length, from the same piggybacked pass
       * (0.0 for an empty corpus rather than 0/0 = NaN).
       */
@@ -81,13 +93,16 @@ object Curation {
     // pipelines combined in ONE action (union of two curated corpora)
     // would otherwise collide on duplicate observed-metric names and
     // fail analysis
-    val funnel = Funnel(Observation(), Observation(), Observation())
+    val funnel = Funnel(Observation(), Observation(), Observation(),
+      modelGated = cfg.modelGate.map(_ => Observation()))
     val taps: Map[String, (Observation, Seq[Column])] = Map(
       "input" -> ((funnel.input, Seq(count(lit(1)).as("rows"),
         coalesce(sum(length(col("text"))), lit(0L)).as("chars")))),
       "gated" -> ((funnel.gated, Seq(count(lit(1)).as("rows")))),
       "exact_deduped" -> ((funnel.exactDeduped,
-        Seq(count(lit(1)).as("rows")))))
+        Seq(count(lit(1)).as("rows"))))) ++
+      funnel.modelGated.map(o =>
+        "model_gated" -> ((o, Seq(count(lit(1)).as("rows")))))
     val out = curateTapped(docs, cfg, (stage, df) =>
       taps.get(stage).map { case (obs, aggs) =>
         df.observe(obs, aggs.head, aggs.tail: _*)
@@ -107,15 +122,25 @@ object Curation {
     val gated = tap("gated",
       langFiltered.filter(qualityGate(col("text"), cfg)))
 
+    // 2b: model tier (when configured) — a codegen'd linear logit
+    // over the same narrow scan; strict > so the kept set is the
+    // exact complement of the gated-out set under IEEE equality
+    val tiered = cfg.modelGate match {
+      case None => gated
+      case Some((m, thr)) => tap("model_gated",
+        gated.filter(QualityModel.score(m)(col("text")) > lit(thr)))
+    }
+
     // 3: exact dedup — keep lowest doc_id per content hash (min_by:
     // single hash-agg, map-side partial collapses dups early). Persisted:
     // stage 4 scans the survivors three times (LSH signatures, Jaccard
     // word sets, final anti-join) and each rescan would re-run stages 1-3
-    val hashed = gated.withColumn("__fp", md5(TextFunctions.normalize(col("text"))))
+    val hashed = tiered.withColumn("__fp",
+      md5(TextFunctions.normalize(col("text"))))
     val exactSurvivors = tap("exact_deduped", hashed
       .groupBy(col("__fp"))
-      .agg(min_by(struct(gated.columns.toSeq.map(col): _*), col("doc_id")).as("r"))
-      .select(gated.columns.toSeq.map(c => col(s"r.$c")): _*))
+      .agg(min_by(struct(tiered.columns.toSeq.map(col): _*), col("doc_id")).as("r"))
+      .select(tiered.columns.toSeq.map(c => col(s"r.$c")): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4: near dedup — LSH candidates -> exact-Jaccard pairs ->

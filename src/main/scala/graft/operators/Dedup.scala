@@ -434,7 +434,14 @@ object Dedup {
     val pairs = minhashNearDups(docs, idCol, textCol, threshold, ngram = ngram)
       .select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (pairs.isEmpty) {
+    // count(), NOT isEmpty: concluding emptiness needs the full LSH
+    // pass either way (and the cache holds it for the non-empty
+    // branch), but isEmpty's take(1) probe never finalizes upstream
+    // CollectMetrics accumulators — when the caller observes the
+    // corpus (Curation.curateObserved), that partial execution would
+    // complete every funnel Observation with an EMPTY row and the
+    // real counts from the final action could never land
+    if (pairs.count() == 0L) {
       // no verified near-dups: skip clustering AND the anti-join — at
       // scale this avoids ~10 scheduled-but-empty shuffle stages
       docs

@@ -145,6 +145,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the FineWeb-style heuristics → model → dedup funnel as ONE call
+    // (r12): same pipeline with Config.modelGate armed — the fixed
+    // literal-weight logit (quality_model_score's model) gates between
+    // the heuristic filters and dedup, riding the same scan as a
+    // codegen'd Column. Oracled: the curation_pipeline oracle with
+    // the identical left-associated IEEE logit as an extra CTE.
+    "curation_model_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val model = graft.operators.QualityModel.Model(
+        bias = -2.5, weights = Seq(2.0, 8.0, 10.0, 1.0))
+      Curation.curate(docs, Curation.Config(
+          keepLangs = Set("en"), minTokens = 5, nearDupThreshold = 0.9,
+          nearDupNgram = 1, modelGate = Some((model, 0.0))))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sketch aggregates: HLL distinct + approximate quantiles.
     // INTENTIONALLY rows-only (no oracleSql entry, by design, not
     // omission): the values are Spark's engine-native HLL++/KLL sketch

@@ -561,8 +561,38 @@ object TextQueries {
       |  CAST(length(text) AS INT) AS n_chars
       |FROM survivors ORDER BY doc_id""".stripMargin
 
+  /** [[curationOracle]] with the fixed model's logit as an extra gate
+    * between the heuristic CTEs and dedup — the identical
+    * left-associated IEEE arithmetic quality_model_score pins.
+    */
+  private val curationModelOracle: String = {
+    val featsAndModel =
+      s"""feats AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text,' ')) AS DOUBLE) AS nt,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ($stopListSql))) AS DOUBLE) AS nstop,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(len(list_distinct(string_split(text,' ')))
+        |      AS DOUBLE) AS ndist
+        |  FROM gated),
+        |modeled AS (
+        |  SELECT doc_id, text FROM feats
+        |  WHERE ((((-2.5 + 2.0 * (nt / (nt + 20.0)))
+        |    + 8.0 * (nstop / nt))
+        |    + 10.0 * (npunct / nchars))
+        |    + 1.0 * (ndist / nt)) > 0.0),
+        |exact AS (""".stripMargin
+    curationOracle
+      .replace("exact AS (", featsAndModel)
+      .replace("FROM gated GROUP BY", "FROM modeled GROUP BY")
+  }
+
   val oracle: Map[String, String] = Map(
     "curation_pipeline" -> curationOracle,
+    "curation_model_pipeline" -> curationModelOracle,
 
     "link_fuzzy_names" ->
       """WITH probes AS (
