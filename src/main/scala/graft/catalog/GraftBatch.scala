@@ -645,47 +645,59 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
             })
         }
       }
-      p.meta.versionCol
-        .filter(vc => requiredNames(vc.toLowerCase))
-        .foreach { vc =>
-          val vType = p.meta.schema.fields
-            .find(_.name.equalsIgnoreCase(vc)).map(_.dataType)
-          val mins = p.keptIds.toSeq.map(b =>
-            p.meta.props.get(s"minv.$b"))
-          val maxs = p.keptIds.toSeq.map(b =>
-            p.meta.props.get(s"maxv.$b"))
-          if (vType.isDefined && p.keptIds.nonEmpty &&
-              !mins.exists(_.isEmpty) && !maxs.exists(_.isEmpty)) {
-            val dt = vType.get
-            val ord = org.apache.spark.sql.catalyst.types
-              .PhysicalDataType.ordering(dt)
-              .asInstanceOf[Ordering[Any]]
-            def typed(s: String): Option[Any] = {
-              val tz = Some(SQLConf.get.sessionLocalTimeZone)
-              val c = org.apache.spark.sql.catalyst.expressions.Cast(
-                org.apache.spark.sql.catalyst.expressions.Literal(
-                  org.apache.spark.unsafe.types.UTF8String.fromString(s),
-                  org.apache.spark.sql.types.StringType), dt, tz)
-              if (!c.resolved) None else Option(c.eval())
-            }
-            val lo = mins.flatten.flatMap(typed(_))
-            val hi = maxs.flatten.flatMap(typed(_))
-            if (lo.size == p.keptIds.size && hi.size == p.keptIds.size) {
-              val mn = lo.min(ord)
-              val mx = hi.max(ord)
-              colStats.put(
-                org.apache.spark.sql.connector.expressions.Expressions
-                  .column(vc),
-                new org.apache.spark.sql.connector.read.colstats
-                    .ColumnStatistics {
-                  override def min(): java.util.Optional[Object] =
-                    java.util.Optional.of(mn.asInstanceOf[Object])
-                  override def max(): java.util.Optional[Object] =
-                    java.util.Optional.of(mx.asInstanceOf[Object])
-                })
-            }
+      // min/max for a column whose per-bucket zone maps are recorded
+      // under `prefixFor(bucket)`: typed through the same Catalyst
+      // cast the pruning uses, reported only when EVERY kept bucket
+      // carries both bounds (a partial fold would understate a range)
+      def putMinMax(colName: String, minKey: Int => String,
+          maxKey: Int => String): Unit = {
+        val cType = p.meta.schema.fields
+          .find(_.name.equalsIgnoreCase(colName)).map(_.dataType)
+        val mins = p.keptIds.toSeq.map(b => p.meta.props.get(minKey(b)))
+        val maxs = p.keptIds.toSeq.map(b => p.meta.props.get(maxKey(b)))
+        if (cType.isDefined && p.keptIds.nonEmpty &&
+            !mins.exists(_.isEmpty) && !maxs.exists(_.isEmpty)) {
+          val dt = cType.get
+          val ord = org.apache.spark.sql.catalyst.types
+            .PhysicalDataType.ordering(dt)
+            .asInstanceOf[Ordering[Any]]
+          def typed(s: String): Option[Any] = {
+            val tz = Some(SQLConf.get.sessionLocalTimeZone)
+            val c = org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s),
+                org.apache.spark.sql.types.StringType), dt, tz)
+            if (!c.resolved) None else Option(c.eval())
+          }
+          val lo = mins.flatten.flatMap(typed(_))
+          val hi = maxs.flatten.flatMap(typed(_))
+          if (lo.size == p.keptIds.size && hi.size == p.keptIds.size) {
+            val mn = lo.min(ord)
+            val mx = hi.max(ord)
+            colStats.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(colName),
+              new org.apache.spark.sql.connector.read.colstats
+                  .ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  java.util.Optional.of(mn.asInstanceOf[Object])
+                override def max(): java.util.Optional[Object] =
+                  java.util.Optional.of(mx.asInstanceOf[Object])
+              })
           }
         }
+      }
+      p.meta.versionCol
+        .filter(vc => requiredNames(vc.toLowerCase))
+        .foreach(vc =>
+          putMinMax(vc, b => s"minv.$b", b => s"maxv.$b"))
+      // clusterBy columns (r12): the per-bucket cmin/cmax zone maps
+      // fold to a global range — exactly the predicates clustering
+      // was declared to accelerate get CBO-visible bounds
+      GraftPrune.clusterCols(p.meta)
+        .filter(c => requiredNames(c.toLowerCase))
+        .foreach(c =>
+          putMinMax(c, b => s"cmin.$b.$c", b => s"cmax.$b.$c"))
     }
     new Statistics {
       override def sizeInBytes(): OptionalLong =
@@ -1075,6 +1087,15 @@ private[catalog] object GraftPrune {
   private def isVersion(meta: ScanMeta, a: String): Boolean =
     meta.versionCol.exists(a.equalsIgnoreCase)
 
+  private[catalog] def clusterCols(meta: ScanMeta): Seq[String] =
+    meta.props.get("cluster_by")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** The stored-name spelling of a clusterBy column matching pushed
+    * attribute `a`, or None when `a` is not a cluster column. */
+  private def clusterOf(meta: ScanMeta, a: String): Option[String] =
+    clusterCols(meta).find(a.equalsIgnoreCase)
+
   /** Same physical hash the writers bucket by
     * ([[graft.cdc.Bucketing]]: `pmod(xxhash64(keys…), n)`), folded on
     * already-internal Catalyst literals driver-side.
@@ -1119,6 +1140,26 @@ private[catalog] object GraftPrune {
       (meta.props.get(s"minv.$b"), meta.props.get(s"maxv.$b"))).toSeq ++
     meta.deltas.get(b).map(_ =>
       (None, meta.props.get(s"dmaxv.$b"))).toSeq
+
+  /** Cluster-column zone components (r12): base files carry
+    * `cmin.<b>.<col>` / `cmax.<b>.<col>`; merge-on-read delta files
+    * record no cluster stats, so a dirty bucket contributes an
+    * unbounded component and is always kept.
+    */
+  private def clusterComps(meta: ScanMeta, b: Int,
+      c: String): Seq[(Option[String], Option[String])] =
+    meta.buckets.get(b).map(_ =>
+      (meta.props.get(s"cmin.$b.$c"),
+        meta.props.get(s"cmax.$b.$c"))).toSeq ++
+    meta.deltas.get(b).map(_ =>
+      (None: Option[String], None: Option[String])).toSeq
+
+  private def clusterZonePass(meta: ScanMeta, c: String)(
+      keep: ((Option[String], Option[String])) => Boolean): Set[Int] =
+    meta.liveIds.filter { b =>
+      val cs = clusterComps(meta, b, c)
+      cs.isEmpty || cs.exists(keep)
+    }
 
   private def zonePass(meta: ScanMeta)(
       keep: ((Option[String], Option[String])) => Boolean): Set[Int] =
@@ -1173,6 +1214,41 @@ private[catalog] object GraftPrune {
         typedLit(meta, a, v).map(l => zonePass(meta)(c =>
           statHolds(meta, c._1, l, LTE) &&
             statHolds(meta, c._2, l, GTE)))
+      // cluster-column zone maps (r12): the range predicates
+      // clusterBy lays data out for prune whole buckets from the
+      // manifest's per-bucket [cmin, cmax] bounds — the same typed
+      // conservative compare as the version maps
+      case s.GreaterThan(a, v) if clusterOf(meta, a).isDefined =>
+        val c = clusterOf(meta, a).get
+        typedLit(meta, a, v).map(l =>
+          clusterZonePass(meta, c)(x => statHolds(meta, x._2, l, GT)))
+      case s.GreaterThanOrEqual(a, v) if clusterOf(meta, a).isDefined =>
+        val c = clusterOf(meta, a).get
+        typedLit(meta, a, v).map(l =>
+          clusterZonePass(meta, c)(x => statHolds(meta, x._2, l, GTE)))
+      case s.LessThan(a, v) if clusterOf(meta, a).isDefined =>
+        val c = clusterOf(meta, a).get
+        typedLit(meta, a, v).map(l =>
+          clusterZonePass(meta, c)(x => statHolds(meta, x._1, l, LT)))
+      case s.LessThanOrEqual(a, v) if clusterOf(meta, a).isDefined =>
+        val c = clusterOf(meta, a).get
+        typedLit(meta, a, v).map(l =>
+          clusterZonePass(meta, c)(x => statHolds(meta, x._1, l, LTE)))
+      case s.EqualTo(a, v) if clusterOf(meta, a).isDefined =>
+        val c = clusterOf(meta, a).get
+        typedLit(meta, a, v).map(l => clusterZonePass(meta, c)(x =>
+          statHolds(meta, x._1, l, LTE) &&
+            statHolds(meta, x._2, l, GTE)))
+      case s.In(a, vs) if clusterOf(meta, a).isDefined && vs.nonEmpty =>
+        val c = clusterOf(meta, a).get
+        if (vs.length > 4 * meta.nBuckets + 1) None
+        else {
+          val ls = vs.toSeq.map(typedLit(meta, a, _))
+          if (ls.exists(_.isEmpty)) None
+          else Some(clusterZonePass(meta, c)(x => ls.flatten.exists(l =>
+            statHolds(meta, x._1, l, LTE) &&
+              statHolds(meta, x._2, l, GTE))))
+        }
       case s.In(a, vs) if isVersion(meta, a) && vs.nonEmpty =>
         // cap for the same reason: the zone pass is O(|vs| * buckets)
         // on the driver and a huge IN rarely narrows a version range

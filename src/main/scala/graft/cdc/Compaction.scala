@@ -526,7 +526,8 @@ object Compaction {
         (if (feed) Map("feed" -> "true") else Map.empty) ++
         timePartition.map { case (u, c) =>
           Map("tp_unit" -> u, "tp_col" -> c) }.getOrElse(Map.empty) ++
-        rowProps(stagedStats(spark, txn.staging, staged, versionCol)) +
+        rowProps(stagedStats(spark, txn.staging, staged, versionCol,
+          clusterBy)) +
         ("op" -> "init"))
     txn.cleanup()
   }
@@ -606,38 +607,63 @@ object Compaction {
     * session-TZ contract Spark's own timestamp/string casts carry.
     */
   private[cdc] final case class BucketStats(rows: Long,
-      minVersion: String, maxVersion: String)
+      minVersion: String, maxVersion: String,
+      // per-column [min, max] bounds for the table's clusterBy
+      // columns (r12) — stringified like the version stats, string
+      // columns truncated to prune-valid bounds; an all-null column
+      // in a bucket has no entry
+      colBounds: Map[String, (String, String)] = Map.empty)
 
   private[cdc] def stagedStats(spark: SparkSession, staging: String,
-      staged: Seq[Int], versionCol: String): Map[Int, BucketStats] =
+      staged: Seq[Int], versionCol: String,
+      statCols: Seq[String] = Nil): Map[Int, BucketStats] =
     // an all-buckets-emptied merge staged no partitions (the dir holds
     // only _SUCCESS — nothing to read a schema from)
     if (staged.isEmpty) Map.empty
-    else driverFooterStats(spark, staging, staged, versionCol).getOrElse {
+    else driverFooterStats(spark, staging, staged, versionCol, statCols)
+      .getOrElse {
       val df = spark.read.parquet(s"$staging/data")
       // STRING version columns record Iceberg-style TRUNCATED bounds
       // (≤-min prefix, >-max incremented prefix): the zone-map prune
       // stays exact-conservative and the manifest never stores an
       // unbounded value. The MIN/MAX aggregate pushdown declines
       // string version columns for the same reason (bounds, not
-      // answers) — see GraftScanBuilder.statsFromManifest.
-      val isStr = df.schema.fields
-        .find(_.name.equalsIgnoreCase(versionCol))
+      // answers) — see GraftScanBuilder.statsFromManifest. The same
+      // truncation applies to string CLUSTER columns (r12).
+      def isStr(c: String) = df.schema.fields
+        .find(_.name.equalsIgnoreCase(c))
         .exists(_.dataType == org.apache.spark.sql.types.StringType)
-      def lo(s: String): String =
-        if (s == null || !isStr) s
+      def lo(c: String)(s: String): String =
+        if (s == null || !isStr(c)) s
         else graft.sources.MetadataScan.truncateLower(s)
-      def hi(s: String): String =
-        if (s == null || !isStr) s
+      def hi(c: String)(s: String): String =
+        if (s == null || !isStr(c)) s
         else graft.sources.MetadataScan.truncateUpper(s)
+      // columns present in the staged schema only: a pre-evolution
+      // generation may not carry a later-added cluster column
+      val present = statCols.filter(c =>
+        df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      val extraAggs = present.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c)).cast("string").as(s"__cmn_$i"),
+          max(col(c)).cast("string").as(s"__cmx_$i"))
+      }
+      val aggs = Seq(count(lit(1)).as("n"),
+        min(col(versionCol)).cast("string").as("mn"),
+        max(col(versionCol)).cast("string").as("mx")) ++ extraAggs
       df.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"),
-          min(col(versionCol)).as("mn"), max(col(versionCol)).as("mx"))
-        .select(col("bucket"), col("n"),
-          col("mn").cast("string"), col("mx").cast("string"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => r.getInt(0) ->
-          BucketStats(r.getLong(1), lo(r.getString(2)), hi(r.getString(3))))
+        .map { r =>
+          val bounds = present.zipWithIndex.flatMap { case (c, i) =>
+            val mn = r.getAs[String](s"__cmn_$i")
+            val mx = r.getAs[String](s"__cmx_$i")
+            if (mn == null || mx == null) None
+            else Some(c -> ((lo(c)(mn), hi(c)(mx))))
+          }.toMap
+          r.getInt(0) -> BucketStats(r.getLong(1),
+            lo(versionCol)(r.getAs[String]("mn")),
+            hi(versionCol)(r.getAs[String]("mx")), bounds)
+        }
         .toMap
     }
 
@@ -654,7 +680,8 @@ object Compaction {
     * at commit.
     */
   private def driverFooterStats(spark: SparkSession, staging: String,
-      staged: Seq[Int], versionCol: String): Option[Map[Int, BucketStats]] =
+      staged: Seq[Int], versionCol: String,
+      statCols: Seq[String] = Nil): Option[Map[Int, BucketStats]] =
     try {
       val conf = spark.sessionState.newHadoopConf()
       val fs = new Path(staging).getFileSystem(conf)
@@ -674,60 +701,68 @@ object Compaction {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, files.size))
       try {
+        // wanted(0) = the version column; the rest are clusterBy
+        // stat columns (r12) — each must qualify as plain INT32/INT64
+        // or the whole fast path declines to the Spark aggregate
+        val wanted = versionCol +: statCols
         val futs = files.map { case (b, p) =>
           b -> pool.submit(new java.util.concurrent.Callable[
-              Option[(Long, Long, Long)]] {
-            override def call(): Option[(Long, Long, Long)] = {
+              Option[(Long, Array[Long], Array[Long])]] {
+            override def call(): Option[(Long, Array[Long], Array[Long])] = {
               val in = org.apache.parquet.hadoop.util.HadoopInputFile
                 .fromPath(p, conf)
               val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
               try {
                 val footer = r.getFooter
                 val md = footer.getFileMetaData
-                val col = md.getSchema.getColumns.asScala.find(
-                  _.getPath.toSeq == Seq(versionCol))
-                  .getOrElse(return None)
-                // only plain INT32/INT64 (no logical annotation that
-                // changes rendering) qualifies
-                val pt = col.getPrimitiveType
-                val ok = (pt.getPrimitiveTypeName ==
-                    org.apache.parquet.schema.PrimitiveType
-                      .PrimitiveTypeName.INT64 ||
-                  pt.getPrimitiveTypeName ==
-                    org.apache.parquet.schema.PrimitiveType
-                      .PrimitiveTypeName.INT32) &&
-                  (pt.getLogicalTypeAnnotation == null ||
-                    pt.getLogicalTypeAnnotation.isInstanceOf[
-                      org.apache.parquet.schema.LogicalTypeAnnotation
-                        .IntLogicalTypeAnnotation])
-                if (!ok) return None
+                wanted.foreach { w =>
+                  val col = md.getSchema.getColumns.asScala.find(
+                    _.getPath.toSeq == Seq(w))
+                    .getOrElse(return None)
+                  // only plain INT32/INT64 (no logical annotation
+                  // that changes rendering) qualifies
+                  val pt = col.getPrimitiveType
+                  val ok = (pt.getPrimitiveTypeName ==
+                      org.apache.parquet.schema.PrimitiveType
+                        .PrimitiveTypeName.INT64 ||
+                    pt.getPrimitiveTypeName ==
+                      org.apache.parquet.schema.PrimitiveType
+                        .PrimitiveTypeName.INT32) &&
+                    (pt.getLogicalTypeAnnotation == null ||
+                      pt.getLogicalTypeAnnotation.isInstanceOf[
+                        org.apache.parquet.schema.LogicalTypeAnnotation
+                          .IntLogicalTypeAnnotation])
+                  if (!ok) return None
+                }
                 var rows = 0L
-                var mn = Long.MaxValue
-                var mx = Long.MinValue
+                val mn = Array.fill(wanted.size)(Long.MaxValue)
+                val mx = Array.fill(wanted.size)(Long.MinValue)
                 footer.getBlocks.asScala.foreach { blk =>
                   rows += blk.getRowCount
-                  val cc = blk.getColumns.asScala.find(
-                    _.getPath.toDotString == versionCol)
-                    .getOrElse(return None)
-                  val st = cc.getStatistics
-                  if (st == null || !st.hasNonNullValue) {
-                    if (blk.getRowCount > 0) return None
-                  } else {
-                    val lo = st.genericGetMin match {
-                      case i: java.lang.Integer => i.longValue()
-                      case l: java.lang.Long => l.longValue()
-                      case _ => return None
+                  wanted.zipWithIndex.foreach { case (w, i) =>
+                    val cc = blk.getColumns.asScala.find(
+                      _.getPath.toDotString == w)
+                      .getOrElse(return None)
+                    val st = cc.getStatistics
+                    if (st == null || !st.hasNonNullValue) {
+                      if (blk.getRowCount > 0) return None
+                    } else {
+                      val lo = st.genericGetMin match {
+                        case n: java.lang.Integer => n.longValue()
+                        case l: java.lang.Long => l.longValue()
+                        case _ => return None
+                      }
+                      val hi = st.genericGetMax match {
+                        case n: java.lang.Integer => n.longValue()
+                        case l: java.lang.Long => l.longValue()
+                        case _ => return None
+                      }
+                      mn(i) = math.min(mn(i), lo)
+                      mx(i) = math.max(mx(i), hi)
                     }
-                    val hi = st.genericGetMax match {
-                      case i: java.lang.Integer => i.longValue()
-                      case l: java.lang.Long => l.longValue()
-                      case _ => return None
-                    }
-                    mn = math.min(mn, lo)
-                    mx = math.max(mx, hi)
                   }
                 }
-                if (mn > mx) return None // no non-null stats at all
+                if (mn(0) > mx(0)) return None // no non-null stats at all
                 Some((rows, mn, mx))
               } finally r.close()
             }
@@ -737,8 +772,16 @@ object Compaction {
         if (perFile.exists(_._2.isEmpty)) None
         else Some(perFile.groupBy(_._1).map { case (b, xs) =>
           val vs = xs.map(_._2.get)
+          def colMin(i: Int) = vs.map(_._2(i)).min
+          def colMax(i: Int) = vs.map(_._3(i)).max
+          val bounds = statCols.zipWithIndex.flatMap { case (c, i0) =>
+            val i = i0 + 1
+            // an all-null stat column in every file leaves no entry
+            if (colMin(i) > colMax(i)) None
+            else Some(c -> ((colMin(i).toString, colMax(i).toString)))
+          }.toMap
           b -> BucketStats(vs.map(_._1).sum,
-            vs.map(_._2).min.toString, vs.map(_._3).max.toString)
+            colMin(0).toString, colMax(0).toString, bounds)
         })
       } finally pool.shutdown()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -748,8 +791,29 @@ object Compaction {
     stats.flatMap { case (b, st) =>
       Seq(s"rows.$b" -> st.rows.toString) ++
         Option(st.minVersion).map(mn => s"minv.$b" -> mn) ++
-        Option(st.maxVersion).map(mx => s"maxv.$b" -> mx)
+        Option(st.maxVersion).map(mx => s"maxv.$b" -> mx) ++
+        // cluster-column zone maps (r12): bucket FIRST in the key so
+        // every carried-props filter parses the bucket id uniformly
+        // (statBucket) even though the suffix is a column name
+        st.colBounds.flatMap { case (c, (mn, mx)) =>
+          Seq(s"cmin.$b.$c" -> mn, s"cmax.$b.$c" -> mx) }
     }
+
+  /** Bucket id of a per-bucket stat key (`rows.7`, `cmin.7.price`) —
+    * the parse every commit's carried-props filter shares. None for a
+    * malformed suffix (callers keep such keys rather than guess).
+    */
+  private[cdc] def statBucket(k: String, p: String): Option[Int] = {
+    val head = k.drop(p.length).takeWhile(_ != '.')
+    if (head.nonEmpty && head.forall(_.isDigit))
+      scala.util.Try(head.toInt).toOption
+    else None
+  }
+
+  /** The per-bucket stat-key families a commit carries/filters. */
+  private[cdc] val StatPrefixes =
+    Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.",
+      "delta.", "drows.", "dmaxv.")
 
   /** Exact live row count answered from the manifest alone — zero I/O,
     * zero Spark jobs: every commit records each bucket's count, so the
@@ -1294,8 +1358,9 @@ object Compaction {
         case kv => kv
       }
       .filterNot { case (k, _) =>
-        Seq("minv.", "maxv.").exists(p => k.startsWith(p) &&
-          touched.contains(k.drop(p.length).toInt)) ||
+        Seq("minv.", "maxv.", "cmin.", "cmax.").exists(p =>
+          k.startsWith(p) &&
+            statBucket(k, p).exists(touched.contains)) ||
           Seq("txn_id", "base_txn", "feed_batch", "feed_txn").contains(k)
       } + ("tp_min" -> cut.toString) + ("op" -> "retire-partitions")
     TxLog.commit(spark, dir, m.snap.version + 1, props)
@@ -1375,12 +1440,13 @@ object Compaction {
       val newBuckets = (m.buckets -- bucketIds) ++
         stagedIn.map(b => b -> txn.bucketRel(b))
       val carried = m.snap.props.collect {
-        case (k, v) if Seq("rows.", "minv.", "maxv.",
-            "delta.", "drows.", "dmaxv.").exists(p =>
-            k.startsWith(p) && !bucketIds.contains(k.drop(p.length).toInt))
+        case (k, v) if StatPrefixes.exists(p =>
+            k.startsWith(p) &&
+              !statBucket(k, p).exists(bucketIds.contains))
           => k -> v
       }
-      val newStats = stagedStats(spark, txn.staging, staged, m.versionCol)
+      val newStats = stagedStats(spark, txn.staging, staged,
+        m.versionCol, m.clusterBy)
       // escapee buckets keep base + prior deltas and APPEND one delta
       // dir each, folding its footer stats into the delta zone map —
       // the same bookkeeping a merge-on-read merge commits
@@ -1755,7 +1821,8 @@ object Compaction {
       val props = coreProps(m.keys, m.versionCol, m.deleteCol,
         newNBuckets, m.schema.json, m.clusterBy) ++
         evolutionProps(m.snap) ++
-        rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
+        rowProps(stagedStats(spark, txn.staging, staged, m.versionCol,
+          m.clusterBy)) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
         ("op" -> "rebucket")
       txn.installAndCommit(
@@ -1818,7 +1885,8 @@ object Compaction {
         (evolutionProps(m.snap) -- Seq("tp_unit", "tp_col", "tp_min")) ++
         timePartition.map { case (u, c) =>
           Map("tp_unit" -> u, "tp_col" -> c) }.getOrElse(Map.empty) ++
-        rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
+        rowProps(stagedStats(spark, txn.staging, staged, m.versionCol,
+          m.clusterBy)) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
         // durable marker: the feed may now hold batches of BOTH
         // layouts (flat and `_tp=`-nested) — readFeed must take the
@@ -2751,13 +2819,12 @@ object Compaction {
     // merge folds a touched bucket's deltas into its new base, so the
     // commit drops them (and the sweep reclaims the directories)
     val carriedRows = m.snap.props.collect {
-      case (k, v) if Seq("rows.", "minv.", "maxv.",
-          "delta.", "drows.", "dmaxv.").exists(p =>
-          k.startsWith(p) && !touched.contains(k.drop(p.length).toInt))
+      case (k, v) if StatPrefixes.exists(p =>
+          k.startsWith(p) && !statBucket(k, p).exists(touched.contains))
         => k -> v
     }
     val newStats = prof("merge.stagedStats") {
-      stagedStats(spark, staging, staged, versionCol)
+      stagedStats(spark, staging, staged, versionCol, m.clusterBy)
     }
     // rowsWritten = the staged footer counts — the pass the old
     // pre-write winners.count() made is folded into the stats read
@@ -2923,9 +2990,10 @@ object Compaction {
     // dropped dmaxv (uncombinable stat) cannot leave a stale one behind
     val stagedSet = staged.toSet
     val carried = m.snap.props.filter { case (k, _) =>
-      Seq("rows.", "minv.", "maxv.").exists(k.startsWith) ||
+      Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.")
+        .exists(k.startsWith) ||
         Seq("delta.", "drows.", "dmaxv.").exists(p =>
-          k.startsWith(p) && !stagedSet.contains(k.drop(p.length).toInt))
+          k.startsWith(p) && !statBucket(k, p).exists(stagedSet.contains))
     }
     val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
       schemaJson, m.clusterBy) ++ evolutionProps(m.snap) ++
@@ -3004,14 +3072,14 @@ object Compaction {
       // base stats carry for untouched buckets; delta props carry for
       // dirty-but-below-threshold buckets (their chains stay live)
       val carried = m.snap.props.filter { case (k, _) =>
-        Seq("rows.", "minv.", "maxv.", "delta.", "drows.", "dmaxv.")
-          .exists(p =>
-            k.startsWith(p) && !dirty.contains(k.drop(p.length).toInt))
+        StatPrefixes.exists(p =>
+          k.startsWith(p) && !statBucket(k, p).exists(dirty.contains))
       }
       val props = coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
         m.schema.json, m.clusterBy) ++ evolutionProps(m.snap) ++
         carried ++
-        rowProps(stagedStats(spark, txn.staging, staged, m.versionCol)) ++
+        rowProps(stagedStats(spark, txn.staging, staged, m.versionCol,
+          m.clusterBy)) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
         ("op" -> "compact")
       txn.installAndCommit(

@@ -92,4 +92,136 @@ class ColumnStatsSpec extends SparkSpec {
     assert(hasBhj, "the 50-row maintained table should broadcast:\n" +
       q.queryExecution.executedPlan)
   }
+
+  test("clusterBy columns report manifest min/max; a cluster-range " +
+      "filter prunes bucket dirs (r12)") {
+    sqlc("""CREATE TABLE gstat.cl (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='8',
+          'cluster_by'='price')""")
+    // price is a function of the WRITER'S OWN bucket hash
+    // (pmod(xxhash64(id), 8) — graft.cdc.Bucketing's formula), so each
+    // bucket's [cmin, cmax] range is disjoint: bucket b holds prices
+    // [b*100, b*100+50)
+    sqlc("""INSERT INTO gstat.cl
+        SELECT id,
+          CAST(pmod(xxhash64(id), 8) * 100 + id % 50 AS DOUBLE),
+          0L, false FROM range(400)""")
+    // 1. the optimizer sees the folded global min/max for price
+    val df = sqlc("SELECT * FROM gstat.cl")
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case r: DataSourceV2ScanRelation => r
+    }.getOrElse(fail("no v2 scan relation"))
+    val pStat = rel.stats.attributeStats.collectFirst {
+      case (a, cs) if a.name.equalsIgnoreCase("price") => cs
+    }.getOrElse(fail(s"no price column stat in " +
+      s"${rel.stats.attributeStats.keys}"))
+    assert(pStat.min.exists(_.asInstanceOf[Double] == 0.0) &&
+      pStat.max.exists(_.asInstanceOf[Double] >= 700.0),
+      s"price stats should fold cmin/cmax, got " +
+        s"min=${pStat.min} max=${pStat.max}")
+    // 2. a selective price range opens ONLY the matching bucket dir
+    val one = sqlc(
+      "SELECT id FROM gstat.cl WHERE price >= 200.0 AND price < 250.0")
+    assert(one.count() > 0)
+    def planned(q: org.apache.spark.sql.DataFrame): Set[Int] = {
+      def walk(pl: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[Int] = pl match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.inputPartitions.collect {
+          case c: GraftCleanPartition => c.bucket
+          case f: GraftFoldPartition => f.bucket
+        }
+        case o => o.children.flatMap(walk)
+      }
+      walk(q.queryExecution.executedPlan).toSet
+    }
+    val buckets = planned(one)
+    assert(buckets == Set(2),
+      s"price range [200, 250) lives in bucket 2 only; planned " +
+        s"buckets $buckets")
+  }
+
+  test("a selective cluster-col filter shrinks planned bytes below " +
+      "the broadcast threshold (r12)") {
+    sqlc("""CREATE TABLE gstat.cl2 (
+        id BIGINT, price DOUBLE, pad STRING, version BIGINT,
+        deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='8',
+          'cluster_by'='price')""")
+    sqlc("""INSERT INTO gstat.cl2
+        SELECT id,
+          CAST(pmod(xxhash64(id), 8) * 100 + id % 50 AS DOUBLE),
+          repeat(uuid(), 4), 0L, false FROM range(4000)""")
+    val bigPath = tmpDir("cstat-big2")
+    spark.range(50000).selectExpr("id AS fid",
+      "CAST(id % 800 AS DOUBLE) AS fprice")
+      .write.mode("overwrite").parquet(bigPath)
+    spark.read.parquet(bigPath).createOrReplaceTempView("cstat_big2")
+    // total table bytes from the unfiltered scan's own estimate
+    val total = sqlc("SELECT * FROM gstat.cl2")
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.stats.sizeInBytes
+      }.get.toLong
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (total / 2).toString)
+    // pin the PLANNER's decision: AQE's runtime-size conversion would
+    // broadcast the small shuffle either way, which is not what this
+    // test measures (the manifest-pruned PLANNING bytes are)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // true iff the GRAFT side (the v2 batch scan) sits under a
+      // broadcast exchange — the fact parquet side may broadcast on
+      // its own merits, which is not what this test pins
+      def graftBroadcast(q: org.apache.spark.sql.DataFrame): Boolean = {
+        q.collect()
+        def walk(pl: org.apache.spark.sql.execution.SparkPlan,
+            underBcast: Boolean): Boolean = pl match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => walk(a.executedPlan, underBcast)
+          // AQE materializes exchanges as leaf query stages — descend
+          // into the wrapped plan or the walk never sees the scan
+          case qs: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => walk(qs.plan, underBcast)
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => underBcast
+          case e: org.apache.spark.sql.execution.exchange
+              .BroadcastExchangeExec =>
+            walk(e.child, underBcast = true)
+          case r: org.apache.spark.sql.execution.exchange
+              .ReusedExchangeExec => walk(r.child, underBcast)
+          case o => o.children.exists(walk(_, underBcast)) ||
+            o.subqueries.exists(walk(_, underBcast))
+        }
+        walk(q.queryExecution.executedPlan, underBcast = false)
+      }
+      // unfiltered: 8 buckets of planned bytes > threshold → the
+      // maintained side must NOT broadcast
+      val unf = sqlc("""SELECT count(*) AS n FROM cstat_big2 b
+        JOIN gstat.cl2 d ON b.fprice = d.price""")
+      assert(!graftBroadcast(unf),
+        "unfiltered maintained side should exceed the threshold")
+      // cluster-range filter prunes to ~1/8 of the bytes → broadcasts
+      val fil = sqlc("""SELECT count(*) AS n FROM cstat_big2 b
+        JOIN (SELECT * FROM gstat.cl2
+              WHERE price >= 200.0 AND price < 250.0) d
+        ON b.fprice = d.price""")
+      assert(graftBroadcast(fil),
+        "the cluster-pruned side should fall under the threshold " +
+          "and broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
