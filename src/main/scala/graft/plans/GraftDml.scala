@@ -96,8 +96,8 @@ object GraftTables {
     * (`graft.ns.t`). Both return a one-row result frame.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
-    maintenanceSql(spark, sqlText)
-      .orElse(mvSql(spark, sqlText))
+    GraftVerbs.parse(sqlText)
+      .flatMap(runVerb(spark, _))
       .getOrElse {
         val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
         GraftDml.lower(spark, parsed) match {
@@ -106,63 +106,39 @@ object GraftTables {
         }
       }
 
-  private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*""".r
-  private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+)(?:\s+MIN\s+DELTAS\s+(\d+))?\s*;?\s*""".r
-  private val HistoryRe =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
-  private val RetireRe =
-    ("""(?is)\s*RETIRE\s+PARTITIONS\s+([\w.`]+)\s+BEFORE\s+""" +
-      """TIMESTAMP\s+'([^']+)'\s*;?\s*""").r
-  private val SetPartRe =
-    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+PARTITION\s+SPEC\s*""" +
-      """\(\s*(\w+)\s*\(\s*`?(\w+)`?\s*\)\s*\)\s*;?\s*""").r
-  private val DropPartRe =
-    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+""" +
-      """SPEC\s*;?\s*""").r
-  private val ExpireRe =
-    ("""(?is)\s*EXPIRE\s+HISTORY\s+([\w.`]+)\s+BEFORE\s+""" +
-      """(?:TIMESTAMP\s+'([^']+)'|(-?\d+))\s*;?\s*""").r
-  private val ShowFilesRe =
-    """(?is)\s*SHOW\s+FILES\s+([\w.`]+)\s*;?\s*""".r
-  private val ShowPartsRe =
-    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.`]+)\s*;?\s*""".r
-  private val ShowChangesRe =
-    ("""(?is)\s*SHOW\s+CHANGES\s+([\w.`]+)\s+FROM\s+(\d+)""" +
-      """(?:\s+TO\s+(\d+))?\s*;?\s*""").r
-
-  private def maintenanceSql(spark: SparkSession,
-      sqlText: String): Option[DataFrame] = {
+  /** Execute one parsed [[GraftVerbs.Verb]]. None = the statement's
+    * target is not one of our maintained tables — delegate to
+    * `spark.sql` untouched (another extension, e.g. a different table
+    * format, may own it). MV verbs always answer (their targets are
+    * our own registries and fail loudly when unknown).
+    */
+  private def runVerb(spark: SparkSession,
+      verb: GraftVerbs.Verb): Option[DataFrame] = {
+    import GraftVerbs._
     import spark.implicits._
-    // a target that is NOT one of our maintained tables delegates to
-    // spark.sql untouched — another extension (e.g. a different table
-    // format) may own the statement
     def dirFor(name: String): Option[String] =
       GraftDml.resolveName(spark, GraftDml.splitIdentifier(name)).map(_.dir)
-    sqlText match {
-      case VacuumRe(name, hours) =>
+    verb match {
+      case Vacuum(name, hours) =>
         dirFor(name).map { dir =>
-          val age = java.time.Duration.ofHours(
-            Option(hours).map(_.toLong).getOrElse(168L))
+          val age = java.time.Duration.ofHours(hours.getOrElse(168L))
           val (_, vacuumed) = Compaction.maintain(spark, dir,
             maxDeltasPerBucket = Int.MaxValue, maxHistoryAge = age)
           Seq((name, vacuumed)).toDF("table", "versions_vacuumed")
         }
-      case OptimizeRe(name, minDeltas) =>
+      case Optimize(name, minDeltas) =>
         dirFor(name).map { dir =>
-          val bound = Option(minDeltas).map(_.toInt).getOrElse(1)
           val (folded, _) = Compaction.maintain(spark, dir,
-            maxDeltasPerBucket = bound)
+            maxDeltasPerBucket = minDeltas.getOrElse(1))
           Seq((name, folded)).toDF("table", "buckets_folded")
         }
-      case HistoryRe(name) =>
+      case DescribeHistory(name) =>
         dirFor(name).map(dir => Compaction.history(spark, dir)
           .orderBy(org.apache.spark.sql.functions.col("version").desc))
       // time-partitioned retention: drop every partition strictly
       // below the bound's partition, metadata-first
       // (Compaction.dropPartitionsBefore)
-      case RetireRe(name, ts) =>
+      case RetirePartitions(name, ts) =>
         dirFor(name).map { dir =>
           // the raw string: tpValueOf parses it in the SESSION zone,
           // like every other bound (Timestamp.valueOf here would
@@ -172,15 +148,14 @@ object GraftTables {
         }
       // partition-spec evolution: one committed full rewrite into the
       // new layout (Compaction.repartitionTime)
-      case SetPartRe(name, unit, colName) =>
+      case SetPartitionSpec(name, unit, colName) =>
         dirFor(name).map { dir =>
-          Compaction.repartitionTime(spark, dir,
-            Some(unit.toLowerCase -> colName))
+          Compaction.repartitionTime(spark, dir, Some(unit -> colName))
           GraftTables.refresh(spark, name)
-          Seq((name, s"${unit.toLowerCase}($colName)"))
+          Seq((name, s"$unit($colName)"))
             .toDF("table", "partition_spec")
         }
-      case DropPartRe(name) =>
+      case DropPartitionSpec(name) =>
         dirFor(name).map { dir =>
           Compaction.repartitionTime(spark, dir, None)
           GraftTables.refresh(spark, name)
@@ -189,9 +164,9 @@ object GraftTables {
       // SCD2 history retention (Scd2.expireHistoryBefore): resolved
       // OUTSIDE dirFor — resolveName deliberately refuses scd2 tables
       // for merge-semantics DML, but this verb's target must BE one
-      case ExpireRe(name, ts, num) =>
+      case ExpireHistory(name, bound0) =>
         scd2DirFor(spark, name).map { dir =>
-          val bound: Any = if (ts != null) ts else num.toLong
+          val bound: Any = bound0.fold(identity, identity)
           val dropped = graft.cdc.Scd2.expireHistoryBefore(
             spark, dir, bound)
           Seq((name, dropped)).toDF("table", "rows_expired")
@@ -199,7 +174,7 @@ object GraftTables {
       // inspection verbs for REGISTERED-name users — the SQL twins of
       // the catalog metadata tables (t.files / t.partitions /
       // t.changes, catalog/MetaTables.scala); any maintained type
-      case ShowFilesRe(name) =>
+      case ShowFiles(name) =>
         anyDirFor(spark, name).map { dir =>
           graft.catalog.MetaTables.fileEntries(spark, dir)
             .map { case (b, k, tp, st) =>
@@ -208,7 +183,7 @@ object GraftTables {
             }.toDF("bucket", "kind", "partition", "path",
               "size_bytes", "modified_at")
         }
-      case ShowPartsRe(name) =>
+      case ShowPartitions(name) =>
         anyDirFor(spark, name).map { dir =>
           graft.catalog.MetaTables.partitionEntries(spark, dir)
             .map { case (tp, unit, files, bytes, buckets) =>
@@ -221,17 +196,14 @@ object GraftTables {
       // batch-range changes read by NAME: readFeed's `batch` is a
       // partition column, so the range filter prunes batch DIRS at
       // plan time — the registered-name twin of t.changes, with the
-      // SAME fences (a silent gap here while the catalog route fails
-      // loudly would be the worse kind of asymmetry)
-      case ShowChangesRe(name, from, to) =>
+      // SAME fences
+      case ShowChanges(name, fromB, toB) =>
         anyDirFor(spark, name).map { dir =>
           if (!Compaction.feedEnabled(spark, dir))
             GraftDml.fail(s"$name has no change data feed: enable it with " +
               "TBLPROPERTIES ('feed'='true') / feed = true")
-          val fromB = from.toLong
           val head = TxLog.latest(spark, dir)
             .map(_.counter("next_feed_batch") - 1L).getOrElse(-1L)
-          val toB = Option(to).map(_.toLong)
           val hiB = math.min(toB.getOrElse(head), head)
           // retention fence: batches below the recorded horizon are
           // gone — reading past them silently omits their changes
@@ -267,7 +239,12 @@ object GraftTables {
           Compaction.readFeed(spark, dir)
             .filter(c >= fromB && c <= capped)
         }
-      case _ => None
+      case v: CreateMv => Some(runCreateMv(spark, v))
+      case RefreshMv(name) =>
+        Some(Seq((name, refreshMv(spark, viewDirOf(spark, name))))
+          .toDF("view", "batches_applied"))
+      case RefreshAllMv(base) => Some(runRefreshAllMv(spark, base))
+      case DropMv(name) => Some(runDropMv(spark, name))
     }
   }
 
@@ -342,37 +319,6 @@ object GraftTables {
     */
   private val mvRegistry = TrieMap.empty[(SparkSession, String), String]
 
-  private val CreateMvRe =
-    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(`?\w+`?)\s+AS\s+""" +
-      """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
-  private val RefreshMvRe =
-    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(`?\w+`?)\s*;?\s*""".r
-  private val RefreshAllMvRe =
-    ("""(?is)\s*REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS\s+ON\s+""" +
-      """([\w.`]+)\s*;?\s*""").r
-  private val DropMvRe =
-    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(`?\w+`?)\s*;?\s*""".r
-  private val CntItem = """(?is)count\s*\(\s*(?:\*|1)\s*\)\s+AS\s+cnt""".r
-  private val SumItem = """(?is)sum\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+total""".r
-  private val KeyItem = """`?(\w+)`?""".r
-
-  private def unquote(n: String): String =
-    n.stripPrefix("`").stripSuffix("`")
-
-  private def splitTopLevel(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case ch => cur += ch
-    }
-    out += cur.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
-  }
-
   private def mvDefPath(viewDir: String) =
     new org.apache.hadoop.fs.Path(s"$viewDir/_mvdef.properties")
 
@@ -396,129 +342,108 @@ object GraftTables {
       p.getProperty("value_col"))
   }
 
-  private def mvSql(spark: SparkSession,
-      sqlText: String): Option[DataFrame] = {
+  private def viewDirOf(spark: SparkSession, name: String): String =
+    mvRegistry.getOrElse((spark, name),
+      GraftDml.fail(s"unknown materialized view $name in this session — " +
+        "CREATE MATERIALIZED VIEW re-attaches it (same name " +
+        "re-creates/replaces; definitions persist as " +
+        "_mvdef.properties under <base>/_mv/<name>)"))
+
+  private def runCreateMv(spark: SparkSession,
+      v: GraftVerbs.CreateMv): DataFrame = {
     import spark.implicits._
-    def fail(msg: String): Nothing = GraftDml.fail(msg)
-    def viewDirOf(name: String): String =
-      mvRegistry.getOrElse((spark, unquote(name).toLowerCase),
-        fail(s"unknown materialized view $name in this session — " +
-          "CREATE MATERIALIZED VIEW re-attaches it (same name " +
-          "re-creates/replaces; definitions persist as " +
-          "_mvdef.properties under <base>/_mv/<name>)"))
-    sqlText match {
-      case CreateMvRe(name0, selectList, base, groupBy) =>
-        val name = unquote(name0).toLowerCase
-        val baseDir = GraftDml.resolveName(spark,
-          GraftDml.splitIdentifier(base)).map(_.dir).getOrElse(
-          fail(s"$base is not a registered or catalog maintained table"))
-        require(Compaction.feedEnabled(spark, baseDir),
-          s"$base has no change data feed ('feed'='true'): a " +
-            "materialized view cannot refresh without it")
-        val contract = "CREATE MATERIALIZED VIEW supports exactly " +
-          "SELECT <group cols>, count(*) AS cnt, sum(<col>) AS total " +
-          "FROM <base> GROUP BY <group cols> (AggView stores count + " +
-          "decimal-sum partials under those names)"
-        var keys = Vector.empty[String]
-        var valueCol: Option[String] = None
-        var hasCnt = false
-        splitTopLevel(selectList).foreach {
-          case CntItem() => hasCnt = true
-          case SumItem(v) =>
-            require(valueCol.isEmpty, contract)
-            valueCol = Some(v)
-          case KeyItem(k) => keys = keys :+ k
-          case other => fail(s"unsupported select item '$other' — $contract")
-        }
-        val groupKeys = splitTopLevel(groupBy).map(g =>
-          KeyItem.unapplySeq(g).map(_.head)
-            .getOrElse(fail(s"unsupported GROUP BY item '$g' — $contract")))
-        require(hasCnt && valueCol.isDefined && keys.nonEmpty &&
-          keys.map(_.toLowerCase) == groupKeys.map(_.toLowerCase).toVector,
-          contract)
-        // a base may carry SEVERAL rollups (r10 item 5): each view
-        // registers under its own dir and the rewrite serves the
-        // cheapest matching one, so no shadowing/one-per-base fence
-        // is needed anymore.
-        val viewDir = s"$baseDir/_mv/$name"
-        // RE-ATTACH instead of re-seed (r10 advice): after a restart
-        // the session registry is empty but the sidecar + manifest are
-        // durable — a CREATE matching the existing definition
-        // re-registers the healthy view as-is instead of paying a full
-        // rebuild from a fresh base snapshot (a DIFFERENT definition
-        // under the same name still re-creates).
-        val existing = scala.util.Try(readMvDef(spark, viewDir)).toOption
-          .filter { case (b, ks, v) =>
-            b == baseDir &&
-              ks.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
-              v.equalsIgnoreCase(valueCol.get) &&
-              TxLog.latest(spark, viewDir).isDefined
-          }
-        if (existing.isDefined) {
-          val (_, _, _, attachedAt) =
-            graft.cdc.AggView.readMeta(spark, viewDir)
-          Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
-          mvRegistry.put((spark, name), viewDir)
-          return Some(Seq((name, viewDir, attachedAt))
-            .toDF("view", "location", "as_of_batch"))
-        }
-        val (_, _, _, nBuckets) = Compaction.readMeta(spark, baseDir)
-        // seed and fence from ONE manifest snapshot: reading the head
-        // first and the data later would double-count a merge landing
-        // in between (seeded AND re-applied by the first REFRESH —
-        // signed-retraction IVM is not replay-convergent the way a
-        // keyed merge is)
-        val snap = graft.cdc.TxLog.latest(spark, baseDir).getOrElse(
-          fail(s"no committed manifest under $baseDir"))
-        val head = snap.counter("next_feed_batch") - 1L
-        graft.cdc.AggView.init(
-          Compaction.readAsOf(spark, baseDir, snap.version)
-            .select((keys :+ valueCol.get).map(col): _*),
-          viewDir, keys, valueCol.get, nBuckets, batchId = head)
-        writeMvDef(spark, viewDir, baseDir, keys, valueCol.get)
-        Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
-        mvRegistry.put((spark, name), viewDir)
-        Some(Seq((name, viewDir, head)).toDF("view", "location",
-          "as_of_batch"))
-      case RefreshMvRe(name0) =>
-        Some(Seq((unquote(name0).toLowerCase,
-          refreshMv(spark, viewDirOf(name0))))
-          .toDF("view", "batches_applied"))
-      case RefreshAllMvRe(base) =>
-        val baseDir = GraftDml.resolveName(spark,
-          GraftDml.splitIdentifier(base)).map(_.dir).getOrElse(
-          fail(s"$base is not a registered or catalog maintained table"))
-        val fs = TxLog.fs(spark, baseDir)
-        val mvRoot = new org.apache.hadoop.fs.Path(s"$baseDir/_mv")
-        // sidecar AND an intact manifest (same gate as CREATE's
-        // re-attach): a half-deleted view dir must be skipped, not
-        // abort the whole sweep and starve the healthy siblings
-        val names =
-          if (!fs.exists(mvRoot)) Nil
-          else fs.listStatus(mvRoot).toSeq.map(_.getPath.getName).sorted
-            .filter(n => fs.exists(mvDefPath(s"$baseDir/_mv/$n")) &&
-              TxLog.latest(spark, s"$baseDir/_mv/$n").isDefined)
-        val rows = names.map { n =>
-          val viewDir = s"$baseDir/_mv/$n"
-          // a view unknown to this session (post-restart) re-attaches
-          // from its durable sidecar as part of the sweep
-          mvRegistry.putIfAbsent((spark, n), viewDir)
-          (n, refreshMv(spark, viewDir))
-        }
-        Some(rows.toDF("view", "batches_applied"))
-      case DropMvRe(name0) =>
-        val name = unquote(name0).toLowerCase
-        val viewDir = viewDirOf(name0)
-        val (baseDir, _, _) = readMvDef(spark, viewDir)
-        // deregister only OUR rewrite: the base may carry sibling
-        // views (and programmatic registrations), which stay armed
-        Mv.deregister(baseDir, viewDir)
-        mvRegistry.remove((spark, name))
-        TxLog.fs(spark, viewDir).delete(
-          new org.apache.hadoop.fs.Path(viewDir), true)
-        Some(Seq(name).toDF("dropped_view"))
-      case _ => None
+    val name = v.name
+    val keys = v.keys
+    val baseDir = GraftDml.resolveName(spark,
+      GraftDml.splitIdentifier(v.base)).map(_.dir).getOrElse(
+      GraftDml.fail(
+        s"${v.base} is not a registered or catalog maintained table"))
+    require(Compaction.feedEnabled(spark, baseDir),
+      s"${v.base} has no change data feed ('feed'='true'): a " +
+        "materialized view cannot refresh without it")
+    // a base may carry SEVERAL rollups (r10 item 5): each view
+    // registers under its own dir and the rewrite serves the
+    // cheapest matching one, so no shadowing/one-per-base fence
+    // is needed anymore.
+    val viewDir = s"$baseDir/_mv/$name"
+    // RE-ATTACH instead of re-seed (r10 advice): after a restart
+    // the session registry is empty but the sidecar + manifest are
+    // durable — a CREATE matching the existing definition
+    // re-registers the healthy view as-is instead of paying a full
+    // rebuild from a fresh base snapshot (a DIFFERENT definition
+    // under the same name still re-creates).
+    val existing = scala.util.Try(readMvDef(spark, viewDir)).toOption
+      .filter { case (b, ks, vc) =>
+        b == baseDir &&
+          ks.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
+          vc.equalsIgnoreCase(v.valueCol) &&
+          TxLog.latest(spark, viewDir).isDefined
+      }
+    if (existing.isDefined) {
+      val (_, _, _, attachedAt) =
+        graft.cdc.AggView.readMeta(spark, viewDir)
+      Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
+      mvRegistry.put((spark, name), viewDir)
+      return Seq((name, viewDir, attachedAt))
+        .toDF("view", "location", "as_of_batch")
     }
+    val (_, _, _, nBuckets) = Compaction.readMeta(spark, baseDir)
+    // seed and fence from ONE manifest snapshot: reading the head
+    // first and the data later would double-count a merge landing
+    // in between (seeded AND re-applied by the first REFRESH —
+    // signed-retraction IVM is not replay-convergent the way a
+    // keyed merge is)
+    val snap = graft.cdc.TxLog.latest(spark, baseDir).getOrElse(
+      GraftDml.fail(s"no committed manifest under $baseDir"))
+    val head = snap.counter("next_feed_batch") - 1L
+    graft.cdc.AggView.init(
+      Compaction.readAsOf(spark, baseDir, snap.version)
+        .select((keys :+ v.valueCol).map(col): _*),
+      viewDir, keys, v.valueCol, nBuckets, batchId = head)
+    writeMvDef(spark, viewDir, baseDir, keys, v.valueCol)
+    Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
+    mvRegistry.put((spark, name), viewDir)
+    Seq((name, viewDir, head)).toDF("view", "location", "as_of_batch")
+  }
+
+  private def runRefreshAllMv(spark: SparkSession,
+      base: String): DataFrame = {
+    import spark.implicits._
+    val baseDir = GraftDml.resolveName(spark,
+      GraftDml.splitIdentifier(base)).map(_.dir).getOrElse(
+      GraftDml.fail(
+        s"$base is not a registered or catalog maintained table"))
+    val fs = TxLog.fs(spark, baseDir)
+    val mvRoot = new org.apache.hadoop.fs.Path(s"$baseDir/_mv")
+    // sidecar AND an intact manifest (same gate as CREATE's
+    // re-attach): a half-deleted view dir must be skipped, not
+    // abort the whole sweep and starve the healthy siblings
+    val names =
+      if (!fs.exists(mvRoot)) Nil
+      else fs.listStatus(mvRoot).toSeq.map(_.getPath.getName).sorted
+        .filter(n => fs.exists(mvDefPath(s"$baseDir/_mv/$n")) &&
+          TxLog.latest(spark, s"$baseDir/_mv/$n").isDefined)
+    val rows = names.map { n =>
+      val viewDir = s"$baseDir/_mv/$n"
+      // a view unknown to this session (post-restart) re-attaches
+      // from its durable sidecar as part of the sweep
+      mvRegistry.putIfAbsent((spark, n), viewDir)
+      (n, refreshMv(spark, viewDir))
+    }
+    rows.toDF("view", "batches_applied")
+  }
+
+  private def runDropMv(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val viewDir = viewDirOf(spark, name)
+    val (baseDir, _, _) = readMvDef(spark, viewDir)
+    // deregister only OUR rewrite: the base may carry sibling
+    // views (and programmatic registrations), which stay armed
+    Mv.deregister(baseDir, viewDir)
+    mvRegistry.remove((spark, name))
+    TxLog.fs(spark, viewDir).delete(
+      new org.apache.hadoop.fs.Path(viewDir), true)
+    Seq(name).toDF("dropped_view")
   }
 
   /** Apply the base's unapplied published feed batches to one view and
