@@ -68,6 +68,13 @@ object MergePruning extends Rule[LogicalPlan] {
         */
       bucketDirs: Map[Int, Seq[String]],
       comps: Map[Int, Seq[Comp]],
+      /** clusterBy columns (stored-name spelling) and their per-bucket
+        * [cmin, cmax] zone components (r12): base files bounded,
+        * merge-on-read deltas unbounded (a dirty bucket always
+        * survives a cluster zone pass).
+        */
+      clusterBy: Seq[String],
+      clusterComps: Map[(Int, String), Seq[Comp]],
       /** time-partition spec (unit, source column), retention floor,
         * and the dirty (merge-on-read) bucket set: `_tp=` leaf
         * admission range-prunes CLEAN buckets only — a fold's input
@@ -154,6 +161,18 @@ object MergePruning extends Rule[LogicalPlan] {
               Comp(None, snap.prop(s"dmaxv.$b")))
             b -> (base.toSeq ++ delta.toSeq)
           }.toMap,
+          clusterBy = snap.prop("cluster_by")
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+          clusterComps = (for {
+            b <- ids.toSeq
+            c <- snap.prop("cluster_by")
+              .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          } yield {
+            val base = snap.buckets.get(b).map(_ =>
+              Comp(snap.prop(s"cmin.$b.$c"), snap.prop(s"cmax.$b.$c")))
+            val delta = deltas.get(b).map(_ => Comp(None, None))
+            (b, c.toLowerCase) -> (base.toSeq ++ delta.toSeq)
+          }).toMap,
           tp = for { u <- snap.prop("tp_unit"); c <- snap.prop("tp_col") }
             yield (u, c),
           tpMin = snap.prop("tp_min").map(_.toInt),
@@ -210,6 +229,8 @@ object MergePruning extends Rule[LogicalPlan] {
       info.keys.size == 1 && a.name.equalsIgnoreCase(info.keys.head)
     def isVersion(a: AttributeReference) =
       info.versionCol.exists(a.name.equalsIgnoreCase)
+    def isCluster(a: AttributeReference) =
+      info.clusterBy.exists(a.name.equalsIgnoreCase)
 
     /** Composite-key point pruning: a conjunction that binds EVERY key
       * column to a same-typed literal pins exactly one bucket — the
@@ -277,6 +298,18 @@ object MergePruning extends Rule[LogicalPlan] {
     def minHolds(a: AttributeReference, l: Literal,
         op: (Expression, Expression) => Expression)(c: Comp): Boolean =
       statHolds(c.min, a, l, op)
+    /** Cluster-column zone pass (r12): same conservative envelope
+      * test over the per-(bucket, column) cmin/cmax components —
+      * dirty buckets carry an unbounded delta component and always
+      * survive.
+      */
+    def clusterZonePass(a: AttributeReference)(
+        keep: Comp => Boolean): Set[Int] =
+      liveHere.keySet.filter { b =>
+        val cs = info.clusterComps
+          .getOrElse((b, a.name.toLowerCase), Nil)
+        cs.isEmpty || cs.exists(keep)
+      }
 
     // the allowed-bucket set a predicate subtree implies (None = not
     // prunable): AND intersects — a non-prunable conjunct is simply
@@ -339,6 +372,36 @@ object MergePruning extends Rule[LogicalPlan] {
           Some(zonePass(b => vs.exists { case l: Literal =>
             minHolds(a, l, LessThanOrEqual)(b) &&
               maxHolds(a, l, GreaterThanOrEqual)(b)
+          }))
+        // clusterBy columns (r12): the range predicates clustering
+        // lays data out for prune on the per-bucket cmin/cmax zone
+        // maps — the registered-name twin of the catalog scan's
+        // GraftPrune cluster pass
+        case GreaterThan(a: AttributeReference, l: Literal)
+            if isCluster(a) && l.value != null && l.dataType == a.dataType =>
+          Some(clusterZonePass(a)(maxHolds(a, l, GreaterThan)))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+            if isCluster(a) && l.value != null && l.dataType == a.dataType =>
+          Some(clusterZonePass(a)(maxHolds(a, l, GreaterThanOrEqual)))
+        case LessThan(a: AttributeReference, l: Literal)
+            if isCluster(a) && l.value != null && l.dataType == a.dataType =>
+          Some(clusterZonePass(a)(minHolds(a, l, LessThan)))
+        case LessThanOrEqual(a: AttributeReference, l: Literal)
+            if isCluster(a) && l.value != null && l.dataType == a.dataType =>
+          Some(clusterZonePass(a)(minHolds(a, l, LessThanOrEqual)))
+        case EqualTo(a: AttributeReference, l: Literal)
+            if isCluster(a) && l.value != null && l.dataType == a.dataType =>
+          Some(clusterZonePass(a)(c =>
+            minHolds(a, l, LessThanOrEqual)(c) &&
+              maxHolds(a, l, GreaterThanOrEqual)(c)))
+        case In(a: AttributeReference, vs)
+            if isCluster(a) && vs.nonEmpty && vs.forall {
+              case l: Literal => l.value != null && l.dataType == a.dataType
+              case _ => false
+            } =>
+          Some(clusterZonePass(a)(c => vs.exists { case l: Literal =>
+            minHolds(a, l, LessThanOrEqual)(c) &&
+              maxHolds(a, l, GreaterThanOrEqual)(c)
           }))
         case _ => None
       }

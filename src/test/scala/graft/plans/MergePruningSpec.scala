@@ -403,6 +403,42 @@ class MergePruningSpec extends SparkSpec {
       "the range query must still prune overall")
   }
 
+  test("cluster-column range predicates zone-prune buckets through " +
+      "plain SQL; merge-on-read deltas keep their bucket (r12)") {
+    val dir = tmpDir("merge-pruning-cluster") + "/t"
+    // price = f(writer's own bucket hash): disjoint per-bucket ranges
+    val rows = spark.range(400).selectExpr("id",
+      "concat('v-', id) AS payload",
+      "CAST(pmod(xxhash64(id), 8) * 100 + id % 50 AS DOUBLE) AS price",
+      "0L AS version", "false AS deleted")
+    Compaction.init(rows, dir, Seq("id"), "version", "deleted",
+      nBuckets = 8, clusterBy = Seq("price"))
+    view(dir, "mp_cluster")
+    val df = spark.sql("SELECT id FROM mp_cluster " +
+      "WHERE price >= 200.0 AND price < 250.0")
+    assert(df.count() > 0)
+    val dirs = scanDirs(df)
+    assert(dirs.size == 1 && dirs.forall(_.contains("bucket=2")),
+      s"price range [200, 250) lives in bucket 2 only, scanned $dirs")
+    // a MoR delta makes its bucket unbounded: the dirty bucket stays
+    // in every cluster zone pass, the others still prune
+    Compaction.merge(spark, dir,
+      spark.range(1).selectExpr("401L AS id", "'d' AS payload",
+        "999999.0D AS price", "1L AS version", "false AS deleted"),
+      mergeOnRead = true)
+    view(dir, "mp_cluster")
+    val df2 = spark.sql("SELECT id FROM mp_cluster " +
+      "WHERE price >= 200.0 AND price < 250.0 ORDER BY id")
+    val buckets2 = scanDirs(df2).flatMap(d =>
+      "bucket=([0-9]+)".r.findFirstMatchIn(d).map(_.group(1)))
+    assert(buckets2.contains("2") && buckets2.size <= 2,
+      s"expected bucket 2 plus at most the dirty bucket: $buckets2")
+    // values unaffected by pruning (the delta row's price is out of
+    // range, so the result set is unchanged)
+    assert(df2.as[Long].collect().toSeq ==
+      df.as[Long].collect().toSeq.sorted)
+  }
+
   test("SQL == programmatic API on the same predicates") {
     val dir = freshTable()
     Compaction.merge(spark,
