@@ -170,8 +170,15 @@ object Curation {
       else TextFunctions.withLangScores(newDocs)
         .filter(col("predicted_lang").isin(cfg.keepLangs.toSeq.map(lit(_)): _*))
         .select(newDocs.columns.toSeq.map(col): _*)
-    val gated = langFiltered.filter(qualityGate(col("text"), cfg))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heuristic = langFiltered.filter(qualityGate(col("text"), cfg))
+    // the model tier applies to the incremental path too (r12): a
+    // configured gate silently not firing here would let every batch
+    // bypass the tier the batch pipeline enforces
+    val gated = (cfg.modelGate match {
+      case None => heuristic
+      case Some((m, thr)) =>
+        heuristic.filter(QualityModel.score(m)(col("text")) > lit(thr))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every batch row that near-dups the index or an earlier batch
     // row (the index's own metadata fixes the feature space — the
     // write-time ngram wins over cfg.nearDupNgram by construction)

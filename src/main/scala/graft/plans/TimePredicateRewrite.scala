@@ -2,7 +2,7 @@ package graft.plans
 
 import java.time.{LocalDate, LocalDateTime, ZoneId}
 
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, TruncDate, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, TruncDate, TruncTimestamp, Year}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** Rewrites the time-predicate shapes BI tools emit —
   * `CAST(ts AS DATE) <op> date`, `date_trunc(unit, ts) <op> literal`,
-  * `trunc(d, unit) <op> date` — into EQUIVALENT range predicates on
-  * the raw column (r11 verdict item 3):
+  * `trunc(d, unit) <op> date`, `year(ts) <op> n` — into EQUIVALENT
+  * range predicates on the raw column (r11 verdict item 3):
   *
   * {{{
   *   CAST(ts AS DATE) =  DATE'2024-01-10'
@@ -189,6 +189,28 @@ object TimePredicateRewrite extends Rule[LogicalPlan] {
         out <- bounds(t.timestamp, mk, tr, advance(tr, step, ntz),
           aligned = tr == v, op)
       } yield out
+    // year(ts) op n — the dashboard year filter (analysis wraps a
+    // timestamp argument as Year(Cast(ts AS DATE)), so the inner
+    // cast-date shape rewrites on the optimizer's next fixed-point
+    // pass and the whole predicate bottoms out on the raw column).
+    // year() is monotone non-decreasing in the date, every integer
+    // comparand is "aligned" (it names a whole year), and the hit
+    // interval is [Jan 1 of y, Jan 1 of y+1)
+    case y: Year if y.child.dataType == DateType &&
+        comparand.dataType == org.apache.spark.sql.types.IntegerType =>
+      foldedValue(comparand).flatMap { v =>
+        val yr = v.asInstanceOf[Int]
+        // LocalDate.of rejects years outside [-999999999, 999999999];
+        // stay well inside so yr+1 cannot overflow either
+        if (yr < -290000 || yr > 290000) None
+        else {
+          val mk = (d: Long) => Literal(d.toInt, DateType)
+          bounds(y.child, mk,
+            LocalDate.of(yr, 1, 1).toEpochDay,
+            LocalDate.of(yr + 1, 1, 1).toEpochDay,
+            aligned = true, op)
+        }
+      }
     // trunc(d, unit) op date — the DATE twin; sub-day units are not
     // meaningful on dates and stepOf's day/month units only
     case t: TruncDate if comparand.dataType == DateType &&

@@ -404,4 +404,37 @@ class TimePartitionSpec extends SparkSpec {
     assert(qLoose.as[Long].collect().toSet == (1 to 200).filter(i =>
       1 + (i - 1) % 20 >= 19 || i == 1).map(_.toLong).toSet)
   }
+
+  test("day-cast predicate prunes catalog _tp dirs: the rewrite " +
+      "emits the raw range and the strict upper bound drops the " +
+      "boundary partition (r12)") {
+    val w = tmpDir("tpart-cast-wh")
+    spark.conf.set("spark.sql.catalog.tpcast",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tpcast.warehouse", w)
+    spark.sql("""CREATE TABLE tpcast.t (
+        id BIGINT, ts TIMESTAMP, version BIGINT, deleted BOOLEAN)
+        PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    spark.sql("""INSERT INTO tpcast.t SELECT id,
+        timestamp'2024-01-10 06:00:00' +
+          make_interval(0,0,0,CAST(id % 4 AS INT)),
+        0L, false FROM range(200)""")
+    val added = Seq(graft.plans.TimePredicateRewrite)
+      .filterNot(spark.experimental.extraOptimizations.contains)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations ++ added
+    try {
+      // CAST(ts AS DATE) = d rewrites to [midnight, midnight+1d) on
+      // the raw column; the strict < lands exactly on day 19734's
+      // boundary, which tpStrictUpper excludes — ONE _tp dir planned
+      val df = spark.sql("SELECT id FROM tpcast.t " +
+        "WHERE CAST(ts AS DATE) = DATE '2024-01-11'")
+      assert(df.count() == 50L) // ids with id % 4 == 1 (UTC session)
+      val days = tpDays(scanFiles(df))
+      assert(days == Set(19733),
+        s"expected the single day partition 19733, planned $days")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(added.contains)
+  }
 }

@@ -122,6 +122,29 @@ class TimePredicateRewriteSpec extends SparkSpec {
       mustRewrite = false)
   }
 
+  test("year(ts) comparisons compose through the cast-date rewrite " +
+      "down to the raw column") {
+    val z = ZoneId.of("UTC")
+    def yearOf(i: Instant) = i.atZone(z).getYear
+    // year(ts) analyzes to Year(Cast(ts AS DATE)): the year rewrite
+    // emits a date range on the cast, the cast rewrite then emits a
+    // timestamp range on ts — fixed point bottoms out raw
+    check(year(col("ts")) === lit(2024), i => yearOf(i) == 2024)
+    check(year(col("ts")) >= lit(2025), i => yearOf(i) >= 2025)
+    check(year(col("ts")) < lit(2024), i => yearOf(i) < 2024)
+    // the composed plan carries neither Year nor the day cast
+    withRule {
+      val df = data.filter(year(col("ts")) === lit(2024))
+      val leftovers = df.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.collect {
+          case y: org.apache.spark.sql.catalyst.expressions.Year => y
+          case c: Cast if c.dataType == DateType => c
+        }
+      }.flatten
+      assert(leftovers.isEmpty, s"shapes survived: $leftovers")
+    }
+  }
+
   test("session-zone day boundaries hold across DST (America/New_York)") {
     val prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
