@@ -693,15 +693,21 @@ private[catalog] final class GraftScanBuilder(dir: String,
       if (cs.exists(_.isEmpty)) None else Some(cs.flatten.sum)
     }
     // typed extreme over the stringified per-bucket stats (Catalyst
-    // cast back to the column's type — never string order)
-    def extreme(prefix: String, wantMax: Boolean): Option[Any] = {
-      val dt = vType.getOrElse(return None)
-      // string version stats are TRUNCATED bounds (prune-valid, not
-      // exact) — MIN/MAX must come from a real scan
+    // cast back to the column's type — never string order). A bucket
+    // missing its stat key declines: for the version column it means
+    // a pre-stats manifest; for a (nullable) cluster column it is
+    // indistinguishable from an all-null bucket, and answering from
+    // the rest could only be proven safe by reading — which is the
+    // thing this pushdown avoids.
+    def extremeOf(dt0: Option[org.apache.spark.sql.types.DataType],
+        key: Int => String, wantMax: Boolean): Option[Any] = {
+      val dt = dt0.getOrElse(return None)
+      // string stats are TRUNCATED bounds (prune-valid, not exact) —
+      // MIN/MAX must come from a real scan
       if (dt == org.apache.spark.sql.types.StringType) return None
       if (live.isEmpty) return Some(null) // empty table: SQL null
-      val raw = live.map(b => meta.props.get(s"$prefix.$b"))
-      if (raw.exists(_.isEmpty)) return None // pre-stats manifest
+      val raw = live.map(b => meta.props.get(key(b)))
+      if (raw.exists(_.isEmpty)) return None
       val typed = raw.flatten.map { s0 =>
         val v = org.apache.spark.sql.catalyst.expressions.Cast(
           org.apache.spark.sql.catalyst.expressions.Literal(
@@ -716,6 +722,21 @@ private[catalog] final class GraftScanBuilder(dir: String,
         .ordering(dt).asInstanceOf[Ordering[Any]]
       Some(if (wantMax) typed.max(ord) else typed.min(ord))
     }
+    def extreme(prefix: String, wantMax: Boolean): Option[Any] =
+      extremeOf(vType, b => s"$prefix.$b", wantMax)
+    // clusterBy columns answer MIN/MAX from their per-bucket
+    // cmin/cmax zone maps (r12) — the same soundness as the version
+    // column: stored rows of a compacted table ARE the live rows
+    val clusterCols = meta.props.get("cluster_by")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    def clusterRef(e: org.apache.spark.sql.connector.expressions
+        .Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        clusterCols.find(r.fieldNames()(0).equalsIgnoreCase)
+      case _ => None
+    }
+    def clusterType(c: String) = meta.schema.fields
+      .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
 
     val resolved = agg.aggregateExpressions.zipWithIndex.map {
       case (_: CountStar, i) => count.map(c =>
@@ -730,6 +751,16 @@ private[catalog] final class GraftScanBuilder(dir: String,
         extreme("maxv", wantMax = true).map(v =>
           (org.apache.spark.sql.types.StructField(s"max_$i",
             vType.get, nullable = true), v))
+      case (m: Min, i) if clusterRef(m.column()).isDefined =>
+        val c = clusterRef(m.column()).get
+        extremeOf(clusterType(c), b => s"cmin.$b.$c", wantMax = false)
+          .map(v => (org.apache.spark.sql.types.StructField(s"min_$i",
+            clusterType(c).get, nullable = true), v))
+      case (m: Max, i) if clusterRef(m.column()).isDefined =>
+        val c = clusterRef(m.column()).get
+        extremeOf(clusterType(c), b => s"cmax.$b.$c", wantMax = true)
+          .map(v => (org.apache.spark.sql.types.StructField(s"max_$i",
+            clusterType(c).get, nullable = true), v))
       case _ => None
     }
     if (resolved.exists(_.isEmpty)) return None

@@ -761,6 +761,52 @@ object CdcQueries {
       out
     }),
 
+    // MIN/MAX of a CLUSTER column answered from the manifest alone
+    // (r12): the per-bucket cmin/cmax zone maps the staged footer
+    // pass records fold to exact global extremes over live rows —
+    // zero file reads on a 100 TB table, asserted in-query
+    // (GraftStatsScan). NULL prices (id % 7 = 0 in the snapshot)
+    // exercise min/max null-skipping; the oracle recomputes the
+    // latest-wins live state relationally.
+    "sql_cluster_minmax" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftcat.clx_t")
+      s.sql("""CREATE TABLE graftcat.clx_t (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='16',
+          'cluster_by'='price')""")
+      val ord = Tables.orders(s, dir)
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("o_totalprice").cast("double")).as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("clx_snap")
+      s.sql("INSERT INTO graftcat.clx_t SELECT * FROM clx_snap")
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_totalprice").cast("decimal(18,2)") *
+            lit(2).cast("decimal(18,2)")).cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+        .createOrReplaceTempView("clx_changes")
+      s.sql("INSERT INTO graftcat.clx_t SELECT * FROM clx_changes")
+      val out = s.sql("""SELECT count(*) AS n_rows,
+        min(price) AS min_price, max(price) AS max_price
+        FROM graftcat.clx_t""")
+      require(out.queryExecution.executedPlan.toString
+          .contains("GraftStatsScan"),
+        "MIN/MAX of a cluster column on a compacted catalog table " +
+          "must answer from the cmin/cmax zone maps " +
+          "(GraftStatsScan), not a file scan:\n" +
+          out.queryExecution.executedPlan)
+      out
+    }),
+
     // Scd2 history read through the CATALOG: the table_type routing
     // serves a maintained history table to plain `SELECT ... FROM
     // graftcat.hist_t` (read-only — DML/INSERT refuse), with the
@@ -2419,6 +2465,30 @@ object CdcQueries {
         |SELECT count(*) AS n_rows,
         |  CAST(min(version) AS BIGINT) AS min_v,
         |  CAST(max(version) AS BIGINT) AS max_v
+        |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
+
+    // the cluster-column extremes recomputed relationally over the
+    // latest-wins live state (min/max skip the planted NULLs)
+    "sql_cluster_minmax" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |      ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+        |    0 AS version, FALSE AS deleted
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CAST(o_totalprice::DECIMAL(18,2) *
+        |      2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version, (o_orderkey % 5 = 0) AS deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |latest AS (
+        |  SELECT id, price, version, deleted,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC)
+        |      AS rn
+        |  FROM unioned)
+        |SELECT count(*) AS n_rows,
+        |  min(price) AS min_price, max(price) AS max_price
         |FROM latest WHERE rn = 1 AND NOT deleted""".stripMargin,
 
     // the catalog route serves the SAME history the lead-window
