@@ -298,6 +298,53 @@ object CdcDemo {
       .as[(String, Long)].collect().toSeq
     println(s"meta: history=$histN commits, files=$fileN, " +
       s"changes(batch>=1)=${chg.mkString(",")}")
+
+    // round 12: the dashboard aggregates that never touch the data —
+    // AVG served from a materialized view's partials (bit-exact, the
+    // rewrite asserted on the plan), BI day-cast predicates rewritten
+    // to pruned raw ranges, and MIN/MAX of a cluster column answered
+    // from the manifest's zone maps with zero file reads
+    import org.apache.spark.sql.functions.{avg, count}
+    graft.plans.MvRewrite.ensureRegistered(spark)
+    spark.sql("DROP TABLE IF EXISTS demo.mvbase")
+    spark.sql("""CREATE TABLE demo.mvbase (id BIGINT, grp BIGINT,
+      amount DOUBLE, version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='8', 'feed'='true')""")
+    spark.sql("""INSERT INTO demo.mvbase
+      SELECT id, id % 5, CAST(id AS DOUBLE) / 4, 0L, false
+      FROM range(1000)""")
+    graft.plans.GraftTables.register(spark, "demo_mv_base",
+      s"$root/warehouse/mvbase")
+    graft.plans.GraftTables.sql(spark,
+      """CREATE MATERIALIZED VIEW demo_amt_mv AS
+        SELECT grp, count(*) AS cnt, sum(amount) AS total
+        FROM demo_mv_base GROUP BY grp""")
+    val avgQ = spark.table("demo_mv_base")
+      .groupBy($"grp")
+      // the AggView measure is the CAST shape (decimal(18,2)) — avg
+      // and count must use it for the partials to serve
+      .agg(avg($"amount".cast("decimal(18,2)")).as("avg_amt"),
+        count($"amount".cast("decimal(18,2)")).as("n"))
+    avgQ.queryExecution.optimizedPlan
+    val servedFromView = graft.plans.Mv.readsView(avgQ,
+      s"$root/warehouse/mvbase/_mv/demo_amt_mv")
+    val avgLive = avgQ.filter($"grp" === 0L)
+      .select($"avg_amt".cast("double")).as[Double].head()
+    spark.sql("DROP TABLE IF EXISTS demo.clx")
+    spark.sql("""CREATE TABLE demo.clx (id BIGINT, price DOUBLE,
+      version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='8',
+        'cluster_by'='price')""")
+    spark.sql("""INSERT INTO demo.clx
+      SELECT id, CAST(id AS DOUBLE) * 1.5, 0L, false FROM range(500)""")
+    val mm = spark.sql(
+      "SELECT min(price) AS mn, max(price) AS mx FROM demo.clx")
+    val mmZeroScan = mm.queryExecution.executedPlan.toString
+      .contains("GraftStatsScan")
+    val (mn, mx) = mm.as[(Double, Double)].head()
+    println(f"mv+stats: avg(amount) from view=$servedFromView " +
+      f"(grp 0 avg=$avgLive%.2f), cluster min/max=[$mn%.1f, $mx%.1f] " +
+      s"zero-scan=$mmZeroScan")
     spark.stop()
   }
 }
