@@ -145,6 +145,108 @@ class TimePredicateRewriteSpec extends SparkSpec {
     }
   }
 
+  test("composed year+month / +day / +quarter conjunctions tighten " +
+      "to one exact raw range") {
+    val z = ZoneId.of("UTC")
+    def ld(i: Instant) = i.atZone(z).toLocalDate
+    // year+month — the BI month filter (January AND March: the data's
+    // DST block is in March, the month boundary block in January)
+    check(year(col("ts")) === lit(2024) && month(col("ts")) === lit(1),
+      i => ld(i).getYear == 2024 && ld(i).getMonthValue == 1)
+    check(year(col("ts")) === lit(2024) && month(col("ts")) === lit(3),
+      i => ld(i).getYear == 2024 && ld(i).getMonthValue == 3)
+    // year+month+day bottoms out at ONE day
+    check(year(col("ts")) === lit(2024) && month(col("ts")) === lit(1) &&
+        dayofmonth(col("ts")) === lit(10),
+      i => ld(i) == LocalDate.of(2024, 1, 10))
+    // year+quarter
+    check(year(col("ts")) === lit(2024) && quarter(col("ts")) === lit(4),
+      i => ld(i).getYear == 2024 && (ld(i).getMonthValue - 1) / 3 == 3)
+    // extra conjuncts ride along untouched
+    check(year(col("ts")) === lit(2024) && month(col("ts")) === lit(1) &&
+        col("ts").isNotNull,
+      i => ld(i).getYear == 2024 && ld(i).getMonthValue == 1)
+    // the composed plan carries no Year/Month/DayOfMonth/cast shapes
+    withRule {
+      val df = data.filter(
+        year(col("ts")) === lit(2024) && month(col("ts")) === lit(1))
+      val leftovers = df.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.collect {
+          case y: org.apache.spark.sql.catalyst.expressions.Year => y
+          case m: org.apache.spark.sql.catalyst.expressions.Month => m
+          case c: Cast if c.dataType == DateType => c
+        }
+      }.flatten
+      assert(leftovers.isEmpty, s"shapes survived: $leftovers")
+    }
+  }
+
+  test("composed-shape declines: out-of-range, nonexistent dates, " +
+      "contradictions, null propagation") {
+    val z = ZoneId.of("UTC")
+    def ld(i: Instant) = i.atZone(z).toLocalDate
+    // month 13 matches nothing; must DECLINE (FALSE would break null
+    // semantics), values still agree
+    check(year(col("ts")) === lit(2024) && month(col("ts")) === lit(13),
+      _ => false, mustRewrite = false)
+    // Feb 30 does not exist
+    check(year(col("ts")) === lit(2024) && month(col("ts")) === lit(2) &&
+        dayofmonth(col("ts")) === lit(30),
+      _ => false, mustRewrite = false)
+    // contradictory month legs decline; identical duplicates compose
+    check(year(col("ts")) === lit(2024) && month(col("ts")) === lit(1) &&
+        month(col("ts")) === lit(2),
+      _ => false, mustRewrite = false)
+    check(year(col("ts")) === lit(2024) && month(col("ts")) === lit(1) &&
+        month(col("ts")) === lit(1),
+      i => ld(i).getYear == 2024 && ld(i).getMonthValue == 1)
+    // day without month cannot compose (day d of EVERY month); the
+    // year leg still rewrites alone — values must agree
+    check(year(col("ts")) === lit(2024) &&
+        dayofmonth(col("ts")) === lit(10),
+      i => ld(i).getYear == 2024 && ld(i).getDayOfMonth == 10,
+      mustRewrite = false)
+    // null rows stay NULL under negation: a null ts matches neither
+    // the composed conjunction nor its negation
+    withRule {
+      val withNull = data.union(
+        Seq(Option.empty[java.sql.Timestamp]).toDF("ts"))
+      val pos = withNull.filter(
+        year(col("ts")) === lit(2024) && month(col("ts")) === lit(1))
+      val neg = withNull.filter(
+        !(year(col("ts")) === lit(2024) && month(col("ts")) === lit(1)))
+      assert(pos.count() + neg.count() == data.count(),
+        "the null row must match neither side")
+    }
+  }
+
+  test("composed year+month prunes a months-partitioned table to " +
+      "one _tp dir") {
+    val dir = tmpDir("tpr-prune-month") + "/t"
+    def ts(month: Int, d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-$month%02d-$d%02d 12:00:00")
+    Compaction.init(
+      (1L to 120L).map(i =>
+          (i, s"v-$i", ts(1 + ((i - 1) % 6).toInt, 1 + (i % 27).toInt),
+            0L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"),
+      dir, Seq("id"), "version", "deleted", nBuckets = 4,
+      clusterBy = Nil, feed = false,
+      timePartition = Some("months" -> "ts"))
+    withRule {
+      Compaction.read(spark, dir).createOrReplaceTempView("tpr_m")
+      val df = spark.sql(
+        "SELECT id FROM tpr_m WHERE year(ts) = 2024 AND month(ts) = 2")
+      val expect = (1L to 120L).filter(i => 1 + ((i - 1) % 6) == 2).toSet
+      assert(df.as[Long].collect().toSet == expect)
+      // 2024-02 = 54*12 + 1 = month index 649 since epoch
+      val opened = df.inputFiles.toSet
+      assert(opened.nonEmpty && opened.forall(_.contains("_tp=649")),
+        s"composed year+month must prune to one _tp dir:\n" +
+          opened.mkString("\n"))
+    }
+  }
+
   test("session-zone day boundaries hold across DST (America/New_York)") {
     val prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
