@@ -612,7 +612,18 @@ object Compaction {
       // columns (r12) — stringified like the version stats, string
       // columns truncated to prune-valid bounds; an all-null column
       // in a bucket has no entry
-      colBounds: Map[String, (String, String)] = Map.empty)
+      colBounds: Map[String, (String, String)] = Map.empty,
+      // per-(`_tp` leaf, column) cluster bounds (r13): the finer zone
+      // maps a clustered+time-partitioned table prunes LEAVES with —
+      // recorded alongside (never instead of) the bucket-level fold,
+      // so every bucket-granular consumer is untouched and a capped
+      // manifest degrades to bucket-granular, never wrong
+      leafColBounds: Map[Int, Map[String, (String, String)]] = Map.empty,
+      // per-column HLL registers over this bucket's rows (r13):
+      // 2^HllP base36 pairs, register-wise max across buckets = the
+      // global sketch — columnStats folds them to a CBO-visible NDV
+      // for exactly the columns clusterBy was declared for
+      colNdv: Map[String, String] = Map.empty)
 
   private[cdc] def stagedStats(spark: SparkSession, staging: String,
       staged: Seq[Int], versionCol: String,
@@ -620,8 +631,16 @@ object Compaction {
     // an all-buckets-emptied merge staged no partitions (the dir holds
     // only _SUCCESS — nothing to read a schema from)
     if (staged.isEmpty) Map.empty
-    else driverFooterStats(spark, staging, staged, versionCol, statCols)
-      .getOrElse {
+    else {
+      val base = driverFooterStats(spark, staging, staged, versionCol,
+        statCols).getOrElse(
+        sparkStagedStats(spark, staging, staged, versionCol, statCols))
+      addClusterNdv(spark, staging, base, statCols)
+    }
+
+  private def sparkStagedStats(spark: SparkSession, staging: String,
+      staged: Seq[Int], versionCol: String,
+      statCols: Seq[String]): Map[Int, BucketStats] = {
       val df = spark.read.parquet(s"$staging/data")
       // STRING version columns record Iceberg-style TRUNCATED bounds
       // (≤-min prefix, >-max incremented prefix): the zone-map prune
@@ -650,6 +669,31 @@ object Compaction {
       val aggs = Seq(count(lit(1)).as("n"),
         min(col(versionCol)).cast("string").as("mn"),
         max(col(versionCol)).cast("string").as("mx")) ++ extraAggs
+      // per-(`_tp` leaf) cluster bounds (r13) ride a SECOND grouping
+      // over the same staged files when the layout nests one — rare
+      // path (the footer fast path covers integer stats), so the
+      // extra pass only costs on non-integer clustered+partitioned
+      // tables
+      val hasTp = df.schema.fieldNames.contains("_tp")
+      val leafBounds: Map[Int, Map[Int, Map[String, (String, String)]]] =
+        if (!hasTp || present.isEmpty) Map.empty
+        else df.groupBy(col("bucket"), col("_tp"))
+          .agg(extraAggs.head, extraAggs.tail: _*)
+          .collect()
+          .flatMap { r =>
+            val bounds = present.zipWithIndex.flatMap { case (c, i) =>
+              val mn = r.getAs[String](s"__cmn_$i")
+              val mx = r.getAs[String](s"__cmx_$i")
+              if (mn == null || mx == null) None
+              else Some(c -> ((lo(c)(mn), hi(c)(mx))))
+            }.toMap
+            if (bounds.isEmpty) None
+            else Some((r.getInt(0), r.getInt(1), bounds))
+          }
+          .groupBy(_._1)
+          .map { case (b, xs) =>
+            b -> xs.map { case (_, tp, bs) => tp -> bs }.toMap
+          }
       df.groupBy(col("bucket"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -662,10 +706,80 @@ object Compaction {
           }.toMap
           r.getInt(0) -> BucketStats(r.getLong(1),
             lo(versionCol)(r.getAs[String]("mn")),
-            hi(versionCol)(r.getAs[String]("mx")), bounds)
+            hi(versionCol)(r.getAs[String]("mx")), bounds,
+            leafBounds.getOrElse(r.getInt(0), Map.empty))
         }
         .toMap
     }
+
+  /** HLL precision for the per-bucket cluster-column NDV sketches:
+    * 2^6 = 64 registers (~13% standard error) — join-strategy grade,
+    * 128 base36 chars per (bucket, column) manifest entry.
+    */
+  private[cdc] val HllP = 6
+
+  /** Per-bucket HLL registers for each cluster column, appended to the
+    * staged stats (r13): ONE map-side-combined aggregation per column
+    * over the just-written staged files (page-warm), register state =
+    * 2^HllP longs per bucket regardless of row count. Registers — not
+    * estimates — are stored, so merging untouched buckets' carried
+    * sketches with the staged ones is a register-wise max and the
+    * global NDV stays exact-mergeable across every commit. Encoding:
+    * fixed 2-char base36 per register ([[encodeRegisters]]).
+    */
+  private def addClusterNdv(spark: SparkSession, staging: String,
+      base: Map[Int, BucketStats],
+      statCols: Seq[String]): Map[Int, BucketStats] = {
+    if (statCols.isEmpty || base.isEmpty) return base
+    val df = spark.read.parquet(s"$staging/data")
+    val present = statCols.filter(c =>
+      df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (present.isEmpty) return base
+    val perCol: Map[String, Map[Int, String]] = present.map { c =>
+      // the sketch names its register-index column "bucket" too —
+      // alias the table's partition column out of the way first
+      val src = df.filter(col(c).isNotNull)
+        .select(col("bucket").as("_tbucket"), col(c))
+      val regs = graft.operators.DetSketch
+        .hllRegistersBy(src, Seq("_tbucket"), c, p = HllP)
+        .collect()
+        .map(r => (r.getInt(0), r.getAs[Long]("bucket").toInt,
+          r.getAs[Long]("register")))
+        .groupBy(_._1)
+        .map { case (b, xs) =>
+          b -> encodeRegisters(
+            xs.map { case (_, idx, rho) => idx -> rho }.toMap)
+        }
+      c -> regs
+    }.toMap
+    base.map { case (b, st) =>
+      b -> st.copy(colNdv = present.flatMap(c =>
+        perCol(c).get(b).map(c -> _)).toMap)
+    }
+  }
+
+  /** 2^HllP registers as a fixed-length base36 string, 2 chars per
+    * register (rho ≤ 55 at p=6 fits) — compact enough that per-bucket
+    * sketches scale like the existing rows./minv. stat families.
+    */
+  private[cdc] def encodeRegisters(regs: Map[Int, Long]): String = {
+    val m = 1 << HllP
+    val sb = new StringBuilder(m * 2)
+    (0 until m).foreach { i =>
+      val v = regs.getOrElse(i, 0L).toInt
+      sb.append(java.lang.Integer.toString(v / 36, 36))
+      sb.append(java.lang.Integer.toString(v % 36, 36))
+    }
+    sb.toString
+  }
+
+  private[graft] def decodeRegisters(s: String): Array[Long] = {
+    val m = s.length / 2
+    Array.tabulate(m)(i =>
+      (java.lang.Integer.parseInt(s.substring(2 * i, 2 * i + 1), 36) *
+        36L) +
+        java.lang.Integer.parseInt(s.substring(2 * i + 1, 2 * i + 2), 36))
+  }
 
   /** Fast path for the post-write stats pass: read the staged files'
     * FOOTERS directly on the driver (parallel, metadata-only) instead
@@ -687,7 +801,10 @@ object Compaction {
       val fs = new Path(staging).getFileSystem(conf)
       // time-partitioned layout nests one `_tp=` level inside each
       // bucket — the shared lister descends it for the footer pass
-      val files: Seq[(Int, Path)] = listTpLeaves(fs,
+      // each file keyed (bucket, `_tp` leaf): the leaf is the file's
+      // parent dir when the staged layout nests one (r13 leaf-level
+      // cluster bounds key off it; flat layouts carry None)
+      val files: Seq[((Int, Option[Int]), Path)] = listTpLeaves(fs,
         staged.map(b => new Path(s"$staging/data/bucket=$b")))
         .zip(staged)
         .flatMap { case ((_, leaves), b) =>
@@ -695,7 +812,14 @@ object Compaction {
             .filter(st => st.isFile &&
               (st.getPath.getName.endsWith(".parquet") ||
                 st.getPath.getName.startsWith("part-")))
-            .map(st => b -> st.getPath)
+            .map { st =>
+              val parent = st.getPath.getParent
+              val tp =
+                if (parent != null && parent.getName.startsWith("_tp="))
+                  scala.util.Try(parent.getName.drop(4).toInt).toOption
+                else None
+              (b, tp) -> st.getPath
+            }
         }
       if (files.isEmpty) return Some(Map.empty)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -705,8 +829,8 @@ object Compaction {
         // stat columns (r12) — each must qualify as plain INT32/INT64
         // or the whole fast path declines to the Spark aggregate
         val wanted = versionCol +: statCols
-        val futs = files.map { case (b, p) =>
-          b -> pool.submit(new java.util.concurrent.Callable[
+        val futs = files.map { case (key, p) =>
+          key -> pool.submit(new java.util.concurrent.Callable[
               Option[(Long, Array[Long], Array[Long])]] {
             override def call(): Option[(Long, Array[Long], Array[Long])] = {
               val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -768,9 +892,9 @@ object Compaction {
             }
           })
         }
-        val perFile = futs.map { case (b, f) => b -> f.get() }
+        val perFile = futs.map { case (key, f) => key -> f.get() }
         if (perFile.exists(_._2.isEmpty)) None
-        else Some(perFile.groupBy(_._1).map { case (b, xs) =>
+        else Some(perFile.groupBy(_._1._1).map { case (b, xs) =>
           val vs = xs.map(_._2.get)
           def colMin(i: Int) = vs.map(_._2(i)).min
           def colMax(i: Int) = vs.map(_._3(i)).max
@@ -780,12 +904,35 @@ object Compaction {
             if (colMin(i) > colMax(i)) None
             else Some(c -> ((colMin(i).toString, colMax(i).toString)))
           }.toMap
+          // per-(`_tp` leaf) cluster bounds (r13): the same per-file
+          // footer stats folded one level finer — zero extra I/O
+          val leafBounds = xs.collect {
+              case ((_, Some(tp)), Some(v)) => tp -> v
+            }.groupBy(_._1).flatMap { case (tp, lvs) =>
+              val lb = statCols.zipWithIndex.flatMap { case (c, i0) =>
+                val i = i0 + 1
+                val mn = lvs.map(_._2._2(i)).min
+                val mx = lvs.map(_._2._3(i)).max
+                if (mn > mx) None
+                else Some(c -> ((mn.toString, mx.toString)))
+              }.toMap
+              if (lb.isEmpty) None else Some(tp -> lb)
+            }
           b -> BucketStats(vs.map(_._1).sum,
-            colMin(0).toString, colMax(0).toString, bounds)
+            colMin(0).toString, colMax(0).toString, bounds, leafBounds)
         })
       } finally pool.shutdown()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+
+  /** Per-bucket budget for leaf-granular cluster keys: a bucket whose
+    * `_tp` leaves × columns would exceed this many manifest entries
+    * degrades to bucket-granular bounds alone — finer pruning is an
+    * optimization, an unbounded manifest is a failure mode. 64 keys =
+    * 32 [min,max] pairs per bucket, the same order as the existing
+    * per-bucket stat families.
+    */
+  private[cdc] val MaxLeafKeysPerBucket = 64
 
   private[cdc] def rowProps(stats: Map[Int, BucketStats]): Map[String, String] =
     stats.flatMap { case (b, st) =>
@@ -796,7 +943,20 @@ object Compaction {
         // every carried-props filter parses the bucket id uniformly
         // (statBucket) even though the suffix is a column name
         st.colBounds.flatMap { case (c, (mn, mx)) =>
-          Seq(s"cmin.$b.$c" -> mn, s"cmax.$b.$c" -> mx) }
+          Seq(s"cmin.$b.$c" -> mn, s"cmax.$b.$c" -> mx) } ++
+        // leaf-granular cluster zone maps (r13): recorded ALONGSIDE
+        // the bucket fold (`cmin.<b>.<tp>.<col>`), so bucket-level
+        // consumers never change and a budget-capped bucket degrades
+        // to the fold — coarser, never wrong
+        (if (st.leafColBounds.iterator.map(_._2.size * 2).sum
+            <= MaxLeafKeysPerBucket)
+          st.leafColBounds.flatMap { case (tp, cols) =>
+            cols.flatMap { case (c, (mn, mx)) =>
+              Seq(s"cmin.$b.$tp.$c" -> mn, s"cmax.$b.$tp.$c" -> mx) } }
+        else Map.empty[String, String]) ++
+        // per-bucket cluster-column NDV sketches (r13): HLL registers,
+        // register-wise max across buckets = the table's sketch
+        st.colNdv.map { case (c, regs) => s"cndv.$b.$c" -> regs }
     }
 
   /** Bucket id of a per-bucket stat key (`rows.7`, `cmin.7.price`) —
@@ -812,7 +972,7 @@ object Compaction {
 
   /** The per-bucket stat-key families a commit carries/filters. */
   private[cdc] val StatPrefixes =
-    Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.",
+    Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.", "cndv.",
       "delta.", "drows.", "dmaxv.")
 
   /** Exact live row count answered from the manifest alone — zero I/O,
@@ -1358,7 +1518,7 @@ object Compaction {
         case kv => kv
       }
       .filterNot { case (k, _) =>
-        Seq("minv.", "maxv.", "cmin.", "cmax.").exists(p =>
+        Seq("minv.", "maxv.", "cmin.", "cmax.", "cndv.").exists(p =>
           k.startsWith(p) &&
             statBucket(k, p).exists(touched.contains)) ||
           Seq("txn_id", "base_txn", "feed_batch", "feed_txn").contains(k)
@@ -1604,7 +1764,10 @@ object Compaction {
     snap.props.filter { case (k, _) =>
       k.startsWith("rename.") || k == "dead_cols" || k == "feed" ||
         k == "schema_altered" || k == "tp_unit" || k == "tp_col" ||
-        k == "tp_min" || k == "tp_evolved"
+        k == "tp_min" || k == "tp_evolved" ||
+        // the restore-bumped feed epoch survives every later rewrite:
+        // dropping it would silently re-arm epoch-fenced consumers
+        k == "feed_epoch"
     }
 
   /** Whether the table opted into the change data feed
@@ -2016,6 +2179,126 @@ object Compaction {
     val old = live.copy(snap = TxLog.read(spark, dir, version))
     storedData(spark, dir, old).drop("bucket")
   }
+
+  /** RESTORE the table to committed version `version` in ONE
+    * metadata-only OCC commit (r12 verdict item 1) — the write-side
+    * half of time travel, and the recovery story for the first bad
+    * MERGE: data files are immutable, so restoring is nothing but
+    * re-pointing the bucket map (and every other piece of table state
+    * the manifest owns: schema, evolution mappings, zone maps, MoR
+    * delta chains, time-partition spec) at version n's manifest
+    * entries under a NEW version. Cost is O(manifest), zero data
+    * copies; history between n and the pre-restore head stays
+    * reconstructible (restore never vacuums), so a mistaken RESTORE
+    * is itself restorable.
+    *
+    * Fences:
+    *  - the target manifest must still be on disk ([[TxLog.read]]
+    *    names the oldest reconstructible version otherwise);
+    *  - restoring ACROSS a retention floor is refused: a later
+    *    RETIRE PARTITIONS (`tp_min`) or SCD2 EXPIRE HISTORY
+    *    (`expired_before`) made a durable promise that pre-floor data
+    *    is gone, and every consumer-side replay fence is built on it
+    *    — floors only ever advance, so "target's floor differs from
+    *    the current one" is exactly "a floor moved after version n".
+    *
+    * CHANGE-FEED semantics (the design decision the operation forces):
+    * a restore moves row versions BACKWARD, and the feed's consumers
+    * merge by `(version DESC, _order DESC)` — compensating events
+    * cannot express the move (a restored row's version is older than
+    * the delete/update it undoes, so the stale winner would keep
+    * winning every downstream merge). Instead, on a table that ever
+    * emitted feed batches the restore:
+    *  - reserves and publishes one EMPTY feed batch (full staged-
+    *    intent/commit/publish protocol, so a crash between commit and
+    *    publish repairs exactly like a merge's), which keeps batch
+    *    numbering monotone and — because the view's applied id can now
+    *    never equal the base's head — makes [[graft.plans.MvRewrite]]'s
+    *    per-query freshness fence serve the BASE until the view
+    *    re-seeds, with no extra per-query read;
+    *  - bumps the table's `feed_epoch`: [[Replicator.sync]] refuses an
+    *    epoch it did not initialize under (re-init converges), and
+    *    REFRESH MATERIALIZED VIEW re-seeds the view from the restored
+    *    base instead of applying pre-restore events.
+    * Raw feed reads (SHOW CHANGES, the changelog stream) are
+    * unaffected: the feed is an append-only log of PUBLISHED changes
+    * and restore rewinds no published batch.
+    *
+    * Returns the new table version (restoring to the current version
+    * is a no-op and returns it unchanged).
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    TxLog.withOcc(spark, dir) {
+      val cur = TxLog.latest(spark, dir).getOrElse(throw new
+        IllegalArgumentException(s"no committed manifest under $dir"))
+      if (version == cur.version) return cur.version
+      require(version >= 0 && version < cur.version,
+        s"cannot restore to v$version: the table is at v${cur.version}")
+      val target = TxLog.read(spark, dir, version)
+      Seq("tp_min" -> "RETIRE PARTITIONS",
+          "expired_before" -> "EXPIRE HISTORY").foreach {
+        case (k, opName) =>
+          if (cur.prop(k).isDefined && cur.prop(k) != target.prop(k))
+            throw new IllegalStateException(
+              s"restore to v$version refused: $opName advanced the " +
+                s"'$k' retention floor after that version " +
+                s"(${target.prop(k).getOrElse("none")} -> " +
+                s"${cur.prop(k).get}); restoring across it would " +
+                "resurrect data the floor promised was gone")
+      }
+      TxLog.sweep(spark, dir)
+      val fs = TxLog.fs(spark, dir)
+      val txn = new TableTxn(spark, dir, cur.version)
+      // a table that ever emitted (or currently opts into) the feed
+      // reserves one empty batch — see the scaladoc's feed semantics
+      val emitsFeed = feedEnabled(cur) ||
+        cur.counter("next_feed_batch") > 0L
+      val feedBatch =
+        if (emitsFeed) Some(nextBatch(spark, dir, metaOf(cur)))
+        else None
+      feedBatch.foreach(n => stampFeedIntent(fs, txn.staging, n))
+      val props = (target.props -- Seq("txn_id", "base_txn", "op",
+          "feed_batch", "feed_txn", "feed", "feed_epoch",
+          "restored_from", "next_feed_batch") --
+          target.buckets.keys.map(b => s"bucket.$b")) ++
+        // the feed OPT-IN is operational config, not state: keep the
+        // current setting rather than silently re-toggling it to what
+        // it was at version n
+        (if (feedEnabled(cur)) Map("feed" -> "true") else Map.empty) ++
+        // the nested-feed-layout marker is forever once set, and so is
+        // the mixed-schema-feed marker: batches written under a
+        // post-target ALTER remain on disk, so readFeed must keep the
+        // per-epoch (listing) route even though the RESTORED schema
+        // predates the alter
+        (if (cur.prop("tp_evolved").contains("true"))
+          Map("tp_evolved" -> "true") else Map.empty) ++
+        (if (cur.prop("schema_altered").isDefined)
+          Map("schema_altered" ->
+            cur.props("schema_altered")) else Map.empty) ++
+        feedCommitProps(feedBatch, txn, cur) ++
+        (if (emitsFeed)
+          Map("feed_epoch" -> (cur.counter("feed_epoch") + 1L).toString)
+        else cur.prop("feed_epoch").map("feed_epoch" -> _).toMap) +
+        ("op" -> "restore") + ("restored_from" -> version.toString)
+      txn.installAndCommit(target.buckets, props)
+      // the empty batch publishes only after the state it fences is
+      // committed; a failure here surfaces as the non-retryable
+      // PostCommitPublishFailure, exactly like a merge's
+      feedBatch.foreach(n => publishFeed(fs, txn.staging, dir, n,
+        txn.newVersion, target.props.getOrElse("schema_json", "{}"),
+        target.prop("tp_unit")))
+      TxLog.hygiene { txn.cleanup() }
+      txn.newVersion
+    }
+  }
+
+  /** The table's change-feed EPOCH: bumped by [[restore]] whenever the
+    * table state moved backward under its feed consumers; 0 for a
+    * table never restored. Version-ordered consumers record the epoch
+    * they initialized under and refuse (or re-seed) on a mismatch.
+    */
+  def feedEpoch(spark: SparkSession, dir: String): Long =
+    TxLog.latest(spark, dir).map(_.counter("feed_epoch")).getOrElse(0L)
 
   /** Drop history versions below `keepFrom` (and, with `feedBefore`,
     * feed batches below it): the retention knob that bounds time-travel
@@ -2990,7 +3273,7 @@ object Compaction {
     // dropped dmaxv (uncombinable stat) cannot leave a stale one behind
     val stagedSet = staged.toSet
     val carried = m.snap.props.filter { case (k, _) =>
-      Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.")
+      Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.", "cndv.")
         .exists(k.startsWith) ||
         Seq("delta.", "drows.", "dmaxv.").exists(p =>
           k.startsWith(p) && !statBucket(k, p).exists(stagedSet.contains))

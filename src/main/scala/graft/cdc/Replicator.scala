@@ -68,9 +68,13 @@ object Replicator {
       nBuckets: Int = 0): Unit = {
     val (key, versionCol, deleteCol, srcBuckets) =
       Compaction.readMeta(spark, sourceDir)
-    // the head is read BEFORE the state copy: a batch published in
-    // between is replayed by the first sync, and replay is convergent
+    // the head (and the feed epoch) are read BEFORE the state copy: a
+    // batch published in between is replayed by the first sync, and
+    // replay is convergent; a RESTORE landing in between makes the
+    // first sync refuse (epoch moved) and the operator re-init — the
+    // conservative direction
     val head = sourceHead(spark, sourceDir)
+    val epoch = Compaction.feedEpoch(spark, sourceDir)
     // readMeta joins a composite key with commas; decode so the
     // replica inherits the source's key TUPLE, not one bogus column
     Compaction.init(Compaction.read(spark, sourceDir), replicaDir,
@@ -80,7 +84,8 @@ object Replicator {
       .delete(new org.apache.hadoop.fs.Path(syncDir(replicaDir)), true)
     TxLog.invalidate(syncDir(replicaDir))
     TxLog.commit(spark, syncDir(replicaDir), 0L,
-      Map("last_batch" -> head.toString))
+      Map("last_batch" -> head.toString,
+        "feed_epoch" -> epoch.toString))
   }
 
   /** Apply every feed batch the replica has not seen; returns the new
@@ -99,6 +104,23 @@ object Replicator {
   def sync(spark: SparkSession, sourceDir: String, replicaDir: String,
       upTo: Long = Long.MaxValue): Long = {
     val last = lastApplied(spark, replicaDir)
+    // RESTORE fence (r12), checked FIRST — even a sync with nothing
+    // new to apply must refuse: the source state moved BACKWARD under
+    // this consumer, and a version-ordered merge cannot converge
+    // through that (a restored row's version is older than the
+    // delete/update it undoes, so the replica's stale winner keeps
+    // winning). Re-init (Replicator.init) re-seeds from the restored
+    // snapshot and re-fences at the new epoch.
+    val srcEpoch = Compaction.feedEpoch(spark, sourceDir)
+    val seenEpoch = TxLog.latest(spark, syncDir(replicaDir))
+      .map(_.counter("feed_epoch")).getOrElse(0L)
+    if (srcEpoch != seenEpoch)
+      throw new IllegalStateException(
+        s"source at $sourceDir was RESTOREd to an earlier version " +
+          s"(feed epoch $srcEpoch; this replica initialized at epoch " +
+          s"$seenEpoch) — incremental sync cannot converge through a " +
+          "backward state move; re-initialize the replica from the " +
+          "current source snapshot (Replicator.init)")
     val committedHead = math.min(sourceHead(spark, sourceDir), upTo)
     if (committedHead <= last) return last
     // retention fence: maintain(maxFeedAge)/vacuum(feedBefore) delete
@@ -143,7 +165,10 @@ object Replicator {
     val state = TxLog.latest(spark, syncDir(replicaDir))
     val v = state.map(_.version + 1L).getOrElse(0L)
     TxLog.commit(spark, syncDir(replicaDir), v,
-      Map("last_batch" -> head.toString))
+      Map("last_batch" -> head.toString,
+        // the epoch this sync verified against carries forward (it
+        // equals srcEpoch — the fence above passed)
+        "feed_epoch" -> seenEpoch.toString))
     TxLog.vacuum(spark, syncDir(replicaDir), v)
     head
   }

@@ -171,6 +171,17 @@ object GraftTables {
             spark, dir, bound)
           Seq((name, dropped)).toDF("table", "rows_expired")
         }
+      // write-side time travel: ONE metadata-only commit re-pointing
+      // the table at version n's manifest entries (Compaction.restore
+      // owns the floor fences and the feed-epoch semantics); any
+      // maintained table type
+      case RestoreTable(name, version) =>
+        anyDirFor(spark, name).map { dir =>
+          val newV = Compaction.restore(spark, dir, version)
+          GraftTables.refresh(spark, name)
+          Seq((name, version, newV))
+            .toDF("table", "restored_to", "new_version")
+        }
       // inspection verbs for REGISTERED-name users — the SQL twins of
       // the catalog metadata tables (t.files / t.partitions /
       // t.changes, catalog/MetaTables.scala); any maintained type
@@ -323,13 +334,28 @@ object GraftTables {
     new org.apache.hadoop.fs.Path(s"$viewDir/_mvdef.properties")
 
   private def writeMvDef(spark: SparkSession, viewDir: String,
-      baseDir: String, keys: Seq[String], valueCol: String): Unit = {
+      baseDir: String, keys: Seq[String], valueCol: String,
+      baseFeedEpoch: Long): Unit = {
     val p = new java.util.Properties()
     p.setProperty("base_dir", baseDir)
     p.setProperty("keys", keys.mkString(","))
     p.setProperty("value_col", valueCol)
+    // the base feed EPOCH this view was seeded under: a base RESTORE
+    // bumps it, and REFRESH re-seeds instead of applying pre-restore
+    // events (which would converge the view to the pre-restore state)
+    p.setProperty("base_feed_epoch", baseFeedEpoch.toString)
     val out = TxLog.fs(spark, viewDir).create(mvDefPath(viewDir), true)
     try p.store(out, null) finally out.close()
+  }
+
+  /** The base feed epoch recorded at seed time (0 for a sidecar
+    * written before epochs existed — matching a never-restored base).
+    */
+  private def readMvEpoch(spark: SparkSession, viewDir: String): Long = {
+    val p = new java.util.Properties()
+    val in = TxLog.fs(spark, viewDir).open(mvDefPath(viewDir))
+    try p.load(in) finally in.close()
+    Option(p.getProperty("base_feed_epoch")).map(_.toLong).getOrElse(0L)
   }
 
   private def readMvDef(spark: SparkSession,
@@ -400,7 +426,8 @@ object GraftTables {
       Compaction.readAsOf(spark, baseDir, snap.version)
         .select((keys :+ v.valueCol).map(col): _*),
       viewDir, keys, v.valueCol, nBuckets, batchId = head)
-    writeMvDef(spark, viewDir, baseDir, keys, v.valueCol)
+    writeMvDef(spark, viewDir, baseDir, keys, v.valueCol,
+      snap.counter("feed_epoch"))
     Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
     mvRegistry.put((spark, name), viewDir)
     Seq((name, viewDir, head)).toDF("view", "location", "as_of_batch")
@@ -451,7 +478,30 @@ object GraftTables {
     * Shared by REFRESH MATERIALIZED VIEW and the REFRESH ALL sweep.
     */
   private def refreshMv(spark: SparkSession, viewDir: String): Long = {
-    val (baseDir, _, _) = readMvDef(spark, viewDir)
+    val (baseDir, keys, valueCol) = readMvDef(spark, viewDir)
+    // RESTORE fence (r12): the base moved BACKWARD under the view —
+    // applying the still-unapplied (pre-restore) feed events would
+    // converge the partials to the PRE-restore state. Signed IVM
+    // cannot express the move, but the view knows its own definition:
+    // re-seed wholesale from the restored base (the same one-snapshot
+    // seed CREATE uses) and record the new epoch. Until this runs,
+    // MvRewrite's freshness fence already serves the base (the
+    // restore's reserved batch keeps the view's applied id behind the
+    // head), so no stale answer is ever served.
+    val baseSnap = graft.cdc.TxLog.latest(spark, baseDir).getOrElse(
+      GraftDml.fail(s"no committed manifest under $baseDir"))
+    val baseEpoch = baseSnap.counter("feed_epoch")
+    if (baseEpoch != readMvEpoch(spark, viewDir)) {
+      val (_, _, _, nBuckets) = Compaction.readMeta(spark, baseDir)
+      val head = baseSnap.counter("next_feed_batch") - 1L
+      graft.cdc.AggView.init(
+        Compaction.readAsOf(spark, baseDir, baseSnap.version)
+          .select((keys :+ valueCol).map(col): _*),
+        viewDir, keys, valueCol, nBuckets, batchId = head)
+      writeMvDef(spark, viewDir, baseDir, keys, valueCol, baseEpoch)
+      Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
+      return 0L
+    }
     val (_, _, _, last) = graft.cdc.AggView.readMeta(spark, viewDir)
     val srcHead = graft.cdc.Replicator.sourceHead(spark, baseDir)
     // retention fence (same rule as Replicator.sync, r10 advice):

@@ -30,6 +30,8 @@ private[plans] object GraftVerbs {
   /** `bound` is the raw timestamp string (Left) or version (Right). */
   final case class ExpireHistory(table: String,
       bound: Either[String, Long]) extends Verb
+  /** RESTORE TABLE t TO VERSION [AS OF] n — write-side time travel. */
+  final case class RestoreTable(table: String, version: Long) extends Verb
   final case class ShowFiles(table: String) extends Verb
   final case class ShowPartitions(table: String) extends Verb
   final case class ShowChanges(table: String, from: Long,
@@ -64,6 +66,9 @@ private[plans] object GraftVerbs {
   private val ExpireRe =
     ("""(?is)\s*EXPIRE\s+HISTORY\s+([\w.`]+)\s+BEFORE\s+""" +
       """(?:TIMESTAMP\s+'([^']+)'|(-?\d+))\s*;?\s*""").r
+  private val RestoreRe =
+    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+""" +
+      """(?:AS\s+OF\s+)?(\d+)\s*;?\s*""").r
   private val ShowFilesRe =
     """(?is)\s*SHOW\s+FILES\s+([\w.`]+)\s*;?\s*""".r
   private val ShowPartsRe =
@@ -150,6 +155,7 @@ private[plans] object GraftVerbs {
     case ExpireRe(t, ts, num) =>
       Some(ExpireHistory(t,
         if (ts != null) Left(ts) else Right(num.toLong)))
+    case RestoreRe(t, v) => Some(RestoreTable(t, v.toLong))
     case ShowFilesRe(t) => Some(ShowFiles(t))
     case ShowPartsRe(t) => Some(ShowPartitions(t))
     case ShowChangesRe(t, from, to) =>

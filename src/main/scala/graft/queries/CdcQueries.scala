@@ -717,6 +717,71 @@ object CdcQueries {
         FROM graftcat.tt_t""")
     }),
 
+    // write-side time travel (r12 verdict item 1): init (feed on) + a
+    // BAD merge (retained history), then `RESTORE TABLE t TO VERSION 0`
+    // through the SQL verb — ONE metadata-only commit re-pointing the
+    // bucket map at version 0's manifest entries — then a post-restore
+    // merge on top of the restored state. In-query asserts pin the
+    // protocol: the commit is op=restore, the feed epoch bumped exactly
+    // once (the version-ordered-consumer fence), batch numbering stayed
+    // monotone through the reserved empty batch, and the pre-restore
+    // version is still time-travelable. The oracle recomputes both
+    // observable states relationally: restored == the v0 snapshot, and
+    // final == latest-wins over snapshot + the post-restore changelog
+    // ONLY — the bad merge's changes must be gone from the lineage.
+    "cdc_restore" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val badChanges = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"),
+          (col("o_orderkey") % 5 === 0).as("deleted"))
+      val postChanges = ord.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("id"),
+          (dec18(col("o_totalprice")) * lit(3).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(2L).as("version"), lit(false).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-restore-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(snapshot, tableDir, Seq("id"),
+        "version", "deleted", nBuckets = 16, clusterBy = Nil,
+        feed = true)
+      graft.cdc.Compaction.merge(s, tableDir, badChanges,
+        retainHistory = true)
+      val epochBefore = graft.cdc.Compaction.feedEpoch(s, tableDir)
+      graft.plans.GraftTables.register(s, "cdc_restore_t", tableDir)
+      graft.plans.GraftTables.sql(s,
+        "RESTORE TABLE cdc_restore_t TO VERSION 0")
+      require(graft.cdc.Compaction.feedEpoch(s, tableDir) ==
+        epochBefore + 1L, "restore must bump the feed epoch")
+      val ops = graft.cdc.Compaction.history(s, tableDir)
+        .select(col("operation")).collect().map(_.getString(0)).toSet
+      require(ops.contains("restore"),
+        s"history must record the restore commit (saw $ops)")
+      require(graft.cdc.Compaction.readAsOf(s, tableDir, 1L).count() > 0L,
+        "the pre-restore version must stay time-travelable")
+      // restored state (the manifest this read resolves pins v0's
+      // generation paths; the retained post-merge never deletes them)
+      val restored = graft.cdc.Compaction.read(s, tableDir)
+      graft.cdc.Compaction.merge(s, tableDir, postChanges,
+        retainHistory = true)
+      val fin = graft.cdc.Compaction.read(s, tableDir)
+      restored.groupBy()
+        .agg(count(lit(1)).as("n_keys"),
+          sum(dec18(col("price"))).cast("double").as("total"))
+        .select(lit("restored").as("tag"), col("n_keys"), col("total"))
+        .unionAll(fin.groupBy()
+          .agg(count(lit(1)).as("n_keys"),
+            sum(dec18(col("price"))).cast("double").as("total"))
+          .select(lit("final").as("tag"), col("n_keys"), col("total")))
+    }),
+
     // zero-scan COUNT(*) from PLAIN SQL: the scan builder's aggregate
     // pushdown (SupportsPushDownAggregates) routes a bare count on a
     // compacted catalog table to the manifest's per-bucket row stats —
@@ -2364,6 +2429,35 @@ object CdcQueries {
         |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total,
         |  CAST(SUM(id * version) AS BIGINT) AS checksum
         |FROM latest WHERE rn = 1 AND NOT deleted AND cust < 500""".stripMargin,
+
+    // restore ≡ relational recompute of version 0: the bad merge's
+    // changes are absent from BOTH observable states — `restored` is
+    // the v0 snapshot verbatim, `final` is latest-wins over snapshot +
+    // the post-restore changelog only
+    "cdc_restore" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS id, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |post AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(o_totalprice::DECIMAL(18,2) * 3.00::DECIMAL(18,2) AS DOUBLE)
+        |      AS price,
+        |    2 AS version
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |unioned AS (
+        |  SELECT id, price, 0 AS version FROM snap
+        |  UNION ALL
+        |  SELECT id, price, version FROM post),
+        |latest AS (
+        |  SELECT id, price,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+        |  FROM unioned)
+        |SELECT 'restored' AS tag, count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total FROM snap
+        |UNION ALL
+        |SELECT 'final' AS tag, count(*) AS n_keys,
+        |  CAST(SUM(price::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM latest WHERE rn = 1""".stripMargin,
 
     // the SQL MERGE lowers onto the same latest-wins merge — identical
     // recompute to cdc_merge_upsert (tombstones never stored, per the
