@@ -381,11 +381,16 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     // retention floor may prune — a range prune on the fold INPUT
     // would resurrect superseded rows (same invariant as
     // Compaction.foldBuckets)
-    def tpAdmit(n: Int, rangeOk: Boolean): Boolean =
+    // cluster-LEAF admission (r13) composes with the range admission:
+    // a leaf inside the time bounds whose per-(bucket, leaf) cluster
+    // bounds refute a pushed conjunct is skipped by name too — same
+    // rangeOk gate (clean buckets only)
+    def tpAdmit(b: Int)(n: Int, rangeOk: Boolean): Boolean =
       tpFloor.forall(n >= _) &&
-        (!rangeOk || Compaction.tpAdmits(tpIvs, n))
+        (!rangeOk || (Compaction.tpAdmits(tpIvs, n) &&
+          GraftPrune.leafAdmits(meta, pushed, b, n)))
 
-    def listFiles(rel: String, rangeOk: Boolean)
+    def listFiles(b: Int, rel: String, rangeOk: Boolean)
         : Seq[(String, Long, Long, Int)] = {
       val p = new Path(s"${meta.dir}/data/$rel")
       val e = epochOf(rel)
@@ -394,7 +399,7 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       // this runs ON the shared listing pool already (one future per
       // bucket below), so a nested pooled Await could starve it.
       Compaction.listTpLeaves(fs, Seq(p),
-          tpAdmit(_, rangeOk), pooled = false)
+          tpAdmit(b)(_, rangeOk), pooled = false)
         .flatMap(_._2)
         .filter(st => st.isFile &&
           !st.getPath.getName.startsWith(".") &&
@@ -414,7 +419,7 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       val hit = listingCache.get(b)
       if (hit != null) hit
       else {
-        val r = rels.flatMap(listFiles(_, rangeOk))
+        val r = rels.flatMap(listFiles(b, _, rangeOk))
         listingCache.put(b, r)
         r
       }
@@ -614,7 +619,11 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
     */
   override def estimateStatistics(): Statistics = {
     val p = planned
-    val exact = pushed.isEmpty && p.foldParts.isEmpty
+    // pushed filters withhold the manifest-exact stats (the scan's
+    // output is no longer the manifest's row set) — except pushes
+    // that provably filter nothing (GraftPrune.noopPushes)
+    val exact = p.foldParts.isEmpty && (pushed.isEmpty ||
+      GraftPrune.noopPushes(p.meta, p.keptIds, pushed))
     val rows: OptionalLong =
       if (!exact) OptionalLong.empty()
       else {
@@ -650,11 +659,14 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
       // cast the pruning uses, reported only when EVERY kept bucket
       // carries both bounds (a partial fold would understate a range)
       def putMinMax(colName: String, minKey: Int => String,
-          maxKey: Int => String): Unit = {
+          maxKey: Int => String,
+          ndv: OptionalLong = OptionalLong.empty(),
+          nulls: OptionalLong = OptionalLong.empty()): Unit = {
         val cType = p.meta.schema.fields
           .find(_.name.equalsIgnoreCase(colName)).map(_.dataType)
         val mins = p.keptIds.toSeq.map(b => p.meta.props.get(minKey(b)))
         val maxs = p.keptIds.toSeq.map(b => p.meta.props.get(maxKey(b)))
+        var bounds: Option[(Any, Any)] = None
         if (cType.isDefined && p.keptIds.nonEmpty &&
             !mins.exists(_.isEmpty) && !maxs.exists(_.isEmpty)) {
           val dt = cType.get
@@ -671,21 +683,62 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
           }
           val lo = mins.flatten.flatMap(typed(_))
           val hi = maxs.flatten.flatMap(typed(_))
-          if (lo.size == p.keptIds.size && hi.size == p.keptIds.size) {
-            val mn = lo.min(ord)
-            val mx = hi.max(ord)
-            colStats.put(
-              org.apache.spark.sql.connector.expressions.Expressions
-                .column(colName),
-              new org.apache.spark.sql.connector.read.colstats
-                  .ColumnStatistics {
-                override def min(): java.util.Optional[Object] =
-                  java.util.Optional.of(mn.asInstanceOf[Object])
-                override def max(): java.util.Optional[Object] =
-                  java.util.Optional.of(mx.asInstanceOf[Object])
-              })
-          }
+          if (lo.size == p.keptIds.size && hi.size == p.keptIds.size)
+            bounds = Some((lo.min(ord), hi.max(ord)))
         }
+        if (bounds.isDefined || ndv.isPresent) {
+          colStats.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(colName),
+            new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+              override def min(): java.util.Optional[Object] =
+                bounds.map(b => java.util.Optional.of(
+                  b._1.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                bounds.map(b => java.util.Optional.of(
+                  b._2.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def distinctCount(): OptionalLong = ndv
+              override def nullCount(): OptionalLong = nulls
+            })
+        }
+      }
+      /** Cluster-column NDV (r13): register-wise max of the kept
+        * buckets' per-bucket HLL sketches (`cndv.<b>.<col>`) — the
+        * sketch merge — then the standard estimate. Reported only
+        * when EVERY kept bucket carries a sketch (a partial merge
+        * would understate the table). Merge-on-read delta rows are
+        * not sketched; an estimate slightly stale on dirty buckets
+        * is still join-strategy grade.
+        */
+      def ndvOf(colName: String): OptionalLong = {
+        val regs = p.keptIds.toSeq.map(b =>
+          p.meta.props.get(s"cndv.$b.$colName"))
+        if (p.keptIds.isEmpty || regs.exists(_.isEmpty))
+          return OptionalLong.empty()
+        val decoded = regs.flatten.map(Compaction.decodeRegisters)
+        val m = decoded.map(_.length).min
+        if (m == 0) return OptionalLong.empty()
+        val merged = Array.tabulate(m)(i => decoded.map(_(i)).max)
+        // only non-zero registers: the estimator counts absent entries
+        // as zeros for its small-range linear-counting correction
+        val est = graft.operators.DetSketch.hllEstimate(
+          merged.zipWithIndex.collect {
+            case (r, i) if r > 0L => (i.toLong, r) }.toSeq,
+          p = Integer.numberOfTrailingZeros(m))
+        OptionalLong.of(math.max(1L, math.round(est)))
+      }
+      /** Cluster-column null count (r13): exact sum of the kept
+        * buckets' recorded tallies — CBO's count-stats gate needs it
+        * alongside the NDV. All-or-nothing like the NDV fold.
+        */
+      def nullsOf(colName: String): OptionalLong = {
+        val ns = p.keptIds.toSeq.map(b =>
+          p.meta.props.get(s"cnul.$b.$colName"))
+        if (p.keptIds.isEmpty || ns.exists(_.isEmpty)) OptionalLong.empty()
+        else OptionalLong.of(ns.flatten.map(_.toLong).sum)
       }
       p.meta.versionCol
         .filter(vc => requiredNames(vc.toLowerCase))
@@ -693,11 +746,13 @@ private[catalog] final class GraftScan(dir: String, asOf: Option[Long],
           putMinMax(vc, b => s"minv.$b", b => s"maxv.$b"))
       // clusterBy columns (r12): the per-bucket cmin/cmax zone maps
       // fold to a global range — exactly the predicates clustering
-      // was declared to accelerate get CBO-visible bounds
+      // was declared to accelerate get CBO-visible bounds; with the
+      // per-bucket HLL sketches (r13) they get a distinct count too
       GraftPrune.clusterCols(p.meta)
         .filter(c => requiredNames(c.toLowerCase))
         .foreach(c =>
-          putMinMax(c, b => s"cmin.$b.$c", b => s"cmax.$b.$c"))
+          putMinMax(c, b => s"cmin.$b.$c", b => s"cmax.$b.$c",
+            ndvOf(c), nullsOf(c)))
     }
     new Statistics {
       override def sizeInBytes(): OptionalLong =
@@ -1170,6 +1225,74 @@ private[catalog] object GraftPrune {
 
   import org.apache.spark.sql.catalyst.expressions.{GreaterThan => GT, GreaterThanOrEqual => GTE, LessThan => LT, LessThanOrEqual => LTE}
   import org.apache.spark.sql.{sources => s}
+
+  /** True when every pushed filter provably filters NOTHING: an
+    * IsNotNull on a cluster column whose recorded per-bucket null
+    * tallies (`cnul.<b>.<col>`) over the kept buckets all read zero.
+    * Join planning inserts exactly that shape under every equi-join,
+    * so without this carve-out a join's scan would never report the
+    * manifest-exact row count or the cluster-column NDV (r13).
+    */
+  private[catalog] def noopPushes(meta: ScanMeta, kept: Iterable[Int],
+      pushed: Array[Filter]): Boolean =
+    kept.nonEmpty && pushed.forall {
+      case s.IsNotNull(a) => clusterOf(meta, a).exists { c =>
+        val ns = kept.toSeq.map(b => meta.props.get(s"cnul.$b.$c"))
+        !ns.exists(_.isEmpty) && ns.flatten.forall(_.toLong == 0L)
+      }
+      case _ => false
+    }
+
+  /** Per-(`_tp` leaf) cluster admission (r13): true unless some pushed
+    * conjunct's leaf bounds for (bucket `b`, leaf `tp`) refute it —
+    * missing bounds (flat layout, capped bucket, pre-r13 manifest)
+    * admit. The pushed array is a conjunction, so every element must
+    * hold for any matching row; a leaf whose recorded [cmin, cmax]
+    * refutes one conjunct cannot hold a match, and Spark re-applies
+    * every filter above the scan. Callers gate on rangeOk — CLEAN
+    * buckets only, the same fold invariant as the `_tp` range
+    * admission (a dirty bucket's fold decides winners over full
+    * history).
+    */
+  private[catalog] def leafAdmits(meta: ScanMeta, pushed: Array[Filter],
+      b: Int, tp: Int): Boolean =
+    pushed.forall(leafAdmit(meta, _, b, tp))
+
+  private def leafBound(meta: ScanMeta, b: Int, tp: Int,
+      c: String): (Option[String], Option[String]) =
+    (meta.props.get(s"cmin.$b.$tp.$c"),
+      meta.props.get(s"cmax.$b.$tp.$c"))
+
+  private def leafAdmit(meta: ScanMeta, f: Filter, b: Int,
+      tp: Int): Boolean = f match {
+    case s.And(l, r) =>
+      leafAdmit(meta, l, b, tp) && leafAdmit(meta, r, b, tp)
+    case s.GreaterThan(a, v) if clusterOf(meta, a).isDefined =>
+      val c = clusterOf(meta, a).get
+      typedLit(meta, a, v).forall(l =>
+        statHolds(meta, leafBound(meta, b, tp, c)._2, l, GT))
+    case s.GreaterThanOrEqual(a, v) if clusterOf(meta, a).isDefined =>
+      val c = clusterOf(meta, a).get
+      typedLit(meta, a, v).forall(l =>
+        statHolds(meta, leafBound(meta, b, tp, c)._2, l, GTE))
+    case s.LessThan(a, v) if clusterOf(meta, a).isDefined =>
+      val c = clusterOf(meta, a).get
+      typedLit(meta, a, v).forall(l =>
+        statHolds(meta, leafBound(meta, b, tp, c)._1, l, LT))
+    case s.LessThanOrEqual(a, v) if clusterOf(meta, a).isDefined =>
+      val c = clusterOf(meta, a).get
+      typedLit(meta, a, v).forall(l =>
+        statHolds(meta, leafBound(meta, b, tp, c)._1, l, LTE))
+    case s.EqualTo(a, v) if clusterOf(meta, a).isDefined =>
+      val c = clusterOf(meta, a).get
+      typedLit(meta, a, v).forall { l =>
+        val (mn, mx) = leafBound(meta, b, tp, c)
+        statHolds(meta, mn, l, LTE) && statHolds(meta, mx, l, GTE)
+      }
+    // OR branches and every other shape: admit — the bucket-level
+    // zone pass already handled whatever was prunable there
+    case _ => true
+  }
 
   /** The allowed-bucket set one filter implies (None = not prunable).
     * AND intersects with None-as-residual; OR unions only when both

@@ -70,7 +70,8 @@ import graft.cdc.{Compaction, Scd2, TxLog}
   * so existing tables attach without moving data.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -353,6 +354,128 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       try out.write(loc.getBytes("UTF-8")) finally out.close()
     }
     new GraftTable(fullName(ident), dir, None)
+  }
+
+  // ----- atomic CTAS (StagingTableCatalog, r13) ---------------------
+  //
+  // CREATE TABLE ... AS SELECT previously ran as non-atomic
+  // create-then-insert: a failed write stranded an empty committed
+  // table. Staging creates the WHOLE table under a writer-unique
+  // sibling of its final directory — invisible to loadTable/isTable,
+  // which resolve the final path only — and the CTAS write lands
+  // there through the ordinary v2 write path (its own manifest
+  // commits inside the staging dir). commit = ONE directory rename
+  // into the final path (re-checking the name is still free: two
+  // racing CTAS of one name stage side by side and the loser
+  // refuses); abort (any mid-write failure) deletes the staging dir
+  // and nothing was ever visible. A crashed JVM can leave an orphan
+  // `.stage-<txn>` dir behind — storage hygiene, never a phantom
+  // table (no redirect or final dir is ever written before commit).
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (isTable(ident)) throw new TableAlreadyExistsException(ident)
+    require(!prop(properties, TableCatalog.PROP_PROVIDER)
+        .exists(_.equalsIgnoreCase("scd2")),
+      "CTAS USING scd2 is not supported: an SCD2 history's state is " +
+        "built by Scd2.merge, not a one-shot SELECT")
+    val location = prop(properties, TableCatalog.PROP_LOCATION)
+    val finalDir = location.getOrElse(managedDir(ident))
+    val stageDir =
+      s"$finalDir.stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    // the same DDL parse createTable performs, pointed at the stage
+    val timePartition: Option[(String, String)] = partitions match {
+      case Array() => None
+      case Array(t) if Set("years", "days", "months", "hours")(t.name) &&
+          t.arguments.length == 1 =>
+        t.arguments.head match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames.length == 1 =>
+            Some(t.name -> r.fieldNames.head)
+          case _ => throw new IllegalArgumentException(
+            s"PARTITIONED BY (${t.name}(...)) needs a plain column")
+        }
+      case _ => throw new IllegalArgumentException(
+        "graft tables are hash-bucketed on their merge keys " +
+          "('buckets' property); PARTITIONED BY accepts only one " +
+          "years|months|days|hours(col) time transform")
+    }
+    val keys = prop(properties, "keys").orElse(prop(properties, "key"))
+      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft tables need TBLPROPERTIES ('keys'='<merge key column(s)>')"))
+    Compaction.initEmpty(spark, stageDir, schema, keys,
+      prop(properties, "version_col").getOrElse("version"),
+      prop(properties, "delete_col").getOrElse("deleted"),
+      prop(properties, "buckets").map(_.toInt).getOrElse(256),
+      prop(properties, "cluster_by")
+        .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil),
+      prop(properties, "feed").exists(_.toBoolean), timePartition)
+    new StagedGraftTable(ident, stageDir, finalDir, location)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      "REPLACE TABLE is not supported on graft tables — the manifest " +
+        "IS the replaceable state: MERGE/UPDATE the table, or DROP " +
+        "and CREATE ... AS SELECT")
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    if (isTable(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  private final class StagedGraftTable(ident: Identifier,
+      stageDir: String, finalDir: String, location: Option[String])
+      extends org.apache.spark.sql.connector.catalog.StagedTable
+      with SupportsWrite {
+    private val inner = new GraftTable(fullName(ident), stageDir, None)
+    override def name(): String = inner.name()
+    override def schema(): StructType = inner.schema()
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      inner.capabilities()
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      inner.newWriteBuilder(info)
+    override def commitStagedChanges(): Unit = {
+      val f = TxLog.fs(spark, warehouse)
+      TxLog.invalidate(stageDir)
+      val dst = new Path(finalDir)
+      // the name-race fence at publish time: a rival CTAS (or a plain
+      // CREATE) that won the slot makes this one refuse — EXCEPT a
+      // pre-existing EMPTY directory at an external LOCATION, which
+      // is the conventional "prepared empty target" shape
+      val occupied = f.exists(dst) &&
+        (f.listStatus(dst).nonEmpty || location.isEmpty)
+      if (occupied) {
+        f.delete(new Path(stageDir), true)
+        throw new TableAlreadyExistsException(ident)
+      }
+      if (f.exists(dst)) f.delete(dst, false)
+      f.mkdirs(dst.getParent)
+      require(f.rename(new Path(stageDir), dst),
+        s"CTAS publish rename failed: $stageDir -> $finalDir")
+      TxLog.invalidate(finalDir)
+      location.foreach { loc =>
+        f.mkdirs(new Path(managedDir(ident)))
+        val out = f.create(redirectPath(ident), true)
+        try out.write(loc.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    override def abortStagedChanges(): Unit = {
+      TxLog.invalidate(stageDir)
+      TxLog.fs(spark, warehouse).delete(new Path(stageDir), true)
+    }
   }
 
   override def alterTable(ident: Identifier,

@@ -43,9 +43,9 @@ object AggView {
   // totals pinned to DECIMAL(28,2): sum() widens decimal precision per
   // aggregation, and a per-merge widening would drift the stored
   // schema across buckets
-  private def partials(df: DataFrame, keys: Seq[String], valueCol: String) =
-    df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
+  private def partials(df: DataFrame, keys: Seq[String],
+      valueCol: String, minMax: Boolean = false) = {
+    val base = Seq(count(lit(1)).as("cnt"),
         sum(col(valueCol).cast("decimal(18,2)"))
           .cast("decimal(28,2)").as("total"),
         // per-group NON-NULL measure count (state format 2, r12):
@@ -53,10 +53,21 @@ object AggView {
         // Counts the CAST measure — the declared decimal(18,2) shape
         // the rewrite matches — so null-ness agrees with the base
         // aggregation even when a cast overflow nulls a value
-        count(col(valueCol).cast("decimal(18,2)")).as("nncnt"))
+        count(col(valueCol).cast("decimal(18,2)")).as("nncnt")) ++
+      // append-only min/max partials (r13): sound ONLY while the feed
+      // never retracts — applyFeed fences on the first non-insert
+      // event and invalidates the view loudly
+      (if (minMax)
+        Seq(min(col(valueCol).cast("decimal(18,2)")).as("vmin"),
+          max(col(valueCol).cast("decimal(18,2)")).as("vmax"))
+      else Nil)
+    df.groupBy(keys.map(col): _*).agg(base.head, base.tail: _*)
+  }
 
   private def coreProps(keys: Seq[String], valueCol: String, nBuckets: Int,
-      lastBatchId: Long, schemaJson: String): Map[String, String] = Map(
+      lastBatchId: Long, schemaJson: String,
+      minMax: Boolean = false): Map[String, String] = (if (minMax)
+      Map("agg_minmax" -> "true") else Map.empty[String, String]) ++ Map(
     "table_type" -> "aggview",
     // state format 2 = per-key (cnt, total, nncnt); bumped in r12 when
     // the non-null count partial was added. snap() refuses format-1
@@ -75,14 +86,25 @@ object AggView {
     * one aggregate row per key TUPLE; see [[Compaction.init]].
     */
   def init(df: DataFrame, dir: String, keys: Seq[String], valueCol: String,
-      nBuckets: Int, batchId: Long): Unit = {
+      nBuckets: Int, batchId: Long): Unit =
+    init(df, dir, keys, valueCol, nBuckets, batchId, minMax = false)
+
+  /** `minMax = true` additionally stores per-key `vmin`/`vmax`
+    * partials of the measure (r13) — APPEND-ONLY views: min/max are
+    * not retraction-safe (a deleted extreme needs a recount), so
+    * [[applyFeed]] refuses the first non-insert feed event by
+    * committing an `invalid` marker instead of ever serving (or
+    * silently keeping) a wrong extreme.
+    */
+  def init(df: DataFrame, dir: String, keys: Seq[String], valueCol: String,
+      nBuckets: Int, batchId: Long, minMax: Boolean): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0)
     Bucketing.encodeKeys(keys)
     // the state columns are generated here; a key by these names
     // would be silently clobbered
     keys.foreach(key =>
-      require(!Set("cnt", "total", "nncnt", "bucket")
+      require(!Set("cnt", "total", "nncnt", "vmin", "vmax", "bucket")
           .contains(key.toLowerCase),
         s"key column '$key' collides with the view's state columns"))
     val fs = TxLog.fs(spark, dir)
@@ -90,7 +112,7 @@ object AggView {
       .foreach(sub => fs.delete(new Path(s"$dir/$sub"), true))
     TxLog.invalidate(dir)
     val txn = new TableTxn(spark, dir, baseVersion = -1L)
-    val state = partials(df, keys, valueCol)
+    val state = partials(df, keys, valueCol, minMax)
       .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
     state
       .repartition(col("bucket"))
@@ -101,7 +123,7 @@ object AggView {
     txn.installAndCommit(
       staged.map(b => b -> txn.bucketRel(b)).toMap,
       coreProps(keys, valueCol, nBuckets, batchId,
-        state.drop("bucket").schema.json))
+        state.drop("bucket").schema.json, minMax))
     txn.cleanup()
   }
 
@@ -145,14 +167,37 @@ object AggView {
     * commutative, so delta files need no sequence column and any
     * subset folds to the same answer.
     */
-  private def foldPartials(df: DataFrame, keys: Seq[String]): DataFrame =
+  private def hasMinMax(s: TxLog.Snapshot): Boolean =
+    s.props.get("agg_minmax").contains("true")
+
+  /** Whether the committed view stores append-only min/max partials
+    * (`vmin`/`vmax`) — the registration layer exposes them to the
+    * rewrite only when it does.
+    */
+  def minMaxEnabled(spark: SparkSession, dir: String): Boolean =
+    TxLog.latest(spark, dir).exists(hasMinMax)
+
+  private def stateCols(minMax: Boolean): Seq[String] =
+    Seq("cnt", "total", "nncnt") ++
+      (if (minMax) Seq("vmin", "vmax") else Nil)
+
+  private def foldAggs(minMax: Boolean) =
+    Seq(sum(col("cnt")).as("cnt"),
+      sum(col("total")).cast("decimal(28,2)").as("total"),
+      sum(col("nncnt")).as("nncnt")) ++
+    // min-of-mins / max-of-maxes: exact for append-only state (the
+    // only state a minMax view ever holds — see applyFeed's fence)
+    (if (minMax) Seq(min(col("vmin")).as("vmin"),
+      max(col("vmax")).as("vmax")) else Nil)
+
+  private def foldPartials(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val minMax = df.columns.exists(_.equalsIgnoreCase("vmin"))
+    val aggs = foldAggs(minMax)
     df.groupBy(keys.map(col): _*)
-      .agg(sum(col("cnt")).as("cnt"),
-        sum(col("total")).cast("decimal(28,2)").as("total"),
-        sum(col("nncnt")).as("nncnt"))
+      .agg(aggs.head, aggs.tail: _*)
       .filter(col("cnt") =!= 0)
-      .select(keys.map(col) ++
-        Seq(col("cnt"), col("total"), col("nncnt")): _*)
+      .select((keys ++ stateCols(minMax)).map(col): _*)
+  }
 
   /** The live view: clean buckets ride the plain scan (no shuffle);
     * buckets carrying unfolded delta files fold base + deltas by
@@ -229,7 +274,8 @@ object AggView {
       txn.installAndCommit(
         staged.map(b => b -> txn.bucketRel(b)).toMap,
         coreProps(keys, valueCol, newNBuckets,
-          s.props("last_batch_id").toLong, s.props("schema_json")))
+          s.props("last_batch_id").toLong, s.props("schema_json"),
+          hasMinMax(s)))
       TxLog.hygiene {
         txn.cleanup()
         if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
@@ -248,7 +294,7 @@ object AggView {
     if (batchId <= s.props("last_batch_id").toLong)
       return MergeStats(applied = false, Nil)
     mergeDeltas(spark, dir,
-      partials(batch, keysOf(s), s.props("value_col")),
+      partials(batch, keysOf(s), s.props("value_col"), hasMinMax(s)),
       batchId, canRetract = false, mergeOnRead)
   }
 
@@ -266,29 +312,68 @@ object AggView {
     * Compaction).
     */
   def applyFeed(spark: SparkSession, dir: String, feed: DataFrame,
-      batchId: Long): MergeStats = {
+      batchId: Long): MergeStats =
+    applyFeedImpl(spark, dir, feed, batchId, mergeOnRead = false)
+
+  /** The retraction fence for min/max views (r13): min/max partials
+    * are not retraction-safe (a deleted extreme needs a recount), so
+    * a view that stores them accepts ONLY insert events. The first
+    * non-insert event commits a durable `invalid` marker (the batch
+    * fence stays put, so the rewrite's freshness check keeps serving
+    * the BASE — never a stale extreme) and fails loudly; the remedy
+    * is DROP and re-CREATE (or re-create without min/max).
+    */
+  private def applyFeedImpl(spark: SparkSession, dir: String,
+      feed: DataFrame, batchId: Long,
+      mergeOnRead: Boolean): MergeStats = {
     val s = snap(spark, dir)
+    s.props.get("invalid").foreach(reason =>
+      throw new IllegalStateException(
+        s"aggview at $dir is invalidated ($reason) — DROP and " +
+          "re-CREATE it (or re-create it without min/max partials)"))
     if (batchId <= s.props("last_batch_id").toLong)
       return MergeStats(applied = false, Nil)
     val (keys, valueCol) = (keysOf(s), s.props("value_col"))
+    val minMax = hasMinMax(s)
+    if (minMax &&
+        !feed.filter(col("_change_type") =!= "insert").isEmpty) {
+      val reason = s"feed batch $batchId carries non-insert " +
+        "(retraction) events; append-only min/max partials cannot " +
+        "absorb a retraction"
+      try TxLog.commit(spark, dir, s.version + 1L,
+        s.props -- Seq("txn_id", "base_txn") +
+          ("invalid" -> reason) + ("op" -> "invalidate"))
+      catch { case _: TxLog.CommitConflict => () } // racer advanced us
+      throw new IllegalStateException(
+        s"aggview at $dir invalidated: $reason — DROP and re-CREATE " +
+          "it (or re-create it without min/max partials)")
+    }
     val sign = when(
         col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
       .otherwise(0L)
-    val signed = feed.groupBy(keys.map(col): _*)
-      .agg(sum(sign).as("cnt"),
+    val aggs = Seq(sum(sign).as("cnt"),
         sum(col(valueCol).cast("decimal(18,2)") * sign)
           .cast("decimal(28,2)").as("total"),
         sum(when(col(valueCol).cast("decimal(18,2)").isNotNull, sign)
-          .otherwise(0L)).as("nncnt"))
+          .otherwise(0L)).as("nncnt")) ++
+      // a minMax batch is insert-only past the fence above, so the
+      // batch extremes ARE the delta partials
+      (if (minMax)
+        Seq(min(col(valueCol).cast("decimal(18,2)")).as("vmin"),
+          max(col(valueCol).cast("decimal(18,2)")).as("vmax"))
+      else Nil)
+    val signed = feed.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
       // an update whose value did not move is an all-zero delta:
       // folding it in would rewrite the key's bucket to state it
       // already holds (nncnt checked too — a null→non-null flip of
-      // the same total must still land)
+      // the same total must still land). A minMax batch is insert-
+      // only: every group carries cnt > 0 and always lands.
       .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0 ||
         col("nncnt") =!= 0)
     mergeDeltas(spark, dir, signed, batchId, canRetract = true,
-      mergeOnRead = false)
+      mergeOnRead)
   }
 
   /** Feed-driven IVM with O(batch) delta writes: the signed partials
@@ -298,26 +383,9 @@ object AggView {
     * [[compact]] restores the zero-fold path.
     */
   def applyFeedOnRead(spark: SparkSession, dir: String, feed: DataFrame,
-      batchId: Long): MergeStats = {
-    val s = snap(spark, dir)
-    if (batchId <= s.props("last_batch_id").toLong)
-      return MergeStats(applied = false, Nil)
-    val (keys, valueCol) = (keysOf(s), s.props("value_col"))
-    val sign = when(
-        col("_change_type").isin("insert", "update_postimage"), 1L)
-      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
-      .otherwise(0L)
-    val signed = feed.groupBy(keys.map(col): _*)
-      .agg(sum(sign).as("cnt"),
-        sum(col(valueCol).cast("decimal(18,2)") * sign)
-          .cast("decimal(28,2)").as("total"),
-        sum(when(col(valueCol).cast("decimal(18,2)").isNotNull, sign)
-          .otherwise(0L)).as("nncnt"))
-      .filter(col("cnt") =!= 0 || coalesce(col("total"), lit(0)) =!= 0 ||
-        col("nncnt") =!= 0)
-    mergeDeltas(spark, dir, signed, batchId, canRetract = true,
-      mergeOnRead = true)
-  }
+      batchId: Long): MergeStats =
+    applyFeedImpl(spark, dir, feed, batchId, mergeOnRead = true)
+
 
   /** Fold delta chains of length ≥ `minDeltas` back into their
     * buckets' base (one committed rewrite of just those buckets) —
@@ -353,8 +421,8 @@ object AggView {
       txn.installAndCommit(
         (s.buckets -- dirty) ++ staged.map(b => b -> txn.bucketRel(b)).toMap,
         coreProps(keys, valueCol, nBuckets,
-          s.props("last_batch_id").toLong, s.props("schema_json")) ++
-          carried)
+          s.props("last_batch_id").toLong, s.props("schema_json"),
+          hasMinMax(s)) ++ carried)
       TxLog.hygiene {
         txn.cleanup()
         if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
@@ -457,20 +525,19 @@ object AggView {
       val schema = schemaOf(s)
       val stored = readPaths(spark, schema,
         touchedRels.map(rel => s"$dir/data/$rel"))
+      val minMax = hasMinMax(s)
+      val aggs = foldAggs(minMax)
       val merged = stored
         .withColumn("bucket", bucketOf(keys.map(col), nBuckets))
         .unionByName(delta)
         .groupBy(col("bucket") +: keys.map(col): _*)
-        .agg(sum(col("cnt")).as("cnt"),
-          sum(col("total")).cast("decimal(28,2)").as("total"),
-          sum(col("nncnt")).as("nncnt"))
+        .agg(aggs.head, aggs.tail: _*)
         // a fully-retracted key (merged count 0) leaves the view;
         // additive-only deltas can't reach 0 UNLESS a folded delta
         // chain carried retractions — filter whenever either applies
         .filter(!lit(canRetract || touched.exists(s.deltas.contains)) ||
           col("cnt") =!= 0)
-        .select(keys.map(col) ++
-          Seq(col("cnt"), col("total"), col("nncnt"), col("bucket")): _*)
+        .select((keys ++ stateCols(minMax) :+ "bucket").map(col): _*)
       merged
         .repartition(col("bucket"))
         .sortWithinPartitions(col("bucket") +: keys.map(col): _*)
@@ -489,7 +556,7 @@ object AggView {
     // commits a manifest: the fence must advance exactly-once too)
     txn.installAndCommit(newBuckets,
       coreProps(keys, valueCol, nBuckets, batchId,
-        s.props("schema_json")) ++ extraProps)
+        s.props("schema_json"), hasMinMax(s)) ++ extraProps)
     TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(applied = true, touched)
   }

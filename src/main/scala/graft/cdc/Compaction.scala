@@ -623,7 +623,11 @@ object Compaction {
       // 2^HllP base36 pairs, register-wise max across buckets = the
       // global sketch — columnStats folds them to a CBO-visible NDV
       // for exactly the columns clusterBy was declared for
-      colNdv: Map[String, String] = Map.empty)
+      colNdv: Map[String, String] = Map.empty,
+      // per-column NULL counts for the clusterBy columns (r13):
+      // CBO's count-stats gate needs (distinctCount, nullCount)
+      // together — NDV alone never reaches AggregateEstimation
+      colNulls: Map[String, Long] = Map.empty)
 
   private[cdc] def stagedStats(spark: SparkSession, staging: String,
       staged: Seq[Int], versionCol: String,
@@ -664,7 +668,8 @@ object Compaction {
         df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
       val extraAggs = present.zipWithIndex.flatMap { case (c, i) =>
         Seq(min(col(c)).cast("string").as(s"__cmn_$i"),
-          max(col(c)).cast("string").as(s"__cmx_$i"))
+          max(col(c)).cast("string").as(s"__cmx_$i"),
+          count(col(c)).as(s"__cnn_$i"))
       }
       val aggs = Seq(count(lit(1)).as("n"),
         min(col(versionCol)).cast("string").as("mn"),
@@ -704,10 +709,14 @@ object Compaction {
             if (mn == null || mx == null) None
             else Some(c -> ((lo(c)(mn), hi(c)(mx))))
           }.toMap
+          val nulls = present.zipWithIndex.map { case (c, i) =>
+            c -> (r.getLong(1) - r.getAs[Long](s"__cnn_$i"))
+          }.toMap
           r.getInt(0) -> BucketStats(r.getLong(1),
             lo(versionCol)(r.getAs[String]("mn")),
             hi(versionCol)(r.getAs[String]("mx")), bounds,
-            leafBounds.getOrElse(r.getInt(0), Map.empty))
+            leafBounds.getOrElse(r.getInt(0), Map.empty),
+            colNulls = nulls)
         }
         .toMap
     }
@@ -831,8 +840,9 @@ object Compaction {
         val wanted = versionCol +: statCols
         val futs = files.map { case (key, p) =>
           key -> pool.submit(new java.util.concurrent.Callable[
-              Option[(Long, Array[Long], Array[Long])]] {
-            override def call(): Option[(Long, Array[Long], Array[Long])] = {
+              Option[(Long, Array[Long], Array[Long], Array[Long])]] {
+            override def call()
+                : Option[(Long, Array[Long], Array[Long], Array[Long])] = {
               val in = org.apache.parquet.hadoop.util.HadoopInputFile
                 .fromPath(p, conf)
               val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -861,6 +871,7 @@ object Compaction {
                 var rows = 0L
                 val mn = Array.fill(wanted.size)(Long.MaxValue)
                 val mx = Array.fill(wanted.size)(Long.MinValue)
+                val nulls = Array.fill(wanted.size)(0L)
                 footer.getBlocks.asScala.foreach { blk =>
                   rows += blk.getRowCount
                   wanted.zipWithIndex.foreach { case (w, i) =>
@@ -883,11 +894,15 @@ object Compaction {
                       }
                       mn(i) = math.min(mn(i), lo)
                       mx(i) = math.max(mx(i), hi)
+                      // CBO count-stats need the null tally too; a
+                      // writer that omitted it declines the fast path
+                      if (!st.isNumNullsSet) return None
+                      nulls(i) += st.getNumNulls
                     }
                   }
                 }
                 if (mn(0) > mx(0)) return None // no non-null stats at all
-                Some((rows, mn, mx))
+                Some((rows, mn, mx, nulls))
               } finally r.close()
             }
           })
@@ -918,8 +933,12 @@ object Compaction {
               }.toMap
               if (lb.isEmpty) None else Some(tp -> lb)
             }
+          val nullCounts = statCols.zipWithIndex.map { case (c, i0) =>
+            c -> vs.map(_._4(i0 + 1)).sum
+          }.toMap
           b -> BucketStats(vs.map(_._1).sum,
-            colMin(0).toString, colMax(0).toString, bounds, leafBounds)
+            colMin(0).toString, colMax(0).toString, bounds, leafBounds,
+            colNulls = nullCounts)
         })
       } finally pool.shutdown()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -956,7 +975,10 @@ object Compaction {
         else Map.empty[String, String]) ++
         // per-bucket cluster-column NDV sketches (r13): HLL registers,
         // register-wise max across buckets = the table's sketch
-        st.colNdv.map { case (c, regs) => s"cndv.$b.$c" -> regs }
+        st.colNdv.map { case (c, regs) => s"cndv.$b.$c" -> regs } ++
+        // per-bucket cluster-column NULL counts (r13): with the NDV
+        // they complete CBO's (distinctCount, nullCount) gate
+        st.colNulls.map { case (c, n) => s"cnul.$b.$c" -> n.toString }
     }
 
   /** Bucket id of a per-bucket stat key (`rows.7`, `cmin.7.price`) —
@@ -972,7 +994,7 @@ object Compaction {
 
   /** The per-bucket stat-key families a commit carries/filters. */
   private[cdc] val StatPrefixes =
-    Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.", "cndv.",
+    Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.", "cndv.", "cnul.",
       "delta.", "drows.", "dmaxv.")
 
   /** Exact live row count answered from the manifest alone — zero I/O,
@@ -1518,7 +1540,8 @@ object Compaction {
         case kv => kv
       }
       .filterNot { case (k, _) =>
-        Seq("minv.", "maxv.", "cmin.", "cmax.", "cndv.").exists(p =>
+        Seq("minv.", "maxv.", "cmin.", "cmax.", "cndv.", "cnul.")
+          .exists(p =>
           k.startsWith(p) &&
             statBucket(k, p).exists(touched.contains)) ||
           Seq("txn_id", "base_txn", "feed_batch", "feed_txn").contains(k)
@@ -3273,7 +3296,7 @@ object Compaction {
     // dropped dmaxv (uncombinable stat) cannot leave a stale one behind
     val stagedSet = staged.toSet
     val carried = m.snap.props.filter { case (k, _) =>
-      Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.", "cndv.")
+      Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.", "cndv.", "cnul.")
         .exists(k.startsWith) ||
         Seq("delta.", "drows.", "dmaxv.").exists(p =>
           k.startsWith(p) && !statBucket(k, p).exists(stagedSet.contains))

@@ -335,11 +335,12 @@ object GraftTables {
 
   private def writeMvDef(spark: SparkSession, viewDir: String,
       baseDir: String, keys: Seq[String], valueCol: String,
-      baseFeedEpoch: Long): Unit = {
+      baseFeedEpoch: Long, minMax: Boolean): Unit = {
     val p = new java.util.Properties()
     p.setProperty("base_dir", baseDir)
     p.setProperty("keys", keys.mkString(","))
     p.setProperty("value_col", valueCol)
+    p.setProperty("minmax", minMax.toString)
     // the base feed EPOCH this view was seeded under: a base RESTORE
     // bumps it, and REFRESH re-seeds instead of applying pre-restore
     // events (which would converge the view to the pre-restore state)
@@ -356,6 +357,13 @@ object GraftTables {
     val in = TxLog.fs(spark, viewDir).open(mvDefPath(viewDir))
     try p.load(in) finally in.close()
     Option(p.getProperty("base_feed_epoch")).map(_.toLong).getOrElse(0L)
+  }
+
+  private def readMvMinMax(spark: SparkSession, viewDir: String): Boolean = {
+    val p = new java.util.Properties()
+    val in = TxLog.fs(spark, viewDir).open(mvDefPath(viewDir))
+    try p.load(in) finally in.close()
+    Option(p.getProperty("minmax")).contains("true")
   }
 
   private def readMvDef(spark: SparkSession,
@@ -403,7 +411,12 @@ object GraftTables {
         b == baseDir &&
           ks.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
           vc.equalsIgnoreCase(v.valueCol) &&
-          TxLog.latest(spark, viewDir).isDefined
+          readMvMinMax(spark, viewDir) == v.minMax &&
+          TxLog.latest(spark, viewDir).isDefined &&
+          // an INVALIDATED min/max view never re-attaches healthy —
+          // the same CREATE re-creates it instead
+          TxLog.latest(spark, viewDir)
+            .forall(_.prop("invalid").isEmpty)
       }
     if (existing.isDefined) {
       val (_, _, _, attachedAt) =
@@ -425,9 +438,10 @@ object GraftTables {
     graft.cdc.AggView.init(
       Compaction.readAsOf(spark, baseDir, snap.version)
         .select((keys :+ v.valueCol).map(col): _*),
-      viewDir, keys, v.valueCol, nBuckets, batchId = head)
+      viewDir, keys, v.valueCol, nBuckets, batchId = head,
+      minMax = v.minMax)
     writeMvDef(spark, viewDir, baseDir, keys, v.valueCol,
-      snap.counter("feed_epoch"))
+      snap.counter("feed_epoch"), v.minMax)
     Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
     mvRegistry.put((spark, name), viewDir)
     Seq((name, viewDir, head)).toDF("view", "location", "as_of_batch")
@@ -490,15 +504,25 @@ object GraftTables {
     // head), so no stale answer is ever served.
     val baseSnap = graft.cdc.TxLog.latest(spark, baseDir).getOrElse(
       GraftDml.fail(s"no committed manifest under $baseDir"))
+    // an invalidated min/max view refuses refresh loudly: applying
+    // past the retraction would store wrong extremes, and silently
+    // re-seeding would hide that the view's append-only contract is
+    // being violated on every refresh
+    TxLog.latest(spark, viewDir).flatMap(_.prop("invalid"))
+      .foreach(reason => GraftDml.fail(
+        s"materialized view at $viewDir is invalidated ($reason) — " +
+          "DROP and re-CREATE it (or re-create it without " +
+          "min/max partials)"))
     val baseEpoch = baseSnap.counter("feed_epoch")
     if (baseEpoch != readMvEpoch(spark, viewDir)) {
       val (_, _, _, nBuckets) = Compaction.readMeta(spark, baseDir)
       val head = baseSnap.counter("next_feed_batch") - 1L
+      val mm = readMvMinMax(spark, viewDir)
       graft.cdc.AggView.init(
         Compaction.readAsOf(spark, baseDir, baseSnap.version)
           .select((keys :+ valueCol).map(col): _*),
-        viewDir, keys, valueCol, nBuckets, batchId = head)
-      writeMvDef(spark, viewDir, baseDir, keys, valueCol, baseEpoch)
+        viewDir, keys, valueCol, nBuckets, batchId = head, minMax = mm)
+      writeMvDef(spark, viewDir, baseDir, keys, valueCol, baseEpoch, mm)
       Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
       return 0L
     }

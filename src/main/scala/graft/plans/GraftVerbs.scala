@@ -41,7 +41,10 @@ private[plans] object GraftVerbs {
     * total); `name` is lowercased, keys/valueCol keep their spelling.
     */
   final case class CreateMv(name: String, keys: Seq[String],
-      valueCol: String, base: String) extends Verb
+      valueCol: String, base: String,
+      /** store append-only min/max partials too (r13):
+        * `min(col) AS vmin, max(col) AS vmax` in the select list. */
+      minMax: Boolean = false) extends Verb
   final case class RefreshMv(name: String) extends Verb
   final case class RefreshAllMv(base: String) extends Verb
   final case class DropMv(name: String) extends Verb
@@ -89,6 +92,8 @@ private[plans] object GraftVerbs {
 
   private val CntItem = """(?is)count\s*\(\s*(?:\*|1)\s*\)\s+AS\s+cnt""".r
   private val SumItem = """(?is)sum\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+total""".r
+  private val MinItem = """(?is)min\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+vmin""".r
+  private val MaxItem = """(?is)max\s*\(\s*`?(\w+)`?\s*\)\s+AS\s+vmax""".r
   private val KeyItem = """`?(\w+)`?""".r
 
   private def unquote(n: String): String =
@@ -117,19 +122,37 @@ private[plans] object GraftVerbs {
       base: String, groupBy: String): CreateMv = {
     val contract = "CREATE MATERIALIZED VIEW supports exactly " +
       "SELECT <group cols>, count(*) AS cnt, sum(<col>) AS total " +
+      "[, min(<col>) AS vmin, max(<col>) AS vmax] " +
       "FROM <base> GROUP BY <group cols> (AggView stores count + " +
-      "decimal-sum partials under those names)"
+      "decimal-sum partials under those names; vmin/vmax — both, on " +
+      "the same column — opt into APPEND-ONLY min/max partials that " +
+      "invalidate on the first retraction event)"
     var keys = Vector.empty[String]
     var valueCol: Option[String] = None
+    var minCol: Option[String] = None
+    var maxCol: Option[String] = None
     var hasCnt = false
     splitTopLevel(selectList).foreach {
       case CntItem() => hasCnt = true
       case SumItem(v) =>
         if (valueCol.nonEmpty) GraftDml.fail(contract)
         valueCol = Some(v)
+      case MinItem(v) =>
+        if (minCol.nonEmpty) GraftDml.fail(contract)
+        minCol = Some(v)
+      case MaxItem(v) =>
+        if (maxCol.nonEmpty) GraftDml.fail(contract)
+        maxCol = Some(v)
       case KeyItem(k) => keys = keys :+ k
       case other =>
         GraftDml.fail(s"unsupported select item '$other' — $contract")
+    }
+    val minMax = (minCol, maxCol) match {
+      case (None, None) => false
+      case (Some(mn), Some(mx))
+          if valueCol.exists(v => mn.equalsIgnoreCase(v) &&
+            mx.equalsIgnoreCase(v)) => true
+      case _ => GraftDml.fail(contract)
     }
     val groupKeys = splitTopLevel(groupBy).map(g =>
       KeyItem.unapplySeq(g).map(_.head)
@@ -138,7 +161,8 @@ private[plans] object GraftVerbs {
     if (!(hasCnt && valueCol.isDefined && keys.nonEmpty &&
         keys.map(_.toLowerCase) == groupKeys.map(_.toLowerCase).toVector))
       GraftDml.fail(contract)
-    CreateMv(unquote(name0).toLowerCase, keys, valueCol.get, base)
+    CreateMv(unquote(name0).toLowerCase, keys, valueCol.get, base,
+      minMax)
   }
 
   /** One statement → one Verb, or None for "not ours". */

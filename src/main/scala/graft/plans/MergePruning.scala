@@ -75,6 +75,12 @@ object MergePruning extends Rule[LogicalPlan] {
         */
       clusterBy: Seq[String],
       clusterComps: Map[(Int, String), Seq[Comp]],
+      /** per-(bucket, column, `_tp` leaf) cluster bounds (r13):
+        * `cmin.<b>.<tp>.<col>` keys parsed once per manifest — the
+        * finer zone maps the leaf admission prunes `_tp` dirs with on
+        * clustered+time-partitioned tables.
+        */
+      clusterLeaf: Map[(Int, String), Map[Int, Comp]],
       /** time-partition spec (unit, source column), retention floor,
         * and the dirty (merge-on-read) bucket set: `_tp=` leaf
         * admission range-prunes CLEAN buckets only — a fold's input
@@ -173,6 +179,9 @@ object MergePruning extends Rule[LogicalPlan] {
             val delta = deltas.get(b).map(_ => Comp(None, None))
             (b, c.toLowerCase) -> (base.toSeq ++ delta.toSeq)
           }).toMap,
+          clusterLeaf = parseClusterLeaf(snap.props,
+            snap.prop("cluster_by")
+              .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)),
           tp = for { u <- snap.prop("tp_unit"); c <- snap.prop("tp_col") }
             yield (u, c),
           tpMin = snap.prop("tp_min").map(_.toInt),
@@ -181,6 +190,47 @@ object MergePruning extends Rule[LogicalPlan] {
         info
       }
     }
+  }
+
+  /** One pass over the manifest props collecting the leaf-keyed
+    * cluster bounds `cmin.<b>.<tp>.<col>` / `cmax.<b>.<tp>.<col>`
+    * into (bucket, colLower) → tp → [min, max] — indexed at decode,
+    * not one scan per lookup. A key whose middle segment is not an
+    * integer is the flat (bucket-granular) shape and is skipped here.
+    */
+  private def parseClusterLeaf(props: Map[String, String],
+      clusterBy: Seq[String]): Map[(Int, String), Map[Int, Comp]] = {
+    if (clusterBy.isEmpty) return Map.empty
+    val colSet = clusterBy.map(_.toLowerCase).toSet
+    val acc = scala.collection.mutable.Map
+      .empty[(Int, String, Int), (Option[String], Option[String])]
+    def parse(k: String, p: String): Option[(Int, Int, String)] = {
+      val rest = k.drop(p.length)
+      val seg = rest.split("\\.", 3)
+      if (seg.length != 3) return None
+      for {
+        b <- seg(0).toIntOption
+        tp <- seg(1).toIntOption
+        if colSet.contains(seg(2).toLowerCase)
+      } yield (b, tp, seg(2).toLowerCase)
+    }
+    props.foreach { case (k, v) =>
+      if (k.startsWith("cmin."))
+        parse(k, "cmin.").foreach { case (b, tp, c) =>
+          val cur = acc.getOrElse((b, c, tp), (None, None))
+          acc((b, c, tp)) = (Some(v), cur._2)
+        }
+      else if (k.startsWith("cmax."))
+        parse(k, "cmax.").foreach { case (b, tp, c) =>
+          val cur = acc.getOrElse((b, c, tp), (None, None))
+          acc((b, c, tp)) = (cur._1, Some(v))
+        }
+    }
+    acc.toSeq.groupBy { case ((b, c, _), _) => (b, c) }
+      .map { case (k, xs) =>
+        k -> xs.map { case ((_, _, tp), (mn, mx)) =>
+          tp -> Comp(mn, mx) }.toMap
+      }
   }
 
   /** Same physical hash the writers bucket by ([[graft.cdc.Bucketing]]:
@@ -425,6 +475,51 @@ object MergePruning extends Rule[LogicalPlan] {
             Compaction.tpAdmits(tpIvs, n))
     }
 
+    // cluster-LEAF admission (r13): top-level cluster-column
+    // conjuncts tested against the per-(bucket, `_tp` leaf) bounds —
+    // every conjunct must hold for any matching row, so a leaf whose
+    // recorded [cmin, cmax] refutes one cannot hold a match; missing
+    // bounds admit. CLEAN buckets only (a dirty bucket's fold needs
+    // full history — same invariant as the range admission above).
+    val clusterLeafTests: Seq[(AttributeReference, Comp => Boolean)] = {
+      def conjuncts(x: Expression): Seq[Expression] = x match {
+        case And(a, b) => conjuncts(a) ++ conjuncts(b)
+        case o => Seq(o)
+      }
+      if (info.clusterBy.isEmpty || info.tp.isEmpty) Nil
+      else conjuncts(cond).flatMap {
+        case GreaterThan(a: AttributeReference, l: Literal)
+            if isCluster(a) && l.value != null && l.dataType == a.dataType =>
+          Some((a, maxHolds(a, l, GreaterThan) _))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+            if isCluster(a) && l.value != null && l.dataType == a.dataType =>
+          Some((a, maxHolds(a, l, GreaterThanOrEqual) _))
+        case LessThan(a: AttributeReference, l: Literal)
+            if isCluster(a) && l.value != null && l.dataType == a.dataType =>
+          Some((a, minHolds(a, l, LessThan) _))
+        case LessThanOrEqual(a: AttributeReference, l: Literal)
+            if isCluster(a) && l.value != null && l.dataType == a.dataType =>
+          Some((a, minHolds(a, l, LessThanOrEqual) _))
+        case EqualTo(a: AttributeReference, l: Literal)
+            if isCluster(a) && l.value != null && l.dataType == a.dataType =>
+          Some((a, (c: Comp) => minHolds(a, l, LessThanOrEqual)(c) &&
+            maxHolds(a, l, GreaterThanOrEqual)(c)))
+        case _ => None
+      }
+    }
+    def clusterLeafAdmit(r: Root): Boolean = r.tp match {
+      case Some(n) if clusterLeafTests.nonEmpty &&
+          !info.dirty.contains(r.bucket) =>
+        clusterLeafTests.forall { case (a, test) =>
+          info.clusterLeaf.get((r.bucket, a.name.toLowerCase))
+            .flatMap(_.get(n)) match {
+            case Some(comp) => test(comp)
+            case None => true
+          }
+        }
+      case _ => true
+    }
+
     val allowedBuckets = (compositeBucket(cond), allowed(cond)) match {
       case (Some(c), Some(a)) => c.intersect(a)
       case (Some(c), None) => c
@@ -438,7 +533,7 @@ object MergePruning extends Rule[LogicalPlan] {
     }
     val keptDirs = parsed.collect {
       case (path, r) if allowedBuckets.contains(r.bucket) &&
-        tpAdmit(r) => path
+        tpAdmit(r) && clusterLeafAdmit(r) => path
     }
     if (keptDirs.size == parsed.size) return None
 

@@ -269,6 +269,12 @@ object MvRewrite extends Rule[LogicalPlan] {
       val spark = SparkSession.active
       graft.cdc.TxLog.latest(spark, link.viewDir) match {
         case None => false
+        case Some(vs) if vs.props.contains("invalid") =>
+          // an invalidated min/max view never serves (r13): its state
+          // is valid-but-frozen, and the batch fence below would ALSO
+          // hold it back — this check makes the refusal independent
+          // of feed timing
+          false
         case Some(vs) =>
           val applied = vs.props.get("last_batch_id")
             .map(_.toLong).getOrElse(Long.MinValue)
@@ -543,6 +549,9 @@ object Mv {
   def registerAggView(spark: SparkSession, viewDir: String,
       basePath: String, baseTableDir: Option[String] = None): Unit = {
     val (key, valueCol, _, _) = graft.cdc.AggView.readMeta(spark, viewDir)
+    // append-only views (r13) also carry vmin/vmax; min/max queries
+    // then roll up (max of maxes) like any other partial
+    val mm = graft.cdc.AggView.minMaxEnabled(spark, viewDir)
     MvRewrite.register(basePath, MvRewrite.MvDef(
       // composite view keys arrive comma-joined from readMeta
       viewDir, key.split(",").toSeq.filter(_.nonEmpty).map(_.toLowerCase),
@@ -550,7 +559,9 @@ object Mv {
       Map(MvRewrite.measureKey(valueCol,
         Some(org.apache.spark.sql.types.DataType.fromDDL("decimal(18,2)")))
         -> MvRewrite.Partials(sum = Some("total"),
-          nncnt = Some("nncnt"))),
+          nncnt = Some("nncnt"),
+          min = if (mm) Some("vmin") else None,
+          max = if (mm) Some("vmax") else None)),
       aggView = Some(MvRewrite.AggViewLink(viewDir, baseTableDir))))
   }
 

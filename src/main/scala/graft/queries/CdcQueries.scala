@@ -1504,6 +1504,85 @@ object CdcQueries {
         .orderBy(col("grp"))
     }),
 
+    // append-only min/max MV partials (r13): the view declares
+    // `min(price) AS vmin, max(price) AS vmax`, an insert-only merge
+    // refreshes them incrementally, and min/max dashboards serve from
+    // the partials (asserted in-query). The first RETRACTION (an
+    // update's preimage event) must invalidate the view LOUDLY — the
+    // refresh fails, the invalid marker is durable, and the same
+    // query falls back to the base, reflecting the update. The oracle
+    // recomputes the final state relationally, so a green row proves
+    // the fallback values too — never a stale extreme.
+    "sql_mv_minmax" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      val ord = Tables.orders(s, dir)
+      val base = sys.props("java.io.tmpdir") + "/graft-sqlmvminmax-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val snapshot = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 20).as("grp"),
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("o_totalprice").cast("double")).as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      graft.cdc.TxLog.fs(s, base).delete(
+        new org.apache.hadoop.fs.Path(s"$base/_mv"), true)
+      graft.cdc.Compaction.init(snapshot, base, Seq("id"), "version",
+        "deleted", nBuckets = 16, clusterBy = Nil, feed = true)
+      graft.plans.GraftTables.register(s, "mvmm_base", base)
+      graft.plans.GraftTables.sql(s,
+        """CREATE MATERIALIZED VIEW mvmm_q AS
+          SELECT grp, count(*) AS cnt, sum(price) AS total,
+            min(price) AS vmin, max(price) AS vmax
+          FROM mvmm_base GROUP BY grp""")
+      // odd keys are NEW — an insert-only batch the partials absorb
+      val appends = ord.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 20).as("grp"),
+          (dec18(col("o_totalprice")) * lit(2).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(1L).as("version"), lit(false).as("deleted"))
+      graft.cdc.Compaction.merge(s, base, appends, emitFeed = true)
+      graft.plans.GraftTables.sql(s, "REFRESH MATERIALIZED VIEW mvmm_q")
+      graft.plans.GraftTables.refresh(s, "mvmm_base")
+      def minMaxAgg = {
+        val df = s.table("mvmm_base")
+          .groupBy(col("grp"))
+          .agg((min(dec18(col("price"))) * 100).cast("long")
+              .as("min_cents"),
+            (max(dec18(col("price"))) * 100).cast("long")
+              .as("max_cents"),
+            count(dec18(col("price"))).as("n_nonnull"),
+            count(lit(1)).as("n"))
+        df.queryExecution.optimizedPlan // force the rewrite decision
+        df
+      }
+      require(graft.plans.Mv.readsView(minMaxAgg, s"$base/_mv/mvmm_q"),
+        "min/max must serve from the append-only view's vmin/vmax")
+      // the retraction: an UPDATE to existing even keys emits
+      // preimage events — the refresh must refuse and invalidate
+      val updates = ord.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 20).as("grp"),
+          (dec18(col("o_totalprice")) * lit(3).cast("decimal(18,2)"))
+            .cast("double").as("price"),
+          lit(2L).as("version"), lit(false).as("deleted"))
+      graft.cdc.Compaction.merge(s, base, updates, emitFeed = true)
+      graft.plans.GraftTables.refresh(s, "mvmm_base")
+      val refused =
+        try { graft.plans.GraftTables.sql(s,
+          "REFRESH MATERIALIZED VIEW mvmm_q"); false }
+        catch { case e: Exception =>
+          e.getMessage.contains("retraction") ||
+            e.getMessage.contains("invalid") }
+      require(refused, "the retraction refresh must fail loudly")
+      require(graft.cdc.TxLog.latest(s, s"$base/_mv/mvmm_q")
+        .exists(_.prop("invalid").isDefined),
+        "the invalidation must be durable in the view manifest")
+      require(!graft.plans.Mv.readsView(minMaxAgg, s"$base/_mv/mvmm_q"),
+        "an invalidated view must never serve")
+      minMaxAgg.orderBy(col("grp"))
+    }),
+
     // composite merge key on lineitem's natural (l_orderkey,
     // l_linenumber) PK: the table buckets on the hash of the TUPLE and
     // every merge/lookup reconciles per tuple — real CDC tables key on
@@ -2835,6 +2914,42 @@ object CdcQueries {
         |    AS avg_micros,
         |  COUNT(price) AS n_nonnull, COUNT(*) AS cnt
         |FROM latest WHERE rn = 1 AND NOT deleted
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // append-only min/max MV: the final state is latest-wins over
+    // snapshot (even keys) + insert-only appends (odd keys) + the
+    // invalidating updates (keys % 10) — the query serves the BASE
+    // after the invalidation, so a green row proves the fallback
+    // reflects the update, never the view's frozen extremes
+    "sql_mv_minmax" ->
+      """WITH unioned AS (
+        |  SELECT o_orderkey AS id, o_orderkey % 20 AS grp,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |      ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+        |    0 AS version
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey % 20,
+        |    CAST(o_totalprice::DECIMAL(18,2) *
+        |      2.00::DECIMAL(18,2) AS DOUBLE),
+        |    1 AS version
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey % 20,
+        |    CAST(o_totalprice::DECIMAL(18,2) *
+        |      3.00::DECIMAL(18,2) AS DOUBLE),
+        |    2 AS version
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |latest AS (
+        |  SELECT id, grp, price,
+        |    row_number() OVER (PARTITION BY id ORDER BY version DESC)
+        |      AS rn
+        |  FROM unioned)
+        |SELECT grp,
+        |  CAST(MIN(price::DECIMAL(18,2)) * 100 AS BIGINT) AS min_cents,
+        |  CAST(MAX(price::DECIMAL(18,2)) * 100 AS BIGINT) AS max_cents,
+        |  COUNT(price) AS n_nonnull, COUNT(*) AS n
+        |FROM latest WHERE rn = 1
         |GROUP BY grp ORDER BY grp""".stripMargin,
 
     // composite (ok, ln) tuple latest-wins recompute

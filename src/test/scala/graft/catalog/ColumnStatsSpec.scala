@@ -144,6 +144,72 @@ class ColumnStatsSpec extends SparkSpec {
         s"buckets $buckets")
   }
 
+  test("cluster-column NDV from the per-bucket HLL sketches reaches " +
+      "the optimizer and flips a join strategy under CBO (r13)") {
+    sqlc("""CREATE TABLE gstat.ndv (
+        id BIGINT, grp BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='8',
+          'cluster_by'='grp')""")
+    sqlc("""INSERT INTO gstat.ndv
+        SELECT id, id % 4, 0L, false FROM range(4000)""")
+    // 1. the sketch-merged NDV is optimizer-visible and near-exact
+    // (4 distinct values sit deep in HLL's linear-counting range)
+    val rel = sqlc("SELECT * FROM gstat.ndv")
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r
+      }.getOrElse(fail("no v2 scan relation"))
+    val gStat = rel.stats.attributeStats.collectFirst {
+      case (a, cs) if a.name.equalsIgnoreCase("grp") => cs
+    }.getOrElse(fail(s"no grp column stat in " +
+      s"${rel.stats.attributeStats.keys}"))
+    val ndv = gStat.distinctCount
+      .getOrElse(fail("no distinctCount for grp")).toLong
+    assert(ndv >= 3 && ndv <= 6, s"NDV(grp) should estimate ~4, got $ndv")
+
+    // 2. the strategy flip: under CBO, GROUP BY grp is estimated at
+    // NDV rows (tiny) and the aggregated side broadcasts; with CBO
+    // off the estimate stays scan-sized and it must not. Planner-side
+    // only: AQE's runtime-size conversion is pinned off so the flip
+    // is attributable to the manifest NDV, nothing else.
+    val bigPath = tmpDir("cstat-ndv-big")
+    spark.range(100000).selectExpr("id % 4 AS g", "id AS x")
+      .write.mode("overwrite").parquet(bigPath)
+    spark.read.parquet(bigPath).createOrReplaceTempView("cstat_ndv_big")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def aggBroadcasts(): Boolean = {
+        val q = sqlc("""SELECT count(*) AS n FROM cstat_ndv_big b
+          JOIN (SELECT grp, count(*) AS c FROM gstat.ndv GROUP BY grp) d
+          ON b.g = d.grp""")
+        assert(q.as[Long].head() == 100000L)
+        q.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")
+      }
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      assert(aggBroadcasts(),
+        "with CBO reading the manifest NDV, the 4-group aggregate " +
+          "should broadcast")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(!aggBroadcasts(),
+        "without CBO the aggregate estimate stays scan-sized — a " +
+          "broadcast here means the threshold, not the NDV, decided")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      prevAqe match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("a selective cluster-col filter shrinks planned bytes below " +
       "the broadcast threshold (r12)") {
     sqlc("""CREATE TABLE gstat.cl2 (

@@ -442,4 +442,67 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sqlc("SELECT count(*) AS n FROM gcat.s2attach")
       .as[Long].head() == 3L)
   }
+
+  test("atomic CTAS: success publishes once, a mid-write failure " +
+      "leaves NO table, a name race refuses at commit (r13)") {
+    // success: one staged write, published by one rename
+    sqlc("""CREATE TABLE gcat.ctas_ok
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')
+        AS SELECT id, concat('v', id) AS name, 0L AS version,
+          false AS deleted FROM range(80)""")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.ctas_ok")
+      .as[Long].head() == 80L)
+    // no staging residue under the warehouse
+    val f = graft.cdc.TxLog.fs(spark, warehouse)
+    def stageDirs = f.listStatus(new org.apache.hadoop.fs.Path(warehouse))
+      .map(_.getPath.getName).filter(_.contains(".stage-"))
+    assert(stageDirs.isEmpty, stageDirs.mkString(", "))
+
+    // mid-write failure: the write aborts, the staging dir is gone,
+    // and NO table exists — not even an empty one (the pre-staging
+    // CTAS stranded exactly that)
+    spark.udf.register("ctas_boom",
+      (i: Long) => if (i > 50) throw new RuntimeException("boom") else i)
+    intercept[Exception] {
+      sqlc("""CREATE TABLE gcat.ctas_fail
+          TBLPROPERTIES ('keys'='id', 'buckets'='4')
+          AS SELECT id, ctas_boom(id) AS v, 0L AS version,
+            false AS deleted FROM range(100)""")
+    }
+    assert(!spark.catalog.tableExists("gcat.ctas_fail"),
+      "a failed CTAS must leave no table")
+    assert(sqlc("SHOW TABLES IN gcat").collect()
+      .forall(_.getString(1) != "ctas_fail"))
+    assert(stageDirs.isEmpty,
+      s"abort must reclaim the staging dir: ${stageDirs.mkString(", ")}")
+
+    // name race: two stagings of one identifier commit in turn — the
+    // loser refuses at publish, the winner's table is untouched
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "ctas_race")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, version BIGINT, deleted BOOLEAN")
+    val props = new java.util.HashMap[String, String]()
+    props.put("keys", "id")
+    props.put("buckets", "2")
+    val a = cat.stageCreate(ident, schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      props)
+    val b = cat.stageCreate(ident, schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      props)
+    a.commitStagedChanges()
+    intercept[org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException] {
+      b.commitStagedChanges()
+    }
+    assert(sqlc("SELECT count(*) AS n FROM gcat.ctas_race")
+      .as[Long].head() == 0L, "the winner's (empty) table must survive")
+    assert(stageDirs.isEmpty,
+      "the losing staging must be reclaimed on refusal")
+    sqlc("DROP TABLE gcat.ctas_ok")
+    sqlc("DROP TABLE gcat.ctas_race")
+  }
 }

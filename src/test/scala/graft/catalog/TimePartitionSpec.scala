@@ -437,4 +437,39 @@ class TimePartitionSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(added.contains)
   }
+
+  test("leaf-level cluster zone maps prune _tp dirs through the " +
+      "catalog scan (r13)") {
+    // cl is correlated with the DAY: day d holds cl in
+    // [d*100, d*100+50), so every bucket's fold spans all days
+    // (bucket-level cluster pruning keeps every bucket) and only the
+    // per-(bucket, leaf) bounds can prune — the predicate carries no
+    // time column at all
+    val wh = tmpDir("cluster-leaf-wh")
+    spark.conf.set("spark.sql.catalog.gclx",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gclx.warehouse", wh)
+    spark.sql("""CREATE TABLE gclx.lt (
+      id BIGINT, cl BIGINT, ts TIMESTAMP, version BIGINT,
+      deleted BOOLEAN)
+      PARTITIONED BY (days(ts))
+      TBLPROPERTIES ('keys'='id', 'buckets'='4', 'cluster_by'='cl')""")
+    spark.sql("""INSERT INTO gclx.lt
+      SELECT id, (1 + id % 5) * 100 + id % 50,
+        make_timestamp(2024, 1, CAST(1 + id % 5 AS INT), 12, 0, 0),
+        0L, false FROM range(200)""")
+    val q = spark.sql(
+      "SELECT id FROM gclx.lt WHERE cl >= 300 AND cl < 350")
+    assert(q.as[Long].collect().toSet ==
+      (0L until 200L).filter(_ % 5 == 2).toSet)
+    val days = tpDays(scanFiles(q))
+    // 2024-01-03 = epoch day 19725: the only leaf [300, 350) can hit
+    assert(days == Set(19725),
+      s"cluster range must prune to the single matching leaf, " +
+        s"planned $days")
+    // and the leaf prune composes with a time bound on the OTHER side
+    val both = spark.sql("""SELECT id FROM gclx.lt
+      WHERE cl >= 300 AND cl < 350 AND ts >= TIMESTAMP '2024-01-01'""")
+    assert(tpDays(scanFiles(both)) == Set(19725))
+  }
 }

@@ -82,6 +82,51 @@ class ClusteredCompactionSpec extends SparkSpec {
     }
   }
 
+  test("leaf-level cluster zone maps prune _tp dirs on a clustered+" +
+      "time-partitioned table — both SQL routes (r13)") {
+    // price is correlated with the DAY: day d holds prices
+    // [d*100, d*100+50), so every bucket's fold spans [100, 550)
+    // (bucket-level cluster pruning keeps all buckets) while each
+    // (bucket, leaf) is disjoint — only the per-leaf bounds can prune
+    def data = spark.range(200).select(col("id"),
+      ((lit(1) + col("id") % 5) * 100 + col("id") % 50)
+        .cast("double").as("price"),
+      expr("make_timestamp(2024, 1, CAST(1 + id % 5 AS INT), 12, 0, 0)")
+        .as("ts"),
+      lit(0L).as("version"), lit(false).as("deleted"))
+    val expected = (0L until 200L).filter(_ % 5 == 2).toSet
+
+    // route 1: registered view + MergePruning (DOUBLE cluster column —
+    // exercises the Spark-aggregate leaf-stats path)
+    val dir = tmpDir("cluster-leaf") + "/t"
+    Compaction.init(data, dir, Seq("id"), "version", "deleted",
+      nBuckets = 4, clusterBy = Seq("price"), feed = false,
+      timePartition = Some("days" -> "ts"))
+    val leafKeys = TxLog.latest(spark, dir).get.props.keys
+      .filter(k => k.startsWith("cmin.") && k.split("\\.").length == 4)
+    assert(leafKeys.nonEmpty, "no leaf-granular cmin keys recorded")
+    val rule = graft.plans.MergePruning
+    val added = !spark.experimental.extraOptimizations.contains(rule)
+    if (added) spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      Compaction.read(spark, dir).createOrReplaceTempView("cl_leaf_t")
+      val df = spark.sql(
+        "SELECT id FROM cl_leaf_t WHERE price >= 300.0 AND price < 350.0")
+      assert(df.as[Long].collect().toSet == expected)
+      val opened = df.inputFiles
+      // 2024-01-03 = epoch day 19725: the only leaf the range can hit
+      assert(opened.nonEmpty && opened.forall(_.contains("_tp=19725")),
+        s"cluster range must prune to one _tp leaf per bucket:\n" +
+          opened.mkString("\n"))
+    } finally if (added) spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == rule)
+
+    // route 2 (the DSv2 catalog scan, BIGINT cluster column through
+    // the footer-stats leaf path) is pinned in TimePartitionSpec —
+    // GraftCleanPartition is private[catalog]
+  }
+
   test("two-column clusterBy (Z-order) prunes on BOTH dimensions") {
     withTinyRowGroups {
       val z = tmpDir("cluster-z") + "/t"

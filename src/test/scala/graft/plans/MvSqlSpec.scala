@@ -259,4 +259,102 @@ class MvSqlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("feed"), e2.getMessage)
   }
+
+  test("append-only min/max partials: vmin/vmax serve min/max " +
+      "queries; the first retraction invalidates loudly and never " +
+      "serves a stale extreme (r13)") {
+    MvRewrite.ensureRegistered(spark)
+    val base = tmpDir("mvsql-mm")
+    Compaction.init(
+      (1L to 40L).map(i => (i, i % 4, i * 2.0, 0L, false))
+        .toDF("id", "grp", "price", "version", "deleted"),
+      base, Seq("id"), "version", "deleted", nBuckets = 4,
+      clusterBy = Nil, feed = true)
+    GraftTables.register(spark, "mvmm_base", base)
+    GraftTables.sql(spark,
+      """CREATE MATERIALIZED VIEW mvmm_v AS
+        SELECT grp, count(*) AS cnt, sum(price) AS total,
+          min(price) AS vmin, max(price) AS vmax
+        FROM mvmm_base GROUP BY grp""")
+    val viewDir = s"$base/_mv/mvmm_v"
+
+    def extremes = {
+      val df = spark.table("mvmm_base").groupBy(col("grp"))
+        .agg(min(dec18(col("price"))).cast("double").as("mn"),
+          max(dec18(col("price"))).cast("double").as("mx"))
+      df.queryExecution.optimizedPlan // force the rewrite decision
+      df
+    }
+    // base truth: the id-touching filter makes the rewrite bail
+    def truth = spark.table("mvmm_base").filter(col("id") >= 0)
+      .groupBy(col("grp"))
+      .agg(min(dec18(col("price"))).cast("double").as("mn"),
+        max(dec18(col("price"))).cast("double").as("mx"))
+    def asMap3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+    assert(Mv.readsView(extremes, viewDir),
+      "min/max over the append-only view must serve from vmin/vmax")
+    assert(asMap3(extremes) == asMap3(truth))
+
+    // insert-only growth: new keys append, REFRESH rolls the new
+    // extremes in, the rewrite keeps serving
+    Compaction.merge(spark, base,
+      (101L to 110L).map(i => (i, i % 4, i * 50.0, 1L, false))
+        .toDF("id", "grp", "price", "version", "deleted"))
+    GraftTables.refresh(spark, "mvmm_base") // programmatic-merge contract
+    GraftTables.sql(spark, "REFRESH MATERIALIZED VIEW mvmm_v")
+    assert(Mv.readsView(extremes, viewDir))
+    assert(asMap3(extremes) == asMap3(truth))
+
+    // the first RETRACTION (an update emits a preimage) invalidates
+    // the view loudly instead of storing a wrong extreme
+    Compaction.merge(spark, base,
+      Seq((105L, 105L % 4, 1.0, 2L, false))
+        .toDF("id", "grp", "price", "version", "deleted"))
+    GraftTables.refresh(spark, "mvmm_base")
+    val e = intercept[Exception] {
+      GraftTables.sql(spark, "REFRESH MATERIALIZED VIEW mvmm_v")
+    }
+    assert(e.getMessage.contains("invalid") ||
+      e.getMessage.contains("retraction"), e.getMessage)
+    assert(graft.cdc.TxLog.latest(spark, viewDir).get
+      .prop("invalid").isDefined, "the invalidation must be durable")
+    // never a stale answer: the query bails to the BASE and reflects
+    // the update (key 105's old max is gone)
+    assert(!Mv.readsView(extremes, viewDir),
+      "an invalidated view must never serve")
+    assert(asMap3(extremes) == asMap3(truth))
+
+    // the remedy the error names: re-CREATE re-seeds from the current
+    // base (the invalid view never re-attaches) and re-arms
+    GraftTables.sql(spark,
+      """CREATE MATERIALIZED VIEW mvmm_v AS
+        SELECT grp, count(*) AS cnt, sum(price) AS total,
+          min(price) AS vmin, max(price) AS vmax
+        FROM mvmm_base GROUP BY grp""")
+    assert(Mv.readsView(extremes, viewDir))
+    assert(asMap3(extremes) == asMap3(truth))
+
+    // contract violations fail with the contract: vmin without vmax,
+    // or min/max on a different column than the sum
+    val e3 = intercept[Exception] {
+      GraftTables.sql(spark,
+        """CREATE MATERIALIZED VIEW mvmm_bad AS
+          SELECT grp, count(*) AS cnt, sum(price) AS total,
+            min(price) AS vmin
+          FROM mvmm_base GROUP BY grp""")
+    }
+    assert(e3.getMessage.contains("vmin"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      GraftTables.sql(spark,
+        """CREATE MATERIALIZED VIEW mvmm_bad AS
+          SELECT grp, count(*) AS cnt, sum(price) AS total,
+            min(id) AS vmin, max(id) AS vmax
+          FROM mvmm_base GROUP BY grp""")
+    }
+    assert(e4.getMessage.contains("vmin"), e4.getMessage)
+    GraftTables.sql(spark, "DROP MATERIALIZED VIEW mvmm_v")
+  }
 }
