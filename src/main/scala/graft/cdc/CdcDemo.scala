@@ -345,6 +345,34 @@ object CdcDemo {
     println(f"mv+stats: avg(amount) from view=$servedFromView " +
       f"(grp 0 avg=$avgLive%.2f), cluster min/max=[$mn%.1f, $mx%.1f] " +
       s"zero-scan=$mmZeroScan")
+
+    // round 13: the first bad MERGE has a recovery story — RESTORE
+    // re-points the table at the old version in one metadata commit
+    // (no data copies; the bad version stays time-travelable), and
+    // the feed epoch fences version-ordered consumers
+    val rstDir = s"$root/restore-t"
+    Compaction.init(
+      (1L to 200L).map(i => (i, s"good-$i", 0L, false))
+        .toDF("id", "payload", "version", "deleted"),
+      rstDir, Seq("id"), "version", "deleted", nBuckets = 8,
+      clusterBy = Nil, feed = true)
+    Compaction.merge(spark, rstDir,
+      (1L to 200L).map(i => (i, "CORRUPTED", 1L, false))
+        .toDF("id", "payload", "version", "deleted"),
+      retainHistory = true)
+    val badCount = Compaction.read(spark, rstDir)
+      .filter($"payload" === "CORRUPTED").count()
+    graft.plans.GraftTables.register(spark, "demo_restore_t", rstDir)
+    graft.plans.GraftTables.sql(spark,
+      "RESTORE TABLE demo_restore_t TO VERSION 0")
+    val goodAgain = Compaction.read(spark, rstDir)
+      .filter($"payload".startsWith("good")).count()
+    println(s"restore: bad merge corrupted $badCount rows -> " +
+      s"RESTORE TO VERSION 0 brings back $goodAgain/200 good rows, " +
+      s"feed epoch=${Compaction.feedEpoch(spark, rstDir)} " +
+      s"(version-ordered consumers fenced), bad version still " +
+      s"auditable=${Compaction.readAsOf(spark, rstDir, 1)
+        .filter($"payload" === "CORRUPTED").count() == 200}")
     spark.stop()
   }
 }

@@ -174,9 +174,29 @@ object GraftTables {
       // write-side time travel: ONE metadata-only commit re-pointing
       // the table at version n's manifest entries (Compaction.restore
       // owns the floor fences and the feed-epoch semantics); any
-      // maintained table type
-      case RestoreTable(name, version) =>
+      // maintained table type. TO TIMESTAMP resolves through the same
+      // commit-time lookup TIMESTAMP AS OF reads use (session zone).
+      case RestoreTable(name, bound) =>
         anyDirFor(spark, name).map { dir =>
+          val version = bound match {
+            case Right(v) => v
+            case Left(ts) =>
+              // parse through Catalyst in the SESSION zone — the same
+              // contract every other raw-timestamp verb bound carries
+              import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+              val micros = Cast(
+                Literal(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(ts),
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.TimestampType,
+                Some(spark.sessionState.conf.sessionLocalTimeZone))
+                .eval() match {
+                  case m: java.lang.Long => m.longValue()
+                  case _ => GraftDml.fail(
+                    s"cannot parse TIMESTAMP '$ts'")
+                }
+              Compaction.versionAsOfTimestamp(spark, dir, micros / 1000L)
+          }
           val newV = Compaction.restore(spark, dir, version)
           GraftTables.refresh(spark, name)
           Seq((name, version, newV))

@@ -30,8 +30,12 @@ private[plans] object GraftVerbs {
   /** `bound` is the raw timestamp string (Left) or version (Right). */
   final case class ExpireHistory(table: String,
       bound: Either[String, Long]) extends Verb
-  /** RESTORE TABLE t TO VERSION [AS OF] n — write-side time travel. */
-  final case class RestoreTable(table: String, version: Long) extends Verb
+  /** RESTORE TABLE t TO VERSION [AS OF] n | TO TIMESTAMP [AS OF] 'ts'
+    * — write-side time travel (`bound`: Right = version, Left = the
+    * raw timestamp string, resolved by the executor in session zone).
+    */
+  final case class RestoreTable(table: String,
+      bound: Either[String, Long]) extends Verb
   final case class ShowFiles(table: String) extends Verb
   final case class ShowPartitions(table: String) extends Verb
   final case class ShowChanges(table: String, from: Long,
@@ -70,8 +74,9 @@ private[plans] object GraftVerbs {
     ("""(?is)\s*EXPIRE\s+HISTORY\s+([\w.`]+)\s+BEFORE\s+""" +
       """(?:TIMESTAMP\s+'([^']+)'|(-?\d+))\s*;?\s*""").r
   private val RestoreRe =
-    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+""" +
-      """(?:AS\s+OF\s+)?(\d+)\s*;?\s*""").r
+    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+""" +
+      """(?:VERSION\s+(?:AS\s+OF\s+)?(\d+)|""" +
+      """TIMESTAMP\s+(?:AS\s+OF\s+)?'([^']+)')\s*;?\s*""").r
   private val ShowFilesRe =
     """(?is)\s*SHOW\s+FILES\s+([\w.`]+)\s*;?\s*""".r
   private val ShowPartsRe =
@@ -179,7 +184,9 @@ private[plans] object GraftVerbs {
     case ExpireRe(t, ts, num) =>
       Some(ExpireHistory(t,
         if (ts != null) Left(ts) else Right(num.toLong)))
-    case RestoreRe(t, v) => Some(RestoreTable(t, v.toLong))
+    case RestoreRe(t, v, ts) =>
+      Some(RestoreTable(t,
+        if (v != null) Right(v.toLong) else Left(ts)))
     case ShowFilesRe(t) => Some(ShowFiles(t))
     case ShowPartsRe(t) => Some(ShowPartitions(t))
     case ShowChangesRe(t, from, to) =>

@@ -288,6 +288,20 @@ class RestoreSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT payload FROM restore_verb_t WHERE id = 3")
       .as[String].head() == "boom")
+    // TO TIMESTAMP resolves through the same commit-time lookup
+    // TIMESTAMP AS OF reads use (session zone); self-consistency:
+    // the verb restores exactly the version the resolver names for
+    // that instant, and the state matches that version's read
+    val tsStr = Compaction.history(spark, dir)
+      .filter(col("version") === 1)
+      .select(date_format(col("committed_at"),
+        "yyyy-MM-dd HH:mm:ss.SSS")).as[String].head()
+    val out2 = GraftTables.sql(spark,
+      s"RESTORE TABLE restore_verb_t TO TIMESTAMP '$tsStr'")
+      .select("restored_to").as[Long].head()
+    val expectState = Compaction.readAsOf(spark, dir, out2)
+      .select("id", "payload").as[(Long, String)].collect().toSet
+    assert(state(dir) == expectState)
     GraftTables.unregister(spark, "restore_verb_t")
   }
 }
