@@ -148,6 +148,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     f.listStatus(nsDir).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
+      // an in-flight (or crash-orphaned) CTAS staging is a committed
+      // table under a sibling name — never a listable one (r13)
+      .filterNot(_.contains(".stage-"))
       .filter(n => isTable(Identifier.of(namespace, n)))
       .map(n => Identifier.of(namespace, n))
       .toArray
@@ -228,10 +231,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Option(properties.get(key))
       .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + key)))
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    if (isTable(ident)) throw new TableAlreadyExistsException(ident)
+  /** The parsed table-parameter DDL shared by CREATE TABLE and the
+    * staged CTAS path — one parse, identical semantics on both (r13).
+    */
+  private final case class TableDdl(
+      timePartition: Option[(String, String)], keys: Seq[String],
+      versionCol: String, deleteCol: String, nBuckets: Int,
+      clusterBy: Seq[String], feed: Boolean)
+
+  private def parseDdl(partitions: Array[Transform],
+      properties: util.Map[String, String]): TableDdl = {
     // PARTITIONED BY (days(ts) | months(ts) | hours(ts)) — the
     // Iceberg-style TIME partition level composing with the bucket
     // hash (see Compaction's time-partitions note); anything else
@@ -253,16 +262,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "('buckets' property); PARTITIONED BY accepts only one " +
           "years|months|days|hours(col) time transform")
     }
-    val keys = prop(properties, "keys").orElse(prop(properties, "key"))
-      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft tables need TBLPROPERTIES ('keys'='<merge key column(s)>')"))
-    val versionCol = prop(properties, "version_col").getOrElse("version")
-    val deleteCol = prop(properties, "delete_col").getOrElse("deleted")
-    val nBuckets = prop(properties, "buckets").map(_.toInt).getOrElse(256)
-    val clusterBy = prop(properties, "cluster_by")
-      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    val feed = prop(properties, "feed").exists(_.toBoolean)
+    TableDdl(timePartition,
+      prop(properties, "keys").orElse(prop(properties, "key"))
+        .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+        .getOrElse(throw new IllegalArgumentException(
+          "graft tables need TBLPROPERTIES " +
+            "('keys'='<merge key column(s)>')")),
+      prop(properties, "version_col").getOrElse("version"),
+      prop(properties, "delete_col").getOrElse("deleted"),
+      prop(properties, "buckets").map(_.toInt).getOrElse(256),
+      prop(properties, "cluster_by")
+        .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil),
+      prop(properties, "feed").exists(_.toBoolean))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (isTable(ident)) throw new TableAlreadyExistsException(ident)
+    val ddl = parseDdl(partitions, properties)
+    val TableDdl(timePartition, keys, versionCol, deleteCol, nBuckets,
+      clusterBy, feed) = ddl
     val location = prop(properties, TableCatalog.PROP_LOCATION)
     val dir = location.getOrElse(managedDir(ident))
     // `CREATE TABLE h (...) USING scd2` — the SQL form for a
@@ -385,35 +406,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val finalDir = location.getOrElse(managedDir(ident))
     val stageDir =
       s"$finalDir.stage-${java.util.UUID.randomUUID().toString.take(8)}"
-    // the same DDL parse createTable performs, pointed at the stage
-    val timePartition: Option[(String, String)] = partitions match {
-      case Array() => None
-      case Array(t) if Set("years", "days", "months", "hours")(t.name) &&
-          t.arguments.length == 1 =>
-        t.arguments.head match {
-          case r: org.apache.spark.sql.connector.expressions.NamedReference
-              if r.fieldNames.length == 1 =>
-            Some(t.name -> r.fieldNames.head)
-          case _ => throw new IllegalArgumentException(
-            s"PARTITIONED BY (${t.name}(...)) needs a plain column")
-        }
-      case _ => throw new IllegalArgumentException(
-        "graft tables are hash-bucketed on their merge keys " +
-          "('buckets' property); PARTITIONED BY accepts only one " +
-          "years|months|days|hours(col) time transform")
-    }
-    val keys = prop(properties, "keys").orElse(prop(properties, "key"))
-      .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft tables need TBLPROPERTIES ('keys'='<merge key column(s)>')"))
-    Compaction.initEmpty(spark, stageDir, schema, keys,
-      prop(properties, "version_col").getOrElse("version"),
-      prop(properties, "delete_col").getOrElse("deleted"),
-      prop(properties, "buckets").map(_.toInt).getOrElse(256),
-      prop(properties, "cluster_by")
-        .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
-        .getOrElse(Nil),
-      prop(properties, "feed").exists(_.toBoolean), timePartition)
+    // the SAME parse CREATE TABLE performs (parseDdl), pointed at the
+    // staging dir — CTAS and CREATE can never drift semantically
+    val ddl = parseDdl(partitions, properties)
+    Compaction.initEmpty(spark, stageDir, schema, ddl.keys,
+      ddl.versionCol, ddl.deleteCol, ddl.nBuckets, ddl.clusterBy,
+      ddl.feed, ddl.timePartition)
     new StagedGraftTable(ident, stageDir, finalDir, location)
   }
 
@@ -448,7 +446,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         : org.apache.spark.sql.connector.write.WriteBuilder =
       inner.newWriteBuilder(info)
     override def commitStagedChanges(): Unit = {
-      val f = TxLog.fs(spark, warehouse)
+      // per-dir FS resolution: an external LOCATION can live on a
+      // different scheme than the warehouse (stage and final are
+      // siblings by construction, so ONE fs covers both)
+      val f = TxLog.fs(spark, finalDir)
       TxLog.invalidate(stageDir)
       val dst = new Path(finalDir)
       // the name-race fence at publish time: a rival CTAS (or a plain
@@ -466,15 +467,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(f.rename(new Path(stageDir), dst),
         s"CTAS publish rename failed: $stageDir -> $finalDir")
       TxLog.invalidate(finalDir)
+      // the redirect lives under the WAREHOUSE (its own fs). A crash
+      // between the rename and this write strands committed data at
+      // the LOCATION with no catalog entry — the retry refuses with
+      // TableAlreadyExists and the operator attaches with CREATE ...
+      // LOCATION (the same recovery the non-CTAS external path has).
       location.foreach { loc =>
-        f.mkdirs(new Path(managedDir(ident)))
-        val out = f.create(redirectPath(ident), true)
+        val wf = TxLog.fs(spark, warehouse)
+        wf.mkdirs(new Path(managedDir(ident)))
+        val out = wf.create(redirectPath(ident), true)
         try out.write(loc.getBytes("UTF-8")) finally out.close()
       }
     }
     override def abortStagedChanges(): Unit = {
       TxLog.invalidate(stageDir)
-      TxLog.fs(spark, warehouse).delete(new Path(stageDir), true)
+      TxLog.fs(spark, stageDir).delete(new Path(stageDir), true)
     }
   }
 

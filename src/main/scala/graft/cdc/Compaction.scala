@@ -744,26 +744,40 @@ object Compaction {
     val present = statCols.filter(c =>
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     if (present.isEmpty) return base
-    val perCol: Map[String, Map[Int, String]] = present.map { c =>
-      // the sketch names its register-index column "bucket" too —
-      // alias the table's partition column out of the way first
-      val src = df.filter(col(c).isNotNull)
-        .select(col("bucket").as("_tbucket"), col(c))
-      val regs = graft.operators.DetSketch
-        .hllRegistersBy(src, Seq("_tbucket"), c, p = HllP)
-        .collect()
-        .map(r => (r.getInt(0), r.getAs[Long]("bucket").toInt,
-          r.getAs[Long]("register")))
-        .groupBy(_._1)
-        .map { case (b, xs) =>
+    // ONE job for every cluster column: per column, project (bucket,
+    // column tag, md5-60bit hash) and union — the register derivation
+    // and the map-side-combined groupBy then run once over the union
+    // instead of one job per column (review r13)
+    val m = 1 << HllP
+    val bits = 60 - HllP
+    val hashed = present.map(c =>
+        df.filter(col(c).isNotNull)
+          .select(col("bucket").as("_tbucket"), lit(c).as("_col"),
+            graft.operators.DetSketch.hash60(col(c)).as("h")))
+      .reduce(_ unionAll _)
+    val rows = hashed
+      .select(col("_tbucket"), col("_col"),
+        (col("h") % m).as("_idx"),
+        when(expr(s"h div $m") === 0, lit(bits + 1))
+          .otherwise(lit(bits + 1) - length(bin(expr(s"h div $m"))))
+          .cast("long").as("_rho"))
+      .groupBy(col("_tbucket"), col("_col"), col("_idx"))
+      .agg(max(col("_rho")).as("_reg"))
+      .collect()
+    val perCol: Map[String, Map[Int, String]] = rows
+      .map(r => (r.getAs[String]("_col"), r.getInt(0),
+        r.getAs[Long]("_idx").toInt, r.getAs[Long]("_reg")))
+      .groupBy(_._1)
+      .map { case (c, xs) =>
+        c -> xs.groupBy(_._2).map { case (b, ys) =>
           b -> encodeRegisters(
-            xs.map { case (_, idx, rho) => idx -> rho }.toMap)
+            ys.map { case (_, _, idx, rho) => idx -> rho }.toMap)
         }
-      c -> regs
-    }.toMap
+      }
+    // an all-null column leaves no sketch entry (perCol lacks it)
     base.map { case (b, st) =>
       b -> st.copy(colNdv = present.flatMap(c =>
-        perCol(c).get(b).map(c -> _)).toMap)
+        perCol.get(c).flatMap(_.get(b)).map(c -> _)).toMap)
     }
   }
 

@@ -68,13 +68,18 @@ object Replicator {
       nBuckets: Int = 0): Unit = {
     val (key, versionCol, deleteCol, srcBuckets) =
       Compaction.readMeta(spark, sourceDir)
-    // the head (and the feed epoch) are read BEFORE the state copy: a
-    // batch published in between is replayed by the first sync, and
-    // replay is convergent; a RESTORE landing in between makes the
-    // first sync refuse (epoch moved) and the operator re-init — the
-    // conservative direction
-    val head = sourceHead(spark, sourceDir)
+    // ORDER MATTERS: the epoch is read FIRST, then the head, then the
+    // state copy. A RESTORE landing after the epoch read makes the
+    // first sync refuse (source epoch advanced past the recorded one)
+    // — the conservative direction. Reading the epoch AFTER the head
+    // would be the unsound order: a restore between the two would
+    // record the post-restore epoch with a pre-restore head, and the
+    // first sync would replay the rewound batches onto the restored
+    // snapshot with no fence ever firing. A plain merge landing
+    // between head and the state copy stays convergent (the batch
+    // replays into a keyed merge).
     val epoch = Compaction.feedEpoch(spark, sourceDir)
+    val head = sourceHead(spark, sourceDir)
     // readMeta joins a composite key with commas; decode so the
     // replica inherits the source's key TUPLE, not one bogus column
     Compaction.init(Compaction.read(spark, sourceDir), replicaDir,

@@ -369,31 +369,24 @@ object GraftTables {
     try p.store(out, null) finally out.close()
   }
 
-  /** The base feed epoch recorded at seed time (0 for a sidecar
-    * written before epochs existed — matching a never-restored base).
+  /** The durable view definition, read in ONE sidecar open (review
+    * r13 — epoch/minmax were separate re-reads). Epoch defaults to 0
+    * (a sidecar written before epochs existed matches a never-
+    * restored base); minmax defaults false.
     */
-  private def readMvEpoch(spark: SparkSession, viewDir: String): Long = {
-    val p = new java.util.Properties()
-    val in = TxLog.fs(spark, viewDir).open(mvDefPath(viewDir))
-    try p.load(in) finally in.close()
-    Option(p.getProperty("base_feed_epoch")).map(_.toLong).getOrElse(0L)
-  }
-
-  private def readMvMinMax(spark: SparkSession, viewDir: String): Boolean = {
-    val p = new java.util.Properties()
-    val in = TxLog.fs(spark, viewDir).open(mvDefPath(viewDir))
-    try p.load(in) finally in.close()
-    Option(p.getProperty("minmax")).contains("true")
-  }
+  private final case class MvSidecar(baseDir: String, keys: Seq[String],
+      valueCol: String, baseFeedEpoch: Long, minMax: Boolean)
 
   private def readMvDef(spark: SparkSession,
-      viewDir: String): (String, Seq[String], String) = {
+      viewDir: String): MvSidecar = {
     val p = new java.util.Properties()
     val in = TxLog.fs(spark, viewDir).open(mvDefPath(viewDir))
     try p.load(in) finally in.close()
-    (p.getProperty("base_dir"),
+    MvSidecar(p.getProperty("base_dir"),
       p.getProperty("keys").split(",").toSeq.filter(_.nonEmpty),
-      p.getProperty("value_col"))
+      p.getProperty("value_col"),
+      Option(p.getProperty("base_feed_epoch")).map(_.toLong).getOrElse(0L),
+      Option(p.getProperty("minmax")).contains("true"))
   }
 
   private def viewDirOf(spark: SparkSession, name: String): String =
@@ -427,11 +420,11 @@ object GraftTables {
     // rebuild from a fresh base snapshot (a DIFFERENT definition
     // under the same name still re-creates).
     val existing = scala.util.Try(readMvDef(spark, viewDir)).toOption
-      .filter { case (b, ks, vc) =>
-        b == baseDir &&
-          ks.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
-          vc.equalsIgnoreCase(v.valueCol) &&
-          readMvMinMax(spark, viewDir) == v.minMax &&
+      .filter { d =>
+        d.baseDir == baseDir &&
+          d.keys.map(_.toLowerCase) == keys.map(_.toLowerCase) &&
+          d.valueCol.equalsIgnoreCase(v.valueCol) &&
+          d.minMax == v.minMax &&
           TxLog.latest(spark, viewDir).isDefined &&
           // an INVALIDATED min/max view never re-attaches healthy —
           // the same CREATE re-creates it instead
@@ -497,7 +490,7 @@ object GraftTables {
   private def runDropMv(spark: SparkSession, name: String): DataFrame = {
     import spark.implicits._
     val viewDir = viewDirOf(spark, name)
-    val (baseDir, _, _) = readMvDef(spark, viewDir)
+    val baseDir = readMvDef(spark, viewDir).baseDir
     // deregister only OUR rewrite: the base may carry sibling
     // views (and programmatic registrations), which stay armed
     Mv.deregister(baseDir, viewDir)
@@ -512,7 +505,9 @@ object GraftTables {
     * Shared by REFRESH MATERIALIZED VIEW and the REFRESH ALL sweep.
     */
   private def refreshMv(spark: SparkSession, viewDir: String): Long = {
-    val (baseDir, keys, valueCol) = readMvDef(spark, viewDir)
+    val mvDef = readMvDef(spark, viewDir)
+    val (baseDir, keys, valueCol) =
+      (mvDef.baseDir, mvDef.keys, mvDef.valueCol)
     // RESTORE fence (r12): the base moved BACKWARD under the view —
     // applying the still-unapplied (pre-restore) feed events would
     // converge the partials to the PRE-restore state. Signed IVM
@@ -534,10 +529,10 @@ object GraftTables {
           "DROP and re-CREATE it (or re-create it without " +
           "min/max partials)"))
     val baseEpoch = baseSnap.counter("feed_epoch")
-    if (baseEpoch != readMvEpoch(spark, viewDir)) {
+    if (baseEpoch != mvDef.baseFeedEpoch) {
       val (_, _, _, nBuckets) = Compaction.readMeta(spark, baseDir)
       val head = baseSnap.counter("next_feed_batch") - 1L
-      val mm = readMvMinMax(spark, viewDir)
+      val mm = mvDef.minMax
       graft.cdc.AggView.init(
         Compaction.readAsOf(spark, baseDir, baseSnap.version)
           .select((keys :+ valueCol).map(col): _*),

@@ -493,6 +493,10 @@ class GraftCatalogSpec extends SparkSpec {
     val b = cat.stageCreate(ident, schema,
       Array.empty[org.apache.spark.sql.connector.expressions.Transform],
       props)
+    // an in-flight staging is never a listable table
+    assert(sqlc("SHOW TABLES IN gcat").collect()
+      .forall(!_.getString(1).contains(".stage-")),
+      "staging dirs must stay invisible to SHOW TABLES")
     a.commitStagedChanges()
     intercept[org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException] {
