@@ -717,6 +717,55 @@ object CdcQueries {
         FROM graftcat.tt_t""")
     }),
 
+    // atomic CTAS (r13): CREATE TABLE ... AS SELECT stages the whole
+    // table invisibly and publishes with one rename — in-query, a
+    // deliberately failing CTAS must leave NO table (the pre-staging
+    // path stranded an empty committed one) and no staging residue;
+    // the oracle recomputes the successful CTAS's contents.
+    "sql_ctas_atomic" -> ((s, dir) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,2)")
+      // the battery's SHARED catalog instance: Spark caches v2
+      // catalogs per name, so this entry must use the same warehouse
+      // every other graftcat entry declares (a different conf value
+      // would be silently ignored once the catalog is instantiated)
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftcat.ctas_t")
+      Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+        .createOrReplaceTempView("ctas_src")
+      s.sql("""CREATE TABLE graftcat.ctas_t
+        TBLPROPERTIES ('keys'='id', 'buckets'='8')
+        AS SELECT o_orderkey AS id,
+          CAST(o_totalprice AS DOUBLE) AS price,
+          0L AS version, false AS deleted
+        FROM ctas_src""")
+      // a mid-write failure aborts the staging: no table, not even an
+      // empty one, and no .stage- residue under the warehouse
+      s.udf.register("ctas_q_boom",
+        (i: Long) => if (i > 100) throw new RuntimeException("boom")
+          else i)
+      val failed =
+        try { s.sql("""CREATE TABLE graftcat.ctas_fail_t
+          TBLPROPERTIES ('keys'='id', 'buckets'='4')
+          AS SELECT id, ctas_q_boom(id) AS v, 0L AS version,
+            false AS deleted FROM range(1000)"""); false }
+        catch { case _: Exception => true }
+      require(failed, "the poisoned CTAS must fail")
+      require(!s.catalog.tableExists("graftcat.ctas_fail_t"),
+        "a failed CTAS must leave no table behind")
+      val fs = graft.cdc.TxLog.fs(s, wh)
+      val residue = fs.listStatus(new org.apache.hadoop.fs.Path(wh))
+        .map(_.getPath.getName).filter(_.contains(".stage-"))
+      require(residue.isEmpty,
+        s"abort must reclaim the staging dir: ${residue.mkString(", ")}")
+      s.sql("""SELECT count(*) AS n,
+        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graftcat.ctas_t""")
+    }),
+
     // write-side time travel (r12 verdict item 1): init (feed on) + a
     // BAD merge (retained history), then `RESTORE TABLE t TO VERSION 0`
     // through the SQL verb — ONE metadata-only commit re-pointing the
@@ -1325,6 +1374,50 @@ object CdcQueries {
       require(castDays.nonEmpty && castDays.forall(_ == 19737),
         s"day-cast predicate did not prune to one _tp dir: $castDays")
       ranged.crossJoin(orQ).crossJoin(castQ)
+    }),
+
+    // leaf-level cluster zone maps (r13): the cluster column is
+    // correlated with the partition DAY (day d holds cl in
+    // [d*100, d*100+50)), so every bucket's fold spans all 20 days —
+    // bucket-level cluster pruning keeps every bucket — and ONLY the
+    // per-(bucket, _tp leaf) bounds can prune. The probe asserts the
+    // scan opened exactly the one matching leaf per bucket with NO
+    // time predicate in the query at all; the oracle recomputes the
+    // filtered aggregate relationally.
+    "sql_cluster_leaf_prune" -> ((s, dir) => {
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"),
+          ((lit(1) + col("o_orderkey") % 20) * 100 +
+            col("o_orderkey") % 50).as("cl"),
+          expr("make_timestamp(2024, 1, " +
+            "CAST(1 + o_orderkey % 20 AS INT), 12, 0, 0)").as("ts"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-clleaf-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(src, tableDir, Seq("id"), "version",
+        "deleted", nBuckets = 8, clusterBy = Seq("cl"), feed = false,
+        timePartition = Some("days" -> "ts"))
+      graft.plans.MergePruning.ensureRegistered(s)
+      graft.plans.GraftTables.register(s, "clleaf", tableDir)
+      val q = s.sql("""SELECT count(*) AS n,
+        CAST(SUM(id * 7 + cl) AS BIGINT) AS checksum
+        FROM clleaf WHERE cl >= 500 AND cl < 550""")
+      val days = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation match {
+          case fsr: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            fsr.location.rootPaths.toSeq.flatMap(p =>
+              "_tp=([0-9]+)".r.findFirstMatchIn(p.toString)
+                .map(_.group(1).toInt))
+          case _ => Nil
+        }
+      }.flatten
+      // [500, 550) lives in day 5 = 2024-01-05 = epoch day 19727
+      require(days.nonEmpty && days.forall(_ == 19727),
+        s"cluster range must prune to the single matching _tp leaf " +
+          s"per bucket (no time predicate given): $days")
+      q
     }),
 
     // The change data feed as a BATCH metadata table
@@ -2915,6 +3008,23 @@ object CdcQueries {
         |  COUNT(price) AS n_nonnull, COUNT(*) AS cnt
         |FROM latest WHERE rn = 1 AND NOT deleted
         |GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // leaf pruning is a data reduction only: the filtered aggregate
+    // must equal the plain relational recompute
+    "sql_cluster_leaf_prune" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS id,
+        |    (1 + o_orderkey % 20) * 100 + o_orderkey % 50 AS cl
+        |  FROM orders)
+        |SELECT count(*) AS n,
+        |  CAST(SUM(id * 7 + cl) AS BIGINT) AS checksum
+        |FROM t WHERE cl >= 500 AND cl < 550""".stripMargin,
+
+    // the successful CTAS's contents are exactly the SELECT's rows
+    "sql_ctas_atomic" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
 
     // append-only min/max MV: the final state is latest-wins over
     // snapshot (even keys) + insert-only appends (odd keys) + the
