@@ -274,6 +274,10 @@ object GraftTables {
       case RefreshMv(name) =>
         Some(Seq((name, refreshMv(spark, viewDirOf(spark, name))))
           .toDF("view", "batches_applied"))
+      case RebuildMv(name) =>
+        val viewDir = viewDirOf(spark, name)
+        rebuildMv(spark, viewDir)
+        Some(Seq((name, viewDir)).toDF("view", "location"))
       case RefreshAllMv(base) => Some(runRefreshAllMv(spark, base))
       case DropMv(name) => Some(runDropMv(spark, name))
     }
@@ -504,6 +508,42 @@ object GraftTables {
     * (re-)arm its rewrite; returns the number of batches applied.
     * Shared by REFRESH MATERIALIZED VIEW and the REFRESH ALL sweep.
     */
+  /** Re-seed a view wholesale from the base's CURRENT snapshot — the
+    * one-snapshot seed CREATE uses (data and the feed-head fence come
+    * from the SAME manifest read, so a merge landing in between can
+    * never double-count). Crash-convergent: the AggView init commits
+    * first, the sidecar epoch records second — a crash between just
+    * re-seeds again.
+    */
+  private def reseedMv(spark: SparkSession, viewDir: String,
+      mvDef: MvSidecar, baseSnap: TxLog.Snapshot): Unit = {
+    val (_, _, _, nBuckets) = Compaction.readMeta(spark, mvDef.baseDir)
+    val head = baseSnap.counter("next_feed_batch") - 1L
+    graft.cdc.AggView.init(
+      Compaction.readAsOf(spark, mvDef.baseDir, baseSnap.version)
+        .select((mvDef.keys :+ mvDef.valueCol).map(col): _*),
+      viewDir, mvDef.keys, mvDef.valueCol, nBuckets, batchId = head,
+      minMax = mvDef.minMax)
+    writeMvDef(spark, viewDir, mvDef.baseDir, mvDef.keys,
+      mvDef.valueCol, baseSnap.counter("feed_epoch"), mvDef.minMax)
+    Mv.registerAggView(spark, viewDir, mvDef.baseDir,
+      Some(mvDef.baseDir))
+  }
+
+  /** ALTER MATERIALIZED VIEW v REBUILD: an unconditional [[reseedMv]]
+    * — the one-statement remedy for an INVALIDATED min/max view
+    * (r13 handoff item 6), and a forced full refresh otherwise. The
+    * rebuild clears the `invalid` marker by construction (init
+    * replaces the view's manifest lineage wholesale).
+    */
+  private def rebuildMv(spark: SparkSession, viewDir: String): Unit = {
+    val mvDef = readMvDef(spark, viewDir)
+    val baseSnap = graft.cdc.TxLog.latest(spark, mvDef.baseDir)
+      .getOrElse(GraftDml.fail(
+        s"no committed manifest under ${mvDef.baseDir}"))
+    reseedMv(spark, viewDir, mvDef, baseSnap)
+  }
+
   private def refreshMv(spark: SparkSession, viewDir: String): Long = {
     val mvDef = readMvDef(spark, viewDir)
     val (baseDir, keys, valueCol) =
@@ -530,15 +570,7 @@ object GraftTables {
           "min/max partials)"))
     val baseEpoch = baseSnap.counter("feed_epoch")
     if (baseEpoch != mvDef.baseFeedEpoch) {
-      val (_, _, _, nBuckets) = Compaction.readMeta(spark, baseDir)
-      val head = baseSnap.counter("next_feed_batch") - 1L
-      val mm = mvDef.minMax
-      graft.cdc.AggView.init(
-        Compaction.readAsOf(spark, baseDir, baseSnap.version)
-          .select((keys :+ valueCol).map(col): _*),
-        viewDir, keys, valueCol, nBuckets, batchId = head, minMax = mm)
-      writeMvDef(spark, viewDir, baseDir, keys, valueCol, baseEpoch, mm)
-      Mv.registerAggView(spark, viewDir, baseDir, Some(baseDir))
+      reseedMv(spark, viewDir, mvDef, baseSnap)
       return 0L
     }
     val (_, _, _, last) = graft.cdc.AggView.readMeta(spark, viewDir)

@@ -50,6 +50,10 @@ private[plans] object GraftVerbs {
         * `min(col) AS vmin, max(col) AS vmax` in the select list. */
       minMax: Boolean = false) extends Verb
   final case class RefreshMv(name: String) extends Verb
+  /** ALTER MATERIALIZED VIEW v REBUILD — re-seed from the base's
+    * CURRENT snapshot (the one-statement remedy for an invalidated
+    * min/max view; also just a forced full refresh). */
+  final case class RebuildMv(name: String) extends Verb
   final case class RefreshAllMv(base: String) extends Verb
   final case class DropMv(name: String) extends Verb
 
@@ -89,6 +93,9 @@ private[plans] object GraftVerbs {
       """SELECT\s+(.+?)\s+FROM\s+([\w.`]+)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(`?\w+`?)\s*;?\s*""".r
+  private val RebuildMvRe =
+    ("""(?is)\s*ALTER\s+MATERIALIZED\s+VIEW\s+(`?\w+`?)\s+""" +
+      """REBUILD\s*;?\s*""").r
   private val RefreshAllMvRe =
     ("""(?is)\s*REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS\s+ON\s+""" +
       """([\w.`]+)\s*;?\s*""").r
@@ -194,6 +201,7 @@ private[plans] object GraftVerbs {
     case CreateMvRe(name0, selectList, base, groupBy) =>
       Some(parseCreateMv(name0, selectList, base, groupBy))
     case RefreshMvRe(name0) => Some(RefreshMv(unquote(name0).toLowerCase))
+    case RebuildMvRe(name0) => Some(RebuildMv(unquote(name0).toLowerCase))
     case RefreshAllMvRe(base) => Some(RefreshAllMv(base))
     case DropMvRe(name0) => Some(DropMv(unquote(name0).toLowerCase))
     case _ => None

@@ -327,8 +327,16 @@ class MvSqlSpec extends SparkSpec {
       "an invalidated view must never serve")
     assert(asMap3(extremes) == asMap3(truth))
 
-    // the remedy the error names: re-CREATE re-seeds from the current
-    // base (the invalid view never re-attaches) and re-arms
+    // the one-statement remedy (r13): ALTER ... REBUILD re-seeds from
+    // the current base, clears the invalid marker and re-arms
+    GraftTables.sql(spark, "ALTER MATERIALIZED VIEW mvmm_v REBUILD")
+    assert(graft.cdc.TxLog.latest(spark, viewDir).get
+      .prop("invalid").isEmpty, "REBUILD must clear the invalidation")
+    assert(Mv.readsView(extremes, viewDir))
+    assert(asMap3(extremes) == asMap3(truth))
+
+    // re-CREATE with the identical definition now RE-ATTACHES the
+    // healthy rebuilt view (and would re-create an invalid one)
     GraftTables.sql(spark,
       """CREATE MATERIALIZED VIEW mvmm_v AS
         SELECT grp, count(*) AS cnt, sum(price) AS total,
