@@ -406,6 +406,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val finalDir = location.getOrElse(managedDir(ident))
     val stageDir =
       s"$finalDir.stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    // reclaim aged ORPHAN stagings of this identifier (a crashed JVM
+    // leaves one behind — storage hygiene, never a phantom table):
+    // same grace the TxLog sweep grants in-flight writers, so a live
+    // concurrent CTAS's staging is never yanked
+    TxLog.hygiene {
+      val f = TxLog.fs(spark, finalDir)
+      val parent = new Path(finalDir).getParent
+      val prefix = new Path(finalDir).getName + ".stage-"
+      val now = System.currentTimeMillis()
+      if (parent != null && f.exists(parent))
+        f.listStatus(parent).foreach { st =>
+          if (st.getPath.getName.startsWith(prefix) &&
+              now - st.getModificationTime > TxLog.orphanGraceMs)
+            f.delete(st.getPath, true)
+        }
+    }
     // the SAME parse CREATE TABLE performs (parseDdl), pointed at the
     // staging dir — CTAS and CREATE can never drift semantically
     val ddl = parseDdl(partitions, properties)

@@ -81,7 +81,7 @@ private[graft] object TxLog {
     * hygiene, not correctness). Specs set this to 0 to exercise the
     * reclamation path deterministically.
     */
-  private[cdc] var orphanGraceMs: Long = 12L * 60L * 60L * 1000L
+  private[graft] var orphanGraceMs: Long = 12L * 60L * 60L * 1000L
 
   /** Bounded optimistic-concurrency retry: run `body` (which must
     * re-resolve the latest snapshot itself on every attempt), and

@@ -506,6 +506,28 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == 0L, "the winner's (empty) table must survive")
     assert(stageDirs.isEmpty,
       "the losing staging must be reclaimed on refusal")
+
+    // a crash-orphaned staging (never committed, never aborted) is
+    // reclaimed by the NEXT stageCreate of the same identifier once
+    // past the sweep grace — the same liveness rule TxLog's sweep
+    // grants in-flight writers
+    val orphanIdent = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "ctas_orphan")
+    cat.stageCreate(orphanIdent, schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      props) // abandoned: no commit, no abort
+    assert(stageDirs.nonEmpty, "the abandoned staging should linger")
+    val prevGrace = graft.cdc.TxLog.orphanGraceMs
+    graft.cdc.TxLog.orphanGraceMs = 0L
+    try {
+      val c = cat.stageCreate(orphanIdent, schema,
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        props)
+      assert(stageDirs.size == 1,
+        s"the aged orphan must be reclaimed: ${stageDirs.mkString(", ")}")
+      c.abortStagedChanges()
+    } finally graft.cdc.TxLog.orphanGraceMs = prevGrace
+    assert(stageDirs.isEmpty)
     sqlc("DROP TABLE gcat.ctas_ok")
     sqlc("DROP TABLE gcat.ctas_race")
   }

@@ -155,6 +155,34 @@ class RestoreSpec extends SparkSpec {
     assert(e.getMessage.contains("retention floor"))
   }
 
+  test("restore works on an SCD2 history and refuses across its " +
+      "EXPIRE HISTORY floor") {
+    val dir = tmpDir("restore-scd2") + "/t"
+    Scd2.init((1L to 10L).map(i => (i, s"v0-$i", 1L, false))
+        .toDF("id", "payload", "version", "deleted"),
+      dir, "id", "version", "deleted", nBuckets = 2)
+    Scd2.merge(spark, dir,
+      Seq((1L, "v1-1", 5L, false))
+        .toDF("id", "payload", "version", "deleted"))
+    val preExpire = TxLog.latestVersion(spark, dir).get
+    val rowsPreExpire = Scd2.read(spark, dir).count()
+    // the floor commits (drops the closed v0 interval of key 1) and
+    // keeps history so the pre-expire manifest is still on disk
+    val dropped = Scd2.expireHistoryBefore(spark, dir, 5L,
+      retainHistory = true)
+    assert(dropped > 0L)
+    val e = intercept[IllegalStateException] {
+      Compaction.restore(spark, dir, preExpire)
+    }
+    assert(e.getMessage.contains("retention floor"))
+    // restoring WITHIN the floor (to the expire commit itself) is the
+    // no-op boundary and still answers
+    assert(Compaction.restore(spark, dir,
+      TxLog.latestVersion(spark, dir).get) ==
+      TxLog.latestVersion(spark, dir).get)
+    assert(Scd2.read(spark, dir).count() == rowsPreExpire - dropped)
+  }
+
   test("feed semantics: numbering stays monotone through one empty " +
       "reserved batch, the epoch bumps, raw feed reads are unaffected") {
     val dir = tmpDir("restore-feed") + "/t"
