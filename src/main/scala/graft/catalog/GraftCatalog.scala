@@ -393,23 +393,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // `.stage-<txn>` dir behind — storage hygiene, never a phantom
   // table (no redirect or final dir is ever written before commit).
 
-  override def stageCreate(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String])
-      : org.apache.spark.sql.connector.catalog.StagedTable = {
-    if (isTable(ident)) throw new TableAlreadyExistsException(ident)
-    require(!prop(properties, TableCatalog.PROP_PROVIDER)
-        .exists(_.equalsIgnoreCase("scd2")),
-      "CTAS USING scd2 is not supported: an SCD2 history's state is " +
-        "built by Scd2.merge, not a one-shot SELECT")
-    val location = prop(properties, TableCatalog.PROP_LOCATION)
-    val finalDir = location.getOrElse(managedDir(ident))
-    val stageDir =
-      s"$finalDir.stage-${java.util.UUID.randomUUID().toString.take(8)}"
-    // reclaim aged ORPHAN stagings of this identifier (a crashed JVM
-    // leaves one behind — storage hygiene, never a phantom table):
-    // same grace the TxLog sweep grants in-flight writers, so a live
-    // concurrent CTAS's staging is never yanked
+  /** Reclaim aged ORPHAN stagings of this identifier (a crashed JVM
+    * leaves one behind — storage hygiene, never a phantom table):
+    * same grace the TxLog sweep grants in-flight writers, so a live
+    * concurrent CTAS/REPLACE staging is never yanked. Returns a fresh
+    * writer-unique staging path next to `finalDir`.
+    */
+  private def newStageDir(finalDir: String): String = {
     TxLog.hygiene {
       val f = TxLog.fs(spark, finalDir)
       val parent = new Path(finalDir).getParent
@@ -422,6 +412,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             f.delete(st.getPath, true)
         }
     }
+    s"$finalDir.stage-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (isTable(ident)) throw new TableAlreadyExistsException(ident)
+    require(!prop(properties, TableCatalog.PROP_PROVIDER)
+        .exists(_.equalsIgnoreCase("scd2")),
+      "CTAS USING scd2 is not supported: an SCD2 history's state is " +
+        "built by Scd2.merge, not a one-shot SELECT")
+    val location = prop(properties, TableCatalog.PROP_LOCATION)
+    val finalDir = location.getOrElse(managedDir(ident))
+    val stageDir = newStageDir(finalDir)
     // the SAME parse CREATE TABLE performs (parseDdl), pointed at the
     // staging dir — CTAS and CREATE can never drift semantically
     val ddl = parseDdl(partitions, properties)
@@ -431,14 +436,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new StagedGraftTable(ident, stageDir, finalDir, location)
   }
 
+  // ----- atomic RTAS (r14) ------------------------------------------
+  //
+  // REPLACE TABLE / CREATE OR REPLACE ... AS SELECT: the replacement
+  // is staged as a complete table under `<dir>.stage-<txn>` (same
+  // machinery as CTAS — invisible, its own manifests), and commit
+  // ADOPTS it into the live table's manifest log as one OCC commit
+  // (Compaction.replaceWith): op=replace, new schema/keys/layout from
+  // the staged DDL, history kept readable (VERSION AS OF), feed
+  // numbering carried + feed_epoch bumped so checkpointed consumers
+  // fence and re-seed, and a `lineage_floor` RESTORE refuses to
+  // cross. A crash anywhere before the manifest CAS leaves the OLD
+  // table fully intact; a mid-write failure aborts the staging and
+  // nothing was ever visible.
+
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String])
-      : org.apache.spark.sql.connector.catalog.StagedTable =
-    throw new UnsupportedOperationException(
-      "REPLACE TABLE is not supported on graft tables — the manifest " +
-        "IS the replaceable state: MERGE/UPDATE the table, or DROP " +
-        "and CREATE ... AS SELECT")
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!isTable(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .CannotReplaceMissingTableException(ident)
+    val dir = tableDir(ident)
+    requireMergeTable(dir)
+    require(!prop(properties, TableCatalog.PROP_PROVIDER)
+        .exists(_.equalsIgnoreCase("scd2")),
+      "REPLACE ... USING scd2 is not supported: an SCD2 history's " +
+        "state is built by Scd2.merge, not a one-shot SELECT")
+    // REPLACE re-defines contents and parameters, never placement
+    prop(properties, TableCatalog.PROP_LOCATION).foreach(loc =>
+      require(loc.stripSuffix("/") == dir.stripSuffix("/"),
+        s"REPLACE TABLE cannot move a table: ${fullName(ident)} " +
+          s"lives at $dir, REPLACE declared LOCATION '$loc'"))
+    val stageDir = newStageDir(dir)
+    val ddl = parseDdl(partitions, properties)
+    // the staging writes with feed OFF: replacement rows never emit
+    // as feed events (consumers are fenced by the epoch bump at
+    // commit and re-seed from the replaced state); the DDL's feed
+    // opt-in applies at the replace commit
+    Compaction.initEmpty(spark, stageDir, schema, ddl.keys,
+      ddl.versionCol, ddl.deleteCol, ddl.nBuckets, ddl.clusterBy,
+      feed = false, ddl.timePartition)
+    new StagedReplaceTable(ident, stageDir, dir, ddl.feed)
+  }
+
+  private final class StagedReplaceTable(ident: Identifier,
+      stageDir: String, finalDir: String, feed: Boolean)
+      extends org.apache.spark.sql.connector.catalog.StagedTable
+      with SupportsWrite {
+    private val inner = new GraftTable(fullName(ident), stageDir, None)
+    override def name(): String = inner.name()
+    override def schema(): StructType = inner.schema()
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      inner.capabilities()
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      inner.newWriteBuilder(info)
+    override def commitStagedChanges(): Unit = {
+      TxLog.invalidate(stageDir)
+      Compaction.replaceWith(spark, finalDir, stageDir, feed)
+      TxLog.invalidate(finalDir)
+    }
+    override def abortStagedChanges(): Unit = {
+      TxLog.invalidate(stageDir)
+      TxLog.fs(spark, stageDir).delete(new Path(stageDir), true)
+    }
+  }
 
   override def stageCreateOrReplace(ident: Identifier,
       schema: StructType, partitions: Array[Transform],

@@ -1804,7 +1804,9 @@ object Compaction {
         k == "tp_min" || k == "tp_evolved" ||
         // the restore-bumped feed epoch survives every later rewrite:
         // dropping it would silently re-arm epoch-fenced consumers
-        k == "feed_epoch"
+        k == "feed_epoch" ||
+        // the replace-lineage floor is a durable restore fence
+        k == "lineage_floor"
     }
 
   /** Whether the table opted into the change data feed
@@ -2213,7 +2215,15 @@ object Compaction {
     */
   def readAsOf(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val live = loadMeta(spark, dir)
-    val old = live.copy(snap = TxLog.read(spark, dir, version))
+    val pinned = TxLog.read(spark, dir, version)
+    // pre-REPLACE versions read under their OWN meta (schema, keys,
+    // bucket count): the live table was re-defined by the replace, so
+    // "read old data in the current schema" — the right call for
+    // plain evolution — would describe a different table entirely
+    val old =
+      if (live.snap.prop("lineage_floor").map(_.toLong)
+          .exists(version < _)) metaOf(pinned)
+      else live.copy(snap = pinned)
     storedData(spark, dir, old).drop("bucket")
   }
 
@@ -2272,6 +2282,16 @@ object Compaction {
       require(version >= 0 && version < cur.version,
         s"cannot restore to v$version: the table is at v${cur.version}")
       val target = TxLog.read(spark, dir, version)
+      // a REPLACE TABLE re-defined the table (schema/keys/layout may
+      // all differ, and its feed fence already told consumers the old
+      // lineage ended): restoring BELOW it would splice the old
+      // lineage back under the new one's feed numbering. Pre-replace
+      // versions stay readable via VERSION AS OF.
+      cur.prop("lineage_floor").map(_.toLong).filter(version < _)
+        .foreach(fl => throw new IllegalStateException(
+          s"restore to v$version refused: REPLACE TABLE re-defined " +
+            s"the table at v$fl; pre-replace versions remain " +
+            "readable via VERSION AS OF"))
       Seq("tp_min" -> "RETIRE PARTITIONS",
           "expired_before" -> "EXPIRE HISTORY").foreach {
         case (k, opName) =>
@@ -2296,8 +2316,12 @@ object Compaction {
       feedBatch.foreach(n => stampFeedIntent(fs, txn.staging, n))
       val props = (target.props -- Seq("txn_id", "base_txn", "op",
           "feed_batch", "feed_txn", "feed", "feed_epoch",
-          "restored_from", "next_feed_batch") --
+          "restored_from", "next_feed_batch", "lineage_floor",
+          "replaced_from") --
           target.buckets.keys.map(b => s"bucket.$b")) ++
+        // the replace-lineage floor only ever advances: keep the
+        // CURRENT one (the target's, when set, is older or equal)
+        cur.prop("lineage_floor").map("lineage_floor" -> _).toMap ++
         // the feed OPT-IN is operational config, not state: keep the
         // current setting rather than silently re-toggling it to what
         // it was at version n
@@ -2336,6 +2360,143 @@ object Compaction {
     */
   def feedEpoch(spark: SparkSession, dir: String): Long =
     TxLog.latest(spark, dir).map(_.counter("feed_epoch")).getOrElse(0L)
+
+  /** REPLACE TABLE: adopt the fully-built staged table at `stageDir`
+    * (its own committed manifest + data generations, written invisibly
+    * by the atomic-RTAS staging of [[graft.catalog.GraftCatalog]]) as
+    * THIS table's next version, in ONE OCC manifest commit — the
+    * atomic `CREATE OR REPLACE ... AS SELECT` the reference's
+    * "recreate the export table" admin flow maps to
+    * (`/root/reference/app/database.py` drops and re-creates through
+    * the ORM; here the swap is a single commit, readers never observe
+    * a missing or half-replaced table).
+    *
+    * Semantics decided here (and spec-pinned):
+    *  - **Lineage carries.** The replace is an `op=replace` commit in
+    *    the SAME manifest log: pre-replace versions stay readable via
+    *    `VERSION AS OF` until a vacuum bounds them. But the replace is
+    *    also a lineage BREAK — `lineage_floor` = the replace version is
+    *    stamped (and carried by every later commit), and [[restore]]
+    *    refuses to cross it: a restore below the floor would splice the
+    *    old lineage back under the new one's feed numbering.
+    *  - **Table parameters are the NEW DDL's.** Keys, bucket count,
+    *    clustering, time partitions and schema all come from the staged
+    *    table's manifest; nothing of the old layout leaks through
+    *    (retention floors included — the promises they encoded were
+    *    about data this replace superseded, and the restore fence
+    *    above is what keeps them un-resurrectable).
+    *  - **Feed numbering carries; consumers fence.** A replace is the
+    *    ultimate backward state move, so (like [[restore]]) it cannot
+    *    be expressed as compensating events. On a table that ever
+    *    emitted feed batches the replace reserves and publishes one
+    *    EMPTY feed batch (numbering stays monotone; MvRewrite's
+    *    freshness fence serves the base until views re-seed) and bumps
+    *    `feed_epoch` (Replicator refuses until re-init; REFRESH
+    *    MATERIALIZED VIEW re-seeds). The replacement rows themselves
+    *    never appear as feed events — consumers re-seed from the
+    *    replaced state, they do not replay it. The feed OPT-IN is the
+    *    new DDL's (`feed` param).
+    *
+    * Crash atomicity: the staged generations are adopted (renamed)
+    * under this table's data root BEFORE the commit — until the
+    * manifest CAS lands, the old table is untouched and fully
+    * readable; a crash leaves the adopted dirs unreferenced (swept
+    * after the orphan grace, same as any install) and the staging dir
+    * reclaimed by the next CTAS/REPLACE of the name. A commit-vs-
+    * publish crash repairs through the same staged-intent feed
+    * protocol a merge's does.
+    */
+  def replaceWith(spark: SparkSession, dir: String, stageDir: String,
+      feed: Boolean): Long = {
+    TxLog.withOcc(spark, dir) {
+      val cur = TxLog.latest(spark, dir).getOrElse(throw new
+        IllegalArgumentException(s"no committed manifest under $dir " +
+          "— the table was dropped while the REPLACE staged; re-run " +
+          "(it will plan as a CREATE)"))
+      require(cur.prop("table_type").forall(_ == "merge"),
+        s"$dir is a ${cur.prop("table_type").getOrElse("merge")} " +
+          "table; REPLACE applies to merge tables only")
+      val staged = TxLog.latest(spark, stageDir).getOrElse(throw new
+        IllegalArgumentException(
+          s"no staged manifest under $stageDir"))
+      TxLog.sweep(spark, dir)
+      val fs = TxLog.fs(spark, dir)
+      val txn = new TableTxn(spark, dir, cur.version)
+      val emitsFeed = feedEnabled(cur) ||
+        cur.counter("next_feed_batch") > 0L
+      val feedBatch =
+        if (emitsFeed) Some(nextBatch(spark, dir, metaOf(cur)))
+        else None
+      feedBatch.foreach(n => stampFeedIntent(fs, txn.staging, n))
+      // adopt the staged generations under this table's data root:
+      // manifest bucket/delta paths are data-relative, so the staged
+      // bucket map resolves unchanged once the dirs move. Generation
+      // names embed a uuid — a collision is a loud refusal, never a
+      // silent overwrite.
+      val stagedData = new Path(s"$stageDir/data")
+      val adopted: Seq[(Path, Path)] =
+        if (!fs.exists(stagedData)) Nil
+        else {
+          fs.mkdirs(new Path(s"$dir/data"))
+          fs.listStatus(stagedData).toSeq.map { st =>
+            val dst = new Path(s"$dir/data/${st.getPath.getName}")
+            require(!fs.exists(dst),
+              s"replace adopt: generation name collision at $dst")
+            require(fs.rename(st.getPath, dst),
+              s"replace adopt rename failed: ${st.getPath} -> $dst")
+            (st.getPath, dst)
+          }
+        }
+      // same grace-clock re-stamp installAndCommit performs: the
+      // rename preserves the staging-era mtime, which could make the
+      // adopted (about-to-be-live) generations sweep-eligible in the
+      // adopt-to-commit window
+      TxLog.hygiene {
+        val now = System.currentTimeMillis()
+        adopted.foreach { case (_, dst) => fs.setTimes(dst, now, -1) }
+      }
+      val props = (staged.props -- Seq("txn_id", "base_txn", "op",
+          "feed_batch", "feed_txn", "feed", "feed_epoch",
+          "next_feed_batch", "restored_from", "lineage_floor",
+          "replaced_from") --
+          staged.buckets.keys.map(b => s"bucket.$b")) ++
+        (if (feed) Map("feed" -> "true") else Map.empty) ++
+        // feed batches already on disk carry the OLD schema (and
+        // possibly an old tp layout): keep the per-batch-schema feed
+        // read route armed, exactly as ALTER and RESTORE do
+        (if (cur.counter("next_feed_batch") > 0L ||
+            cur.prop("schema_altered").isDefined)
+          Map("schema_altered" -> "true") else Map.empty) ++
+        (if (cur.prop("tp_evolved").contains("true"))
+          Map("tp_evolved" -> "true") else Map.empty) ++
+        feedCommitProps(feedBatch, txn, cur) ++
+        (if (emitsFeed)
+          Map("feed_epoch" -> (cur.counter("feed_epoch") + 1L).toString)
+        else cur.prop("feed_epoch").map("feed_epoch" -> _).toMap) +
+        ("op" -> "replace") +
+        ("replaced_from" -> cur.version.toString) +
+        ("lineage_floor" -> txn.newVersion.toString)
+      try txn.installAndCommit(staged.buckets, props)
+      catch {
+        case e: TxLog.CommitConflict =>
+          // un-adopt so the OCC retry re-adopts against the new head
+          // (and a swept retry never leaves generations no manifest
+          // names)
+          TxLog.hygiene { adopted.foreach { case (src, dst) =>
+            fs.rename(dst, src) } }
+          throw e
+      }
+      feedBatch.foreach(n => publishFeed(fs, txn.staging, dir, n,
+        txn.newVersion, staged.props.getOrElse("schema_json", "{}"),
+        staged.prop("tp_unit")))
+      TxLog.hygiene {
+        txn.cleanup()
+        TxLog.invalidate(stageDir)
+        fs.delete(new Path(stageDir), true)
+      }
+      txn.newVersion
+    }
+  }
 
   /** Drop history versions below `keepFrom` (and, with `feedBefore`,
     * feed batches below it): the retention knob that bounds time-travel

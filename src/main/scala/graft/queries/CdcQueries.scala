@@ -766,6 +766,82 @@ object CdcQueries {
         FROM graftcat.ctas_t""")
     }),
 
+    // atomic RTAS (r14): CREATE OR REPLACE TABLE ... AS SELECT stages
+    // the replacement invisibly and ADOPTS it as ONE op=replace OCC
+    // commit in the SAME manifest log — history stays readable via
+    // VERSION AS OF, feed numbering carries (one reserved empty
+    // batch), feed_epoch bumps (the checkpointed-consumer fence), and
+    // a lineage_floor fences RESTORE. In-query: a poisoned replace
+    // first proves mid-write failure leaves the OLD table byte-for-
+    // byte intact; then the real replace swaps schema, key column AND
+    // bucket count. The oracle recomputes both observable states —
+    // the replacement's contents and the pre-replace snapshot —
+    // relationally from orders.
+    "sql_rtas_atomic" -> ((s, dir) => {
+      val wh = sys.props("java.io.tmpdir") + "/graft-cat-wh-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("DROP TABLE IF EXISTS graftcat.rtas_t")
+      s.sql("""CREATE TABLE graftcat.rtas_t (
+        id BIGINT, price DOUBLE, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='8', 'feed'='true')""")
+      Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"),
+          col("o_totalprice").cast("double").as("price"),
+          lit(0L).as("version"), lit(false).as("deleted"))
+        .createOrReplaceTempView("rtas_snap")
+      s.sql("INSERT INTO graftcat.rtas_t SELECT * FROM rtas_snap")
+      val tdir = s"$wh/rtas_t"
+      val vBefore = graft.cdc.TxLog.latestVersion(s, tdir).get
+      val epochBefore = graft.cdc.Compaction.feedEpoch(s, tdir)
+      // a mid-write failure must leave the OLD table intact — no
+      // version advance, no staging residue
+      s.udf.register("rtas_q_boom",
+        (i: Long) => if (i > 100) throw new RuntimeException("boom")
+          else i)
+      val failed =
+        try { s.sql("""CREATE OR REPLACE TABLE graftcat.rtas_t
+          TBLPROPERTIES ('keys'='id', 'buckets'='4')
+          AS SELECT id, rtas_q_boom(id) AS v, 0L AS version,
+            false AS deleted FROM range(1000)"""); false }
+        catch { case _: Exception => true }
+      require(failed, "the poisoned RTAS must fail")
+      require(graft.cdc.TxLog.latestVersion(s, tdir).get == vBefore,
+        "a failed RTAS must not advance the table")
+      // the real replace: new key column, schema and bucket count
+      Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+        .createOrReplaceTempView("rtas_src")
+      s.sql("""CREATE OR REPLACE TABLE graftcat.rtas_t
+        TBLPROPERTIES ('keys'='k', 'buckets'='4', 'feed'='true')
+        AS SELECT o_orderkey AS k,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+            CAST(2 AS DECIMAL(18,2)) AS DOUBLE) AS price2,
+          0L AS version, false AS deleted
+        FROM rtas_src""")
+      val snap = graft.cdc.TxLog.latest(s, tdir).get
+      require(snap.prop("op").contains("replace"),
+        s"expected an op=replace commit, got ${snap.prop("op")}")
+      require(graft.cdc.Compaction.feedEpoch(s, tdir) ==
+        epochBefore + 1L, "replace must bump the feed epoch")
+      require(snap.prop("lineage_floor")
+        .contains(snap.version.toString),
+        "replace must stamp the restore lineage floor")
+      val fs = graft.cdc.TxLog.fs(s, wh)
+      val residue = fs.listStatus(new org.apache.hadoop.fs.Path(wh))
+        .map(_.getPath.getName).filter(_.contains(".stage-"))
+      require(residue.isEmpty,
+        s"replace must leave no staging residue: ${residue.mkString(", ")}")
+      s.sql(s"""SELECT 'replaced' AS tag, count(*) AS n_keys,
+          CAST(SUM(CAST(price2 AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graftcat.rtas_t
+        UNION ALL
+        SELECT 'pre_replace' AS tag, count(*) AS n_keys,
+          CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graftcat.rtas_t VERSION AS OF $vBefore""")
+    }),
+
     // write-side time travel (r12 verdict item 1): init (feed on) + a
     // BAD merge (retained history), then `RESTORE TABLE t TO VERSION 0`
     // through the SQL verb — ONE metadata-only commit re-pointing the
@@ -3025,6 +3101,20 @@ object CdcQueries {
       """SELECT count(*) AS n,
         |  CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+
+    // both observable RTAS states recompute relationally: the
+    // replacement's contents (odd-third keys, doubled price) and the
+    // pre-replace snapshot still served by VERSION AS OF (even keys)
+    "sql_rtas_atomic" ->
+      """SELECT 'replaced' AS tag, count(*) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice::DECIMAL(18,2) *
+        |    2.00::DECIMAL(18,2) AS DOUBLE)::DECIMAL(18,2)) AS DOUBLE)
+        |    AS total
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'pre_replace' AS tag, count(*) AS n_keys,
+        |  CAST(SUM(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
 
     // append-only min/max MV: the final state is latest-wins over
     // snapshot (even keys) + insert-only appends (odd keys) + the

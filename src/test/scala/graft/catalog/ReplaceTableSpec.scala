@@ -1,0 +1,205 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.cdc.{Compaction, TxLog}
+
+/** Atomic REPLACE TABLE / CREATE OR REPLACE ... AS SELECT (r14):
+  * the replacement stages as a complete invisible table and commits
+  * as ONE OCC manifest commit (op=replace) in the SAME manifest log —
+  * history stays readable, feed numbering carries, `feed_epoch` fences
+  * consumers, and RESTORE refuses to cross the `lineage_floor`.
+  */
+class ReplaceTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("graft-replace-wh")
+    spark.conf.set("spark.sql.catalog.rcat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rcat.warehouse", w)
+    w
+  }
+
+  private def sqlc(q: String) = { warehouse; spark.sql(q) }
+
+  private def stageDirs = {
+    val f = TxLog.fs(spark, warehouse)
+    f.listStatus(new org.apache.hadoop.fs.Path(warehouse))
+      .map(_.getPath.getName).filter(_.contains(".stage-"))
+  }
+
+  test("RTAS replaces contents, parameters and schema atomically; " +
+      "history and feed numbering carry; epoch fences") {
+    sqlc("""CREATE TABLE rcat.rt (
+        id BIGINT, name STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='8', 'feed'='true')""")
+    sqlc("""INSERT INTO rcat.rt
+        SELECT id, concat('u', id), 0L, false FROM range(50)""")
+    val dir = s"$warehouse/rt"
+    val epochBefore = Compaction.feedEpoch(spark, dir)
+    val batchBefore = TxLog.latest(spark, dir).get
+      .counter("next_feed_batch")
+    assert(batchBefore > 0L, "the insert should have emitted a batch")
+    val versionBefore = TxLog.latestVersion(spark, dir).get
+
+    // replace with a DIFFERENT schema, key set and bucket count
+    sqlc("""CREATE OR REPLACE TABLE rcat.rt
+        TBLPROPERTIES ('keys'='k', 'buckets'='4', 'feed'='true')
+        AS SELECT id AS k, id * 2 AS doubled, 0L AS version,
+          false AS deleted FROM range(10)""")
+
+    // contents and schema are the replacement's
+    assert(sqlc("SELECT * FROM rcat.rt").columns.toSeq ==
+      Seq("k", "doubled", "version", "deleted"))
+    assert(sqlc("SELECT count(*) AS n FROM rcat.rt")
+      .as[Long].head() == 10L)
+    assert(sqlc("SELECT doubled FROM rcat.rt WHERE k = 3")
+      .as[Long].head() == 6L)
+    // new parameters took (keys/buckets from the replacing DDL)
+    val (keys, _, _, nBuckets) = Compaction.readMeta(spark, dir)
+    assert(keys == "k" && nBuckets == 4)
+
+    // ONE replace commit on the same log; pre-replace state readable
+    val snap = TxLog.latest(spark, dir).get
+    assert(snap.prop("op").contains("replace"))
+    assert(snap.version == versionBefore + 1)
+    assert(snap.prop("lineage_floor").contains(snap.version.toString))
+    val old = sqlc(
+      s"SELECT count(*) AS n FROM rcat.rt VERSION AS OF $versionBefore")
+    assert(old.as[Long].head() == 50L,
+      "pre-replace versions must stay readable via VERSION AS OF")
+    assert(Compaction.history(spark, dir)
+      .select("operation").as[String].collect().contains("replace"))
+
+    // feed: numbering stayed monotone (one reserved EMPTY batch),
+    // epoch bumped exactly once — the checkpointed-consumer fence
+    assert(Compaction.feedEpoch(spark, dir) == epochBefore + 1L)
+    val batchAfter = snap.counter("next_feed_batch")
+    assert(batchAfter == batchBefore + 1L,
+      s"expected one reserved empty batch ($batchBefore -> $batchAfter)")
+    val fs = TxLog.fs(spark, dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/feed/batch=$batchBefore")),
+      "the fence batch must be published")
+    assert(stageDirs.isEmpty, stageDirs.mkString(", "))
+
+    // writes continue on the replaced table (new merge on new keys)
+    sqlc("INSERT INTO rcat.rt SELECT 3L, 99L, 1L, false")
+    assert(sqlc("SELECT doubled FROM rcat.rt WHERE k = 3")
+      .as[Long].head() == 99L)
+    // lineage floor carried through the later merge
+    assert(TxLog.latest(spark, dir).get.prop("lineage_floor")
+      .contains(snap.version.toString))
+  }
+
+  test("RESTORE refuses to cross a REPLACE boundary; at/above it works") {
+    sqlc("""CREATE TABLE rcat.rfence (
+        id BIGINT, v BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("INSERT INTO rcat.rfence SELECT id, id, 0L, false FROM range(5)")
+    val dir = s"$warehouse/rfence"
+    sqlc("""CREATE OR REPLACE TABLE rcat.rfence
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')
+        AS SELECT id, id * 10 AS v, 0L AS version, false AS deleted
+        FROM range(5)""")
+    val floor = TxLog.latestVersion(spark, dir).get
+    sqlc("INSERT INTO rcat.rfence SELECT 1L, 999L, 1L, false")
+    // below the floor: refused with the replace named
+    val e = intercept[IllegalStateException] {
+      Compaction.restore(spark, dir, floor - 1)
+    }
+    assert(e.getMessage.contains("REPLACE TABLE"), e.getMessage)
+    // at the floor (the replace commit itself): fine, undoes the merge
+    Compaction.restore(spark, dir, floor)
+    assert(sqlc("SELECT v FROM rcat.rfence WHERE id = 1")
+      .as[Long].head() == 10L)
+    // the floor survives the restore commit
+    assert(TxLog.latest(spark, dir).get.prop("lineage_floor")
+      .contains(floor.toString))
+  }
+
+  test("a mid-write failure aborts: old table intact, no residue") {
+    sqlc("""CREATE TABLE rcat.rcrash (
+        id BIGINT, v BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("INSERT INTO rcat.rcrash SELECT id, id, 0L, false FROM range(20)")
+    val dir = s"$warehouse/rcrash"
+    val versionBefore = TxLog.latestVersion(spark, dir).get
+    spark.udf.register("replace_boom",
+      (i: Long) => if (i > 100) throw new RuntimeException("boom")
+        else i)
+    val failed = try {
+      sqlc("""CREATE OR REPLACE TABLE rcat.rcrash
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')
+        AS SELECT id, replace_boom(id) AS v, 0L AS version,
+          false AS deleted FROM range(1000)""")
+      false
+    } catch { case _: Exception => true }
+    assert(failed, "the poisoned RTAS must fail")
+    // the OLD table is untouched and fully readable
+    assert(TxLog.latestVersion(spark, dir).get == versionBefore)
+    assert(sqlc("SELECT count(*) AS n FROM rcat.rcrash")
+      .as[Long].head() == 20L)
+    assert(stageDirs.isEmpty,
+      s"abort must reclaim the staging: ${stageDirs.mkString(", ")}")
+  }
+
+  test("plain REPLACE TABLE (no AS SELECT) replaces with an empty table") {
+    sqlc("""CREATE TABLE rcat.rempty (
+        id BIGINT, v BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    sqlc("INSERT INTO rcat.rempty SELECT id, id, 0L, false FROM range(9)")
+    sqlc("""REPLACE TABLE rcat.rempty (
+        id BIGINT, s STRING, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='2')""")
+    assert(sqlc("SELECT * FROM rcat.rempty").columns.toSeq ==
+      Seq("id", "s", "version", "deleted"))
+    assert(sqlc("SELECT count(*) AS n FROM rcat.rempty")
+      .as[Long].head() == 0L)
+    val snap = TxLog.latest(spark, s"$warehouse/rempty").get
+    assert(snap.prop("op").contains("replace"))
+  }
+
+  test("REPLACE of a missing table refuses; guards hold") {
+    // REPLACE TABLE of a table that does not exist
+    val e = intercept[Exception] {
+      sqlc("""REPLACE TABLE rcat.rmissing (
+        id BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id')""")
+    }
+    assert(e.getMessage.toLowerCase.contains("replace") ||
+      e.getMessage.toLowerCase.contains("not"), e.getMessage)
+    assert(!spark.catalog.tableExists("rcat.rmissing"))
+    // CREATE OR REPLACE of a missing table creates it
+    sqlc("""CREATE OR REPLACE TABLE rcat.rnew
+        TBLPROPERTIES ('keys'='id', 'buckets'='2')
+        AS SELECT id, 0L AS version, false AS deleted FROM range(3)""")
+    assert(sqlc("SELECT count(*) AS n FROM rcat.rnew")
+      .as[Long].head() == 3L)
+    // moving the table with a LOCATION clause refuses
+    val loc = tmpDir("graft-replace-elsewhere")
+    val e2 = intercept[Exception] {
+      sqlc(s"""CREATE OR REPLACE TABLE rcat.rnew
+        TBLPROPERTIES ('keys'='id', 'buckets'='2')
+        LOCATION '$loc'
+        AS SELECT id, 0L AS version, false AS deleted FROM range(3)""")
+    }
+    assert(e2.getMessage.contains("cannot move"), e2.getMessage)
+  }
+
+  test("replace on a table that never emitted feed reserves no batch") {
+    sqlc("""CREATE TABLE rcat.rnofeed (
+        id BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='2')""")
+    val dir = s"$warehouse/rnofeed"
+    sqlc("""CREATE OR REPLACE TABLE rcat.rnofeed
+        TBLPROPERTIES ('keys'='id', 'buckets'='2')
+        AS SELECT id, 0L AS version, false AS deleted FROM range(4)""")
+    val snap = TxLog.latest(spark, dir).get
+    assert(snap.counter("next_feed_batch") == 0L)
+    assert(snap.counter("feed_epoch") == 0L)
+    assert(!TxLog.fs(spark, dir)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/feed")))
+  }
+}
