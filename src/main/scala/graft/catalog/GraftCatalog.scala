@@ -98,6 +98,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def redirectPath(ident: Identifier) =
     new Path(managedDir(ident), ".location")
 
+  /** Durable publish-intent marker for an external-LOCATION CTAS
+    * (r14): the publish is rename-then-redirect across two
+    * filesystems, and a crash between the two used to strand committed
+    * data at the LOCATION with no catalog entry. The intent (written
+    * BEFORE the rename, warehouse side) plus a `.publish-<txn>` marker
+    * that rides the rename let [[completeCrashedPublish]] finish the
+    * redirect — the feed publisher's own staged-intent pattern.
+    */
+  private def intentPath(ident: Identifier) =
+    new Path(managedDir(ident), ".location-intent")
+
+  /** Complete (or retire) a crashed external-LOCATION CTAS publish.
+    * Three states the intent can witness:
+    *  - rename landed, redirect missing → the crash window: write the
+    *    redirect (the committed table at LOCATION becomes this
+    *    identifier, exactly as the crashed CTAS intended), drop the
+    *    marker and the intent;
+    *  - redirect present → the normal path's cleanup lost a race:
+    *    drop the stale intent;
+    *  - rename never happened → leave it until the writer grace
+    *    expires (a LIVE writer is mid-publish), then drop it — the
+    *    markerless staging is reclaimed by the `.stage-` sweep.
+    * Invoked on the table-resolution miss path and before any new
+    * CTAS/REPLACE staging of the name; pure metadata, hygiene-safe.
+    */
+  private def completeCrashedPublish(ident: Identifier): Unit =
+    TxLog.hygiene {
+      val wf = TxLog.fs(spark, warehouse)
+      val ip = intentPath(ident)
+      if (wf.exists(ip)) {
+        val st = wf.getFileStatus(ip)
+        val in = wf.open(ip)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList
+          finally in.close()
+        lines.map(_.trim).filter(_.nonEmpty) match {
+          case loc :: txn :: Nil =>
+            val lf = TxLog.fs(spark, loc)
+            val marker = new Path(loc, s".publish-$txn")
+            if (wf.exists(redirectPath(ident))) {
+              wf.delete(ip, false)
+              lf.delete(marker, false)
+            } else if (lf.exists(marker) &&
+                TxLog.latestVersion(spark, loc).isDefined) {
+              val out = wf.create(redirectPath(ident), true)
+              try out.write(loc.getBytes("UTF-8")) finally out.close()
+              lf.delete(marker, false)
+              wf.delete(ip, false)
+              TxLog.invalidate(loc)
+            } else if (System.currentTimeMillis() -
+                st.getModificationTime > TxLog.orphanGraceMs) {
+              wf.delete(ip, false)
+            }
+          case _ => wf.delete(ip, false) // unreadable: never completable
+        }
+      }
+    }
+
   /** The table's data directory: the managed path, unless a
     * `.location` redirect (written by CREATE ... LOCATION) points at
     * an external one.
@@ -163,9 +222,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * clear message, their maintenance stays with their own APIs).
     */
   override def loadTable(ident: Identifier): Table = {
-    if (!isTable(ident))
-      return metaTableOf(ident).getOrElse(
-        throw new NoSuchTableException(ident))
+    if (!isTable(ident)) {
+      // miss path only (one exists() probe): a crashed external-CTAS
+      // publish completes here, so the first SELECT after the crash
+      // already sees the committed table — no retry or manual attach
+      completeCrashedPublish(ident)
+      if (!isTable(ident))
+        return metaTableOf(ident).getOrElse(
+          throw new NoSuchTableException(ident))
+    }
     val dir = tableDir(ident)
     tableTypeOf(dir) match {
       case "merge" => new GraftTable(fullName(ident), dir, None)
@@ -237,7 +302,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private final case class TableDdl(
       timePartition: Option[(String, String)], keys: Seq[String],
       versionCol: String, deleteCol: String, nBuckets: Int,
-      clusterBy: Seq[String], feed: Boolean)
+      clusterBy: Seq[String], feed: Boolean, ndvP: Option[Int])
 
   private def parseDdl(partitions: Array[Transform],
       properties: util.Map[String, String]): TableDdl = {
@@ -274,7 +339,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       prop(properties, "cluster_by")
         .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
         .getOrElse(Nil),
-      prop(properties, "feed").exists(_.toBoolean))
+      prop(properties, "feed").exists(_.toBoolean),
+      // 'ndv_p': cluster-column NDV sketch precision (4-12, default 6
+      // ~13% stderr) — fixed at CREATE (register widths must agree
+      // across buckets; see Compaction.ndvPOf)
+      prop(properties, "ndv_p").map(_.toInt))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -283,7 +352,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(ident)) throw new TableAlreadyExistsException(ident)
     val ddl = parseDdl(partitions, properties)
     val TableDdl(timePartition, keys, versionCol, deleteCol, nBuckets,
-      clusterBy, feed) = ddl
+      clusterBy, feed, ndvP) = ddl
     val location = prop(properties, TableCatalog.PROP_LOCATION)
     val dir = location.getOrElse(managedDir(ident))
     // `CREATE TABLE h (...) USING scd2` — the SQL form for a
@@ -365,7 +434,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     } else {
       Compaction.initEmpty(spark, dir, schema, keys, versionCol,
-        deleteCol, nBuckets, clusterBy, feed, timePartition)
+        deleteCol, nBuckets, clusterBy, feed, timePartition, ndvP)
     }
     location.foreach { loc =>
       // external attach: persist the redirect under the managed path
@@ -419,6 +488,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
+    completeCrashedPublish(ident)
     if (isTable(ident)) throw new TableAlreadyExistsException(ident)
     require(!prop(properties, TableCatalog.PROP_PROVIDER)
         .exists(_.equalsIgnoreCase("scd2")),
@@ -432,7 +502,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ddl = parseDdl(partitions, properties)
     Compaction.initEmpty(spark, stageDir, schema, ddl.keys,
       ddl.versionCol, ddl.deleteCol, ddl.nBuckets, ddl.clusterBy,
-      ddl.feed, ddl.timePartition)
+      ddl.feed, ddl.timePartition, ddl.ndvP)
     new StagedGraftTable(ident, stageDir, finalDir, location)
   }
 
@@ -454,6 +524,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
+    completeCrashedPublish(ident)
     if (!isTable(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .CannotReplaceMissingTableException(ident)
@@ -476,7 +547,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // opt-in applies at the replace commit
     Compaction.initEmpty(spark, stageDir, schema, ddl.keys,
       ddl.versionCol, ddl.deleteCol, ddl.nBuckets, ddl.clusterBy,
-      feed = false, ddl.timePartition)
+      feed = false, ddl.timePartition, ddl.ndvP)
     new StagedReplaceTable(ident, stageDir, dir, ddl.feed)
   }
 
@@ -517,6 +588,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       extends org.apache.spark.sql.connector.catalog.StagedTable
       with SupportsWrite {
     private val inner = new GraftTable(fullName(ident), stageDir, None)
+    private val pubTxn =
+      stageDir.drop(stageDir.lastIndexOf(".stage-") + 7)
     override def name(): String = inner.name()
     override def schema(): StructType = inner.schema()
     override def capabilities(): util.Set[
@@ -545,24 +618,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       if (f.exists(dst)) f.delete(dst, false)
       f.mkdirs(dst.getParent)
+      // external LOCATION: the publish is rename-then-redirect across
+      // two filesystems. Stamp the durable INTENT first (warehouse
+      // side) plus a marker that RIDES the rename, so a crash between
+      // the two completes through completeCrashedPublish instead of
+      // stranding committed data with no catalog entry (r14; was a
+      // documented loud-refusal window in r13).
+      location.foreach { loc =>
+        f.create(new Path(stageDir, s".publish-$pubTxn"), true).close()
+        val wf = TxLog.fs(spark, warehouse)
+        wf.mkdirs(new Path(managedDir(ident)))
+        val out = wf.create(intentPath(ident), true)
+        try out.write(s"$loc\n$pubTxn".getBytes("UTF-8"))
+        finally out.close()
+      }
       require(f.rename(new Path(stageDir), dst),
         s"CTAS publish rename failed: $stageDir -> $finalDir")
       TxLog.invalidate(finalDir)
-      // the redirect lives under the WAREHOUSE (its own fs). A crash
-      // between the rename and this write strands committed data at
-      // the LOCATION with no catalog entry — the retry refuses with
-      // TableAlreadyExists and the operator attaches with CREATE ...
-      // LOCATION (the same recovery the non-CTAS external path has).
+      GraftCatalog.afterPublishRename() // test-only crash injection
       location.foreach { loc =>
         val wf = TxLog.fs(spark, warehouse)
         wf.mkdirs(new Path(managedDir(ident)))
         val out = wf.create(redirectPath(ident), true)
         try out.write(loc.getBytes("UTF-8")) finally out.close()
+        TxLog.hygiene {
+          f.delete(new Path(finalDir, s".publish-$pubTxn"), false)
+          wf.delete(intentPath(ident), false)
+        }
       }
     }
     override def abortStagedChanges(): Unit = {
       TxLog.invalidate(stageDir)
       TxLog.fs(spark, stageDir).delete(new Path(stageDir), true)
+      // drop the intent ONLY when the publish rename never happened
+      // (the marker died with the staging we just deleted). After the
+      // rename the data IS committed at the LOCATION and the intent is
+      // the recovery vehicle — completeCrashedPublish finishes the
+      // redirect on the next resolution of the name.
+      TxLog.hygiene {
+        if (!TxLog.fs(spark, finalDir)
+            .exists(new Path(finalDir, s".publish-$pubTxn")))
+          TxLog.fs(spark, warehouse).delete(intentPath(ident), false)
+      }
     }
   }
 
@@ -607,6 +704,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case p: TableChange.SetProperty if p.property() == "feed" =>
         Compaction.setFeedEnabled(spark, dir, p.value().toBoolean)
         None
+      case p: TableChange.SetProperty if p.property() == "ndv_p" =>
+        throw new UnsupportedOperationException(
+          "ndv_p is fixed at CREATE: the per-bucket NDV sketches " +
+            "merge register-wise, so every bucket's register width " +
+            "must agree — changing precision needs a full rewrite " +
+            "(CREATE OR REPLACE ... AS SELECT with the new ndv_p)")
       case _: TableChange.SetProperty => None // no-op touch
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support $other")
@@ -714,6 +817,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       f.delete(p, true)
     }
   }
+}
+
+object GraftCatalog {
+  /** Test-only failpoint: invoked right after an external-LOCATION
+    * CTAS's publish rename, before the warehouse redirect write —
+    * crash-injection specs throw here to exercise
+    * `completeCrashedPublish`.
+    */
+  private[catalog] var afterPublishRename: () => Unit = () => ()
 }
 
 /** One maintained table resolved through [[GraftCatalog]] —
@@ -1106,8 +1218,16 @@ private[catalog] final class GraftWriteBuilder(dir: String,
                 "re-CREATE the table")
             val clusterBy = snap.prop("cluster_by")
               .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+            // EVERY declared table parameter survives the re-init:
+            // the time-partition spec and sketch precision are part
+            // of the table's DDL, not of the data being replaced
+            // (dropping tp silently de-partitioned the table, r14)
+            val tp = for { u <- snap.prop("tp_unit");
+              c <- snap.prop("tp_col") } yield (u, c)
             Compaction.init(aligned, dir, keyProp.split(",").toSeq,
-              versionCol, deleteCol, nBuckets, clusterBy)
+              versionCol, deleteCol, nBuckets, clusterBy,
+              feed = false, timePartition = tp,
+              ndvP = snap.prop("ndv_p").map(_.toInt))
           } else {
             // catalog tables keep history: VERSION AS OF serves every
             // commit until an explicit Compaction.vacuum bounds it

@@ -275,7 +275,7 @@ object AggView {
         staged.map(b => b -> txn.bucketRel(b)).toMap,
         coreProps(keys, valueCol, newNBuckets,
           s.props("last_batch_id").toLong, s.props("schema_json"),
-          hasMinMax(s)))
+          hasMinMax(s)) ++ Compaction.fenceProps(s))
       TxLog.hygiene {
         txn.cleanup()
         if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
@@ -422,7 +422,7 @@ object AggView {
         (s.buckets -- dirty) ++ staged.map(b => b -> txn.bucketRel(b)).toMap,
         coreProps(keys, valueCol, nBuckets,
           s.props("last_batch_id").toLong, s.props("schema_json"),
-          hasMinMax(s)) ++ carried)
+          hasMinMax(s)) ++ Compaction.fenceProps(s) ++ carried)
       TxLog.hygiene {
         txn.cleanup()
         if (!retainHistory) TxLog.vacuum(spark, dir, txn.newVersion)
@@ -556,7 +556,8 @@ object AggView {
     // commits a manifest: the fence must advance exactly-once too)
     txn.installAndCommit(newBuckets,
       coreProps(keys, valueCol, nBuckets, batchId,
-        s.props("schema_json"), hasMinMax(s)) ++ extraProps)
+        s.props("schema_json"), hasMinMax(s)) ++
+        Compaction.fenceProps(s) ++ extraProps)
     TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(applied = true, touched)
   }

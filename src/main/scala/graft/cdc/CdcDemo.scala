@@ -373,6 +373,108 @@ object CdcDemo {
       s"(version-ordered consumers fenced), bad version still " +
       s"auditable=${Compaction.readAsOf(spark, rstDir, 1)
         .filter($"payload" === "CORRUPTED").count() == 200}")
+
+    // round 14: (1) an append-only MIN/MAX view's full lifecycle —
+    // serve from vmin/vmax partials, refuse + durably invalidate on
+    // the first retraction, ALTER ... REBUILD re-seeds from the
+    // current base; (2) a composed year+month equality tightens to
+    // ONE time partition; (3) CREATE OR REPLACE ... AS SELECT swaps
+    // the table in one op=replace commit with history intact.
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, lit}
+    val mmBase = s"$root/mm-base"
+    Compaction.init(
+      (1L to 300L).map(i => (i, i % 5, i.toDouble / 2, 0L, false))
+        .toDF("id", "grp", "amount", "version", "deleted"),
+      mmBase, Seq("id"), "version", "deleted", nBuckets = 8,
+      clusterBy = Nil, feed = true)
+    graft.plans.GraftTables.register(spark, "demo_mm_base", mmBase)
+    graft.plans.GraftTables.sql(spark,
+      """CREATE MATERIALIZED VIEW demo_mm_v AS
+        SELECT grp, count(*) AS cnt, sum(amount) AS total,
+          min(amount) AS vmin, max(amount) AS vmax
+        FROM demo_mm_base GROUP BY grp""")
+    def mmAgg = {
+      val df = spark.table("demo_mm_base").groupBy($"grp")
+        .agg(fmin($"amount".cast("decimal(18,2)")).as("mn"),
+          fmax($"amount".cast("decimal(18,2)")).as("mx"),
+          count($"amount".cast("decimal(18,2)")).as("nn"),
+          count(lit(1)).as("n"))
+      df.queryExecution.optimizedPlan
+      df
+    }
+    val mmServed = graft.plans.Mv.readsView(mmAgg,
+      s"$mmBase/_mv/demo_mm_v")
+    // the first retraction (an UPDATE of key 5 — a pre-image event)
+    Compaction.merge(spark, mmBase,
+      Seq((5L, 0L, 999.0, 1L, false))
+        .toDF("id", "grp", "amount", "version", "deleted"),
+      retainHistory = true)
+    graft.plans.GraftTables.refresh(spark, "demo_mm_base")
+    val mmRefused =
+      try { graft.plans.GraftTables.sql(spark,
+        "REFRESH MATERIALIZED VIEW demo_mm_v"); false }
+      catch { case _: Exception => true }
+    val mmInvalid = !graft.plans.Mv.readsView(mmAgg,
+      s"$mmBase/_mv/demo_mm_v")
+    graft.plans.GraftTables.sql(spark,
+      "ALTER MATERIALIZED VIEW demo_mm_v REBUILD")
+    val mmServedAgain = graft.plans.Mv.readsView(mmAgg,
+      s"$mmBase/_mv/demo_mm_v")
+    val mmMax = mmAgg.filter($"grp" === 0L)
+      .select($"mx".cast("double")).as[Double].head()
+    println(s"mv-minmax: served=$mmServed -> retraction " +
+      s"refused=$mmRefused invalid=$mmInvalid -> REBUILD " +
+      f"served=$mmServedAgain (grp 0 max=$mmMax%.1f reflects the update)")
+
+    // composed calendar conjunction -> ONE _tp dir on the SQL route
+    val calDir = s"$root/cal-t"
+    Compaction.init(
+      (1L to 240L).map { i =>
+        (i, java.sql.Timestamp.valueOf(
+          f"2024-${1 + (i % 12).toInt}%02d-15 12:00:00"),
+          i.toDouble, 0L, false)
+      }.toDF("id", "ts", "v", "version", "deleted"),
+      calDir, Seq("id"), "version", "deleted", nBuckets = 4,
+      clusterBy = Nil, feed = false,
+      timePartition = Some("months" -> "ts"))
+    graft.plans.TimePredicateRewrite.ensureRegistered(spark)
+    graft.plans.MergePruning.ensureRegistered(spark)
+    graft.plans.GraftTables.register(spark, "demo_cal_t", calDir)
+    val marchQ = spark.sql("""SELECT count(*) AS n FROM demo_cal_t
+      WHERE year(ts) = 2024 AND month(ts) = 3""")
+    val calTps = marchQ.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => lr.relation match {
+        case fsr: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation =>
+          fsr.location.rootPaths.toSeq.flatMap(p =>
+            "_tp=([0-9]+)".r.findFirstMatchIn(p.toString)
+              .map(_.group(1).toInt))
+        case _ => Nil
+      }
+    }.flatten.toSet
+    println(s"calendar: year=2024 AND month=3 composed to ONE month " +
+      s"partition (reads ${calTps.size} _tp value(s)), rows=" +
+      marchQ.as[Long].head())
+
+    // atomic RTAS: one op=replace commit, history intact
+    spark.sql("DROP TABLE IF EXISTS demo.rt")
+    spark.sql("""CREATE TABLE demo.rt (
+      id BIGINT, v BIGINT, version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    spark.sql("INSERT INTO demo.rt SELECT id, id, 0L, false FROM range(60)")
+    spark.sql("""CREATE OR REPLACE TABLE demo.rt
+      TBLPROPERTIES ('keys'='k', 'buckets'='2')
+      AS SELECT id AS k, id * 10 AS tens, 0L AS version,
+        false AS deleted FROM range(12)""")
+    val rtNow = spark.sql("SELECT count(*) AS n FROM demo.rt")
+      .as[Long].head()
+    val rtOld = spark.sql(
+      "SELECT count(*) AS n FROM demo.rt VERSION AS OF 1")
+      .as[Long].head()
+    println(s"replace: CREATE OR REPLACE swapped schema+keys in one " +
+      s"op=replace commit -> now $rtNow rows, pre-replace VERSION AS " +
+      s"OF 1 still reads $rtOld rows")
     spark.stop()
   }
 }

@@ -480,9 +480,23 @@ object Compaction {
   def init(df: DataFrame, dir: String, keys: Seq[String],
       versionCol: String, deleteCol: String,
       nBuckets: Int, clusterBy: Seq[String],
-      feed: Boolean, timePartition: Option[(String, String)]): Unit = {
+      feed: Boolean, timePartition: Option[(String, String)]): Unit =
+    init(df, dir, keys, versionCol, deleteCol, nBuckets, clusterBy,
+      feed, timePartition, ndvP = None)
+
+  /** Full form with the declared NDV sketch precision (`ndvP`,
+    * 4–12; see [[ndvPOf]]) — the `ndv_p` table property's
+    * programmatic twin.
+    */
+  def init(df: DataFrame, dir: String, keys: Seq[String],
+      versionCol: String, deleteCol: String,
+      nBuckets: Int, clusterBy: Seq[String],
+      feed: Boolean, timePartition: Option[(String, String)],
+      ndvP: Option[Int]): Unit = {
     val spark = df.sparkSession
     require(nBuckets > 0, "nBuckets must be positive")
+    ndvP.foreach(v => require(v >= 4 && v <= 12,
+      s"ndv_p must be in [4, 12], got $v"))
     requireNoReserved(df.columns.toSeq, "table schema")
     Bucketing.encodeKeys(keys)
     keys.foreach(k => require(df.columns.contains(k),
@@ -526,8 +540,9 @@ object Compaction {
         (if (feed) Map("feed" -> "true") else Map.empty) ++
         timePartition.map { case (u, c) =>
           Map("tp_unit" -> u, "tp_col" -> c) }.getOrElse(Map.empty) ++
+        ndvP.map(v => Map("ndv_p" -> v.toString)).getOrElse(Map.empty) ++
         rowProps(stagedStats(spark, txn.staging, staged, versionCol,
-          clusterBy)) +
+          clusterBy, ndvP.getOrElse(HllP))) +
         ("op" -> "init"))
     txn.cleanup()
   }
@@ -544,8 +559,11 @@ object Compaction {
       versionCol: String, deleteCol: String,
       nBuckets: Int = 256, clusterBy: Seq[String] = Nil,
       feed: Boolean = false,
-      timePartition: Option[(String, String)] = None): Unit = {
+      timePartition: Option[(String, String)] = None,
+      ndvP: Option[Int] = None): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
+    ndvP.foreach(v => require(v >= 4 && v <= 12,
+      s"ndv_p must be in [4, 12], got $v"))
     requireNoReserved(schema.fieldNames.toSeq, "table schema")
     timePartition.foreach { case (u, c) =>
       tpValueOf(u, new java.sql.Timestamp(0L)) // validates the unit
@@ -574,7 +592,8 @@ object Compaction {
         schema.json, clusterBy) ++
         (if (feed) Map("feed" -> "true") else Map.empty) ++
         timePartition.map { case (u, c) =>
-          Map("tp_unit" -> u, "tp_col" -> c) }.getOrElse(Map.empty) +
+          Map("tp_unit" -> u, "tp_col" -> c) }.getOrElse(Map.empty) ++
+        ndvP.map(v => Map("ndv_p" -> v.toString)).getOrElse(Map.empty) +
         ("op" -> "create"))
     txn.cleanup()
   }
@@ -631,7 +650,8 @@ object Compaction {
 
   private[cdc] def stagedStats(spark: SparkSession, staging: String,
       staged: Seq[Int], versionCol: String,
-      statCols: Seq[String] = Nil): Map[Int, BucketStats] =
+      statCols: Seq[String] = Nil,
+      ndvP: Int = HllP): Map[Int, BucketStats] =
     // an all-buckets-emptied merge staged no partitions (the dir holds
     // only _SUCCESS — nothing to read a schema from)
     if (staged.isEmpty) Map.empty
@@ -639,7 +659,7 @@ object Compaction {
       val base = driverFooterStats(spark, staging, staged, versionCol,
         statCols).getOrElse(
         sparkStagedStats(spark, staging, staged, versionCol, statCols))
-      addClusterNdv(spark, staging, base, statCols)
+      addClusterNdv(spark, staging, base, statCols, ndvP)
     }
 
   private def sparkStagedStats(spark: SparkSession, staging: String,
@@ -727,6 +747,17 @@ object Compaction {
     */
   private[cdc] val HllP = 6
 
+  /** The table's declared sketch precision (`ndv_p` table property,
+    * 4–12; default [[HllP]]): 2^p registers, ~1.04/sqrt(2^p) standard
+    * error, 2^p × 2 base36 chars of manifest per (bucket, column) —
+    * p=10 costs 2 KB/(bucket,col) for ~3.2% stderr. Fixed at CREATE:
+    * register-wise merging requires every bucket's registers to share
+    * one width, so changing it needs a full rebucket-style rewrite —
+    * ALTER refuses.
+    */
+  private[cdc] def ndvPOf(snap: TxLog.Snapshot): Int =
+    snap.prop("ndv_p").map(_.toInt).getOrElse(HllP)
+
   /** Per-bucket HLL registers for each cluster column, appended to the
     * staged stats (r13): ONE map-side-combined aggregation per column
     * over the just-written staged files (page-warm), register state =
@@ -738,7 +769,7 @@ object Compaction {
     */
   private def addClusterNdv(spark: SparkSession, staging: String,
       base: Map[Int, BucketStats],
-      statCols: Seq[String]): Map[Int, BucketStats] = {
+      statCols: Seq[String], ndvP: Int = HllP): Map[Int, BucketStats] = {
     if (statCols.isEmpty || base.isEmpty) return base
     val df = spark.read.parquet(s"$staging/data")
     val present = statCols.filter(c =>
@@ -748,8 +779,8 @@ object Compaction {
     // column tag, md5-60bit hash) and union — the register derivation
     // and the map-side-combined groupBy then run once over the union
     // instead of one job per column (review r13)
-    val m = 1 << HllP
-    val bits = 60 - HllP
+    val m = 1 << ndvP
+    val bits = 60 - ndvP
     val hashed = present.map(c =>
         df.filter(col(c).isNotNull)
           .select(col("bucket").as("_tbucket"), lit(c).as("_col"),
@@ -771,7 +802,7 @@ object Compaction {
       .map { case (c, xs) =>
         c -> xs.groupBy(_._2).map { case (b, ys) =>
           b -> encodeRegisters(
-            ys.map { case (_, _, idx, rho) => idx -> rho }.toMap)
+            ys.map { case (_, _, idx, rho) => idx -> rho }.toMap, ndvP)
         }
       }
     // an all-null column leaves no sketch entry (perCol lacks it)
@@ -785,8 +816,9 @@ object Compaction {
     * register (rho ≤ 55 at p=6 fits) — compact enough that per-bucket
     * sketches scale like the existing rows./minv. stat families.
     */
-  private[cdc] def encodeRegisters(regs: Map[Int, Long]): String = {
-    val m = 1 << HllP
+  private[cdc] def encodeRegisters(regs: Map[Int, Long],
+      p: Int = HllP): String = {
+    val m = 1 << p
     val sb = new StringBuilder(m * 2)
     (0 until m).foreach { i =>
       val v = regs.getOrElse(i, 0L).toInt
@@ -1643,7 +1675,7 @@ object Compaction {
           => k -> v
       }
       val newStats = stagedStats(spark, txn.staging, staged,
-        m.versionCol, m.clusterBy)
+        m.versionCol, m.clusterBy, ndvPOf(m.snap))
       // escapee buckets keep base + prior deltas and APPEND one delta
       // dir each, folding its footer stats into the delta zone map —
       // the same bookkeeping a merge-on-read merge commits
@@ -1806,8 +1838,23 @@ object Compaction {
         // dropping it would silently re-arm epoch-fenced consumers
         k == "feed_epoch" ||
         // the replace-lineage floor is a durable restore fence
-        k == "lineage_floor"
+        k == "lineage_floor" ||
+        // the declared sketch precision is a durable table parameter
+        k == "ndv_p"
     }
+
+  /** Durable fence props EVERY family's commit funnel must carry
+    * forward (r14): the restore-bumped feed epoch and the
+    * replace-lineage floor. Compaction merges carry them through
+    * [[evolutionProps]]; the Scd2/AggView funnels — which rebuild
+    * their props from their own coreProps each commit — call this
+    * directly, so a post-RESTORE epoch on a history or dashboard
+    * table survives every later merge/compact/expire and a
+    * version-ordered consumer's fence check has something to read.
+    */
+  private[cdc] def fenceProps(snap: TxLog.Snapshot): Map[String, String] =
+    snap.prop("feed_epoch").map("feed_epoch" -> _).toMap ++
+      snap.prop("lineage_floor").map("lineage_floor" -> _).toMap
 
   /** Whether the table opted into the change data feed
     * (`TBLPROPERTIES ('feed'='true')` / `init(..., feed = true)`).
@@ -2024,7 +2071,7 @@ object Compaction {
         newNBuckets, m.schema.json, m.clusterBy) ++
         evolutionProps(m.snap) ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol,
-          m.clusterBy)) ++
+          m.clusterBy, ndvPOf(m.snap))) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
         ("op" -> "rebucket")
       txn.installAndCommit(
@@ -2088,7 +2135,7 @@ object Compaction {
         timePartition.map { case (u, c) =>
           Map("tp_unit" -> u, "tp_col" -> c) }.getOrElse(Map.empty) ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol,
-          m.clusterBy)) ++
+          m.clusterBy, ndvPOf(m.snap))) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
         // durable marker: the feed may now hold batches of BOTH
         // layouts (flat and `_tp=`-nested) — readFeed must take the
@@ -2336,10 +2383,14 @@ object Compaction {
         (if (cur.prop("schema_altered").isDefined)
           Map("schema_altered" ->
             cur.props("schema_altered")) else Map.empty) ++
-        feedCommitProps(feedBatch, txn, cur) ++
-        (if (emitsFeed)
-          Map("feed_epoch" -> (cur.counter("feed_epoch") + 1L).toString)
-        else cur.prop("feed_epoch").map("feed_epoch" -> _).toMap) +
+        feedCommitProps(feedBatch, txn, cur) +
+        // EVERY restore bumps the epoch (r14): a restore is a backward
+        // state move whatever the table family — Scd2 histories and
+        // AggView dashboards have no feed batches, but a replica chain
+        // built on them needs the same "the lineage you initialized
+        // under ended" fence a merge-table consumer reads. The empty
+        // reserved batch above stays feed-table-only.
+        ("feed_epoch" -> (cur.counter("feed_epoch") + 1L).toString) +
         ("op" -> "restore") + ("restored_from" -> version.toString)
       txn.installAndCommit(target.buckets, props)
       // the empty batch publishes only after the state it fences is
@@ -3305,7 +3356,8 @@ object Compaction {
         => k -> v
     }
     val newStats = prof("merge.stagedStats") {
-      stagedStats(spark, staging, staged, versionCol, m.clusterBy)
+      stagedStats(spark, staging, staged, versionCol, m.clusterBy,
+        ndvPOf(m.snap))
     }
     // rowsWritten = the staged footer counts — the pass the old
     // pre-write winners.count() made is folded into the stats read
@@ -3560,7 +3612,7 @@ object Compaction {
         m.schema.json, m.clusterBy) ++ evolutionProps(m.snap) ++
         carried ++
         rowProps(stagedStats(spark, txn.staging, staged, m.versionCol,
-          m.clusterBy)) ++
+          m.clusterBy, ndvPOf(m.snap))) ++
         m.snap.prop("next_feed_batch").map("next_feed_batch" -> _) +
         ("op" -> "compact")
       txn.installAndCommit(

@@ -345,6 +345,7 @@ object Scd2 {
         staged.map(b => b -> txn.bucketRel(b)).toMap,
         coreProps(m.keys, m.versionCol, m.deleteCol, newNBuckets,
           m.schema.json) ++ floorProp(m.snap) ++
+          Compaction.fenceProps(m.snap) ++
           Compaction.rowProps(Compaction.stagedStats(
             spark, txn.staging, staged, m.versionCol)))
       TxLog.hygiene {
@@ -523,7 +524,8 @@ object Scd2 {
     val rows = newStats.values.map(_.rows).sum
     txn.installAndCommit(newBuckets,
       coreProps(keys, versionCol, deleteCol, nBuckets, schemaJson) ++
-        floorProp(m.snap) ++ carried ++ Compaction.rowProps(newStats))
+        floorProp(m.snap) ++ Compaction.fenceProps(m.snap) ++
+        carried ++ Compaction.rowProps(newStats))
     TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(touched, rows)
   }
@@ -605,7 +607,8 @@ object Scd2 {
     // the base bucket map is UNCHANGED — that is the whole point
     txn.installAndCommit(m.buckets,
       coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
-        schemaJson) ++ floorProp(m.snap) ++ carried ++ deltaProps)
+        schemaJson) ++ floorProp(m.snap) ++
+        Compaction.fenceProps(m.snap) ++ carried ++ deltaProps)
     TxLog.hygiene { txn.cleanup(); TxLog.vacuum(spark, dir, txn.newVersion) }
     MergeStats(touched, deltaRows)
   }
@@ -698,7 +701,8 @@ object Scd2 {
       txn.installAndCommit(
         (m.buckets -- affected) ++ staged.map(b => b -> txn.bucketRel(b)),
         coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
-          m.schema.json) ++ carried ++ Compaction.rowProps(newStats) +
+          m.schema.json) ++ Compaction.fenceProps(m.snap) ++
+          carried ++ Compaction.rowProps(newStats) +
           ("expired_before" -> floorStr))
       TxLog.hygiene {
         txn.cleanup()
@@ -747,7 +751,8 @@ object Scd2 {
       txn.installAndCommit(
         (m.buckets -- dirty) ++ staged.map(b => b -> txn.bucketRel(b)).toMap,
         coreProps(m.keys, m.versionCol, m.deleteCol, m.nBuckets,
-          m.schema.json) ++ floorProp(m.snap) ++ carried ++
+          m.schema.json) ++ floorProp(m.snap) ++
+          Compaction.fenceProps(m.snap) ++ carried ++
           Compaction.rowProps(Compaction.stagedStats(
             spark, txn.staging, staged, m.versionCol)))
       TxLog.hygiene {

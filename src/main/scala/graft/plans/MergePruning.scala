@@ -88,7 +88,13 @@ object MergePruning extends Rule[LogicalPlan] {
         * `rangeOk = false`).
         */
       tp: Option[(String, String)], tpMin: Option[Int],
-      dirty: Set[Int])
+      dirty: Set[Int],
+      /** full manifest props (r14): the CBO stats attachment folds
+        * rows./cndv./cnul./minv./maxv./cmin./cmax. families from them
+        * — kept on the cached Info so the fold costs one manifest
+        * decode per (table, version), like everything else here.
+        */
+      props: Map[String, String])
 
   /** table dir -> cached manifest metadata (re-validated against the
     * latest committed version on every use, so a refresh invalidates
@@ -105,6 +111,16 @@ object MergePruning extends Rule[LogicalPlan] {
         spark.experimental.extraOptimizations :+ MergePruning
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // CBO-visible manifest stats on the registered-view route (r14):
+    // the same rowCount / key-uniqueness NDV / cluster-column HLL NDV
+    // the DSv2 catalog scan reports (GraftBatch.estimateStatistics)
+    // attach to the parquet relation a registered view serves — join
+    // strategy no longer diverges between the two front doors. Runs
+    // bottom-up BEFORE the Filter case, so pruned relations keep the
+    // attached stats.
+    case lr: LogicalRelation =>
+      try attachStats(lr).getOrElse(lr)
+      catch { case scala.util.control.NonFatal(_) => lr }
     case f @ Filter(cond, lr: LogicalRelation) =>
       try prune(f, cond, lr).getOrElse(f)
       catch { case scala.util.control.NonFatal(_) => f }
@@ -185,7 +201,8 @@ object MergePruning extends Rule[LogicalPlan] {
           tp = for { u <- snap.prop("tp_unit"); c <- snap.prop("tp_col") }
             yield (u, c),
           tpMin = snap.prop("tp_min").map(_.toInt),
-          dirty = deltas.keySet)
+          dirty = deltas.keySet,
+          props = snap.props)
         cache.put(tableDir, info)
         info
       }
@@ -242,6 +259,171 @@ object MergePruning extends Rule[LogicalPlan] {
 
   private def bucketOf(l: Literal, nBuckets: Int): Int =
     bucketOf(Seq(l), nBuckets)
+
+  /** (table dir, version) -> fabricated catalog stats, None cached
+    * when the manifest cannot support exact stats (dirty buckets,
+    * missing counts) so the decline costs one fold, not one per query.
+    */
+  private val statsCache =
+    TrieMap.empty[(String, Long), Option[
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics]]
+
+  /** Attach the manifest's statistics to a FULL-table graft parquet
+    * relation as a fabricated `CatalogTable.stats` entry — the only
+    * channel `LogicalRelation.computeStats` reads column stats from.
+    * Mirrors [[graft.catalog.GraftBatch]]'s `estimateStatistics`
+    * (keeping the two front doors' CBO view identical): exact
+    * rowCount, merge-key NDV = rowCount on single-key tables (keys
+    * are unique by construction), cluster-column NDV from the merged
+    * per-bucket HLL registers + exact null tallies + typed min/max
+    * bounds, version-column min/max from the zone maps.
+    *
+    * Sound-by-decline: only flat (non-time-partitioned) full scans of
+    * a clean (no merge-on-read) current manifest attach — a subset
+    * scan, a leaf layout, or a dirty bucket would make the manifest
+    * fold over- or under-state. Gated on CBO/planStats being enabled
+    * so sessions that never read plan stats pay nothing.
+    */
+  private def attachStats(lr: LogicalRelation): Option[LogicalPlan] = {
+    if (lr.catalogTable.isDefined) return None
+    val conf = SQLConf.get
+    if (!conf.cboEnabled && !conf.planStatsEnabled) return None
+    val fs = lr.relation match {
+      case r: HadoopFsRelation if r.partitionSchema.isEmpty => r
+      case _ => return None
+    }
+    val rootPaths = fs.location.rootPaths
+    if (rootPaths.isEmpty) return None
+    val parsed0 = rootPaths.map(tableDirOf)
+    if (parsed0.exists(_.isEmpty)) return None
+    val parsed = rootPaths.zip(parsed0.flatten)
+    val tableDirs = parsed.map(_._2.tableDir).distinct
+    if (tableDirs.size != 1) return None
+    val spark = fs.sparkSession
+    val info = infoFor(spark, tableDirs.head).getOrElse(return None)
+    // full CURRENT flat scan only: every live dir present, no extras
+    if (info.tp.isDefined || parsed.exists(_._2.tp.isDefined))
+      return None
+    val liveDirSet = info.bucketDirs.values.flatten.toSet
+    val rootDirSet = parsed.map(_._2.bucketDir).toSet
+    if (rootDirSet != liveDirSet) return None
+    val cs = statsCache.getOrElseUpdate((info.tableDir, info.version),
+      buildCatalogStats(info, fs.dataSchema,
+        math.max(fs.sizeInBytes, 1L)))
+    cs.map { s =>
+      lr.copy(catalogTable = Some(
+        org.apache.spark.sql.catalyst.catalog.CatalogTable(
+          identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+            new Path(info.tableDir).getName),
+          tableType =
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType
+              .EXTERNAL,
+          storage = org.apache.spark.sql.catalyst.catalog
+            .CatalogStorageFormat.empty,
+          schema = fs.dataSchema,
+          provider = Some("parquet"),
+          stats = Some(s))))
+    }
+  }
+
+  private def buildCatalogStats(info: Info,
+      schema: org.apache.spark.sql.types.StructType,
+      sizeInBytes: Long): Option[
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics] = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    if (info.dirty.nonEmpty) return None // fold outcome ≠ manifest
+    val live = info.bucketDirs.keySet.toSeq
+    val counts = live.map(b => info.props.get(s"rows.$b").map(_.toLong))
+    if (counts.exists(_.isEmpty)) return None
+    val rows = counts.flatten.sum
+    // exact schema-case spelling: plan attribute names come from the
+    // parquet schema, CatalogStatistics.toPlanStats matches by name
+    def fieldOf(c: String) =
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+    // min/max only for types whose CatalogColumnStat external-string
+    // form IS the plain literal rendering the manifest stores
+    // (timestamps need the formatter's shape, strings are truncated
+    // bounds — both decline)
+    def boundable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      }
+    def foldBounds(minKey: Int => String, maxKey: Int => String,
+        dt: org.apache.spark.sql.types.DataType)
+        : (Option[String], Option[String]) = {
+      if (!boundable(dt) || live.isEmpty) return (None, None)
+      val mins = live.map(b => info.props.get(minKey(b)))
+      val maxs = live.map(b => info.props.get(maxKey(b)))
+      if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty))
+        return (None, None)
+      val ord = org.apache.spark.sql.catalyst.types.PhysicalDataType
+        .ordering(dt).asInstanceOf[Ordering[Any]]
+      def typed(s: String): Option[Any] = {
+        val c = Cast(Literal(UTF8String.fromString(s), StringType), dt,
+          Some(SQLConf.get.sessionLocalTimeZone))
+        if (!c.resolved) None else Option(c.eval())
+      }
+      val lo = mins.flatten.flatMap(typed(_))
+      val hi = maxs.flatten.flatMap(typed(_))
+      if (lo.size != live.size || hi.size != live.size) (None, None)
+      else (Some(lo.min(ord).toString), Some(hi.max(ord).toString))
+    }
+    val colStats =
+      scala.collection.mutable.Map.empty[String, CatalogColumnStat]
+    // merge keys are unique by construction (single-key tables only:
+    // composite-tuple uniqueness says nothing about each column)
+    if (info.keys.size == 1)
+      fieldOf(info.keys.head).foreach { f =>
+        colStats(f.name) = CatalogColumnStat(
+          distinctCount = Some(BigInt(rows)),
+          nullCount = Some(BigInt(0)))
+      }
+    info.versionCol.flatMap(fieldOf).foreach { f =>
+      val (mn, mx) =
+        foldBounds(b => s"minv.$b", b => s"maxv.$b", f.dataType)
+      if (mn.isDefined)
+        colStats(f.name) = CatalogColumnStat(min = mn, max = mx)
+    }
+    info.clusterBy.flatMap(fieldOf(_)).foreach { f =>
+      val c = f.name
+      val (mn, mx) = foldBounds(b => s"cmin.$b.$c", b => s"cmax.$b.$c",
+        f.dataType)
+      // register-wise max across buckets = the merged sketch (same
+      // fold as the catalog scan); all-or-nothing per column
+      val regs = live.map(b => info.props.get(s"cndv.$b.$c"))
+      val ndv: Option[BigInt] =
+        if (live.isEmpty || regs.exists(_.isEmpty)) None
+        else {
+          val decoded = regs.flatten.map(Compaction.decodeRegisters)
+          val m = decoded.map(_.length).min
+          if (m == 0) None
+          else {
+            val merged = Array.tabulate(m)(i => decoded.map(_(i)).max)
+            val est = graft.operators.DetSketch.hllEstimate(
+              merged.zipWithIndex.collect {
+                case (r, i) if r > 0L => (i.toLong, r) }.toSeq,
+              p = Integer.numberOfTrailingZeros(m))
+            Some(BigInt(math.max(1L, math.round(est))))
+          }
+        }
+      val nulls = live.map(b => info.props.get(s"cnul.$b.$c"))
+      val nullCount: Option[BigInt] =
+        if (live.isEmpty || nulls.exists(_.isEmpty)) None
+        else Some(BigInt(nulls.flatten.map(_.toLong).sum))
+      if (ndv.isDefined || mn.isDefined || nullCount.isDefined)
+        colStats(c) = CatalogColumnStat(distinctCount = ndv,
+          min = mn, max = mx, nullCount = nullCount)
+    }
+    Some(CatalogStatistics(BigInt(sizeInBytes), Some(BigInt(rows)),
+      colStats.toMap))
+  }
 
   private def prune(f: Filter, cond: Expression,
       lr: LogicalRelation): Option[LogicalPlan] = {

@@ -173,12 +173,37 @@ object ScaleRehearsal {
         graft.cdc.Compaction.dropPartitionsBefore(spark, tpDir,
           new java.sql.Timestamp((day0 + 10L * 86400L) * 1000L)): Unit
       }
+      // write-side time travel (r14): RESTORE is ONE metadata-only
+      // OCC commit re-pointing the bucket map at version n's entries
+      // — O(manifest), must stay ~flat while the table grows 10×
+      val preRestoreV =
+        graft.cdc.TxLog.latestVersion(spark, tableDir).get
+      graft.cdc.Compaction.merge(spark, tableDir,
+        ord.filter(col("id") < 2000)
+          .select(col("id"), (col("price") * 5).as("price"),
+            lit(3L).as("version"), lit(false).as("deleted")),
+        retainHistory = true)
+      val (_, tRestore) = time {
+        graft.cdc.Compaction.restore(spark, tableDir, preRestoreV): Unit
+      }
+      // atomic CTAS/RTAS publish (r14): the staged table's adopt —
+      // generation renames + ONE manifest commit — is O(generations),
+      // not O(data); the staging WRITE below is untimed by design
+      // (that's the SELECT's linear cost, not the commit's)
+      val stageDir = s"$tableDir.stage-rehearse"
+      graft.cdc.Compaction.init(ord, stageDir, "id", "version",
+        "deleted", nBuckets = 128)
+      val (_, tReplace) = time {
+        graft.cdc.Compaction.replaceWith(spark, tableDir, stageDir,
+          feed = false): Unit
+      }
       Map("exact_dedup" -> tExact, "lsh_pairs" -> tLsh,
         "near_dups" -> tSim, "ann_ivf" -> tIvf,
         "ivf_train_sampled" -> tIvfTrain,
         "table_init" -> tInit, "table_merge_1pct" -> tMerge,
         "changed_since_narrow" -> tChanged,
         "retire_partitions" -> tRetire,
+        "restore" -> tRestore, "replace_commit" -> tReplace,
         "lsh_pair_count" -> nPairs.toDouble)
     }
 
@@ -193,7 +218,7 @@ object ScaleRehearsal {
     val keys = Seq("exact_dedup", "lsh_pairs", "near_dups", "ann_ivf",
       "ivf_train_sampled",
       "table_init", "table_merge_1pct", "changed_since_narrow",
-      "retire_partitions")
+      "retire_partitions", "restore", "replace_commit")
     val entries = keys.map { k =>
       val ratio = at10(k) / math.max(at1(k), 0.001)
       // the merge touches the same 1% key FRACTION at both scales and
@@ -203,7 +228,8 @@ object ScaleRehearsal {
       // O(touched)/O(pruned) ops get a stricter sublinear bar — flat
       // cost under 10× growth is the property being verified
       val bar = if (k == "table_merge_1pct" || k == "changed_since_narrow" ||
-          k == "ivf_train_sampled" || k == "retire_partitions")
+          k == "ivf_train_sampled" || k == "retire_partitions" ||
+          k == "restore" || k == "replace_commit")
         LinearBar / 2 else LinearBar
       val flag = ratio <= bar
       s""""$k":{"x1_sec":${fmt(at1(k))},"x10_sec":${fmt(at10(k))},""" +

@@ -144,6 +144,120 @@ class ColumnStatsSpec extends SparkSpec {
         s"buckets $buckets")
   }
 
+  test("the registered-view SQL route sees the same manifest stats: " +
+      "the CBO broadcast flip fires on it too (r14)") {
+    // the same maintained table served through BOTH front doors: the
+    // DSv2 catalog and a registered parquet view — join strategy must
+    // not diverge between them
+    val dir = tmpDir("cstat-reg") + "/t"
+    // big enough that the raw-size estimate of the aggregate stays
+    // OVER the broadcast threshold — the flip is then attributable to
+    // the NDV-derived row estimate, nothing else
+    graft.cdc.Compaction.init(
+      spark.range(40000).selectExpr("id", "id % 4 AS grp",
+        "concat('pad-', id, '-', repeat('x', 64)) AS pad",
+        "0L AS version", "false AS deleted"),
+      dir, Seq("id"), "version", "deleted", nBuckets = 8,
+      clusterBy = Seq("grp"))
+    graft.plans.GraftTables.register(spark, "cstat_reg_t", dir)
+    graft.plans.MergePruning.ensureRegistered(spark)
+    val bigPath = tmpDir("cstat-reg-big")
+    spark.range(100000).selectExpr("id % 4 AS g", "id AS x")
+      .write.mode("overwrite").parquet(bigPath)
+    spark.read.parquet(bigPath).createOrReplaceTempView("cstat_reg_big")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def aggBroadcasts(): Boolean = {
+        val q = spark.sql("""SELECT count(*) AS n FROM cstat_reg_big b
+          JOIN (SELECT grp, count(*) AS c FROM cstat_reg_t GROUP BY grp) d
+          ON b.g = d.grp""")
+        assert(q.as[Long].head() == 100000L)
+        q.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")
+      }
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // the attached CatalogTable stats are visible on the relation
+      val rel = spark.sql("SELECT * FROM cstat_reg_t")
+        .queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => r
+        }.getOrElse(fail("no LogicalRelation on the registered route"))
+      val gStat = rel.stats.attributeStats.collectFirst {
+        case (a, cs) if a.name.equalsIgnoreCase("grp") => cs
+      }.getOrElse(fail(s"no grp column stat on the registered " +
+        s"route; got ${rel.stats.attributeStats.keys}"))
+      val ndv = gStat.distinctCount
+        .getOrElse(fail("no distinctCount for grp")).toLong
+      assert(ndv >= 3 && ndv <= 6, s"NDV(grp) should estimate ~4, got $ndv")
+      assert(rel.stats.rowCount.exists(_.toLong == 40000L),
+        s"manifest rowCount should attach, got ${rel.stats.rowCount}")
+      // the flip itself — identical to the catalog-route case
+      assert(aggBroadcasts(),
+        "with CBO reading the manifest NDV through the registered " +
+          "view, the 4-group aggregate should broadcast")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(!aggBroadcasts(),
+        "without CBO the registered-route estimate stays scan-sized")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      prevAqe match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      graft.plans.GraftTables.unregister(spark, "cstat_reg_t")
+    }
+  }
+
+  test("ndv_p=10 tightens the sketch: wider registers, closer NDV, " +
+      "ALTER refuses a precision change (r14)") {
+    sqlc("""CREATE TABLE gstat.ndvp (
+        id BIGINT, grp BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4',
+          'cluster_by'='grp', 'ndv_p'='10')""")
+    // 600 distinct grp values: at p=6 (64 registers) the estimate is
+    // ~13% stderr; at p=10 (1024 registers) ~3.2% — assert the tight
+    // band only the wider sketch delivers
+    sqlc("""INSERT INTO gstat.ndvp
+        SELECT id, id % 600, 0L, false FROM range(6000)""")
+    val dir = s"${warehouse}/ndvp"
+    val snap = graft.cdc.TxLog.latest(spark, dir).get
+    assert(snap.prop("ndv_p").contains("10"))
+    val reg = snap.props.collectFirst {
+      case (k, v) if k.startsWith("cndv.") => v }
+      .getOrElse(fail("no cndv sketch recorded"))
+    assert(reg.length == 2048,
+      s"p=10 registers are 1024 x 2 chars, got ${reg.length}")
+    val rel = sqlc("SELECT * FROM gstat.ndvp")
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r
+      }.getOrElse(fail("no v2 scan relation"))
+    val ndv = rel.stats.attributeStats.collectFirst {
+      case (a, cs) if a.name.equalsIgnoreCase("grp") => cs
+    }.flatMap(_.distinctCount).getOrElse(fail("no NDV")).toLong
+    assert(ndv >= 540 && ndv <= 660,
+      s"p=10 should estimate 600 within ~10%, got $ndv")
+    // precision is fixed at CREATE: register widths must agree
+    val e = intercept[Exception] {
+      sqlc("ALTER TABLE gstat.ndvp SET TBLPROPERTIES ('ndv_p'='6')")
+    }
+    assert(e.getMessage.contains("ndv_p"), e.getMessage)
+    // out-of-range precision refuses at CREATE
+    val e2 = intercept[Exception] {
+      sqlc("""CREATE TABLE gstat.ndvp_bad (
+        id BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'ndv_p'='15')""")
+    }
+    assert(e2.getMessage.contains("ndv_p"), e2.getMessage)
+  }
+
   test("cluster-column NDV from the per-bucket HLL sketches reaches " +
       "the optimizer and flips a join strategy under CBO (r13)") {
     sqlc("""CREATE TABLE gstat.ndv (

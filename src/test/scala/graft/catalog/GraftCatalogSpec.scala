@@ -531,4 +531,85 @@ class GraftCatalogSpec extends SparkSpec {
     sqlc("DROP TABLE gcat.ctas_ok")
     sqlc("DROP TABLE gcat.ctas_race")
   }
+
+  test("a crashed external-LOCATION CTAS publish completes through " +
+      "the staged intent: no stranded data, no manual attach (r14)") {
+    val ext = tmpDir("gcat-ext-pub")
+    val loc = s"$ext/pub_t"
+    // crash between the publish rename and the warehouse redirect —
+    // the r13 window that stranded committed data at the LOCATION
+    GraftCatalog.afterPublishRename =
+      () => throw new RuntimeException("simulated crash before redirect")
+    val failed =
+      try {
+        sqlc(s"""CREATE TABLE gcat.pub_t
+          TBLPROPERTIES ('keys'='id', 'buckets'='4')
+          LOCATION '$loc'
+          AS SELECT id, 0L AS version, false AS deleted FROM range(25)""")
+        false
+      } catch { case _: Exception => true }
+      finally GraftCatalog.afterPublishRename = () => ()
+    assert(failed, "the armed failpoint must fail the CTAS")
+    // the rename landed: data is committed at the LOCATION...
+    assert(graft.cdc.TxLog.latestVersion(spark, loc).isDefined,
+      "the publish rename should have committed the table at LOCATION")
+    // ...and the FIRST resolution of the name completes the redirect
+    // (loadTable's miss path) — the committed table is served, the
+    // recovery is automatic
+    assert(sqlc("SELECT count(*) AS n FROM gcat.pub_t")
+      .as[Long].head() == 25L,
+      "the crashed publish must complete on first resolution")
+    assert(spark.catalog.tableExists("gcat.pub_t"))
+    // intent and rename-riding marker are consumed
+    val wf = graft.cdc.TxLog.fs(spark, warehouse)
+    assert(!wf.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/pub_t/.location-intent")), "intent must be consumed")
+    assert(!graft.cdc.TxLog.fs(spark, loc).listStatus(
+        new org.apache.hadoop.fs.Path(loc))
+      .exists(_.getPath.getName.startsWith(".publish-")),
+      "the publish marker must be consumed")
+    // a retry-style CTAS of the same name refuses: the table exists,
+    // with the first attempt's committed contents intact
+    intercept[Exception] {
+      sqlc(s"""CREATE TABLE gcat.pub_t
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')
+        LOCATION '$loc'
+        AS SELECT id, 0L AS version, false AS deleted FROM range(7)""")
+    }
+    assert(sqlc("SELECT count(*) AS n FROM gcat.pub_t")
+      .as[Long].head() == 25L)
+    sqlc("DROP TABLE gcat.pub_t") // external: unregisters only
+  }
+
+  test("a crash BEFORE the publish rename leaves a dead intent that " +
+      "ages out; the name stays creatable (r14)") {
+    val ext = tmpDir("gcat-ext-pub2")
+    val loc = s"$ext/pub2_t"
+    // simulate: intent written, rename never happened (writer died) —
+    // write the intent by hand against a staging that no longer exists
+    val wf = graft.cdc.TxLog.fs(spark, warehouse)
+    val md = new org.apache.hadoop.fs.Path(s"$warehouse/pub2_t")
+    wf.mkdirs(md)
+    val out = wf.create(
+      new org.apache.hadoop.fs.Path(md, ".location-intent"), true)
+    out.write(s"$loc\ndeadbeef".getBytes("UTF-8")); out.close()
+    // within the grace the intent is left alone (a live writer may be
+    // mid-publish) and the name resolves to nothing
+    assert(!spark.catalog.tableExists("gcat.pub2_t"))
+    // past the grace a new CTAS of the name retires the intent and
+    // proceeds
+    val prevGrace = graft.cdc.TxLog.orphanGraceMs
+    graft.cdc.TxLog.orphanGraceMs = 0L
+    try {
+      sqlc(s"""CREATE TABLE gcat.pub2_t
+        TBLPROPERTIES ('keys'='id', 'buckets'='2')
+        LOCATION '$loc'
+        AS SELECT id, 0L AS version, false AS deleted FROM range(9)""")
+    } finally graft.cdc.TxLog.orphanGraceMs = prevGrace
+    assert(sqlc("SELECT count(*) AS n FROM gcat.pub2_t")
+      .as[Long].head() == 9L)
+    assert(!wf.exists(
+      new org.apache.hadoop.fs.Path(md, ".location-intent")))
+    sqlc("DROP TABLE gcat.pub2_t")
+  }
 }

@@ -139,6 +139,55 @@ class RestoreSpec extends SparkSpec {
       "the MoR chains must restore as chains, not as folded state")
   }
 
+  test("the restore epoch is stamped on Scd2/AggView tables too and " +
+      "survives their commit funnels (r14)") {
+    // SCD2: restore bumps feed_epoch; later funnel commits carry it.
+    // (Scd2.merge vacuums prior manifests, so the restorable step is
+    // a retained compact: mor-merge -> compact(retain) -> restore.)
+    val hist = tmpDir("restore-epoch-scd2") + "/t"
+    Scd2.init((1L to 6L).map(i => (i, s"v0-$i", 1L, false))
+        .toDF("id", "payload", "version", "deleted"),
+      hist, "id", "version", "deleted", nBuckets = 2)
+    Scd2.merge(spark, hist,
+      Seq((1L, "v1-1", 5L, false))
+        .toDF("id", "payload", "version", "deleted"),
+      mergeOnRead = true)
+    val preCompact = TxLog.latestVersion(spark, hist).get
+    Scd2.compact(spark, hist, retainHistory = true)
+    assert(Compaction.feedEpoch(spark, hist) == 0L)
+    Compaction.restore(spark, hist, preCompact)
+    assert(Compaction.feedEpoch(spark, hist) == 1L,
+      "restore must stamp the epoch on an scd2 history")
+    Scd2.merge(spark, hist,
+      Seq((2L, "v2-2", 7L, false))
+        .toDF("id", "payload", "version", "deleted"))
+    assert(Compaction.feedEpoch(spark, hist) == 1L,
+      "Scd2.merge must carry the restore epoch forward")
+    Scd2.compact(spark, hist)
+    assert(Compaction.feedEpoch(spark, hist) == 1L,
+      "Scd2.compact must carry the restore epoch forward")
+
+    // AggView: same fence through the apply funnel (the restorable
+    // step is a retained rebucket — applyFeed vacuums)
+    val view = tmpDir("restore-epoch-agg") + "/t"
+    graft.cdc.AggView.init(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("grp", "amount"),
+      view, "grp", "amount", nBuckets = 2)
+    graft.cdc.AggView.applyFeed(spark, view,
+      Seq((1L, 5.0, "insert")).toDF("grp", "amount", "_change_type"),
+      batchId = 0L)
+    val preRebucket = TxLog.latestVersion(spark, view).get
+    graft.cdc.AggView.rebucket(spark, view, 4, retainHistory = true)
+    Compaction.restore(spark, view, preRebucket)
+    assert(Compaction.feedEpoch(spark, view) == 1L,
+      "restore must stamp the epoch on an aggview table")
+    graft.cdc.AggView.applyFeed(spark, view,
+      Seq((2L, 3.0, "insert")).toDF("grp", "amount", "_change_type"),
+      batchId = 1L)
+    assert(Compaction.feedEpoch(spark, view) == 1L,
+      "AggView.applyFeed must carry the restore epoch forward")
+  }
+
   test("restore across a RETIRE PARTITIONS floor is refused") {
     val dir = tmpDir("restore-floor") + "/t"
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
