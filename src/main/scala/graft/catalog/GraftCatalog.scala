@@ -899,7 +899,13 @@ final class GraftTable(tableName: String, val dir: String,
     val lifecycle = snap.toSeq.flatMap { s =>
       s.prop("tp_unit").zip(s.prop("tp_col")).map { case (u, c) =>
         "partition_spec" -> s"$u($c)" } ++
-        s.prop("tp_min").map("partition_floor" -> _)
+        s.prop("tp_min").map("partition_floor" -> _) ++
+        // r14 surface: the replace-lineage floor (RESTORE refuses
+        // below it), the restore/replace consumer fence, and the
+        // declared sketch precision
+        s.prop("lineage_floor").map("lineage_floor" -> _) ++
+        s.prop("feed_epoch").map("feed_epoch" -> _) ++
+        s.prop("ndv_p").map("ndv_p" -> _)
     }
     (Map(TableCatalog.PROP_PROVIDER -> "graft", "keys" -> keys,
       "version_col" -> versionCol, "delete_col" -> deleteCol,

@@ -260,13 +260,15 @@ object MergePruning extends Rule[LogicalPlan] {
   private def bucketOf(l: Literal, nBuckets: Int): Int =
     bucketOf(Seq(l), nBuckets)
 
-  /** (table dir, version) -> fabricated catalog stats, None cached
+  /** table dir -> (version, fabricated catalog stats) — None cached
     * when the manifest cannot support exact stats (dirty buckets,
-    * missing counts) so the decline costs one fold, not one per query.
+    * missing counts) so the decline costs one fold, not one per
+    * query. Keyed by dir (one live entry per table, like the Info
+    * cache) so a long session's commits never accumulate entries.
     */
   private val statsCache =
-    TrieMap.empty[(String, Long), Option[
-      org.apache.spark.sql.catalyst.catalog.CatalogStatistics]]
+    TrieMap.empty[String, (Long, Option[
+      org.apache.spark.sql.catalyst.catalog.CatalogStatistics])]
 
   /** Attach the manifest's statistics to a FULL-table graft parquet
     * relation as a fabricated `CatalogTable.stats` entry — the only
@@ -307,9 +309,14 @@ object MergePruning extends Rule[LogicalPlan] {
     val liveDirSet = info.bucketDirs.values.flatten.toSet
     val rootDirSet = parsed.map(_._2.bucketDir).toSet
     if (rootDirSet != liveDirSet) return None
-    val cs = statsCache.getOrElseUpdate((info.tableDir, info.version),
-      buildCatalogStats(info, fs.dataSchema,
-        math.max(fs.sizeInBytes, 1L)))
+    val cs = statsCache.get(info.tableDir)
+      .collect { case (v, s) if v == info.version => s }
+      .getOrElse {
+        val built = buildCatalogStats(info, fs.dataSchema,
+          math.max(fs.sizeInBytes, 1L))
+        statsCache.put(info.tableDir, (info.version, built))
+        built
+      }
     cs.map { s =>
       lr.copy(catalogTable = Some(
         org.apache.spark.sql.catalyst.catalog.CatalogTable(
