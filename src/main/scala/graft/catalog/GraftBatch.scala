@@ -1263,10 +1263,35 @@ private[catalog] object GraftPrune {
     (meta.props.get(s"cmin.$b.$tp.$c"),
       meta.props.get(s"cmax.$b.$tp.$c"))
 
+  /** Leaf-granular VERSION bounds (r14): `vminl.<b>.<tp>` /
+    * `vmaxl.<b>.<tp>` — the version-range twin of the cluster leaf
+    * maps, for tables whose version does not correlate with time.
+    */
+  private def leafVBound(meta: ScanMeta, b: Int,
+      tp: Int): (Option[String], Option[String]) =
+    (meta.props.get(s"vminl.$b.$tp"), meta.props.get(s"vmaxl.$b.$tp"))
+
   private def leafAdmit(meta: ScanMeta, f: Filter, b: Int,
       tp: Int): Boolean = f match {
     case s.And(l, r) =>
       leafAdmit(meta, l, b, tp) && leafAdmit(meta, r, b, tp)
+    case s.GreaterThan(a, v) if isVersion(meta, a) =>
+      typedLit(meta, a, v).forall(l =>
+        statHolds(meta, leafVBound(meta, b, tp)._2, l, GT))
+    case s.GreaterThanOrEqual(a, v) if isVersion(meta, a) =>
+      typedLit(meta, a, v).forall(l =>
+        statHolds(meta, leafVBound(meta, b, tp)._2, l, GTE))
+    case s.LessThan(a, v) if isVersion(meta, a) =>
+      typedLit(meta, a, v).forall(l =>
+        statHolds(meta, leafVBound(meta, b, tp)._1, l, LT))
+    case s.LessThanOrEqual(a, v) if isVersion(meta, a) =>
+      typedLit(meta, a, v).forall(l =>
+        statHolds(meta, leafVBound(meta, b, tp)._1, l, LTE))
+    case s.EqualTo(a, v) if isVersion(meta, a) =>
+      typedLit(meta, a, v).forall { l =>
+        val (mn, mx) = leafVBound(meta, b, tp)
+        statHolds(meta, mn, l, LTE) && statHolds(meta, mx, l, GTE)
+      }
     case s.GreaterThan(a, v) if clusterOf(meta, a).isDefined =>
       val c = clusterOf(meta, a).get
       typedLit(meta, a, v).forall(l =>

@@ -646,7 +646,14 @@ object Compaction {
       // per-column NULL counts for the clusterBy columns (r13):
       // CBO's count-stats gate needs (distinctCount, nullCount)
       // together — NDV alone never reaches AggregateEstimation
-      colNulls: Map[String, Long] = Map.empty)
+      colNulls: Map[String, Long] = Map.empty,
+      // per-(`_tp` leaf) VERSION bounds (r14): the finer zone maps a
+      // version-range scan prunes LEAVES with on time-partitioned
+      // tables whose version does not correlate with time — recorded
+      // alongside (never instead of) the bucket-level minv/maxv fold,
+      // under the same budget-degrades-to-the-fold contract as the
+      // cluster leaf family
+      leafVersionBounds: Map[Int, (String, String)] = Map.empty)
 
   private[cdc] def stagedStats(spark: SparkSession, staging: String,
       staged: Seq[Int], versionCol: String,
@@ -700,11 +707,16 @@ object Compaction {
       // extra pass only costs on non-integer clustered+partitioned
       // tables
       val hasTp = df.schema.fieldNames.contains("_tp")
-      val leafBounds: Map[Int, Map[Int, Map[String, (String, String)]]] =
-        if (!hasTp || present.isEmpty) Map.empty
+      // the leaf pass aggregates VERSION bounds (r14) alongside the
+      // cluster bounds (r13) in the same grouped job
+      val leafRows: Array[org.apache.spark.sql.Row] =
+        if (!hasTp) Array.empty
         else df.groupBy(col("bucket"), col("_tp"))
-          .agg(extraAggs.head, extraAggs.tail: _*)
+          .agg(aggs.tail.head, aggs.tail.tail: _*) // mn, mx, extraAggs
           .collect()
+      val leafBounds: Map[Int, Map[Int, Map[String, (String, String)]]] =
+        if (present.isEmpty) Map.empty
+        else leafRows
           .flatMap { r =>
             val bounds = present.zipWithIndex.flatMap { case (c, i) =>
               val mn = r.getAs[String](s"__cmn_$i")
@@ -719,6 +731,18 @@ object Compaction {
           .map { case (b, xs) =>
             b -> xs.map { case (_, tp, bs) => tp -> bs }.toMap
           }
+      val leafVersion: Map[Int, Map[Int, (String, String)]] = leafRows
+        .flatMap { r =>
+          val mn = r.getAs[String]("mn")
+          val mx = r.getAs[String]("mx")
+          if (mn == null || mx == null) None
+          else Some((r.getInt(0), r.getInt(1),
+            (lo(versionCol)(mn), hi(versionCol)(mx))))
+        }
+        .groupBy(_._1)
+        .map { case (b, xs) =>
+          b -> xs.map { case (_, tp, bs) => tp -> bs }.toMap
+        }
       df.groupBy(col("bucket"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -736,7 +760,9 @@ object Compaction {
             lo(versionCol)(r.getAs[String]("mn")),
             hi(versionCol)(r.getAs[String]("mx")), bounds,
             leafBounds.getOrElse(r.getInt(0), Map.empty),
-            colNulls = nulls)
+            colNulls = nulls,
+            leafVersionBounds =
+              leafVersion.getOrElse(r.getInt(0), Map.empty))
         }
         .toMap
     }
@@ -967,9 +993,10 @@ object Compaction {
           }.toMap
           // per-(`_tp` leaf) cluster bounds (r13): the same per-file
           // footer stats folded one level finer — zero extra I/O
-          val leafBounds = xs.collect {
+          val byLeaf = xs.collect {
               case ((_, Some(tp)), Some(v)) => tp -> v
-            }.groupBy(_._1).flatMap { case (tp, lvs) =>
+            }.groupBy(_._1)
+          val leafBounds = byLeaf.flatMap { case (tp, lvs) =>
               val lb = statCols.zipWithIndex.flatMap { case (c, i0) =>
                 val i = i0 + 1
                 val mn = lvs.map(_._2._2(i)).min
@@ -979,12 +1006,20 @@ object Compaction {
               }.toMap
               if (lb.isEmpty) None else Some(tp -> lb)
             }
+          // per-(`_tp` leaf) VERSION bounds (r14): index 0 of the
+          // same footer fold — zero extra I/O here too
+          val leafVersion = byLeaf.flatMap { case (tp, lvs) =>
+              val mn = lvs.map(_._2._2(0)).min
+              val mx = lvs.map(_._2._3(0)).max
+              if (mn > mx) None
+              else Some(tp -> ((mn.toString, mx.toString)))
+            }
           val nullCounts = statCols.zipWithIndex.map { case (c, i0) =>
             c -> vs.map(_._4(i0 + 1)).sum
           }.toMap
           b -> BucketStats(vs.map(_._1).sum,
             colMin(0).toString, colMax(0).toString, bounds, leafBounds,
-            colNulls = nullCounts)
+            colNulls = nullCounts, leafVersionBounds = leafVersion)
         })
       } finally pool.shutdown()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -1019,6 +1054,14 @@ object Compaction {
             cols.flatMap { case (c, (mn, mx)) =>
               Seq(s"cmin.$b.$tp.$c" -> mn, s"cmax.$b.$tp.$c" -> mx) } }
         else Map.empty[String, String]) ++
+        // leaf-granular VERSION zone maps (r14): `vminl.<b>.<tp>` /
+        // `vmaxl.<b>.<tp>` beside the bucket-level minv/maxv fold,
+        // with the same per-bucket budget-degrades contract (its own
+        // budget — the cluster family keeps its full allowance)
+        (if (st.leafVersionBounds.size * 2 <= MaxLeafKeysPerBucket)
+          st.leafVersionBounds.flatMap { case (tp, (mn, mx)) =>
+            Seq(s"vminl.$b.$tp" -> mn, s"vmaxl.$b.$tp" -> mx) }
+        else Map.empty[String, String]) ++
         // per-bucket cluster-column NDV sketches (r13): HLL registers,
         // register-wise max across buckets = the table's sketch
         st.colNdv.map { case (c, regs) => s"cndv.$b.$c" -> regs } ++
@@ -1040,7 +1083,8 @@ object Compaction {
 
   /** The per-bucket stat-key families a commit carries/filters. */
   private[cdc] val StatPrefixes =
-    Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.", "cndv.", "cnul.",
+    Seq("rows.", "minv.", "maxv.", "vminl.", "vmaxl.",
+      "cmin.", "cmax.", "cndv.", "cnul.",
       "delta.", "drows.", "dmaxv.")
 
   /** Exact live row count answered from the manifest alone — zero I/O,
@@ -2520,10 +2564,12 @@ object Compaction {
           Map("schema_altered" -> "true") else Map.empty) ++
         (if (cur.prop("tp_evolved").contains("true"))
           Map("tp_evolved" -> "true") else Map.empty) ++
-        feedCommitProps(feedBatch, txn, cur) ++
-        (if (emitsFeed)
-          Map("feed_epoch" -> (cur.counter("feed_epoch") + 1L).toString)
-        else cur.prop("feed_epoch").map("feed_epoch" -> _).toMap) +
+        feedCommitProps(feedBatch, txn, cur) +
+        // like restore (r14): EVERY replace bumps the epoch — the
+        // universal "your lineage ended" fence — whether or not the
+        // table ever emitted feed batches (the reserved empty batch
+        // above stays feed-table-only)
+        ("feed_epoch" -> (cur.counter("feed_epoch") + 1L).toString) +
         ("op" -> "replace") +
         ("replaced_from" -> cur.version.toString) +
         ("lineage_floor" -> txn.newVersion.toString)

@@ -81,6 +81,11 @@ object MergePruning extends Rule[LogicalPlan] {
         * clustered+time-partitioned tables.
         */
       clusterLeaf: Map[(Int, String), Map[Int, Comp]],
+      /** per-(bucket, `_tp` leaf) VERSION bounds (r14):
+        * `vminl.<b>.<tp>` / `vmaxl.<b>.<tp>` — version-range leaf
+        * admission for tables whose version does not track time.
+        */
+      versionLeaf: Map[Int, Map[Int, Comp]],
       /** time-partition spec (unit, source column), retention floor,
         * and the dirty (merge-on-read) bucket set: `_tp=` leaf
         * admission range-prunes CLEAN buckets only — a fold's input
@@ -198,6 +203,7 @@ object MergePruning extends Rule[LogicalPlan] {
           clusterLeaf = parseClusterLeaf(snap.props,
             snap.prop("cluster_by")
               .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)),
+          versionLeaf = parseVersionLeaf(snap.props),
           tp = for { u <- snap.prop("tp_unit"); c <- snap.prop("tp_col") }
             yield (u, c),
           tpMin = snap.prop("tp_min").map(_.toInt),
@@ -248,6 +254,38 @@ object MergePruning extends Rule[LogicalPlan] {
         k -> xs.map { case ((_, _, tp), (mn, mx)) =>
           tp -> Comp(mn, mx) }.toMap
       }
+  }
+
+  /** One pass collecting the leaf-keyed VERSION bounds
+    * `vminl.<b>.<tp>` / `vmaxl.<b>.<tp>` into bucket → tp → [min,
+    * max] — the r14 twin of [[parseClusterLeaf]].
+    */
+  private def parseVersionLeaf(
+      props: Map[String, String]): Map[Int, Map[Int, Comp]] = {
+    val acc = scala.collection.mutable.Map
+      .empty[(Int, Int), (Option[String], Option[String])]
+    def parse(k: String, p: String): Option[(Int, Int)] = {
+      val seg = k.drop(p.length).split("\\.", 2)
+      if (seg.length != 2) return None
+      for { b <- seg(0).toIntOption; tp <- seg(1).toIntOption }
+        yield (b, tp)
+    }
+    props.foreach { case (k, v) =>
+      if (k.startsWith("vminl."))
+        parse(k, "vminl.").foreach { key =>
+          val cur = acc.getOrElse(key, (None, None))
+          acc(key) = (Some(v), cur._2)
+        }
+      else if (k.startsWith("vmaxl."))
+        parse(k, "vmaxl.").foreach { key =>
+          val cur = acc.getOrElse(key, (None, None))
+          acc(key) = (cur._1, Some(v))
+        }
+    }
+    acc.toSeq.groupBy(_._1._1).map { case (b, xs) =>
+      b -> xs.map { case ((_, tp), (mn, mx)) => tp -> Comp(mn, mx) }
+        .toMap
+    }
   }
 
   /** Same physical hash the writers bucket by ([[graft.cdc.Bucketing]]:
@@ -709,6 +747,46 @@ object MergePruning extends Rule[LogicalPlan] {
       case _ => true
     }
 
+    // VERSION leaf admission (r14): top-level version-column conjuncts
+    // tested against the per-(bucket, `_tp` leaf) vminl/vmaxl bounds —
+    // the version-range twin of the cluster leaf pass, same clean-
+    // buckets-only invariant, missing bounds admit.
+    val versionLeafTests: Seq[Comp => Boolean] = {
+      def conjuncts(x: Expression): Seq[Expression] = x match {
+        case And(a, b) => conjuncts(a) ++ conjuncts(b)
+        case o => Seq(o)
+      }
+      if (info.tp.isEmpty || info.versionCol.isEmpty) Nil
+      else conjuncts(cond).flatMap {
+        case GreaterThan(a: AttributeReference, l: Literal)
+            if isVersion(a) && l.value != null && l.dataType == a.dataType =>
+          Some(maxHolds(a, l, GreaterThan) _)
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+            if isVersion(a) && l.value != null && l.dataType == a.dataType =>
+          Some(maxHolds(a, l, GreaterThanOrEqual) _)
+        case LessThan(a: AttributeReference, l: Literal)
+            if isVersion(a) && l.value != null && l.dataType == a.dataType =>
+          Some(minHolds(a, l, LessThan) _)
+        case LessThanOrEqual(a: AttributeReference, l: Literal)
+            if isVersion(a) && l.value != null && l.dataType == a.dataType =>
+          Some(minHolds(a, l, LessThanOrEqual) _)
+        case EqualTo(a: AttributeReference, l: Literal)
+            if isVersion(a) && l.value != null && l.dataType == a.dataType =>
+          Some((c: Comp) => minHolds(a, l, LessThanOrEqual)(c) &&
+            maxHolds(a, l, GreaterThanOrEqual)(c))
+        case _ => None
+      }
+    }
+    def versionLeafAdmit(r: Root): Boolean = r.tp match {
+      case Some(n) if versionLeafTests.nonEmpty &&
+          !info.dirty.contains(r.bucket) =>
+        info.versionLeaf.get(r.bucket).flatMap(_.get(n)) match {
+          case Some(comp) => versionLeafTests.forall(_(comp))
+          case None => true
+        }
+      case _ => true
+    }
+
     val allowedBuckets = (compositeBucket(cond), allowed(cond)) match {
       case (Some(c), Some(a)) => c.intersect(a)
       case (Some(c), None) => c
@@ -722,7 +800,7 @@ object MergePruning extends Rule[LogicalPlan] {
     }
     val keptDirs = parsed.collect {
       case (path, r) if allowedBuckets.contains(r.bucket) &&
-        tpAdmit(r) && clusterLeafAdmit(r) => path
+        tpAdmit(r) && clusterLeafAdmit(r) && versionLeafAdmit(r) => path
     }
     if (keptDirs.size == parsed.size) return None
 

@@ -1496,6 +1496,50 @@ object CdcQueries {
       q
     }),
 
+    // leaf-level VERSION zone maps (r14): the version-range twin of
+    // the cluster leaf probe — version correlates with the backfill
+    // DAY (day d committed at version d), so every bucket's [minv,
+    // maxv] envelope spans all days and only the per-(bucket, leaf)
+    // vminl/vmaxl bounds can prune. The query carries NO time
+    // predicate; in-query the optimized plan must read exactly one
+    // `_tp` leaf per bucket, and the oracle recomputes the aggregate
+    // relationally.
+    "sql_version_leaf_prune" -> ((s, dir) => {
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") * 3).as("payload"),
+          expr("make_timestamp(2024, 1, " +
+            "CAST(1 + o_orderkey % 20 AS INT), 12, 0, 0)").as("ts"),
+          (lit(1L) + col("o_orderkey") % 20).as("version"),
+          lit(false).as("deleted"))
+      val tableDir = sys.props("java.io.tmpdir") + "/graft-vleaf-" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.cdc.Compaction.init(src, tableDir, Seq("id"), "version",
+        "deleted", nBuckets = 8, clusterBy = Nil, feed = false,
+        timePartition = Some("days" -> "ts"))
+      graft.plans.MergePruning.ensureRegistered(s)
+      graft.plans.GraftTables.register(s, "vleaf", tableDir)
+      val q = s.sql("""SELECT count(*) AS n,
+        CAST(SUM(id * 7 + payload) AS BIGINT) AS checksum
+        FROM vleaf WHERE version = 5""")
+      val days = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation match {
+          case fsr: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            fsr.location.rootPaths.toSeq.flatMap(p =>
+              "_tp=([0-9]+)".r.findFirstMatchIn(p.toString)
+                .map(_.group(1).toInt))
+          case _ => Nil
+        }
+      }.flatten
+      // version 5 was committed on day 5 = 2024-01-05 = epoch 19727
+      require(days.nonEmpty && days.forall(_ == 19727),
+        s"version equality must prune to the single matching _tp " +
+          s"leaf per bucket (no time predicate given): $days")
+      q
+    }),
+
     // The change data feed as a BATCH metadata table
     // (`graft.ns.t.changes`, catalog/MetaTables.scala): raw events —
     // table columns + _change_type + batch — read through the same
@@ -3095,6 +3139,16 @@ object CdcQueries {
         |SELECT count(*) AS n,
         |  CAST(SUM(id * 7 + cl) AS BIGINT) AS checksum
         |FROM t WHERE cl >= 500 AND cl < 550""".stripMargin,
+
+    // version-leaf pruning is a data reduction only: same contract
+    "sql_version_leaf_prune" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS id, o_orderkey * 3 AS payload,
+        |    1 + o_orderkey % 20 AS version
+        |  FROM orders)
+        |SELECT count(*) AS n,
+        |  CAST(SUM(id * 7 + payload) AS BIGINT) AS checksum
+        |FROM t WHERE version = 5""".stripMargin,
 
     // the successful CTAS's contents are exactly the SELECT's rows
     "sql_ctas_atomic" ->

@@ -188,7 +188,8 @@ class ReplaceTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("cannot move"), e2.getMessage)
   }
 
-  test("replace on a table that never emitted feed reserves no batch") {
+  test("replace on a table that never emitted feed reserves no batch " +
+      "but still bumps the universal epoch fence") {
     sqlc("""CREATE TABLE rcat.rnofeed (
         id BIGINT, version BIGINT, deleted BOOLEAN)
         TBLPROPERTIES ('keys'='id', 'buckets'='2')""")
@@ -198,7 +199,9 @@ class ReplaceTableSpec extends SparkSpec {
         AS SELECT id, 0L AS version, false AS deleted FROM range(4)""")
     val snap = TxLog.latest(spark, dir).get
     assert(snap.counter("next_feed_batch") == 0L)
-    assert(snap.counter("feed_epoch") == 0L)
+    assert(snap.counter("feed_epoch") == 1L,
+      "the epoch is the universal lineage fence: it bumps even when " +
+        "no feed batch is reserved")
     assert(!TxLog.fs(spark, dir)
       .exists(new org.apache.hadoop.fs.Path(s"$dir/feed")))
   }

@@ -472,4 +472,38 @@ class TimePartitionSpec extends SparkSpec {
       WHERE cl >= 300 AND cl < 350 AND ts >= TIMESTAMP '2024-01-01'""")
     assert(tpDays(scanFiles(both)) == Set(19725))
   }
+
+  test("leaf-level VERSION zone maps prune _tp dirs through the " +
+      "catalog scan (r14)") {
+    // version is correlated with the DAY (backfill day d committed at
+    // version d), so every bucket's [minv, maxv] envelope spans all
+    // days and only the per-(bucket, leaf) vminl/vmaxl bounds can
+    // prune — the predicate carries no time column at all
+    val wh = tmpDir("version-leaf-wh")
+    spark.conf.set("spark.sql.catalog.gvlx",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvlx.warehouse", wh)
+    spark.sql("""CREATE TABLE gvlx.vt (
+      id BIGINT, v BIGINT, ts TIMESTAMP, version BIGINT,
+      deleted BOOLEAN)
+      PARTITIONED BY (days(ts))
+      TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    spark.sql("""INSERT INTO gvlx.vt
+      SELECT id, id * 3,
+        make_timestamp(2024, 1, CAST(1 + id % 5 AS INT), 12, 0, 0),
+        CAST(1 + id % 5 AS BIGINT), false FROM range(200)""")
+    val q = spark.sql("SELECT id FROM gvlx.vt WHERE version = 3")
+    assert(q.as[Long].collect().toSet ==
+      (0L until 200L).filter(_ % 5 == 2).toSet)
+    val days = tpDays(scanFiles(q))
+    // 2024-01-03 = epoch day 19725: only that leaf holds version 3
+    assert(days == Set(19725),
+      s"version equality must prune to the single matching leaf, " +
+        s"planned $days")
+    // range shape too: version >= 5 lives only in day 5
+    val range = spark.sql("SELECT id FROM gvlx.vt WHERE version >= 5")
+    assert(tpDays(scanFiles(range)) == Set(19727),
+      s"version range must prune leaves, planned " +
+        s"${tpDays(scanFiles(range))}")
+  }
 }
