@@ -188,6 +188,77 @@ class ReplaceTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("cannot move"), e2.getMessage)
   }
 
+  test("a replica refuses to sync across a REPLACE and converges " +
+      "after re-init") {
+    import graft.cdc.Replicator
+    sqlc("""CREATE TABLE rcat.repl (
+        id BIGINT, v BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='2', 'feed'='true')""")
+    sqlc("INSERT INTO rcat.repl SELECT id, id, 0L, false FROM range(10)")
+    val src = s"$warehouse/repl"
+    val rep = tmpDir("replace-replica") + "/rep"
+    Replicator.init(spark, src, rep)
+    sqlc("INSERT INTO rcat.repl SELECT 1L, 999L, 1L, false")
+    Replicator.sync(spark, src, rep)
+    assert(Compaction.read(spark, rep).count() == 10L)
+
+    sqlc("""CREATE OR REPLACE TABLE rcat.repl
+        TBLPROPERTIES ('keys'='id', 'buckets'='2', 'feed'='true')
+        AS SELECT id, id * 7 AS v, 0L AS version, false AS deleted
+        FROM range(4)""")
+    intercept[IllegalStateException] {
+      Replicator.sync(spark, src, rep)
+    }
+    // re-init re-seeds from the replaced snapshot and re-fences
+    Replicator.init(spark, src, rep)
+    assert(Compaction.read(spark, rep).count() == 4L)
+    sqlc("INSERT INTO rcat.repl SELECT 100L, 0L, 1L, false")
+    Replicator.sync(spark, src, rep)
+    assert(Compaction.read(spark, rep).count() == 5L)
+  }
+
+  test("REFRESH MATERIALIZED VIEW re-seeds across a base REPLACE " +
+      "instead of replaying pre-replace events") {
+    import graft.plans.GraftTables
+    sqlc("""CREATE TABLE rcat.mvb (
+        id BIGINT, grp STRING, amount DECIMAL(18,2), version BIGINT,
+        deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='2', 'feed'='true')""")
+    sqlc("""INSERT INTO rcat.mvb VALUES
+      (1, 'a', 10.00, 1, false), (2, 'a', 20.00, 1, false),
+      (3, 'b', 5.00, 1, false)""")
+    val base = s"$warehouse/mvb"
+    GraftTables.register(spark, "rep_mv_base", base)
+    GraftTables.sql(spark,
+      "CREATE MATERIALIZED VIEW rep_mv AS SELECT grp, " +
+        "count(*) AS cnt, sum(amount) AS total FROM rep_mv_base " +
+        "GROUP BY grp")
+    val viewDir = s"$base/_mv/rep_mv"
+    def viewCounts: Map[String, Long] =
+      graft.cdc.AggView.read(spark, viewDir).select("grp", "cnt")
+        .as[(String, Long)].collect().toMap
+    assert(viewCounts == Map("a" -> 2L, "b" -> 1L))
+
+    // REPLACE with the same column shape but different contents: the
+    // epoch fence must drive REFRESH to RE-SEED from the replaced
+    // base, never to apply pre-replace feed state
+    sqlc("""CREATE OR REPLACE TABLE rcat.mvb
+        TBLPROPERTIES ('keys'='id', 'buckets'='2', 'feed'='true')
+        AS SELECT id, 'b' AS grp, CAST(id AS DECIMAL(18,2)) AS amount,
+          0L AS version, false AS deleted FROM range(5)""")
+    GraftTables.refresh(spark, "rep_mv_base")
+    GraftTables.sql(spark, "REFRESH MATERIALIZED VIEW rep_mv")
+    assert(viewCounts == Map("b" -> 5L),
+      s"the view must re-seed to the REPLACED state, got $viewCounts")
+    // incremental refresh works again on the new lineage
+    sqlc("INSERT INTO rcat.mvb VALUES (100, 'a', 3.00, 1, false)")
+    GraftTables.refresh(spark, "rep_mv_base")
+    GraftTables.sql(spark, "REFRESH MATERIALIZED VIEW rep_mv")
+    assert(viewCounts == Map("a" -> 1L, "b" -> 5L))
+    GraftTables.sql(spark, "DROP MATERIALIZED VIEW rep_mv")
+    GraftTables.unregister(spark, "rep_mv_base")
+  }
+
   test("replace on a table that never emitted feed reserves no batch " +
       "but still bumps the universal epoch fence") {
     sqlc("""CREATE TABLE rcat.rnofeed (
