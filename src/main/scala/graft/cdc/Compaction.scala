@@ -1193,9 +1193,10 @@ object Compaction {
     */
   private def readBuckets(spark: SparkSession, dir: String, m: Meta,
       rels: Iterable[String],
-      tpRange: Option[(Int, Int)] = None): DataFrame =
+      tpRange: Option[(Int, Int)] = None,
+      bucketLeafKeep: Option[(Int, Int) => Boolean] = None): DataFrame =
     readRelsAs(spark, dir, rels.toSeq, m.schema,
-      renameEvents(m.snap.props), tpKeepFn(m, tpRange))
+      renameEvents(m.snap.props), tpKeepFn(m, tpRange), bucketLeafKeep)
       .withColumn("bucket", bucketOf(m.keyCols, m.nBuckets))
 
   /** ALTER RENAME COLUMN events from manifest props, NEWEST first:
@@ -1266,7 +1267,8 @@ object Compaction {
       rels: Seq[String],
       logical: org.apache.spark.sql.types.StructType,
       events: Seq[(Long, String, String)],
-      tpKeep: Option[Int => Boolean] = None): DataFrame = {
+      tpKeep: Option[Int => Boolean] = None,
+      bucketLeafKeep: Option[(Int, Int) => Boolean] = None): DataFrame = {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
     if (rels.isEmpty) return empty
@@ -1280,8 +1282,24 @@ object Compaction {
       case None => rs.map(r => s"$dir/data/$r")
       case Some(keep) =>
         val fs = TxLog.fs(spark, dir)
-        listTpDirs(fs, rs.map(r => new Path(s"$dir/data/$r")), keep)
-          .flatMap(_._2.map(_.getPath.toString))
+        val listed = listTpDirs(fs,
+          rs.map(r => new Path(s"$dir/data/$r")), keep)
+        // per-(bucket, leaf) admission (r14): the version-leaf zone
+        // maps prune leaves the caller proves cannot hold a passing
+        // row — unparsable shapes admit (prune is a data reduction)
+        bucketLeafKeep match {
+          case None => listed.flatMap(_._2.map(_.getPath.toString))
+          case Some(bk) => listed.flatMap(_._2.filter { st =>
+              val tp = st.getPath.getName.drop("_tp=".length).toIntOption
+              val b = Option(st.getPath.getParent).map(_.getName)
+                .filter(_.startsWith("bucket="))
+                .flatMap(_.drop("bucket=".length).toIntOption)
+              (b, tp) match {
+                case (Some(bb), Some(t)) => bk(bb, t)
+                case _ => true
+              }
+            }.map(_.getPath.toString))
+        }
     }
     if (events.isEmpty) {
       val ps = paths(rels)
@@ -1344,10 +1362,15 @@ object Compaction {
     * bucket, so merge-on-read costs nothing until it is used.
     */
   private def liveView(spark: SparkSession, dir: String, m: Meta,
-      ids: Set[Int], tpRange: Option[(Int, Int)] = None): DataFrame = {
+      ids: Set[Int], tpRange: Option[(Int, Int)] = None,
+      bucketLeafKeep: Option[(Int, Int) => Boolean] = None): DataFrame = {
     val dirty = ids.intersect(m.dirty)
+    // leaf admission applies to CLEAN buckets only: a dirty bucket's
+    // fold decides winners over full history (same invariant as every
+    // range prune here)
     val clean = readBuckets(spark, dir, m,
-      (ids -- dirty).toSeq.flatMap(m.buckets.get), tpRange)
+      (ids -- dirty).toSeq.flatMap(m.buckets.get), tpRange,
+      bucketLeafKeep)
     if (dirty.isEmpty) clean
     else clean.unionByName(foldBuckets(spark, dir, m, dirty))
   }
@@ -1481,7 +1504,31 @@ object Compaction {
           .select(col("bucket")).as[Int].collect().toSet
         (passing ++ statless).intersect(live)
       }
-    liveView(spark, dir, m, keep)
+    // leaf-granular admission (r14): inside a kept CLEAN bucket of a
+    // time-partitioned table, a `_tp` leaf whose recorded vmaxl cannot
+    // exceed `since` holds only superseded-by-the-filter rows — skip
+    // it by name. Typed through Catalyst like every zone compare;
+    // missing bounds or eval surprises admit.
+    val leafKeep: Option[(Int, Int) => Boolean] =
+      if (m.tp.isEmpty) None
+      else Some { (b, tp) =>
+        m.snap.prop(s"vmaxl.$b.$tp") match {
+          case None => true
+          case Some(mx) =>
+            import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, GreaterThan => CGt, Literal => CLit}
+            val tz = Some(org.apache.spark.sql.internal.SQLConf.get
+              .sessionLocalTimeZone)
+            scala.util.Try(CGt(
+              CCast(CLit(
+                org.apache.spark.unsafe.types.UTF8String.fromString(mx),
+                org.apache.spark.sql.types.StringType), vType, tz),
+              CCast(CLit(since), vType, tz)).eval()).toOption match {
+              case Some(java.lang.Boolean.FALSE) => false
+              case _ => true
+            }
+        }
+      }
+    liveView(spark, dir, m, keep, bucketLeafKeep = leafKeep)
       .drop("bucket")
       .filter(col(m.versionCol) > lit(since))
   }

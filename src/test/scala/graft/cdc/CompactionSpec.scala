@@ -326,4 +326,38 @@ class CompactionSpec extends SparkSpec {
     assert(stats.touchedBuckets.isEmpty && stats.rowsWritten == 0L)
     assert(fileState(dir) == before)
   }
+
+  test("readChangedSince leaf-prunes a time-partitioned table by the " +
+      "version-leaf zone maps (r14)") {
+    // version correlates with the backfill DAY (day d committed at
+    // version d): every bucket's [minv, maxv] envelope spans all days,
+    // so only the per-(bucket, leaf) vmaxl bounds can skip leaves
+    val dir = tmpDir("vleaf-changed") + "/t"
+    def ts(day: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    Compaction.init(
+      (1L to 100L).map(i =>
+        (i, s"p-$i", ts(1 + (i % 5).toInt), 1L + i % 5, false))
+        .toDF("id", "payload", "ts", "version", "deleted"),
+      dir, Seq("id"), "version", "deleted", nBuckets = 2,
+      clusterBy = Nil, feed = false,
+      timePartition = Some("days" -> "ts"))
+    val changed = Compaction.readChangedSince(spark, dir, 3L)
+    // correctness: exactly the version-4 and version-5 rows
+    assert(changed.select("id").as[Long].collect().toSet ==
+      (1L to 100L).filter(i => i % 5 == 3 || i % 5 == 4).toSet)
+    // the scan opened ONLY the day-4 and day-5 leaves (epoch days
+    // 19726, 19727) — version <= 3 leaves never became input files
+    val days = changed.inputFiles.toSeq.flatMap(f =>
+      "_tp=([0-9]+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(days == Set(19726, 19727),
+      s"changed-since must leaf-prune by vmaxl, opened $days")
+    // a merge-on-read bucket folds FULL history: its leaves all stay
+    Compaction.merge(spark, dir,
+      Seq((1L, "mor", ts(1), 9L, false))
+        .toDF("id", "payload", "ts", "version", "deleted"),
+      mergeOnRead = true)
+    val afterMor = Compaction.readChangedSince(spark, dir, 3L)
+    assert(afterMor.filter(col("payload") === "mor").count() == 1L)
+  }
 }
