@@ -517,6 +517,22 @@ object GraftTables {
     */
   private def reseedMv(spark: SparkSession, viewDir: String,
       mvDef: MvSidecar, baseSnap: TxLog.Snapshot): Unit = {
+    // a REPLACE may have re-defined the base's columns out from under
+    // the view — name the cause instead of surfacing the re-seed
+    // SELECT's unresolved-column error (r14 review)
+    val baseCols = org.apache.spark.sql.types.DataType
+      .fromJson(baseSnap.props("schema_json"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.map(_.toLowerCase).toSet
+    val missing = (mvDef.keys :+ mvDef.valueCol)
+      .filterNot(c => baseCols(c.toLowerCase))
+    if (missing.nonEmpty)
+      GraftDml.fail(
+        s"cannot re-seed the materialized view at $viewDir: its " +
+          s"definition references column(s) ${missing.mkString(", ")} " +
+          s"that no longer exist on the base (${mvDef.baseDir} was " +
+          "REPLACEd or altered); DROP the view and re-CREATE it " +
+          "against the new schema")
     val (_, _, _, nBuckets) = Compaction.readMeta(spark, mvDef.baseDir)
     val head = baseSnap.counter("next_feed_batch") - 1L
     graft.cdc.AggView.init(

@@ -259,6 +259,33 @@ class ReplaceTableSpec extends SparkSpec {
     GraftTables.unregister(spark, "rep_mv_base")
   }
 
+  test("REFRESH after a shape-changing REPLACE names the cause " +
+      "instead of an unresolved-column error") {
+    import graft.plans.GraftTables
+    sqlc("""CREATE TABLE rcat.mvshape (
+        id BIGINT, grp STRING, amount DECIMAL(18,2), version BIGINT,
+        deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='2', 'feed'='true')""")
+    sqlc("INSERT INTO rcat.mvshape VALUES (1, 'a', 10.00, 1, false)")
+    val base = s"$warehouse/mvshape"
+    GraftTables.register(spark, "mvshape_reg", base)
+    GraftTables.sql(spark,
+      "CREATE MATERIALIZED VIEW shape_mv AS SELECT grp, " +
+        "count(*) AS cnt, sum(amount) AS total FROM mvshape_reg " +
+        "GROUP BY grp")
+    // the replace drops the 'amount' column the view aggregates
+    sqlc("""CREATE OR REPLACE TABLE rcat.mvshape
+        TBLPROPERTIES ('keys'='id', 'buckets'='2', 'feed'='true')
+        AS SELECT id, 'x' AS grp, 0L AS version, false AS deleted
+        FROM range(3)""")
+    val e = intercept[Exception] {
+      GraftTables.sql(spark, "REFRESH MATERIALIZED VIEW shape_mv")
+    }
+    assert(e.getMessage.contains("REPLACEd") &&
+      e.getMessage.contains("amount"), e.getMessage)
+    GraftTables.unregister(spark, "mvshape_reg")
+  }
+
   test("replace on a table that never emitted feed reserves no batch " +
       "but still bumps the universal epoch fence") {
     sqlc("""CREATE TABLE rcat.rnofeed (
