@@ -138,7 +138,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case loc :: txn :: Nil =>
             val lf = TxLog.fs(spark, loc)
             val marker = new Path(loc, s".publish-$txn")
-            if (wf.exists(redirectPath(ident))) {
+            if (isTable(ident)) {
+              // the name already resolves — a later CREATE (managed or
+              // LOCATION elsewhere) won the name while this intent sat
+              // crashed. Completing now would write a redirect OVER the
+              // live table and silently repoint its data dir; retire
+              // the intent and its marker instead (the crashed CTAS
+              // lost the race; its data stays at loc, unadopted).
               wf.delete(ip, false)
               lf.delete(marker, false)
             } else if (lf.exists(marker) &&
@@ -152,7 +158,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 st.getModificationTime > TxLog.orphanGraceMs) {
               wf.delete(ip, false)
             }
-          case _ => wf.delete(ip, false) // unreadable: never completable
+          case _ =>
+            // unreadable: either junk or a writer mid-create (open but
+            // not yet flushed). Deleting on first sight would disarm
+            // the recovery for the interleaving where the writer's
+            // rename lands right after — age it with the same grace a
+            // live staging gets, then reclaim.
+            if (System.currentTimeMillis() -
+                st.getModificationTime > TxLog.orphanGraceMs)
+              wf.delete(ip, false)
         }
       }
     }
@@ -349,6 +363,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // same intent retirement as stageCreate/stageReplace: a crashed
+    // external-CTAS publish of this name either completes here (then
+    // CREATE correctly fails with exists — the CTAS semantically
+    // succeeded) or, once this CREATE wins the name, can never be
+    // "completed" over it by a later staging
+    completeCrashedPublish(ident)
     if (isTable(ident)) throw new TableAlreadyExistsException(ident)
     val ddl = parseDdl(partitions, properties)
     val TableDdl(timePartition, keys, versionCol, deleteCol, nBuckets,

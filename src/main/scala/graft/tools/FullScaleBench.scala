@@ -110,21 +110,34 @@ object FullScaleBench {
     println(s"[fullscale] synthesizing ${Factor}x of $sfDir -> $dst")
     synth(spark, sfDir, dst)
 
-    def run(name: String, dir: String): Unit = {
-      graft.SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+    // One session PER SCALE: Spark caches v2 catalog instances per
+    // session+name, so a `graftcat` instantiated against the 1x
+    // warehouse silently ignores the 10x leg's warehouse re-set and
+    // every catalog query's 10x timing would measure 1x-sized tables
+    // (the r14 `sql_rtas_atomic` failure). newSession() shares the
+    // SparkContext (same executors — timings stay comparable) but
+    // carries its own SessionState/CatalogManager, so each scale's
+    // first graftcat use binds to that scale's warehouse for good.
+    // Temp views are session-scoped too, so the legs can't cross-read.
+    val spark10 = spark.newSession()
+
+    def run(name: String, s: org.apache.spark.sql.SparkSession,
+            dir: String): Unit = {
+      graft.SparkEntry.queries(name)(s, dir).queryExecution.toRdd.count()
       ()
     }
-    // JVM/codegen warmup, untimed
-    try run("cdc_counts", sfDir) catch { case _: Throwable => () }
+    // JVM/codegen warmup, untimed, on both sessions
+    try run("cdc_counts", spark, sfDir) catch { case _: Throwable => () }
+    try run("cdc_counts", spark10, dst) catch { case _: Throwable => () }
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .forall(_.split(",").toSet.contains(n)))
     val rows = names.map { n =>
-      spark.catalog.clearCache()
-      val t1 = try time(run(n, sfDir)) catch
+      spark.catalog.clearCache() // CacheManager lives in SharedState: one call covers both sessions
+      val t1 = try time(run(n, spark, sfDir)) catch
         { case _: Throwable => Double.PositiveInfinity }
-      val t10 = try time(run(n, dst)) catch
+      val t10 = try time(run(n, spark10, dst)) catch
         { case _: Throwable => Double.PositiveInfinity }
       val ratio = t10 / math.max(t1, 0.001)
       println(f"[fullscale] $n%-28s x1=$t1%8.2f s  x10=$t10%8.2f s  ratio=$ratio%6.2f")
@@ -139,9 +152,9 @@ object FullScaleBench {
     val ok = okFirst.map {
       case r @ (n, _, _, ratio) if ratio > RatioBar =>
         spark.catalog.clearCache()
-        val a2 = try time(run(n, sfDir)) catch
+        val a2 = try time(run(n, spark, sfDir)) catch
           { case _: Throwable => Double.PositiveInfinity }
-        val b2 = try time(run(n, dst)) catch
+        val b2 = try time(run(n, spark10, dst)) catch
           { case _: Throwable => Double.PositiveInfinity }
         val r2 = b2 / math.max(a2, 0.001)
         println(f"[fullscale] recheck $n%-20s x1=$a2%8.2f s x10=$b2%8.2f s ratio=$r2%6.2f")

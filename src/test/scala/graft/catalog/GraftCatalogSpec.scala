@@ -612,4 +612,106 @@ class GraftCatalogSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(md, ".location-intent")))
     sqlc("DROP TABLE gcat.pub2_t")
   }
+
+  test("plain CREATE TABLE after a crashed external-CTAS publish " +
+      "completes the publish and refuses with exists (r15)") {
+    val ext = tmpDir("gcat-ext-pub3")
+    val loc = s"$ext/pub3_t"
+    GraftCatalog.afterPublishRename =
+      () => throw new RuntimeException("simulated crash before redirect")
+    try intercept[Exception] {
+      sqlc(s"""CREATE TABLE gcat.pub3_t
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')
+        LOCATION '$loc'
+        AS SELECT id, 0L AS version, false AS deleted FROM range(25)""")
+    } finally GraftCatalog.afterPublishRename = () => ()
+    assert(graft.cdc.TxLog.latestVersion(spark, loc).isDefined)
+    // the data at LOCATION is committed — a plain CREATE of the name
+    // must complete the crashed publish FIRST (createTable runs the
+    // same intent retirement as stageCreate) and then fail with
+    // exists, instead of succeeding over a live intent that a later
+    // staging would "complete" by repointing the new table's data dir
+    intercept[Exception] {
+      sqlc("""CREATE TABLE gcat.pub3_t (
+        id BIGINT, version BIGINT, deleted BOOLEAN)
+        TBLPROPERTIES ('keys'='id', 'buckets'='4')""")
+    }
+    assert(sqlc("SELECT count(*) AS n FROM gcat.pub3_t")
+      .as[Long].head() == 25L,
+      "the crashed CTAS semantically succeeded; CREATE resolves it")
+    val wf = graft.cdc.TxLog.fs(spark, warehouse)
+    assert(!wf.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/pub3_t/.location-intent")))
+    sqlc("DROP TABLE gcat.pub3_t")
+  }
+
+  test("a stale publish intent never repoints a live table: staging " +
+      "retires it instead of completing (r15)") {
+    // a committed external maintained table to play the crashed CTAS's
+    // LOCATION payload
+    val ext = tmpDir("gcat-ext-stale")
+    val loc = s"$ext/stale_payload"
+    sqlc(s"""CREATE TABLE gcat.stale_src
+      TBLPROPERTIES ('keys'='id', 'buckets'='2')
+      LOCATION '$loc'
+      AS SELECT id, 0L AS version, false AS deleted FROM range(11)""")
+    sqlc("DROP TABLE gcat.stale_src") // external: unregisters only
+    // a LIVE managed table of the poisoned name
+    sqlc("""CREATE TABLE gcat.stale_live (
+      id BIGINT, v BIGINT, version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='2')""")
+    sqlc("INSERT INTO gcat.stale_live SELECT id, id*2, 0L, false FROM range(5)")
+    // fabricate the crashed-publish residue AGAINST the live name:
+    // intent on the warehouse side, rename-riding marker at loc
+    val wf = graft.cdc.TxLog.fs(spark, warehouse)
+    val md = new org.apache.hadoop.fs.Path(s"$warehouse/stale_live")
+    val out = wf.create(
+      new org.apache.hadoop.fs.Path(md, ".location-intent"), true)
+    out.write(s"$loc\ncafebabe".getBytes("UTF-8")); out.close()
+    val lf = graft.cdc.TxLog.fs(spark, loc)
+    lf.create(new org.apache.hadoop.fs.Path(loc, ".publish-cafebabe"),
+      true).close()
+    // the next staging of the name must RETIRE the intent (the live
+    // table won), not complete it — completing would write a redirect
+    // over stale_live and the REPLACE below would rewrite the payload
+    // table at loc instead of the live managed table
+    sqlc("""CREATE OR REPLACE TABLE gcat.stale_live
+      TBLPROPERTIES ('keys'='id', 'buckets'='2')
+      AS SELECT id, 0L AS version, false AS deleted FROM range(3)""")
+    assert(!wf.exists(new org.apache.hadoop.fs.Path(md, ".location")),
+      "no redirect may appear on the live managed table")
+    assert(!wf.exists(
+      new org.apache.hadoop.fs.Path(md, ".location-intent")),
+      "the stale intent must be retired")
+    assert(!lf.exists(
+      new org.apache.hadoop.fs.Path(loc, ".publish-cafebabe")),
+      "the stale marker must be retired with it")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.stale_live")
+      .as[Long].head() == 3L, "REPLACE rewrote the managed table")
+    assert(Compaction.read(spark, loc).count() == 11L,
+      "the unadopted payload at LOCATION stays untouched")
+    sqlc("DROP TABLE gcat.stale_live")
+  }
+
+  test("an unreadable (partially written) intent ages out instead of " +
+      "being deleted on first sight (r15)") {
+    val wf = graft.cdc.TxLog.fs(spark, warehouse)
+    val md = new org.apache.hadoop.fs.Path(s"$warehouse/partial_t")
+    wf.mkdirs(md)
+    val ip = new org.apache.hadoop.fs.Path(md, ".location-intent")
+    val out = wf.create(ip, true)
+    out.write("/only/the/loc/line/so/far".getBytes("UTF-8")); out.close()
+    // within the grace the reader treats it as a writer mid-create:
+    // the resolution miss leaves it in place (deleting it here would
+    // disarm recovery for a writer whose rename lands a moment later)
+    intercept[Exception] { sqlc("SELECT * FROM gcat.partial_t") }
+    assert(wf.exists(ip),
+      "a young unreadable intent must survive the miss path")
+    // past the grace it is junk and is reclaimed
+    val prevGrace = graft.cdc.TxLog.orphanGraceMs
+    graft.cdc.TxLog.orphanGraceMs = 0L
+    try intercept[Exception] { sqlc("SELECT * FROM gcat.partial_t") }
+    finally graft.cdc.TxLog.orphanGraceMs = prevGrace
+    assert(!wf.exists(ip), "an aged unreadable intent is reclaimed")
+  }
 }
