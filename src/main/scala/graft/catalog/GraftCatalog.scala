@@ -171,6 +171,193 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
 
+  /** Durable intent marker for an in-flight MOVE TABLE (r15). Its own
+    * file (not `.location-intent`): a move's source table is LIVE the
+    * whole time, so the CTAS recovery's "name already resolves →
+    * retire" rule would cancel a move it should resume. Content:
+    * target dir, txn id, and the source version the copy fenced on.
+    */
+  private def moveIntentPath(ident: Identifier) =
+    new Path(managedDir(ident), ".move-intent")
+
+  /** Atomic MOVE TABLE (r15, `ALTER TABLE t SET LOCATION '<dir>'`):
+    * relocate the table's whole directory — manifest history, data
+    * generations, feed batches — across filesystems with the source
+    * serving until one redirect swap:
+    *
+    *  1. durable `.move-intent` (target, txn, fence version);
+    *  2. cross-fs copy into a target-side `.stage-` sibling, with the
+    *     `.publish-<txn>` completion marker written INTO the staging;
+    *  3. fence — the source advanced during the copy? clean up, fail,
+    *     retry copies fresh (never publish a stale copy);
+    *  4. ONE same-fs rename makes the target complete (marker rides);
+    *  5. redirect swap — the first instant readers see the new dir;
+    *  6. late-commit re-check (a writer that raced the swap committed
+    *     into the source: swap BACK and fail loudly, never silently
+    *     strand a commit), then retire intent+marker and free the old
+    *     location.
+    *
+    * Crash anywhere before 5 leaves the source serving untouched;
+    * re-running the same MOVE resumes at the earliest sound step
+    * (a completed rename with a still-current fence skips the copy).
+    */
+  private def moveTable(ident: Identifier, newLoc0: String): Unit = {
+    val newLoc = newLoc0.stripSuffix("/")
+    val wf = TxLog.fs(spark, warehouse)
+    val srcDir = tableDir(ident)
+    val conf = spark.sessionState.newHadoopConf()
+    val sf = TxLog.fs(spark, srcDir)
+    val lf = TxLog.fs(spark, newLoc)
+    val mi = moveIntentPath(ident)
+    if (srcDir == newLoc) {
+      // already serving the requested location — either a no-op or the
+      // retry of a move that crashed AFTER its swap: retire remnants
+      // idempotently and report success
+      if (wf.exists(mi)) {
+        val in = wf.open(mi)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList
+          finally in.close()
+        lines.map(_.trim).filter(_.nonEmpty) match {
+          case loc :: txn :: _ if loc == newLoc =>
+            lf.delete(new Path(newLoc, s".publish-$txn"), false)
+          case _ => ()
+        }
+        wf.delete(mi, false)
+        TxLog.hygiene {
+          if (srcDir != managedDir(ident))
+            wf.listStatus(new Path(managedDir(ident))).foreach { st =>
+              if (!st.getPath.getName.startsWith(".location"))
+                wf.delete(st.getPath, true)
+            }
+        }
+      }
+      return
+    }
+    if (wf.exists(mi)) {
+      val in = wf.open(mi)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList
+        finally in.close()
+      lines.map(_.trim).filter(_.nonEmpty) match {
+        case loc :: txn :: v0 :: Nil if loc == newLoc &&
+            lf.exists(new Path(loc, s".publish-$txn")) &&
+            TxLog.latestVersion(spark, loc).isDefined &&
+            TxLog.latestVersion(spark, srcDir).contains(v0.toLong) =>
+          // the rename landed and the source never advanced past the
+          // fence: only the swap + cleanup are left
+          finishMove(ident, srcDir, loc, txn, Some(v0.toLong))
+          return
+        case loc :: _ =>
+          // stale (different target, source advanced past the fence,
+          // or rename never landed): un-adopt the dead copy and start
+          // fresh — the source is still the table
+          if (loc == newLoc &&
+              TxLog.latestVersion(spark, loc).isDefined)
+            lf.delete(new Path(loc), true)
+          wf.delete(mi, false)
+        case _ => wf.delete(mi, false)
+      }
+    }
+    require(TxLog.latestVersion(spark, newLoc).isEmpty,
+      s"$newLoc already holds a committed table — MOVE refuses to " +
+        "adopt or clobber it")
+    val target = new Path(newLoc)
+    if (lf.exists(target)) {
+      require(lf.listStatus(target).isEmpty,
+        s"$newLoc is not empty — MOVE needs a fresh target directory")
+      lf.delete(target, false) // the publish rename must create it
+    }
+    val mvRoot = new Path(s"$srcDir/_mv")
+    require(!sf.exists(mvRoot) || sf.listStatus(mvRoot).isEmpty,
+      s"$srcDir carries materialized views whose sidecars pin the " +
+        "base dir — DROP them before MOVE and re-CREATE after")
+    val txn = java.util.UUID.randomUUID().toString.take(8)
+    val v0 = TxLog.latestVersion(spark, srcDir).get
+    wf.mkdirs(new Path(managedDir(ident)))
+    val out = wf.create(mi, true)
+    try out.write(s"$newLoc\n$txn\n$v0".getBytes("UTF-8"))
+    finally out.close()
+    val stage = new Path(newStageDir(newLoc))
+    lf.mkdirs(stage)
+    sf.listStatus(new Path(srcDir)).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(".staging-") && !n.startsWith(".location") &&
+          !n.startsWith(".move-intent") && !n.startsWith(".publish-") &&
+          n != "_mv")
+        org.apache.hadoop.fs.FileUtil.copy(sf, st.getPath, lf,
+          new Path(stage, n), false, conf)
+    }
+    lf.create(new Path(stage, s".publish-$txn"), true).close()
+    if (!TxLog.latestVersion(spark, srcDir).contains(v0)) {
+      lf.delete(stage, true)
+      wf.delete(mi, false)
+      throw new IllegalStateException(
+        s"table at $srcDir advanced during the move copy — the copy " +
+          "is stale; retry MOVE")
+    }
+    require(lf.rename(stage, target),
+      s"move publish rename failed: $stage -> $target")
+    GraftCatalog.afterMoveRename() // test-only crash injection
+    finishMove(ident, srcDir, newLoc, txn, Some(v0))
+  }
+
+  /** Steps 5-6 of [[moveTable]]: redirect swap, late-commit check,
+    * intent/marker retirement, old-location hygiene.
+    */
+  private def finishMove(ident: Identifier, srcDir: String,
+      newLoc: String, txn: String, v0: Option[Long]): Unit = {
+    val wf = TxLog.fs(spark, warehouse)
+    val sf = TxLog.fs(spark, srcDir)
+    val lf = TxLog.fs(spark, newLoc)
+    val rp = redirectPath(ident)
+    val prevRedirect: Option[String] =
+      if (wf.exists(rp)) {
+        val in = wf.open(rp)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim)
+        finally in.close()
+      } else None
+    val out = wf.create(rp, true)
+    try out.write(newLoc.getBytes("UTF-8")) finally out.close()
+    TxLog.invalidate(srcDir); TxLog.invalidate(newLoc)
+    GraftCatalog.afterMoveSwap() // test-only crash injection
+    v0.foreach { v =>
+      if (!TxLog.latestVersion(spark, srcDir).contains(v)) {
+        // a commit raced the swap into the source dir: the copy no
+        // longer carries it — swap BACK (the source stays the table,
+        // nothing lost) and fail loudly
+        prevRedirect match {
+          case Some(loc) =>
+            val o2 = wf.create(rp, true)
+            try o2.write(loc.getBytes("UTF-8")) finally o2.close()
+          case None => wf.delete(rp, false)
+        }
+        TxLog.invalidate(srcDir); TxLog.invalidate(newLoc)
+        lf.delete(new Path(newLoc), true)
+        wf.delete(moveIntentPath(ident), false)
+        throw new IllegalStateException(
+          s"a commit landed at $srcDir while MOVE was publishing — " +
+            "the move was rolled back; retry")
+      }
+    }
+    wf.delete(moveIntentPath(ident), false)
+    lf.delete(new Path(newLoc, s".publish-$txn"), false)
+    // the move is committed (redirect durable); freeing the old
+    // location is hygiene — a crash here leaves unreferenced files,
+    // never a broken table
+    TxLog.hygiene {
+      if (srcDir == managedDir(ident))
+        sf.listStatus(new Path(srcDir)).foreach { st =>
+          if (!st.getPath.getName.startsWith(".location"))
+            sf.delete(st.getPath, true)
+        }
+      else sf.delete(new Path(srcDir), true)
+    }
+  }
+
   /** The table's data directory: the managed path, unless a
     * `.location` redirect (written by CREATE ... LOCATION) points at
     * an external one.
@@ -355,8 +542,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .getOrElse(Nil),
       prop(properties, "feed").exists(_.toBoolean),
       // 'ndv_p': cluster-column NDV sketch precision (4-12, default 6
-      // ~13% stderr) — fixed at CREATE (register widths must agree
-      // across buckets; see Compaction.ndvPOf)
+      // ~13% stderr); ALTER re-derives the sketches at a new width as
+      // a stats-only commit (see Compaction.refreshStats)
       prop(properties, "ndv_p").map(_.toInt))
   }
 
@@ -724,12 +911,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case p: TableChange.SetProperty if p.property() == "feed" =>
         Compaction.setFeedEnabled(spark, dir, p.value().toBoolean)
         None
+      case p: TableChange.SetProperty
+          if p.property() == TableCatalog.PROP_LOCATION =>
+        // ALTER TABLE t SET LOCATION '<dir>' = atomic MOVE TABLE (r15)
+        moveTable(ident, p.value())
+        None
       case p: TableChange.SetProperty if p.property() == "ndv_p" =>
-        throw new UnsupportedOperationException(
-          "ndv_p is fixed at CREATE: the per-bucket NDV sketches " +
-            "merge register-wise, so every bucket's register width " +
-            "must agree — changing precision needs a full rewrite " +
-            "(CREATE OR REPLACE ... AS SELECT with the new ndv_p)")
+        // stats-only committed rewrite (r15, was an ALTER refusal):
+        // every clean bucket's cluster-column sketch re-derives at the
+        // new register width from the committed files — footer/one
+        // bounded aggregate pass, no data rewrite. Register-wise
+        // merging still requires ONE width table-wide, so unfolded
+        // merge-on-read deltas refuse inside (compact first).
+        Compaction.refreshStats(spark, dir,
+          ndvP = Some(p.value().toInt))
+        None
       case _: TableChange.SetProperty => None // no-op touch
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support $other")
@@ -846,6 +1042,8 @@ object GraftCatalog {
     * `completeCrashedPublish`.
     */
   private[catalog] var afterPublishRename: () => Unit = () => ()
+  private[catalog] var afterMoveRename: () => Unit = () => ()
+  private[catalog] var afterMoveSwap: () => Unit = () => ()
 }
 
 /** One maintained table resolved through [[GraftCatalog]] —

@@ -663,16 +663,22 @@ object Compaction {
     // only _SUCCESS — nothing to read a schema from)
     if (staged.isEmpty) Map.empty
     else {
-      val base = driverFooterStats(spark, staging, staged, versionCol,
-        statCols).getOrElse(
-        sparkStagedStats(spark, staging, staged, versionCol, statCols))
-      addClusterNdv(spark, staging, base, statCols, ndvP)
+      lazy val df = spark.read.parquet(s"$staging/data")
+      val base = driverFooterStats(spark,
+        staged.map(b => b -> new Path(s"$staging/data/bucket=$b")),
+        versionCol, statCols).getOrElse(
+        sparkStatsOf(spark, df, versionCol, statCols))
+      addClusterNdv(spark, df, base, statCols, ndvP)
     }
 
-  private def sparkStagedStats(spark: SparkSession, staging: String,
-      staged: Seq[Int], versionCol: String,
+  /** The Spark-aggregate stats pass over a DataFrame carrying the data
+    * columns plus an integer `bucket` column (and an integer `_tp`
+    * column on time-partitioned layouts) — shared by the staging read
+    * and the committed-dirs read (r15 stats backfill).
+    */
+  private def sparkStatsOf(spark: SparkSession, df: DataFrame,
+      versionCol: String,
       statCols: Seq[String]): Map[Int, BucketStats] = {
-      val df = spark.read.parquet(s"$staging/data")
       // STRING version columns record Iceberg-style TRUNCATED bounds
       // (≤-min prefix, >-max incremented prefix): the zone-map prune
       // stays exact-conservative and the manifest never stores an
@@ -709,9 +715,13 @@ object Compaction {
       val hasTp = df.schema.fieldNames.contains("_tp")
       // the leaf pass aggregates VERSION bounds (r14) alongside the
       // cluster bounds (r13) in the same grouped job
+      // pre-evolution flat files inside a tp table carry a null `_tp`
+      // (no leaf dir to key off) — they contribute to the bucket fold
+      // only, never to a leaf entry
       val leafRows: Array[org.apache.spark.sql.Row] =
         if (!hasTp) Array.empty
-        else df.groupBy(col("bucket"), col("_tp"))
+        else df.filter(col("_tp").isNotNull)
+          .groupBy(col("bucket"), col("_tp"))
           .agg(aggs.tail.head, aggs.tail.tail: _*) // mn, mx, extraAggs
           .collect()
       val leafBounds: Map[Int, Map[Int, Map[String, (String, String)]]] =
@@ -776,10 +786,11 @@ object Compaction {
   /** The table's declared sketch precision (`ndv_p` table property,
     * 4–12; default [[HllP]]): 2^p registers, ~1.04/sqrt(2^p) standard
     * error, 2^p × 2 base36 chars of manifest per (bucket, column) —
-    * p=10 costs 2 KB/(bucket,col) for ~3.2% stderr. Fixed at CREATE:
-    * register-wise merging requires every bucket's registers to share
-    * one width, so changing it needs a full rebucket-style rewrite —
-    * ALTER refuses.
+    * p=10 costs 2 KB/(bucket,col) for ~3.2% stderr. Register-wise
+    * merging requires every bucket's registers to share one width;
+    * changing precision is a stats-only committed re-sketch over the
+    * live files ([[refreshStats]] — ALTER `ndv_p` routes there, r15),
+    * never a data rewrite.
     */
   private[cdc] def ndvPOf(snap: TxLog.Snapshot): Int =
     snap.prop("ndv_p").map(_.toInt).getOrElse(HllP)
@@ -793,11 +804,11 @@ object Compaction {
     * global NDV stays exact-mergeable across every commit. Encoding:
     * fixed 2-char base36 per register ([[encodeRegisters]]).
     */
-  private def addClusterNdv(spark: SparkSession, staging: String,
+  private def addClusterNdv(spark: SparkSession, srcDf: => DataFrame,
       base: Map[Int, BucketStats],
       statCols: Seq[String], ndvP: Int = HllP): Map[Int, BucketStats] = {
     if (statCols.isEmpty || base.isEmpty) return base
-    val df = spark.read.parquet(s"$staging/data")
+    val df = srcDf
     val present = statCols.filter(c =>
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     if (present.isEmpty) return base
@@ -874,21 +885,28 @@ object Compaction {
     * — the same pattern ACID table formats use to collect file stats
     * at commit.
     */
-  private def driverFooterStats(spark: SparkSession, staging: String,
-      staged: Seq[Int], versionCol: String,
-      statCols: Seq[String] = Nil): Option[Map[Int, BucketStats]] =
+  private def driverFooterStats(spark: SparkSession,
+      roots: Seq[(Int, Path)], versionCol: String,
+      statCols: Seq[String] = Nil,
+      tpFloor: Option[Int] = None): Option[Map[Int, BucketStats]] =
     try {
+      if (roots.isEmpty) return Some(Map.empty)
       val conf = spark.sessionState.newHadoopConf()
-      val fs = new Path(staging).getFileSystem(conf)
+      val fs = roots.head._2.getFileSystem(conf)
       // time-partitioned layout nests one `_tp=` level inside each
       // bucket — the shared lister descends it for the footer pass
       // each file keyed (bucket, `_tp` leaf): the leaf is the file's
-      // parent dir when the staged layout nests one (r13 leaf-level
-      // cluster bounds key off it; flat layouts carry None)
+      // parent dir when the layout nests one (r13 leaf-level
+      // cluster bounds key off it; flat layouts carry None). Roots
+      // are explicit (bucket id, dir) pairs so the same pass serves
+      // both a txn's staging layout and a table's COMMITTED bucket
+      // dirs (the r15 stats backfill); `tpFloor` excludes retired
+      // partitions whose dirs linger until vacuum.
       val files: Seq[((Int, Option[Int]), Path)] = listTpLeaves(fs,
-        staged.map(b => new Path(s"$staging/data/bucket=$b")))
-        .zip(staged)
-        .flatMap { case ((_, leaves), b) =>
+        roots.map(_._2),
+        admit = tp => tpFloor.forall(tp >= _))
+        .zip(roots)
+        .flatMap { case ((_, leaves), (b, _)) =>
           leaves
             .filter(st => st.isFile &&
               (st.getPath.getName.endsWith(".parquet") ||
@@ -1053,6 +1071,11 @@ object Compaction {
           st.leafColBounds.flatMap { case (tp, cols) =>
             cols.flatMap { case (c, (mn, mx)) =>
               Seq(s"cmin.$b.$tp.$c" -> mn, s"cmax.$b.$tp.$c" -> mx) } }
+        // the marker (r15) records that the budget — not a pre-leaf
+        // writer — withheld the keys, so the stats backfill can tell
+        // "degraded by policy" from "never computed" without listing
+        else if (st.leafColBounds.nonEmpty)
+          Map(s"lcdeg.$b" -> "1")
         else Map.empty[String, String]) ++
         // leaf-granular VERSION zone maps (r14): `vminl.<b>.<tp>` /
         // `vmaxl.<b>.<tp>` beside the bucket-level minv/maxv fold,
@@ -1061,6 +1084,8 @@ object Compaction {
         (if (st.leafVersionBounds.size * 2 <= MaxLeafKeysPerBucket)
           st.leafVersionBounds.flatMap { case (tp, (mn, mx)) =>
             Seq(s"vminl.$b.$tp" -> mn, s"vmaxl.$b.$tp" -> mx) }
+        else if (st.leafVersionBounds.nonEmpty)
+          Map(s"lvdeg.$b" -> "1")
         else Map.empty[String, String]) ++
         // per-bucket cluster-column NDV sketches (r13): HLL registers,
         // register-wise max across buckets = the table's sketch
@@ -1084,6 +1109,7 @@ object Compaction {
   /** The per-bucket stat-key families a commit carries/filters. */
   private[cdc] val StatPrefixes =
     Seq("rows.", "minv.", "maxv.", "vminl.", "vmaxl.",
+      "lvdeg.", "lcdeg.",
       "cmin.", "cmax.", "cndv.", "cnul.",
       "delta.", "drows.", "dmaxv.")
 
@@ -1677,7 +1703,8 @@ object Compaction {
         case kv => kv
       }
       .filterNot { case (k, _) =>
-        Seq("minv.", "maxv.", "cmin.", "cmax.", "cndv.", "cnul.")
+        Seq("minv.", "maxv.", "vminl.", "vmaxl.", "lvdeg.", "lcdeg.",
+            "cmin.", "cmax.", "cndv.", "cnul.")
           .exists(p =>
           k.startsWith(p) &&
             statBucket(k, p).exists(touched.contains)) ||
@@ -3616,7 +3643,13 @@ object Compaction {
     // dropped dmaxv (uncombinable stat) cannot leave a stale one behind
     val stagedSet = staged.toSet
     val carried = m.snap.props.filter { case (k, _) =>
-      Seq("rows.", "minv.", "maxv.", "cmin.", "cmax.", "cndv.", "cnul.")
+      // vminl./vmaxl. ride along (r15): the base's leaf-version maps
+      // stay true for the base files a MoR merge never touches —
+      // dropping them here made ONE merge-on-read commit disarm leaf
+      // pruning table-wide (leaf consumers already skip dirty buckets)
+      Seq("rows.", "minv.", "maxv.", "vminl.", "vmaxl.",
+          "lvdeg.", "lcdeg.",
+          "cmin.", "cmax.", "cndv.", "cnul.")
         .exists(k.startsWith) ||
         Seq("delta.", "drows.", "dmaxv.").exists(p =>
           k.startsWith(p) && !statBucket(k, p).exists(stagedSet.contains))
@@ -3718,6 +3751,116 @@ object Compaction {
     }
   }
 
+  /** Per-bucket stats for a set of COMMITTED clean buckets, computed
+    * from the table's live files — the committed-dirs twin of
+    * [[stagedStats]] (r15 stats backfill): the same driver-side footer
+    * fast path over explicit (bucket, dir) roots, the same Spark
+    * aggregate fallback over [[readBuckets]] (rename-aware, retention
+    * floor applied) with `_tp` recovered from each file's leaf dir.
+    */
+  private def committedBucketStats(spark: SparkSession, dir: String,
+      m: Meta, ids: Seq[Int], ndvP: Int): Map[Int, BucketStats] = {
+    if (ids.isEmpty) return Map.empty
+    val rels = ids.map(b => b -> m.buckets(b))
+    lazy val df = {
+      val base = readBuckets(spark, dir, m, rels.map(_._2))
+      if (m.tp.isDefined)
+        base.withColumn("_tp",
+          regexp_extract(input_file_name(), "/_tp=(\\d+)/", 1)
+            .cast("int"))
+      else base
+    }
+    val base = driverFooterStats(spark,
+      rels.map { case (b, rel) => b -> new Path(s"$dir/data/$rel") },
+      m.versionCol, m.clusterBy, tpFloor = m.tpMin)
+      .getOrElse(sparkStatsOf(spark, df, m.versionCol, m.clusterBy))
+    addClusterNdv(spark, df, base, m.clusterBy, ndvP)
+  }
+
+  /** Which clean buckets the manifest itself says are missing stat
+    * families a current-generation writer would have recorded — pure
+    * prop inspection, zero I/O, so a no-op maintenance pass costs
+    * nothing. A bucket is stale when the sketch precision is being
+    * changed, or (time-partitioned layouts) when it carries neither
+    * leaf-granular version/cluster zone maps nor the budget-degraded
+    * marker a current writer stamps in their place.
+    */
+  private def statsStaleBuckets(m: Meta, newP: Option[Int]): Seq[Int] = {
+    val clean = (m.buckets.keySet -- m.dirty).toSeq.sorted
+    if (newP.exists(_ != ndvPOf(m.snap))) return clean
+    if (m.tp.isEmpty) return Nil
+    def hasKey(prefix: String) = m.snap.props.keysIterator
+      .exists(_.startsWith(prefix))
+    def leafCmin(b: Int) = m.snap.props.keysIterator.exists { k =>
+      k.startsWith(s"cmin.$b.") && {
+        val rest = k.drop(s"cmin.$b.".length)
+        val seg = rest.takeWhile(_ != '.')
+        rest.length > seg.length && seg.nonEmpty && seg.forall(_.isDigit)
+      }
+    }
+    clean.filter { b =>
+      val vleafOk = hasKey(s"vminl.$b.") || m.snap.prop(s"lvdeg.$b").isDefined
+      val cleafOk = m.clusterBy.isEmpty || leafCmin(b) ||
+        m.snap.prop(s"lcdeg.$b").isDefined ||
+        // a bucket with no bucket-level cluster bounds at all (every
+        // stat column all-null there) records no leaf bounds either
+        !m.snap.props.keysIterator.exists(k =>
+          k.startsWith(s"cmin.$b.") )
+      !(vleafOk && cleafOk)
+    }
+  }
+
+  /** Re-sketch the per-bucket stat families from the committed files
+    * in ONE metadata commit, without rewriting any data (r15, verdict
+    * items 4+5): arms leaf-granular zone maps ([[rowProps]] `vminl`/
+    * `vmaxl`, `cmin.<b>.<tp>.<col>`) and CBO sketches on tables whose
+    * buckets predate those families, and — with `ndvP` — re-derives
+    * every cluster-column HLL sketch at a new precision (the
+    * stats-only remedy ALTER `ndv_p` routes through instead of
+    * refusing with the RTAS recipe). Dirty (merge-on-read) buckets
+    * keep their carried stats: their live state is base+delta, which
+    * no footer pass over base files alone can state — compact first.
+    * A table already fully stated is a no-op with zero Spark jobs and
+    * zero commits. Returns the number of buckets restated.
+    */
+  def refreshStats(spark: SparkSession, dir: String,
+      ndvP: Option[Int] = None, force: Boolean = false): Int = {
+    ndvP.foreach(v => require(v >= 4 && v <= 12,
+      s"ndv_p must be in [4, 12], got $v"))
+    TxLog.withOcc(spark, dir) {
+      val m = loadMeta(spark, dir)
+      require(m.snap.prop("table_type").forall(_ == "merge"),
+        s"$dir is a ${m.snap.prop("table_type").getOrElse("merge")} " +
+          "table; refreshStats applies to merge tables (Scd2/AggView " +
+          "stats are maintained by their own commit paths)")
+      val precisionChange = ndvP.exists(_ != ndvPOf(m.snap))
+      if (precisionChange)
+        require(m.dirty.isEmpty,
+          "cannot change ndv_p while merge-on-read deltas are " +
+            "unfolded (register widths must match across every " +
+            "bucket's sketch) — run compact() first")
+      val stale =
+        if (force) (m.buckets.keySet -- m.dirty).toSeq.sorted
+        else statsStaleBuckets(m, ndvP)
+      if (stale.isEmpty && !precisionChange) return 0
+      val p = ndvP.getOrElse(ndvPOf(m.snap))
+      val fresh = committedBucketStats(spark, dir, m, stale, p)
+      val staleSet = stale.toSet
+      val txn = new TableTxn(spark, dir, m.snap.version)
+      val props = (m.snap.props -- Seq("txn_id", "base_txn", "op",
+          "feed_batch", "feed_txn") --
+          m.buckets.keys.map(b => s"bucket.$b"))
+        .filterNot { case (k, _) => StatPrefixes.exists(p0 =>
+          k.startsWith(p0) && statBucket(k, p0).exists(staleSet.contains)) } ++
+        rowProps(fresh) ++
+        ndvP.map(v => Map("ndv_p" -> v.toString)).getOrElse(Map.empty) +
+        ("op" -> "restat")
+      txn.installAndCommit(m.buckets, props)
+      TxLog.hygiene(txn.cleanup())
+      stale.size
+    }
+  }
+
   /** One maintenance pass — the policy that keeps a merge-on-read
     * table's read amplification AND history storage bounded without an
     * operator watching it:
@@ -3742,12 +3885,19 @@ object Compaction {
       maxDeltasPerBucket: Int = 8,
       maxHistoryAge: java.time.Duration = null,
       maxFeedAge: java.time.Duration = null,
-      maxPartitionAge: java.time.Duration = null): (Int, Int) = {
+      maxPartitionAge: java.time.Duration = null,
+      refreshStats: Boolean = false): (Int, Int) = {
     val before = loadMeta(spark, dir)
     val toFold = before.deltas.count(_._2.size >= maxDeltasPerBucket)
     if (toFold > 0)
       compact(spark, dir, minDeltas = maxDeltasPerBucket,
         retainHistory = true)
+    // stats backfill AFTER the fold: buckets compact just re-stated
+    // are no longer candidates, so the pass touches only buckets whose
+    // manifest still lacks the current stat families (pre-r14 tables
+    // gain leaf zone maps + CBO sketches without a data rewrite);
+    // fully-stated tables pay one manifest prop inspection, zero jobs
+    if (refreshStats) Compaction.refreshStats(spark, dir)
     // partition retention (time-partitioned tables): drop every
     // partition older than the window, as metadata-first commits
     // (merge-on-read chains holding doomed partitions fold inside —

@@ -304,6 +304,12 @@ object MergePruning extends Rule[LogicalPlan] {
     * query. Keyed by dir (one live entry per table, like the Info
     * cache) so a long session's commits never accumulate entries.
     */
+  /** Marks a CatalogTable this rule fabricated purely to carry
+    * manifest stats — so downstream prunes can tell it from a real
+    * registered table and drop it when the scan shrinks.
+    */
+  private val FabricatedStatsProp = "graft.fabricated.stats"
+
   private val statsCache =
     TrieMap.empty[String, (Long, Option[
       org.apache.spark.sql.catalyst.catalog.CatalogStatistics])]
@@ -318,11 +324,13 @@ object MergePruning extends Rule[LogicalPlan] {
     * per-bucket HLL registers + exact null tallies + typed min/max
     * bounds, version-column min/max from the zone maps.
     *
-    * Sound-by-decline: only flat (non-time-partitioned) full scans of
-    * a clean (no merge-on-read) current manifest attach — a subset
-    * scan, a leaf layout, or a dirty bucket would make the manifest
-    * fold over- or under-state. Gated on CBO/planStats being enabled
-    * so sessions that never read plan stats pay nothing.
+    * Sound-by-decline: only FULL scans of a clean (no merge-on-read)
+    * current manifest attach — a subset scan or a dirty bucket would
+    * make the manifest fold over- or under-state. Flat layouts prove
+    * fullness by bucket-dir identity; time-partitioned layouts (r15)
+    * by per-bucket leaf identity against the manifest's version-leaf
+    * enumeration. Gated on CBO/planStats being enabled so sessions
+    * that never read plan stats pay nothing.
     */
   private def attachStats(lr: LogicalRelation): Option[LogicalPlan] = {
     if (lr.catalogTable.isDefined) return None
@@ -341,12 +349,42 @@ object MergePruning extends Rule[LogicalPlan] {
     if (tableDirs.size != 1) return None
     val spark = fs.sparkSession
     val info = infoFor(spark, tableDirs.head).getOrElse(return None)
-    // full CURRENT flat scan only: every live dir present, no extras
-    if (info.tp.isDefined || parsed.exists(_._2.tp.isDefined))
-      return None
     val liveDirSet = info.bucketDirs.values.flatten.toSet
-    val rootDirSet = parsed.map(_._2.bucketDir).toSet
-    if (rootDirSet != liveDirSet) return None
+    info.tp match {
+      case None =>
+        // full CURRENT flat scan only: every live dir present, no
+        // extras
+        if (parsed.exists(_._2.tp.isDefined)) return None
+        if (parsed.map(_._2.bucketDir).toSet != liveDirSet) return None
+      case Some(_) =>
+        // time-partitioned layout (r15, was a blanket decline): the
+        // scan roots are `_tp=` LEAF dirs, so "full current scan" is
+        // proven per bucket — every live bucket present, and its root
+        // leaves exactly the leaves the manifest's version-leaf map
+        // enumerates (recorded by every current writer from the same
+        // footer pass as the row counts, so the enumeration and the
+        // stats describe the same files). A bucket with no leaf map —
+        // pre-r14 layout (backfill via maintain(refreshStats=true)) or
+        // the budget-degraded marker — cannot prove coverage: decline.
+        if (info.dirty.nonEmpty) return None
+        if (!parsed.forall(_._2.tp.isDefined)) return None
+        val rootLeaves: Map[String, Set[Int]] = parsed
+          .groupBy(_._2.bucketDir)
+          .map { case (d, rs) => d -> rs.flatMap(_._2.tp).toSet }
+        if (rootLeaves.keySet != liveDirSet) return None
+        val dirOfBucket = info.bucketDirs.map {
+          case (b, dirs) => b -> dirs.head }
+        val covered = info.bucketDirs.keySet.forall { b =>
+          !info.props.contains(s"lvdeg.$b") &&
+            info.versionLeaf.get(b).exists { leaves =>
+              val live = leaves.keySet
+                .filter(tp => info.tpMin.forall(tp >= _))
+              live.nonEmpty && rootLeaves.get(dirOfBucket(b))
+                .contains(live)
+            }
+        }
+        if (!covered) return None
+    }
     val cs = statsCache.get(info.tableDir)
       .collect { case (v, s) if v == info.version => s }
       .getOrElse {
@@ -367,6 +405,7 @@ object MergePruning extends Rule[LogicalPlan] {
             .CatalogStorageFormat.empty,
           schema = fs.dataSchema,
           provider = Some("parquet"),
+          properties = Map(FabricatedStatsProp -> "true"),
           stats = Some(s))))
     }
   }
@@ -807,7 +846,17 @@ object MergePruning extends Rule[LogicalPlan] {
     val newIndex = new InMemoryFileIndex(spark,
       keptDirs, Map.empty[String, String],
       Some(fs.dataSchema))
-    val pruned = lr.copy(relation = fs.copy(location = newIndex)(spark))
+    // a fabricated full-table stats attach (attachStats) must not ride
+    // the pruned copy: a 1-of-N-buckets scan reporting whole-table
+    // rowCount/NDV would overstate cardinality to CBO and block a
+    // broadcast the actual pruned scan merits. Dropping it falls back
+    // to the pruned file index's own sizeInBytes — accurate for what
+    // the scan now reads. Real (user-registered) catalog tables are
+    // left alone.
+    val prunedCatalogTable = lr.catalogTable
+      .filterNot(_.properties.contains(FabricatedStatsProp))
+    val pruned = lr.copy(relation = fs.copy(location = newIndex)(spark),
+      catalogTable = prunedCatalogTable)
     Some(f.copy(child = pruned))
   }
 

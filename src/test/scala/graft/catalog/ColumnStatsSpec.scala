@@ -216,8 +216,113 @@ class ColumnStatsSpec extends SparkSpec {
     }
   }
 
+  test("a time-partitioned table on the registered route attaches " +
+      "manifest stats and flips a broadcast under CBO (r15)") {
+    val dir = tmpDir("cstat-tp-reg") + "/t"
+    // 40k rows over 4 days, 4-valued cluster column, wide pad so the
+    // raw-size estimate stays over the broadcast threshold — only the
+    // NDV-derived row estimate can flip the join
+    graft.cdc.Compaction.init(
+      spark.range(40000).selectExpr("id", "id % 4 AS grp",
+        "concat('pad-', id, '-', repeat('x', 64)) AS pad",
+        "make_timestamp(2024, 1, CAST(1 + id % 4 AS INT), 12, 0, 0) AS ts",
+        "0L AS version", "false AS deleted"),
+      dir, Seq("id"), "version", "deleted", nBuckets = 8,
+      clusterBy = Seq("grp"), feed = false,
+      timePartition = Some(("days", "ts")), ndvP = None)
+    graft.plans.GraftTables.register(spark, "cstat_tp_t", dir)
+    graft.plans.MergePruning.ensureRegistered(spark)
+    val bigPath = tmpDir("cstat-tp-big")
+    spark.range(100000).selectExpr("id % 4 AS g", "id AS x")
+      .write.mode("overwrite").parquet(bigPath)
+    spark.read.parquet(bigPath).createOrReplaceTempView("cstat_tp_big")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def aggBroadcasts(): Boolean = {
+        val q = spark.sql("""SELECT count(*) AS n FROM cstat_tp_big b
+          JOIN (SELECT grp, count(*) AS c FROM cstat_tp_t GROUP BY grp) d
+          ON b.g = d.grp""")
+        assert(q.as[Long].head() == 100000L)
+        q.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin")
+      }
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val rel = spark.sql("SELECT * FROM cstat_tp_t")
+        .queryExecution.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => r
+        }.getOrElse(fail("no LogicalRelation on the registered route"))
+      assert(rel.stats.rowCount.exists(_.toLong == 40000L),
+        s"manifest rowCount should attach on the leaf-rooted tp " +
+          s"scan, got ${rel.stats.rowCount}")
+      val ndv = rel.stats.attributeStats.collectFirst {
+        case (a, cs) if a.name.equalsIgnoreCase("grp") => cs
+      }.flatMap(_.distinctCount)
+        .getOrElse(fail("no NDV for grp on the tp route")).toLong
+      assert(ndv >= 3 && ndv <= 6, s"NDV(grp) should estimate ~4, got $ndv")
+      assert(aggBroadcasts(),
+        "CBO + manifest NDV should broadcast the 4-group aggregate " +
+          "on the time-partitioned registered route")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(!aggBroadcasts(),
+        "the CBO-off control must stay scan-sized (no broadcast)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      prevAqe match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      graft.plans.GraftTables.unregister(spark, "cstat_tp_t")
+    }
+  }
+
+  test("a bucket-pruned registered-route scan drops the fabricated " +
+      "full-table stats (r15)") {
+    val dir = tmpDir("cstat-pruned") + "/t"
+    graft.cdc.Compaction.init(
+      spark.range(40000).selectExpr("id",
+        "concat('pad-', id, '-', repeat('x', 64)) AS pad",
+        "0L AS version", "false AS deleted"),
+      dir, Seq("id"), "version", "deleted", nBuckets = 8)
+    graft.plans.GraftTables.register(spark, "cstat_pr_t", dir)
+    graft.plans.MergePruning.ensureRegistered(spark)
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def relOf(q: String) = spark.sql(q).queryExecution.optimizedPlan
+        .collectFirst {
+          case r: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => r
+        }.getOrElse(fail(s"no LogicalRelation in: $q"))
+      val full = relOf("SELECT * FROM cstat_pr_t")
+      assert(full.stats.rowCount.exists(_.toLong == 40000L),
+        s"full scan should carry manifest stats, got ${full.stats.rowCount}")
+      // the point lookup scans 1 of 8 bucket dirs — reporting the
+      // whole table's rowCount/NDV there would overstate cardinality
+      // to CBO (and could block a broadcast the pruned scan merits);
+      // the pruned copy must fall back to its own file sizes
+      val pruned = relOf("SELECT * FROM cstat_pr_t WHERE id = 7")
+      assert(pruned.stats.rowCount.isEmpty,
+        s"pruned scan must not report full-table rowCount, got " +
+          s"${pruned.stats.rowCount}")
+      assert(pruned.stats.sizeInBytes < full.stats.sizeInBytes,
+        "the pruned scan's size estimate should shrink with the scan")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      graft.plans.GraftTables.unregister(spark, "cstat_pr_t")
+    }
+  }
+
   test("ndv_p=10 tightens the sketch: wider registers, closer NDV, " +
-      "ALTER refuses a precision change (r14)") {
+      "ALTER re-sketches in place (r14/r15)") {
     sqlc("""CREATE TABLE gstat.ndvp (
         id BIGINT, grp BIGINT, version BIGINT, deleted BOOLEAN)
         TBLPROPERTIES ('keys'='id', 'buckets'='4',
@@ -244,18 +349,51 @@ class ColumnStatsSpec extends SparkSpec {
     }.flatMap(_.distinctCount).getOrElse(fail("no NDV")).toLong
     assert(ndv >= 540 && ndv <= 660,
       s"p=10 should estimate 600 within ~10%, got $ndv")
-    // precision is fixed at CREATE: register widths must agree
-    val e = intercept[Exception] {
-      sqlc("ALTER TABLE gstat.ndvp SET TBLPROPERTIES ('ndv_p'='6')")
-    }
-    assert(e.getMessage.contains("ndv_p"), e.getMessage)
-    // out-of-range precision refuses at CREATE
+    // ALTER changes the precision as a stats-only committed rewrite
+    // (r15): every bucket's registers re-derive at the new width from
+    // the committed files — and the data files stay byte-identical
+    val filesBefore = graft.cdc.Compaction.read(spark, dir)
+      .inputFiles.sorted.toSeq
+    sqlc("ALTER TABLE gstat.ndvp SET TBLPROPERTIES ('ndv_p'='6')")
+    val snap6 = graft.cdc.TxLog.latest(spark, dir).get
+    assert(snap6.prop("ndv_p").contains("6"))
+    assert(snap6.prop("op").contains("restat"),
+      "the precision change commits as a stats-only restat")
+    val reg6 = snap6.props.collectFirst {
+      case (k, v) if k.startsWith("cndv.") => v }
+      .getOrElse(fail("no cndv sketch after re-sketch"))
+    assert(reg6.length == 128,
+      s"p=6 registers are 64 x 2 chars, got ${reg6.length}")
+    assert(graft.cdc.Compaction.read(spark, dir)
+      .inputFiles.sorted.toSeq == filesBefore,
+      "a precision change must not rewrite data files")
+    // the NDV accuracy bound holds at the NEW precision (p=6 ~13%
+    // stderr: 600 true distincts should estimate within ~3 sigma)
+    val rel6 = sqlc("SELECT * FROM gstat.ndvp")
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r
+      }.getOrElse(fail("no v2 scan relation after re-sketch"))
+    val ndv6 = rel6.stats.attributeStats.collectFirst {
+      case (a, cs) if a.name.equalsIgnoreCase("grp") => cs
+    }.flatMap(_.distinctCount).getOrElse(fail("no NDV after")).toLong
+    assert(ndv6 >= 360 && ndv6 <= 840,
+      s"p=6 should estimate 600 within the sketch bound, got $ndv6")
+    // and back UP to p=10: the tight band returns
+    sqlc("ALTER TABLE gstat.ndvp SET TBLPROPERTIES ('ndv_p'='10')")
+    val snap10 = graft.cdc.TxLog.latest(spark, dir).get
+    assert(snap10.props.collectFirst {
+      case (k, v) if k.startsWith("cndv.") => v }.get.length == 2048)
+    // out-of-range precision refuses at CREATE and at ALTER
     val e2 = intercept[Exception] {
       sqlc("""CREATE TABLE gstat.ndvp_bad (
         id BIGINT, version BIGINT, deleted BOOLEAN)
         TBLPROPERTIES ('keys'='id', 'ndv_p'='15')""")
     }
     assert(e2.getMessage.contains("ndv_p"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      sqlc("ALTER TABLE gstat.ndvp SET TBLPROPERTIES ('ndv_p'='15')")
+    }
+    assert(e3.getMessage.contains("ndv_p"), e3.getMessage)
   }
 
   test("cluster-column NDV from the per-bucket HLL sketches reaches " +

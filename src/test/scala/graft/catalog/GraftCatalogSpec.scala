@@ -693,6 +693,122 @@ class GraftCatalogSpec extends SparkSpec {
     sqlc("DROP TABLE gcat.stale_live")
   }
 
+  test("MOVE TABLE (ALTER ... SET LOCATION) relocates the whole " +
+      "directory with history and feed intact (r15)") {
+    sqlc("""CREATE TABLE gcat.move_t (
+      id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='4', 'feed'='true')""")
+    sqlc("""INSERT INTO gcat.move_t
+      SELECT id, concat('a', id), 0L, false FROM range(50)""")
+    sqlc("INSERT INTO gcat.move_t SELECT 7L, 'moved7', 1L, false")
+    val newLoc = tmpDir("gcat-move-dst") + "/t"
+    sqlc(s"ALTER TABLE gcat.move_t SET LOCATION '$newLoc'")
+    val wf = graft.cdc.TxLog.fs(spark, warehouse)
+    // serving from the new location through the redirect
+    val rp = new org.apache.hadoop.fs.Path(
+      s"$warehouse/move_t/.location")
+    assert(wf.exists(rp), "the redirect must be written")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.move_t")
+      .as[Long].head() == 50L)
+    assert(sqlc("SELECT v FROM gcat.move_t WHERE id = 7")
+      .as[String].head() == "moved7")
+    // history moved: time travel still reaches the pre-upsert value
+    assert(sqlc(
+      "SELECT v FROM gcat.move_t VERSION AS OF 1 WHERE id = 7")
+      .as[String].head() == "a7", "manifest history must move")
+    // feed moved: the change batches read from the new dir
+    assert(graft.cdc.Compaction.readFeed(spark, newLoc).count() > 0,
+      "feed batches must move")
+    // intent and marker retired; old managed data freed
+    assert(!wf.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/move_t/.move-intent")))
+    val oldChildren = wf.listStatus(new org.apache.hadoop.fs.Path(
+      s"$warehouse/move_t")).map(_.getPath.getName).toSet
+    assert(oldChildren == Set(".location"),
+      s"old managed dir must hold only the redirect, got $oldChildren")
+    // DML keeps working at the new home
+    sqlc("INSERT INTO gcat.move_t SELECT 99L, 'post-move', 2L, false")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.move_t")
+      .as[Long].head() == 51L)
+    sqlc("DROP TABLE gcat.move_t") // external now: unregisters
+  }
+
+  test("a crash mid-MOVE leaves the source serving; the retry " +
+      "completes; a post-swap crash retry is idempotent (r15)") {
+    sqlc("""CREATE TABLE gcat.move_c (
+      id BIGINT, v STRING, version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='2')""")
+    sqlc("""INSERT INTO gcat.move_c
+      SELECT id, concat('x', id), 0L, false FROM range(20)""")
+    val wf = graft.cdc.TxLog.fs(spark, warehouse)
+    val newLoc = tmpDir("gcat-move-crash") + "/t"
+    // crash between the target publish rename and the redirect swap
+    GraftCatalog.afterMoveRename =
+      () => throw new RuntimeException("crash before swap")
+    try intercept[Exception] {
+      sqlc(s"ALTER TABLE gcat.move_c SET LOCATION '$newLoc'")
+    } finally GraftCatalog.afterMoveRename = () => ()
+    // source untouched and serving; the copy sits complete at the
+    // target with its marker, the intent is durable
+    assert(!wf.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/move_c/.location")),
+      "no redirect may exist after a pre-swap crash")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.move_c")
+      .as[Long].head() == 20L, "the source must keep serving")
+    assert(wf.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/move_c/.move-intent")))
+    // retry completes (resumes at the swap — the fence version still
+    // matches, so the completed copy is reused)
+    sqlc(s"ALTER TABLE gcat.move_c SET LOCATION '$newLoc'")
+    assert(wf.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/move_c/.location")))
+    assert(sqlc("SELECT count(*) AS n FROM gcat.move_c")
+      .as[Long].head() == 20L)
+    assert(!wf.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/move_c/.move-intent")))
+    // now a post-swap crash on a SECOND move: the table serves the
+    // new home already; re-running the same MOVE just retires remnants
+    val thirdLoc = tmpDir("gcat-move-crash2") + "/t"
+    GraftCatalog.afterMoveSwap =
+      () => throw new RuntimeException("crash after swap")
+    try intercept[Exception] {
+      sqlc(s"ALTER TABLE gcat.move_c SET LOCATION '$thirdLoc'")
+    } finally GraftCatalog.afterMoveSwap = () => ()
+    assert(sqlc("SELECT count(*) AS n FROM gcat.move_c")
+      .as[Long].head() == 20L, "post-swap: the new home serves")
+    assert(wf.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/move_c/.move-intent")), "remnant intent lingers")
+    sqlc(s"ALTER TABLE gcat.move_c SET LOCATION '$thirdLoc'")
+    assert(!wf.exists(new org.apache.hadoop.fs.Path(
+      s"$warehouse/move_c/.move-intent")),
+      "idempotent retry retires the remnants")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.move_c")
+      .as[Long].head() == 20L)
+    sqlc("DROP TABLE gcat.move_c")
+  }
+
+  test("MOVE refuses to clobber a committed table at the target (r15)") {
+    sqlc("""CREATE TABLE gcat.move_r (
+      id BIGINT, version BIGINT, deleted BOOLEAN)
+      TBLPROPERTIES ('keys'='id', 'buckets'='2')""")
+    sqlc("INSERT INTO gcat.move_r SELECT id, 0L, false FROM range(5)")
+    val occupied = tmpDir("gcat-move-occupied") + "/t"
+    sqlc(s"""CREATE TABLE gcat.move_other
+      TBLPROPERTIES ('keys'='id', 'buckets'='2')
+      LOCATION '$occupied'
+      AS SELECT id, 0L AS version, false AS deleted FROM range(9)""")
+    val e = intercept[Exception] {
+      sqlc(s"ALTER TABLE gcat.move_r SET LOCATION '$occupied'")
+    }
+    assert(e.getMessage.contains("committed table"), e.getMessage)
+    assert(sqlc("SELECT count(*) AS n FROM gcat.move_other")
+      .as[Long].head() == 9L, "the occupant is untouched")
+    assert(sqlc("SELECT count(*) AS n FROM gcat.move_r")
+      .as[Long].head() == 5L)
+    sqlc("DROP TABLE gcat.move_r")
+    sqlc("DROP TABLE gcat.move_other")
+  }
+
   test("an unreadable (partially written) intent ages out instead of " +
       "being deleted on first sight (r15)") {
     val wf = graft.cdc.TxLog.fs(spark, warehouse)

@@ -283,6 +283,25 @@ class ReplaceTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("REPLACEd") &&
       e.getMessage.contains("amount"), e.getMessage)
+    // REBUILD rides the same re-seed seam and must name the cause too
+    val er = intercept[Exception] {
+      GraftTables.sql(spark, "ALTER MATERIALIZED VIEW shape_mv REBUILD")
+    }
+    assert(er.getMessage.contains("REPLACEd") &&
+      er.getMessage.contains("amount"), er.getMessage)
+    // CREATE-re-attach of the same definition must refuse with the
+    // named cause as well — the sidecar still matches, but the base
+    // no longer carries the view's value column; silently re-attaching
+    // (or failing with the seed SELECT's unresolved-column error)
+    // would both mislead
+    val ec = intercept[Exception] {
+      GraftTables.sql(spark,
+        "CREATE MATERIALIZED VIEW shape_mv AS SELECT grp, " +
+          "count(*) AS cnt, sum(amount) AS total FROM mvshape_reg " +
+          "GROUP BY grp")
+    }
+    assert(ec.getMessage.contains("REPLACEd") &&
+      ec.getMessage.contains("amount"), ec.getMessage)
     GraftTables.unregister(spark, "mvshape_reg")
   }
 

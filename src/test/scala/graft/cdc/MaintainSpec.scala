@@ -138,6 +138,83 @@ class MaintainSpec extends SparkSpec {
     assert(Compaction.version(spark, dir) == v)
   }
 
+  test("maintain(refreshStats=true) backfills leaf zone maps on a " +
+      "legacy manifest without touching data; second pass is free (r15)") {
+    val dir = tmpDir("maintain-restat") + "/t"
+    // version correlated with the day: every bucket's [minv, maxv]
+    // envelope spans all days, so only leaf-granular vminl/vmaxl can
+    // prune a version-bound read down to one _tp dir
+    val init = (0L until 200L).map { i =>
+      (i, s"p$i",
+        java.sql.Timestamp.valueOf(s"2024-01-0${1 + i % 5} 12:00:00"),
+        1L + i % 5, false)
+    }.toDF("id", "payload", "ts", "version", "deleted")
+    Compaction.init(init, dir, Seq("id"), "version", "deleted",
+      nBuckets = 4, clusterBy = Seq("version"), feed = false,
+      timePartition = Some(("days", "ts")), ndvP = None)
+    val snap0 = TxLog.latest(spark, dir).get
+    assert(snap0.props.keysIterator.exists(_.startsWith("vminl.")),
+      "current writers record leaf maps at init")
+    // fabricate a PRE-r14 manifest: same everything, leaf/sketch stat
+    // families stripped — exactly what an old-layout table carries
+    val legacy = Seq("vminl.", "vmaxl.", "lvdeg.", "lcdeg.",
+      "cndv.", "cnul.")
+    val leafCmin = (k: String) =>
+      Seq("cmin.", "cmax.").exists { p =>
+        k.startsWith(p) && {
+          val rest = k.drop(p.length).split('.')
+          rest.length >= 3 && rest(1).forall(_.isDigit)
+        }
+      }
+    TxLog.commit(spark, dir, snap0.version + 1,
+      snap0.props.filterNot { case (k, _) =>
+        legacy.exists(k.startsWith) || leafCmin(k) ||
+          Seq("txn_id", "base_txn").contains(k) } +
+        ("op" -> "test-strip"))
+    assert(!TxLog.latest(spark, dir).get.props.keysIterator
+      .exists(_.startsWith("vminl.")))
+    // without leaf maps the version-bound read opens every day
+    def openedDays(since: Long): Set[String] =
+      Compaction.readChangedSince(spark, dir, since).inputFiles
+        .flatMap(_.split('/').find(_.startsWith("_tp="))).toSet
+    assert(openedDays(4L).size == 5,
+      "stripped manifest cannot leaf-prune")
+    val filesBefore = Compaction.read(spark, dir).inputFiles.sorted
+    val restated = Compaction.refreshStats(spark, dir)
+    assert(restated > 0, "the backfill must find stale buckets")
+    val snap2 = TxLog.latest(spark, dir).get
+    assert(snap2.props.keysIterator.exists(_.startsWith("vminl.")),
+      "backfill must record leaf version maps")
+    assert(snap2.props.keysIterator.exists(_.startsWith("cndv.")),
+      "backfill must record cluster NDV sketches")
+    // data untouched: the read plans the SAME committed files
+    assert(Compaction.read(spark, dir).inputFiles.sorted.toSeq ==
+      filesBefore.toSeq, "a stats backfill must not rewrite data")
+    // and the leaf prune engages: version > 4 lives only in day 5
+    assert(openedDays(4L).size == 1,
+      s"leaf maps must prune the version-bound read, " +
+        s"opened ${openedDays(4L)}")
+    assert(Compaction.readChangedSince(spark, dir, 4L).count() == 40L)
+    // second pass: zero commits, zero Spark jobs (pure prop check)
+    val vBefore = TxLog.latestVersion(spark, dir).get
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val (folded, _) = Compaction.maintain(spark, dir,
+        refreshStats = true)
+      assert(folded == 0)
+      Thread.sleep(300) // let any (unexpected) job-start events drain
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(TxLog.latestVersion(spark, dir).get == vBefore,
+      "a fully-stated table must not commit")
+    assert(jobs == 0, s"no-op stats pass must run zero jobs, ran $jobs")
+  }
+
   test("streaming mergeStream with maintainEvery keeps chains bounded") {
     val root = tmpDir("maintain-stream")
     val srcDir = s"$root/changes"
