@@ -16,8 +16,8 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      : SparkSession.Builder =
-    SparkSession.builder()
+      : SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
@@ -29,10 +29,42 @@ object GraftSession {
       // the 100 TB target — stated explicitly so the sizing intent
       // survives default changes
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // scan-split floor: Spark sizes splits as
+      // min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)) —
+      // the 4 MiB default floor forces a sub-128 MiB single-file table
+      // into 1-3 splits no matter how many cores are idle, serializing
+      // the expensive map side (tokenize/shingle/hash) of every scan
+      // over it. 128 KiB keeps the formula's scale-adaptive term in
+      // charge (at large inputs bytes-per-core > the floor and nothing
+      // changes) while small corpora fan out. ABBA-measured ~10% on the
+      // scan-bound text/dedup subset; no effect on 100 TB-shaped scans.
+      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // every engine write lands in a per-txn STAGING dir and becomes
+      // visible only through the manifest commit (TxLog rename), so the
+      // Hadoop committer's own job-commit atomicity is redundant here:
+      // algorithm v2 renames task output at task commit (parallel,
+      // O(tasks)) instead of a single job-commit pass over every file
+      // (serial on the driver, O(files) — measured 2.4 s of a 7 s
+      // time-partitioned merge staging 240 leaf files), and the
+      // _SUCCESS marker nothing reads is skipped. Correctness is
+      // unchanged: a half-written staging dir is never referenced by a
+      // manifest and is swept by TxLog.sweep.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
+    // deployment/scale overrides without a code edit: every env entry
+    // SPARK_GRAFT_CONF_<n>="spark.key=value" lands as .config(key, value)
+    // AFTER the defaults above, so a cluster profile can re-tune any of
+    // them (shuffle codec, advisory partition size, join preferences)
+    // while the zero-env local defaults stay bench-comparable.
+    sys.env.toSeq.sortBy(_._1).collect {
+      case (k, v) if k.startsWith("SPARK_GRAFT_CONF") &&
+          v.contains("=") => v.split("=", 2)
+    }.foldLeft(b) { case (bb, Array(k, v)) => bb.config(k.trim, v) }
+  }
 
   def get(appName: String = "graft"): SparkSession = {
     val s = builder().appName(appName).getOrCreate()

@@ -3164,13 +3164,25 @@ object Compaction {
           .parquet(s"$staging/feed")
     }
     val feedPath = new Path(s"$staging/feed")
-    val hasRows = listTpLeaves(fs, Seq(feedPath)).flatMap(_._2)
-      .exists(st => st.getPath.getName.startsWith("part-") &&
+    val parts = listTpLeaves(fs, Seq(feedPath)).flatMap(_._2)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
         st.getLen > 0)
-    // a zero-effect merge stages no part files (nothing to infer a
-    // schema from) — the batch still publishes, as before
-    if (!hasRows) 0L
-    else spark.read.parquet(s"$staging/feed").count()
+    // a zero-effect merge stages no part files — the batch still
+    // publishes, as before. The staged row count comes from the part
+    // files' parquet footers on the driver (r15: the old
+    // spark.read.count() here launched one extra Spark job per
+    // feed-emitting merge only to re-read files this writer just
+    // produced; the footer sum is the same number, metadata-only).
+    if (parts.isEmpty) 0L
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      parts.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    }
   }
 
   /** Zero-byte publish marker inside every published batch dir,

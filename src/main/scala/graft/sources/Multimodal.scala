@@ -54,6 +54,24 @@ object Multimodal {
 
   val FeatureDim = 16
 
+  /** Spread the sampled doc_id driver rows across the cluster BEFORE
+    * the expensive synthetic generation (render + encode + mux): the
+    * ids come from one small parquet split (documents.parquet is a
+    * single sub-128 MiB file at every local SF → ONE scan partition),
+    * so without this the whole codec chain — thousands of times the
+    * scan cost per row — serializes on one core while the rest idle
+    * (r15: multimodal_video_avi spent its 3 s on a single task).
+    * Deterministic hash on the id (never round-robin over rand):
+    * retried tasks reproduce the same placement. Only 8-byte ids
+    * shuffle; the payloads are BORN distributed — the "decide with
+    * small rows, move big rows once" discipline, except here the big
+    * rows never move at all.
+    */
+  private def spreadIds(ids: Dataset[Long]): Dataset[Long] = {
+    val n = ids.sparkSession.sparkContext.defaultParallelism * 2
+    ids.repartition(n, col(ids.columns.head))
+  }
+
   /** STUB decode: a real implementation calls the image/audio codec on
     * the payload bytes (e.g. libjpeg/ffmpeg via FFI). The fake is
     * deterministic in the payload so tests are stable: a rolling
@@ -402,6 +420,7 @@ object Multimodal {
       .select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .as[Long]
+      .transform(spreadIds)
       .mapPartitions { ids =>
         ids.map { docId =>
           val g = ((docId % nGroups) + nGroups) % nGroups
@@ -569,6 +588,7 @@ object Multimodal {
       .select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .as[Long]
+      .transform(spreadIds)
       .mapPartitions { ids =>
         ids.map { docId =>
           val p = 20 + (docId % 5L).toInt * 20
@@ -690,6 +710,7 @@ object Multimodal {
       .select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .as[Long]
+      .transform(spreadIds)
       .mapPartitions { ids =>
         ids.map { docId =>
           val g = ((docId % nGroups) + nGroups) % nGroups
@@ -720,6 +741,7 @@ object Multimodal {
       .select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .as[Long]
+      .transform(spreadIds)
       .mapPartitions { ids =>
         ids.map { docId =>
           val g = ((docId % nGroups) + nGroups) % nGroups
