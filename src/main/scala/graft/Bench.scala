@@ -50,6 +50,11 @@ object Bench {
         .map(_.getUsage.getMax.max(0L) / 1048576.0).sum
 
     val gcPer = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // queries where SOME reps threw (r15): min-of-3 masks a query that
+    // only works on its first in-session run — sql_cluster_leaf_prune
+    // failed every rep but the first for two rounds while reporting a
+    // healthy single-rep number. Partial failures now publish.
+    val flaky = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -61,6 +66,8 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
       }
       gcPer(name) = (gcMillis - gc0) / 1e3
+      val nOk = times.count(!_.isInfinity)
+      if (nOk > 0 && nOk < reps) flaky(name) = nOk
       name -> times.min
     }
     // warm re-pass: re-time the top-40 slowest AT THE END of the
@@ -139,7 +146,9 @@ object Bench {
     // the driver persists only the LAST ~2000 chars of output. The final
     // printed line is therefore a compact, complete JSON object (top-40
     // slowest queries) guaranteed to fit inside that tail window.
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"failed":$failedJson,"rewarmed":$rewarmedJson,"queries_battery":${qjson(batteryOfRewarmed)},"queries":${qjson(finalResults)},"gc_sec":${qjson(gcPer.toSeq)},$jvmDiag$sf1Json$sf1FullJson,"sf":"$sfDir"}"""
+    val flakyJson = flaky.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${finalResults.size},"failed":$failedJson,"flaky_ok_reps":$flakyJson,"rewarmed":$rewarmedJson,"queries_battery":${qjson(batteryOfRewarmed)},"queries":${qjson(finalResults)},"gc_sec":${qjson(gcPer.toSeq)},$jvmDiag$sf1Json$sf1FullJson,"sf":"$sfDir"}"""
     println(fullLine)
     // a filtered local-iteration run must not clobber the full-set
     // detail artifact the driver and the judge read

@@ -215,6 +215,33 @@ object MergePruning extends Rule[LogicalPlan] {
     }
   }
 
+  /** [[infoFor]] validated against THIS plan's scan roots. Version
+    * numbers restart on re-init (a DROP+CREATE leaves the manifest at
+    * v0 again, with a fresh `g0-<txn>` generation), so a version-equal
+    * cache hit can still describe the PREVIOUS incarnation of the
+    * table — observed as `sql_cluster_leaf_prune` failing its prune
+    * assertion on every in-session re-run. When the cached live-dir
+    * set does not cover the relation's bucket roots, drop the entry
+    * (and the dir's fabricated-stats entry, reborn tables must not
+    * serve the old table's stats) and decode the manifest once more;
+    * only a FRESH mismatch is a genuinely stale plan for the callers
+    * to bail on.
+    */
+  private def infoForRoots(spark: SparkSession, tableDir: String,
+      bucketRoots: Seq[String]): Option[Info] = {
+    def covers(i: Info): Boolean = {
+      val live = i.bucketDirs.values.flatten.toSet
+      bucketRoots.forall(live.contains)
+    }
+    infoFor(spark, tableDir) match {
+      case Some(i) if !covers(i) =>
+        cache.remove(tableDir)
+        statsCache.remove(tableDir)
+        infoFor(spark, tableDir)
+      case o => o
+    }
+  }
+
   /** One pass over the manifest props collecting the leaf-keyed
     * cluster bounds `cmin.<b>.<tp>.<col>` / `cmax.<b>.<tp>.<col>`
     * into (bucket, colLower) → tp → [min, max] — indexed at decode,
@@ -348,7 +375,8 @@ object MergePruning extends Rule[LogicalPlan] {
     val tableDirs = parsed.map(_._2.tableDir).distinct
     if (tableDirs.size != 1) return None
     val spark = fs.sparkSession
-    val info = infoFor(spark, tableDirs.head).getOrElse(return None)
+    val info = infoForRoots(spark, tableDirs.head,
+      parsed.map(_._2.bucketDir)).getOrElse(return None)
     val liveDirSet = info.bucketDirs.values.flatten.toSet
     info.tp match {
       case None =>
@@ -523,7 +551,8 @@ object MergePruning extends Rule[LogicalPlan] {
     val tableDirs = parsed.map(_._2.tableDir).distinct
     if (tableDirs.size != 1) return None
     val spark = fs.sparkSession
-    val info = infoFor(spark, tableDirs.head).getOrElse(return None)
+    val info = infoForRoots(spark, tableDirs.head,
+      parsed.map(_._2.bucketDir)).getOrElse(return None)
 
     // stale plan (manifest advanced since the scan was built): bail.
     // The check runs at the BUCKET-directory level — a time-partitioned

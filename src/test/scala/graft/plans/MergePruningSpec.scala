@@ -453,4 +453,35 @@ class MergePruningSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(sqlRows == apiRows && sqlRows == Seq((7L, "v5-7")))
   }
+
+  test("re-init of the same dir (same version numbers, new generation) " +
+      "does not serve the previous incarnation's cached prune map") {
+    // a DROP+CREATE-style re-init restarts the manifest at v0 with a
+    // fresh g0-<txn> generation: the rule's per-dir Info cache keyed
+    // on version alone kept serving the OLD incarnation's bucket dirs,
+    // so every in-session re-run of a prune-asserting query declined
+    // to prune (r15: sql_cluster_leaf_prune failed reps 2-3 of the
+    // bench for two rounds behind min-of-3's single-success report)
+    val dir = tmpDir("merge-pruning-reinit") + "/t"
+    def initOnce(): Unit = Compaction.init(
+      (1L to 100L).map(i => (i, s"v0-$i", 0L, false))
+        .toDF("id", "payload", "version", "deleted"),
+      dir, "id", "version", "deleted", nBuckets = 8)
+    initOnce()
+    view(dir, "mp_reinit")
+    val first = spark.sql("SELECT payload FROM mp_reinit WHERE id = 7")
+    assert(first.as[String].collect().toSeq == Seq("v0-7"))
+    assert(scanDirs(first).size == 1)
+    // second incarnation: same version history shape, different txn
+    initOnce()
+    view(dir, "mp_reinit")
+    val again = spark.sql("SELECT payload FROM mp_reinit WHERE id = 7")
+    assert(again.as[String].collect().toSeq == Seq("v0-7"))
+    val dirs = scanDirs(again)
+    assert(dirs.size == 1,
+      s"stale Info cache declined the prune after re-init: $dirs")
+    val live = Compaction.livePaths(spark, dir).values.toSet
+    assert(dirs.subsetOf(live),
+      s"pruned scan read the previous generation: $dirs vs live $live")
+  }
 }
